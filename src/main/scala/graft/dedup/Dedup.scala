@@ -1,0 +1,111 @@
+package graft.dedup
+
+import graft.core.{Num, VectorOps}
+import graft.core.Num.r4
+import graft.text.TextOps
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication family for LLM-data pipelines: exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard, embedding-cosine near-dup.
+  *
+  * Scale posture: every shuffle key here is a hash (content hash, band
+  * bucket, simhash) — uniform by construction, so the groupBy/join shuffles
+  * partition evenly at 100 TB; candidate generation never compares all
+  * pairs, only within buckets. Hashes are md5-derived (engine-neutral) so
+  * the DuckDB oracles reproduce them bit-for-bit.
+  */
+object Dedup {
+  def normText(text: Column): Column =
+    lower(trim(regexp_replace(text, "\\s+", " ")))
+
+  /** Exact dedup: group by content hash (map-side combined), keep min id.
+    * 128-bit md5 ⇒ collision-free in practice at any corpus size. */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(md5(normText(col(textCol))).as("content_hash"), col(idCol).cast("long").as("_id"))
+      .groupBy(col("content_hash"))
+      .agg(min(col("_id")).as("keeper_id"), count(lit(1)).cast("long").as("n_copies"))
+
+  /** MinHash parameters: numHashes signatures in bands of rowsPerBand. */
+  final case class MinHashParams(numHashes: Int = 8, rowsPerBand: Int = 2, shingleK: Int = 3)
+  // 31-bit odd constants for the universal-hash family (a*H + b) mod P
+  private val A = Seq(1103515245L, 69069L, 1664525L, 22695477L, 134775813L, 214013L, 75L, 1103515247L)
+  private val B = Seq(12345L, 362437L, 1013904223L, 1L, 1L, 2531011L, 74L, 54321L)
+
+  /** Per-doc minhash signature columns `mh0..mh{k-1}`. */
+  def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
+                        p: MinHashParams = MinHashParams()): DataFrame = {
+    val sh = TextOps.shingles(TextOps.tokens(normText(col(textCol))), p.shingleK)
+    val hashed = transform(sh, s => Num.md5Mod(s))
+    val sig = (0 until p.numHashes).map { i =>
+      array_min(transform(hashed, h => (h * A(i) + B(i)) % Num.HashPrime)).as(s"mh$i")
+    }
+    df.select((col(idCol).cast("long").as("doc") +: sig): _*)
+  }
+
+  /** LSH candidate pairs: docs sharing any band of the signature.
+    * Shuffle key = (band, band-hash): uniform, bounded buckets. */
+  def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
+                        p: MinHashParams = MinHashParams()): DataFrame = {
+    val sigs = minhashSignatures(df, textCol, idCol, p)
+    val nBands = p.numHashes / p.rowsPerBand
+    val bands = (0 until nBands).map { b =>
+      val key = concat_ws("_",
+        (0 until p.rowsPerBand).map(r => col(s"mh${b * p.rowsPerBand + r}")): _*)
+      sigs.select(lit(b).as("band"), key.as("bkey"), col("doc"))
+    }.reduce(_ unionAll _)
+    bands.as("l").join(bands.as("r"),
+        col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
+          col("l.doc") < col("r.doc"))
+      .select(col("l.doc").as("doc1"), col("r.doc").as("doc2"))
+      .distinct()
+  }
+
+  /** 16-bit SimHash per doc: sign-sum of token-hash bits. */
+  def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = TextOps.tokens(normText(col(textCol)))
+    val tok = df.select(col(idCol).cast("long").as("doc"), explode(toks).as("tok"))
+      .withColumn("h", Num.md5Long(col("tok")) % 65536)
+      .withColumn("b", explode(sequence(lit(0), lit(15))))
+      .withColumn("bit", expr("CASE WHEN shiftright(h, b) % 2 = 1 THEN 1 ELSE -1 END"))
+    tok.groupBy(col("doc"), col("b"))
+      .agg(sum(col("bit")).as("v"))
+      .groupBy(col("doc"))
+      .agg(sum(when(col("v") > 0, expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(lit(0L))).as("simhash"))
+  }
+
+  /** n-gram Jaccard similarity for candidate pairs (same `source`, nearby
+    * ids — at scale the candidate generator is the LSH bucket join). */
+  def ngramJaccard(df: DataFrame, textCol: String, idCol: String, srcCol: String,
+                   k: Int = 2, maxIdGap: Long = 25L, minJaccard: Double = 0.15): DataFrame = {
+    val sh = df.select(col(idCol).cast("long").as("doc"), col(srcCol).as("src"),
+        explode(array_distinct(TextOps.shingles(TextOps.tokens(normText(col(textCol))), k))).as("sh"))
+    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).cast("double").as("sz"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.src") === col("b.src") && col("a.sh") === col("b.sh") &&
+          col("a.doc") < col("b.doc") && col("b.doc") - col("a.doc") <= maxIdGap)
+      .groupBy(col("a.doc").as("doc1"), col("b.doc").as("doc2"))
+      .agg(count(lit(1)).cast("double").as("inter"))
+    inter.join(sizes.withColumnRenamed("doc", "d1").withColumnRenamed("sz", "sz1"), col("doc1") === col("d1"))
+      .join(sizes.withColumnRenamed("doc", "d2").withColumnRenamed("sz", "sz2"), col("doc2") === col("d2"))
+      .select(col("doc1"), col("doc2"),
+        (col("inter") / (col("sz1") + col("sz2") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** Embedding near-dup: top-N most-similar pairs by cosine. Exact
+    * all-pairs here; the 100 TB path swaps the self-join for the LSH/IVF
+    * candidate generator in graft.neighbors. */
+  def embeddingTopPairs(df: DataFrame, idCol: String, vecCol: String, topN: Int): DataFrame = {
+    val e = df.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val sim = VectorOps.dot(col("a.v"), col("b.v")) /
+      sqrt(VectorOps.sqNorm(col("a.v")) * VectorOps.sqNorm(col("b.v")))
+    e.as("a").join(e.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"), sim.as("_sim"))
+      .orderBy(col("_sim").desc, col("id1"), col("id2"))
+      .limit(topN)
+      .select(col("id1"), col("id2"), r4(col("_sim")).as("cosine"))
+  }
+}

@@ -1,0 +1,70 @@
+package graft.ensemble
+
+import graft.core.Num.r4
+import org.apache.spark.ml.classification.RandomForestClassifier
+import org.apache.spark.ml.feature.{StringIndexer, VectorAssembler}
+import org.apache.spark.ml.regression.RandomForestRegressor
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Random forests + forest inference (reference python/cuml/ensemble/
+  * randomforestclassifier.pyx, randomforestregressor.pyx, fil/fil.pyx).
+  *
+  * MLlib's distributed histogram-based tree growth IS the Spark-native
+  * answer to cuML's GPU forest builder. ForestInference (FIL) maps to a
+  * broadcast model applied through a codegen'd transform — a pure map at
+  * scoring time, which is the part that runs over 100 TB.
+  */
+object Forest {
+  private def withFeatures(df: DataFrame, features: Seq[String],
+                           extra: Seq[(String, Column)]): DataFrame = {
+    val base = df.select(features.map(c => col(c).cast("double").as(c)) ++
+      extra.map { case (n, c) => c.as(n) }: _*)
+    new VectorAssembler().setInputCols(features.toArray).setOutputCol("_fv")
+      .transform(base)
+  }
+
+  /** Train a seeded RF classifier; return per-class prediction counts and
+    * per-class precision (deterministic given the seed). */
+  def classifierSummary(df: DataFrame, features: Seq[String], labelCol: String,
+                        numTrees: Int = 20, maxDepth: Int = 5, seed: Long = 42L): DataFrame = {
+    val input0 = withFeatures(df, features, Seq("_labstr" -> col(labelCol)))
+    val si = new StringIndexer().setInputCol("_labstr").setOutputCol("_lab")
+      .setStringOrderType("alphabetAsc")
+    val input = si.fit(input0).transform(input0)
+    val rf = new RandomForestClassifier().setFeaturesCol("_fv").setLabelCol("_lab")
+      .setNumTrees(numTrees).setMaxDepth(maxDepth).setSeed(seed)
+    val scored = rf.fit(input).transform(input)
+    scored.groupBy(col("prediction").cast("long").as("pred_class"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        r4(avg(when(col("prediction") === col("_lab"), 1.0).otherwise(0.0))).as("class_precision"))
+      .orderBy(col("pred_class"))
+  }
+
+  def regressorSummary(df: DataFrame, features: Seq[String], labelCol: String,
+                       numTrees: Int = 20, maxDepth: Int = 5, seed: Long = 42L): DataFrame = {
+    val input = withFeatures(df, features, Seq("_y" -> col(labelCol).cast("double")))
+    val rf = new RandomForestRegressor().setFeaturesCol("_fv").setLabelCol("_y")
+      .setNumTrees(numTrees).setMaxDepth(maxDepth).setSeed(seed)
+    val scored = rf.fit(input).transform(input)
+    scored.agg(
+      r4(sqrt(avg((col("prediction") - col("_y")) * (col("prediction") - col("_y"))))).as("train_rmse"),
+      r4(avg(abs(col("prediction") - col("_y")))).as("train_mae"),
+      count(lit(1)).cast("long").as("n"))
+  }
+
+  /** FIL-style inference: train once, broadcast the model, score a stream
+    * of rows through the codegen'd transform; output is the score
+    * distribution — the inference pass itself is shuffle-free. */
+  def inferenceSummary(train: DataFrame, score: DataFrame, features: Seq[String],
+                       labelCol: String, numTrees: Int = 20, seed: Long = 42L): DataFrame = {
+    val input = withFeatures(train, features, Seq("_y" -> col(labelCol).cast("double")))
+    val model = new RandomForestRegressor().setFeaturesCol("_fv").setLabelCol("_y")
+      .setNumTrees(numTrees).setMaxDepth(5).setSeed(seed).fit(input)
+    val scored = model.transform(withFeatures(score, features, Seq.empty))
+    scored.agg(
+      count(lit(1)).cast("long").as("n_scored"),
+      r4(avg(col("prediction"))).as("mean_pred"),
+      r4(stddev_samp(col("prediction"))).as("sd_pred"))
+  }
+}

@@ -1,0 +1,97 @@
+package graft.neighbors
+
+import graft.core.VectorOps
+import graft.core.Num.{r4, md5Long}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Nearest-neighbor search (reference python/cuml/neighbors/
+  * nearest_neighbors.pyx — brute-force kNN; plus the ANN variants an LLM
+  * pipeline needs at scale: LSH buckets and IVF cells).
+  *
+  * Brute force: the query set is broadcast (q·p floats), the corpus streams
+  * through a codegen'd distance expression, and top-k is taken per query.
+  * No corpus shuffle — at 100 TB the corpus is scanned once, map-side.
+  */
+object KNN {
+  sealed trait Metric
+  case object Cosine extends Metric     // returns similarity (desc = nearest)
+  case object Euclidean extends Metric  // returns distance  (asc  = nearest)
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  def score(metric: Metric, a: Column, b: Column): Column = metric match {
+    case Cosine =>
+      VectorOps.dot(a, b) / sqrt(VectorOps.sqNorm(a) * VectorOps.sqNorm(b))
+    case Euclidean => sqrt(VectorOps.sqDist(a, b))
+  }
+
+  /** Exact top-k neighbors of each query row against the corpus.
+    * Window-over-qid after a broadcast product: the shuffle carries only
+    * (qid, id, score) triples, partitioned by qid. Deterministic tiebreak
+    * on id. Output: (qid, rank, id, score). */
+  def bruteForce(queries: DataFrame, corpus: DataFrame, qId: String, cId: String,
+                 qVec: String, cVec: String, k: Int, metric: Metric,
+                 excludeSelf: Boolean = false): DataFrame = {
+    val q = queries.select(col(qId).cast("long").as("qid"), asDouble(col(qVec)).as("qv"))
+    val c = corpus.select(col(cId).cast("long").as("id"), asDouble(col(cVec)).as("cv"))
+    val s = score(metric, col("qv"), col("cv"))
+    val ord = metric match {
+      case Cosine    => Seq(col("_s").desc, col("id").asc)
+      case Euclidean => Seq(col("_s").asc, col("id").asc)
+    }
+    val pairs0 = c.join(broadcast(q), if (excludeSelf) col("qid") =!= col("id") else lit(true))
+      .select(col("qid"), col("id"), s.as("_s"))
+    val w = Window.partitionBy(col("qid")).orderBy(ord: _*)
+    pairs0.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id"), r4(col("_s")).as("score"))
+  }
+
+  /** Random-hyperplane LSH buckets: `bits` sign-bits from deterministic
+    * md5-seeded hyperplanes. Collisions → candidates; rerank within bucket.
+    * Shuffle key = bucket id (uniform by construction). */
+  def lshBuckets(df: DataFrame, idCol: String, vecCol: String, bits: Int,
+                 dim: Int, seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(bits, dim, seed)
+    val v = asDouble(col(vecCol))
+    val sig = (0 until bits).map { b =>
+      val plane = lit(planes(b))
+      when(VectorOps.dot(v, plane) >= 0, math.pow(2, b).toLong).otherwise(0L)
+    }.reduce(_ + _)
+    df.select(col(idCol).cast("long").as("id"), v.as("v"), sig.as("bucket"))
+  }
+
+  /** Deterministic pseudo-gaussian hyperplanes from md5 (engine-neutral,
+    * reproducible — same trick as the dedup hash family). */
+  def hyperplanes(bits: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    import java.security.MessageDigest
+    def h(s: String): Long = {
+      val d = MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    Array.tabulate(bits, dim) { (b, i) =>
+      val u1 = (h(s"p_${seed}_${b}_${i}_a") % 1000000L + 1000000L) % 1000000L / 1000000.0 + 5e-7
+      val u2 = (h(s"p_${seed}_${b}_${i}_b") % 1000000L + 1000000L) % 1000000L / 1000000.0
+      math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2)
+    }
+  }
+
+  /** ANN via LSH: candidates share a bucket; exact rerank inside. */
+  def lshTopK(df: DataFrame, idCol: String, vecCol: String, k: Int, bits: Int,
+              dim: Int, metric: Metric = Cosine): DataFrame = {
+    val b = lshBuckets(df, idCol, vecCol, bits, dim)
+    val s = score(metric, col("a.v"), col("b.v"))
+    val pairs = b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("qid"), col("b.id").as("id"), s.as("_s"))
+    val ord = metric match {
+      case Cosine    => Seq(col("_s").desc, col("id").asc)
+      case Euclidean => Seq(col("_s").asc, col("id").asc)
+    }
+    val w = Window.partitionBy(col("qid")).orderBy(ord: _*)
+    pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id"), r4(col("_s")).as("score"))
+  }
+}

@@ -1,0 +1,69 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.core.Num.{r4, r6}
+import graft.tsa.TimeSeries
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series query surface over `events` (daily series per event_type). */
+object TSAQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "holtwinters" -> { (s, d) =>
+      val ses = TimeSeries.sesSmoothed(TimeSeries.dailySeries(Tables.events(s, d)), 0.3)
+      val w = Window.partitionBy(col("series")).orderBy(col("t").desc)
+      ses.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+        .select(col("series"), col("t").as("t_last"), r4(col("smoothed")).as("s_last"))
+        .orderBy("series")
+    },
+    "stationarity" -> { (s, d) =>
+      val daily = TimeSeries.dailySeries(Tables.events(s, d))
+      val w = Window.partitionBy(col("series")).orderBy(col("t"))
+      daily.withColumn("dx", col("x") - lag(col("x"), 1).over(w))
+        .groupBy(col("series"))
+        .agg(r6(var_samp(col("dx")) / var_samp(col("x"))).as("var_ratio"),
+          when(var_samp(col("dx")) < var_samp(col("x")), 1L).otherwise(0L).as("d"))
+        .orderBy("series")
+    },
+    "arima" -> { (s, d) =>
+      import s.implicits._
+      val fits = TimeSeries.arFit(TimeSeries.dailySeries(Tables.events(s, d)), 2)
+      fits.flatMap { case (k, coefs) =>
+        coefs.zip(Seq("intercept", "ar1", "ar2")).map { case (c, t) =>
+          (k, t, math.rint(c * 10000) / 10000)
+        }
+      }.toDF("series", "term", "coef").orderBy("series", "term")
+    },
+    "kalman_1d" -> { (s, d) =>
+      TimeSeries.kalman1D(TimeSeries.dailySeries(Tables.events(s, d)), 0.1, 2.0)
+        .orderBy("series")
+    }
+  )
+
+  private val dailySql =
+    """SELECT event_type AS series, CAST(ts AS DATE) AS day, sum(value) AS x
+      |  FROM events GROUP BY 1, 2""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "holtwinters" ->
+      s"""WITH s AS ($dailySql),
+         |t AS (SELECT series, x, (row_number() OVER (PARTITION BY series ORDER BY day) - 1)::BIGINT AS t FROM s),
+         |sm AS (SELECT series, t,
+         |    sum((CASE WHEN t = 0 THEN x ELSE 0.3*x END) * power(0.7, -CAST(t AS DOUBLE)))
+         |      OVER (PARTITION BY series ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      * power(0.7, CAST(t AS DOUBLE)) AS smoothed
+         |  FROM t),
+         |last AS (SELECT series, t, smoothed, row_number() OVER (PARTITION BY series ORDER BY t DESC) AS rn FROM sm)
+         |SELECT series, t AS t_last, round(smoothed, 4) AS s_last FROM last WHERE rn = 1 ORDER BY series""".stripMargin,
+    "stationarity" ->
+      s"""WITH s AS ($dailySql),
+         |t AS (SELECT series, x, row_number() OVER (PARTITION BY series ORDER BY day) AS rn FROM s),
+         |d AS (SELECT series, x, x - lag(x) OVER (PARTITION BY series ORDER BY rn) AS dx FROM t)
+         |SELECT series, round(var_samp(dx) / var_samp(x), 6) AS var_ratio,
+         |  (CASE WHEN var_samp(dx) < var_samp(x) THEN 1 ELSE 0 END)::BIGINT AS d
+         |FROM d GROUP BY series ORDER BY series""".stripMargin
+  )
+}

@@ -1,0 +1,230 @@
+package graft.queries
+
+import graft.cluster.{DBSCAN, KMeansGraft}
+import graft.core.Tables
+import graft.core.Num.{r4, r6}
+import graft.decomposition.RandomProjection
+import graft.linear.{OLS, Ridge}
+import graft.metrics.Metrics
+import graft.preprocessing.Preprocessing
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Tabular (lineitem/customer/orders) query surface: linear models,
+  * cluster-assignment, 1-D DBSCAN, PCA moments, metrics, preprocessing.
+  * Every query here has a DuckDB oracle in [[oracles]].
+  */
+object TabularQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "linreg_ols" -> { (s, d) =>
+      val m = OLS.fit(Tables.lineitem(s, d), Seq("l_quantity"), "l_extendedprice")
+      m.toDF(s).select(col("term"),
+        when(col("term") === "intercept", round(col("coef"), 2))
+          .otherwise(round(col("coef"), 4)).as("coef"))
+        .orderBy("term")
+    },
+    "linreg_multi" -> { (s, d) =>
+      val m = OLS.fit(Tables.lineitem(s, d), Seq("l_quantity", "l_discount"), "l_extendedprice")
+      m.toDF(s).select(col("term"), round(col("coef"), 2).as("coef")).orderBy("term")
+    },
+    "ridge" -> { (s, d) =>
+      val m = Ridge.fit(Tables.lineitem(s, d), Seq("l_quantity"), "l_extendedprice", 1000.0)
+      m.toDF(s).select(col("term"),
+        when(col("term") === "intercept", round(col("coef"), 2))
+          .otherwise(round(col("coef"), 4)).as("coef"))
+        .orderBy("term")
+    },
+    "kmeans_assign" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val cl = KMeansGraft.assign(
+        Seq(col("l_quantity"), col("l_discount"), col("l_tax")),
+        Centroids)
+      li.select(cl.as("cluster"), col("l_quantity"), col("l_extendedprice"))
+        .groupBy("cluster")
+        .agg(count(lit(1)).cast("long").as("n"),
+          r4(avg("l_quantity")).as("avg_quantity"),
+          round(avg("l_extendedprice"), 2).as("avg_price"))
+        .orderBy("cluster")
+    },
+    "dbscan_1d" -> { (s, d) =>
+      DBSCAN.oneD(Tables.customer(s, d), "c_custkey", "c_acctbal", 50.0, 3)
+        .orderBy("id")
+    },
+    "pca_cov" -> { (s, d) =>
+      // all 6 correlations in ONE aggregate pass, then unpivot
+      val li = Tables.lineitem(s, d)
+      val fs = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val pairs = for (i <- fs.indices; j <- i + 1 until fs.size) yield (fs(i), fs(j))
+      val aggs = pairs.zipWithIndex.map { case ((a, b), k) =>
+        corr(col(a), col(b)).as(s"_c$k")
+      }
+      li.agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(pairs.zipWithIndex.map { case ((a, b), k) =>
+          struct(lit(a).as("f1"), lit(b).as("f2"), r6(col(s"_c$k")).as("corr"))
+        }: _*)).as("s"))
+        .select(col("s.f1").as("f1"), col("s.f2").as("f2"), col("s.corr").as("corr"))
+        .orderBy("f1", "f2")
+    },
+    "pca_evd2" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .agg(var_samp(col("l_quantity")).as("a"),
+          covar_samp(col("l_quantity"), col("l_tax")).as("b"),
+          var_samp(col("l_tax")).as("c"))
+        .select(
+          r6((col("a") + col("c")) / 2 +
+            sqrt(pow((col("a") - col("c")) / 2, 2) + pow(col("b"), 2))).as("lambda1"),
+          r6((col("a") + col("c")) / 2 -
+            sqrt(pow((col("a") - col("c")) / 2, 2) + pow(col("b"), 2))).as("lambda2"))
+    },
+    "jl_min_dim" -> { (s, _) =>
+      import s.implicits._
+      val grid = for (n <- Seq(1000L, 10000L, 100000L, 1000000L);
+                      e <- Seq(0.1, 0.2, 0.5))
+        yield (n, e, RandomProjection.jlMinDim(n, e))
+      grid.toDF("n_samples", "eps", "min_dim").orderBy("n_samples", "eps")
+    },
+    "r2_score" -> { (s, d) =>
+      val li = scaled(Tables.lineitem(s, d))
+      Metrics.r2Score(li, col("_y"), col("_p"))
+    },
+    "mse_mae" -> { (s, d) =>
+      val li = scaled(Tables.lineitem(s, d))
+      Metrics.regressionErrors(li, col("_y"), col("_p"))
+    },
+    "accuracy" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      Metrics.accuracy(li, col("l_returnflag"),
+        when(col("l_discount") > 0.05, "R").otherwise("N"))
+    },
+    "adjusted_rand" -> { (s, d) =>
+      Metrics.adjustedRand(Tables.documents(s, d), col("lang"), col("source"))
+    },
+    "label_encoder" -> { (s, d) =>
+      Preprocessing.labelEncoderMapping(Tables.customer(s, d), "c_mktsegment")
+        .orderBy("code")
+    },
+    "train_test_split" -> { (s, d) =>
+      Preprocessing.trainTestSplit(Tables.orders(s, d), "o_orderkey", 0.25)
+        .groupBy("split")
+        .agg(count(lit(1)).cast("long").as("n"), r4(avg("o_totalprice")).as("avg_price"))
+        .orderBy("split")
+    }
+  )
+
+  val Centroids: Seq[Seq[Double]] =
+    Seq(Seq(10.0, 0.02, 0.02), Seq(25.0, 0.05, 0.04), Seq(40.0, 0.08, 0.06))
+
+  /** Shared synthetic y/pred (scaled to keep metric magnitudes round-safe).
+    * The expression tree matches the oracle SQL exactly so both engines
+    * produce bit-identical per-row doubles. */
+  private def scaled(li: DataFrame): DataFrame =
+    li.select((col("l_extendedprice") / 1000.0).as("_y"),
+      (lit(0.3) + col("l_quantity") * 7.16 * (lit(1.0) - col("l_discount")) / 1000.0).as("_p"))
+
+  private val centroidSql: String = {
+    def dist(i: Int) = {
+      val c = Centroids(i)
+      s"((l_quantity-(${c(0)}))*(l_quantity-(${c(0)})) + (l_discount-(${c(1)}))*(l_discount-(${c(1)})) + (l_tax-(${c(2)}))*(l_tax-(${c(2)})))"
+    }
+    s"CASE WHEN ${dist(0)} <= ${dist(1)} AND ${dist(0)} <= ${dist(2)} THEN 0 " +
+      s"WHEN ${dist(1)} <= ${dist(2)} THEN 1 ELSE 2 END"
+  }
+
+  val oracles: Map[String, String] = Map(
+    "linreg_ols" ->
+      """SELECT term, coef FROM (
+        |  SELECT 'intercept' AS term, round(regr_intercept(l_extendedprice, l_quantity), 2) AS coef FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_quantity', round(regr_slope(l_extendedprice, l_quantity), 4) FROM lineitem
+        |) ORDER BY term""".stripMargin,
+    "linreg_multi" ->
+      """WITH s AS (SELECT count(*)::DOUBLE n, sum(l_quantity) sx1, sum(l_discount) sx2,
+        |  sum(l_quantity*l_quantity) s11, sum(l_quantity*l_discount) s12, sum(l_discount*l_discount) s22,
+        |  sum(l_extendedprice) sy, sum(l_quantity*l_extendedprice) s1y, sum(l_discount*l_extendedprice) s2y
+        |  FROM lineitem),
+        |d AS (SELECT
+        |  n*(s11*s22-s12*s12) - sx1*(sx1*s22-s12*sx2) + sx2*(sx1*s12-s11*sx2) AS det,
+        |  sy*(s11*s22-s12*s12) - sx1*(s1y*s22-s12*s2y) + sx2*(s1y*s12-s11*s2y) AS det0,
+        |  n*(s1y*s22-s12*s2y) - sy*(sx1*s22-s12*sx2) + sx2*(sx1*s2y-s1y*sx2) AS det1,
+        |  n*(s11*s2y-s1y*s12) - sx1*(sx1*s2y-s1y*sx2) + sy*(sx1*s12-s11*sx2) AS det2
+        |  FROM s)
+        |SELECT term, coef FROM (
+        |  SELECT 'intercept' AS term, round(det0/det, 2) AS coef FROM d
+        |  UNION ALL SELECT 'l_quantity', round(det1/det, 2) FROM d
+        |  UNION ALL SELECT 'l_discount', round(det2/det, 2) FROM d
+        |) ORDER BY term""".stripMargin,
+    "ridge" ->
+      """WITH s AS (SELECT count(*)::DOUBLE n, sum(l_quantity) sx, sum(l_extendedprice) sy,
+        |  sum(l_quantity*l_quantity) sxx, sum(l_quantity*l_extendedprice) sxy FROM lineitem),
+        |w AS (SELECT (sxy - sx*sy/n)/((sxx - sx*sx/n) + 1000.0) AS slope, sy/n AS ybar, sx/n AS xbar FROM s)
+        |SELECT term, coef FROM (
+        |  SELECT 'intercept' AS term, round(ybar - slope*xbar, 2) AS coef FROM w
+        |  UNION ALL SELECT 'l_quantity', round(slope, 4) FROM w
+        |) ORDER BY term""".stripMargin,
+    "kmeans_assign" ->
+      s"""SELECT $centroidSql AS cluster, count(*)::BIGINT AS n,
+         |  round(avg(l_quantity), 4) AS avg_quantity, round(avg(l_extendedprice), 2) AS avg_price
+         |FROM lineitem GROUP BY 1 ORDER BY cluster""".stripMargin,
+    "dbscan_1d" ->
+      """WITH b AS (SELECT c_custkey::BIGINT id, CAST(round(c_acctbal*100) AS BIGINT) v,
+        |    count(*) OVER (ORDER BY CAST(round(c_acctbal*100) AS BIGINT)
+        |                   RANGE BETWEEN 5000 PRECEDING AND 5000 FOLLOWING) n_nbr
+        |  FROM customer),
+        |c AS (SELECT id, v, (n_nbr >= 3) AS is_core FROM b),
+        |cl AS (SELECT id, (sum(CASE WHEN gap IS NULL OR gap > 5000 THEN 1 ELSE 0 END)
+        |         OVER (ORDER BY v, id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1)::BIGINT AS cluster
+        |  FROM (SELECT id, v, v - lag(v) OVER (ORDER BY v, id) AS gap FROM c WHERE is_core))
+        |SELECT c.id AS id, round(c.v/100.0, 4) AS value, c.is_core AS is_core,
+        |  coalesce(cl.cluster, -1)::BIGINT AS cluster
+        |FROM c LEFT JOIN cl ON c.id = cl.id ORDER BY id""".stripMargin,
+    "pca_cov" ->
+      """SELECT f1, f2, "corr" FROM (
+        |  SELECT 'l_quantity' AS f1, 'l_extendedprice' AS f2, round(corr(l_quantity, l_extendedprice), 6) AS "corr" FROM lineitem
+        |  UNION ALL SELECT 'l_quantity', 'l_discount', round(corr(l_quantity, l_discount), 6) FROM lineitem
+        |  UNION ALL SELECT 'l_quantity', 'l_tax', round(corr(l_quantity, l_tax), 6) FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', 'l_discount', round(corr(l_extendedprice, l_discount), 6) FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', 'l_tax', round(corr(l_extendedprice, l_tax), 6) FROM lineitem
+        |  UNION ALL SELECT 'l_discount', 'l_tax', round(corr(l_discount, l_tax), 6) FROM lineitem
+        |) ORDER BY f1, f2""".stripMargin,
+    "pca_evd2" ->
+      """WITH s AS (SELECT var_samp(l_quantity) a, covar_samp(l_quantity, l_tax) b, var_samp(l_tax) c FROM lineitem)
+        |SELECT round((a+c)/2 + sqrt(((a-c)/2)*((a-c)/2) + b*b), 6) AS lambda1,
+        |       round((a+c)/2 - sqrt(((a-c)/2)*((a-c)/2) + b*b), 6) AS lambda2 FROM s""".stripMargin,
+    "jl_min_dim" ->
+      """SELECT n_samples::BIGINT AS n_samples, eps::DOUBLE AS eps,
+        |  CAST(ceil(4.0 * ln(n_samples) / (eps*eps/2 - eps*eps*eps/3)) AS BIGINT) AS min_dim
+        |FROM (VALUES (1000, 0.1), (1000, 0.2), (1000, 0.5),
+        |             (10000, 0.1), (10000, 0.2), (10000, 0.5),
+        |             (100000, 0.1), (100000, 0.2), (100000, 0.5),
+        |             (1000000, 0.1), (1000000, 0.2), (1000000, 0.5)) AS t(n_samples, eps)
+        |ORDER BY n_samples, eps""".stripMargin,
+    "r2_score" ->
+      """WITH t AS (SELECT l_extendedprice/1000.0 AS y,
+        |    0.3 + l_quantity*7.16*(1.0-l_discount)/1000.0 AS p FROM lineitem)
+        |SELECT round(1.0 - sum((y-p)*(y-p)) / (sum(y*y) - sum(y)*sum(y)/count(*)), 4) AS r2 FROM t""".stripMargin,
+    "mse_mae" ->
+      """WITH t AS (SELECT l_extendedprice/1000.0 AS y,
+        |    0.3 + l_quantity*7.16*(1.0-l_discount)/1000.0 AS p FROM lineitem)
+        |SELECT round(avg((y-p)*(y-p)), 4) AS mse, round(sqrt(avg((y-p)*(y-p))), 4) AS rmse,
+        |  round(avg(abs(y-p)), 4) AS mae FROM t""".stripMargin,
+    "accuracy" ->
+      """SELECT round(avg(CASE WHEN l_returnflag = (CASE WHEN l_discount > 0.05 THEN 'R' ELSE 'N' END)
+        |  THEN 1.0 ELSE 0.0 END), 4) AS accuracy FROM lineitem""".stripMargin,
+    "adjusted_rand" ->
+      """WITH c AS (SELECT lang, source, count(*)::DOUBLE n FROM documents GROUP BY 1, 2),
+        |t AS (SELECT (SELECT sum(n) FROM c) AS tot, (SELECT sum(n*(n-1)/2) FROM c) AS sij,
+        |  (SELECT sum(m*(m-1)/2) FROM (SELECT sum(n) m FROM c GROUP BY lang)) AS sa,
+        |  (SELECT sum(m*(m-1)/2) FROM (SELECT sum(n) m FROM c GROUP BY source)) AS sb)
+        |SELECT round((sij - sa*sb/(tot*(tot-1)/2)) / ((sa+sb)/2 - sa*sb/(tot*(tot-1)/2)), 4) AS ari FROM t""".stripMargin,
+    "label_encoder" ->
+      """SELECT label, (dense_rank() OVER (ORDER BY label) - 1)::BIGINT AS code
+        |FROM (SELECT DISTINCT c_mktsegment AS label FROM customer) ORDER BY code""".stripMargin,
+    "train_test_split" ->
+      """SELECT CASE WHEN ('0x' || substr(md5(o_orderkey::VARCHAR || '_42'), 1, 15))::BIGINT % 1000 < 250
+        |  THEN 'test' ELSE 'train' END AS split,
+        |  count(*)::BIGINT AS n, round(avg(o_totalprice), 4) AS avg_price
+        |FROM orders GROUP BY 1 ORDER BY split""".stripMargin
+  )
+}

@@ -1,0 +1,170 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.core.Num.r6
+import graft.dedup.Dedup
+import graft.text.TextOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + dedup query surface over `documents`. */
+object TextQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "dedup_exact" -> { (s, d) =>
+      Dedup.exact(Tables.documents(s, d), "text", "doc_id").orderBy("content_hash")
+    },
+    "dedup_minhash" -> { (s, d) =>
+      Dedup.minhashSignatures(Tables.documents(s, d), "text", "doc_id").orderBy("doc")
+    },
+    "dedup_minhash_pairs" -> { (s, d) =>
+      Dedup.minhashCandidates(Tables.documents(s, d), "text", "doc_id")
+        .orderBy("doc1", "doc2")
+    },
+    "dedup_simhash" -> { (s, d) =>
+      Dedup.simhash(Tables.documents(s, d), "text", "doc_id").orderBy("doc")
+    },
+    "ngram_jaccard" -> { (s, d) =>
+      Dedup.ngramJaccard(Tables.documents(s, d), "text", "doc_id", "source",
+          k = 2, maxIdGap = 25L, minJaccard = 0.0)
+        .orderBy(col("jaccard").desc, col("doc1"), col("doc2"))
+        .limit(20)
+        .select(col("doc1"), col("doc2"), r6(col("jaccard")).as("jaccard"))
+    },
+    "langid" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang").as("lang_actual"), TextOps.langIdScore(col("text")).as("lang_pred"))
+        .groupBy("lang_actual", "lang_pred")
+        .agg(count(lit(1)).cast("long").as("n"))
+        .orderBy("lang_actual", "lang_pred")
+    },
+    "text_quality" -> { (s, d) =>
+      TextOps.qualityFeatures(Tables.documents(s, d), "text", "doc_id").orderBy("doc_id")
+    },
+    "token_count" -> { (s, d) =>
+      TextOps.tokenCounts(Tables.documents(s, d), "text", "doc_id").orderBy("doc_id")
+    },
+    "fingerprint" -> { (s, d) =>
+      TextOps.fingerprints(Tables.documents(s, d), "text", "doc_id").orderBy("doc_id")
+    }
+  )
+
+  private val normToks =
+    """string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')"""
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash,
+        |  min(doc_id)::BIGINT AS keeper_id, count(*)::BIGINT AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
+    "dedup_minhash" ->
+      s"""WITH n AS (SELECT doc_id, $normToks AS toks FROM documents),
+         |sh AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
+         |    THEN list_transform(range(0, len(toks)-2), i -> toks[i+1] || '_' || toks[i+2] || '_' || toks[i+3])
+         |    ELSE [] END) AS s FROM n),
+         |h AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647 AS hv FROM sh)
+         |SELECT doc_id::BIGINT AS doc,
+         |  min((1103515245*hv+12345) % 2147483647)::BIGINT AS mh0,
+         |  min((69069*hv+362437) % 2147483647)::BIGINT AS mh1,
+         |  min((1664525*hv+1013904223) % 2147483647)::BIGINT AS mh2,
+         |  min((22695477*hv+1) % 2147483647)::BIGINT AS mh3,
+         |  min((134775813*hv+1) % 2147483647)::BIGINT AS mh4,
+         |  min((214013*hv+2531011) % 2147483647)::BIGINT AS mh5,
+         |  min((75*hv+74) % 2147483647)::BIGINT AS mh6,
+         |  min((1103515247*hv+54321) % 2147483647)::BIGINT AS mh7
+         |FROM h GROUP BY doc_id ORDER BY doc""".stripMargin,
+    "dedup_minhash_pairs" ->
+      s"""WITH n AS (SELECT doc_id, $normToks AS toks FROM documents),
+         |sh AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
+         |    THEN list_transform(range(0, len(toks)-2), i -> toks[i+1] || '_' || toks[i+2] || '_' || toks[i+3])
+         |    ELSE [] END) AS s FROM n),
+         |h AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647 AS hv FROM sh),
+         |sig AS (SELECT doc_id,
+         |  min((1103515245*hv+12345) % 2147483647) AS mh0, min((69069*hv+362437) % 2147483647) AS mh1,
+         |  min((1664525*hv+1013904223) % 2147483647) AS mh2, min((22695477*hv+1) % 2147483647) AS mh3,
+         |  min((134775813*hv+1) % 2147483647) AS mh4, min((214013*hv+2531011) % 2147483647) AS mh5,
+         |  min((75*hv+74) % 2147483647) AS mh6, min((1103515247*hv+54321) % 2147483647) AS mh7
+         | FROM h GROUP BY doc_id),
+         |bands AS (
+         | SELECT 0 AS band, mh0::VARCHAR || '_' || mh1::VARCHAR AS bkey, doc_id FROM sig UNION ALL
+         | SELECT 1, mh2::VARCHAR || '_' || mh3::VARCHAR, doc_id FROM sig UNION ALL
+         | SELECT 2, mh4::VARCHAR || '_' || mh5::VARCHAR, doc_id FROM sig UNION ALL
+         | SELECT 3, mh6::VARCHAR || '_' || mh7::VARCHAR, doc_id FROM sig)
+         |SELECT DISTINCT l.doc_id::BIGINT AS doc1, r.doc_id::BIGINT AS doc2
+         |FROM bands l JOIN bands r ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id
+         |ORDER BY doc1, doc2""".stripMargin,
+    "dedup_simhash" ->
+      s"""WITH n AS (SELECT doc_id, $normToks AS toks FROM documents),
+         |tk AS (SELECT doc_id, unnest(toks) AS tok FROM n),
+         |th AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT % 65536 AS h FROM tk),
+         |tb AS (SELECT doc_id, bits.b AS b, CASE WHEN (h >> bits.b) % 2 = 1 THEN 1 ELSE -1 END AS bit
+         |  FROM th, (SELECT unnest(range(0, 16)) AS b) bits),
+         |v AS (SELECT doc_id, b, sum(bit) AS v FROM tb GROUP BY 1, 2)
+         |SELECT doc_id::BIGINT AS doc,
+         |  sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+         |FROM v GROUP BY doc_id ORDER BY doc""".stripMargin,
+    "ngram_jaccard" ->
+      s"""WITH n AS (SELECT doc_id, source, $normToks AS toks FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, source, unnest(CASE WHEN len(toks) >= 2
+         |    THEN list_transform(range(0, len(toks)-1), i -> toks[i+1] || '_' || toks[i+2])
+         |    ELSE [] END) AS s FROM n),
+         |sizes AS (SELECT doc_id, count(*)::DOUBLE AS sz FROM sh GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*)::DOUBLE AS i
+         |  FROM sh a JOIN sh b ON a.source = b.source AND a.s = b.s
+         |    AND a.doc_id < b.doc_id AND b.doc_id - a.doc_id <= 25
+         |  GROUP BY 1, 2),
+         |j AS (SELECT doc1, doc2, i / (s1.sz + s2.sz - i) AS jac
+         |  FROM inter JOIN sizes s1 ON doc1 = s1.doc_id JOIN sizes s2 ON doc2 = s2.doc_id)
+         |SELECT doc1::BIGINT AS doc1, doc2::BIGINT AS doc2, round(jac, 6) AS jaccard
+         |FROM j ORDER BY jac DESC, doc1, doc2 LIMIT 20""".stripMargin,
+    "langid" -> {
+      val markers = TextOps.LangMarkers
+      def score(ws: Seq[String]) =
+        s"len(list_filter(toks, t -> t IN (${ws.map(w => s"'$w'").mkString(", ")})))"
+      val scores = markers.map { case (l, ws) => l -> score(ws) }
+      val best = s"greatest(${scores.map(_._2).mkString(", ")})"
+      val caseExpr = scores.map { case (l, sc) =>
+        s"WHEN $sc = best AND best > 0 THEN '$l'"
+      }.mkString(" ")
+      s"""WITH n AS (SELECT lang, string_split(text, ' ') AS toks FROM documents),
+         |b AS (SELECT lang, toks, $best AS best FROM n),
+         |p AS (SELECT lang AS lang_actual, CASE $caseExpr ELSE 'und' END AS lang_pred FROM b)
+         |SELECT lang_actual, lang_pred, count(*)::BIGINT AS n
+         |FROM p GROUP BY 1, 2 ORDER BY lang_actual, lang_pred""".stripMargin
+    },
+    "text_quality" -> {
+      val stop = TextOps.EnStop.map(w => s"'$w'").mkString(", ")
+      s"""WITH n AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+         |f AS (SELECT doc_id,
+         |  len(toks)::BIGINT AS n_tokens,
+         |  length(text)::DOUBLE AS n_chars,
+         |  length(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE AS alpha,
+         |  len(list_distinct(toks))::DOUBLE AS uniq,
+         |  len(list_filter(toks, t -> t IN ($stop)))::DOUBLE AS stop
+         | FROM n)
+         |SELECT doc_id, n_tokens,
+         |  round(n_chars / n_tokens, 4) AS avg_token_len,
+         |  round(alpha / n_chars, 4) AS alpha_ratio,
+         |  round(uniq / n_tokens, 4) AS uniq_ratio,
+         |  round(stop / n_tokens, 4) AS stopword_ratio,
+         |  round(least(1.0, (uniq / n_tokens) * 0.5 + (alpha / n_chars) * 0.3 +
+         |    least(stop / n_tokens * 5.0, 1.0) * 0.2), 4) AS quality
+         |FROM f ORDER BY doc_id""".stripMargin
+    },
+    "token_count" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' '))::BIGINT AS ws_tokens,
+        |  len(list_distinct(string_split(text, ' ')))::BIGINT AS uniq_tokens,
+        |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))::BIGINT AS bpe_pieces
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "fingerprint" ->
+      s"""WITH n AS (SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS nt FROM documents),
+         |t AS (SELECT doc_id, nt, string_split(nt, ' ') AS toks FROM n)
+         |SELECT doc_id, md5(nt) AS fp_md5,
+         |  list_min(list_transform(CASE WHEN len(toks) >= 3
+         |    THEN list_transform(range(0, len(toks)-2), i -> toks[i+1] || '_' || toks[i+2] || '_' || toks[i+3])
+         |    ELSE [] END, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT))::BIGINT AS fp_shingle_min
+         |FROM t ORDER BY doc_id""".stripMargin
+  )
+}

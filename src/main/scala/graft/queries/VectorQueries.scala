@@ -1,0 +1,111 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.core.Num.r6
+import graft.decomposition.{PCAGraft, RandomProjection, TSVDGraft}
+import graft.dedup.Dedup
+import graft.manifold.Manifold
+import graft.neighbors.KNN
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Embedding-space query surface: kNN / ANN / near-dup / random projection /
+  * PCA / TSVD / manifold front-ends over the `embeddings` table. */
+object VectorQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "ann_cosine_topk" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      KNN.bruteForce(e.filter(col("vec_id") < 10), e, "vec_id", "vec_id",
+          "embedding", "embedding", 5, KNN.Cosine)
+        .orderBy("qid", "rank")
+    },
+    "knn_bruteforce" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      KNN.bruteForce(e.filter(col("vec_id") >= 10 && col("vec_id") < 20), e,
+          "vec_id", "vec_id", "embedding", "embedding", 5, KNN.Euclidean,
+          excludeSelf = true)
+        .orderBy("qid", "rank")
+    },
+    "knn_join" -> { (s, d) =>
+      // self kNN of the first 100 vectors — the batch kneighbors() shape
+      val e = Tables.embeddings(s, d).filter(col("vec_id") < 100)
+      KNN.bruteForce(e, e, "vec_id", "vec_id", "embedding", "embedding",
+          3, KNN.Euclidean, excludeSelf = true)
+        .groupBy("qid").agg(sum(col("score")).as("dist_sum"))
+        .agg(count(lit(1)).cast("long").as("n_nodes"), r6(avg("dist_sum")).as("avg_knn_dist"))
+    },
+    "dedup_embedding" -> { (s, d) =>
+      Dedup.embeddingTopPairs(Tables.embeddings(s, d), "vec_id", "embedding", 20)
+    },
+    "ann_lsh" -> { (s, d) =>
+      KNN.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+          k = 3, bits = 8, dim = 64)
+        .groupBy("qid").agg(max("rank").as("_found"))
+        .agg(count(lit(1)).cast("long").as("n_queries_with_candidates"),
+          r6(avg("_found")).as("avg_found"))
+    },
+    "random_projection" -> { (s, d) =>
+      val m = RandomProjection.gaussianMatrix(64, 8, 42L)
+      RandomProjection.project(Tables.embeddings(s, d), "vec_id", "embedding", m)
+        .orderBy("id").limit(50)
+    },
+    "pca" -> { (s, d) =>
+      import s.implicits._
+      val r = PCAGraft.fitWide(Tables.embeddings(s, d), "embedding")
+      r.explainedVar.take(8).zip(r.ratio.take(8)).zipWithIndex
+        .map { case ((ev, ra), i) =>
+          (i, math.rint(ev * 10000) / 10000, math.rint(ra * 1000000) / 1000000)
+        }.toSeq.toDF("component", "eigenvalue", "explained_ratio")
+    },
+    "tsvd" -> { (s, d) =>
+      import s.implicits._
+      TSVDGraft.singularValues(Tables.embeddings(s, d), "embedding", 8)
+        .zipWithIndex.map { case (sv, i) => (i, math.rint(sv * 10000) / 10000) }
+        .toSeq.toDF("component", "singular_value")
+    },
+    "umap_knn_graph" -> { (s, d) =>
+      Manifold.umapGraphWeights(
+          Tables.embeddings(s, d).filter(col("vec_id") < 100), "vec_id", "embedding", 10)
+        .select(col("qid"), col("rho"), col("sigma"))
+        .orderBy("qid")
+    },
+    "tsne_perplexity" -> { (s, d) =>
+      Manifold.tsnePerplexity(
+          Tables.embeddings(s, d).filter(col("vec_id") < 100), "vec_id", "embedding", 20, 10.0)
+        .orderBy("qid")
+    },
+    "multimodal_meta" -> { (s, d) =>
+      graft.multimodal.Multimodal.featureSummary(Tables.documents(s, d))
+    }
+  )
+
+  private val cosSql =
+    "list_dot_product(a.v, b.v) / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v))"
+
+  val oracles: Map[String, String] = Map(
+    "ann_cosine_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |p AS (SELECT a.vec_id AS qid, b.vec_id AS id, $cosSql AS s
+         |  FROM e a JOIN e b ON a.vec_id < 10),
+         |r AS (SELECT qid, id, s, row_number() OVER (PARTITION BY qid ORDER BY s DESC, id) AS rank
+         |  FROM p)
+         |SELECT qid::BIGINT AS qid, rank::BIGINT AS rank, id::BIGINT AS id, round(s, 4) AS score
+         |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "knn_bruteforce" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS (SELECT a.vec_id AS qid, b.vec_id AS id, list_distance(a.v, b.v) AS s
+        |  FROM e a JOIN e b ON a.vec_id >= 10 AND a.vec_id < 20 AND a.vec_id <> b.vec_id),
+        |r AS (SELECT qid, id, s, row_number() OVER (PARTITION BY qid ORDER BY s ASC, id) AS rank
+        |  FROM p)
+        |SELECT qid::BIGINT AS qid, rank::BIGINT AS rank, id::BIGINT AS id, round(s, 4) AS score
+        |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "dedup_embedding" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |p AS (SELECT a.vec_id AS id1, b.vec_id AS id2, $cosSql AS s
+         |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         |SELECT id1::BIGINT AS id1, id2::BIGINT AS id2, round(s, 4) AS cosine
+         |FROM p ORDER BY s DESC, id1, id2 LIMIT 20""".stripMargin
+  )
+}

@@ -1,0 +1,94 @@
+package graft.text
+
+import graft.core.Num
+import graft.core.Num.r4
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM-data pipelines: language ID, quality
+  * scoring, token counting, fingerprinting. All pure column expressions
+  * (codegen'd, embarrassingly parallel — zero shuffle at any scale).
+  *
+  * Tokenization contract shared with the DuckDB oracles: tokens are the
+  * single-space split of `text`; word k-shingles join tokens with '_'.
+  */
+object TextOps {
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word k-gram shingles: ["a b c d"] -> k=3 -> ["a_b_c", "b_c_d"].
+    * (Spark's sequence(a,b) runs DESCENDING when a > b, so short docs need
+    * the explicit empty-array guard.) */
+  def shingles(toks: Column, k: Int): Column =
+    when(size(toks) >= k,
+      transform(
+        sequence(lit(0), size(toks) - k),
+        i => concat_ws("_", (0 until k).map(j => element_at(toks, i + j + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  val EnStop: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "is")
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to"),
+    "es" -> Seq("el", "la", "los", "de", "y"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "les", "et", "un", "est"),
+    "zh" -> Seq("de5", "shi4", "le5", "wo3", "ni3"))
+
+  private def countIn(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => words.map(w => t === lit(w)).reduce(_ || _)))
+
+  /** N-gram/stopword-profile language ID: score = marker-token count per
+    * language; argmax with a fixed language-order tiebreak. */
+  def langIdScore(text: Column): Column = {
+    val toks = tokens(text)
+    val scores = LangMarkers.map { case (l, ws) => (l, countIn(toks, ws)) }
+    val best = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und")) { case ((l, s), acc) =>
+      when(s === best && best > 0, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Heuristic quality features + a composite score in [0,1]. */
+  def qualityFeatures(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nTok = size(toks).cast("double")
+    val nChars = length(t).cast("double")
+    val alpha = length(regexp_replace(t, "[^a-z]", "")).cast("double")
+    val uniq = size(array_distinct(toks)).cast("double")
+    val stop = countIn(toks, EnStop).cast("double")
+    df.select(
+      col(idCol),
+      nTok.cast("long").as("n_tokens"),
+      r4(nChars / nTok).as("avg_token_len"),
+      r4(alpha / nChars).as("alpha_ratio"),
+      r4(uniq / nTok).as("uniq_ratio"),
+      r4(stop / nTok).as("stopword_ratio"),
+      r4(least(lit(1.0),
+        (uniq / nTok) * 0.5 + (alpha / nChars) * 0.3 +
+          least(stop / nTok * 5.0, lit(1.0)) * 0.2)).as("quality"))
+  }
+
+  /** Token counting: whitespace tokens + BPE-ish piece count (runs of
+    * letters / digits / single other chars — a public-tokenizer-style
+    * pre-tokenization regex). */
+  def tokenCounts(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(
+      col(idCol),
+      size(tokens(t)).cast("long").as("ws_tokens"),
+      size(array_distinct(tokens(t))).cast("long").as("uniq_tokens"),
+      size(regexp_extract_all(t, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long").as("bpe_pieces"))
+  }
+
+  /** Document fingerprints: full-content md5 of normalized text + the
+    * minimum 60-bit hash over word trigram shingles (a 1-perm minhash —
+    * robust to local edits; rolling-hash flavored). */
+  def fingerprints(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val norm = lower(trim(regexp_replace(col(textCol), "\\s+", " ")))
+    val sh = shingles(tokens(norm), 3)
+    df.select(
+      col(idCol),
+      md5(norm).as("fp_md5"),
+      array_min(transform(sh, s => Num.md5Long(s))).as("fp_shingle_min"))
+  }
+}
