@@ -1,0 +1,105 @@
+package graft.cluster
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed 2-D DBSCAN (reference python/cuml/cluster/dbscan.pyx,
+  * cpp/src/dbscan/ — cuML materializes the eps-neighborhood graph on GPU).
+  *
+  * Spark-first shape for 100 TB:
+  *  1. bucket points into eps-sized grid cells (pure map);
+  *  2. candidate pairs only between points of the SAME or ADJACENT cells
+  *     (shuffle key = cell id — bounded 3×3 fan-out, never all-pairs);
+  *  3. core points from neighbor counts;
+  *  4. connected components on the CELL graph: the number of occupied cells
+  *     is bounded by area/eps² (not by n), so the distinct core-cell edge
+  *     list collapses to a driver-sized union-find — one pass over the
+  *     pairs, no iterative label propagation over points.
+  */
+object DBSCANGrid {
+  def fit(points: DataFrame, idCol: String, xCol: String, yCol: String,
+          eps: Double, minPts: Int): DataFrame = {
+    val pts = points.select(col(idCol).cast("long").as("id"),
+      col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y"))
+
+    // 1. cell coordinates packed into one long key (21-bit signed halves)
+    val cellKey = (floor(col("x") / eps).cast("long") + 1048576L) * 4194304L +
+      (floor(col("y") / eps).cast("long") + 1048576L)
+    val withCell = pts.withColumn("cell", cellKey).cache()
+
+    // 2. candidate pairs via 3×3 replication of the build side
+    val offsets = for (dx <- -1L to 1L; dy <- -1L to 1L) yield dx * 4194304L + dy
+    val build = withCell.select(col("id").as("bid"), col("x").as("bx"),
+        col("y").as("by"), col("cell"))
+      .withColumn("cell", explode(array(offsets.map(o => col("cell") + o): _*)))
+    val pairs = withCell.join(build, Seq("cell"))
+      .filter(col("id") =!= col("bid"))
+      .filter((col("x") - col("bx")) * (col("x") - col("bx")) +
+        (col("y") - col("by")) * (col("y") - col("by")) <= eps * eps)
+      .select(col("id"), col("bid")).cache()
+
+    // 3. core points (deg counts the point itself implicitly via minPts-1)
+    val degrees = pairs.groupBy("id").agg(count(lit(1)).as("deg"))
+    val core = withCell.join(degrees, Seq("id"), "left")
+      .withColumn("is_core", coalesce(col("deg"), lit(0L)) >= (minPts - 1))
+      .select(col("id"), col("cell"), col("is_core")).cache()
+
+    // 4. distinct core-cell edges -> driver union-find
+    val coreSide = core.filter(col("is_core"))
+    val cellEdges = pairs
+      .join(coreSide.select(col("id"), col("cell").as("ca")), Seq("id"))
+      .join(coreSide.select(col("id").as("bid"), col("cell").as("cb")), Seq("bid"))
+      .select(col("ca"), col("cb")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(a: Long): Long = {
+      var r = a
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = a
+      while (parent.getOrElse(c, c) != c) { val n = parent.getOrElse(c, c); parent(c) = r; c = n }
+      r
+    }
+    cellEdges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val roots = parent.keys.map(c => (c, find(c))).toSeq
+    val spark = points.sparkSession
+    import spark.implicits._
+    val rootDF = broadcast(roots.toDF("cell", "root"))
+
+    // core labels: component root -> renumber by min core id (determinism)
+    val coreLabeled = coreSide
+      .join(rootDF, Seq("cell"), "left")
+      .withColumn("root", coalesce(col("root"), col("cell"))) // isolated core cell
+    val rename = coreLabeled.groupBy("root").agg(min(col("id")).as("cluster"))
+    val coreOut = coreLabeled.join(broadcast(rename), Seq("root"))
+      .select(col("id"), col("cluster"))
+
+    // border points attach to the min-cluster core neighbor; noise = -1
+    val borderLabel = pairs
+      .join(coreOut.select(col("id").as("bid"), col("cluster").as("bcl")), Seq("bid"))
+      .groupBy("id").agg(min(col("bcl")).as("border_cluster"))
+    val out = core.select(col("id"), col("is_core"))
+      .join(coreOut, Seq("id"), "left")
+      .join(borderLabel, Seq("id"), "left")
+      .select(col("id"), col("is_core"),
+        coalesce(col("cluster"), col("border_cluster"), lit(-1L)).as("cluster"))
+      .cache()
+    out.count() // materialize, then drop the intermediate caches
+    withCell.unpersist(); pairs.unpersist(); core.unpersist()
+    out
+  }
+
+  /** Deterministic summary for the query surface. */
+  def summary(points: DataFrame, idCol: String, xCol: String, yCol: String,
+              eps: Double, minPts: Int): DataFrame = {
+    val f = fit(points, idCol, xCol, yCol, eps, minPts)
+    f.groupBy((col("cluster") >= 0).as("clustered")).agg(
+        count(lit(1)).as("n"),
+        countDistinct(when(col("cluster") >= 0, col("cluster"))).as("n_clusters"),
+        sum(when(col("is_core"), 1L).otherwise(0L)).as("n_core"))
+      .orderBy("clustered")
+  }
+}

@@ -35,4 +35,27 @@ object VectorOps {
 
   /** Elementwise sum of two array columns. */
   def add(a: Column, b: Column): Column = zip_with(a, b, (x, y) => x + y)
+
+  // ---- fixed-dimension variants -------------------------------------------
+  // Higher-order functions (zip_with/aggregate) allocate an intermediate
+  // array per row and run the lambda interpreted. For a known dimension the
+  // unrolled element_at sum is a single flat codegen'd expression — the hot
+  // path for kNN/ANN/dedup scans. Left-associated like the fold, so results
+  // are bit-identical to the generic versions (and to DuckDB's
+  // list_dot_product sequential sum).
+
+  def dotFixed(a: Column, b: Column, dim: Int): Column =
+    (0 until dim).map(i => element_at(a, i + 1) * element_at(b, i + 1)).reduce(_ + _)
+
+  def sqNormFixed(a: Column, dim: Int): Column = dotFixed(a, a, dim)
+
+  def sqDistFixed(a: Column, b: Column, dim: Int): Column =
+    (0 until dim).map { i =>
+      val d = element_at(a, i + 1) - element_at(b, i + 1)
+      d * d
+    }.reduce(_ + _)
+
+  /** Array length of the first row — one tiny job to pin the dimension. */
+  def dimOf(df: org.apache.spark.sql.DataFrame, c: Column): Int =
+    df.select(org.apache.spark.sql.functions.size(c)).head().getInt(0)
 }

@@ -33,22 +33,34 @@ object Dedup {
   private val A = Seq(1103515245L, 69069L, 1664525L, 22695477L, 134775813L, 214013L, 75L, 1103515247L)
   private val B = Seq(12345L, 362437L, 1013904223L, 1L, 1L, 2531011L, 74L, 54321L)
 
-  /** Per-doc minhash signature columns `mh0..mh{k-1}`. */
+  /** (doc, shingle-hash) rows via explode + window-lead. Staged this way —
+    * not as nested array lambdas — so the tokenizer and regex normalization
+    * run ONCE per document: a nested transform(...element_at(split(...)))
+    * re-evaluates the split per element (O(len²) per doc, measured 20×
+    * slower at sf0.1). The window shuffles by doc id, which also spreads
+    * long documents' shingle work across the cluster. */
+  def shingleHashes(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame =
+    TextOps.explodedShingles(df, col(idCol), normText(col(textCol)), k)
+      .select(col("doc"), Num.md5Mod(col("sh")).as("hv"))
+
+  /** Per-doc minhash signature columns `mh0..mh{k-1}` (one aggregation over
+    * the exploded shingle hashes — map-side combined). */
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
                         p: MinHashParams = MinHashParams()): DataFrame = {
-    val sh = TextOps.shingles(TextOps.tokens(normText(col(textCol))), p.shingleK)
-    val hashed = transform(sh, s => Num.md5Mod(s))
     val sig = (0 until p.numHashes).map { i =>
-      array_min(transform(hashed, h => (h * A(i) + B(i)) % Num.HashPrime)).as(s"mh$i")
+      min((col("hv") * A(i) + B(i)) % Num.HashPrime).as(s"mh$i")
     }
-    df.select((col(idCol).cast("long").as("doc") +: sig): _*)
+    shingleHashes(df, textCol, idCol, p.shingleK)
+      .groupBy(col("doc")).agg(sig.head, sig.tail: _*)
   }
 
   /** LSH candidate pairs: docs sharing any band of the signature.
     * Shuffle key = (band, band-hash): uniform, bounded buckets. */
   def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
                         p: MinHashParams = MinHashParams()): DataFrame = {
-    val sigs = minhashSignatures(df, textCol, idCol, p)
+    // cache: the signature table (n × numHashes longs) is read 2·nBands
+    // times by the band union + self-join below
+    val sigs = minhashSignatures(df, textCol, idCol, p).cache()
     val nBands = p.numHashes / p.rowsPerBand
     val bands = (0 until nBands).map { b =>
       val key = concat_ws("_",
@@ -79,11 +91,21 @@ object Dedup {
     * ids — at scale the candidate generator is the LSH bucket join). */
   def ngramJaccard(df: DataFrame, textCol: String, idCol: String, srcCol: String,
                    k: Int = 2, maxIdGap: Long = 25L, minJaccard: Double = 0.15): DataFrame = {
-    val sh = df.select(col(idCol).cast("long").as("doc"), col(srcCol).as("src"),
-        explode(array_distinct(TextOps.shingles(TextOps.tokens(normText(col(textCol))), k))).as("sh"))
+    val sh = TextOps.explodedShingles(df, col(idCol), normText(col(textCol)), k,
+        extra = Seq("src" -> col(srcCol)))
+      .select(col("doc"), col("src"), col("sh")).distinct()
+      .cache()
     val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).cast("double").as("sz"))
-    val inter = sh.as("a").join(sh.as("b"),
+    // id-range blocking: a pair with 0 < doc2−doc1 ≤ gap has doc2 in
+    // {block, block+1} of doc1's block. Adding the block to the join key
+    // bounds the per-shingle pair fan-out (frequent shingles would
+    // otherwise blow up quadratically at corpus scale).
+    val blk = floor(col("doc") / maxIdGap).cast("long")
+    val a = sh.withColumn("blk", blk)
+    val b = sh.withColumn("blk", explode(array(blk, blk - 1)))
+    val inter = a.as("a").join(b.as("b"),
         col("a.src") === col("b.src") && col("a.sh") === col("b.sh") &&
+          col("a.blk") === col("b.blk") &&
           col("a.doc") < col("b.doc") && col("b.doc") - col("a.doc") <= maxIdGap)
       .groupBy(col("a.doc").as("doc1"), col("b.doc").as("doc2"))
       .agg(count(lit(1)).cast("double").as("inter"))
@@ -98,10 +120,15 @@ object Dedup {
     * all-pairs here; the 100 TB path swaps the self-join for the LSH/IVF
     * candidate generator in graft.neighbors. */
   def embeddingTopPairs(df: DataFrame, idCol: String, vecCol: String, topN: Int): DataFrame = {
-    val e = df.select(col(idCol).cast("long").as("id"),
+    val e0 = df.select(col(idCol).cast("long").as("id"),
       col(vecCol).cast("array<double>").as("v"))
-    val sim = VectorOps.dot(col("a.v"), col("b.v")) /
-      sqrt(VectorOps.sqNorm(col("a.v")) * VectorOps.sqNorm(col("b.v")))
+    val dim = VectorOps.dimOf(e0, col("v"))
+    // precompute each row's squared norm once — the pair scan then does one
+    // dot per pair instead of three (identical FP values: sqrt(na·nb) over
+    // per-row sums matches the oracle's expression exactly)
+    val e = e0.withColumn("n2", VectorOps.sqNormFixed(col("v"), dim))
+    val sim = VectorOps.dotFixed(col("a.v"), col("b.v"), dim) /
+      sqrt(col("a.n2") * col("b.n2"))
     e.as("a").join(e.as("b"), col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"), sim.as("_sim"))
       .orderBy(col("_sim").desc, col("id1"), col("id2"))

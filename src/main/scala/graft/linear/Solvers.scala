@@ -85,7 +85,14 @@ object GradientSolver {
   def fitQN(df: DataFrame, features: Seq[String], label: String,
             l2: Double = 0.0, maxIter: Int = 50): LinearModel = {
     val p = features.size
-    val fx = features.map(c => col(c).cast("double"))
+    val fx0 = features.map(c => col(c).cast("double"))
+    // standardize: mixed feature scales stall the line search otherwise
+    val st = df.agg(
+      fx0.flatMap(c => Seq(avg(c), stddev_samp(c))).head,
+      fx0.flatMap(c => Seq(avg(c), stddev_samp(c))).tail: _*).head()
+    val mu = Array.tabulate(p)(i => st.getDouble(2 * i))
+    val sd = Array.tabulate(p)(i => math.max(st.getDouble(2 * i + 1), 1e-12))
+    val fx = fx0.zipWithIndex.map { case (c, i) => (c - mu(i)) / sd(i) }
     val proj = df.select((fx :+ col(label).cast("double").as("_y")).zipWithIndex.map {
       case (c, i) => if (i < p) c.as(s"_f$i") else c
     }: _*).cache()
@@ -113,7 +120,10 @@ object GradientSolver {
       }
       val opt = new LBFGS[DenseVector[Double]](maxIter = maxIter, m = 7, tolerance = 1e-9)
       val w = opt.minimize(f, DenseVector.zeros[Double](p + 1))
-      LinearModel("intercept" +: features, w.toArray.toSeq)
+      // un-standardize back to the original feature scale
+      val coefs = Array.tabulate(p)(i => w(i + 1) / sd(i))
+      val b0 = w(0) - (0 until p).map(i => coefs(i) * mu(i)).sum
+      LinearModel("intercept" +: features, b0 +: coefs.toSeq)
     } finally proj.unpersist()
   }
 }

@@ -21,10 +21,12 @@ object KNN {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
-  def score(metric: Metric, a: Column, b: Column): Column = metric match {
+  /** Distance/similarity as a flat codegen'd expression (dim unrolled). */
+  def score(metric: Metric, a: Column, b: Column, dim: Int): Column = metric match {
     case Cosine =>
-      VectorOps.dot(a, b) / sqrt(VectorOps.sqNorm(a) * VectorOps.sqNorm(b))
-    case Euclidean => sqrt(VectorOps.sqDist(a, b))
+      VectorOps.dotFixed(a, b, dim) /
+        sqrt(VectorOps.sqNormFixed(a, dim) * VectorOps.sqNormFixed(b, dim))
+    case Euclidean => sqrt(VectorOps.sqDistFixed(a, b, dim))
   }
 
   /** Exact top-k neighbors of each query row against the corpus.
@@ -36,7 +38,8 @@ object KNN {
                  excludeSelf: Boolean = false): DataFrame = {
     val q = queries.select(col(qId).cast("long").as("qid"), asDouble(col(qVec)).as("qv"))
     val c = corpus.select(col(cId).cast("long").as("id"), asDouble(col(cVec)).as("cv"))
-    val s = score(metric, col("qv"), col("cv"))
+    val dim = VectorOps.dimOf(c, col("cv"))
+    val s = score(metric, col("qv"), col("cv"), dim)
     val ord = metric match {
       case Cosine    => Seq(col("_s").desc, col("id").asc)
       case Euclidean => Seq(col("_s").asc, col("id").asc)
@@ -58,7 +61,7 @@ object KNN {
     val v = asDouble(col(vecCol))
     val sig = (0 until bits).map { b =>
       val plane = lit(planes(b))
-      when(VectorOps.dot(v, plane) >= 0, math.pow(2, b).toLong).otherwise(0L)
+      when(VectorOps.dotFixed(v, plane, dim) >= 0, math.pow(2, b).toLong).otherwise(0L)
     }.reduce(_ + _)
     df.select(col(idCol).cast("long").as("id"), v.as("v"), sig.as("bucket"))
   }
@@ -82,7 +85,7 @@ object KNN {
   def lshTopK(df: DataFrame, idCol: String, vecCol: String, k: Int, bits: Int,
               dim: Int, metric: Metric = Cosine): DataFrame = {
     val b = lshBuckets(df, idCol, vecCol, bits, dim)
-    val s = score(metric, col("a.v"), col("b.v"))
+    val s = score(metric, col("a.v"), col("b.v"), dim)
     val pairs = b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") =!= col("b.id"))
       .select(col("a.id").as("qid"), col("b.id").as("id"), s.as("_s"))

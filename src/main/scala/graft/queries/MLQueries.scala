@@ -70,20 +70,23 @@ object MLQueries {
         Seq("l_quantity", "l_discount", "l_tax"), k = 4)
     },
     "rf_classifier" -> { (s, d) =>
-      Forest.classifierSummary(Tables.lineitem(s, d), LiFeatures, "l_returnflag")
+      Forest.classifierSummary(Tables.lineitem(s, d), LiFeatures, "l_returnflag",
+        numTrees = 10)
     },
     "rf_regressor" -> { (s, d) =>
-      Forest.regressorSummary(Tables.lineitem(s, d), LiFeatures, "l_extendedprice")
+      Forest.regressorSummary(Tables.lineitem(s, d), LiFeatures, "l_extendedprice",
+        numTrees = 10)
     },
     "fil_inference" -> { (s, d) =>
       val li = Tables.lineitem(s, d)
       val split = Preprocessing.trainTestSplit(li, "l_orderkey", 0.25)
       Forest.inferenceSummary(split.filter(col("split") === "train"),
-        split.filter(col("split") === "test"), LiFeatures, "l_extendedprice")
+        split.filter(col("split") === "test"), LiFeatures, "l_extendedprice",
+        numTrees = 10)
     },
     "svm_linear" -> { (s, d) =>
       SVMGraft.linearSvcSummary(Tables.lineitem(s, d), LiFeatures,
-        when(col("l_returnflag") === "R", 1.0).otherwise(0.0))
+        when(col("l_returnflag") === "R", 1.0).otherwise(0.0), maxIter = 30)
     }
   )
 }

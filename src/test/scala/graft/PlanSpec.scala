@@ -1,0 +1,54 @@
+package graft
+
+import graft.core.Tables
+import graft.neighbors.KNN
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-quality gates: the properties that keep these operators viable at
+  * 100 TB — scan pruning, filter pushdown, broadcast joins, codegen. */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("column pruning reaches the parquet scan") {
+    val p = planOf(Tables.lineitem(spark, sf).select(col("l_quantity")).groupBy().sum())
+    assert(p.contains("ReadSchema: struct<l_quantity:double>"), p.take(2000))
+  }
+
+  test("predicate pushdown reaches the parquet scan") {
+    val p = planOf(Tables.embeddings(spark, sf).filter(col("vec_id") < 10)
+      .select(col("vec_id")))
+    assert(p.contains("PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,10)]"),
+      p.take(2000))
+  }
+
+  test("brute-force kNN broadcasts the query side (no corpus shuffle)") {
+    val e = Tables.embeddings(spark, sf)
+    val knn = KNN.bruteForce(e.filter(col("vec_id") < 5), e, "vec_id", "vec_id",
+      "embedding", "embedding", 3, KNN.Cosine)
+    val p = planOf(knn)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p.take(3000))
+  }
+
+  test("kmeans assignment is pure codegen map (no shuffle before the agg)") {
+    val li = Tables.lineitem(spark, sf)
+    val assigned = li.select(graft.cluster.KMeansGraft.assign(
+      Seq(col("l_quantity"), col("l_discount"), col("l_tax")),
+      graft.queries.TabularQueries.Centroids).as("cluster"))
+    val p = planOf(assigned)
+    assert(!p.contains("Exchange"), p.take(2000))
+    assert(p.contains("*(1)"), p.take(2000)) // the WholeStageCodegen marker
+  }
+
+  test("exact dedup aggregates partially before the shuffle") {
+    val d = graft.dedup.Dedup.exact(Tables.documents(spark, sf), "text", "doc_id")
+    val p = planOf(d)
+    // partial aggregation (map-side combine) must appear below the exchange
+    assert(p.contains("HashAggregate"), p.take(3000))
+    assert(p.split("Exchange").head.nonEmpty)
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("windowed event stats aggregate a memory stream") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = in.toDF().toDF("ts", "event_type", "value")
+    val q = StreamingOps.windowedEventStats(events)
+      .writeStream.format("memory").queryName("win_stats")
+      .outputMode("update").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:05:00")
+      val t1 = java.sql.Timestamp.valueOf("2026-01-01 10:25:00")
+      in.addData((t0, "click", 2.0), (t1, "click", 4.0), (t1, "view", 10.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_stats").collect()
+      val click = rows.find(_.getString(0) == "click").get
+      assert(click.getLong(2) == 2L)
+      assert(math.abs(click.getDouble(3) - 3.0) < 1e-12)
+    } finally q.stop()
+  }
+
+  test("streaming SES tracks the batch recursion across micro-batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val events = in.toDF().toDF("event_type", "ts", "value")
+    val q = StreamingOps.streamingSES(events, 0.3)
+      .writeStream.format("memory").queryName("ses_out")
+      .outputMode("update").start()
+    try {
+      def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+      in.addData(("s", ts(1), 10.0), ("s", ts(2), 12.0))
+      q.processAllAvailable()
+      in.addData(("s", ts(3), 11.0))
+      q.processAllAvailable()
+      val level = spark.table("ses_out").orderBy(col("n").desc).head().getDouble(1)
+      val want = Seq(12.0, 11.0).foldLeft(10.0)((s, x) => 0.3 * x + 0.7 * s)
+      assert(math.abs(level - want) < 1e-12, s"$level vs $want")
+    } finally q.stop()
+  }
+
+  test("streaming dedup emits each content hash once") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val docs = in.toDF().toDF("doc_id", "text")
+    val q = StreamingOps.streamingDedup(docs)
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, "hello world"), (2L, "hello  world"), (3L, "other text"))
+      q.processAllAvailable()
+      in.addData((4L, "hello world"))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_out").collect()
+      assert(rows.length == 2) // "hello world" once (doc 1), "other text" once
+      assert(rows.map(_.getLong(1)).toSet == Set(1L, 3L))
+    } finally q.stop()
+  }
+}
