@@ -125,8 +125,11 @@ object Dedup {
     val dim = VectorOps.dimOf(e0, col("v"))
     // precompute each row's squared norm once — the pair scan then does one
     // dot per pair instead of three (identical FP values: sqrt(na·nb) over
-    // per-row sums matches the oracle's expression exactly)
-    val e = e0.withColumn("n2", VectorOps.sqNormFixed(col("v"), dim))
+    // per-row sums matches the oracle's expression exactly). The streamed
+    // side is re-spread if the scan under-partitions (single local file =
+    // one nested-loop-join task otherwise).
+    val e = graft.core.Tables.ensureParallelism(e0)
+      .withColumn("n2", VectorOps.sqNormFixed(col("v"), dim))
     val sim = VectorOps.dotFixed(col("a.v"), col("b.v"), dim) /
       sqrt(col("a.n2") * col("b.n2"))
     e.as("a").join(e.as("b"), col("a.id") < col("b.id"))

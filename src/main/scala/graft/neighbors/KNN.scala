@@ -37,7 +37,10 @@ object KNN {
                  qVec: String, cVec: String, k: Int, metric: Metric,
                  excludeSelf: Boolean = false): DataFrame = {
     val q = queries.select(col(qId).cast("long").as("qid"), asDouble(col(qVec)).as("qv"))
-    val c = corpus.select(col(cId).cast("long").as("id"), asDouble(col(cVec)).as("cv"))
+    // re-spread the streamed corpus if the scan under-partitions (a single
+    // local file would run the whole broadcast product as one task)
+    val c = graft.core.Tables.ensureParallelism(
+      corpus.select(col(cId).cast("long").as("id"), asDouble(col(cVec)).as("cv")))
     val dim = VectorOps.dimOf(c, col("cv"))
     val s = score(metric, col("qv"), col("cv"), dim)
     val ord = metric match {

@@ -67,7 +67,7 @@ object MLQueries {
     },
     "kmeans" -> { (s, d) =>
       KMeansGraft.fitSummary(Tables.lineitem(s, d),
-        Seq("l_quantity", "l_discount", "l_tax"), k = 4)
+        Seq("l_quantity", "l_discount", "l_tax"), k = 4, maxIter = 10)
     },
     "rf_classifier" -> { (s, d) =>
       Forest.classifierSummary(Tables.lineitem(s, d), LiFeatures, "l_returnflag",
@@ -86,7 +86,7 @@ object MLQueries {
     },
     "svm_linear" -> { (s, d) =>
       SVMGraft.linearSvcSummary(Tables.lineitem(s, d), LiFeatures,
-        when(col("l_returnflag") === "R", 1.0).otherwise(0.0), maxIter = 30)
+        when(col("l_returnflag") === "R", 1.0).otherwise(0.0), maxIter = 20)
     }
   )
 }
