@@ -62,15 +62,16 @@ object Multimodal {
   }
 
   /** ??? in a real system — deterministic fake: moments of the byte
-    * stream, standing in for decoded-pixel statistics. */
+    * stream, standing in for decoded-pixel statistics. Unrounded so the
+    * aggregate summary stays engine-reproducible (sum-of-ints means are
+    * exact). */
   private def decodeStub(bytes: Array[Byte]): Seq[Double] = {
     if (bytes.isEmpty) Seq(0.0, 0.0, 0.0, 0.0)
     else {
       val d = bytes.map(b => (b & 0xff).toDouble)
       val mean = d.sum / d.length
       val v = d.map(x => (x - mean) * (x - mean)).sum / d.length
-      Seq(math.rint(mean * 100) / 100, math.rint(math.sqrt(v) * 100) / 100,
-        d.max, d.min)
+      Seq(mean, math.sqrt(v), d.max, d.min)
     }
   }
 

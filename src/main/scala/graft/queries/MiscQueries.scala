@@ -55,12 +55,35 @@ object MiscQueries {
   )
 
   private def mdSql(arg: String) = s"('0x' || substr(md5($arg), 1, 15))::BIGINT"
+  // fully parenthesized: the fragment is spliced inside products (2·π·u)
   private def uSql(tag: String, suffix: String) =
-    s"(${mdSql(s"'$tag' || id::VARCHAR || '$suffix'")} % 1000000)::DOUBLE / 1000000.0 + 5e-7"
+    s"((${mdSql(s"'$tag' || id::VARCHAR || '$suffix'")} % 1000000)::DOUBLE / 1000000.0 + 5e-7)"
   private def gaussSql(tag: String, dim: String) =
     s"sqrt(-2.0 * ln(${uSql(tag, s"_${dim}_a")})) * cos(2.0 * pi() * ${uSql(tag, s"_${dim}_b")})"
 
   val oracles: Map[String, String] = Map(
+    "make_regression" -> {
+      val x0 = uSql("reg_", "x0")
+      val x1 = uSql("reg_", "x1")
+      s"""WITH g AS (SELECT unnest(range(0, 3000)) AS id),
+         |p AS (SELECT ($x0) AS x0, ($x1) AS x1,
+         |    ($x0) * 3.5 + ($x1) * -2.0 + 7.0 + ${gaussSql("reg_", "e")} * 0.1 AS y
+         |  FROM g),
+         |m AS (SELECT count(*)::DOUBLE n, sum(x0) sx1, sum(x1) sx2,
+         |    sum(x0*x0) s11, sum(x0*x1) s12, sum(x1*x1) s22,
+         |    sum(y) sy, sum(x0*y) s1y, sum(x1*y) s2y FROM p),
+         |d AS (SELECT
+         |  n*(s11*s22-s12*s12) - sx1*(sx1*s22-s12*sx2) + sx2*(sx1*s12-s11*sx2) AS det,
+         |  sy*(s11*s22-s12*s12) - sx1*(s1y*s22-s12*s2y) + sx2*(s1y*s12-s11*s2y) AS det0,
+         |  n*(s1y*s22-s12*s2y) - sy*(sx1*s22-s12*sx2) + sx2*(sx1*s2y-s1y*sx2) AS det1,
+         |  n*(s11*s2y-s1y*s12) - sx1*(sx1*s2y-s1y*sx2) + sy*(sx1*s12-s11*sx2) AS det2
+         |  FROM m)
+         |SELECT term, coef FROM (
+         |  SELECT 'intercept' AS term, round(det0/det, 4) AS coef FROM d
+         |  UNION ALL SELECT 'x0', round(det1/det, 4) FROM d
+         |  UNION ALL SELECT 'x1', round(det2/det, 4) FROM d
+         |) ORDER BY term""".stripMargin
+    },
     "make_blobs" -> {
       val cx = "CASE id % 3 WHEN 0 THEN 0.0 WHEN 1 THEN 10.0 ELSE -10.0 END"
       val cy = "CASE id % 3 WHEN 0 THEN 0.0 WHEN 1 THEN 10.0 ELSE 10.0 END"

@@ -58,6 +58,28 @@ object TSAQueries {
          |  FROM t),
          |last AS (SELECT series, t, smoothed, row_number() OVER (PARTITION BY series ORDER BY t DESC) AS rn FROM sm)
          |SELECT series, t AS t_last, round(smoothed, 4) AS s_last FROM last WHERE rn = 1 ORDER BY series""".stripMargin,
+    "arima" ->
+      s"""WITH s AS ($dailySql),
+         |l AS (SELECT series, x,
+         |    lag(x, 1) OVER (PARTITION BY series ORDER BY day) AS l1,
+         |    lag(x, 2) OVER (PARTITION BY series ORDER BY day) AS l2
+         |  FROM s),
+         |f AS (SELECT * FROM l WHERE l1 IS NOT NULL AND l2 IS NOT NULL),
+         |m AS (SELECT series, count(*)::DOUBLE n, sum(l1) sx1, sum(l2) sx2,
+         |    sum(l1*l1) s11, sum(l1*l2) s12, sum(l2*l2) s22,
+         |    sum(x) sy, sum(l1*x) s1y, sum(l2*x) s2y
+         |  FROM f GROUP BY series),
+         |d AS (SELECT series,
+         |  n*(s11*s22-s12*s12) - sx1*(sx1*s22-s12*sx2) + sx2*(sx1*s12-s11*sx2) AS det,
+         |  sy*(s11*s22-s12*s12) - sx1*(s1y*s22-s12*s2y) + sx2*(s1y*s12-s11*s2y) AS det0,
+         |  n*(s1y*s22-s12*s2y) - sy*(sx1*s22-s12*sx2) + sx2*(sx1*s2y-s1y*sx2) AS det1,
+         |  n*(s11*s2y-s1y*s12) - sx1*(sx1*s2y-s1y*sx2) + sy*(sx1*s12-s11*sx2) AS det2
+         |  FROM m)
+         |SELECT series, term, coef FROM (
+         |  SELECT series, 'intercept' AS term, round(det0/det, 4) AS coef FROM d
+         |  UNION ALL SELECT series, 'ar1', round(det1/det, 4) FROM d
+         |  UNION ALL SELECT series, 'ar2', round(det2/det, 4) FROM d
+         |) ORDER BY series, term""".stripMargin,
     "stationarity" ->
       s"""WITH s AS ($dailySql),
          |t AS (SELECT series, x, row_number() OVER (PARTITION BY series ORDER BY day) AS rn FROM s),

@@ -36,6 +36,18 @@ object TabularQueries {
           .otherwise(round(col("coef"), 4)).as("coef"))
         .orderBy("term")
     },
+    "linreg_grouped" -> { (s, d) =>
+      // per-group OLS fits in ONE aggregate pass — the grouped-models shape
+      // (many small models over a grouped scan) cuML has no distributed
+      // answer for
+      val li = Tables.lineitem(s, d)
+      val slope = covar_pop(col("l_extendedprice"), col("l_quantity")) /
+        var_pop(col("l_quantity"))
+      li.groupBy("l_returnflag")
+        .agg(count(lit(1)).cast("long").as("n"), r4(slope).as("slope"),
+          round(avg(col("l_extendedprice")) - slope * avg(col("l_quantity")), 2).as("intercept"))
+        .orderBy("l_returnflag")
+    },
     "kmeans_assign" -> { (s, d) =>
       val li = Tables.lineitem(s, d)
       val cl = KMeansGraft.assign(
@@ -163,6 +175,11 @@ object TabularQueries {
         |  SELECT 'intercept' AS term, round(ybar - slope*xbar, 2) AS coef FROM w
         |  UNION ALL SELECT 'l_quantity', round(slope, 4) FROM w
         |) ORDER BY term""".stripMargin,
+    "linreg_grouped" ->
+      """SELECT l_returnflag, count(*)::BIGINT AS n,
+        |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "kmeans_assign" ->
       s"""SELECT $centroidSql AS cluster, count(*)::BIGINT AS n,
          |  round(avg(l_quantity), 4) AS avg_quantity, round(avg(l_extendedprice), 2) AS avg_price

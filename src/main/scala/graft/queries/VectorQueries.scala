@@ -101,6 +101,23 @@ object VectorQueries {
         |  FROM p)
         |SELECT qid::BIGINT AS qid, rank::BIGINT AS rank, id::BIGINT AS id, round(s, 4) AS score
         |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "knn_join" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 100),
+        |p AS (SELECT a.vec_id AS qid, b.vec_id AS id, list_distance(a.v, b.v) AS s
+        |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        |r AS (SELECT qid, s, row_number() OVER (PARTITION BY qid ORDER BY s ASC, id) AS rank FROM p),
+        |k AS (SELECT qid, sum(round(s, 4)) AS ds FROM r WHERE rank <= 3 GROUP BY qid)
+        |SELECT count(*)::BIGINT AS n_nodes, round(avg(ds), 6) AS avg_knn_dist FROM k""".stripMargin,
+    "multimodal_meta" ->
+      """WITH b AS (SELECT doc_id, text, strlen(text) AS n_bytes,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio'
+        |         ELSE 'video' END AS media_type
+        |  FROM documents),
+        |ch AS (SELECT doc_id, unnest(range(1, strlen(text) + 1)) AS i, text FROM documents),
+        |bm AS (SELECT doc_id, avg(ascii(substr(text, i, 1))::DOUBLE) AS bmean FROM ch GROUP BY doc_id)
+        |SELECT media_type, count(*)::BIGINT AS n, round(avg(n_bytes), 4) AS avg_bytes,
+        |  round(avg(bmean), 4) AS avg_feat_mean
+        |FROM b JOIN bm USING (doc_id) GROUP BY media_type ORDER BY media_type""".stripMargin,
     "dedup_embedding" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |p AS (SELECT a.vec_id AS id1, b.vec_id AS id2, $cosSql AS s
