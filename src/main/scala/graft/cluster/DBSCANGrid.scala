@@ -27,19 +27,22 @@ object DBSCANGrid {
       (floor(col("y") / eps).cast("long") + 1048576L)
     val withCell = pts.withColumn("cell", cellKey).cache()
 
-    // 2. candidate pairs via 3×3 replication of the build side
+    // 2. candidate pairs via 3×3 replication of the build side; the id<bid
+    // guard sits BEFORE the distance test so each unordered pair pays the
+    // arithmetic once (both orientations are reconstructed for degrees)
     val offsets = for (dx <- -1L to 1L; dy <- -1L to 1L) yield dx * 4194304L + dy
     val build = withCell.select(col("id").as("bid"), col("x").as("bx"),
         col("y").as("by"), col("cell"))
       .withColumn("cell", explode(array(offsets.map(o => col("cell") + o): _*)))
     val pairs = withCell.join(build, Seq("cell"))
-      .filter(col("id") =!= col("bid"))
+      .filter(col("id") < col("bid"))
       .filter((col("x") - col("bx")) * (col("x") - col("bx")) +
         (col("y") - col("by")) * (col("y") - col("by")) <= eps * eps)
       .select(col("id"), col("bid")).cache()
+    val bothDirs = pairs.unionAll(pairs.select(col("bid").as("id"), col("id").as("bid")))
 
     // 3. core points (deg counts the point itself implicitly via minPts-1)
-    val degrees = pairs.groupBy("id").agg(count(lit(1)).as("deg"))
+    val degrees = bothDirs.groupBy("id").agg(count(lit(1)).as("deg"))
     val core = withCell.join(degrees, Seq("id"), "left")
       .withColumn("is_core", coalesce(col("deg"), lit(0L)) >= (minPts - 1))
       .select(col("id"), col("cell"), col("is_core")).cache()
@@ -78,7 +81,8 @@ object DBSCANGrid {
       .select(col("id"), col("cluster"))
 
     // border points attach to the min-cluster core neighbor; noise = -1
-    val borderLabel = pairs
+    // (bothDirs: the core neighbor can sit on either side of the half-pair)
+    val borderLabel = bothDirs
       .join(coreOut.select(col("id").as("bid"), col("cluster").as("bcl")), Seq("bid"))
       .groupBy("id").agg(min(col("bcl")).as("border_cluster"))
     val out = core.select(col("id"), col("is_core"))

@@ -30,12 +30,24 @@ object KNN {
   }
 
   /** Exact top-k neighbors of each query row against the corpus.
-    * Window-over-qid after a broadcast product: the shuffle carries only
-    * (qid, id, score) triples, partitioned by qid. Deterministic tiebreak
-    * on id. Output: (qid, rank, id, score). */
+    * The distance scan is a codegen'd broadcast product; the reduction is a
+    * bounded-heap aggregateByKey with map-side combine, so the shuffle
+    * carries only q·k rows PER PARTITION — not the full q·n pair set a
+    * window would move. Deterministic tiebreak on id (identical selection
+    * and order to a row_number window / SQL oracle).
+    * Output: (qid, rank, id, score). */
   def bruteForce(queries: DataFrame, corpus: DataFrame, qId: String, cId: String,
                  qVec: String, cVec: String, k: Int, metric: Metric,
                  excludeSelf: Boolean = false): DataFrame = {
+    topKPerKey(broadcastPairs(queries, corpus, qId, cId, qVec, cVec, metric, excludeSelf),
+      k, nearFirst(metric))
+  }
+
+  /** The scored broadcast product (qid, id, _s) — the scan side of
+    * bruteForce, exposed for plan inspection and reuse. */
+  def broadcastPairs(queries: DataFrame, corpus: DataFrame, qId: String, cId: String,
+                     qVec: String, cVec: String, metric: Metric,
+                     excludeSelf: Boolean): DataFrame = {
     val q = queries.select(col(qId).cast("long").as("qid"), asDouble(col(qVec)).as("qv"))
     // re-spread the streamed corpus if the scan under-partitions (a single
     // local file would run the whole broadcast product as one task)
@@ -43,15 +55,39 @@ object KNN {
       corpus.select(col(cId).cast("long").as("id"), asDouble(col(cVec)).as("cv")))
     val dim = VectorOps.dimOf(c, col("cv"))
     val s = score(metric, col("qv"), col("cv"), dim)
-    val ord = metric match {
-      case Cosine    => Seq(col("_s").desc, col("id").asc)
-      case Euclidean => Seq(col("_s").asc, col("id").asc)
-    }
-    val pairs0 = c.join(broadcast(q), if (excludeSelf) col("qid") =!= col("id") else lit(true))
+    c.join(broadcast(q), if (excludeSelf) col("qid") =!= col("id") else lit(true))
       .select(col("qid"), col("id"), s.as("_s"))
-    val w = Window.partitionBy(col("qid")).orderBy(ord: _*)
-    pairs0.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+  }
+
+  /** True when `a` ranks nearer than `b` (score, id). */
+  private def nearFirst(metric: Metric): ((Double, Long), (Double, Long)) => Boolean =
+    metric match {
+      case Cosine    => (a, b) => a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+      case Euclidean => (a, b) => a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
+    }
+
+  /** Bounded-heap exact top-k per key over (qid, id, _s) rows. */
+  def topKPerKey(pairs: org.apache.spark.sql.DataFrame, k: Int,
+                 better: ((Double, Long), (Double, Long)) => Boolean): org.apache.spark.sql.DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    // heap head = worst kept entry (the one to evict)
+    implicit val worstFirst: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
+      def compare(a: (Double, Long), b: (Double, Long)): Int =
+        if (better(b, a)) 1 else if (better(a, b)) -1 else 0
+    }
+    val topped = pairs.select(col("qid").cast("long"), col("id").cast("long"),
+        col("_s").cast("double"))
+      .as[(Long, Long, Double)].rdd
+      .map { case (qid, id, sv) => (qid, (sv, id)) }
+      .aggregateByKey(new scala.collection.mutable.PriorityQueue[(Double, Long)]())(
+        (h, v) => { h.enqueue(v); if (h.size > k) h.dequeue(); h },
+        (h1, h2) => { h2.foreach { v => h1.enqueue(v); if (h1.size > k) h1.dequeue() }; h1 })
+    topped.flatMap { case (qid, h) =>
+      h.toSeq.sortWith(better).zipWithIndex.map { case ((sv, id), r) =>
+        (qid, r + 1, id, sv)
+      }
+    }.toDF("qid", "rank", "id", "_s")
       .select(col("qid"), col("rank"), col("id"), r4(col("_s")).as("score"))
   }
 

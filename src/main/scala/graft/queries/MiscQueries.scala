@@ -22,7 +22,7 @@ object MiscQueries {
       // 2-D DBSCAN over (value, scaled user bucket) on events
       val pts = Tables.events(s, d).select(col("event_id"),
         col("value").as("x"), (col("user_id") % 97).cast("double").as("y"))
-      DBSCANGrid.summary(pts, "event_id", "x", "y", eps = 3.0, minPts = 4)
+      DBSCANGrid.summary(pts, "event_id", "x", "y", eps = 1.0, minPts = 4)
     },
     "ann_ivf" -> { (s, d) =>
       val e = Tables.embeddings(s, d)

@@ -51,6 +51,11 @@ object VectorQueries {
       RandomProjection.project(Tables.embeddings(s, d), "vec_id", "embedding", m)
         .orderBy("id").limit(50)
     },
+    "random_projection_sparse" -> { (s, d) =>
+      val m = RandomProjection.sparseMatrix(64, 8, 42L)
+      RandomProjection.project(Tables.embeddings(s, d), "vec_id", "embedding", m)
+        .orderBy("id").limit(50)
+    },
     "pca" -> { (s, d) =>
       import s.implicits._
       val r = PCAGraft.fitWide(Tables.embeddings(s, d), "embedding")
@@ -84,7 +89,32 @@ object VectorQueries {
   private val cosSql =
     "list_dot_product(a.v, b.v) / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v))"
 
+  // SQL replicas of the md5-seeded projection matrices (graft.neighbors.KNN
+  // .hyperplanes / RandomProjection.sparseMatrix): same md5-derived entries,
+  // evaluated inline per (row of range(64), output dim b).
+  private def hpHash(tag: String, b: Int, suffix: String) =
+    s"('0x' || substr(md5('${tag}_' || $b || '_' || i || '_$suffix'), 1, 15))::BIGINT"
+  private def rpGaussEntry(b: Int): String = {
+    val u1 = s"(((${hpHash("p_42", b, "a")} % 1000000 + 1000000) % 1000000) / 1000000.0 + 5e-7)"
+    val u2 = s"(((${hpHash("p_42", b, "b")} % 1000000 + 1000000) % 1000000) / 1000000.0)"
+    s"(sqrt(-2.0 * ln($u1)) * cos(2.0 * pi() * $u2) / sqrt(8.0))"
+  }
+  private def rpSparseEntry(b: Int): String =
+    s"(CASE (('0x' || substr(md5('sp_42_' || $b || '_' || i), 1, 15))::BIGINT % 6) " +
+      s"WHEN 0 THEN sqrt(3.0/8.0) WHEN 1 THEN -sqrt(3.0/8.0) ELSE 0.0 END)"
+  private def rpOracle(entry: Int => String): String = {
+    val cols = (0 until 8).map { b =>
+      s"round(list_sum(list_transform(range(0, 64), i -> v[i+1] * ${entry(b)})), 4) AS rp_$b"
+    }.mkString(",\n  ")
+    s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings)
+       |SELECT id::BIGINT AS id,
+       |  $cols
+       |FROM e ORDER BY id LIMIT 50""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "random_projection" -> rpOracle(rpGaussEntry),
+    "random_projection_sparse" -> rpOracle(rpSparseEntry),
     "ann_cosine_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |p AS (SELECT a.vec_id AS qid, b.vec_id AS id, $cosSql AS s

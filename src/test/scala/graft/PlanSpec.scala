@@ -28,10 +28,24 @@ class PlanSpec extends AnyFunSuite {
 
   test("brute-force kNN broadcasts the query side (no corpus shuffle)") {
     val e = Tables.embeddings(spark, sf)
-    val knn = KNN.bruteForce(e.filter(col("vec_id") < 5), e, "vec_id", "vec_id",
-      "embedding", "embedding", 3, KNN.Cosine)
-    val p = planOf(knn)
+    val pairs = KNN.broadcastPairs(e.filter(col("vec_id") < 5), e, "vec_id", "vec_id",
+      "embedding", "embedding", KNN.Cosine, excludeSelf = false)
+    val p = planOf(pairs)
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p.take(3000))
+  }
+
+  test("brute-force kNN top-k equals the window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, sf)
+    val got = KNN.bruteForce(e.filter(col("vec_id") < 5), e, "vec_id", "vec_id",
+      "embedding", "embedding", 3, KNN.Cosine)
+      .orderBy("qid", "rank").collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val pairs = KNN.broadcastPairs(e.filter(col("vec_id") < 5), e, "vec_id", "vec_id",
+      "embedding", "embedding", KNN.Cosine, excludeSelf = false)
+    val w = Window.partitionBy(col("qid")).orderBy(col("_s").desc, col("id").asc)
+    val want = pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .orderBy("qid", "rank").collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1)))
+    assert(got.toSeq == want.toSeq)
   }
 
   test("kmeans assignment is pure codegen map (no shuffle before the agg)") {
