@@ -25,5 +25,5 @@ object SparkEntry {
     * check by design — see SURVEY.md §5). */
   def oracleSql: Map[String, String] =
     TabularQueries.oracles ++ TextQueries.oracles ++ VectorQueries.oracles ++
-      TSAQueries.oracles ++ MiscQueries.oracles
+      TSAQueries.oracles ++ MiscQueries.oracles ++ MLQueries.oracles
 }

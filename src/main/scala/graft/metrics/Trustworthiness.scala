@@ -37,7 +37,7 @@ object Trustworthiness {
     val t = 1.0 - 2.0 / (n.toDouble * k * (2.0 * n - 3.0 * k - 1.0)) * penalty
     val spark = orig.sparkSession
     import spark.implicits._
-    Seq((n, k.toLong, math.rint(t * 10000) / 10000))
-      .toDF("n", "k", "trustworthiness")
+    Seq((n, k.toLong, t)).toDF("n", "k", "_t")
+      .select(col("n"), col("k"), round(col("_t"), 4).as("trustworthiness"))
   }
 }

@@ -27,12 +27,12 @@ object MLQueries {
   val queries: Map[String, Q] = Map(
     "lasso_cd" -> { (s, d) =>
       Lasso.fit(Tables.lineitem(s, d), LiFeatures, "l_extendedprice", alpha = 10.0)
-        .toDF(s).select(col("term"), round(col("coef"), 2).as("coef")).orderBy("term")
+        .toDF(s).select(col("term"), (round(col("coef"), 2) + 0.0).as("coef")).orderBy("term")
     },
     "elastic_net" -> { (s, d) =>
       ElasticNet.fit(Tables.lineitem(s, d), LiFeatures, "l_extendedprice",
           alpha = 10.0, l1Ratio = 0.5)
-        .toDF(s).select(col("term"), round(col("coef"), 2).as("coef")).orderBy("term")
+        .toDF(s).select(col("term"), (round(col("coef"), 2) + 0.0).as("coef")).orderBy("term")
     },
     "logreg" -> { (s, d) =>
       val df = liWithLabel(s, d)
@@ -89,4 +89,49 @@ object MLQueries {
         when(col("l_returnflag") === "R", 1.0).otherwise(0.0), maxIter = 20)
     }
   )
+
+  /** Coordinate-descent replayed in SQL: the centered Gram and response
+    * moments come from one aggregate CTE; each of the 200 sweeps updates
+    * the three coefficients sequentially (nested subselects) exactly as
+    * CoordinateDescent.fitFromGram does. Gram-level FP noise (~1e-12)
+    * perturbs converged coefficients far below the rounding grid. */
+  private def cdOracle(alpha: Double, l1Ratio: Double): String = {
+    val l1 = alpha * l1Ratio
+    val l2 = alpha * (1.0 - l1Ratio)
+    def soft(z: String, den: String) =
+      s"(sign($z) * greatest(abs($z) - $l1, 0.0) / ($den + $l2))"
+    s"""WITH RECURSIVE m AS (
+       |  SELECT count(*)::DOUBLE n, sum(l_quantity) sx0, sum(l_discount) sx1, sum(l_tax) sx2,
+       |    sum(l_quantity*l_quantity) p00, sum(l_quantity*l_discount) p01, sum(l_quantity*l_tax) p02,
+       |    sum(l_discount*l_discount) p11, sum(l_discount*l_tax) p12, sum(l_tax*l_tax) p22,
+       |    sum(l_extendedprice) sy, sum(l_quantity*l_extendedprice) xy0,
+       |    sum(l_discount*l_extendedprice) xy1, sum(l_tax*l_extendedprice) xy2
+       |  FROM lineitem),
+       |g AS (SELECT n, sx0, sx1, sx2, sy,
+       |    (p00 - sx0*sx0/n)/n g00, (p01 - sx0*sx1/n)/n g01, (p02 - sx0*sx2/n)/n g02,
+       |    (p11 - sx1*sx1/n)/n g11, (p12 - sx1*sx2/n)/n g12, (p22 - sx2*sx2/n)/n g22,
+       |    (xy0 - sx0*sy/n)/n c0, (xy1 - sx1*sy/n)/n c1, (xy2 - sx2*sy/n)/n c2
+       |  FROM m),
+       |cd AS (
+       |  SELECT g.*, 0.0::DOUBLE b0, 0.0::DOUBLE b1, 0.0::DOUBLE b2, 0 it FROM g
+       |  UNION ALL
+       |  SELECT n, sx0, sx1, sx2, sy, g00, g01, g02, g11, g12, g22, c0, c1, c2,
+       |    b0n, b1n, b2n, it + 1
+       |  FROM (
+       |    SELECT q2.*, ${soft("c2 - (g02*b0n + g12*b1n)", "g22")} AS b2n FROM (
+       |      SELECT q1.*, ${soft("c1 - (g01*b0n + g12*b2)", "g11")} AS b1n FROM (
+       |        SELECT cd.*, ${soft("c0 - (g01*b1 + g02*b2)", "g00")} AS b0n
+       |        FROM cd WHERE it < 200) q1) q2) q3),
+       |fin AS (SELECT * FROM cd WHERE it = 200)
+       |SELECT term, coef FROM (
+       |  SELECT 'intercept' AS term, round(sy/n - (b0*sx0/n + b1*sx1/n + b2*sx2/n), 2) + 0.0 AS coef FROM fin
+       |  UNION ALL SELECT 'l_quantity', round(b0, 2) + 0.0 FROM fin
+       |  UNION ALL SELECT 'l_discount', round(b1, 2) + 0.0 FROM fin
+       |  UNION ALL SELECT 'l_tax', round(b2, 2) + 0.0 FROM fin
+       |) ORDER BY term""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "lasso_cd" -> cdOracle(10.0, 1.0),
+    "elastic_net" -> cdOracle(10.0, 0.5))
 }

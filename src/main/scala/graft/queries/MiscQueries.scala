@@ -61,7 +61,40 @@ object MiscQueries {
   private def gaussSql(tag: String, dim: String) =
     s"sqrt(-2.0 * ln(${uSql(tag, s"_${dim}_a")})) * cos(2.0 * pi() * ${uSql(tag, s"_${dim}_b")})"
 
+  /** Trustworthiness replayed in SQL: original-space ranks by window, the
+    * 8-dim embedding regenerated from the md5-seeded projection (rounded
+    * exactly as RandomProjection.project rounds), penalty sum, T formula. */
+  private def trustOracle: String = {
+    def hp(b: Int, s: String) =
+      s"('0x' || substr(md5('p_42_' || $b || '_' || i || '_$s'), 1, 15))::BIGINT"
+    def entry(b: Int) = {
+      val u1 = s"(((${hp(b, "a")} % 1000000 + 1000000) % 1000000) / 1000000.0 + 5e-7)"
+      val u2 = s"(((${hp(b, "b")} % 1000000 + 1000000) % 1000000) / 1000000.0)"
+      s"(sqrt(-2.0 * ln($u1)) * cos(2.0 * pi() * $u2) / sqrt(8.0))"
+    }
+    val wlist = (0 until 8).map { b =>
+      s"round(list_sum(list_transform(range(0, 64), i -> v[i+1] * ${entry(b)})), 4)"
+    }.mkString("[", ", ", "]")
+    s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 200),
+       |proj AS (SELECT id, $wlist AS w FROM e),
+       |orank AS (SELECT a.id AS qid, b.id AS id,
+       |    row_number() OVER (PARTITION BY a.id ORDER BY list_distance(a.v, b.v) ASC, b.id) AS r
+       |  FROM e a JOIN e b ON a.id <> b.id),
+       |ep AS (SELECT a.id AS qid, b.id AS id, list_distance(a.w, b.w) AS s
+       |  FROM proj a JOIN proj b ON a.id <> b.id),
+       |ek AS (SELECT qid, id FROM (
+       |    SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY s ASC, id) AS rank FROM ep)
+       |  WHERE rank <= 5),
+       |pen AS (SELECT coalesce(sum(greatest(orank.r - 5, 0)), 0)::DOUBLE AS p
+       |  FROM ek JOIN orank ON ek.qid = orank.qid AND ek.id = orank.id),
+       |nn AS (SELECT count(*)::DOUBLE AS n FROM e)
+       |SELECT n::BIGINT AS n, 5::BIGINT AS k,
+       |  round(1.0 - 2.0 / (n * 5 * (2.0 * n - 3.0 * 5 - 1.0)) * p, 4) AS trustworthiness
+       |FROM pen, nn""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "trustworthiness" -> trustOracle,
     "make_regression" -> {
       val x0 = uSql("reg_", "x0")
       val x1 = uSql("reg_", "x1")

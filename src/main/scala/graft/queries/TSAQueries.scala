@@ -48,6 +48,22 @@ object TSAQueries {
       |  FROM events GROUP BY 1, 2""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "kalman_1d" ->
+      s"""WITH RECURSIVE s0 AS ($dailySql),
+         |s AS (SELECT series, x, (row_number() OVER (PARTITION BY series ORDER BY day) - 1)::BIGINT AS t FROM s0),
+         |kf AS (
+         |  SELECT series, t, x AS st, 1.0::DOUBLE AS p, 0.0::DOUBLE AS si FROM s WHERE t = 0
+         |  UNION ALL
+         |  SELECT n.series, n.t,
+         |    kf.st + ((kf.p + 0.1) / ((kf.p + 0.1) + 2.0)) * (n.x - kf.st) AS st,
+         |    (kf.p + 0.1) * (1.0 - ((kf.p + 0.1) / ((kf.p + 0.1) + 2.0))) AS p,
+         |    kf.si + (n.x - kf.st) * (n.x - kf.st) AS si
+         |  FROM kf JOIN s n ON n.series = kf.series AND n.t = kf.t + 1),
+         |last AS (SELECT series, t, st, p, si,
+         |    row_number() OVER (PARTITION BY series ORDER BY t DESC) AS rn FROM kf)
+         |SELECT series, t AS t_last, round(st, 4) AS state, round(p, 6) AS p_cov,
+         |  round(si, 4) AS sum_innov2
+         |FROM last WHERE rn = 1 ORDER BY series""".stripMargin,
     "holtwinters" ->
       s"""WITH s AS ($dailySql),
          |t AS (SELECT series, x, (row_number() OVER (PARTITION BY series ORDER BY day) - 1)::BIGINT AS t FROM s),

@@ -94,11 +94,12 @@ object VectorQueries {
   // evaluated inline per (row of range(64), output dim b).
   private def hpHash(tag: String, b: Int, suffix: String) =
     s"('0x' || substr(md5('${tag}_' || $b || '_' || i || '_$suffix'), 1, 15))::BIGINT"
-  private def rpGaussEntry(b: Int): String = {
+  private def planeEntry(b: Int): String = {
     val u1 = s"(((${hpHash("p_42", b, "a")} % 1000000 + 1000000) % 1000000) / 1000000.0 + 5e-7)"
     val u2 = s"(((${hpHash("p_42", b, "b")} % 1000000 + 1000000) % 1000000) / 1000000.0)"
-    s"(sqrt(-2.0 * ln($u1)) * cos(2.0 * pi() * $u2) / sqrt(8.0))"
+    s"(sqrt(-2.0 * ln($u1)) * cos(2.0 * pi() * $u2))"
   }
+  private def rpGaussEntry(b: Int): String = s"(${planeEntry(b)} / sqrt(8.0))"
   private def rpSparseEntry(b: Int): String =
     s"(CASE (('0x' || substr(md5('sp_42_' || $b || '_' || i), 1, 15))::BIGINT % 6) " +
       s"WHEN 0 THEN sqrt(3.0/8.0) WHEN 1 THEN -sqrt(3.0/8.0) ELSE 0.0 END)"
@@ -112,7 +113,79 @@ object VectorQueries {
        |FROM e ORDER BY id LIMIT 50""".stripMargin
   }
 
+  private def lshOracle: String = {
+    val sig = (0 until 8).map { b =>
+      s"(CASE WHEN list_sum(list_transform(range(0, 64), i -> v[i+1] * ${planeEntry(b)})) >= 0 " +
+        s"THEN ${1L << b} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |bkt AS (SELECT id, v, $sig AS bucket FROM e),
+       |p AS (SELECT a.id AS qid, b.id AS id, $cosSql AS s
+       |  FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.id <> b.id),
+       |r AS (SELECT qid, s, row_number() OVER (PARTITION BY qid ORDER BY s DESC, id) AS rank FROM p),
+       |f AS (SELECT qid, max(rank) AS found FROM r WHERE rank <= 3 GROUP BY qid)
+       |SELECT count(*)::BIGINT AS n_queries_with_candidates,
+       |  round(avg(found), 6) AS avg_found FROM f""".stripMargin
+  }
+
+  /** UMAP σ bisection replayed in SQL: the per-node 64-step binary search
+    * runs as a recursive CTE over the collected (rank-ordered) neighbor
+    * distance lists — list ops in the recursive term, no aggregates. */
+  private def umapOracle: String =
+    """WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 100),
+      |p AS (SELECT a.vec_id AS qid, b.vec_id AS id, list_distance(a.v, b.v) AS s
+      |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+      |r AS (SELECT qid, id, s, row_number() OVER (PARTITION BY qid ORDER BY s ASC, id) AS rank FROM p),
+      |g AS (SELECT qid, list(round(s, 4) ORDER BY rank) AS ds, min(round(s, 4)) AS rho
+      |  FROM r WHERE rank <= 10 GROUP BY qid),
+      |bis AS (
+      |  SELECT qid, ds, rho, 1e-6::DOUBLE AS lo, 1e6::DOUBLE AS hi, 0 AS it FROM g
+      |  UNION ALL
+      |  SELECT qid, ds, rho,
+      |    CASE WHEN list_sum(list_transform(ds, d -> exp(-greatest(d - rho, 0.0) / ((lo + hi) / 2))))
+      |           > ln(10.0) / ln(2.0)
+      |         THEN lo ELSE (lo + hi) / 2 END AS lo,
+      |    CASE WHEN list_sum(list_transform(ds, d -> exp(-greatest(d - rho, 0.0) / ((lo + hi) / 2))))
+      |           > ln(10.0) / ln(2.0)
+      |         THEN (lo + hi) / 2 ELSE hi END AS hi,
+      |    it + 1
+      |  FROM bis WHERE it < 64)
+      |SELECT qid::BIGINT AS qid, round(rho, 4) AS rho, round((lo + hi) / 2, 4) AS sigma
+      |FROM bis WHERE it = 64 ORDER BY qid""".stripMargin
+
+  /** t-SNE β calibration replayed in SQL — mirrors Manifold.tsnePerplexity
+    * step-for-step (h computed at the CURRENT β, then β updated; doubling
+    * while the upper bound is still infinite). */
+  private def tsneOracle: String = {
+    val num = "list_sum(list_transform(ds2, d -> d * exp(-d * beta)))"
+    val den = "greatest(list_sum(list_transform(ds2, d -> exp(-d * beta))), 1e-300)"
+    val h = s"ln($den) + beta * $num / $den"
+    """WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 100),
+      |p AS (SELECT a.vec_id AS qid, b.vec_id AS id, list_distance(a.v, b.v) AS s
+      |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+      |r AS (SELECT qid, id, s, row_number() OVER (PARTITION BY qid ORDER BY s ASC, id) AS rank FROM p),
+      |g AS (SELECT qid, list(round(s, 4) * round(s, 4) ORDER BY rank) AS ds2 FROM r WHERE rank <= 20 GROUP BY qid),
+      |bis AS (
+      |  SELECT qid, ds2, 1.0::DOUBLE AS beta, 0.0::DOUBLE AS lo, 'infinity'::DOUBLE AS hi,
+      |    0.0::DOUBLE AS h, 0 AS it FROM g
+      |  UNION ALL
+      |  SELECT qid, ds2,
+      |    CASE WHEN HEXPR > ln(10.0) THEN (CASE WHEN isinf(hi) THEN beta * 2 ELSE (beta + hi) / 2 END)
+      |         ELSE (lo + beta) / 2 END AS beta,
+      |    CASE WHEN HEXPR > ln(10.0) THEN beta ELSE lo END AS lo,
+      |    CASE WHEN HEXPR > ln(10.0) THEN hi ELSE beta END AS hi,
+      |    HEXPR AS h,
+      |    it + 1
+      |  FROM bis WHERE it < 64)
+      |SELECT qid::BIGINT AS qid, round(beta, 4) AS beta, round(h, 4) AS entropy
+      |FROM bis WHERE it = 64 ORDER BY qid""".stripMargin
+      .replace("HEXPR", s"($h)")
+  }
+
   val oracles: Map[String, String] = Map(
+    "tsne_perplexity" -> tsneOracle,
+    "umap_knn_graph" -> umapOracle,
+    "ann_lsh" -> lshOracle,
     "random_projection" -> rpOracle(rpGaussEntry),
     "random_projection_sparse" -> rpOracle(rpSparseEntry),
     "ann_cosine_topk" ->

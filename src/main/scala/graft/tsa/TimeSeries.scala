@@ -92,9 +92,11 @@ object TimeSeries {
         (key, t, x, s, p)
       }
       val last = out.last
-      Iterator((key, last._2, math.rint(last._4 * 10000) / 10000,
-        math.rint(last._5 * 1000000) / 1000000,
-        math.rint(sumInnov2 * 10000) / 10000))
-    }.toDF("series", "t_last", "state", "p_cov", "sum_innov2")
+      Iterator((key, last._2, last._4, last._5, sumInnov2))
+    }.toDF("series", "t_last", "_state", "_p", "_si")
+      .select(col("series"), col("t_last"),
+        round(col("_state"), 4).as("state"),
+        round(col("_p"), 6).as("p_cov"),
+        round(col("_si"), 4).as("sum_innov2"))
   }
 }
