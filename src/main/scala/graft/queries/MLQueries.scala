@@ -131,7 +131,37 @@ object MLQueries {
        |) ORDER BY term""".stripMargin
   }
 
+  /** Full-batch SGD on one standardized feature is a deterministic affine
+    * recursion in (b, w): the per-row gradient sums collapse onto the data
+    * moments, so the 60 steps replay as a recursive CTE. Spark's per-row
+    * FP summation differs from the moment algebra at ~1e-12 per step; the
+    * map is contractive, so converged weights agree far below the 0.1
+    * rounding grid. */
+  private def sgdOracle: String =
+    """WITH RECURSIVE m0 AS (
+      |  SELECT avg(l_quantity) mu, stddev_samp(l_quantity) sd,
+      |    count(*)::DOUBLE n FROM lineitem),
+      |m AS (
+      |  SELECT m0.n, m0.mu, m0.sd,
+      |    sum((l_quantity - mu)/sd) sxs, sum(((l_quantity - mu)/sd)*((l_quantity - mu)/sd)) sxs2,
+      |    sum(((l_quantity - mu)/sd)*l_extendedprice) sxsy, sum(l_extendedprice) sy
+      |  FROM lineitem, m0 GROUP BY m0.n, m0.mu, m0.sd),
+      |gd AS (
+      |  SELECT m.*, 0.0::DOUBLE b, 0.0::DOUBLE w, 0 it FROM m
+      |  UNION ALL
+      |  SELECT n, mu, sd, sxs, sxs2, sxsy, sy,
+      |    b - 0.1 * ((n*b + w*sxs - sy) / n) AS b,
+      |    w - 0.1 * ((b*sxs + w*sxs2 - sxsy) / n) AS w,
+      |    it + 1
+      |  FROM gd WHERE it < 60),
+      |fin AS (SELECT * FROM gd WHERE it = 60)
+      |SELECT term, coef FROM (
+      |  SELECT 'intercept' AS term, round(b - (w/sd)*mu, 1) AS coef FROM fin
+      |  UNION ALL SELECT 'l_quantity', round(w/sd, 1) FROM fin
+      |) ORDER BY term""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "sgd_linreg" -> sgdOracle,
     "lasso_cd" -> cdOracle(10.0, 1.0),
     "elastic_net" -> cdOracle(10.0, 0.5))
 }
