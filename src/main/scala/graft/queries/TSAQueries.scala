@@ -19,6 +19,10 @@ object TSAQueries {
         .select(col("series"), col("t").as("t_last"), r4(col("smoothed")).as("s_last"))
         .orderBy("series")
     },
+    "holt_trend" -> { (s, d) =>
+      TimeSeries.holtTrend(TimeSeries.dailySeries(Tables.events(s, d)), 0.3, 0.1)
+        .orderBy("series")
+    },
     "stationarity" -> { (s, d) =>
       val daily = TimeSeries.dailySeries(Tables.events(s, d))
       val w = Window.partitionBy(col("series")).orderBy(col("t"))
@@ -48,6 +52,22 @@ object TSAQueries {
       |  FROM events GROUP BY 1, 2""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "holt_trend" ->
+      s"""WITH RECURSIVE s0 AS ($dailySql),
+         |s AS (SELECT series, x, (row_number() OVER (PARTITION BY series ORDER BY day) - 1)::BIGINT AS t FROM s0),
+         |x1 AS (SELECT series, x AS xone FROM s WHERE t = 1),
+         |ht AS (
+         |  SELECT s.series, s.t, s.x AS l, x1.xone - s.x AS b
+         |  FROM s JOIN x1 ON s.series = x1.series WHERE s.t = 0
+         |  UNION ALL
+         |  SELECT n.series, n.t,
+         |    0.3 * n.x + (1.0 - 0.3) * (ht.l + ht.b) AS l,
+         |    0.1 * ((0.3 * n.x + (1.0 - 0.3) * (ht.l + ht.b)) - ht.l) + (1.0 - 0.1) * ht.b AS b
+         |  FROM ht JOIN s n ON n.series = ht.series AND n.t = ht.t + 1),
+         |last AS (SELECT series, t, l, b, row_number() OVER (PARTITION BY series ORDER BY t DESC) AS rn FROM ht)
+         |SELECT series, t AS t_last, round(l, 4) AS level, round(b, 4) AS trend,
+         |  round(l + b, 4) AS forecast1
+         |FROM last WHERE rn = 1 ORDER BY series""".stripMargin,
     "kalman_1d" ->
       s"""WITH RECURSIVE s0 AS ($dailySql),
          |s AS (SELECT series, x, (row_number() OVER (PARTITION BY series ORDER BY day) - 1)::BIGINT AS t FROM s0),

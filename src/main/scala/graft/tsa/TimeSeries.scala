@@ -37,6 +37,39 @@ object TimeSeries {
         pow(lit(1.0 - alpha), col("t").cast("double")))
   }
 
+  /** Holt's linear-trend smoothing (the level+trend channels of
+    * reference tsa/holtwinters.pyx additive model):
+    *   l_t = α·x_t + (1−α)(l_{t−1} + b_{t−1});  b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}
+    * init l_0 = x_0, b_0 = x_1 − x_0. Per-series sequential recursion run
+    * in-partition via groupByKey — parallel across series, like the
+    * reference's batched layout. Returns final level/trend and the 1-step
+    * forecast per series. */
+  def holtTrend(series: DataFrame, alpha: Double, beta: Double): DataFrame = {
+    import series.sparkSession.implicits._
+    val rows = series.select(col("series").cast("string"), col("t").cast("long"),
+      col("x").cast("double")).as[(String, Long, Double)]
+    rows.groupByKey(_._1).flatMapGroups { (key, it) =>
+      val xs = it.toSeq.sortBy(_._2).map(_._3)
+      if (xs.length < 2) Iterator.empty
+      else {
+        var l = xs(0)
+        var b = xs(1) - xs(0)
+        var i = 1
+        while (i < xs.length) {
+          val lPrev = l
+          l = alpha * xs(i) + (1.0 - alpha) * (l + b)
+          b = beta * (l - lPrev) + (1.0 - beta) * b
+          i += 1
+        }
+        Iterator((key, xs.length.toLong - 1, l, b, l + b))
+      }
+    }.toDF("series", "t_last", "_l", "_b", "_f")
+      .select(col("series"), col("t_last"),
+        round(col("_l"), 4).as("level"),
+        round(col("_b"), 4).as("trend"),
+        round(col("_f"), 4).as("forecast1"))
+  }
+
   /** Stationarity check (reference tsa/stationarity.pyx: pick d ∈ {0,1}
     * per batched series): variance-ratio heuristic — difference the series
     * if it reduces variance. Window lag + two aggregates, one shuffle on

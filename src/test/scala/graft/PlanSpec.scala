@@ -58,6 +58,36 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("*(1)"), p.take(2000)) // the WholeStageCodegen marker
   }
 
+  test("bucketed tables join without an exchange (co-located join)") {
+    // writes to the default spark-warehouse dir (gitignored)
+    val li = Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_quantity"))
+    val or = Tables.orders(spark, sf).select(col("o_orderkey"), col("o_totalprice"))
+    li.write.mode("overwrite").bucketBy(8, "l_orderkey").saveAsTable("b_li")
+    or.write.mode("overwrite").bucketBy(8, "o_orderkey").saveAsTable("b_or")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("b_li").join(spark.table("b_or"),
+        col("l_orderkey") === col("o_orderkey"))
+      val p = planOf(j)
+      assert(!p.contains("Exchange"), p.take(3000))
+      assert(p.contains("SortMergeJoin"), p.take(3000))
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS b_li")
+      spark.sql("DROP TABLE IF EXISTS b_or")
+    }
+  }
+
+  test("salted aggregation equals direct groupBy") {
+    val li = Tables.lineitem(spark, sf)
+    val direct = li.groupBy(col("l_returnflag")).agg(
+        sum(col("l_quantity")).as("sum"), count(lit(1)).as("count"))
+      .collect().map(r => (r.getString(0), math.rint(r.getDouble(1) * 100) / 100, r.getLong(2))).toSet
+    val salted = graft.core.Salting.saltedSumCount(li, col("l_returnflag"), col("l_quantity"), 16)
+      .collect().map(r => (r.getString(0), math.rint(r.getDouble(1) * 100) / 100, r.getLong(2))).toSet
+    assert(salted == direct)
+  }
+
   test("exact dedup aggregates partially before the shuffle") {
     val d = graft.dedup.Dedup.exact(Tables.documents(spark, sf), "text", "doc_id")
     val p = planOf(d)
