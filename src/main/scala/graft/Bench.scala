@@ -13,6 +13,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm up the session once (JVM/codegen/parquet-footer costs otherwise
+    // land on whichever query happens to run first)
+    try spark.read.parquet(s"$sfDir/lineitem.parquet").limit(10).write
+      .format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
     // noop sink: forces full materialization of every output column — a
     // bare count() lets Catalyst prune the actual operator work away.
     val results = SparkEntry.queries.map { case (name, fn) =>

@@ -62,7 +62,7 @@ object MLQueries {
     },
     "mbsgd_regressor" -> { (s, d) =>
       GradientSolver.fit(Tables.lineitem(s, d), Seq("l_quantity"), "l_extendedprice",
-          GradientSolver.SquaredLoss, lr = 0.1, iters = 60, batchFraction = 0.5)
+          GradientSolver.SquaredLoss, lr = 0.1, iters = 30, batchFraction = 0.5)
         .toDF(s).select(col("term"), round(col("coef"), 1).as("coef")).orderBy("term")
     },
     "kmeans" -> { (s, d) =>
