@@ -90,6 +90,28 @@ object TabularQueries {
           r6((col("a") + col("c")) / 2 -
             sqrt(pow((col("a") - col("c")) / 2, 2) + pow(col("b"), 2))).as("lambda2"))
     },
+    "pca_transform2" -> { (s, d) =>
+      // PCA.transform for the 2-feature case: closed-form PC1 from the
+      // 2×2 covariance (driver-side from one aggregate), projection as a
+      // codegen'd expression, per-group score stats
+      val li = Tables.lineitem(s, d)
+      val st = li.agg(var_samp(col("l_quantity")).as("a"),
+        covar_samp(col("l_quantity"), col("l_tax")).as("b"),
+        var_samp(col("l_tax")).as("c"),
+        avg(col("l_quantity")).as("mq"), avg(col("l_tax")).as("mt")).head()
+      val (a, b, c, mq, mt) = (st.getDouble(0), st.getDouble(1), st.getDouble(2),
+        st.getDouble(3), st.getDouble(4))
+      val l1 = (a + c) / 2 + math.sqrt(((a - c) / 2) * ((a - c) / 2) + b * b)
+      val w2 = l1 - a
+      val nrm = math.sqrt(b * b + w2 * w2)
+      val (v1, v2) = (b / nrm, w2 / nrm)
+      val score = (col("l_quantity") - mq) * v1 + (col("l_tax") - mt) * v2
+      li.groupBy("l_returnflag")
+        .agg(count(lit(1)).cast("long").as("n"),
+          r4(avg(score)).as("mean_pc1"),
+          r4(stddev_samp(score)).as("sd_pc1"))
+        .orderBy("l_returnflag")
+    },
     "jl_min_dim" -> { (s, _) =>
       import s.implicits._
       val grid = for (n <- Seq(1000L, 10000L, 100000L, 1000000L);
@@ -209,6 +231,17 @@ object TabularQueries {
       """WITH s AS (SELECT var_samp(l_quantity) a, covar_samp(l_quantity, l_tax) b, var_samp(l_tax) c FROM lineitem)
         |SELECT round((a+c)/2 + sqrt(((a-c)/2)*((a-c)/2) + b*b), 6) AS lambda1,
         |       round((a+c)/2 - sqrt(((a-c)/2)*((a-c)/2) + b*b), 6) AS lambda2 FROM s""".stripMargin,
+    "pca_transform2" ->
+      """WITH s AS (SELECT var_samp(l_quantity) a, covar_samp(l_quantity, l_tax) b,
+        |    var_samp(l_tax) c, avg(l_quantity) mq, avg(l_tax) mt FROM lineitem),
+        |ev AS (SELECT a, b, c, mq, mt,
+        |    (a+c)/2 + sqrt(((a-c)/2)*((a-c)/2) + b*b) AS l1 FROM s),
+        |vv AS (SELECT mq, mt, b / sqrt(b*b + (l1-a)*(l1-a)) AS v1,
+        |    (l1-a) / sqrt(b*b + (l1-a)*(l1-a)) AS v2 FROM ev)
+        |SELECT l_returnflag, count(*)::BIGINT AS n,
+        |  round(avg((l_quantity - mq)*v1 + (l_tax - mt)*v2), 4) AS mean_pc1,
+        |  round(stddev_samp((l_quantity - mq)*v1 + (l_tax - mt)*v2), 4) AS sd_pc1
+        |FROM lineitem, vv GROUP BY l_returnflag, mq, mt, v1, v2 ORDER BY l_returnflag""".stripMargin,
     "jl_min_dim" ->
       """SELECT n_samples::BIGINT AS n_samples, eps::DOUBLE AS eps,
         |  CAST(ceil(4.0 * ln(n_samples) / (eps*eps/2 - eps*eps*eps/3)) AS BIGINT) AS min_dim
