@@ -20,15 +20,20 @@ object Bench {
     catch { case _: Throwable => () }
     // noop sink: forces full materialization of every output column — a
     // bare count() lets Catalyst prune the actual operator work away.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=a,b,c restricts the run (local iteration).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      // a failed query reports NEGATED elapsed time so BENCH json can
+      // never mistake a crash-at-start for a fast query
+      val sign = try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); 1.0 }
+      catch { case t: Throwable => System.err.println(s"BENCH FAIL $name: $t"); -1.0 }
+      name -> sign * (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.values.map(math.abs).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

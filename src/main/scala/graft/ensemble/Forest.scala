@@ -58,9 +58,15 @@ object Forest {
     * distribution — the inference pass itself is shuffle-free. */
   def inferenceSummary(train: DataFrame, score: DataFrame, features: Seq[String],
                        labelCol: String, numTrees: Int = 20, seed: Long = 42L): DataFrame = {
+    // cache the assembled train split: MLlib's tree growth iterates over it,
+    // and the upstream split filter (md5 per row) must not re-run per pass
     val input = withFeatures(train, features, Seq("_y" -> col(labelCol).cast("double")))
-    val model = new RandomForestRegressor().setFeaturesCol("_fv").setLabelCol("_y")
-      .setNumTrees(numTrees).setMaxDepth(5).setSeed(seed).fit(input)
+      .select(col("_fv"), col("_y")).cache()
+    input.count() // materialize before the iterative fit
+    val model = try {
+      new RandomForestRegressor().setFeaturesCol("_fv").setLabelCol("_y")
+        .setNumTrees(numTrees).setMaxDepth(5).setSeed(seed).fit(input)
+    } finally input.unpersist(blocking = false)
     val scored = model.transform(withFeatures(score, features, Seq.empty))
     scored.agg(
       count(lit(1)).cast("long").as("n_scored"),
