@@ -23,6 +23,11 @@ object TSAQueries {
       TimeSeries.holtTrend(TimeSeries.dailySeries(Tables.events(s, d)), 0.3, 0.1)
         .orderBy("series")
     },
+    "holtwinters_seasonal" -> { (s, d) =>
+      TimeSeries.holtWintersSeasonal(TimeSeries.dailySeries(Tables.events(s, d)),
+          0.3, 0.1, 0.2, 7)
+        .orderBy("series")
+    },
     "stationarity" -> { (s, d) =>
       val daily = TimeSeries.dailySeries(Tables.events(s, d))
       val w = Window.partitionBy(col("series")).orderBy(col("t"))
@@ -33,13 +38,14 @@ object TSAQueries {
         .orderBy("series")
     },
     "arima" -> { (s, d) =>
-      import s.implicits._
-      val fits = TimeSeries.arFit(TimeSeries.dailySeries(Tables.events(s, d)), 2)
-      fits.flatMap { case (k, coefs) =>
-        coefs.zip(Seq("intercept", "ar1", "ar2")).map { case (c, t) =>
-          (k, t, math.rint(c * 10000) / 10000)
-        }
-      }.toDF("series", "term", "coef").orderBy("series", "term")
+      TimeSeries.arFit2(TimeSeries.dailySeries(Tables.events(s, d)))
+        .select(col("series"), col("term"), round(col("coef"), 4).as("coef"))
+        .orderBy("series", "term")
+    },
+    "arima_pdq" -> { (s, d) =>
+      TimeSeries.arimaHR(TimeSeries.dailySeries(Tables.events(s, d)))
+        .select(col("series"), col("term"), round(col("coef"), 4).as("coef"))
+        .orderBy("series", "term")
     },
     "kalman_1d" -> { (s, d) =>
       TimeSeries.kalman1D(TimeSeries.dailySeries(Tables.events(s, d)), 0.1, 2.0)
@@ -50,6 +56,23 @@ object TSAQueries {
   private val dailySql =
     """SELECT event_type AS series, CAST(ts AS DATE) AS day, sum(value) AS x
       |  FROM events GROUP BY 1, 2""".stripMargin
+
+  /** The 3-unknown Cramer solve used by TimeSeries.cramer3, as SQL CTEs.
+    * `src` must expose (series, y, x1, x2). Emits CTEs `m` and `dt` with
+    * per-series c0/c1/c2. */
+  private def cramer3Sql(src: String): String =
+    s"""m AS (SELECT series, count(*)::DOUBLE n, sum(x1) sx1, sum(x2) sx2,
+       |    sum(x1*x1) s11, sum(x1*x2) s12, sum(x2*x2) s22,
+       |    sum(y) sy, sum(x1*y) s1y, sum(x2*y) s2y
+       |  FROM $src GROUP BY series),
+       |dt AS (SELECT series,
+       |  (sy*(s11*s22-s12*s12) - sx1*(s1y*s22-s12*s2y) + sx2*(s1y*s12-s11*s2y)) /
+       |  (n*(s11*s22-s12*s12) - sx1*(sx1*s22-s12*sx2) + sx2*(sx1*s12-s11*sx2)) AS c0,
+       |  (n*(s1y*s22-s12*s2y) - sy*(sx1*s22-s12*sx2) + sx2*(sx1*s2y-s1y*sx2)) /
+       |  (n*(s11*s22-s12*s12) - sx1*(sx1*s22-s12*sx2) + sx2*(sx1*s12-s11*sx2)) AS c1,
+       |  (n*(s11*s2y-s1y*s12) - sx1*(sx1*s2y-s1y*sx2) + sy*(sx1*s12-s11*sx2)) /
+       |  (n*(s11*s22-s12*s12) - sx1*(sx1*s22-s12*sx2) + sx2*(sx1*s12-s11*sx2)) AS c2
+       |  FROM m)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "holt_trend" ->
@@ -68,6 +91,30 @@ object TSAQueries {
          |SELECT series, t AS t_last, round(l, 4) AS level, round(b, 4) AS trend,
          |  round(l + b, 4) AS forecast1
          |FROM last WHERE rn = 1 ORDER BY series""".stripMargin,
+    "holtwinters_seasonal" ->
+      s"""WITH RECURSIVE s0 AS ($dailySql),
+         |s AS (SELECT series, x, (row_number() OVER (PARTITION BY series ORDER BY day) - 1)::BIGINT AS t FROM s0),
+         |ini AS (SELECT series, list(x ORDER BY t) AS xs FROM s WHERE t < 14
+         |  GROUP BY series HAVING count(*) = 14),
+         |i2 AS (SELECT series,
+         |    list_sum(xs[1:7]) / 7.0 AS l0,
+         |    (list_sum(xs[8:14]) / 7.0 - list_sum(xs[1:7]) / 7.0) / 7.0 AS b0,
+         |    list_transform(xs[1:7], v -> v - list_sum(xs[1:7]) / 7.0) AS seas
+         |  FROM ini),
+         |hw AS (
+         |  SELECT series, 6::BIGINT AS t, l0 AS l, b0 AS b, seas FROM i2
+         |  UNION ALL
+         |  SELECT n.series, n.t,
+         |    0.3 * (n.x - hw.seas[1]) + (1.0 - 0.3) * (hw.l + hw.b) AS l,
+         |    0.1 * ((0.3 * (n.x - hw.seas[1]) + (1.0 - 0.3) * (hw.l + hw.b)) - hw.l) + (1.0 - 0.1) * hw.b AS b,
+         |    list_append(hw.seas[2:],
+         |      0.2 * (n.x - (0.3 * (n.x - hw.seas[1]) + (1.0 - 0.3) * (hw.l + hw.b))) + (1.0 - 0.2) * hw.seas[1]) AS seas
+         |  FROM hw JOIN s n ON n.series = hw.series AND n.t = hw.t + 1),
+         |last AS (SELECT series, t, l, b, l + b + seas[1] AS f,
+         |    row_number() OVER (PARTITION BY series ORDER BY t DESC) AS rn FROM hw)
+         |SELECT series, t AS t_last, round(l, 4) AS level, round(b, 4) AS trend,
+         |  round(f, 4) AS forecast1
+         |FROM last WHERE rn = 1 ORDER BY series""".stripMargin,
     "kalman_1d" ->
       s"""WITH RECURSIVE s0 AS ($dailySql),
          |s AS (SELECT series, x, (row_number() OVER (PARTITION BY series ORDER BY day) - 1)::BIGINT AS t FROM s0),
@@ -85,36 +132,64 @@ object TSAQueries {
          |  round(si, 4) AS sum_innov2
          |FROM last WHERE rn = 1 ORDER BY series""".stripMargin,
     "holtwinters" ->
-      s"""WITH s AS ($dailySql),
-         |t AS (SELECT series, x, (row_number() OVER (PARTITION BY series ORDER BY day) - 1)::BIGINT AS t FROM s),
-         |sm AS (SELECT series, t,
-         |    sum((CASE WHEN t = 0 THEN x ELSE 0.3*x END) * power(0.7, -CAST(t AS DOUBLE)))
-         |      OVER (PARTITION BY series ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         |      * power(0.7, CAST(t AS DOUBLE)) AS smoothed
-         |  FROM t),
-         |last AS (SELECT series, t, smoothed, row_number() OVER (PARTITION BY series ORDER BY t DESC) AS rn FROM sm)
-         |SELECT series, t AS t_last, round(smoothed, 4) AS s_last FROM last WHERE rn = 1 ORDER BY series""".stripMargin,
+      s"""WITH RECURSIVE s0 AS ($dailySql),
+         |s AS (SELECT series, x, (row_number() OVER (PARTITION BY series ORDER BY day) - 1)::BIGINT AS t FROM s0),
+         |sm AS (
+         |  SELECT series, t, x AS sv FROM s WHERE t = 0
+         |  UNION ALL
+         |  SELECT n.series, n.t, 0.3 * n.x + (1.0 - 0.3) * sm.sv AS sv
+         |  FROM sm JOIN s n ON n.series = sm.series AND n.t = sm.t + 1),
+         |last AS (SELECT series, t, sv, row_number() OVER (PARTITION BY series ORDER BY t DESC) AS rn FROM sm)
+         |SELECT series, t AS t_last, round(sv, 4) AS s_last FROM last WHERE rn = 1 ORDER BY series""".stripMargin,
     "arima" ->
       s"""WITH s AS ($dailySql),
-         |l AS (SELECT series, x,
-         |    lag(x, 1) OVER (PARTITION BY series ORDER BY day) AS l1,
-         |    lag(x, 2) OVER (PARTITION BY series ORDER BY day) AS l2
+         |l AS (SELECT series, x AS y,
+         |    lag(x, 1) OVER (PARTITION BY series ORDER BY day) AS x1,
+         |    lag(x, 2) OVER (PARTITION BY series ORDER BY day) AS x2
          |  FROM s),
-         |f AS (SELECT * FROM l WHERE l1 IS NOT NULL AND l2 IS NOT NULL),
-         |m AS (SELECT series, count(*)::DOUBLE n, sum(l1) sx1, sum(l2) sx2,
-         |    sum(l1*l1) s11, sum(l1*l2) s12, sum(l2*l2) s22,
-         |    sum(x) sy, sum(l1*x) s1y, sum(l2*x) s2y
-         |  FROM f GROUP BY series),
-         |d AS (SELECT series,
-         |  n*(s11*s22-s12*s12) - sx1*(sx1*s22-s12*sx2) + sx2*(sx1*s12-s11*sx2) AS det,
-         |  sy*(s11*s22-s12*s12) - sx1*(s1y*s22-s12*s2y) + sx2*(s1y*s12-s11*s2y) AS det0,
-         |  n*(s1y*s22-s12*s2y) - sy*(sx1*s22-s12*sx2) + sx2*(sx1*s2y-s1y*sx2) AS det1,
-         |  n*(s11*s2y-s1y*s12) - sx1*(sx1*s2y-s1y*sx2) + sy*(sx1*s12-s11*sx2) AS det2
-         |  FROM m)
+         |f AS (SELECT * FROM l WHERE x1 IS NOT NULL AND x2 IS NOT NULL),
+         |${cramer3Sql("f")}
          |SELECT series, term, coef FROM (
-         |  SELECT series, 'intercept' AS term, round(det0/det, 4) AS coef FROM d
-         |  UNION ALL SELECT series, 'ar1', round(det1/det, 4) FROM d
-         |  UNION ALL SELECT series, 'ar2', round(det2/det, 4) FROM d
+         |  SELECT series, 'intercept' AS term, round(c0, 4) AS coef FROM dt
+         |  UNION ALL SELECT series, 'ar1', round(c1, 4) FROM dt
+         |  UNION ALL SELECT series, 'ar2', round(c2, 4) FROM dt
+         |) ORDER BY series, term""".stripMargin,
+    "arima_pdq" ->
+      s"""WITH s0 AS ($dailySql),
+         |s AS (SELECT series, x, (row_number() OVER (PARTITION BY series ORDER BY day) - 1)::BIGINT AS t FROM s0),
+         |dxt AS (SELECT series, t, x - lag(x, 1) OVER (PARTITION BY series ORDER BY t) AS dx FROM s),
+         |d1 AS (SELECT series, t, dx FROM dxt WHERE dx IS NOT NULL),
+         |l AS (SELECT series, t, dx,
+         |    lag(dx, 1) OVER (PARTITION BY series ORDER BY t) AS l1,
+         |    lag(dx, 2) OVER (PARTITION BY series ORDER BY t) AS l2
+         |  FROM d1),
+         |fs1 AS (SELECT series, dx AS y, l1 AS x1, l2 AS x2 FROM l
+         |  WHERE l1 IS NOT NULL AND l2 IS NOT NULL),
+         |${cramer3Sql("fs1")},
+         |e AS (SELECT l.series, l.t, l.dx, l.l1,
+         |    CASE WHEN l.l1 IS NOT NULL AND l.l2 IS NOT NULL
+         |         THEN l.dx - (dt.c0 + dt.c1 * l.l1 + dt.c2 * l.l2) END AS e
+         |  FROM l JOIN dt ON l.series = dt.series),
+         |e1 AS (SELECT series, t, dx, l1,
+         |    lag(e, 1) OVER (PARTITION BY series ORDER BY t) AS e1 FROM e),
+         |fs2 AS (SELECT series, dx AS y, l1 AS x1, e1 AS x2 FROM e1
+         |  WHERE l1 IS NOT NULL AND e1 IS NOT NULL),
+         |m2 AS (SELECT series, count(*)::DOUBLE n, sum(x1) sx1, sum(x2) sx2,
+         |    sum(x1*x1) s11, sum(x1*x2) s12, sum(x2*x2) s22,
+         |    sum(y) sy, sum(x1*y) s1y, sum(x2*y) s2y
+         |  FROM fs2 GROUP BY series),
+         |dt2 AS (SELECT series,
+         |  (sy*(s11*s22-s12*s12) - sx1*(s1y*s22-s12*s2y) + sx2*(s1y*s12-s11*s2y)) /
+         |  (n*(s11*s22-s12*s12) - sx1*(sx1*s22-s12*sx2) + sx2*(sx1*s12-s11*sx2)) AS c0,
+         |  (n*(s1y*s22-s12*s2y) - sy*(sx1*s22-s12*sx2) + sx2*(sx1*s2y-s1y*sx2)) /
+         |  (n*(s11*s22-s12*s12) - sx1*(sx1*s22-s12*sx2) + sx2*(sx1*s12-s11*sx2)) AS c1,
+         |  (n*(s11*s2y-s1y*s12) - sx1*(sx1*s2y-s1y*sx2) + sy*(sx1*s12-s11*sx2)) /
+         |  (n*(s11*s22-s12*s12) - sx1*(sx1*s22-s12*sx2) + sx2*(sx1*s12-s11*sx2)) AS c2
+         |  FROM m2)
+         |SELECT series, term, coef FROM (
+         |  SELECT series, 'intercept' AS term, round(c0, 4) AS coef FROM dt2
+         |  UNION ALL SELECT series, 'ar1', round(c1, 4) FROM dt2
+         |  UNION ALL SELECT series, 'ma1', round(c2, 4) FROM dt2
          |) ORDER BY series, term""".stripMargin,
     "stationarity" ->
       s"""WITH s AS ($dailySql),

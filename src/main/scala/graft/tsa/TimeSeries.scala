@@ -1,8 +1,7 @@
 package graft.tsa
 
 import graft.core.Num.r4
-import graft.stats.Moments
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -12,7 +11,9 @@ import org.apache.spark.sql.functions._
   * Batched-series layout, like the reference: many independent series keyed
   * by a series column. Everything partitions by series key, so 10⁶ series ×
   * long histories parallelize trivially; per-series state recursions run
-  * in-partition after a repartitionByRange — never on the driver.
+  * in-partition after the groupByKey shuffle, and per-series model fits are
+  * ONE grouped aggregate + a per-row closed-form solve — never a driver
+  * loop over series.
   */
 object TimeSeries {
   /** Daily aggregation of the events table into (series, t, x) — t is a
@@ -24,17 +25,29 @@ object TimeSeries {
       .withColumn("t", row_number().over(w).cast("long") - 1)
   }
 
-  /** Simple exponential smoothing, closed form (no recursion):
-    *   s_t = (1−α)^t·x_0 + Σ_{i=1..t} α(1−α)^{t−i}·x_i
-    * expressed as one window sum — the HoltWinters level channel
-    * (reference tsa/holtwinters.pyx with additive level only). */
+  /** Simple exponential smoothing — the HoltWinters level channel
+    * (reference tsa/holtwinters.pyx, additive level only):
+    *   s_0 = x_0;  s_t = α·x_t + (1−α)·s_{t−1}
+    * Per-series in-partition recursion (the closed-form window variant
+    * multiplies by (1−α)^{−t}, which overflows doubles past t ≈ 10³ —
+    * exactly the long-history regime the batched layout targets). Emits
+    * every (series, t, x, smoothed) row; parallel across series. */
   def sesSmoothed(series: DataFrame, alpha: Double): DataFrame = {
-    val w = Window.partitionBy(col("series")).orderBy(col("t"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    series.withColumn("smoothed",
-      sum(when(col("t") === 0, col("x")).otherwise(lit(alpha) * col("x")) *
-        pow(lit(1.0 - alpha), -col("t").cast("double"))).over(w) *
-        pow(lit(1.0 - alpha), col("t").cast("double")))
+    import series.sparkSession.implicits._
+    val rows = series.select(col("series").cast("string"), col("t").cast("long"),
+      col("x").cast("double")).as[(String, Long, Double)]
+    rows.groupByKey(_._1).flatMapGroups { (key, it) =>
+      val xs = it.toSeq.sortBy(_._2)
+      if (xs.isEmpty) Iterator.empty
+      else {
+        var s = xs.head._3
+        var first = true
+        xs.iterator.map { case (_, t, x) =>
+          if (first) first = false else s = alpha * x + (1.0 - alpha) * s
+          (key, t, x, s)
+        }
+      }
+    }.toDF("series", "t", "x", "smoothed")
   }
 
   /** Holt's linear-trend smoothing (the level+trend channels of
@@ -70,6 +83,47 @@ object TimeSeries {
         round(col("_f"), 4).as("forecast1"))
   }
 
+  /** Full additive Holt-Winters: level + trend + seasonal channel of period
+    * m (reference tsa/holtwinters.pyx, cpp/src/holtwinters/ — the seasonal
+    * fit is the headline of the reference implementation).
+    *   l_t = α(x_t − s_{t−m}) + (1−α)(l_{t−1} + b_{t−1})
+    *   b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}
+    *   s_t = γ(x_t − l_t) + (1−γ)s_{t−m}
+    * Init (classical): l = mean(x_0..x_{m−1}), b = (mean of second m − mean
+    * of first m)/m, s_i = x_i − l. Series shorter than 2m are skipped.
+    * Per-series in-partition recursion, parallel across series; the 1-step
+    * forecast adds the matching seasonal term. */
+  def holtWintersSeasonal(series: DataFrame, alpha: Double, beta: Double,
+                          gamma: Double, period: Int): DataFrame = {
+    import series.sparkSession.implicits._
+    val m = period
+    val rows = series.select(col("series").cast("string"), col("t").cast("long"),
+      col("x").cast("double")).as[(String, Long, Double)]
+    rows.groupByKey(_._1).flatMapGroups { (key, it) =>
+      val xs = it.toSeq.sortBy(_._2).map(_._3)
+      if (xs.length < 2 * m) Iterator.empty
+      else {
+        var l = xs.take(m).sum / m.toDouble
+        var b = (xs.slice(m, 2 * m).sum / m.toDouble - l) / m.toDouble
+        val seas = scala.collection.mutable.Queue(xs.take(m).map(_ - l): _*)
+        var t = m
+        while (t < xs.length) {
+          val sOld = seas.dequeue()
+          val lPrev = l
+          l = alpha * (xs(t) - sOld) + (1.0 - alpha) * (l + b)
+          b = beta * (l - lPrev) + (1.0 - beta) * b
+          seas.enqueue(gamma * (xs(t) - l) + (1.0 - gamma) * sOld)
+          t += 1
+        }
+        Iterator((key, xs.length.toLong - 1, l, b, l + b + seas.head))
+      }
+    }.toDF("series", "t_last", "_l", "_b", "_f")
+      .select(col("series"), col("t_last"),
+        round(col("_l"), 4).as("level"),
+        round(col("_b"), 4).as("trend"),
+        round(col("_f"), 4).as("forecast1"))
+  }
+
   /** Stationarity check (reference tsa/stationarity.pyx: pick d ∈ {0,1}
     * per batched series): variance-ratio heuristic — difference the series
     * if it reduces variance. Window lag + two aggregates, one shuffle on
@@ -83,20 +137,132 @@ object TimeSeries {
       when(var_samp(col("dx")) < var_samp(col("x")), 1).otherwise(0).as("d"))
   }
 
-  /** AR(p) by conditional least squares: lag features via window, then the
-    * one-pass Gram solve per series (reference tsa/arima.pyx fits batched
-    * ARIMA; we fit the AR channel exactly). */
-  def arFit(series: DataFrame, p: Int): Seq[(String, Seq[Double])] = {
+  /** Per-series 3-unknown (intercept + x1 + x2) least squares via grouped
+    * moment sums + Cramer's rule — ONE aggregate job for all series, the
+    * per-row solve is a closed-form expression. The expression tree mirrors
+    * the SQL oracle operation-for-operation (left-assoc order), so both
+    * engines produce bit-identical doubles.
+    * Input columns: series, y/x1/x2 as given. Output: series, c0, c1, c2. */
+  private[tsa] def cramer3(rows: DataFrame, y: Column, x1: Column, x2: Column): DataFrame = {
+    val mm = rows.groupBy(col("series")).agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(x1).as("sx1"), sum(x2).as("sx2"),
+      sum(x1 * x1).as("s11"), sum(x1 * x2).as("s12"), sum(x2 * x2).as("s22"),
+      sum(y).as("sy"), sum(x1 * y).as("s1y"), sum(x2 * y).as("s2y"))
+    val det = col("n") * (col("s11") * col("s22") - col("s12") * col("s12")) -
+      col("sx1") * (col("sx1") * col("s22") - col("s12") * col("sx2")) +
+      col("sx2") * (col("sx1") * col("s12") - col("s11") * col("sx2"))
+    val det0 = col("sy") * (col("s11") * col("s22") - col("s12") * col("s12")) -
+      col("sx1") * (col("s1y") * col("s22") - col("s12") * col("s2y")) +
+      col("sx2") * (col("s1y") * col("s12") - col("s11") * col("s2y"))
+    val det1 = col("n") * (col("s1y") * col("s22") - col("s12") * col("s2y")) -
+      col("sy") * (col("sx1") * col("s22") - col("s12") * col("sx2")) +
+      col("sx2") * (col("sx1") * col("s2y") - col("s1y") * col("sx2"))
+    val det2 = col("n") * (col("s11") * col("s2y") - col("s1y") * col("s12")) -
+      col("sx1") * (col("sx1") * col("s2y") - col("s1y") * col("sx2")) +
+      col("sy") * (col("sx1") * col("s12") - col("s11") * col("sx2"))
+    mm.select(col("series"), (det0 / det).as("c0"), (det1 / det).as("c1"),
+      (det2 / det).as("c2"))
+  }
+
+  /** AR(2) by conditional least squares as ONE grouped aggregate over all
+    * series (reference tsa/arima.pyx fits batched ARIMA; this is the AR
+    * channel): lag features via window, per-series Gram sums, per-row
+    * Cramer solve. No driver loop, no collect of keys — 10⁶ series is one
+    * job. Output: (series, term ∈ {intercept, ar1, ar2}, coef). */
+  def arFit2(series: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("series")).orderBy(col("t"))
+    val lagged = series
+      .withColumn("l1", lag(col("x"), 1).over(w))
+      .withColumn("l2", lag(col("x"), 2).over(w))
+      .filter(col("l1").isNotNull && col("l2").isNotNull)
+    unpivotCoefs(cramer3(lagged, col("x"), col("l1"), col("l2")),
+      Seq("intercept", "ar1", "ar2"))
+  }
+
+  /** General AR(p) grouped fit: per-series normal-equation sums in one
+    * aggregate, per-row Gaussian-elimination solve (p+1 unknowns) in a
+    * deterministic closure. Same single-job shape as arFit2 for any p. */
+  def arFit(series: DataFrame, p: Int): DataFrame = {
+    require(p >= 1, "p >= 1")
     val w = Window.partitionBy(col("series")).orderBy(col("t"))
     var d = series
     (1 to p).foreach(i => d = d.withColumn(s"lag$i", lag(col("x"), i).over(w)))
-    val lagged = d.na.drop()
-    val keys = lagged.select(col("series")).distinct().collect().map(_.getString(0)).sorted
-    keys.toSeq.map { k =>
-      val m = graft.linear.OLS.fit(lagged.filter(col("series") === k),
-        (1 to p).map(i => s"lag$i"), "x")
-      k -> m.coefs
+    val lagged = d.filter((1 to p).map(i => col(s"lag$i").isNotNull).reduce(_ && _))
+    val terms: Seq[Column] = lit(1.0) +: (1 to p).map(i => col(s"lag$i"))
+    val k = terms.size
+    val gAggs = for (i <- 0 until k; j <- i until k)
+      yield sum(terms(i) * terms(j)).as(s"g_${i}_$j")
+    val bAggs = (0 until k).map(i => sum(terms(i) * col("x")).as(s"b_$i"))
+    val mm = lagged.groupBy(col("series")).agg((gAggs ++ bAggs).head, (gAggs ++ bAggs).tail: _*)
+    val gArr = array((for (i <- 0 until k; j <- 0 until k) yield
+      col(s"g_${math.min(i, j)}_${math.max(i, j)}")): _*)
+    val bArr = array((0 until k).map(i => col(s"b_$i")): _*)
+    val solve = udf { (g: Seq[Double], b: Seq[Double]) =>
+      val a = Array.tabulate(k, k)((i, j) => g(i * k + j))
+      val rhs = b.toArray
+      // Gaussian elimination with partial pivoting
+      for (c <- 0 until k) {
+        var piv = c
+        for (r <- c + 1 until k) if (math.abs(a(r)(c)) > math.abs(a(piv)(c))) piv = r
+        val tmp = a(c); a(c) = a(piv); a(piv) = tmp
+        val tb = rhs(c); rhs(c) = rhs(piv); rhs(piv) = tb
+        for (r <- c + 1 until k) {
+          val f = a(r)(c) / a(c)(c)
+          for (cc <- c until k) a(r)(cc) -= f * a(c)(cc)
+          rhs(r) -= f * rhs(c)
+        }
+      }
+      val x = new Array[Double](k)
+      for (c <- k - 1 to 0 by -1) {
+        var s = rhs(c)
+        for (cc <- c + 1 until k) s -= a(c)(cc) * x(cc)
+        x(c) = s / a(c)(c)
+      }
+      x.toSeq
     }
+    val terms2 = "intercept" +: (1 to p).map(i => s"ar$i")
+    mm.select(col("series"), solve(gArr, bArr).as("cf"))
+      .select(col("series"), explode(array(terms2.zipWithIndex.map { case (t, i) =>
+        struct(lit(t).as("term"), col("cf").getItem(i).as("coef"))
+      }: _*)).as("s"))
+      .select(col("series"), col("s.term").as("term"), col("s.coef").as("coef"))
+  }
+
+  private def unpivotCoefs(c: DataFrame, terms: Seq[String]): DataFrame =
+    c.select(col("series"), explode(array(terms.zipWithIndex.map { case (t, i) =>
+        struct(lit(t).as("term"), col(s"c$i").as("coef"))
+      }: _*)).as("s"))
+      .select(col("series"), col("s.term").as("term"), col("s.coef").as("coef"))
+
+  /** ARIMA(1,1,1) by differencing + Hannan–Rissanen (reference
+    * tsa/arima.pyx fits batched (p,d,q); this is the distributed
+    * re-expression): d=1 via window difference, a preliminary AR(2) on the
+    * differenced series supplies residuals, then dx_t is regressed on
+    * (dx_{t−1}, e_{t−1}) — intercept + AR(1) + MA(1). Every stage is a
+    * window + grouped aggregate; the only join is coefficient-broadcast
+    * back onto the rows (shuffle key = series). Mirrors its SQL oracle
+    * expression-for-expression. */
+  def arimaHR(series: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("series")).orderBy(col("t"))
+    // d = 1: difference away the trend (what `stationarity` recommends here)
+    val dx = series.withColumn("dx", col("x") - lag(col("x"), 1).over(w))
+      .filter(col("dx").isNotNull)
+      .select(col("series"), col("t"), col("dx"))
+    // step 1: preliminary AR(2) per series → residuals
+    val l = dx
+      .withColumn("l1", lag(col("dx"), 1).over(w))
+      .withColumn("l2", lag(col("dx"), 2).over(w))
+    val f1 = l.filter(col("l1").isNotNull && col("l2").isNotNull)
+    val ar = cramer3(f1, col("dx"), col("l1"), col("l2"))
+    val e = l.join(ar, Seq("series"))
+      .withColumn("e", when(col("l1").isNotNull && col("l2").isNotNull,
+        col("dx") - (col("c0") + col("c1") * col("l1") + col("c2") * col("l2"))))
+    // step 2: dx_t ~ intercept + dx_{t−1} + e_{t−1}
+    val e1 = e.withColumn("e1", lag(col("e"), 1).over(w))
+    val f2 = e1.filter(col("l1").isNotNull && col("e1").isNotNull)
+    unpivotCoefs(cramer3(f2, col("dx"), col("l1"), col("e1")),
+      Seq("intercept", "ar1", "ma1"))
   }
 
   /** Scalar Kalman filter (constant-velocity-free local level model):

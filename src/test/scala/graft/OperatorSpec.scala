@@ -69,4 +69,58 @@ class OperatorSpec extends AnyFunSuite {
     val r = graft.tsa.TimeSeries.kalman1D(df, 0.01, 1.0).head()
     assert(abs(r.getDouble(2) - 5.0) < 1e-6)
   }
+
+  test("SES stays finite on a 3000-point series (no closed-form overflow)") {
+    import spark.implicits._
+    val df = (0 until 3000).map(t => ("s", t.toLong, 100.0 + (t % 13).toDouble))
+      .toDF("series", "t", "x")
+    val last = graft.tsa.TimeSeries.sesSmoothed(df, 0.5)
+      .orderBy(col("t").desc).limit(1).head().getDouble(3)
+    assert(java.lang.Double.isFinite(last) && last > 90.0 && last < 120.0, s"got $last")
+  }
+
+  test("grouped AR fit: general-p Gaussian solve matches the p=2 Cramer path") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = for (s <- Seq("a", "b"); t <- 0 until 60) yield
+      (s, t.toLong, 5.0 + 0.6 * math.sin(t * 0.7) + rnd.nextDouble())
+    val df = rows.toDF("series", "t", "x")
+    val cramer = graft.tsa.TimeSeries.arFit2(df)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val general = graft.tsa.TimeSeries.arFit(df, 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(cramer.keySet == general.keySet)
+    cramer.foreach { case (k, v) => assert(abs(v - general(k)) < 1e-8, s"$k: $v vs ${general(k)}") }
+  }
+
+  test("Holt-Winters seasonal tracks a planted period-7 pattern") {
+    import spark.implicits._
+    val season = Array(4.0, -2.0, 1.0, 0.0, -3.0, 2.0, -2.0)
+    val xs = (0 until 56).map(t => 50.0 + 0.5 * t + season(t % 7))
+    val df = xs.zipWithIndex.map { case (x, t) => ("s", t.toLong, x) }.toDF("series", "t", "x")
+    val r = graft.tsa.TimeSeries.holtWintersSeasonal(df, 0.3, 0.1, 0.2, 7).head()
+    val forecast = r.getDouble(4)
+    val actualNext = 50.0 + 0.5 * 56 + season(56 % 7)
+    assert(abs(forecast - actualNext) < 1.0, s"forecast $forecast vs $actualNext")
+    // trend channel should sit near the planted slope
+    assert(abs(r.getDouble(3) - 0.5) < 0.2, s"trend ${r.getDouble(3)}")
+  }
+
+  test("ARIMA(1,1,1) HR fit recovers a planted AR(1)-on-differences signal") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // dx_t = 0.5 * dx_{t-1} + noise  → integrated series x
+    var dx = 0.0; var x = 100.0
+    val rows = (0 until 400).map { t =>
+      dx = 0.5 * dx + rnd.nextGaussian() * 0.3
+      x += dx
+      ("s", t.toLong, x)
+    }
+    val df = rows.toDF("series", "t", "x")
+    val m = graft.tsa.TimeSeries.arimaHR(df)
+      .collect().map(r => r.getString(1) -> r.getDouble(2)).toMap
+    assert(m.keySet == Set("intercept", "ar1", "ma1"))
+    assert(abs(m("ar1") - 0.5) < 0.25, s"ar1 ${m("ar1")}")
+    assert(abs(m("ma1")) < 0.35, s"ma1 ${m("ma1")}")
+  }
 }
