@@ -7,14 +7,20 @@ import org.apache.spark.sql.functions._
   * cpp/src/dbscan/ — cuML materializes the eps-neighborhood graph on GPU).
   *
   * Spark-first shape for 100 TB:
-  *  1. bucket points into eps-sized grid cells (pure map);
-  *  2. candidate pairs only between points of the SAME or ADJACENT cells
-  *     (shuffle key = cell id — bounded 3×3 fan-out, never all-pairs);
-  *  3. core points from neighbor counts;
-  *  4. connected components on the CELL graph: the number of occupied cells
-  *     is bounded by area/eps² (not by n), so the distinct core-cell edge
-  *     list collapses to a driver-sized union-find — one pass over the
-  *     pairs, no iterative label propagation over points.
+  *  1. bucket points into grid cells of width eps/√2 (pure map). The cell
+  *     DIAGONAL is then exactly eps, so any two points sharing a cell are
+  *     eps-neighbors — cell-level merging is exact, not an approximation
+  *     (an eps-wide cell would merge points up to eps·√2 apart);
+  *  2. candidate pairs only between points within ±2 cells (eps spans at
+  *     most 2 cell widths — bounded 5×5 fan-out, never all-pairs), each
+  *     pair distance-verified against eps;
+  *  3. core points from exact neighbor counts;
+  *  4. connected components on the CELL graph over distance-verified
+  *     core-core edges: exact because same-cell cores are always mutual
+  *     eps-neighbors (1.), and the number of occupied cells is bounded by
+  *     area/cellWidth² (not by n), so the distinct core-cell edge list
+  *     collapses to a driver-sized union-find — one pass over the pairs,
+  *     no iterative label propagation over points.
   */
 object DBSCANGrid {
   def fit(points: DataFrame, idCol: String, xCol: String, yCol: String,
@@ -22,15 +28,18 @@ object DBSCANGrid {
     val pts = points.select(col(idCol).cast("long").as("id"),
       col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y"))
 
-    // 1. cell coordinates packed into one long key (21-bit signed halves)
-    val cellKey = (floor(col("x") / eps).cast("long") + 1048576L) * 4194304L +
-      (floor(col("y") / eps).cast("long") + 1048576L)
+    // 1. cell coordinates packed into one long key (21-bit signed halves;
+    // wraps only past |coord/cw| > 2^20 — document-scale inputs here are
+    // far inside that envelope)
+    val cw = eps / math.sqrt(2.0)
+    val cellKey = (floor(col("x") / cw).cast("long") + 1048576L) * 4194304L +
+      (floor(col("y") / cw).cast("long") + 1048576L)
     val withCell = pts.withColumn("cell", cellKey).cache()
 
-    // 2. candidate pairs via 3×3 replication of the build side; the id<bid
+    // 2. candidate pairs via 5×5 replication of the build side; the id<bid
     // guard sits BEFORE the distance test so each unordered pair pays the
     // arithmetic once (both orientations are reconstructed for degrees)
-    val offsets = for (dx <- -1L to 1L; dy <- -1L to 1L) yield dx * 4194304L + dy
+    val offsets = for (dx <- -2L to 2L; dy <- -2L to 2L) yield dx * 4194304L + dy
     val build = withCell.select(col("id").as("bid"), col("x").as("bx"),
         col("y").as("by"), col("cell"))
       .withColumn("cell", explode(array(offsets.map(o => col("cell") + o): _*)))

@@ -35,6 +35,24 @@ object GradientSolver {
       when(ypm * m < 1.0, -ypm).otherwise(lit(0.0))
   }
 
+  /** One-pass feature stats. Null stats (empty input) fall back to (0,1);
+    * NaN or ~0 stddev (single row / constant column) falls back to scale 1
+    * so a degenerate column can't poison every standardized feature. */
+  private def featureStats(df: DataFrame, fx0: Seq[Column]): (Array[Double], Array[Double]) = {
+    val p = fx0.size
+    val aggs = fx0.flatMap(c => Seq(avg(c), stddev_samp(c)))
+    val st = df.agg(aggs.head, aggs.tail: _*).head()
+    val mu = Array.tabulate(p)(i => if (st.isNullAt(2 * i)) 0.0 else st.getDouble(2 * i))
+    val sd = Array.tabulate(p) { i =>
+      if (st.isNullAt(2 * i + 1)) 1.0
+      else {
+        val s = st.getDouble(2 * i + 1)
+        if (s.isNaN || s < 1e-12) 1.0 else s
+      }
+    }
+    (mu, sd)
+  }
+
   def fit(df: DataFrame, features: Seq[String], label: String, loss: Loss,
           lr: Double = 0.05, iters: Int = 40, batchFraction: Double = 1.0,
           l2: Double = 0.0, seed: Long = 42L, standardize: Boolean = true): LinearModel = {
@@ -44,11 +62,7 @@ object GradientSolver {
     val (fx, shift, sc) =
       if (!standardize) (fx0, Array.fill(features.size)(0.0), Array.fill(features.size)(1.0))
       else {
-        val st = df.agg(
-          fx0.flatMap(c => Seq(avg(c), stddev_samp(c))).head,
-          fx0.flatMap(c => Seq(avg(c), stddev_samp(c))).tail: _*).head()
-        val mu = Array.tabulate(features.size)(i => st.getDouble(2 * i))
-        val sd = Array.tabulate(features.size)(i => math.max(st.getDouble(2 * i + 1), 1e-12))
+        val (mu, sd) = featureStats(df, fx0)
         (fx0.zipWithIndex.map { case (c, i) => (c - mu(i)) / sd(i) }, mu, sd)
       }
     val proj = df.select((fx :+ y.as("_y")).zipWithIndex.map {
@@ -80,18 +94,18 @@ object GradientSolver {
     } finally proj.unpersist()
   }
 
-  /** Quasi-Newton (L-BFGS) logistic regression — cuML's QN solver. One
-    * aggregate pass per objective evaluation; breeze drives the search. */
+  /** Quasi-Newton (L-BFGS) fit — cuML's QN solver surface. One aggregate
+    * pass per objective evaluation; breeze drives the search. LogisticLoss
+    * gives cuML's QN logistic regression; HingeLoss gives the squared-hinge
+    * linear SVC (smooth, so L-BFGS converges — the same loss cuML's
+    * LinearSVC/QN path optimizes). */
   def fitQN(df: DataFrame, features: Seq[String], label: String,
-            l2: Double = 0.0, maxIter: Int = 50): LinearModel = {
+            l2: Double = 0.0, maxIter: Int = 50,
+            loss: Loss = LogisticLoss): LinearModel = {
     val p = features.size
     val fx0 = features.map(c => col(c).cast("double"))
     // standardize: mixed feature scales stall the line search otherwise
-    val st = df.agg(
-      fx0.flatMap(c => Seq(avg(c), stddev_samp(c))).head,
-      fx0.flatMap(c => Seq(avg(c), stddev_samp(c))).tail: _*).head()
-    val mu = Array.tabulate(p)(i => st.getDouble(2 * i))
-    val sd = Array.tabulate(p)(i => math.max(st.getDouble(2 * i + 1), 1e-12))
+    val (mu, sd) = featureStats(df, fx0)
     val fx = fx0.zipWithIndex.map { case (c, i) => (c - mu(i)) / sd(i) }
     val proj = df.select((fx :+ col(label).cast("double").as("_y")).zipWithIndex.map {
       case (c, i) => if (i < p) c.as(s"_f$i") else c
@@ -104,18 +118,25 @@ object GradientSolver {
           val m = margin(w.toArray, fcols)
           val yc = col("_y")
           val ypm = yc * 2.0 - 1.0
-          // log(1+exp(-z)) computed stably: max(0,-z) + log1p(exp(-|z|))
           val z = ypm * m
-          val lossE = greatest(lit(0.0), -z) + log1p(exp(-abs(z)))
-          val g = lit(1.0) / (lit(1.0) + exp(-m)) - yc
+          val (lossE, g) = loss match {
+            case HingeLoss =>
+              // squared hinge: max(0, 1−z)²; d/dm = −2·y±·max(0, 1−z)
+              val hz = greatest(lit(0.0), lit(1.0) - z)
+              (hz * hz, lit(-2.0) * ypm * hz)
+            case _ =>
+              // log(1+exp(-z)) computed stably: max(0,-z) + log1p(exp(-|z|))
+              (greatest(lit(0.0), -z) + log1p(exp(-abs(z))),
+                lit(1.0) / (lit(1.0) + exp(-m)) - yc)
+          }
           val aggs = sum(lossE) +: (sum(g) +: fcols.map(c => sum(g * c)))
           val row = proj.agg(aggs.head, aggs.tail: _*).head()
-          val loss = row.getDouble(0) / n +
+          val lossV = row.getDouble(0) / n +
             0.5 * l2 * (1 until p + 1).map(i => w(i) * w(i)).sum
           val grad = DenseVector.tabulate(p + 1) { i =>
             row.getDouble(i + 1) / n + (if (i == 0) 0.0 else l2 * w(i))
           }
-          (loss, grad)
+          (lossV, grad)
         }
       }
       val opt = new LBFGS[DenseVector[Double]](maxIter = maxIter, m = 7, tolerance = 1e-9)

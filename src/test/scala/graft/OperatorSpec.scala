@@ -70,6 +70,56 @@ class OperatorSpec extends AnyFunSuite {
     assert(abs(r.getDouble(2) - 5.0) < 1e-6)
   }
 
+  test("DBSCANGrid matches brute-force DBSCAN exactly on 2k random points") {
+    import spark.implicits._
+    // mixture of three dense blobs + uniform noise; plenty of near-eps
+    // pairs, which is exactly where an eps-wide-cell grid over-merges
+    val rnd = new scala.util.Random(42)
+    val blob = (cx: Double, cy: Double, n: Int, o: Int) => (0 until n).map { i =>
+      (o + i.toLong, cx + rnd.nextGaussian() * 1.5, cy + rnd.nextGaussian() * 1.5)
+    }
+    val pts = blob(0.0, 0.0, 600, 0) ++ blob(8.0, 2.0, 600, 1000) ++
+      blob(3.0, 9.0, 500, 2000) ++
+      (0 until 300).map(i => (5000L + i, rnd.nextDouble() * 24 - 6, rnd.nextDouble() * 24 - 6))
+    val eps = 0.8; val minPts = 5
+    // brute-force reference with the same labeling conventions:
+    // cluster = min core id of the component, border -> min neighbor cluster
+    val arr = pts.toArray
+    val n = arr.length
+    def d2(a: (Long, Double, Double), b: (Long, Double, Double)) = {
+      val dx = a._2 - b._2; val dy = a._3 - b._3; dx * dx + dy * dy
+    }
+    val neigh = Array.fill(n)(List.empty[Int])
+    for (i <- 0 until n; j <- i + 1 until n if d2(arr(i), arr(j)) <= eps * eps) {
+      neigh(i) ::= j; neigh(j) ::= i
+    }
+    val isCore = (0 until n).map(i => neigh(i).size >= minPts - 1)
+    val parent = Array.tabulate(n)(identity)
+    def find(a: Int): Int = { var r = a; while (parent(r) != r) r = parent(r); parent(a) = r; r }
+    for (i <- 0 until n if isCore(i); j <- neigh(i) if isCore(j)) {
+      val (ri, rj) = (find(i), find(j)); if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
+    }
+    val compLabel = scala.collection.mutable.Map.empty[Int, Long]
+    for (i <- 0 until n if isCore(i)) {
+      val r = find(i)
+      compLabel(r) = math.min(compLabel.getOrElse(r, Long.MaxValue), arr(i)._1)
+    }
+    val want = (0 until n).map { i =>
+      val cl =
+        if (isCore(i)) compLabel(find(i))
+        else {
+          val cs = neigh(i).filter(isCore).map(j => compLabel(find(j)))
+          if (cs.isEmpty) -1L else cs.min
+        }
+      arr(i)._1 -> (isCore(i), cl)
+    }.toMap
+    val got = DBSCANGrid.fit(pts.toDF("id", "x", "y"), "id", "x", "y", eps, minPts)
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getLong(2))).toMap
+    assert(got.size == n)
+    val bad = want.keys.filter(k => got(k) != want(k))
+    assert(bad.isEmpty, s"${bad.size} mismatches, e.g. ${bad.take(5).map(k => (k, got(k), want(k)))}")
+  }
+
   test("SES stays finite on a 3000-point series (no closed-form overflow)") {
     import spark.implicits._
     val df = (0 until 3000).map(t => ("s", t.toLong, 100.0 + (t % 13).toDouble))
@@ -104,6 +154,24 @@ class OperatorSpec extends AnyFunSuite {
     assert(abs(forecast - actualNext) < 1.0, s"forecast $forecast vs $actualNext")
     // trend channel should sit near the planted slope
     assert(abs(r.getDouble(3) - 0.5) < 0.2, s"trend ${r.getDouble(3)}")
+  }
+
+  test("squared-hinge QN SVC separates a planted margin with high accuracy") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    // labels decided by 2*x0 - x1 + 0.5 with a small noise band
+    val rows = (0 until 2000).map { i =>
+      val x0 = rnd.nextDouble() * 10; val x1 = rnd.nextDouble() * 10
+      val lab = if (2.0 * x0 - x1 + 0.5 + rnd.nextGaussian() * 0.3 > 0) 1.0 else 0.0
+      (i.toLong, x0, x1, lab)
+    }
+    val df = rows.toDF("id", "x0", "x1", "lab")
+    val out = graft.svm.SVMGraft.linearSvcSummary(df, Seq("x0", "x1"), col("lab"),
+      regParam = 0.01, maxIter = 50).collect()
+    val acc = out.head.getDouble(2)
+    val coefs = out.map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(acc > 0.95, s"accuracy $acc")
+    assert(coefs("x0") > 0 && coefs("x1") < 0, s"sign structure: $coefs")
   }
 
   test("ARIMA(1,1,1) HR fit recovers a planted AR(1)-on-differences signal") {
