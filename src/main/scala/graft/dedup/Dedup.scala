@@ -116,9 +116,29 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Embedding near-dup with LSH candidate generation — the 100 TB path:
+    * pairs form only inside random-hyperplane buckets (graft.neighbors
+    * .KNN.lshBuckets), so the join key is the bucket id and the pair count
+    * is Σ bucket² instead of n². Same scoring/ordering contract as the
+    * exact `embeddingTopPairs`; near-identical output when the similar
+    * pairs collide in a bucket (16 bits keeps near-dups together whp). */
+  def embeddingTopPairsLsh(df: DataFrame, idCol: String, vecCol: String,
+                           topN: Int, bits: Int, dim: Int): DataFrame = {
+    val b = graft.neighbors.KNN.lshBuckets(df, idCol, vecCol, bits, dim)
+      .withColumn("n2", VectorOps.sqNormFixed(col("v"), dim))
+    val sim = VectorOps.dotFixed(col("a.v"), col("b.v"), dim) /
+      sqrt(col("a.n2") * col("b.n2"))
+    b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"), sim.as("_sim"))
+      .orderBy(col("_sim").desc, col("id1"), col("id2"))
+      .limit(topN)
+      .select(col("id1"), col("id2"), r4(col("_sim")).as("cosine"))
+  }
+
   /** Embedding near-dup: top-N most-similar pairs by cosine. Exact
-    * all-pairs here; the 100 TB path swaps the self-join for the LSH/IVF
-    * candidate generator in graft.neighbors. */
+    * all-pairs here (the oracle-checked reference); use
+    * `embeddingTopPairsLsh` at corpus scale. */
   def embeddingTopPairs(df: DataFrame, idCol: String, vecCol: String, topN: Int): DataFrame = {
     val e0 = df.select(col(idCol).cast("long").as("id"),
       col(vecCol).cast("array<double>").as("v"))

@@ -4,8 +4,7 @@ import graft.core.VectorOps
 import org.apache.spark.ml.clustering.{KMeans => MLKMeans}
 import org.apache.spark.ml.linalg.{Vectors => MLVectors}
 import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.sql.{DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** IVF (inverted-file) approximate nearest neighbors: a k-means coarse
@@ -69,9 +68,9 @@ object IVF {
     val s = VectorOps.dotFixed(col("qv"), col("cv"), dim) /
       sqrt(VectorOps.sqNormFixed(col("qv"), dim) * VectorOps.sqNormFixed(col("cv"), dim))
     val pairs = q.join(data, Seq("cell")).select(col("qid"), col("id"), s.as("_s"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("_s").desc, col("id").asc)
-    pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("id"), round(col("_s"), 4).as("score"))
+    // bounded-heap rerank (map-side combined) instead of a row_number
+    // window over the full O(candidates) pair set
+    KNN.topKPerKey(pairs, k, KNN.nearFirst(KNN.Cosine))
   }
 
   /** Recall@k of the IVF result against brute force — the query-surface

@@ -3,7 +3,6 @@ package graft.neighbors
 import graft.core.VectorOps
 import graft.core.Num.{r4, md5Long}
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Nearest-neighbor search (reference python/cuml/neighbors/
@@ -60,7 +59,7 @@ object KNN {
   }
 
   /** True when `a` ranks nearer than `b` (score, id). */
-  private def nearFirst(metric: Metric): ((Double, Long), (Double, Long)) => Boolean =
+  private[neighbors] def nearFirst(metric: Metric): ((Double, Long), (Double, Long)) => Boolean =
     metric match {
       case Cosine    => (a, b) => a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
       case Euclidean => (a, b) => a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
@@ -120,7 +119,10 @@ object KNN {
     }
   }
 
-  /** ANN via LSH: candidates share a bucket; exact rerank inside. */
+  /** ANN via LSH: candidates share a bucket; exact rerank inside. The
+    * rerank reuses the bounded-heap topKPerKey reduction — map-side
+    * combined, so the shuffle carries q·k rows per partition instead of
+    * the full O(candidate-pairs) set a row_number window would move. */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String, k: Int, bits: Int,
               dim: Int, metric: Metric = Cosine): DataFrame = {
     val b = lshBuckets(df, idCol, vecCol, bits, dim)
@@ -128,12 +130,6 @@ object KNN {
     val pairs = b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") =!= col("b.id"))
       .select(col("a.id").as("qid"), col("b.id").as("id"), s.as("_s"))
-    val ord = metric match {
-      case Cosine    => Seq(col("_s").desc, col("id").asc)
-      case Euclidean => Seq(col("_s").asc, col("id").asc)
-    }
-    val w = Window.partitionBy(col("qid")).orderBy(ord: _*)
-    pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("id"), r4(col("_s")).as("score"))
+    topKPerKey(pairs, k, nearFirst(metric))
   }
 }

@@ -39,6 +39,10 @@ object VectorQueries {
     "dedup_embedding" -> { (s, d) =>
       Dedup.embeddingTopPairs(Tables.embeddings(s, d), "vec_id", "embedding", 20)
     },
+    "dedup_embedding_lsh" -> { (s, d) =>
+      Dedup.embeddingTopPairsLsh(Tables.embeddings(s, d), "vec_id", "embedding",
+        topN = 20, bits = 8, dim = 64)
+    },
     "ann_lsh" -> { (s, d) =>
       KNN.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding",
           k = 3, bits = 8, dim = 64)
@@ -113,20 +117,22 @@ object VectorQueries {
        |FROM e ORDER BY id LIMIT 50""".stripMargin
   }
 
-  private def lshOracle: String = {
-    val sig = (0 until 8).map { b =>
-      s"(CASE WHEN list_sum(list_transform(range(0, 64), i -> v[i+1] * ${planeEntry(b)})) >= 0 " +
-        s"THEN ${1L << b} ELSE 0 END)"
-    }.mkString(" + ")
+  /** The md5-seeded 8-bit random-hyperplane signature (KNN.lshBuckets),
+    * replayed entry-for-entry in SQL. */
+  private val lshSigSql: String = (0 until 8).map { b =>
+    s"(CASE WHEN list_sum(list_transform(range(0, 64), i -> v[i+1] * ${planeEntry(b)})) >= 0 " +
+      s"THEN ${1L << b} ELSE 0 END)"
+  }.mkString(" + ")
+
+  private def lshOracle: String =
     s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
-       |bkt AS (SELECT id, v, $sig AS bucket FROM e),
+       |bkt AS (SELECT id, v, $lshSigSql AS bucket FROM e),
        |p AS (SELECT a.id AS qid, b.id AS id, $cosSql AS s
        |  FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.id <> b.id),
        |r AS (SELECT qid, s, row_number() OVER (PARTITION BY qid ORDER BY s DESC, id) AS rank FROM p),
        |f AS (SELECT qid, max(rank) AS found FROM r WHERE rank <= 3 GROUP BY qid)
        |SELECT count(*)::BIGINT AS n_queries_with_candidates,
        |  round(avg(found), 6) AS avg_found FROM f""".stripMargin
-  }
 
   /** UMAP σ bisection replayed in SQL: the per-node 64-step binary search
     * runs as a recursive CTE over the collected (rank-ordered) neighbor
@@ -225,6 +231,13 @@ object VectorQueries {
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |p AS (SELECT a.vec_id AS id1, b.vec_id AS id2, $cosSql AS s
          |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         |SELECT id1::BIGINT AS id1, id2::BIGINT AS id2, round(s, 4) AS cosine
+         |FROM p ORDER BY s DESC, id1, id2 LIMIT 20""".stripMargin,
+    "dedup_embedding_lsh" ->
+      s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+         |bkt AS (SELECT id, v, $lshSigSql AS bucket FROM e),
+         |p AS (SELECT a.id AS id1, b.id AS id2, $cosSql AS s
+         |  FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.id < b.id)
          |SELECT id1::BIGINT AS id1, id2::BIGINT AS id2, round(s, 4) AS cosine
          |FROM p ORDER BY s DESC, id1, id2 LIMIT 20""".stripMargin
   )

@@ -95,4 +95,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p.take(3000))
     assert(p.split("Exchange").head.nonEmpty)
   }
+
+  test("LSH/IVF reranks and LSH dedup avoid windows over the candidate-pair set") {
+    val e = Tables.embeddings(spark, sf)
+    val lsh = planOf(KNN.lshTopK(e, "vec_id", "embedding", 3, 8, 64))
+    assert(!lsh.contains("Window"), lsh.take(3000))
+    val idx = graft.neighbors.IVF.train(e, "embedding", nCells = 4)
+    val ivf = planOf(graft.neighbors.IVF.topK(e, e.filter(col("vec_id") < 5),
+      "vec_id", "embedding", idx, k = 3, nprobe = 2))
+    assert(!ivf.contains("Window"), ivf.take(3000))
+    val lshDedup = planOf(graft.dedup.Dedup.embeddingTopPairsLsh(
+      e, "vec_id", "embedding", 20, 8, 64))
+    // candidate generation must be an equi-join on the bucket id — an
+    // all-pairs nested-loop/cartesian plan is exactly what this fixes
+    assert(!lshDedup.contains("NestedLoopJoin") && !lshDedup.contains("CartesianProduct"),
+      lshDedup.take(3000))
+  }
 }
