@@ -33,6 +33,31 @@ object PCAGraft {
     fromCovariance(new DenseMatrix(cov.numRows, cov.numCols, cov.toArray))
   }
 
+  /** Per-dimension means of an array column — one aggregate pass (the
+    * centering vector for transform). */
+  def columnMeans(df: DataFrame, vecCol: String, dim: Int): Array[Double] = {
+    val v = col(vecCol).cast("array<double>")
+    val aggs = (0 until dim).map(i => avg(element_at(v, i + 1)))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    Array.tabulate(dim)(row.getDouble)
+  }
+
+  /** PCA.transform for wide vectors (reference decomposition/pca.pyx
+    * transform): project each row onto the top-k eigenvectors. The centering
+    * collapses into a per-component scalar (score = v·w_c − μ·w_c), so the
+    * projection is k codegen'd dot products — a pure map at any scale. */
+  def transformWide(df: DataFrame, idCol: String, vecCol: String,
+                    r: Result, k: Int, means: Array[Double]): DataFrame = {
+    val dim = means.length
+    val v = col(vecCol).cast("array<double>")
+    val outs = (0 until k).map { c =>
+      val w = Array.tabulate(dim)(i => r.components(i, c))
+      val base = (0 until dim).map(i => means(i) * w(i)).sum
+      (graft.core.VectorOps.dotFixed(v, lit(w), dim) - base).as(s"pc$c")
+    }
+    df.select((col(idCol).cast("long").as("id") +: outs): _*)
+  }
+
   def fromCovariance(cov: DenseMatrix[Double]): Result = {
     val es = eigSym(cov)
     val order = es.eigenvalues.toArray.zipWithIndex.sortBy(-_._1).map(_._2)

@@ -41,6 +41,26 @@ object Forest {
       .orderBy(col("pred_class"))
   }
 
+  /** Gini-based feature importances of the seeded RF classifier (reference
+    * randomforest's feature_importances_): MLlib accumulates per-split
+    * impurity gains during the distributed fit, so this is free at any
+    * scale — the output is just the normalized vector. */
+  def classifierImportances(df: DataFrame, features: Seq[String], labelCol: String,
+                            numTrees: Int = 20, maxDepth: Int = 5, seed: Long = 42L): DataFrame = {
+    val input0 = withFeatures(df, features, Seq("_labstr" -> col(labelCol)))
+    val si = new StringIndexer().setInputCol("_labstr").setOutputCol("_lab")
+      .setStringOrderType("alphabetAsc")
+    val input = si.fit(input0).transform(input0)
+    val rf = new RandomForestClassifier().setFeaturesCol("_fv").setLabelCol("_lab")
+      .setNumTrees(numTrees).setMaxDepth(maxDepth).setSeed(seed)
+    val imp = rf.fit(input).featureImportances
+    val spark = df.sparkSession
+    import spark.implicits._
+    features.zipWithIndex.map { case (f, i) =>
+      (f, math.rint(imp(i) * 10000) / 10000)
+    }.toDF("feature", "importance").orderBy(col("importance").desc, col("feature"))
+  }
+
   def regressorSummary(df: DataFrame, features: Seq[String], labelCol: String,
                        numTrees: Int = 20, maxDepth: Int = 5, seed: Long = 42L): DataFrame = {
     val input = withFeatures(df, features, Seq("_y" -> col(labelCol).cast("double")))

@@ -73,6 +73,10 @@ object MLQueries {
       Forest.classifierSummary(Tables.lineitem(s, d), LiFeatures, "l_returnflag",
         numTrees = 10)
     },
+    "rf_importance" -> { (s, d) =>
+      Forest.classifierImportances(Tables.lineitem(s, d), LiFeatures, "l_returnflag",
+        numTrees = 10)
+    },
     "rf_regressor" -> { (s, d) =>
       Forest.regressorSummary(Tables.lineitem(s, d), LiFeatures, "l_extendedprice",
         numTrees = 10)

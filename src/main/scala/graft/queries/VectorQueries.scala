@@ -68,6 +68,26 @@ object VectorQueries {
           (i, math.rint(ev * 10000) / 10000, math.rint(ra * 1000000) / 1000000)
         }.toSeq.toDF("component", "eigenvalue", "explained_ratio")
     },
+    "pca_transform" -> { (s, d) =>
+      // project 64-dim embeddings onto the top-4 PCs; summary = per-PC
+      // mean (≈0 by centering) and variance (= eigenvalue, the invariant
+      // the ScalaTest checks). Eigensolver output → rows-only check.
+      val e = Tables.embeddings(s, d)
+      val r = PCAGraft.fitWide(e, "embedding")
+      val mu = PCAGraft.columnMeans(e, "embedding", 64)
+      val k = 4
+      val scores = PCAGraft.transformWide(e, "vec_id", "embedding", r, k, mu)
+      val aggs = (0 until k).flatMap(c =>
+        Seq(avg(col(s"pc$c")).as(s"_m$c"), var_samp(col(s"pc$c")).as(s"_v$c")))
+      scores.agg(aggs.head, aggs.tail: _*)
+        .select(explode(array((0 until k).map(c =>
+          struct(lit(c).as("component"),
+            round(col(s"_m$c"), 4).as("mean_score"),
+            round(col(s"_v$c"), 4).as("var_score"))): _*)).as("s"))
+        .select(col("s.component").as("component"), col("s.mean_score").as("mean_score"),
+          col("s.var_score").as("var_score"))
+        .orderBy("component")
+    },
     "tsvd" -> { (s, d) =>
       import s.implicits._
       TSVDGraft.singularValues(Tables.embeddings(s, d), "embedding", 8)
@@ -222,8 +242,10 @@ object VectorQueries {
         |    CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio'
         |         ELSE 'video' END AS media_type
         |  FROM documents),
-        |ch AS (SELECT doc_id, unnest(range(1, strlen(text) + 1)) AS i, text FROM documents),
-        |bm AS (SELECT doc_id, avg(ascii(substr(text, i, 1))::DOUBLE) AS bmean FROM ch GROUP BY doc_id)
+        |ch AS (SELECT doc_id, unnest(range(0, strlen(text))) AS i,
+        |    hex(encode(text)) AS hx FROM documents),
+        |bm AS (SELECT doc_id, avg((('0x' || substr(hx, 2*i + 1, 2))::INT)::DOUBLE) AS bmean
+        |  FROM ch GROUP BY doc_id)
         |SELECT media_type, count(*)::BIGINT AS n, round(avg(n_bytes), 4) AS avg_bytes,
         |  round(avg(bmean), 4) AS avg_feat_mean
         |FROM b JOIN bm USING (doc_id) GROUP BY media_type ORDER BY media_type""".stripMargin,

@@ -156,6 +156,22 @@ class OperatorSpec extends AnyFunSuite {
     assert(abs(r.getDouble(3) - 0.5) < 0.2, s"trend ${r.getDouble(3)}")
   }
 
+  test("wide PCA transform: per-component score variance equals the eigenvalue") {
+    import graft.decomposition.PCAGraft
+    val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val r = PCAGraft.fitWide(e, "embedding")
+    val mu = PCAGraft.columnMeans(e, "embedding", 64)
+    val scores = PCAGraft.transformWide(e, "vec_id", "embedding", r, 3, mu)
+    val row = scores.agg(
+      var_samp(col("pc0")), var_samp(col("pc1")), var_samp(col("pc2")),
+      avg(col("pc0")), avg(col("pc1")), avg(col("pc2"))).head()
+    for (c <- 0 until 3) {
+      assert(abs(row.getDouble(c) - r.explainedVar(c)) / r.explainedVar(c) < 1e-6,
+        s"pc$c var ${row.getDouble(c)} vs eigenvalue ${r.explainedVar(c)}")
+      assert(abs(row.getDouble(3 + c)) < 1e-8, s"pc$c mean ${row.getDouble(3 + c)}")
+    }
+  }
+
   test("squared-hinge QN SVC separates a planted margin with high accuracy") {
     import spark.implicits._
     val rnd = new scala.util.Random(3)
