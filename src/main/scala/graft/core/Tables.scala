@@ -16,12 +16,27 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** Repartition only when the plan under-partitions the cluster (small
+  /** Repartition only when the scan under-partitions the cluster (small
     * single-file local inputs). A big scan already carries enough
-    * partitions and is left untouched — no gratuitous shuffle at scale. */
+    * partitions and is left untouched — no gratuitous shuffle at scale.
+    * Estimated from the input file listing + maxPartitionBytes split math
+    * (what FileSourceScanExec packs), NOT via df.rdd — the RDD conversion
+    * would physical-plan the query a second time on every call. */
   def ensureParallelism(df: DataFrame): DataFrame = {
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    val spark = df.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    val files = df.inputFiles
+    if (files.isEmpty || files.length >= par) df
+    else {
+      val conf = spark.sessionState.newHadoopConf()
+      val maxBytes = spark.sessionState.conf.filesMaxPartitionBytes
+      val total = files.map { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(conf).getFileStatus(p).getLen
+      }.sum
+      val est = math.max(files.length.toLong, (total + maxBytes - 1) / maxBytes)
+      if (est < par) df.repartition(par) else df
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")

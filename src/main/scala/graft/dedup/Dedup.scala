@@ -58,6 +58,9 @@ object Dedup {
     * Shuffle key = (band, band-hash): uniform, bounded buckets. */
   def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
                         p: MinHashParams = MinHashParams()): DataFrame = {
+    require(p.numHashes % p.rowsPerBand == 0,
+      s"numHashes (${p.numHashes}) must be a multiple of rowsPerBand " +
+        s"(${p.rowsPerBand}) — trailing hashes would be silently dropped")
     // cache: the signature table (n × numHashes longs) is read 2·nBands
     // times by the band union + self-join below
     val sigs = minhashSignatures(df, textCol, idCol, p).cache()
@@ -74,17 +77,24 @@ object Dedup {
       .distinct()
   }
 
-  /** 16-bit SimHash per doc: sign-sum of token-hash bits. */
+  /** SimHash bit width: 60 (all bits of the md5-derived hash — birthday
+    * collisions at ~2³⁰ docs, vs ~300 for the earlier 16-bit variant). */
+  val SimhashBits = 60
+
+  /** 60-bit SimHash per doc: sign-sum of token-hash bits, ONE aggregation.
+    * The per-bit ±1 sums are 60 agg columns over the token rows (map-side
+    * combined) — no bit-explode, so the shuffle carries one row per
+    * (doc, token) instead of bits× that. */
   def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val toks = TextOps.tokens(normText(col(textCol)))
     val tok = df.select(col(idCol).cast("long").as("doc"), explode(toks).as("tok"))
-      .withColumn("h", Num.md5Long(col("tok")) % 65536)
-      .withColumn("b", explode(sequence(lit(0), lit(15))))
-      .withColumn("bit", expr("CASE WHEN shiftright(h, b) % 2 = 1 THEN 1 ELSE -1 END"))
-    tok.groupBy(col("doc"), col("b"))
-      .agg(sum(col("bit")).as("v"))
-      .groupBy(col("doc"))
-      .agg(sum(when(col("v") > 0, expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(lit(0L))).as("simhash"))
+      .withColumn("h", Num.md5Long(col("tok")))
+    val sums = (0 until SimhashBits).map(b =>
+      sum(when(shiftright(col("h"), b) % 2 === 1, 1L).otherwise(-1L)).as(s"v$b"))
+    tok.groupBy(col("doc")).agg(sums.head, sums.tail: _*)
+      .select(col("doc"),
+        (0 until SimhashBits).map(b =>
+          when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _).as("simhash"))
   }
 
   /** n-gram Jaccard similarity for candidate pairs (same `source`, nearby

@@ -21,13 +21,15 @@ object Multimodal {
       StructField("height", IntegerType))))))
 
   /** Wrap documents as fake media rows: payload = utf8 bytes, metadata
-    * derived deterministically. Pure column expressions. */
+    * derived deterministically. Pure column expressions. n_bytes is the
+    * BYTE length (octet_length) — the payload contract is byte-based, and
+    * the oracle indexes bytes too, so the parity holds beyond ASCII. */
   def asMedia(documents: DataFrame): DataFrame =
     documents.select(
       col("doc_id").cast("long"),
       col("text").cast("binary").as("payload"),
       struct(
-        length(col("text")).cast("long").as("n_bytes"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
         when(col("doc_id") % 3 === 0, "image")
           .when(col("doc_id") % 3 === 1, "audio").otherwise("video").as("media_type"),
         (col("doc_id") % 640 + 16).cast("int").as("width"),

@@ -94,16 +94,19 @@ object TextQueries {
          |SELECT DISTINCT l.doc_id::BIGINT AS doc1, r.doc_id::BIGINT AS doc2
          |FROM bands l JOIN bands r ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id
          |ORDER BY doc1, doc2""".stripMargin,
-    "dedup_simhash" ->
+    "dedup_simhash" -> {
+      // 60 per-bit sign-sums in one grouped select, mirroring Dedup.simhash
+      val bitTerms = (0 until 60).map { b =>
+        s"(CASE WHEN sum(CASE WHEN (h >> $b) % 2 = 1 THEN 1 ELSE -1 END) > 0" +
+          s" THEN (1::BIGINT << $b) ELSE 0::BIGINT END)"
+      }.mkString(" + ")
       s"""WITH n AS (SELECT doc_id, $normToks AS toks FROM documents),
          |tk AS (SELECT doc_id, unnest(toks) AS tok FROM n),
-         |th AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT % 65536 AS h FROM tk),
-         |tb AS (SELECT doc_id, bits.b AS b, CASE WHEN (h >> bits.b) % 2 = 1 THEN 1 ELSE -1 END AS bit
-         |  FROM th, (SELECT unnest(range(0, 16)) AS b) bits),
-         |v AS (SELECT doc_id, b, sum(bit) AS v FROM tb GROUP BY 1, 2)
+         |th AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tk)
          |SELECT doc_id::BIGINT AS doc,
-         |  sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
-         |FROM v GROUP BY doc_id ORDER BY doc""".stripMargin,
+         |  ($bitTerms)::BIGINT AS simhash
+         |FROM th GROUP BY doc_id ORDER BY doc""".stripMargin
+    },
     "ngram_jaccard" ->
       s"""WITH n AS (SELECT doc_id, source, $normToks AS toks FROM documents),
          |sh AS (SELECT DISTINCT doc_id, source, unnest(CASE WHEN len(toks) >= 2
