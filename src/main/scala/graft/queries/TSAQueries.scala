@@ -50,6 +50,10 @@ object TSAQueries {
     "kalman_1d" -> { (s, d) =>
       TimeSeries.kalman1D(TimeSeries.dailySeries(Tables.events(s, d)), 0.1, 2.0)
         .orderBy("series")
+    },
+    "kalman_cv" -> { (s, d) =>
+      TimeSeries.kalmanCV(TimeSeries.dailySeries(Tables.events(s, d)), 0.05, 0.01, 2.0)
+        .orderBy("series")
     }
   )
 
@@ -114,6 +118,36 @@ object TSAQueries {
          |    row_number() OVER (PARTITION BY series ORDER BY t DESC) AS rn FROM hw)
          |SELECT series, t AS t_last, round(l, 4) AS level, round(b, 4) AS trend,
          |  round(f, 4) AS forecast1
+         |FROM last WHERE rn = 1 ORDER BY series""".stripMargin,
+    "kalman_cv" ->
+      s"""WITH RECURSIVE s0 AS ($dailySql),
+         |s AS (SELECT series, x, (row_number() OVER (PARTITION BY series ORDER BY day) - 1)::BIGINT AS t FROM s0),
+         |kf AS (
+         |  SELECT series, t, x AS x0, 0.0::DOUBLE AS x1, 1.0::DOUBLE AS p00,
+         |    0.0::DOUBLE AS p01, 1.0::DOUBLE AS p11, 0.0::DOUBLE AS si
+         |  FROM s WHERE t = 0
+         |  UNION ALL
+         |  SELECT series, t,
+         |    x0p + k0 * iv AS x0,
+         |    x1 + k1 * iv AS x1,
+         |    (1.0 - k0) * p00p AS p00,
+         |    (1.0 - k0) * p01p AS p01,
+         |    p11p - k1 * p01p AS p11,
+         |    si + iv * iv AS si
+         |  FROM (
+         |    SELECT q1.*, p00p / (p00p + 2.0) AS k0, p01p / (p00p + 2.0) AS k1,
+         |      x - x0p AS iv
+         |    FROM (
+         |      SELECT kf.series, n.t, n.x, kf.x1, kf.si,
+         |        kf.x0 + kf.x1 AS x0p,
+         |        kf.p00 + kf.p01 + kf.p01 + kf.p11 + 0.05 AS p00p,
+         |        kf.p01 + kf.p11 AS p01p,
+         |        kf.p11 + 0.01 AS p11p
+         |      FROM kf JOIN s n ON n.series = kf.series AND n.t = kf.t + 1) q1) q2),
+         |last AS (SELECT series, t, x0, x1, p00, si,
+         |    row_number() OVER (PARTITION BY series ORDER BY t DESC) AS rn FROM kf)
+         |SELECT series, t AS t_last, round(x0, 4) AS level, round(x1, 4) AS trend,
+         |  round(p00, 6) AS p00, round(si, 4) AS sum_innov2
          |FROM last WHERE rn = 1 ORDER BY series""".stripMargin,
     "kalman_1d" ->
       s"""WITH RECURSIVE s0 AS ($dailySql),

@@ -105,6 +105,22 @@ object VectorQueries {
           Tables.embeddings(s, d).filter(col("vec_id") < 100), "vec_id", "embedding", 20, 10.0)
         .orderBy("qid")
     },
+    "umap_layout" -> { (s, d) =>
+      // layout 100 nodes, then score the 2-D embedding against the 64-dim
+      // original with trustworthiness (deterministic init + forces)
+      val e = Tables.embeddings(s, d).filter(col("vec_id") < 100)
+      val layout = Manifold.forceLayout(e, "vec_id", "embedding",
+          k = 10, iters = 25, lr = 1.0, mode = Manifold.UmapForces)
+        .select(col("id").as("vec_id"), array(col("x"), col("y")).as("emb2"))
+      graft.metrics.Trustworthiness.compute(e, layout, "vec_id", "embedding", "emb2", 5)
+    },
+    "tsne_layout" -> { (s, d) =>
+      val e = Tables.embeddings(s, d).filter(col("vec_id") < 100)
+      val layout = Manifold.forceLayout(e, "vec_id", "embedding",
+          k = 20, iters = 25, lr = 20.0, mode = Manifold.TsneForces)
+        .select(col("id").as("vec_id"), array(col("x"), col("y")).as("emb2"))
+      graft.metrics.Trustworthiness.compute(e, layout, "vec_id", "embedding", "emb2", 5)
+    },
     "multimodal_meta" -> { (s, d) =>
       graft.multimodal.Multimodal.featureSummary(Tables.documents(s, d))
     }

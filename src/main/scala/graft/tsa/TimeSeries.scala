@@ -265,6 +265,50 @@ object TimeSeries {
       Seq("intercept", "ar1", "ma1"))
   }
 
+  /** 2-state constant-velocity Kalman filter — the multi-dimensional
+    * (F,H,Q,R) matrix filter of reference filter/kalman_filter.pyx,
+    * specialized to F=[[1,1],[0,1]], H=[1,0], Q=diag(q0,q1), scalar R:
+    * state = (level, trend), symmetric P tracked as (p00,p01,p11). All the
+    * matrix algebra unrolls to scalar expressions, so the recursion is
+    * exactly SQL-oracle-able; per-series in-partition, parallel across
+    * series. Init: level = x_0, trend = 0, P = I. */
+  def kalmanCV(series: DataFrame, q0: Double, q1: Double, r: Double): DataFrame = {
+    import series.sparkSession.implicits._
+    val rows = series.select(col("series").cast("string"), col("t").cast("long"),
+      col("x").cast("double")).as[(String, Long, Double)]
+    rows.groupByKey(_._1).flatMapGroups { (key, it) =>
+      val sorted = it.toSeq.sortBy(_._2)
+      if (sorted.isEmpty) Iterator.empty
+      else {
+        var x0 = sorted.head._3; var x1 = 0.0
+        var p00 = 1.0; var p01 = 0.0; var p11 = 1.0
+        var si = 0.0
+        sorted.tail.foreach { case (_, _, z) =>
+          // predict (F x, F P F' + Q), then scalar-observation update
+          val x0p = x0 + x1
+          val p00p = p00 + p01 + p01 + p11 + q0
+          val p01p = p01 + p11
+          val p11p = p11 + q1
+          val k0 = p00p / (p00p + r)
+          val k1 = p01p / (p00p + r)
+          val iv = z - x0p
+          x0 = x0p + k0 * iv
+          x1 = x1 + k1 * iv
+          p00 = (1.0 - k0) * p00p
+          p01 = (1.0 - k0) * p01p
+          p11 = p11p - k1 * p01p
+          si = si + iv * iv
+        }
+        Iterator((key, sorted.last._2, x0, x1, p00, si))
+      }
+    }.toDF("series", "t_last", "_l", "_tr", "_p", "_si")
+      .select(col("series"), col("t_last"),
+        round(col("_l"), 4).as("level"),
+        round(col("_tr"), 4).as("trend"),
+        round(col("_p"), 6).as("p00"),
+        round(col("_si"), 4).as("sum_innov2"))
+  }
+
   /** Scalar Kalman filter (constant-velocity-free local level model):
     *   predict: P += Q;  update: K = P/(P+R); s += K(x−s); P *= (1−K).
     * Runs in-partition per series via groupBy+flatMapGroups — the recursion

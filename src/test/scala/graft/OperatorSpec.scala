@@ -156,6 +156,31 @@ class OperatorSpec extends AnyFunSuite {
     assert(abs(r.getDouble(3) - 0.5) < 0.2, s"trend ${r.getDouble(3)}")
   }
 
+  test("force layout separates two planted clusters (umap + tsne modes)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    // two tight 8-dim clusters far apart
+    val rows = (0 until 40).map { i =>
+      val base = if (i < 20) 0.0 else 10.0
+      (i.toLong, Array.fill(8)(base + rnd.nextGaussian() * 0.3).toSeq)
+    }
+    val df = rows.toDF("id", "v")
+    for (mode <- Seq(graft.manifold.Manifold.UmapForces, graft.manifold.Manifold.TsneForces)) {
+      val pos = graft.manifold.Manifold.forceLayout(df, "id", "v",
+          k = 5, iters = 20, lr = if (mode == graft.manifold.Manifold.TsneForces) 20.0 else 1.0,
+          mode = mode)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      val (a, b) = pos.partition(_._1 < 20)
+      def centroid(s: Array[(Long, Double, Double)]) =
+        (s.map(_._2).sum / s.length, s.map(_._3).sum / s.length)
+      val (cax, cay) = centroid(a); val (cbx, cby) = centroid(b)
+      val inter = math.hypot(cax - cbx, cay - cby)
+      val intra = (a.map(p => math.hypot(p._2 - cax, p._3 - cay)) ++
+        b.map(p => math.hypot(p._2 - cbx, p._3 - cby))).sum / pos.length
+      assert(inter > 1.5 * intra, s"$mode: inter $inter vs intra $intra")
+    }
+  }
+
   test("wide PCA transform: per-component score variance equals the eigenvalue") {
     import graft.decomposition.PCAGraft
     val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
