@@ -48,6 +48,47 @@ object StreamingOps {
       }.toDF("series", "level", "n")
   }
 
+  /** Streaming 2-state constant-velocity Kalman filter — the stateful twin
+    * of tsa.TimeSeries.kalmanCV: per-series state = (level, trend, P,
+    * innovation sum); each micro-batch folds its points in event order.
+    * Same scalar update expressions as the batch path. */
+  final case class KalmanState(x0: Double, x1: Double, p00: Double, p01: Double,
+                               p11: Double, si: Double, n: Long)
+  final case class KalmanOut(series: String, level: Double, trend: Double,
+                             p00: Double, sumInnov2: Double, n: Long)
+
+  def streamingKalmanCV(events: DataFrame, q0: Double, q1: Double,
+                        r: Double): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events.select(col("event_type").as("series"), col("ts"), col("value"))
+      .as[(String, java.sql.Timestamp, Double)]
+    typed.groupByKey(_._1)
+      .mapGroupsWithState[KalmanState, KalmanOut](GroupStateTimeout.NoTimeout) {
+        case (series, rows, state: GroupState[KalmanState]) =>
+          val sorted = rows.toSeq.sortBy(_._2.getTime)
+          val prev = state.getOption.getOrElse(KalmanState(0, 0, 1, 0, 1, 0, 0L))
+          val next = sorted.foldLeft(prev) { (st, row) =>
+            val z = row._3
+            if (st.n == 0L) KalmanState(z, 0.0, 1.0, 0.0, 1.0, 0.0, 1L)
+            else {
+              val x0p = st.x0 + st.x1
+              val p00p = st.p00 + st.p01 + st.p01 + st.p11 + q0
+              val p01p = st.p01 + st.p11
+              val p11p = st.p11 + q1
+              val k0 = p00p / (p00p + r)
+              val k1 = p01p / (p00p + r)
+              val iv = z - x0p
+              KalmanState(x0p + k0 * iv, st.x1 + k1 * iv,
+                (1.0 - k0) * p00p, (1.0 - k0) * p01p, p11p - k1 * p01p,
+                st.si + iv * iv, st.n + 1)
+            }
+          }
+          state.update(next)
+          KalmanOut(series, next.x0, next.x1, next.p00, next.si, next.n)
+      }.toDF("series", "level", "trend", "p00", "sum_innov2", "n")
+  }
+
   /** Streaming exact-dedup: drop rows whose content hash was already seen,
     * using flatMapGroupsWithState keyed by the hash (state = seen marker).
     * The unbounded-state caveat is real; a production deployment bounds it

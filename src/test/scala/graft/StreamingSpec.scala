@@ -48,6 +48,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming Kalman CV matches the batch recursion across micro-batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val events = in.toDF().toDF("event_type", "ts", "value")
+    val q = StreamingOps.streamingKalmanCV(events, 0.05, 0.01, 2.0)
+      .writeStream.format("memory").queryName("kf_out")
+      .outputMode("update").start()
+    try {
+      def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+      val xs = Seq(10.0, 12.0, 13.5, 15.2, 16.8)
+      in.addData(("s", ts(1), xs(0)), ("s", ts(2), xs(1)), ("s", ts(3), xs(2)))
+      q.processAllAvailable()
+      in.addData(("s", ts(4), xs(3)), ("s", ts(5), xs(4)))
+      q.processAllAvailable()
+      val got = spark.table("kf_out").orderBy(col("n").desc).head()
+      // replay the batch path on the same points
+      val batch = graft.tsa.TimeSeries.kalmanCV(
+        xs.zipWithIndex.map { case (x, t) => ("s", t.toLong, x) }.toDF("series", "t", "x"),
+        0.05, 0.01, 2.0).head()
+      assert(math.abs(got.getDouble(1) - batch.getDouble(2)) < 1e-4, "level")
+      assert(math.abs(got.getDouble(2) - batch.getDouble(3)) < 1e-4, "trend")
+      assert(math.abs(got.getDouble(4) - batch.getDouble(5)) < 1e-4, "sum_innov2")
+    } finally q.stop()
+  }
+
   test("streaming dedup emits each content hash once") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
