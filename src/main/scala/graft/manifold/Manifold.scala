@@ -71,9 +71,12 @@ object Manifold {
       KNN.Euclidean, excludeSelf = true)
     val half = knn.select(col("qid").as("i"), col("id").as("j"),
       (lit(1.0) / (lit(1.0) + col("score") * col("score"))).as("w"))
+    // sorted so the driver-side force summation order (and thus the exact
+    // FP result) is independent of how the collect happened to partition
     val edgeRows = half.unionAll(half.select(col("j").as("i"), col("i").as("j"), col("w")))
       .groupBy("i", "j").agg(max(col("w")).as("w"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(e => (e._1, e._2))
     val ids = edgeRows.flatMap(e => Seq(e._1, e._2)).distinct.sorted
     val idx = ids.zipWithIndex.toMap
     val n = ids.length

@@ -96,6 +96,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.split("Exchange").head.nonEmpty)
   }
 
+  test("grouped AR fit shares the series partitioning between window and agg") {
+    val daily = graft.tsa.TimeSeries.dailySeries(Tables.events(spark, sf))
+    val p = graft.tsa.TimeSeries.arFit2(daily).queryExecution.executedPlan.toString
+    val n = "Exchange".r.findAllIn(p).length
+    // one exchange for the daily (series, day) aggregation, one for the
+    // series window; the per-series groupBy must REUSE the window's
+    // hash partitioning, not add a third shuffle
+    assert(n <= 2, s"$n exchanges:\n${p.take(4000)}")
+  }
+
   test("LSH/IVF reranks and LSH dedup avoid windows over the candidate-pair set") {
     val e = Tables.embeddings(spark, sf)
     val lsh = planOf(KNN.lshTopK(e, "vec_id", "embedding", 3, 8, 64))
