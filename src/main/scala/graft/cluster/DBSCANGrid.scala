@@ -23,8 +23,13 @@ import org.apache.spark.sql.functions._
   *     no iterative label propagation over points.
   */
 object DBSCANGrid {
+  /** @param ccEdgeLimit cell-edge count above which the connected
+    *   components run distributed (min-label propagation) instead of in a
+    *   driver union-find. The occupied-cell graph is usually tiny next to
+    *   n, but sparse data over a huge extent can make it data-scale too —
+    *   both paths produce identical labels (component rep = min cell id). */
   def fit(points: DataFrame, idCol: String, xCol: String, yCol: String,
-          eps: Double, minPts: Int): DataFrame = {
+          eps: Double, minPts: Int, ccEdgeLimit: Long = 500000L): DataFrame = {
     val pts = points.select(col(idCol).cast("long").as("id"),
       col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y"))
 
@@ -56,30 +61,39 @@ object DBSCANGrid {
       .withColumn("is_core", coalesce(col("deg"), lit(0L)) >= (minPts - 1))
       .select(col("id"), col("cell"), col("is_core")).cache()
 
-    // 4. distinct core-cell edges -> driver union-find
+    // 4. distinct core-cell edges -> connected components. Small graphs
+    // collapse into a driver union-find (zero extra jobs); past
+    // ccEdgeLimit the CC runs distributed as min-label propagation — both
+    // label every cell with the min cell id of its component.
     val coreSide = core.filter(col("is_core"))
-    val cellEdges = pairs
+    val cellEdgeDF = pairs
       .join(coreSide.select(col("id"), col("cell").as("ca")), Seq("id"))
       .join(coreSide.select(col("id").as("bid"), col("cell").as("cb")), Seq("bid"))
-      .select(col("ca"), col("cb")).distinct()
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    val parent = scala.collection.mutable.Map.empty[Long, Long]
-    def find(a: Long): Long = {
-      var r = a
-      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-      var c = a
-      while (parent.getOrElse(c, c) != c) { val n = parent.getOrElse(c, c); parent(c) = r; c = n }
-      r
-    }
-    cellEdges.foreach { case (a, b) =>
-      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-      val (ra, rb) = (find(a), find(b))
-      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-    }
-    val roots = parent.keys.map(c => (c, find(c))).toSeq
+      .select(col("ca"), col("cb")).distinct().cache()
     val spark = points.sparkSession
     import spark.implicits._
-    val rootDF = broadcast(roots.toDF("cell", "root"))
+    val rootDF =
+      if (cellEdgeDF.count() > ccEdgeLimit)
+        graft.graph.ConnectedComponents.converge(cellEdgeDF, "ca", "cb")
+          .select(col("node").as("cell"), col("label").as("root"))
+      else {
+        val cellEdges = cellEdgeDF.collect().map(r => (r.getLong(0), r.getLong(1)))
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(a: Long): Long = {
+          var r = a
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = a
+          while (parent.getOrElse(c, c) != c) { val n = parent.getOrElse(c, c); parent(c) = r; c = n }
+          r
+        }
+        cellEdges.foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val roots = parent.keys.map(c => (c, find(c))).toSeq
+        broadcast(roots.toDF("cell", "root"))
+      }
 
     // core labels: component root -> renumber by min core id (determinism)
     val coreLabeled = coreSide
@@ -101,7 +115,7 @@ object DBSCANGrid {
         coalesce(col("cluster"), col("border_cluster"), lit(-1L)).as("cluster"))
       .cache()
     out.count() // materialize, then drop the intermediate caches
-    withCell.unpersist(); pairs.unpersist(); core.unpersist()
+    withCell.unpersist(); pairs.unpersist(); core.unpersist(); cellEdgeDF.unpersist()
     out
   }
 

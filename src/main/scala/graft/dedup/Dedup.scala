@@ -126,6 +126,18 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Transitive duplicate groups: connected components over the minhash
+    * candidate pairs, each doc mapped to its group keeper (min doc id) —
+    * what a pipeline actually drops on. Exactly 8 min-label-propagation
+    * rounds (band buckets make dup groups near-cliques, diameter ≈ 2;
+    * the fixed count lets the SQL oracle replay identical chained rounds
+    * on exact integer labels). */
+  def minhashClusters(df: DataFrame, textCol: String, idCol: String,
+                      p: MinHashParams = MinHashParams()): DataFrame =
+    graft.graph.ConnectedComponents
+      .propagate(minhashCandidates(df, textCol, idCol, p), "doc1", "doc2", 8)
+      .select(col("node").as("doc"), col("label").as("keeper"))
+
   /** Embedding near-dup with LSH candidate generation — the 100 TB path:
     * pairs form only inside random-hyperplane buckets (graft.neighbors
     * .KNN.lshBuckets), so the join key is the bucket id and the pair count

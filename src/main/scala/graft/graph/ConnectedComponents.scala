@@ -1,0 +1,62 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components by min-label propagation over an
+  * undirected edge list — the shuffle-native alternative to collecting the
+  * edge list into a driver union-find when the graph itself is data-scale
+  * (reference cpp/src/dbscan/ runs its CC on-GPU for the same reason).
+  *
+  * Each round every node takes the minimum label over itself and its
+  * neighbors; labels only decrease, and the propagation converges in
+  * graph-diameter rounds to label = min node id of the component. Every
+  * round is one join + one grouped min (shuffle key = node id);
+  * localCheckpoint truncates the lineage so k rounds stay k shuffles.
+  */
+object ConnectedComponents {
+  /** Both directions of the edge list: (src, dst). */
+  private def directed(edges: DataFrame, a: String, b: String): DataFrame = {
+    val e = edges.select(col(a).cast("long").as("src"), col(b).cast("long").as("dst"))
+    e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  private def initLabels(dir: DataFrame): DataFrame =
+    dir.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+
+  private def step(dir: DataFrame, lab: DataFrame): DataFrame = {
+    val nbr = dir.join(lab.select(col("node").as("dst"), col("label").as("_nl")), "dst")
+      .groupBy(col("src").as("node")).agg(min(col("_nl")).as("_nbl"))
+    lab.join(nbr, Seq("node"), "left")
+      .select(col("node"), least(col("label"), coalesce(col("_nbl"), col("label"))).as("label"))
+  }
+
+  /** Exactly `rounds` propagation rounds — deterministic and (for graphs
+    * whose diameter < rounds) converged. The fixed count exists so a SQL
+    * oracle can replay the identical computation as chained CTEs. */
+  def propagate(edges: DataFrame, a: String, b: String, rounds: Int): DataFrame = {
+    val dir = directed(edges, a, b).localCheckpoint(true)
+    var lab = initLabels(dir)
+    (0 until rounds).foreach { _ => lab = step(dir, lab).localCheckpoint(true) }
+    lab
+  }
+
+  /** Propagate until no label changes (≤ maxRounds) — exact CC for
+    * arbitrary diameter. One extra count() per round for the fixpoint
+    * test. */
+  def converge(edges: DataFrame, a: String, b: String, maxRounds: Int = 64): DataFrame = {
+    val dir = directed(edges, a, b).localCheckpoint(true)
+    var lab = initLabels(dir).localCheckpoint(true)
+    var round = 0
+    var changed = 1L
+    while (changed > 0 && round < maxRounds) {
+      val next = step(dir, lab).localCheckpoint(true)
+      changed = next.as("n").join(lab.as("p"), col("n.node") === col("p.node"))
+        .filter(col("n.label") =!= col("p.label")).count()
+      lab = next
+      round += 1
+    }
+    lab
+  }
+}

@@ -25,6 +25,9 @@ object TextQueries {
     "dedup_simhash" -> { (s, d) =>
       Dedup.simhash(Tables.documents(s, d), "text", "doc_id").orderBy("doc")
     },
+    "dedup_clusters" -> { (s, d) =>
+      Dedup.minhashClusters(Tables.documents(s, d), "text", "doc_id").orderBy("doc")
+    },
     "ngram_jaccard" -> { (s, d) =>
       Dedup.ngramJaccard(Tables.documents(s, d), "text", "doc_id", "source",
           k = 2, maxIdGap = 25L, minJaccard = 0.0)
@@ -53,6 +56,28 @@ object TextQueries {
   private val normToks =
     """string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')"""
 
+  /** Shared CTE chain ending in `pr` (the distinct minhash candidate
+    * pairs) — used by both the pairs oracle and the CC-clusters oracle. */
+  private lazy val minhashPairsCtes =
+    s"""n AS (SELECT doc_id, $normToks AS toks FROM documents),
+       |sh AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
+       |    THEN list_transform(range(0, len(toks)-2), i -> toks[i+1] || '_' || toks[i+2] || '_' || toks[i+3])
+       |    ELSE [] END) AS s FROM n),
+       |h AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647 AS hv FROM sh),
+       |sig AS (SELECT doc_id,
+       |  min((1103515245*hv+12345) % 2147483647) AS mh0, min((69069*hv+362437) % 2147483647) AS mh1,
+       |  min((1664525*hv+1013904223) % 2147483647) AS mh2, min((22695477*hv+1) % 2147483647) AS mh3,
+       |  min((134775813*hv+1) % 2147483647) AS mh4, min((214013*hv+2531011) % 2147483647) AS mh5,
+       |  min((75*hv+74) % 2147483647) AS mh6, min((1103515247*hv+54321) % 2147483647) AS mh7
+       | FROM h GROUP BY doc_id),
+       |bands AS (
+       | SELECT 0 AS band, mh0::VARCHAR || '_' || mh1::VARCHAR AS bkey, doc_id FROM sig UNION ALL
+       | SELECT 1, mh2::VARCHAR || '_' || mh3::VARCHAR, doc_id FROM sig UNION ALL
+       | SELECT 2, mh4::VARCHAR || '_' || mh5::VARCHAR, doc_id FROM sig UNION ALL
+       | SELECT 3, mh6::VARCHAR || '_' || mh7::VARCHAR, doc_id FROM sig),
+       |pr AS (SELECT DISTINCT l.doc_id AS doc1, r.doc_id AS doc2
+       | FROM bands l JOIN bands r ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash,
@@ -75,25 +100,27 @@ object TextQueries {
          |  min((1103515247*hv+54321) % 2147483647)::BIGINT AS mh7
          |FROM h GROUP BY doc_id ORDER BY doc""".stripMargin,
     "dedup_minhash_pairs" ->
-      s"""WITH n AS (SELECT doc_id, $normToks AS toks FROM documents),
-         |sh AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
-         |    THEN list_transform(range(0, len(toks)-2), i -> toks[i+1] || '_' || toks[i+2] || '_' || toks[i+3])
-         |    ELSE [] END) AS s FROM n),
-         |h AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647 AS hv FROM sh),
-         |sig AS (SELECT doc_id,
-         |  min((1103515245*hv+12345) % 2147483647) AS mh0, min((69069*hv+362437) % 2147483647) AS mh1,
-         |  min((1664525*hv+1013904223) % 2147483647) AS mh2, min((22695477*hv+1) % 2147483647) AS mh3,
-         |  min((134775813*hv+1) % 2147483647) AS mh4, min((214013*hv+2531011) % 2147483647) AS mh5,
-         |  min((75*hv+74) % 2147483647) AS mh6, min((1103515247*hv+54321) % 2147483647) AS mh7
-         | FROM h GROUP BY doc_id),
-         |bands AS (
-         | SELECT 0 AS band, mh0::VARCHAR || '_' || mh1::VARCHAR AS bkey, doc_id FROM sig UNION ALL
-         | SELECT 1, mh2::VARCHAR || '_' || mh3::VARCHAR, doc_id FROM sig UNION ALL
-         | SELECT 2, mh4::VARCHAR || '_' || mh5::VARCHAR, doc_id FROM sig UNION ALL
-         | SELECT 3, mh6::VARCHAR || '_' || mh7::VARCHAR, doc_id FROM sig)
-         |SELECT DISTINCT l.doc_id::BIGINT AS doc1, r.doc_id::BIGINT AS doc2
-         |FROM bands l JOIN bands r ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id
-         |ORDER BY doc1, doc2""".stripMargin,
+      s"""WITH $minhashPairsCtes
+         |SELECT doc1::BIGINT AS doc1, doc2::BIGINT AS doc2
+         |FROM pr ORDER BY doc1, doc2""".stripMargin,
+    "dedup_clusters" -> {
+      // 8 min-label propagation rounds over the candidate-pair graph,
+      // mirroring graft.graph.ConnectedComponents.propagate round-for-round.
+      // MATERIALIZED is load-bearing: DuckDB inlines CTEs by default, and
+      // each round references the previous one twice — un-materialized,
+      // the pairs chain would be re-expanded 2^8 times.
+      val rounds = (1 to 8).map { k =>
+        s"""c$k AS MATERIALIZED (SELECT c.node, least(c.label, coalesce(min(n.label), c.label)) AS label
+           |  FROM c${k - 1} c LEFT JOIN e ON c.node = e.src LEFT JOIN c${k - 1} n ON e.dst = n.node
+           |  GROUP BY c.node, c.label)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $minhashPairsCtes,
+         |e AS MATERIALIZED (SELECT doc1 AS src, doc2 AS dst FROM pr
+         |  UNION ALL SELECT doc2, doc1 FROM pr),
+         |c0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM e),
+         |$rounds
+         |SELECT node::BIGINT AS doc, label::BIGINT AS keeper FROM c8 ORDER BY doc""".stripMargin
+    },
     "dedup_simhash" -> {
       // 60 per-bit sign-sums in one grouped select, mirroring Dedup.simhash
       val bitTerms = (0 until 60).map { b =>

@@ -120,6 +120,44 @@ class OperatorSpec extends AnyFunSuite {
     assert(bad.isEmpty, s"${bad.size} mismatches, e.g. ${bad.take(5).map(k => (k, got(k), want(k)))}")
   }
 
+  test("distributed CC matches union-find on a random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    // ~300 nodes, sparse random edges + a long chain (exercises multi-round
+    // propagation; converge() must handle diameter > 8)
+    val edges = (0 until 250).map(_ => (rnd.nextInt(300).toLong, rnd.nextInt(300).toLong))
+      .filter(e => e._1 != e._2) ++ (400L until 430L).map(i => (i, i + 1))
+    val df = edges.toDF("a", "b")
+    val got = graft.graph.ConnectedComponents.converge(df, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference union-find
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = { var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(k => k -> find(k)).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (n, l) => assert(l == want(n), s"node $n: $l vs ${want(n)}") }
+  }
+
+  test("DBSCAN distributed-CC path produces the same labels as the driver path") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(21)
+    val pts = (0 until 400).map { i =>
+      val cx = if (i % 2 == 0) 0.0 else 6.0
+      (i.toLong, cx + rnd.nextGaussian(), rnd.nextGaussian())
+    }
+    val df = pts.toDF("id", "x", "y")
+    val a = DBSCANGrid.fit(df, "id", "x", "y", 0.8, 5)
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getLong(2))).toMap
+    val b = DBSCANGrid.fit(df, "id", "x", "y", 0.8, 5, ccEdgeLimit = 0L)
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getLong(2))).toMap
+    assert(a == b)
+  }
+
   test("SES stays finite on a 3000-point series (no closed-form overflow)") {
     import spark.implicits._
     val df = (0 until 3000).map(t => ("s", t.toLong, 100.0 + (t % 13).toDouble))
