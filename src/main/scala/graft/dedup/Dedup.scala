@@ -97,6 +97,32 @@ object Dedup {
           when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _).as("simhash"))
   }
 
+  /** Exact n-gram Jaccard for the MinHash-LSH candidate pairs — the scale
+    * shape: LSH proposes (bounded bucket joins), exact Jaccard verifies.
+    * Shingles are the same k-grams the signatures hashed, so verification
+    * measures exactly what LSH approximated. Shuffle keys: doc id (pair →
+    * shingle join), then (doc2, shingle) — both bounded by pairs ×
+    * shingles-per-doc, never all-pairs. */
+  def jaccardForCandidates(df: DataFrame, textCol: String, idCol: String,
+                           p: MinHashParams = MinHashParams(),
+                           minJaccard: Double = 0.0): DataFrame = {
+    val cand = minhashCandidates(df, textCol, idCol, p)
+    val sh = TextOps.explodedShingles(df, col(idCol), normText(col(textCol)), p.shingleK)
+      .select(col("doc"), col("sh")).distinct().cache()
+    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).cast("double").as("sz"))
+    val inter = cand
+      .join(sh.select(col("doc").as("doc1"), col("sh")), Seq("doc1"))
+      .join(sh.select(col("doc").as("doc2"), col("sh")), Seq("doc2", "sh"))
+      .groupBy(col("doc1"), col("doc2"))
+      .agg(count(lit(1)).cast("double").as("inter"))
+    inter
+      .join(sizes.select(col("doc").as("doc1"), col("sz").as("sz1")), Seq("doc1"))
+      .join(sizes.select(col("doc").as("doc2"), col("sz").as("sz2")), Seq("doc2"))
+      .select(col("doc1"), col("doc2"),
+        (col("inter") / (col("sz1") + col("sz2") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   /** n-gram Jaccard similarity for candidate pairs (same `source`, nearby
     * ids — at scale the candidate generator is the LSH bucket join). */
   def ngramJaccard(df: DataFrame, textCol: String, idCol: String, srcCol: String,
