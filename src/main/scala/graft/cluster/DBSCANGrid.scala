@@ -33,26 +33,31 @@ object DBSCANGrid {
     val pts = points.select(col(idCol).cast("long").as("id"),
       col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y"))
 
-    // 1. cell coordinates packed into one long key (21-bit signed halves;
-    // wraps only past |coord/cw| > 2^20 — document-scale inputs here are
-    // far inside that envelope)
+    // 1. cell coordinates packed into one long key (31-bit signed halves:
+    // valid for |coord/cw| < 2^30, i.e. any realistic coordinate/eps ratio)
     val cw = eps / math.sqrt(2.0)
-    val cellKey = (floor(col("x") / cw).cast("long") + 1048576L) * 4194304L +
-      (floor(col("y") / cw).cast("long") + 1048576L)
+    val Half = 1073741824L  // 2^30
+    val Mult = 2147483648L  // 2^31
+    val cellKey = (floor(col("x") / cw).cast("long") + Half) * Mult +
+      (floor(col("y") / cw).cast("long") + Half)
     val withCell = pts.withColumn("cell", cellKey).cache()
 
-    // 2. candidate pairs via 5×5 replication of the build side; the id<bid
-    // guard sits BEFORE the distance test so each unordered pair pays the
-    // arithmetic once (both orientations are reconstructed for degrees)
-    val offsets = for (dx <- -2L to 2L; dy <- -2L to 2L) yield dx * 4194304L + dy
+    // 2. candidate pairs via HALF-PLANE replication of the build side: 13
+    // of the 25 offsets (origin + dx>0 + {dx=0, dy>0}). H ∩ −H = {origin},
+    // so every unordered cross-cell pair materializes exactly once in one
+    // orientation; same-cell pairs (origin offset) are deduped by id<bid.
+    // Half the join fan-out of a full 5×5 for the identical pair set.
+    val offsets = for (dx <- 0L to 2L; dy <- -2L to 2L
+                       if dx > 0 || dy >= 0) yield dx * Mult + dy
     val build = withCell.select(col("id").as("bid"), col("x").as("bx"),
-        col("y").as("by"), col("cell"))
-      .withColumn("cell", explode(array(offsets.map(o => col("cell") + o): _*)))
+        col("y").as("by"), col("cell").as("bcell"))
+      .withColumn("cell", explode(array(offsets.map(o => col("bcell") + o): _*)))
     val pairs = withCell.join(build, Seq("cell"))
-      .filter(col("id") < col("bid"))
+      .filter(col("cell") =!= col("bcell") || col("id") < col("bid"))
       .filter((col("x") - col("bx")) * (col("x") - col("bx")) +
         (col("y") - col("by")) * (col("y") - col("by")) <= eps * eps)
-      .select(col("id"), col("bid")).cache()
+      .select(least(col("id"), col("bid")).as("id"),
+        greatest(col("id"), col("bid")).as("bid")).cache()
     val bothDirs = pairs.unionAll(pairs.select(col("bid").as("id"), col("id").as("bid")))
 
     // 3. core points (deg counts the point itself implicitly via minPts-1)
