@@ -94,6 +94,9 @@ class PlanSpec extends AnyFunSuite {
     // partial aggregation (map-side combine) must appear below the exchange
     assert(p.contains("HashAggregate"), p.take(3000))
     assert(p.split("Exchange").head.nonEmpty)
+    // the scan must read only the two columns the operator touches — a
+    // documents scan dragging source/lang/ts along is wrong at 100 TB
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p.take(3000))
   }
 
   test("grouped AR fit shares the series partitioning between window and agg") {
