@@ -99,6 +99,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p.take(3000))
   }
 
+  test("events scan prunes to the columns the TSA family touches") {
+    val p = planOf(graft.tsa.TimeSeries.dailySeries(Tables.events(spark, sf)))
+    val read = p.split("\n").filter(_.contains("ReadSchema")).mkString
+    // ts/value/event_type only — the nanos-restore withColumn must not
+    // defeat pruning of user_id/event_id
+    assert(read.nonEmpty && !read.contains("user_id") && !read.contains("event_id"), read)
+    assert(read.contains("value") && read.contains("event_type"), read)
+  }
+
   test("grouped AR fit shares the series partitioning between window and agg") {
     val daily = graft.tsa.TimeSeries.dailySeries(Tables.events(spark, sf))
     val p = graft.tsa.TimeSeries.arFit2(daily).queryExecution.executedPlan.toString
