@@ -1,0 +1,86 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-style invariants for the driver-independent kernels: the
+  * reductions and recursions whose correctness the SQL oracles rely on.
+  * Cases are drawn from scalacheck generators under fixed seeds, so runs
+  * are deterministic while covering shapes a hand-written fixture never
+  * would. */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def cases[A](gen: Gen[A], n: Int): Seq[A] =
+    (1 to n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("topKPerKey equals sort-and-take for arbitrary score sets") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(1, 60)
+      rows <- Gen.listOfN(n, for {
+        q <- Gen.choose(0L, 3L)
+        id <- Gen.choose(0L, 500L)
+        s <- Gen.choose(-100.0, 100.0)
+      } yield (q, id, s))
+      k <- Gen.choose(1, 5)
+    } yield (rows.distinctBy(r => (r._1, r._2)), k)
+    cases(gen, 5).foreach { case (rows, k) =>
+      val df = rows.toDF("qid", "id", "_s")
+      val got = graft.neighbors.KNN
+        .topKPerKey(df, k, (a, b) => a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val want = rows.groupBy(_._1).flatMap { case (q, g) =>
+        g.sortBy(r => (-r._3, r._2)).take(k).zipWithIndex
+          .map { case (r, i) => (q, i + 1, r._2) }
+      }.toSet
+      assert(got == want, s"k=$k rows=${rows.take(8)}…")
+    }
+  }
+
+  test("connected components converge() equals union-find on random graphs") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(1, 40)
+      edges <- Gen.listOfN(n, for {
+        a <- Gen.choose(0L, 60L); b <- Gen.choose(0L, 60L)
+      } yield (a, b))
+    } yield edges.filter(e => e._1 != e._2)
+    cases(gen, 5).filter(_.nonEmpty).foreach { edges =>
+      val got = graft.graph.ConnectedComponents
+        .converge(edges.toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = { var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = parent.keys.map(k => k -> find(k)).toMap
+      assert(got == want)
+    }
+  }
+
+  test("SES recursion stays within the running min/max of the series") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(2, 50)
+      xs <- Gen.listOfN(n, Gen.choose(-1000.0, 1000.0))
+      alpha <- Gen.choose(0.05, 0.95)
+    } yield (xs, alpha)
+    cases(gen, 5).foreach { case (xs, alpha) =>
+      val df = xs.zipWithIndex.map { case (x, t) => ("s", t.toLong, x) }
+        .toDF("series", "t", "x")
+      val sm = graft.tsa.TimeSeries.sesSmoothed(df, alpha)
+        .orderBy("t").collect().map(_.getDouble(3))
+      // each smoothed value is a convex combination of the prefix
+      sm.zipWithIndex.foreach { case (s, t) =>
+        val prefix = xs.take(t + 1)
+        assert(s >= prefix.min - 1e-9 && s <= prefix.max + 1e-9,
+          s"t=$t s=$s range=[${prefix.min}, ${prefix.max}] alpha=$alpha")
+      }
+    }
+  }
+}
