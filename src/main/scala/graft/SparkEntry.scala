@@ -8,11 +8,22 @@ import org.apache.spark.sql.functions._
   * inventory behind these queries. */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * Runs the whole linear-model + clustering front: per-returnflag OLS via
-    * one aggregate pass joined with the kmeans-assignment histogram. */
+    * A composed training-data-pipeline slice — quality scoring + exact
+    * dedup + per-language stats in one plan: the shape this library exists
+    * for, with every stage a pushdown-friendly column expression or
+    * map-side-combined aggregate. */
   def entry(spark: SparkSession): DataFrame = {
     val d = "/root/testdata/sf0.001"
-    TabularQueries.queries("kmeans_assign")(spark, d)
+    val docs = graft.core.Tables.documents(spark, d)
+    val quality = graft.text.TextOps.qualityFeatures(docs, "text", "doc_id")
+    val keepers = graft.dedup.Dedup.exact(docs, "text", "doc_id")
+      .select(col("keeper_id").as("doc_id"))
+    docs.select(col("doc_id"), col("lang")).join(keepers, "doc_id")
+      .join(quality.select(col("doc_id"), col("quality")), "doc_id")
+      .filter(col("quality") > 0.4)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), round(avg(col("quality")), 4).as("avg_quality"))
+      .orderBy("lang")
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */

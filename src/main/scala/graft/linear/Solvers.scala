@@ -101,7 +101,7 @@ object GradientSolver {
     * LinearSVC/QN path optimizes). */
   def fitQN(df: DataFrame, features: Seq[String], label: String,
             l2: Double = 0.0, maxIter: Int = 50,
-            loss: Loss = LogisticLoss): LinearModel = {
+            loss: Loss = LogisticLoss, tol: Double = 1e-9): LinearModel = {
     val p = features.size
     val fx0 = features.map(c => col(c).cast("double"))
     // standardize: mixed feature scales stall the line search otherwise
@@ -139,7 +139,7 @@ object GradientSolver {
           (lossV, grad)
         }
       }
-      val opt = new LBFGS[DenseVector[Double]](maxIter = maxIter, m = 7, tolerance = 1e-9)
+      val opt = new LBFGS[DenseVector[Double]](maxIter = maxIter, m = 7, tolerance = tol)
       val w = opt.minimize(f, DenseVector.zeros[Double](p + 1))
       // un-standardize back to the original feature scale
       val coefs = Array.tabulate(p)(i => w(i + 1) / sd(i))

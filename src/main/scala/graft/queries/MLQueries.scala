@@ -91,6 +91,11 @@ object MLQueries {
     "svm_linear" -> { (s, d) =>
       SVMGraft.linearSvcSummary(Tables.lineitem(s, d), LiFeatures,
         when(col("l_returnflag") === "R", 1.0).otherwise(0.0), maxIter = 20)
+    },
+    "svm_rbf" -> { (s, d) =>
+      SVMGraft.rbfSvcSummary(Tables.lineitem(s, d), LiFeatures,
+        when(col("l_returnflag") === "R", 1.0).otherwise(0.0),
+        gamma = 0.5, dRff = 16, maxIter = 25)
     }
   )
 

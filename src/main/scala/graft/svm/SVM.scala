@@ -2,6 +2,7 @@ package graft.svm
 
 import graft.core.Num.r4
 import graft.linear.GradientSolver
+import graft.neighbors.KNN
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -32,5 +33,59 @@ object SVMGraft {
     val spark = df.sparkSession
     import spark.implicits._
     coefRows.toDF("term", "value").withColumn("train_accuracy", lit(acc))
+  }
+
+  /** RBF-kernel SVC approximated by Random Fourier Features (Rahimi &
+    * Recht, "Random Features for Large-Scale Kernel Machines", NeurIPS
+    * 2007): z(x) = √(2/D)·cos(Wx + b) with W ~ N(0, 2γI) makes
+    * z(x)·z(y) ≈ exp(−γ‖x−y‖²), so a LINEAR squared-hinge fit on z is a
+    * kernel SVC — the distributed answer to reference svm/svm.pyx's SMO,
+    * which needs the n×n kernel matrix and cannot shard. W and b are
+    * md5-seeded, the D feature columns are codegen'd cos expressions (pure
+    * map), and the fit is the same one-aggregate-per-evaluation QN harness
+    * as the linear path. Features are standardized first so γ acts on
+    * comparable scales. */
+  def rbfSvcSummary(df: DataFrame, features: Seq[String], binaryLabel: Column,
+                    gamma: Double = 0.5, dRff: Int = 32,
+                    regParam: Double = 1e-4, maxIter: Int = 60): DataFrame = {
+    val p = features.size
+    val fx0 = features.map(c => col(c).cast("double"))
+    val st = df.agg(
+      fx0.flatMap(c => Seq(avg(c), stddev_samp(c))).head,
+      fx0.flatMap(c => Seq(avg(c), stddev_samp(c))).tail: _*).head()
+    val mu = Array.tabulate(p)(i => if (st.isNullAt(2 * i)) 0.0 else st.getDouble(2 * i))
+    val sd = Array.tabulate(p) { i =>
+      if (st.isNullAt(2 * i + 1)) 1.0
+      else { val s = st.getDouble(2 * i + 1); if (s.isNaN || s < 1e-12) 1.0 else s }
+    }
+    val w = KNN.hyperplanes(dRff, p, seed = 7L).map(_.map(_ * math.sqrt(2.0 * gamma)))
+    val phase = {  // deterministic U[0, 2π) offsets from the same md5 family
+      val u = KNN.hyperplanes(1, dRff, seed = 11L)(0)
+      u.map(g => (math.atan(g) / math.Pi + 0.5) * 2.0 * math.Pi)
+    }
+    val amp = math.sqrt(2.0 / dRff)
+    val zCols = (0 until dRff).map { j =>
+      val proj = (0 until p).map { i =>
+        ((fx0(i) - mu(i)) / sd(i)) * w(j)(i)
+      }.reduce(_ + _) + phase(j)
+      (cos(proj) * amp).as(s"_z$j")
+    }
+    val zNames = (0 until dRff).map(j => s"_z$j")
+    val zdf = df.select((zCols :+ binaryLabel.cast("double").as("_lab")): _*).cache()
+    try {
+      val model = GradientSolver.fitQN(zdf, zNames, "_lab",
+        l2 = regParam, maxIter = maxIter, loss = GradientSolver.HingeLoss,
+        tol = 1e-5)
+      val marginC = zNames.zipWithIndex.foldLeft(lit(model.coefs.head)) {
+        case (acc, (zn, j)) => acc + col(zn) * model.coefs(j + 1)
+      }
+      val row = zdf.agg(
+        r4(avg(when((marginC > 0) === (col("_lab") === 1.0), 1.0).otherwise(0.0))).as("acc"),
+        count(lit(1)).cast("long").as("n")).head()
+      val spark = df.sparkSession
+      import spark.implicits._
+      Seq((row.getLong(1), dRff.toLong, gamma, row.getDouble(0)))
+        .toDF("n", "d_rff", "gamma", "train_accuracy")
+    } finally zdf.unpersist()
   }
 }

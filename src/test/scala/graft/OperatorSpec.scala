@@ -253,6 +253,32 @@ class OperatorSpec extends AnyFunSuite {
     assert(coefs("x0") > 0 && coefs("x1") < 0, s"sign structure: $coefs")
   }
 
+  test("flagship entry pipeline (quality + dedup + per-language stats) returns rows") {
+    val r = SparkEntry.entry(spark).collect()
+    assert(r.nonEmpty, "entry produced no rows")
+    r.foreach { row =>
+      assert(row.getLong(1) > 0, s"empty language group: $row")
+      assert(row.getDouble(2) > 0.4, s"quality filter leaked: $row")
+    }
+  }
+
+  test("RFF kernel SVC separates XOR data that linear SVC cannot") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(9)
+    // XOR: label = sign(x0 * x1) — not linearly separable
+    val rows = (0 until 1500).map { i =>
+      val x0 = rnd.nextDouble() * 2 - 1; val x1 = rnd.nextDouble() * 2 - 1
+      (i.toLong, x0, x1, if (x0 * x1 > 0) 1.0 else 0.0)
+    }
+    val df = rows.toDF("id", "x0", "x1", "lab")
+    val lin = graft.svm.SVMGraft.linearSvcSummary(df, Seq("x0", "x1"), col("lab"))
+      .head().getDouble(2)
+    val rbf = graft.svm.SVMGraft.rbfSvcSummary(df, Seq("x0", "x1"), col("lab"),
+      gamma = 2.0, dRff = 64, maxIter = 80).head().getDouble(3)
+    assert(lin < 0.7, s"linear should fail on XOR: $lin")
+    assert(rbf > 0.85, s"RFF should separate XOR: $rbf")
+  }
+
   test("ARIMA(1,1,1) HR fit recovers a planted AR(1)-on-differences signal") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
