@@ -58,6 +58,28 @@ object PCAGraft {
     df.select((col(idCol).cast("long").as("id") +: outs): _*)
   }
 
+  /** PCA inverse_transform quality (reference decomposition/pca.pyx
+    * inverse_transform): per-row reconstruction MSE from the top-k
+    * components. Uses the orthogonality identity ‖x − x̂‖² = ‖x − μ‖² −
+    * Σ_c score_c², so the per-row expression is O(dim + k·dim) — one
+    * codegen'd aggregate, no reconstruction materialized. */
+  def reconstructionMse(df: DataFrame, vecCol: String, r: Result, k: Int,
+                        means: Array[Double]): Double = {
+    val dim = means.length
+    val v = col(vecCol).cast("array<double>")
+    val centered2 = (0 until dim).map { i =>
+      val c = element_at(v, i + 1) - means(i)
+      c * c
+    }.reduce(_ + _)
+    val scores2 = (0 until k).map { c =>
+      val w = Array.tabulate(dim)(i => r.components(i, c))
+      val base = (0 until dim).map(i => means(i) * w(i)).sum
+      val s = graft.core.VectorOps.dotFixed(v, lit(w), dim) - base
+      s * s
+    }.reduce(_ + _)
+    df.agg(avg((centered2 - scores2) / dim)).head().getDouble(0)
+  }
+
   def fromCovariance(cov: DenseMatrix[Double]): Result = {
     val es = eigSym(cov)
     val order = es.eigenvalues.toArray.zipWithIndex.sortBy(-_._1).map(_._2)

@@ -88,6 +88,16 @@ object VectorQueries {
           col("s.var_score").as("var_score"))
         .orderBy("component")
     },
+    "pca_inverse" -> { (s, d) =>
+      // inverse_transform quality: reconstruction MSE as k grows
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+      val r = PCAGraft.fitWide(e, "embedding")
+      val mu = PCAGraft.columnMeans(e, "embedding", 64)
+      Seq(1, 4, 16).map { k =>
+        (k.toLong, math.rint(PCAGraft.reconstructionMse(e, "embedding", r, k, mu) * 1e6) / 1e6)
+      }.toDF("k", "recon_mse").orderBy("k")
+    },
     "tsvd" -> { (s, d) =>
       import s.implicits._
       TSVDGraft.singularValues(Tables.embeddings(s, d), "embedding", 8)

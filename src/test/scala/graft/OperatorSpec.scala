@@ -219,6 +219,24 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("PCA reconstruction MSE decreases in k and vanishes at full rank") {
+    import spark.implicits._
+    import graft.decomposition.PCAGraft
+    val rnd = new scala.util.Random(17)
+    // low-rank-ish 6-dim data: 2 strong directions + small noise
+    val rows = (0 until 300).map { i =>
+      val a = rnd.nextGaussian() * 3; val b = rnd.nextGaussian()
+      (i.toLong, Seq(a, a * 0.5 + b, b, a - b, 0.1 * rnd.nextGaussian(), 0.1 * rnd.nextGaussian()))
+    }
+    val df = rows.toDF("id", "v")
+    val r = PCAGraft.fitWide(df, "v")
+    val mu = PCAGraft.columnMeans(df, "v", 6)
+    val mses = Seq(1, 2, 4, 6).map(k => PCAGraft.reconstructionMse(df, "v", r, k, mu))
+    assert(mses.zip(mses.tail).forall { case (a, b) => b <= a + 1e-12 }, mses.toString)
+    assert(mses.last < 1e-10, s"full-rank reconstruction should be exact: ${mses.last}")
+    assert(mses.head > mses(1), "rank-1 must lose more than rank-2 on rank-2 data")
+  }
+
   test("wide PCA transform: per-component score variance equals the eigenvalue") {
     import graft.decomposition.PCAGraft
     val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
