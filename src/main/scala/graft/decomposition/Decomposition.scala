@@ -99,6 +99,20 @@ object PCAGraft {
 }
 
 object TSVDGraft {
+  /** TruncatedSVD.transform (reference decomposition/tsvd.pyx): scores
+    * along the top-k right singular vectors of X — PCA's projection
+    * without centering, so it reuses PCAGraft.transformWide with a zero
+    * mean vector. Right singular vectors = eigenvectors of the Gram
+    * matrix (one treeAggregate pass + driver eigensolve). */
+  def transform(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val rows = df.select(col(vecCol).cast("array<double>")).rdd
+      .map(r => OldVectors.dense(r.getSeq[Double](0).toArray))
+    val g = new RowMatrix(rows).computeGramianMatrix()
+    val gb = new DenseMatrix(g.numRows, g.numCols, g.toArray)
+    val r = PCAGraft.fromCovariance(gb) // eigensolve + sign convention
+    PCAGraft.transformWide(df, idCol, vecCol, r, k, Array.fill(g.numRows)(0.0))
+  }
+
   /** Singular values of X via the Gram matrix X'X (one treeAggregate pass),
     * σ_i = sqrt(λ_i(X'X)) — cuML TruncatedSVD's Jacobi-on-Gram, re-split. */
   def singularValues(df: DataFrame, vecCol: String, k: Int): Array[Double] = {

@@ -104,6 +104,20 @@ object VectorQueries {
         .zipWithIndex.map { case (sv, i) => (i, math.rint(sv * 10000) / 10000) }
         .toSeq.toDF("component", "singular_value")
     },
+    "tsvd_transform" -> { (s, d) =>
+      // TruncatedSVD scores: per-component energy (Σ score² = σ²)
+      val e = Tables.embeddings(s, d)
+      val k = 4
+      val scores = TSVDGraft.transform(e, "vec_id", "embedding", k)
+      val aggs = (0 until k).map(c => sum(col(s"pc$c") * col(s"pc$c")).as(s"_e$c"))
+      scores.agg(aggs.head, aggs.tail: _*)
+        .select(explode(array((0 until k).map(c =>
+          struct(lit(c).as("component"),
+            round(sqrt(col(s"_e$c")), 4).as("singular_value"))): _*)).as("s"))
+        .select(col("s.component").as("component"),
+          col("s.singular_value").as("singular_value"))
+        .orderBy("component")
+    },
     "umap_knn_graph" -> { (s, d) =>
       Manifold.umapGraphWeights(
           Tables.embeddings(s, d).filter(col("vec_id") < 100), "vec_id", "embedding", 10)

@@ -219,6 +219,18 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("TSVD transform: per-component score energy equals the squared singular value") {
+    val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val sv = graft.decomposition.TSVDGraft.singularValues(e, "embedding", 3)
+    val scores = graft.decomposition.TSVDGraft.transform(e, "vec_id", "embedding", 3)
+    val row = scores.agg(
+      sum(col("pc0") * col("pc0")), sum(col("pc1") * col("pc1")),
+      sum(col("pc2") * col("pc2"))).head()
+    for (c <- 0 until 3)
+      assert(abs(math.sqrt(row.getDouble(c)) - sv(c)) / sv(c) < 1e-6,
+        s"pc$c energy ${math.sqrt(row.getDouble(c))} vs sigma ${sv(c)}")
+  }
+
   test("PCA reconstruction MSE decreases in k and vanishes at full rank") {
     import spark.implicits._
     import graft.decomposition.PCAGraft
