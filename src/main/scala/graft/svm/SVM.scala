@@ -59,9 +59,14 @@ object SVMGraft {
       else { val s = st.getDouble(2 * i + 1); if (s.isNaN || s < 1e-12) 1.0 else s }
     }
     val w = KNN.hyperplanes(dRff, p, seed = 7L).map(_.map(_ * math.sqrt(2.0 * gamma)))
-    val phase = {  // deterministic U[0, 2π) offsets from the same md5 family
-      val u = KNN.hyperplanes(1, dRff, seed = 11L)(0)
-      u.map(g => (math.atan(g) / math.Pi + 0.5) * 2.0 * math.Pi)
+    // deterministic U[0, 2π) offsets — uniformity is required for the RFF
+    // kernel estimate to be unbiased (Rahimi–Recht eq. 2), so draw md5
+    // uniforms directly rather than squashing gaussians
+    val phase = Array.tabulate(dRff) { j =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"rff_b_$j".getBytes("UTF-8"))
+      val h = java.lang.Long.parseLong(d.map(b => f"$b%02x").mkString.take(15), 16)
+      (h % 1000000L).toDouble / 1000000.0 * 2.0 * math.Pi
     }
     val amp = math.sqrt(2.0 / dRff)
     val zCols = (0 until dRff).map { j =>
