@@ -143,6 +143,17 @@ class OperatorSpec extends AnyFunSuite {
     got.foreach { case (n, l) => assert(l == want(n), s"node $n: $l vs ${want(n)}") }
   }
 
+  test("pointer-jumping CC converges on a 500-node path in O(log n) rounds") {
+    import spark.implicits._
+    // diameter 500 — plain min propagation would need 500 rounds; the
+    // jump-composed step must finish well inside 16
+    val edges = (0L until 500L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = graft.graph.ConnectedComponents.converge(edges, "a", "b", maxRounds = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 501)
+    assert(got.values.forall(_ == 0L), s"unconverged labels: ${got.filter(_._2 != 0L).take(5)}")
+  }
+
   test("DBSCAN distributed-CC path produces the same labels as the driver path") {
     import spark.implicits._
     val rnd = new scala.util.Random(21)
