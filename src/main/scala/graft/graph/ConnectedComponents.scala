@@ -38,7 +38,12 @@ object ConnectedComponents {
   def propagate(edges: DataFrame, a: String, b: String, rounds: Int): DataFrame = {
     val dir = directed(edges, a, b).localCheckpoint(true)
     var lab = initLabels(dir)
-    (0 until rounds).foreach { _ => lab = step(dir, lab).localCheckpoint(true) }
+    // checkpoint every other round: enough to keep the plan shallow while
+    // halving the eager materializations
+    (0 until rounds).foreach { i =>
+      lab = step(dir, lab)
+      if (i % 2 == 1 || i == rounds - 1) lab = lab.localCheckpoint(true)
+    }
     lab
   }
 

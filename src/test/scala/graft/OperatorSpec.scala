@@ -294,6 +294,23 @@ class OperatorSpec extends AnyFunSuite {
     assert(coefs("x0") > 0 && coefs("x1") < 0, s"sign structure: $coefs")
   }
 
+  test("degenerate inputs: constant column and single row don't NaN-poison the QN fits") {
+    import spark.implicits._
+    // constant feature (stddev 0) alongside a real one
+    val df = (0 until 200).map { i =>
+      val x = i.toDouble / 10
+      (i.toLong, x, 5.0, if (x > 10) 1.0 else 0.0)
+    }.toDF("id", "x0", "xconst", "lab")
+    val out = graft.svm.SVMGraft.linearSvcSummary(df, Seq("x0", "xconst"), col("lab"))
+      .collect()
+    assert(out.forall(r => java.lang.Double.isFinite(r.getDouble(1))), out.mkString(","))
+    assert(out.head.getDouble(2) > 0.9, s"accuracy ${out.head.getDouble(2)}")
+    // single row: stddev_samp is NaN; the fit must still return finite coefs
+    val one = Seq((0L, 1.0, 0.0)).toDF("id", "x0", "lab")
+    val m = graft.linear.GradientSolver.fitQN(one, Seq("x0"), "lab", maxIter = 5)
+    assert(m.coefs.forall(java.lang.Double.isFinite), m.coefs.toString)
+  }
+
   test("flagship entry pipeline (quality + dedup + per-language stats) returns rows") {
     val r = SparkEntry.entry(spark).collect()
     assert(r.nonEmpty, "entry produced no rows")
