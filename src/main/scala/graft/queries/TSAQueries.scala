@@ -28,6 +28,11 @@ object TSAQueries {
           0.3, 0.1, 0.2, 7)
         .orderBy("series")
     },
+    "holtwinters_mul" -> { (s, d) =>
+      TimeSeries.holtWintersSeasonal(TimeSeries.dailySeries(Tables.events(s, d)),
+          0.3, 0.1, 0.2, 7, multiplicative = true)
+        .orderBy("series")
+    },
     "stationarity" -> { (s, d) =>
       val daily = TimeSeries.dailySeries(Tables.events(s, d))
       val w = Window.partitionBy(col("series")).orderBy(col("t"))
@@ -115,6 +120,30 @@ object TSAQueries {
          |      0.2 * (n.x - (0.3 * (n.x - hw.seas[1]) + (1.0 - 0.3) * (hw.l + hw.b))) + (1.0 - 0.2) * hw.seas[1]) AS seas
          |  FROM hw JOIN s n ON n.series = hw.series AND n.t = hw.t + 1),
          |last AS (SELECT series, t, l, b, l + b + seas[1] AS f,
+         |    row_number() OVER (PARTITION BY series ORDER BY t DESC) AS rn FROM hw)
+         |SELECT series, t AS t_last, round(l, 4) AS level, round(b, 4) AS trend,
+         |  round(f, 4) AS forecast1
+         |FROM last WHERE rn = 1 ORDER BY series""".stripMargin,
+    "holtwinters_mul" ->
+      s"""WITH RECURSIVE s0 AS ($dailySql),
+         |s AS (SELECT series, x, (row_number() OVER (PARTITION BY series ORDER BY day) - 1)::BIGINT AS t FROM s0),
+         |ini AS (SELECT series, list(x ORDER BY t) AS xs FROM s WHERE t < 14
+         |  GROUP BY series HAVING count(*) = 14),
+         |i2 AS (SELECT series,
+         |    list_sum(xs[1:7]) / 7.0 AS l0,
+         |    (list_sum(xs[8:14]) / 7.0 - list_sum(xs[1:7]) / 7.0) / 7.0 AS b0,
+         |    list_transform(xs[1:7], v -> v / (list_sum(xs[1:7]) / 7.0)) AS seas
+         |  FROM ini),
+         |hw AS (
+         |  SELECT series, 6::BIGINT AS t, l0 AS l, b0 AS b, seas FROM i2
+         |  UNION ALL
+         |  SELECT n.series, n.t,
+         |    0.3 * (n.x / hw.seas[1]) + (1.0 - 0.3) * (hw.l + hw.b) AS l,
+         |    0.1 * ((0.3 * (n.x / hw.seas[1]) + (1.0 - 0.3) * (hw.l + hw.b)) - hw.l) + (1.0 - 0.1) * hw.b AS b,
+         |    list_append(hw.seas[2:],
+         |      0.2 * (n.x / (0.3 * (n.x / hw.seas[1]) + (1.0 - 0.3) * (hw.l + hw.b))) + (1.0 - 0.2) * hw.seas[1]) AS seas
+         |  FROM hw JOIN s n ON n.series = hw.series AND n.t = hw.t + 1),
+         |last AS (SELECT series, t, l, b, (l + b) * seas[1] AS f,
          |    row_number() OVER (PARTITION BY series ORDER BY t DESC) AS rn FROM hw)
          |SELECT series, t AS t_last, round(l, 4) AS level, round(b, 4) AS trend,
          |  round(f, 4) AS forecast1

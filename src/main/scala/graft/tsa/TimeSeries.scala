@@ -94,7 +94,8 @@ object TimeSeries {
     * Per-series in-partition recursion, parallel across series; the 1-step
     * forecast adds the matching seasonal term. */
   def holtWintersSeasonal(series: DataFrame, alpha: Double, beta: Double,
-                          gamma: Double, period: Int): DataFrame = {
+                          gamma: Double, period: Int,
+                          multiplicative: Boolean = false): DataFrame = {
     import series.sparkSession.implicits._
     val m = period
     val rows = series.select(col("series").cast("string"), col("t").cast("long"),
@@ -105,17 +106,25 @@ object TimeSeries {
       else {
         var l = xs.take(m).sum / m.toDouble
         var b = (xs.slice(m, 2 * m).sum / m.toDouble - l) / m.toDouble
-        val seas = scala.collection.mutable.Queue(xs.take(m).map(_ - l): _*)
+        val seas = scala.collection.mutable.Queue(
+          xs.take(m).map(x => if (multiplicative) x / l else x - l): _*)
         var t = m
         while (t < xs.length) {
           val sOld = seas.dequeue()
           val lPrev = l
-          l = alpha * (xs(t) - sOld) + (1.0 - alpha) * (l + b)
-          b = beta * (l - lPrev) + (1.0 - beta) * b
-          seas.enqueue(gamma * (xs(t) - l) + (1.0 - gamma) * sOld)
+          if (multiplicative) {
+            l = alpha * (xs(t) / sOld) + (1.0 - alpha) * (l + b)
+            b = beta * (l - lPrev) + (1.0 - beta) * b
+            seas.enqueue(gamma * (xs(t) / l) + (1.0 - gamma) * sOld)
+          } else {
+            l = alpha * (xs(t) - sOld) + (1.0 - alpha) * (l + b)
+            b = beta * (l - lPrev) + (1.0 - beta) * b
+            seas.enqueue(gamma * (xs(t) - l) + (1.0 - gamma) * sOld)
+          }
           t += 1
         }
-        Iterator((key, xs.length.toLong - 1, l, b, l + b + seas.head))
+        val f = if (multiplicative) (l + b) * seas.head else l + b + seas.head
+        Iterator((key, xs.length.toLong - 1, l, b, f))
       }
     }.toDF("series", "t_last", "_l", "_b", "_f")
       .select(col("series"), col("t_last"),

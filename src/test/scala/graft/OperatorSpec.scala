@@ -337,6 +337,19 @@ class OperatorSpec extends AnyFunSuite {
     assert(rbf > 0.85, s"RFF should separate XOR: $rbf")
   }
 
+  test("multiplicative Holt-Winters tracks a planted multiplicative season") {
+    import spark.implicits._
+    val season = Array(1.3, 0.8, 1.1, 1.0, 0.7, 1.2, 0.9)
+    val xs = (0 until 56).map(t => (40.0 + 0.5 * t) * season(t % 7))
+    val df = xs.zipWithIndex.map { case (x, t) => ("s", t.toLong, x) }.toDF("series", "t", "x")
+    val r = graft.tsa.TimeSeries.holtWintersSeasonal(df, 0.3, 0.1, 0.2, 7,
+      multiplicative = true).head()
+    val forecast = r.getDouble(4)
+    val actualNext = (40.0 + 0.5 * 56) * season(56 % 7)
+    assert(math.abs(forecast - actualNext) / actualNext < 0.05,
+      s"forecast $forecast vs $actualNext")
+  }
+
   test("ARIMA(1,1,1) HR fit recovers a planted AR(1)-on-differences signal") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
