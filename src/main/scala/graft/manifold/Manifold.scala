@@ -107,36 +107,40 @@ object Manifold {
         }
         fx(i) -= c * dx; fy(i) -= c * dy
       }
-      // all-pairs student-t repulsion (O(sample²) — bounded by design)
+      // student-t repulsion: all-pairs below ~1000 nodes, deterministic
+      // negative sampling above (s opponents per node, estimates scaled by
+      // (n−1)/s — keeps each iteration O(n·s) at larger sample sizes)
+      val negS = if (n > 1000) 64 else 0
+      def opponents(a: Int, salt: Int): Iterator[Int] =
+        if (negS == 0) Iterator.range(0, n).filter(_ != a)
+        else {
+          val rng = new java.util.Random(a.toLong * 1000003L + salt * 7919L + it)
+          Iterator.continually((rng.nextInt & Int.MaxValue) % n)
+            .filter(_ != a).take(negS)
+        }
+      val estScale = if (negS == 0) 1.0 else (n - 1).toDouble / negS
       var z = 0.0
       if (mode == TsneForces) {
         var a = 0
         while (a < n) {
-          var b = 0
-          while (b < n) {
-            if (a != b) {
-              val dx = px(a) - px(b); val dy = py(a) - py(b)
-              z += 1.0 / (1.0 + dx * dx + dy * dy)
-            }
-            b += 1
+          opponents(a, 1).foreach { b =>
+            val dx = px(a) - px(b); val dy = py(a) - py(b)
+            z += 1.0 / (1.0 + dx * dx + dy * dy)
           }
           a += 1
         }
+        z *= estScale
       }
       var a = 0
       while (a < n) {
-        var b = 0
-        while (b < n) {
-          if (a != b) {
-            val dx = px(a) - px(b); val dy = py(a) - py(b)
-            val q = 1.0 / (1.0 + dx * dx + dy * dy)
-            val c = mode match {
-              case TsneForces => q * q / z
-              case UmapForces => q * q * 0.01
-            }
-            fx(a) += c * dx; fy(a) += c * dy
+        opponents(a, 2).foreach { b =>
+          val dx = px(a) - px(b); val dy = py(a) - py(b)
+          val q = 1.0 / (1.0 + dx * dx + dy * dy)
+          val c = mode match {
+            case TsneForces => q * q / z * estScale
+            case UmapForces => q * q * 0.01 * estScale
           }
-          b += 1
+          fx(a) += c * dx; fy(a) += c * dy
         }
         a += 1
       }

@@ -260,6 +260,27 @@ class OperatorSpec extends AnyFunSuite {
     assert(mses.head > mses(1), "rank-1 must lose more than rank-2 on rank-2 data")
   }
 
+  test("negative-sampled layout still separates clusters at 1200 nodes") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val rows = (0 until 1200).map { i =>
+      val base = if (i < 600) 0.0 else 10.0
+      (i.toLong, Array.fill(8)(base + rnd.nextGaussian() * 0.3).toSeq)
+    }
+    val df = rows.toDF("id", "v")
+    val pos = graft.manifold.Manifold.forceLayout(df, "id", "v",
+        k = 5, iters = 15, lr = 1.0, mode = graft.manifold.Manifold.UmapForces)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val (a, b) = pos.partition(_._1 < 600)
+    def centroid(s: Array[(Long, Double, Double)]) =
+      (s.map(_._2).sum / s.length, s.map(_._3).sum / s.length)
+    val (cax, cay) = centroid(a); val (cbx, cby) = centroid(b)
+    val inter = math.hypot(cax - cbx, cay - cby)
+    val intra = (a.map(p => math.hypot(p._2 - cax, p._3 - cay)) ++
+      b.map(p => math.hypot(p._2 - cbx, p._3 - cby))).sum / pos.length
+    assert(inter > 1.5 * intra, s"inter $inter vs intra $intra")
+  }
+
   test("wide PCA transform: per-component score variance equals the eigenvalue") {
     import graft.decomposition.PCAGraft
     val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
