@@ -73,6 +73,36 @@ object IVF {
     KNN.topKPerKey(pairs, k, KNN.nearFirst(KNN.Cosine))
   }
 
+  /** Persist the corpus bucketed by quantizer cell — at scale the index IS
+    * the table layout: probes then join bucket-to-bucket, so the corpus is
+    * never re-shuffled at query time (only the small probe side moves).
+    * Written once per index build, like any IVF list structure. */
+  def writeBucketed(corpus: DataFrame, idCol: String, vecCol: String, idx: Index,
+                    table: String, nBuckets: Int = 32): Unit = {
+    val v = col(vecCol).cast("array<double>")
+    corpus.select(col(idCol).cast("long").as("id"), v.as("cv"),
+        cellUdf(idx)(v).as("cell"))
+      .write.mode("overwrite").bucketBy(nBuckets, "cell")
+      .format("parquet").saveAsTable(table)
+  }
+
+  /** Top-k over a bucketed corpus table written by writeBucketed: the scan
+    * side carries its bucketing, so the cell join adds no corpus exchange. */
+  def topKBucketed(spark: org.apache.spark.sql.SparkSession, table: String,
+                   queries: DataFrame, idCol: String, vecCol: String,
+                   idx: Index, k: Int, nprobe: Int): DataFrame = {
+    val data = spark.table(table)
+    val v = col(vecCol).cast("array<double>")
+    val dim = idx.centers(0).length
+    val q = queries.select(col(idCol).cast("long").as("qid"), v.as("qv"),
+        probeUdf(idx, nprobe)(v).as("probes"))
+      .select(col("qid"), col("qv"), explode(col("probes")).as("cell"))
+    val s = VectorOps.dotFixed(col("qv"), col("cv"), dim) /
+      sqrt(VectorOps.sqNormFixed(col("qv"), dim) * VectorOps.sqNormFixed(col("cv"), dim))
+    val pairs = q.join(data, Seq("cell")).select(col("qid"), col("id"), s.as("_s"))
+    KNN.topKPerKey(pairs, k, KNN.nearFirst(KNN.Cosine))
+  }
+
   /** Recall@k of the IVF result against brute force — the query-surface
     * summary (avg recall over the query set). */
   def recallSummary(corpus: DataFrame, queries: DataFrame, idCol: String,

@@ -118,6 +118,33 @@ class PlanSpec extends AnyFunSuite {
     assert(n <= 2, s"$n exchanges:\n${p.take(4000)}")
   }
 
+  test("bucketed IVF probe joins without a corpus exchange and matches live IVF") {
+    val e = Tables.embeddings(spark, sf)
+    val idx = graft.neighbors.IVF.train(e, "embedding", nCells = 4)
+    graft.neighbors.IVF.writeBucketed(e, "vec_id", "embedding", idx, "b_ivf", nBuckets = 8)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = e.filter(col("vec_id") < 5)
+      val bucketed = graft.neighbors.IVF.topKBucketed(spark, "b_ivf", q,
+        "vec_id", "embedding", idx, k = 3, nprobe = 2)
+      val live = graft.neighbors.IVF.topK(e, q, "vec_id", "embedding", idx,
+        k = 3, nprobe = 2)
+      val a = bucketed.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val b = live.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(a == b, s"bucketed $a vs live $b")
+      // the cell join must leave the bucketed corpus unshuffled — only the
+      // probe side pays an exchange
+      val probe = q.select(col("vec_id").as("qid"), (col("vec_id") % 4).cast("int").as("cell"))
+      val j = probe.join(spark.table("b_ivf"), Seq("cell"))
+      val p = planOf(j)
+      val nEx = "Exchange".r.findAllIn(p).length
+      assert(nEx <= 1, s"$nEx exchanges:\n${p.take(3000)}")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS b_ivf")
+    }
+  }
+
   test("LSH/IVF reranks and LSH dedup avoid windows over the candidate-pair set") {
     val e = Tables.embeddings(spark, sf)
     val lsh = planOf(KNN.lshTopK(e, "vec_id", "embedding", 3, 8, 64))
