@@ -36,24 +36,24 @@ object VectorOps {
   /** Elementwise sum of two array columns. */
   def add(a: Column, b: Column): Column = zip_with(a, b, (x, y) => x + y)
 
-  // ---- fixed-dimension variants -------------------------------------------
+  // ---- hot-path variants --------------------------------------------------
   // Higher-order functions (zip_with/aggregate) allocate an intermediate
-  // array per row and run the lambda interpreted. For a known dimension the
-  // unrolled element_at sum is a single flat codegen'd expression — the hot
-  // path for kNN/ANN/dedup scans. Left-associated like the fold, so results
-  // are bit-identical to the generic versions (and to DuckDB's
-  // list_dot_product sequential sum).
+  // array per row and run the lambda interpreted, and an unrolled
+  // element_at chain pays a per-element bounds/null check. The native
+  // graft.functions expressions compile to ONE primitive loop inside
+  // whole-stage codegen — the shape a 100 TB pair scan needs. Accumulation
+  // is sequential left-to-right, so results are bit-identical to the fold
+  // (and to DuckDB's sequential list sum) — every oracle hash is unchanged.
+  // `dim` documents the expected width; vectors are dense and equal-length
+  // (the loop runs over the common prefix).
 
   def dotFixed(a: Column, b: Column, dim: Int): Column =
-    (0 until dim).map(i => element_at(a, i + 1) * element_at(b, i + 1)).reduce(_ + _)
+    graft.functions.ArrayMath.dot(a, b)
 
   def sqNormFixed(a: Column, dim: Int): Column = dotFixed(a, a, dim)
 
   def sqDistFixed(a: Column, b: Column, dim: Int): Column =
-    (0 until dim).map { i =>
-      val d = element_at(a, i + 1) - element_at(b, i + 1)
-      d * d
-    }.reduce(_ + _)
+    graft.functions.ArrayMath.sqDist(a, b)
 
   /** Array length of the first row — one tiny job to pin the dimension. */
   def dimOf(df: org.apache.spark.sql.DataFrame, c: Column): Int =

@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native Catalyst expressions for the dense-vector hot path (reference
+  * cpp/src_prims/linalg/ — norm.h, distance/): a fused dot product and
+  * squared distance over `array<double>` columns.
+  *
+  * Why not `zip_with`/`aggregate` or an unrolled `element_at` chain: the
+  * higher-order functions run their lambdas with per-element closures and an
+  * intermediate array allocation per row, and the unrolled chain pays a
+  * bounds/null check per element and grows the generated method linearly
+  * with the dimension. These expressions compile to ONE tight `for` loop
+  * over the underlying ArrayData inside whole-stage codegen — the pair scan
+  * of a kNN / ANN / embedding-dedup join does a single primitive loop per
+  * pair, which is what a 100 TB scan needs.
+  *
+  * FP contract: accumulation is sequential over i = 0..n-1, left-to-right —
+  * bit-identical to the left-associated `element_at` sum it replaces, so
+  * every DuckDB oracle hash is unchanged.
+  *
+  * Elements must be non-null (embedding vectors are dense); a null ARRAY
+  * yields null (nullIntolerant).
+  */
+abstract class ArrayPairLoop extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  /** Scala accumulation step, mirrored exactly by [[javaStep]]. */
+  protected def step(acc: Double, x: Double, y: Double): Double
+  /** Java source for one step; `s`, `x`, `y` are in scope. */
+  protected def javaStep: String
+
+  protected override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s = step(s, x.getDouble(i), y.getDouble(i)); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double x = $a.getDouble($i);
+         |  double y = $b.getDouble($i);
+         |  $javaStep
+         |}
+         |${ev.value} = $s;
+       """.stripMargin.replace("ACC", s)
+    })
+}
+
+/** Σ aᵢ·bᵢ. */
+case class DotProduct(left: Expression, right: Expression) extends ArrayPairLoop {
+  protected def step(acc: Double, x: Double, y: Double): Double = acc + x * y
+  protected def javaStep: String = "ACC += x * y;"
+  override def prettyName: String = "graft_dot"
+  protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Σ (aᵢ−bᵢ)². */
+case class SquaredDistance(left: Expression, right: Expression) extends ArrayPairLoop {
+  protected def step(acc: Double, x: Double, y: Double): Double = { val d = x - y; acc + d * d }
+  protected def javaStep: String = "double d = x - y; ACC += d * d;"
+  override def prettyName: String = "graft_sqdist"
+  protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SquaredDistance =
+    copy(left = newLeft, right = newRight)
+}
+
+object ArrayMath {
+  def dot(a: Column, b: Column): Column =
+    Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+
+  def sqDist(a: Column, b: Column): Column =
+    Bridge.column(SquaredDistance(Bridge.expression(a), Bridge.expression(b)))
+}

@@ -2,38 +2,31 @@ package graft.linear
 
 import breeze.linalg.DenseVector
 import breeze.optimize.{DiffFunction, LBFGS}
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Iterative solvers (cuML's SGD / MBSGD* / QN surface —
   * reference python/cuml/solvers/sgd.pyx, qn.pyx;
   * reference cpp/src/solver/sgd.h, qn/qn.h).
   *
-  * Spark-first shape: each iteration evaluates the full gradient as ONE
-  * codegen'd aggregate over a cached narrow projection (optionally a seeded
-  * sample for minibatching); the driver takes the O(p) step. This is the
-  * same dataflow as MLlib's GradientDescent/LBFGS (treeAggregate of
-  * per-row gradients) but expressed through Catalyst columns, so the
-  * per-row math is whole-stage codegen'd — no closures to ship, and at
-  * 100 TB each pass is a scan + map-side partial aggregation.
+  * Spark-first shape: standardization stats come from ONE codegen'd
+  * Catalyst aggregate; the iterations then run `treeAggregate` (depth 2)
+  * over a cached primitive `RDD[Array[Double]]` — MLlib's own
+  * GradientDescent/LBFGS dataflow. The inner loop deliberately does NOT
+  * re-issue a Catalyst aggregate per iteration: the weight vector changes
+  * every step, so each pass would re-analyze the plan and recompile its
+  * whole-stage codegen (~100–200 ms of driver work per iteration that
+  * dwarfs the scan at local scale and serializes the driver at cluster
+  * scale). Per-pass cost is a cache scan + map-side partial aggregation —
+  * identical shuffle shape to the Catalyst version, minus the replanning.
   */
-object GradientSolver {
+object GradientSolver extends Serializable {
   sealed trait Loss
   case object SquaredLoss extends Loss    // y ∈ ℝ
   case object LogisticLoss extends Loss   // y ∈ {0,1}
   case object HingeLoss extends Loss      // y ∈ {0,1} (mapped to ±1)
-
-  private def margin(w: Array[Double], fx: Seq[Column]): Column =
-    fx.zipWithIndex.foldLeft(lit(w(0))) { case (acc, (c, i)) => acc + c * w(i + 1) }
-
-  /** Per-row gradient factor g such that ∇ = Σ g·[1, x]. */
-  private def gradFactor(loss: Loss, m: Column, y: Column): Column = loss match {
-    case SquaredLoss  => m - y
-    case LogisticLoss => lit(1.0) / (lit(1.0) + exp(-m)) - y
-    case HingeLoss =>
-      val ypm = y * 2.0 - 1.0
-      when(ypm * m < 1.0, -ypm).otherwise(lit(0.0))
-  }
 
   /** One-pass feature stats. Null stats (empty input) fall back to (0,1);
     * NaN or ~0 stddev (single row / constant column) falls back to scale 1
@@ -53,6 +46,59 @@ object GradientSolver {
     (mu, sd)
   }
 
+  /** Materialize the (standardized) projection as a cached primitive RDD of
+    * [f0..fp-1, y] rows — the iteration substrate shared by fit/fitQN. */
+  private def cachedRows(df: DataFrame, fx: Seq[Column], y: Column): RDD[Array[Double]] = {
+    val p = fx.size
+    val proj = df.select((fx :+ y.as("_y")).zipWithIndex.map {
+      case (c, i) => if (i < p) c.as(s"_f$i") else c
+    }: _*)
+    proj.rdd.map { r =>
+      val a = new Array[Double](p + 1)
+      var i = 0
+      while (i <= p) { a(i) = r.getDouble(i); i += 1 }
+      a
+    }.persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
+  private def marginAt(w: Array[Double], row: Array[Double], p: Int): Double = {
+    var m = w(0)
+    var i = 0
+    while (i < p) { m += row(i) * w(i + 1); i += 1 }
+    m
+  }
+
+  /** One L-BFGS objective evaluation: acc = [Σloss, Σg, Σg·x0..Σg·xp-1].
+    * A standalone method so the treeAggregate closures capture only (wB,
+    * lossB, p) — defined inside the breeze DiffFunction they would capture
+    * the (non-serializable) anonymous class itself. */
+  private def qnPass(data: RDD[Array[Double]], wB: Array[Double], lossB: Loss,
+                     p: Int): Array[Double] =
+    data.treeAggregate(new Array[Double](p + 2))(
+      seqOp = (a, row) => {
+        val m = marginAt(wB, row, p)
+        val yv = row(p)
+        val ypm = yv * 2.0 - 1.0
+        val z = ypm * m
+        val (lv, g) = lossB match {
+          case HingeLoss =>
+            // squared hinge: max(0, 1−z)²; d/dm = −2·y±·max(0, 1−z)
+            val hz = math.max(0.0, 1.0 - z)
+            (hz * hz, -2.0 * ypm * hz)
+          case _ =>
+            // log(1+exp(-z)) computed stably: max(0,-z) + log1p(exp(-|z|))
+            (math.max(0.0, -z) + math.log1p(math.exp(-math.abs(z))),
+              1.0 / (1.0 + math.exp(-m)) - yv)
+        }
+        a(0) += lv
+        a(1) += g
+        var i = 0
+        while (i < p) { a(i + 2) += g * row(i); i += 1 }
+        a
+      },
+      combOp = (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a },
+      depth = 2)
+
   def fit(df: DataFrame, features: Seq[String], label: String, loss: Loss,
           lr: Double = 0.05, iters: Int = 40, batchFraction: Double = 1.0,
           l2: Double = 0.0, seed: Long = 42L, standardize: Boolean = true): LinearModel = {
@@ -65,24 +111,41 @@ object GradientSolver {
         val (mu, sd) = featureStats(df, fx0)
         (fx0.zipWithIndex.map { case (c, i) => (c - mu(i)) / sd(i) }, mu, sd)
       }
-    val proj = df.select((fx :+ y.as("_y")).zipWithIndex.map {
-      case (c, i) => if (i < features.size) c.as(s"_f$i") else c
-    }: _*).cache()
+    val p = features.size
+    val data = cachedRows(df, fx, y)
     try {
-      val p = features.size
       val w = Array.fill(p + 1)(0.0)
       var it = 0
       while (it < iters) {
-        val batch = if (batchFraction >= 1.0) proj else proj.sample(batchFraction, seed + it)
-        val fcols = (0 until p).map(i => col(s"_f$i"))
-        val g = gradFactor(loss, margin(w, fcols), col("_y"))
-        val aggs = (sum(g) +: fcols.map(c => sum(g * c))) :+ count(lit(1)).cast("double")
-        val row = batch.agg(aggs.head, aggs.tail: _*).head()
-        val n = math.max(row.getDouble(p + 1), 1.0)
+        val batch = if (batchFraction >= 1.0) data
+          else data.sample(withReplacement = false, batchFraction, seed + it)
+        val wB = w.clone()
+        val lossB = loss
+        // acc = [Σg, Σg·x0..Σg·xp-1, n]
+        val acc = batch.treeAggregate(new Array[Double](p + 2))(
+          seqOp = (a, row) => {
+            val m = marginAt(wB, row, p)
+            val yv = row(p)
+            val g = lossB match {
+              case SquaredLoss  => m - yv
+              case LogisticLoss => 1.0 / (1.0 + math.exp(-m)) - yv
+              case HingeLoss =>
+                val ypm = yv * 2.0 - 1.0
+                if (ypm * m < 1.0) -ypm else 0.0
+            }
+            a(0) += g
+            var i = 0
+            while (i < p) { a(i + 1) += g * row(i); i += 1 }
+            a(p + 1) += 1.0
+            a
+          },
+          combOp = (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a },
+          depth = 2)
+        val n = math.max(acc(p + 1), 1.0)
         var i = 0
         while (i <= p) {
           val reg = if (i == 0) 0.0 else l2 * w(i)
-          w(i) -= lr * (row.getDouble(i) / n + reg)
+          w(i) -= lr * (acc(i) / n + reg)
           i += 1
         }
         it += 1
@@ -91,7 +154,7 @@ object GradientSolver {
       val coefs = Array.tabulate(p)(i => w(i + 1) / sc(i))
       val b0 = w(0) - (0 until p).map(i => coefs(i) * shift(i)).sum
       LinearModel("intercept" +: features, b0 +: coefs.toSeq)
-    } finally proj.unpersist()
+    } finally data.unpersist(blocking = false)
   }
 
   /** Quasi-Newton (L-BFGS) fit — cuML's QN solver surface. One aggregate
@@ -107,34 +170,16 @@ object GradientSolver {
     // standardize: mixed feature scales stall the line search otherwise
     val (mu, sd) = featureStats(df, fx0)
     val fx = fx0.zipWithIndex.map { case (c, i) => (c - mu(i)) / sd(i) }
-    val proj = df.select((fx :+ col(label).cast("double").as("_y")).zipWithIndex.map {
-      case (c, i) => if (i < p) c.as(s"_f$i") else c
-    }: _*).cache()
+    val data = cachedRows(df, fx, col(label).cast("double"))
     try {
-      val n = proj.count().toDouble
+      val n = data.count().toDouble
       val f = new DiffFunction[DenseVector[Double]] {
         def calculate(w: DenseVector[Double]): (Double, DenseVector[Double]) = {
-          val fcols = (0 until p).map(i => col(s"_f$i"))
-          val m = margin(w.toArray, fcols)
-          val yc = col("_y")
-          val ypm = yc * 2.0 - 1.0
-          val z = ypm * m
-          val (lossE, g) = loss match {
-            case HingeLoss =>
-              // squared hinge: max(0, 1−z)²; d/dm = −2·y±·max(0, 1−z)
-              val hz = greatest(lit(0.0), lit(1.0) - z)
-              (hz * hz, lit(-2.0) * ypm * hz)
-            case _ =>
-              // log(1+exp(-z)) computed stably: max(0,-z) + log1p(exp(-|z|))
-              (greatest(lit(0.0), -z) + log1p(exp(-abs(z))),
-                lit(1.0) / (lit(1.0) + exp(-m)) - yc)
-          }
-          val aggs = sum(lossE) +: (sum(g) +: fcols.map(c => sum(g * c)))
-          val row = proj.agg(aggs.head, aggs.tail: _*).head()
-          val lossV = row.getDouble(0) / n +
+          val acc = qnPass(data, w.toArray, loss, p)
+          val lossV = acc(0) / n +
             0.5 * l2 * (1 until p + 1).map(i => w(i) * w(i)).sum
           val grad = DenseVector.tabulate(p + 1) { i =>
-            row.getDouble(i + 1) / n + (if (i == 0) 0.0 else l2 * w(i))
+            acc(i + 1) / n + (if (i == 0) 0.0 else l2 * w(i))
           }
           (lossV, grad)
         }
@@ -145,6 +190,6 @@ object GradientSolver {
       val coefs = Array.tabulate(p)(i => w(i + 1) / sd(i))
       val b0 = w(0) - (0 until p).map(i => coefs(i) * mu(i)).sum
       LinearModel("intercept" +: features, b0 +: coefs.toSeq)
-    } finally proj.unpersist()
+    } finally data.unpersist(blocking = false)
   }
 }

@@ -50,9 +50,8 @@ object SVMGraft {
                     regParam: Double = 1e-4, maxIter: Int = 60): DataFrame = {
     val p = features.size
     val fx0 = features.map(c => col(c).cast("double"))
-    val st = df.agg(
-      fx0.flatMap(c => Seq(avg(c), stddev_samp(c))).head,
-      fx0.flatMap(c => Seq(avg(c), stddev_samp(c))).tail: _*).head()
+    val aggs = fx0.flatMap(c => Seq(avg(c), stddev_samp(c)))
+    val st = df.agg(aggs.head, aggs.tail: _*).head()
     val mu = Array.tabulate(p)(i => if (st.isNullAt(2 * i)) 0.0 else st.getDouble(2 * i))
     val sd = Array.tabulate(p) { i =>
       if (st.isNullAt(2 * i + 1)) 1.0

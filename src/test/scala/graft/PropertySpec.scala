@@ -63,6 +63,40 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("native graft_dot/graft_sqdist equal the higher-order fold bit-for-bit") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(1, 48)
+      a <- Gen.listOfN(n, Gen.choose(-50.0, 50.0))
+      b <- Gen.listOfN(n, Gen.choose(-50.0, 50.0))
+    } yield (a, b)
+    cases(gen, 8).foreach { case (a, b) =>
+      val df = Seq((a, b)).toDF("a", "b")
+      val row = df.select(
+        graft.functions.ArrayMath.dot(org.apache.spark.sql.functions.col("a"),
+          org.apache.spark.sql.functions.col("b")),
+        graft.core.VectorOps.dot(org.apache.spark.sql.functions.col("a"),
+          org.apache.spark.sql.functions.col("b")),
+        graft.functions.ArrayMath.sqDist(org.apache.spark.sql.functions.col("a"),
+          org.apache.spark.sql.functions.col("b")),
+        graft.core.VectorOps.sqDist(org.apache.spark.sql.functions.col("a"),
+          org.apache.spark.sql.functions.col("b"))).head()
+      // identical accumulation order ⇒ identical doubles, not just close
+      assert(java.lang.Double.doubleToLongBits(row.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(row.getDouble(1)))
+      assert(java.lang.Double.doubleToLongBits(row.getDouble(2)) ==
+        java.lang.Double.doubleToLongBits(row.getDouble(3)))
+    }
+  }
+
+  test("graft functions register as SQL functions (extension path)") {
+    graft.functions.GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) d, " +
+        "graft_sqdist(array(1.0d, 2.0d), array(3.0d, 1.0d)) s").head()
+    assert(r.getDouble(0) == 32.0 && r.getDouble(1) == 5.0)
+  }
+
   test("SES recursion stays within the running min/max of the series") {
     import spark.implicits._
     val gen = for {
