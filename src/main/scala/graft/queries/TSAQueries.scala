@@ -33,6 +33,15 @@ object TSAQueries {
           0.3, 0.1, 0.2, 7, multiplicative = true)
         .orderBy("series")
     },
+    "hw_forecast" -> { (s, d) =>
+      TimeSeries.holtWintersForecast(TimeSeries.dailySeries(Tables.events(s, d)),
+          0.3, 0.1, 0.2, 7, h = 5)
+        .orderBy("series", "step")
+    },
+    "arima_forecast" -> { (s, d) =>
+      TimeSeries.arForecast(TimeSeries.dailySeries(Tables.events(s, d)), h = 5)
+        .orderBy("series", "step")
+    },
     "stationarity" -> { (s, d) =>
       val daily = TimeSeries.dailySeries(Tables.events(s, d))
       val w = Window.partitionBy(col("series")).orderBy(col("t"))
@@ -254,6 +263,58 @@ object TSAQueries {
          |  UNION ALL SELECT series, 'ar1', round(c1, 4) FROM dt2
          |  UNION ALL SELECT series, 'ma1', round(c2, 4) FROM dt2
          |) ORDER BY series, term""".stripMargin,
+    "hw_forecast" ->
+      s"""WITH RECURSIVE s0 AS ($dailySql),
+         |s AS (SELECT series, x, (row_number() OVER (PARTITION BY series ORDER BY day) - 1)::BIGINT AS t FROM s0),
+         |ini AS (SELECT series, list(x ORDER BY t) AS xs FROM s WHERE t < 14
+         |  GROUP BY series HAVING count(*) = 14),
+         |i2 AS (SELECT series,
+         |    list_sum(xs[1:7]) / 7.0 AS l0,
+         |    (list_sum(xs[8:14]) / 7.0 - list_sum(xs[1:7]) / 7.0) / 7.0 AS b0,
+         |    list_transform(xs[1:7], v -> v - list_sum(xs[1:7]) / 7.0) AS seas
+         |  FROM ini),
+         |hw AS (
+         |  SELECT series, 6::BIGINT AS t, l0 AS l, b0 AS b, seas FROM i2
+         |  UNION ALL
+         |  SELECT n.series, n.t,
+         |    0.3 * (n.x - hw.seas[1]) + (1.0 - 0.3) * (hw.l + hw.b) AS l,
+         |    0.1 * ((0.3 * (n.x - hw.seas[1]) + (1.0 - 0.3) * (hw.l + hw.b)) - hw.l) + (1.0 - 0.1) * hw.b AS b,
+         |    list_append(hw.seas[2:],
+         |      0.2 * (n.x - (0.3 * (n.x - hw.seas[1]) + (1.0 - 0.3) * (hw.l + hw.b))) + (1.0 - 0.2) * hw.seas[1]) AS seas
+         |  FROM hw JOIN s n ON n.series = hw.series AND n.t = hw.t + 1),
+         |last AS (SELECT series, t, l, b, seas,
+         |    row_number() OVER (PARTITION BY series ORDER BY t DESC) AS rn FROM hw),
+         |fin AS (SELECT series, l, b, seas FROM last WHERE rn = 1)
+         |SELECT series, k::BIGINT AS step,
+         |  round(l + k * b + seas[((k - 1) % 7) + 1], 4) AS forecast
+         |FROM fin, generate_series(1, 5) AS g(k)
+         |ORDER BY series, step""".stripMargin,
+    "arima_forecast" ->
+      s"""WITH s0 AS ($dailySql),
+         |l AS (SELECT series, x AS y,
+         |    lag(x, 1) OVER (PARTITION BY series ORDER BY day) AS x1,
+         |    lag(x, 2) OVER (PARTITION BY series ORDER BY day) AS x2
+         |  FROM s0),
+         |f AS (SELECT * FROM l WHERE x1 IS NOT NULL AND x2 IS NOT NULL),
+         |${cramer3Sql("f")},
+         |lt AS (SELECT series,
+         |    max(CASE WHEN rnd = 1 THEN x END) AS xT,
+         |    max(CASE WHEN rnd = 2 THEN x END) AS xT1
+         |  FROM (SELECT series, x, row_number() OVER (PARTITION BY series ORDER BY day DESC) AS rnd FROM s0) q
+         |  WHERE rnd <= 2 GROUP BY series),
+         |j AS (SELECT dt.series, c0, c1, c2, xT, xT1 FROM dt JOIN lt ON dt.series = lt.series),
+         |f1 AS (SELECT *, c0 + c1 * xT + c2 * xT1 AS fc1 FROM j),
+         |f2 AS (SELECT *, c0 + c1 * fc1 + c2 * xT AS fc2 FROM f1),
+         |f3 AS (SELECT *, c0 + c1 * fc2 + c2 * fc1 AS fc3 FROM f2),
+         |f4 AS (SELECT *, c0 + c1 * fc3 + c2 * fc2 AS fc4 FROM f3),
+         |f5 AS (SELECT *, c0 + c1 * fc4 + c2 * fc3 AS fc5 FROM f4)
+         |SELECT series, step, forecast FROM (
+         |  SELECT series, 1::BIGINT AS step, round(fc1, 4) AS forecast FROM f5
+         |  UNION ALL SELECT series, 2::BIGINT, round(fc2, 4) FROM f5
+         |  UNION ALL SELECT series, 3::BIGINT, round(fc3, 4) FROM f5
+         |  UNION ALL SELECT series, 4::BIGINT, round(fc4, 4) FROM f5
+         |  UNION ALL SELECT series, 5::BIGINT, round(fc5, 4) FROM f5
+         |) ORDER BY series, step""".stripMargin,
     "stationarity" ->
       s"""WITH s AS ($dailySql),
          |t AS (SELECT series, x, row_number() OVER (PARTITION BY series ORDER BY day) AS rn FROM s),

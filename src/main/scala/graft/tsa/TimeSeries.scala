@@ -133,6 +133,54 @@ object TimeSeries {
         round(col("_f"), 4).as("forecast1"))
   }
 
+  /** h-step Holt-Winters forecasts — the reference's
+    * ExponentialSmoothing.forecast(h) (tsa/holtwinters.pyx): run the same
+    * per-series recursion as [[holtWintersSeasonal]], then emit
+    *   ŷ_{T+k} = l + k·b + s_{(k−1) mod m}   (additive)
+    *   ŷ_{T+k} = (l + k·b) · s_{(k−1) mod m} (multiplicative)
+    * for k = 1..h, where s is the final seasonal window (oldest first —
+    * s_0 is the season of time T+1). One row per (series, step). */
+  def holtWintersForecast(series: DataFrame, alpha: Double, beta: Double,
+                          gamma: Double, period: Int, h: Int,
+                          multiplicative: Boolean = false): DataFrame = {
+    import series.sparkSession.implicits._
+    val m = period
+    val rows = series.select(col("series").cast("string"), col("t").cast("long"),
+      col("x").cast("double")).as[(String, Long, Double)]
+    rows.groupByKey(_._1).flatMapGroups { (key, it) =>
+      val xs = it.toSeq.sortBy(_._2).map(_._3)
+      if (xs.length < 2 * m) Iterator.empty
+      else {
+        var l = xs.take(m).sum / m.toDouble
+        var b = (xs.slice(m, 2 * m).sum / m.toDouble - l) / m.toDouble
+        val seas = scala.collection.mutable.Queue(
+          xs.take(m).map(x => if (multiplicative) x / l else x - l): _*)
+        var t = m
+        while (t < xs.length) {
+          val sOld = seas.dequeue()
+          val lPrev = l
+          if (multiplicative) {
+            l = alpha * (xs(t) / sOld) + (1.0 - alpha) * (l + b)
+            b = beta * (l - lPrev) + (1.0 - beta) * b
+            seas.enqueue(gamma * (xs(t) / l) + (1.0 - gamma) * sOld)
+          } else {
+            l = alpha * (xs(t) - sOld) + (1.0 - alpha) * (l + b)
+            b = beta * (l - lPrev) + (1.0 - beta) * b
+            seas.enqueue(gamma * (xs(t) - l) + (1.0 - gamma) * sOld)
+          }
+          t += 1
+        }
+        val seasArr = seas.toIndexedSeq
+        (1 to h).iterator.map { k =>
+          val s = seasArr((k - 1) % m)
+          val f = if (multiplicative) (l + k * b) * s else l + k * b + s
+          (key, k.toLong, f)
+        }
+      }
+    }.toDF("series", "step", "_f")
+      .select(col("series"), col("step"), round(col("_f"), 4).as("forecast"))
+  }
+
   /** Stationarity check (reference tsa/stationarity.pyx: pick d ∈ {0,1}
     * per batched series): variance-ratio heuristic — difference the series
     * if it reduces variance. Window lag + two aggregates, one shuffle on
@@ -243,6 +291,43 @@ object TimeSeries {
         struct(lit(t).as("term"), col(s"c$i").as("coef"))
       }: _*)).as("s"))
       .select(col("series"), col("s.term").as("term"), col("s.coef").as("coef"))
+
+  /** h-step AR(2) forecasts (reference tsa/arima.pyx predict/forecast):
+    * fit per-series AR(2) in the one grouped-aggregate pass, join the
+    * coefficients back onto each series' last two observations (one grouped
+    * aggregate — no window over the history), then unroll the forecast
+    * recursion ŷ_{T+k} = c0 + c1·ŷ_{T+k−1} + c2·ŷ_{T+k−2} as k nested
+    * column expressions. Everything stays one job; h is small by nature.
+    * Output: (series, step, forecast). */
+  def arForecast(series: DataFrame, h: Int): DataFrame = {
+    require(h >= 1, "h >= 1")
+    val coefs = {
+      val w = Window.partitionBy(col("series")).orderBy(col("t"))
+      val lagged = series
+        .withColumn("l1", lag(col("x"), 1).over(w))
+        .withColumn("l2", lag(col("x"), 2).over(w))
+        .filter(col("l1").isNotNull && col("l2").isNotNull)
+      cramer3(lagged, col("x"), col("l1"), col("l2"))
+    }
+    val lastTwo = series.groupBy(col("series")).agg(
+        sort_array(collect_list(struct(col("t"), col("x"))), asc = false).as("_a"))
+      .select(col("series"),
+        col("_a").getItem(0).getField("x").as("xT"),
+        col("_a").getItem(1).getField("x").as("xT1"))
+    val j = coefs.join(lastTwo, Seq("series"))
+    var prev2: Column = col("xT1")
+    var prev1: Column = col("xT")
+    val fs = (1 to h).map { _ =>
+      val f = col("c0") + col("c1") * prev1 + col("c2") * prev2
+      prev2 = prev1
+      prev1 = f
+      f
+    }
+    j.select(col("series"), explode(array(fs.zipWithIndex.map { case (f, i) =>
+        struct(lit(i + 1L).as("step"), round(f, 4).as("forecast"))
+      }: _*)).as("s"))
+      .select(col("series"), col("s.step").as("step"), col("s.forecast").as("forecast"))
+  }
 
   /** ARIMA(1,1,1) by differencing + Hannan–Rissanen (reference
     * tsa/arima.pyx fits batched (p,d,q); this is the distributed

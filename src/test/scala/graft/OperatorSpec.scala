@@ -205,6 +205,38 @@ class OperatorSpec extends AnyFunSuite {
     assert(abs(r.getDouble(3) - 0.5) < 0.2, s"trend ${r.getDouble(3)}")
   }
 
+  test("HW h-step forecasts track a planted trend+period-7 pattern") {
+    import spark.implicits._
+    val season = Array(4.0, -2.0, 1.0, 0.0, -3.0, 2.0, -2.0)
+    val xs = (0 until 56).map(t => 50.0 + 0.5 * t + season(t % 7))
+    val df = xs.zipWithIndex.map { case (x, t) => ("s", t.toLong, x) }.toDF("series", "t", "x")
+    val fc = graft.tsa.TimeSeries.holtWintersForecast(df, 0.3, 0.1, 0.2, 7, h = 10)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(fc.size == 10)
+    (1 to 10).foreach { k =>
+      val actual = 50.0 + 0.5 * (55 + k) + season((55 + k) % 7)
+      assert(abs(fc(k.toLong) - actual) < 1.5, s"step $k: ${fc(k.toLong)} vs $actual")
+    }
+  }
+
+  test("AR(2) forecasts extend a noiseless AR(2) recursion exactly") {
+    import spark.implicits._
+    // x_t = 2 + 0.5 x_{t-1} + 0.3 x_{t-2}: CLS recovers the coefficients on
+    // noiseless data, so the h-step forecasts must equal the true recursion
+    val xs = scala.collection.mutable.ArrayBuffer(10.0, 11.0)
+    (2 until 50).foreach(t => xs += 2.0 + 0.5 * xs(t - 1) + 0.3 * xs(t - 2))
+    val df = xs.toSeq.zipWithIndex.map { case (x, t) => ("s", t.toLong, x) }
+      .toDF("series", "t", "x")
+    val fc = graft.tsa.TimeSeries.arForecast(df, h = 5)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    var (p2, p1) = (xs(48), xs(49))
+    (1 to 5).foreach { k =>
+      val expect = 2.0 + 0.5 * p1 + 0.3 * p2
+      assert(abs(fc(k.toLong) - expect) < 1e-3, s"step $k: ${fc(k.toLong)} vs $expect")
+      p2 = p1; p1 = expect
+    }
+  }
+
   test("force layout separates two planted clusters (umap + tsne modes)") {
     import spark.implicits._
     val rnd = new scala.util.Random(5)

@@ -160,4 +160,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!lshDedup.contains("NestedLoopJoin") && !lshDedup.contains("CartesianProduct"),
       lshDedup.take(3000))
   }
+
+  test("pair scans run the native loop expressions inside whole-stage codegen") {
+    val e = Tables.embeddings(spark, sf)
+    val p = planOf(graft.dedup.Dedup.embeddingTopPairs(e, "vec_id", "embedding", 10))
+    // the fused dot product must appear in the plan as the native expression
+    // (not a higher-order lambda chain); AQE prints the pre-execution plan,
+    // so codegen spans aren't visible here — codegen support is exercised by
+    // PropertySpec's bit-parity cases
+    assert(p.contains("graft_dot"), p.take(3000))
+    assert(!p.contains("lambdafunction"), p.take(3000))
+  }
 }
