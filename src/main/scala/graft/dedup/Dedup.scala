@@ -97,6 +97,38 @@ object Dedup {
           when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _).as("simhash"))
   }
 
+  /** SimHash near-dup pairs via band blocking (Manku, Jain & Das Sarma,
+    * "Detecting Near-Duplicates for Web Crawling", WWW 2007 — the published
+    * simhash-dedup algorithm; reference has no counterpart, cuML stops at
+    * signatures): split the 60-bit simhash into 4 bands of 15 bits — by
+    * pigeonhole, any pair within hamming distance 3 agrees exactly on at
+    * least one band — join on (band, band-value), then verify the full
+    * hamming distance on the colliding pairs. Shuffle key = 15-bit band
+    * value (uniform by construction); the verify step touches only
+    * Σ bucket² candidate pairs, never n². */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val nBands = 4
+    val bandBits = SimhashBits / nBands // 15
+    val sigs = simhash(df, textCol, idCol)
+    val bands = sigs.select(col("doc"), col("simhash"),
+      explode(array((0 until nBands).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * bandBits)
+            .bitwiseAND(lit((1L << bandBits) - 1)).as("bkey"))
+      }: _*)).as("bb"))
+      .select(col("doc"), col("simhash"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val ham = bit_count(col("s1").bitwiseXOR(col("s2"))).cast("long")
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc1"), col("b.doc").as("doc2"),
+        col("a.simhash").as("s1"), col("b.simhash").as("s2"))
+      .distinct()
+      .select(col("doc1"), col("doc2"), ham.as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Exact n-gram Jaccard for the MinHash-LSH candidate pairs — the scale
     * shape: LSH proposes (bounded bucket joins), exact Jaccard verifies.
     * Shingles are the same k-grams the signatures hashed, so verification

@@ -25,6 +25,10 @@ object TextQueries {
     "dedup_simhash" -> { (s, d) =>
       Dedup.simhash(Tables.documents(s, d), "text", "doc_id").orderBy("doc")
     },
+    "dedup_simhash_pairs" -> { (s, d) =>
+      Dedup.simhashPairs(Tables.documents(s, d), "text", "doc_id")
+        .orderBy("doc1", "doc2")
+    },
     "dedup_clusters" -> { (s, d) =>
       Dedup.minhashClusters(Tables.documents(s, d), "text", "doc_id").orderBy("doc")
     },
@@ -83,6 +87,20 @@ object TextQueries {
        |pr AS (SELECT DISTINCT l.doc_id AS doc1, r.doc_id AS doc2
        | FROM bands l JOIN bands r ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id)""".stripMargin
 
+  /** CTE chain ending in `sg` (doc, 60-bit simhash) — 60 per-bit sign-sums
+    * in one grouped select, mirroring Dedup.simhash. */
+  private lazy val simhashSigCtes = {
+    val bitTerms = (0 until 60).map { b =>
+      s"(CASE WHEN sum(CASE WHEN (h >> $b) % 2 = 1 THEN 1 ELSE -1 END) > 0" +
+        s" THEN (1::BIGINT << $b) ELSE 0::BIGINT END)"
+    }.mkString(" + ")
+    s"""n AS (SELECT doc_id, $normToks AS toks FROM documents),
+       |tk AS (SELECT doc_id, unnest(toks) AS tok FROM n),
+       |th AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tk),
+       |sg AS (SELECT doc_id::BIGINT AS doc, ($bitTerms)::BIGINT AS simhash
+       |  FROM th GROUP BY doc_id)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash,
@@ -126,19 +144,20 @@ object TextQueries {
          |$rounds
          |SELECT node::BIGINT AS doc, label::BIGINT AS keeper FROM c8 ORDER BY doc""".stripMargin
     },
-    "dedup_simhash" -> {
-      // 60 per-bit sign-sums in one grouped select, mirroring Dedup.simhash
-      val bitTerms = (0 until 60).map { b =>
-        s"(CASE WHEN sum(CASE WHEN (h >> $b) % 2 = 1 THEN 1 ELSE -1 END) > 0" +
-          s" THEN (1::BIGINT << $b) ELSE 0::BIGINT END)"
-      }.mkString(" + ")
-      s"""WITH n AS (SELECT doc_id, $normToks AS toks FROM documents),
-         |tk AS (SELECT doc_id, unnest(toks) AS tok FROM n),
-         |th AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tk)
-         |SELECT doc_id::BIGINT AS doc,
-         |  ($bitTerms)::BIGINT AS simhash
-         |FROM th GROUP BY doc_id ORDER BY doc""".stripMargin
-    },
+    "dedup_simhash" ->
+      s"""WITH $simhashSigCtes
+         |SELECT doc, simhash FROM sg ORDER BY doc""".stripMargin,
+    "dedup_simhash_pairs" ->
+      // 4×15-bit band blocking + hamming verify, mirroring Dedup.simhashPairs
+      s"""WITH $simhashSigCtes,
+         |bd AS (SELECT b AS band, (simhash >> (b * 15)) & 32767 AS bkey, doc, simhash
+         |  FROM sg, generate_series(0, 3) AS g(b)),
+         |pr2 AS (SELECT DISTINCT a.doc AS doc1, b.doc AS doc2,
+         |    a.simhash AS s1, b.simhash AS s2
+         |  FROM bd a JOIN bd b ON a.band = b.band AND a.bkey = b.bkey AND a.doc < b.doc)
+         |SELECT doc1, doc2, bit_count(xor(s1, s2))::BIGINT AS hamming
+         |FROM pr2 WHERE bit_count(xor(s1, s2)) <= 3
+         |ORDER BY doc1, doc2""".stripMargin,
     "jaccard_lsh" ->
       s"""WITH $minhashPairsCtes,
          |shd AS (SELECT DISTINCT doc_id, s FROM sh),

@@ -118,6 +118,20 @@ class GraftSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!cand.exists(r => r.getLong(1) == 2L))
   }
 
+  test("SimHash band pairs find planted near-dups, skip unrelated docs") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (2L, base.replace("w7", "w7x")),          // one token changed → tiny hamming
+      (3L, (100 to 140).map(i => s"q$i").mkString(" "))) // unrelated
+      .toDF("doc_id", "text")
+    val pairs = graft.dedup.Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.exists { case (a, b, _) => a == 1L && b == 2L }, pairs.mkString(","))
+    assert(!pairs.exists { case (a, b, _) => b == 3L || a == 3L }, pairs.mkString(","))
+  }
+
   test("Exact dedup groups identical normalized text") {
     import spark.implicits._
     val docs = Seq((10L, "a  b c"), (11L, "a b  c"), (12L, "x y z")).toDF("doc_id", "text")
