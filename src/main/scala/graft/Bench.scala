@@ -49,7 +49,11 @@ object Bench {
     // failed queries are excluded from total (listed separately)
     val total = results.values.filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"runs":$runs,"sf":"$sfDir"}""")
+    // 1-minute system load average: past rounds' reported numbers were
+    // 3-5x inflated by sandbox co-tenants — record the evidence in-band
+    val load = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"runs":$runs,"loadavg":$load,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -184,6 +184,28 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Benchmark decontamination — the n-gram-overlap check every LLM
+    * training pipeline runs before training (GPT-3/Pile-style: flag
+    * training documents sharing k-gram shingles with an evaluation set).
+    * The benchmark side is tiny by nature (eval suites), so its distinct
+    * shingle set broadcasts and the corpus-side scan never shuffles for the
+    * join; per-doc counts group on doc id. Returns one row per
+    * contaminated doc: (doc, n_matched, n_shingles, ratio). */
+  def benchmarkOverlap(corpus: DataFrame, benchmark: DataFrame, textCol: String,
+                       idCol: String, k: Int = 3): DataFrame = {
+    val cs = TextOps.explodedShingles(corpus, col(idCol), normText(col(textCol)), k)
+      .select(col("doc"), col("sh")).distinct().cache()
+    val bs = TextOps.explodedShingles(benchmark, col(idCol), normText(col(textCol)), k)
+      .select(col("sh")).distinct()
+    val sizes = cs.groupBy(col("doc")).agg(count(lit(1)).cast("double").as("_n"))
+    val matched = cs.join(broadcast(bs), Seq("sh"))
+      .groupBy(col("doc")).agg(count(lit(1)).cast("double").as("_m"))
+    sizes.join(matched, Seq("doc"))
+      .select(col("doc"), col("_m").cast("long").as("n_matched"),
+        col("_n").cast("long").as("n_shingles"),
+        r4(col("_m") / col("_n")).as("ratio"))
+  }
+
   /** Transitive duplicate groups: connected components over the minhash
     * candidate pairs, each doc mapped to its group keeper (min doc id) —
     * what a pipeline actually drops on. Exactly 8 min-label-propagation

@@ -35,4 +35,20 @@ object Preprocessing {
   def trainTestSplit(df: DataFrame, keyCol: String, testFraction: Double,
                      seed: Long = 42L): DataFrame =
     df.withColumn("split", splitColumn(col(keyCol), (testFraction * 1000).round.toInt, seed))
+
+  /** Per-group deterministic downsampling — the data-mixing primitive of a
+    * training-data pipeline (keep 50% of English, 5% of zh, …). Same
+    * engine-neutral md5 threshold as [[trainTestSplit]], with a per-group
+    * permille: a pure codegen'd filter, no shuffle, reproducible on any
+    * cluster size. Groups absent from `fractions` are dropped. */
+  def stratifiedSample(df: DataFrame, keyCol: String, groupCol: String,
+                       fractions: Map[String, Double], seed: Long = 42L): DataFrame = {
+    val permille = fractions.toSeq.sortBy(_._1)
+      .map { case (g, f) => (g, (f * 1000).round.toInt) }
+    val pm = permille.foldLeft(lit(0)) { case (acc, (g, p)) =>
+      when(col(groupCol) === g, lit(p)).otherwise(acc)
+    }
+    df.filter(Num.md5Long(concat(col(keyCol).cast("string"), lit("_"), lit(seed.toString)))
+      % 1000 < pm)
+  }
 }

@@ -44,6 +44,23 @@ object TextQueries {
         .limit(20)
         .select(col("doc1"), col("doc2"), r6(col("jaccard")).as("jaccard"))
     },
+    "stratified_sample" -> { (s, d) =>
+      graft.preprocessing.Preprocessing.stratifiedSample(
+          Tables.documents(s, d), "doc_id", "lang",
+          Map("en" -> 0.5, "es" -> 0.3, "de" -> 0.2, "fr" -> 0.1, "zh" -> 0.05))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).cast("long").as("n_kept"),
+          min(col("doc_id")).cast("long").as("first_kept"),
+          max(col("doc_id")).cast("long").as("last_kept"))
+        .orderBy("lang")
+    },
+    "decontaminate" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Dedup.benchmarkOverlap(
+          docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50),
+          "text", "doc_id")
+        .orderBy("doc")
+    },
     "langid" -> { (s, d) =>
       Tables.documents(s, d)
         .select(col("lang").as("lang_actual"), TextOps.langIdScore(col("text")).as("lang_pred"))
@@ -158,6 +175,28 @@ object TextQueries {
          |SELECT doc1, doc2, bit_count(xor(s1, s2))::BIGINT AS hamming
          |FROM pr2 WHERE bit_count(xor(s1, s2)) <= 3
          |ORDER BY doc1, doc2""".stripMargin,
+    "stratified_sample" ->
+      """SELECT lang, count(*)::BIGINT AS n_kept,
+        |  min(doc_id)::BIGINT AS first_kept, max(doc_id)::BIGINT AS last_kept
+        |FROM documents
+        |WHERE ('0x' || substr(md5(doc_id::VARCHAR || '_42'), 1, 15))::BIGINT % 1000 <
+        |  CASE lang WHEN 'de' THEN 200 WHEN 'en' THEN 500 WHEN 'es' THEN 300
+        |            WHEN 'fr' THEN 100 WHEN 'zh' THEN 50 ELSE 0 END
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "decontaminate" ->
+      s"""WITH n AS (SELECT doc_id, $normToks AS toks FROM documents),
+         |sh0 AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
+         |    THEN list_transform(range(0, len(toks)-2), i -> toks[i+1] || '_' || toks[i+2] || '_' || toks[i+3])
+         |    ELSE [] END) AS sh FROM n),
+         |shd AS (SELECT DISTINCT doc_id, sh FROM sh0),
+         |cs AS (SELECT doc_id AS doc, sh FROM shd WHERE doc_id >= 50),
+         |bs AS (SELECT DISTINCT sh FROM shd WHERE doc_id < 50),
+         |sizes AS (SELECT doc, count(*)::DOUBLE AS n FROM cs GROUP BY doc),
+         |m AS (SELECT doc, count(*)::DOUBLE AS mm FROM cs JOIN bs ON cs.sh = bs.sh GROUP BY doc)
+         |SELECT sizes.doc::BIGINT AS doc, mm::BIGINT AS n_matched, n::BIGINT AS n_shingles,
+         |  round(mm / n, 4) AS ratio
+         |FROM sizes JOIN m ON sizes.doc = m.doc
+         |ORDER BY doc""".stripMargin,
     "jaccard_lsh" ->
       s"""WITH $minhashPairsCtes,
          |shd AS (SELECT DISTINCT doc_id, s FROM sh),

@@ -314,7 +314,9 @@ object TimeSeries {
       .select(col("series"),
         col("_a").getItem(0).getField("x").as("xT"),
         col("_a").getItem(1).getField("x").as("xT1"))
-    val j = coefs.join(lastTwo, Seq("series"))
+    // series with fewer than 2 points have no xT1 (out-of-range getItem →
+    // null) and no meaningful AR recursion — drop rather than emit nulls
+    val j = coefs.join(lastTwo, Seq("series")).filter(col("xT1").isNotNull)
     var prev2: Column = col("xT1")
     var prev1: Column = col("xT")
     val fs = (1 to h).map { _ =>

@@ -132,6 +132,35 @@ class GraftSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!pairs.exists { case (a, b, _) => b == 3L || a == 3L }, pairs.mkString(","))
   }
 
+  test("stratified sample honors per-group fractions deterministically") {
+    import spark.implicits._
+    val df = (0 until 1000).map(i => (i.toLong, if (i % 2 == 0) "en" else "zh"))
+      .toDF("id", "lang")
+    val kept = graft.preprocessing.Preprocessing
+      .stratifiedSample(df, "id", "lang", Map("en" -> 0.5, "zh" -> 0.1))
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("en") > 200 && kept("en") < 300, kept.toString) // ~250 of 500
+    assert(kept("zh") > 20 && kept("zh") < 80, kept.toString)   // ~50 of 500
+    val again = graft.preprocessing.Preprocessing
+      .stratifiedSample(df, "id", "lang", Map("en" -> 0.5, "zh" -> 0.1))
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept == again)
+  }
+
+  test("decontamination flags shingle overlap with the benchmark set only") {
+    import spark.implicits._
+    val bench = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "intro words alpha beta gamma delta epsilon outro"),
+      (11L, "zeta eta theta iota kappa nothing shared here")).toDF("doc_id", "text")
+    val got = graft.dedup.Dedup.benchmarkOverlap(corpus, bench, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc 10 has 6 trigram shingles, 3 of which ("alpha_beta_gamma" …) are
+    // benchmark shingles; doc 11 shares none and must be absent
+    assert(got.contains(10L) && got(10L) == ((3L, 6L)), got.toString)
+    assert(!got.contains(11L), got.toString)
+  }
+
   test("Exact dedup groups identical normalized text") {
     import spark.implicits._
     val docs = Seq((10L, "a  b c"), (11L, "a b  c"), (12L, "x y z")).toDF("doc_id", "text")
