@@ -116,4 +116,28 @@ object StreamingOps {
           }
       }.toDF("content_hash", "doc_id")
   }
+
+  /** Streaming decontamination: a document stream checked against a STATIC
+    * benchmark shingle set — the stream-static join shape (the static side
+    * broadcasts; no stream-state needed, each micro-batch is a pure map +
+    * broadcast probe + per-doc aggregation). Emits one row per contaminated
+    * doc per micro-batch: (doc, n_matched, n_shingles, ratio). */
+  def streamingDecontaminate(docs: DataFrame, benchmark: DataFrame, k: Int = 3): DataFrame = {
+    import graft.text.TextOps
+    val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+    val bs = TextOps.explodedShingles(benchmark, col("doc_id"), norm, k)
+      .select(col("sh")).distinct()
+    // stream side: per-doc shingles via the array form (per-row transform —
+    // windows over a stream would need watermarked state for no benefit)
+    val toks = docs.select(col("doc_id").cast("long").as("doc"), split(norm, " ").as("toks"))
+    val sh = toks.select(col("doc"), array_distinct(TextOps.shingles(col("toks"), k)).as("shs"))
+      .select(col("doc"), explode(col("shs")).as("sh"))
+    sh.join(broadcast(bs.withColumn("_hit", lit(1L))), Seq("sh"), "left")
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).cast("long").as("n_shingles"),
+        count(col("_hit")).cast("long").as("n_matched"))
+      .filter(col("n_matched") > 0)
+      .select(col("doc"), col("n_matched"), col("n_shingles"),
+        round(col("n_matched") / col("n_shingles"), 4).as("ratio"))
+  }
 }

@@ -28,6 +28,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming decontamination joins the stream against the static benchmark") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val bench = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val in = MemoryStream[(Long, String)]
+    val docs = in.toDF().toDF("doc_id", "text")
+    val q = StreamingOps.streamingDecontaminate(docs, bench)
+      .writeStream.format("memory").queryName("decon_out")
+      .outputMode("update").start()
+    try {
+      in.addData((10L, "intro words alpha beta gamma delta epsilon outro"),
+        (11L, "zeta eta theta iota kappa nothing shared here"))
+      q.processAllAvailable()
+      val rows = spark.table("decon_out").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(rows.get(10L).contains((3L, 6L)), rows.toString)
+      assert(!rows.contains(11L), rows.toString)
+    } finally q.stop()
+  }
+
   test("streaming SES tracks the batch recursion across micro-batches") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
