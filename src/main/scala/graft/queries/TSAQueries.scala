@@ -11,6 +11,12 @@ import org.apache.spark.sql.functions._
 object TSAQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** The hw_fit smoothing-parameter lattice (ascending — argmin tie-break
+    * order must match the oracle's ORDER BY alpha, beta, gamma). */
+  private val HwAlphas = Seq(0.2, 0.4, 0.6, 0.8)
+  private val HwBetas = Seq(0.1, 0.3)
+  private val HwGammas = Seq(0.1, 0.3, 0.5)
+
   val queries: Map[String, Q] = Map(
     "holtwinters" -> { (s, d) =>
       val ses = TimeSeries.sesSmoothed(TimeSeries.dailySeries(Tables.events(s, d)), 0.3)
@@ -61,6 +67,33 @@ object TSAQueries {
         .select(col("series"), col("term"), round(col("coef"), 4).as("coef"))
         .orderBy("series", "term")
     },
+    "hw_fit" -> { (s, d) =>
+      TimeSeries.hwFit(TimeSeries.dailySeries(Tables.events(s, d)), 7,
+          HwAlphas, HwBetas, HwGammas)
+        .orderBy("series")
+    },
+    "hw_fit_forecast" -> { (s, d) =>
+      TimeSeries.hwFitForecast(TimeSeries.dailySeries(Tables.events(s, d)), 7,
+          HwAlphas, HwBetas, HwGammas, h = 5)
+        .orderBy("series", "step")
+    },
+    "stationarity_kpss" -> { (s, d) =>
+      TimeSeries.stationarityKpss(TimeSeries.dailySeries(Tables.events(s, d)))
+        .orderBy("series")
+    },
+    "arima_insample" -> { (s, d) =>
+      TimeSeries.arimaInsample(TimeSeries.dailySeries(Tables.events(s, d)))
+        .orderBy("series")
+    },
+    "arima_pdq_forecast" -> { (s, d) =>
+      TimeSeries.arimaForecastHR(TimeSeries.dailySeries(Tables.events(s, d)), h = 5)
+        .orderBy("series", "step")
+    },
+    "ar_p_forecast" -> { (s, d) =>
+      TimeSeries.arForecastP(TimeSeries.dailySeries(Tables.events(s, d)),
+          p = 3, h = 5, d = 1)
+        .orderBy("series", "step")
+    },
     "kalman_1d" -> { (s, d) =>
       TimeSeries.kalman1D(TimeSeries.dailySeries(Tables.events(s, d)), 0.1, 2.0)
         .orderBy("series")
@@ -76,21 +109,80 @@ object TSAQueries {
       |  FROM events GROUP BY 1, 2""".stripMargin
 
   /** The 3-unknown Cramer solve used by TimeSeries.cramer3, as SQL CTEs.
-    * `src` must expose (series, y, x1, x2). Emits CTEs `m` and `dt` with
-    * per-series c0/c1/c2. */
-  private def cramer3Sql(src: String): String =
-    s"""m AS (SELECT series, count(*)::DOUBLE n, sum(x1) sx1, sum(x2) sx2,
+    * `src` must expose (series, y, x1, x2). Emits CTEs `m$sfx`, `dm$sfx`
+    * and `dt$sfx` with per-series c0/c1/c2, null on an exactly-singular
+    * system — mirroring cramer3's det = 0 guard. */
+  private def cramer3Sql(src: String, sfx: String = ""): String =
+    s"""m$sfx AS (SELECT series, count(*)::DOUBLE n, sum(x1) sx1, sum(x2) sx2,
        |    sum(x1*x1) s11, sum(x1*x2) s12, sum(x2*x2) s22,
        |    sum(y) sy, sum(x1*y) s1y, sum(x2*y) s2y
        |  FROM $src GROUP BY series),
-       |dt AS (SELECT series,
-       |  (sy*(s11*s22-s12*s12) - sx1*(s1y*s22-s12*s2y) + sx2*(s1y*s12-s11*s2y)) /
-       |  (n*(s11*s22-s12*s12) - sx1*(sx1*s22-s12*sx2) + sx2*(sx1*s12-s11*sx2)) AS c0,
-       |  (n*(s1y*s22-s12*s2y) - sy*(sx1*s22-s12*sx2) + sx2*(sx1*s2y-s1y*sx2)) /
-       |  (n*(s11*s22-s12*s12) - sx1*(sx1*s22-s12*sx2) + sx2*(sx1*s12-s11*sx2)) AS c1,
-       |  (n*(s11*s2y-s1y*s12) - sx1*(sx1*s2y-s1y*sx2) + sy*(sx1*s12-s11*sx2)) /
-       |  (n*(s11*s22-s12*s12) - sx1*(sx1*s22-s12*sx2) + sx2*(sx1*s12-s11*sx2)) AS c2
-       |  FROM m)""".stripMargin
+       |dm$sfx AS (SELECT *,
+       |    (n*(s11*s22-s12*s12) - sx1*(sx1*s22-s12*sx2) + sx2*(sx1*s12-s11*sx2)) AS det
+       |  FROM m$sfx),
+       |dt$sfx AS (SELECT series,
+       |  CASE WHEN det = 0 THEN NULL ELSE
+       |  (sy*(s11*s22-s12*s12) - sx1*(s1y*s22-s12*s2y) + sx2*(s1y*s12-s11*s2y)) / det END AS c0,
+       |  CASE WHEN det = 0 THEN NULL ELSE
+       |  (n*(s1y*s22-s12*s2y) - sy*(sx1*s22-s12*sx2) + sx2*(sx1*s2y-s1y*sx2)) / det END AS c1,
+       |  CASE WHEN det = 0 THEN NULL ELSE
+       |  (n*(s11*s2y-s1y*s12) - sx1*(sx1*s2y-s1y*sx2) + sy*(sx1*s12-s11*sx2)) / det END AS c2
+       |  FROM dm$sfx)""".stripMargin
+
+  /** The full Hannan–Rissanen CTE chain mirrored from
+    * TimeSeries.arimaHRStage: s (indexed daily series), e1 (rows with dx,
+    * l1, prelim residual e and its lag e1) and dt2 (final c0/c1/c2). */
+  private def hrSql: String =
+    s"""s0 AS ($dailySql),
+       |s AS (SELECT series, x, (row_number() OVER (PARTITION BY series ORDER BY day) - 1)::BIGINT AS t FROM s0),
+       |dxt AS (SELECT series, t, x - lag(x, 1) OVER (PARTITION BY series ORDER BY t) AS dx FROM s),
+       |d1 AS (SELECT series, t, dx FROM dxt WHERE dx IS NOT NULL),
+       |l AS (SELECT series, t, dx,
+       |    lag(dx, 1) OVER (PARTITION BY series ORDER BY t) AS l1,
+       |    lag(dx, 2) OVER (PARTITION BY series ORDER BY t) AS l2
+       |  FROM d1),
+       |fs1 AS (SELECT series, dx AS y, l1 AS x1, l2 AS x2 FROM l
+       |  WHERE l1 IS NOT NULL AND l2 IS NOT NULL),
+       |${cramer3Sql("fs1")},
+       |e AS (SELECT l.series, l.t, l.dx, l.l1,
+       |    CASE WHEN l.l1 IS NOT NULL AND l.l2 IS NOT NULL
+       |         THEN l.dx - (dt.c0 + dt.c1 * l.l1 + dt.c2 * l.l2) END AS e
+       |  FROM l JOIN dt ON l.series = dt.series),
+       |e1 AS (SELECT series, t, dx, l1, e,
+       |    lag(e, 1) OVER (PARTITION BY series ORDER BY t) AS e1 FROM e),
+       |fs2 AS (SELECT series, dx AS y, l1 AS x1, e1 AS x2 FROM e1
+       |  WHERE l1 IS NOT NULL AND e1 IS NOT NULL),
+       |${cramer3Sql("fs2", "2")}""".stripMargin
+
+  /** One KPSS pass as CTEs over `$src` exposing (series, t, v) — mirrors
+    * TimeSeries.kpssTest op-for-op. Emits pv$sfx(series, stat, pval). */
+  private def kpssSql(src: String, sfx: String): String =
+    s"""e$sfx AS (SELECT series, t, v,
+       |    (count(*) OVER (PARTITION BY series))::DOUBLE AS n,
+       |    v - avg(v) OVER (PARTITION BY series) AS e
+       |  FROM $src),
+       |e2$sfx AS (SELECT series, t, n, e,
+       |    sum(e) OVER (PARTITION BY series ORDER BY t ROWS UNBOUNDED PRECEDING) AS s,
+       |    ceil(12.0 * pow(n / 100.0, 0.25)) AS lf
+       |  FROM e$sfx),
+       |base$sfx AS (SELECT series, max(n) AS n, max(lf) AS lf,
+       |    sum(e * e) AS s2a, sum(s * s) AS eta
+       |  FROM e2$sfx GROUP BY series),
+       |s2b$sfx AS (SELECT a.series,
+       |    sum((2.0 / a.n) * (1.0 - k::DOUBLE / (a.lf + 1.0)) * (a.e * b.e)) AS s2b
+       |  FROM e2$sfx a, generate_series(1, 64) AS g(k), e2$sfx b
+       |  WHERE k <= a.lf::INT AND b.series = a.series AND b.t = a.t + k
+       |  GROUP BY a.series),
+       |st$sfx AS (SELECT base$sfx.series,
+       |    (eta / (n * n)) / (s2a / n + coalesce(s2b, 0.0)) AS stat
+       |  FROM base$sfx LEFT JOIN s2b$sfx USING (series)),
+       |pv$sfx AS (SELECT series, stat,
+       |    CASE WHEN stat >= 0.739 THEN 0.01
+       |         WHEN stat >= 0.574 THEN 0.025 + (0.01 - 0.025) * (stat - 0.574) / (0.739 - 0.574)
+       |         WHEN stat >= 0.463 THEN 0.05 + (0.025 - 0.05) * (stat - 0.463) / (0.574 - 0.463)
+       |         WHEN stat >= 0.347 THEN 0.10 + (0.05 - 0.10) * (stat - 0.347) / (0.463 - 0.347)
+       |         ELSE 0.10 END AS pval
+       |  FROM st$sfx)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "holt_trend" ->
@@ -227,42 +319,128 @@ object TSAQueries {
          |  UNION ALL SELECT series, 'ar2', round(c2, 4) FROM dt
          |) ORDER BY series, term""".stripMargin,
     "arima_pdq" ->
-      s"""WITH s0 AS ($dailySql),
-         |s AS (SELECT series, x, (row_number() OVER (PARTITION BY series ORDER BY day) - 1)::BIGINT AS t FROM s0),
-         |dxt AS (SELECT series, t, x - lag(x, 1) OVER (PARTITION BY series ORDER BY t) AS dx FROM s),
-         |d1 AS (SELECT series, t, dx FROM dxt WHERE dx IS NOT NULL),
-         |l AS (SELECT series, t, dx,
-         |    lag(dx, 1) OVER (PARTITION BY series ORDER BY t) AS l1,
-         |    lag(dx, 2) OVER (PARTITION BY series ORDER BY t) AS l2
-         |  FROM d1),
-         |fs1 AS (SELECT series, dx AS y, l1 AS x1, l2 AS x2 FROM l
-         |  WHERE l1 IS NOT NULL AND l2 IS NOT NULL),
-         |${cramer3Sql("fs1")},
-         |e AS (SELECT l.series, l.t, l.dx, l.l1,
-         |    CASE WHEN l.l1 IS NOT NULL AND l.l2 IS NOT NULL
-         |         THEN l.dx - (dt.c0 + dt.c1 * l.l1 + dt.c2 * l.l2) END AS e
-         |  FROM l JOIN dt ON l.series = dt.series),
-         |e1 AS (SELECT series, t, dx, l1,
-         |    lag(e, 1) OVER (PARTITION BY series ORDER BY t) AS e1 FROM e),
-         |fs2 AS (SELECT series, dx AS y, l1 AS x1, e1 AS x2 FROM e1
-         |  WHERE l1 IS NOT NULL AND e1 IS NOT NULL),
-         |m2 AS (SELECT series, count(*)::DOUBLE n, sum(x1) sx1, sum(x2) sx2,
-         |    sum(x1*x1) s11, sum(x1*x2) s12, sum(x2*x2) s22,
-         |    sum(y) sy, sum(x1*y) s1y, sum(x2*y) s2y
-         |  FROM fs2 GROUP BY series),
-         |dt2 AS (SELECT series,
-         |  (sy*(s11*s22-s12*s12) - sx1*(s1y*s22-s12*s2y) + sx2*(s1y*s12-s11*s2y)) /
-         |  (n*(s11*s22-s12*s12) - sx1*(sx1*s22-s12*sx2) + sx2*(sx1*s12-s11*sx2)) AS c0,
-         |  (n*(s1y*s22-s12*s2y) - sy*(sx1*s22-s12*sx2) + sx2*(sx1*s2y-s1y*sx2)) /
-         |  (n*(s11*s22-s12*s12) - sx1*(sx1*s22-s12*sx2) + sx2*(sx1*s12-s11*sx2)) AS c1,
-         |  (n*(s11*s2y-s1y*s12) - sx1*(sx1*s2y-s1y*sx2) + sy*(sx1*s12-s11*sx2)) /
-         |  (n*(s11*s22-s12*s12) - sx1*(sx1*s22-s12*sx2) + sx2*(sx1*s12-s11*sx2)) AS c2
-         |  FROM m2)
+      s"""WITH $hrSql
          |SELECT series, term, coef FROM (
          |  SELECT series, 'intercept' AS term, round(c0, 4) AS coef FROM dt2
          |  UNION ALL SELECT series, 'ar1', round(c1, 4) FROM dt2
          |  UNION ALL SELECT series, 'ma1', round(c2, 4) FROM dt2
          |) ORDER BY series, term""".stripMargin,
+    "arima_insample" ->
+      s"""WITH $hrSql,
+         |rows0 AS (SELECT e1.series, e1.dx, e1.l1, e1.e1, dt2.c0, dt2.c1, dt2.c2
+         |  FROM e1 JOIN dt2 ON e1.series = dt2.series
+         |  WHERE e1.l1 IS NOT NULL AND e1.e1 IS NOT NULL),
+         |r2 AS (SELECT series, dx - (c0 + c1 * l1 + c2 * e1) AS resid FROM rows0),
+         |ag AS (SELECT series, count(*)::DOUBLE AS n, sum(resid * resid) AS sse FROM r2 GROUP BY series),
+         |ll AS (SELECT series, n, sse,
+         |    (0.0 - n / 2.0) * (ln(2.0 * pi() * sse / n) + 1.0) AS loglik FROM ag)
+         |SELECT series, n::BIGINT AS n, round(sse, 4) AS sse, round(loglik, 4) AS loglik,
+         |  round(-2.0 * loglik + 6.0, 4) AS aic,
+         |  round(-2.0 * loglik + 3.0 * ln(n), 4) AS bic
+         |FROM ll ORDER BY series""".stripMargin,
+    "arima_pdq_forecast" ->
+      s"""WITH $hrSql,
+         |lastE AS (SELECT series, dx AS dxT, e AS eT FROM (
+         |    SELECT series, dx, e, row_number() OVER (PARTITION BY series ORDER BY t DESC) AS rn
+         |    FROM e1 WHERE e IS NOT NULL) q WHERE rn = 1),
+         |lastX AS (SELECT series, x AS xT FROM (
+         |    SELECT series, x, row_number() OVER (PARTITION BY series ORDER BY t DESC) AS rn
+         |    FROM s) q WHERE rn = 1),
+         |j AS (SELECT dt2.series, c0, c1, c2, dxT, eT, xT
+         |  FROM dt2 JOIN lastE ON dt2.series = lastE.series
+         |  JOIN lastX ON dt2.series = lastX.series),
+         |g1 AS (SELECT *, c0 + c1 * dxT + c2 * eT AS fd1 FROM j),
+         |x1c AS (SELECT *, xT + fd1 AS xc1 FROM g1),
+         |g2 AS (SELECT *, c0 + c1 * fd1 AS fd2 FROM x1c),
+         |x2c AS (SELECT *, xc1 + fd2 AS xc2 FROM g2),
+         |g3 AS (SELECT *, c0 + c1 * fd2 AS fd3 FROM x2c),
+         |x3c AS (SELECT *, xc2 + fd3 AS xc3 FROM g3),
+         |g4 AS (SELECT *, c0 + c1 * fd3 AS fd4 FROM x3c),
+         |x4c AS (SELECT *, xc3 + fd4 AS xc4 FROM g4),
+         |g5 AS (SELECT *, c0 + c1 * fd4 AS fd5 FROM x4c),
+         |fin AS (SELECT *, xc4 + fd5 AS xc5 FROM g5)
+         |SELECT series, step, forecast FROM (
+         |  SELECT series, 1::BIGINT AS step, round(xc1, 4) AS forecast FROM fin
+         |  UNION ALL SELECT series, 2::BIGINT, round(xc2, 4) FROM fin
+         |  UNION ALL SELECT series, 3::BIGINT, round(xc3, 4) FROM fin
+         |  UNION ALL SELECT series, 4::BIGINT, round(xc4, 4) FROM fin
+         |  UNION ALL SELECT series, 5::BIGINT, round(xc5, 4) FROM fin
+         |) ORDER BY series, step""".stripMargin,
+    "stationarity_kpss" ->
+      s"""WITH s0 AS ($dailySql),
+         |s AS (SELECT series, x, (row_number() OVER (PARTITION BY series ORDER BY day) - 1)::BIGINT AS t FROM s0),
+         |vx AS (SELECT series, t, x AS v FROM s),
+         |dxs AS (SELECT series, t, x - lag(x, 1) OVER (PARTITION BY series ORDER BY t) AS v FROM s),
+         |vdx AS (SELECT series, t, v FROM dxs WHERE v IS NOT NULL),
+         |${kpssSql("vx", "0")},
+         |${kpssSql("vdx", "1")}
+         |SELECT pv0.series, round(pv0.stat, 6) AS kpss_x, round(pv0.pval, 4) AS pval_x,
+         |  round(pv1.stat, 6) AS kpss_dx, round(pv1.pval, 4) AS pval_dx,
+         |  (CASE WHEN pv0.pval > 0.05 THEN 0 WHEN pv1.pval > 0.05 THEN 1 ELSE -1 END)::BIGINT AS d
+         |FROM pv0 JOIN pv1 ON pv0.series = pv1.series ORDER BY pv0.series""".stripMargin,
+    "hw_fit" ->
+      s"""WITH RECURSIVE s0 AS ($dailySql),
+         |s AS (SELECT series, x, (row_number() OVER (PARTITION BY series ORDER BY day) - 1)::BIGINT AS t FROM s0),
+         |cand AS (SELECT ca.alpha, cb.beta, cg.gamma FROM
+         |  (SELECT alpha::DOUBLE AS alpha FROM (VALUES (0.2),(0.4),(0.6),(0.8)) ta(alpha)) ca,
+         |  (SELECT beta::DOUBLE AS beta FROM (VALUES (0.1),(0.3)) tb(beta)) cb,
+         |  (SELECT gamma::DOUBLE AS gamma FROM (VALUES (0.1),(0.3),(0.5)) tg(gamma)) cg),
+         |ini AS (SELECT series, list(x ORDER BY t) AS xs FROM s WHERE t < 14
+         |  GROUP BY series HAVING count(*) = 14),
+         |i2 AS (SELECT series,
+         |    list_sum(xs[1:7]) / 7.0 AS l0,
+         |    (list_sum(xs[8:14]) / 7.0 - list_sum(xs[1:7]) / 7.0) / 7.0 AS b0,
+         |    list_transform(xs[1:7], v -> v - list_sum(xs[1:7]) / 7.0) AS seas
+         |  FROM ini),
+         |hw AS (
+         |  SELECT i2.series, cand.alpha, cand.beta, cand.gamma, 6::BIGINT AS t,
+         |    l0 AS l, b0 AS b, seas, 0.0::DOUBLE AS sse FROM i2, cand
+         |  UNION ALL
+         |  SELECT hw.series, hw.alpha, hw.beta, hw.gamma, n.t,
+         |    hw.alpha * (n.x - hw.seas[1]) + (1.0 - hw.alpha) * (hw.l + hw.b) AS l,
+         |    hw.beta * ((hw.alpha * (n.x - hw.seas[1]) + (1.0 - hw.alpha) * (hw.l + hw.b)) - hw.l) + (1.0 - hw.beta) * hw.b AS b,
+         |    list_append(hw.seas[2:],
+         |      hw.gamma * (n.x - (hw.alpha * (n.x - hw.seas[1]) + (1.0 - hw.alpha) * (hw.l + hw.b))) + (1.0 - hw.gamma) * hw.seas[1]) AS seas,
+         |    hw.sse + (n.x - (hw.l + hw.b + hw.seas[1])) * (n.x - (hw.l + hw.b + hw.seas[1])) AS sse
+         |  FROM hw JOIN s n ON n.series = hw.series AND n.t = hw.t + 1),
+         |lastr AS (SELECT *, row_number() OVER (PARTITION BY series, alpha, beta, gamma ORDER BY t DESC) AS rn FROM hw),
+         |fin AS (SELECT series, alpha, beta, gamma, sse, l, b, seas FROM lastr WHERE rn = 1),
+         |sel AS (SELECT *, row_number() OVER (PARTITION BY series ORDER BY sse, alpha, beta, gamma) AS rk FROM fin)
+         |SELECT series, round(alpha, 2) AS alpha, round(beta, 2) AS beta,
+         |  round(gamma, 2) AS gamma, round(sse, 4) AS sse
+         |FROM sel WHERE rk = 1 ORDER BY series""".stripMargin,
+    "hw_fit_forecast" ->
+      s"""WITH RECURSIVE s0 AS ($dailySql),
+         |s AS (SELECT series, x, (row_number() OVER (PARTITION BY series ORDER BY day) - 1)::BIGINT AS t FROM s0),
+         |cand AS (SELECT ca.alpha, cb.beta, cg.gamma FROM
+         |  (SELECT alpha::DOUBLE AS alpha FROM (VALUES (0.2),(0.4),(0.6),(0.8)) ta(alpha)) ca,
+         |  (SELECT beta::DOUBLE AS beta FROM (VALUES (0.1),(0.3)) tb(beta)) cb,
+         |  (SELECT gamma::DOUBLE AS gamma FROM (VALUES (0.1),(0.3),(0.5)) tg(gamma)) cg),
+         |ini AS (SELECT series, list(x ORDER BY t) AS xs FROM s WHERE t < 14
+         |  GROUP BY series HAVING count(*) = 14),
+         |i2 AS (SELECT series,
+         |    list_sum(xs[1:7]) / 7.0 AS l0,
+         |    (list_sum(xs[8:14]) / 7.0 - list_sum(xs[1:7]) / 7.0) / 7.0 AS b0,
+         |    list_transform(xs[1:7], v -> v - list_sum(xs[1:7]) / 7.0) AS seas
+         |  FROM ini),
+         |hw AS (
+         |  SELECT i2.series, cand.alpha, cand.beta, cand.gamma, 6::BIGINT AS t,
+         |    l0 AS l, b0 AS b, seas, 0.0::DOUBLE AS sse FROM i2, cand
+         |  UNION ALL
+         |  SELECT hw.series, hw.alpha, hw.beta, hw.gamma, n.t,
+         |    hw.alpha * (n.x - hw.seas[1]) + (1.0 - hw.alpha) * (hw.l + hw.b) AS l,
+         |    hw.beta * ((hw.alpha * (n.x - hw.seas[1]) + (1.0 - hw.alpha) * (hw.l + hw.b)) - hw.l) + (1.0 - hw.beta) * hw.b AS b,
+         |    list_append(hw.seas[2:],
+         |      hw.gamma * (n.x - (hw.alpha * (n.x - hw.seas[1]) + (1.0 - hw.alpha) * (hw.l + hw.b))) + (1.0 - hw.gamma) * hw.seas[1]) AS seas,
+         |    hw.sse + (n.x - (hw.l + hw.b + hw.seas[1])) * (n.x - (hw.l + hw.b + hw.seas[1])) AS sse
+         |  FROM hw JOIN s n ON n.series = hw.series AND n.t = hw.t + 1),
+         |lastr AS (SELECT *, row_number() OVER (PARTITION BY series, alpha, beta, gamma ORDER BY t DESC) AS rn FROM hw),
+         |fin AS (SELECT series, alpha, beta, gamma, sse, l, b, seas FROM lastr WHERE rn = 1),
+         |sel AS (SELECT *, row_number() OVER (PARTITION BY series ORDER BY sse, alpha, beta, gamma) AS rk FROM fin)
+         |SELECT series, k::BIGINT AS step,
+         |  round(l + k * b + seas[((k - 1) % 7) + 1], 4) AS forecast
+         |FROM sel, generate_series(1, 5) AS g(k) WHERE rk = 1
+         |ORDER BY series, step""".stripMargin,
     "hw_forecast" ->
       s"""WITH RECURSIVE s0 AS ($dailySql),
          |s AS (SELECT series, x, (row_number() OVER (PARTITION BY series ORDER BY day) - 1)::BIGINT AS t FROM s0),

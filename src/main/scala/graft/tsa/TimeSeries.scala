@@ -181,10 +181,177 @@ object TimeSeries {
       .select(col("series"), col("step"), round(col("_f"), 4).as("forecast"))
   }
 
-  /** Stationarity check (reference tsa/stationarity.pyx: pick d ∈ {0,1}
-    * per batched series): variance-ratio heuristic — difference the series
-    * if it reduces variance. Window lag + two aggregates, one shuffle on
-    * the series key. */
+  /** One additive Holt-Winters pass over a materialized series: returns the
+    * one-step-ahead SSE and the final (level, trend, seasonal window). The
+    * prediction at t is l+b+s_{t−m} using the PRE-update state — the loss
+    * the reference's optimizer minimizes (cpp/src/holtwinters/internal/
+    * hw_eval.h accumulates the same one-step error inside the smoothing
+    * recursion). Arithmetic mirrors [[holtWintersSeasonal]] op-for-op so
+    * the SQL oracle replays it bit-identically. */
+  private def hwRunAdd(xs: IndexedSeq[Double], m: Int, alpha: Double,
+                       beta: Double, gamma: Double)
+      : (Double, Double, Double, IndexedSeq[Double]) = {
+    var l = xs.take(m).sum / m.toDouble
+    var b = (xs.slice(m, 2 * m).sum / m.toDouble - l) / m.toDouble
+    val seas = scala.collection.mutable.Queue(xs.take(m).map(x => x - l): _*)
+    var sse = 0.0
+    var t = m
+    while (t < xs.length) {
+      val sOld = seas.dequeue()
+      val pred = l + b + sOld
+      sse = sse + (xs(t) - pred) * (xs(t) - pred)
+      val lPrev = l
+      l = alpha * (xs(t) - sOld) + (1.0 - alpha) * (l + b)
+      b = beta * (l - lPrev) + (1.0 - beta) * b
+      seas.enqueue(gamma * (xs(t) - l) + (1.0 - gamma) * sOld)
+      t += 1
+    }
+    (sse, l, b, seas.toIndexedSeq)
+  }
+
+  /** Holt-Winters smoothing-parameter FIT — the reference's
+    * ExponentialSmoothing.fit() optimizes α/β/γ per series by a
+    * golden-section/parabolic line search on the one-step SSE
+    * (cpp/src/holtwinters/internal/hw_optim.h, wired via runner.h
+    * optim_alpha/beta/gamma; holtwinters.pyx fit exposes the SSE). The
+    * distributed re-expression is a deterministic grid search: every
+    * (α,β,γ) candidate is one O(n) recursion over the series, all
+    * candidates evaluated inside the same per-series in-partition pass —
+    * 10⁶ series × |lattice| stays ONE shuffle, no driver loop, O(n+m)
+    * memory per series. Argmin tie-break is lattice order (α,β,γ
+    * ascending), mirroring the oracle's ORDER BY sse, alpha, beta, gamma.
+    * Output: (series, alpha, beta, gamma, sse). */
+  def hwFit(series: DataFrame, period: Int, alphas: Seq[Double],
+            betas: Seq[Double], gammas: Seq[Double]): DataFrame = {
+    import series.sparkSession.implicits._
+    val m = period
+    val rows = series.select(col("series").cast("string"), col("t").cast("long"),
+      col("x").cast("double")).as[(String, Long, Double)]
+    rows.groupByKey(_._1).flatMapGroups { (key, it) =>
+      val xs = it.toSeq.sortBy(_._2).map(_._3).toIndexedSeq
+      if (xs.length < 2 * m) Iterator.empty
+      else {
+        var bestA = 0.0; var bestB = 0.0; var bestG = 0.0
+        var bestSse = Double.PositiveInfinity
+        for (a <- alphas; bt <- betas; g <- gammas) {
+          val (sse, _, _, _) = hwRunAdd(xs, m, a, bt, g)
+          if (sse < bestSse) { bestSse = sse; bestA = a; bestB = bt; bestG = g }
+        }
+        Iterator((key, bestA, bestB, bestG, bestSse))
+      }
+    }.toDF("series", "_a", "_b", "_g", "_sse")
+      .select(col("series"),
+        round(col("_a"), 2).as("alpha"),
+        round(col("_b"), 2).as("beta"),
+        round(col("_g"), 2).as("gamma"),
+        round(col("_sse"), 4).as("sse"))
+  }
+
+  /** Fit-then-forecast: grid-fit (α,β,γ) per series as [[hwFit]], then emit
+    * h forecasts from the WINNING candidate's final state —
+    * ŷ_{T+k} = l + k·b + s_{(k−1) mod m}. This is the reference's
+    * fit().forecast(h) composition (holtwinters.pyx) with the fitted
+    * rather than user-supplied smoothing parameters. */
+  def hwFitForecast(series: DataFrame, period: Int, alphas: Seq[Double],
+                    betas: Seq[Double], gammas: Seq[Double], h: Int): DataFrame = {
+    import series.sparkSession.implicits._
+    val m = period
+    val rows = series.select(col("series").cast("string"), col("t").cast("long"),
+      col("x").cast("double")).as[(String, Long, Double)]
+    rows.groupByKey(_._1).flatMapGroups { (key, it) =>
+      val xs = it.toSeq.sortBy(_._2).map(_._3).toIndexedSeq
+      if (xs.length < 2 * m) Iterator.empty
+      else {
+        var bestSse = Double.PositiveInfinity
+        var bestL = 0.0; var bestB = 0.0
+        var bestSeas: IndexedSeq[Double] = IndexedSeq.empty
+        for (a <- alphas; bt <- betas; g <- gammas) {
+          val (sse, l, b, seas) = hwRunAdd(xs, m, a, bt, g)
+          if (sse < bestSse) { bestSse = sse; bestL = l; bestB = b; bestSeas = seas }
+        }
+        val (l, b, seas) = (bestL, bestB, bestSeas)
+        (1 to h).iterator.map { k =>
+          (key, k.toLong, l + k * b + seas((k - 1) % m))
+        }
+      }
+    }.toDF("series", "step", "_f")
+      .select(col("series"), col("step"), round(col("_f"), 4).as("forecast"))
+  }
+
+  /** KPSS level-stationarity statistic + interpolated p-value per series —
+    * the exact test the reference runs (Kwiatkowski et al. 1992;
+    * cpp/src_prims/timeSeries/stationarity.h:96-185):
+    *   e_t = v_t − mean(v);  S_t = Σ_{u≤t} e_u
+    *   s²  = (1/n)Σe² + Σ_t Σ_{k=1..L} (2/n)(1 − k/(L+1))·e_t·e_{t+k}
+    *   η   = Σ S_t²;   stat = (η/n²) / s²
+    * with Schwert lags L = ⌈12·(n/100)^¼⌉ (stationarity.h:260) and the
+    * p-value linearly interpolated over Table-1 critical values
+    * {0.347,0.463,0.574,0.739} → {0.10,0.05,0.025,0.01}
+    * (stationarity.h:160-185). All windows + one bounded self-join: the
+    * lag-product fan-out is n×L rows per series (L ≈ 38 even at n = 10⁵),
+    * shuffled on the series key only — 10⁶ series is one job.
+    * Input: (series, t, v) with t dense per series. Output: (series, stat,
+    * pval) — unrounded, for composition. */
+  private[tsa] def kpssTest(vals: DataFrame): DataFrame = {
+    val wAll = Window.partitionBy(col("series"))
+    val wOrd = Window.partitionBy(col("series")).orderBy(col("t"))
+    val e = vals
+      .withColumn("n", count(lit(1)).over(wAll).cast("double"))
+      .withColumn("e", col("v") - avg(col("v")).over(wAll))
+      .withColumn("s", sum(col("e")).over(wOrd))
+      .withColumn("lf", ceil(lit(12.0) * pow(col("n") / lit(100.0), lit(0.25))).cast("double"))
+    val base = e.groupBy(col("series")).agg(
+      max(col("n")).as("n"), max(col("lf")).as("lf"),
+      sum(col("e") * col("e")).as("s2a"),
+      sum(col("s") * col("s")).as("eta"))
+    val a = e.select(col("series"), col("t"), col("e"), col("n"), col("lf"))
+      .withColumn("k", explode(sequence(lit(1), col("lf").cast("int"))))
+    val b = e.select(col("series").as("bseries"), col("t").as("bt"), col("e").as("be"))
+    val s2b = a.join(b, col("bseries") === col("series") && col("bt") === col("t") + col("k"))
+      .groupBy(col("series"))
+      .agg(sum((lit(2.0) / col("n")) * (lit(1.0) - col("k").cast("double") / (col("lf") + lit(1.0))) *
+        (col("e") * col("be"))).as("s2b"))
+    base.join(s2b, Seq("series"), "left")
+      .select(col("series"),
+        ((col("eta") / (col("n") * col("n"))) /
+          (col("s2a") / col("n") + coalesce(col("s2b"), lit(0.0)))).as("stat"))
+      .withColumn("pval",
+        when(col("stat") >= 0.739, lit(0.01))
+          .when(col("stat") >= 0.574,
+            lit(0.025) + (lit(0.01) - lit(0.025)) * (col("stat") - lit(0.574)) / (lit(0.739) - lit(0.574)))
+          .when(col("stat") >= 0.463,
+            lit(0.05) + (lit(0.025) - lit(0.05)) * (col("stat") - lit(0.463)) / (lit(0.574) - lit(0.463)))
+          .when(col("stat") >= 0.347,
+            lit(0.10) + (lit(0.05) - lit(0.10)) * (col("stat") - lit(0.347)) / (lit(0.463) - lit(0.347)))
+          .otherwise(lit(0.10)))
+  }
+
+  /** KPSS-based d selection — the reference's `stationarity` entry point
+    * (stationarity.h:346-405, stationarity.pyx): test each series at d=0;
+    * failures are differenced once and re-tested; d = 0 if the level
+    * series is stationary (pval > threshold), 1 if its first difference
+    * is, −1 if neither. Emits the statistic and p-value of both passes. */
+  def stationarityKpss(series: DataFrame, pvalThreshold: Double = 0.05): DataFrame = {
+    val wOrd = Window.partitionBy(col("series")).orderBy(col("t"))
+    val x = series.select(col("series"), col("t"), col("x").as("v"))
+    val dx = series.withColumn("dv", col("x") - lag(col("x"), 1).over(wOrd))
+      .filter(col("dv").isNotNull)
+      .select(col("series"), col("t"), col("dv").as("v"))
+    val t0 = kpssTest(x).select(col("series"),
+      col("stat").as("kpss_x"), col("pval").as("pval_x"))
+    val t1 = kpssTest(dx).select(col("series"),
+      col("stat").as("kpss_dx"), col("pval").as("pval_dx"))
+    t0.join(t1, Seq("series"))
+      .select(col("series"),
+        round(col("kpss_x"), 6).as("kpss_x"), round(col("pval_x"), 4).as("pval_x"),
+        round(col("kpss_dx"), 6).as("kpss_dx"), round(col("pval_dx"), 4).as("pval_dx"),
+        when(col("pval_x") > pvalThreshold, 0L)
+          .when(col("pval_dx") > pvalThreshold, 1L).otherwise(-1L).as("d"))
+  }
+
+  /** Variance-ratio stationarity heuristic — difference the series if it
+    * reduces variance. NOT the reference's test (that is KPSS — see
+    * [[stationarityKpss]]); kept as a cheap two-aggregate screen. */
   def stationarity(series: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("series")).orderBy(col("t"))
     val d = series.withColumn("dx", col("x") - lag(col("x"), 1).over(w))
@@ -218,8 +385,13 @@ object TimeSeries {
     val det2 = col("n") * (col("s11") * col("s2y") - col("s1y") * col("s12")) -
       col("sx1") * (col("sx1") * col("s2y") - col("s1y") * col("sx2")) +
       col("sy") * (col("sx1") * col("s12") - col("s11") * col("sx2"))
-    mm.select(col("series"), (det0 / det).as("c0"), (det1 / det).as("c1"),
-      (det2 / det).as("c2"))
+    // Degenerate series (constant input → exactly singular Gram) produce
+    // det = 0 from exact cancellation identically in both engines, so the
+    // guard stays oracle-parity-safe; near-singular dets divide normally.
+    def safe(num: Column) =
+      when(det === 0.0, lit(null).cast("double")).otherwise(num / det)
+    mm.select(col("series"), safe(det0).as("c0"), safe(det1).as("c1"),
+      safe(det2).as("c2"))
   }
 
   /** AR(2) by conditional least squares as ONE grouped aggregate over all
@@ -241,6 +413,20 @@ object TimeSeries {
     * aggregate, per-row Gaussian-elimination solve (p+1 unknowns) in a
     * deterministic closure. Same single-job shape as arFit2 for any p. */
   def arFit(series: DataFrame, p: Int): DataFrame = {
+    val terms2 = "intercept" +: (1 to p).map(i => s"ar$i")
+    arFitWide(series, p)
+      .select(col("series"), explode(array(terms2.zipWithIndex.map { case (t, i) =>
+        struct(lit(t).as("term"), col("cf").getItem(i).as("coef"))
+      }: _*)).as("s"))
+      .select(col("series"), col("s.term").as("term"), col("s.coef").as("coef"))
+  }
+
+  /** [[arFit]] with the coefficient vector kept wide: (series, cf) where
+    * cf = [intercept, ar1, …, arp]. Degenerate series (singular normal
+    * equations — e.g. a constant series) yield cf = null rather than the
+    * garbage a blind elimination would produce: the solver checks each
+    * pivot after partial pivoting and bails on an exact zero. */
+  def arFitWide(series: DataFrame, p: Int): DataFrame = {
     require(p >= 1, "p >= 1")
     val w = Window.partitionBy(col("series")).orderBy(col("t"))
     var d = series
@@ -258,32 +444,32 @@ object TimeSeries {
     val solve = udf { (g: Seq[Double], b: Seq[Double]) =>
       val a = Array.tabulate(k, k)((i, j) => g(i * k + j))
       val rhs = b.toArray
+      var singular = false
       // Gaussian elimination with partial pivoting
       for (c <- 0 until k) {
         var piv = c
         for (r <- c + 1 until k) if (math.abs(a(r)(c)) > math.abs(a(piv)(c))) piv = r
         val tmp = a(c); a(c) = a(piv); a(piv) = tmp
         val tb = rhs(c); rhs(c) = rhs(piv); rhs(piv) = tb
-        for (r <- c + 1 until k) {
+        if (a(c)(c) == 0.0) singular = true
+        else for (r <- c + 1 until k) {
           val f = a(r)(c) / a(c)(c)
           for (cc <- c until k) a(r)(cc) -= f * a(c)(cc)
           rhs(r) -= f * rhs(c)
         }
       }
-      val x = new Array[Double](k)
-      for (c <- k - 1 to 0 by -1) {
-        var s = rhs(c)
-        for (cc <- c + 1 until k) s -= a(c)(cc) * x(cc)
-        x(c) = s / a(c)(c)
+      if (singular) null
+      else {
+        val x = new Array[Double](k)
+        for (c <- k - 1 to 0 by -1) {
+          var s = rhs(c)
+          for (cc <- c + 1 until k) s -= a(c)(cc) * x(cc)
+          x(c) = s / a(c)(c)
+        }
+        x.toSeq
       }
-      x.toSeq
     }
-    val terms2 = "intercept" +: (1 to p).map(i => s"ar$i")
     mm.select(col("series"), solve(gArr, bArr).as("cf"))
-      .select(col("series"), explode(array(terms2.zipWithIndex.map { case (t, i) =>
-        struct(lit(t).as("term"), col("cf").getItem(i).as("coef"))
-      }: _*)).as("s"))
-      .select(col("series"), col("s.term").as("term"), col("s.coef").as("coef"))
   }
 
   private def unpivotCoefs(c: DataFrame, terms: Seq[String]): DataFrame =
@@ -331,6 +517,48 @@ object TimeSeries {
       .select(col("series"), col("s.step").as("step"), col("s.forecast").as("forecast"))
   }
 
+  /** h-step forecast for a general AR(p), optionally after d=1
+    * differencing (reference tsa/arima.pyx forecast on an (p,d,0) order):
+    * fit via [[arFit]] (one grouped aggregate + per-row Gaussian solve),
+    * join the coefficient array onto each series' last p observations of
+    * the (differenced) series, unroll the recursion as h nested column
+    * expressions, and for d=1 integrate back with a running sum. Same
+    * one-job shape as [[arForecast]] for any p. */
+  def arForecastP(series: DataFrame, p: Int, h: Int, d: Int = 0): DataFrame = {
+    require(p >= 1 && h >= 1 && (d == 0 || d == 1), "p>=1, h>=1, d in {0,1}")
+    val w = Window.partitionBy(col("series")).orderBy(col("t"))
+    val work =
+      if (d == 0) series.select(col("series"), col("t"), col("x"))
+      else series.withColumn("dx", col("x") - lag(col("x"), 1).over(w))
+        .filter(col("dx").isNotNull).select(col("series"), col("t"), col("dx").as("x"))
+    val cf = arFitWide(work, p)
+    val lastP = work.groupBy(col("series")).agg(
+        sort_array(collect_list(struct(col("t"), col("x"))), asc = false).as("_a"))
+      .select((col("series") +: (0 until p).map(i =>
+        col("_a").getItem(i).getField("x").as(s"xl$i"))): _*)
+      .filter(col(s"xl${p - 1}").isNotNull)
+    val j0 = cf.join(lastP, Seq("series"))
+    val j = if (d == 0) j0 else j0.join(
+      series.withColumn("_rn", row_number().over(
+          Window.partitionBy(col("series")).orderBy(col("t").desc)))
+        .filter(col("_rn") === 1).select(col("series"), col("x").as("xT")),
+      Seq("series"))
+    // rolling window of the last p (forecast or observed) values
+    var hist: Vector[Column] = (0 until p).map(i => col(s"xl$i")).toVector
+    var cum: Column = col("xT")
+    val fs = (1 to h).map { _ =>
+      val f = (0 until p).foldLeft(col("cf").getItem(0)) { (acc, i) =>
+        acc + col("cf").getItem(i + 1) * hist(i)
+      }
+      hist = (f +: hist).take(p)
+      if (d == 1) { cum = cum + f; cum } else f
+    }
+    j.select(col("series"), explode(array(fs.zipWithIndex.map { case (f, i) =>
+        struct(lit(i + 1L).as("step"), round(f, 4).as("forecast"))
+      }: _*)).as("s"))
+      .select(col("series"), col("s.step").as("step"), col("s.forecast").as("forecast"))
+  }
+
   /** ARIMA(1,1,1) by differencing + Hannan–Rissanen (reference
     * tsa/arima.pyx fits batched (p,d,q); this is the distributed
     * re-expression): d=1 via window difference, a preliminary AR(2) on the
@@ -340,6 +568,17 @@ object TimeSeries {
     * back onto the rows (shuffle key = series). Mirrors its SQL oracle
     * expression-for-expression. */
   def arimaHR(series: DataFrame): DataFrame = {
+    val (_, cf) = arimaHRStage(series)
+    unpivotCoefs(cf, Seq("intercept", "ar1", "ma1"))
+  }
+
+  /** The Hannan–Rissanen pipeline behind [[arimaHR]], staged: returns
+    * (rows, coefs) where rows carries per-observation (series, t, dx, l1,
+    * e, e1) — differenced value, its lag, the preliminary-AR(2) residual
+    * and its lag — and coefs the wide (series, c0, c1, c2) fit of
+    * dx_t ~ intercept + dx_{t−1} + ê_{t−1}. The in-sample and forecast
+    * surfaces both consume these without re-fitting. */
+  private[tsa] def arimaHRStage(series: DataFrame): (DataFrame, DataFrame) = {
     val w = Window.partitionBy(col("series")).orderBy(col("t"))
     // d = 1: difference away the trend (what `stationarity` recommends here)
     val dx = series.withColumn("dx", col("x") - lag(col("x"), 1).over(w))
@@ -356,9 +595,69 @@ object TimeSeries {
         col("dx") - (col("c0") + col("c1") * col("l1") + col("c2") * col("l2"))))
     // step 2: dx_t ~ intercept + dx_{t−1} + e_{t−1}
     val e1 = e.withColumn("e1", lag(col("e"), 1).over(w))
+      .select(col("series"), col("t"), col("dx"), col("l1"), col("e"), col("e1"))
     val f2 = e1.filter(col("l1").isNotNull && col("e1").isNotNull)
-    unpivotCoefs(cramer3(f2, col("dx"), col("l1"), col("e1")),
-      Seq("intercept", "ar1", "ma1"))
+    (e1, cramer3(f2, col("dx"), col("l1"), col("e1")))
+  }
+
+  /** ARIMA(1,1,1) in-sample surface — the reference's predict_in_sample /
+    * aic / bic (tsa/arima.pyx:221-244): per-row one-step in-sample
+    * prediction from the fitted CLS coefficients, residual SSE, and the
+    * conditional-Gaussian log-likelihood
+    *   ll = −(n/2)·(ln(2π·SSE/n) + 1)
+    * (the CLS approximation of the reference's Kalman batched_loglike),
+    * then AIC = −2ll + 2k, BIC = −2ll + k·ln(n) with model complexity
+    * k = p+d+q = 3 (arima.pyx:822-826). One join + one grouped aggregate
+    * on top of the HR fit — order selection over 10⁶ series is one job. */
+  def arimaInsample(series: DataFrame): DataFrame = {
+    val (rows, cf) = arimaHRStage(series)
+    val scored = rows.filter(col("l1").isNotNull && col("e1").isNotNull)
+      .join(cf, Seq("series"))
+      .withColumn("resid",
+        col("dx") - (col("c0") + col("c1") * col("l1") + col("c2") * col("e1")))
+    scored.groupBy(col("series")).agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("resid") * col("resid")).as("sse"))
+      .withColumn("loglik",
+        (lit(0.0) - col("n") / lit(2.0)) *
+          (log(lit(2.0) * lit(math.Pi) * col("sse") / col("n")) + lit(1.0)))
+      .select(col("series"), col("n").cast("long").as("n"),
+        round(col("sse"), 4).as("sse"),
+        round(col("loglik"), 4).as("loglik"),
+        round(lit(-2.0) * col("loglik") + lit(6.0), 4).as("aic"),
+        round(lit(-2.0) * col("loglik") + lit(3.0) * log(col("n")), 4).as("bic"))
+  }
+
+  /** h-step ARIMA(1,1,1) forecast — the reference's forecast on a d=1
+    * model (tsa/arima.pyx:297): forecast the DIFFERENCES with the fitted
+    * (c0, ar1, ma1) — dx̂_{T+1} = c0 + c1·dx_T + c2·ê_T, then
+    * dx̂_{T+k} = c0 + c1·dx̂_{T+k−1} (future shocks are zero) — and
+    * integrate back: x̂_{T+k} = x_T + Σ_{j≤k} dx̂_{T+j}, unrolled as h
+    * nested column expressions after a coefficient⋈last-state join. */
+  def arimaForecastHR(series: DataFrame, h: Int): DataFrame = {
+    require(h >= 1, "h >= 1")
+    val (rows, cf) = arimaHRStage(series)
+    val wDesc = Window.partitionBy(col("series")).orderBy(col("t").desc)
+    val last = rows.filter(col("e").isNotNull)
+      .withColumn("_rn", row_number().over(wDesc)).filter(col("_rn") === 1)
+      .select(col("series"), col("dx").as("dxT"), col("e").as("eT"))
+    val lastX = series.withColumn("_rn", row_number().over(wDesc))
+      .filter(col("_rn") === 1).select(col("series"), col("x").as("xT"))
+    val j = cf.join(last, Seq("series")).join(lastX, Seq("series"))
+    var prevD: Column = col("c0") + col("c1") * col("dxT") + col("c2") * col("eT")
+    var cum: Column = col("xT") + prevD
+    val fs = (1 to h).map { k =>
+      if (k == 1) cum
+      else {
+        prevD = col("c0") + col("c1") * prevD
+        cum = cum + prevD
+        cum
+      }
+    }
+    j.select(col("series"), explode(array(fs.zipWithIndex.map { case (f, i) =>
+        struct(lit(i + 1L).as("step"), round(f, 4).as("forecast"))
+      }: _*)).as("s"))
+      .select(col("series"), col("s.step").as("step"), col("s.forecast").as("forecast"))
   }
 
   /** 2-state constant-velocity Kalman filter — the multi-dimensional

@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import scala.math.abs
+
+/** Estimation-depth TSA surface: Holt-Winters parameter fitting, KPSS
+  * stationarity, ARIMA in-sample/forecast, singular-fit guards. */
+class TsaDepthSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  /** Independent re-statement of the additive HW one-step-SSE recursion
+    * (deliberately re-derived here, not shared with main code). */
+  private def hwSse(xs: IndexedSeq[Double], m: Int, a: Double, b: Double,
+                    g: Double): Double = {
+    var l = xs.take(m).sum / m
+    var tr = (xs.slice(m, 2 * m).sum / m - l) / m
+    val seas = scala.collection.mutable.ArrayBuffer(xs.take(m).map(_ - l): _*)
+    var sse = 0.0
+    for (t <- m until xs.length) {
+      val s0 = seas.remove(0)
+      val err = xs(t) - (l + tr + s0)
+      sse += err * err
+      val lp = l
+      l = a * (xs(t) - s0) + (1 - a) * (l + tr)
+      tr = b * (l - lp) + (1 - b) * tr
+      seas += g * (xs(t) - l) + (1 - g) * s0
+    }
+    sse
+  }
+
+  private val alphas = Seq(0.2, 0.4, 0.6, 0.8)
+  private val betas = Seq(0.1, 0.3)
+  private val gammas = Seq(0.1, 0.3, 0.5)
+
+  test("hw_fit picks the lattice candidate with minimal one-step SSE") {
+    import spark.implicits._
+    val season = Array(4.0, -2.0, 1.0, 0.0, -3.0, 2.0, -2.0)
+    val rnd = new scala.util.Random(11)
+    val xs = (0 until 42).map(t => 30.0 + 0.4 * t + season(t % 7) + 0.3 * rnd.nextGaussian())
+    val df = xs.zipWithIndex.map { case (x, t) => ("s", t.toLong, x) }.toDF("series", "t", "x")
+    val r = graft.tsa.TimeSeries.hwFit(df, 7, alphas, betas, gammas).head()
+    val (fa, fb, fg, fsse) = (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    val all = for (a <- alphas; b <- betas; g <- gammas)
+      yield ((a, b, g), hwSse(xs.toIndexedSeq, 7, a, b, g))
+    val best = all.minBy(_._2)
+    assert((fa, fb, fg) == best._1, s"picked ($fa,$fb,$fg) vs ${best._1}")
+    assert(abs(fsse - best._2) < 1e-3, s"sse $fsse vs ${best._2}")
+  }
+
+  test("hw_fit_forecast equals holtWintersForecast at the fitted params") {
+    import spark.implicits._
+    val season = Array(4.0, -2.0, 1.0, 0.0, -3.0, 2.0, -2.0)
+    val rnd = new scala.util.Random(5)
+    val xs = (0 until 35).map(t => 20.0 + 0.2 * t + season(t % 7) + 0.2 * rnd.nextGaussian())
+    val df = xs.zipWithIndex.map { case (x, t) => ("s", t.toLong, x) }.toDF("series", "t", "x")
+    val fit = graft.tsa.TimeSeries.hwFit(df, 7, alphas, betas, gammas).head()
+    val (fa, fb, fg) = (fit.getDouble(1), fit.getDouble(2), fit.getDouble(3))
+    val viaFit = graft.tsa.TimeSeries.hwFitForecast(df, 7, alphas, betas, gammas, h = 5)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    val direct = graft.tsa.TimeSeries.holtWintersForecast(df, fa, fb, fg, 7, h = 5)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(viaFit == direct, s"$viaFit vs $direct")
+  }
+
+  test("KPSS: white noise is level-stationary (d=0), trending series needs d=1") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val noise = (0 until 120).map(t => ("flat", t.toLong, 5.0 + rnd.nextGaussian()))
+    val trend = (0 until 120).map(t => ("trend", t.toLong, 0.5 * t + rnd.nextGaussian()))
+    val df = (noise ++ trend).toDF("series", "t", "x")
+    val r = graft.tsa.TimeSeries.stationarityKpss(df)
+      .collect().map(row => row.getString(0) -> row).toMap
+    assert(r("flat").getLong(5) == 0L, s"flat d=${r("flat").getLong(5)}")
+    assert(r("trend").getLong(5) == 1L, s"trend d=${r("trend").getLong(5)}")
+    // the statistic itself: small for stationary, above the 5% critical
+    // value (0.463) for the trending series
+    assert(r("flat").getDouble(1) < 0.463)
+    assert(r("trend").getDouble(1) > 0.463)
+  }
+
+  test("arima_insample: AIC/BIC identities hold and SSE is the residual sum") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(9)
+    val xs = scala.collection.mutable.ArrayBuffer(10.0)
+    (1 until 80).foreach(t => xs += xs(t - 1) + 1.0 + 0.5 * rnd.nextGaussian())
+    val df = xs.toSeq.zipWithIndex.map { case (x, t) => ("s", t.toLong, x) }
+      .toDF("series", "t", "x")
+    val r = graft.tsa.TimeSeries.arimaInsample(df).head()
+    val (n, sse, ll, aic, bic) =
+      (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+    // rows entering stage 2: n-1 diffs, minus 2 AR lags, minus 1 residual lag
+    assert(n == xs.length - 4, s"n=$n")
+    assert(sse > 0 && !sse.isNaN)
+    val expLl = -(n / 2.0) * (math.log(2 * math.Pi * sse / n) + 1)
+    assert(abs(ll - expLl) < 1e-2, s"ll $ll vs $expLl")
+    assert(abs(aic - (-2 * ll + 6)) < 1e-2)
+    assert(abs(bic - (-2 * ll + 3 * math.log(n.toDouble))) < 1e-2)
+  }
+
+  test("arima_pdq_forecast continues a drifting series") {
+    import spark.implicits._
+    val xs = (0 until 60).map(t => 10.0 + 2.0 * t + 0.5 * math.sin(t.toDouble))
+    val df = xs.zipWithIndex.map { case (x, t) => ("s", t.toLong, x) }.toDF("series", "t", "x")
+    val fc = graft.tsa.TimeSeries.arimaForecastHR(df, h = 5)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(fc.size == 5)
+    (1 to 5).foreach { k =>
+      val actual = 10.0 + 2.0 * (59 + k) + 0.5 * math.sin((59 + k).toDouble)
+      assert(abs(fc(k.toLong) - actual) < 2.0, s"step $k: ${fc(k.toLong)} vs $actual")
+    }
+  }
+
+  test("arForecastP(p=2,d=0) matches the AR(2) Cramer forecast path") {
+    import spark.implicits._
+    val xs = scala.collection.mutable.ArrayBuffer(10.0, 11.0)
+    (2 until 50).foreach(t => xs += 2.0 + 0.5 * xs(t - 1) + 0.3 * xs(t - 2))
+    val df = xs.toSeq.zipWithIndex.map { case (x, t) => ("s", t.toLong, x) }
+      .toDF("series", "t", "x")
+    val viaP = graft.tsa.TimeSeries.arForecastP(df, p = 2, h = 5)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    val viaCramer = graft.tsa.TimeSeries.arForecast(df, h = 5)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    (1 to 5).foreach { k =>
+      assert(abs(viaP(k.toLong) - viaCramer(k.toLong)) < 1e-5,
+        s"step $k: ${viaP(k.toLong)} vs ${viaCramer(k.toLong)}")
+    }
+  }
+
+  test("singular fits yield null coefficients, not garbage") {
+    import spark.implicits._
+    val df = (0 until 30).map(t => ("c", t.toLong, 7.0)).toDF("series", "t", "x")
+    val cramer = graft.tsa.TimeSeries.arFit2(df).collect()
+    assert(cramer.nonEmpty && cramer.forall(_.isNullAt(2)),
+      "constant series must produce null Cramer coefs")
+    val wide = graft.tsa.TimeSeries.arFitWide(df, 3).head()
+    assert(wide.isNullAt(1), "constant series must produce null AR(p) coefs")
+  }
+}
