@@ -3,7 +3,8 @@ package graft.queries
 import graft.cluster.KMeansGraft
 import graft.core.Tables
 import graft.ensemble.Forest
-import graft.linear.{ElasticNet, GradientSolver, Lasso}
+import graft.core.Num.r4
+import graft.linear.{ElasticNet, GradientSolver, Lasso, Softmax}
 import graft.preprocessing.Preprocessing
 import graft.svm.SVMGraft
 import org.apache.spark.ml.classification.LogisticRegression
@@ -19,6 +20,15 @@ object MLQueries {
   type Q = (SparkSession, String) => DataFrame
 
   private val LiFeatures = Seq("l_quantity", "l_discount", "l_tax")
+
+  /** Literal softmax coefficients for the oracle-gated predict step
+    * (the kmeans_assign pattern: fixed model, SQL-replayable scoring). */
+  private val SoftmaxClasses = Seq("A", "N", "R")
+  private val SoftmaxIntercepts = Seq(0.05, 0.0, -0.02)
+  private val SoftmaxWeights = Seq(
+    Seq(0.0, -2.0, 0.0),
+    Seq(0.0, 1.5, -5.0),
+    Seq(0.0, 1.0, 4.0))
 
   private def liWithLabel(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d).withColumn("_bin",
@@ -45,6 +55,19 @@ object MLQueries {
         LiFeatures.zipWithIndex.map { case (f, i) =>
           (f, math.rint(m.coefficients(i) * 10000) / 10000)
         }).toDF("term", "coef").orderBy("term")
+    },
+    "logreg_multi" -> { (s, d) =>
+      // softmax multiclass on the 3-class returnflag — the reference's
+      // LogisticRegression is multiclass (logistic_regression.pyx:41-42)
+      Softmax.fit(Tables.lineitem(s, d), LiFeatures, "l_returnflag")._1
+    },
+    "softmax_predict" -> { (s, d) =>
+      val (pred, pMax) = Softmax.predict(
+        LiFeatures.map(c => col(c)), SoftmaxClasses, SoftmaxIntercepts, SoftmaxWeights)
+      Tables.lineitem(s, d).select(pred.as("class"), pMax.as("p"))
+        .groupBy("class")
+        .agg(count(lit(1)).as("n"), r4(avg(col("p"))).as("avg_pmax"))
+        .orderBy("class")
     },
     "qn_logreg" -> { (s, d) =>
       GradientSolver.fitQN(liWithLabel(s, d), LiFeatures, "_bin")
@@ -172,5 +195,18 @@ object MLQueries {
   val oracles: Map[String, String] = Map(
     "sgd_linreg" -> sgdOracle,
     "lasso_cd" -> cdOracle(10.0, 1.0),
-    "elastic_net" -> cdOracle(10.0, 0.5))
+    "elastic_net" -> cdOracle(10.0, 0.5),
+    "softmax_predict" ->
+      """WITH sc AS (SELECT
+        |    0.05 + 0.0 * l_quantity + -2.0 * l_discount + 0.0 * l_tax AS sa,
+        |    0.0 + 0.0 * l_quantity + 1.5 * l_discount + -5.0 * l_tax AS sn,
+        |    -0.02 + 0.0 * l_quantity + 1.0 * l_discount + 4.0 * l_tax AS sr
+        |  FROM lineitem),
+        |p AS (SELECT
+        |    CASE WHEN sa >= sn AND sa >= sr THEN 'A'
+        |         WHEN sn >= sr THEN 'N' ELSE 'R' END AS class,
+        |    exp(greatest(sa, sn, sr)) / (exp(sa) + exp(sn) + exp(sr)) AS p
+        |  FROM sc)
+        |SELECT class, count(*)::BIGINT AS n, round(avg(p), 4) AS avg_pmax
+        |FROM p GROUP BY class ORDER BY class""".stripMargin)
 }
