@@ -23,39 +23,68 @@ import org.apache.spark.sql.functions._
   *     no iterative label propagation over points.
   */
 object DBSCANGrid {
-  /** @param ccEdgeLimit cell-edge count above which the connected
+  /** 2-D entry point (kept for the query surface); delegates to the
+    * n-dimensional grid, whose d=2 specialization is bit-identical
+    * (62/2 = 31-bit packed halves, ±2-cell half-plane window). */
+  def fit(points: DataFrame, idCol: String, xCol: String, yCol: String,
+          eps: Double, minPts: Int, ccEdgeLimit: Long = 500000L): DataFrame =
+    fitND(points, idCol, Seq(xCol, yCol), eps, minPts, ccEdgeLimit)
+
+  /** n-dimensional grid DBSCAN (reference dbscan.pyx accepts any feature
+    * count). Cells are eps/√d wide, so the cell DIAGONAL is exactly eps
+    * and same-cell merging stays exact in any dimension; eps spans √d
+    * cell widths, so candidate pairs live within ±⌈√d⌉ cells per axis.
+    * The candidate window is (2⌈√d⌉+1)^d cells — the grid method is for
+    * LOW d (the regime where cuML's own grid/rtree strategies win; at
+    * high d use knnJoin-style brute force), enforced by d ≤ 5.
+    *
+    * Cell coordinates pack into one long key, ⌊62/d⌋ bits per axis
+    * (signed-centered: valid for |coord/cw| < 2^(bits−1) — at d=2 that
+    * is the old 31-bit layout, at d=3 a ±2^19-cell extent per axis).
+    *
+    * @param ccEdgeLimit cell-edge count above which the connected
     *   components run distributed (min-label propagation) instead of in a
     *   driver union-find. The occupied-cell graph is usually tiny next to
     *   n, but sparse data over a huge extent can make it data-scale too —
     *   both paths produce identical labels (component rep = min cell id). */
-  def fit(points: DataFrame, idCol: String, xCol: String, yCol: String,
-          eps: Double, minPts: Int, ccEdgeLimit: Long = 500000L): DataFrame = {
-    val pts = points.select(col(idCol).cast("long").as("id"),
-      col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y"))
+  def fitND(points: DataFrame, idCol: String, featCols: Seq[String],
+            eps: Double, minPts: Int, ccEdgeLimit: Long = 500000L): DataFrame = {
+    val d = featCols.size
+    require(d >= 2 && d <= 5, s"grid DBSCAN supports 2..5 dims, got $d")
+    val xs = featCols.indices
+    val pts = points.select((col(idCol).cast("long").as("id") +:
+      xs.map(i => col(featCols(i)).cast("double").as(s"x$i"))): _*)
 
-    // 1. cell coordinates packed into one long key (31-bit signed halves:
-    // valid for |coord/cw| < 2^30, i.e. any realistic coordinate/eps ratio)
-    val cw = eps / math.sqrt(2.0)
-    val Half = 1073741824L  // 2^30
-    val Mult = 2147483648L  // 2^31
-    val cellKey = (floor(col("x") / cw).cast("long") + Half) * Mult +
-      (floor(col("y") / cw).cast("long") + Half)
+    // 1. per-axis cell coordinates packed into one long key (Horner)
+    val cw = eps / math.sqrt(d.toDouble)
+    val bits = 62 / d
+    val Half = 1L << (bits - 1)
+    val Mult = 1L << bits
+    val cellKey = xs.map(i => floor(col(s"x$i") / cw).cast("long") + Half)
+      .reduceLeft((acc, c) => acc * Mult + c)
     val withCell = pts.withColumn("cell", cellKey).cache()
 
-    // 2. candidate pairs via HALF-PLANE replication of the build side: 13
-    // of the 25 offsets (origin + dx>0 + {dx=0, dy>0}). H ∩ −H = {origin},
-    // so every unordered cross-cell pair materializes exactly once in one
-    // orientation; same-cell pairs (origin offset) are deduped by id<bid.
-    // Half the join fan-out of a full 5×5 for the identical pair set.
-    val offsets = for (dx <- 0L to 2L; dy <- -2L to 2L
-                       if dx > 0 || dy >= 0) yield dx * Mult + dy
-    val build = withCell.select(col("id").as("bid"), col("x").as("bx"),
-        col("y").as("by"), col("cell").as("bcell"))
+    // 2. candidate pairs via HALF-SPACE replication of the build side:
+    // origin + offsets whose first nonzero component is positive.
+    // H ∩ −H = {origin}, so every unordered cross-cell pair materializes
+    // exactly once in one orientation; same-cell pairs (origin offset)
+    // are deduped by id<bid. Half the fan-out of the full window for the
+    // identical pair set (d=2: the 13-of-25 layout of rounds 1-4).
+    val reach = math.ceil(math.sqrt(d.toDouble)).toLong
+    val vecs = xs.foldLeft(Seq(List.empty[Long])) { (acc, _) =>
+      for (v <- acc; x <- -reach to reach) yield v :+ x
+    }
+    val offsets = vecs
+      .filter(v => v.find(_ != 0L).forall(_ > 0L))
+      .map(v => v.foldLeft(0L)((acc, x) => acc * Mult + x))
+    val build = withCell.select((col("id").as("bid") +:
+        xs.map(i => col(s"x$i").as(s"bx$i")) :+ col("cell").as("bcell")): _*)
       .withColumn("cell", explode(array(offsets.map(o => col("bcell") + o): _*)))
+    val sqDist = xs.map(i => (col(s"x$i") - col(s"bx$i")) * (col(s"x$i") - col(s"bx$i")))
+      .reduce(_ + _)
     val pairs = withCell.join(build, Seq("cell"))
       .filter(col("cell") =!= col("bcell") || col("id") < col("bid"))
-      .filter((col("x") - col("bx")) * (col("x") - col("bx")) +
-        (col("y") - col("by")) * (col("y") - col("by")) <= eps * eps)
+      .filter(sqDist <= eps * eps)
       .select(least(col("id"), col("bid")).as("id"),
         greatest(col("id"), col("bid")).as("bid")).cache()
     val bothDirs = pairs.unionAll(pairs.select(col("bid").as("id"), col("id").as("bid")))
@@ -126,12 +155,18 @@ object DBSCANGrid {
 
   /** Deterministic summary for the query surface. */
   def summary(points: DataFrame, idCol: String, xCol: String, yCol: String,
-              eps: Double, minPts: Int): DataFrame = {
-    val f = fit(points, idCol, xCol, yCol, eps, minPts)
+              eps: Double, minPts: Int): DataFrame =
+    summarize(fit(points, idCol, xCol, yCol, eps, minPts))
+
+  /** n-D variant of [[summary]]. */
+  def summaryND(points: DataFrame, idCol: String, featCols: Seq[String],
+                eps: Double, minPts: Int): DataFrame =
+    summarize(fitND(points, idCol, featCols, eps, minPts))
+
+  private def summarize(f: DataFrame): DataFrame =
     f.groupBy((col("cluster") >= 0).as("clustered")).agg(
         count(lit(1)).as("n"),
         countDistinct(when(col("cluster") >= 0, col("cluster"))).as("n_clusters"),
         sum(when(col("is_core"), 1L).otherwise(0L)).as("n_core"))
       .orderBy("clustered")
-  }
 }

@@ -24,6 +24,14 @@ object MiscQueries {
         col("value").as("x"), (col("user_id") % 97).cast("double").as("y"))
       DBSCANGrid.summary(pts, "event_id", "x", "y", eps = 1.0, minPts = 4)
     },
+    "dbscan_3d" -> { (s, d) =>
+      // 3-D DBSCAN over (value, scaled user bucket, hour-of-day) on events
+      val pts = Tables.events(s, d).select(col("event_id"),
+        col("value").as("x"), (col("user_id") % 97).cast("double").as("y"),
+        (hour(col("ts")) / lit(2.0)).as("z"))
+      DBSCANGrid.summaryND(pts, "event_id", Seq("x", "y", "z"),
+        eps = 1.5, minPts = 4)
+    },
     "ann_ivf" -> { (s, d) =>
       val e = Tables.embeddings(s, d)
       IVF.recallSummary(e, e.filter(col("vec_id") < 20), "vec_id", "embedding",
