@@ -101,6 +101,15 @@ object TSAQueries {
     "kalman_cv" -> { (s, d) =>
       TimeSeries.kalmanCV(TimeSeries.dailySeries(Tables.events(s, d)), 0.05, 0.01, 2.0)
         .orderBy("series")
+    },
+    "kalman_mat" -> { (s, d) =>
+      // 3-state constant-acceleration model through the general (F,H,Q,R)
+      // matrix filter — the reference's arbitrary-dim KalmanFilter surface
+      TimeSeries.kalmanMat(TimeSeries.dailySeries(Tables.events(s, d)),
+          f = Seq(Seq(1.0, 1.0, 0.5), Seq(0.0, 1.0, 1.0), Seq(0.0, 0.0, 1.0)),
+          hRow = Seq(1.0, 0.0, 0.0),
+          qDiag = Seq(0.02, 0.01, 0.005), r = 2.0)
+        .orderBy("series")
     }
   )
 

@@ -704,6 +704,66 @@ object TimeSeries {
         round(col("_si"), 4).as("sum_innov2"))
   }
 
+  /** General small-matrix Kalman filter — the reference's KalmanFilter
+    * takes arbitrary (dim_x, dim_z) with user-set F, H, Q, R
+    * (filter/kalman_filter.pyx:197). This is the dim_z = 1 instance over
+    * a scalar series column (the only observation shape the batched
+    * (series, t, x) surface carries; a vector-z variant is the same pass
+    * with a dim_z×dim_z solve in place of the scalar divide):
+    *   predict  x = F·x,  P = F·P·Fᵀ + Q
+    *   update   s = H·P·Hᵀ + R,  K = P·Hᵀ/s,  x += K·(z − H·x),
+    *            P = P − K·(H·P)
+    * Dense row-major loops over dim_x ≤ ~8 state entries — per-series
+    * in-partition recursion exactly like [[kalmanCV]], which remains the
+    * SQL-oracle-able unrolled specialization (F=[[1,1],[0,1]], H=[1,0]).
+    * Init: x = (z_0, 0, …), P = I. Output: final level (= x_0), full
+    * state vector, p00 and the innovation energy. */
+  def kalmanMat(series: DataFrame, f: Seq[Seq[Double]], hRow: Seq[Double],
+                qDiag: Seq[Double], r: Double): DataFrame = {
+    val dim = f.size
+    require(f.forall(_.size == dim) && hRow.size == dim && qDiag.size == dim,
+      s"F must be ${dim}x$dim, H and Q diag length $dim")
+    import series.sparkSession.implicits._
+    val rows = series.select(col("series").cast("string"), col("t").cast("long"),
+      col("x").cast("double")).as[(String, Long, Double)]
+    val fArr = f.map(_.toArray).toArray
+    val hArr = hRow.toArray
+    val qArr = qDiag.toArray
+    rows.groupByKey(_._1).flatMapGroups { (key, it) =>
+      val sorted = it.toSeq.sortBy(_._2)
+      if (sorted.isEmpty) Iterator.empty
+      else {
+        var x = Array.tabulate(dim)(i => if (i == 0) sorted.head._3 else 0.0)
+        var p = Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
+        var si = 0.0
+        sorted.tail.foreach { case (_, _, z) =>
+          val xp = Array.tabulate(dim)(i =>
+            (0 until dim).map(j => fArr(i)(j) * x(j)).sum)
+          val fp = Array.tabulate(dim, dim)((i, j) =>
+            (0 until dim).map(k => fArr(i)(k) * p(k)(j)).sum)
+          val pp = Array.tabulate(dim, dim)((i, j) =>
+            (0 until dim).map(k => fp(i)(k) * fArr(j)(k)).sum +
+              (if (i == j) qArr(i) else 0.0))
+          val hp = Array.tabulate(dim)(j =>
+            (0 until dim).map(k => hArr(k) * pp(k)(j)).sum)
+          val s = (0 until dim).map(k => hp(k) * hArr(k)).sum + r
+          val kGain = Array.tabulate(dim)(i =>
+            (0 until dim).map(k => pp(i)(k) * hArr(k)).sum / s)
+          val iv = z - (0 until dim).map(k => hArr(k) * xp(k)).sum
+          x = Array.tabulate(dim)(i => xp(i) + kGain(i) * iv)
+          p = Array.tabulate(dim, dim)((i, j) => pp(i)(j) - kGain(i) * hp(j))
+          si += iv * iv
+        }
+        Iterator((key, sorted.last._2, x(0), x.toSeq, p(0)(0), si))
+      }
+    }.toDF("series", "t_last", "_l", "_st", "_p", "_si")
+      .select(col("series"), col("t_last"),
+        round(col("_l"), 4).as("level"),
+        transform(col("_st"), v => round(v, 4)).as("state"),
+        round(col("_p"), 6).as("p00"),
+        round(col("_si"), 4).as("sum_innov2"))
+  }
+
   /** Scalar Kalman filter (constant-velocity-free local level model):
     *   predict: P += Q;  update: K = P/(P+R); s += K(x−s); P *= (1−K).
     * Runs in-partition per series via groupBy+flatMapGroups — the recursion

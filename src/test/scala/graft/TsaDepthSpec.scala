@@ -127,6 +127,38 @@ class TsaDepthSpec extends AnyFunSuite {
     }
   }
 
+  test("matrix Kalman reproduces the unrolled CV filter at F=[[1,1],[0,1]]") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(21)
+    var lvl = 10.0
+    val xs = (0 until 60).map { t => lvl += 0.3 + rnd.nextGaussian(); ("s", t.toLong, lvl) }
+    val df = xs.toDF("series", "t", "x")
+    val cv = graft.tsa.TimeSeries.kalmanCV(df, 0.05, 0.01, 2.0).head()
+    val mat = graft.tsa.TimeSeries.kalmanMat(df,
+      f = Seq(Seq(1.0, 1.0), Seq(0.0, 1.0)), hRow = Seq(1.0, 0.0),
+      qDiag = Seq(0.05, 0.01), r = 2.0).head()
+    // same recursion up to FP association: outputs agree at the rounding grid
+    assert(cv.getDouble(2) == mat.getDouble(2), "level")          // r4
+    assert(cv.getDouble(3) == mat.getSeq[Double](3)(1), "trend")  // r4
+    assert(abs(cv.getDouble(4) - mat.getDouble(4)) < 1e-5, "p00")
+    assert(abs(cv.getDouble(5) - mat.getDouble(5)) < 1e-3, "innovation energy")
+  }
+
+  test("3-state constant-acceleration Kalman locks onto a quadratic path") {
+    import spark.implicits._
+    // z_t = 5 + 0.5 t + 0.1 t^2 — a constant-acceleration trajectory: the
+    // CA filter's acceleration state must converge to x2 = 2*0.1 = 0.2
+    val xs = (0 until 80).map(t => ("s", t.toLong, 5.0 + 0.5 * t + 0.1 * t * t))
+    val df = xs.toDF("series", "t", "x")
+    val r = graft.tsa.TimeSeries.kalmanMat(df,
+      f = Seq(Seq(1.0, 1.0, 0.5), Seq(0.0, 1.0, 1.0), Seq(0.0, 0.0, 1.0)),
+      hRow = Seq(1.0, 0.0, 0.0), qDiag = Seq(0.02, 0.01, 0.005), r = 0.5).head()
+    val state = r.getSeq[Double](3)
+    val t = 79.0
+    assert(abs(r.getDouble(2) - (5.0 + 0.5 * t + 0.1 * t * t)) < 1.0, s"level ${r.getDouble(2)}")
+    assert(abs(state(2) - 0.2) < 0.05, s"acceleration ${state(2)}")
+  }
+
   test("singular fits yield null coefficients, not garbage") {
     import spark.implicits._
     val df = (0 until 30).map(t => ("c", t.toLong, 7.0)).toDF("series", "t", "x")
