@@ -30,7 +30,7 @@ object MiscQueries {
         col("value").as("x"), (col("user_id") % 97).cast("double").as("y"),
         (hour(col("ts")) / lit(2.0)).as("z"))
       DBSCANGrid.summaryND(pts, "event_id", Seq("x", "y", "z"),
-        eps = 1.5, minPts = 4)
+        eps = 1.0, minPts = 4)
     },
     "ann_ivf" -> { (s, d) =>
       val e = Tables.embeddings(s, d)
