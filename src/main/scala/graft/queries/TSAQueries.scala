@@ -89,6 +89,19 @@ object TSAQueries {
       TimeSeries.arimaForecastHR(TimeSeries.dailySeries(Tables.events(s, d)), h = 5)
         .orderBy("series", "step")
     },
+    "hw_fit_mul" -> { (s, d) =>
+      TimeSeries.hwFit(TimeSeries.dailySeries(Tables.events(s, d)), 7,
+          HwAlphas, HwBetas, HwGammas, multiplicative = true)
+        .orderBy("series")
+    },
+    "arima_predict_insample" -> { (s, d) =>
+      TimeSeries.arimaPredictInsample(TimeSeries.dailySeries(Tables.events(s, d)))
+        .orderBy("series", "t")
+    },
+    "arima_grid_search" -> { (s, d) =>
+      TimeSeries.arimaGridSearch(TimeSeries.dailySeries(Tables.events(s, d)))
+        .orderBy("series", "ord")
+    },
     "ar_p_forecast" -> { (s, d) =>
       TimeSeries.arForecastP(TimeSeries.dailySeries(Tables.events(s, d)),
           p = 3, h = 5, d = 1)
@@ -153,11 +166,11 @@ object TSAQueries {
        |fs1 AS (SELECT series, dx AS y, l1 AS x1, l2 AS x2 FROM l
        |  WHERE l1 IS NOT NULL AND l2 IS NOT NULL),
        |${cramer3Sql("fs1")},
-       |e AS (SELECT l.series, l.t, l.dx, l.l1,
+       |e AS (SELECT l.series, l.t, l.dx, l.l1, l.l2,
        |    CASE WHEN l.l1 IS NOT NULL AND l.l2 IS NOT NULL
        |         THEN l.dx - (dt.c0 + dt.c1 * l.l1 + dt.c2 * l.l2) END AS e
        |  FROM l JOIN dt ON l.series = dt.series),
-       |e1 AS (SELECT series, t, dx, l1, e,
+       |e1 AS (SELECT series, t, dx, l1, l2, e,
        |    lag(e, 1) OVER (PARTITION BY series ORDER BY t) AS e1 FROM e),
        |fs2 AS (SELECT series, dx AS y, l1 AS x1, e1 AS x2 FROM e1
        |  WHERE l1 IS NOT NULL AND e1 IS NOT NULL),
@@ -414,6 +427,84 @@ object TSAQueries {
          |  FROM hw JOIN s n ON n.series = hw.series AND n.t = hw.t + 1),
          |lastr AS (SELECT *, row_number() OVER (PARTITION BY series, alpha, beta, gamma ORDER BY t DESC) AS rn FROM hw),
          |fin AS (SELECT series, alpha, beta, gamma, sse, l, b, seas FROM lastr WHERE rn = 1),
+         |sel AS (SELECT *, row_number() OVER (PARTITION BY series ORDER BY sse, alpha, beta, gamma) AS rk FROM fin)
+         |SELECT series, round(alpha, 2) AS alpha, round(beta, 2) AS beta,
+         |  round(gamma, 2) AS gamma, round(sse, 4) AS sse
+         |FROM sel WHERE rk = 1 ORDER BY series""".stripMargin,
+    "arima_predict_insample" ->
+      s"""WITH $hrSql
+         |SELECT e1.series, e1.t,
+         |  round(dt2.c0 + dt2.c1 * e1.l1 + dt2.c2 * e1.e1, 4) AS pred
+         |FROM e1 JOIN dt2 ON e1.series = dt2.series
+         |WHERE e1.l1 IS NOT NULL AND e1.e1 IS NOT NULL
+         |ORDER BY e1.series, e1.t""".stripMargin,
+    "arima_grid_search" ->
+      s"""WITH $hrSql,
+         |common AS (SELECT series, dx, l1, l2, e1 FROM e1
+         |  WHERE l1 IS NOT NULL AND l2 IS NOT NULL AND e1 IS NOT NULL),
+         |p010 AS (SELECT series, count(*)::DOUBLE AS n, sum(dx) AS sdx,
+         |    sum(dx*dx) AS s2dx FROM common GROUP BY series),
+         |a010 AS (SELECT series, n, '010' AS ord, 1.0 AS k,
+         |    s2dx - sdx * sdx / n AS sse FROM p010),
+         |p110 AS (SELECT series, count(*)::DOUBLE AS n, sum(l1) AS sx, sum(dx) AS sy,
+         |    sum(l1*l1) AS sxx, sum(l1*dx) AS sxy FROM common GROUP BY series),
+         |f110 AS (SELECT series, n, n * sxx - sx * sx AS det, sx, sy, sxy FROM p110),
+         |g110 AS (SELECT series, n, sx, sy,
+         |    CASE WHEN det = 0 THEN NULL ELSE (n * sxy - sx * sy) / det END AS b
+         |  FROM f110),
+         |h110 AS (SELECT series, b, (sy - b * sx) / n AS a FROM g110),
+         |a110 AS (SELECT c.series, count(*)::DOUBLE AS n, '110' AS ord, 2.0 AS k,
+         |    sum((c.dx - (h.a + h.b * c.l1)) * (c.dx - (h.a + h.b * c.l1))) AS sse
+         |  FROM common c JOIN h110 h ON c.series = h.series GROUP BY c.series),
+         |src210 AS (SELECT series, dx AS y, l1 AS x1, l2 AS x2 FROM common),
+         |${cramer3Sql("src210", "_210")},
+         |a210 AS (SELECT c.series, count(*)::DOUBLE AS n, '210' AS ord, 3.0 AS k,
+         |    sum((c.dx - (d.c0 + d.c1 * c.l1 + d.c2 * c.l2)) *
+         |        (c.dx - (d.c0 + d.c1 * c.l1 + d.c2 * c.l2))) AS sse
+         |  FROM common c JOIN dt_210 d ON c.series = d.series GROUP BY c.series),
+         |src111 AS (SELECT series, dx AS y, l1 AS x1, e1 AS x2 FROM common),
+         |${cramer3Sql("src111", "_111")},
+         |a111 AS (SELECT c.series, count(*)::DOUBLE AS n, '111' AS ord, 3.0 AS k,
+         |    sum((c.dx - (d.c0 + d.c1 * c.l1 + d.c2 * c.e1)) *
+         |        (c.dx - (d.c0 + d.c1 * c.l1 + d.c2 * c.e1))) AS sse
+         |  FROM common c JOIN dt_111 d ON c.series = d.series GROUP BY c.series),
+         |uall AS (SELECT * FROM a010 UNION ALL SELECT * FROM a110
+         |  UNION ALL SELECT * FROM a210 UNION ALL SELECT * FROM a111),
+         |scored AS (SELECT series, ord, n, k, sse,
+         |    -2.0 * ((0.0 - n / 2.0) * (ln(2.0 * pi() * sse / n) + 1.0)) + k * ln(n) AS bic
+         |  FROM uall),
+         |rnk AS (SELECT *, row_number() OVER (PARTITION BY series ORDER BY bic ASC, ord) AS rk
+         |  FROM scored)
+         |SELECT series, ord, round(bic, 4) AS bic,
+         |  (CASE WHEN rk = 1 THEN 1 ELSE 0 END)::BIGINT AS chosen
+         |FROM rnk ORDER BY series, ord""".stripMargin,
+    "hw_fit_mul" ->
+      s"""WITH RECURSIVE s0 AS ($dailySql),
+         |s AS (SELECT series, x, (row_number() OVER (PARTITION BY series ORDER BY day) - 1)::BIGINT AS t FROM s0),
+         |cand AS (SELECT ca.alpha, cb.beta, cg.gamma FROM
+         |  (SELECT alpha::DOUBLE AS alpha FROM (VALUES (0.2),(0.4),(0.6),(0.8)) ta(alpha)) ca,
+         |  (SELECT beta::DOUBLE AS beta FROM (VALUES (0.1),(0.3)) tb(beta)) cb,
+         |  (SELECT gamma::DOUBLE AS gamma FROM (VALUES (0.1),(0.3),(0.5)) tg(gamma)) cg),
+         |ini AS (SELECT series, list(x ORDER BY t) AS xs FROM s WHERE t < 14
+         |  GROUP BY series HAVING count(*) = 14),
+         |i2 AS (SELECT series,
+         |    list_sum(xs[1:7]) / 7.0 AS l0,
+         |    (list_sum(xs[8:14]) / 7.0 - list_sum(xs[1:7]) / 7.0) / 7.0 AS b0,
+         |    list_transform(xs[1:7], v -> v / (list_sum(xs[1:7]) / 7.0)) AS seas
+         |  FROM ini),
+         |hw AS (
+         |  SELECT i2.series, cand.alpha, cand.beta, cand.gamma, 6::BIGINT AS t,
+         |    l0 AS l, b0 AS b, seas, 0.0::DOUBLE AS sse FROM i2, cand
+         |  UNION ALL
+         |  SELECT hw.series, hw.alpha, hw.beta, hw.gamma, n.t,
+         |    hw.alpha * (n.x / hw.seas[1]) + (1.0 - hw.alpha) * (hw.l + hw.b) AS l,
+         |    hw.beta * ((hw.alpha * (n.x / hw.seas[1]) + (1.0 - hw.alpha) * (hw.l + hw.b)) - hw.l) + (1.0 - hw.beta) * hw.b AS b,
+         |    list_append(hw.seas[2:],
+         |      hw.gamma * (n.x / (hw.alpha * (n.x / hw.seas[1]) + (1.0 - hw.alpha) * (hw.l + hw.b))) + (1.0 - hw.gamma) * hw.seas[1]) AS seas,
+         |    hw.sse + (n.x - ((hw.l + hw.b) * hw.seas[1])) * (n.x - ((hw.l + hw.b) * hw.seas[1])) AS sse
+         |  FROM hw JOIN s n ON n.series = hw.series AND n.t = hw.t + 1),
+         |lastr AS (SELECT *, row_number() OVER (PARTITION BY series, alpha, beta, gamma ORDER BY t DESC) AS rn FROM hw),
+         |fin AS (SELECT series, alpha, beta, gamma, sse FROM lastr WHERE rn = 1),
          |sel AS (SELECT *, row_number() OVER (PARTITION BY series ORDER BY sse, alpha, beta, gamma) AS rk FROM fin)
          |SELECT series, round(alpha, 2) AS alpha, round(beta, 2) AS beta,
          |  round(gamma, 2) AS gamma, round(sse, 4) AS sse

@@ -189,21 +189,29 @@ object TimeSeries {
     * recursion). Arithmetic mirrors [[holtWintersSeasonal]] op-for-op so
     * the SQL oracle replays it bit-identically. */
   private def hwRunAdd(xs: IndexedSeq[Double], m: Int, alpha: Double,
-                       beta: Double, gamma: Double)
+                       beta: Double, gamma: Double,
+                       multiplicative: Boolean = false)
       : (Double, Double, Double, IndexedSeq[Double]) = {
     var l = xs.take(m).sum / m.toDouble
     var b = (xs.slice(m, 2 * m).sum / m.toDouble - l) / m.toDouble
-    val seas = scala.collection.mutable.Queue(xs.take(m).map(x => x - l): _*)
+    val seas = scala.collection.mutable.Queue(
+      xs.take(m).map(x => if (multiplicative) x / l else x - l): _*)
     var sse = 0.0
     var t = m
     while (t < xs.length) {
       val sOld = seas.dequeue()
-      val pred = l + b + sOld
+      val pred = if (multiplicative) (l + b) * sOld else l + b + sOld
       sse = sse + (xs(t) - pred) * (xs(t) - pred)
       val lPrev = l
-      l = alpha * (xs(t) - sOld) + (1.0 - alpha) * (l + b)
-      b = beta * (l - lPrev) + (1.0 - beta) * b
-      seas.enqueue(gamma * (xs(t) - l) + (1.0 - gamma) * sOld)
+      if (multiplicative) {
+        l = alpha * (xs(t) / sOld) + (1.0 - alpha) * (l + b)
+        b = beta * (l - lPrev) + (1.0 - beta) * b
+        seas.enqueue(gamma * (xs(t) / l) + (1.0 - gamma) * sOld)
+      } else {
+        l = alpha * (xs(t) - sOld) + (1.0 - alpha) * (l + b)
+        b = beta * (l - lPrev) + (1.0 - beta) * b
+        seas.enqueue(gamma * (xs(t) - l) + (1.0 - gamma) * sOld)
+      }
       t += 1
     }
     (sse, l, b, seas.toIndexedSeq)
@@ -222,7 +230,8 @@ object TimeSeries {
     * ascending), mirroring the oracle's ORDER BY sse, alpha, beta, gamma.
     * Output: (series, alpha, beta, gamma, sse). */
   def hwFit(series: DataFrame, period: Int, alphas: Seq[Double],
-            betas: Seq[Double], gammas: Seq[Double]): DataFrame = {
+            betas: Seq[Double], gammas: Seq[Double],
+            multiplicative: Boolean = false): DataFrame = {
     import series.sparkSession.implicits._
     val m = period
     val rows = series.select(col("series").cast("string"), col("t").cast("long"),
@@ -234,7 +243,7 @@ object TimeSeries {
         var bestA = 0.0; var bestB = 0.0; var bestG = 0.0
         var bestSse = Double.PositiveInfinity
         for (a <- alphas; bt <- betas; g <- gammas) {
-          val (sse, _, _, _) = hwRunAdd(xs, m, a, bt, g)
+          val (sse, _, _, _) = hwRunAdd(xs, m, a, bt, g, multiplicative)
           if (sse < bestSse) { bestSse = sse; bestA = a; bestB = bt; bestG = g }
         }
         Iterator((key, bestA, bestB, bestG, bestSse))
@@ -595,7 +604,8 @@ object TimeSeries {
         col("dx") - (col("c0") + col("c1") * col("l1") + col("c2") * col("l2"))))
     // step 2: dx_t ~ intercept + dx_{t−1} + e_{t−1}
     val e1 = e.withColumn("e1", lag(col("e"), 1).over(w))
-      .select(col("series"), col("t"), col("dx"), col("l1"), col("e"), col("e1"))
+      .select(col("series"), col("t"), col("dx"), col("l1"), col("l2"),
+        col("e"), col("e1"))
     val f2 = e1.filter(col("l1").isNotNull && col("e1").isNotNull)
     (e1, cramer3(f2, col("dx"), col("l1"), col("e1")))
   }
@@ -626,6 +636,71 @@ object TimeSeries {
         round(col("loglik"), 4).as("loglik"),
         round(lit(-2.0) * col("loglik") + lit(6.0), 4).as("aic"),
         round(lit(-2.0) * col("loglik") + lit(3.0) * log(col("n")), 4).as("bic"))
+  }
+
+  /** Per-row in-sample predictions — the reference's predict_in_sample
+    * (arima.pyx:244) on the HR(1,1,1) fit: ŷ-row output (series, t, pred)
+    * wherever the one-step prediction is defined. */
+  def arimaPredictInsample(series: DataFrame): DataFrame = {
+    val (rows, cf) = arimaHRStage(series)
+    rows.filter(col("l1").isNotNull && col("e1").isNotNull)
+      .join(cf, Seq("series"))
+      .select(col("series"), col("t"),
+        round(col("c0") + col("c1") * col("l1") + col("c2") * col("e1"), 4).as("pred"))
+  }
+
+  /** ARIMA order selection — the reference's grid_search (arima.pyx:611,
+    * method="bic"): fit a candidate grid per series, score each by BIC,
+    * pick the argmin. Candidates (all d=1, CLS on the COMMON support —
+    * the rows where every candidate's regressors are defined — so the
+    * likelihoods are comparable): (0,1,0) mean model, (1,1,0), (2,1,0),
+    * and (1,1,1) via the HR residual regressor. Each candidate is one
+    * grouped-aggregate fit + one residual aggregate; the whole grid over
+    * 10⁶ series stays a handful of jobs, never a per-series loop.
+    * BIC = −2·ll + k·ln(n) at CLS loglik and complexity k = d+p+q
+    * (arima.pyx:822-826). Output: (series, ord, bic, chosen). */
+  def arimaGridSearch(series: DataFrame): DataFrame = {
+    val (rows, _) = arimaHRStage(series)
+    val common = rows
+      .filter(col("l1").isNotNull && col("l2").isNotNull && col("e1").isNotNull)
+      .select(col("series"), col("dx"), col("l1"), col("l2"), col("e1"))
+    // (0,1,0): dx_t = μ; SSE via the moment identity
+    val a010 = common.groupBy(col("series")).agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("dx")).as("sdx"), sum(col("dx") * col("dx")).as("s2dx"))
+      .select(col("series"), col("n"), lit("010").as("ord"), lit(1.0).as("k"),
+        (col("s2dx") - col("sdx") * col("sdx") / col("n")).as("sse"))
+    // (1,1,0): dx_t ~ a + b·dx_{t−1}, 2-unknown OLS (det-guarded)
+    val f110 = common.groupBy(col("series")).agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("l1")).as("sx"), sum(col("dx")).as("sy"),
+        sum(col("l1") * col("l1")).as("sxx"), sum(col("l1") * col("dx")).as("sxy"))
+      .withColumn("det", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("b", when(col("det") === 0.0, lit(null).cast("double"))
+        .otherwise((col("n") * col("sxy") - col("sx") * col("sy")) / col("det")))
+      .withColumn("a", (col("sy") - col("b") * col("sx")) / col("n"))
+    val m110 = common.join(f110.select(col("series"), col("a"), col("b")), Seq("series"))
+      .withColumn("r", col("dx") - (col("a") + col("b") * col("l1")))
+      .groupBy(col("series")).agg(count(lit(1)).cast("double").as("n"),
+        sum(col("r") * col("r")).as("sse"))
+      .select(col("series"), col("n"), lit("110").as("ord"), lit(2.0).as("k"), col("sse"))
+    // (2,1,0) and (1,1,1): 3-unknown Cramer fits + residual pass
+    def m3(x2: String, ordName: String) = {
+      val cf = cramer3(common, col("dx"), col("l1"), col(x2))
+      common.join(cf, Seq("series"))
+        .withColumn("r", col("dx") - (col("c0") + col("c1") * col("l1") + col("c2") * col(x2)))
+        .groupBy(col("series")).agg(count(lit(1)).cast("double").as("n"),
+          sum(col("r") * col("r")).as("sse"))
+        .select(col("series"), col("n"), lit(ordName).as("ord"), lit(3.0).as("k"), col("sse"))
+    }
+    val all = a010.unionByName(m110).unionByName(m3("l2", "210")).unionByName(m3("e1", "111"))
+    val ll = (lit(0.0) - col("n") / lit(2.0)) *
+      (log(lit(2.0) * lit(math.Pi) * col("sse") / col("n")) + lit(1.0))
+    val scored = all.withColumn("bic", lit(-2.0) * ll + col("k") * log(col("n")))
+    val w = Window.partitionBy(col("series")).orderBy(col("bic").asc_nulls_last, col("ord"))
+    scored.withColumn("rk", row_number().over(w))
+      .select(col("series"), col("ord"), round(col("bic"), 4).as("bic"),
+        when(col("rk") === 1, 1L).otherwise(0L).as("chosen"))
   }
 
   /** h-step ARIMA(1,1,1) forecast — the reference's forecast on a d=1

@@ -127,6 +127,80 @@ class TsaDepthSpec extends AnyFunSuite {
     }
   }
 
+  test("arima_grid_search: one chosen order per series, at the minimal BIC") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4)
+    // series A: drifting random walk (dx ~ iid) — low orders should do fine;
+    // series B: AR(1) structure in the differences
+    val a = { var x = 0.0; (0 until 90).map { t => x += 1.0 + rnd.nextGaussian(); ("a", t.toLong, x) } }
+    val b = {
+      var x = 0.0; var dx = 0.0
+      (0 until 90).map { t => dx = 0.7 * dx + rnd.nextGaussian(); x += 2.0 + dx; ("b", t.toLong, x) }
+    }
+    val df = (a ++ b).toDF("series", "t", "x")
+    val r = graft.tsa.TimeSeries.arimaGridSearch(df).collect()
+    val bySeries = r.groupBy(_.getString(0))
+    assert(bySeries.keySet == Set("a", "b"))
+    bySeries.foreach { case (s, rows) =>
+      assert(rows.length == 4, s"$s: ${rows.length} candidates")
+      assert(rows.map(_.getString(1)).sorted.toSeq == Seq("010", "110", "210", "111").sorted)
+      val chosen = rows.filter(_.getLong(3) == 1L)
+      assert(chosen.length == 1, s"$s: ${chosen.length} chosen")
+      assert(chosen.head.getDouble(2) == rows.map(_.getDouble(2)).min, s"$s: chosen not argmin")
+    }
+    // the AR(1)-in-differences series must prefer an autoregressive order
+    val chosenB = bySeries("b").filter(_.getLong(3) == 1L).head.getString(1)
+    assert(chosenB != "010", s"b chose $chosenB")
+  }
+
+  test("arima_predict_insample is consistent with arima_insample's SSE") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(8)
+    val xs = scala.collection.mutable.ArrayBuffer(5.0)
+    (1 until 70).foreach(t => xs += xs(t - 1) + 0.8 + 0.6 * rnd.nextGaussian())
+    val df = xs.toSeq.zipWithIndex.map { case (x, t) => ("s", t.toLong, x) }
+      .toDF("series", "t", "x")
+    val preds = graft.tsa.TimeSeries.arimaPredictInsample(df)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(preds.size == xs.length - 4)
+    // recompute SSE from the rounded per-row predictions vs the dx truth
+    val dx = (1 until xs.length).map(t => t.toLong -> (xs(t) - xs(t - 1))).toMap
+    val sseFromRows = preds.map { case (t, p) => val r = dx(t) - p; r * r }.sum
+    val sse = graft.tsa.TimeSeries.arimaInsample(df).head().getDouble(2)
+    assert(abs(sseFromRows - sse) < 0.05, s"$sseFromRows vs $sse")
+  }
+
+  test("multiplicative hw_fit picks the lattice argmin of the ratio-channel SSE") {
+    import spark.implicits._
+    val season = Array(1.3, 0.8, 1.1, 1.0, 0.7, 1.2, 0.9)
+    val rnd = new scala.util.Random(2)
+    val xs = (0 until 42).map(t => (40.0 + 0.3 * t) * season(t % 7) + 0.2 * rnd.nextGaussian())
+    val df = xs.zipWithIndex.map { case (x, t) => ("s", t.toLong, x) }.toDF("series", "t", "x")
+    val r = graft.tsa.TimeSeries.hwFit(df, 7, alphas, betas, gammas,
+      multiplicative = true).head()
+    // independent mul-channel recursion for the brute-force check
+    def sseMul(a: Double, b: Double, g: Double): Double = {
+      var l = xs.take(7).sum / 7
+      var tr = (xs.slice(7, 14).sum / 7 - l) / 7
+      val seas = scala.collection.mutable.ArrayBuffer(xs.take(7).map(_ / l): _*)
+      var sse = 0.0
+      for (t <- 7 until xs.length) {
+        val s0 = seas.remove(0)
+        val err = xs(t) - (l + tr) * s0
+        sse += err * err
+        val lp = l
+        l = a * (xs(t) / s0) + (1 - a) * (l + tr)
+        tr = b * (l - lp) + (1 - b) * tr
+        seas += g * (xs(t) / l) + (1 - g) * s0
+      }
+      sse
+    }
+    val best = (for (a <- alphas; b <- betas; g <- gammas)
+      yield ((a, b, g), sseMul(a, b, g))).minBy(_._2)
+    assert((r.getDouble(1), r.getDouble(2), r.getDouble(3)) == best._1)
+    assert(abs(r.getDouble(4) - best._2) < 1e-3)
+  }
+
   test("matrix Kalman reproduces the unrolled CV filter at F=[[1,1],[0,1]]") {
     import spark.implicits._
     val rnd = new scala.util.Random(21)
