@@ -76,8 +76,22 @@ object TextQueries {
     },
     "fingerprint" -> { (s, d) =>
       TextOps.fingerprints(Tables.documents(s, d), "text", "doc_id").orderBy("doc_id")
+    },
+    "repetition_score" -> { (s, d) =>
+      TextOps.repetitionFeatures(Tables.documents(s, d), "text", "doc_id")
+        .orderBy("doc_id")
+    },
+    "gopher_filters" -> { (s, d) =>
+      TextOps.gopherFilters(Tables.documents(s, d), "text", "doc_id")
+    },
+    "mix_weights" -> { (s, d) =>
+      TextOps.mixWeights(Tables.documents(s, d), "lang", MixTargets).orderBy("lang")
     }
   )
+
+  /** Literal language mix for the mix_weights query (shares sum to 1). */
+  private val MixTargets = Seq(
+    "de" -> 0.2, "en" -> 0.4, "es" -> 0.15, "fr" -> 0.15, "zh" -> 0.1)
 
   private val normToks =
     """string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')"""
@@ -263,6 +277,54 @@ object TextQueries {
         |  len(list_distinct(string_split(text, ' ')))::BIGINT AS uniq_tokens,
         |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))::BIGINT AS bpe_pieces
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "repetition_score" ->
+      """WITH n AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s2 AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+        |    THEN list_transform(range(0, len(toks)-1), i -> toks[i+1] || '_' || toks[i+2])
+        |    ELSE [] END) AS sh FROM n),
+        |c2 AS (SELECT doc_id, sh, count(*) AS c FROM s2 GROUP BY doc_id, sh),
+        |t2 AS (SELECT doc_id, max(c)::DOUBLE / sum(c)::DOUBLE AS v FROM c2 GROUP BY doc_id),
+        |s3 AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
+        |    THEN list_transform(range(0, len(toks)-2), i -> toks[i+1] || '_' || toks[i+2] || '_' || toks[i+3])
+        |    ELSE [] END) AS sh FROM n),
+        |c3 AS (SELECT doc_id, sh, count(*) AS c FROM s3 GROUP BY doc_id, sh),
+        |d3 AS (SELECT doc_id, sum(CASE WHEN c > 1 THEN c ELSE 0 END)::DOUBLE / sum(c)::DOUBLE AS v
+        |  FROM c3 GROUP BY doc_id)
+        |SELECT d.doc_id, round(coalesce(t2.v, 0.0), 4) AS top2_frac,
+        |  round(coalesce(d3.v, 0.0), 4) AS dup3_frac
+        |FROM documents d LEFT JOIN t2 ON d.doc_id = t2.doc_id
+        |LEFT JOIN d3 ON d.doc_id = d3.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "gopher_filters" ->
+      """WITH n AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+        |f AS (SELECT
+        |    len(toks)::DOUBLE AS nw,
+        |    (length(text)::DOUBLE - (len(toks)::DOUBLE - 1.0)) / len(toks)::DOUBLE AS mwl,
+        |    len(list_filter(toks, t -> regexp_matches(t, '^[0-9]+$')))::DOUBLE / len(toks)::DOUBLE AS numfrac,
+        |    len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE AS uniqr
+        |  FROM n),
+        |r AS (SELECT (nw >= 10.0 AND nw <= 1000.0) AS r_wc,
+        |    (mwl >= 2.0 AND mwl <= 12.0) AS r_mwl,
+        |    (numfrac <= 0.3) AS r_num, (uniqr >= 0.2) AS r_uniq FROM f)
+        |SELECT count(*)::BIGINT AS n_docs,
+        |  sum(CASE WHEN r_wc THEN 0 ELSE 1 END)::BIGINT AS fail_word_count,
+        |  sum(CASE WHEN r_mwl THEN 0 ELSE 1 END)::BIGINT AS fail_mean_word_len,
+        |  sum(CASE WHEN r_num THEN 0 ELSE 1 END)::BIGINT AS fail_numeric_frac,
+        |  sum(CASE WHEN r_uniq THEN 0 ELSE 1 END)::BIGINT AS fail_uniq_ratio,
+        |  sum(CASE WHEN r_wc AND r_mwl AND r_num AND r_uniq THEN 1 ELSE 0 END)::BIGINT AS n_keep
+        |FROM r""".stripMargin,
+    "mix_weights" ->
+      """WITH c0 AS (SELECT lang, count(*)::DOUBLE AS n FROM documents GROUP BY lang),
+        |c AS (SELECT lang, n,
+        |    (CASE lang WHEN 'de' THEN 0.2 WHEN 'en' THEN 0.4 WHEN 'es' THEN 0.15
+        |               WHEN 'fr' THEN 0.15 WHEN 'zh' THEN 0.1 END)::DOUBLE AS target
+        |  FROM c0),
+        |cc AS (SELECT * FROM c WHERE target IS NOT NULL),
+        |m AS (SELECT min(n / target) AS m FROM cc)
+        |SELECT lang, n::BIGINT AS n_docs, target AS target_share,
+        |  floor(target * m)::BIGINT AS take_n,
+        |  round(floor(target * m) / n, 6) AS rate
+        |FROM cc, m ORDER BY lang""".stripMargin,
     "fingerprint" ->
       s"""WITH n AS (SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS nt FROM documents),
          |t AS (SELECT doc_id, nt, string_split(nt, ' ') AS toks FROM n)

@@ -105,6 +105,84 @@ object TextOps {
       size(regexp_extract_all(t, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long").as("bpe_pieces"))
   }
 
+  /** Gopher-style repetition metrics (Rae et al. 2021, "Scaling Language
+    * Models" §A1.1 repeated-n-gram filters — public filter family used by
+    * large-corpus pipelines): per document, the mass fraction of the
+    * single most frequent 2-gram and the mass fraction of 3-grams that
+    * occur more than once. Two (doc, shingle) map-side-combined
+    * aggregates, shuffle key = doc id — linear at corpus scale. Docs too
+    * short to have an n-gram report 0.0. */
+  def repetitionFeatures(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    def frac(k: Int, top: Boolean): DataFrame = {
+      val c = explodedShingles(df, col(idCol), col(textCol), k)
+        .groupBy(col("doc"), col("sh")).agg(count(lit(1)).as("c"))
+      if (top)
+        c.groupBy(col("doc")).agg(
+          (max(col("c")).cast("double") / sum(col("c")).cast("double")).as("v"))
+      else
+        c.groupBy(col("doc")).agg(
+          (sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).cast("double") /
+            sum(col("c")).cast("double")).as("v"))
+    }
+    df.select(col(idCol).cast("long").as("doc_id"))
+      .join(frac(2, top = true).select(col("doc").as("doc_id"), col("v").as("t2")),
+        Seq("doc_id"), "left")
+      .join(frac(3, top = false).select(col("doc").as("doc_id"), col("v").as("d3")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        r4(coalesce(col("t2"), lit(0.0))).as("top2_frac"),
+        r4(coalesce(col("d3"), lit(0.0))).as("dup3_frac"))
+  }
+
+  /** Gopher-style heuristic keep/drop filters (Rae et al. 2021 §A1.1),
+    * thresholds adapted to the synthetic corpus: word count ∈ [10, 1000],
+    * mean word length ∈ [2, 12], numeric-token fraction ≤ 0.3,
+    * unique-token ratio ≥ 0.2. Pure codegen row expressions + ONE
+    * aggregate — emits per-rule failure counts and the surviving-doc
+    * count, the shape a pipeline dashboard reads. */
+  def gopherFilters(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nw = size(toks).cast("double")
+    val mwl = (length(col(textCol)).cast("double") - (nw - lit(1.0))) / nw
+    val numFrac = size(filter(toks, t => t.rlike("^[0-9]+$"))).cast("double") / nw
+    val uniqR = size(array_distinct(toks)).cast("double") / nw
+    df.select(
+        (nw >= 10.0 && nw <= 1000.0).as("r_wc"),
+        (mwl >= 2.0 && mwl <= 12.0).as("r_mwl"),
+        (numFrac <= 0.3).as("r_num"),
+        (uniqR >= 0.2).as("r_uniq"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("r_wc"), 0L).otherwise(1L)).as("fail_word_count"),
+        sum(when(col("r_mwl"), 0L).otherwise(1L)).as("fail_mean_word_len"),
+        sum(when(col("r_num"), 0L).otherwise(1L)).as("fail_numeric_frac"),
+        sum(when(col("r_uniq"), 0L).otherwise(1L)).as("fail_uniq_ratio"),
+        sum(when(col("r_wc") && col("r_mwl") && col("r_num") && col("r_uniq"), 1L)
+          .otherwise(0L)).as("n_keep"))
+  }
+
+  /** Domain-mixing weights: given literal target shares T_k per key
+    * (language/source), the retention-maximal feasible corpus size is
+    * M = min_k n_k / T_k; each domain then contributes take_k = ⌊T_k·M⌋
+    * at sampling rate take_k / n_k (compose with stratifiedSample's hash
+    * threshold to materialize the mix). One groupBy + a broadcast scalar
+    * — the per-domain quota computation behind every data-mixing recipe. */
+  def mixWeights(df: DataFrame, keyCol: String,
+                 targetShares: Seq[(String, Double)]): DataFrame = {
+    val caseT = targetShares.foldRight(lit(null).cast("double")) {
+      case ((k, v), acc) => when(col(keyCol) === k, lit(v)).otherwise(acc)
+    }
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).cast("double").as("n"))
+      .withColumn("target", caseT).filter(col("target").isNotNull)
+    val m = counts.agg(min(col("n") / col("target")).as("m"))
+    counts.crossJoin(broadcast(m))
+      .select(col(keyCol),
+        col("n").cast("long").as("n_docs"),
+        col("target").as("target_share"),
+        floor(col("target") * col("m")).cast("long").as("take_n"),
+        Num.r6(floor(col("target") * col("m")) / col("n")).as("rate"))
+  }
+
   /** Document fingerprints: full-content md5 of normalized text + the
     * minimum 60-bit hash over word trigram shingles (a 1-perm minhash —
     * robust to local edits; rolling-hash flavored). */
