@@ -41,6 +41,14 @@ object KMeansGraft {
       when(d === best, lit(i)).otherwise(acc)
     }
   }
+
+  /** Squared distance to the NEAREST fixed centroid — the per-row term of
+    * KMeans.score()/inertia_. Same codegen'd zero-shuffle shape as
+    * [[assign]]; summing it per assigned cluster is the scoring pass. */
+  def minSqDist(features: Seq[Column], centroids: Seq[Seq[Double]]): Column =
+    least(centroids.map { c =>
+      features.zip(c).map { case (f, ci) => (f - ci) * (f - ci) }.reduce(_ + _)
+    }: _*)
 }
 
 /** DBSCAN. The exact 1-D case is fully expressible with range windows

@@ -48,6 +48,19 @@ object TabularQueries {
           round(avg(col("l_extendedprice")) - slope * avg(col("l_quantity")), 2).as("intercept"))
         .orderBy("l_returnflag")
     },
+    "kmeans_inertia" -> { (s, d) =>
+      // KMeans.score()/inertia_ against the broadcast literal model: one
+      // codegen scan, per-cluster summed min squared distance
+      val li = Tables.lineitem(s, d)
+      val feats = Seq(col("l_quantity"), col("l_discount"), col("l_tax"))
+      li.select(KMeansGraft.assign(feats, Centroids).as("cluster"),
+          KMeansGraft.minSqDist(feats, Centroids).as("d2"))
+        .groupBy("cluster")
+        .agg(count(lit(1)).cast("long").as("n"),
+          round(sum(col("d2")), 0).cast("long").as("inertia"),
+          r4(sum(col("d2")) / count(lit(1)).cast("double")).as("mean_sqdist"))
+        .orderBy("cluster")
+    },
     "kmeans_assign" -> { (s, d) =>
       val li = Tables.lineitem(s, d)
       val cl = KMeansGraft.assign(
@@ -202,6 +215,17 @@ object TabularQueries {
         |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
         |  round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "kmeans_inertia" -> {
+      def dist(i: Int) = {
+        val c = Centroids(i)
+        s"((l_quantity-(${c(0)}))*(l_quantity-(${c(0)})) + (l_discount-(${c(1)}))*(l_discount-(${c(1)})) + (l_tax-(${c(2)}))*(l_tax-(${c(2)})))"
+      }
+      val minD = s"least(${dist(0)}, ${dist(1)}, ${dist(2)})"
+      s"""SELECT $centroidSql AS cluster, count(*)::BIGINT AS n,
+         |  round(sum($minD), 0)::BIGINT AS inertia,
+         |  round(sum($minD) / count(*)::DOUBLE, 4) AS mean_sqdist
+         |FROM lineitem GROUP BY 1 ORDER BY cluster""".stripMargin
+    },
     "kmeans_assign" ->
       s"""SELECT $centroidSql AS cluster, count(*)::BIGINT AS n,
          |  round(avg(l_quantity), 4) AS avg_quantity, round(avg(l_extendedprice), 2) AS avg_price

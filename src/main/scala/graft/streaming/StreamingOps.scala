@@ -117,6 +117,26 @@ object StreamingOps {
       }.toDF("content_hash", "doc_id")
   }
 
+  /** Streaming quality gate — the ingest-time twin of
+    * text.TextOps.gopherFilters: score each arriving document against the
+    * keep/drop rules (pure codegen row expressions, no state at all) and
+    * emit only the keepers with their rule bits. The stateless filter is
+    * the 100 TB/day shape: every micro-batch is a map, nothing shuffles. */
+  def streamingQualityGate(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nw = size(toks).cast("double")
+    val mwl = (length(col("text")).cast("double") - (nw - lit(1.0))) / nw
+    val numFrac = size(filter(toks, t => t.rlike("^[0-9]+$"))).cast("double") / nw
+    val uniqR = size(array_distinct(toks)).cast("double") / nw
+    docs.select(col("doc_id").cast("long").as("doc"),
+        (nw >= 10.0 && nw <= 1000.0).as("r_wc"),
+        (mwl >= 2.0 && mwl <= 12.0).as("r_mwl"),
+        (numFrac <= 0.3).as("r_num"),
+        (uniqR >= 0.2).as("r_uniq"))
+      .filter(col("r_wc") && col("r_mwl") && col("r_num") && col("r_uniq"))
+      .select(col("doc"))
+  }
+
   /** Streaming decontamination: a document stream checked against a STATIC
     * benchmark shingle set — the stream-static join shape (the static side
     * broadcasts; no stream-state needed, each micro-batch is a pure map +

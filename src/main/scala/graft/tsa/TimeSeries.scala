@@ -661,9 +661,13 @@ object TimeSeries {
     * (arima.pyx:822-826). Output: (series, ord, bic, chosen). */
   def arimaGridSearch(series: DataFrame): DataFrame = {
     val (rows, _) = arimaHRStage(series)
+    // cached: every candidate fit + residual pass re-reads this frame (8
+    // scans) — without the cache each would replay the full HR window
+    // chain over the corpus
     val common = rows
       .filter(col("l1").isNotNull && col("l2").isNotNull && col("e1").isNotNull)
       .select(col("series"), col("dx"), col("l1"), col("l2"), col("e1"))
+      .cache()
     // (0,1,0): dx_t = μ; SSE via the moment identity
     val a010 = common.groupBy(col("series")).agg(
         count(lit(1)).cast("double").as("n"),

@@ -112,4 +112,24 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows.map(_.getLong(1)).toSet == Set(1L, 3L))
     } finally q.stop()
   }
+
+  test("streaming quality gate keeps only rule-passing documents") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val docs = in.toDF().toDF("doc_id", "text")
+    val q = StreamingOps.streamingQualityGate(docs)
+      .writeStream.format("memory").queryName("qgate_out")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (1L, (1 to 20).map(i => s"tok$i").mkString(" ")),       // keeper
+        (2L, "too short"),                                      // word count
+        (3L, ((1 to 12).map(_.toString) :+ "w").mkString(" ")), // numeric
+        (4L, Seq.fill(25)("same").mkString(" ")))               // uniq ratio
+      q.processAllAvailable()
+      val kept = spark.table("qgate_out").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1L), kept.toString)
+    } finally q.stop()
+  }
 }
