@@ -58,6 +58,24 @@ object PCAGraft {
     df.select((col(idCol).cast("long").as("id") +: outs): _*)
   }
 
+  /** PCA.transform with whiten=True (reference decomposition/pca.pyx:235:
+    * divide each score by its component's standard deviation so every
+    * output dimension has unit variance and zero cross-correlation). Same
+    * pure-map shape as [[transformWide]] with the 1/√λ_c factor folded
+    * into the projection weights at plan-build time. */
+  def transformWhitened(df: DataFrame, idCol: String, vecCol: String,
+                        r: Result, k: Int, means: Array[Double]): DataFrame = {
+    val dim = means.length
+    val v = col(vecCol).cast("array<double>")
+    val outs = (0 until k).map { c =>
+      val s = 1.0 / math.sqrt(r.explainedVar(c))
+      val w = Array.tabulate(dim)(i => r.components(i, c) * s)
+      val base = (0 until dim).map(i => means(i) * w(i)).sum
+      (graft.core.VectorOps.dotFixed(v, lit(w), dim) - base).as(s"pc$c")
+    }
+    df.select((col(idCol).cast("long").as("id") +: outs): _*)
+  }
+
   /** PCA inverse_transform quality (reference decomposition/pca.pyx
     * inverse_transform): per-row reconstruction MSE from the top-k
     * components. Uses the orthogonality identity ‖x − x̂‖² = ‖x − μ‖² −

@@ -88,6 +88,26 @@ object VectorQueries {
           col("s.var_score").as("var_score"))
         .orderBy("component")
     },
+    "pca_whiten" -> { (s, d) =>
+      // whiten=True transform (pca.pyx:235): scores divided by per-component
+      // stddev — every output dimension lands at unit variance (the spec
+      // invariant); eigensolver output → rows-only check
+      val e = Tables.embeddings(s, d)
+      val r = PCAGraft.fitWide(e, "embedding")
+      val mu = PCAGraft.columnMeans(e, "embedding", 64)
+      val k = 4
+      val scores = PCAGraft.transformWhitened(e, "vec_id", "embedding", r, k, mu)
+      val aggs = (0 until k).flatMap(c =>
+        Seq(avg(col(s"pc$c")).as(s"_m$c"), var_samp(col(s"pc$c")).as(s"_v$c")))
+      scores.agg(aggs.head, aggs.tail: _*)
+        .select(explode(array((0 until k).map(c =>
+          struct(lit(c).as("component"),
+            round(col(s"_m$c"), 4).as("mean_score"),
+            round(col(s"_v$c"), 4).as("var_score"))): _*)).as("s"))
+        .select(col("s.component").as("component"), col("s.mean_score").as("mean_score"),
+          col("s.var_score").as("var_score"))
+        .orderBy("component")
+    },
     "pca_inverse" -> { (s, d) =>
       // inverse_transform quality: reconstruction MSE as k grows
       import s.implicits._

@@ -329,6 +329,18 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("whitened PCA transform: every component has unit variance") {
+    import graft.decomposition.PCAGraft
+    val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val r = PCAGraft.fitWide(e, "embedding")
+    val mu = PCAGraft.columnMeans(e, "embedding", 64)
+    val scores = PCAGraft.transformWhitened(e, "vec_id", "embedding", r, 3, mu)
+    val row = scores.agg(
+      var_samp(col("pc0")), var_samp(col("pc1")), var_samp(col("pc2"))).head()
+    for (c <- 0 until 3)
+      assert(abs(row.getDouble(c) - 1.0) < 1e-6, s"pc$c var ${row.getDouble(c)}")
+  }
+
   test("squared-hinge QN SVC separates a planted margin with high accuracy") {
     import spark.implicits._
     val rnd = new scala.util.Random(3)

@@ -171,4 +171,38 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("graft_dot"), p.take(3000))
     assert(!p.contains("lambdafunction"), p.take(3000))
   }
+
+  test("softmax predict and gopher filters are scan + single-agg plans") {
+    val li = Tables.lineitem(spark, sf)
+    val (pred, pMax) = graft.linear.Softmax.predict(
+      Seq(col("l_quantity"), col("l_discount"), col("l_tax")),
+      Seq("A", "N", "R"), Seq(0.0, 0.0, 0.0),
+      Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0), Seq(0.0, 0.0, 1.0)))
+    val p1 = planOf(li.select(pred.as("c"), pMax.as("p"))
+      .groupBy("c").agg(count(lit(1)), avg(col("p"))))
+    // one exchange (the groupBy) and nothing else — scoring itself is a map
+    assert(p1.split("Exchange").length - 1 == 1, p1.take(3000))
+    val docs = Tables.documents(spark, sf)
+    val p2 = planOf(graft.text.TextOps.gopherFilters(docs, "text", "doc_id"))
+    // global aggregate: partial agg before the single exchange
+    assert(p2.split("Exchange").length - 1 == 1, p2.take(3000))
+    assert(p2.contains("partial_count") || p2.contains("partial"), p2.take(3000))
+  }
+
+  test("kmeans inertia scoring shuffles only for the final group aggregate") {
+    val li = Tables.lineitem(spark, sf)
+    val feats = Seq(col("l_quantity"), col("l_discount"), col("l_tax"))
+    val p = planOf(li.select(
+        graft.cluster.KMeansGraft.assign(feats, graft.queries.TabularQueries.Centroids).as("cluster"),
+        graft.cluster.KMeansGraft.minSqDist(feats, graft.queries.TabularQueries.Centroids).as("d2"))
+      .groupBy("cluster").agg(sum(col("d2"))))
+    assert(p.split("Exchange").length - 1 == 1, p.take(3000))
+  }
+
+  test("repetition metrics shuffle on the doc key only (no joins beyond doc id)") {
+    val docs = Tables.documents(spark, sf)
+    val p = planOf(graft.text.TextOps.repetitionFeatures(docs, "text", "doc_id"))
+    // no cartesian/nested-loop anywhere; shuffles keyed by doc are fine
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"), p.take(3000))
+  }
 }
