@@ -102,6 +102,10 @@ object TSAQueries {
       TimeSeries.arimaGridSearch(TimeSeries.dailySeries(Tables.events(s, d)))
         .orderBy("series", "ord")
     },
+    "arima_loglike" -> { (s, d) =>
+      TimeSeries.arimaLoglike(TimeSeries.dailySeries(Tables.events(s, d)))
+        .orderBy("series")
+    },
     "ar_p_forecast" -> { (s, d) =>
       TimeSeries.arForecastP(TimeSeries.dailySeries(Tables.events(s, d)),
           p = 3, h = 5, d = 1)
@@ -478,6 +482,35 @@ object TSAQueries {
          |SELECT series, ord, round(bic, 4) AS bic,
          |  (CASE WHEN rk = 1 THEN 1 ELSE 0 END)::BIGINT AS chosen
          |FROM rnk ORDER BY series, ord""".stripMargin,
+    "arima_loglike" ->
+      s"""WITH RECURSIVE $hrSql,
+         |mu0 AS (SELECT series, avg(dx) AS mu FROM d1 GROUP BY series),
+         |n0 AS (SELECT series, count(*)::DOUBLE AS n FROM d1 GROUP BY series),
+         |zt AS (SELECT d1.series, d1.dx - mu0.mu AS z,
+         |    (row_number() OVER (PARTITION BY d1.series ORDER BY d1.t) - 1)::BIGINT AS i
+         |  FROM d1 JOIN mu0 ON d1.series = mu0.series),
+         |par AS (SELECT series, c1 AS phi, c2 AS theta FROM dt2 WHERE abs(c1) < 1.0),
+         |kf AS (
+         |  SELECT par.series, par.phi, par.theta, 0::BIGINT AS i, 0.0::DOUBLE AS pred,
+         |    (1.0 + 2.0 * par.phi * par.theta + par.theta * par.theta) / (1.0 - par.phi * par.phi) AS f,
+         |    0.0::DOUBLE AS slogf, 0.0::DOUBLE AS sv2f
+         |  FROM par
+         |  UNION ALL
+         |  SELECT kf.series, kf.phi, kf.theta, kf.i + 1,
+         |    kf.phi * z.z + kf.theta * (z.z - kf.pred) / kf.f AS pred,
+         |    1.0 + kf.theta * kf.theta * (1.0 - 1.0 / kf.f) AS f,
+         |    kf.slogf + ln(kf.f) AS slogf,
+         |    kf.sv2f + (z.z - kf.pred) * (z.z - kf.pred) / kf.f AS sv2f
+         |  FROM kf JOIN zt z ON z.series = kf.series AND z.i = kf.i),
+         |fin AS (SELECT kf.series, phi, theta, slogf, sv2f, n
+         |  FROM kf JOIN n0 ON kf.series = n0.series WHERE kf.i = n0.n::BIGINT),
+         |llc AS (SELECT series, phi, theta, sv2f / n AS sigma2,
+         |    (0.0 - n / 2.0) * (ln(2.0 * pi()) + 1.0 + ln(sv2f / n)) - 0.5 * slogf AS loglik
+         |  FROM fin)
+         |SELECT series, round(phi, 4) AS phi, round(theta, 4) AS theta,
+         |  round(sigma2, 4) AS sigma2, round(loglik, 4) AS loglik,
+         |  round(-2.0 * loglik + 6.0, 4) AS aic_ml
+         |FROM llc ORDER BY series""".stripMargin,
     "hw_fit_mul" ->
       s"""WITH RECURSIVE s0 AS ($dailySql),
          |s AS (SELECT series, x, (row_number() OVER (PARTITION BY series ORDER BY day) - 1)::BIGINT AS t FROM s0),

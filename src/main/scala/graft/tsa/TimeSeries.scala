@@ -638,6 +638,71 @@ object TimeSeries {
         round(lit(-2.0) * col("loglik") + lit(3.0) * log(col("n")), 4).as("bic"))
   }
 
+  /** The scalar innovations recursion behind [[arimaLoglike]] — the
+    * ARMA(1,1) Kalman filter with exact observation collapses to:
+    *   F_1 = (1 + 2φθ + θ²)/(1 − φ²);  ν_t = z_t − pred_t
+    *   pred_{t+1} = φ·z_t + θ·ν_t/F_t;  F_{t+1} = 1 + θ²(1 − 1/F_t)
+    * (filtered state (z_t, θν_t/F_t), filtered variance θ²(1−1/F_t) —
+    * derivable from the Harvey state space [[z_t, θe_t]] in two lines).
+    * Returns (σ̂², loglik) with σ² concentrated out of the Gaussian
+    * likelihood: ll = −n/2(ln 2π + 1 + ln(Σν²/F / n)) − ½Σln F. */
+  private[graft] def armaLoglikeScalar(xs: Seq[Double], phi: Double,
+                                     theta: Double): (Double, Double) = {
+    val n = xs.length.toDouble
+    val mu = xs.sum / n
+    var pred = 0.0
+    var f = (1.0 + 2.0 * phi * theta + theta * theta) / (1.0 - phi * phi)
+    var slogf = 0.0
+    var sv2f = 0.0
+    xs.foreach { x =>
+      val z = x - mu
+      val v = z - pred
+      slogf = slogf + math.log(f)
+      sv2f = sv2f + v * v / f
+      pred = phi * z + theta * v / f
+      f = 1.0 + theta * theta * (1.0 - 1.0 / f)
+    }
+    val ll = (0.0 - n / 2.0) *
+      (math.log(2.0 * math.Pi) + 1.0 + math.log(sv2f / n)) - 0.5 * slogf
+    (sv2f / n, ll)
+  }
+
+  /** EXACT Gaussian log-likelihood of the ARIMA(1,1,1) model at the
+    * HR-estimated (φ, θ) — the reference's batched_loglike
+    * (arima.pyx:405 evaluates the likelihood with a Kalman filter; this
+    * is that filter, collapsed to its scalar innovations form for the
+    * ARMA(1,1) state space — see [[armaLoglikeScalar]]). Unlike
+    * [[arimaInsample]]'s conditional-sum-of-squares approximation this
+    * is the full prediction-error decomposition including the
+    * stationary-init F_1 term. μ is the sample mean of the differences;
+    * non-stationary fits (|φ| ≥ 1) are dropped. One coefficient join +
+    * a per-series in-partition recursion — 10⁶ series is one job.
+    * Output: (series, phi, theta, sigma2, loglik, aic_ml). */
+  def arimaLoglike(series: DataFrame): DataFrame = {
+    val (rows, cf) = arimaHRStage(series)
+    val pars = cf.filter(abs(col("c1")) < 1.0)
+      .select(col("series"), col("c1").as("phi"), col("c2").as("theta"))
+    import series.sparkSession.implicits._
+    val joined = rows.select(col("series").cast("string"), col("t").cast("long"),
+        col("dx").cast("double"))
+      .join(pars, Seq("series"))
+      .select(col("series"), col("t"), col("dx"), col("phi"), col("theta"))
+      .as[(String, Long, Double, Double, Double)]
+    joined.groupByKey(_._1).flatMapGroups { (key, it) =>
+      val rs = it.toSeq.sortBy(_._2)
+      if (rs.isEmpty) Iterator.empty
+      else {
+        val (phi, theta) = (rs.head._4, rs.head._5)
+        val (s2, ll) = armaLoglikeScalar(rs.map(_._3), phi, theta)
+        Iterator((key, phi, theta, s2, ll, -2.0 * ll + 6.0))
+      }
+    }.toDF("series", "_phi", "_theta", "_s2", "_ll", "_aic")
+      .select(col("series"),
+        round(col("_phi"), 4).as("phi"), round(col("_theta"), 4).as("theta"),
+        round(col("_s2"), 4).as("sigma2"), round(col("_ll"), 4).as("loglik"),
+        round(col("_aic"), 4).as("aic_ml"))
+  }
+
   /** Per-row in-sample predictions — the reference's predict_in_sample
     * (arima.pyx:244) on the HR(1,1,1) fit: ŷ-row output (series, t, pred)
     * wherever the one-step prediction is defined. */
