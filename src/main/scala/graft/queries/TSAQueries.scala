@@ -77,6 +77,11 @@ object TSAQueries {
           HwAlphas, HwBetas, HwGammas, h = 5)
         .orderBy("series", "step")
     },
+    "hw_fit_state" -> { (s, d) =>
+      TimeSeries.hwFitState(TimeSeries.dailySeries(Tables.events(s, d)), 7,
+          HwAlphas, HwBetas, HwGammas)
+        .orderBy("series", "component")
+    },
     "stationarity_kpss" -> { (s, d) =>
       TimeSeries.stationarityKpss(TimeSeries.dailySeries(Tables.events(s, d)))
         .orderBy("series")
@@ -179,6 +184,48 @@ object TSAQueries {
        |fs2 AS (SELECT series, dx AS y, l1 AS x1, e1 AS x2 FROM e1
        |  WHERE l1 IS NOT NULL AND e1 IS NOT NULL),
        |${cramer3Sql("fs2", "2")}""".stripMargin
+
+  /** The hw_fit lattice-argmin CTE chain (additive or multiplicative
+    * channel), ending in `sel` where rk = 1 marks the per-series winner
+    * with its final (l, b, seas) state and sse. */
+  private def hwFitCtes(mul: Boolean): String = {
+    val seasInit =
+      if (mul) "list_transform(xs[1:7], v -> v / (list_sum(xs[1:7]) / 7.0))"
+      else "list_transform(xs[1:7], v -> v - list_sum(xs[1:7]) / 7.0)"
+    val lNew =
+      if (mul) "hw.alpha * (n.x / hw.seas[1]) + (1.0 - hw.alpha) * (hw.l + hw.b)"
+      else "hw.alpha * (n.x - hw.seas[1]) + (1.0 - hw.alpha) * (hw.l + hw.b)"
+    val sNew =
+      if (mul) s"hw.gamma * (n.x / ($lNew)) + (1.0 - hw.gamma) * hw.seas[1]"
+      else s"hw.gamma * (n.x - ($lNew)) + (1.0 - hw.gamma) * hw.seas[1]"
+    val pred = if (mul) "((hw.l + hw.b) * hw.seas[1])" else "(hw.l + hw.b + hw.seas[1])"
+    s"""s0 AS ($dailySql),
+       |s AS (SELECT series, x, (row_number() OVER (PARTITION BY series ORDER BY day) - 1)::BIGINT AS t FROM s0),
+       |cand AS (SELECT ca.alpha, cb.beta, cg.gamma FROM
+       |  (SELECT alpha::DOUBLE AS alpha FROM (VALUES (0.2),(0.4),(0.6),(0.8)) ta(alpha)) ca,
+       |  (SELECT beta::DOUBLE AS beta FROM (VALUES (0.1),(0.3)) tb(beta)) cb,
+       |  (SELECT gamma::DOUBLE AS gamma FROM (VALUES (0.1),(0.3),(0.5)) tg(gamma)) cg),
+       |ini AS (SELECT series, list(x ORDER BY t) AS xs FROM s WHERE t < 14
+       |  GROUP BY series HAVING count(*) = 14),
+       |i2 AS (SELECT series,
+       |    list_sum(xs[1:7]) / 7.0 AS l0,
+       |    (list_sum(xs[8:14]) / 7.0 - list_sum(xs[1:7]) / 7.0) / 7.0 AS b0,
+       |    $seasInit AS seas
+       |  FROM ini),
+       |hw AS (
+       |  SELECT i2.series, cand.alpha, cand.beta, cand.gamma, 6::BIGINT AS t,
+       |    l0 AS l, b0 AS b, seas, 0.0::DOUBLE AS sse FROM i2, cand
+       |  UNION ALL
+       |  SELECT hw.series, hw.alpha, hw.beta, hw.gamma, n.t,
+       |    $lNew AS l,
+       |    hw.beta * (($lNew) - hw.l) + (1.0 - hw.beta) * hw.b AS b,
+       |    list_append(hw.seas[2:], $sNew) AS seas,
+       |    hw.sse + (n.x - $pred) * (n.x - $pred) AS sse
+       |  FROM hw JOIN s n ON n.series = hw.series AND n.t = hw.t + 1),
+       |lastr AS (SELECT *, row_number() OVER (PARTITION BY series, alpha, beta, gamma ORDER BY t DESC) AS rn FROM hw),
+       |fin AS (SELECT series, alpha, beta, gamma, sse, l, b, seas FROM lastr WHERE rn = 1),
+       |sel AS (SELECT *, row_number() OVER (PARTITION BY series ORDER BY sse, alpha, beta, gamma) AS rk FROM fin)""".stripMargin
+  }
 
   /** One KPSS pass as CTEs over `$src` exposing (series, t, v) — mirrors
     * TimeSeries.kpssTest op-for-op. Emits pv$sfx(series, stat, pval). */
@@ -405,33 +452,7 @@ object TSAQueries {
          |  (CASE WHEN pv0.pval > 0.05 THEN 0 WHEN pv1.pval > 0.05 THEN 1 ELSE -1 END)::BIGINT AS d
          |FROM pv0 JOIN pv1 ON pv0.series = pv1.series ORDER BY pv0.series""".stripMargin,
     "hw_fit" ->
-      s"""WITH RECURSIVE s0 AS ($dailySql),
-         |s AS (SELECT series, x, (row_number() OVER (PARTITION BY series ORDER BY day) - 1)::BIGINT AS t FROM s0),
-         |cand AS (SELECT ca.alpha, cb.beta, cg.gamma FROM
-         |  (SELECT alpha::DOUBLE AS alpha FROM (VALUES (0.2),(0.4),(0.6),(0.8)) ta(alpha)) ca,
-         |  (SELECT beta::DOUBLE AS beta FROM (VALUES (0.1),(0.3)) tb(beta)) cb,
-         |  (SELECT gamma::DOUBLE AS gamma FROM (VALUES (0.1),(0.3),(0.5)) tg(gamma)) cg),
-         |ini AS (SELECT series, list(x ORDER BY t) AS xs FROM s WHERE t < 14
-         |  GROUP BY series HAVING count(*) = 14),
-         |i2 AS (SELECT series,
-         |    list_sum(xs[1:7]) / 7.0 AS l0,
-         |    (list_sum(xs[8:14]) / 7.0 - list_sum(xs[1:7]) / 7.0) / 7.0 AS b0,
-         |    list_transform(xs[1:7], v -> v - list_sum(xs[1:7]) / 7.0) AS seas
-         |  FROM ini),
-         |hw AS (
-         |  SELECT i2.series, cand.alpha, cand.beta, cand.gamma, 6::BIGINT AS t,
-         |    l0 AS l, b0 AS b, seas, 0.0::DOUBLE AS sse FROM i2, cand
-         |  UNION ALL
-         |  SELECT hw.series, hw.alpha, hw.beta, hw.gamma, n.t,
-         |    hw.alpha * (n.x - hw.seas[1]) + (1.0 - hw.alpha) * (hw.l + hw.b) AS l,
-         |    hw.beta * ((hw.alpha * (n.x - hw.seas[1]) + (1.0 - hw.alpha) * (hw.l + hw.b)) - hw.l) + (1.0 - hw.beta) * hw.b AS b,
-         |    list_append(hw.seas[2:],
-         |      hw.gamma * (n.x - (hw.alpha * (n.x - hw.seas[1]) + (1.0 - hw.alpha) * (hw.l + hw.b))) + (1.0 - hw.gamma) * hw.seas[1]) AS seas,
-         |    hw.sse + (n.x - (hw.l + hw.b + hw.seas[1])) * (n.x - (hw.l + hw.b + hw.seas[1])) AS sse
-         |  FROM hw JOIN s n ON n.series = hw.series AND n.t = hw.t + 1),
-         |lastr AS (SELECT *, row_number() OVER (PARTITION BY series, alpha, beta, gamma ORDER BY t DESC) AS rn FROM hw),
-         |fin AS (SELECT series, alpha, beta, gamma, sse, l, b, seas FROM lastr WHERE rn = 1),
-         |sel AS (SELECT *, row_number() OVER (PARTITION BY series ORDER BY sse, alpha, beta, gamma) AS rk FROM fin)
+      s"""WITH RECURSIVE ${hwFitCtes(mul = false)}
          |SELECT series, round(alpha, 2) AS alpha, round(beta, 2) AS beta,
          |  round(gamma, 2) AS gamma, round(sse, 4) AS sse
          |FROM sel WHERE rk = 1 ORDER BY series""".stripMargin,
@@ -512,68 +533,24 @@ object TSAQueries {
          |  round(-2.0 * loglik + 6.0, 4) AS aic_ml
          |FROM llc ORDER BY series""".stripMargin,
     "hw_fit_mul" ->
-      s"""WITH RECURSIVE s0 AS ($dailySql),
-         |s AS (SELECT series, x, (row_number() OVER (PARTITION BY series ORDER BY day) - 1)::BIGINT AS t FROM s0),
-         |cand AS (SELECT ca.alpha, cb.beta, cg.gamma FROM
-         |  (SELECT alpha::DOUBLE AS alpha FROM (VALUES (0.2),(0.4),(0.6),(0.8)) ta(alpha)) ca,
-         |  (SELECT beta::DOUBLE AS beta FROM (VALUES (0.1),(0.3)) tb(beta)) cb,
-         |  (SELECT gamma::DOUBLE AS gamma FROM (VALUES (0.1),(0.3),(0.5)) tg(gamma)) cg),
-         |ini AS (SELECT series, list(x ORDER BY t) AS xs FROM s WHERE t < 14
-         |  GROUP BY series HAVING count(*) = 14),
-         |i2 AS (SELECT series,
-         |    list_sum(xs[1:7]) / 7.0 AS l0,
-         |    (list_sum(xs[8:14]) / 7.0 - list_sum(xs[1:7]) / 7.0) / 7.0 AS b0,
-         |    list_transform(xs[1:7], v -> v / (list_sum(xs[1:7]) / 7.0)) AS seas
-         |  FROM ini),
-         |hw AS (
-         |  SELECT i2.series, cand.alpha, cand.beta, cand.gamma, 6::BIGINT AS t,
-         |    l0 AS l, b0 AS b, seas, 0.0::DOUBLE AS sse FROM i2, cand
-         |  UNION ALL
-         |  SELECT hw.series, hw.alpha, hw.beta, hw.gamma, n.t,
-         |    hw.alpha * (n.x / hw.seas[1]) + (1.0 - hw.alpha) * (hw.l + hw.b) AS l,
-         |    hw.beta * ((hw.alpha * (n.x / hw.seas[1]) + (1.0 - hw.alpha) * (hw.l + hw.b)) - hw.l) + (1.0 - hw.beta) * hw.b AS b,
-         |    list_append(hw.seas[2:],
-         |      hw.gamma * (n.x / (hw.alpha * (n.x / hw.seas[1]) + (1.0 - hw.alpha) * (hw.l + hw.b))) + (1.0 - hw.gamma) * hw.seas[1]) AS seas,
-         |    hw.sse + (n.x - ((hw.l + hw.b) * hw.seas[1])) * (n.x - ((hw.l + hw.b) * hw.seas[1])) AS sse
-         |  FROM hw JOIN s n ON n.series = hw.series AND n.t = hw.t + 1),
-         |lastr AS (SELECT *, row_number() OVER (PARTITION BY series, alpha, beta, gamma ORDER BY t DESC) AS rn FROM hw),
-         |fin AS (SELECT series, alpha, beta, gamma, sse FROM lastr WHERE rn = 1),
-         |sel AS (SELECT *, row_number() OVER (PARTITION BY series ORDER BY sse, alpha, beta, gamma) AS rk FROM fin)
+      s"""WITH RECURSIVE ${hwFitCtes(mul = true)}
          |SELECT series, round(alpha, 2) AS alpha, round(beta, 2) AS beta,
          |  round(gamma, 2) AS gamma, round(sse, 4) AS sse
          |FROM sel WHERE rk = 1 ORDER BY series""".stripMargin,
     "hw_fit_forecast" ->
-      s"""WITH RECURSIVE s0 AS ($dailySql),
-         |s AS (SELECT series, x, (row_number() OVER (PARTITION BY series ORDER BY day) - 1)::BIGINT AS t FROM s0),
-         |cand AS (SELECT ca.alpha, cb.beta, cg.gamma FROM
-         |  (SELECT alpha::DOUBLE AS alpha FROM (VALUES (0.2),(0.4),(0.6),(0.8)) ta(alpha)) ca,
-         |  (SELECT beta::DOUBLE AS beta FROM (VALUES (0.1),(0.3)) tb(beta)) cb,
-         |  (SELECT gamma::DOUBLE AS gamma FROM (VALUES (0.1),(0.3),(0.5)) tg(gamma)) cg),
-         |ini AS (SELECT series, list(x ORDER BY t) AS xs FROM s WHERE t < 14
-         |  GROUP BY series HAVING count(*) = 14),
-         |i2 AS (SELECT series,
-         |    list_sum(xs[1:7]) / 7.0 AS l0,
-         |    (list_sum(xs[8:14]) / 7.0 - list_sum(xs[1:7]) / 7.0) / 7.0 AS b0,
-         |    list_transform(xs[1:7], v -> v - list_sum(xs[1:7]) / 7.0) AS seas
-         |  FROM ini),
-         |hw AS (
-         |  SELECT i2.series, cand.alpha, cand.beta, cand.gamma, 6::BIGINT AS t,
-         |    l0 AS l, b0 AS b, seas, 0.0::DOUBLE AS sse FROM i2, cand
-         |  UNION ALL
-         |  SELECT hw.series, hw.alpha, hw.beta, hw.gamma, n.t,
-         |    hw.alpha * (n.x - hw.seas[1]) + (1.0 - hw.alpha) * (hw.l + hw.b) AS l,
-         |    hw.beta * ((hw.alpha * (n.x - hw.seas[1]) + (1.0 - hw.alpha) * (hw.l + hw.b)) - hw.l) + (1.0 - hw.beta) * hw.b AS b,
-         |    list_append(hw.seas[2:],
-         |      hw.gamma * (n.x - (hw.alpha * (n.x - hw.seas[1]) + (1.0 - hw.alpha) * (hw.l + hw.b))) + (1.0 - hw.gamma) * hw.seas[1]) AS seas,
-         |    hw.sse + (n.x - (hw.l + hw.b + hw.seas[1])) * (n.x - (hw.l + hw.b + hw.seas[1])) AS sse
-         |  FROM hw JOIN s n ON n.series = hw.series AND n.t = hw.t + 1),
-         |lastr AS (SELECT *, row_number() OVER (PARTITION BY series, alpha, beta, gamma ORDER BY t DESC) AS rn FROM hw),
-         |fin AS (SELECT series, alpha, beta, gamma, sse, l, b, seas FROM lastr WHERE rn = 1),
-         |sel AS (SELECT *, row_number() OVER (PARTITION BY series ORDER BY sse, alpha, beta, gamma) AS rk FROM fin)
+      s"""WITH RECURSIVE ${hwFitCtes(mul = false)}
          |SELECT series, k::BIGINT AS step,
          |  round(l + k * b + seas[((k - 1) % 7) + 1], 4) AS forecast
          |FROM sel, generate_series(1, 5) AS g(k) WHERE rk = 1
          |ORDER BY series, step""".stripMargin,
+    "hw_fit_state" ->
+      s"""WITH RECURSIVE ${hwFitCtes(mul = false)}
+         |SELECT series, component, value FROM (
+         |  SELECT series, 'level' AS component, round(l, 4) AS value FROM sel WHERE rk = 1
+         |  UNION ALL SELECT series, 'trend', round(b, 4) FROM sel WHERE rk = 1
+         |  UNION ALL SELECT series, 'season_' || (k - 1)::VARCHAR, round(seas[k], 4)
+         |    FROM sel, generate_series(1, 7) AS g(k) WHERE rk = 1
+         |) ORDER BY series, component""".stripMargin,
     "hw_forecast" ->
       s"""WITH RECURSIVE s0 AS ($dailySql),
          |s AS (SELECT series, x, (row_number() OVER (PARTITION BY series ORDER BY day) - 1)::BIGINT AS t FROM s0),

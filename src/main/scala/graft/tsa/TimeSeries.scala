@@ -287,6 +287,35 @@ object TimeSeries {
       .select(col("series"), col("step"), round(col("_f"), 4).as("forecast"))
   }
 
+  /** Fitted-state accessors — the reference's get_level()/get_trend()/
+    * get_season() after fit (holtwinters.pyx:197-213 test surface): the
+    * grid-fit winner's final level, trend, and m-element seasonal window,
+    * unpivoted to (series, component, value) rows. */
+  def hwFitState(series: DataFrame, period: Int, alphas: Seq[Double],
+                 betas: Seq[Double], gammas: Seq[Double]): DataFrame = {
+    import series.sparkSession.implicits._
+    val m = period
+    val rows = series.select(col("series").cast("string"), col("t").cast("long"),
+      col("x").cast("double")).as[(String, Long, Double)]
+    rows.groupByKey(_._1).flatMapGroups { (key, it) =>
+      val xs = it.toSeq.sortBy(_._2).map(_._3).toIndexedSeq
+      if (xs.length < 2 * m) Iterator.empty
+      else {
+        var bestSse = Double.PositiveInfinity
+        var bestL = 0.0; var bestB = 0.0
+        var bestSeas: IndexedSeq[Double] = IndexedSeq.empty
+        for (a <- alphas; bt <- betas; g <- gammas) {
+          val (sse, l, b, seas) = hwRunAdd(xs, m, a, bt, g)
+          if (sse < bestSse) { bestSse = sse; bestL = l; bestB = b; bestSeas = seas }
+        }
+        (("level", bestL) +: ("trend", bestB) +:
+          bestSeas.zipWithIndex.map { case (s, i) => (s"season_$i", s) })
+          .iterator.map { case (c, v) => (key, c, v) }
+      }
+    }.toDF("series", "component", "_v")
+      .select(col("series"), col("component"), round(col("_v"), 4).as("value"))
+  }
+
   /** KPSS level-stationarity statistic + interpolated p-value per series —
     * the exact test the reference runs (Kwiatkowski et al. 1992;
     * cpp/src_prims/timeSeries/stationarity.h:96-185):
