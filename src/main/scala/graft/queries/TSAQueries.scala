@@ -111,6 +111,10 @@ object TSAQueries {
       TimeSeries.arimaLoglike(TimeSeries.dailySeries(Tables.events(s, d)))
         .orderBy("series")
     },
+    "arima_fit_ml" -> { (s, d) =>
+      TimeSeries.arimaFitML(TimeSeries.dailySeries(Tables.events(s, d)))
+        .orderBy("series")
+    },
     "ar_p_forecast" -> { (s, d) =>
       TimeSeries.arForecastP(TimeSeries.dailySeries(Tables.events(s, d)),
           p = 3, h = 5, d = 1)
@@ -451,6 +455,41 @@ object TSAQueries {
          |  round(pv1.stat, 6) AS kpss_dx, round(pv1.pval, 4) AS pval_dx,
          |  (CASE WHEN pv0.pval > 0.05 THEN 0 WHEN pv1.pval > 0.05 THEN 1 ELSE -1 END)::BIGINT AS d
          |FROM pv0 JOIN pv1 ON pv0.series = pv1.series ORDER BY pv0.series""".stripMargin,
+    "arima_fit_ml" ->
+      s"""WITH RECURSIVE $hrSql,
+         |mu0 AS (SELECT series, avg(dx) AS mu FROM d1 GROUP BY series),
+         |n0 AS (SELECT series, count(*)::DOUBLE AS n FROM d1 GROUP BY series),
+         |zt AS (SELECT d1.series, d1.dx - mu0.mu AS z,
+         |    (row_number() OVER (PARTITION BY d1.series ORDER BY d1.t) - 1)::BIGINT AS i
+         |  FROM d1 JOIN mu0 ON d1.series = mu0.series),
+         |par AS (SELECT series, c1 AS phi0, c2 AS theta0 FROM dt2 WHERE abs(c1) < 1.0),
+         |cand AS (SELECT dp.d AS dphi, dt.d AS dth FROM
+         |  (SELECT d::DOUBLE AS d FROM (VALUES (-0.1),(-0.05),(0.0),(0.05),(0.1)) t1(d)) dp,
+         |  (SELECT d::DOUBLE AS d FROM (VALUES (-0.1),(-0.05),(0.0),(0.05),(0.1)) t2(d)) dt),
+         |pc AS (SELECT par.series, par.phi0 + cand.dphi AS phi, par.theta0 + cand.dth AS theta
+         |  FROM par, cand WHERE abs(par.phi0 + cand.dphi) < 0.99),
+         |kf AS (
+         |  SELECT pc.series, pc.phi, pc.theta, 0::BIGINT AS i, 0.0::DOUBLE AS pred,
+         |    (1.0 + 2.0 * pc.phi * pc.theta + pc.theta * pc.theta) / (1.0 - pc.phi * pc.phi) AS f,
+         |    0.0::DOUBLE AS slogf, 0.0::DOUBLE AS sv2f
+         |  FROM pc
+         |  UNION ALL
+         |  SELECT kf.series, kf.phi, kf.theta, kf.i + 1,
+         |    kf.phi * z.z + kf.theta * (z.z - kf.pred) / kf.f AS pred,
+         |    1.0 + kf.theta * kf.theta * (1.0 - 1.0 / kf.f) AS f,
+         |    kf.slogf + ln(kf.f) AS slogf,
+         |    kf.sv2f + (z.z - kf.pred) * (z.z - kf.pred) / kf.f AS sv2f
+         |  FROM kf JOIN zt z ON z.series = kf.series AND z.i = kf.i),
+         |fin AS (SELECT kf.series, phi, theta, slogf, sv2f, n
+         |  FROM kf JOIN n0 ON kf.series = n0.series WHERE kf.i = n0.n::BIGINT),
+         |llc AS (SELECT series, phi, theta, sv2f / n AS sigma2,
+         |    (0.0 - n / 2.0) * (ln(2.0 * pi()) + 1.0 + ln(sv2f / n)) - 0.5 * slogf AS loglik
+         |  FROM fin),
+         |rnk AS (SELECT *, row_number() OVER (PARTITION BY series ORDER BY loglik DESC, phi, theta) AS rk
+         |  FROM llc)
+         |SELECT series, round(phi, 4) AS phi, round(theta, 4) AS theta,
+         |  round(sigma2, 4) AS sigma2, round(loglik, 4) AS loglik
+         |FROM rnk WHERE rk = 1 ORDER BY series""".stripMargin,
     "hw_fit" ->
       s"""WITH RECURSIVE ${hwFitCtes(mul = false)}
          |SELECT series, round(alpha, 2) AS alpha, round(beta, 2) AS beta,

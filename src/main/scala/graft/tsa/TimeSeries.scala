@@ -732,6 +732,53 @@ object TimeSeries {
         round(col("_aic"), 4).as("aic_ml"))
   }
 
+  /** ARIMA(1,1,1) fitted by MAXIMUM LIKELIHOOD — the reference's fit
+    * shape (arima.pyx: start params via a preliminary estimator, then ML
+    * optimization of the Kalman loglik; here the optimizer is a
+    * deterministic local grid, like [[hwFit]]'s lattice): for each series
+    * evaluate the EXACT loglik ([[armaLoglikeScalar]]) at
+    * (φ_CLS + δφ, θ_CLS + δθ) over the deltas lattice, keep the argmax
+    * (tie-break lattice order = ascending (φ, θ), matching the oracle's
+    * ORDER BY loglik DESC, phi, theta). |φ| ≥ 0.99 candidates are
+    * excluded (stationarity). All candidates evaluate inside ONE
+    * per-series in-partition pass. Output: (series, phi, theta, sigma2,
+    * loglik). */
+  def arimaFitML(series: DataFrame,
+                 deltas: Seq[Double] = Seq(-0.1, -0.05, 0.0, 0.05, 0.1)): DataFrame = {
+    val (rows, cf) = arimaHRStage(series)
+    val pars = cf.filter(abs(col("c1")) < 1.0)
+      .select(col("series"), col("c1").as("phi0"), col("c2").as("theta0"))
+    import series.sparkSession.implicits._
+    val joined = rows.select(col("series").cast("string"), col("t").cast("long"),
+        col("dx").cast("double"))
+      .join(pars, Seq("series"))
+      .select(col("series"), col("t"), col("dx"), col("phi0"), col("theta0"))
+      .as[(String, Long, Double, Double, Double)]
+    joined.groupByKey(_._1).flatMapGroups { (key, it) =>
+      val rs = it.toSeq.sortBy(_._2)
+      if (rs.isEmpty) Iterator.empty
+      else {
+        val (phi0, theta0) = (rs.head._4, rs.head._5)
+        val xs = rs.map(_._3)
+        var bestLl = Double.NegativeInfinity
+        var bestPhi = 0.0; var bestTheta = 0.0; var bestS2 = 0.0
+        for (dp <- deltas; dt <- deltas) {
+          val phi = phi0 + dp
+          val theta = theta0 + dt
+          if (math.abs(phi) < 0.99) {
+            val (s2, ll) = armaLoglikeScalar(xs, phi, theta)
+            if (ll > bestLl) { bestLl = ll; bestPhi = phi; bestTheta = theta; bestS2 = s2 }
+          }
+        }
+        if (bestLl == Double.NegativeInfinity) Iterator.empty
+        else Iterator((key, bestPhi, bestTheta, bestS2, bestLl))
+      }
+    }.toDF("series", "_phi", "_theta", "_s2", "_ll")
+      .select(col("series"),
+        round(col("_phi"), 4).as("phi"), round(col("_theta"), 4).as("theta"),
+        round(col("_s2"), 4).as("sigma2"), round(col("_ll"), 4).as("loglik"))
+  }
+
   /** Per-row in-sample predictions — the reference's predict_in_sample
     * (arima.pyx:244) on the HR(1,1,1) fit: ŷ-row output (series, t, pred)
     * wherever the one-step prediction is defined. */

@@ -231,6 +231,21 @@ class TsaDepthSpec extends AnyFunSuite {
     assert(llMa > llWn, s"MA loglik $llMa should beat white-noise $llWn on MA data")
   }
 
+  test("ML grid fit never scores below the CLS start point and can improve it") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(6)
+    // d=1 series whose differences are MA(1): the CLS (HR) start point is
+    // biased, so the exact-likelihood grid around it should improve
+    val e = (0 until 121).map(_ => rnd.nextGaussian())
+    var x = 100.0
+    val xs = (1 to 120).map { t => x += 1.5 + e(t) + 0.6 * e(t - 1); x }
+    val df = xs.zipWithIndex.map { case (v, t) => ("s", t.toLong, v) }.toDF("series", "t", "x")
+    val atCls = graft.tsa.TimeSeries.arimaLoglike(df).head().getDouble(4)
+    val ml = graft.tsa.TimeSeries.arimaFitML(df).head()
+    assert(ml.getDouble(4) >= atCls - 1e-9,
+      s"ML grid ${ml.getDouble(4)} below CLS start $atCls")
+  }
+
   test("matrix Kalman reproduces the unrolled CV filter at F=[[1,1],[0,1]]") {
     import spark.implicits._
     val rnd = new scala.util.Random(21)
