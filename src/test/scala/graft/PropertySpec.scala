@@ -117,4 +117,59 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("KPSS statistic is invariant under affine transforms of the series") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(40, 120)
+      xs <- Gen.listOfN(n, Gen.choose(-100.0, 100.0))
+      a <- Gen.choose(0.5, 20.0)
+      b <- Gen.choose(-500.0, 500.0)
+    } yield (xs, a, b)
+    cases(gen, 4).foreach { case (xs, a, b) =>
+      val mk = (vs: Seq[Double], tag: String) =>
+        vs.zipWithIndex.map { case (x, t) => (tag, t.toLong, x) }
+      val df = (mk(xs, "orig") ++ mk(xs.map(x => a * x + b), "scaled"))
+        .toDF("series", "t", "x")
+      // e and the long-run variance scale by a and a^2 together: the
+      // normalized statistic must not move (demeaning kills b)
+      val r = graft.tsa.TimeSeries.stationarityKpss(df)
+        .collect().map(row => row.getString(0) -> row.getDouble(1)).toMap
+      assert(scala.math.abs(r("orig") - r("scaled")) < 1e-4,
+        s"orig ${r("orig")} vs scaled ${r("scaled")} (a=$a b=$b)")
+    }
+  }
+
+  test("mix weights: rates within (0,1], winners take everything, shares hit") {
+    import spark.implicits._
+    val gen = for {
+      na <- Gen.choose(30, 300)
+      nb <- Gen.choose(30, 300)
+      nc <- Gen.choose(30, 300)
+      ta <- Gen.choose(0.2, 0.6)
+      tb <- Gen.choose(0.1, 0.3)
+    } yield (na, nb, nc, ta, tb)
+    cases(gen, 5).foreach { case (na, nb, nc, ta, tb) =>
+      val tc = 1.0 - ta - tb
+      val df = (Seq.fill(na)("a") ++ Seq.fill(nb)("b") ++ Seq.fill(nc)("c"))
+        .zipWithIndex.map { case (l, i) => (i.toLong, l) }.toDF("id", "key")
+      val rows = graft.text.TextOps.mixWeights(df, "key",
+          Seq("a" -> ta, "b" -> tb, "c" -> tc))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(3), r.getDouble(4)))
+        .toMap
+      val targets = Map("a" -> ta, "b" -> tb, "c" -> tc)
+      rows.foreach { case (k, (n, take, rate)) =>
+        assert(take <= n && take >= 0, s"$k take $take of $n")
+        assert(rate > 0.0 && rate <= 1.0, s"$k rate $rate")
+      }
+      // the binding domain is taken whole (floor slack aside)...
+      assert(rows.exists { case (k, (n, take, _)) => n - take <= 1 })
+      // ...and realized shares track the targets within floor slack
+      val total = rows.values.map(_._2).sum.toDouble
+      rows.foreach { case (k, (_, take, _)) =>
+        assert(scala.math.abs(take / total - targets(k)) < 0.02,
+          s"$k share ${take / total} target ${targets(k)}")
+      }
+    }
+  }
 }
