@@ -128,6 +128,19 @@ object TSAQueries {
       TimeSeries.kalmanCV(TimeSeries.dailySeries(Tables.events(s, d)), 0.05, 0.01, 2.0)
         .orderBy("series")
     },
+    "kalman_vec" -> { (s, d) =>
+      // vector observations (dim_z = 2): the raw daily sum and its 3-day
+      // trailing mean both observe the latent level — the reference's
+      // multi-observation KalmanFilter surface (kalman_filter.pyx:77)
+      val daily = TimeSeries.dailySeries(Tables.events(s, d))
+      val w = Window.partitionBy(col("series")).orderBy(col("t")).rowsBetween(-2, 0)
+      val withZ = daily.withColumn("z", array(col("x"), avg(col("x")).over(w)))
+      TimeSeries.kalmanMatVec(withZ,
+          f = Seq(Seq(1.0, 1.0), Seq(0.0, 1.0)),
+          h = Seq(Seq(1.0, 0.0), Seq(1.0, 0.0)),
+          qDiag = Seq(0.05, 0.01), rDiag = Seq(2.0, 4.0))
+        .orderBy("series")
+    },
     "kalman_mat" -> { (s, d) =>
       // 3-state constant-acceleration model through the general (F,H,Q,R)
       // matrix filter — the reference's arbitrary-dim KalmanFilter surface

@@ -984,6 +984,91 @@ object TimeSeries {
         round(col("_si"), 4).as("sum_innov2"))
   }
 
+  /** Full (dim_x, dim_z) Kalman filter — vector observations, completing
+    * the reference surface (filter/kalman_filter.pyx:77 tests dim_z up to
+    * 3). Input rows carry an observation ARRAY column z of length dim_z;
+    * H is dim_z×dim_x, R a dim_z diagonal. The innovation covariance
+    * S = H·P·Hᵀ + R is solved by an in-place Gaussian elimination on the
+    * (dim_z ≤ ~4) system — all dense small-matrix loops inside the same
+    * per-series in-partition pass as [[kalmanMat]].
+    *   predict  x = F·x,  P = F·P·Fᵀ + Q
+    *   update   K = P·Hᵀ·S⁻¹,  x += K·(z − H·x),  P = P − K·(H·P)
+    * Output: final state vector, p00, innovation energy Σ‖ν‖². */
+  def kalmanMatVec(series: DataFrame, f: Seq[Seq[Double]], h: Seq[Seq[Double]],
+                   qDiag: Seq[Double], rDiag: Seq[Double],
+                   zCol: String = "z"): DataFrame = {
+    val dim = f.size
+    val dz = h.size
+    require(f.forall(_.size == dim) && h.forall(_.size == dim) &&
+      qDiag.size == dim && rDiag.size == dz,
+      s"F ${dim}x$dim, H ${dz}x$dim, qDiag $dim, rDiag $dz")
+    import series.sparkSession.implicits._
+    val rows = series.select(col("series").cast("string"), col("t").cast("long"),
+      col(zCol).cast("array<double>")).as[(String, Long, Seq[Double])]
+    val fA = f.map(_.toArray).toArray
+    val hA = h.map(_.toArray).toArray
+    val qA = qDiag.toArray
+    val rA = rDiag.toArray
+    rows.groupByKey(_._1).flatMapGroups { (key, it) =>
+      val sorted = it.toSeq.sortBy(_._2)
+      if (sorted.isEmpty) Iterator.empty
+      else {
+        // init: least-squares-free start — x solves H x ≈ z_0 only through
+        // the first observation row convention x_0 = z_0(0) on state 0
+        var x = Array.tabulate(dim)(i => if (i == 0) sorted.head._3.head else 0.0)
+        var p = Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
+        var si = 0.0
+        sorted.tail.foreach { case (_, _, zSeq) =>
+          val z = zSeq.toArray
+          val xp = Array.tabulate(dim)(i => (0 until dim).map(j => fA(i)(j) * x(j)).sum)
+          val fp = Array.tabulate(dim, dim)((i, j) =>
+            (0 until dim).map(k => fA(i)(k) * p(k)(j)).sum)
+          val pp = Array.tabulate(dim, dim)((i, j) =>
+            (0 until dim).map(k => fp(i)(k) * fA(j)(k)).sum +
+              (if (i == j) qA(i) else 0.0))
+          val hp = Array.tabulate(dz, dim)((a, j) =>          // H·Pp
+            (0 until dim).map(k => hA(a)(k) * pp(k)(j)).sum)
+          val s = Array.tabulate(dz, dz)((a, b) =>            // H·Pp·Hᵀ + R
+            (0 until dim).map(k => hp(a)(k) * hA(b)(k)).sum +
+              (if (a == b) rA(a) else 0.0))
+          val pht = Array.tabulate(dim, dz)((i, a) =>         // Pp·Hᵀ
+            (0 until dim).map(k => pp(i)(k) * hA(a)(k)).sum)
+          // K = Pp·Hᵀ·S⁻¹ via solving S·Kᵀ = (Pp·Hᵀ)ᵀ (Gaussian elim)
+          val m = Array.tabulate(dz)(a => s(a).clone())
+          val rhs = Array.tabulate(dz, dim)((a, i) => pht(i)(a))
+          for (c <- 0 until dz) {
+            var piv = c
+            for (r2 <- c + 1 until dz) if (math.abs(m(r2)(c)) > math.abs(m(piv)(c))) piv = r2
+            val tm = m(c); m(c) = m(piv); m(piv) = tm
+            val tr = rhs(c); rhs(c) = rhs(piv); rhs(piv) = tr
+            for (r2 <- c + 1 until dz) {
+              val fct = m(r2)(c) / m(c)(c)
+              for (cc <- c until dz) m(r2)(cc) -= fct * m(c)(cc)
+              for (i <- 0 until dim) rhs(r2)(i) -= fct * rhs(c)(i)
+            }
+          }
+          val kT = Array.ofDim[Double](dz, dim)               // Kᵀ rows
+          for (c <- dz - 1 to 0 by -1; i <- 0 until dim) {
+            var v = rhs(c)(i)
+            for (cc <- c + 1 until dz) v -= m(c)(cc) * kT(cc)(i)
+            kT(c)(i) = v / m(c)(c)
+          }
+          val nu = Array.tabulate(dz)(a =>
+            z(a) - (0 until dim).map(k => hA(a)(k) * xp(k)).sum)
+          x = Array.tabulate(dim)(i => xp(i) + (0 until dz).map(a => kT(a)(i) * nu(a)).sum)
+          p = Array.tabulate(dim, dim)((i, j) =>
+            pp(i)(j) - (0 until dz).map(a => kT(a)(i) * hp(a)(j)).sum)
+          si += nu.map(v => v * v).sum
+        }
+        Iterator((key, sorted.last._2, x.toSeq, p(0)(0), si))
+      }
+    }.toDF("series", "t_last", "_st", "_p", "_si")
+      .select(col("series"), col("t_last"),
+        transform(col("_st"), v => round(v, 4)).as("state"),
+        round(col("_p"), 6).as("p00"),
+        round(col("_si"), 4).as("sum_innov2"))
+  }
+
   /** Scalar Kalman filter (constant-velocity-free local level model):
     *   predict: P += Q;  update: K = P/(P+R); s += K(x−s); P *= (1−K).
     * Runs in-partition per series via groupBy+flatMapGroups — the recursion

@@ -278,6 +278,43 @@ class TsaDepthSpec extends AnyFunSuite {
     assert(abs(state(2) - 0.2) < 0.05, s"acceleration ${state(2)}")
   }
 
+  test("vector-observation Kalman: dim_z=1 equals the scalar-obs filter") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(33)
+    var lvl = 20.0
+    val pts = (0 until 50).map { t => lvl += 0.4 + rnd.nextGaussian(); ("s", t.toLong, lvl) }
+    val dfScalar = pts.toDF("series", "t", "x")
+    val dfVec = pts.map { case (s, t, x) => (s, t, Seq(x)) }.toDF("series", "t", "z")
+    val a = graft.tsa.TimeSeries.kalmanMat(dfScalar,
+      f = Seq(Seq(1.0, 1.0), Seq(0.0, 1.0)), hRow = Seq(1.0, 0.0),
+      qDiag = Seq(0.05, 0.01), r = 2.0).head()
+    val b = graft.tsa.TimeSeries.kalmanMatVec(dfVec,
+      f = Seq(Seq(1.0, 1.0), Seq(0.0, 1.0)), h = Seq(Seq(1.0, 0.0)),
+      qDiag = Seq(0.05, 0.01), rDiag = Seq(2.0)).head()
+    assert(a.getSeq[Double](3) == b.getSeq[Double](2), "state")
+    assert(a.getDouble(4) == b.getDouble(3), "p00")
+    assert(a.getDouble(5) == b.getDouble(4), "innovation energy")
+  }
+
+  test("a second sensor tightens the posterior variance") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val pts = (0 until 80).map { t =>
+      ("s", t.toLong, 50.0 + rnd.nextGaussian() * 1.5, 50.0 + rnd.nextGaussian() * 1.5)
+    }
+    val one = graft.tsa.TimeSeries.kalmanMatVec(
+      pts.map(p => (p._1, p._2, Seq(p._3))).toDF("series", "t", "z"),
+      f = Seq(Seq(1.0)), h = Seq(Seq(1.0)), qDiag = Seq(0.01), rDiag = Seq(2.0)).head()
+    val two = graft.tsa.TimeSeries.kalmanMatVec(
+      pts.map(p => (p._1, p._2, Seq(p._3, p._4))).toDF("series", "t", "z"),
+      f = Seq(Seq(1.0)), h = Seq(Seq(1.0), Seq(1.0)),
+      qDiag = Seq(0.01), rDiag = Seq(2.0, 2.0)).head()
+    assert(two.getDouble(3) < one.getDouble(3),
+      s"two-sensor p00 ${two.getDouble(3)} should beat ${one.getDouble(3)}")
+    val lvl2 = two.getSeq[Double](2).head
+    assert(abs(lvl2 - 50.0) < 1.0, s"level $lvl2")
+  }
+
   test("singular fits yield null coefficients, not garbage") {
     import spark.implicits._
     val df = (0 until 30).map(t => ("c", t.toLong, 7.0)).toDF("series", "t", "x")
