@@ -843,9 +843,13 @@ object TimeSeries {
       (log(lit(2.0) * lit(math.Pi) * col("sse") / col("n")) + lit(1.0))
     val scored = all.withColumn("bic", lit(-2.0) * ll + col("k") * log(col("n")))
     val w = Window.partitionBy(col("series")).orderBy(col("bic").asc_nulls_last, col("ord"))
-    scored.withColumn("rk", row_number().over(w))
+    val out = scored.withColumn("rk", row_number().over(w))
       .select(col("series"), col("ord"), round(col("bic"), 4).as("bic"),
         when(col("rk") === 1, 1L).otherwise(0L).as("chosen"))
+      .cache()
+    out.count() // materialize, then release the fit-stage cache
+    common.unpersist()
+    out
   }
 
   /** h-step ARIMA(1,1,1) forecast — the reference's forecast on a d=1
