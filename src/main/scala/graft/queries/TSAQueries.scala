@@ -115,6 +115,10 @@ object TSAQueries {
       TimeSeries.arimaFitML(TimeSeries.dailySeries(Tables.events(s, d)))
         .orderBy("series")
     },
+    "arima_ml_forecast" -> { (s, d) =>
+      TimeSeries.arimaForecastML(TimeSeries.dailySeries(Tables.events(s, d)), h = 5)
+        .orderBy("series", "step")
+    },
     "ar_p_forecast" -> { (s, d) =>
       TimeSeries.arForecastP(TimeSeries.dailySeries(Tables.events(s, d)),
           p = 3, h = 5, d = 1)
@@ -243,6 +247,42 @@ object TSAQueries {
        |fin AS (SELECT series, alpha, beta, gamma, sse, l, b, seas FROM lastr WHERE rn = 1),
        |sel AS (SELECT *, row_number() OVER (PARTITION BY series ORDER BY sse, alpha, beta, gamma) AS rk FROM fin)""".stripMargin
   }
+
+  /** The arima_fit_ml candidate-grid Kalman chain (shared with the ML
+    * forecast oracle): mu0/n0/zt, the (δφ, δθ) candidate cross join, the
+    * per-(series, candidate) filter recursion, and `rnk` where rk = 1 is
+    * the likelihood argmax carrying (phi, theta, sigma2, loglik, pred). */
+  private def mlFitCtes: String =
+    s"""mu0 AS (SELECT series, avg(dx) AS mu FROM d1 GROUP BY series),
+       |n0 AS (SELECT series, count(*)::DOUBLE AS n FROM d1 GROUP BY series),
+       |zt AS (SELECT d1.series, d1.dx - mu0.mu AS z,
+       |    (row_number() OVER (PARTITION BY d1.series ORDER BY d1.t) - 1)::BIGINT AS i
+       |  FROM d1 JOIN mu0 ON d1.series = mu0.series),
+       |par AS (SELECT series, c1 AS phi0, c2 AS theta0 FROM dt2 WHERE abs(c1) < 1.0),
+       |cand AS (SELECT dp.d AS dphi, dt.d AS dth FROM
+       |  (SELECT d::DOUBLE AS d FROM (VALUES (-0.1),(-0.05),(0.0),(0.05),(0.1)) t1(d)) dp,
+       |  (SELECT d::DOUBLE AS d FROM (VALUES (-0.1),(-0.05),(0.0),(0.05),(0.1)) t2(d)) dt),
+       |pc AS (SELECT par.series, par.phi0 + cand.dphi AS phi, par.theta0 + cand.dth AS theta
+       |  FROM par, cand WHERE abs(par.phi0 + cand.dphi) < 0.99),
+       |kf AS (
+       |  SELECT pc.series, pc.phi, pc.theta, 0::BIGINT AS i, 0.0::DOUBLE AS pred,
+       |    (1.0 + 2.0 * pc.phi * pc.theta + pc.theta * pc.theta) / (1.0 - pc.phi * pc.phi) AS f,
+       |    0.0::DOUBLE AS slogf, 0.0::DOUBLE AS sv2f
+       |  FROM pc
+       |  UNION ALL
+       |  SELECT kf.series, kf.phi, kf.theta, kf.i + 1,
+       |    kf.phi * z.z + kf.theta * (z.z - kf.pred) / kf.f AS pred,
+       |    1.0 + kf.theta * kf.theta * (1.0 - 1.0 / kf.f) AS f,
+       |    kf.slogf + ln(kf.f) AS slogf,
+       |    kf.sv2f + (z.z - kf.pred) * (z.z - kf.pred) / kf.f AS sv2f
+       |  FROM kf JOIN zt z ON z.series = kf.series AND z.i = kf.i),
+       |fin AS (SELECT kf.series, phi, theta, slogf, sv2f, pred, n
+       |  FROM kf JOIN n0 ON kf.series = n0.series WHERE kf.i = n0.n::BIGINT),
+       |llc AS (SELECT series, phi, theta, pred, sv2f / n AS sigma2,
+       |    (0.0 - n / 2.0) * (ln(2.0 * pi()) + 1.0 + ln(sv2f / n)) - 0.5 * slogf AS loglik
+       |  FROM fin),
+       |rnk AS (SELECT *, row_number() OVER (PARTITION BY series ORDER BY loglik DESC, phi, theta) AS rk
+       |  FROM llc)""".stripMargin
 
   /** One KPSS pass as CTEs over `$src` exposing (series, t, v) — mirrors
     * TimeSeries.kpssTest op-for-op. Emits pv$sfx(series, stat, pval). */
@@ -470,39 +510,32 @@ object TSAQueries {
          |FROM pv0 JOIN pv1 ON pv0.series = pv1.series ORDER BY pv0.series""".stripMargin,
     "arima_fit_ml" ->
       s"""WITH RECURSIVE $hrSql,
-         |mu0 AS (SELECT series, avg(dx) AS mu FROM d1 GROUP BY series),
-         |n0 AS (SELECT series, count(*)::DOUBLE AS n FROM d1 GROUP BY series),
-         |zt AS (SELECT d1.series, d1.dx - mu0.mu AS z,
-         |    (row_number() OVER (PARTITION BY d1.series ORDER BY d1.t) - 1)::BIGINT AS i
-         |  FROM d1 JOIN mu0 ON d1.series = mu0.series),
-         |par AS (SELECT series, c1 AS phi0, c2 AS theta0 FROM dt2 WHERE abs(c1) < 1.0),
-         |cand AS (SELECT dp.d AS dphi, dt.d AS dth FROM
-         |  (SELECT d::DOUBLE AS d FROM (VALUES (-0.1),(-0.05),(0.0),(0.05),(0.1)) t1(d)) dp,
-         |  (SELECT d::DOUBLE AS d FROM (VALUES (-0.1),(-0.05),(0.0),(0.05),(0.1)) t2(d)) dt),
-         |pc AS (SELECT par.series, par.phi0 + cand.dphi AS phi, par.theta0 + cand.dth AS theta
-         |  FROM par, cand WHERE abs(par.phi0 + cand.dphi) < 0.99),
-         |kf AS (
-         |  SELECT pc.series, pc.phi, pc.theta, 0::BIGINT AS i, 0.0::DOUBLE AS pred,
-         |    (1.0 + 2.0 * pc.phi * pc.theta + pc.theta * pc.theta) / (1.0 - pc.phi * pc.phi) AS f,
-         |    0.0::DOUBLE AS slogf, 0.0::DOUBLE AS sv2f
-         |  FROM pc
-         |  UNION ALL
-         |  SELECT kf.series, kf.phi, kf.theta, kf.i + 1,
-         |    kf.phi * z.z + kf.theta * (z.z - kf.pred) / kf.f AS pred,
-         |    1.0 + kf.theta * kf.theta * (1.0 - 1.0 / kf.f) AS f,
-         |    kf.slogf + ln(kf.f) AS slogf,
-         |    kf.sv2f + (z.z - kf.pred) * (z.z - kf.pred) / kf.f AS sv2f
-         |  FROM kf JOIN zt z ON z.series = kf.series AND z.i = kf.i),
-         |fin AS (SELECT kf.series, phi, theta, slogf, sv2f, n
-         |  FROM kf JOIN n0 ON kf.series = n0.series WHERE kf.i = n0.n::BIGINT),
-         |llc AS (SELECT series, phi, theta, sv2f / n AS sigma2,
-         |    (0.0 - n / 2.0) * (ln(2.0 * pi()) + 1.0 + ln(sv2f / n)) - 0.5 * slogf AS loglik
-         |  FROM fin),
-         |rnk AS (SELECT *, row_number() OVER (PARTITION BY series ORDER BY loglik DESC, phi, theta) AS rk
-         |  FROM llc)
+         |$mlFitCtes
          |SELECT series, round(phi, 4) AS phi, round(theta, 4) AS theta,
          |  round(sigma2, 4) AS sigma2, round(loglik, 4) AS loglik
          |FROM rnk WHERE rk = 1 ORDER BY series""".stripMargin,
+    "arima_ml_forecast" ->
+      s"""WITH RECURSIVE $hrSql,
+         |$mlFitCtes,
+         |win AS (SELECT series, phi, pred FROM rnk WHERE rk = 1),
+         |lastX AS (SELECT series, x AS xT FROM (
+         |    SELECT series, x, row_number() OVER (PARTITION BY series ORDER BY t DESC) AS rn
+         |    FROM s) q WHERE rn = 1),
+         |j AS (SELECT win.series, phi, pred, mu, xT
+         |  FROM win JOIN mu0 ON win.series = mu0.series
+         |  JOIN lastX ON win.series = lastX.series),
+         |c1 AS (SELECT *, xT + (mu + pred) AS xc1, phi * pred AS dz2 FROM j),
+         |c2 AS (SELECT *, xc1 + (mu + dz2) AS xc2, phi * dz2 AS dz3 FROM c1),
+         |c3 AS (SELECT *, xc2 + (mu + dz3) AS xc3, phi * dz3 AS dz4 FROM c2),
+         |c4 AS (SELECT *, xc3 + (mu + dz4) AS xc4, phi * dz4 AS dz5 FROM c3),
+         |c5 AS (SELECT *, xc4 + (mu + dz5) AS xc5 FROM c4)
+         |SELECT series, step, forecast FROM (
+         |  SELECT series, 1::BIGINT AS step, round(xc1, 4) AS forecast FROM c5
+         |  UNION ALL SELECT series, 2::BIGINT, round(xc2, 4) FROM c5
+         |  UNION ALL SELECT series, 3::BIGINT, round(xc3, 4) FROM c5
+         |  UNION ALL SELECT series, 4::BIGINT, round(xc4, 4) FROM c5
+         |  UNION ALL SELECT series, 5::BIGINT, round(xc5, 4) FROM c5
+         |) ORDER BY series, step""".stripMargin,
     "hw_fit" ->
       s"""WITH RECURSIVE ${hwFitCtes(mul = false)}
          |SELECT series, round(alpha, 2) AS alpha, round(beta, 2) AS beta,

@@ -676,7 +676,7 @@ object TimeSeries {
     * Returns (σ̂², loglik) with σ² concentrated out of the Gaussian
     * likelihood: ll = −n/2(ln 2π + 1 + ln(Σν²/F / n)) − ½Σln F. */
   private[graft] def armaLoglikeScalar(xs: Seq[Double], phi: Double,
-                                     theta: Double): (Double, Double) = {
+                                     theta: Double): (Double, Double, Double) = {
     val n = xs.length.toDouble
     val mu = xs.sum / n
     var pred = 0.0
@@ -693,7 +693,8 @@ object TimeSeries {
     }
     val ll = (0.0 - n / 2.0) *
       (math.log(2.0 * math.Pi) + 1.0 + math.log(sv2f / n)) - 0.5 * slogf
-    (sv2f / n, ll)
+    // pred is now the one-step-ahead prediction of z_{T+1} — the forecast seed
+    (sv2f / n, ll, pred)
   }
 
   /** EXACT Gaussian log-likelihood of the ARIMA(1,1,1) model at the
@@ -722,7 +723,7 @@ object TimeSeries {
       if (rs.isEmpty) Iterator.empty
       else {
         val (phi, theta) = (rs.head._4, rs.head._5)
-        val (s2, ll) = armaLoglikeScalar(rs.map(_._3), phi, theta)
+        val (s2, ll, _) = armaLoglikeScalar(rs.map(_._3), phi, theta)
         Iterator((key, phi, theta, s2, ll, -2.0 * ll + 6.0))
       }
     }.toDF("series", "_phi", "_theta", "_s2", "_ll", "_aic")
@@ -766,7 +767,7 @@ object TimeSeries {
           val phi = phi0 + dp
           val theta = theta0 + dt
           if (math.abs(phi) < 0.99) {
-            val (s2, ll) = armaLoglikeScalar(xs, phi, theta)
+            val (s2, ll, _) = armaLoglikeScalar(xs, phi, theta)
             if (ll > bestLl) { bestLl = ll; bestPhi = phi; bestTheta = theta; bestS2 = s2 }
           }
         }
@@ -777,6 +778,65 @@ object TimeSeries {
       .select(col("series"),
         round(col("_phi"), 4).as("phi"), round(col("_theta"), 4).as("theta"),
         round(col("_s2"), 4).as("sigma2"), round(col("_ll"), 4).as("loglik"))
+  }
+
+  /** h-step forecast from the ML-fitted model — the reference's
+    * fit-then-forecast composition at the likelihood optimum: run the
+    * [[arimaFitML]] grid, keep the winner's final one-step state
+    * prediction ẑ_{T+1} from the Kalman recursion, then
+    *   d̂x_{T+k} = μ + φ^{k−1}·ẑ_{T+1}   (future innovations zero)
+    * integrated back from x_T by a running sum. Winner selection and
+    * forecast seeding happen inside the one per-series pass; the only
+    * joins are last-x and the final unroll. */
+  def arimaForecastML(series: DataFrame, h: Int,
+                      deltas: Seq[Double] = Seq(-0.1, -0.05, 0.0, 0.05, 0.1)): DataFrame = {
+    require(h >= 1, "h >= 1")
+    val (rows, cf) = arimaHRStage(series)
+    val pars = cf.filter(abs(col("c1")) < 1.0)
+      .select(col("series"), col("c1").as("phi0"), col("c2").as("theta0"))
+    import series.sparkSession.implicits._
+    val joined = rows.select(col("series").cast("string"), col("t").cast("long"),
+        col("dx").cast("double"))
+      .join(pars, Seq("series"))
+      .select(col("series"), col("t"), col("dx"), col("phi0"), col("theta0"))
+      .as[(String, Long, Double, Double, Double)]
+    val winners = joined.groupByKey(_._1).flatMapGroups { (key, it) =>
+      val rs = it.toSeq.sortBy(_._2)
+      if (rs.isEmpty) Iterator.empty
+      else {
+        val (phi0, theta0) = (rs.head._4, rs.head._5)
+        val xs = rs.map(_._3)
+        val mu = xs.sum / xs.length.toDouble
+        var bestLl = Double.NegativeInfinity
+        var bestPhi = 0.0; var bestPred = 0.0
+        for (dp <- deltas; dt <- deltas) {
+          val phi = phi0 + dp
+          val theta = theta0 + dt
+          if (math.abs(phi) < 0.99) {
+            val (_, ll, pred) = armaLoglikeScalar(xs, phi, theta)
+            if (ll > bestLl) { bestLl = ll; bestPhi = phi; bestPred = pred }
+          }
+        }
+        if (bestLl == Double.NegativeInfinity) Iterator.empty
+        else Iterator((key, bestPhi, bestPred, mu))
+      }
+    }.toDF("series", "phi", "pred", "mu")
+    val wDesc = Window.partitionBy(col("series")).orderBy(col("t").desc)
+    val lastX = series.withColumn("_rn", row_number().over(wDesc))
+      .filter(col("_rn") === 1).select(col("series"), col("x").as("xT"))
+    val j = winners.join(lastX, Seq("series"))
+    var dz: Column = col("pred")
+    var cum: Column = col("xT")
+    val fs = (1 to h).map { _ =>
+      cum = cum + (col("mu") + dz)
+      val out = cum
+      dz = col("phi") * dz
+      out
+    }
+    j.select(col("series"), explode(array(fs.zipWithIndex.map { case (f, i) =>
+        struct(lit(i + 1L).as("step"), round(f, 4).as("forecast"))
+      }: _*)).as("s"))
+      .select(col("series"), col("s.step").as("step"), col("s.forecast").as("forecast"))
   }
 
   /** Per-row in-sample predictions — the reference's predict_in_sample

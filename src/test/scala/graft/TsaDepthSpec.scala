@@ -206,7 +206,7 @@ class TsaDepthSpec extends AnyFunSuite {
     val rnd = new scala.util.Random(14)
     val z = (0 until 200).map(_ => rnd.nextGaussian() * 1.5)
     // white noise: F_t = 1 for all t, ll = -n/2 (ln 2pi + 1 + ln(sum z_c^2/n))
-    val (s2a, lla) = armaLoglikeScalar(z, 0.0, 0.0)
+    val (s2a, lla, _) = armaLoglikeScalar(z, 0.0, 0.0)
     val mu = z.sum / z.length
     val zc = z.map(_ - mu)
     val s2Hand = zc.map(v => v * v).sum / z.length
@@ -215,7 +215,7 @@ class TsaDepthSpec extends AnyFunSuite {
     assert(abs(lla - llHand) < 1e-9, s"$lla vs $llHand")
     // pure AR(1): F_1 = 1/(1-phi^2), F_t = 1 after; nu_t = z_t - phi z_{t-1}
     val phi = 0.6
-    val (s2b, llb) = armaLoglikeScalar(z, phi, 0.0)
+    val (s2b, llb, _) = armaLoglikeScalar(z, phi, 0.0)
     val f1 = 1.0 / (1.0 - phi * phi)
     val nus = zc.head +: (1 until zc.length).map(t => zc(t) - phi * zc(t - 1))
     val sv2f = nus.head * nus.head / f1 + nus.tail.map(v => v * v).sum
@@ -226,8 +226,8 @@ class TsaDepthSpec extends AnyFunSuite {
     // an MA term must change (and here improve) the likelihood of MA data
     val e = (0 until 201).map(_ => rnd.nextGaussian())
     val ma = (1 to 200).map(t => e(t) + 0.7 * e(t - 1))
-    val (_, llMa) = armaLoglikeScalar(ma, 0.0, 0.7)
-    val (_, llWn) = armaLoglikeScalar(ma, 0.0, 0.0)
+    val (_, llMa, _) = armaLoglikeScalar(ma, 0.0, 0.7)
+    val (_, llWn, _) = armaLoglikeScalar(ma, 0.0, 0.0)
     assert(llMa > llWn, s"MA loglik $llMa should beat white-noise $llWn on MA data")
   }
 
