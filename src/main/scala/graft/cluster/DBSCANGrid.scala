@@ -82,9 +82,13 @@ object DBSCANGrid {
       .withColumn("cell", explode(array(offsets.map(o => col("bcell") + o): _*)))
     val sqDist = xs.map(i => (col(s"x$i") - col(s"bx$i")) * (col(s"x$i") - col(s"bx$i")))
       .reduce(_ + _)
+    // cheap per-axis rejects short-circuit before the full distance: most
+    // window candidates fail on a single coordinate, and the axis check is
+    // one subtract+compare vs d multiplies
+    val axisPrune = xs.map(i => abs(col(s"x$i") - col(s"bx$i")) <= eps).reduce(_ && _)
     val pairs = withCell.join(build, Seq("cell"))
       .filter(col("cell") =!= col("bcell") || col("id") < col("bid"))
-      .filter(sqDist <= eps * eps)
+      .filter(axisPrune && sqDist <= eps * eps)
       .select(least(col("id"), col("bid")).as("id"),
         greatest(col("id"), col("bid")).as("bid")).cache()
     val bothDirs = pairs.unionAll(pairs.select(col("bid").as("id"), col("id").as("bid")))
