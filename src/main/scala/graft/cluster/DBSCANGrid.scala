@@ -64,13 +64,25 @@ object DBSCANGrid {
       .reduceLeft((acc, c) => acc * Mult + c)
     val withCell = pts.withColumn("cell", cellKey).cache()
 
+    // extent guard: a cell coordinate outside the per-axis bit budget
+    // would silently corrupt the packed-key neighbor arithmetic (missed
+    // pairs, split clusters) — fail loudly instead. One cheap aggregate;
+    // the estimator is multi-pass anyway. Budget leaves reach cells of
+    // headroom so offset arithmetic cannot wrap either.
+    val reach = math.ceil(math.sqrt(d.toDouble)).toLong
+    val cellAbs = greatest(xs.map(i => abs(floor(col(s"x$i") / cw).cast("long"))): _*)
+    val maxCell = pts.agg(max(cellAbs)).head().getLong(0)
+    require(maxCell < Half - reach,
+      s"coordinate extent needs |coord/cellWidth| = $maxCell cells but the " +
+        s"$bits-bit per-axis budget at d=$d allows ${Half - reach - 1} — " +
+        "increase eps or rescale the features")
+
     // 2. candidate pairs via HALF-SPACE replication of the build side:
     // origin + offsets whose first nonzero component is positive.
     // H ∩ −H = {origin}, so every unordered cross-cell pair materializes
     // exactly once in one orientation; same-cell pairs (origin offset)
     // are deduped by id<bid. Half the fan-out of the full window for the
     // identical pair set (d=2: the 13-of-25 layout of rounds 1-4).
-    val reach = math.ceil(math.sqrt(d.toDouble)).toLong
     val vecs = xs.foldLeft(Seq(List.empty[Long])) { (acc, _) =>
       for (v <- acc; x <- -reach to reach) yield v :+ x
     }

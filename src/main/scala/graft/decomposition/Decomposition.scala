@@ -68,7 +68,10 @@ object PCAGraft {
     val dim = means.length
     val v = col(vecCol).cast("array<double>")
     val outs = (0 until k).map { c =>
-      val s = 1.0 / math.sqrt(r.explainedVar(c))
+      // components beyond the effective rank (λ ≤ 0 up to eigensolver
+      // noise) whiten to identically-zero scores instead of Inf/NaN
+      val ev = r.explainedVar(c)
+      val s = if (ev > 1e-12) 1.0 / math.sqrt(ev) else 0.0
       val w = Array.tabulate(dim)(i => r.components(i, c) * s)
       val base = (0 until dim).map(i => means(i) * w(i)).sum
       (graft.core.VectorOps.dotFixed(v, lit(w), dim) - base).as(s"pc$c")

@@ -63,8 +63,10 @@ object Softmax {
       val cond = (c + 1 until classes.size).map(o => scores(c) >= scores(o)).reduce(_ && _)
       when(cond, lit(classes(c))).otherwise(acc)
     }
+    // max-subtracted form: exp(s − sMax) stays in (0, 1], so large scores
+    // (an unregularized fit on separable data) can't overflow to Inf/NaN
     val sMax = greatest(scores: _*)
-    val pMax = exp(sMax) / scores.map(s => exp(s)).reduce(_ + _)
+    val pMax = lit(1.0) / scores.map(s => exp(s - sMax)).reduce(_ + _)
     (pred, pMax)
   }
 }

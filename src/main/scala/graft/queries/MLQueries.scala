@@ -205,7 +205,7 @@ object MLQueries {
         |p AS (SELECT
         |    CASE WHEN sa >= sn AND sa >= sr THEN 'A'
         |         WHEN sn >= sr THEN 'N' ELSE 'R' END AS class,
-        |    exp(greatest(sa, sn, sr)) / (exp(sa) + exp(sn) + exp(sr)) AS p
+        |    1.0 / (exp(sa - greatest(sa, sn, sr)) + exp(sn - greatest(sa, sn, sr)) + exp(sr - greatest(sa, sn, sr))) AS p
         |  FROM sc)
         |SELECT class, count(*)::BIGINT AS n, round(avg(p), 4) AS avg_pmax
         |FROM p GROUP BY class ORDER BY class""".stripMargin)

@@ -70,6 +70,9 @@ object TSAQueries {
     "hw_fit" -> { (s, d) =>
       TimeSeries.hwFit(TimeSeries.dailySeries(Tables.events(s, d)), 7,
           HwAlphas, HwBetas, HwGammas)
+        .select(col("series"), round(col("alpha"), 2).as("alpha"),
+          round(col("beta"), 2).as("beta"), round(col("gamma"), 2).as("gamma"),
+          col("sse"))
         .orderBy("series")
     },
     "hw_fit_forecast" -> { (s, d) =>
@@ -97,6 +100,9 @@ object TSAQueries {
     "hw_fit_mul" -> { (s, d) =>
       TimeSeries.hwFit(TimeSeries.dailySeries(Tables.events(s, d)), 7,
           HwAlphas, HwBetas, HwGammas, multiplicative = true)
+        .select(col("series"), round(col("alpha"), 2).as("alpha"),
+          round(col("beta"), 2).as("beta"), round(col("gamma"), 2).as("gamma"),
+          col("sse"))
         .orderBy("series")
     },
     "arima_predict_insample" -> { (s, d) =>
@@ -300,6 +306,8 @@ object TSAQueries {
        |  FROM e2$sfx GROUP BY series),
        |s2b$sfx AS (SELECT a.series,
        |    sum((2.0 / a.n) * (1.0 - k::DOUBLE / (a.lf + 1.0)) * (a.e * b.e)) AS s2b
+       |  -- 64 = the declared lag cap, mirrored in kpssTest (a lateral
+       |  -- generate_series cannot take a.lf as its bound)
        |  FROM e2$sfx a, generate_series(1, 64) AS g(k), e2$sfx b
        |  WHERE k <= a.lf::INT AND b.series = a.series AND b.t = a.t + k
        |  GROUP BY a.series),

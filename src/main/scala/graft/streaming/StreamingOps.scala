@@ -118,22 +118,16 @@ object StreamingOps {
   }
 
   /** Streaming quality gate — the ingest-time twin of
-    * text.TextOps.gopherFilters: score each arriving document against the
-    * keep/drop rules (pure codegen row expressions, no state at all) and
-    * emit only the keepers with their rule bits. The stateless filter is
-    * the 100 TB/day shape: every micro-batch is a map, nothing shuffles. */
+    * text.TextOps.gopherFilters, sharing its rule expressions
+    * (TextOps.gopherRules — one definition, so batch and stream cannot
+    * drift): keep only the documents that pass every rule, emitting their
+    * ids. Stateless — the 100 TB/day shape: every micro-batch is a map,
+    * nothing shuffles. */
   def streamingQualityGate(docs: DataFrame): DataFrame = {
-    val toks = split(col("text"), " ")
-    val nw = size(toks).cast("double")
-    val mwl = (length(col("text")).cast("double") - (nw - lit(1.0))) / nw
-    val numFrac = size(filter(toks, t => t.rlike("^[0-9]+$"))).cast("double") / nw
-    val uniqR = size(array_distinct(toks)).cast("double") / nw
-    docs.select(col("doc_id").cast("long").as("doc"),
-        (nw >= 10.0 && nw <= 1000.0).as("r_wc"),
-        (mwl >= 2.0 && mwl <= 12.0).as("r_mwl"),
-        (numFrac <= 0.3).as("r_num"),
-        (uniqR >= 0.2).as("r_uniq"))
-      .filter(col("r_wc") && col("r_mwl") && col("r_num") && col("r_uniq"))
+    val rules = graft.text.TextOps.gopherRules(col("text"))
+    docs.select((col("doc_id").cast("long").as("doc") +:
+        rules.map { case (n, c) => c.as(n) }): _*)
+      .filter(rules.map(r => col(r._1)).reduce(_ && _))
       .select(col("doc"))
   }
 

@@ -141,16 +141,7 @@ object TextOps {
     * aggregate — emits per-rule failure counts and the surviving-doc
     * count, the shape a pipeline dashboard reads. */
   def gopherFilters(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val toks = tokens(col(textCol))
-    val nw = size(toks).cast("double")
-    val mwl = (length(col(textCol)).cast("double") - (nw - lit(1.0))) / nw
-    val numFrac = size(filter(toks, t => t.rlike("^[0-9]+$"))).cast("double") / nw
-    val uniqR = size(array_distinct(toks)).cast("double") / nw
-    df.select(
-        (nw >= 10.0 && nw <= 1000.0).as("r_wc"),
-        (mwl >= 2.0 && mwl <= 12.0).as("r_mwl"),
-        (numFrac <= 0.3).as("r_num"),
-        (uniqR >= 0.2).as("r_uniq"))
+    df.select(gopherRules(col(textCol)).map { case (n, c) => c.as(n) }: _*)
       .agg(
         count(lit(1)).as("n_docs"),
         sum(when(col("r_wc"), 0L).otherwise(1L)).as("fail_word_count"),
@@ -159,6 +150,21 @@ object TextOps {
         sum(when(col("r_uniq"), 0L).otherwise(1L)).as("fail_uniq_ratio"),
         sum(when(col("r_wc") && col("r_mwl") && col("r_num") && col("r_uniq"), 1L)
           .otherwise(0L)).as("n_keep"))
+  }
+
+  /** The four keep/drop rule expressions behind [[gopherFilters]] and the
+    * streaming quality gate — ONE definition so the batch composite and
+    * the ingest-time filter can never drift apart. */
+  private[graft] def gopherRules(t: Column): Seq[(String, Column)] = {
+    val toks = tokens(t)
+    val nw = size(toks).cast("double")
+    val mwl = (length(t).cast("double") - (nw - lit(1.0))) / nw
+    val numFrac = size(filter(toks, x => x.rlike("^[0-9]+$"))).cast("double") / nw
+    val uniqR = size(array_distinct(toks)).cast("double") / nw
+    Seq("r_wc" -> (nw >= 10.0 && nw <= 1000.0),
+      "r_mwl" -> (mwl >= 2.0 && mwl <= 12.0),
+      "r_num" -> (numFrac <= 0.3),
+      "r_uniq" -> (uniqR >= 0.2))
   }
 
   /** Domain-mixing weights: given literal target shares T_k per key

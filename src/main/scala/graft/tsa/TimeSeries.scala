@@ -217,6 +217,50 @@ object TimeSeries {
     (sse, l, b, seas.toIndexedSeq)
   }
 
+  /** The (α,β,γ) lattice argmin shared by hwFit/hwFitForecast/hwFitState:
+    * iterate candidates ascending with strict <, so the tie-break is
+    * lattice order — exactly the oracle's ORDER BY sse, alpha, beta,
+    * gamma. Returns (sse, α, β, γ, level, trend, seasonal window). */
+  private def hwGridWinner(xs: IndexedSeq[Double], m: Int, alphas: Seq[Double],
+                           betas: Seq[Double], gammas: Seq[Double],
+                           multiplicative: Boolean)
+      : (Double, Double, Double, Double, Double, Double, IndexedSeq[Double]) = {
+    var bestSse = Double.PositiveInfinity
+    var bestA = 0.0; var bestB = 0.0; var bestG = 0.0
+    var bestL = 0.0; var bestTr = 0.0
+    var bestSeas: IndexedSeq[Double] = IndexedSeq.empty
+    for (a <- alphas; bt <- betas; g <- gammas) {
+      val (sse, l, b, seas) = hwRunAdd(xs, m, a, bt, g, multiplicative)
+      if (sse < bestSse) {
+        bestSse = sse; bestA = a; bestB = bt; bestG = g
+        bestL = l; bestTr = b; bestSeas = seas
+      }
+    }
+    (bestSse, bestA, bestB, bestG, bestL, bestTr, bestSeas)
+  }
+
+  /** The (δφ, δθ) likelihood-grid argmax shared by arimaFitML and
+    * arimaForecastML: ascending lattice with strict >, |φ| ≥ 0.99
+    * candidates excluded. Returns None when no candidate is stationary. */
+  private def mlGridWinner(xs: Seq[Double], phi0: Double, theta0: Double,
+                           deltas: Seq[Double])
+      : Option[(Double, Double, Double, Double, Double)] = {
+    var bestLl = Double.NegativeInfinity
+    var bestPhi = 0.0; var bestTheta = 0.0; var bestS2 = 0.0; var bestPred = 0.0
+    for (dp <- deltas; dt <- deltas) {
+      val phi = phi0 + dp
+      val theta = theta0 + dt
+      if (math.abs(phi) < 0.99) {
+        val (s2, ll, pred) = armaLoglikeScalar(xs, phi, theta)
+        if (ll > bestLl) {
+          bestLl = ll; bestPhi = phi; bestTheta = theta; bestS2 = s2; bestPred = pred
+        }
+      }
+    }
+    if (bestLl == Double.NegativeInfinity) None
+    else Some((bestPhi, bestTheta, bestS2, bestLl, bestPred))
+  }
+
   /** Holt-Winters smoothing-parameter FIT — the reference's
     * ExponentialSmoothing.fit() optimizes α/β/γ per series by a
     * golden-section/parabolic line search on the one-step SSE
@@ -240,19 +284,15 @@ object TimeSeries {
       val xs = it.toSeq.sortBy(_._2).map(_._3).toIndexedSeq
       if (xs.length < 2 * m) Iterator.empty
       else {
-        var bestA = 0.0; var bestB = 0.0; var bestG = 0.0
-        var bestSse = Double.PositiveInfinity
-        for (a <- alphas; bt <- betas; g <- gammas) {
-          val (sse, _, _, _) = hwRunAdd(xs, m, a, bt, g, multiplicative)
-          if (sse < bestSse) { bestSse = sse; bestA = a; bestB = bt; bestG = g }
-        }
-        Iterator((key, bestA, bestB, bestG, bestSse))
+        val (sse, a, b, g, _, _, _) =
+          hwGridWinner(xs, m, alphas, betas, gammas, multiplicative)
+        Iterator((key, a, b, g, sse))
       }
     }.toDF("series", "_a", "_b", "_g", "_sse")
+      // α/β/γ are reported raw (exact lattice members) — display rounding
+      // belongs to the query layer
       .select(col("series"),
-        round(col("_a"), 2).as("alpha"),
-        round(col("_b"), 2).as("beta"),
-        round(col("_g"), 2).as("gamma"),
+        col("_a").as("alpha"), col("_b").as("beta"), col("_g").as("gamma"),
         round(col("_sse"), 4).as("sse"))
   }
 
@@ -271,14 +311,8 @@ object TimeSeries {
       val xs = it.toSeq.sortBy(_._2).map(_._3).toIndexedSeq
       if (xs.length < 2 * m) Iterator.empty
       else {
-        var bestSse = Double.PositiveInfinity
-        var bestL = 0.0; var bestB = 0.0
-        var bestSeas: IndexedSeq[Double] = IndexedSeq.empty
-        for (a <- alphas; bt <- betas; g <- gammas) {
-          val (sse, l, b, seas) = hwRunAdd(xs, m, a, bt, g)
-          if (sse < bestSse) { bestSse = sse; bestL = l; bestB = b; bestSeas = seas }
-        }
-        val (l, b, seas) = (bestL, bestB, bestSeas)
+        val (_, _, _, _, l, b, seas) =
+          hwGridWinner(xs, m, alphas, betas, gammas, multiplicative = false)
         (1 to h).iterator.map { k =>
           (key, k.toLong, l + k * b + seas((k - 1) % m))
         }
@@ -301,15 +335,10 @@ object TimeSeries {
       val xs = it.toSeq.sortBy(_._2).map(_._3).toIndexedSeq
       if (xs.length < 2 * m) Iterator.empty
       else {
-        var bestSse = Double.PositiveInfinity
-        var bestL = 0.0; var bestB = 0.0
-        var bestSeas: IndexedSeq[Double] = IndexedSeq.empty
-        for (a <- alphas; bt <- betas; g <- gammas) {
-          val (sse, l, b, seas) = hwRunAdd(xs, m, a, bt, g)
-          if (sse < bestSse) { bestSse = sse; bestL = l; bestB = b; bestSeas = seas }
-        }
-        (("level", bestL) +: ("trend", bestB) +:
-          bestSeas.zipWithIndex.map { case (s, i) => (s"season_$i", s) })
+        val (_, _, _, _, l, b, seas) =
+          hwGridWinner(xs, m, alphas, betas, gammas, multiplicative = false)
+        (("level", l) +: ("trend", b) +:
+          seas.zipWithIndex.map { case (s, i) => (s"season_$i", s) })
           .iterator.map { case (c, v) => (key, c, v) }
       }
     }.toDF("series", "component", "_v")
@@ -342,8 +371,11 @@ object TimeSeries {
       max(col("n")).as("n"), max(col("lf")).as("lf"),
       sum(col("e") * col("e")).as("s2a"),
       sum(col("s") * col("s")).as("eta"))
+    // declared cap at 64 lags (n would need to exceed ~8*10^4 for Schwert
+    // L > 64) — mirrored in the oracle, whose lateral generate_series
+    // cannot take a column bound
     val a = e.select(col("series"), col("t"), col("e"), col("n"), col("lf"))
-      .withColumn("k", explode(sequence(lit(1), col("lf").cast("int"))))
+      .withColumn("k", explode(sequence(lit(1), least(col("lf").cast("int"), lit(64)))))
     val b = e.select(col("series").as("bseries"), col("t").as("bt"), col("e").as("be"))
     val s2b = a.join(b, col("bseries") === col("series") && col("bt") === col("t") + col("k"))
       .groupBy(col("series"))
@@ -758,22 +790,8 @@ object TimeSeries {
     joined.groupByKey(_._1).flatMapGroups { (key, it) =>
       val rs = it.toSeq.sortBy(_._2)
       if (rs.isEmpty) Iterator.empty
-      else {
-        val (phi0, theta0) = (rs.head._4, rs.head._5)
-        val xs = rs.map(_._3)
-        var bestLl = Double.NegativeInfinity
-        var bestPhi = 0.0; var bestTheta = 0.0; var bestS2 = 0.0
-        for (dp <- deltas; dt <- deltas) {
-          val phi = phi0 + dp
-          val theta = theta0 + dt
-          if (math.abs(phi) < 0.99) {
-            val (s2, ll, _) = armaLoglikeScalar(xs, phi, theta)
-            if (ll > bestLl) { bestLl = ll; bestPhi = phi; bestTheta = theta; bestS2 = s2 }
-          }
-        }
-        if (bestLl == Double.NegativeInfinity) Iterator.empty
-        else Iterator((key, bestPhi, bestTheta, bestS2, bestLl))
-      }
+      else mlGridWinner(rs.map(_._3), rs.head._4, rs.head._5, deltas)
+        .map { case (phi, theta, s2, ll, _) => (key, phi, theta, s2, ll) }.iterator
     }.toDF("series", "_phi", "_theta", "_s2", "_ll")
       .select(col("series"),
         round(col("_phi"), 4).as("phi"), round(col("_theta"), 4).as("theta"),
@@ -804,21 +822,10 @@ object TimeSeries {
       val rs = it.toSeq.sortBy(_._2)
       if (rs.isEmpty) Iterator.empty
       else {
-        val (phi0, theta0) = (rs.head._4, rs.head._5)
         val xs = rs.map(_._3)
         val mu = xs.sum / xs.length.toDouble
-        var bestLl = Double.NegativeInfinity
-        var bestPhi = 0.0; var bestPred = 0.0
-        for (dp <- deltas; dt <- deltas) {
-          val phi = phi0 + dp
-          val theta = theta0 + dt
-          if (math.abs(phi) < 0.99) {
-            val (_, ll, pred) = armaLoglikeScalar(xs, phi, theta)
-            if (ll > bestLl) { bestLl = ll; bestPhi = phi; bestPred = pred }
-          }
-        }
-        if (bestLl == Double.NegativeInfinity) Iterator.empty
-        else Iterator((key, bestPhi, bestPred, mu))
+        mlGridWinner(xs, rs.head._4, rs.head._5, deltas)
+          .map { case (phi, _, _, _, pred) => (key, phi, pred, mu) }.iterator
       }
     }.toDF("series", "phi", "pred", "mu")
     val wDesc = Window.partitionBy(col("series")).orderBy(col("t").desc)
@@ -907,7 +914,10 @@ object TimeSeries {
       .select(col("series"), col("ord"), round(col("bic"), 4).as("bic"),
         when(col("rk") === 1, 1L).otherwise(0L).as("chosen"))
       .cache()
-    out.count() // materialize, then release the fit-stage cache
+    // eager materialization lets the big fit-stage cache be released here;
+    // the retained result cache is O(4 rows × series) — result-sized, the
+    // same footprint the caller holds anyway
+    out.count()
     common.unpersist()
     out
   }
@@ -1082,7 +1092,8 @@ object TimeSeries {
         var x = Array.tabulate(dim)(i => if (i == 0) sorted.head._3.head else 0.0)
         var p = Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
         var si = 0.0
-        sorted.tail.foreach { case (_, _, zSeq) =>
+        var singular = false
+        sorted.tail.withFilter(_ => !singular).foreach { case (_, _, zSeq) =>
           val z = zSeq.toArray
           val xp = Array.tabulate(dim)(i => (0 until dim).map(j => fA(i)(j) * x(j)).sum)
           val fp = Array.tabulate(dim, dim)((i, j) =>
@@ -1105,26 +1116,35 @@ object TimeSeries {
             for (r2 <- c + 1 until dz) if (math.abs(m(r2)(c)) > math.abs(m(piv)(c))) piv = r2
             val tm = m(c); m(c) = m(piv); m(piv) = tm
             val tr = rhs(c); rhs(c) = rhs(piv); rhs(piv) = tr
-            for (r2 <- c + 1 until dz) {
+            // singular S (duplicate noiseless sensors): visible failure
+            // beats NaN-poisoned state — same policy as arFitWide
+            if (m(c)(c) == 0.0) singular = true
+            else for (r2 <- c + 1 until dz) {
               val fct = m(r2)(c) / m(c)(c)
               for (cc <- c until dz) m(r2)(cc) -= fct * m(c)(cc)
               for (i <- 0 until dim) rhs(r2)(i) -= fct * rhs(c)(i)
             }
           }
-          val kT = Array.ofDim[Double](dz, dim)               // Kᵀ rows
-          for (c <- dz - 1 to 0 by -1; i <- 0 until dim) {
-            var v = rhs(c)(i)
-            for (cc <- c + 1 until dz) v -= m(c)(cc) * kT(cc)(i)
-            kT(c)(i) = v / m(c)(c)
+          if (!singular) {
+            val kT = Array.ofDim[Double](dz, dim)             // Kᵀ rows
+            for (c <- dz - 1 to 0 by -1; i <- 0 until dim) {
+              var v = rhs(c)(i)
+              for (cc <- c + 1 until dz) v -= m(c)(cc) * kT(cc)(i)
+              kT(c)(i) = v / m(c)(c)
+            }
+            val nu = Array.tabulate(dz)(a =>
+              z(a) - (0 until dim).map(k => hA(a)(k) * xp(k)).sum)
+            x = Array.tabulate(dim)(i => xp(i) + (0 until dz).map(a => kT(a)(i) * nu(a)).sum)
+            p = Array.tabulate(dim, dim)((i, j) =>
+              pp(i)(j) - (0 until dz).map(a => kT(a)(i) * hp(a)(j)).sum)
+            si += nu.map(v => v * v).sum
           }
-          val nu = Array.tabulate(dz)(a =>
-            z(a) - (0 until dim).map(k => hA(a)(k) * xp(k)).sum)
-          x = Array.tabulate(dim)(i => xp(i) + (0 until dz).map(a => kT(a)(i) * nu(a)).sum)
-          p = Array.tabulate(dim, dim)((i, j) =>
-            pp(i)(j) - (0 until dz).map(a => kT(a)(i) * hp(a)(j)).sum)
-          si += nu.map(v => v * v).sum
         }
-        Iterator((key, sorted.last._2, x.toSeq, p(0)(0), si))
+        if (singular)
+          Iterator((key, sorted.last._2, Option.empty[Seq[Double]],
+            Option.empty[Double], Option.empty[Double]))
+        else Iterator((key, sorted.last._2, Option(x.toSeq),
+          Option(p(0)(0)), Option(si)))
       }
     }.toDF("series", "t_last", "_st", "_p", "_si")
       .select(col("series"), col("t_last"),
