@@ -31,16 +31,28 @@ object DBSCANGrid {
     fitND(points, idCol, Seq(xCol, yCol), eps, minPts, ccEdgeLimit)
 
   /** n-dimensional grid DBSCAN (reference dbscan.pyx accepts any feature
-    * count). Cells are eps/√d wide, so the cell DIAGONAL is exactly eps
-    * and same-cell merging stays exact in any dimension; eps spans √d
-    * cell widths, so candidate pairs live within ±⌈√d⌉ cells per axis.
-    * The candidate window is (2⌈√d⌉+1)^d cells — the grid method is for
-    * LOW d (the regime where cuML's own grid/rtree strategies win; at
-    * high d use knnJoin-style brute force), enforced by d ≤ 5.
+    * count). TWO grids, one job each does what one grid cannot do cheaply:
+    *
+    *  - candidate PAIRS come from COARSE cells of width eps: two points
+    *    within eps are within ±1 coarse cell per axis, so the window is
+    *    3^d and half-space replication is (3^d+1)/2 offsets (d=3: 14 — vs
+    *    63 on a fine ±⌈√d⌉ window, 4.5× less explode/shuffle volume, the
+    *    term that dominates at corpus scale). Every candidate is still
+    *    distance-verified, so the pair set is EXACTLY all eps-pairs.
+    *  - cluster MERGING runs on FINE cells of width eps/√d: the fine-cell
+    *    diagonal is exactly eps, so same-fine-cell core points are always
+    *    mutual eps-neighbors and the cell-graph CC is exact, with the
+    *    graph bounded by occupied cells, not by n.
+    *
+    * The grid method is for LOW d (the regime where cuML's own grid/rtree
+    * strategies win; at high d use knnJoin-style brute force), enforced by
+    * d ≤ 5.
     *
     * Cell coordinates pack into one long key, ⌊62/d⌋ bits per axis
     * (signed-centered: valid for |coord/cw| < 2^(bits−1) — at d=2 that
-    * is the old 31-bit layout, at d=3 a ±2^19-cell extent per axis).
+    * is the old 31-bit layout, at d=3 a ±2^19-cell extent per axis; the
+    * fine grid has the larger coordinates, so its extent guard also
+    * covers the coarse key).
     *
     * @param ccEdgeLimit cell-edge count above which the connected
     *   components run distributed (min-label propagation) instead of in a
@@ -55,36 +67,41 @@ object DBSCANGrid {
     val pts = points.select((col(idCol).cast("long").as("id") +:
       xs.map(i => col(featCols(i)).cast("double").as(s"x$i"))): _*)
 
-    // 1. per-axis cell coordinates packed into one long key (Horner)
+    // 1. per-axis cell coordinates packed into one long key (Horner):
+    // fine (width eps/√d, exact same-cell merging) for the CC grid,
+    // coarse (width eps, ±1 candidate window) for the pair join
     val cw = eps / math.sqrt(d.toDouble)
     val bits = 62 / d
     val Half = 1L << (bits - 1)
     val Mult = 1L << bits
-    val cellKey = xs.map(i => floor(col(s"x$i") / cw).cast("long") + Half)
-      .reduceLeft((acc, c) => acc * Mult + c)
-    val withCell = pts.withColumn("cell", cellKey).cache()
+    def packed(width: Double) =
+      xs.map(i => floor(col(s"x$i") / width).cast("long") + Half)
+        .reduceLeft((acc, c) => acc * Mult + c)
+    val withCell = pts.withColumn("fcell", packed(cw))
+      .withColumn("cell", packed(eps)).cache()
 
     // extent guard: a cell coordinate outside the per-axis bit budget
     // would silently corrupt the packed-key neighbor arithmetic (missed
     // pairs, split clusters) — fail loudly instead. One cheap aggregate;
-    // the estimator is multi-pass anyway. Budget leaves reach cells of
-    // headroom so offset arithmetic cannot wrap either.
-    val reach = math.ceil(math.sqrt(d.toDouble)).toLong
+    // the estimator is multi-pass anyway. Checked on the FINE grid (the
+    // larger coordinates) with ⌈√d⌉ cells of headroom, which covers the
+    // coarse key's ±1 offset arithmetic a fortiori.
+    val headroom = math.ceil(math.sqrt(d.toDouble)).toLong
     val cellAbs = greatest(xs.map(i => abs(floor(col(s"x$i") / cw).cast("long"))): _*)
     val maxCell = pts.agg(max(cellAbs)).head().getLong(0)
-    require(maxCell < Half - reach,
+    require(maxCell < Half - headroom,
       s"coordinate extent needs |coord/cellWidth| = $maxCell cells but the " +
-        s"$bits-bit per-axis budget at d=$d allows ${Half - reach - 1} — " +
+        s"$bits-bit per-axis budget at d=$d allows ${Half - headroom - 1} — " +
         "increase eps or rescale the features")
 
-    // 2. candidate pairs via HALF-SPACE replication of the build side:
-    // origin + offsets whose first nonzero component is positive.
-    // H ∩ −H = {origin}, so every unordered cross-cell pair materializes
-    // exactly once in one orientation; same-cell pairs (origin offset)
-    // are deduped by id<bid. Half the fan-out of the full window for the
-    // identical pair set (d=2: the 13-of-25 layout of rounds 1-4).
+    // 2. candidate pairs via HALF-SPACE replication of the build side over
+    // the coarse ±1 window: origin + offsets whose first nonzero component
+    // is positive. H ∩ −H = {origin}, so every unordered cross-cell pair
+    // materializes exactly once in one orientation; same-cell pairs
+    // (origin offset) are deduped by id<bid. (3^d+1)/2 offsets — d=2: 5,
+    // d=3: 14, d=5: 122.
     val vecs = xs.foldLeft(Seq(List.empty[Long])) { (acc, _) =>
-      for (v <- acc; x <- -reach to reach) yield v :+ x
+      for (v <- acc; x <- -1L to 1L) yield v :+ x
     }
     val offsets = vecs
       .filter(v => v.find(_ != 0L).forall(_ > 0L))
@@ -98,7 +115,9 @@ object DBSCANGrid {
     // window candidates fail on a single coordinate, and the axis check is
     // one subtract+compare vs d multiplies
     val axisPrune = xs.map(i => abs(col(s"x$i") - col(s"bx$i")) <= eps).reduce(_ && _)
-    val pairs = withCell.join(build, Seq("cell"))
+    val probe = withCell.select((col("id") +: col("cell") +:
+      xs.map(i => col(s"x$i"))): _*)
+    val pairs = probe.join(build, Seq("cell"))
       .filter(col("cell") =!= col("bcell") || col("id") < col("bid"))
       .filter(axisPrune && sqDist <= eps * eps)
       .select(least(col("id"), col("bid")).as("id"),
@@ -109,7 +128,7 @@ object DBSCANGrid {
     val degrees = bothDirs.groupBy("id").agg(count(lit(1)).as("deg"))
     val core = withCell.join(degrees, Seq("id"), "left")
       .withColumn("is_core", coalesce(col("deg"), lit(0L)) >= (minPts - 1))
-      .select(col("id"), col("cell"), col("is_core")).cache()
+      .select(col("id"), col("fcell").as("cell"), col("is_core")).cache()
 
     // 4. distinct core-cell edges -> connected components. Small graphs
     // collapse into a driver union-find (zero extra jobs); past
