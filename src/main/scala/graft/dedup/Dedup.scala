@@ -206,6 +206,45 @@ object Dedup {
         r4(col("_m") / col("_n")).as("ratio"))
   }
 
+  /** Line/segment-level dedup — the CCNet/C4 shape (reference corpus
+    * pipelines drop boilerplate LINES repeated across pages; here the
+    * segment is k consecutive normalized words, since the corpus carries
+    * no newlines): split each document into consecutive k-word segments,
+    * count identical segments corpus-wide, and for any segment occurring
+    * ≥ minCount times keep only its FIRST occurrence (min (doc, pos)) —
+    * every other copy is dropped; the survivors reassemble in document
+    * order. Emits (doc, n_segs, n_kept, clean_hash=md5 of the cleaned
+    * text) for every input document.
+    *
+    * Scale shape: segmentation is a pure map; the count+first-occurrence
+    * pass is ONE map-side-combined groupBy on the segment (uniform
+    * content key); survivors join back on that key and reassemble with a
+    * groupBy on doc id. No windows over the corpus, no driver state. */
+  def segmentDedup(df: DataFrame, textCol: String, idCol: String,
+                   k: Int = 3, minCount: Long = 2L): DataFrame = {
+    val toks = split(normText(col(textCol)), " ")
+    val nSeg = ceil(size(toks).cast("double") / k).cast("int")
+    val segs = df.select(col(idCol).cast("long").as("doc"),
+        posexplode(transform(sequence(lit(0), nSeg - 1),
+          i => array_join(slice(toks, i * k + 1, lit(k)), " "))))
+      .toDF("doc", "i", "seg")
+    val firsts = segs.groupBy(col("seg")).agg(
+      count(lit(1)).as("n"), min(struct(col("doc"), col("i"))).as("keep"))
+    val kept = segs.join(firsts, Seq("seg"))
+      .filter(col("n") < minCount ||
+        (col("keep.doc") === col("doc") && col("keep.i") === col("i")))
+    val agg = kept.groupBy(col("doc")).agg(
+      count(lit(1)).cast("long").as("n_kept"),
+      md5(array_join(
+        transform(array_sort(collect_list(struct(col("i"), col("seg")))),
+          s => s.getField("seg")), " ")).as("clean_hash"))
+    segs.groupBy(col("doc")).agg(count(lit(1)).cast("long").as("n_segs"))
+      .join(agg, Seq("doc"), "left")
+      .select(col("doc"), col("n_segs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_hash"), md5(lit(""))).as("clean_hash"))
+  }
+
   /** Transitive duplicate groups: connected components over the minhash
     * candidate pairs, each doc mapped to its group keeper (min doc id) —
     * what a pipeline actually drops on. Exactly 8 min-label-propagation

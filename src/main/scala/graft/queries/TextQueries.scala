@@ -32,6 +32,11 @@ object TextQueries {
     "dedup_clusters" -> { (s, d) =>
       Dedup.minhashClusters(Tables.documents(s, d), "text", "doc_id").orderBy("doc")
     },
+    "dedup_segments" -> { (s, d) =>
+      Dedup.segmentDedup(Tables.documents(s, d), "text", "doc_id",
+          k = 3, minCount = 2L)
+        .orderBy("doc")
+    },
     "jaccard_lsh" -> { (s, d) =>
       Dedup.jaccardForCandidates(Tables.documents(s, d), "text", "doc_id")
         .select(col("doc1"), col("doc2"), r6(col("jaccard")).as("jaccard"))
@@ -60,6 +65,26 @@ object TextQueries {
           docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50),
           "text", "doc_id")
         .orderBy("doc")
+    },
+    "hashed_ngram_score" -> { (s, d) =>
+      // closed-form pseudo-weights (Knuth multiplicative hash of the
+      // bucket id) so the oracle replays the lookup without a 256-literal
+      // list; the trained-weights path is exercised in PipelineOpsSpec
+      TextOps.hashedNgramScore(Tables.documents(s, d), "text", "doc_id",
+          buckets = 256,
+          weightOf = b => ((b * lit(2654435761L)) % 1997).cast("double") / 1997.0 - 0.5,
+          bias = 0.1)
+        .orderBy("doc")
+    },
+    "pii_mask" -> { (s, d) =>
+      // the corpus carries no PII, so the query plants a deterministic
+      // email/IP/number per doc (derived from doc_id identically in the
+      // oracle) — the masking path is exercised for real
+      val withPii = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com from 192.168."), (col("doc_id") % 256).cast("string"),
+          lit(".7 or call 55512"), (col("doc_id") + 34567).cast("string")).as("text"))
+      TextOps.piiMask(withPii, "text", "doc_id").orderBy("doc")
     },
     "langid" -> { (s, d) =>
       Tables.documents(s, d)
@@ -137,6 +162,52 @@ object TextQueries {
       """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash,
         |  min(doc_id)::BIGINT AS keeper_id, count(*)::BIGINT AS n_copies
         |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
+    "dedup_segments" ->
+      s"""WITH n AS (SELECT doc_id::BIGINT AS doc, $normToks AS w FROM documents),
+         |segs AS (SELECT doc, g.i AS i,
+         |    array_to_string(list_slice(w, g.i*3+1, g.i*3+3), ' ') AS seg
+         |  -- 4000 = constant lateral bound (generate_series cannot take
+         |  -- len(w) as its bound); WHERE keeps the real segment count
+         |  FROM n, generate_series(0, 4000) AS g(i) WHERE g.i*3 < len(w)),
+         |m AS (SELECT doc, i, seg,
+         |    count(*) OVER (PARTITION BY seg) AS cnt,
+         |    row_number() OVER (PARTITION BY seg ORDER BY doc, i) AS rn
+         |  FROM segs),
+         |kept AS (SELECT doc, i, seg FROM m WHERE cnt < 2 OR rn = 1),
+         |agg AS (SELECT doc, count(*)::BIGINT AS n_kept,
+         |    md5(string_agg(seg, ' ' ORDER BY i)) AS clean_hash
+         |  FROM kept GROUP BY doc),
+         |tot AS (SELECT doc, count(*)::BIGINT AS n_segs FROM segs GROUP BY doc)
+         |SELECT t.doc, t.n_segs, coalesce(a.n_kept, 0::BIGINT) AS n_kept,
+         |  coalesce(a.clean_hash, md5('')) AS clean_hash
+         |FROM tot t LEFT JOIN agg a USING (doc) ORDER BY doc""".stripMargin,
+    "hashed_ngram_score" ->
+      s"""WITH n AS (SELECT doc_id::BIGINT AS doc, $normToks AS toks FROM documents),
+         |g AS (SELECT doc,
+         |    len(toks) + greatest(len(toks) - 1, 0) AS n_grams,
+         |    coalesce(list_sum(list_transform(toks, t ->
+         |      (((('0x' || substr(md5(t), 1, 15))::BIGINT % 256) * 2654435761) % 1997)::DOUBLE / 1997.0 - 0.5)), 0.0)
+         |    + coalesce(list_sum(list_transform(range(0, len(toks) - 1), i ->
+         |      (((('0x' || substr(md5(toks[i+1] || '_' || toks[i+2]), 1, 15))::BIGINT % 256) * 2654435761) % 1997)::DOUBLE / 1997.0 - 0.5)), 0.0)
+         |    AS s
+         |  FROM n)
+         |SELECT doc, n_grams::BIGINT AS n_grams,
+         |  round(1.0 / (1.0 + exp(-(0.1 + s))), 6) AS score
+         |FROM g ORDER BY doc""".stripMargin,
+    "pii_mask" ->
+      """WITH p AS (SELECT doc_id::BIGINT AS doc,
+        |    text || ' contact user' || doc_id || '@example.com from 192.168.' ||
+        |    (doc_id % 256) || '.7 or call 55512' || (doc_id + 34567) AS t
+        |  FROM documents)
+        |SELECT doc,
+        |  len(regexp_extract_all(t, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))::BIGINT AS n_emails,
+        |  len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ips,
+        |  len(regexp_extract_all(t, '\d{7,}'))::BIGINT AS n_nums,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\d{7,}', '<NUM>', 'g')) AS masked_hash
+        |FROM p ORDER BY doc""".stripMargin,
     "dedup_minhash" ->
       s"""WITH n AS (SELECT doc_id, $normToks AS toks FROM documents),
          |sh AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 3

@@ -48,4 +48,77 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(r("de") == ((50L, 40L, 0.8)), r("de").toString)
     assert(r("zh") == ((10L, 10L, 1.0)), r("zh").toString)
   }
+
+  test("segment dedup: repeated segment keeps first copy only, order preserved") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.md5
+    // k=2 segments: doc1 = [a b][c d], doc2 = [c d][e f], doc3 = [c d]
+    // "c d" occurs 3x -> only doc1's copy survives; everything else unique
+    val df = Seq((1L, "a b c d"), (2L, "c d e f"), (3L, "c d"))
+      .toDF("doc_id", "text")
+    val r = graft.dedup.Dedup.segmentDedup(df, "text", "doc_id", k = 2, minCount = 2L)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getString(3)))).toMap
+    def h(s: String) = df.sparkSession.range(1)
+      .select(md5(org.apache.spark.sql.functions.lit(s))).head().getString(0)
+    assert(r(1L) == ((2L, 2L, h("a b c d"))), r(1L).toString)   // untouched
+    assert(r(2L) == ((2L, 1L, h("e f"))), r(2L).toString)       // "c d" dropped
+    assert(r(3L) == ((1L, 0L, h(""))), r(3L).toString)          // emptied out
+  }
+
+  test("pii mask: planted email/ip/number each masked and counted; clean text untouched") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{lit, md5}
+    val df = Seq(
+      (1L, "mail a@b.io and c.d+x@e.co.uk ip 10.0.0.1 acct 123456789"),
+      (2L, "nothing sensitive here 123 1.2 10.0.0"))
+      .toDF("doc_id", "text")
+    val r = TextOps.piiMask(df, "text", "doc_id")
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getString(4)))).toMap
+    def h(s: String) = df.sparkSession.range(1).select(md5(lit(s))).head().getString(0)
+    assert(r(1L) == ((2L, 1L, 1L,
+      h("mail <EMAIL> and <EMAIL> ip <IP> acct <NUM>"))), r(1L).toString)
+    assert(r(2L) == ((0L, 0L, 0L,
+      h("nothing sensitive here 123 1.2 10.0.0"))), r(2L).toString)
+  }
+
+  test("hashed-ngram classifier: QN fit on bucket counts separates a planted marker") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, element_at, lit, typedLit}
+    val B = 64
+    val fill = Seq("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+      "golf", "hotel", "india", "juliet")
+    // 60 docs over a fixed filler vocab; label-1 docs carry the marker
+    // word "excellent" (md5 bucket 23, colliding with no filler unigram)
+    def doc(i: Int, marked: Boolean): String = {
+      val ws = (0 until 12).map(j => fill((i * 7 + j * 3) % fill.size))
+      (if (marked) ws.init :+ "excellent" else ws).mkString(" ")
+    }
+    val df = (0 until 60).map(i => (i.toLong, doc(i, i % 2 == 0), (i % 2).toDouble))
+      .toDF("doc_id", "text", "label")
+    val feats = TextOps.hashedNgramCounts(df, "text", "doc_id", B)
+      .join(df.select(col("doc_id").as("doc"), col("label")), Seq("doc"))
+      .cache()
+    val m = graft.linear.GradientSolver.fitQN(feats, (0 until B).map(b => s"h$b"),
+      "label", l2 = 1e-3, maxIter = 40)
+    // score the same docs through the inference path with the FITTED
+    // weights (bias = intercept, bucket weight = coefficient lookup)
+    val w = m.coefs.tail.toArray
+    val scored = TextOps.hashedNgramScore(df, "text", "doc_id", B,
+        weightOf = b => element_at(typedLit(w), b.cast("int") + 1),
+        bias = m.coefs.head)
+      .join(df.select(col("doc_id").as("doc"), col("label")), Seq("doc"))
+    val acc = scored.filter((col("score") > 0.5) === (col("label") === 1.0))
+      .count() / 60.0
+    assert(acc >= 0.95, s"train accuracy $acc")
+    feats.unpersist()
+  }
+
+  test("segment dedup: below-threshold repeats are all kept") {
+    import spark.implicits._
+    val df = Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text")
+    val r = graft.dedup.Dedup.segmentDedup(df, "text", "doc_id", k = 2, minCount = 3L)
+      .collect().map(x => x.getLong(0) -> x.getLong(2)).toMap
+    assert(r == Map(1L -> 1L, 2L -> 1L), r.toString)
+  }
 }
