@@ -189,6 +189,84 @@ object TextOps {
         Num.r6(floor(col("target") * col("m")) / col("n")).as("rate"))
   }
 
+  // PII patterns kept in the Java∩RE2 common regex subset (character
+  // classes, bounded quantifiers, \b) so the DuckDB oracle's RE2 engine
+  // matches Spark's Java regex byte-for-byte on these shapes
+  private[graft] val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  private[graft] val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private[graft] val LongNumRe = "\\d{7,}"
+
+  /** PII scrubbing — the redaction pass an LLM-data pipeline runs before
+    * training: mask emails, IPv4 addresses, and long digit runs (phone/
+    * account numbers) with typed placeholders. Pure codegen row
+    * expressions (regexp_replace chain), zero shuffle — the 100 TB/day
+    * map shape. Emits per-doc match counts (each pattern counted on the
+    * RAW text) and the md5 of the masked text. */
+  def piiMask(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = col(textCol)
+    val masked = regexp_replace(regexp_replace(regexp_replace(t,
+      EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"), LongNumRe, "<NUM>")
+    df.select(col(idCol).cast("long").as("doc"),
+      regexp_count(t, lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(t, lit(Ipv4Re)).cast("long").as("n_ips"),
+      regexp_count(t, lit(LongNumRe)).cast("long").as("n_nums"),
+      md5(masked).as("masked_hash"))
+  }
+
+  /** fastText-style hashed-n-gram linear scorer: every word unigram and
+    * bigram of the normalized text hashes into one of `buckets` slots
+    * (engine-neutral md5, so the DuckDB oracle reproduces the buckets
+    * exactly), and the document score is σ(bias + Σ_gram w(bucket)).
+    * `weightOf` maps a bucket-id column to its weight column — a literal
+    * array lookup for a trained model (see the fit spec), or any closed
+    * form. Pure codegen row expressions, zero shuffle — the inference
+    * shape that runs over the full corpus at 100 TB.
+    *
+    * Staging: unigrams fold over ONE split() per row via transform;
+    * bigrams pair the token array with its own 1-shifted slice via
+    * zip_with (null-padded tail contributes 0) — never
+    * element_at(split(...), i) per element, which re-tokenizes per gram
+    * (the O(len²) trap). */
+  def hashedNgramScore(df: DataFrame, textCol: String, idCol: String,
+                       buckets: Int, weightOf: Column => Column,
+                       bias: Double): DataFrame = {
+    val toks = split(lower(trim(regexp_replace(col(textCol), "\\s+", " "))), " ")
+    def w(gram: Column): Column = weightOf(Num.md5Long(gram) % buckets)
+    val uniSum = aggregate(toks, lit(0.0), (acc, t) => acc + w(t))
+    val shifted = slice(toks, lit(2), greatest(size(toks) - 1, lit(0)))
+    val biSum = aggregate(
+      zip_with(toks, shifted, (a, b) =>
+        when(b.isNull, lit(0.0)).otherwise(w(concat(a, lit("_"), b)))),
+      lit(0.0), (acc, x) => acc + x)
+    val nGrams = (size(toks) + greatest(size(toks) - 1, lit(0))).cast("long")
+    df.select(col(idCol).cast("long").as("doc"), nGrams.as("n_grams"),
+      Num.r6(lit(1.0) / (lit(1.0) + exp(-(lit(bias) + uniSum + biSum))))
+        .as("score"))
+  }
+
+  /** Per-doc hashed-n-gram bucket COUNT columns `h0..h{buckets-1}` — the
+    * feature side of the fastText-style classifier, sized for a QN
+    * logistic fit (buckets is small by design; the model is the
+    * compression). */
+  def hashedNgramCounts(df: DataFrame, textCol: String, idCol: String,
+                        buckets: Int): DataFrame = {
+    val toks = split(lower(trim(regexp_replace(col(textCol), "\\s+", " "))), " ")
+    def bucket(gram: Column): Column = Num.md5Long(gram) % buckets
+    val shifted = slice(toks, lit(2), greatest(size(toks) - 1, lit(0)))
+    val bks = concat(
+      transform(toks, t => bucket(t)),
+      filter(zip_with(toks, shifted, (a, b) =>
+        when(b.isNull, lit(-1L)).otherwise(bucket(concat(a, lit("_"), b)))),
+        x => x >= 0L))
+    // explode once, then ONE map-side-combined groupBy — evaluating the
+    // md5 array a single time per row (a per-bucket filter() column list
+    // would re-hash every gram `buckets` times)
+    val ex = df.select(col(idCol).cast("long").as("doc"), explode(bks).as("b"))
+    val counts = (0 until buckets).map(b =>
+      sum(when(col("b") === b, 1.0).otherwise(0.0)).as(s"h$b"))
+    ex.groupBy(col("doc")).agg(counts.head, counts.tail: _*)
+  }
+
   /** Document fingerprints: full-content md5 of normalized text + the
     * minimum 60-bit hash over word trigram shingles (a 1-perm minhash —
     * robust to local edits; rolling-hash flavored). */
