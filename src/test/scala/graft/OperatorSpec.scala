@@ -33,6 +33,23 @@ class OperatorSpec extends AnyFunSuite {
     assert(abs(r.getDouble(1) - 1.0) < 1e-9)
   }
 
+  test("PQ on a lattice corpus is lossless (recall 1.0) and reports compression") {
+    import spark.implicits._
+    // every 2-dim subvector takes one of 4 well-separated lattice values,
+    // so k=4 per-subspace k-means recovers them exactly and the ADC
+    // distance equals the true L2^2 -> PQ == brute force incl. tie order
+    val pats = Seq(Seq(0.0, 0.0), Seq(10.0, 0.0), Seq(0.0, 10.0), Seq(10.0, 10.0))
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, (0 until 4).flatMap(s => pats((i / (s + 1)) % 4)).toArray)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val r = graft.neighbors.PQ.recallSummary(df, df.filter(col("vec_id") < 5),
+      "vec_id", "embedding", m = 4, kCodes = 4, k = 3).head()
+    assert(r.getLong(0) == 5L)
+    assert(abs(r.getDouble(1) - 1.0) < 1e-9, s"recall ${r.getDouble(1)}")
+    assert(r.getLong(2) == 8L)  // dim*4 bytes / m codes = 8x
+  }
+
   test("make_blobs is deterministic and centered") {
     val a = Datasets.makeBlobs(spark, 600, Seq((0.0, 0.0), (10.0, 10.0)), 1.0)
       .agg(sum("x")).head().getDouble(0)
