@@ -131,6 +131,32 @@ object StreamingOps {
       .select(col("doc"))
   }
 
+  /** Streaming PII scrub — the ingest-time twin of text.TextOps.piiMask,
+    * sharing its regex chain (TextOps.piiMaskExprs — one definition, so
+    * batch and ingest-time redaction cannot drift): each arriving document
+    * is emitted with its masked text and per-pattern match counts.
+    * Stateless pure map — the 100 TB/day shape, nothing shuffles. */
+  def streamingPiiScrub(docs: DataFrame): DataFrame = {
+    val (nE, nI, nN, masked) = graft.text.TextOps.piiMaskExprs(col("text"))
+    docs.select(col("doc_id").cast("long").as("doc"),
+      nE.as("n_emails"), nI.as("n_ips"), nN.as("n_nums"),
+      masked.as("masked_text"))
+  }
+
+  /** Streaming quality scoring — the ingest-time twin of
+    * text.TextOps.hashedNgramScore (TextOps.hashedNgramScoreExprs — one
+    * definition): each arriving document gets its fastText-style hashed
+    * n-gram score; pair with a threshold filter for an ingest gate.
+    * Stateless pure map. */
+  def streamingNgramScore(docs: DataFrame, buckets: Int,
+                          weightOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+                          bias: Double): DataFrame = {
+    val (nGrams, score) = graft.text.TextOps.hashedNgramScoreExprs(
+      col("text"), buckets, weightOf, bias)
+    docs.select(col("doc_id").cast("long").as("doc"),
+      nGrams.as("n_grams"), score.as("score"))
+  }
+
   /** Streaming decontamination: a document stream checked against a STATIC
     * benchmark shingle set — the stream-static join shape (the static side
     * broadcasts; no stream-state needed, each micro-batch is a pure map +

@@ -203,14 +203,22 @@ object TextOps {
     * map shape. Emits per-doc match counts (each pattern counted on the
     * RAW text) and the md5 of the masked text. */
   def piiMask(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val t = col(textCol)
+    val (nE, nI, nN, masked) = piiMaskExprs(col(textCol))
+    df.select(col(idCol).cast("long").as("doc"),
+      nE.as("n_emails"), nI.as("n_ips"), nN.as("n_nums"),
+      md5(masked).as("masked_hash"))
+  }
+
+  /** The masking chain + match counts behind [[piiMask]] and the streaming
+    * scrubber — ONE definition so batch and ingest-time redaction can
+    * never drift. Returns (n_emails, n_ips, n_nums, masked_text). */
+  private[graft] def piiMaskExprs(t: Column): (Column, Column, Column, Column) = {
     val masked = regexp_replace(regexp_replace(regexp_replace(t,
       EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"), LongNumRe, "<NUM>")
-    df.select(col(idCol).cast("long").as("doc"),
-      regexp_count(t, lit(EmailRe)).cast("long").as("n_emails"),
-      regexp_count(t, lit(Ipv4Re)).cast("long").as("n_ips"),
-      regexp_count(t, lit(LongNumRe)).cast("long").as("n_nums"),
-      md5(masked).as("masked_hash"))
+    (regexp_count(t, lit(EmailRe)).cast("long"),
+      regexp_count(t, lit(Ipv4Re)).cast("long"),
+      regexp_count(t, lit(LongNumRe)).cast("long"),
+      masked)
   }
 
   /** fastText-style hashed-n-gram linear scorer: every word unigram and
@@ -230,18 +238,26 @@ object TextOps {
   def hashedNgramScore(df: DataFrame, textCol: String, idCol: String,
                        buckets: Int, weightOf: Column => Column,
                        bias: Double): DataFrame = {
-    val toks = split(lower(trim(regexp_replace(col(textCol), "\\s+", " "))), " ")
+    val (nGrams, score) = hashedNgramScoreExprs(col(textCol), buckets, weightOf, bias)
+    df.select(col(idCol).cast("long").as("doc"), nGrams.as("n_grams"),
+      Num.r6(score).as("score"))
+  }
+
+  /** The scoring expressions behind [[hashedNgramScore]] and its streaming
+    * twin — ONE definition. Returns (n_grams, raw score in (0,1)). */
+  private[graft] def hashedNgramScoreExprs(t: Column, buckets: Int,
+                                           weightOf: Column => Column,
+                                           bias: Double): (Column, Column) = {
+    val toks = split(lower(trim(regexp_replace(t, "\\s+", " "))), " ")
     def w(gram: Column): Column = weightOf(Num.md5Long(gram) % buckets)
-    val uniSum = aggregate(toks, lit(0.0), (acc, t) => acc + w(t))
+    val uniSum = aggregate(toks, lit(0.0), (acc, tk) => acc + w(tk))
     val shifted = slice(toks, lit(2), greatest(size(toks) - 1, lit(0)))
     val biSum = aggregate(
       zip_with(toks, shifted, (a, b) =>
         when(b.isNull, lit(0.0)).otherwise(w(concat(a, lit("_"), b)))),
       lit(0.0), (acc, x) => acc + x)
     val nGrams = (size(toks) + greatest(size(toks) - 1, lit(0))).cast("long")
-    df.select(col(idCol).cast("long").as("doc"), nGrams.as("n_grams"),
-      Num.r6(lit(1.0) / (lit(1.0) + exp(-(lit(bias) + uniSum + biSum))))
-        .as("score"))
+    (nGrams, lit(1.0) / (lit(1.0) + exp(-(lit(bias) + uniSum + biSum))))
   }
 
   /** Per-doc hashed-n-gram bucket COUNT columns `h0..h{buckets-1}` — the

@@ -205,4 +205,27 @@ class PlanSpec extends AnyFunSuite {
     // no cartesian/nested-loop anywhere; shuffles keyed by doc are fine
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"), p.take(3000))
   }
+
+  test("pii mask and hashed-ngram scoring are zero-shuffle codegen maps") {
+    val docs = Tables.documents(spark, sf)
+    val p1 = planOf(graft.text.TextOps.piiMask(docs, "text", "doc_id"))
+    assert(!p1.contains("Exchange"), p1.take(3000))
+    assert(p1.contains("*(1) Project"), p1.take(3000))  // whole-stage codegen stage 1
+    val p2 = planOf(graft.text.TextOps.hashedNgramScore(docs, "text", "doc_id",
+      buckets = 256,
+      weightOf = b => ((b * lit(2654435761L)) % 1997).cast("double") / 1997.0 - 0.5,
+      bias = 0.1))
+    assert(!p2.contains("Exchange"), p2.take(3000))
+  }
+
+  test("segment dedup shuffles on content and doc keys only; count+keeper share one agg") {
+    val docs = Tables.documents(spark, sf)
+    val df = graft.dedup.Dedup.segmentDedup(docs, "text", "doc_id")
+    val p = planOf(df)
+    // no window over the corpus, no cartesian — the keeper comes from the
+    // same grouped aggregate as the count, not a rank
+    assert(!p.contains("Window") && !p.contains("CartesianProduct") &&
+      !p.contains("NestedLoopJoin"), p.take(3000))
+    assert(p.contains("partial_min") || p.contains("partial"), p.take(3000))
+  }
 }

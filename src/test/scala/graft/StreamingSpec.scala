@@ -113,6 +113,54 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming pii scrub masks in-flight and matches the batch hash") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val docs = in.toDF().toDF("doc_id", "text")
+    val q = StreamingOps.streamingPiiScrub(docs)
+      .writeStream.format("memory").queryName("pii_out")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, "mail a@b.io ip 10.0.0.1 acct 123456789"), (2L, "clean"))
+      q.processAllAvailable()
+      val rows = spark.table("pii_out").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+      assert(rows(1L) == ((1L, 1L, 1L, "mail <EMAIL> ip <IP> acct <NUM>")), rows(1L).toString)
+      assert(rows(2L) == ((0L, 0L, 0L, "clean")), rows(2L).toString)
+      // the batch op's hash equals md5 of the stream's masked text (shared exprs)
+      val batch = graft.text.TextOps.piiMask(
+        Seq((1L, "mail a@b.io ip 10.0.0.1 acct 123456789")).toDF("doc_id", "text"),
+        "text", "doc_id").head().getString(4)
+      val streamHash = Seq(rows(1L)._4).toDF("t")
+        .select(md5(col("t"))).head().getString(0)
+      assert(batch == streamHash)
+    } finally q.stop()
+  }
+
+  test("streaming ngram score equals the batch scorer on the same rows") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val w = (b: org.apache.spark.sql.Column) =>
+      ((b * lit(2654435761L)) % 1997).cast("double") / 1997.0 - 0.5
+    val in = MemoryStream[(Long, String)]
+    val docs = in.toDF().toDF("doc_id", "text")
+    val q = StreamingOps.streamingNgramScore(docs, 256, w, 0.1)
+      .writeStream.format("memory").queryName("ngs_out")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, "alpha bravo charlie delta"), (2L, "echo foxtrot"))
+      q.processAllAvailable()
+      val streamed = spark.table("ngs_out").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), math.rint(r.getDouble(2) * 1e6) / 1e6))).toMap
+      val batch = graft.text.TextOps.hashedNgramScore(
+        Seq((1L, "alpha bravo charlie delta"), (2L, "echo foxtrot")).toDF("doc_id", "text"),
+        "text", "doc_id", 256, w, 0.1)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(streamed == batch, s"$streamed vs $batch")
+    } finally q.stop()
+  }
+
   test("streaming quality gate keeps only rule-passing documents") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
