@@ -86,6 +86,16 @@ object TextQueries {
           lit(".7 or call 55512"), (col("doc_id") + 34567).cast("string")).as("text"))
       TextOps.piiMask(withPii, "text", "doc_id").orderBy("doc")
     },
+    "tfidf_top_terms" -> { (s, d) =>
+      graft.text.Relevance.tfIdfTopTerms(Tables.documents(s, d), "text", "doc_id",
+          topN = 3)
+        .orderBy("doc", "rank")
+    },
+    "bm25_search" -> { (s, d) =>
+      graft.text.Relevance.bm25(Tables.documents(s, d), "text", "doc_id",
+          Seq("hash", "scan", "merge"), topN = 10)
+        .orderBy("doc")
+    },
     "langid" -> { (s, d) =>
       Tables.documents(s, d)
         .select(col("lang").as("lang_actual"), TextOps.langIdScore(col("text")).as("lang_pred"))
@@ -194,6 +204,36 @@ object TextQueries {
          |SELECT doc, n_grams::BIGINT AS n_grams,
          |  round(1.0 / (1.0 + exp(-(0.1 + s))), 6) AS score
          |FROM g ORDER BY doc""".stripMargin,
+    "tfidf_top_terms" ->
+      s"""WITH n AS (SELECT doc_id::BIGINT AS doc, $normToks AS w FROM documents),
+         |t AS (SELECT doc, unnest(w) AS term FROM n),
+         |tf AS (SELECT doc, term, count(*)::DOUBLE AS tf FROM t GROUP BY doc, term),
+         |dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+         |nn AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+         |s AS (SELECT tf.doc, tf.term, tf.tf * ln(nn.n_docs / dfq.df) AS score
+         |  FROM tf JOIN dfq ON tf.term = dfq.term, nn),
+         |r AS (SELECT doc, term, score,
+         |    row_number() OVER (PARTITION BY doc ORDER BY score DESC, term) AS rk
+         |  FROM s)
+         |SELECT doc, rk::BIGINT AS rank, term, round(score, 6) AS score
+         |FROM r WHERE rk <= 3 ORDER BY doc, rank""".stripMargin,
+    "bm25_search" ->
+      s"""WITH n AS (SELECT doc_id::BIGINT AS doc, $normToks AS w FROM documents),
+         |d AS (SELECT doc, len(w)::DOUBLE AS dl, w FROM n),
+         |st AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM d),
+         |t AS (SELECT doc, dl, unnest(w) AS term FROM d),
+         |tf AS (SELECT doc, dl, term, count(*)::DOUBLE AS tf FROM t
+         |  WHERE term IN ('hash', 'scan', 'merge') GROUP BY doc, dl, term),
+         |dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+         |s AS (SELECT tf.doc,
+         |    sum(ln(1.0::DOUBLE + (st.n_docs - dfq.df + 0.5::DOUBLE) / (dfq.df + 0.5::DOUBLE))
+         |      * tf.tf * (1.2::DOUBLE + 1.0::DOUBLE)
+         |      / (tf.tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE
+         |          + 0.75::DOUBLE * tf.dl / st.avgdl))) AS score
+         |  FROM tf JOIN dfq ON tf.term = dfq.term, st GROUP BY tf.doc)
+         |SELECT doc, round(score, 6) AS score
+         |FROM (SELECT doc, score FROM s ORDER BY score DESC, doc LIMIT 10)
+         |ORDER BY doc""".stripMargin,
     "pii_mask" ->
       """WITH p AS (SELECT doc_id::BIGINT AS doc,
         |    text || ' contact user' || doc_id || '@example.com from 192.168.' ||

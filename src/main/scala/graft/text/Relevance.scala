@@ -1,0 +1,78 @@
+package graft.text
+
+import graft.core.Num.r6
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus relevance statistics: TF-IDF term weighting and BM25 retrieval
+  * scoring (Robertson & Zaragoza 2009, "The Probabilistic Relevance
+  * Framework: BM25 and Beyond") — the ranking layer a training-data
+  * pipeline uses for query-targeted corpus selection and per-document
+  * keyword profiling.
+  *
+  * Scale posture: everything is (doc, term) aggregates — two
+  * map-side-combined groupBys (term frequency, document frequency) joined
+  * on the term key, corpus-size scalars broadcast. No windows over the
+  * corpus: per-doc top-k uses an in-aggregate array sort over the doc's
+  * own bounded term set.
+  */
+object Relevance {
+  private def normToks(textCol: String) =
+    split(lower(trim(regexp_replace(col(textCol), "\\s+", " "))), " ")
+
+  /** (doc, term) rows with per-doc term counts — ONE explode + groupBy. */
+  private def termCounts(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("doc"), explode(normToks(textCol)).as("term"))
+      .groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf"))
+
+  /** Per-document top-N terms by TF-IDF (tf · ln(N/df)), ties broken by
+    * term. The rerank happens inside the per-doc aggregate (array_sort on
+    * the doc's own terms — bounded by doc length), not a corpus window. */
+  def tfIdfTopTerms(df: DataFrame, textCol: String, idCol: String,
+                    topN: Int): DataFrame = {
+    val tf = termCounts(df, textCol, idCol)
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = df.select(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(n))
+      .select(col("doc"), col("term"),
+        (col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df").cast("double"))).as("score"))
+    // struct(-score, term): array_sort ascending == score descending, term asc
+    scored.groupBy(col("doc"))
+      .agg(slice(array_sort(collect_list(struct((-col("score")).as("ns"),
+        col("term"), col("score")))), 1, topN).as("top"))
+      .select(col("doc"), posexplode(col("top")))
+      .select(col("doc"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.term").as("term"), r6(col("col.score")).as("score"))
+  }
+
+  /** BM25 scores for a literal query-term set; top-N documents.
+    * idf is the Lucene/ATIRE positive form ln(1 + (N − df + ½)/(df + ½));
+    * the per-term contribution is idf · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)).
+    * Query terms are a tiny literal list, so the per-term df table and the
+    * (N, avgdl) scalars broadcast; the corpus-side work is one scan. */
+  def bm25(df: DataFrame, textCol: String, idCol: String,
+           queryTerms: Seq[String], topN: Int,
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = normToks(textCol)
+    val docs = df.select(col(idCol).cast("long").as("doc"), toks.as("toks"))
+      .select(col("doc"), size(col("toks")).cast("double").as("dl"), col("toks"))
+    val stats = docs.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val tf = docs.select(col("doc"), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy(col("doc"), col("dl"), col("term")).agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    val idf = log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    val contrib = idf * col("tf") * (k1 + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    tf.join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc"), contrib.as("c"))
+      .groupBy(col("doc")).agg(sum(col("c")).as("score"))
+      .orderBy(col("score").desc, col("doc"))
+      .limit(topN)
+      .select(col("doc"), r6(col("score")).as("score"))
+  }
+}

@@ -114,6 +114,35 @@ class PipelineOpsSpec extends AnyFunSuite {
     feats.unpersist()
   }
 
+  test("tfidf: a unique term outranks ubiquitous ones; everywhere-terms score 0") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "common common rare common"),
+      (2L, "common common common common"),
+      (3L, "common other common common")).toDF("doc_id", "text")
+    val r = graft.text.Relevance.tfIdfTopTerms(df, "text", "doc_id", topN = 2)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> ((x.getString(2), x.getDouble(3)))).toMap
+    // doc 1 rank 1 = "rare" (tf=1, df=1 -> ln 3); "common" is everywhere -> 0
+    assert(r((1L, 1L))._1 == "rare", r.toString)
+    assert(math.abs(r((1L, 1L))._2 - math.log(3.0)) < 1e-6, r.toString)
+    assert(r((1L, 2L)) == (("common", 0.0)), r.toString)
+    assert(r((2L, 1L)) == (("common", 0.0)), r.toString)
+  }
+
+  test("bm25: docs with more query-term mass rank higher; term-free docs absent") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "hash hash scan filler filler"),
+      (2L, "hash filler filler filler filler"),
+      (3L, "filler filler filler filler filler")).toDF("doc_id", "text")
+    val rows = graft.text.Relevance.bm25(df, "text", "doc_id",
+      Seq("hash", "scan"), topN = 10).collect()
+    val score = rows.map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(!score.contains(3L), score.toString)       // no query terms
+    assert(score(1L) > score(2L), score.toString)     // 2 terms + higher tf
+    assert(score(2L) > 0.0, score.toString)
+  }
+
   test("segment dedup: below-threshold repeats are all kept") {
     import spark.implicits._
     val df = Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text")
