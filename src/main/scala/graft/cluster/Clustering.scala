@@ -42,6 +42,16 @@ object KMeansGraft {
     }
   }
 
+  /** Distance to EACH fixed centroid — cuML KMeans.transform(), which
+    * returns the n×k centroid-distance matrix (reference
+    * python/cuml/cluster/kmeans.pyx transform). Pure codegen'd columns,
+    * zero shuffle: the 100 TB shape of scoring rows against a broadcast
+    * model. */
+  def distances(features: Seq[Column], centroids: Seq[Seq[Double]]): Seq[Column] =
+    centroids.map { c =>
+      sqrt(features.zip(c).map { case (f, ci) => (f - ci) * (f - ci) }.reduce(_ + _))
+    }
+
   /** Squared distance to the NEAREST fixed centroid — the per-row term of
     * KMeans.score()/inertia_. Same codegen'd zero-shuffle shape as
     * [[assign]]; summing it per assigned cluster is the scoring pass. */

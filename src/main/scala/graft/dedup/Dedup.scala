@@ -299,4 +299,47 @@ object Dedup {
       .limit(topN)
       .select(col("id1"), col("id2"), r4(col("_sim")).as("cosine"))
   }
+
+  /** SemDeDup-shaped semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * partition the embedding space into cells, compare cosine similarity
+    * only WITHIN a cell, and drop every member of a high-similarity pair
+    * except one keeper (min id here; the paper keeps the point farthest
+    * from the centroid — same retention count, deterministic either way).
+    *
+    * The quantizer is a set of k md5-derived Gaussian anchors
+    * (nearest-by-dot) instead of a fitted k-means model: deterministic and
+    * engine-replayable where MLlib centroids are seed-internal, with the
+    * identical scale shape — the pair join keys on the cell id, so the
+    * candidate count is Σ cell² rather than n². At corpus scale the anchor
+    * count grows with n (cells stay bounded) and the same plan holds.
+    * Returns per-cell (cell, n, n_dropped). */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String, k: Int, dim: Int,
+               seed: Long, tau: Double): DataFrame = {
+    val anchors = graft.neighbors.KNN.hyperplanes(k, dim, seed)
+    val dots = anchors.map(a => VectorOps.dotFixed(col("v"), lit(a), dim)).toSeq
+    val best = greatest(dots: _*)
+    // first cell achieving the max — mirrors the oracle's CASE chain
+    val cell = dots.zipWithIndex.foldRight(lit(-1)) { case ((dc, i), acc) =>
+      when(dc === best, lit(i)).otherwise(acc)
+    }
+    val base = graft.core.Tables.ensureParallelism(
+        df.select(col(idCol).cast("long").as("id"),
+          col(vecCol).cast("array<double>").as("v")))
+      .withColumn("cell", cell)
+      .withColumn("n2", VectorOps.sqNormFixed(col("v"), dim))
+    val sim = VectorOps.dotFixed(col("a.v"), col("b.v"), dim) /
+      sqrt(col("a.n2") * col("b.n2"))
+    // a doc is dropped if ANY same-cell lower-id doc is ≥ tau similar;
+    // comparison on the 4-decimal rounding (identical in both engines)
+    val dropped = base.as("a").join(base.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .filter(round(sim, 4) >= tau)
+      .select(col("b.cell").as("cell"), col("b.id").as("id"))
+      .distinct()
+    base.groupBy(col("cell")).agg(count(lit(1)).cast("long").as("n"))
+      .join(dropped.groupBy(col("cell")).agg(count(lit(1)).cast("long").as("n_dropped")),
+        Seq("cell"), "left")
+      .select(col("cell").cast("long").as("cell"), col("n"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+  }
 }

@@ -61,6 +61,24 @@ object TabularQueries {
           r4(sum(col("d2")) / count(lit(1)).cast("double")).as("mean_sqdist"))
         .orderBy("cluster")
     },
+    "kmeans_transform" -> { (s, d) =>
+      // KMeans.transform(): the n×k centroid-distance matrix, summarized
+      // per assigned cluster (mean distance to every centroid) — the
+      // distance columns are pure codegen, the only shuffle is the tiny
+      // k-row groupBy
+      val li = Tables.lineitem(s, d)
+      val feats = Seq(col("l_quantity"), col("l_discount"), col("l_tax"))
+      val ds = KMeansGraft.distances(feats, Centroids)
+      val sel = KMeansGraft.assign(feats, Centroids).as("cluster") +:
+        ds.zipWithIndex.map { case (c, i) => c.as(s"_d$i") }
+      li.select(sel: _*)
+        .groupBy("cluster")
+        .agg(count(lit(1)).cast("long").as("n"),
+          r4(avg(col("_d0"))).as("avg_d0"),
+          r4(avg(col("_d1"))).as("avg_d1"),
+          r4(avg(col("_d2"))).as("avg_d2"))
+        .orderBy("cluster")
+    },
     "kmeans_assign" -> { (s, d) =>
       val li = Tables.lineitem(s, d)
       val cl = KMeansGraft.assign(
@@ -170,11 +188,15 @@ object TabularQueries {
     li.select((col("l_extendedprice") / 1000.0).as("_y"),
       (lit(0.3) + col("l_quantity") * 7.16 * (lit(1.0) - col("l_discount")) / 1000.0).as("_p"))
 
+  /** Squared distance to Centroids(i) as SQL (shared by the assignment /
+    * inertia / transform oracles). */
+  private def centroidDistSql(i: Int): String = {
+    val c = Centroids(i)
+    s"((l_quantity-(${c(0)}))*(l_quantity-(${c(0)})) + (l_discount-(${c(1)}))*(l_discount-(${c(1)})) + (l_tax-(${c(2)}))*(l_tax-(${c(2)})))"
+  }
+
   private val centroidSql: String = {
-    def dist(i: Int) = {
-      val c = Centroids(i)
-      s"((l_quantity-(${c(0)}))*(l_quantity-(${c(0)})) + (l_discount-(${c(1)}))*(l_discount-(${c(1)})) + (l_tax-(${c(2)}))*(l_tax-(${c(2)})))"
-    }
+    def dist(i: Int) = centroidDistSql(i)
     s"CASE WHEN ${dist(0)} <= ${dist(1)} AND ${dist(0)} <= ${dist(2)} THEN 0 " +
       s"WHEN ${dist(1)} <= ${dist(2)} THEN 1 ELSE 2 END"
   }
@@ -216,16 +238,18 @@ object TabularQueries {
         |  round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "kmeans_inertia" -> {
-      def dist(i: Int) = {
-        val c = Centroids(i)
-        s"((l_quantity-(${c(0)}))*(l_quantity-(${c(0)})) + (l_discount-(${c(1)}))*(l_discount-(${c(1)})) + (l_tax-(${c(2)}))*(l_tax-(${c(2)})))"
-      }
-      val minD = s"least(${dist(0)}, ${dist(1)}, ${dist(2)})"
+      val minD = s"least(${centroidDistSql(0)}, ${centroidDistSql(1)}, ${centroidDistSql(2)})"
       s"""SELECT $centroidSql AS cluster, count(*)::BIGINT AS n,
          |  round(sum($minD), 0)::BIGINT AS inertia,
          |  round(sum($minD) / count(*)::DOUBLE, 4) AS mean_sqdist
          |FROM lineitem GROUP BY 1 ORDER BY cluster""".stripMargin
     },
+    "kmeans_transform" ->
+      s"""SELECT $centroidSql AS cluster, count(*)::BIGINT AS n,
+         |  round(avg(sqrt(${centroidDistSql(0)})), 4) AS avg_d0,
+         |  round(avg(sqrt(${centroidDistSql(1)})), 4) AS avg_d1,
+         |  round(avg(sqrt(${centroidDistSql(2)})), 4) AS avg_d2
+         |FROM lineitem GROUP BY 1 ORDER BY cluster""".stripMargin,
     "kmeans_assign" ->
       s"""SELECT $centroidSql AS cluster, count(*)::BIGINT AS n,
          |  round(avg(l_quantity), 4) AS avg_quantity, round(avg(l_extendedprice), 2) AS avg_price

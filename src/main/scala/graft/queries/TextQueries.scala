@@ -109,6 +109,29 @@ object TextQueries {
     "token_count" -> { (s, d) =>
       TextOps.tokenCounts(Tables.documents(s, d), "text", "doc_id").orderBy("doc_id")
     },
+    "doc_length_stats" -> { (s, d) =>
+      // per-language token-length distribution (pipeline monitoring):
+      // exact rank-select quantiles. The window partitions on lang
+      // (bounded cardinality, one language per partition); the
+      // petabyte-scale production path is approx_percentile — this is its
+      // exact, oracle-able audit twin.
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.documents(s, d).select(col("lang"),
+        col("doc_id").cast("long").as("doc"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      val ranked = base
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("lang").orderBy(col("n_tokens"), col("doc"))))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+      ranked.groupBy("lang").agg(
+          max(col("n")).cast("long").as("n_docs"),
+          min(col("n_tokens")).as("min_tokens"),
+          max(when(col("rn") === ceil(col("n") * 0.5), col("n_tokens"))).as("p50"),
+          max(when(col("rn") === ceil(col("n") * 0.9), col("n_tokens"))).as("p90"),
+          max(col("n_tokens")).as("max_tokens"),
+          round(avg(col("n_tokens")), 4).as("avg_tokens"))
+        .orderBy("lang")
+    },
     "fingerprint" -> { (s, d) =>
       TextOps.fingerprints(Tables.documents(s, d), "text", "doc_id").orderBy("doc_id")
     },
@@ -382,6 +405,19 @@ object TextQueries {
          |    least(stop / n_tokens * 5.0, 1.0) * 0.2), 4) AS quality
          |FROM f ORDER BY doc_id""".stripMargin
     },
+    "doc_length_stats" ->
+      """WITH b AS (SELECT lang, doc_id AS doc,
+        |    len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents),
+        |r AS (SELECT lang, n_tokens,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_tokens, doc) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM b)
+        |SELECT lang, max(n)::BIGINT AS n_docs, min(n_tokens)::BIGINT AS min_tokens,
+        |  max(CASE WHEN rn = ceil(n * 0.5) THEN n_tokens END)::BIGINT AS p50,
+        |  max(CASE WHEN rn = ceil(n * 0.9) THEN n_tokens END)::BIGINT AS p90,
+        |  max(n_tokens)::BIGINT AS max_tokens,
+        |  round(avg(n_tokens), 4) AS avg_tokens
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
     "token_count" ->
       """SELECT doc_id,
         |  len(string_split(text, ' '))::BIGINT AS ws_tokens,

@@ -50,6 +50,39 @@ object VectorQueries {
         .agg(count(lit(1)).cast("long").as("n_queries_with_candidates"),
           r6(avg("_found")).as("avg_found"))
     },
+    "rp_distortion" -> { (s, d) =>
+      // test_random_projection.py's quality gate: a JL projection preserves
+      // pairwise distances within (1±eps). Ratio = projected/original
+      // euclidean distance over all pairs of a bounded query set; both
+      // engines derive it from 4-decimal-rounded distances, so the hash is
+      // exact. The pair scan is a broadcast self-join of 40 rows — the
+      // audit runs on a sample by construction, never the corpus.
+      val e = Tables.embeddings(s, d).filter(col("vec_id") < 40)
+      val m = RandomProjection.gaussianMatrix(64, 8, 42L)
+      val p = RandomProjection.project(e, "vec_id", "embedding", m)
+      val base = e.select(col("vec_id").cast("long").as("id"),
+          col("embedding").cast("array<double>").as("v"))
+        .join(p, "id")
+      val dp2 = (0 until 8).map(i => (col(s"a.rp_$i") - col(s"b.rp_$i")) *
+        (col(s"a.rp_$i") - col(s"b.rp_$i"))).reduce(_ + _)
+      val dp = round(sqrt(dp2), 4)
+      val dq = round(sqrt(graft.core.VectorOps.sqDistFixed(col("a.v"), col("b.v"), 64)), 4)
+      base.as("a").join(base.as("b"), col("a.id") < col("b.id"))
+        .select(dp.as("dp"), dq.as("dq"))
+        .filter(col("dq") > 0)
+        .select((col("dp") / col("dq")).as("ratio"))
+        .agg(count(lit(1)).cast("long").as("n_pairs"),
+          round(avg(col("ratio")), 4).as("avg_ratio"),
+          round(min(col("ratio")), 4).as("min_ratio"),
+          round(max(col("ratio")), 4).as("max_ratio"),
+          round(avg(when(col("ratio") >= 0.5 && col("ratio") <= 1.5, 1.0)
+            .otherwise(0.0)), 4).as("frac_within_eps"))
+    },
+    "semdedup" -> { (s, d) =>
+      Dedup.semDedup(Tables.embeddings(s, d), "vec_id", "embedding",
+          k = 8, dim = 64, seed = 7L, tau = 0.4)
+        .orderBy("cell")
+    },
     "random_projection" -> { (s, d) =>
       val m = RandomProjection.gaussianMatrix(64, 8, 42L)
       RandomProjection.project(Tables.embeddings(s, d), "vec_id", "embedding", m)
@@ -178,11 +211,12 @@ object VectorQueries {
   // evaluated inline per (row of range(64), output dim b).
   private def hpHash(tag: String, b: Int, suffix: String) =
     s"('0x' || substr(md5('${tag}_' || $b || '_' || i || '_$suffix'), 1, 15))::BIGINT"
-  private def planeEntry(b: Int): String = {
-    val u1 = s"(((${hpHash("p_42", b, "a")} % 1000000 + 1000000) % 1000000) / 1000000.0 + 5e-7)"
-    val u2 = s"(((${hpHash("p_42", b, "b")} % 1000000 + 1000000) % 1000000) / 1000000.0)"
+  private def planeEntrySeed(seed: Long, b: Int): String = {
+    val u1 = s"(((${hpHash(s"p_$seed", b, "a")} % 1000000 + 1000000) % 1000000) / 1000000.0 + 5e-7)"
+    val u2 = s"(((${hpHash(s"p_$seed", b, "b")} % 1000000 + 1000000) % 1000000) / 1000000.0)"
     s"(sqrt(-2.0 * ln($u1)) * cos(2.0 * pi() * $u2))"
   }
+  private def planeEntry(b: Int): String = planeEntrySeed(42L, b)
   private def rpGaussEntry(b: Int): String = s"(${planeEntry(b)} / sqrt(8.0))"
   private def rpSparseEntry(b: Int): String =
     s"(CASE (('0x' || substr(md5('sp_42_' || $b || '_' || i), 1, 15))::BIGINT % 6) " +
@@ -195,6 +229,49 @@ object VectorQueries {
        |SELECT id::BIGINT AS id,
        |  $cols
        |FROM e ORDER BY id LIMIT 50""".stripMargin
+  }
+
+  /** JL distortion oracle: replays the 8-dim Gaussian projection per id,
+    * then the all-pairs distance-ratio stats on 4-decimal-rounded
+    * distances. */
+  private def rpDistortionOracle: String = {
+    val rpList = (0 until 8).map { b =>
+      s"round(list_sum(list_transform(range(0, 64), i -> v[i+1] * ${rpGaussEntry(b)})), 4)"
+    }.mkString("[", ", ", "]")
+    s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 40),
+       |p AS (SELECT id, v, $rpList AS rp FROM e),
+       |pr AS (SELECT
+       |    round(sqrt(list_sum(list_transform(range(0, 8),
+       |      j -> (a.rp[j+1] - b.rp[j+1]) * (a.rp[j+1] - b.rp[j+1])))), 4) AS dp,
+       |    round(list_distance(a.v, b.v), 4) AS dq
+       |  FROM p a JOIN p b ON a.id < b.id),
+       |r AS (SELECT dp / dq AS ratio FROM pr WHERE dq > 0)
+       |SELECT count(*)::BIGINT AS n_pairs, round(avg(ratio), 4) AS avg_ratio,
+       |  round(min(ratio), 4) AS min_ratio, round(max(ratio), 4) AS max_ratio,
+       |  round(avg(CASE WHEN ratio >= 0.5 AND ratio <= 1.5 THEN 1.0 ELSE 0.0 END), 4) AS frac_within_eps
+       |FROM r""".stripMargin
+  }
+
+  /** SemDeDup oracle: replays the md5-derived anchor quantizer (seed 7,
+    * k=8), the first-argmax cell rule, and the within-cell ≥τ pair drop. */
+  private def semDedupOracle: String = {
+    val dots = (0 until 8).map { j =>
+      s"list_sum(list_transform(range(0, 64), i -> v[i+1] * ${planeEntrySeed(7L, j)}))"
+    }.mkString("[", ", ", "]")
+    val cellCase = (0 until 8).map(j => s"WHEN ds[${j + 1}] = m THEN $j")
+      .mkString("CASE ", " ", " END")
+    s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |dd AS (SELECT id, v, $dots AS ds FROM e),
+       |c AS (SELECT id, v, $cellCase AS cell
+       |  FROM (SELECT id, v, ds, list_max(ds) AS m FROM dd)),
+       |dropped AS (SELECT DISTINCT b.cell AS cell, b.id AS id
+       |  FROM c a JOIN c b ON a.cell = b.cell AND a.id < b.id
+       |  WHERE round($cosSql, 4) >= 0.4),
+       |dc AS (SELECT cell, count(*) AS n_dropped FROM dropped GROUP BY cell)
+       |SELECT c.cell::BIGINT AS cell, count(*)::BIGINT AS n,
+       |  coalesce(max(dc.n_dropped), 0)::BIGINT AS n_dropped
+       |FROM c LEFT JOIN dc ON c.cell = dc.cell
+       |GROUP BY c.cell ORDER BY cell""".stripMargin
   }
 
   /** The md5-seeded 8-bit random-hyperplane signature (KNN.lshBuckets),
@@ -272,6 +349,8 @@ object VectorQueries {
     "tsne_perplexity" -> tsneOracle,
     "umap_knn_graph" -> umapOracle,
     "ann_lsh" -> lshOracle,
+    "rp_distortion" -> rpDistortionOracle,
+    "semdedup" -> semDedupOracle,
     "random_projection" -> rpOracle(rpGaussEntry),
     "random_projection_sparse" -> rpOracle(rpSparseEntry),
     "ann_cosine_topk" ->

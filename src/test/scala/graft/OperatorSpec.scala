@@ -449,4 +449,31 @@ class OperatorSpec extends AnyFunSuite {
     assert(abs(m("ar1") - 0.5) < 0.25, s"ar1 ${m("ar1")}")
     assert(abs(m("ma1")) < 0.35, s"ma1 ${m("ma1")}")
   }
+
+  test("semDedup drops planted duplicate embeddings and keeps distinct ones") {
+    import spark.implicits._
+    val dim = 16
+    val rnd = new scala.util.Random(5)
+    val distinct = (0 until 20).map(i => (i.toLong, Array.fill(dim)(rnd.nextGaussian())))
+    // 3 exact copies: identical vectors land in the same cell and pair at
+    // cosine 1.0 — the two higher ids must be dropped
+    val dupBase = Array.fill(dim)(rnd.nextGaussian())
+    val dups = Seq(100L, 101L, 102L).map(id => (id, dupBase.clone()))
+    val r = graft.dedup.Dedup.semDedup((distinct ++ dups).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", k = 4, dim = dim, seed = 7L, tau = 0.95)
+    val t = r.agg(sum("n"), sum("n_dropped")).head()
+    assert(t.getLong(0) == 23, s"n ${t.getLong(0)}")
+    assert(t.getLong(1) == 2, s"dropped ${t.getLong(1)}")
+  }
+
+  test("kmeans transform distances match hand-computed centroid distances") {
+    import spark.implicits._
+    val df = Seq((0.0, 0.0, 0.0), (3.0, 4.0, 0.0)).toDF("f1", "f2", "f3")
+    val ds = graft.cluster.KMeansGraft.distances(
+      Seq(col("f1"), col("f2"), col("f3")),
+      Seq(Seq(0.0, 0.0, 0.0), Seq(3.0, 4.0, 0.0)))
+    val r = df.select(ds(0).as("d0"), ds(1).as("d1")).orderBy("d0").collect()
+    assert(r(0).getDouble(0) == 0.0 && r(0).getDouble(1) == 5.0)
+    assert(r(1).getDouble(0) == 5.0 && r(1).getDouble(1) == 0.0)
+  }
 }

@@ -228,4 +228,24 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("NestedLoopJoin"), p.take(3000))
     assert(p.contains("partial_min") || p.contains("partial"), p.take(3000))
   }
+
+  test("semDedup pair join keys on the cell id (never an all-pairs scan)") {
+    val e = Tables.embeddings(spark, sf)
+    val p = planOf(graft.dedup.Dedup.semDedup(e, "vec_id", "embedding",
+      k = 8, dim = 64, seed = 7L, tau = 0.4))
+    // the quantizer makes the candidate count Σ cell², so the physical
+    // join must be an equi-join on cell — a nested-loop/cartesian here
+    // would be the n² plan the operator exists to avoid
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+      p.take(3000))
+  }
+
+  test("kmeans transform distance columns are pure codegen (no pre-agg shuffle)") {
+    val li = Tables.lineitem(spark, sf)
+    val feats = Seq(col("l_quantity"), col("l_discount"), col("l_tax"))
+    val ds = graft.cluster.KMeansGraft.distances(feats, graft.queries.TabularQueries.Centroids)
+    val p = planOf(li.select(ds.zipWithIndex.map { case (c, i) => c.as(s"d$i") }: _*))
+    assert(!p.contains("Exchange"), p.take(2000))
+    assert(p.contains("*(1)"), p.take(2000))
+  }
 }
