@@ -32,6 +32,14 @@ object MiscQueries {
       DBSCANGrid.summaryND(pts, "event_id", Seq("x", "y", "z"),
         eps = 1.0, minPts = 4)
     },
+    "sessionize" -> { (s, d) =>
+      // 4-hour idle gap: the sf events land ~7 h apart per user at the
+      // median, so the corpus genuinely mixes multi-event sessions and
+      // singletons
+      graft.events.Sessionize.userSessions(Tables.events(s, d),
+          gapUs = 4L * 3600 * 1000000)
+        .orderBy("user_id")
+    },
     "ann_ivf" -> { (s, d) =>
       val e = Tables.embeddings(s, d)
       IVF.recallSummary(e, e.filter(col("vec_id") < 20), "vec_id", "embedding",
@@ -108,6 +116,22 @@ object MiscQueries {
 
   val oracles: Map[String, String] = Map(
     "trustworthiness" -> trustOracle,
+    "sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |g AS (SELECT user_id, event_id, us,
+        |    us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS gap
+        |  FROM e),
+        |s AS (SELECT user_id, us,
+        |    sum(CASE WHEN gap IS NULL OR gap > 14400000000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM g),
+        |per AS (SELECT user_id, sess, count(*) AS n, (max(us) - min(us)) / 1e6 AS dur
+        |  FROM s GROUP BY user_id, sess)
+        |SELECT user_id::BIGINT AS user_id, count(*)::BIGINT AS n_sessions,
+        |  sum(n)::BIGINT AS n_events, max(n)::BIGINT AS max_session_events,
+        |  round(avg(dur), 4) AS avg_session_s, round(max(dur), 4) AS max_session_s
+        |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin,
     "make_regression" -> {
       val x0 = uSql("reg_", "x0")
       val x1 = uSql("reg_", "x1")

@@ -180,4 +180,25 @@ object StreamingOps {
       .select(col("doc"), col("n_matched"), col("n_shingles"),
         round(col("n_matched") / col("n_shingles"), 4).as("ratio"))
   }
+
+  /** Streaming sessionization: Spark's native `session_window` (state
+    * merges adjacent windows until the idle gap exceeds `gap`; the
+    * watermark bounds state age) — the live twin of
+    * graft.events.Sessionize.userSessions, sharing the same gap
+    * semantics: a session closes after `gap` of user inactivity. (At an
+    * EXACTLY-equal gap the batch rule keeps the session while
+    * session_window splits — measure-zero at µs resolution.) Emits one
+    * row per closed (user, session): event count and window seconds
+    * (span + gap, per session_window's end = last event + gap). */
+  def streamingSessions(events: DataFrame, gap: String = "4 hours",
+                        watermark: String = "1 day"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).cast("long").as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("sess_start"),
+        round((unix_micros(col("session_window.end")) -
+          unix_micros(col("session_window.start"))) / 1e6, 4).as("window_s"),
+        col("n_events"))
 }

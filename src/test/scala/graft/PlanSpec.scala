@@ -240,6 +240,16 @@ class PlanSpec extends AnyFunSuite {
       p.take(3000))
   }
 
+  test("sessionization shares ONE user_id shuffle across windows and aggregates") {
+    val p = planOf(graft.events.Sessionize.userSessions(
+      Tables.events(spark, sf), gapUs = 14400000000L))
+    // lag + running-sum windows and both groupBys are all keyed on
+    // user_id (the session agg clusters on (user_id, _sess), which the
+    // user_id hash partitioning already satisfies) — so the whole
+    // operator is a single exchange at any scale
+    assert(p.split("Exchange").length - 1 == 1, p.take(3000))
+  }
+
   test("kmeans transform distance columns are pure codegen (no pre-agg shuffle)") {
     val li = Tables.lineitem(spark, sf)
     val feats = Seq(col("l_quantity"), col("l_discount"), col("l_tax"))

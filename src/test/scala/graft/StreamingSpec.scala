@@ -180,4 +180,31 @@ class StreamingSpec extends AnyFunSuite {
       assert(kept == Set(1L), kept.toString)
     } finally q.stop()
   }
+
+  test("streaming sessionization matches the batch gap rule per user") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val events = in.toDF().toDF("user_id", "event_id", "ts")
+    val q = StreamingOps.streamingSessions(events, gap = "30 minutes")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("complete").start()
+    try {
+      def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+      // user 1: two events 5 min apart (one session) + one 115 min later
+      // (second session); user 2: a singleton
+      val rows = Seq((1L, 1L, ts(10, 0)), (1L, 2L, ts(10, 5)), (1L, 3L, ts(12, 0)),
+        (2L, 4L, ts(10, 0)))
+      in.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("sess_out").groupBy("user_id")
+        .agg(count(lit(1)).as("ns"), sum("n_events").as("ne"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val batch = graft.events.Sessionize.userSessions(
+          rows.toDF("user_id", "event_id", "ts"), gapUs = 30L * 60 * 1000000)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got == batch, s"streaming $got vs batch $batch")
+      assert(got(1L) == ((2L, 3L)) && got(2L) == ((1L, 1L)), got.toString)
+    } finally q.stop()
+  }
 }
