@@ -57,6 +57,11 @@ object TSAQueries {
           when(var_samp(col("dx")) < var_samp(col("x")), 1L).otherwise(0L).as("d"))
         .orderBy("series")
     },
+    "outlier_mad" -> { (s, d) =>
+      graft.stats.Robust.outlierMad(
+          TimeSeries.dailySeries(Tables.events(s, d)), k = 3.0)
+        .orderBy("series")
+    },
     "arima" -> { (s, d) =>
       TimeSeries.arFit2(TimeSeries.dailySeries(Tables.events(s, d)))
         .select(col("series"), col("term"), round(col("coef"), 4).as("coef"))
@@ -115,6 +120,10 @@ object TSAQueries {
     },
     "arima_loglike" -> { (s, d) =>
       TimeSeries.arimaLoglike(TimeSeries.dailySeries(Tables.events(s, d)))
+        .orderBy("series")
+    },
+    "arima_fit_bfgs" -> { (s, d) =>
+      TimeSeries.arimaFitBFGS(TimeSeries.dailySeries(Tables.events(s, d)))
         .orderBy("series")
     },
     "arima_fit_ml" -> { (s, d) =>
@@ -323,6 +332,26 @@ object TSAQueries {
        |  FROM st$sfx)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "outlier_mad" ->
+      s"""WITH d0 AS ($dailySql),
+         |b AS (SELECT series, day, round(x, 4) AS x4 FROM d0),
+         |r1 AS (SELECT series, day, x4,
+         |    row_number() OVER (PARTITION BY series ORDER BY x4, day) AS rn,
+         |    count(*) OVER (PARTITION BY series) AS n FROM b),
+         |med AS (SELECT series, x4 AS med FROM r1 WHERE rn = ceil(n * 0.5)),
+         |dv AS (SELECT b.series, b.day, b.x4, med.med,
+         |    round(abs(b.x4 - med.med), 4) AS dev
+         |  FROM b JOIN med ON b.series = med.series),
+         |r2 AS (SELECT series, day, dev,
+         |    row_number() OVER (PARTITION BY series ORDER BY dev, day) AS rn,
+         |    count(*) OVER (PARTITION BY series) AS n FROM dv),
+         |mad AS (SELECT series, dev AS mad FROM r2 WHERE rn = ceil(n * 0.5))
+         |SELECT dv.series AS series, count(*)::BIGINT AS n_days,
+         |  round(max(dv.med), 4) AS median, round(max(mad.mad), 4) AS mad,
+         |  sum(CASE WHEN dv.dev > (3.0 * 1.4826) * mad.mad THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+         |  round(max(dv.dev), 4) AS max_dev
+         |FROM dv JOIN mad ON dv.series = mad.series
+         |GROUP BY dv.series ORDER BY series""".stripMargin,
     "holt_trend" ->
       s"""WITH RECURSIVE s0 AS ($dailySql),
          |s AS (SELECT series, x, (row_number() OVER (PARTITION BY series ORDER BY day) - 1)::BIGINT AS t FROM s0),

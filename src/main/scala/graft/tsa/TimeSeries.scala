@@ -798,6 +798,83 @@ object TimeSeries {
         round(col("_s2"), 4).as("sigma2"), round(col("_ll"), 4).as("loglik"))
   }
 
+  /** ARIMA(1,1,1) fitted by CONTINUOUS maximum likelihood — the
+    * reference's batched L-BFGS solver surface
+    * (python/cuml/tsa/batched_lbfgs.py drives the arima.pyx fit): a
+    * "batch" is many INDEPENDENT small optimizations, one per series, so
+    * the Spark re-expression distributes them across the one per-series
+    * in-partition pass — breeze L-BFGS (central-difference gradient on 2
+    * unconstrained params) maximizing the exact Kalman loglik
+    * [[armaLoglikeScalar]], with (φ, θ) kept stationary/invertible
+    * through a 0.99·tanh reparameterization and started at the HR CLS
+    * estimate (the reference's start-params choice). Deterministic: fixed
+    * start, deterministic line search; refines [[arimaFitML]]'s lattice
+    * winner to the continuous optimum (the spec asserts ≥). Solver
+    * iterates are engine-internal → rows-only gate.
+    * Output: (series, phi, theta, sigma2, loglik). */
+  def arimaFitBFGS(series: DataFrame, maxIter: Int = 60): DataFrame = {
+    val (rows, cf) = arimaHRStage(series)
+    val pars = cf.filter(abs(col("c1")) < 1.0)
+      .select(col("series"), col("c1").as("phi0"), col("c2").as("theta0"))
+    import series.sparkSession.implicits._
+    val joined = rows.select(col("series").cast("string"), col("t").cast("long"),
+        col("dx").cast("double"))
+      .join(pars, Seq("series"))
+      .select(col("series"), col("t"), col("dx"), col("phi0"), col("theta0"))
+      .as[(String, Long, Double, Double, Double)]
+    joined.groupByKey(_._1).flatMapGroups { (key, it) =>
+      val rs = it.toSeq.sortBy(_._2)
+      if (rs.length < 5) Iterator.empty
+      else {
+        val (phi, theta, s2, ll) = bfgsArma(rs.map(_._3), rs.head._4, rs.head._5, maxIter)
+        Iterator((key, phi, theta, s2, ll))
+      }
+    }.toDF("series", "_phi", "_theta", "_s2", "_ll")
+      .select(col("series"),
+        round(col("_phi"), 4).as("phi"), round(col("_theta"), 4).as("theta"),
+        round(col("_s2"), 4).as("sigma2"), round(col("_ll"), 4).as("loglik"))
+  }
+
+  /** The per-series optimizer behind [[arimaFitBFGS]]: minimize −loglik
+    * over (a, b) with φ = 0.99·tanh(a), θ = 0.99·tanh(b). */
+  private[graft] def bfgsArma(xs: Seq[Double], phi0: Double, theta0: Double,
+                              maxIter: Int): (Double, Double, Double, Double) = {
+    import breeze.linalg.DenseVector
+    import breeze.optimize.{DiffFunction, LBFGS}
+    val xa = xs.toArray
+    def unpack(v: DenseVector[Double]) =
+      (0.99 * math.tanh(v(0)), 0.99 * math.tanh(v(1)))
+    def negLL(v: DenseVector[Double]): Double = {
+      val (phi, theta) = unpack(v)
+      val ll = armaLoglikeScalar(xa.toSeq, phi, theta)._2
+      if (ll.isNaN || ll.isInfinite) 1e12 else -ll
+    }
+    val f = new DiffFunction[DenseVector[Double]] {
+      def calculate(v: DenseVector[Double]): (Double, DenseVector[Double]) = {
+        val h = 1e-6
+        val g = DenseVector.tabulate(2) { i =>
+          val vp = v.copy; vp(i) += h
+          val vm = v.copy; vm(i) -= h
+          (negLL(vp) - negLL(vm)) / (2 * h)
+        }
+        (negLL(v), g)
+      }
+    }
+    def atanhClamped(x: Double) = {
+      val c = math.max(math.min(x / 0.99, 0.999), -0.999)
+      0.5 * math.log((1 + c) / (1 - c))
+    }
+    val start = DenseVector(atanhClamped(phi0), atanhClamped(theta0))
+    val opt = new LBFGS[DenseVector[Double]](maxIter = maxIter, m = 5, tolerance = 1e-9)
+      .minimize(f, start)
+    // keep whichever of {optimum, start} scores better — L-BFGS on a flat
+    // ridge can terminate a hair off; the fit must never lose to its seed
+    val best = if (negLL(opt) <= negLL(start)) opt else start
+    val (phi, theta) = unpack(best)
+    val (s2, ll, _) = armaLoglikeScalar(xa.toSeq, phi, theta)
+    (phi, theta, s2, ll)
+  }
+
   /** h-step forecast from the ML-fitted model — the reference's
     * fit-then-forecast composition at the likelihood optimum: run the
     * [[arimaFitML]] grid, keep the winner's final one-step state

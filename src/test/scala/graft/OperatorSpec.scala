@@ -450,6 +450,18 @@ class OperatorSpec extends AnyFunSuite {
     assert(abs(m("ma1")) < 0.35, s"ma1 ${m("ma1")}")
   }
 
+  test("MAD outliers: a planted spike is flagged, steady series stay clean") {
+    import spark.implicits._
+    val steady = (0 until 30).map(i => ("calm", i, 50.0 + (i % 5)))
+    val spiky = (0 until 30).map(i => ("spiky", i, if (i == 17) 500.0 else 50.0 + (i % 5)))
+    val df = (steady ++ spiky).map { case (s, i, x) => (s, f"2026-01-$i%02d", x) }
+      .toDF("series", "day", "x")
+    val r = graft.stats.Robust.outlierMad(df).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(4)))).toMap
+    assert(r("calm") == ((30L, 0L)), r("calm").toString)
+    assert(r("spiky") == ((30L, 1L)), r("spiky").toString)
+  }
+
   test("semDedup drops planted duplicate embeddings and keeps distinct ones") {
     import spark.implicits._
     val dim = 16

@@ -246,6 +246,35 @@ class TsaDepthSpec extends AnyFunSuite {
       s"ML grid ${ml.getDouble(4)} below CLS start $atCls")
   }
 
+  test("batched L-BFGS fit refines the lattice winner to a continuous optimum") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(6)
+    val e = (0 until 121).map(_ => rnd.nextGaussian())
+    var x = 100.0
+    val xs = (1 to 120).map { t => x += 1.5 + e(t) + 0.6 * e(t - 1); x }
+    val df = xs.zipWithIndex.map { case (v, t) => ("s", t.toLong, v) }.toDF("series", "t", "x")
+    val grid = graft.tsa.TimeSeries.arimaFitML(df).head().getDouble(4)
+    val bfgs = graft.tsa.TimeSeries.arimaFitBFGS(df).head()
+    // continuous optimization ≥ any lattice point (rounding tolerance)
+    assert(bfgs.getDouble(4) >= grid - 1e-4,
+      s"BFGS ${bfgs.getDouble(4)} below grid winner $grid")
+    assert(math.abs(bfgs.getDouble(1)) < 0.99 && math.abs(bfgs.getDouble(2)) < 0.99)
+  }
+
+  test("batched L-BFGS recovers a planted MA(1) coefficient on differences") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val e = (0 until 601).map(_ => rnd.nextGaussian())
+    var x = 50.0
+    val xs = (1 to 600).map { t => x += e(t) + 0.5 * e(t - 1); x }
+    val df = xs.zipWithIndex.map { case (v, t) => ("s", t.toLong, v) }.toDF("series", "t", "x")
+    val r = graft.tsa.TimeSeries.arimaFitBFGS(df).head()
+    val (phi, theta) = (r.getDouble(1), r.getDouble(2))
+    // dx = e_t + 0.5 e_{t-1}: pure MA(1) — φ should be small, θ near 0.5
+    assert(math.abs(theta - 0.5) < 0.2, s"theta $theta")
+    assert(math.abs(phi) < 0.3, s"phi $phi")
+  }
+
   test("matrix Kalman reproduces the unrolled CV filter at F=[[1,1],[0,1]]") {
     import spark.implicits._
     val rnd = new scala.util.Random(21)
