@@ -300,6 +300,38 @@ object Dedup {
       .select(col("id1"), col("id2"), r4(col("_sim")).as("cosine"))
   }
 
+  /** Incremental (cross-shard) dedup — the ingest-time shape: a NEW shard
+    * of documents checked against the already-ingested corpus by content
+    * hash. Within-shard dups keep the min id; survivors that collide with
+    * any prior-corpus hash are dropped too. Per-lang summary
+    * (n_new, n_dup_within, n_dup_vs_prior, n_ingested).
+    *
+    * Scale shape: both sides reduce to (hash, …) rows; the anti-join
+    * shuffles on the 128-bit content hash — uniform by construction, and
+    * the prior side carries ONE row per distinct hash (it pre-aggregates),
+    * so the join never amplifies. No broadcast assumption: at 100 TB the
+    * prior corpus is the big side and this stays a plain shuffled
+    * anti-join. */
+  def incremental(newDocs: DataFrame, prior: DataFrame, textCol: String,
+                  idCol: String, byCol: String): DataFrame = {
+    val h = md5(normText(col(textCol)))
+    val priorH = prior.select(h.as("content_hash")).distinct()
+    val n = newDocs.select(col(byCol).as("_by"), col(idCol).cast("long").as("_id"),
+      h.as("content_hash"))
+    val keepers = n.groupBy(col("_by"), col("content_hash"))
+      .agg(min(col("_id")).as("_keep"), count(lit(1)).as("_copies"))
+    val ingested = keepers.join(priorH, Seq("content_hash"), "left_anti")
+    keepers.groupBy(col("_by")).agg(
+        sum(col("_copies")).cast("long").as("n_new"),
+        (sum(col("_copies")) - count(lit(1))).cast("long").as("n_dup_within"))
+      .join(ingested.groupBy(col("_by"))
+        .agg(count(lit(1)).cast("long").as("n_ingested")), Seq("_by"), "left")
+      .select(col("_by").as(byCol), col("n_new"), col("n_dup_within"),
+        (col("n_new") - col("n_dup_within") -
+          coalesce(col("n_ingested"), lit(0L))).as("n_dup_vs_prior"),
+        coalesce(col("n_ingested"), lit(0L)).as("n_ingested"))
+  }
+
   /** SemDeDup-shaped semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
     * partition the embedding space into cells, compare cosine similarity
     * only WITHIN a cell, and drop every member of a high-similarity pair

@@ -66,6 +66,14 @@ object TextQueries {
           "text", "doc_id")
         .orderBy("doc")
     },
+    "dedup_incremental" -> { (s, d) =>
+      // ingest-time dedup: the back half of the corpus arrives as a new
+      // shard and is checked against the already-ingested front half
+      val docs = Tables.documents(s, d)
+      Dedup.incremental(docs.filter(col("doc_id") >= 250),
+          docs.filter(col("doc_id") < 250), "text", "doc_id", "lang")
+        .orderBy("lang")
+    },
     "hashed_ngram_score" -> { (s, d) =>
       // closed-form pseudo-weights (Knuth multiplicative hash of the
       // bucket id) so the oracle replays the lookup without a 256-literal
@@ -271,6 +279,22 @@ object TextQueries {
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
         |    '\d{7,}', '<NUM>', 'g')) AS masked_hash
         |FROM p ORDER BY doc""".stripMargin,
+    "dedup_incremental" ->
+      """WITH nrm AS (SELECT doc_id, lang,
+        |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h
+        |  FROM documents),
+        |priorh AS (SELECT DISTINCT h FROM nrm WHERE doc_id < 250),
+        |k AS (SELECT lang, h, count(*) AS copies FROM nrm WHERE doc_id >= 250
+        |  GROUP BY lang, h),
+        |ing AS (SELECT lang, count(*) AS n_ing FROM k
+        |  WHERE h NOT IN (SELECT h FROM priorh) GROUP BY lang),
+        |agg AS (SELECT lang, sum(copies)::BIGINT AS n_new,
+        |    (sum(copies) - count(*))::BIGINT AS n_dup_within
+        |  FROM k GROUP BY lang)
+        |SELECT agg.lang AS lang, n_new, n_dup_within,
+        |  (n_new - n_dup_within - coalesce(n_ing, 0))::BIGINT AS n_dup_vs_prior,
+        |  coalesce(n_ing, 0)::BIGINT AS n_ingested
+        |FROM agg LEFT JOIN ing ON agg.lang = ing.lang ORDER BY lang""".stripMargin,
     "dedup_minhash" ->
       s"""WITH n AS (SELECT doc_id, $normToks AS toks FROM documents),
          |sh AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 3

@@ -78,6 +78,32 @@ object VectorQueries {
           round(avg(when(col("ratio") >= 0.5 && col("ratio") <= 1.5, 1.0)
             .otherwise(0.0)), 4).as("frac_within_eps"))
     },
+    "embedding_stats" -> { (s, d) =>
+      // corpus-health monitoring for the embedding column: norm
+      // distribution (one codegen scan, no shuffle) + mean pairwise cosine
+      // over a bounded sample — the isotropy proxy (an isotropic space has
+      // mean cosine ≈ 0); the pair scan is 60 rows by construction
+      import graft.core.VectorOps
+      val e = Tables.embeddings(s, d)
+      val nrm = round(sqrt(VectorOps.sqNormFixed(
+        col("embedding").cast("array<double>"), 64)), 4)
+      val norms = e.select(nrm.as("nrm"))
+        .agg(count(lit(1)).cast("long").as("n_vectors"),
+          round(min(col("nrm")), 4).as("min_norm"),
+          round(avg(col("nrm")), 4).as("avg_norm"),
+          round(max(col("nrm")), 4).as("max_norm"))
+      val sample = e.filter(col("vec_id") < 60)
+        .select(col("vec_id").cast("long").as("id"),
+          col("embedding").cast("array<double>").as("v"))
+        .withColumn("n2", VectorOps.sqNormFixed(col("v"), 64))
+      val sim = VectorOps.dotFixed(col("a.v"), col("b.v"), 64) /
+        sqrt(col("a.n2") * col("b.n2"))
+      val iso = sample.as("a").join(sample.as("b"), col("a.id") < col("b.id"))
+        .select(round(sim, 4).as("c"))
+        .agg(round(avg(col("c")), 4).as("mean_cosine"),
+          round(avg(abs(col("c"))), 4).as("mean_abs_cosine"))
+      norms.crossJoin(iso)
+    },
     "semdedup" -> { (s, d) =>
       Dedup.semDedup(Tables.embeddings(s, d), "vec_id", "embedding",
           k = 8, dim = 64, seed = 7L, tau = 0.4)
@@ -351,6 +377,16 @@ object VectorQueries {
     "ann_lsh" -> lshOracle,
     "rp_distortion" -> rpDistortionOracle,
     "semdedup" -> semDedupOracle,
+    "embedding_stats" ->
+      s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+         |nrm AS (SELECT round(sqrt(list_dot_product(v, v)), 4) AS nr FROM e),
+         |ns AS (SELECT count(*)::BIGINT AS n_vectors, round(min(nr), 4) AS min_norm,
+         |  round(avg(nr), 4) AS avg_norm, round(max(nr), 4) AS max_norm FROM nrm),
+         |sm AS (SELECT id, v FROM e WHERE id < 60),
+         |pc AS (SELECT round($cosSql, 4) AS c FROM sm a JOIN sm b ON a.id < b.id),
+         |iso AS (SELECT round(avg(c), 4) AS mean_cosine,
+         |  round(avg(abs(c)), 4) AS mean_abs_cosine FROM pc)
+         |SELECT * FROM ns, iso""".stripMargin,
     "random_projection" -> rpOracle(rpGaussEntry),
     "random_projection_sparse" -> rpOracle(rpSparseEntry),
     "ann_cosine_topk" ->

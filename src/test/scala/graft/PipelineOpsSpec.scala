@@ -49,6 +49,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(r("zh") == ((10L, 10L, 1.0)), r("zh").toString)
   }
 
+  test("incremental dedup: prior-corpus collisions and within-shard copies both drop") {
+    import spark.implicits._
+    val prior = Seq((1L, "alpha text"), (2L, "beta text")).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, "alpha text"),   // dup vs prior
+      (11L, "gamma text"),   // new
+      (12L, "gamma text"),   // within-shard copy of 11
+      (13L, "delta text"))   // new
+      .toDF("doc_id", "text").withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+    val r = graft.dedup.Dedup.incremental(fresh, prior, "text", "doc_id", "lang").head()
+    assert(r.getLong(1) == 4, s"n_new ${r.getLong(1)}")
+    assert(r.getLong(2) == 1, s"n_dup_within ${r.getLong(2)}")
+    assert(r.getLong(3) == 1, s"n_dup_vs_prior ${r.getLong(3)}")
+    assert(r.getLong(4) == 2, s"n_ingested ${r.getLong(4)}")
+  }
+
   test("segment dedup: repeated segment keeps first copy only, order preserved") {
     import spark.implicits._
     import org.apache.spark.sql.functions.md5
