@@ -1,7 +1,5 @@
 package graft.neighbors
 
-import org.apache.spark.ml.clustering.{KMeans => MLKMeans}
-import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -17,30 +15,126 @@ import org.apache.spark.sql.functions._
   * one at corpus scale. A query builds one M×K table of subspace distances
   * (asymmetric distance computation), so scoring a candidate is M array
   * lookups + adds: pure codegen over the code column, no per-pair
-  * multiplies. Codebooks train on a sample via MLlib k-means (standard PQ
-  * practice); encoding is a broadcast-codebook map, shuffle-free. */
+  * multiplies. Codebooks train on a bounded driver-side sample with a
+  * deterministic local Lloyd (standard PQ practice — the sample, not the
+  * corpus, bounds training); encoding is a broadcast-codebook map,
+  * shuffle-free. */
 object PQ {
   /** centers(m)(j) = the j-th centroid of subspace m (length dim/m each). */
   final case class Codebook(m: Int, k: Int, centers: Array[Array[Array[Double]]]) {
     def subDim: Int = centers(0)(0).length
   }
 
-  /** Per-subspace k-means over the sliced corpus (M small fits — each on
-    * n × dim/M values; train on a sample at scale, as FAISS does). */
+  /** Per-subspace k-means codebooks, trained on a BOUNDED driver-side
+    * sample (standard PQ practice — FAISS trains its codebooks on ~10⁴-10⁵
+    * sampled vectors regardless of corpus size): one collect of sampleN
+    * rows, then M tiny local Lloyd runs (seeded k-means++ init, best-of-8
+    * by SSE). Replaces M sequential MLlib jobs whose per-job overhead
+    * dominated at small k·subdim — training cost is now independent of
+    * the corpus; only encode/score touch it (broadcast-codebook maps). */
   def train(corpus: DataFrame, vecCol: String, m: Int, k: Int,
-            seed: Long = 42L): Codebook = {
+            seed: Long = 42L, sampleN: Int = 10000): Codebook = {
     val v = col(vecCol).cast("array<double>")
-    val dim = corpus.select(size(v)).head().getInt(0)
+    // deterministic sample: md5-hash order (id-free, engine-stable)
+    val sample = corpus.select(v.as("v"))
+      .orderBy(md5(col("v").cast("string")))
+      .limit(sampleN).collect().map(_.getSeq[Double](0).toArray)
+    val dim = sample.head.length
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val sub = dim / m
     val centers = (0 until m).map { s =>
-      val input = corpus.select(
-        array_to_vector(slice(v, s * sub + 1, sub)).as("_fv"))
-      new MLKMeans().setK(k).setSeed(seed + s).setMaxIter(15)
-        .setFeaturesCol("_fv").fit(input)
-        .clusterCenters.map(_.toArray)
+      val pts = sample.map(row => java.util.Arrays.copyOfRange(row, s * sub, (s + 1) * sub))
+      // best-of-8 restarts by SSE — still trivial CPU on the bounded
+      // sample, and recovers the quality of a k-means|| style init
+      (0 until 8).map(r => lloyd(pts, k, iters = 40, seed = seed + s + r * 1000L))
+        .minBy { cs =>
+          pts.map { p =>
+            cs.map { c =>
+              var d = 0.0; var i = 0
+              while (i < p.length) { val t = p(i) - c(i); d += t * t; i += 1 }
+              d
+            }.min
+          }.sum
+        }
     }.toArray
     Codebook(m, k, centers)
+  }
+
+  /** Deterministic local Lloyd: k-means++ init with a fixed-seed RNG
+    * (D²-weighted sampling — farthest-first chases outliers and costs
+    * recall), then `iters` assignment/mean rounds; an emptied cluster
+    * keeps its previous center. O(n·k·d·iters) on the bounded training
+    * sample. */
+  private def lloyd(points: Array[Array[Double]], k: Int, iters: Int,
+                    seed: Long): Array[Array[Double]] = {
+    val n = points.length
+    val d = points.head.length
+    def sq(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < d) { val t = a(i) - b(i); s += t * t; i += 1 }
+      s
+    }
+    val rng = new scala.util.Random(seed)
+    val kk = math.min(k, n)
+    val centers = Array.ofDim[Array[Double]](kk)
+    centers(0) = points(rng.nextInt(n)).clone()
+    val minD = Array.fill(n)(Double.MaxValue)
+    var c = 1
+    while (c < kk) {
+      var total = 0.0
+      var i = 0
+      while (i < n) {
+        val dd = sq(points(i), centers(c - 1))
+        if (dd < minD(i)) minD(i) = dd
+        total += minD(i)
+        i += 1
+      }
+      // D²-weighted draw; total = 0 (all-duplicate sample) falls back to
+      // an unweighted pick
+      var pick = if (total > 0) rng.nextDouble() * total else -1.0
+      var chosen = rng.nextInt(n)
+      if (pick >= 0) {
+        var j = 0
+        var acc = 0.0
+        while (j < n && pick >= 0) {
+          acc += minD(j)
+          if (acc >= pick) { chosen = j; pick = -1.0 }
+          j += 1
+        }
+      }
+      centers(c) = points(chosen).clone()
+      c += 1
+    }
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(kk)(new Array[Double](d))
+      val counts = new Array[Long](kk)
+      var i = 0
+      while (i < n) {
+        var bj = 0; var bd = Double.MaxValue
+        var j = 0
+        while (j < kk) {
+          val dd = sq(points(i), centers(j))
+          if (dd < bd) { bd = dd; bj = j }
+          j += 1
+        }
+        counts(bj) += 1
+        var x = 0
+        while (x < d) { sums(bj)(x) += points(i)(x); x += 1 }
+        i += 1
+      }
+      var j = 0
+      while (j < kk) {
+        if (counts(j) > 0) {
+          var x = 0
+          while (x < d) { centers(j)(x) = sums(j)(x) / counts(j); x += 1 }
+        }
+        j += 1
+      }
+      it += 1
+    }
+    // pad (k > n corner): repeat the last center so the codebook shape holds
+    if (kk < k) centers ++ Array.fill(k - kk)(centers(kk - 1).clone()) else centers
   }
 
   /** Nearest-centroid code per subspace (broadcast-codebook JVM closure —
