@@ -72,6 +72,11 @@ object TSAQueries {
         .select(col("series"), col("term"), round(col("coef"), 4).as("coef"))
         .orderBy("series", "term")
     },
+    "hw_fit_opt" -> { (s, d) =>
+      TimeSeries.hwFitOpt(TimeSeries.dailySeries(Tables.events(s, d)), 7,
+          HwAlphas, HwBetas, HwGammas)
+        .orderBy("series")
+    },
     "hw_fit" -> { (s, d) =>
       TimeSeries.hwFit(TimeSeries.dailySeries(Tables.events(s, d)), 7,
           HwAlphas, HwBetas, HwGammas)

@@ -296,6 +296,71 @@ object TimeSeries {
         round(col("_sse"), 4).as("sse"))
   }
 
+  /** Continuous (α,β,γ) refinement of [[hwFit]] — the reference's ACTUAL
+    * optimizer shape (hw_optim.h line-searches the smoothing parameters
+    * rather than scanning a lattice): per-series breeze L-BFGS on the
+    * one-step SSE, each parameter kept in (0,1) by a sigmoid
+    * reparameterization, started at the lattice winner so it can only
+    * improve (the fit never loses to its seed — spec-gated). Same single
+    * per-series in-partition pass as the grid; solver iterates are
+    * engine-internal → rows-only gate.
+    * Output: (series, alpha, beta, gamma, sse). */
+  def hwFitOpt(series: DataFrame, period: Int, alphas: Seq[Double],
+               betas: Seq[Double], gammas: Seq[Double],
+               multiplicative: Boolean = false, maxIter: Int = 50): DataFrame = {
+    import series.sparkSession.implicits._
+    val m = period
+    val rows = series.select(col("series").cast("string"), col("t").cast("long"),
+      col("x").cast("double")).as[(String, Long, Double)]
+    rows.groupByKey(_._1).flatMapGroups { (key, it) =>
+      val xs = it.toSeq.sortBy(_._2).map(_._3).toIndexedSeq
+      if (xs.length < 2 * m) Iterator.empty
+      else {
+        val (_, a0, b0, g0, _, _, _) =
+          hwGridWinner(xs, m, alphas, betas, gammas, multiplicative)
+        val (a, b, g, sse) = hwOpt(xs, m, a0, b0, g0, multiplicative, maxIter)
+        Iterator((key, a, b, g, sse))
+      }
+    }.toDF("series", "_a", "_b", "_g", "_sse")
+      .select(col("series"),
+        round(col("_a"), 4).as("alpha"), round(col("_b"), 4).as("beta"),
+        round(col("_g"), 4).as("gamma"), round(col("_sse"), 4).as("sse"))
+  }
+
+  /** The per-series optimizer behind [[hwFitOpt]]: minimize the one-step
+    * SSE over logit-transformed (α, β, γ). */
+  private def hwOpt(xs: IndexedSeq[Double], m: Int, a0: Double, b0: Double,
+                    g0: Double, multiplicative: Boolean, maxIter: Int)
+      : (Double, Double, Double, Double) = {
+    import breeze.linalg.DenseVector
+    import breeze.optimize.{DiffFunction, LBFGS}
+    def sig(z: Double) = 1.0 / (1.0 + math.exp(-z))
+    def logit(p: Double) = {
+      val c = math.min(math.max(p, 1e-4), 1.0 - 1e-4)
+      math.log(c / (1.0 - c))
+    }
+    def sse(v: DenseVector[Double]): Double = {
+      val s = hwRunAdd(xs, m, sig(v(0)), sig(v(1)), sig(v(2)), multiplicative)._1
+      if (s.isNaN || s.isInfinite) 1e18 else s
+    }
+    val f = new DiffFunction[DenseVector[Double]] {
+      def calculate(v: DenseVector[Double]): (Double, DenseVector[Double]) = {
+        val h = 1e-6
+        val g = DenseVector.tabulate(3) { i =>
+          val vp = v.copy; vp(i) += h
+          val vm = v.copy; vm(i) -= h
+          (sse(vp) - sse(vm)) / (2 * h)
+        }
+        (sse(v), g)
+      }
+    }
+    val start = DenseVector(logit(a0), logit(b0), logit(g0))
+    val opt = new LBFGS[DenseVector[Double]](maxIter = maxIter, m = 5, tolerance = 1e-9)
+      .minimize(f, start)
+    val best = if (sse(opt) <= sse(start)) opt else start
+    (sig(best(0)), sig(best(1)), sig(best(2)), sse(best))
+  }
+
   /** Fit-then-forecast: grid-fit (α,β,γ) per series as [[hwFit]], then emit
     * h forecasts from the WINNING candidate's final state —
     * ŷ_{T+k} = l + k·b + s_{(k−1) mod m}. This is the reference's

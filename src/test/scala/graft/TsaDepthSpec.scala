@@ -261,6 +261,28 @@ class TsaDepthSpec extends AnyFunSuite {
     assert(math.abs(bfgs.getDouble(1)) < 0.99 && math.abs(bfgs.getDouble(2)) < 0.99)
   }
 
+  test("continuous HW fit never loses to the lattice and tightens the SSE") {
+    import spark.implicits._
+    val season = Array(1.3, 0.8, 1.1, 1.0, 0.7, 1.2, 0.9)
+    val rnd = new scala.util.Random(3)
+    val xs = (0 until 70).map(t =>
+      (40.0 + 0.5 * t) * season(t % 7) + rnd.nextGaussian() * 0.5)
+    val df = xs.zipWithIndex.map { case (x, t) => ("s", t.toLong, x) }.toDF("series", "t", "x")
+    val lattice = Seq(0.2, 0.4, 0.6, 0.8)
+    val grid = graft.tsa.TimeSeries.hwFit(df, 7, lattice, Seq(0.1, 0.3), Seq(0.1, 0.3, 0.5))
+      .head().getDouble(4)
+    val opt = graft.tsa.TimeSeries.hwFitOpt(df, 7, lattice, Seq(0.1, 0.3), Seq(0.1, 0.3, 0.5))
+      .head()
+    assert(opt.getDouble(4) <= grid + 1e-4,
+      s"opt SSE ${opt.getDouble(4)} above lattice $grid")
+    // the sigmoid keeps raw params strictly inside (0,1); the 4-decimal
+    // display can saturate to 0/1 when the optimum sits at a boundary
+    Seq(1, 2, 3).foreach { i =>
+      val p = opt.getDouble(i)
+      assert(p >= 0.0 && p <= 1.0, s"param $i out of [0,1]: $p")
+    }
+  }
+
   test("batched L-BFGS recovers a planted MA(1) coefficient on differences") {
     import spark.implicits._
     val rnd = new scala.util.Random(17)
