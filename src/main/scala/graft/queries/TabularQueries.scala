@@ -143,6 +143,27 @@ object TabularQueries {
           r4(stddev_samp(score)).as("sd_pc1"))
         .orderBy("l_returnflag")
     },
+    "standard_scale" -> { (s, d) =>
+      // feature standardization (the step every estimator here applies
+      // internally, exposed as the user-facing preprocessing operator):
+      // stats from ONE aggregate, the transform a pure codegen map with
+      // literal mean/sd — per-group summary verifies mean→0 / sd→1
+      val li = Tables.lineitem(s, d)
+      val fs = Seq("l_quantity", "l_extendedprice", "l_discount")
+      val aggs = fs.flatMap(c =>
+        Seq(avg(col(c)).as(s"_m$c"), stddev_samp(col(c)).as(s"_s$c")))
+      val st = li.agg(aggs.head, aggs.tail: _*).head()
+      val scaled = fs.zipWithIndex.map { case (c, i) =>
+        ((col(c) - st.getDouble(2 * i)) / st.getDouble(2 * i + 1)).as(s"_z$i")
+      }
+      li.select(col("l_returnflag") +: scaled: _*)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).cast("long").as("n"),
+          r4(avg(col("_z0"))).as("mean_z_qty"), r4(stddev_samp(col("_z0"))).as("sd_z_qty"),
+          r4(avg(col("_z1"))).as("mean_z_price"), r4(stddev_samp(col("_z1"))).as("sd_z_price"),
+          r4(avg(col("_z2"))).as("mean_z_disc"), r4(stddev_samp(col("_z2"))).as("sd_z_disc"))
+        .orderBy("l_returnflag")
+    },
     "jl_min_dim" -> { (s, _) =>
       import s.implicits._
       val grid = for (n <- Seq(1000L, 10000L, 100000L, 1000000L);
@@ -290,6 +311,19 @@ object TabularQueries {
         |  round(avg((l_quantity - mq)*v1 + (l_tax - mt)*v2), 4) AS mean_pc1,
         |  round(stddev_samp((l_quantity - mq)*v1 + (l_tax - mt)*v2), 4) AS sd_pc1
         |FROM lineitem, vv GROUP BY l_returnflag, mq, mt, v1, v2 ORDER BY l_returnflag""".stripMargin,
+    "standard_scale" ->
+      """WITH st AS (SELECT avg(l_quantity) mq, stddev_samp(l_quantity) sq,
+        |    avg(l_extendedprice) mp, stddev_samp(l_extendedprice) sp,
+        |    avg(l_discount) md, stddev_samp(l_discount) sd FROM lineitem)
+        |SELECT l_returnflag, count(*)::BIGINT AS n,
+        |  round(avg((l_quantity - mq) / sq), 4) AS mean_z_qty,
+        |  round(stddev_samp((l_quantity - mq) / sq), 4) AS sd_z_qty,
+        |  round(avg((l_extendedprice - mp) / sp), 4) AS mean_z_price,
+        |  round(stddev_samp((l_extendedprice - mp) / sp), 4) AS sd_z_price,
+        |  round(avg((l_discount - md) / sd), 4) AS mean_z_disc,
+        |  round(stddev_samp((l_discount - md) / sd), 4) AS sd_z_disc
+        |FROM lineitem, st GROUP BY l_returnflag, mq, sq, mp, sp, md, sd
+        |ORDER BY l_returnflag""".stripMargin,
     "jl_min_dim" ->
       """SELECT n_samples::BIGINT AS n_samples, eps::DOUBLE AS eps,
         |  CAST(ceil(4.0 * ln(n_samples) / (eps*eps/2 - eps*eps*eps/3)) AS BIGINT) AS min_dim

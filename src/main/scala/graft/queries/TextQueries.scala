@@ -99,6 +99,15 @@ object TextQueries {
           topN = 3)
         .orderBy("doc", "rank")
     },
+    "bigram_perplexity" -> { (s, d) =>
+      // LM trained on the already-ingested front half, scoring the new
+      // back half — the CCNet quality-filter composition
+      val docs = Tables.documents(s, d)
+      graft.text.Relevance.bigramPerplexity(
+          docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250),
+          "text", "doc_id")
+        .orderBy("doc")
+    },
     "bm25_search" -> { (s, d) =>
       graft.text.Relevance.bm25(Tables.documents(s, d), "text", "doc_id",
           Seq("hash", "scan", "merge"), topN = 10)
@@ -248,6 +257,27 @@ object TextQueries {
          |  FROM s)
          |SELECT doc, rk::BIGINT AS rank, term, round(score, 6) AS score
          |FROM r WHERE rk <= 3 ORDER BY doc, rank""".stripMargin,
+    "bigram_perplexity" ->
+      s"""WITH n AS (SELECT doc_id::BIGINT AS doc, $normToks AS toks FROM documents),
+         |trt AS (SELECT unnest(toks) AS tok FROM n WHERE doc < 250),
+         |uni AS (SELECT tok, count(*) AS c1 FROM trt GROUP BY tok),
+         |vv AS (SELECT count(*)::DOUBLE AS v FROM uni),
+         |trb AS (SELECT unnest(CASE WHEN len(toks) >= 2
+         |    THEN list_transform(range(0, len(toks)-1), i -> toks[i+1] || '_' || toks[i+2])
+         |    ELSE [] END) AS sh FROM n WHERE doc < 250),
+         |big AS (SELECT sh, count(*) AS c2 FROM trb GROUP BY sh),
+         |sb0 AS (SELECT doc, unnest(CASE WHEN len(toks) >= 2
+         |    THEN list_transform(range(0, len(toks)-1), i ->
+         |      struct_pack(w1 := toks[i+1], sh := toks[i+1] || '_' || toks[i+2]))
+         |    ELSE [] END) AS b FROM n WHERE doc >= 250),
+         |sb AS (SELECT doc, b.w1 AS w1, b.sh AS sh FROM sb0),
+         |lp AS (SELECT sb.doc,
+         |    ln((coalesce(big.c2, 0) + 1.0) / (coalesce(uni.c1, 0) + vv.v)) AS l
+         |  FROM sb LEFT JOIN uni ON sb.w1 = uni.tok
+         |    LEFT JOIN big ON sb.sh = big.sh, vv)
+         |SELECT doc, count(*)::BIGINT AS n_bigrams,
+         |  round(exp(-sum(l) / count(*)), 4) AS ppl
+         |FROM lp GROUP BY doc ORDER BY doc""".stripMargin,
     "bm25_search" ->
       s"""WITH n AS (SELECT doc_id::BIGINT AS doc, $normToks AS w FROM documents),
          |d AS (SELECT doc, len(w)::DOUBLE AS dl, w FROM n),

@@ -75,4 +75,42 @@ object Relevance {
       .limit(topN)
       .select(col("doc"), r6(col("score")).as("score"))
   }
+
+  /** Count-based bigram language-model perplexity — the CCNet-shaped
+    * quality filter (Wenzek et al. 2020 score every document with an LM
+    * trained elsewhere and drop the high-perplexity tail): add-one
+    * smoothed P(w₂|w₁) = (C(w₁w₂)+1)/(C(w₁)+V) trained on one corpus
+    * slice, ppl(doc) = exp(−Σ ln P / n) on another.
+    *
+    * Scale shape: both count tables are map-side-combined groupBys on
+    * token keys; scoring joins the scored docs' bigrams against them on
+    * the same uniform keys — no windows over the corpus beyond the
+    * per-doc lead(), no driver state beyond the vocab-size scalar.
+    * Bigram identity uses the w₁_w₂ string key CONSISTENTLY on the train
+    * and score sides, so any separator collision affects both counts
+    * identically (and the DuckDB oracle reproduces it bit-for-bit). */
+  def bigramPerplexity(train: DataFrame, score: DataFrame, textCol: String,
+                       idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def toks(df: DataFrame) = df.select(col(idCol).cast("long").as("doc"),
+      posexplode(normToks(textCol)).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("doc")).orderBy(col("pos"))
+    def bigrams(df: DataFrame) = toks(df)
+      .withColumn("w2", lead(col("tok"), 1).over(w))
+      .filter(col("w2").isNotNull)
+      .select(col("doc"), col("tok").as("w1"),
+        concat_ws("_", col("tok"), col("w2")).as("sh"))
+    val uni = toks(train).groupBy(col("tok")).agg(count(lit(1)).as("c1"))
+    val big = bigrams(train).groupBy(col("sh")).agg(count(lit(1)).as("c2"))
+    val v = uni.count().toDouble
+    bigrams(score)
+      .join(uni.withColumnRenamed("tok", "w1"), Seq("w1"), "left")
+      .join(big, Seq("sh"), "left")
+      .select(col("doc"),
+        log((coalesce(col("c2"), lit(0L)).cast("double") + 1.0) /
+          (coalesce(col("c1"), lit(0L)).cast("double") + v)).as("_lp"))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        round(exp(-sum(col("_lp")) / count(lit(1))), 4).as("ppl"))
+  }
 }

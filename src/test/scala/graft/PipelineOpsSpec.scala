@@ -49,6 +49,17 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(r("zh") == ((10L, 10L, 1.0)), r("zh").toString)
   }
 
+  test("bigram perplexity: in-domain text scores far below unseen-token text") {
+    import spark.implicits._
+    val phrase = "the quick brown fox jumps over the lazy dog"
+    val train = (1L to 20L).map(i => (i, phrase)).toDF("doc_id", "text")
+    val score = Seq((100L, phrase),                       // pure training text
+      (101L, "zxq wvu tsr qpo nml kji hgf edc ba")).toDF("doc_id", "text")
+    val r = graft.text.Relevance.bigramPerplexity(train, score, "text", "doc_id")
+      .collect().map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    assert(r(100L) < r(101L) / 3.0, s"in-domain ${r(100L)} vs unseen ${r(101L)}")
+  }
+
   test("incremental dedup: prior-corpus collisions and within-shard copies both drop") {
     import spark.implicits._
     val prior = Seq((1L, "alpha text"), (2L, "beta text")).toDF("doc_id", "text")
