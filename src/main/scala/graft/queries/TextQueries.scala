@@ -99,6 +99,10 @@ object TextQueries {
           topN = 3)
         .orderBy("doc", "rank")
     },
+    "pmi_collocations" -> { (s, d) =>
+      graft.text.Relevance.pmiTopPairs(Tables.documents(s, d), "text", "doc_id",
+        minCount = 3L, topN = 20)
+    },
     "bigram_perplexity" -> { (s, d) =>
       // LM trained on the already-ingested front half, scoring the new
       // back half — the CCNet quality-filter composition
@@ -257,6 +261,22 @@ object TextQueries {
          |  FROM s)
          |SELECT doc, rk::BIGINT AS rank, term, round(score, 6) AS score
          |FROM r WHERE rk <= 3 ORDER BY doc, rank""".stripMargin,
+    "pmi_collocations" ->
+      s"""WITH n AS (SELECT doc_id::BIGINT AS doc, $normToks AS toks FROM documents),
+         |t AS (SELECT unnest(toks) AS tok FROM n),
+         |uni AS (SELECT tok, count(*) AS c1 FROM t GROUP BY tok),
+         |nt AS (SELECT count(*)::DOUBLE AS n_tok FROM t),
+         |b0 AS (SELECT unnest(CASE WHEN len(toks) >= 2
+         |    THEN list_transform(range(0, len(toks)-1), i ->
+         |      struct_pack(w1 := toks[i+1], w2 := toks[i+2]))
+         |    ELSE [] END) AS b FROM n),
+         |bi AS (SELECT b.w1 AS w1, b.w2 AS w2, count(*) AS c2 FROM b0
+         |  GROUP BY b.w1, b.w2 HAVING count(*) >= 3),
+         |p AS (SELECT bi.w1, bi.w2, bi.c2,
+         |    ln(nt.n_tok * bi.c2 / (ua.c1::DOUBLE * ub.c1::DOUBLE)) AS pmi
+         |  FROM bi JOIN uni ua ON bi.w1 = ua.tok JOIN uni ub ON bi.w2 = ub.tok, nt)
+         |SELECT w1, w2, c2::BIGINT AS n_pair, round(pmi, 6) AS pmi
+         |FROM p ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin,
     "bigram_perplexity" ->
       s"""WITH n AS (SELECT doc_id::BIGINT AS doc, $normToks AS toks FROM documents),
          |trt AS (SELECT unnest(toks) AS tok FROM n WHERE doc < 250),

@@ -89,6 +89,38 @@ object Relevance {
     * Bigram identity uses the w₁_w₂ string key CONSISTENTLY on the train
     * and score sides, so any separator collision affects both counts
     * identically (and the DuckDB oracle reproduces it bit-for-bit). */
+  /** Top-N collocations by pointwise mutual information:
+    * PMI(w₁,w₂) = ln(N·C(w₁w₂) / (C(w₁)·C(w₂))) over min-support
+    * corpus bigrams — the phrase-mining pass a tokenizer/vocabulary audit
+    * runs. Count tables are the same map-side-combined token-key groupBys
+    * as [[bigramPerplexity]]; the top-N is a TakeOrdered, never a global
+    * sort. All counts are exact integers, so the PMI doubles (and the
+    * ordering) replay engine-identically. */
+  def pmiTopPairs(df: DataFrame, textCol: String, idCol: String,
+                  minCount: Long, topN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = df.select(col(idCol).cast("long").as("doc"),
+      posexplode(normToks(textCol)).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("doc")).orderBy(col("pos"))
+    val bi = tok.withColumn("w2", lead(col("tok"), 1).over(w))
+      .filter(col("w2").isNotNull)
+      .select(col("tok").as("w1"), col("w2"))
+    val uni = tok.groupBy(col("tok")).agg(count(lit(1)).as("c1"))
+    val nTok = tok.select(count(lit(1)).as("n_tok"))
+    bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      .filter(col("c2") >= minCount)
+      .join(uni.withColumnRenamed("tok", "w1").withColumnRenamed("c1", "c1a"), Seq("w1"))
+      .join(uni.withColumnRenamed("tok", "w2").withColumnRenamed("c1", "c1b"), Seq("w2"))
+      .crossJoin(broadcast(nTok))
+      .select(col("w1"), col("w2"), col("c2"),
+        log(col("n_tok").cast("double") * col("c2").cast("double") /
+          (col("c1a").cast("double") * col("c1b").cast("double"))).as("_pmi"))
+      .orderBy(col("_pmi").desc, col("w1"), col("w2"))
+      .limit(topN)
+      .select(col("w1"), col("w2"), col("c2").cast("long").as("n_pair"),
+        r6(col("_pmi")).as("pmi"))
+  }
+
   def bigramPerplexity(train: DataFrame, score: DataFrame, textCol: String,
                        idCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

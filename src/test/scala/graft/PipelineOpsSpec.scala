@@ -60,6 +60,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(r(100L) < r(101L) / 3.0, s"in-domain ${r(100L)} vs unseen ${r(101L)}")
   }
 
+  test("PMI: an always-together pair outranks frequent-but-independent words") {
+    import spark.implicits._
+    // "san francisco" always adjacent; "the" everywhere, adjacent to many
+    val docs = (1L to 10L).map(i =>
+      (i, s"the city of san francisco has the fog and the w$i bridge"))
+      .toDF("doc_id", "text")
+    val r = graft.text.Relevance.pmiTopPairs(docs, "text", "doc_id",
+        minCount = 3L, topN = 5)
+      .collect().map(x => (x.getString(0), x.getString(1)))
+    // all always-adjacent pairs tie on PMI; the top group must contain the
+    // planted collocation and exclude anything involving the high-df "the"
+    assert(r.contains(("san", "francisco")), r.mkString(", "))
+    assert(!r.exists(p => p._1 == "the" || p._2 == "the"), r.mkString(", "))
+  }
+
   test("incremental dedup: prior-corpus collisions and within-shard copies both drop") {
     import spark.implicits._
     val prior = Seq((1L, "alpha text"), (2L, "beta text")).toDF("doc_id", "text")
