@@ -157,14 +157,19 @@ object GradientSolver extends Serializable {
     } finally data.unpersist(blocking = false)
   }
 
-  /** Quasi-Newton (L-BFGS) fit — cuML's QN solver surface. One aggregate
-    * pass per objective evaluation; breeze drives the search. LogisticLoss
-    * gives cuML's QN logistic regression; HingeLoss gives the squared-hinge
-    * linear SVC (smooth, so L-BFGS converges — the same loss cuML's
-    * LinearSVC/QN path optimizes). */
+  /** Quasi-Newton fit — cuML's QN solver surface, including its OWL-QN
+    * dispatch (solvers/qn.pyx:179: "if non-zero l1, will run OWL-QN, else
+    * L-BFGS"; Andrew & Gao ICML'07). One aggregate pass per objective
+    * evaluation; breeze drives the search. LogisticLoss gives cuML's QN
+    * logistic regression; HingeLoss gives the squared-hinge linear SVC
+    * (smooth, so L-BFGS converges — the same loss cuML's LinearSVC/QN
+    * path optimizes). `l1 > 0` switches to OWL-QN with the intercept
+    * unpenalized; the L1 prox runs on the STANDARDIZED coefficients (the
+    * scale on which the penalty is comparable across features). */
   def fitQN(df: DataFrame, features: Seq[String], label: String,
             l2: Double = 0.0, maxIter: Int = 50,
-            loss: Loss = LogisticLoss, tol: Double = 1e-9): LinearModel = {
+            loss: Loss = LogisticLoss, tol: Double = 1e-9,
+            l1: Double = 0.0): LinearModel = {
     val p = features.size
     val fx0 = features.map(c => col(c).cast("double"))
     // standardize: mixed feature scales stall the line search otherwise
@@ -184,8 +189,14 @@ object GradientSolver extends Serializable {
           (lossV, grad)
         }
       }
-      val opt = new LBFGS[DenseVector[Double]](maxIter = maxIter, m = 7, tolerance = tol)
-      val w = opt.minimize(f, DenseVector.zeros[Double](p + 1))
+      val w =
+        if (l1 > 0.0)
+          new breeze.optimize.OWLQN[Int, DenseVector[Double]](maxIter, 7,
+              (i: Int) => if (i == 0) 0.0 else l1, tol)
+            .minimize(f, DenseVector.zeros[Double](p + 1))
+        else
+          new LBFGS[DenseVector[Double]](maxIter = maxIter, m = 7, tolerance = tol)
+            .minimize(f, DenseVector.zeros[Double](p + 1))
       // un-standardize back to the original feature scale
       val coefs = Array.tabulate(p)(i => w(i + 1) / sd(i))
       val b0 = w(0) - (0 until p).map(i => coefs(i) * mu(i)).sum

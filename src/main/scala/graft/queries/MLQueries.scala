@@ -73,6 +73,12 @@ object MLQueries {
       GradientSolver.fitQN(liWithLabel(s, d), LiFeatures, "_bin")
         .toDF(s).select(col("term"), round(col("coef"), 4).as("coef")).orderBy("term")
     },
+    "qn_logreg_l1" -> { (s, d) =>
+      // the reference's OWL-QN dispatch (qn.pyx: l1 > 0 → OWL-QN) — L1
+      // drives weak coefficients to EXACTLY zero
+      GradientSolver.fitQN(liWithLabel(s, d), LiFeatures, "_bin", l1 = 0.0015)
+        .toDF(s).select(col("term"), round(col("coef"), 4).as("coef")).orderBy("term")
+    },
     "sgd_linreg" -> { (s, d) =>
       GradientSolver.fit(Tables.lineitem(s, d), Seq("l_quantity"), "l_extendedprice",
           GradientSolver.SquaredLoss, lr = 0.1, iters = 60)

@@ -450,6 +450,26 @@ class OperatorSpec extends AnyFunSuite {
     assert(abs(m("ma1")) < 0.35, s"ma1 ${m("ma1")}")
   }
 
+  test("OWL-QN zeroes noise-feature coefficients that plain L-BFGS keeps") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(9)
+    // y depends ONLY on x0; x1/x2 are pure noise
+    val rows = (0 until 600).map { _ =>
+      val x0 = rnd.nextGaussian()
+      (x0, rnd.nextGaussian(), rnd.nextGaussian(),
+        if (1.0 / (1.0 + math.exp(-3.0 * x0)) > rnd.nextDouble()) 1.0 else 0.0)
+    }
+    val df = rows.toDF("x0", "x1", "x2", "y")
+    val fs = Seq("x0", "x1", "x2")
+    val m1 = graft.linear.GradientSolver.fitQN(df, fs, "y", l1 = 0.08)
+    val l1 = m1.terms.zip(m1.coefs).toMap
+    val m2 = graft.linear.GradientSolver.fitQN(df, fs, "y", l2 = 1e-6)
+    val l2 = m2.terms.zip(m2.coefs).toMap
+    assert(math.abs(l1("x0")) > 0.5, s"signal coef ${l1("x0")}")
+    assert(l1("x1") == 0.0 && l1("x2") == 0.0, s"noise coefs ${l1("x1")}, ${l1("x2")}")
+    assert(l2("x1") != 0.0 || l2("x2") != 0.0, "unregularized fit should keep noise coefs")
+  }
+
   test("MAD outliers: a planted spike is flagged, steady series stay clean") {
     import spark.implicits._
     val steady = (0 until 30).map(i => ("calm", i, 50.0 + (i % 5)))
