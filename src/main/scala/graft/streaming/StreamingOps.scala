@@ -181,6 +181,20 @@ object StreamingOps {
         round(col("n_matched") / col("n_shingles"), 4).as("ratio"))
   }
 
+  /** Streaming Hampel outlier gate: flag events more than k·1.4826·MAD
+    * from the median, with (median, MAD) PROFILED OFFLINE by
+    * graft.stats.Robust.outlierMad and bound here as literals — the
+    * standard deploy split (the robust statistics need history; the gate
+    * itself must be a stateless, shuffle-free map on the live path).
+    * Emits only the flagged rows. */
+  def streamingOutlierGate(events: DataFrame, valueCol: String,
+                           median: Double, mad: Double,
+                           k: Double = 3.0): DataFrame = {
+    val dev = abs(col(valueCol).cast("double") - median)
+    events.filter(dev > lit(k * 1.4826 * mad))
+      .withColumn("deviation", round(dev, 4))
+  }
+
   /** Streaming sessionization: Spark's native `session_window` (state
     * merges adjacent windows until the idle gap exceeds `gap`; the
     * watermark bounds state age) — the live twin of

@@ -181,6 +181,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming outlier gate flags exactly the batch-profiled spikes") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // profile offline with the batch op...
+    val hist = ((0 until 30).map(i => ("s", s"2026-01-$i", 50.0 + (i % 5))) :+
+      (("s", "2026-01-99", 500.0)))
+      .toDF("series", "day", "x")
+    val prof = graft.stats.Robust.outlierMad(hist).head()
+    val (med, mad) = (prof.getDouble(2), prof.getDouble(3))
+    // ...then gate a live stream with the profiled literals
+    val in = MemoryStream[(Long, Double)]
+    val q = StreamingOps.streamingOutlierGate(
+        in.toDF().toDF("event_id", "value"), "value", med, mad)
+      .writeStream.format("memory").queryName("ogate_out")
+      .outputMode("update").start()
+    try {
+      in.addData((1L, 52.0), (2L, 480.0), (3L, 49.0), (4L, -200.0))
+      q.processAllAvailable()
+      val flagged = spark.table("ogate_out").collect().map(_.getLong(0)).toSet
+      assert(flagged == Set(2L, 4L), flagged.toString)
+    } finally q.stop()
+  }
+
   test("streaming sessionization matches the batch gap rule per user") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
