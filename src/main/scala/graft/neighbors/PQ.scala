@@ -39,6 +39,7 @@ object PQ {
     val sample = corpus.select(v.as("v"))
       .orderBy(md5(col("v").cast("string")))
       .limit(sampleN).collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "PQ.train: empty corpus")
     val dim = sample.head.length
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val sub = dim / m
