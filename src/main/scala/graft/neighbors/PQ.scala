@@ -138,10 +138,9 @@ object PQ {
     if (kk < k) centers ++ Array.fill(k - kk)(centers(kk - 1).clone()) else centers
   }
 
-  /** Nearest-centroid code per subspace (broadcast-codebook JVM closure —
-    * same justification as IVF.cellUdf: an m·k·subdim unrolled expression
-    * tree exceeds the codegen method limit). */
-  private def encodeUdf(cb: Codebook) = udf { (v: Seq[Double]) =>
+  /** Nearest-code vector for one input (shared with IVFPQ's residual
+    * encoding). */
+  private[neighbors] def encodeVec(cb: Codebook, v: Seq[Double]): Array[Int] = {
     val sub = cb.subDim
     Array.tabulate(cb.m) { s =>
       var best = 0; var bestD = Double.MaxValue
@@ -157,8 +156,9 @@ object PQ {
     }
   }
 
-  /** The flattened M×K ADC table for a query: lut[s*k + j] = ‖q_s − c_sj‖². */
-  private def lutUdf(cb: Codebook) = udf { (v: Seq[Double]) =>
+  /** The flattened M×K ADC table: lut[s*k + j] = ‖v_s − c_sj‖² (shared
+    * with IVFPQ's per-probe residual tables). */
+  private[neighbors] def adcVec(cb: Codebook, v: Seq[Double]): Array[Double] = {
     val sub = cb.subDim
     Array.tabulate(cb.m * cb.k) { x =>
       val s = x / cb.k; val j = x % cb.k
@@ -168,6 +168,14 @@ object PQ {
       d
     }
   }
+
+  /** Nearest-centroid code per subspace (broadcast-codebook JVM closure —
+    * same justification as IVF.cellUdf: an m·k·subdim unrolled expression
+    * tree exceeds the codegen method limit). */
+  private def encodeUdf(cb: Codebook) = udf { (v: Seq[Double]) => encodeVec(cb, v) }
+
+  /** The flattened M×K ADC table for a query. */
+  private def lutUdf(cb: Codebook) = udf { (v: Seq[Double]) => adcVec(cb, v) }
 
   /** Corpus → (id, code) — the compressed index; persist this instead of
     * the raw vectors (32× smaller at m=8 over 64-dim float). */

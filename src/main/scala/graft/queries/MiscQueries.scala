@@ -50,6 +50,11 @@ object MiscQueries {
       graft.neighbors.PQ.recallSummary(e, e.filter(col("vec_id") < 20),
         "vec_id", "embedding", m = 8, kCodes = 16, k = 5)
     },
+    "ann_ivfpq" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      graft.neighbors.IVFPQ.recallSummary(e, e.filter(col("vec_id") < 20),
+        "vec_id", "embedding", nCells = 16, m = 8, kCodes = 16, k = 5, nprobe = 4)
+    },
     "trustworthiness" -> { (s, d) =>
       val e = Tables.embeddings(s, d).filter(col("vec_id") < 200)
       val proj = RandomProjection.project(e, "vec_id", "embedding",

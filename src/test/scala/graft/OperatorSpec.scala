@@ -50,6 +50,23 @@ class OperatorSpec extends AnyFunSuite {
     assert(r.getLong(2) == 8L)  // dim*4 bytes / m codes = 8x
   }
 
+  test("IVFPQ with full probing on a lattice corpus is lossless (recall 1.0)") {
+    import spark.implicits._
+    // ≤4 lattice values per 2-dim subvector and kCodes=16 per-cell residual
+    // codes: residual subvectors stay within codebook capacity, so ADC
+    // distance is exact; nprobe = nCells means IVF prunes nothing
+    val pats = Seq(Seq(0.0, 0.0), Seq(10.0, 0.0), Seq(0.0, 10.0), Seq(10.0, 10.0))
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, (0 until 4).flatMap(s => pats((i / (s + 1)) % 4)).toArray)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val r = graft.neighbors.IVFPQ.recallSummary(df, df.filter(col("vec_id") < 5),
+      "vec_id", "embedding", nCells = 2, m = 4, kCodes = 16, k = 3, nprobe = 2).head()
+    assert(r.getLong(0) == 5L)
+    assert(abs(r.getDouble(1) - 1.0) < 1e-9, s"recall ${r.getDouble(1)}")
+    assert(r.getLong(2) == 8L)
+  }
+
   test("make_blobs is deterministic and centered") {
     val a = Datasets.makeBlobs(spark, 600, Seq((0.0, 0.0), (10.0, 10.0)), 1.0)
       .agg(sum("x")).head().getDouble(0)
