@@ -130,6 +130,11 @@ object TextQueries {
     "token_count" -> { (s, d) =>
       TextOps.tokenCounts(Tables.documents(s, d), "text", "doc_id").orderBy("doc_id")
     },
+    "pack_sequences" -> { (s, d) =>
+      TextOps.packSequences(Tables.documents(s, d), "text", "doc_id",
+          "lang", budget = 512L)
+        .orderBy("shard", "pack")
+    },
     "doc_length_stats" -> { (s, d) =>
       // per-language token-length distribution (pipeline monitoring):
       // exact rank-select quantiles. The window partitions on lang
@@ -479,6 +484,18 @@ object TextQueries {
          |    least(stop / n_tokens * 5.0, 1.0) * 0.2), 4) AS quality
          |FROM f ORDER BY doc_id""".stripMargin
     },
+    "pack_sequences" ->
+      """WITH b AS (SELECT lang AS shard, doc_id AS doc,
+        |    len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents),
+        |c AS (SELECT shard, doc, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM b)
+        |SELECT shard, floor((cum - n_tokens) / 512.0)::BIGINT AS pack,
+        |  count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS n_tokens,
+        |  round(sum(n_tokens) / 512.0, 4) AS fill
+        |FROM c GROUP BY shard, floor((cum - n_tokens) / 512.0)
+        |ORDER BY shard, pack""".stripMargin,
     "doc_length_stats" ->
       """WITH b AS (SELECT lang, doc_id AS doc,
         |    len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents),

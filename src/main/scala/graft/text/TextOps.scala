@@ -96,6 +96,31 @@ object TextOps {
   /** Token counting: whitespace tokens + BPE-ish piece count (runs of
     * letters / digits / single other chars — a public-tokenizer-style
     * pre-tokenization regex). */
+  /** Sequence packing — the training-sample assembly step: stream each
+    * shard's documents in a deterministic order and cut a new pack
+    * whenever the cumulative token count crosses the budget (docs never
+    * split, so a pack can overshoot by at most one document — the
+    * soft-boundary streaming packing LLM pipelines use). Emits per-pack
+    * (shard, pack, n_docs, n_tokens, fill).
+    *
+    * Scale shape: packing is inherently order-dependent, so production
+    * packs PER SHARD — the shard key is the only shuffle, and the cumsum
+    * is one in-partition window pass. Integer token counts make every
+    * pack boundary engine-identical for the oracle. */
+  def packSequences(df: DataFrame, textCol: String, idCol: String,
+                    shardCol: String, budget: Long): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc"))
+    df.select(col(shardCol).as("shard"), col(idCol).cast("long").as("doc"),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("_cum", sum(col("n_tokens")).over(w))
+      // pack id = completed budgets BEFORE this doc (exclusive cumsum)
+      .withColumn("pack", floor((col("_cum") - col("n_tokens")) / budget.toDouble).cast("long"))
+      .groupBy(col("shard"), col("pack"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("n_tokens"),
+        round(sum(col("n_tokens")) / lit(budget.toDouble), 4).as("fill"))
+  }
+
   def tokenCounts(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val t = col(textCol)
     df.select(

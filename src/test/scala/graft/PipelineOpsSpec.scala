@@ -60,6 +60,19 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(r(100L) < r(101L) / 3.0, s"in-domain ${r(100L)} vs unseen ${r(101L)}")
   }
 
+  test("sequence packing: packs fill to the budget and docs never split") {
+    import spark.implicits._
+    // 10 docs of 4 tokens in one shard, budget 10 → packs of sizes
+    // crossing at exclusive-cumsum boundaries: docs at cum 0,4,8 → pack 0
+    // (12 tokens, one-doc overshoot), 12,16 → pack 1, ...
+    val docs = (1L to 10L).map(i => (i, "a b c d", "en")).toDF("doc_id", "text", "lang")
+    val r = graft.text.TextOps.packSequences(docs, "text", "doc_id", "lang", budget = 10L)
+      .collect().map(x => x.getLong(1) -> ((x.getLong(2), x.getLong(3)))).toMap
+    assert(r(0L) == ((3L, 12L)), r.toString)   // 3 docs, bounded overshoot
+    assert(r.values.map(_._1).sum == 10L)      // every doc lands in exactly one pack
+    assert(r.values.forall(_._2 <= 10L + 4L))  // overshoot ≤ one doc
+  }
+
   test("PMI: an always-together pair outranks frequent-but-independent words") {
     import spark.implicits._
     // "san francisco" always adjacent; "the" everywhere, adjacent to many
