@@ -250,6 +250,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.split("Exchange").length - 1 == 1, p.take(3000))
   }
 
+  test("sequence packing runs on ONE shard-key shuffle (window + agg share it)") {
+    val p = planOf(graft.text.TextOps.packSequences(
+      Tables.documents(spark, sf), "text", "doc_id", "lang", budget = 512L))
+    assert(p.split("Exchange").length - 1 == 1, p.take(3000))
+  }
+
   test("kmeans transform distance columns are pure codegen (no pre-agg shuffle)") {
     val li = Tables.lineitem(spark, sf)
     val feats = Seq(col("l_quantity"), col("l_discount"), col("l_tax"))
