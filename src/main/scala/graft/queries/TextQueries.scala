@@ -131,8 +131,12 @@ object TextQueries {
       TextOps.tokenCounts(Tables.documents(s, d), "text", "doc_id").orderBy("doc_id")
     },
     "pack_sequences" -> { (s, d) =>
-      TextOps.packSequences(Tables.documents(s, d), "text", "doc_id",
-          "lang", budget = 512L)
+      // shard = (lang, contiguous id-range): production packs per bounded
+      // file-shard, not per language — shard count grows with the corpus
+      // so no single window partition ever exceeds a shard
+      val docs = Tables.documents(s, d).withColumn("_shard",
+        concat(col("lang"), lit("_"), floor(col("doc_id") / 250).cast("long")))
+      TextOps.packSequences(docs, "text", "doc_id", "_shard", budget = 512L)
         .orderBy("shard", "pack")
     },
     "doc_length_stats" -> { (s, d) =>
@@ -485,7 +489,7 @@ object TextQueries {
          |FROM f ORDER BY doc_id""".stripMargin
     },
     "pack_sequences" ->
-      """WITH b AS (SELECT lang AS shard, doc_id AS doc,
+      """WITH b AS (SELECT lang || '_' || floor(doc_id / 250)::BIGINT AS shard, doc_id AS doc,
         |    len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents),
         |c AS (SELECT shard, doc, n_tokens,
         |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc
