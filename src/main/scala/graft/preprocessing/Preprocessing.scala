@@ -51,4 +51,27 @@ object Preprocessing {
     df.filter(Num.md5Long(concat(col(keyCol).cast("string"), lit("_"), lit(seed.toString)))
       % 1000 < pm)
   }
+
+  /** Weighted sampling WITHOUT replacement — Efraimidis & Spirakis 2006
+    * ("Weighted random sampling with a reservoir"): each row draws
+    * u ~ U(0,1) and keeps key = u^(1/w); the top-n keys ARE an exact
+    * weighted sample. This is the distributed-sampling algorithm (one
+    * pass, no coordination: the top-n reduction is a TakeOrdered /
+    * bounded heap, never a global sort). u is md5-derived from the row
+    * key, so the sample is reproducible at any parallelism and the
+    * DuckDB oracle replays it row-for-row. Rows with w ≤ 0 never
+    * qualify. Returns the sampled rows with their `_skey`. */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: Column,
+                     n: Int, seed: Long = 42L): DataFrame = {
+    val u = (Num.md5Long(concat(col(keyCol).cast("string"), lit(s"_ws$seed")))
+      % 1000000L).cast("double") / 1000000.0 + 5e-7
+    // 8-decimal quantization before ranking: pow() can differ by an ULP
+    // across libm implementations — the rounded key + id tie-break makes
+    // the selection engine-exact (SURVEY §5 determinism rules)
+    val k = round(pow(u, lit(1.0) / weightCol.cast("double")), 8)
+    df.withColumn("_skey", when(weightCol.cast("double") > 0, k).otherwise(lit(null)))
+      .filter(col("_skey").isNotNull)
+      .orderBy(col("_skey").desc, col(keyCol))
+      .limit(n)
+  }
 }

@@ -130,6 +130,16 @@ object TextQueries {
     "token_count" -> { (s, d) =>
       TextOps.tokenCounts(Tables.documents(s, d), "text", "doc_id").orderBy("doc_id")
     },
+    "weighted_sample" -> { (s, d) =>
+      // 50 docs sampled ∝ n_chars without replacement (Efraimidis-Spirakis
+      // keys) — the length-weighted subcorpus draw
+      graft.preprocessing.Preprocessing.weightedSample(
+          Tables.documents(s, d).select(col("doc_id"), col("lang"), col("n_chars")),
+          "doc_id", col("n_chars"), n = 50)
+        .select(col("doc_id").cast("long").as("doc"), col("lang"),
+          col("_skey").as("skey"))
+        .orderBy("doc")
+    },
     "pack_sequences" -> { (s, d) =>
       // shard = (lang, contiguous id-range): production packs per bounded
       // file-shard, not per language — shard count grows with the corpus
@@ -488,6 +498,15 @@ object TextQueries {
          |    least(stop / n_tokens * 5.0, 1.0) * 0.2), 4) AS quality
          |FROM f ORDER BY doc_id""".stripMargin
     },
+    "weighted_sample" ->
+      """WITH w AS (SELECT doc_id AS doc, lang,
+        |    round(pow(
+        |      (('0x' || substr(md5(doc_id::VARCHAR || '_ws42'), 1, 15))::BIGINT % 1000000)::DOUBLE
+        |        / 1000000.0 + 5e-7,
+        |      1.0 / n_chars::DOUBLE), 8) AS skey
+        |  FROM documents WHERE n_chars > 0),
+        |s AS (SELECT doc, lang, skey FROM w ORDER BY skey DESC, doc LIMIT 50)
+        |SELECT doc::BIGINT AS doc, lang, skey FROM s ORDER BY doc""".stripMargin,
     "pack_sequences" ->
       """WITH b AS (SELECT lang || '_' || floor(doc_id / 250)::BIGINT AS shard, doc_id AS doc,
         |    len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents),

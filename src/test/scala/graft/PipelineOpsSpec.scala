@@ -60,6 +60,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(r(100L) < r(101L) / 3.0, s"in-domain ${r(100L)} vs unseen ${r(101L)}")
   }
 
+  test("weighted sampling: a dominant weight is always drawn, zero weights never") {
+    import spark.implicits._
+    val rows = (1L to 100L).map(i =>
+      (i, if (i == 7L) 100000.0 else if (i == 13L) 0.0 else 1.0))
+    val df = rows.toDF("doc_id", "w")
+    val got = graft.preprocessing.Preprocessing.weightedSample(df, "doc_id", org.apache.spark.sql.functions.col("w"), n = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(got.contains(7L), s"dominant weight missing from $got")   // u^(1/1e5) ≈ 1
+    assert(!got.contains(13L), "zero-weight row sampled")
+    assert(got.size == 10)
+    // heavier corpus half should dominate a weighted draw
+    val skew = (1L to 100L).map(i => (i, if (i <= 50) 100.0 else 1.0)).toDF("doc_id", "w")
+    val hv = graft.preprocessing.Preprocessing.weightedSample(skew, "doc_id", org.apache.spark.sql.functions.col("w"), n = 20)
+      .collect().map(_.getLong(0)).count(_ <= 50)
+    assert(hv >= 15, s"only $hv/20 from the heavy half")
+  }
+
   test("sequence packing: packs fill to the budget and docs never split") {
     import spark.implicits._
     // 10 docs of 4 tokens in one shard, budget 10 → packs of sizes
