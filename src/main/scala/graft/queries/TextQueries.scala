@@ -149,6 +149,19 @@ object TextQueries {
       TextOps.packSequences(docs, "text", "doc_id", "_shard", budget = 512L)
         .orderBy("shard", "pack")
     },
+    "doc_length_stats_approx" -> { (s, d) =>
+      // the PRODUCTION path doc_length_stats declares: approx_percentile
+      // (one map-side-combined sketch aggregate, no window, no sort) —
+      // sketch internals are engine-specific → rows-only gate; the spec
+      // bounds its error against the exact rank-select twin
+      Tables.documents(s, d)
+        .select(col("lang"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .groupBy("lang")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          percentile_approx(col("n_tokens"), lit(0.5), lit(1000)).as("p50_approx"),
+          percentile_approx(col("n_tokens"), lit(0.9), lit(1000)).as("p90_approx"))
+        .orderBy("lang")
+    },
     "doc_length_stats" -> { (s, d) =>
       // per-language token-length distribution (pipeline monitoring):
       // exact rank-select quantiles. The window partitions on lang

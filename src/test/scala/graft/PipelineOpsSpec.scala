@@ -60,6 +60,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(r(100L) < r(101L) / 3.0, s"in-domain ${r(100L)} vs unseen ${r(101L)}")
   }
 
+  test("approx length quantiles stay within one rank of the exact rank-select") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val base = docs.select(col("lang"),
+      col("doc_id").cast("long").as("doc"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val approx = base.groupBy("lang")
+      .agg(percentile_approx(col("n_tokens"), lit(0.5), lit(1000)).as("p50a"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // exact lower-median via the same rank rule the oracle uses
+    import org.apache.spark.sql.expressions.Window
+    val exact = base
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("lang").orderBy(col("n_tokens"), col("doc"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+      .filter(col("rn") === ceil(col("n") * 0.5))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    exact.foreach { case (lang, p50) =>
+      assert(math.abs(approx(lang) - p50) <= math.max(2L, p50 / 10),
+        s"$lang approx ${approx(lang)} vs exact $p50")
+    }
+  }
+
   test("weighted sampling: a dominant weight is always drawn, zero weights never") {
     import spark.implicits._
     val rows = (1L to 100L).map(i =>
