@@ -158,6 +158,42 @@ object Manifold {
     ids.indices.map(i => (ids(i), px(i), py(i))).toDF("id", "x", "y")
   }
 
+  /** UMAP out-of-sample transform (reference manifold/umap.pyx:495 —
+    * `transform()` embeds NEW points against a fitted model; exercised by
+    * test_umap.py). Spark-first re-expression: each new point finds its k
+    * nearest FITTED points in the original feature space, then lands at
+    * the weighted mean of those neighbors' layout coordinates, weights =
+    * the same student-t kernel 1/(1+d²) the layout forces use. No new
+    * force loop — placement is a pure scan.
+    *
+    * Scale shape: the fitted model (original vectors + 2-D positions) is
+    * O(sample) by the same bound as the layout state, so BOTH joins
+    * broadcast the model side and the new-point corpus only streams;
+    * the sole shuffle is the bounded-heap top-k reduction (k rows per
+    * new point after map-side combine).
+    *
+    * `fitted` = (idCol, vecCol) rows the layout was fitted on;
+    * `layout`  = (id, x, y) as returned by [[forceLayout]]. */
+  def umapTransform(newPoints: DataFrame, fitted: DataFrame, layout: DataFrame,
+                    idCol: String, vecCol: String, k: Int): DataFrame = {
+    // broadcastPairs broadcasts its QUERY side — pass the fitted sample
+    // there so the (huge) new-point side streams map-side; then swap the
+    // pair orientation so top-k is per NEW point
+    val pairs = KNN.broadcastPairs(fitted, newPoints, idCol, idCol, vecCol, vecCol,
+        KNN.Euclidean, excludeSelf = false)
+      .select(col("id").as("qid"), col("qid").as("id"), col("_s"))
+    val knn = KNN.topKPerKey(pairs, k, KNN.nearFirst(KNN.Euclidean))
+    val pos = layout.select(col("id"), col("x"), col("y"))
+    knn.join(broadcast(pos), "id")
+      .withColumn("_w", lit(1.0) / (lit(1.0) + col("score") * col("score")))
+      .groupBy(col("qid").as("id"))
+      .agg(
+        round(sum(col("_w") * col("x")) / sum(col("_w")), 4).as("x"),
+        round(sum(col("_w") * col("y")) / sum(col("_w")), 4).as("y"),
+        round(avg(col("score")), 4).as("mean_nn_dist"))
+      .select(col("id"), col("x"), col("y"), col("mean_nn_dist"))
+  }
+
   /** t-SNE conditional-P calibration: per point, binary-search β = 1/(2σ²)
     * to hit the target perplexity over the kNN distances. */
   def tsnePerplexity(emb: DataFrame, idCol: String, vecCol: String, k: Int,

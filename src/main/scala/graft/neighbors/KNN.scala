@@ -59,7 +59,7 @@ object KNN {
   }
 
   /** True when `a` ranks nearer than `b` (score, id). */
-  private[neighbors] def nearFirst(metric: Metric): ((Double, Long), (Double, Long)) => Boolean =
+  private[graft] def nearFirst(metric: Metric): ((Double, Long), (Double, Long)) => Boolean =
     metric match {
       case Cosine    => (a, b) => a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
       case Euclidean => (a, b) => a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)

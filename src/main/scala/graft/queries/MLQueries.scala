@@ -30,6 +30,11 @@ object MLQueries {
     Seq(0.0, 1.5, -5.0),
     Seq(0.0, 1.0, 4.0))
 
+  /** Literal linear-SVC model for the oracle-gated predict entry (same
+    * fixed-model pattern as SoftmaxWeights above). */
+  private val SvmIntercept = -0.1
+  private val SvmWeights = Seq(0.004, 1.5, -2.0)
+
   private def liWithLabel(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d).withColumn("_bin",
       when(col("l_returnflag") === "R", 1.0).otherwise(0.0))
@@ -125,6 +130,14 @@ object MLQueries {
       SVMGraft.rbfSvcSummary(Tables.lineitem(s, d), LiFeatures,
         when(col("l_returnflag") === "R", 1.0).otherwise(0.0),
         gamma = 0.5, dRff = 16, maxIter = 25)
+    },
+    "svm_predict" -> { (s, d) =>
+      // fit/predict separation (svm.pyx:463): literal-coefficient margin
+      // scoring on the held-out 25% hash split — the family's hash gate
+      val held = Preprocessing.trainTestSplit(Tables.lineitem(s, d), "l_orderkey", 0.25)
+        .filter(col("split") === "test")
+      SVMGraft.predictSummary(held, LiFeatures, SvmIntercept, SvmWeights,
+        when(col("l_returnflag") === "R", 1.0).otherwise(0.0))
     }
   )
 
@@ -214,5 +227,17 @@ object MLQueries {
         |    1.0 / (exp(sa - greatest(sa, sn, sr)) + exp(sn - greatest(sa, sn, sr)) + exp(sr - greatest(sa, sn, sr))) AS p
         |  FROM sc)
         |SELECT class, count(*)::BIGINT AS n, round(avg(p), 4) AS avg_pmax
-        |FROM p GROUP BY class ORDER BY class""".stripMargin)
+        |FROM p GROUP BY class ORDER BY class""".stripMargin,
+    "svm_predict" ->
+      """WITH t AS (SELECT
+        |    -0.1 + 0.004 * l_quantity + 1.5 * l_discount + -2.0 * l_tax AS m,
+        |    CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS lab
+        |  FROM lineitem
+        |  WHERE ('0x' || substr(md5(l_orderkey::VARCHAR || '_42'), 1, 15))::BIGINT % 1000 < 250)
+        |SELECT (CASE WHEN m > 0 THEN 1 ELSE 0 END)::BIGINT AS pred,
+        |  count(*)::BIGINT AS n,
+        |  round(avg(CASE WHEN (CASE WHEN m > 0 THEN 1.0 ELSE 0.0 END) = lab
+        |    THEN 1.0 ELSE 0.0 END), 4) AS accuracy,
+        |  round(avg(m), 4) AS avg_margin
+        |FROM t GROUP BY 1 ORDER BY pred""".stripMargin)
 }

@@ -159,10 +159,17 @@ object TSAQueries {
       val daily = TimeSeries.dailySeries(Tables.events(s, d))
       val w = Window.partitionBy(col("series")).orderBy(col("t")).rowsBetween(-2, 0)
       val withZ = daily.withColumn("z", array(col("x"), avg(col("x")).over(w)))
+      // state flattened to scalar columns (state_0 = level, state_1 =
+      // trend): the driver comparator sorts column values and cannot
+      // order an array<double> — r5's red-gate lesson
       TimeSeries.kalmanMatVec(withZ,
           f = Seq(Seq(1.0, 1.0), Seq(0.0, 1.0)),
           h = Seq(Seq(1.0, 0.0), Seq(1.0, 0.0)),
           qDiag = Seq(0.05, 0.01), rDiag = Seq(2.0, 4.0))
+        .select(col("series"), col("t_last"),
+          element_at(col("state"), 1).as("state_0"),
+          element_at(col("state"), 2).as("state_1"),
+          col("p00"), col("sum_innov2"))
         .orderBy("series")
     },
     "kalman_mat" -> { (s, d) =>
@@ -172,6 +179,11 @@ object TSAQueries {
           f = Seq(Seq(1.0, 1.0, 0.5), Seq(0.0, 1.0, 1.0), Seq(0.0, 0.0, 1.0)),
           hRow = Seq(1.0, 0.0, 0.0),
           qDiag = Seq(0.02, 0.01, 0.005), r = 2.0)
+        .select(col("series"), col("t_last"), col("level"),
+          element_at(col("state"), 1).as("state_0"),
+          element_at(col("state"), 2).as("state_1"),
+          element_at(col("state"), 3).as("state_2"),
+          col("p00"), col("sum_innov2"))
         .orderBy("series")
     }
   )

@@ -217,6 +217,18 @@ object VectorQueries {
         .select(col("id").as("vec_id"), array(col("x"), col("y")).as("emb2"))
       graft.metrics.Trustworthiness.compute(e, layout, "vec_id", "embedding", "emb2", 5)
     },
+    "umap_transform" -> { (s, d) =>
+      // fit the layout on vec_id < 100, then place the held-out
+      // 100..149 points by kNN-weighted neighbor-coordinate averaging
+      // (the reference's out-of-sample transform, umap.pyx:495)
+      val all = Tables.embeddings(s, d)
+      val fit = all.filter(col("vec_id") < 100)
+      val held = all.filter(col("vec_id") >= 100 && col("vec_id") < 150)
+      val layout = Manifold.forceLayout(fit, "vec_id", "embedding",
+          k = 10, iters = 25, lr = 1.0, mode = Manifold.UmapForces)
+      Manifold.umapTransform(held, fit, layout, "vec_id", "embedding", 5)
+        .orderBy("id")
+    },
     "tsne_layout" -> { (s, d) =>
       val e = Tables.embeddings(s, d).filter(col("vec_id") < 100)
       val layout = Manifold.forceLayout(e, "vec_id", "embedding",

@@ -35,6 +35,30 @@ object SVMGraft {
     coefRows.toDF("term", "value").withColumn("train_accuracy", lit(acc))
   }
 
+  /** SVC predict/decision_function with a FIXED literal model — the
+    * reference separates fit from predict (svm/svm.pyx:463 `predict`
+    * scores new rows against stored coefficients). The margin
+    * b + w·x is a pure codegen column expression (broadcast-free scan,
+    * zero shuffle before the k-row class summary), the kmeans_assign /
+    * softmax_predict scoring pattern, so the whole query is
+    * SQL-replayable and hash-gated. Output: per predicted class,
+    * row count, accuracy vs the supplied 0/1 label, mean margin. */
+  def predictSummary(df: DataFrame, features: Seq[String], intercept: Double,
+                     weights: Seq[Double], binaryLabel: Column): DataFrame = {
+    require(weights.size == features.size, "one weight per feature")
+    val margin = features.zip(weights).foldLeft(lit(intercept)) {
+      case (acc, (f, w)) => acc + col(f).cast("double") * w
+    }
+    df.select(margin.as("_m"), binaryLabel.cast("double").as("_lab"))
+      .select(when(col("_m") > 0, 1L).otherwise(0L).as("pred"), col("_m"), col("_lab"))
+      .groupBy("pred")
+      .agg(count(lit(1)).cast("long").as("n"),
+        r4(avg(when(col("pred").cast("double") === col("_lab"), 1.0).otherwise(0.0)))
+          .as("accuracy"),
+        r4(avg(col("_m"))).as("avg_margin"))
+      .orderBy("pred")
+  }
+
   /** RBF-kernel SVC approximated by Random Fourier Features (Rahimi &
     * Recht, "Random Features for Large-Scale Kernel Machines", NeurIPS
     * 2007): z(x) = √(2/D)·cos(Wx + b) with W ~ N(0, 2γI) makes

@@ -296,6 +296,36 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("umap transform places held-out points near their cluster's fitted points") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // two tight 8-dim clusters; fit on 40, hold out 10 (5 from each)
+    def pt(i: Long, base: Double) =
+      (i, Array.fill(8)(base + rnd.nextGaussian() * 0.3).toSeq)
+    val fitRows = (0 until 40).map(i => pt(i.toLong, if (i < 20) 0.0 else 10.0))
+    val heldRows = (100 until 110).map(i => pt(i.toLong, if (i < 105) 0.0 else 10.0))
+    val fit = fitRows.toDF("id", "v")
+    val layout = graft.manifold.Manifold.forceLayout(fit, "id", "v",
+      k = 5, iters = 20, lr = 1.0, mode = graft.manifold.Manifold.UmapForces)
+    val placed = graft.manifold.Manifold.umapTransform(
+        heldRows.toDF("id", "v"), fit, layout, "id", "v", k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(placed.length == 10)
+    val pos = layout.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    def centroid(s: Array[(Long, Double, Double)]) =
+      (s.map(_._2).sum / s.length, s.map(_._3).sum / s.length)
+    val (ca, cb) = (centroid(pos.filter(_._1 < 20)), centroid(pos.filter(_._1 >= 20)))
+    // every held-out point must land closer to its OWN cluster's fitted
+    // centroid than to the other's (the test_umap.py shape)
+    placed.foreach { case (id, x, y) =>
+      val own = if (id < 105) ca else cb
+      val other = if (id < 105) cb else ca
+      val dOwn = math.hypot(x - own._1, y - own._2)
+      val dOther = math.hypot(x - other._1, y - other._2)
+      assert(dOwn < dOther, s"held-out $id landed at ($x,$y): own $dOwn vs other $dOther")
+    }
+  }
+
   test("TSVD transform: per-component score energy equals the squared singular value") {
     val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val sv = graft.decomposition.TSVDGraft.singularValues(e, "embedding", 3)
