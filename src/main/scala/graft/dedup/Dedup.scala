@@ -342,8 +342,11 @@ object Dedup {
     * (nearest-by-dot) instead of a fitted k-means model: deterministic and
     * engine-replayable where MLlib centroids are seed-internal, with the
     * identical scale shape — the pair join keys on the cell id, so the
-    * candidate count is Σ cell² rather than n². At corpus scale the anchor
-    * count grows with n (cells stay bounded) and the same plan holds.
+    * candidate count is Σ cell² rather than n². The Σ cell² bound only
+    * holds if k grows with n (cells stay bounded): size k with
+    * [[semDedupAnchors]] or call [[semDedupAuto]], which derives k from
+    * the corpus count; this fixed-k overload is for callers that need an
+    * engine-replayable plan (the SQL oracle must inline the k anchors).
     * Returns per-cell (cell, n, n_dropped). */
   def semDedup(df: DataFrame, idCol: String, vecCol: String, k: Int, dim: Int,
                seed: Long, tau: Double): DataFrame = {
@@ -374,4 +377,27 @@ object Dedup {
       .select(col("cell").cast("long").as("cell"), col("n"),
         coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
   }
+
+  /** Anchor count for [[semDedup]] at corpus size n: k = ⌈n / targetCellSize⌉
+    * keeps the EXPECTED cell size at targetCellSize, so the per-cell pair
+    * join stays Σ cell² ≈ n·targetCellSize — linear in n, never n². Capped
+    * (the anchor table is broadcast as literals: k·dim doubles) and floored
+    * at 1. targetCellSize=1000 matches SemDeDup's per-cluster comparison
+    * budget (Abbas et al. 2023 use k = n/160 on LAION — cells of ~160;
+    * 10³ is the same order and keeps cell² work trivially cheap). */
+  def semDedupAnchors(n: Long, targetCellSize: Long = 1000L,
+                      maxAnchors: Int = 65536): Int =
+    // overflow-safe ceil division (n near Long.MaxValue must not wrap)
+    math.max(1L, math.min(maxAnchors.toLong,
+      n / targetCellSize + (if (n % targetCellSize == 0) 0 else 1))).toInt
+
+  /** [[semDedup]] with the anchor count derived from the corpus size —
+    * the default entry point at scale (one metadata-cheap count, then the
+    * fixed-k plan). Use the explicit-k overload only when the plan must be
+    * replayed engine-neutrally with a pre-agreed k. */
+  def semDedupAuto(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                   seed: Long, tau: Double,
+                   targetCellSize: Long = 1000L): DataFrame =
+    semDedup(df, idCol, vecCol,
+      semDedupAnchors(df.count(), targetCellSize), dim, seed, tau)
 }

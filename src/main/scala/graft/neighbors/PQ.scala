@@ -31,7 +31,10 @@ object PQ {
     * rows, then M tiny local Lloyd runs (seeded k-means++ init, best-of-8
     * by SSE). Replaces M sequential MLlib jobs whose per-job overhead
     * dominated at small k·subdim — training cost is now independent of
-    * the corpus; only encode/score touch it (broadcast-codebook maps). */
+    * the corpus SIZE up to the one full scan the md5-order sample
+    * requires (a TakeOrdered pass; the Lloyd work itself is bounded);
+    * only encode/score touch the corpus again (broadcast-codebook
+    * maps). */
   def train(corpus: DataFrame, vecCol: String, m: Int, k: Int,
             seed: Long = 42L, sampleN: Int = 10000): Codebook = {
     val v = col(vecCol).cast("array<double>")

@@ -73,8 +73,17 @@ object TSAQueries {
         .orderBy("series", "term")
     },
     "hw_fit_opt" -> { (s, d) =>
+      // partial hash gate: project the SQL-replayable lattice winner and
+      // the optimizer's ≤-invariant; the continuous (α,β,γ,sse) optimum
+      // is computed in the same pass (it feeds opt_leq_lattice) and is
+      // spec-gated in TsaDepthSpec
       TimeSeries.hwFitOpt(TimeSeries.dailySeries(Tables.events(s, d)), 7,
           HwAlphas, HwBetas, HwGammas)
+        .select(col("series"),
+          round(col("alpha_lat"), 2).as("alpha_lat"),
+          round(col("beta_lat"), 2).as("beta_lat"),
+          round(col("gamma_lat"), 2).as("gamma_lat"),
+          col("sse_lattice"), col("opt_leq_lattice"))
         .orderBy("series")
     },
     "hw_fit" -> { (s, d) =>
@@ -128,7 +137,11 @@ object TSAQueries {
         .orderBy("series")
     },
     "arima_fit_bfgs" -> { (s, d) =>
+      // partial hash gate (same shape as hw_fit_opt): replayable lattice
+      // winner + the L-BFGS ≥-invariant; continuous optimum spec-gated
       TimeSeries.arimaFitBFGS(TimeSeries.dailySeries(Tables.events(s, d)))
+        .select(col("series"), col("phi_lat"), col("theta_lat"),
+          col("ll_lattice"), col("opt_ge_lattice"))
         .orderBy("series")
     },
     "arima_fit_ml" -> { (s, d) =>
@@ -365,7 +378,7 @@ object TSAQueries {
          |mad AS (SELECT series, dev AS mad FROM r2 WHERE rn = ceil(n * 0.5))
          |SELECT dv.series AS series, count(*)::BIGINT AS n_days,
          |  round(max(dv.med), 4) AS median, round(max(mad.mad), 4) AS mad,
-         |  sum(CASE WHEN dv.dev > (3.0 * 1.4826) * mad.mad THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+         |  sum(CASE WHEN mad.mad > 0 AND dv.dev > (3.0 * 1.4826) * mad.mad THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
          |  round(max(dv.dev), 4) AS max_dev
          |FROM dv JOIN mad ON dv.series = mad.series
          |GROUP BY dv.series ORDER BY series""".stripMargin,
@@ -568,6 +581,15 @@ object TSAQueries {
          |SELECT series, round(phi, 4) AS phi, round(theta, 4) AS theta,
          |  round(sigma2, 4) AS sigma2, round(loglik, 4) AS loglik
          |FROM rnk WHERE rk = 1 ORDER BY series""".stripMargin,
+    // partial hash gate for the batched-L-BFGS fit (same design as
+    // hw_fit_opt's): lattice winner replays via the arima_fit_ml CTEs,
+    // the ≥-invariant as literal TRUE
+    "arima_fit_bfgs" ->
+      s"""WITH RECURSIVE $hrSql,
+         |$mlFitCtes
+         |SELECT series, round(phi, 4) AS phi_lat, round(theta, 4) AS theta_lat,
+         |  round(loglik, 4) AS ll_lattice, TRUE AS opt_ge_lattice
+         |FROM rnk WHERE rk = 1 ORDER BY series""".stripMargin,
     "arima_ml_forecast" ->
       s"""WITH RECURSIVE $hrSql,
          |$mlFitCtes,
@@ -594,6 +616,17 @@ object TSAQueries {
       s"""WITH RECURSIVE ${hwFitCtes(mul = false)}
          |SELECT series, round(alpha, 2) AS alpha, round(beta, 2) AS beta,
          |  round(gamma, 2) AS gamma, round(sse, 4) AS sse
+         |FROM sel WHERE rk = 1 ORDER BY series""".stripMargin,
+    // partial hash gate for the continuous refinement: the lattice winner
+    // replays exactly (same CTEs as hw_fit); the optimizer's never-lose-
+    // to-lattice invariant replays as literal TRUE — if L-BFGS ever
+    // regressed below its seed, the Spark side would emit false and the
+    // hash would break. The continuous optimum itself is spec-gated.
+    "hw_fit_opt" ->
+      s"""WITH RECURSIVE ${hwFitCtes(mul = false)}
+         |SELECT series, round(alpha, 2) AS alpha_lat, round(beta, 2) AS beta_lat,
+         |  round(gamma, 2) AS gamma_lat, round(sse, 4) AS sse_lattice,
+         |  TRUE AS opt_leq_lattice
          |FROM sel WHERE rk = 1 ORDER BY series""".stripMargin,
     "arima_predict_insample" ->
       s"""WITH $hrSql

@@ -308,7 +308,7 @@ object TextQueries {
          |    ln(nt.n_tok * bi.c2 / (ua.c1::DOUBLE * ub.c1::DOUBLE)) AS pmi
          |  FROM bi JOIN uni ua ON bi.w1 = ua.tok JOIN uni ub ON bi.w2 = ub.tok, nt)
          |SELECT w1, w2, c2::BIGINT AS n_pair, round(pmi, 6) AS pmi
-         |FROM p ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin,
+         |FROM p ORDER BY round(pmi, 6) DESC, w1, w2 LIMIT 20""".stripMargin,
     "bigram_perplexity" ->
       s"""WITH n AS (SELECT doc_id::BIGINT AS doc, $normToks AS toks FROM documents),
          |trt AS (SELECT unnest(toks) AS tok FROM n WHERE doc < 250),

@@ -28,7 +28,15 @@ object Robust {
   }
 
   /** Per-series (n_days, median, mad, n_outliers, max_dev) over a
-    * (series, day, x) frame. */
+    * (series, day, x) frame.
+    *
+    * MAD = 0 (a majority-constant series) is the standard Hampel
+    * degenerate case: the naive threshold `dev > 0` would flag EVERY
+    * point that differs at all from the median. We flag nothing instead
+    * (mad > 0 is part of the outlier predicate, mirrored in the oracle)
+    * — on such a series the robust scale carries no information and an
+    * alarm-storm is worse than silence; callers that need a gate on a
+    * constant series should profile a stddev-based scale. */
   def outlierMad(series: DataFrame, k: Double = 3.0): DataFrame = {
     val base = series.select(col("series"), col("day"), round(col("x"), 4).as("x4"))
     val med = lowerMedian(base, "x4", "med")
@@ -40,8 +48,8 @@ object Robust {
       .agg(count(lit(1)).cast("long").as("n_days"),
         round(max(col("med")), 4).as("median"),
         round(max(col("mad")), 4).as("mad"),
-        sum(when(col("dev") > lit(k * 1.4826) * col("mad"), 1L).otherwise(0L))
-          .cast("long").as("n_outliers"),
+        sum(when(col("mad") > 0 && col("dev") > lit(k * 1.4826) * col("mad"), 1L)
+          .otherwise(0L)).cast("long").as("n_outliers"),
         round(max(col("dev")), 4).as("max_dev"))
   }
 }

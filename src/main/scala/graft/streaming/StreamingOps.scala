@@ -190,6 +190,13 @@ object StreamingOps {
   def streamingOutlierGate(events: DataFrame, valueCol: String,
                            median: Double, mad: Double,
                            k: Double = 3.0): DataFrame = {
+    // MAD = 0 (majority-constant history) makes the Hampel threshold
+    // `dev > 0` — every nonidentical event would fire. Fail loud at
+    // deploy instead of alarm-storming the live path; the batch profiler
+    // (Robust.outlierMad) flags nothing in the same degenerate case.
+    require(mad > 0,
+      s"profiled MAD must be > 0 (got $mad): majority-constant history — " +
+        "profile a stddev-based scale instead")
     val dev = abs(col(valueCol).cast("double") - median)
     events.filter(dev > lit(k * 1.4826 * mad))
       .withColumn("deviation", round(dev, 4))

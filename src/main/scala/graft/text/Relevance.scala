@@ -115,7 +115,10 @@ object Relevance {
       .select(col("w1"), col("w2"), col("c2"),
         log(col("n_tok").cast("double") * col("c2").cast("double") /
           (col("c1a").cast("double") * col("c1b").cast("double"))).as("_pmi"))
-      .orderBy(col("_pmi").desc, col("w1"), col("w2"))
+      // round-before-rank (the repo determinism rule): JVM and libm ln()
+      // can differ by an ulp, so rank on the displayed 6-decimal value and
+      // let the (w1, w2) tie-break govern boundary cases
+      .orderBy(round(col("_pmi"), 6).desc, col("w1"), col("w2"))
       .limit(topN)
       .select(col("w1"), col("w2"), col("c2").cast("long").as("n_pair"),
         r6(col("_pmi")).as("pmi"))

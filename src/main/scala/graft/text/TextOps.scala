@@ -97,11 +97,16 @@ object TextOps {
     * letters / digits / single other chars — a public-tokenizer-style
     * pre-tokenization regex). */
   /** Sequence packing — the training-sample assembly step: stream each
-    * shard's documents in a deterministic order and cut a new pack
-    * whenever the cumulative token count crosses the budget (docs never
-    * split, so a pack can overshoot by at most one document — the
-    * soft-boundary streaming packing LLM pipelines use). Emits per-pack
-    * (shard, pack, n_docs, n_tokens, fill).
+    * shard's documents in a deterministic order; a doc joins pack
+    * ⌊exclusive-cumsum / budget⌋, so pack BOUNDARIES are fixed budget
+    * multiples of the shard-global cumsum (docs never split, so a pack
+    * can overshoot by at most one document). Non-resetting by design:
+    * after an overshoot the excess carries into the next pack (which
+    * undershoots by the same amount), and a single doc longer than the
+    * budget can skip pack ids entirely — unlike a resetting greedy cut,
+    * the scheme is a pure window expression (and any prefix of the shard
+    * packs identically, so late-arriving docs never re-cut earlier
+    * packs). Emits per-pack (shard, pack, n_docs, n_tokens, fill).
     *
     * Scale shape: packing is inherently order-dependent, so production
     * packs PER SHARD — the shard key is the only shuffle, and the cumsum

@@ -303,8 +303,15 @@ object TimeSeries {
     * reparameterization, started at the lattice winner so it can only
     * improve (the fit never loses to its seed — spec-gated). Same single
     * per-series in-partition pass as the grid; solver iterates are
-    * engine-internal → rows-only gate.
-    * Output: (series, alpha, beta, gamma, sse). */
+    * engine-internal, but the LATTICE winner and the ≤-invariant are
+    * deterministic, so the output also carries the SQL-replayable
+    * (alpha_lat, beta_lat, gamma_lat, sse_lattice) columns and
+    * opt_leq_lattice = round(sse,4) ≤ round(sse_lattice,4) — the query
+    * layer projects those for a partial hash gate while the continuous
+    * optimum stays spec-gated (rounded comparison so log/exp round-trip
+    * ulps in the sigmoid seed cannot flip the invariant).
+    * Output: (series, alpha, beta, gamma, sse,
+    *          alpha_lat, beta_lat, gamma_lat, sse_lattice, opt_leq_lattice). */
   def hwFitOpt(series: DataFrame, period: Int, alphas: Seq[Double],
                betas: Seq[Double], gammas: Seq[Double],
                multiplicative: Boolean = false, maxIter: Int = 50): DataFrame = {
@@ -316,15 +323,19 @@ object TimeSeries {
       val xs = it.toSeq.sortBy(_._2).map(_._3).toIndexedSeq
       if (xs.length < 2 * m) Iterator.empty
       else {
-        val (_, a0, b0, g0, _, _, _) =
+        val (sseLat, a0, b0, g0, _, _, _) =
           hwGridWinner(xs, m, alphas, betas, gammas, multiplicative)
         val (a, b, g, sse) = hwOpt(xs, m, a0, b0, g0, multiplicative, maxIter)
-        Iterator((key, a, b, g, sse))
+        Iterator((key, a, b, g, sse, a0, b0, g0, sseLat,
+          math.rint(sse * 10000) <= math.rint(sseLat * 10000)))
       }
-    }.toDF("series", "_a", "_b", "_g", "_sse")
+    }.toDF("series", "_a", "_b", "_g", "_sse", "_a0", "_b0", "_g0", "_sseL", "_leq")
       .select(col("series"),
         round(col("_a"), 4).as("alpha"), round(col("_b"), 4).as("beta"),
-        round(col("_g"), 4).as("gamma"), round(col("_sse"), 4).as("sse"))
+        round(col("_g"), 4).as("gamma"), round(col("_sse"), 4).as("sse"),
+        col("_a0").as("alpha_lat"), col("_b0").as("beta_lat"),
+        col("_g0").as("gamma_lat"), round(col("_sseL"), 4).as("sse_lattice"),
+        col("_leq").as("opt_leq_lattice"))
   }
 
   /** The per-series optimizer behind [[hwFitOpt]]: minimize the one-step
@@ -871,13 +882,20 @@ object TimeSeries {
     * in-partition pass — breeze L-BFGS (central-difference gradient on 2
     * unconstrained params) maximizing the exact Kalman loglik
     * [[armaLoglikeScalar]], with (φ, θ) kept stationary/invertible
-    * through a 0.99·tanh reparameterization and started at the HR CLS
-    * estimate (the reference's start-params choice). Deterministic: fixed
-    * start, deterministic line search; refines [[arimaFitML]]'s lattice
-    * winner to the continuous optimum (the spec asserts ≥). Solver
-    * iterates are engine-internal → rows-only gate.
-    * Output: (series, phi, theta, sigma2, loglik). */
-  def arimaFitBFGS(series: DataFrame, maxIter: Int = 60): DataFrame = {
+    * through a 0.99·tanh reparameterization and started at
+    * [[arimaFitML]]'s lattice winner (itself seeded at the HR CLS
+    * estimate — the reference's start-params choice), so the continuous
+    * fit can only refine the lattice. Deterministic: fixed start,
+    * deterministic line search. Solver iterates are engine-internal, but
+    * the lattice winner and the ≥-invariant are deterministic, so the
+    * output also carries the SQL-replayable (phi_lat, theta_lat,
+    * ll_lattice) columns and opt_ge_lattice =
+    * round(loglik,4) ≥ round(ll_lattice,4) — the query projects those
+    * for a partial hash gate; the continuous optimum stays spec-gated.
+    * Output: (series, phi, theta, sigma2, loglik,
+    *          phi_lat, theta_lat, ll_lattice, opt_ge_lattice). */
+  def arimaFitBFGS(series: DataFrame, maxIter: Int = 60,
+                   deltas: Seq[Double] = Seq(-0.1, -0.05, 0.0, 0.05, 0.1)): DataFrame = {
     val (rows, cf) = arimaHRStage(series)
     val pars = cf.filter(abs(col("c1")) < 1.0)
       .select(col("series"), col("c1").as("phi0"), col("c2").as("theta0"))
@@ -891,13 +909,20 @@ object TimeSeries {
       val rs = it.toSeq.sortBy(_._2)
       if (rs.length < 5) Iterator.empty
       else {
-        val (phi, theta, s2, ll) = bfgsArma(rs.map(_._3), rs.head._4, rs.head._5, maxIter)
-        Iterator((key, phi, theta, s2, ll))
+        val xs = rs.map(_._3)
+        mlGridWinner(xs, rs.head._4, rs.head._5, deltas).map {
+          case (phiL, thetaL, _, llLat, _) =>
+            val (phi, theta, s2, ll) = bfgsArma(xs, phiL, thetaL, maxIter)
+            (key, phi, theta, s2, ll, phiL, thetaL, llLat,
+              math.rint(ll * 10000) >= math.rint(llLat * 10000))
+        }.iterator
       }
-    }.toDF("series", "_phi", "_theta", "_s2", "_ll")
+    }.toDF("series", "_phi", "_theta", "_s2", "_ll", "_phiL", "_thetaL", "_llL", "_ge")
       .select(col("series"),
         round(col("_phi"), 4).as("phi"), round(col("_theta"), 4).as("theta"),
-        round(col("_s2"), 4).as("sigma2"), round(col("_ll"), 4).as("loglik"))
+        round(col("_s2"), 4).as("sigma2"), round(col("_ll"), 4).as("loglik"),
+        round(col("_phiL"), 4).as("phi_lat"), round(col("_thetaL"), 4).as("theta_lat"),
+        round(col("_llL"), 4).as("ll_lattice"), col("_ge").as("opt_ge_lattice"))
   }
 
   /** The per-series optimizer behind [[arimaFitBFGS]]: minimize −loglik

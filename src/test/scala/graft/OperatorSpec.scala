@@ -529,6 +529,17 @@ class OperatorSpec extends AnyFunSuite {
     assert(r("spiky") == ((30L, 1L)), r("spiky").toString)
   }
 
+  test("outlierMad flags nothing on a majority-constant series (MAD = 0)") {
+    import spark.implicits._
+    // 29 identical values + one spike: MAD = 0 — the Hampel degenerate
+    // case must suppress, not flag every nonidentical point
+    val df = ((0 until 29).map(i => ("flat", f"2026-01-$i%02d", 42.0)) :+
+      (("flat", "2026-01-99", 99.0))).toDF("series", "day", "x")
+    val r = graft.stats.Robust.outlierMad(df).head()
+    assert(r.getDouble(3) == 0.0, s"mad ${r.getDouble(3)}")
+    assert(r.getLong(4) == 0L, s"n_outliers ${r.getLong(4)} — MAD=0 must flag nothing")
+  }
+
   test("semDedup drops planted duplicate embeddings and keeps distinct ones") {
     import spark.implicits._
     val dim = 16
@@ -543,6 +554,29 @@ class OperatorSpec extends AnyFunSuite {
     val t = r.agg(sum("n"), sum("n_dropped")).head()
     assert(t.getLong(0) == 23, s"n ${t.getLong(0)}")
     assert(t.getLong(1) == 2, s"dropped ${t.getLong(1)}")
+  }
+
+  test("semDedupAuto sizes the anchor count with the corpus (cells stay bounded)") {
+    import spark.implicits._
+    // k derivation: grows linearly with n, floored at 1, capped
+    assert(graft.dedup.Dedup.semDedupAnchors(500, targetCellSize = 1000) == 1)
+    assert(graft.dedup.Dedup.semDedupAnchors(10000, targetCellSize = 1000) == 10)
+    assert(graft.dedup.Dedup.semDedupAnchors(10001, targetCellSize = 1000) == 11)
+    assert(graft.dedup.Dedup.semDedupAnchors(Long.MaxValue) == 65536)
+    // on a 4000-row corpus with targetCellSize=250 → k=16 anchors, the
+    // MEAN cell size must hold near target (md5 anchors are ~uniform over
+    // gaussian data; individual cells vary but none may swallow the corpus)
+    val dim = 8
+    val rnd = new scala.util.Random(11)
+    val n = 4000
+    val df = (0 until n).map(i => (i.toLong, Array.fill(dim)(rnd.nextGaussian())))
+      .toDF("vec_id", "embedding")
+    val cells = graft.dedup.Dedup.semDedupAuto(df, "vec_id", "embedding",
+      dim = dim, seed = 7L, tau = 0.999, targetCellSize = 250L).collect()
+    assert(cells.map(_.getLong(1)).sum == n)
+    assert(cells.length > 8, s"only ${cells.length} non-empty cells of 16")
+    val biggest = cells.map(_.getLong(1)).max
+    assert(biggest < n / 2, s"one cell holds $biggest of $n rows — not bounded")
   }
 
   test("kmeans transform distances match hand-computed centroid distances") {

@@ -204,6 +204,14 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming outlier gate refuses a degenerate MAD = 0 profile") {
+    import spark.implicits._
+    val df = Seq((1L, 2.0)).toDF("event_id", "value")
+    intercept[IllegalArgumentException] {
+      StreamingOps.streamingOutlierGate(df, "value", median = 1.0, mad = 0.0)
+    }
+  }
+
   test("streaming sessionization matches the batch gap rule per user") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
