@@ -1,7 +1,7 @@
 package graft.ensemble
 
 import graft.core.Num.r4
-import org.apache.spark.ml.classification.RandomForestClassifier
+import org.apache.spark.ml.classification.{RandomForestClassificationModel, RandomForestClassifier}
 import org.apache.spark.ml.feature.{StringIndexer, VectorAssembler}
 import org.apache.spark.ml.regression.RandomForestRegressor
 import org.apache.spark.sql.{Column, DataFrame}
@@ -31,17 +31,39 @@ object Forest {
     * 2¹⁶-node frontier — not a 100 TB-viable setting on any engine. */
   private val MaxBins = 8
 
+  /** One seeded classifier fit shared by [[classifierSummary]] and
+    * [[classifierImportances]] — the two queries are different VIEWS of the
+    * same fitted estimator (exactly the reference's fit-once object with
+    * `predict` and `feature_importances_` accessors), so the fit is
+    * memoized on (canonicalized input plan, hyperparameters). The fit is
+    * deterministic given the seed, the model holds only driver-local
+    * trees, and both queries stay independently callable. */
+  private val classifierFits =
+    new java.util.concurrent.ConcurrentHashMap[String, RandomForestClassificationModel]()
+
+  private def fitClassifier(input: DataFrame, numTrees: Int, maxDepth: Int,
+                            seed: Long): RandomForestClassificationModel = {
+    val key =
+      s"${input.queryExecution.analyzed.semanticHash()}:$numTrees:$maxDepth:$seed:$MaxBins"
+    classifierFits.computeIfAbsent(key, _ =>
+      new RandomForestClassifier().setFeaturesCol("_fv").setLabelCol("_lab")
+        .setNumTrees(numTrees).setMaxDepth(maxDepth).setMaxBins(MaxBins).setSeed(seed)
+        .fit(input))
+  }
+
+  private def indexedInput(df: DataFrame, features: Seq[String], labelCol: String): DataFrame = {
+    val input0 = withFeatures(df, features, Seq("_labstr" -> col(labelCol)))
+    val si = new StringIndexer().setInputCol("_labstr").setOutputCol("_lab")
+      .setStringOrderType("alphabetAsc")
+    si.fit(input0).transform(input0)
+  }
+
   /** Train a seeded RF classifier; return per-class prediction counts and
     * per-class precision (deterministic given the seed). */
   def classifierSummary(df: DataFrame, features: Seq[String], labelCol: String,
                         numTrees: Int = 20, maxDepth: Int = 5, seed: Long = 42L): DataFrame = {
-    val input0 = withFeatures(df, features, Seq("_labstr" -> col(labelCol)))
-    val si = new StringIndexer().setInputCol("_labstr").setOutputCol("_lab")
-      .setStringOrderType("alphabetAsc")
-    val input = si.fit(input0).transform(input0)
-    val rf = new RandomForestClassifier().setFeaturesCol("_fv").setLabelCol("_lab")
-      .setNumTrees(numTrees).setMaxDepth(maxDepth).setMaxBins(MaxBins).setSeed(seed)
-    val scored = rf.fit(input).transform(input)
+    val input = indexedInput(df, features, labelCol)
+    val scored = fitClassifier(input, numTrees, maxDepth, seed).transform(input)
     scored.groupBy(col("prediction").cast("long").as("pred_class"))
       .agg(count(lit(1)).cast("long").as("n"),
         r4(avg(when(col("prediction") === col("_lab"), 1.0).otherwise(0.0))).as("class_precision"))
@@ -54,13 +76,8 @@ object Forest {
     * scale — the output is just the normalized vector. */
   def classifierImportances(df: DataFrame, features: Seq[String], labelCol: String,
                             numTrees: Int = 20, maxDepth: Int = 5, seed: Long = 42L): DataFrame = {
-    val input0 = withFeatures(df, features, Seq("_labstr" -> col(labelCol)))
-    val si = new StringIndexer().setInputCol("_labstr").setOutputCol("_lab")
-      .setStringOrderType("alphabetAsc")
-    val input = si.fit(input0).transform(input0)
-    val rf = new RandomForestClassifier().setFeaturesCol("_fv").setLabelCol("_lab")
-      .setNumTrees(numTrees).setMaxDepth(maxDepth).setMaxBins(MaxBins).setSeed(seed)
-    val imp = rf.fit(input).featureImportances
+    val input = indexedInput(df, features, labelCol)
+    val imp = fitClassifier(input, numTrees, maxDepth, seed).featureImportances
     val spark = df.sparkSession
     import spark.implicits._
     features.zipWithIndex.map { case (f, i) =>

@@ -205,6 +205,39 @@ object TSAQueries {
     """SELECT event_type AS series, CAST(ts AS DATE) AS day, sum(value) AS x
       |  FROM events GROUP BY 1, 2""".stripMargin
 
+  /** 3×3 determinant as a SQL expression; entries must be simple
+    * identifiers or parenthesized expressions. */
+  private def det3Sql(m: Seq[Seq[String]]): String = {
+    val Seq(Seq(a, b, c), Seq(d, e, f), Seq(g, h, i)) = m
+    s"($a*($e*$i - $f*$h) - $b*($d*$i - $f*$g) + $c*($d*$h - $e*$g))"
+  }
+
+  /** 4×4 determinant by cofactor expansion along the first row. */
+  private def det4Sql(m: Seq[Seq[String]]): String = {
+    def minor(j: Int) = m.tail.map(r => r.zipWithIndex.collect { case (v, c) if c != j => v })
+    s"(${m(0)(0)}*${det3Sql(minor(0))} - ${m(0)(1)}*${det3Sql(minor(1))} + " +
+      s"${m(0)(2)}*${det3Sql(minor(2))} - ${m(0)(3)}*${det3Sql(minor(3))})"
+  }
+
+  /** The AR(3)+intercept normal-equation solve (symmetric 4×4 Gram) by
+    * Cramer's rule — the SQL twin of TimeSeries.arFitWide at p=3. Emits a
+    * `dtp3` CTE with per-series c0..c3 (NULL on a singular system, like
+    * arFitWide's pivot guard). Expects an `m` CTE with columns
+    * n, s1..s3, s11..s33 (upper triangle), sy, s1y..s3y. */
+  private val cramer4P3Sql: String = {
+    val gram = Seq(
+      Seq("n", "s1", "s2", "s3"),
+      Seq("s1", "s11", "s12", "s13"),
+      Seq("s2", "s12", "s22", "s23"),
+      Seq("s3", "s13", "s23", "s33"))
+    val rhs = Seq("sy", "s1y", "s2y", "s3y")
+    def replaced(j: Int) = gram.zipWithIndex.map { case (row, r) => row.updated(j, rhs(r)) }
+    val cs = (0 to 3).map(j =>
+      s"CASE WHEN det = 0 THEN NULL ELSE ${det4Sql(replaced(j))} / det END AS c$j")
+    s"""dm3 AS (SELECT *, ${det4Sql(gram)} AS det FROM m),
+       |dtp3 AS (SELECT series, ${cs.mkString(",\n  ")} FROM dm3)""".stripMargin
+  }
+
   /** The 3-unknown Cramer solve used by TimeSeries.cramer3, as SQL CTEs.
     * `src` must expose (series, y, x1, x2). Emits CTEs `m$sfx`, `dm$sfx`
     * and `dt$sfx` with per-series c0/c1/c2, null on an exactly-singular
@@ -581,6 +614,61 @@ object TSAQueries {
          |SELECT series, round(phi, 4) AS phi, round(theta, 4) AS theta,
          |  round(sigma2, 4) AS sigma2, round(loglik, 4) AS loglik
          |FROM rnk WHERE rk = 1 ORDER BY series""".stripMargin,
+    // AR(3)+intercept on first differences, solved by Cramer over the
+    // 4×4 Gram (det4 cofactor expansion — generated by cramer4P3Sql);
+    // 5 chained forecast steps integrated back from x_T. The Spark side
+    // solves the same normal equations by pivoted Gaussian elimination —
+    // a different FP path, but Gram conditioning keeps the coefficient
+    // divergence ~1e-10, far under the 4-decimal output grid.
+    "ar_p_forecast" ->
+      s"""WITH d0 AS ($dailySql),
+         |s AS (SELECT series, x,
+         |    (row_number() OVER (PARTITION BY series ORDER BY day) - 1)::BIGINT AS t FROM d0),
+         |dxt AS (SELECT series, t, x - lag(x) OVER (PARTITION BY series ORDER BY t) AS v FROM s),
+         |dx AS (SELECT series, t, v FROM dxt WHERE v IS NOT NULL),
+         |lg AS (SELECT series, t, v,
+         |    lag(v, 1) OVER (PARTITION BY series ORDER BY t) AS l1,
+         |    lag(v, 2) OVER (PARTITION BY series ORDER BY t) AS l2,
+         |    lag(v, 3) OVER (PARTITION BY series ORDER BY t) AS l3
+         |  FROM dx),
+         |m AS (SELECT series, count(*)::DOUBLE AS n,
+         |    sum(l1) AS s1, sum(l2) AS s2, sum(l3) AS s3,
+         |    sum(l1*l1) AS s11, sum(l1*l2) AS s12, sum(l1*l3) AS s13,
+         |    sum(l2*l2) AS s22, sum(l2*l3) AS s23, sum(l3*l3) AS s33,
+         |    sum(v) AS sy, sum(l1*v) AS s1y, sum(l2*v) AS s2y, sum(l3*v) AS s3y
+         |  FROM lg WHERE l1 IS NOT NULL AND l2 IS NOT NULL AND l3 IS NOT NULL
+         |  GROUP BY series),
+         |$cramer4P3Sql,
+         |l3p AS (SELECT series,
+         |    max(CASE WHEN rn = 1 THEN v END) AS xl0,
+         |    max(CASE WHEN rn = 2 THEN v END) AS xl1,
+         |    max(CASE WHEN rn = 3 THEN v END) AS xl2
+         |  FROM (SELECT series, v,
+         |      row_number() OVER (PARTITION BY series ORDER BY t DESC) AS rn FROM dx) q
+         |  WHERE rn <= 3 GROUP BY series HAVING count(*) >= 3),
+         |lastX AS (SELECT series, x AS xT FROM (
+         |    SELECT series, x, row_number() OVER (PARTITION BY series ORDER BY t DESC) AS rn
+         |    FROM s) q WHERE rn = 1),
+         |j AS (SELECT dtp3.series, c0, c1, c2, c3, xl0, xl1, xl2, xT
+         |  FROM dtp3 JOIN l3p ON dtp3.series = l3p.series
+         |  JOIN lastX ON dtp3.series = lastX.series),
+         |f1 AS (SELECT *, c0 + c1*xl0 + c2*xl1 + c3*xl2 AS g1 FROM j),
+         |f2 AS (SELECT *, c0 + c1*g1 + c2*xl0 + c3*xl1 AS g2 FROM f1),
+         |f3 AS (SELECT *, c0 + c1*g2 + c2*g1 + c3*xl0 AS g3 FROM f2),
+         |f4 AS (SELECT *, c0 + c1*g3 + c2*g2 + c3*g1 AS g4 FROM f3),
+         |f5 AS (SELECT *, c0 + c1*g4 + c2*g3 + c3*g2 AS g5 FROM f4),
+         |i1 AS (SELECT *, xT + g1 AS y1 FROM f5),
+         |i2 AS (SELECT *, y1 + g2 AS y2 FROM i1),
+         |i3 AS (SELECT *, y2 + g3 AS y3 FROM i2),
+         |i4 AS (SELECT *, y3 + g4 AS y4 FROM i3),
+         |i5 AS (SELECT *, y4 + g5 AS y5 FROM i4)
+         |SELECT series, step, forecast FROM (
+         |  SELECT series, 1::BIGINT AS step, round(y1, 4) AS forecast FROM i5
+         |  UNION ALL SELECT series, 2::BIGINT, round(y2, 4) FROM i5
+         |  UNION ALL SELECT series, 3::BIGINT, round(y3, 4) FROM i5
+         |  UNION ALL SELECT series, 4::BIGINT, round(y4, 4) FROM i5
+         |  UNION ALL SELECT series, 5::BIGINT, round(y5, 4) FROM i5
+         |) ORDER BY series, step""".stripMargin,
     // partial hash gate for the batched-L-BFGS fit (same design as
     // hw_fit_opt's): lattice winner replays via the arima_fit_ml CTEs,
     // the ≥-invariant as literal TRUE
