@@ -59,8 +59,11 @@ object DBSCANGrid {
     *   driver union-find. The occupied-cell graph is usually tiny next to
     *   n, but sparse data over a huge extent can make it data-scale too —
     *   both paths produce identical labels (component rep = min cell id). */
-  def fitND(points: DataFrame, idCol: String, featCols: Seq[String],
-            eps: Double, minPts: Int, ccEdgeLimit: Long = 500000L): DataFrame = {
+  /** Steps 1-2 of the grid estimator, shared with [[coreSummary]]: the
+    * packed fine/coarse cell frame and the distance-verified eps-pair set
+    * (normalized id < bid), both cached — callers unpersist. */
+  private def cellsAndPairs(points: DataFrame, idCol: String, featCols: Seq[String],
+                            eps: Double): (DataFrame, DataFrame) = {
     val d = featCols.size
     require(d >= 2 && d <= 5, s"grid DBSCAN supports 2..5 dims, got $d")
     val xs = featCols.indices
@@ -122,6 +125,12 @@ object DBSCANGrid {
       .filter(axisPrune && sqDist <= eps * eps)
       .select(least(col("id"), col("bid")).as("id"),
         greatest(col("id"), col("bid")).as("bid")).cache()
+    (withCell, pairs)
+  }
+
+  def fitND(points: DataFrame, idCol: String, featCols: Seq[String],
+            eps: Double, minPts: Int, ccEdgeLimit: Long = 500000L): DataFrame = {
+    val (withCell, pairs) = cellsAndPairs(points, idCol, featCols, eps)
     val bothDirs = pairs.unionAll(pairs.select(col("bid").as("id"), col("id").as("bid")))
 
     // 3. core points (deg counts the point itself implicitly via minPts-1)
@@ -197,6 +206,41 @@ object DBSCANGrid {
   def summaryND(points: DataFrame, idCol: String, featCols: Seq[String],
                 eps: Double, minPts: Int): DataFrame =
     summarize(fitND(points, idCol, featCols, eps, minPts))
+
+  /** Deterministic DBSCAN structure summary — the SQL-oracle-able slice of
+    * the family: core/border/noise classification and the eps-pair count
+    * are closed-form given (eps, minPts) (cluster LABELS additionally need
+    * the iterative connected components, which stays parity-spec-gated in
+    * [[fitND]]). Same coarse-cell candidate machinery as the full
+    * estimator, so the hash gate exercises the exact pair-generation path.
+    * Output: one row (n_points, n_eps_pairs, n_core, n_border, n_noise). */
+  def coreSummary(points: DataFrame, idCol: String, featCols: Seq[String],
+                  eps: Double, minPts: Int): DataFrame = {
+    val (withCell, pairs) = cellsAndPairs(points, idCol, featCols, eps)
+    val bothDirs = pairs.unionAll(pairs.select(col("bid").as("id"), col("id").as("bid")))
+    val degrees = bothDirs.groupBy("id").agg(count(lit(1)).as("deg"))
+    val flagged = withCell.select(col("id")).join(degrees, Seq("id"), "left")
+      .withColumn("is_core", coalesce(col("deg"), lit(0L)) >= (minPts - 1))
+    // border = non-core with at least one CORE eps-neighbor
+    val hasCoreNbr = bothDirs
+      .join(flagged.filter(col("is_core")).select(col("id").as("bid")), Seq("bid"))
+      .select(col("id")).distinct().withColumn("_nbr", lit(true))
+    val classified = flagged.join(hasCoreNbr, Seq("id"), "left")
+    val nPairs = pairs.groupBy().agg(count(lit(1)).cast("long").as("n_eps_pairs"))
+    val out = classified.groupBy().agg(
+        count(lit(1)).cast("long").as("n_points"),
+        sum(when(col("is_core"), 1L).otherwise(0L)).cast("long").as("n_core"),
+        sum(when(!col("is_core") && col("_nbr").isNotNull, 1L).otherwise(0L))
+          .cast("long").as("n_border"),
+        sum(when(!col("is_core") && col("_nbr").isNull, 1L).otherwise(0L))
+          .cast("long").as("n_noise"))
+      .crossJoin(broadcast(nPairs))
+      .select(col("n_points"), col("n_eps_pairs"), col("n_core"),
+        col("n_border"), col("n_noise"))
+    out.cache().count() // materialize, then release the shared caches
+    withCell.unpersist(); pairs.unpersist()
+    out
+  }
 
   private def summarize(f: DataFrame): DataFrame =
     f.groupBy((col("cluster") >= 0).as("clustered")).agg(

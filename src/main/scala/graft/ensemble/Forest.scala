@@ -41,14 +41,20 @@ object Forest {
   private val classifierFits =
     new java.util.concurrent.ConcurrentHashMap[String, RandomForestClassificationModel]()
 
-  private def fitClassifier(input: DataFrame, numTrees: Int, maxDepth: Int,
-                            seed: Long): RandomForestClassificationModel = {
-    val key =
-      s"${input.queryExecution.analyzed.semanticHash()}:$numTrees:$maxDepth:$seed:$MaxBins"
-    classifierFits.computeIfAbsent(key, _ =>
+  private def fitClassifier(df: DataFrame, features: Seq[String], labelCol: String,
+                            numTrees: Int, maxDepth: Int,
+                            seed: Long): (DataFrame, RandomForestClassificationModel) = {
+    val input = indexedInput(df, features, labelCol)
+    // key on the RAW caller plan (pure column ops over the scan — stable
+    // semanticHash), not the assembled/indexed one: VectorAssembler and
+    // StringIndexerModel wrap per-instance UDF closures whose canonical
+    // form differs on every call, which would defeat the memoization
+    val key = s"${df.queryExecution.analyzed.semanticHash()}:" +
+      s"${features.mkString(",")}:$labelCol:$numTrees:$maxDepth:$seed:$MaxBins"
+    (input, classifierFits.computeIfAbsent(key, _ =>
       new RandomForestClassifier().setFeaturesCol("_fv").setLabelCol("_lab")
         .setNumTrees(numTrees).setMaxDepth(maxDepth).setMaxBins(MaxBins).setSeed(seed)
-        .fit(input))
+        .fit(input)))
   }
 
   private def indexedInput(df: DataFrame, features: Seq[String], labelCol: String): DataFrame = {
@@ -62,8 +68,8 @@ object Forest {
     * per-class precision (deterministic given the seed). */
   def classifierSummary(df: DataFrame, features: Seq[String], labelCol: String,
                         numTrees: Int = 20, maxDepth: Int = 5, seed: Long = 42L): DataFrame = {
-    val input = indexedInput(df, features, labelCol)
-    val scored = fitClassifier(input, numTrees, maxDepth, seed).transform(input)
+    val (input, model) = fitClassifier(df, features, labelCol, numTrees, maxDepth, seed)
+    val scored = model.transform(input)
     scored.groupBy(col("prediction").cast("long").as("pred_class"))
       .agg(count(lit(1)).cast("long").as("n"),
         r4(avg(when(col("prediction") === col("_lab"), 1.0).otherwise(0.0))).as("class_precision"))
@@ -76,8 +82,8 @@ object Forest {
     * scale — the output is just the normalized vector. */
   def classifierImportances(df: DataFrame, features: Seq[String], labelCol: String,
                             numTrees: Int = 20, maxDepth: Int = 5, seed: Long = 42L): DataFrame = {
-    val input = indexedInput(df, features, labelCol)
-    val imp = fitClassifier(input, numTrees, maxDepth, seed).featureImportances
+    val imp = fitClassifier(df, features, labelCol, numTrees, maxDepth, seed)._2
+      .featureImportances
     val spark = df.sparkSession
     import spark.implicits._
     features.zipWithIndex.map { case (f, i) =>

@@ -24,6 +24,14 @@ object MiscQueries {
         col("value").as("x"), (col("user_id") % 97).cast("double").as("y"))
       DBSCANGrid.summary(pts, "event_id", "x", "y", eps = 1.0, minPts = 4)
     },
+    "dbscan_core" -> { (s, d) =>
+      // the family's hash gate: core/border/noise classification and the
+      // eps-pair count are closed-form (no CC), so the same coarse-cell
+      // candidate machinery replays exactly in DuckDB
+      val pts = Tables.events(s, d).select(col("event_id"),
+        col("value").as("x"), (col("user_id") % 97).cast("double").as("y"))
+      DBSCANGrid.coreSummary(pts, "event_id", Seq("x", "y"), eps = 1.0, minPts = 4)
+    },
     "dbscan_3d" -> { (s, d) =>
       // 3-D DBSCAN over (value, scaled user bucket, hour-of-day) on events
       val pts = Tables.events(s, d).select(col("event_id"),
@@ -121,6 +129,38 @@ object MiscQueries {
 
   val oracles: Map[String, String] = Map(
     "trustworthiness" -> trustOracle,
+    // replay of DBSCANGrid.coreSummary at d=2, eps=1, minPts=4: the same
+    // 31-bit packed coarse cells, the same 5-offset half-space window
+    // (o = ox*2^31 + oy for (0,0),(0,1),(1,-1),(1,0),(1,1)), the same
+    // axis-prune + distance verify, degrees off the normalized pair set
+    "dbscan_core" ->
+      """WITH p AS (SELECT event_id::BIGINT AS id, value::DOUBLE AS x,
+        |    (user_id % 97)::DOUBLE AS y FROM events),
+        |c AS (SELECT id, x, y,
+        |    (floor(x / 1.0)::BIGINT + 1073741824) * 2147483648
+        |      + (floor(y / 1.0)::BIGINT + 1073741824) AS cell FROM p),
+        |off AS (SELECT unnest([0, 1, 2147483647, 2147483648, 2147483649]) AS o),
+        |b AS (SELECT c.id AS bid, c.x AS bx, c.y AS by_, c.cell AS bcell,
+        |    c.cell + off.o AS cell FROM c, off),
+        |pr AS (SELECT least(c.id, b.bid) AS id, greatest(c.id, b.bid) AS bid
+        |  FROM c JOIN b ON c.cell = b.cell
+        |  WHERE (c.cell <> b.bcell OR c.id < b.bid)
+        |    AND abs(c.x - b.bx) <= 1.0 AND abs(c.y - b.by_) <= 1.0
+        |    AND (c.x - b.bx)*(c.x - b.bx) + (c.y - b.by_)*(c.y - b.by_) <= 1.0),
+        |bd AS (SELECT id, bid FROM pr UNION ALL SELECT bid, id FROM pr),
+        |deg AS (SELECT id, count(*) AS dg FROM bd GROUP BY id),
+        |fl AS (SELECT p.id, coalesce(deg.dg, 0) >= 3 AS is_core
+        |  FROM p LEFT JOIN deg ON p.id = deg.id),
+        |nbr AS (SELECT DISTINCT bd.id FROM bd
+        |  JOIN fl ON bd.bid = fl.id AND fl.is_core),
+        |cls AS (SELECT fl.id, fl.is_core, nbr.id IS NOT NULL AS has_nbr
+        |  FROM fl LEFT JOIN nbr ON fl.id = nbr.id)
+        |SELECT count(*)::BIGINT AS n_points,
+        |  (SELECT count(*) FROM pr)::BIGINT AS n_eps_pairs,
+        |  sum(CASE WHEN is_core THEN 1 ELSE 0 END)::BIGINT AS n_core,
+        |  sum(CASE WHEN NOT is_core AND has_nbr THEN 1 ELSE 0 END)::BIGINT AS n_border,
+        |  sum(CASE WHEN NOT is_core AND NOT has_nbr THEN 1 ELSE 0 END)::BIGINT AS n_noise
+        |FROM cls""".stripMargin,
     "sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
         |g AS (SELECT user_id, event_id, us,

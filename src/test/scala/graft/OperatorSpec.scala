@@ -25,6 +25,35 @@ class OperatorSpec extends AnyFunSuite {
     assert(r(999L) == -1L)
   }
 
+  test("DBSCAN coreSummary matches brute-force core/border/noise classification") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(9)
+    val pts = (0 until 120).map { i =>
+      val (cx, cy) = if (i % 3 == 0) (0.0, 0.0) else if (i % 3 == 1) (8.0, 8.0) else (25.0, -5.0)
+      (i.toLong, cx + rnd.nextGaussian() * 0.8, cy + rnd.nextGaussian() * 0.8)
+    } :+ ((999L, 200.0, 200.0))
+    val (eps, minPts) = (1.2, 5)
+    // brute-force reference classification
+    val arr = pts.toArray
+    def nbrs(i: Int) = arr.indices.count(j => j != i &&
+      math.hypot(arr(i)._2 - arr(j)._2, arr(i)._3 - arr(j)._3) <= eps)
+    val isCore = arr.indices.map(i => nbrs(i) >= minPts - 1)
+    val hasCoreNbr = arr.indices.map(i => arr.indices.exists(j => j != i && isCore(j) &&
+      math.hypot(arr(i)._2 - arr(j)._2, arr(i)._3 - arr(j)._3) <= eps))
+    val wantCore = isCore.count(identity)
+    val wantBorder = arr.indices.count(i => !isCore(i) && hasCoreNbr(i))
+    val wantNoise = arr.indices.count(i => !isCore(i) && !hasCoreNbr(i))
+    val nPairs = (for (i <- arr.indices; j <- i + 1 until arr.length
+      if math.hypot(arr(i)._2 - arr(j)._2, arr(i)._3 - arr(j)._3) <= eps) yield 1).size
+    val r = graft.cluster.DBSCANGrid.coreSummary(
+      pts.toDF("id", "x", "y"), "id", Seq("x", "y"), eps, minPts).head()
+    assert(r.getLong(0) == arr.length.toLong)
+    assert(r.getLong(1) == nPairs.toLong, s"pairs ${r.getLong(1)} vs $nPairs")
+    assert(r.getLong(2) == wantCore.toLong, s"core ${r.getLong(2)} vs $wantCore")
+    assert(r.getLong(3) == wantBorder.toLong, s"border ${r.getLong(3)} vs $wantBorder")
+    assert(r.getLong(4) == wantNoise.toLong, s"noise ${r.getLong(4)} vs $wantNoise")
+  }
+
   test("IVF with nprobe = nCells equals brute force (recall 1.0)") {
     val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val r = IVF.recallSummary(e, e.filter(col("vec_id") < 5), "vec_id", "embedding",

@@ -256,6 +256,34 @@ class PlanSpec extends AnyFunSuite {
     assert(p.split("Exchange").length - 1 == 1, p.take(3000))
   }
 
+  test("svm predict margin is a zero-join codegen scan before the class summary") {
+    val li = Tables.lineitem(spark, sf)
+    val p = planOf(graft.svm.SVMGraft.predictSummary(li,
+      Seq("l_quantity", "l_discount", "l_tax"), -0.1, Seq(0.004, 1.5, -2.0),
+      when(col("l_returnflag") === "R", 1.0).otherwise(0.0)))
+    // the margin is a literal-coefficient column expression — the only
+    // data shuffle allowed is the k-row class groupBy (the trailing
+    // rangepartitioning orders the 2-row summary; not a data shuffle)
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"), p.take(3000))
+    assert(p.split("Exchange hashpartitioning").length - 1 == 1, p.take(3000))
+  }
+
+  test("umap transform broadcasts the fitted model; the new-point side never shuffles pre-topk") {
+    val e = Tables.embeddings(spark, sf)
+    val fit = e.filter(col("vec_id") < 40)
+    val held = e.filter(col("vec_id") >= 40 && col("vec_id") < 60)
+    val layout = graft.manifold.Manifold.forceLayout(fit, "vec_id", "embedding",
+      k = 5, iters = 2, lr = 1.0, mode = graft.manifold.Manifold.UmapForces)
+    val p = planOf(graft.manifold.Manifold.umapTransform(
+      held, fit, layout, "vec_id", "embedding", 3))
+    // both the kNN pair scan and the position join must broadcast the
+    // O(sample) model side — a corpus-side exchange before the bounded-heap
+    // top-k would re-shuffle the 100 TB side
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("kmeans transform distance columns are pure codegen (no pre-agg shuffle)") {
     val li = Tables.lineitem(spark, sf)
     val feats = Seq(col("l_quantity"), col("l_discount"), col("l_tax"))
