@@ -40,6 +40,29 @@ object MiscQueries {
       DBSCANGrid.summaryND(pts, "event_id", Seq("x", "y", "z"),
         eps = 1.0, minPts = 4)
     },
+    "cardinality_stats" -> { (s, d) =>
+      // distinct users per event type — the exact audit twin
+      graft.stats.Cardinality.exact(Tables.events(s, d), "event_type", "user_id")
+        .orderBy("event_type")
+    },
+    "cardinality_stats_approx" -> { (s, d) =>
+      // the HLL++ production path (one sketch-sized aggregate); estimate
+      // is engine-internal → rows-only, error-bound spec vs the exact twin
+      graft.stats.Cardinality.approx(Tables.events(s, d), "event_type", "user_id")
+        .orderBy("event_type")
+    },
+    "asof_join" -> { (s, d) =>
+      // state-at-event lookup: every purchase joined to the user's most
+      // recent prior-or-equal click (the feature-snapshot join shape)
+      val e = Tables.events(s, d).withColumn("us", unix_micros(col("ts")))
+      graft.events.AsOf.asofJoin(
+          e.filter(col("event_type") === "purchase"),
+          e.filter(col("event_type") === "click"),
+          "user_id", "us", "event_id", "event_id", "value")
+        .select(col("lid").as("event_id"), col("key").as("user_id"),
+          col("rid").as("click_id"), col("rval").as("click_value"), col("lag_us"))
+        .orderBy("event_id")
+    },
     "sessionize" -> { (s, d) =>
       // 4-hour idle gap: the sf events land ~7 h apart per user at the
       // median, so the corpus genuinely mixes multi-event sessions and
@@ -129,6 +152,32 @@ object MiscQueries {
 
   val oracles: Map[String, String] = Map(
     "trustworthiness" -> trustOracle,
+    "cardinality_stats" ->
+      """SELECT event_type, count(*)::BIGINT AS n_rows,
+        |  count(DISTINCT user_id)::BIGINT AS n_distinct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the union-trick as-of join replayed verbatim: right rows sort before
+    // left at equal time (side 0 < 1), same-time right rows resolve to the
+    // max id via the rid sort key, carry-forward = last_value IGNORE NULLS
+    "asof_join" ->
+      """WITH e AS (SELECT event_id::BIGINT AS event_id, user_id::BIGINT AS user_id,
+        |    event_type, epoch_us(ts) AS us, value::DOUBLE AS value FROM events),
+        |u AS (
+        |  SELECT user_id AS key, us AS t, 0 AS side, event_id AS rid,
+        |      value AS rval, us AS rt, NULL::BIGINT AS lid
+        |    FROM e WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id, us, 1, NULL::BIGINT, NULL::DOUBLE, NULL::BIGINT, event_id
+        |    FROM e WHERE event_type = 'purchase'),
+        |w AS (SELECT *,
+        |    last_value(rid IGNORE NULLS) OVER win AS a_rid,
+        |    last_value(rval IGNORE NULLS) OVER win AS a_rval,
+        |    last_value(rt IGNORE NULLS) OVER win AS a_rt
+        |  FROM u WINDOW win AS (PARTITION BY key ORDER BY t, side, rid
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT lid AS event_id, key AS user_id, a_rid AS click_id,
+        |  a_rval AS click_value, t - a_rt AS lag_us
+        |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin,
     // replay of DBSCANGrid.coreSummary at d=2, eps=1, minPts=4: the same
     // 31-bit packed coarse cells, the same 5-offset half-space window
     // (o = ox*2^31 + oy for (0,0),(0,1),(1,-1),(1,0),(1,1)), the same

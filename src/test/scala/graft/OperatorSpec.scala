@@ -25,6 +25,40 @@ class OperatorSpec extends AnyFunSuite {
     assert(r(999L) == -1L)
   }
 
+  test("cardinality approx twin tracks the exact distinct count within HLL error") {
+    val e = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
+    val exact = graft.stats.Cardinality.exact(e, "event_type", "user_id")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val approx = graft.stats.Cardinality.approx(e, "event_type", "user_id", rsd = 0.02)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (k, ex) =>
+      val ap = approx(k)
+      // HLL++ at rsd 0.02: allow 5 sigma
+      assert(math.abs(ap - ex).toDouble / ex <= 0.10,
+        s"$k: approx $ap vs exact $ex")
+    }
+  }
+
+  test("asof join picks the latest prior-or-equal right row per key") {
+    import spark.implicits._
+    // left (purchases): (key, t, lid); right (clicks): (key, t, rid, value)
+    val left = Seq((1L, 100L, 10L), (1L, 200L, 11L), (1L, 50L, 12L),
+      (2L, 100L, 20L)).toDF("user_id", "us", "event_id")
+    val r2 = Seq((1L, 60L, 1L, 0.5), (1L, 100L, 2L, 0.7), (1L, 100L, 3L, 0.9),
+      (1L, 150L, 4L, 0.2)).toDF("user_id", "us", "event_id", "value")
+    val got = graft.events.AsOf.asofJoin(left, r2, "user_id", "us",
+        "event_id", "event_id", "value")
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(2)) -1L else r.getLong(2)),
+         (if (r.isNullAt(4)) -1L else r.getLong(4)))).toMap
+    assert(got(10L) == ((3L, 0L)),  // equal-time tie → right admitted, max rid wins
+      got(10L).toString)
+    assert(got(11L) == ((4L, 50L)), got(11L).toString) // latest prior click at t=150
+    assert(got(12L) == ((-1L, -1L)), got(12L).toString) // no prior click → nulls
+    assert(got(20L) == ((-1L, -1L)), got(20L).toString) // key with no right rows
+  }
+
   test("DBSCAN coreSummary matches brute-force core/border/noise classification") {
     import spark.implicits._
     val rnd = new scala.util.Random(9)

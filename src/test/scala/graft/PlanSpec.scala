@@ -284,6 +284,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("asof join runs on ONE key shuffle (the union-trick, no range join)") {
+    val e = Tables.events(spark, sf)
+      .withColumn("us", unix_micros(col("ts")))
+    val p = planOf(graft.events.AsOf.asofJoin(
+      e.filter(col("event_type") === "purchase"),
+      e.filter(col("event_type") === "click"),
+      "user_id", "us", "event_id", "event_id", "value"))
+    // the scalable formulation: union + one key-partitioned window —
+    // never a per-row range join (quadratic on dense keys)
+    assert(!p.contains("Join"), p.take(3000))
+    assert(p.split("Exchange hashpartitioning").length - 1 == 1, p.take(3000))
+  }
+
   test("kmeans transform distance columns are pure codegen (no pre-agg shuffle)") {
     val li = Tables.lineitem(spark, sf)
     val feats = Seq(col("l_quantity"), col("l_discount"), col("l_tax"))
