@@ -40,6 +40,18 @@ object MiscQueries {
       DBSCANGrid.summaryND(pts, "event_id", Seq("x", "y", "z"),
         eps = 1.0, minPts = 4)
     },
+    "range_join" -> { (s, d) =>
+      // band join: customers matched to supplier account-balance bands
+      // (±50) via the bucketized equi-join — summary row
+      val supp = Tables.supplier(s, d).select(col("s_suppkey"),
+        (col("s_acctbal") - 50).as("lo"), (col("s_acctbal") + 50).as("hi"))
+      graft.events.RangeJoin.pointInInterval(Tables.customer(s, d), supp,
+          "c_custkey", "c_acctbal", "s_suppkey", "lo", "hi", bucketWidth = 100.0)
+        .agg(count(lit(1)).cast("long").as("n_pairs"),
+          countDistinct(col("id")).cast("long").as("n_points"),
+          countDistinct(col("rid")).cast("long").as("n_intervals"),
+          r4(avg(col("point"))).as("avg_point"))
+    },
     "cardinality_stats" -> { (s, d) =>
       // distinct users per event type — the exact audit twin
       graft.stats.Cardinality.exact(Tables.events(s, d), "event_type", "user_id")
@@ -152,6 +164,16 @@ object MiscQueries {
 
   val oracles: Map[String, String] = Map(
     "trustworthiness" -> trustOracle,
+    // the oracle states the SEMANTICS as the raw theta join (DuckDB's
+    // IEJoin handles it at oracle scale); the Spark side must produce the
+    // identical pair set through the bucketized equi-join
+    "range_join" ->
+      """WITH j AS (SELECT c.c_custkey AS id, c.c_acctbal AS p, s.s_suppkey AS rid
+        |  FROM customer c JOIN supplier s
+        |    ON s.s_acctbal - 50 <= c.c_acctbal AND c.c_acctbal <= s.s_acctbal + 50)
+        |SELECT count(*)::BIGINT AS n_pairs, count(DISTINCT id)::BIGINT AS n_points,
+        |  count(DISTINCT rid)::BIGINT AS n_intervals, round(avg(p), 4) AS avg_point
+        |FROM j""".stripMargin,
     "cardinality_stats" ->
       """SELECT event_type, count(*)::BIGINT AS n_rows,
         |  count(DISTINCT user_id)::BIGINT AS n_distinct

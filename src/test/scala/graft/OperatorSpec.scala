@@ -25,6 +25,24 @@ class OperatorSpec extends AnyFunSuite {
     assert(r(999L) == -1L)
   }
 
+  test("range join equals the brute-force theta join (incl. negatives and boundary hits)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val pts = (0 until 200).map(i => (i.toLong, rnd.nextDouble() * 400 - 200))
+    val ivs = (0 until 40).map { i =>
+      val lo = rnd.nextDouble() * 380 - 200
+      (1000L + i, lo, lo + rnd.nextDouble() * 60)
+    } :+ ((2000L, -50.0, -50.0)) // degenerate single-point interval
+    val got = graft.events.RangeJoin.pointInInterval(
+        pts.toDF("id", "p"), ivs.toDF("rid", "lo", "hi"),
+        "id", "p", "rid", "lo", "hi", bucketWidth = 25.0)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val want = (for ((id, p) <- pts; (rid, lo, hi) <- ivs if lo <= p && p <= hi)
+      yield (id, rid)).toSet
+    assert(got == want, s"got ${got.size} want ${want.size}; " +
+      s"missing ${(want -- got).take(5)}; extra ${(got -- want).take(5)}")
+  }
+
   test("cardinality approx twin tracks the exact distinct count within HLL error") {
     val e = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
     val exact = graft.stats.Cardinality.exact(e, "event_type", "user_id")

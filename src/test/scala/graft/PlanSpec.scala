@@ -284,6 +284,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("range join is a bucket equi-join, never a nested-loop theta join") {
+    val supp = Tables.supplier(spark, sf).select(col("s_suppkey"),
+      (col("s_acctbal") - 50).as("lo"), (col("s_acctbal") + 50).as("hi"))
+    val p = planOf(graft.events.RangeJoin.pointInInterval(
+      Tables.customer(spark, sf), supp,
+      "c_custkey", "c_acctbal", "s_suppkey", "lo", "hi", bucketWidth = 100.0))
+    // the raw lo<=p<=hi theta join would plan as BroadcastNestedLoopJoin
+    // (O(n·m) at corpus scale); the bucketized form must be an equi-join
+    assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"), p.take(3000))
+  }
+
   test("asof join runs on ONE key shuffle (the union-trick, no range join)") {
     val e = Tables.events(spark, sf)
       .withColumn("us", unix_micros(col("ts")))
