@@ -103,6 +103,14 @@ object TextQueries {
       graft.text.Relevance.pmiTopPairs(Tables.documents(s, d), "text", "doc_id",
         minCount = 3L, topN = 20)
     },
+    "heavy_hitters" -> { (s, d) =>
+      graft.text.Relevance.heavyHitterTokens(Tables.documents(s, d), "text", topN = 20)
+    },
+    "heavy_hitters_approx" -> { (s, d) =>
+      // Misra-Gries production path: no-false-negatives contract, exact
+      // counts on the surviving candidate set — rows-only + guarantee spec
+      graft.text.Relevance.frequentTokens(Tables.documents(s, d), "text", support = 0.01)
+    },
     "bigram_perplexity" -> { (s, d) =>
       // LM trained on the already-ingested front half, scoring the new
       // back half — the CCNet quality-filter composition
@@ -293,6 +301,15 @@ object TextQueries {
          |  FROM s)
          |SELECT doc, rk::BIGINT AS rank, term, round(score, 6) AS score
          |FROM r WHERE rk <= 3 ORDER BY doc, rank""".stripMargin,
+    "heavy_hitters" ->
+      s"""WITH n AS (SELECT $normToks AS toks FROM documents),
+         |t AS (SELECT unnest(toks) AS term FROM n),
+         |c AS (SELECT term, count(*) AS n FROM t GROUP BY term),
+         |tot AS (SELECT sum(n)::DOUBLE AS tt FROM c),
+         |r AS (SELECT term, n, row_number() OVER (ORDER BY n DESC, term) AS rank FROM c)
+         |SELECT rank::BIGINT AS rank, term, n::BIGINT AS n,
+         |  round(n / tot.tt, 6) AS share
+         |FROM r, tot WHERE rank <= 20 ORDER BY rank""".stripMargin,
     "pmi_collocations" ->
       s"""WITH n AS (SELECT doc_id::BIGINT AS doc, $normToks AS toks FROM documents),
          |t AS (SELECT unnest(toks) AS tok FROM n),

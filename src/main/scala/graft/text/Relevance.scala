@@ -20,6 +20,43 @@ object Relevance {
   private def normToks(textCol: String) =
     split(lower(trim(regexp_replace(col(textCol), "\\s+", " "))), " ")
 
+  /** Corpus-level token heavy hitters — the boilerplate/stopword monitor
+    * of an ingest pipeline. Exact variant: one map-side-combined token
+    * groupBy + a TakeOrdered top-N (never a global sort); rank ties break
+    * on the token so the DuckDB replay is deterministic. Output:
+    * (rank, term, n, share) with share = n / total tokens (broadcast
+    * scalar). The approximate production path is [[frequentTokens]]. */
+  def heavyHitterTokens(df: DataFrame, textCol: String, topN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.select(explode(normToks(textCol)).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("_tot"))
+    val w = Window.orderBy(col("n").desc, col("term"))
+    counts.orderBy(col("n").desc, col("term")).limit(topN)
+      .withColumn("rank", row_number().over(w))
+      .crossJoin(broadcast(total))
+      .select(col("rank").cast("long").as("rank"), col("term"),
+        col("n").cast("long").as("n"),
+        round(col("n") / col("_tot"), 6).as("share"))
+      .orderBy("rank")
+  }
+
+  /** Misra-Gries frequent tokens (`DataFrame.stat.freqItems`) — the
+    * one-pass sketch path: per-partition summaries of 1/support counters,
+    * merged associatively; guaranteed to CONTAIN every token with
+    * frequency > support·total (may include false positives, no false
+    * negatives — the standard heavy-hitter contract). Sketch internals
+    * are engine-specific → rows-only gate + guarantee spec. */
+  def frequentTokens(df: DataFrame, textCol: String, support: Double): DataFrame = {
+    val toks = df.select(explode(normToks(textCol)).as("term"))
+    val items = toks.stat.freqItems(Seq("term"), support)
+      .select(explode(col("term_freqItems")).as("term"))
+    // report exact counts for the surviving candidates (bounded set join)
+    toks.join(broadcast(items), Seq("term"))
+      .groupBy(col("term")).agg(count(lit(1)).cast("long").as("n"))
+      .orderBy(col("n").desc, col("term"))
+  }
+
   /** (doc, term) rows with per-doc term counts — ONE explode + groupBy. */
   private def termCounts(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.select(col(idCol).cast("long").as("doc"), explode(normToks(textCol)).as("term"))

@@ -8,6 +8,25 @@ import scala.math.abs
 class PipelineOpsSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
+  test("frequent-token sketch keeps every true heavy hitter (no false negatives)") {
+    import spark.implicits._
+    // planted stream: "the" ~38%, "cat" ~29%, remainder unique singletons
+    val docs = (0 until 40).map { i =>
+      val fill = (0 until 7).map(j => s"u${i}_$j").mkString(" ")
+      (i.toLong, s"the the the the cat cat cat $fill")
+    }.toDF("doc_id", "text")
+    val hh = graft.text.Relevance.frequentTokens(docs, "text", support = 0.2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // Misra-Gries contract: anything above the support threshold MUST
+    // survive, with its exact count reported
+    assert(hh.get("the").contains(160L), hh.toString)
+    assert(hh.get("cat").contains(120L), hh.toString)
+    // exact top-N agrees on the two planted hitters and ranks them 1, 2
+    val top = graft.text.Relevance.heavyHitterTokens(docs, "text", topN = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(top.toSeq == Seq((1L, "the", 160L), (2L, "cat", 120L)), top.mkString(","))
+  }
+
   test("repetition metrics: looped phrase scores high, distinct text scores 0") {
     import spark.implicits._
     val loop = Seq.fill(10)("the cat sat").mkString(" ")        // heavy repeats
