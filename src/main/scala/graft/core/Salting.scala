@@ -20,4 +20,25 @@ object Salting {
       .agg(sum(col("_ps")).as("sum"), sum(col("_pc")).cast("long").as("count"))
       .withColumnRenamed("_k", "key")
   }
+
+  /** Skew-safe equi-join: the FACT side takes a deterministic salt in
+    * [0, salts) (md5 of its key + a spreader column, engine-neutral), the
+    * DIM side replicates each row `salts` times, and the join runs on
+    * (key, salt) — a hot fact key spreads over `salts` reducers instead
+    * of melting one. The result multiset is IDENTICAL to the plain key
+    * join (parity spec); dim-side volume grows ×salts, so use it when
+    * dim ≪ fact but too big (or too mid-plan) to broadcast — the gap AQE
+    * skew handling doesn't always cover (first shuffle of a
+    * non-sort-merge join, pre-AQE stats misestimates).
+    * Output: fact columns + dim columns (key column once). */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, keyCol: String,
+                 spreadCol: String, salts: Int): DataFrame = {
+    require(salts >= 1, "salts >= 1")
+    val f = fact.withColumn("_salt",
+      pmod(Num.md5Long(concat_ws("_", col(keyCol).cast("string"),
+        col(spreadCol).cast("string"))), lit(salts.toLong)))
+    val d = dim.withColumn("_salt",
+      explode(sequence(lit(0L), lit(salts.toLong - 1))))
+    f.join(d, Seq(keyCol, "_salt")).drop("_salt")
+  }
 }

@@ -36,6 +36,44 @@ object Preprocessing {
                      seed: Long = 42L): DataFrame =
     df.withColumn("split", splitColumn(col(keyCol), (testFraction * 1000).round.toInt, seed))
 
+  /** Exact quantile bucketing (MLlib QuantileDiscretizer semantics, exact
+    * regime): ntile(k) over a (value, id-tiebreak) ordering, per-bucket
+    * (n, lo, hi, mean). The global-sort window makes this the AUDIT twin —
+    * exact, deterministic, SQL-replayable; [[quantileBucketsApprox]] is
+    * the petabyte production path. Same twin pattern as doc_length_stats. */
+  def quantileBuckets(df: DataFrame, valueCol: String, idCol: String,
+                      k: Int): DataFrame = {
+    val w = Window.orderBy(col("_v"), col("_id"))
+    df.select(col(valueCol).cast("double").as("_v"), col(idCol).cast("long").as("_id"))
+      .withColumn("bucket", ntile(k).over(w).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        round(min(col("_v")), 4).as("lo"), round(max(col("_v")), 4).as("hi"),
+        round(avg(col("_v")), 4).as("mean"))
+      .orderBy("bucket")
+  }
+
+  /** Production quantile bucketing: approximate percentile BOUNDARIES
+    * (one sketch aggregate) broadcast as literals into a codegen CASE
+    * bucket assignment — no global sort at any scale. Sketch boundaries
+    * are engine-internal → rows-only gate + a spec bounding each bucket's
+    * occupancy against the exact n/k. */
+  def quantileBucketsApprox(df: DataFrame, valueCol: String, k: Int,
+                            accuracy: Int = 10000): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val probs = (1 until k).map(_.toDouble / k)
+    val row = df.agg(percentile_approx(v, typedLit(probs), lit(accuracy))).head()
+    val bounds = row.getSeq[Double](0)
+    val bucket = bounds.zipWithIndex.foldRight(lit(k.toLong)) {
+      case ((b, i), acc) => when(v <= b, (i + 1).toLong).otherwise(acc)
+    }
+    df.select(v.as("_v"), bucket.as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        round(min(col("_v")), 4).as("lo"), round(max(col("_v")), 4).as("hi"))
+      .orderBy("bucket")
+  }
+
   /** Per-group deterministic downsampling — the data-mixing primitive of a
     * training-data pipeline (keep 50% of English, 5% of zh, …). Same
     * engine-neutral md5 threshold as [[trainTestSplit]], with a per-group

@@ -191,6 +191,28 @@ object TabularQueries {
       Preprocessing.labelEncoderMapping(Tables.customer(s, d), "c_mktsegment")
         .orderBy("code")
     },
+    "salted_join" -> { (s, d) =>
+      // skew-safe fact⋈dim join (salts=8) — result must be identical to
+      // the plain join, which is exactly what the oracle states
+      val fact = Tables.orders(s, d)
+        .select(col("o_custkey").as("custkey"), col("o_orderkey"), col("o_totalprice"))
+      val dim = Tables.customer(s, d)
+        .select(col("c_custkey").as("custkey"), col("c_nationkey"))
+      graft.core.Salting.saltedJoin(fact, dim, "custkey", "o_orderkey", salts = 8)
+        .groupBy(col("c_nationkey").cast("long").as("nation"))
+        .agg(count(lit(1)).cast("long").as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy("nation")
+    },
+    "quantile_buckets" -> { (s, d) =>
+      // exact audit twin (global-sort ntile — declared; production path
+      // is quantile_buckets_approx)
+      Preprocessing.quantileBuckets(Tables.orders(s, d), "o_totalprice", "o_orderkey", 10)
+    },
+    "quantile_buckets_approx" -> { (s, d) =>
+      // sketch-boundary production path: one aggregate + codegen CASE
+      Preprocessing.quantileBucketsApprox(Tables.orders(s, d), "o_totalprice", 10)
+    },
     "train_test_split" -> { (s, d) =>
       Preprocessing.trainTestSplit(Tables.orders(s, d), "o_orderkey", 0.25)
         .groupBy("split")
@@ -353,6 +375,17 @@ object TabularQueries {
     "label_encoder" ->
       """SELECT label, (dense_rank() OVER (ORDER BY label) - 1)::BIGINT AS code
         |FROM (SELECT DISTINCT c_mktsegment AS label FROM customer) ORDER BY code""".stripMargin,
+    "salted_join" ->
+      """SELECT c.c_nationkey::BIGINT AS nation, count(*)::BIGINT AS n_orders,
+        |  round(sum(o.o_totalprice), 2) AS total
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "quantile_buckets" ->
+      """WITH b AS (SELECT o_totalprice AS v,
+        |    ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket FROM orders)
+        |SELECT bucket::BIGINT AS bucket, count(*)::BIGINT AS n,
+        |  round(min(v), 4) AS lo, round(max(v), 4) AS hi, round(avg(v), 4) AS mean
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
     "train_test_split" ->
       """SELECT CASE WHEN ('0x' || substr(md5(o_orderkey::VARCHAR || '_42'), 1, 15))::BIGINT % 1000 < 250
         |  THEN 'test' ELSE 'train' END AS split,

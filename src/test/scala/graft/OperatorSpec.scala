@@ -25,6 +25,22 @@ class OperatorSpec extends AnyFunSuite {
     assert(r(999L) == -1L)
   }
 
+  test("salted join returns exactly the plain-join multiset on skewed keys") {
+    import spark.implicits._
+    // 90% of fact rows hit one hot key
+    val fact = (0 until 500).map(i =>
+      (if (i % 10 == 0) i.toLong % 7 else 42L, i.toLong, i * 1.5))
+      .toDF("custkey", "o_orderkey", "v")
+    val dim = (0L until 50L).map(k => (k, s"d$k")).toDF("custkey", "name")
+    val got = graft.core.Salting.saltedJoin(fact, dim, "custkey", "o_orderkey", salts = 8)
+      .select("custkey", "o_orderkey", "name")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    val want = fact.join(dim, "custkey").select("custkey", "o_orderkey", "name")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    assert(got.length == want.length && got.sameElements(want),
+      s"${got.length} vs ${want.length}")
+  }
+
   test("range join equals the brute-force theta join (incl. negatives and boundary hits)") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)

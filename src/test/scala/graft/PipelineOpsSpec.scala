@@ -8,6 +8,24 @@ import scala.math.abs
 class PipelineOpsSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
+  test("approx quantile buckets track the exact n/k occupancy") {
+    val orders = graft.core.Tables.orders(spark, "/root/testdata/sf0.001")
+    val n = orders.count()
+    val exact = graft.preprocessing.Preprocessing
+      .quantileBuckets(orders, "o_totalprice", "o_orderkey", 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact.values.sum == n)
+    // exact ntile: bucket sizes differ by at most 1
+    assert(exact.values.max - exact.values.min <= 1, exact.toString)
+    val approx = graft.preprocessing.Preprocessing
+      .quantileBucketsApprox(orders, "o_totalprice", 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(approx.values.sum == n)
+    // sketch boundaries at accuracy 10⁴: every bucket within 10% of n/10
+    approx.values.foreach(c =>
+      assert(math.abs(c - n / 10.0) <= n / 10.0 * 0.10 + 2, approx.toString))
+  }
+
   test("frequent-token sketch keeps every true heavy hitter (no false negatives)") {
     import spark.implicits._
     // planted stream: "the" ~38%, "cat" ~29%, remainder unique singletons

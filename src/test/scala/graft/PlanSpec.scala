@@ -284,6 +284,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("salted join shuffles on (key, salt) so a hot key spreads across reducers") {
+    val fact = Tables.orders(spark, sf)
+      .select(col("o_custkey").as("custkey"), col("o_orderkey"), col("o_totalprice"))
+    val dim = Tables.customer(spark, sf)
+      .select(col("c_custkey").as("custkey"), col("c_nationkey"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = planOf(graft.core.Salting.saltedJoin(fact, dim, "custkey", "o_orderkey", 8))
+      // the exchange must carry the salt — partitioning on the bare key
+      // would put the whole hot key back on one reducer
+      assert(p.contains("hashpartitioning(custkey") && p.contains("_salt"), p.take(3000))
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("range join is a bucket equi-join, never a nested-loop theta join") {
     val supp = Tables.supplier(spark, sf).select(col("s_suppkey"),
       (col("s_acctbal") - 50).as("lo"), (col("s_acctbal") + 50).as("hi"))
