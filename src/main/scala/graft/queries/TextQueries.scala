@@ -103,6 +103,15 @@ object TextQueries {
       graft.text.Relevance.pmiTopPairs(Tables.documents(s, d), "text", "doc_id",
         minCount = 3L, topN = 20)
     },
+    "domain_cap" -> { (s, d) =>
+      graft.text.TextOps.domainCap(Tables.documents(s, d), "source", "doc_id", 15)
+        .orderBy("source")
+    },
+    "chunk_documents" -> { (s, d) =>
+      graft.text.TextOps.chunkDocuments(Tables.documents(s, d), "text", "doc_id",
+          chunk = 64, overlap = 16)
+        .orderBy("doc", "chunk")
+    },
     "heavy_hitters" -> { (s, d) =>
       graft.text.Relevance.heavyHitterTokens(Tables.documents(s, d), "text", topN = 20)
     },
@@ -301,6 +310,26 @@ object TextQueries {
          |  FROM s)
          |SELECT doc, rk::BIGINT AS rank, term, round(score, 6) AS score
          |FROM r WHERE rk <= 3 ORDER BY doc, rank""".stripMargin,
+    "domain_cap" ->
+      """WITH r AS (SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn FROM documents)
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |  sum(CASE WHEN rn <= 15 THEN 1 ELSE 0 END)::BIGINT AS n_kept
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
+    "chunk_documents" ->
+      s"""WITH n AS (SELECT doc_id::BIGINT AS doc, $normToks AS toks FROM documents),
+         |m AS (SELECT doc, toks, len(toks)::BIGINT AS n FROM n),
+         |c AS (SELECT doc, toks, n,
+         |    CASE WHEN n <= 64 THEN 1
+         |         ELSE 1 + CAST(ceil((n - 64) / 48.0) AS BIGINT) END AS n_chunks
+         |  FROM m),
+         |e AS (SELECT doc, toks, n, unnest(range(0, n_chunks)) AS chunk FROM c),
+         |s AS (SELECT doc, chunk, chunk * 48 AS start_tok,
+         |    least(64, n - chunk * 48) AS n_tok, toks FROM e)
+         |SELECT doc, chunk::BIGINT AS chunk, start_tok::BIGINT AS start_tok,
+         |  n_tok::BIGINT AS n_tok,
+         |  md5(array_to_string(toks[(start_tok + 1):(start_tok + n_tok)], ' ')) AS chunk_md5
+         |FROM s ORDER BY doc, chunk""".stripMargin,
     "heavy_hitters" ->
       s"""WITH n AS (SELECT $normToks AS toks FROM documents),
          |t AS (SELECT unnest(toks) AS term FROM n),

@@ -313,6 +313,47 @@ object TextOps {
     ex.groupBy(col("doc")).agg(counts.head, counts.tail: _*)
   }
 
+  /** Per-domain document caps — the crawl-balancing step (keep at most
+    * `maxPerDomain` docs per source so no domain dominates the mix):
+    * deterministic keeper choice = lowest doc ids within the domain. ONE
+    * shuffle on the domain key; the rank window and the summary aggregate
+    * reuse it. Output per domain: (domain, n_docs, n_kept). */
+  def domainCap(df: DataFrame, domainCol: String, idCol: String,
+                maxPerDomain: Int): DataFrame = {
+    val w = Window.partitionBy(col("dom")).orderBy(col("doc"))
+    df.select(col(domainCol).as("dom"), col(idCol).cast("long").as("doc"))
+      .withColumn("_rn", row_number().over(w))
+      .groupBy(col("dom"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(when(col("_rn") <= maxPerDomain, 1L).otherwise(0L))
+          .cast("long").as("n_kept"))
+      .select(col("dom").as(domainCol), col("n_docs"), col("n_kept"))
+  }
+
+  /** Sliding-window document chunking — the training-prep step that cuts
+    * long documents into ≤`chunk`-token windows with `overlap` tokens of
+    * context carry-over (stride = chunk − overlap). Pure codegen: token
+    * split + explode(sequence) + slice, ZERO shuffle — every decision is
+    * integer math on the token count, so the DuckDB list-slice replay is
+    * exact. Emits (doc, chunk, start_tok, n_tok, chunk_md5). */
+  def chunkDocuments(df: DataFrame, textCol: String, idCol: String,
+                     chunk: Int, overlap: Int): DataFrame = {
+    require(chunk > overlap && overlap >= 0, "need chunk > overlap >= 0")
+    val stride = chunk - overlap
+    val toks = split(lower(trim(regexp_replace(col(textCol), "\\s+", " "))), " ")
+    val n = size(toks)
+    val nChunks = when(n <= chunk, lit(1L)).otherwise(
+      lit(1L) + ceil((n - chunk).cast("double") / stride).cast("long"))
+    df.select(col(idCol).cast("long").as("doc"), toks.as("_t"), n.as("_n"),
+        explode(sequence(lit(0L), nChunks - 1)).as("chunk"))
+      .withColumn("start_tok", col("chunk") * stride)
+      .withColumn("n_tok", least(lit(chunk.toLong), col("_n") - col("start_tok")))
+      .select(col("doc"), col("chunk"), col("start_tok"), col("n_tok"),
+        md5(concat_ws(" ",
+          slice(col("_t"), (col("start_tok") + 1).cast("int"), col("n_tok").cast("int"))))
+          .as("chunk_md5"))
+  }
+
   /** Document fingerprints: full-content md5 of normalized text + the
     * minimum 60-bit hash over word trigram shingles (a 1-perm minhash —
     * robust to local edits; rolling-hash flavored). */

@@ -8,6 +8,35 @@ import scala.math.abs
 class PipelineOpsSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
+  test("document chunking tiles the token stream with the declared overlap") {
+    import spark.implicits._
+    val doc140 = (1 to 140).map(i => s"t$i").mkString(" ") // 140 tokens
+    val doc10 = (1 to 10).map(i => s"s$i").mkString(" ")
+    val df = Seq((1L, doc140), (2L, doc10)).toDF("doc_id", "text")
+    val r = TextOps.chunkDocuments(df, "text", "doc_id", chunk = 64, overlap = 16)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    val d1 = r.filter(_._1 == 1L).sortBy(_._2)
+    // 140 tokens, stride 48: starts 0, 48, 96 — 3 chunks; last = 44 tokens
+    assert(d1.map(c => (c._3, c._4)).toSeq == Seq((0L, 64L), (48L, 64L), (96L, 44L)),
+      d1.mkString(","))
+    // consecutive chunks overlap by exactly chunk - stride = 16 tokens
+    assert(d1(1)._3 == d1(0)._3 + 48 && d1(0)._3 + 64 - d1(1)._3 == 16)
+    // full coverage: last chunk reaches the final token
+    assert(d1.last._3 + d1.last._4 == 140)
+    val d2 = r.filter(_._1 == 2L)
+    assert(d2.toSeq == Seq((2L, 0L, 0L, 10L)), d2.mkString(","))
+  }
+
+  test("domain cap keeps the lowest-id docs per domain") {
+    import spark.implicits._
+    val df = ((0 until 9).map(i => (i.toLong, "a")) ++
+      (10 until 12).map(i => (i.toLong, "b"))).toDF("doc_id", "source")
+    val r = TextOps.domainCap(df, "source", "doc_id", maxPerDomain = 4)
+      .collect().map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r("a") == ((9L, 4L)), r.toString)
+    assert(r("b") == ((2L, 2L)), r.toString)
+  }
+
   test("approx quantile buckets track the exact n/k occupancy") {
     val orders = graft.core.Tables.orders(spark, "/root/testdata/sf0.001")
     val n = orders.count()
