@@ -103,6 +103,38 @@ object Forest {
       count(lit(1)).cast("long").as("n"))
   }
 
+  /** A literal decision tree scored as a pure codegen CASE chain — the
+    * kmeans_assign/softmax_predict fixed-model pattern applied to forest
+    * inference: this is EXACTLY what FIL compiles a tree to (a branch-free
+    * scoring kernel over broadcast node parameters; fil/fil.pyx), so the
+    * claim "forest scoring is a zero-shuffle codegen map at any corpus
+    * size" gets a hash gate the seeded MLlib fits can't provide.
+    * `tree` = (featureIdx, threshold, left, right) recursive spec. */
+  sealed trait TreeNode
+  final case class Leaf(value: Double) extends TreeNode
+  final case class Split(feature: Int, threshold: Double,
+                         left: TreeNode, right: TreeNode) extends TreeNode
+
+  /** Score expression: features(f) <= thr → left else right. */
+  def treeScore(features: Seq[Column], tree: TreeNode): Column = tree match {
+    case Leaf(v) => lit(v)
+    case Split(f, thr, l, r) =>
+      when(features(f) <= thr, treeScore(features, l))
+        .otherwise(treeScore(features, r))
+  }
+
+  /** Per-leaf summary of a literal-tree scoring pass: (prediction, n,
+    * mean_label) — one codegen scan + one tiny aggregate. */
+  def treePredictSummary(df: DataFrame, features: Seq[String], labelCol: String,
+                         tree: TreeNode): DataFrame = {
+    val cols = features.map(c => col(c).cast("double"))
+    df.select(treeScore(cols, tree).as("prediction"),
+        col(labelCol).cast("double").as("_y"))
+      .groupBy(col("prediction"))
+      .agg(count(lit(1)).cast("long").as("n"), r4(avg(col("_y"))).as("mean_label"))
+      .orderBy("prediction")
+  }
+
   /** FIL-style inference: train once, broadcast the model, score a stream
     * of rows through the codegen'd transform; output is the score
     * distribution — the inference pass itself is shuffle-free. */

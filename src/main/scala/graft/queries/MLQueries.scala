@@ -35,6 +35,12 @@ object MLQueries {
   private val SvmIntercept = -0.1
   private val SvmWeights = Seq(0.004, 1.5, -2.0)
 
+  /** Literal depth-2 regression tree over LiFeatures for the FIL-scoring
+    * hash gate (features indexed 0 = quantity, 1 = discount, 2 = tax). */
+  private val FilTree: Forest.TreeNode = Forest.Split(0, 24.0,
+    Forest.Split(1, 0.05, Forest.Leaf(10.0), Forest.Leaf(20.0)),
+    Forest.Split(2, 0.04, Forest.Leaf(30.0), Forest.Leaf(40.0)))
+
   private def liWithLabel(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d).withColumn("_bin",
       when(col("l_returnflag") === "R", 1.0).otherwise(0.0))
@@ -130,6 +136,12 @@ object MLQueries {
       SVMGraft.rbfSvcSummary(Tables.lineitem(s, d), LiFeatures,
         when(col("l_returnflag") === "R", 1.0).otherwise(0.0),
         gamma = 0.5, dRff = 16, maxIter = 25)
+    },
+    "tree_predict" -> { (s, d) =>
+      // literal-tree FIL scoring (fixed-model pattern): the forest
+      // family's hash gate — a CASE-chain codegen kernel, zero shuffle
+      Forest.treePredictSummary(Tables.lineitem(s, d), LiFeatures,
+        "l_extendedprice", FilTree)
     },
     "svm_predict" -> { (s, d) =>
       // fit/predict separation (svm.pyx:463): literal-coefficient margin
@@ -228,6 +240,17 @@ object MLQueries {
         |  FROM sc)
         |SELECT class, count(*)::BIGINT AS n, round(avg(p), 4) AS avg_pmax
         |FROM p GROUP BY class ORDER BY class""".stripMargin,
+    "tree_predict" ->
+      """WITH s AS (SELECT
+        |    CASE WHEN l_quantity <= 24.0 THEN
+        |      CASE WHEN l_discount <= 0.05 THEN 10.0 ELSE 20.0 END
+        |    ELSE
+        |      CASE WHEN l_tax <= 0.04 THEN 30.0 ELSE 40.0 END
+        |    END AS prediction,
+        |    l_extendedprice AS y
+        |  FROM lineitem)
+        |SELECT prediction, count(*)::BIGINT AS n, round(avg(y), 4) AS mean_label
+        |FROM s GROUP BY prediction ORDER BY prediction""".stripMargin,
     "svm_predict" ->
       """WITH t AS (SELECT
         |    -0.1 + 0.004 * l_quantity + 1.5 * l_discount + -2.0 * l_tax AS m,

@@ -25,6 +25,20 @@ class OperatorSpec extends AnyFunSuite {
     assert(r(999L) == -1L)
   }
 
+  test("literal tree routes rows to the correct leaves") {
+    import spark.implicits._
+    import graft.ensemble.Forest._
+    val tree: TreeNode = Split(0, 5.0, Split(1, 0.5, Leaf(1.0), Leaf(2.0)),
+      Leaf(3.0))
+    val df = Seq((4.0, 0.4, 10.0), (4.0, 0.6, 20.0), (5.0, 0.9, 30.0),
+      (6.0, 0.0, 40.0)).toDF("f0", "f1", "y")
+    val r = treePredictSummary(df, Seq("f0", "f1"), "y", tree)
+      .collect().map(x => x.getDouble(0) -> ((x.getLong(1), x.getDouble(2)))).toMap
+    assert(r(1.0) == ((1L, 10.0)), r.toString)  // f0<=5, f1<=0.5
+    assert(r(2.0) == ((2L, 25.0)), r.toString)  // f0<=5 (incl boundary), f1>0.5
+    assert(r(3.0) == ((1L, 40.0)), r.toString)  // f0>5
+  }
+
   test("salted join returns exactly the plain-join multiset on skewed keys") {
     import spark.implicits._
     // 90% of fact rows hit one hot key

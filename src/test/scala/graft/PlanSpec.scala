@@ -284,6 +284,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("literal-tree FIL scoring is a zero-shuffle codegen map before the leaf agg") {
+    val li = Tables.lineitem(spark, sf)
+    val tree: graft.ensemble.Forest.TreeNode = graft.ensemble.Forest.Split(0, 24.0,
+      graft.ensemble.Forest.Leaf(1.0), graft.ensemble.Forest.Leaf(2.0))
+    val p = planOf(li.select(graft.ensemble.Forest.treeScore(
+      Seq(col("l_quantity").cast("double")), tree).as("pred")))
+    assert(!p.contains("Exchange"), p.take(2000))
+    assert(p.contains("*(1)"), p.take(2000))
+  }
+
   test("salted join shuffles on (key, salt) so a hot key spreads across reducers") {
     val fact = Tables.orders(spark, sf)
       .select(col("o_custkey").as("custkey"), col("o_orderkey"), col("o_totalprice"))
