@@ -121,6 +121,21 @@ object TabularQueries {
           r6((col("a") + col("c")) / 2 -
             sqrt(pow((col("a") - col("c")) / 2, 2) + pow(col("b"), 2))).as("lambda2"))
     },
+    "pca_explained_ratio" -> { (s, d) =>
+      // explained_variance_ratio_ (pca.pyx exposes it alongside the
+      // eigenvalues): λi / Σλ from the same closed-form 2×2 EVD
+      Tables.lineitem(s, d)
+        .agg(var_samp(col("l_quantity")).as("a"),
+          covar_samp(col("l_quantity"), col("l_tax")).as("b"),
+          var_samp(col("l_tax")).as("c"))
+        .select(
+          r6(((col("a") + col("c")) / 2 +
+            sqrt(pow((col("a") - col("c")) / 2, 2) + pow(col("b"), 2))) /
+            (col("a") + col("c"))).as("ratio1"),
+          r6(((col("a") + col("c")) / 2 -
+            sqrt(pow((col("a") - col("c")) / 2, 2) + pow(col("b"), 2))) /
+            (col("a") + col("c"))).as("ratio2"))
+    },
     "pca_transform2" -> { (s, d) =>
       // PCA.transform for the 2-feature case: closed-form PC1 from the
       // 2×2 covariance (driver-side from one aggregate), projection as a
@@ -322,6 +337,10 @@ object TabularQueries {
       """WITH s AS (SELECT var_samp(l_quantity) a, covar_samp(l_quantity, l_tax) b, var_samp(l_tax) c FROM lineitem)
         |SELECT round((a+c)/2 + sqrt(((a-c)/2)*((a-c)/2) + b*b), 6) AS lambda1,
         |       round((a+c)/2 - sqrt(((a-c)/2)*((a-c)/2) + b*b), 6) AS lambda2 FROM s""".stripMargin,
+    "pca_explained_ratio" ->
+      """WITH s AS (SELECT var_samp(l_quantity) a, covar_samp(l_quantity, l_tax) b, var_samp(l_tax) c FROM lineitem)
+        |SELECT round(((a+c)/2 + sqrt(((a-c)/2)*((a-c)/2) + b*b)) / (a+c), 6) AS ratio1,
+        |       round(((a+c)/2 - sqrt(((a-c)/2)*((a-c)/2) + b*b)) / (a+c), 6) AS ratio2 FROM s""".stripMargin,
     "pca_transform2" ->
       """WITH s AS (SELECT var_samp(l_quantity) a, covar_samp(l_quantity, l_tax) b,
         |    var_samp(l_tax) c, avg(l_quantity) mq, avg(l_tax) mt FROM lineitem),
