@@ -89,6 +89,42 @@ object StreamingOps {
       }.toDF("series", "level", "trend", "p00", "sum_innov2", "n")
   }
 
+  /** Streaming as-of enrichment — the live twin of events.AsOf.asofJoin:
+    * one interleaved stream of state updates (`is_state` true, carrying
+    * `value`) and lookup events per key; each lookup is answered with the
+    * LATEST state at-or-before it in the micro-batch fold order (events
+    * within a batch are folded in event-time order; the carried state
+    * persists across batches). State per key = one (t, value) pair —
+    * constant-size, exactly the as-of join's carry-forward register. */
+  final case class AsOfState(t: Long, v: Double)
+  final case class AsOfOut(key: Long, eventId: Long, t: Long,
+                           stateT: Option[Long], stateV: Option[Double])
+
+  def streamingAsOf(rows: DataFrame): DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val typed = rows.select(col("key").cast("long"), col("event_id").cast("long"),
+        col("t").cast("long"), col("is_state").cast("boolean"),
+        col("value").cast("double"))
+      .as[(Long, Long, Long, Boolean, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[AsOfState, AsOfOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (key, it, state: GroupState[AsOfState]) =>
+          // fold in (t, state-before-lookup, id) order — the batch op's
+          // exact tie rule (right side admitted at equal time)
+          val sorted = it.toSeq.sortBy(r => (r._3, !r._4, r._2))
+          var cur = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[AsOfOut]
+          sorted.foreach { case (_, id, t, isState, v) =>
+            if (isState) cur = Some(AsOfState(t, v))
+            else out += AsOfOut(key, id, t, cur.map(_.t), cur.map(_.v))
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }.toDF("key", "event_id", "t", "state_t", "state_v")
+  }
+
   /** Streaming exact-dedup: drop rows whose content hash was already seen,
     * using flatMapGroupsWithState keyed by the hash (state = seen marker).
     * The unbounded-state caveat is real; a production deployment bounds it

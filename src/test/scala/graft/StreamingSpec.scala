@@ -204,6 +204,53 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming as-of enrichment matches the batch as-of join rules") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // (key, event_id, t, is_state, value): state updates + lookups
+    val in = MemoryStream[(Long, Long, Long, Boolean, Double)]
+    val q = StreamingOps.streamingAsOf(
+        in.toDF().toDF("key", "event_id", "t", "is_state", "value"))
+      .writeStream.format("memory").queryName("asof_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: state at t=60 (v=0.5); lookup at t=100 sees it; lookup
+      // at t=50 precedes any state -> null; equal-time state admitted
+      in.addData((1L, 1L, 60L, true, 0.5), (1L, 10L, 100L, false, 0.0),
+        (1L, 12L, 50L, false, 0.0), (1L, 2L, 100L, true, 0.7),
+        (2L, 20L, 100L, false, 0.0))
+      q.processAllAvailable()
+      // batch 2: carried state answers a later lookup
+      in.addData((1L, 11L, 200L, false, 0.0))
+      q.processAllAvailable()
+      val r = spark.table("asof_out").collect()
+        .map(x => x.getLong(1) -> (if (x.isNullAt(4)) None else Some(x.getDouble(4)))).toMap
+      assert(r(10L).contains(0.7), r.toString)  // equal-time state wins (t=100)
+      assert(r(12L).isEmpty, r.toString)        // no prior state
+      assert(r(20L).isEmpty, r.toString)        // key without state
+      assert(r(11L).contains(0.7), r.toString)  // carried across batches
+    } finally q.stop()
+  }
+
+  test("document chunking runs unchanged on a stream (stateless codegen twin)") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = graft.text.TextOps.chunkDocuments(
+        in.toDF().toDF("doc_id", "text"), "text", "doc_id", chunk = 4, overlap = 1)
+      .writeStream.format("memory").queryName("chunk_out")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, "a b c d e f g h i j"))  // 10 tokens, stride 3
+      q.processAllAvailable()
+      val rows = spark.table("chunk_out").orderBy("chunk").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      // 1 + ceil((10-4)/3) = 3 chunks; starts 0/3/6, the last reaches token 10
+      assert(rows.toSeq == Seq((0L, 0L, 4L), (1L, 3L, 4L), (2L, 6L, 4L)),
+        rows.mkString(","))
+    } finally q.stop()
+  }
+
   test("streaming outlier gate refuses a degenerate MAD = 0 profile") {
     import spark.implicits._
     val df = Seq((1L, 2.0)).toDF("event_id", "value")
