@@ -172,4 +172,63 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("chunkDocuments tiles any token count: coverage, overlap, bounds") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(1, 300)
+      chunk <- Gen.choose(2, 80)
+      overlap <- Gen.choose(0, chunk - 1)
+    } yield (n, chunk, overlap)
+    cases(gen, 8).foreach { case (n, chunk, overlap) =>
+      val text = (1 to n).map(i => s"t$i").mkString(" ")
+      val rows = graft.text.TextOps.chunkDocuments(
+          Seq((1L, text)).toDF("doc_id", "text"), "text", "doc_id", chunk, overlap)
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+      val stride = chunk - overlap
+      // starts advance by the stride; lengths capped at chunk and positive
+      rows.foreach { case (c, start, len) =>
+        assert(start == c * stride && len >= 1 && len <= chunk,
+          s"n=$n chunk=$chunk overlap=$overlap: $rows")
+      }
+      // the last chunk reaches exactly the final token; no chunk overruns
+      assert(rows.last._2 + rows.last._3 == n, s"n=$n chunk=$chunk ov=$overlap: ${rows.last}")
+      assert(rows.forall { case (_, s, l) => s + l <= n })
+      // every token is covered (first chunk starts at 0, gaps impossible
+      // when stride <= chunk — checked explicitly)
+      assert(rows.head._2 == 0L)
+      rows.sliding(2).foreach {
+        case Array((_, s1, l1), (_, s2, _)) => assert(s2 <= s1 + l1)
+        case _ =>
+      }
+    }
+  }
+
+  test("asofJoin equals per-row brute-force latest-prior lookup on random streams") {
+    import spark.implicits._
+    val gen = for {
+      nl <- Gen.choose(1, 40)
+      nr <- Gen.choose(0, 40)
+      left <- Gen.listOfN(nl, for {
+        k <- Gen.choose(0L, 4L); t <- Gen.choose(0L, 50L)
+      } yield (k, t))
+      right <- Gen.listOfN(nr, for {
+        k <- Gen.choose(0L, 4L); t <- Gen.choose(0L, 50L); v <- Gen.choose(-9.0, 9.0)
+      } yield (k, t, v))
+    } yield (left, right)
+    cases(gen, 6).foreach { case (left0, right0) =>
+      val left = left0.zipWithIndex.map { case ((k, t), i) => (k, t, 100L + i) }
+      val right = right0.zipWithIndex.map { case ((k, t, v), i) => (k, t, i.toLong, v) }
+      val got = graft.events.AsOf.asofJoin(
+          left.toDF("key", "t", "event_id"), right.toDF("key", "t", "event_id", "value"),
+          "key", "t", "event_id", "event_id", "value")
+        .collect().map(r => r.getLong(0) -> (if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+      left.foreach { case (k, t, lid) =>
+        // brute force: right rows with same key, rt <= t; latest t, max id tiebreak
+        val cand = right.filter(r => r._1 == k && r._2 <= t)
+        val want = if (cand.isEmpty) -1L else cand.maxBy(r => (r._2, r._3))._3
+        assert(got(lid) == want, s"left ($k,$t): got ${got(lid)} want $want")
+      }
+    }
+  }
 }
