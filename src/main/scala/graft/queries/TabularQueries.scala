@@ -36,6 +36,16 @@ object TabularQueries {
           .otherwise(round(col("coef"), 4)).as("coef"))
         .orderBy("term")
     },
+    "ridge_multi" -> { (s, d) =>
+      // multi-feature Ridge (same closed form the reference's eig path
+      // solves): centered Gram + λI, intercept unpenalized
+      val m = Ridge.fit(Tables.lineitem(s, d), Seq("l_quantity", "l_discount"),
+        "l_extendedprice", 1000.0)
+      m.toDF(s).select(col("term"),
+        when(col("term") === "intercept", round(col("coef"), 2))
+          .otherwise(round(col("coef"), 4)).as("coef"))
+        .orderBy("term")
+    },
     "linreg_grouped" -> { (s, d) =>
       // per-group OLS fits in ONE aggregate pass — the grouped-models shape
       // (many small models over a grouped scan) cuML has no distributed
@@ -289,6 +299,24 @@ object TabularQueries {
         |SELECT term, coef FROM (
         |  SELECT 'intercept' AS term, round(ybar - slope*xbar, 2) AS coef FROM w
         |  UNION ALL SELECT 'l_quantity', round(slope, 4) FROM w
+        |) ORDER BY term""".stripMargin,
+    "ridge_multi" ->
+      """WITH s AS (SELECT count(*)::DOUBLE n,
+        |    sum(l_quantity) s1, sum(l_discount) s2, sum(l_extendedprice) sy,
+        |    sum(l_quantity*l_quantity) s11, sum(l_quantity*l_discount) s12,
+        |    sum(l_discount*l_discount) s22,
+        |    sum(l_quantity*l_extendedprice) s1y, sum(l_discount*l_extendedprice) s2y
+        |  FROM lineitem),
+        |c AS (SELECT n, s1, s2, sy,
+        |    s11 - s1*s1/n + 1000.0 AS a, s12 - s1*s2/n AS b, s22 - s2*s2/n + 1000.0 AS cc,
+        |    s1y - s1*sy/n AS r1, s2y - s2*sy/n AS r2 FROM s),
+        |w AS (SELECT n, s1, s2, sy,
+        |    (r1*cc - b*r2) / (a*cc - b*b) AS w1,
+        |    (a*r2 - b*r1) / (a*cc - b*b) AS w2 FROM c)
+        |SELECT term, coef FROM (
+        |  SELECT 'intercept' AS term, round(sy/n - w1*s1/n - w2*s2/n, 2) AS coef FROM w
+        |  UNION ALL SELECT 'l_quantity', round(w1, 4) FROM w
+        |  UNION ALL SELECT 'l_discount', round(w2, 4) FROM w
         |) ORDER BY term""".stripMargin,
     "linreg_grouped" ->
       """SELECT l_returnflag, count(*)::BIGINT AS n,
