@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{MLQueries, MiscQueries, TSAQueries, TabularQueries, TextQueries, VectorQueries}
+import graft.queries.{MLQueries, MetricsQueries, MiscQueries, TSAQueries, TabularQueries, TextQueries, VectorQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -29,12 +29,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     TabularQueries.queries ++ TextQueries.queries ++ VectorQueries.queries ++
-      TSAQueries.queries ++ MLQueries.queries ++ MiscQueries.queries
+      TSAQueries.queries ++ MLQueries.queries ++ MiscQueries.queries ++
+      MetricsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for iterative/seeded ops (rows-only
     * check by design — see SURVEY.md §5). */
   def oracleSql: Map[String, String] =
     TabularQueries.oracles ++ TextQueries.oracles ++ VectorQueries.oracles ++
-      TSAQueries.oracles ++ MiscQueries.oracles ++ MLQueries.oracles
+      TSAQueries.oracles ++ MiscQueries.oracles ++ MLQueries.oracles ++
+      MetricsQueries.oracles
 }

@@ -52,11 +52,7 @@ object Softmax {
               intercepts: Seq[Double], weights: Seq[Seq[Double]])
       : (Column, Column) = {
     require(classes.size == intercepts.size && classes.size == weights.size)
-    val scores = classes.indices.map { c =>
-      weights(c).zip(features).foldLeft(lit(intercepts(c)): Column) {
-        case (acc, (w, f)) => acc + lit(w) * f
-      }
-    }
+    val scores = scoreColumns(features, intercepts, weights)
     // CASE chain in class order (>= vs every LATER class): first class
     // wins exact ties — textually mirrorable in the SQL oracle
     val pred = classes.indices.init.foldRight(lit(classes.last): Column) { (c, acc) =>
@@ -69,4 +65,14 @@ object Softmax {
     val pMax = lit(1.0) / scores.map(s => exp(s - sMax)).reduce(_ + _)
     (pred, pMax)
   }
+
+  /** Per-class literal score columns s_c = b_c + w_c·x — the shared codegen
+    * building block of predict and the metrics layer's log-loss. */
+  def scoreColumns(features: Seq[Column],
+                   intercepts: Seq[Double], weights: Seq[Seq[Double]]): Seq[Column] =
+    intercepts.indices.map { c =>
+      weights(c).zip(features).foldLeft(lit(intercepts(c)): Column) {
+        case (acc, (w, f)) => acc + lit(w) * f
+      }
+    }
 }

@@ -1,7 +1,8 @@
 package graft.metrics
 
-import graft.core.Num.r4
+import graft.core.Num.{r4, r6}
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Evaluation metrics (reference python/cuml/metrics/: regression.pyx
@@ -50,5 +51,81 @@ object Metrics {
         (col("_sij") - col("_sa") * col("_sb") / comb2(col("_tot"))) /
           ((col("_sa") + col("_sb")) / 2.0 - col("_sa") * col("_sb") / comb2(col("_tot")))
       ).as("ari"))
+  }
+
+  /** Confusion matrix: counts per (truth, pred) — ONE map-side-combined
+    * groupBy on the bounded class-pair key; classes² rows out regardless of
+    * corpus size. */
+  def confusionMatrix(df: DataFrame, y: Column, pred: Column): DataFrame =
+    df.groupBy(y.as("truth"), pred.as("pred"))
+      .agg(count(lit(1)).cast("long").as("n"))
+
+  /** Per-class precision / recall / F1 (sklearn classification_report
+    * surface). One corpus pass builds the confusion matrix; every reduction
+    * after that runs on the classes²-row frame. Classes are the TRUTH-side
+    * classes (support > 0); a class never predicted gets precision 0. */
+  def classificationReport(df: DataFrame, y: Column, pred: Column): DataFrame = {
+    val cm = confusionMatrix(df, y, pred)
+    val byTruth = cm.groupBy(col("truth").as("cls"))
+      .agg(sum(col("n")).cast("double").as("_support"))
+    val byPred = cm.groupBy(col("pred").as("cls"))
+      .agg(sum(col("n")).cast("double").as("_predn"))
+    val tp = cm.filter(col("truth") === col("pred"))
+      .select(col("truth").as("cls"), col("n").cast("double").as("_tp"))
+    byTruth.join(byPred, Seq("cls"), "left").join(tp, Seq("cls"), "left")
+      .select(col("cls"),
+        col("_support").cast("long").as("support"),
+        r4(when(coalesce(col("_predn"), lit(0.0)) > 0,
+          coalesce(col("_tp"), lit(0.0)) / col("_predn")).otherwise(0.0)).as("precision"),
+        r4(coalesce(col("_tp"), lit(0.0)) / col("_support")).as("recall"),
+        r4(lit(2.0) * coalesce(col("_tp"), lit(0.0)) /
+          (coalesce(col("_predn"), lit(0.0)) + col("_support"))).as("f1"))
+  }
+
+  /** Exact ROC-AUC via the tie-corrected rank statistic
+    * AUC = Σ_s n⁺(s)·(N⁻_{<s} + n⁻(s)/2) / (P·N), computed over the
+    * DISTINCT-score frame: scores are quantized to the 1e-4 oracle grid,
+    * grouped (map-side combine, bounded key cardinality), and the single
+    * cumulative window runs over distinct scores only — never a global
+    * sort of the raw rows. Equivalent to trapezoidal ROC integration with
+    * tie-averaging. `label` must be a boolean column. */
+  /** Simplified (centroid-based) silhouette per cluster: a = distance to
+    * own centroid, b = min distance to any other, s = (b−a)/max(a,b).
+    * The pairwise-distance silhouette is O(n²) by definition; the
+    * centroid form is the one that scales — a pure codegen scan against
+    * the broadcast literal model, then one bounded-key aggregate. */
+  def silhouetteSimplified(df: DataFrame, feats: Seq[Column],
+                           centroids: Seq[Seq[Double]]): DataFrame = {
+    val dists = centroids.map { c =>
+      sqrt(feats.zip(c).map { case (f, v) => (f - v) * (f - v) }.reduce(_ + _))
+    }
+    val assign = graft.cluster.KMeansGraft.assign(feats, centroids)
+    val a = dists.zipWithIndex.foldRight(lit(0.0): Column) { case ((dc, i), acc) =>
+      when(assign === i, dc).otherwise(acc)
+    }
+    val b = dists.indices.foldRight(lit(0.0): Column) { case (i, acc) =>
+      val others = dists.indices.filter(_ != i).map(dists)
+      val minOther = if (others.size == 1) others.head else least(others: _*)
+      when(assign === i, minOther).otherwise(acc)
+    }
+    val sil = (b - a) / greatest(a, b)
+    df.select(assign.as("cluster"), sil.as("_s"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).cast("long").as("n"), r4(avg(col("_s"))).as("mean_silhouette"))
+  }
+
+  def rocAuc(df: DataFrame, label: Column, score: Column): DataFrame = {
+    val g = df
+      .select(round(score, 4).as("_s"), when(label, 1L).otherwise(0L).as("_y"))
+      .groupBy(col("_s"))
+      .agg(sum(col("_y")).cast("double").as("_np"),
+        sum(lit(1L) - col("_y")).cast("double").as("_nn"))
+    val w = Window.orderBy(col("_s")).rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("_cumneg", coalesce(sum(col("_nn")).over(w), lit(0.0)))
+      .agg(
+        sum(col("_np")).cast("long").as("n_pos"),
+        sum(col("_nn")).cast("long").as("n_neg"),
+        r6(sum(col("_np") * (col("_cumneg") + col("_nn") / 2.0)) /
+          (sum(col("_np")) * sum(col("_nn")))).as("auc"))
   }
 }

@@ -19,21 +19,23 @@ import org.apache.spark.sql.functions._
 object MLQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  private val LiFeatures = Seq("l_quantity", "l_discount", "l_tax")
+  private[queries] val LiFeatures = Seq("l_quantity", "l_discount", "l_tax")
 
   /** Literal softmax coefficients for the oracle-gated predict step
-    * (the kmeans_assign pattern: fixed model, SQL-replayable scoring). */
-  private val SoftmaxClasses = Seq("A", "N", "R")
-  private val SoftmaxIntercepts = Seq(0.05, 0.0, -0.02)
-  private val SoftmaxWeights = Seq(
+    * (the kmeans_assign pattern: fixed model, SQL-replayable scoring).
+    * Shared with MetricsQueries (confusion / report / log-loss score the
+    * same fixed model). */
+  private[queries] val SoftmaxClasses = Seq("A", "N", "R")
+  private[queries] val SoftmaxIntercepts = Seq(0.05, 0.0, -0.02)
+  private[queries] val SoftmaxWeights = Seq(
     Seq(0.0, -2.0, 0.0),
     Seq(0.0, 1.5, -5.0),
     Seq(0.0, 1.0, 4.0))
 
   /** Literal linear-SVC model for the oracle-gated predict entry (same
     * fixed-model pattern as SoftmaxWeights above). */
-  private val SvmIntercept = -0.1
-  private val SvmWeights = Seq(0.004, 1.5, -2.0)
+  private[queries] val SvmIntercept = -0.1
+  private[queries] val SvmWeights = Seq(0.004, 1.5, -2.0)
 
   /** Literal depth-2 regression tree over LiFeatures for the FIL-scoring
     * hash gate (features indexed 0 = quantity, 1 = discount, 2 = tax). */

@@ -1,0 +1,157 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.core.Num.{r4, r6}
+import graft.linear.Softmax
+import graft.metrics.Metrics
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Classification-metric depth (reference python/cuml/metrics/ surface
+  * extended the way every evaluation harness needs it at corpus scale):
+  * confusion matrix, per-class precision/recall/F1, multiclass log-loss,
+  * exact tie-corrected ROC-AUC, and the simplified (centroid-based)
+  * silhouette. Every entry scores a FIXED literal model (the
+  * kmeans_assign/softmax_predict pattern), so each metric is hash-gated
+  * end to end. */
+object MetricsQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def liFeatureCols: Seq[Column] = MLQueries.LiFeatures.map(c => col(c))
+
+  /** SQL mirror of Softmax.scoreColumns over the shared literal model. */
+  private def softmaxScoreSql(c: Int): String = {
+    val terms = MLQueries.SoftmaxWeights(c).zip(MLQueries.LiFeatures)
+      .map { case (w, f) => s"$w * $f" }
+    (MLQueries.SoftmaxIntercepts(c).toString +: terms).mkString(" + ")
+  }
+
+  /** SQL mirror of Softmax.predict's argmax CASE chain (first class wins
+    * exact ties — identical tie order in both engines). */
+  private val softmaxPredSql: String =
+    """CASE WHEN sa >= sn AND sa >= sr THEN 'A'
+      |     WHEN sn >= sr THEN 'N' ELSE 'R' END""".stripMargin
+
+  private val softmaxScoresCte: String =
+    s"""sc AS (SELECT l_returnflag,
+       |    ${softmaxScoreSql(0)} AS sa,
+       |    ${softmaxScoreSql(1)} AS sn,
+       |    ${softmaxScoreSql(2)} AS sr
+       |  FROM lineitem)""".stripMargin
+
+  /** SQL mirror of the linear-SVC literal margin (shared with svm_predict). */
+  private val svmMarginSql: String = {
+    val terms = MLQueries.SvmWeights.zip(MLQueries.LiFeatures)
+      .map { case (w, f) => s"$w * $f" }
+    (MLQueries.SvmIntercept.toString +: terms).mkString(" + ")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "confusion_matrix" -> { (s, d) =>
+      // truth × predicted counts under the literal softmax model — one
+      // map-side-combined groupBy on the bounded class-pair key
+      val (pred, _) = Softmax.predict(liFeatureCols, MLQueries.SoftmaxClasses,
+        MLQueries.SoftmaxIntercepts, MLQueries.SoftmaxWeights)
+      Metrics.confusionMatrix(Tables.lineitem(s, d), col("l_returnflag"), pred)
+        .orderBy("truth", "pred")
+    },
+    "precision_recall_f1" -> { (s, d) =>
+      // sklearn classification_report surface: per-class P/R/F1 from ONE
+      // corpus pass (the confusion matrix); everything after runs on the
+      // classes²-row frame
+      val (pred, _) = Softmax.predict(liFeatureCols, MLQueries.SoftmaxClasses,
+        MLQueries.SoftmaxIntercepts, MLQueries.SoftmaxWeights)
+      Metrics.classificationReport(Tables.lineitem(s, d), col("l_returnflag"), pred)
+        .orderBy("cls")
+    },
+    "log_loss" -> { (s, d) =>
+      // multiclass negative log-likelihood of the true class under the
+      // literal softmax model, grouped by true class — max-subtracted
+      // log-sum-exp so unbounded scores can't overflow; pure codegen scan
+      // + one bounded-key aggregate
+      val scores = Softmax.scoreColumns(liFeatureCols,
+        MLQueries.SoftmaxIntercepts, MLQueries.SoftmaxWeights)
+      val sMax = greatest(scores: _*)
+      val lse = sMax + log(scores.map(sc => exp(sc - sMax)).reduce(_ + _))
+      val sTrue = MLQueries.SoftmaxClasses.zip(scores).foldRight(lit(0.0): Column) {
+        case ((cls, sc), acc) => when(col("l_returnflag") === cls, sc).otherwise(acc)
+      }
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("class"), (lse - sTrue).as("_nll"))
+        .groupBy("class")
+        .agg(count(lit(1)).cast("long").as("n"), r4(avg(col("_nll"))).as("log_loss"))
+        .orderBy("class")
+    },
+    "roc_auc" -> { (s, d) =>
+      // exact tie-corrected AUC of the literal SVM decision_function for
+      // the R class — grouped on the quantized score, one window over
+      // DISTINCT scores (never a global row sort; see Metrics.rocAuc)
+      val margin = MLQueries.SvmWeights.zip(liFeatureCols)
+        .foldLeft(lit(MLQueries.SvmIntercept): Column) { case (acc, (w, f)) => acc + lit(w) * f }
+      Metrics.rocAuc(Tables.lineitem(s, d), col("l_returnflag") === "R", margin)
+    },
+    "silhouette" -> { (s, d) =>
+      // simplified silhouette (centroid-based — the form that scales: the
+      // pairwise-distance silhouette is O(n²) by definition): a = dist to
+      // own centroid, b = min dist to any other, s = (b−a)/max(a,b);
+      // distances are pure codegen against the broadcast literal model
+      Metrics.silhouetteSimplified(Tables.lineitem(s, d), liFeatureCols,
+          TabularQueries.Centroids)
+        .orderBy("cluster")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "confusion_matrix" ->
+      s"""WITH $softmaxScoresCte
+         |SELECT l_returnflag AS truth, ($softmaxPredSql) AS pred, count(*)::BIGINT AS n
+         |FROM sc GROUP BY 1, 2 ORDER BY truth, pred""".stripMargin,
+    "precision_recall_f1" ->
+      s"""WITH $softmaxScoresCte,
+         |p AS (SELECT l_returnflag AS truth, ($softmaxPredSql) AS pred FROM sc),
+         |cm AS (SELECT truth, pred, count(*)::DOUBLE AS n FROM p GROUP BY 1, 2),
+         |sup AS (SELECT truth AS cls, sum(n) AS support FROM cm GROUP BY 1),
+         |prd AS (SELECT pred AS cls, sum(n) AS predn FROM cm GROUP BY 1),
+         |tp AS (SELECT truth AS cls, n AS tp FROM cm WHERE truth = pred)
+         |SELECT sup.cls AS cls, sup.support::BIGINT AS support,
+         |  round(CASE WHEN coalesce(prd.predn, 0) > 0
+         |    THEN coalesce(tp.tp, 0) / prd.predn ELSE 0.0 END, 4) AS precision,
+         |  round(coalesce(tp.tp, 0) / sup.support, 4) AS recall,
+         |  round(2.0 * coalesce(tp.tp, 0) / (coalesce(prd.predn, 0) + sup.support), 4) AS f1
+         |FROM sup LEFT JOIN prd ON sup.cls = prd.cls LEFT JOIN tp ON sup.cls = tp.cls
+         |ORDER BY cls""".stripMargin,
+    "log_loss" ->
+      s"""WITH $softmaxScoresCte,
+         |t AS (SELECT l_returnflag AS class,
+         |    greatest(sa, sn, sr) + ln(exp(sa - greatest(sa, sn, sr))
+         |      + exp(sn - greatest(sa, sn, sr)) + exp(sr - greatest(sa, sn, sr)))
+         |    - (CASE WHEN l_returnflag = 'A' THEN sa
+         |            WHEN l_returnflag = 'N' THEN sn ELSE sr END) AS nll
+         |  FROM sc)
+         |SELECT class, count(*)::BIGINT AS n, round(avg(nll), 4) AS log_loss
+         |FROM t GROUP BY class ORDER BY class""".stripMargin,
+    "roc_auc" ->
+      s"""WITH t AS (SELECT round($svmMarginSql, 4) AS s,
+         |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y FROM lineitem),
+         |g AS (SELECT s, sum(y)::DOUBLE AS np, sum(1 - y)::DOUBLE AS nn FROM t GROUP BY s),
+         |c AS (SELECT s, np, nn,
+         |    coalesce(sum(nn) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumneg
+         |  FROM g)
+         |SELECT sum(np)::BIGINT AS n_pos, sum(nn)::BIGINT AS n_neg,
+         |  round(sum(np * (cumneg + nn / 2.0)) / (sum(np) * sum(nn)), 6) AS auc
+         |FROM c""".stripMargin,
+    "silhouette" -> {
+      def distSql(i: Int) = s"sqrt(${TabularQueries.centroidDistSql(i)})"
+      val aSql = s"CASE WHEN cl = 0 THEN ${distSql(0)} WHEN cl = 1 THEN ${distSql(1)} ELSE ${distSql(2)} END"
+      val bSql = s"CASE WHEN cl = 0 THEN least(${distSql(1)}, ${distSql(2)}) " +
+        s"WHEN cl = 1 THEN least(${distSql(0)}, ${distSql(2)}) " +
+        s"ELSE least(${distSql(0)}, ${distSql(1)}) END"
+      s"""WITH t AS (SELECT l_quantity, l_discount, l_tax,
+         |    (${TabularQueries.centroidSql}) AS cl FROM lineitem),
+         |s AS (SELECT cl, (($bSql) - ($aSql)) / greatest(($aSql), ($bSql)) AS sil FROM t)
+         |SELECT cl::BIGINT AS cluster, count(*)::BIGINT AS n,
+         |  round(avg(sil), 4) AS mean_silhouette
+         |FROM s GROUP BY cl ORDER BY cluster""".stripMargin
+    }
+  )
+}

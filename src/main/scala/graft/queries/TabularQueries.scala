@@ -258,12 +258,12 @@ object TabularQueries {
 
   /** Squared distance to Centroids(i) as SQL (shared by the assignment /
     * inertia / transform oracles). */
-  private def centroidDistSql(i: Int): String = {
+  private[queries] def centroidDistSql(i: Int): String = {
     val c = Centroids(i)
     s"((l_quantity-(${c(0)}))*(l_quantity-(${c(0)})) + (l_discount-(${c(1)}))*(l_discount-(${c(1)})) + (l_tax-(${c(2)}))*(l_tax-(${c(2)})))"
   }
 
-  private val centroidSql: String = {
+  private[queries] val centroidSql: String = {
     def dist(i: Int) = centroidDistSql(i)
     s"CASE WHEN ${dist(0)} <= ${dist(1)} AND ${dist(0)} <= ${dist(2)} THEN 0 " +
       s"WHEN ${dist(1)} <= ${dist(2)} THEN 1 ELSE 2 END"

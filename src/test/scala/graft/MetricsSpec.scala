@@ -1,0 +1,91 @@
+package graft
+
+import graft.metrics.Metrics
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Classification-metric semantics against brute-force / hand-computed
+  * ground truth. */
+class MetricsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  /** Quantize like Metrics.rocAuc (Spark round = HALF_UP on the decimal). */
+  private def q4(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("rocAuc equals the brute-force pairwise probability (with ties)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // planted signal + deliberate ties: score quantized to a 0.05 grid
+    val rows = (0 until 400).map { i =>
+      val y = i % 3 == 0
+      val s = math.rint(((if (y) 0.3 else 0.0) + rnd.nextGaussian()) * 20) / 20.0
+      (y, s)
+    }
+    val df = rows.toDF("y", "s")
+    val got = Metrics.rocAuc(df, col("y"), col("s")).head()
+    val pos = rows.filter(_._1).map(r => q4(r._2))
+    val neg = rows.filterNot(_._1).map(r => q4(r._2))
+    val brute = pos.map(p => neg.map(n =>
+      if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum).sum / (pos.size * neg.size)
+    assert(got.getLong(0) == pos.size && got.getLong(1) == neg.size)
+    assert(math.abs(got.getDouble(2) - brute) < 1e-6,
+      s"auc ${got.getDouble(2)} vs brute $brute")
+  }
+
+  test("rocAuc is 1.0 on perfectly separated scores and 0.5 on a constant") {
+    import spark.implicits._
+    val sep = ((0 until 50).map(i => (true, 1.0 + i)) ++
+      (0 until 50).map(i => (false, -1.0 - i))).toDF("y", "s")
+    assert(Metrics.rocAuc(sep, col("y"), col("s")).head().getDouble(2) == 1.0)
+    val const = ((0 until 50).map(_ => (true, 3.0)) ++
+      (0 until 50).map(_ => (false, 3.0))).toDF("y", "s")
+    assert(Metrics.rocAuc(const, col("y"), col("s")).head().getDouble(2) == 0.5)
+  }
+
+  test("classificationReport matches hand-computed P/R/F1, incl. a never-predicted class") {
+    import spark.implicits._
+    // truth: 4 a, 3 b, 2 c; pred: c never predicted
+    val df = Seq(
+      ("a", "a"), ("a", "a"), ("a", "b"), ("a", "b"),
+      ("b", "b"), ("b", "b"), ("b", "a"),
+      ("c", "a"), ("c", "b")).toDF("y", "p")
+    val r = Metrics.classificationReport(df, col("y"), col("p"))
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getDouble(2), x.getDouble(3), x.getDouble(4)))).toMap
+    // a: tp=2 predn=4 support=4 → P=.5 R=.5 F1=.5
+    assert(r("a") == ((4L, 0.5, 0.5, 0.5)), r.toString)
+    // b: tp=2 predn=5 support=3 → P=.4 R=.6667 F1=2*2/8=.5
+    assert(r("b") == ((3L, 0.4, 0.6667, 0.5)), r.toString)
+    // c: tp=0 predn=0 support=2 → P=0 R=0 F1=0
+    assert(r("c") == ((2L, 0.0, 0.0, 0.0)), r.toString)
+  }
+
+  test("confusionMatrix counts every (truth, pred) cell") {
+    import spark.implicits._
+    val df = Seq(("a", "a"), ("a", "b"), ("a", "b"), ("b", "b")).toDF("y", "p")
+    val m = Metrics.confusionMatrix(df, col("y"), col("p"))
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x.getLong(2)).toMap
+    assert(m == Map(("a", "a") -> 1L, ("a", "b") -> 2L, ("b", "b") -> 1L))
+  }
+
+  test("simplified silhouette ≈ 1 on tight planted blobs, low on overlap") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val cents = Seq(Seq(0.0, 0.0), Seq(100.0, 0.0))
+    val tight = (0 until 200).map { i =>
+      val c = cents(i % 2)
+      (c(0) + rnd.nextGaussian() * 0.1, c(1) + rnd.nextGaussian() * 0.1)
+    }.toDF("x", "y")
+    val silT = Metrics.silhouetteSimplified(tight, Seq(col("x"), col("y")), cents)
+      .collect().map(_.getDouble(2))
+    assert(silT.forall(_ > 0.98), silT.mkString(","))
+    val overlap = (0 until 200).map { i =>
+      val c = cents(i % 2)
+      (c(0) + rnd.nextGaussian() * 80, c(1) + rnd.nextGaussian() * 80)
+    }.toDF("x", "y")
+    val silO = Metrics.silhouetteSimplified(overlap, Seq(col("x"), col("y")), cents)
+      .collect().map(_.getDouble(2))
+    assert(silO.forall(_ < 0.9), silO.mkString(","))
+  }
+}
