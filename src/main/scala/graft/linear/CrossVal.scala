@@ -1,0 +1,57 @@
+package graft.linear
+
+import graft.core.Num.{md5Long, r4}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** K-fold cross-validation for the closed-form linear family — the
+  * model-selection surface over train_test_split (reference
+  * preprocessing/model_selection, sklearn KFold semantics) re-expressed
+  * for one-pass distributed fitting.
+  *
+  * The trick: per-fold sufficient statistics from ONE map-side-combined
+  * groupBy, then every leave-one-fold-out training fit is algebra on the
+  * k-row frame (train stats = global − fold stats). All k models cost one
+  * corpus scan; validation scoring joins the k-row coefficient frame back
+  * by fold key (broadcast) for one more scan. Never a per-fold refit, at
+  * any corpus size or k. */
+object CrossVal {
+  /** Deterministic engine-neutral fold id in [0, k): md5 of the row key. */
+  def foldId(rowKey: Column, k: Int): Column = md5Long(rowKey) % k
+
+  /** K-fold CV of 1-feature OLS: returns one row per fold with the
+    * leave-that-fold-out coefficients and the held-out MSE/R². */
+  def kFoldOLS(df: DataFrame, x: String, y: Column, rowKey: Column, k: Int): DataFrame = {
+    val rows = df.select(foldId(rowKey, k).as("fold"), col(x).as("_x"), y.as("_y"))
+    val perFold = rows.groupBy("fold").agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("_x")).as("sx"), sum(col("_y")).as("sy"),
+      sum(col("_x") * col("_x")).as("sxx"),
+      sum(col("_x") * col("_y")).as("sxy"))
+    val global = perFold.agg(
+      sum(col("n")).as("gn"), sum(col("sx")).as("gsx"), sum(col("sy")).as("gsy"),
+      sum(col("sxx")).as("gsxx"), sum(col("sxy")).as("gsxy"))
+    // train-side stats for fold f = global − fold f (exact: same doubles
+    // summed, grouped first — associativity differences live below the
+    // oracle's rounding grid)
+    val t = perFold.crossJoin(global)
+      .select(col("fold"), col("n"),
+        (col("gn") - col("n")).as("tn"),
+        (col("gsx") - col("sx")).as("tsx"), (col("gsy") - col("sy")).as("tsy"),
+        (col("gsxx") - col("sxx")).as("tsxx"), (col("gsxy") - col("sxy")).as("tsxy"))
+    val slope = (col("tsxy") - col("tsx") * col("tsy") / col("tn")) /
+      (col("tsxx") - col("tsx") * col("tsx") / col("tn"))
+    val coefs = t.select(col("fold"), col("tn"), col("n").as("nv"),
+      slope.as("_slope"),
+      (col("tsy") / col("tn") - slope * col("tsx") / col("tn")).as("_icpt"))
+    rows.join(broadcast(coefs), "fold")
+      .groupBy("fold")
+      .agg(
+        max(col("tn")).cast("long").as("n_train"),
+        count(lit(1)).cast("long").as("n_val"),
+        r4(max(col("_slope"))).as("slope"),
+        r4(max(col("_icpt"))).as("intercept"),
+        r4(avg(pow(col("_y") - (col("_icpt") + col("_slope") * col("_x")), 2))).as("val_mse"))
+      .orderBy("fold")
+  }
+}

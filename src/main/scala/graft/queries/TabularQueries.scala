@@ -243,8 +243,68 @@ object TabularQueries {
         .groupBy("split")
         .agg(count(lit(1)).cast("long").as("n"), r4(avg("o_totalprice")).as("avg_price"))
         .orderBy("split")
+    },
+    "kfold_cv" -> { (s, d) =>
+      // k-fold CV of closed-form OLS: per-fold sufficient stats from ONE
+      // groupBy, leave-one-fold-out train stats = global − fold (algebra
+      // on the k-row frame), validation scoring joins the broadcast k-row
+      // coefficients back — k models for one scan + one scoring pass
+      graft.linear.CrossVal.kFoldOLS(Tables.lineitem(s, d), "l_quantity",
+        col("l_extendedprice") / 1000.0,
+        concat_ws("_", col("l_orderkey"), col("l_linenumber"), lit("cv")), k = 5)
+    },
+    "minmax_scale" -> { (s, d) =>
+      // MinMaxScaler semantics: range stats from ONE aggregate, transform
+      // a literal-stat pure codegen map (standard_scale's twin)
+      val li = Tables.lineitem(s, d)
+      val fs = Seq("l_quantity", "l_extendedprice", "l_discount")
+      val aggs = fs.flatMap(c => Seq(min(col(c)).as(s"_lo$c"), max(col(c)).as(s"_hi$c")))
+      val st = li.agg(aggs.head, aggs.tail: _*).head()
+      val scaled = fs.zipWithIndex.map { case (c, i) =>
+        val (lo, hi) = (st.getDouble(2 * i), st.getDouble(2 * i + 1))
+        ((col(c) - lo) / (hi - lo)).as(s"_z$i")
+      }
+      li.select(col("l_returnflag") +: scaled: _*)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).cast("long").as("n"),
+          r4(avg(col("_z0"))).as("mean_z_qty"),
+          r4(min(col("_z0"))).as("min_z_qty"), r4(max(col("_z0"))).as("max_z_qty"),
+          r4(avg(col("_z1"))).as("mean_z_price"),
+          r4(avg(col("_z2"))).as("mean_z_disc"))
+        .orderBy("l_returnflag")
+    },
+    "one_hot" -> { (s, d) =>
+      // one-hot encode c_mktsegment over the FIXED category vocabulary
+      // (the 5 TPC-H segments — fixed-vocabulary encode, the form that
+      // scales: no distinct-scan, pure codegen indicator columns); summary
+      // = per-nation indicator sums
+      val cust = Tables.customer(s, d)
+      val indicators = Segments.map(seg =>
+        sum(when(col("c_mktsegment") === seg, 1L).otherwise(0L))
+          .as("n_" + seg.toLowerCase))
+      cust.groupBy(col("c_nationkey").cast("long").as("nation"))
+        .agg(count(lit(1)).cast("long").as("n"), indicators: _*)
+        .orderBy("nation")
+    },
+    "poly_features" -> { (s, d) =>
+      // PolynomialFeatures degree-2 expansion of (quantity, discount) —
+      // generated columns are pure codegen; summary = means + correlation
+      // of each generated feature with the price target
+      val li = Tables.lineitem(s, d)
+      val q = col("l_quantity"); val dc = col("l_discount"); val y = col("l_extendedprice")
+      li.agg(
+        r4(avg(q * q)).as("mean_q2"),
+        r4(avg(q * dc)).as("mean_qd"),
+        r6(avg(dc * dc)).as("mean_d2"),
+        r6(corr(q * q, y)).as("corr_q2_y"),
+        r6(corr(q * dc, y)).as("corr_qd_y"),
+        r6(corr(dc * dc, y)).as("corr_d2_y"))
     }
   )
+
+  /** Fixed one-hot vocabulary (the 5 TPC-H market segments). */
+  private[queries] val Segments: Seq[String] =
+    Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
 
   val Centroids: Seq[Seq[Double]] =
     Seq(Seq(10.0, 0.02, 0.02), Seq(25.0, 0.05, 0.04), Seq(40.0, 0.08, 0.06))
@@ -437,6 +497,54 @@ object TabularQueries {
       """SELECT CASE WHEN ('0x' || substr(md5(o_orderkey::VARCHAR || '_42'), 1, 15))::BIGINT % 1000 < 250
         |  THEN 'test' ELSE 'train' END AS split,
         |  count(*)::BIGINT AS n, round(avg(o_totalprice), 4) AS avg_price
-        |FROM orders GROUP BY 1 ORDER BY split""".stripMargin
+        |FROM orders GROUP BY 1 ORDER BY split""".stripMargin,
+    "kfold_cv" ->
+      """WITH r AS (SELECT
+        |    ('0x' || substr(md5(l_orderkey::VARCHAR || '_' || l_linenumber::VARCHAR || '_cv'), 1, 15))::BIGINT % 5 AS fold,
+        |    l_quantity AS x, l_extendedprice / 1000.0 AS y FROM lineitem),
+        |pf AS (SELECT fold, count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x*x) AS sxx, sum(x*y) AS sxy FROM r GROUP BY fold),
+        |g AS (SELECT sum(n) AS gn, sum(sx) AS gsx, sum(sy) AS gsy,
+        |    sum(sxx) AS gsxx, sum(sxy) AS gsxy FROM pf),
+        |t AS (SELECT fold, n, gn - n AS tn, gsx - sx AS tsx, gsy - sy AS tsy,
+        |    gsxx - sxx AS tsxx, gsxy - sxy AS tsxy FROM pf, g),
+        |c AS (SELECT fold, n, tn,
+        |    (tsxy - tsx*tsy/tn) / (tsxx - tsx*tsx/tn) AS slope,
+        |    tsy/tn - (tsxy - tsx*tsy/tn) / (tsxx - tsx*tsx/tn) * tsx/tn AS icpt
+        |  FROM t)
+        |SELECT c.fold::BIGINT AS fold, c.tn::BIGINT AS n_train, count(*)::BIGINT AS n_val,
+        |  round(c.slope, 4) AS slope, round(c.icpt, 4) AS intercept,
+        |  round(avg(power(r.y - (c.icpt + c.slope * r.x), 2)), 4) AS val_mse
+        |FROM r JOIN c ON r.fold = c.fold
+        |GROUP BY c.fold, c.tn, c.slope, c.icpt ORDER BY fold""".stripMargin,
+    "minmax_scale" ->
+      """WITH st AS (SELECT min(l_quantity) loq, max(l_quantity) hiq,
+        |    min(l_extendedprice) lop, max(l_extendedprice) hip,
+        |    min(l_discount) lod, max(l_discount) hid FROM lineitem)
+        |SELECT l_returnflag, count(*)::BIGINT AS n,
+        |  round(avg((l_quantity - loq) / (hiq - loq)), 4) AS mean_z_qty,
+        |  round(min((l_quantity - loq) / (hiq - loq)), 4) AS min_z_qty,
+        |  round(max((l_quantity - loq) / (hiq - loq)), 4) AS max_z_qty,
+        |  round(avg((l_extendedprice - lop) / (hip - lop)), 4) AS mean_z_price,
+        |  round(avg((l_discount - lod) / (hid - lod)), 4) AS mean_z_disc
+        |FROM lineitem, st GROUP BY l_returnflag, loq, hiq, lop, hip, lod, hid
+        |ORDER BY l_returnflag""".stripMargin,
+    "one_hot" -> {
+      val sums = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+        .map(seg => s"  sum(CASE WHEN c_mktsegment = '$seg' THEN 1 ELSE 0 END)::BIGINT AS n_${seg.toLowerCase}")
+        .mkString(",\n")
+      s"""SELECT c_nationkey::BIGINT AS nation, count(*)::BIGINT AS n,
+         |$sums
+         |FROM customer GROUP BY 1 ORDER BY nation""".stripMargin
+    },
+    "poly_features" ->
+      """SELECT
+        |  round(avg(l_quantity*l_quantity), 4) AS mean_q2,
+        |  round(avg(l_quantity*l_discount), 4) AS mean_qd,
+        |  round(avg(l_discount*l_discount), 6) AS mean_d2,
+        |  round(corr(l_quantity*l_quantity, l_extendedprice), 6) AS corr_q2_y,
+        |  round(corr(l_quantity*l_discount, l_extendedprice), 6) AS corr_qd_y,
+        |  round(corr(l_discount*l_discount, l_extendedprice), 6) AS corr_d2_y
+        |FROM lineitem""".stripMargin
   )
 }

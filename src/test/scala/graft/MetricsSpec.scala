@@ -69,6 +69,37 @@ class MetricsSpec extends AnyFunSuite {
     assert(m == Map(("a", "a") -> 1L, ("a", "b") -> 2L, ("b", "b") -> 1L))
   }
 
+  test("kFoldOLS: every fold's coefficients equal a direct fit on the complement") {
+    import spark.implicits._
+    import graft.linear.CrossVal
+    val rnd = new scala.util.Random(5)
+    val rows = (0 until 500).map { i =>
+      val x = rnd.nextDouble() * 10
+      (i.toLong, x, 2.5 * x + 1.0 + rnd.nextGaussian())
+    }
+    val df = rows.toDF("id", "x", "y")
+    val k = 4
+    val got = CrossVal.kFoldOLS(df, "x", col("y"), col("id"), k)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // brute force: recompute fold ids through the same md5 path, fit directly
+    val foldOf = df.select(col("id"), CrossVal.foldId(col("id"), k).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (f <- 0 until k) {
+      val train = rows.filter(r => foldOf(r._1) != f)
+      val n = train.size.toDouble
+      val (sx, sy) = (train.map(_._2).sum, train.map(_._3).sum)
+      val sxx = train.map(r => r._2 * r._2).sum
+      val sxy = train.map(r => r._2 * r._3).sum
+      val slope = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+      val icpt = sy / n - slope * sx / n
+      val (nTrain, nVal, gotSlope, gotIcpt) = got(f.toLong)
+      assert(nTrain == train.size && nVal == 500 - train.size)
+      assert(math.abs(gotSlope - slope) < 1e-3, s"fold $f slope $gotSlope vs $slope")
+      assert(math.abs(gotIcpt - icpt) < 1e-3, s"fold $f icpt $gotIcpt vs $icpt")
+    }
+  }
+
   test("simplified silhouette ≈ 1 on tight planted blobs, low on overlap") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
