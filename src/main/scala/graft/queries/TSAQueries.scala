@@ -62,6 +62,21 @@ object TSAQueries {
           TimeSeries.dailySeries(Tables.events(s, d)), k = 3.0)
         .orderBy("series")
     },
+    "acf" -> { (s, d) =>
+      // identification surface under the reference's order selection:
+      // sample ACF at lags 1..6, all lags in ONE grouped aggregate
+      TimeSeries.acf(TimeSeries.dailySeries(Tables.events(s, d)), maxLag = 6)
+        .orderBy("series", "lag")
+    },
+    "pacf" -> { (s, d) =>
+      // Durbin–Levinson closed-form PACF (lags 1..3) over the ACF pass
+      TimeSeries.pacf(TimeSeries.dailySeries(Tables.events(s, d)))
+        .orderBy("series", "lag")
+    },
+    "seasonal_decompose" -> { (s, d) =>
+      // classical additive decomposition at the weekly period
+      TimeSeries.seasonalDecompose(TimeSeries.dailySeries(Tables.events(s, d)), 7)
+    },
     "arima" -> { (s, d) =>
       TimeSeries.arFit2(TimeSeries.dailySeries(Tables.events(s, d)))
         .select(col("series"), col("term"), round(col("coef"), 4).as("coef"))
@@ -395,6 +410,72 @@ object TSAQueries {
        |  FROM st$sfx)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "acf" -> {
+      val lagCols = (1 to 6).map(k =>
+        s"    lag(cc, $k) OVER (PARTITION BY series ORDER BY t) AS l$k").mkString(",\n")
+      val numAggs = (1 to 6).map(k =>
+        s"    sum(CASE WHEN l$k IS NOT NULL THEN cc * l$k ELSE 0.0 END) AS n$k").mkString(",\n")
+      val unpivot = (1 to 6).map(k =>
+        s"  SELECT series, $k::BIGINT AS lag, round(n$k / ss, 6) AS acf FROM a").mkString("\n  UNION ALL\n")
+      s"""WITH s0 AS ($dailySql),
+         |s AS (SELECT series, x, (row_number() OVER (PARTITION BY series ORDER BY day) - 1)::BIGINT AS t FROM s0),
+         |c AS (SELECT series, t, x - avg(x) OVER (PARTITION BY series) AS cc FROM s),
+         |l AS (SELECT series, t, cc,
+         |$lagCols
+         |  FROM c),
+         |a AS (SELECT series, sum(cc * cc) AS ss,
+         |$numAggs
+         |  FROM l GROUP BY series)
+         |SELECT * FROM (
+         |$unpivot
+         |) ORDER BY series, lag""".stripMargin
+    },
+    "pacf" -> {
+      val lagCols = (1 to 3).map(k =>
+        s"    lag(cc, $k) OVER (PARTITION BY series ORDER BY t) AS l$k").mkString(",\n")
+      val numAggs = (1 to 3).map(k =>
+        s"    sum(CASE WHEN l$k IS NOT NULL THEN cc * l$k ELSE 0.0 END) AS n$k").mkString(",\n")
+      s"""WITH s0 AS ($dailySql),
+         |s AS (SELECT series, x, (row_number() OVER (PARTITION BY series ORDER BY day) - 1)::BIGINT AS t FROM s0),
+         |c AS (SELECT series, t, x - avg(x) OVER (PARTITION BY series) AS cc FROM s),
+         |l AS (SELECT series, t, cc,
+         |$lagCols
+         |  FROM c),
+         |a AS (SELECT series, sum(cc * cc) AS ss,
+         |$numAggs
+         |  FROM l GROUP BY series),
+         |r AS (SELECT series, round(n1 / ss, 6) AS r1, round(n2 / ss, 6) AS r2,
+         |    round(n3 / ss, 6) AS r3 FROM a),
+         |p AS (SELECT series, r1, r2, r3,
+         |    (r2 - r1 * r1) / (1.0 - r1 * r1) AS p22 FROM r),
+         |q AS (SELECT series, r1, r2, r3, p22, r1 * (1.0 - p22) AS p21 FROM p)
+         |SELECT * FROM (
+         |  SELECT series, 1::BIGINT AS lag, round(r1, 6) AS pacf FROM q
+         |  UNION ALL
+         |  SELECT series, 2::BIGINT, round(p22, 6) FROM q
+         |  UNION ALL
+         |  SELECT series, 3::BIGINT,
+         |    round((r3 - p21 * r2 - p22 * r1) / (1.0 - p21 * r1 - p22 * r2), 6) FROM q
+         |) ORDER BY series, lag""".stripMargin
+    },
+    "seasonal_decompose" ->
+      s"""WITH s0 AS ($dailySql),
+         |s AS (SELECT series, x, (row_number() OVER (PARTITION BY series ORDER BY day) - 1)::BIGINT AS t FROM s0),
+         |ma AS (SELECT series, t, x,
+         |    avg(x) OVER (PARTITION BY series ORDER BY t ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend,
+         |    count(*) OVER (PARTITION BY series ORDER BY t ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS nw
+         |  FROM s),
+         |det AS (SELECT series, t % 7 AS phase, x - trend AS det FROM ma WHERE nw = 7),
+         |pm AS (SELECT series, phase, count(*)::BIGINT AS n, avg(det) AS raw FROM det GROUP BY 1, 2),
+         |cg AS (SELECT series, phase, n, raw,
+         |    raw - avg(raw) OVER (PARTITION BY series) AS seasonal FROM pm)
+         |SELECT d.series AS series, d.phase::BIGINT AS phase, f.n AS n,
+         |  round(f.seasonal, 4) AS seasonal,
+         |  round(avg(d.det - f.seasonal), 4) AS mean_resid,
+         |  round(stddev_samp(d.det - f.seasonal), 4) AS sd_resid
+         |FROM det d JOIN cg f ON d.series = f.series AND d.phase = f.phase
+         |GROUP BY d.series, d.phase, f.n, f.seasonal
+         |ORDER BY series, phase""".stripMargin,
     "outlier_mad" ->
       s"""WITH d0 AS ($dailySql),
          |b AS (SELECT series, day, round(x, 4) AS x4 FROM d0),

