@@ -89,6 +89,42 @@ object Metrics {
     * cumulative window runs over distinct scores only — never a global
     * sort of the raw rows. Equivalent to trapezoidal ROC integration with
     * tie-averaging. `label` must be a boolean column. */
+  /** Homogeneity / completeness / V-measure / mutual information between
+    * two label columns (Rosenberg & Hirschberg 2007, the sklearn
+    * clustering-metric trio). Like adjustedRand: ONE groupBy builds the
+    * contingency table (shuffle key = the bounded class pair), every
+    * entropy term is an aggregate over that classes²-row frame.
+    *   H(C|K) = −Σ (n_ck/N)·ln(n_ck/n_k),  h = 1 − H(C|K)/H(C)
+    *   MI = H(C) + H(K) − H(C,K)
+    * Degenerate single-class sides follow sklearn: h/c = 1 when the
+    * conditional entropy's reference entropy is 0. */
+  def vMeasure(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val cont = df.groupBy(a.as("_a"), b.as("_b"))
+      .agg(count(lit(1)).cast("double").as("_n"))
+    val tot = cont.agg(sum(col("_n")).as("_tot"))
+    val aTot = cont.groupBy(col("_a")).agg(sum(col("_n")).as("_na"))
+    val bTot = cont.groupBy(col("_b")).agg(sum(col("_n")).as("_nb"))
+    val joined = cont.join(aTot, "_a").join(bTot, "_b").crossJoin(tot)
+    val stats = joined.agg(
+      // H(C|K) normalizes each cell by the K-side (=b) marginal, H(K|C)
+      // by the C-side (=a) marginal
+      (-sum(col("_n") / col("_tot") * log(col("_n") / col("_nb")))).as("_hCgK"),
+      (-sum(col("_n") / col("_tot") * log(col("_n") / col("_na")))).as("_hKgC"),
+      (-sum(col("_n") / col("_tot") * log(col("_n") / col("_tot")))).as("_hCK"))
+    val hc = tot.crossJoin(
+      aTot.crossJoin(tot).agg((-sum(col("_na") / col("_tot") * log(col("_na") / col("_tot")))).as("_hC")))
+      .crossJoin(
+        bTot.crossJoin(tot).agg((-sum(col("_nb") / col("_tot") * log(col("_nb") / col("_tot")))).as("_hK")))
+    val h = when(col("_hC") > 0, lit(1.0) - col("_hCgK") / col("_hC")).otherwise(1.0)
+    val c = when(col("_hK") > 0, lit(1.0) - col("_hKgC") / col("_hK")).otherwise(1.0)
+    stats.crossJoin(hc)
+      .select(
+        r4(h).as("homogeneity"),
+        r4(c).as("completeness"),
+        r4(when(h + c > 0, lit(2.0) * h * c / (h + c)).otherwise(0.0)).as("v_measure"),
+        r6(col("_hC") + col("_hK") - col("_hCK")).as("mutual_info"))
+  }
+
   /** Simplified (centroid-based) silhouette per cluster: a = distance to
     * own centroid, b = min distance to any other, s = (b−a)/max(a,b).
     * The pairwise-distance silhouette is O(n²) by definition; the

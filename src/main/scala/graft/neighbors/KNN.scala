@@ -3,6 +3,7 @@ package graft.neighbors
 import graft.core.VectorOps
 import graft.core.Num.{r4, md5Long}
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Nearest-neighbor search (reference python/cuml/neighbors/
@@ -88,6 +89,26 @@ object KNN {
       }
     }.toDF("qid", "rank", "id", "_s")
       .select(col("qid"), col("rank"), col("id"), r4(col("_s")).as("score"))
+  }
+
+  /** kNN classifier (KNeighborsClassifier semantics): majority vote of the
+    * k nearest train labels, ties broken (votes desc, label asc) so the
+    * decision replays exactly in SQL. Returns (qid, pred). The vote table
+    * is k×|queries| rows — every reduction after the bounded-heap top-k
+    * runs on that bounded frame, never the corpus. */
+  def classify(queries: DataFrame, train: DataFrame, qId: String, cId: String,
+               qVec: String, cVec: String, labelCol: String, k: Int,
+               metric: Metric): DataFrame = {
+    val nbrs = bruteForce(queries, train, qId, cId, qVec, cVec, k, metric)
+    val labels = train.select(col(cId).cast("long").as("id"),
+      col(labelCol).cast("long").as("_nl"))
+    val votes = nbrs.join(labels, "id")
+      .groupBy(col("qid"), col("_nl"))
+      .agg(count(lit(1)).as("_votes"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("_votes").desc, col("_nl"))
+    votes.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .select(col("qid"), col("_nl").as("pred"))
   }
 
   /** Random-hyperplane LSH buckets: `bits` sign-bits from deterministic

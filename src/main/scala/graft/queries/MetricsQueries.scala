@@ -90,6 +90,11 @@ object MetricsQueries {
         .foldLeft(lit(MLQueries.SvmIntercept): Column) { case (acc, (w, f)) => acc + lit(w) * f }
       Metrics.rocAuc(Tables.lineitem(s, d), col("l_returnflag") === "R", margin)
     },
+    "v_measure" -> { (s, d) =>
+      // homogeneity / completeness / V-measure / MI between the lang and
+      // source labelings (the clustering-metric trio next to adjusted_rand)
+      Metrics.vMeasure(Tables.documents(s, d), col("lang"), col("source"))
+    },
     "silhouette" -> { (s, d) =>
       // simplified silhouette (centroid-based — the form that scales: the
       // pairwise-distance silhouette is O(n²) by definition): a = dist to
@@ -140,6 +145,24 @@ object MetricsQueries {
          |SELECT sum(np)::BIGINT AS n_pos, sum(nn)::BIGINT AS n_neg,
          |  round(sum(np * (cumneg + nn / 2.0)) / (sum(np) * sum(nn)), 6) AS auc
          |FROM c""".stripMargin,
+    "v_measure" ->
+      """WITH c AS (SELECT lang AS a, source AS b, count(*)::DOUBLE AS n FROM documents GROUP BY 1, 2),
+        |t AS (SELECT sum(n) AS tot FROM c),
+        |at AS (SELECT a, sum(n) AS na FROM c GROUP BY a),
+        |bt AS (SELECT b, sum(n) AS nb FROM c GROUP BY b),
+        |s AS (SELECT -sum(c.n / t.tot * ln(c.n / bt.nb)) AS hcgk,
+        |    -sum(c.n / t.tot * ln(c.n / at.na)) AS hkgc,
+        |    -sum(c.n / t.tot * ln(c.n / t.tot)) AS hck
+        |  FROM c JOIN at USING (a) JOIN bt USING (b), t),
+        |hc AS (SELECT (SELECT -sum(na / tot * ln(na / tot)) FROM at, t) AS hcl,
+        |    (SELECT -sum(nb / tot * ln(nb / tot)) FROM bt, t) AS hk),
+        |fin AS (SELECT
+        |    CASE WHEN hcl > 0 THEN 1.0 - hcgk / hcl ELSE 1.0 END AS h,
+        |    CASE WHEN hk > 0 THEN 1.0 - hkgc / hk ELSE 1.0 END AS cm,
+        |    hcl + hk - hck AS mi FROM s, hc)
+        |SELECT round(h, 4) AS homogeneity, round(cm, 4) AS completeness,
+        |  round(CASE WHEN h + cm > 0 THEN 2.0 * h * cm / (h + cm) ELSE 0.0 END, 4) AS v_measure,
+        |  round(mi, 6) AS mutual_info FROM fin""".stripMargin,
     "silhouette" -> {
       def distSql(i: Int) = s"sqrt(${TabularQueries.centroidDistSql(i)})"
       val aSql = s"CASE WHEN cl = 0 THEN ${distSql(0)} WHEN cl = 1 THEN ${distSql(1)} ELSE ${distSql(2)} END"

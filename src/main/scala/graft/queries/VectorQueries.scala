@@ -28,6 +28,21 @@ object VectorQueries {
           excludeSelf = true)
         .orderBy("qid", "rank")
     },
+    "knn_classify" -> { (s, d) =>
+      // KNeighborsClassifier shape: labeled train split fits, the held-out
+      // query split (vec_id % 20 == 10) predicts by majority vote of the 5
+      // nearest; every decision (distance rank, vote tiebreak) replays in
+      // SQL; output = the confusion summary
+      val e = Tables.embeddings(s, d)
+      val qs = e.filter(col("vec_id") % 20 === 10)
+      val train = e.filter(col("vec_id") % 20 =!= 10)
+      val pred = KNN.classify(qs, train, "vec_id", "vec_id",
+        "embedding", "embedding", "label", k = 5, KNN.Euclidean)
+      pred.join(e.select(col("vec_id").as("qid"), col("label").cast("long").as("truth")), "qid")
+        .groupBy("truth", "pred")
+        .agg(count(lit(1)).cast("long").as("n"))
+        .orderBy("truth", "pred")
+    },
     "knn_join" -> { (s, d) =>
       // self kNN of the first 100 vectors — the batch kneighbors() shape
       val e = Tables.embeddings(s, d).filter(col("vec_id") < 100)
@@ -409,6 +424,20 @@ object VectorQueries {
          |  FROM p)
          |SELECT qid::BIGINT AS qid, rank::BIGINT AS rank, id::BIGINT AS id, round(s, 4) AS score
          |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "knn_classify" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id % 20 = 10),
+        |tr AS (SELECT * FROM e WHERE vec_id % 20 <> 10),
+        |p AS (SELECT q.vec_id AS qid, tr.vec_id AS id, tr.label AS nl,
+        |    list_distance(q.v, tr.v) AS s FROM q JOIN tr ON true),
+        |r AS (SELECT qid, nl, row_number() OVER (PARTITION BY qid ORDER BY s ASC, id) AS rank FROM p),
+        |v AS (SELECT qid, nl, count(*) AS votes FROM r WHERE rank <= 5 GROUP BY 1, 2),
+        |pr AS (SELECT qid, nl AS pred,
+        |    row_number() OVER (PARTITION BY qid ORDER BY votes DESC, nl) AS rn FROM v),
+        |f AS (SELECT pr.qid, e.label AS truth, pr.pred FROM pr JOIN e ON pr.qid = e.vec_id
+        |  WHERE pr.rn = 1)
+        |SELECT truth::BIGINT AS truth, pred::BIGINT AS pred, count(*)::BIGINT AS n
+        |FROM f GROUP BY 1, 2 ORDER BY truth, pred""".stripMargin,
     "knn_bruteforce" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |p AS (SELECT a.vec_id AS qid, b.vec_id AS id, list_distance(a.v, b.v) AS s

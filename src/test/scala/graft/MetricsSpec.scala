@@ -100,6 +100,46 @@ class MetricsSpec extends AnyFunSuite {
     }
   }
 
+  test("vMeasure: perfect match → all 1; MI equals brute-force entropy sum") {
+    import spark.implicits._
+    val same = (0 until 60).map(i => (s"c${i % 3}", s"k${i % 3}")).toDF("a", "b")
+    val r1 = Metrics.vMeasure(same, col("a"), col("b")).head()
+    assert(r1.getDouble(0) == 1.0 && r1.getDouble(1) == 1.0 && r1.getDouble(2) == 1.0)
+    // skewed contingency, brute-force check of every output
+    val rows = Seq.fill(10)(("x", "u")) ++ Seq.fill(5)(("x", "v")) ++
+      Seq.fill(7)(("y", "v")) ++ Seq.fill(3)(("y", "w"))
+    val got = Metrics.vMeasure(rows.toDF("a", "b"), col("a"), col("b")).head()
+    val n = rows.size.toDouble
+    def entropy(counts: Seq[Int]) = -counts.map(c => c / n * math.log(c / n)).sum
+    val hC = entropy(Seq(15, 10)); val hK = entropy(Seq(10, 12, 3))
+    val joint = rows.groupBy(identity).map(_._2.size).toSeq
+    val hCK = entropy(joint)
+    val hCgK = hCK - hK; val hKgC = hCK - hC
+    val (h, c) = (1 - hCgK / hC, 1 - hKgC / hK)
+    assert(math.abs(got.getDouble(0) - h) < 1e-3, s"${got.getDouble(0)} vs $h")
+    assert(math.abs(got.getDouble(1) - c) < 1e-3)
+    assert(math.abs(got.getDouble(2) - 2 * h * c / (h + c)) < 1e-3)
+    assert(math.abs(got.getDouble(3) - (hC + hK - hCK)) < 1e-5)
+  }
+
+  test("KNN.classify recovers planted blob labels perfectly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(21)
+    val centers = Seq(Seq(0.0, 0.0, 0.0), Seq(30.0, 0.0, 0.0), Seq(0.0, 30.0, 0.0))
+    val pts = (0 until 300).map { i =>
+      val cl = i % 3
+      (i.toLong, centers(cl).map(v => (v + rnd.nextGaussian()).toFloat).toArray, cl)
+    }.toDF("vec_id", "embedding", "label")
+    val qs = pts.filter(col("vec_id") % 10 === 0)
+    val train = pts.filter(col("vec_id") % 10 =!= 0)
+    val pred = graft.neighbors.KNN.classify(qs, train, "vec_id", "vec_id",
+      "embedding", "embedding", "label", k = 5, graft.neighbors.KNN.Euclidean)
+    val joined = pred.join(pts.select(col("vec_id").as("qid"),
+      col("label").cast("long").as("truth")), "qid")
+    assert(joined.count() == 30)
+    assert(joined.filter(col("pred") =!= col("truth")).count() == 0)
+  }
+
   test("simplified silhouette ≈ 1 on tight planted blobs, low on overlap") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
