@@ -41,4 +41,31 @@ object RangeJoin {
       .filter(col("lo") <= col("p") && col("p") <= col("hi"))
       .select(col("id"), col("p").as("point"), col("rid"), col("lo"), col("hi"))
   }
+
+  /** Interval × interval OVERLAP join (lo1 ≤ hi2 AND lo2 ≤ hi1) — the
+    * genomics/session-overlap shape. Both sides explode to their covered
+    * buckets; a candidate pair can share many buckets, so each pair is
+    * counted ONLY in its responsibility bucket floor(max(lo1,lo2)/width)
+    * — the standard dedup trick that keeps the equi-join output a set
+    * without a distinct shuffle. Output: (id, lo, hi, rid, rlo, rhi). */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+                      idCol: String, loCol: String, hiCol: String,
+                      ridCol: String, rloCol: String, rhiCol: String,
+                      bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth > 0")
+    def side(df: DataFrame, id: String, lo: String, hi: String,
+             oid: String, olo: String, ohi: String): DataFrame =
+      df.select(col(id).cast("long").as(oid),
+          col(lo).cast("double").as(olo), col(hi).cast("double").as(ohi))
+        .filter(col(olo) <= col(ohi))
+        .withColumn("bucket", explode(sequence(
+          floor(col(olo) / bucketWidth).cast("long"),
+          floor(col(ohi) / bucketWidth).cast("long"))))
+    val l = side(left, idCol, loCol, hiCol, "id", "lo", "hi")
+    val r = side(right, ridCol, rloCol, rhiCol, "rid", "rlo", "rhi")
+    l.join(r, Seq("bucket"))
+      .filter(col("lo") <= col("rhi") && col("rlo") <= col("hi") &&
+        col("bucket") === floor(greatest(col("lo"), col("rlo")) / bucketWidth).cast("long"))
+      .select(col("id"), col("lo"), col("hi"), col("rid"), col("rlo"), col("rhi"))
+  }
 }

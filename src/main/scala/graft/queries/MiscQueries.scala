@@ -52,6 +52,21 @@ object MiscQueries {
           countDistinct(col("rid")).cast("long").as("n_intervals"),
           r4(avg(col("point"))).as("avg_point"))
     },
+    "range_join_overlap" -> { (s, d) =>
+      // interval × interval overlap join: supplier bands (±50) × customer
+      // bands (±30); bucketized fan-out with responsibility-bucket dedup,
+      // verified against the raw theta-join semantics in the oracle
+      val supp = Tables.supplier(s, d).select(col("s_suppkey"),
+        (col("s_acctbal") - 50).as("slo"), (col("s_acctbal") + 50).as("shi"))
+      val cust = Tables.customer(s, d).select(col("c_custkey"),
+        (col("c_acctbal") - 30).as("clo"), (col("c_acctbal") + 30).as("chi"))
+      graft.events.RangeJoin.intervalOverlap(supp, cust,
+          "s_suppkey", "slo", "shi", "c_custkey", "clo", "chi", bucketWidth = 100.0)
+        .agg(count(lit(1)).cast("long").as("n_pairs"),
+          countDistinct(col("id")).cast("long").as("n_supp"),
+          countDistinct(col("rid")).cast("long").as("n_cust"),
+          r4(avg(least(col("hi"), col("rhi")) - greatest(col("lo"), col("rlo")))).as("avg_overlap"))
+    },
     "cardinality_stats" -> { (s, d) =>
       // distinct users per event type — the exact audit twin
       graft.stats.Cardinality.exact(Tables.events(s, d), "event_type", "user_id")
@@ -174,6 +189,14 @@ object MiscQueries {
         |SELECT count(*)::BIGINT AS n_pairs, count(DISTINCT id)::BIGINT AS n_points,
         |  count(DISTINCT rid)::BIGINT AS n_intervals, round(avg(p), 4) AS avg_point
         |FROM j""".stripMargin,
+    "range_join_overlap" ->
+      """SELECT count(*)::BIGINT AS n_pairs,
+        |  count(DISTINCT s.s_suppkey)::BIGINT AS n_supp,
+        |  count(DISTINCT c.c_custkey)::BIGINT AS n_cust,
+        |  round(avg(least(s.s_acctbal + 50, c.c_acctbal + 30)
+        |    - greatest(s.s_acctbal - 50, c.c_acctbal - 30)), 4) AS avg_overlap
+        |FROM supplier s JOIN customer c
+        |  ON s.s_acctbal - 50 <= c.c_acctbal + 30 AND c.c_acctbal - 30 <= s.s_acctbal + 50""".stripMargin,
     "cardinality_stats" ->
       """SELECT event_type, count(*)::BIGINT AS n_rows,
         |  count(DISTINCT user_id)::BIGINT AS n_distinct

@@ -77,6 +77,13 @@ object TSAQueries {
       // classical additive decomposition at the weekly period
       TimeSeries.seasonalDecompose(TimeSeries.dailySeries(Tables.events(s, d)), 7)
     },
+    "ljung_box" -> { (s, d) =>
+      // white-noise portmanteau over the first 6 autocorrelations; the
+      // χ²₆ 5% critical value is a literal so reject replays in SQL
+      TimeSeries.ljungBox(TimeSeries.dailySeries(Tables.events(s, d)),
+          h = 6, crit = 12.5916)
+        .orderBy("series")
+    },
     "arima" -> { (s, d) =>
       TimeSeries.arFit2(TimeSeries.dailySeries(Tables.events(s, d)))
         .select(col("series"), col("term"), round(col("coef"), 4).as("coef"))
@@ -457,6 +464,28 @@ object TSAQueries {
          |  SELECT series, 3::BIGINT,
          |    round((r3 - p21 * r2 - p22 * r1) / (1.0 - p21 * r1 - p22 * r2), 6) FROM q
          |) ORDER BY series, lag""".stripMargin
+    },
+    "ljung_box" -> {
+      val lagCols = (1 to 6).map(k =>
+        s"    lag(cc, $k) OVER (PARTITION BY series ORDER BY t) AS l$k").mkString(",\n")
+      val numAggs = (1 to 6).map(k =>
+        s"    sum(CASE WHEN l$k IS NOT NULL THEN cc * l$k ELSE 0.0 END) AS n$k").mkString(",\n")
+      val rhoTerms = (1 to 6).map(k =>
+        s"round(n$k / ss, 6) * round(n$k / ss, 6) / (n - $k)").mkString(" + ")
+      s"""WITH s0 AS ($dailySql),
+         |s AS (SELECT series, x, (row_number() OVER (PARTITION BY series ORDER BY day) - 1)::BIGINT AS t FROM s0),
+         |c AS (SELECT series, t, x - avg(x) OVER (PARTITION BY series) AS cc,
+         |    count(*) OVER (PARTITION BY series) AS n FROM s),
+         |l AS (SELECT series, t, cc, n,
+         |$lagCols
+         |  FROM c),
+         |a AS (SELECT series, max(n)::DOUBLE AS n, sum(cc * cc) AS ss,
+         |$numAggs
+         |  FROM l GROUP BY series),
+         |q AS (SELECT series, n::BIGINT AS n,
+         |    round(n * (n + 2) * ($rhoTerms), 4) AS q_stat FROM a)
+         |SELECT series, n, q_stat, q_stat > 12.5916 AS reject
+         |FROM q ORDER BY series""".stripMargin
     },
     "seasonal_decompose" ->
       s"""WITH s0 AS ($dailySql),

@@ -286,6 +286,47 @@ object TabularQueries {
         .agg(count(lit(1)).cast("long").as("n"), indicators: _*)
         .orderBy("nation")
     },
+    "robust_scale" -> { (s, d) =>
+      // RobustScaler semantics: (x − median)/IQR with exact rank-select
+      // quartiles (the audit twin — the production path at scale is the
+      // percentile_approx sketch, cf quantile_buckets_approx); transform
+      // is a literal-stat codegen map like standard_scale
+      val li = Tables.lineitem(s, d)
+      val ranked = li.select(col("l_quantity").as("v"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("v"))))
+        .withColumn("n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
+      val qs = ranked.filter(
+          col("rn") === ceil(col("n") * 0.25) ||
+          col("rn") === ceil(col("n") * 0.5) ||
+          col("rn") === ceil(col("n") * 0.75))
+        .select(col("v"), col("rn"), col("n")).collect()
+        .sortBy(_.getInt(1))
+      val (q1, med, q3) = (qs(0).getDouble(0), qs(1).getDouble(0), qs(2).getDouble(0))
+      val z = (col("l_quantity") - med) / (q3 - q1)
+      li.groupBy("l_returnflag")
+        .agg(count(lit(1)).cast("long").as("n"),
+          r4(avg(z)).as("mean_z"), r4(min(z)).as("min_z"), r4(max(z)).as("max_z"))
+        .orderBy("l_returnflag")
+    },
+    "target_encode" -> { (s, d) =>
+      // mean-target encoding with additive smoothing (m = 50):
+      // enc(seg) = (Σ y_seg + m·μ)/(n_seg + m) — category from the dim
+      // join, then ONE groupBy on the bounded segment key; μ is a
+      // broadcast scalar
+      val o = Tables.orders(s, d)
+        .select(col("o_custkey").as("custkey"), col("o_totalprice").as("y"))
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey").as("custkey"), col("c_mktsegment").as("segment"))
+      val joined = o.join(c, "custkey")
+      val mu = joined.agg(avg(col("y"))).head().getDouble(0)
+      joined.groupBy("segment")
+        .agg(count(lit(1)).cast("long").as("n"),
+          round((sum(col("y")) + lit(50.0) * mu) / (count(lit(1)) + lit(50.0)), 2).as("enc"),
+          round(avg(col("y")), 2).as("raw_mean"))
+        .orderBy("segment")
+    },
     "poly_features" -> { (s, d) =>
       // PolynomialFeatures degree-2 expansion of (quantity, discount) —
       // generated columns are pure codegen; summary = means + correlation
@@ -537,6 +578,26 @@ object TabularQueries {
          |$sums
          |FROM customer GROUP BY 1 ORDER BY nation""".stripMargin
     },
+    "robust_scale" ->
+      """WITH r AS (SELECT l_quantity AS v, row_number() OVER (ORDER BY l_quantity) AS rn,
+        |    count(*) OVER () AS n FROM lineitem),
+        |st AS (SELECT max(CASE WHEN rn = ceil(n * 0.25) THEN v END) AS q1,
+        |    max(CASE WHEN rn = ceil(n * 0.5) THEN v END) AS med,
+        |    max(CASE WHEN rn = ceil(n * 0.75) THEN v END) AS q3 FROM r)
+        |SELECT l_returnflag, count(*)::BIGINT AS n,
+        |  round(avg((l_quantity - med) / (q3 - q1)), 4) AS mean_z,
+        |  round(min((l_quantity - med) / (q3 - q1)), 4) AS min_z,
+        |  round(max((l_quantity - med) / (q3 - q1)), 4) AS max_z
+        |FROM lineitem, st GROUP BY l_returnflag, med, q1, q3
+        |ORDER BY l_returnflag""".stripMargin,
+    "target_encode" ->
+      """WITH j AS (SELECT o.o_totalprice AS y, c.c_mktsegment AS segment
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        |g AS (SELECT avg(y) AS mu FROM j)
+        |SELECT segment, count(*)::BIGINT AS n,
+        |  round((sum(y) + 50.0 * mu) / (count(*) + 50.0), 2) AS enc,
+        |  round(avg(y), 2) AS raw_mean
+        |FROM j, g GROUP BY segment, mu ORDER BY segment""".stripMargin,
     "poly_features" ->
       """SELECT
         |  round(avg(l_quantity*l_quantity), 4) AS mean_q2,

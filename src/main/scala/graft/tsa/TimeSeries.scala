@@ -557,6 +557,24 @@ object TimeSeries {
       .select(col("series"), col("_e.lag").as("lag"), col("_e.pacf").as("pacf"))
   }
 
+  /** Ljung–Box portmanteau test on the first h autocorrelations:
+    *   Q = n(n+2) Σ_{k≤h} ρ̂²_k / (n−k),  Q ~ χ²_h under white noise.
+    * (The residual-diagnostic companion of the ARIMA surface.) Reuses the
+    * one-aggregate ACF pass; everything else is per-row algebra on the
+    * series-count frame. `reject` compares the ROUNDED statistic to the
+    * caller's χ² critical value so the boolean replays identically in
+    * SQL. */
+  def ljungBox(series: DataFrame, h: Int, crit: Double): DataFrame = {
+    val rho = acf(series, h)
+    val ns = series.groupBy(col("series")).agg(count(lit(1)).cast("double").as("_n"))
+    rho.join(ns, "series")
+      .groupBy(col("series"))
+      .agg(max(col("_n")).cast("long").as("n"),
+        r4(max(col("_n")) * (max(col("_n")) + 2) *
+          sum(col("acf") * col("acf") / (col("_n") - col("lag")))).as("q_stat"))
+      .withColumn("reject", col("q_stat") > crit)
+  }
+
   /** Classical additive seasonal decomposition (statsmodels
     * seasonal_decompose semantics, odd period): trend = centered
     * period-point moving average (defined only where the full window

@@ -55,6 +55,40 @@ class OperatorSpec extends AnyFunSuite {
       s"${got.length} vs ${want.length}")
   }
 
+  test("interval overlap join equals the brute-force theta join, each pair exactly once") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    // long and short intervals, negative coords, exact-boundary touches
+    val left = (0 until 120).map { i =>
+      val lo = rnd.nextDouble() * 400 - 200
+      (i.toLong, lo, lo + rnd.nextDouble() * 150)
+    }
+    val right = (0 until 90).map { i =>
+      val lo = rnd.nextDouble() * 400 - 200
+      (i.toLong, lo, lo + rnd.nextDouble() * 40)
+    }
+    val got = graft.events.RangeJoin.intervalOverlap(
+        left.toDF("id", "lo", "hi"), right.toDF("rid", "lo", "hi"),
+        "id", "lo", "hi", "rid", "lo", "hi", bucketWidth = 50.0)
+      .select("id", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val want = (for (l <- left; r <- right if l._2 <= r._3 && r._2 <= l._3)
+      yield (l._1, r._1)).sorted
+    assert(got == want, s"${got.size} vs ${want.size}")
+  }
+
+  test("ljungBox rejects a planted AR(1) and not white noise") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val wn = (0 until 400).map(t => ("wn", t.toLong, rnd.nextGaussian()))
+    val ar = Iterator.iterate(0.0)(v => 0.8 * v + rnd.nextGaussian())
+      .take(400).toIndexedSeq.zipWithIndex.map { case (x, t) => ("ar", t.toLong, x) }
+    val df = (wn ++ ar).toDF("series", "t", "x")
+    val r = graft.tsa.TimeSeries.ljungBox(df, h = 6, crit = 12.5916)
+      .collect().map(x => x.getString(0) -> ((x.getDouble(2), x.getBoolean(3)))).toMap
+    assert(r("ar")._2, s"AR(1) q=${r("ar")._1} should reject")
+    assert(!r("wn")._2, s"white noise q=${r("wn")._1} should not reject")
+  }
+
   test("range join equals the brute-force theta join (incl. negatives and boundary hits)") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
