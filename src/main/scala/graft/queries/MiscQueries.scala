@@ -52,6 +52,20 @@ object MiscQueries {
           countDistinct(col("rid")).cast("long").as("n_intervals"),
           r4(avg(col("point"))).as("avg_point"))
     },
+    "pagerank" -> { (s, d) =>
+      // source-importance over the customer↔supplier order graph (the
+      // crawl-prioritization shape): bidirectional edges ⇒ no dangling
+      // mass, 8 fixed power-iteration rounds, ranks rounded BEFORE the
+      // top-15 selection so the cross-engine ordering is exact
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), concat(lit("c"), col("o_custkey")).as("src"))
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o_orderkey"), concat(lit("s"), col("l_suppkey")).as("dst"))
+      val e0 = o.join(li, "o_orderkey").select("src", "dst").distinct()
+      val e = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+      graft.graph.PageRank.run(e, "src", "dst", rounds = 8)
+        .orderBy(col("rank").desc, col("node")).limit(15)
+    },
     "range_join_overlap" -> { (s, d) =>
       // interval × interval overlap join: supplier bands (±50) × customer
       // bands (±30); bucketized fan-out with responsibility-bucket dedup,
@@ -189,6 +203,31 @@ object MiscQueries {
         |SELECT count(*)::BIGINT AS n_pairs, count(DISTINCT id)::BIGINT AS n_points,
         |  count(DISTINCT rid)::BIGINT AS n_intervals, round(avg(p), 4) AS avg_point
         |FROM j""".stripMargin,
+    "pagerank" -> {
+      // 8 chained CTE rounds replay the fixed power iteration; the
+      // bidirectional edge set has no dangling nodes, so the Spark side's
+      // dangling term is exactly 0.0 and both engines compute
+      // r' = 0.15/N + 0.85·Σ r/deg
+      val rounds = (1 to 8).map { i =>
+        val prev = s"r${i - 1}"
+        s"""r$i AS (SELECT n2.node, 0.15 / nn.n + 0.85 * coalesce(c.inr, 0) AS rank
+           |  FROM nodes n2 LEFT JOIN (
+           |    SELECT e.dst AS node, sum($prev.rank / deg.dg) AS inr
+           |    FROM e JOIN $prev ON e.src = $prev.node JOIN deg ON e.src = deg.src
+           |    GROUP BY e.dst) c ON n2.node = c.node, nn)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS (SELECT DISTINCT 'c' || o.o_custkey::VARCHAR AS src,
+         |    's' || l.l_suppkey::VARCHAR AS dst
+         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+         |nodes AS (SELECT DISTINCT src AS node FROM e),
+         |nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+         |deg AS (SELECT src, count(*)::DOUBLE AS dg FROM e GROUP BY src),
+         |r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn),
+         |$rounds
+         |SELECT node, round(rank, 6) AS rank FROM r8
+         |ORDER BY round(rank, 6) DESC, node LIMIT 15""".stripMargin
+    },
     "range_join_overlap" ->
       """SELECT count(*)::BIGINT AS n_pairs,
         |  count(DISTINCT s.s_suppkey)::BIGINT AS n_supp,

@@ -286,6 +286,16 @@ object TabularQueries {
         .agg(count(lit(1)).cast("long").as("n"), indicators: _*)
         .orderBy("nation")
     },
+    "ridge_cv" -> { (s, d) =>
+      // hyperparameter search at scale: k folds × 3 lambdas, all 15
+      // closed-form ridge models from ONE sufficient-stats pass, scored in
+      // ONE more scan (each row evaluates its fold's 3 candidates as
+      // codegen columns); winner by rounded CV mean MSE
+      graft.linear.CrossVal.ridgeCV(Tables.lineitem(s, d), "l_quantity",
+        col("l_extendedprice") / 1000.0,
+        concat_ws("_", col("l_orderkey"), col("l_linenumber"), lit("cv")),
+        k = 5, lambdas = Seq(0.1, 100.0, 100000.0))
+    },
     "robust_scale" -> { (s, d) =>
       // RobustScaler semantics: (x − median)/IQR with exact rank-select
       // quartiles (the audit twin — the production path at scale is the
@@ -578,6 +588,28 @@ object TabularQueries {
          |$sums
          |FROM customer GROUP BY 1 ORDER BY nation""".stripMargin
     },
+    "ridge_cv" ->
+      """WITH r AS (SELECT
+        |    ('0x' || substr(md5(l_orderkey::VARCHAR || '_' || l_linenumber::VARCHAR || '_cv'), 1, 15))::BIGINT % 5 AS fold,
+        |    l_quantity AS x, l_extendedprice / 1000.0 AS y FROM lineitem),
+        |pf AS (SELECT fold, count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x*x) AS sxx, sum(x*y) AS sxy FROM r GROUP BY fold),
+        |g AS (SELECT sum(n) AS gn, sum(sx) AS gsx, sum(sy) AS gsy,
+        |    sum(sxx) AS gsxx, sum(sxy) AS gsxy FROM pf),
+        |t AS (SELECT fold, gn - n AS tn, gsx - sx AS tsx, gsy - sy AS tsy,
+        |    gsxx - sxx AS tsxx, gsxy - sxy AS tsxy FROM pf, g),
+        |lam AS (SELECT unnest([0.1, 100.0, 100000.0]) AS lambda),
+        |c AS (SELECT fold, lambda,
+        |    (tsxy - tsx*tsy/tn) / (tsxx - tsx*tsx/tn + lambda) AS slope,
+        |    tsy/tn - (tsxy - tsx*tsy/tn) / (tsxx - tsx*tsx/tn + lambda) * tsx/tn AS icpt
+        |  FROM t, lam),
+        |fe AS (SELECT c.lambda, c.fold,
+        |    sum(power(r.y - (c.icpt + c.slope * r.x), 2)) / count(*) AS fold_mse
+        |  FROM r JOIN c ON r.fold = c.fold GROUP BY c.lambda, c.fold),
+        |sc AS (SELECT lambda, round(avg(fold_mse), 4) AS mean_val_mse FROM fe GROUP BY lambda)
+        |SELECT lambda, mean_val_mse,
+        |  row_number() OVER (ORDER BY mean_val_mse, lambda) = 1 AS best
+        |FROM sc ORDER BY lambda""".stripMargin,
     "robust_scale" ->
       """WITH r AS (SELECT l_quantity AS v, row_number() OVER (ORDER BY l_quantity) AS rn,
         |    count(*) OVER () AS n FROM lineitem),

@@ -140,6 +140,38 @@ class MetricsSpec extends AnyFunSuite {
     assert(joined.filter(col("pred") =!= col("truth")).count() == 0)
   }
 
+  test("ridgeCV matches brute-force fold/lambda scores and flags exactly one winner") {
+    import spark.implicits._
+    import graft.linear.CrossVal
+    val rnd = new scala.util.Random(41)
+    val rows = (0 until 400).map { i =>
+      val x = rnd.nextDouble() * 10
+      (i.toLong, x, 1.8 * x - 2.0 + rnd.nextGaussian() * 2)
+    }
+    val df = rows.toDF("id", "x", "y")
+    val k = 4; val lambdas = Seq(0.5, 50.0, 5000.0)
+    val got = CrossVal.ridgeCV(df, "x", col("y"), col("id"), k, lambdas)
+      .collect().map(r => r.getDouble(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+    assert(got.values.count(_._2) == 1, "exactly one best")
+    val foldOf = df.select(col("id"), CrossVal.foldId(col("id"), k).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (lam <- lambdas) {
+      val foldMses = (0 until k).map { f =>
+        val train = rows.filter(r => foldOf(r._1) != f)
+        val va = rows.filter(r => foldOf(r._1) == f)
+        val n = train.size.toDouble
+        val (sx, sy) = (train.map(_._2).sum, train.map(_._3).sum)
+        val sxx = train.map(r => r._2 * r._2).sum
+        val sxy = train.map(r => r._2 * r._3).sum
+        val slope = (sxy - sx * sy / n) / (sxx - sx * sx / n + lam)
+        val icpt = sy / n - slope * sx / n
+        va.map(r => math.pow(r._3 - (icpt + slope * r._2), 2)).sum / va.size
+      }
+      val want = foldMses.sum / k
+      assert(math.abs(got(lam)._1 - want) < 1e-3, s"λ=$lam: ${got(lam)._1} vs $want")
+    }
+  }
+
   test("simplified silhouette ≈ 1 on tight planted blobs, low on overlap") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

@@ -76,6 +76,34 @@ class OperatorSpec extends AnyFunSuite {
     assert(got == want, s"${got.size} vs ${want.size}")
   }
 
+  test("PageRank matches driver power iteration, incl. dangling redistribution") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    // random directed graph; nodes 15..19 have no out-edges (dangling)
+    val edges = (0 until 60).map { _ =>
+      (s"n${rnd.nextInt(15)}", s"n${rnd.nextInt(20)}")
+    }.distinct
+    val got = graft.graph.PageRank.run(edges.toDF("src", "dst"), "src", "dst",
+        rounds = 8)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // independent power iteration
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.size.toDouble
+    val out = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toDouble }
+    var rank = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 0 until 8) {
+      val dangling = nodes.filterNot(out.contains).map(rank).sum
+      val in = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map(e => rank(e._1) / out(e._1)).sum
+      }
+      rank = nodes.map(v => v -> (0.15 / n + 0.85 * (in.getOrElse(v, 0.0) + dangling / n))).toMap
+    }
+    assert(math.abs(rank.values.sum - 1.0) < 1e-9)
+    nodes.foreach { v =>
+      assert(math.abs(got(v) - rank(v)) < 1e-5, s"$v: ${got(v)} vs ${rank(v)}")
+    }
+  }
+
   test("ljungBox rejects a planted AR(1) and not white noise") {
     import spark.implicits._
     val rnd = new scala.util.Random(17)
