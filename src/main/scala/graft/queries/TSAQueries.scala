@@ -77,6 +77,19 @@ object TSAQueries {
       // classical additive decomposition at the weekly period
       TimeSeries.seasonalDecompose(TimeSeries.dailySeries(Tables.events(s, d)), 7)
     },
+    "ccf" -> { (s, d) =>
+      // lead/lag structure between the click and purchase daily series:
+      // cross-correlation at lags −3..3 over the joined day support
+      val daily = TimeSeries.dailySeries(Tables.events(s, d))
+      val a = daily.filter(col("series") === "click")
+        .select(col("day"), col("x").as("xa"))
+      val b = daily.filter(col("series") === "purchase")
+        .select(col("day"), col("x").as("xb"))
+      val joined = a.join(b, "day")
+        .select(lit("click~purchase").as("pair"), col("day").as("t"),
+          col("xa"), col("xb"))
+      TimeSeries.ccf(joined, "pair", maxLag = 3).orderBy("lag")
+    },
     "ljung_box" -> { (s, d) =>
       // white-noise portmanteau over the first 6 autocorrelations; the
       // χ²₆ 5% critical value is a literal so reject replays in SQL
@@ -464,6 +477,31 @@ object TSAQueries {
          |  SELECT series, 3::BIGINT,
          |    round((r3 - p21 * r2 - p22 * r1) / (1.0 - p21 * r1 - p22 * r2), 6) FROM q
          |) ORDER BY series, lag""".stripMargin
+    },
+    "ccf" -> {
+      def shiftSql(k: Int): String =
+        if (k >= 0) s"lag(cb, $k) OVER (ORDER BY day)"
+        else s"lead(cb, ${-k}) OVER (ORDER BY day)"
+      def cname(k: Int): String = if (k < 0) s"bm${-k}" else s"bp$k"
+      val lagCols = (-3 to 3).map(k => s"    ${shiftSql(k)} AS ${cname(k)}").mkString(",\n")
+      val numAggs = (-3 to 3).map(k =>
+        s"    sum(CASE WHEN ${cname(k)} IS NOT NULL THEN ca * ${cname(k)} ELSE 0.0 END) AS n_${cname(k)}").mkString(",\n")
+      val unpivot = (-3 to 3).map(k =>
+        s"  SELECT 'click~purchase' AS pair, ($k)::BIGINT AS lag, round(n_${cname(k)} / sqrt(ssa * ssb), 6) AS ccf FROM ag").mkString("\n  UNION ALL\n")
+      s"""WITH d0 AS ($dailySql),
+         |a AS (SELECT day, x AS xa FROM d0 WHERE series = 'click'),
+         |b AS (SELECT day, x AS xb FROM d0 WHERE series = 'purchase'),
+         |j AS (SELECT a.day AS day, xa, xb FROM a JOIN b ON a.day = b.day),
+         |c AS (SELECT day, xa - avg(xa) OVER () AS ca, xb - avg(xb) OVER () AS cb FROM j),
+         |l AS (SELECT day, ca, cb,
+         |$lagCols
+         |  FROM c),
+         |ag AS (SELECT sum(ca * ca) AS ssa, sum(cb * cb) AS ssb,
+         |$numAggs
+         |  FROM l)
+         |SELECT * FROM (
+         |$unpivot
+         |) ORDER BY lag""".stripMargin
     },
     "ljung_box" -> {
       val lagCols = (1 to 6).map(k =>

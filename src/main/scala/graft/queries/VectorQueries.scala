@@ -28,6 +28,33 @@ object VectorQueries {
           excludeSelf = true)
         .orderBy("qid", "rank")
     },
+    "centroid_classify" -> { (s, d) =>
+      // NearestCentroid (sklearn) — the OTHER scalable classify shape
+      // next to knn_classify: per-label centroids from the train split
+      // via posexplode + (label, pos) groupBy (shuffle key bounded by
+      // labels×dims); queries explode to (qid, pos, val) and join the
+      // BROADCAST centroid table on pos — both sides stream, no n×n;
+      // argmin on the ROUNDED distance, ties to the smaller label
+      val e = Tables.embeddings(s, d)
+      val train = e.filter(col("vec_id") % 20 =!= 10)
+      val qs = e.filter(col("vec_id") % 20 === 10)
+      val cents = train
+        .select(col("label").cast("long").as("clabel"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("clabel", "pos").agg(avg(col("v").cast("double")).as("c"))
+      val qx = qs.select(col("vec_id").as("qid"), col("label").cast("long").as("truth"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      val d2 = qx.join(broadcast(cents), "pos")
+        .groupBy(col("qid"), col("truth"), col("clabel"))
+        .agg(sum((col("v").cast("double") - col("c")) *
+          (col("v").cast("double") - col("c"))).as("d2"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+        .orderBy(round(col("d2"), 6), col("clabel"))
+      d2.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+        .groupBy(col("truth"), col("clabel").as("pred"))
+        .agg(count(lit(1)).cast("long").as("n"))
+        .orderBy("truth", "pred")
+    },
     "knn_classify" -> { (s, d) =>
       // KNeighborsClassifier shape: labeled train split fits, the held-out
       // query split (vec_id % 20 == 10) predicts by majority vote of the 5
@@ -424,6 +451,25 @@ object VectorQueries {
          |  FROM p)
          |SELECT qid::BIGINT AS qid, rank::BIGINT AS rank, id::BIGINT AS id, round(s, 4) AS score
          |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "centroid_classify" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+        |tr AS (SELECT * FROM e WHERE vec_id % 20 <> 10),
+        |q AS (SELECT * FROM e WHERE vec_id % 20 = 10),
+        |ix AS (SELECT unnest(range(0, 64)) AS pos),
+        |tx AS (SELECT tr.label::BIGINT AS clabel, ix.pos AS pos, tr.v[ix.pos + 1] AS val
+        |  FROM tr, ix),
+        |cents AS (SELECT clabel, pos, avg(val) AS c FROM tx GROUP BY 1, 2),
+        |qx AS (SELECT q.vec_id AS qid, q.label::BIGINT AS truth, ix.pos AS pos,
+        |    q.v[ix.pos + 1] AS val FROM q, ix),
+        |d2 AS (SELECT qx.qid, qx.truth, cents.clabel,
+        |    sum((qx.val - cents.c) * (qx.val - cents.c)) AS d2
+        |  FROM qx JOIN cents ON qx.pos = cents.pos
+        |  GROUP BY 1, 2, 3),
+        |pr AS (SELECT qid, truth, clabel AS pred,
+        |    row_number() OVER (PARTITION BY qid ORDER BY round(d2, 6), clabel) AS rn
+        |  FROM d2)
+        |SELECT truth, pred, count(*)::BIGINT AS n
+        |FROM pr WHERE rn = 1 GROUP BY 1, 2 ORDER BY truth, pred""".stripMargin,
     "knn_classify" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
         |q AS (SELECT * FROM e WHERE vec_id % 20 = 10),

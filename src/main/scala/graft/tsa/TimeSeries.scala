@@ -557,6 +557,34 @@ object TimeSeries {
       .select(col("series"), col("_e.lag").as("lag"), col("_e.pacf").as("pacf"))
   }
 
+  /** Cross-correlation function between two aligned series per pair key:
+    *   ccf(k) = Σ (a_t − ā)(b_{t−k} − b̄) / (√Σ(a−ā)² · √Σ(b−b̄)²)
+    * over the joined support, k ∈ [−maxLag, maxLag] (negative k shifts b
+    * forward — `lead`). Input: (key, t, xa, xb) aligned rows. Same shuffle
+    * discipline as [[acf]]: the pair key is the only shuffle, all lags in
+    * ONE grouped aggregate. */
+  def ccf(pairs: DataFrame, keyCol: String, maxLag: Int): DataFrame = {
+    val wAll = Window.partitionBy(col(keyCol))
+    val wOrd = Window.partitionBy(col(keyCol)).orderBy(col("t"))
+    val centered = pairs
+      .withColumn("_ca", col("xa") - avg(col("xa")).over(wAll))
+      .withColumn("_cb", col("xb") - avg(col("xb")).over(wAll))
+    val lags = (-maxLag to maxLag).foldLeft(centered) { (df, k) =>
+      val shifted = if (k >= 0) lag(col("_cb"), k).over(wOrd)
+                    else lead(col("_cb"), -k).over(wOrd)
+      df.withColumn(s"_b$k", shifted)
+    }
+    val numAggs = (-maxLag to maxLag).map(k =>
+      sum(when(col(s"_b$k").isNotNull, col("_ca") * col(s"_b$k")).otherwise(0.0)).as(s"_n$k"))
+    val agged = lags.groupBy(col(keyCol))
+      .agg(sum(col("_ca") * col("_ca")).as("_ssa"), numAggs :+
+        sum(col("_cb") * col("_cb")).as("_ssb"): _*)
+    agged.select(col(keyCol), explode(array((-maxLag to maxLag).map(k =>
+        struct(lit(k).cast("long").as("lag"),
+          r6(col(s"_n$k") / sqrt(col("_ssa") * col("_ssb"))).as("ccf"))): _*)).as("_e"))
+      .select(col(keyCol), col("_e.lag").as("lag"), col("_e.ccf").as("ccf"))
+  }
+
   /** Ljung–Box portmanteau test on the first h autocorrelations:
     *   Q = n(n+2) Σ_{k≤h} ρ̂²_k / (n−k),  Q ~ χ²_h under white noise.
     * (The residual-diagnostic companion of the ARIMA surface.) Reuses the

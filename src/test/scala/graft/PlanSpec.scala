@@ -334,6 +334,31 @@ class PlanSpec extends AnyFunSuite {
     assert(p.split("Exchange hashpartitioning").length - 1 == 1, p.take(3000))
   }
 
+  test("roc_auc windows over the distinct-score frame, never a raw-row sort") {
+    val margin = lit(-0.1) + lit(0.004) * col("l_quantity") +
+      lit(1.5) * col("l_discount") + lit(-2.0) * col("l_tax")
+    val p = planOf(graft.metrics.Metrics.rocAuc(Tables.lineitem(spark, sf),
+      col("l_returnflag") === "R", margin))
+    // one hash shuffle (the quantized-score groupBy); the cumulative
+    // window then runs over distinct scores — no range partitioning /
+    // global sort of the raw rows ever appears
+    assert(p.split("Exchange hashpartitioning").length - 1 == 1, p.take(3000))
+    assert(!p.contains("Exchange rangepartitioning"), p.take(3000))
+  }
+
+  test("CV scoring passes broadcast the fold-coefficient frame (corpus never reshuffles for the join)") {
+    val rows = Tables.lineitem(spark, sf)
+    val pK = planOf(graft.linear.CrossVal.kFoldOLS(rows, "l_quantity",
+      col("l_extendedprice") / 1000.0,
+      concat_ws("_", col("l_orderkey"), col("l_linenumber"), lit("cv")), 5))
+    assert(pK.contains("BroadcastExchange"), pK.take(3000))
+    val pR = planOf(graft.linear.CrossVal.ridgeCV(rows, "l_quantity",
+      col("l_extendedprice") / 1000.0,
+      concat_ws("_", col("l_orderkey"), col("l_linenumber"), lit("cv")),
+      5, Seq(0.1, 10.0)))
+    assert(pR.contains("BroadcastExchange"), pR.take(3000))
+  }
+
   test("kmeans transform distance columns are pure codegen (no pre-agg shuffle)") {
     val li = Tables.lineitem(spark, sf)
     val feats = Seq(col("l_quantity"), col("l_discount"), col("l_tax"))

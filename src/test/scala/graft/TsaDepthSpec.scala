@@ -39,6 +39,30 @@ class TsaDepthSpec extends AnyFunSuite {
     assert(abs(got(3L)) < 0.1, s"pacf(3)=${got(3L)} should be ~0 past the order")
   }
 
+  test("ccf matches brute force and peaks at the planted shift") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val base = IndexedSeq.fill(120)(rnd.nextGaussian())
+    // b follows a with a 2-step delay
+    val rows = (2 until 120).map(t => ("p", t.toLong, base(t), base(t - 2)))
+    val df = rows.toDF("pair", "t", "xa", "xb")
+    val got = graft.tsa.TimeSeries.ccf(df, "pair", maxLag = 3)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    val (xa, xb) = (rows.map(_._3), rows.map(_._4))
+    val n = rows.size
+    val (ma, mb) = (xa.sum / n, xb.sum / n)
+    val ca = xa.map(_ - ma); val cb = xb.map(_ - mb)
+    val den = math.sqrt(ca.map(v => v * v).sum * cb.map(v => v * v).sum)
+    for (k <- -3 to 3) {
+      val num = (0 until n).collect {
+        case t if t - k >= 0 && t - k < n => ca(t) * cb(t - k)
+      }.sum
+      assert(abs(got(k.toLong) - num / den) < 1e-5, s"lag $k: ${got(k.toLong)} vs ${num / den}")
+    }
+    // b_t = a_{t−2} ⇒ b_{t−k} = a_t at k = −2: a LEADS b → negative-lag peak
+    assert(got.maxBy(e => abs(e._2))._1 == -2L, s"peak at ${got.maxBy(e => abs(e._2))._1}")
+  }
+
   test("seasonal_decompose recovers a planted weekly pattern under a linear trend") {
     val pattern = IndexedSeq(5.0, -3.0, 2.0, 0.0, -1.0, 4.0, -7.0)
     val xs = (0 until 70).map(t => 10.0 + 0.5 * t + pattern(t % 7))
