@@ -90,6 +90,24 @@ object MetricsQueries {
         .foldLeft(lit(MLQueries.SvmIntercept): Column) { case (acc, (w, f)) => acc + lit(w) * f }
       Metrics.rocAuc(Tables.lineitem(s, d), col("l_returnflag") === "R", margin)
     },
+    "calibration_curve" -> { (s, d) =>
+      // reliability diagram of the literal logistic score σ(margin) for
+      // the R class: fixed-width probability bins (pure codegen) → per-bin
+      // mean predicted vs observed frequency; ONE bounded-key aggregate
+      val margin = MLQueries.SvmWeights.zip(liFeatureCols)
+        .foldLeft(lit(MLQueries.SvmIntercept): Column) { case (acc, (w, f)) => acc + lit(w) * f }
+      // ×8 temperature spreads σ(margin) across the bin range (the raw
+      // margin spans ±0.26 → two bins only)
+      val p = lit(1.0) / (lit(1.0) + exp(-(lit(8.0) * margin)))
+      val bin = least(floor(p * 10).cast("long"), lit(9L))
+      Tables.lineitem(s, d)
+        .select(bin.as("bin"), p.as("_p"),
+          when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("_y"))
+        .groupBy("bin")
+        .agg(count(lit(1)).cast("long").as("n"),
+          r4(avg(col("_p"))).as("mean_pred"), r4(avg(col("_y"))).as("frac_pos"))
+        .orderBy("bin")
+    },
     "v_measure" -> { (s, d) =>
       // homogeneity / completeness / V-measure / MI between the lang and
       // source labelings (the clustering-metric trio next to adjusted_rand)
@@ -145,6 +163,15 @@ object MetricsQueries {
          |SELECT sum(np)::BIGINT AS n_pos, sum(nn)::BIGINT AS n_neg,
          |  round(sum(np * (cumneg + nn / 2.0)) / (sum(np) * sum(nn)), 6) AS auc
          |FROM c""".stripMargin,
+    "calibration_curve" ->
+      s"""WITH t AS (SELECT
+         |    1.0 / (1.0 + exp(-(8.0 * ($svmMarginSql)))) AS p,
+         |    CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+         |  FROM lineitem),
+         |b AS (SELECT least(floor(p * 10), 9)::BIGINT AS bin, p, y FROM t)
+         |SELECT bin, count(*)::BIGINT AS n, round(avg(p), 4) AS mean_pred,
+         |  round(avg(y), 4) AS frac_pos
+         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
     "v_measure" ->
       """WITH c AS (SELECT lang AS a, source AS b, count(*)::DOUBLE AS n FROM documents GROUP BY 1, 2),
         |t AS (SELECT sum(n) AS tot FROM c),

@@ -6,7 +6,7 @@ import graft.core.Num.r4
 import graft.decomposition.RandomProjection
 import graft.metrics.Trustworthiness
 import graft.neighbors.IVF
-import graft.preprocessing.Datasets
+import graft.preprocessing.{Datasets, Preprocessing}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -51,6 +51,22 @@ object MiscQueries {
           countDistinct(col("id")).cast("long").as("n_points"),
           countDistinct(col("rid")).cast("long").as("n_intervals"),
           r4(avg(col("point"))).as("avg_point"))
+    },
+    "psi" -> { (s, d) =>
+      // feature-drift monitoring: PSI of o_totalprice between the md5
+      // train (reference) and test (current) slices over 10 exact
+      // reference-decile bins (rank-select audit twin; production swaps
+      // in percentile_approx boundaries)
+      val o = Tables.orders(s, d)
+      val isRef = Preprocessing.splitColumn(col("o_orderkey"), 250, 42L) === "train"
+      graft.stats.Drift.psi(o, col("o_totalprice"), isRef, bins = 10)
+    },
+    "ks_test" -> { (s, d) =>
+      // two-sample KS drift gate on the same slices — exact over the
+      // quantized pooled support (the roc_auc distinct-value discipline)
+      val o = Tables.orders(s, d)
+      val isRef = Preprocessing.splitColumn(col("o_orderkey"), 250, 42L) === "train"
+      graft.stats.Drift.ksTest(o, col("o_totalprice"), isRef)
     },
     "pagerank" -> { (s, d) =>
       // source-importance over the customer↔supplier order graph (the
@@ -203,6 +219,50 @@ object MiscQueries {
         |SELECT count(*)::BIGINT AS n_pairs, count(DISTINCT id)::BIGINT AS n_points,
         |  count(DISTINCT rid)::BIGINT AS n_intervals, round(avg(p), 4) AS avg_point
         |FROM j""".stripMargin,
+    "psi" -> {
+      val boundCols = (1 to 9).map(k =>
+        s"    max(CASE WHEN rn = ceil(n * 0.$k) THEN v END) AS b$k").mkString(",\n")
+      val binExpr = "1 + " + (1 to 9).map(k =>
+        s"(CASE WHEN v > b$k THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH r0 AS (SELECT round(o_totalprice, 4) AS v,
+         |    CASE WHEN ('0x' || substr(md5(o_orderkey::VARCHAR || '_42'), 1, 15))::BIGINT % 1000 < 250
+         |      THEN 0 ELSE 1 END AS ref
+         |  FROM orders),
+         |rk AS (SELECT v, row_number() OVER (ORDER BY v) AS rn, count(*) OVER () AS n
+         |  FROM r0 WHERE ref = 1),
+         |bd AS (SELECT
+         |$boundCols
+         |  FROM rk),
+         |b AS (SELECT ref, ($binExpr)::BIGINT AS bin FROM r0, bd),
+         |c AS (SELECT bin, sum(ref)::DOUBLE AS nr, sum(1 - ref)::DOUBLE AS nc FROM b GROUP BY bin),
+         |t AS (SELECT sum(nr) AS tr, sum(nc) AS tc FROM c),
+         |tm AS (SELECT bin, nr::BIGINT AS n_ref, nc::BIGINT AS n_cur,
+         |    round((nr + 1.0) / (tr + 10.0), 6) AS p_ref,
+         |    round((nc + 1.0) / (tc + 10.0), 6) AS p_cur,
+         |    round(((nc + 1.0) / (tc + 10.0) - (nr + 1.0) / (tr + 10.0))
+         |      * ln(((nc + 1.0) / (tc + 10.0)) / ((nr + 1.0) / (tr + 10.0))), 6) AS psi_term
+         |  FROM c, t)
+         |SELECT bin, n_ref, n_cur, p_ref, p_cur, psi_term,
+         |  round(sum(psi_term) OVER (), 6) AS psi_total
+         |FROM tm ORDER BY bin""".stripMargin
+    },
+    "ks_test" ->
+      """WITH r0 AS (SELECT round(o_totalprice, 4) AS v,
+        |    CASE WHEN ('0x' || substr(md5(o_orderkey::VARCHAR || '_42'), 1, 15))::BIGINT % 1000 < 250
+        |      THEN 0 ELSE 1 END AS ref
+        |  FROM orders),
+        |g AS (SELECT v, sum(ref)::DOUBLE AS nr, sum(1 - ref)::DOUBLE AS nc FROM r0 GROUP BY v),
+        |t AS (SELECT sum(nr) AS tr, sum(nc) AS tc FROM g),
+        |c AS (SELECT v,
+        |    sum(nr) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cr,
+        |    sum(nc) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+        |  FROM g),
+        |d AS (SELECT max(t.tr)::BIGINT AS n_ref, max(t.tc)::BIGINT AS n_cur,
+        |    round(max(abs(c.cr / t.tr - c.cc / t.tc)), 6) AS d_stat FROM c, t)
+        |SELECT n_ref, n_cur, d_stat,
+        |  round(1.358 * sqrt((n_ref + n_cur) / (n_ref::DOUBLE * n_cur)), 6) AS crit,
+        |  d_stat > round(1.358 * sqrt((n_ref + n_cur) / (n_ref::DOUBLE * n_cur)), 6) AS reject
+        |FROM d""".stripMargin,
     "pagerank" -> {
       // 8 chained CTE rounds replay the fixed power iteration; the
       // bidirectional edge set has no dangling nodes, so the Spark side's

@@ -1,0 +1,82 @@
+package graft.stats
+
+import graft.core.Num.r6
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift monitoring between a reference and a current slice
+  * of the same column — the model/feature-drift gate of a production
+  * pipeline (retrain triggers, ingest canaries).
+  *
+  * Both operators follow the roc_auc discipline: quantize the value to the
+  * oracle grid, reduce to the DISTINCT-value (or bin) frame with one
+  * map-side-combined groupBy, and run any ordered pass over that bounded
+  * frame — never a global sort of raw rows.
+  */
+object Drift {
+  /** Population Stability Index over `bins` reference-decile bins:
+    *   PSI = Σ_b (p_cur − p_ref) · ln(p_cur / p_ref)
+    * Boundaries are EXACT rank-select quantiles of the reference side
+    * (the audit twin — the production path swaps in percentile_approx,
+    * cf quantile_buckets_approx); bin shares are Laplace-smoothed by one
+    * pseudo-count so empty bins stay finite, and every per-bin term is
+    * rounded before the total so the SQL replay is exact.
+    * Output: one row per bin + the repeated psi_total column. */
+  def psi(df: DataFrame, value: Column, isRef: Column, bins: Int): DataFrame = {
+    val rows = df.select(round(value, 4).as("_v"),
+      when(isRef, 1L).otherwise(0L).as("_ref"))
+    val ref = rows.filter(col("_ref") === 1)
+    val ranked = ref
+      .withColumn("_rn", row_number().over(Window.orderBy(col("_v"))))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy()))
+    val bounds = (1 until bins).map { k =>
+      ranked.filter(col("_rn") === ceil(col("_n") * (k.toDouble / bins)))
+        .select(col("_v")).head().getDouble(0)
+    }
+    // bin = 1 + #boundaries strictly below x (upper-inclusive deciles)
+    val bin = bounds.foldLeft(lit(1L): Column) { (acc, b) =>
+      acc + when(col("_v") > b, 1L).otherwise(0L)
+    }
+    val counts = rows.groupBy(bin.as("bin"))
+      .agg(sum(col("_ref")).as("_nr"), sum(lit(1L) - col("_ref")).as("_nc"))
+    val tot = counts.agg(sum(col("_nr")).as("_tr"), sum(col("_nc")).as("_tc"))
+    val terms = counts.crossJoin(tot)
+      .select(col("bin"), col("_nr").as("n_ref"), col("_nc").as("n_cur"),
+        ((col("_nr") + 1.0) / (col("_tr") + lit(bins.toDouble))).as("_pr"),
+        ((col("_nc") + 1.0) / (col("_tc") + lit(bins.toDouble))).as("_pc"))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        r6(col("_pr")).as("p_ref"), r6(col("_pc")).as("p_cur"),
+        r6((col("_pc") - col("_pr")) * log(col("_pc") / col("_pr"))).as("psi_term"))
+    terms.withColumn("psi_total",
+        round(sum(col("psi_term")).over(Window.partitionBy()), 6))
+      .orderBy("bin")
+  }
+
+  /** Two-sample Kolmogorov–Smirnov statistic D = sup_x |F_ref − F_cur|,
+    * exact over the quantized pooled support: one groupBy on the value
+    * grid, one cumulative window over DISTINCT values. `reject` compares
+    * the ROUNDED D to the large-sample 5% threshold
+    * 1.358·√((n+m)/(n·m)) rounded to the same grid. */
+  def ksTest(df: DataFrame, value: Column, isRef: Column): DataFrame = {
+    val g = df.select(round(value, 4).as("_v"),
+        when(isRef, 1L).otherwise(0L).as("_ref"))
+      .groupBy(col("_v"))
+      .agg(sum(col("_ref")).as("_nr"), sum(lit(1L) - col("_ref")).as("_nc"))
+    val tot = g.agg(sum(col("_nr")).cast("double").as("_tr"),
+      sum(col("_nc")).cast("double").as("_tc"))
+    val w = Window.orderBy(col("_v")).rowsBetween(Window.unboundedPreceding, 0)
+    val cum = g
+      .withColumn("_cr", sum(col("_nr")).over(w))
+      .withColumn("_cc", sum(col("_nc")).over(w))
+    cum.crossJoin(tot)
+      .agg(
+        max(col("_tr")).cast("long").as("n_ref"),
+        max(col("_tc")).cast("long").as("n_cur"),
+        round(max(abs(col("_cr") / col("_tr") - col("_cc") / col("_tc"))), 6).as("d_stat"))
+      .withColumn("crit",
+        round(lit(1.358) * sqrt((col("n_ref") + col("n_cur")) /
+          (col("n_ref").cast("double") * col("n_cur"))), 6))
+      .withColumn("reject", col("d_stat") > col("crit"))
+  }
+}

@@ -172,6 +172,28 @@ class MetricsSpec extends AnyFunSuite {
     }
   }
 
+  test("drift gates: planted shift trips KS and inflates PSI; identical halves stay quiet") {
+    import spark.implicits._
+    import graft.stats.Drift
+    val rnd = new scala.util.Random(47)
+    val same = (0 until 4000).map { i => (rnd.nextGaussian() * 10 + 100, i % 2 == 0) }
+      .toDF("v", "ref")
+    val ksSame = Drift.ksTest(same, col("v"), col("ref")).head()
+    assert(!ksSame.getBoolean(4), s"no drift but d=${ksSame.getDouble(2)} crit=${ksSame.getDouble(3)}")
+    val psiSame = Drift.psi(same, col("v"), col("ref"), bins = 10)
+      .head().getDouble(6)
+    assert(psiSame < 0.05, s"psi on identical halves: $psiSame")
+    val shifted = (0 until 4000).map { i =>
+      val ref = i % 2 == 0
+      ((if (ref) 100.0 else 106.0) + rnd.nextGaussian() * 10, ref)
+    }.toDF("v", "ref")
+    val ksShift = Drift.ksTest(shifted, col("v"), col("ref")).head()
+    assert(ksShift.getBoolean(4), s"planted shift not detected: d=${ksShift.getDouble(2)}")
+    val psiShift = Drift.psi(shifted, col("v"), col("ref"), bins = 10)
+      .head().getDouble(6)
+    assert(psiShift > 0.1, s"psi on shifted halves: $psiShift")
+  }
+
   test("simplified silhouette ≈ 1 on tight planted blobs, low on overlap") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
