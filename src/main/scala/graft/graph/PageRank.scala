@@ -29,12 +29,19 @@ object PageRank {
       .unionAll(e.select(col("dst").as("node"))).distinct().localCheckpoint(true)
     val n = nodes.count().toDouble
     val deg = e.groupBy(col("src")).agg(count(lit(1)).cast("double").as("_deg"))
+      .withColumnRenamed("src", "node").localCheckpoint(true)
+    // the dangling node SET is static — detect emptiness ONCE so graphs
+    // with full out-degree (e.g. bidirectional edges) skip the per-round
+    // dangling-mass job entirely
+    val danglingNodes = nodes.join(deg, Seq("node"), "left_anti").localCheckpoint(true)
+    val hasDangling = danglingNodes.limit(1).count() > 0
     var rank = nodes.select(col("node"), lit(1.0 / n).as("rank"))
     for (_ <- 0 until rounds) {
-      val withDeg = rank.join(deg.withColumnRenamed("src", "node"), Seq("node"), "left")
-      val dangling = withDeg.filter(col("_deg").isNull)
-        .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
-      val contribs = e.join(withDeg.filter(col("_deg").isNotNull)
+      val dangling = if (hasDangling)
+        rank.join(danglingNodes, "node")
+          .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
+      else 0.0
+      val contribs = e.join(rank.join(deg, "node")
             .select(col("node").as("src"), (col("rank") / col("_deg")).as("_share")),
           "src")
         .groupBy(col("dst").as("node")).agg(sum(col("_share")).as("_in"))

@@ -30,10 +30,13 @@ object Drift {
     val ranked = ref
       .withColumn("_rn", row_number().over(Window.orderBy(col("_v"))))
       .withColumn("_n", count(lit(1)).over(Window.partitionBy()))
-    val bounds = (1 until bins).map { k =>
-      ranked.filter(col("_rn") === ceil(col("_n") * (k.toDouble / bins)))
-        .select(col("_v")).head().getDouble(0)
-    }
+    // all bins−1 boundary rank-selects in ONE job (a per-boundary filter
+    // would re-run the global sort bins−1 times)
+    val bounds = ranked
+      .filter((1 until bins).map(k =>
+        col("_rn") === ceil(col("_n") * (k.toDouble / bins))).reduce(_ || _))
+      .select(col("_v"), col("_rn")).collect()
+      .sortBy(_.getInt(1)).map(_.getDouble(0)).toSeq
     // bin = 1 + #boundaries strictly below x (upper-inclusive deciles)
     val bin = bounds.foldLeft(lit(1L): Column) { (acc, b) =>
       acc + when(col("_v") > b, 1L).otherwise(0L)

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -236,6 +236,39 @@ object StreamingOps {
     val dev = abs(col(valueCol).cast("double") - median)
     events.filter(dev > lit(k * 1.4826 * mad))
       .withColumn("deviation", round(dev, 4))
+  }
+
+  /** Live feature-drift gate — the streaming twin of graft.stats.Drift.psi:
+    * the batch side profiles reference-decile `bounds` and raw `refShares`
+    * once; the stream assigns each event's bin statelessly (literal
+    * boundaries, pure codegen) and ONE watermarked window aggregate
+    * computes every bin count as a conditional sum — chained streaming
+    * aggregations are unsupported, so PSI emerges as a post-aggregate
+    * expression over that single row. Current shares are Laplace-smoothed
+    * exactly like the batch op. Emits one row per closed window:
+    * (win_start, n, psi). */
+  def streamingDriftGate(events: DataFrame, valueCol: String, tsCol: String,
+                         bounds: Seq[Double], refShares: Seq[Double],
+                         windowLen: String = "1 hour",
+                         watermark: String = "2 hours"): DataFrame = {
+    val bins = bounds.size + 1
+    require(refShares.size == bins, s"need $bins reference shares")
+    require(refShares.forall(_ > 0), "reference shares must be positive")
+    val bin = bounds.foldLeft(lit(1L): Column) { (acc, b) =>
+      acc + when(col(valueCol).cast("double") > b, 1L).otherwise(0L)
+    }
+    val aggs = (1 to bins).map(k =>
+      sum(when(bin === k, 1L).otherwise(0L)).as(s"_n$k"))
+    val agged = events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(count(lit(1)).as("_tot"), aggs: _*)
+    val psi = (1 to bins).map { k =>
+      val pc = (col(s"_n$k") + 1.0) / (col("_tot") + lit(bins.toDouble))
+      (pc - lit(refShares(k - 1))) * log(pc / refShares(k - 1))
+    }.reduce(_ + _)
+    agged.select(col("window.start").as("win_start"),
+      col("_tot").cast("long").as("n"), round(psi, 6).as("psi"))
   }
 
   /** Streaming sessionization: Spark's native `session_window` (state

@@ -28,6 +28,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming drift gate: windowed PSI matches the independent restatement; drifted window alarms") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // batch-profiled reference: quartile bounds + raw shares over 4 bins
+    val bounds = Seq(95.0, 100.0, 105.0)
+    val refShares = Seq(0.25, 0.25, 0.25, 0.25)
+    val in = MemoryStream[(java.sql.Timestamp, Double)]
+    val q = StreamingOps.streamingDriftGate(in.toDF().toDF("ts", "v"), "v", "ts",
+        bounds, refShares, windowLen = "1 hour", watermark = "2 hours")
+      .writeStream.format("memory").queryName("drift_out")
+      .outputMode("update").start()
+    try {
+      val calm = java.sql.Timestamp.valueOf("2026-01-01 10:10:00")
+      val hot = java.sql.Timestamp.valueOf("2026-01-01 12:10:00")
+      // calm window: matches the reference quartiles; hot window: all mass
+      // in the top bin
+      val calmVals = Seq(90.0, 97.0, 103.0, 110.0, 92.0, 98.0, 104.0, 111.0)
+      val hotVals = Seq.fill(8)(120.0)
+      in.addData(calmVals.map((calm, _)) ++ hotVals.map((hot, _)): _*)
+      q.processAllAvailable()
+      val rows = spark.table("drift_out").collect()
+        .map(r => r.getTimestamp(0) -> r.getDouble(2)).toMap
+      def psiOf(vals: Seq[Double]): Double = {
+        val counts = (0 to 3).map(b => vals.count(v =>
+          (b == 0 || v > bounds(b - 1)) && (b == 3 || v <= bounds(b))))
+        (0 to 3).map { b =>
+          val pc = (counts(b) + 1.0) / (vals.size + 4.0)
+          (pc - 0.25) * math.log(pc / 0.25)
+        }.sum
+      }
+      val calmWin = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+      val hotWin = java.sql.Timestamp.valueOf("2026-01-01 12:00:00")
+      assert(math.abs(rows(calmWin) - psiOf(calmVals)) < 1e-5,
+        s"calm ${rows(calmWin)} vs ${psiOf(calmVals)}")
+      assert(math.abs(rows(hotWin) - psiOf(hotVals)) < 1e-5)
+      assert(rows(calmWin) < 0.1 && rows(hotWin) > 0.5,
+        s"calm=${rows(calmWin)} hot=${rows(hotWin)}")
+    } finally q.stop()
+  }
+
   test("streaming decontamination joins the stream against the static benchmark") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
