@@ -89,6 +89,24 @@ object Metrics {
     * cumulative window runs over distinct scores only — never a global
     * sort of the raw rows. Equivalent to trapezoidal ROC integration with
     * tie-averaging. `label` must be a boolean column. */
+  /** Cohen's kappa — chance-corrected agreement between two labelings:
+    *   κ = (p_o − p_e)/(1 − p_e),  p_e = Σ_c marginal_y(c)·marginal_pred(c)
+    * One confusion-matrix pass; the marginals and both probabilities are
+    * aggregates over the classes²-row frame. */
+  def cohenKappa(df: DataFrame, y: Column, pred: Column): DataFrame = {
+    val cm = confusionMatrix(df, y, pred)
+    val tot = cm.agg(sum(col("n")).cast("double").as("_tot"),
+      sum(when(col("truth") === col("pred"), col("n")).otherwise(0L)).cast("double").as("_agree"))
+    val byTruth = cm.groupBy(col("truth").as("_c")).agg(sum(col("n")).cast("double").as("_nt"))
+    val byPred = cm.groupBy(col("pred").as("_c")).agg(sum(col("n")).cast("double").as("_np"))
+    val pe = byTruth.join(byPred, "_c")
+      .agg(sum(col("_nt") * col("_np")).as("_pe_num"))
+    tot.crossJoin(pe)
+      .select(r4(
+        (col("_agree") / col("_tot") - col("_pe_num") / (col("_tot") * col("_tot"))) /
+          (lit(1.0) - col("_pe_num") / (col("_tot") * col("_tot")))).as("kappa"))
+  }
+
   /** Homogeneity / completeness / V-measure / mutual information between
     * two label columns (Rosenberg & Hirschberg 2007, the sklearn
     * clustering-metric trio). Like adjustedRand: ONE groupBy builds the

@@ -90,6 +90,40 @@ object MetricsQueries {
         .foldLeft(lit(MLQueries.SvmIntercept): Column) { case (acc, (w, f)) => acc + lit(w) * f }
       Metrics.rocAuc(Tables.lineitem(s, d), col("l_returnflag") === "R", margin)
     },
+    "cohen_kappa" -> { (s, d) =>
+      // chance-corrected agreement of the literal softmax model
+      val (pred, _) = Softmax.predict(liFeatureCols, MLQueries.SoftmaxClasses,
+        MLQueries.SoftmaxIntercepts, MLQueries.SoftmaxWeights)
+      Metrics.cohenKappa(Tables.lineitem(s, d), col("l_returnflag"), pred)
+    },
+    "matthews_corr" -> { (s, d) =>
+      // binary MCC of the literal SVM sign rule — all four confusion
+      // cells from ONE codegen aggregate
+      val margin = MLQueries.SvmWeights.zip(liFeatureCols)
+        .foldLeft(lit(MLQueries.SvmIntercept): Column) { case (acc, (w, f)) => acc + lit(w) * f }
+      val y = when(col("l_returnflag") === "R", 1.0).otherwise(0.0)
+      val p = when(margin > 0, 1.0).otherwise(0.0)
+      Tables.lineitem(s, d)
+        .agg(sum(y * p).as("_tp"), sum((lit(1.0) - y) * (lit(1.0) - p)).as("_tn"),
+          sum((lit(1.0) - y) * p).as("_fp"), sum(y * (lit(1.0) - p)).as("_fn"))
+        .select(
+          col("_tp").cast("long").as("tp"), col("_tn").cast("long").as("tn"),
+          col("_fp").cast("long").as("fp"), col("_fn").cast("long").as("fn"),
+          r4((col("_tp") * col("_tn") - col("_fp") * col("_fn")) /
+            sqrt((col("_tp") + col("_fp")) * (col("_tp") + col("_fn")) *
+              (col("_tn") + col("_fp")) * (col("_tn") + col("_fn")))).as("mcc"))
+    },
+    "brier_score" -> { (s, d) =>
+      // mean squared error of the calibrated probability (the proper
+      // scoring rule behind calibration_curve) — one codegen aggregate
+      val margin = MLQueries.SvmWeights.zip(liFeatureCols)
+        .foldLeft(lit(MLQueries.SvmIntercept): Column) { case (acc, (w, f)) => acc + lit(w) * f }
+      val p = lit(1.0) / (lit(1.0) + exp(-(lit(8.0) * margin)))
+      val y = when(col("l_returnflag") === "R", 1.0).otherwise(0.0)
+      Tables.lineitem(s, d)
+        .agg(count(lit(1)).cast("long").as("n"),
+          r6(avg((p - y) * (p - y))).as("brier"))
+    },
     "calibration_curve" -> { (s, d) =>
       // reliability diagram of the literal logistic score σ(margin) for
       // the R class: fixed-width probability bins (pure codegen) → per-bin
@@ -163,6 +197,35 @@ object MetricsQueries {
          |SELECT sum(np)::BIGINT AS n_pos, sum(nn)::BIGINT AS n_neg,
          |  round(sum(np * (cumneg + nn / 2.0)) / (sum(np) * sum(nn)), 6) AS auc
          |FROM c""".stripMargin,
+    "cohen_kappa" ->
+      s"""WITH $softmaxScoresCte,
+         |p AS (SELECT l_returnflag AS truth, ($softmaxPredSql) AS pred FROM sc),
+         |cm AS (SELECT truth, pred, count(*)::DOUBLE AS n FROM p GROUP BY 1, 2),
+         |t AS (SELECT sum(n) AS tot,
+         |    sum(CASE WHEN truth = pred THEN n ELSE 0 END) AS agree FROM cm),
+         |mt AS (SELECT truth AS c, sum(n) AS nt FROM cm GROUP BY 1),
+         |mp AS (SELECT pred AS c, sum(n) AS np FROM cm GROUP BY 1),
+         |pe AS (SELECT sum(mt.nt * mp.np) AS pe_num FROM mt JOIN mp ON mt.c = mp.c)
+         |SELECT round((agree / tot - pe_num / (tot * tot))
+         |  / (1.0 - pe_num / (tot * tot)), 4) AS kappa
+         |FROM t, pe""".stripMargin,
+    "matthews_corr" ->
+      s"""WITH t AS (SELECT
+         |    CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y,
+         |    CASE WHEN ($svmMarginSql) > 0 THEN 1.0 ELSE 0.0 END AS p
+         |  FROM lineitem),
+         |c AS (SELECT sum(y * p) AS tp, sum((1.0 - y) * (1.0 - p)) AS tn,
+         |    sum((1.0 - y) * p) AS fp, sum(y * (1.0 - p)) AS fn FROM t)
+         |SELECT tp::BIGINT AS tp, tn::BIGINT AS tn, fp::BIGINT AS fp, fn::BIGINT AS fn,
+         |  round((tp * tn - fp * fn) / sqrt((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)), 4) AS mcc
+         |FROM c""".stripMargin,
+    "brier_score" ->
+      s"""WITH t AS (SELECT
+         |    1.0 / (1.0 + exp(-(8.0 * ($svmMarginSql)))) AS p,
+         |    CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+         |  FROM lineitem)
+         |SELECT count(*)::BIGINT AS n, round(avg((p - y) * (p - y)), 6) AS brier
+         |FROM t""".stripMargin,
     "calibration_curve" ->
       s"""WITH t AS (SELECT
          |    1.0 / (1.0 + exp(-(8.0 * ($svmMarginSql)))) AS p,

@@ -122,6 +122,21 @@ class MetricsSpec extends AnyFunSuite {
     assert(math.abs(got.getDouble(3) - (hC + hK - hCK)) < 1e-5)
   }
 
+  test("cohenKappa: perfect agreement → 1, marginal-independent noise → ~0") {
+    import spark.implicits._
+    val perfect = (0 until 90).map(i => (s"c${i % 3}", s"c${i % 3}")).toDF("y", "p")
+    assert(Metrics.cohenKappa(perfect, col("y"), col("p")).head().getDouble(0) == 1.0)
+    val rnd = new scala.util.Random(13)
+    val noise = (0 until 3000).map(_ => (s"c${rnd.nextInt(3)}", s"c${rnd.nextInt(3)}"))
+      .toDF("y", "p")
+    val k = Metrics.cohenKappa(noise, col("y"), col("p")).head().getDouble(0)
+    assert(math.abs(k) < 0.05, s"independent labels should give κ≈0, got $k")
+    // hand-computed 2×2: agree 70/100, pe = (60*50 + 40*50)/10000 = 0.5 → κ = 0.4
+    val hand = (Seq.fill(40)(("a", "a")) ++ Seq.fill(20)(("a", "b")) ++
+      Seq.fill(10)(("b", "a")) ++ Seq.fill(30)(("b", "b"))).toDF("y", "p")
+    assert(Metrics.cohenKappa(hand, col("y"), col("p")).head().getDouble(0) == 0.4)
+  }
+
   test("KNN.classify recovers planted blob labels perfectly") {
     import spark.implicits._
     val rnd = new scala.util.Random(21)

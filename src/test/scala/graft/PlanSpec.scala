@@ -359,6 +359,22 @@ class PlanSpec extends AnyFunSuite {
     assert(pR.contains("BroadcastExchange"), pR.take(3000))
   }
 
+  test("centroid classifier broadcasts the (label, dim) table; no nested-loop anywhere") {
+    val e = Tables.embeddings(spark, sf)
+    val train = e.filter(col("vec_id") % 20 =!= 10)
+    val qs = e.filter(col("vec_id") % 20 === 10)
+    val cents = train
+      .select(col("label").cast("long").as("clabel"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("clabel", "pos").agg(avg(col("v").cast("double")).as("c"))
+    val qx = qs.select(col("vec_id").as("qid"), posexplode(col("embedding")).as(Seq("pos", "v")))
+    val p = planOf(qx.join(broadcast(cents), "pos")
+      .groupBy(col("qid"), col("clabel"))
+      .agg(sum((col("v").cast("double") - col("c")) * (col("v").cast("double") - col("c"))).as("d2")))
+    assert(p.contains("BroadcastExchange"), p.take(3000))
+    assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("kmeans transform distance columns are pure codegen (no pre-agg shuffle)") {
     val li = Tables.lineitem(spark, sf)
     val feats = Seq(col("l_quantity"), col("l_discount"), col("l_tax"))
