@@ -1,6 +1,6 @@
 package graft.cluster
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distributed 2-D DBSCAN (reference python/cuml/cluster/dbscan.pyx,
@@ -195,6 +195,52 @@ object DBSCANGrid {
     out.count() // materialize, then drop the intermediate caches
     withCell.unpersist(); pairs.unpersist(); core.unpersist(); cellEdgeDF.unpersist()
     out
+  }
+
+  /** Out-of-sample DBSCAN assignment — the fit/predict separation of the
+    * estimator contract: a new point takes the cluster of its NEAREST
+    * core point within eps (ties → smaller core id), else noise (−1).
+    * Same coarse-cell bounded-fan-out/verify shape as the fit's pair
+    * stage, but asymmetric: the CORE side replicates over the full 3^d
+    * offset window while query points never fan out, so the shuffle is
+    * |queries| + 3^d·|cores| regardless of corpus size.
+    * `fitted` is [[fitND]] output for `train`. */
+  def predictND(train: DataFrame, fitted: DataFrame, idCol: String,
+                featCols: Seq[String], newPoints: DataFrame, newIdCol: String,
+                eps: Double): DataFrame = {
+    val d = featCols.size
+    require(d >= 2 && d <= 5, s"grid DBSCAN supports 2..5 dims, got $d")
+    val xs = featCols.indices
+    val bits = 62 / d
+    val Half = 1L << (bits - 1)
+    val Mult = 1L << bits
+    def packShifted(coords: Seq[Column]): Column =
+      coords.map(_ + Half).reduceLeft((acc, c) => acc * Mult + c)
+    val offsets = xs.foldLeft(Seq(Seq.empty[Int])) { (acc, _) =>
+      acc.flatMap(o => Seq(-1, 0, 1).map(o :+ _))
+    }
+    val cores = train
+      .select(col(idCol).cast("long").as("bid") +:
+        xs.map(i => col(featCols(i)).cast("double").as(s"bx$i")): _*)
+      .join(fitted.filter(col("is_core"))
+        .select(col("id").as("bid"), col("cluster")), "bid")
+    val coreCells = cores.withColumn("cell", explode(array(offsets.map(off =>
+      packShifted(xs.map(i =>
+        floor(col(s"bx$i") / eps).cast("long") + off(i)))): _*)))
+    val q = newPoints.select(col(newIdCol).cast("long").as("id") +:
+      xs.map(i => col(featCols(i)).cast("double").as(s"qx$i")): _*)
+      .withColumn("cell", packShifted(xs.map(i => floor(col(s"qx$i") / eps).cast("long"))))
+    val d2 = xs.map(i => (col(s"qx$i") - col(s"bx$i")) * (col(s"qx$i") - col(s"bx$i")))
+      .reduce(_ + _)
+    val hits = q.join(coreCells, Seq("cell"))
+      .filter(d2 <= eps * eps)
+      .select(col("id"), col("cluster"), round(d2, 6).as("_d2"), col("bid"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+      .orderBy(col("_d2"), col("bid"))
+    val assigned = hits.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).select(col("id"), col("cluster"))
+    q.select(col("id")).join(assigned, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster"), lit(-1L)).as("cluster"))
   }
 
   /** Deterministic summary for the query surface. */

@@ -52,6 +52,20 @@ object MiscQueries {
           countDistinct(col("rid")).cast("long").as("n_intervals"),
           r4(avg(col("point"))).as("avg_point"))
     },
+    "dbscan_predict" -> { (s, d) =>
+      // fit/predict separation for the DBSCAN family: fit on 6/7 of the
+      // points, assign the held-out 1/7 to the nearest core within eps
+      // (rows-only: cluster ids derive from the iterative fit; the
+      // assignment rule itself is parity-spec'd in DbscanNdSpec)
+      val pts = Tables.events(s, d).select(col("event_id"),
+        col("value").as("x"), (col("user_id") % 97).cast("double").as("y"))
+      val train = pts.filter(col("event_id") % 7 =!= 0)
+      val qs = pts.filter(col("event_id") % 7 === 0)
+      val fitted = DBSCANGrid.fit(train, "event_id", "x", "y", eps = 1.0, minPts = 4)
+      DBSCANGrid.predictND(train, fitted, "event_id", Seq("x", "y"), qs, "event_id", 1.0)
+        .groupBy("cluster").agg(count(lit(1)).cast("long").as("n"))
+        .orderBy("cluster")
+    },
     "psi" -> { (s, d) =>
       // feature-drift monitoring: PSI of o_totalprice between the md5
       // train (reference) and test (current) slices over 10 exact

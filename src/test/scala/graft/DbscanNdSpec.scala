@@ -106,4 +106,32 @@ class DbscanNdSpec extends AnyFunSuite {
     val bad = want.keys.filter(k => got(k) != want(k))
     assert(bad.isEmpty, s"${bad.size} mismatches, e.g. ${bad.take(5).map(k => (k, got(k), want(k)))}")
   }
+
+  test("predictND assigns held-out points to the nearest core's cluster, noise stays -1") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(19)
+    val blobA = (0 until 40).map(i => (i.toLong, rnd.nextDouble() * 0.8, rnd.nextDouble() * 0.8))
+    val blobB = (0 until 40).map(i => (100L + i, 50.0 + rnd.nextDouble() * 0.8, 50.0 + rnd.nextDouble() * 0.8))
+    val train = (blobA ++ blobB).toDF("id", "x", "y")
+    val fitted = DBSCANGrid.fit(train, "id", "x", "y", eps = 1.0, minPts = 4)
+    val labels = fitted.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val (clA, clB) = (labels(0L), labels(100L))
+    assert(clA != clB && clA >= 0 && clB >= 0)
+    // held-out: one point inside each blob, one far away
+    val qs = Seq((900L, 0.4, 0.4), (901L, 50.3, 50.2), (999L, 500.0, 500.0))
+      .toDF("id", "x", "y")
+    val pred = DBSCANGrid.predictND(train, fitted, "id", Seq("x", "y"), qs, "id", 1.0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pred(900L) == clA && pred(901L) == clB && pred(999L) == -1L, pred.toString)
+    // predicting the train core points returns their own cluster
+    // (self-distance 0 wins the argmin)
+    val coreIds = fitted.filter(col("is_core")).select("id").as[Long].collect().toSet
+    val self = DBSCANGrid.predictND(train, fitted, "id", Seq("x", "y"),
+        train.filter(col("id").isin(coreIds.toSeq.map(Long.box): _*)), "id", 1.0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    coreIds.foreach { id =>
+      assert(self(id) == labels(id), s"core $id: ${self(id)} vs ${labels(id)}")
+    }
+  }
 }

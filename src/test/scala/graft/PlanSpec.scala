@@ -359,6 +359,17 @@ class PlanSpec extends AnyFunSuite {
     assert(pR.contains("BroadcastExchange"), pR.take(3000))
   }
 
+  test("partitioned parquet sink round-trips with partition pruning at the scan") {
+    val out = "/tmp/graft_part_docs"
+    Tables.documents(spark, sf).write.mode("overwrite").partitionBy("lang").parquet(out)
+    val p = planOf(spark.read.parquet(out)
+      .filter(col("lang") === "en").select(col("doc_id")))
+    // the lang predicate must prune PARTITIONS (directory-level skip),
+    // not survive as a row filter
+    assert(p.contains("PartitionFilters: [isnotnull(lang"), p.take(2000))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint>"), p.take(2000))
+  }
+
   test("centroid classifier broadcasts the (label, dim) table; no nested-loop anywhere") {
     val e = Tables.embeddings(spark, sf)
     val train = e.filter(col("vec_id") % 20 =!= 10)
