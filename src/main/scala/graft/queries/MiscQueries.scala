@@ -8,6 +8,7 @@ import graft.metrics.Trustworthiness
 import graft.neighbors.IVF
 import graft.preprocessing.{Datasets, Preprocessing}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-2-planned operators delivered in round 1: 2-D DBSCAN, IVF ANN,
@@ -51,6 +52,93 @@ object MiscQueries {
           countDistinct(col("id")).cast("long").as("n_points"),
           countDistinct(col("rid")).cast("long").as("n_intervals"),
           r4(avg(col("point"))).as("avg_point"))
+    },
+    "welch_ttest" -> { (s, d) =>
+      // A/B mean comparison (Welch's unequal-variance t): both sides'
+      // moments from ONE aggregate over the md5 split; t, Satterthwaite
+      // df, and the ±1.96 large-sample reject all replay in SQL on
+      // rounded values
+      val o = Tables.orders(s, d)
+      val isRef = Preprocessing.splitColumn(col("o_orderkey"), 250, 42L) === "train"
+      val y = col("o_totalprice")
+      val g = o.agg(
+        sum(when(isRef, 1.0).otherwise(0.0)).as("_na"),
+        sum(when(isRef, y).otherwise(0.0)).as("_sa"),
+        sum(when(isRef, y * y).otherwise(0.0)).as("_qa"),
+        sum(when(!isRef, 1.0).otherwise(0.0)).as("_nb"),
+        sum(when(!isRef, y).otherwise(0.0)).as("_sb"),
+        sum(when(!isRef, y * y).otherwise(0.0)).as("_qb"))
+      val va = (col("_qa") - col("_sa") * col("_sa") / col("_na")) / (col("_na") - 1)
+      val vb = (col("_qb") - col("_sb") * col("_sb") / col("_nb")) / (col("_nb") - 1)
+      val se2 = va / col("_na") + vb / col("_nb")
+      val t = (col("_sa") / col("_na") - col("_sb") / col("_nb")) / sqrt(se2)
+      val dfW = se2 * se2 / (
+        (va / col("_na")) * (va / col("_na")) / (col("_na") - 1) +
+          (vb / col("_nb")) * (vb / col("_nb")) / (col("_nb") - 1))
+      g.select(col("_na").cast("long").as("n_a"), col("_nb").cast("long").as("n_b"),
+        r4(t).as("t_stat"), round(dfW, 1).as("df"),
+        (abs(r4(t)) > 1.96).as("reject"))
+    },
+    "chi2_test" -> { (s, d) =>
+      // chi-square independence of lang × source: expected counts from
+      // the marginals of ONE contingency groupBy; stat + dof (both
+      // engine-exact integers/rounded doubles)
+      val cont = Tables.documents(s, d)
+        .groupBy(col("lang"), col("source")).agg(count(lit(1)).cast("double").as("_n"))
+      val tot = cont.agg(sum(col("_n")).as("_tot"),
+        countDistinct(col("lang")).as("_r"), countDistinct(col("source")).as("_c"))
+      val byL = cont.groupBy("lang").agg(sum(col("_n")).as("_nl"))
+      val byS = cont.groupBy("source").agg(sum(col("_n")).as("_ns"))
+      cont.join(byL, "lang").join(byS, "source").crossJoin(tot)
+        .select((pow(col("_n") - col("_nl") * col("_ns") / col("_tot"), 2) /
+          (col("_nl") * col("_ns") / col("_tot"))).as("_term"),
+          col("_r"), col("_c"))
+        .agg(r4(sum(col("_term"))).as("chi2"),
+          ((max(col("_r")) - 1) * (max(col("_c")) - 1)).cast("long").as("dof"))
+    },
+    "lift_table" -> { (s, d) =>
+      // decile lift/gain of the literal SVM score for the R class:
+      // ntile(10) by (score desc, id) — exact audit twin (global-sort
+      // window declared, same as quantile_buckets); cumulative gain via
+      // a second window over the 10-row decile frame
+      val li = Tables.lineitem(s, d)
+      val margin = round(lit(-0.1) + lit(0.004) * col("l_quantity") +
+        lit(1.5) * col("l_discount") + lit(-2.0) * col("l_tax"), 6)
+      val rowId = concat_ws("_", col("l_orderkey"), col("l_linenumber"))
+      val w = Window.orderBy(col("_s").desc, col("_id"))
+      val deciles = li.select(margin.as("_s"), rowId.as("_id"),
+          when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("_y"))
+        .withColumn("decile", ntile(10).over(w))
+        .groupBy("decile")
+        .agg(count(lit(1)).cast("long").as("n"), sum(col("_y")).as("_pos"))
+      val wc = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      deciles
+        .withColumn("_cpos", sum(col("_pos")).over(wc))
+        .withColumn("_tpos", sum(col("_pos")).over(Window.partitionBy()))
+        .select(col("decile").cast("long").as("decile"), col("n"),
+          col("_pos").cast("long").as("n_pos"),
+          r4(col("_cpos") / col("_tpos")).as("cum_gain"))
+        .orderBy("decile")
+    },
+    "word_entropy" -> { (s, d) =>
+      // per-doc Shannon word entropy (vocabulary-diversity quality
+      // signal next to gopher_filters): one (doc, token) groupBy, the
+      // entropy an aggregate over each doc's bounded term set; per-lang
+      // summary
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("doc_id"), col("lang"),
+          explode(split(lower(col("text")), "\\s+")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      val tf = toks.groupBy("doc_id", "lang", "tok").agg(count(lit(1)).cast("double").as("_c"))
+      val withTot = tf.withColumn("_tot",
+        sum(col("_c")).over(Window.partitionBy(col("doc_id"))))
+      val ent = withTot.groupBy("doc_id", "lang")
+        .agg((-sum(col("_c") / col("_tot") * log(col("_c") / col("_tot")))).as("_h"))
+      ent.groupBy("lang")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          r4(avg(col("_h"))).as("avg_entropy"), r4(max(col("_h"))).as("max_entropy"))
+        .orderBy("lang")
     },
     "dbscan_predict" -> { (s, d) =>
       // fit/predict separation for the DBSCAN family: fit on 6/7 of the
@@ -233,6 +321,60 @@ object MiscQueries {
         |SELECT count(*)::BIGINT AS n_pairs, count(DISTINCT id)::BIGINT AS n_points,
         |  count(DISTINCT rid)::BIGINT AS n_intervals, round(avg(p), 4) AS avg_point
         |FROM j""".stripMargin,
+    "welch_ttest" ->
+      """WITH b AS (SELECT o_totalprice AS y,
+        |    CASE WHEN ('0x' || substr(md5(o_orderkey::VARCHAR || '_42'), 1, 15))::BIGINT % 1000 < 250
+        |      THEN 0 ELSE 1 END AS ref FROM orders),
+        |g AS (SELECT sum(CASE WHEN ref = 1 THEN 1.0 ELSE 0.0 END) AS na,
+        |    sum(CASE WHEN ref = 1 THEN y ELSE 0.0 END) AS sa,
+        |    sum(CASE WHEN ref = 1 THEN y * y ELSE 0.0 END) AS qa,
+        |    sum(CASE WHEN ref = 0 THEN 1.0 ELSE 0.0 END) AS nb,
+        |    sum(CASE WHEN ref = 0 THEN y ELSE 0.0 END) AS sb,
+        |    sum(CASE WHEN ref = 0 THEN y * y ELSE 0.0 END) AS qb FROM b),
+        |v AS (SELECT na, nb, sa, sb,
+        |    (qa - sa * sa / na) / (na - 1) AS va,
+        |    (qb - sb * sb / nb) / (nb - 1) AS vb FROM g),
+        |w AS (SELECT na, nb, va, vb,
+        |    (sa / na - sb / nb) / sqrt(va / na + vb / nb) AS t,
+        |    (va / na + vb / nb) * (va / na + vb / nb) /
+        |      ((va / na) * (va / na) / (na - 1) + (vb / nb) * (vb / nb) / (nb - 1)) AS dfw
+        |  FROM v)
+        |SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b, round(t, 4) AS t_stat,
+        |  round(dfw, 1) AS df, abs(round(t, 4)) > 1.96 AS reject
+        |FROM w""".stripMargin,
+    "chi2_test" ->
+      """WITH cont AS (SELECT lang, source, count(*)::DOUBLE AS n FROM documents GROUP BY 1, 2),
+        |t AS (SELECT sum(n) AS tot, count(DISTINCT lang) AS r, count(DISTINCT source) AS c FROM cont),
+        |byl AS (SELECT lang, sum(n) AS nl FROM cont GROUP BY 1),
+        |bys AS (SELECT source, sum(n) AS ns FROM cont GROUP BY 1),
+        |terms AS (SELECT
+        |    power(cont.n - byl.nl * bys.ns / t.tot, 2) / (byl.nl * bys.ns / t.tot) AS term,
+        |    t.r AS r, t.c AS c
+        |  FROM cont JOIN byl USING (lang) JOIN bys USING (source), t)
+        |SELECT round(sum(term), 4) AS chi2, ((max(r) - 1) * (max(c) - 1))::BIGINT AS dof
+        |FROM terms""".stripMargin,
+    "lift_table" ->
+      """WITH s AS (SELECT round(-0.1 + 0.004 * l_quantity + 1.5 * l_discount + -2.0 * l_tax, 6) AS sc,
+        |    l_orderkey::VARCHAR || '_' || l_linenumber::VARCHAR AS id,
+        |    CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y FROM lineitem),
+        |d AS (SELECT ntile(10) OVER (ORDER BY sc DESC, id) AS decile, y FROM s),
+        |g AS (SELECT decile, count(*)::BIGINT AS n, sum(y) AS pos FROM d GROUP BY decile),
+        |c AS (SELECT decile, n, pos,
+        |    sum(pos) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cpos,
+        |    sum(pos) OVER () AS tpos FROM g)
+        |SELECT decile::BIGINT AS decile, n, pos::BIGINT AS n_pos,
+        |  round(cpos / tpos, 4) AS cum_gain
+        |FROM c ORDER BY decile""".stripMargin,
+    "word_entropy" ->
+      """WITH toks AS (SELECT doc_id, lang,
+        |    unnest(string_split_regex(lower(text), '\s+')) AS tok FROM documents),
+        |t2 AS (SELECT * FROM toks WHERE length(tok) > 0),
+        |tf AS (SELECT doc_id, lang, tok, count(*)::DOUBLE AS c FROM t2 GROUP BY 1, 2, 3),
+        |wt AS (SELECT doc_id, lang, c, sum(c) OVER (PARTITION BY doc_id) AS tot FROM tf),
+        |ent AS (SELECT doc_id, lang, -sum(c / tot * ln(c / tot)) AS h FROM wt GROUP BY 1, 2)
+        |SELECT lang, count(*)::BIGINT AS n_docs, round(avg(h), 4) AS avg_entropy,
+        |  round(max(h), 4) AS max_entropy
+        |FROM ent GROUP BY lang ORDER BY lang""".stripMargin,
     "psi" -> {
       val boundCols = (1 to 9).map(k =>
         s"    max(CASE WHEN rn = ceil(n * 0.$k) THEN v END) AS b$k").mkString(",\n")

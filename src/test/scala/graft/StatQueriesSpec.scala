@@ -1,0 +1,89 @@
+package graft
+
+import graft.core.Tables
+import graft.preprocessing.Preprocessing
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The round-6 hypothesis-test / ranking-diagnostic queries cross-checked
+  * against driver-side recomputation on sf0.001 (tiny enough to collect). */
+class StatQueriesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("welch_ttest matches a driver-side Welch recomputation on the same split") {
+    val o = Tables.orders(spark, sf)
+      .select(col("o_totalprice"),
+        (Preprocessing.splitColumn(col("o_orderkey"), 250, 42L) === "train").as("ref"))
+      .collect().map(r => (r.getDouble(0), r.getBoolean(1)))
+    val (a, b) = o.partition(_._2)
+    def moments(xs: Array[Double]) = {
+      val n = xs.length.toDouble
+      val m = xs.sum / n
+      val v = xs.map(x => (x - m) * (x - m)).sum / (n - 1)
+      (n, m, v)
+    }
+    val (na, ma, va) = moments(a.map(_._1)); val (nb, mb, vb) = moments(b.map(_._1))
+    val se2 = va / na + vb / nb
+    val t = (ma - mb) / math.sqrt(se2)
+    val dfW = se2 * se2 / ((va / na) * (va / na) / (na - 1) + (vb / nb) * (vb / nb) / (nb - 1))
+    val got = SparkEntry.queries("welch_ttest")(spark, sf).head()
+    assert(got.getLong(got.fieldIndex("n_a")) == na.toLong)
+    assert(got.getLong(got.fieldIndex("n_b")) == nb.toLong)
+    // the query computes sample variance via the sum-of-squares identity, so
+    // allow the catastrophic-cancellation gap vs the two-pass driver formula
+    assert(math.abs(got.getDouble(got.fieldIndex("t_stat")) - t) < 1e-3,
+      s"t ${got.getDouble(got.fieldIndex("t_stat"))} vs $t")
+    assert(math.abs(got.getDouble(got.fieldIndex("df")) - dfW) < 0.5)
+  }
+
+  test("chi2_test matches a driver-side contingency recomputation; dof = (r-1)(c-1)") {
+    val pairs = Tables.documents(spark, sf).select(col("lang"), col("source"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val n = pairs.length.toDouble
+    val cell = pairs.groupBy(identity).map { case (k, v) => k -> v.length.toDouble }
+    val byL = pairs.groupBy(_._1).map { case (k, v) => k -> v.length.toDouble }
+    val byS = pairs.groupBy(_._2).map { case (k, v) => k -> v.length.toDouble }
+    val chi2 = cell.map { case ((l, s), c) =>
+      val e = byL(l) * byS(s) / n; (c - e) * (c - e) / e
+    }.sum
+    val got = SparkEntry.queries("chi2_test")(spark, sf).head()
+    assert(math.abs(got.getDouble(got.fieldIndex("chi2")) - chi2) < 1e-2,
+      s"chi2 ${got.getDouble(got.fieldIndex("chi2"))} vs $chi2")
+    assert(got.getLong(got.fieldIndex("dof")) == (byL.size - 1).toLong * (byS.size - 1))
+  }
+
+  test("lift_table: 10 deciles, counts sum to corpus, cum_gain monotone to 1") {
+    val rows = SparkEntry.queries("lift_table")(spark, sf)
+      .orderBy("decile").collect()
+    assert(rows.map(_.getLong(rows.head.fieldIndex("decile"))).toSeq == (1L to 10L))
+    val nTotal = Tables.lineitem(spark, sf).count()
+    assert(rows.map(_.getLong(rows.head.fieldIndex("n"))).sum == nTotal)
+    val gains = rows.map(_.getDouble(rows.head.fieldIndex("cum_gain")))
+    assert(gains.zip(gains.tail).forall { case (a, b) => a <= b + 1e-12 })
+    assert(math.abs(gains.last - 1.0) < 1e-9)
+    // sanity floor only: the literal margin is a weak signal at sf0.001, so
+    // just require the top-3 gain to be in a plausible band, not above uniform
+    assert(gains(2) > 0.2 && gains(2) < 0.45, s"top-3 cumulative gain ${gains(2)}")
+  }
+
+  test("word_entropy matches driver-side per-doc Shannon entropy") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("lang"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val perLang = docs.map { case (_, lang, text) =>
+      val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val tot = toks.length.toDouble
+      val h = -toks.groupBy(identity).values
+        .map(g => g.length / tot * math.log(g.length / tot)).sum
+      (lang, h)
+    }.groupBy(_._1)
+    val got = SparkEntry.queries("word_entropy")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    perLang.foreach { case (lang, hs) =>
+      val (n, avgH, maxH) = got(lang)
+      assert(n == hs.length.toLong)
+      assert(math.abs(avgH - hs.map(_._2).sum / hs.length) < 1e-3, s"$lang avg")
+      assert(math.abs(maxH - hs.map(_._2).max) < 1e-3, s"$lang max")
+    }
+  }
+}
