@@ -230,6 +230,15 @@ object MiscQueries {
           gapUs = 4L * 3600 * 1000000)
         .orderBy("user_id")
     },
+    "funnel" -> { (s, d) =>
+      // ordered signup → view → purchase funnel: running-min window
+      // chaining on ONE user_id shuffle (no per-step self-join)
+      graft.events.Funnel.funnel3(Tables.events(s, d), "signup", "view", "purchase")
+    },
+    "retention" -> { (s, d) =>
+      // weekly cohort retention; integer epoch-week buckets
+      graft.events.Funnel.retentionWeekly(Tables.events(s, d))
+    },
     "ann_ivf" -> { (s, d) =>
       val e = Tables.embeddings(s, d)
       IVF.recallSummary(e, e.filter(col("vec_id") < 20), "vec_id", "embedding",
@@ -510,6 +519,40 @@ object MiscQueries {
         |  sum(CASE WHEN NOT is_core AND has_nbr THEN 1 ELSE 0 END)::BIGINT AS n_border,
         |  sum(CASE WHEN NOT is_core AND NOT has_nbr THEN 1 ELSE 0 END)::BIGINT AS n_noise
         |FROM cls""".stripMargin,
+    "funnel" ->
+      """WITH e AS (SELECT user_id, event_id, event_type AS t, epoch_us(ts) AS us FROM events),
+        |w1 AS (SELECT user_id, event_id, t, us,
+        |    min(CASE WHEN t = 'signup' THEN us END)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t1
+        |  FROM e),
+        |w2 AS (SELECT user_id, event_id, t, us, t1,
+        |    CASE WHEN t = 'view' AND t1 IS NOT NULL AND us > t1 THEN us END AS q2
+        |  FROM w1),
+        |w3 AS (SELECT user_id, t, us, t1, q2,
+        |    min(q2) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t2
+        |  FROM w2),
+        |pu AS (SELECT user_id, bool_or(t1 IS NOT NULL) AS s1x, bool_or(q2 IS NOT NULL) AS s2x,
+        |    bool_or(t = 'purchase' AND t2 IS NOT NULL AND us > t2) AS s3x
+        |  FROM w3 GROUP BY user_id),
+        |f AS (SELECT count(*)::BIGINT AS n_users,
+        |    sum(CASE WHEN s1x THEN 1 ELSE 0 END)::BIGINT AS n_step1,
+        |    sum(CASE WHEN s2x THEN 1 ELSE 0 END)::BIGINT AS n_step2,
+        |    sum(CASE WHEN s3x THEN 1 ELSE 0 END)::BIGINT AS n_step3
+        |  FROM pu)
+        |SELECT n_users, n_step1, n_step2, n_step3,
+        |  round(n_step2 / n_step1::DOUBLE, 4) AS conv12,
+        |  round(n_step3 / n_step2::DOUBLE, 4) AS conv23
+        |FROM f""".stripMargin,
+    "retention" ->
+      """WITH e AS (SELECT user_id::BIGINT AS user_id,
+        |    (epoch_us(ts) // 604800000000)::BIGINT AS wk FROM events),
+        |c AS (SELECT user_id, min(wk) AS cw FROM e GROUP BY user_id)
+        |SELECT c.cw AS cohort_week, e.wk - c.cw AS offset_weeks,
+        |  count(DISTINCT e.user_id)::BIGINT AS n_users
+        |FROM e JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
         |g AS (SELECT user_id, event_id, us,

@@ -214,6 +214,18 @@ object TextQueries {
     },
     "mix_weights" -> { (s, d) =>
       TextOps.mixWeights(Tables.documents(s, d), "lang", MixTargets).orderBy("lang")
+    },
+    "nb_fit" -> { (s, d) =>
+      // multinomial NB fit summary on the md5 train split: per-class doc /
+      // token / vocab counts + rounded log-prior (three map-side-combined
+      // groupBys; vocab joins as a broadcast scalar)
+      graft.text.NaiveBayes.fitSummary(Tables.documents(s, d), "text", "lang")
+    },
+    "naive_bayes" -> { (s, d) =>
+      // the counts-only text classifier, fit/predict separated on the md5
+      // split: add-one-smoothed log scores, per-doc argmax on ROUNDED
+      // values, test-split confusion matrix
+      graft.text.NaiveBayes.fitPredictConfusion(Tables.documents(s, d), "text", "lang")
     }
   )
 
@@ -260,7 +272,45 @@ object TextQueries {
        |  FROM th GROUP BY doc_id)""".stripMargin
   }
 
+  /** Shared CTE chain for the NB oracles: md5 split + train token counts. */
+  private lazy val nbTrainCtes =
+    s"""b AS (SELECT doc_id AS doc, lang AS truth, $normToks AS toks,
+       |    CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR || '_42'), 1, 15))::BIGINT % 1000 < 250
+       |      THEN 'test' ELSE 'train' END AS sp FROM documents),
+       |trt0 AS (SELECT truth AS class, unnest(toks) AS tok FROM b WHERE sp = 'train'),
+       |trt AS (SELECT * FROM trt0 WHERE length(tok) > 0),
+       |ct AS (SELECT class, tok, count(*)::DOUBLE AS ctk FROM trt GROUP BY 1, 2),
+       |tot AS (SELECT class, count(*)::DOUBLE AS tot FROM trt GROUP BY 1),
+       |nd AS (SELECT truth AS class, count(*)::DOUBLE AS ndoc FROM b WHERE sp = 'train' GROUP BY 1),
+       |vv AS (SELECT count(DISTINCT tok)::DOUBLE AS v FROM trt),
+       |ntr AS (SELECT count(*)::DOUBLE AS ntr FROM b WHERE sp = 'train')""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "nb_fit" ->
+      s"""WITH $nbTrainCtes,
+         |cv AS (SELECT class, count(DISTINCT tok)::BIGINT AS class_vocab,
+         |    count(*)::BIGINT AS n_tokens FROM trt GROUP BY 1)
+         |SELECT cv.class AS class, nd.ndoc::BIGINT AS n_docs, cv.n_tokens,
+         |  cv.class_vocab, round(ln(nd.ndoc / ntr.ntr), 6) AS log_prior
+         |FROM cv JOIN nd USING (class), ntr ORDER BY class""".stripMargin,
+    "naive_bayes" ->
+      s"""WITH $nbTrainCtes,
+         |cls AS (SELECT tot.class, tot.tot, vv.v, ln(nd.ndoc / ntr.ntr) AS lp
+         |  FROM tot JOIN nd USING (class), vv, ntr),
+         |tt0 AS (SELECT doc, truth, unnest(toks) AS tok FROM b WHERE sp = 'test'),
+         |tt AS (SELECT doc, truth, tok, count(*)::DOUBLE AS tf FROM tt0
+         |  WHERE length(tok) > 0 GROUP BY 1, 2, 3),
+         |sc AS (SELECT tt.doc, tt.truth, cls.class, cls.lp,
+         |    tt.tf * (ln(coalesce(ct.ctk, 0) + 1.0) - ln(cls.tot + cls.v)) AS c
+         |  FROM tt CROSS JOIN cls
+         |  LEFT JOIN ct ON ct.class = cls.class AND ct.tok = tt.tok),
+         |dc AS (SELECT doc, truth, class, max(lp) + sum(c) AS score
+         |  FROM sc GROUP BY 1, 2, 3),
+         |pr AS (SELECT doc, truth, class, row_number()
+         |    OVER (PARTITION BY doc ORDER BY round(score, 6) DESC, class) AS rn
+         |  FROM dc)
+         |SELECT truth, class AS pred, count(*)::BIGINT AS n
+         |FROM pr WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash,
         |  min(doc_id)::BIGINT AS keeper_id, count(*)::BIGINT AS n_copies
