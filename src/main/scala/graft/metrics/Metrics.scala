@@ -168,6 +168,84 @@ object Metrics {
       .agg(count(lit(1)).cast("long").as("n"), r4(avg(col("_s"))).as("mean_silhouette"))
   }
 
+  /** Average precision (area under the precision-recall curve, sklearn's
+    * step-sum definition: AP = Σᵢ (Rᵢ−Rᵢ₋₁)·Pᵢ over thresholds descending)
+    * plus the best F1 over all thresholds. Same discipline as [[rocAuc]]:
+    * quantize the score to the 1e-4 oracle grid, ONE groupBy to the
+    * distinct-score frame, then a bounded window over it — never a window
+    * over raw rows. */
+  def averagePrecision(df: DataFrame, label: Column, score: Column): DataFrame = {
+    val g = df
+      .select(round(score, 4).as("_s"), when(label, 1L).otherwise(0L).as("_y"))
+      .groupBy(col("_s"))
+      .agg(sum(col("_y")).cast("double").as("_np"),
+        sum(lit(1L) - col("_y")).cast("double").as("_nn"))
+    val w = Window.orderBy(col("_s").desc).rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.orderBy(col("_s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    g.withColumn("_cumtp", sum(col("_np")).over(w))
+      .withColumn("_cumpp", sum(col("_np") + col("_nn")).over(w))
+      .withColumn("_ptot", sum(col("_np")).over(wAll))
+      .agg(
+        sum(col("_np")).cast("long").as("n_pos"),
+        sum(col("_nn")).cast("long").as("n_neg"),
+        count(lit(1)).cast("long").as("n_thresholds"),
+        r6(sum(col("_np") * col("_cumtp") / col("_cumpp")) / sum(col("_np")))
+          .as("average_precision"),
+        r6(max(round(lit(2.0) * col("_cumtp") / (col("_cumpp") + col("_ptot")), 6)))
+          .as("best_f1"))
+  }
+
+  /** Spearman rank correlation with average (midrank) tie handling:
+    * rank(v) = #below(v) + (#eq(v)+1)/2 from each column's distinct-value
+    * frame (ONE groupBy + a bounded window, the [[rocAuc]] discipline —
+    * callers must pass bounded-cardinality/quantized columns), ranks join
+    * back on the value key, then Pearson-on-ranks from one
+    * sufficient-stats aggregate. */
+  def spearman(df: DataFrame, x: Column, y: Column): DataFrame = {
+    val base = df.select(x.cast("double").as("_x"), y.cast("double").as("_y"))
+    def rankFrame(vc: String, rc: String): DataFrame = {
+      val g = base.groupBy(col(vc)).agg(count(lit(1)).cast("double").as("_n"))
+      val w = Window.orderBy(col(vc)).rowsBetween(Window.unboundedPreceding, -1)
+      g.select(col(vc),
+        (coalesce(sum(col("_n")).over(w), lit(0.0)) + (col("_n") + 1.0) / 2.0).as(rc))
+    }
+    base
+      .join(rankFrame("_x", "_rx"), "_x")
+      .join(rankFrame("_y", "_ry"), "_y")
+      .agg(count(lit(1)).cast("double").as("_cn"),
+        sum(col("_rx")).as("_sx"), sum(col("_ry")).as("_sy"),
+        sum(col("_rx") * col("_ry")).as("_sxy"),
+        sum(col("_rx") * col("_rx")).as("_sxx"),
+        sum(col("_ry") * col("_ry")).as("_syy"))
+      .select(col("_cn").cast("long").as("n"),
+        r6((col("_cn") * col("_sxy") - col("_sx") * col("_sy")) /
+          sqrt((col("_cn") * col("_sxx") - col("_sx") * col("_sx")) *
+            (col("_cn") * col("_syy") - col("_sy") * col("_sy")))).as("spearman"))
+  }
+
+  /** Normalized mutual information between two labelings (sqrt and
+    * arithmetic normalizations — sklearn's `nmi` variants), from the same
+    * contingency aggregate as [[vMeasure]]. */
+  def nmi(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val cont = df.groupBy(a.as("_a"), b.as("_b"))
+      .agg(count(lit(1)).cast("double").as("_n"))
+    val tot = cont.agg(sum(col("_n")).as("_tot"))
+    val aTot = cont.groupBy(col("_a")).agg(sum(col("_n")).as("_na"))
+    val bTot = cont.groupBy(col("_b")).agg(sum(col("_n")).as("_nb"))
+    val mi = cont.join(aTot, "_a").join(bTot, "_b").crossJoin(tot)
+      .agg(sum(col("_n") / col("_tot") *
+        log(col("_n") * col("_tot") / (col("_na") * col("_nb")))).as("_mi"))
+    val hs = aTot.crossJoin(tot)
+      .agg((-sum(col("_na") / col("_tot") * log(col("_na") / col("_tot")))).as("_ha"))
+      .crossJoin(bTot.crossJoin(tot)
+        .agg((-sum(col("_nb") / col("_tot") * log(col("_nb") / col("_tot")))).as("_hb")))
+    mi.crossJoin(hs).select(
+      r6(col("_mi")).as("mutual_info"),
+      r6(col("_mi") / sqrt(col("_ha") * col("_hb"))).as("nmi_sqrt"),
+      r6(lit(2.0) * col("_mi") / (col("_ha") + col("_hb"))).as("nmi_arith"))
+  }
+
   def rocAuc(df: DataFrame, label: Column, score: Column): DataFrame = {
     val g = df
       .select(round(score, 4).as("_s"), when(label, 1L).otherwise(0L).as("_y"))

@@ -147,6 +147,24 @@ object MetricsQueries {
       // source labelings (the clustering-metric trio next to adjusted_rand)
       Metrics.vMeasure(Tables.documents(s, d), col("lang"), col("source"))
     },
+    "pr_curve" -> { (s, d) =>
+      // average precision + best F1 of the literal SVM score for the R
+      // class — the PR-side companion of roc_auc, same distinct-score
+      // discipline
+      val margin = MLQueries.SvmWeights.zip(liFeatureCols)
+        .foldLeft(lit(MLQueries.SvmIntercept): Column) { case (acc, (w, f)) => acc + lit(w) * f }
+      Metrics.averagePrecision(Tables.lineitem(s, d), col("l_returnflag") === "R", margin)
+    },
+    "spearman" -> { (s, d) =>
+      // rank correlation of quantity vs BINNED extendedprice (the binning
+      // bounds the distinct-value frames — declared quantized regime)
+      Metrics.spearman(Tables.lineitem(s, d), col("l_quantity"),
+        floor(col("l_extendedprice") / 1000.0))
+    },
+    "nmi" -> { (s, d) =>
+      // normalized mutual information (sqrt + arithmetic) of lang × source
+      Metrics.nmi(Tables.documents(s, d), col("lang"), col("source"))
+    },
     "silhouette" -> { (s, d) =>
       // simplified silhouette (centroid-based — the form that scales: the
       // pairwise-distance silhouette is O(n²) by definition): a = dist to
@@ -235,6 +253,45 @@ object MetricsQueries {
          |SELECT bin, count(*)::BIGINT AS n, round(avg(p), 4) AS mean_pred,
          |  round(avg(y), 4) AS frac_pos
          |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+    "pr_curve" ->
+      s"""WITH t AS (SELECT round($svmMarginSql, 4) AS s,
+         |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y FROM lineitem),
+         |g AS (SELECT s, sum(y)::DOUBLE AS np, sum(1 - y)::DOUBLE AS nn FROM t GROUP BY s),
+         |c AS (SELECT s, np, nn,
+         |    sum(np) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumtp,
+         |    sum(np + nn) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumpp,
+         |    sum(np) OVER () AS ptot
+         |  FROM g)
+         |SELECT sum(np)::BIGINT AS n_pos, sum(nn)::BIGINT AS n_neg,
+         |  count(*)::BIGINT AS n_thresholds,
+         |  round(sum(np * cumtp / cumpp) / sum(np), 6) AS average_precision,
+         |  round(max(round(2.0 * cumtp / (cumpp + ptot), 6)), 6) AS best_f1
+         |FROM c""".stripMargin,
+    "spearman" ->
+      """WITH b AS (SELECT l_quantity::DOUBLE AS x, floor(l_extendedprice / 1000.0) AS y FROM lineitem),
+        |gx AS (SELECT x, count(*)::DOUBLE AS n FROM b GROUP BY x),
+        |rx AS (SELECT x, coalesce(sum(n) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + (n + 1.0) / 2.0 AS r FROM gx),
+        |gy AS (SELECT y, count(*)::DOUBLE AS n FROM b GROUP BY y),
+        |ry AS (SELECT y, coalesce(sum(n) OVER (ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + (n + 1.0) / 2.0 AS r FROM gy),
+        |j AS (SELECT rx.r AS a, ry.r AS c FROM b JOIN rx USING (x) JOIN ry USING (y)),
+        |st AS (SELECT count(*)::DOUBLE AS cn, sum(a) AS sx, sum(c) AS sy,
+        |    sum(a * c) AS sxy, sum(a * a) AS sxx, sum(c * c) AS syy FROM j)
+        |SELECT cn::BIGINT AS n,
+        |  round((cn * sxy - sx * sy) / sqrt((cn * sxx - sx * sx) * (cn * syy - sy * sy)), 6) AS spearman
+        |FROM st""".stripMargin,
+    "nmi" ->
+      """WITH c AS (SELECT lang AS a, source AS b, count(*)::DOUBLE AS n FROM documents GROUP BY 1, 2),
+        |t AS (SELECT sum(n) AS tot FROM c),
+        |at AS (SELECT a, sum(n) AS na FROM c GROUP BY a),
+        |bt AS (SELECT b, sum(n) AS nb FROM c GROUP BY b),
+        |mi AS (SELECT sum(c.n / t.tot * ln(c.n * t.tot / (at.na * bt.nb))) AS mi
+        |  FROM c JOIN at USING (a) JOIN bt USING (b), t),
+        |hs AS (SELECT (SELECT -sum(na / tot * ln(na / tot)) FROM at, t) AS ha,
+        |    (SELECT -sum(nb / tot * ln(nb / tot)) FROM bt, t) AS hb)
+        |SELECT round(mi, 6) AS mutual_info,
+        |  round(mi / sqrt(ha * hb), 6) AS nmi_sqrt,
+        |  round(2.0 * mi / (ha + hb), 6) AS nmi_arith
+        |FROM mi, hs""".stripMargin,
     "v_measure" ->
       """WITH c AS (SELECT lang AS a, source AS b, count(*)::DOUBLE AS n FROM documents GROUP BY 1, 2),
         |t AS (SELECT sum(n) AS tot FROM c),

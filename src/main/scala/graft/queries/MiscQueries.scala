@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.cluster.DBSCANGrid
 import graft.core.Tables
-import graft.core.Num.r4
+import graft.core.Num.{r4, r6}
 import graft.decomposition.RandomProjection
 import graft.metrics.Trustworthiness
 import graft.neighbors.IVF
@@ -139,6 +139,52 @@ object MiscQueries {
         .agg(count(lit(1)).cast("long").as("n_docs"),
           r4(avg(col("_h"))).as("avg_entropy"), r4(max(col("_h"))).as("max_entropy"))
         .orderBy("lang")
+    },
+    "kl_divergence" -> { (s, d) =>
+      // KL + Jensen-Shannon between the A/B-split totalprice histograms:
+      // 10 fixed-width bins (pure codegen), Laplace-smoothed so empty
+      // bins stay finite — the generated 10-row bin frame left-joins the
+      // counts so missing bins contribute their smoothed mass in BOTH
+      // engines
+      val o = Tables.orders(s, d)
+      val isRef = Preprocessing.splitColumn(col("o_orderkey"), 250, 42L) === "train"
+      val bin = least(floor(col("o_totalprice") / 50000.0), lit(9.0)).cast("long")
+      val counts = o.select(bin.as("bin"), isRef.as("_r"))
+        .groupBy("bin").agg(
+          sum(when(col("_r"), 1.0).otherwise(0.0)).as("_ca"),
+          sum(when(!col("_r"), 1.0).otherwise(0.0)).as("_cb"))
+      val full = s.range(10).select(col("id").as("bin"))
+        .join(counts, Seq("bin"), "left")
+        .select(coalesce(col("_ca"), lit(0.0)).as("ca"),
+          coalesce(col("_cb"), lit(0.0)).as("cb"))
+      val tot = full.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+      val m = (col("p") + col("q")) / 2.0
+      full.crossJoin(broadcast(tot))
+        .select(col("na"), col("nb"),
+          ((col("ca") + 1.0) / (col("na") + 10.0)).as("p"),
+          ((col("cb") + 1.0) / (col("nb") + 10.0)).as("q"))
+        .agg(max(col("na")).cast("long").as("n_a"),
+          max(col("nb")).cast("long").as("n_b"),
+          r6(sum(col("p") * log(col("p") / col("q")))).as("kl_ab"),
+          r6(sum(col("q") * log(col("q") / col("p")))).as("kl_ba"),
+          r6(sum(lit(0.5) * col("p") * log(col("p") / m) +
+            lit(0.5) * col("q") * log(col("q") / m))).as("js"))
+    },
+    "kernel_density" -> { (s, d) =>
+      // Gaussian KDE of totalprice at 9 fixed grid points (h = 25000):
+      // corpus × broadcast-grid map then ONE bounded-key aggregate;
+      // density scaled ×1e6 so the 1e-6 oracle grid keeps ~6 significant
+      // digits
+      val h = 25000.0
+      val grid = s.range(1, 10).select((col("id") * 50000.0).as("g"))
+      Tables.orders(s, d).select(col("o_totalprice").as("y"))
+        .crossJoin(broadcast(grid))
+        .groupBy("g")
+        .agg(count(lit(1)).cast("long").as("n"),
+          r6(avg(exp(-(col("y") - col("g")) * (col("y") - col("g")) /
+            lit(2.0 * h * h))) * lit(1e6 / (h * math.sqrt(2.0 * math.Pi))))
+            .as("density_1e6"))
+        .orderBy("g")
     },
     "dbscan_predict" -> { (s, d) =>
       // fit/predict separation for the DBSCAN family: fit on 6/7 of the
@@ -384,6 +430,28 @@ object MiscQueries {
         |SELECT lang, count(*)::BIGINT AS n_docs, round(avg(h), 4) AS avg_entropy,
         |  round(max(h), 4) AS max_entropy
         |FROM ent GROUP BY lang ORDER BY lang""".stripMargin,
+    "kl_divergence" ->
+      """WITH b AS (SELECT least(floor(o_totalprice / 50000.0), 9)::BIGINT AS bin,
+        |    CASE WHEN ('0x' || substr(md5(o_orderkey::VARCHAR || '_42'), 1, 15))::BIGINT % 1000 < 250
+        |      THEN 0 ELSE 1 END AS ref FROM orders),
+        |c AS (SELECT bin, sum(CASE WHEN ref = 1 THEN 1.0 ELSE 0.0 END) AS ca,
+        |    sum(CASE WHEN ref = 0 THEN 1.0 ELSE 0.0 END) AS cb FROM b GROUP BY bin),
+        |f AS (SELECT coalesce(c.ca, 0.0) AS ca, coalesce(c.cb, 0.0) AS cb
+        |  FROM range(10) r(bin) LEFT JOIN c ON c.bin = r.bin),
+        |t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM f),
+        |pq AS (SELECT na, nb, (ca + 1.0) / (na + 10.0) AS p, (cb + 1.0) / (nb + 10.0) AS q
+        |  FROM f, t)
+        |SELECT max(na)::BIGINT AS n_a, max(nb)::BIGINT AS n_b,
+        |  round(sum(p * ln(p / q)), 6) AS kl_ab,
+        |  round(sum(q * ln(q / p)), 6) AS kl_ba,
+        |  round(sum(0.5 * p * ln(p / ((p + q) / 2.0)) + 0.5 * q * ln(q / ((p + q) / 2.0))), 6) AS js
+        |FROM pq""".stripMargin,
+    "kernel_density" ->
+      """WITH g AS (SELECT (i + 1) * 50000.0 AS g FROM range(9) r(i))
+        |SELECT g, count(*)::BIGINT AS n,
+        |  round(avg(exp(-(o_totalprice - g) * (o_totalprice - g) / (2.0 * 25000.0 * 25000.0)))
+        |    * 1e6 / (25000.0 * sqrt(2.0 * pi())), 6) AS density_1e6
+        |FROM orders, g GROUP BY g ORDER BY g""".stripMargin,
     "psi" -> {
       val boundCols = (1 to 9).map(k =>
         s"    max(CASE WHEN rn = ceil(n * 0.$k) THEN v END) AS b$k").mkString(",\n")

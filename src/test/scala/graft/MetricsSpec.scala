@@ -228,4 +228,79 @@ class MetricsSpec extends AnyFunSuite {
       .collect().map(_.getDouble(2))
     assert(silO.forall(_ < 0.9), silO.mkString(","))
   }
+
+  test("averagePrecision matches the brute-force threshold sweep (with ties)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val rows = (0 until 300).map { i =>
+      val y = i % 4 == 0
+      val s = math.rint(((if (y) 0.4 else 0.0) + rnd.nextGaussian()) * 10) / 10.0
+      (y, s)
+    }
+    val got = Metrics.averagePrecision(rows.toDF("y", "s"), col("y"), col("s")).head()
+    // brute force over distinct thresholds descending
+    val byScore = rows.groupBy(r => q4(r._2)).view
+      .mapValues(g => (g.count(_._1).toDouble, g.count(!_._1).toDouble))
+      .toSeq.sortBy(-_._1)
+    val pTot = byScore.map(_._2._1).sum
+    var (cumtp, cumpp, ap, bestF1) = (0.0, 0.0, 0.0, 0.0)
+    byScore.foreach { case (_, (np, nn)) =>
+      cumtp += np; cumpp += np + nn
+      ap += np / pTot * (cumtp / cumpp)
+      bestF1 = math.max(bestF1, 2.0 * cumtp / (cumpp + pTot))
+    }
+    assert(got.getLong(0) == pTot.toLong)
+    assert(math.abs(got.getDouble(3) - ap) < 1e-5, s"ap ${got.getDouble(3)} vs $ap")
+    assert(math.abs(got.getDouble(4) - bestF1) < 1e-5, s"f1 ${got.getDouble(4)} vs $bestF1")
+  }
+
+  test("averagePrecision is 1.0 on perfect separation") {
+    import spark.implicits._
+    val sep = ((0 until 40).map(i => (true, 10.0 + i)) ++
+      (0 until 60).map(i => (false, -10.0 - i))).toDF("y", "s")
+    val r = Metrics.averagePrecision(sep, col("y"), col("s")).head()
+    assert(r.getDouble(3) == 1.0 && r.getDouble(4) == 1.0)
+  }
+
+  test("spearman matches brute-force midrank computation; monotone map → 1") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val rows = (0 until 500).map { _ =>
+      val x = rnd.nextInt(20).toDouble
+      (x, x * 2 + rnd.nextInt(10))
+    }
+    def midranks(vs: Seq[Double]): Map[Double, Double] = {
+      val sorted = vs.sorted
+      vs.distinct.map { v =>
+        val below = sorted.count(_ < v).toDouble
+        val eq = sorted.count(_ == v).toDouble
+        v -> (below + (eq + 1.0) / 2.0)
+      }.toMap
+    }
+    val rx = midranks(rows.map(_._1)); val ry = midranks(rows.map(_._2))
+    val pairs = rows.map { case (x, y) => (rx(x), ry(y)) }
+    val n = pairs.size.toDouble
+    val (sx, sy) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+    val sxy = pairs.map(p => p._1 * p._2).sum
+    val sxx = pairs.map(p => p._1 * p._1).sum
+    val syy = pairs.map(p => p._2 * p._2).sum
+    val brute = (n * sxy - sx * sy) / math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    val got = Metrics.spearman(rows.toDF("x", "y"), col("x"), col("y")).head()
+    assert(got.getLong(0) == 500L)
+    assert(math.abs(got.getDouble(1) - brute) < 1e-5, s"${got.getDouble(1)} vs $brute")
+    // strictly monotone transform of x has spearman exactly 1
+    val mono = (1 to 100).map(i => (i.toDouble, math.exp(i / 10.0))).toDF("x", "y")
+    assert(Metrics.spearman(mono, col("x"), col("y")).head().getDouble(1) == 1.0)
+  }
+
+  test("nmi: identical labelings → 1.0 under both normalizations; independent → ~0") {
+    import spark.implicits._
+    val same = (0 until 300).map(i => (s"c${i % 3}", s"k${i % 3}")).toDF("a", "b")
+    val r1 = Metrics.nmi(same, col("a"), col("b")).head()
+    assert(math.abs(r1.getDouble(1) - 1.0) < 1e-9 && math.abs(r1.getDouble(2) - 1.0) < 1e-9)
+    // a ⊥ b by construction (balanced grid)
+    val indep = (0 until 300).map(i => (s"c${i % 3}", s"k${(i / 3) % 5}")).toDF("a", "b")
+    val r2 = Metrics.nmi(indep, col("a"), col("b")).head()
+    assert(math.abs(r2.getDouble(1)) < 1e-6, r2.toString)
+  }
 }
