@@ -85,6 +85,35 @@ object VectorQueries {
       Dedup.embeddingTopPairsLsh(Tables.embeddings(s, d), "vec_id", "embedding",
         topN = 20, bits = 8, dim = 64)
     },
+    "agglomerative_cc" -> { (s, d) =>
+      // single-linkage agglomerative clustering cut at cosine ≥ 0.3:
+      // clusters = connected components of the threshold graph (the
+      // classic dendrogram-cut equivalence), so the edge pass reuses the
+      // LSH-bucket pair regime (Σ bucket², never n²) and the merge is the
+      // same 8 fixed min-label rounds as dedup_clusters. Edge membership
+      // decides on the ROUNDED similarity; summary = cluster count/sizes
+      // + singletons (vectors with no ≥τ neighbor in-bucket)
+      import graft.core.VectorOps
+      val e = Tables.embeddings(s, d)
+      val b = KNN.lshBuckets(e, "vec_id", "embedding", bits = 8, dim = 64)
+        .withColumn("n2", VectorOps.sqNormFixed(col("v"), 64))
+      val sim = VectorOps.dotFixed(col("a.v"), col("b.v"), 64) /
+        sqrt(col("a.n2") * col("b.n2"))
+      val edges = b.as("a").join(b.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id1"), col("b.id").as("id2"), sim.as("_s"))
+        .filter(round(col("_s"), 4) >= 0.3)
+        .select(col("id1"), col("id2")).distinct()
+      val lab = graft.graph.ConnectedComponents.propagate(edges, "id1", "id2", 8)
+      val tot = e.agg(count(lit(1)).as("_t"))
+      lab.groupBy(col("label")).agg(count(lit(1)).as("_sz"))
+        .agg(count(lit(1)).cast("long").as("n_clusters"),
+          sum(col("_sz")).cast("long").as("n_clustered"),
+          max(col("_sz")).cast("long").as("max_cluster"))
+        .crossJoin(broadcast(tot))
+        .select(col("n_clusters"), col("n_clustered"), col("max_cluster"),
+          (col("_t") - col("n_clustered")).cast("long").as("n_singletons"))
+    },
     "ann_lsh" -> { (s, d) =>
       KNN.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding",
           k = 3, bits = 8, dim = 64)
@@ -523,6 +552,29 @@ object VectorQueries {
          |p AS (SELECT a.id AS id1, b.id AS id2, $cosSql AS s
          |  FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.id < b.id)
          |SELECT id1::BIGINT AS id1, id2::BIGINT AS id2, round(s, 4) AS cosine
-         |FROM p ORDER BY s DESC, id1, id2 LIMIT 20""".stripMargin
+         |FROM p ORDER BY s DESC, id1, id2 LIMIT 20""".stripMargin,
+    "agglomerative_cc" -> {
+      // same 8-round min-label CC replay as TextQueries' dedup_clusters;
+      // MATERIALIZED keeps DuckDB from re-inlining each round twice
+      val rounds = (1 to 8).map { k =>
+        s"""c$k AS MATERIALIZED (SELECT c.node, least(c.label, coalesce(min(n.label), c.label)) AS label
+           |  FROM c${k - 1} c LEFT JOIN ed ON c.node = ed.src LEFT JOIN c${k - 1} n ON ed.dst = n.node
+           |  GROUP BY c.node, c.label)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+         |bkt AS (SELECT id, v, $lshSigSql AS bucket FROM e),
+         |pr AS MATERIALIZED (SELECT DISTINCT a.id AS id1, b.id AS id2
+         |  FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.id < b.id
+         |  WHERE round($cosSql, 4) >= 0.3),
+         |ed AS MATERIALIZED (SELECT id1 AS src, id2 AS dst FROM pr
+         |  UNION ALL SELECT id2, id1 FROM pr),
+         |c0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM ed),
+         |$rounds,
+         |sz AS (SELECT label, count(*) AS sz FROM c8 GROUP BY label),
+         |t AS (SELECT count(*) AS tot FROM e)
+         |SELECT count(*)::BIGINT AS n_clusters, sum(sz)::BIGINT AS n_clustered,
+         |  max(sz)::BIGINT AS max_cluster, (max(t.tot) - sum(sz))::BIGINT AS n_singletons
+         |FROM sz, t""".stripMargin
+    }
   )
 }

@@ -67,6 +67,40 @@ class StatQueriesSpec extends AnyFunSuite {
     assert(gains(2) > 0.2 && gains(2) < 0.45, s"top-3 cumulative gain ${gains(2)}")
   }
 
+  test("single-linkage threshold CC: planted near-dup groups merge, noise stays single") {
+    import spark.implicits._
+    import graft.core.VectorOps
+    val rnd = new scala.util.Random(23)
+    // 3 planted groups of 4 near-identical vectors + 30 random-ish vectors
+    def jitter(base: Array[Double]) = base.map(_ + rnd.nextGaussian() * 0.01)
+    val bases = (0 until 3).map(_ => Array.fill(64)(rnd.nextGaussian()))
+    val planted = bases.zipWithIndex.flatMap { case (b, g) =>
+      (0 until 4).map(j => ((g * 4 + j).toLong, jitter(b).toSeq))
+    }
+    val noise = (0 until 30).map(i => ((100 + i).toLong, Array.fill(64)(rnd.nextGaussian()).toSeq))
+    val df = (planted ++ noise).toDF("vec_id", "embedding")
+    val b = graft.neighbors.KNN.lshBuckets(df, "vec_id", "embedding", bits = 8, dim = 64)
+      .withColumn("n2", VectorOps.sqNormFixed(org.apache.spark.sql.functions.col("v"), 64))
+    val sim = VectorOps.dotFixed(col("a.v"), col("b.v"), 64) /
+      sqrt(col("a.n2") * col("b.n2"))
+    val edges = b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"), sim.as("_s"))
+      .filter(round(col("_s"), 4) >= 0.95)
+      .select(col("id1"), col("id2")).distinct()
+    val lab = graft.graph.ConnectedComponents.propagate(edges, "id1", "id2", 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // each planted group collapses to one label (near-identical vectors
+    // share every LSH bit whp); groups get distinct labels
+    (0 until 3).foreach { g =>
+      val labels = (0 until 4).map(j => lab((g * 4 + j).toLong)).distinct
+      assert(labels.size == 1, s"group $g split: $labels")
+    }
+    assert((0 until 3).map(g => lab(g * 4L)).distinct.size == 3, "groups merged")
+    // no noise vector joins a planted group at cos >= 0.95
+    assert(!noise.exists { case (id, _) => lab.contains(id) }, "noise clustered")
+  }
+
   test("word_entropy matches driver-side per-doc Shannon entropy") {
     val docs = Tables.documents(spark, sf).select(col("doc_id"), col("lang"), col("text"))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
