@@ -276,6 +276,66 @@ object MiscQueries {
           gapUs = 4L * 3600 * 1000000)
         .orderBy("user_id")
     },
+    "rolling_features" -> { (s, d) =>
+      // per-event 3-day rolling count/sum (the feature-engineering shape
+      // behind fraud/engagement models): RANGE frame on integer
+      // microseconds over ONE user_id shuffle; per-user summary bounds
+      // the output
+      val w = Window.partitionBy(col("user_id")).orderBy(col("_us"))
+        .rangeBetween(-3L * 86400000000L, 0L)
+      Tables.events(s, d)
+        .select(col("user_id").cast("long").as("user_id"),
+          unix_micros(col("ts")).as("_us"), col("value"))
+        .withColumn("_rc", count(lit(1)).over(w))
+        .withColumn("_rs", sum(col("value")).over(w))
+        .groupBy("user_id")
+        .agg(count(lit(1)).cast("long").as("n_events"),
+          max(col("_rc")).cast("long").as("max_3d_events"),
+          r4(max(col("_rs"))).as("max_3d_value"),
+          r4(avg(col("_rc"))).as("avg_3d_events"))
+        .orderBy("user_id")
+    },
+    "event_paths" -> { (s, d) =>
+      // top-10 3-step event-type paths (the user-journey n-gram): two
+      // lead() hops on the same user window, one path-key groupBy,
+      // TakeOrdered top-N with (n desc, path) tie-break
+      val w = Window.partitionBy(col("user_id")).orderBy(col("_us"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type").as("_t"),
+          unix_micros(col("ts")).as("_us"))
+        .withColumn("_t2", lead(col("_t"), 1).over(w))
+        .withColumn("_t3", lead(col("_t"), 2).over(w))
+        .filter(col("_t3").isNotNull)
+        .select(concat_ws(">", col("_t"), col("_t2"), col("_t3")).as("path"))
+        .groupBy("path").agg(count(lit(1)).cast("long").as("n"))
+        .orderBy(col("n").desc, col("path")).limit(10)
+    },
+    "bootstrap_ci" -> { (s, d) =>
+      // 95% CI of mean(o_totalprice) by POISSON bootstrap (the one-pass
+      // distributed bootstrap: per-replicate weight ~ Poisson(1) via an
+      // md5-uniform inverse-CDF CASE chain — deterministic in both
+      // engines); B=100 replicate means from ONE map-side-combined
+      // aggregate, CI bounds by rank select on the 100-row frame
+      val b = broadcast(s.range(100).select(col("id").as("b")))
+      val u = graft.core.Num.md5Long(
+        concat(col("o_orderkey").cast("string"), lit("_bs_"), col("b"))) % 1000000L / lit(1000000.0)
+      // cumulative Poisson(1) pmf thresholds (9-decimal literals)
+      val pw = when(u < 0.367879441, 0.0).when(u < 0.735758882, 1.0)
+        .when(u < 0.919698603, 2.0).when(u < 0.980983510, 3.0)
+        .when(u < 0.996304736, 4.0).when(u < 0.999368981, 5.0)
+        .when(u < 0.999879690, 6.0).otherwise(7.0)
+      val means = Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+        .crossJoin(b)
+        .select(col("b"), pw.as("_w"), col("o_totalprice").as("_x"))
+        .groupBy("b")
+        .agg((sum(col("_w") * col("_x")) / sum(col("_w"))).as("_mb"))
+      val wr = Window.orderBy(round(col("_mb"), 4), col("b"))
+      means.withColumn("_rn", row_number().over(wr))
+        .agg(count(lit(1)).cast("long").as("n_replicates"),
+          r4(avg(col("_mb"))).as("boot_mean"),
+          r4(max(when(col("_rn") === 3, col("_mb")))).as("ci_lo"),
+          r4(max(when(col("_rn") === 98, col("_mb")))).as("ci_hi"))
+    },
     "funnel" -> { (s, d) =>
       // ordered signup → view → purchase funnel: running-min window
       // chaining on ONE user_id shuffle (no per-step self-join)
@@ -587,6 +647,44 @@ object MiscQueries {
         |  sum(CASE WHEN NOT is_core AND has_nbr THEN 1 ELSE 0 END)::BIGINT AS n_border,
         |  sum(CASE WHEN NOT is_core AND NOT has_nbr THEN 1 ELSE 0 END)::BIGINT AS n_noise
         |FROM cls""".stripMargin,
+    "rolling_features" ->
+      """WITH e AS (SELECT user_id::BIGINT AS user_id, epoch_us(ts) AS us, value FROM events),
+        |r AS (SELECT user_id,
+        |    count(*) OVER (PARTITION BY user_id ORDER BY us
+        |      RANGE BETWEEN 259200000000 PRECEDING AND CURRENT ROW) AS rc,
+        |    sum(value) OVER (PARTITION BY user_id ORDER BY us
+        |      RANGE BETWEEN 259200000000 PRECEDING AND CURRENT ROW) AS rs
+        |  FROM e)
+        |SELECT user_id, count(*)::BIGINT AS n_events, max(rc)::BIGINT AS max_3d_events,
+        |  round(max(rs), 4) AS max_3d_value, round(avg(rc), 4) AS avg_3d_events
+        |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "event_paths" ->
+      """WITH e AS (SELECT user_id, event_id, event_type AS t, epoch_us(ts) AS us FROM events),
+        |l AS (SELECT t,
+        |    lead(t, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) AS t2,
+        |    lead(t, 2) OVER (PARTITION BY user_id ORDER BY us, event_id) AS t3
+        |  FROM e),
+        |p AS (SELECT t || '>' || t2 || '>' || t3 AS path FROM l WHERE t3 IS NOT NULL)
+        |SELECT path, count(*)::BIGINT AS n FROM p
+        |GROUP BY path ORDER BY n DESC, path LIMIT 10""".stripMargin,
+    "bootstrap_ci" ->
+      """WITH bs AS (SELECT i AS b FROM range(100) r(i)),
+        |u AS (SELECT bs.b, o_totalprice AS x,
+        |    ('0x' || substr(md5(o_orderkey::VARCHAR || '_bs_' || bs.b::VARCHAR), 1, 15))::BIGINT
+        |      % 1000000 / 1000000.0 AS u
+        |  FROM orders, bs),
+        |pw AS (SELECT b, x,
+        |    CASE WHEN u < 0.367879441 THEN 0.0 WHEN u < 0.735758882 THEN 1.0
+        |         WHEN u < 0.919698603 THEN 2.0 WHEN u < 0.980983510 THEN 3.0
+        |         WHEN u < 0.996304736 THEN 4.0 WHEN u < 0.999368981 THEN 5.0
+        |         WHEN u < 0.999879690 THEN 6.0 ELSE 7.0 END AS w
+        |  FROM u),
+        |m AS (SELECT b, sum(w * x) / sum(w) AS mb FROM pw GROUP BY b),
+        |r AS (SELECT b, mb, row_number() OVER (ORDER BY round(mb, 4), b) AS rn FROM m)
+        |SELECT count(*)::BIGINT AS n_replicates, round(avg(mb), 4) AS boot_mean,
+        |  round(max(CASE WHEN rn = 3 THEN mb END), 4) AS ci_lo,
+        |  round(max(CASE WHEN rn = 98 THEN mb END), 4) AS ci_hi
+        |FROM r""".stripMargin,
     "funnel" ->
       """WITH e AS (SELECT user_id, event_id, event_type AS t, epoch_us(ts) AS us FROM events),
         |w1 AS (SELECT user_id, event_id, t, us,

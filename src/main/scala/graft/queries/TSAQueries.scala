@@ -143,6 +143,26 @@ object TSAQueries {
       TimeSeries.stationarityKpss(TimeSeries.dailySeries(Tables.events(s, d)))
         .orderBy("series")
     },
+    "cusum_changepoint" -> { (s, d) =>
+      // CUSUM mean-shift screen per series: S_t = Σ(x−x̄), changepoint =
+      // argmax |S_t| (on ROUNDED values, earliest-t tie-break), statistic
+      // standardized by s·√n — one series-key shuffle shared by the stats
+      // join, the cumsum window, and the argmax window
+      val ds = TimeSeries.dailySeries(Tables.events(s, d))
+      val stats = ds.groupBy("series").agg(avg(col("x")).as("_m"),
+        stddev_samp(col("x")).as("_sd"), count(lit(1)).cast("double").as("_n"))
+      val wc = Window.partitionBy(col("series")).orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = ds.join(stats, "series")
+        .withColumn("_s", sum(col("x") - col("_m")).over(wc))
+      val wr = Window.partitionBy(col("series"))
+        .orderBy(round(abs(col("_s")), 4).desc, col("t"))
+      cum.withColumn("_rn", row_number().over(wr)).filter(col("_rn") === 1)
+        .select(col("series"), col("_n").cast("long").as("n"),
+          col("t").as("cp_t"),
+          r4(abs(col("_s")) / (col("_sd") * sqrt(col("_n")))).as("cusum_stat"))
+        .orderBy("series")
+    },
     "arima_insample" -> { (s, d) =>
       TimeSeries.arimaInsample(TimeSeries.dailySeries(Tables.events(s, d)))
         .orderBy("series")
@@ -744,6 +764,21 @@ object TSAQueries {
          |  UNION ALL SELECT series, 4::BIGINT, round(xc4, 4) FROM fin
          |  UNION ALL SELECT series, 5::BIGINT, round(xc5, 4) FROM fin
          |) ORDER BY series, step""".stripMargin,
+    "cusum_changepoint" ->
+      s"""WITH s0 AS ($dailySql),
+         |s AS (SELECT series, x, (row_number() OVER (PARTITION BY series ORDER BY day) - 1)::BIGINT AS t FROM s0),
+         |st AS (SELECT series, avg(x) AS m, stddev_samp(x) AS sd, count(*)::DOUBLE AS n
+         |  FROM s GROUP BY series),
+         |c AS (SELECT s.series, s.t, st.sd, st.n,
+         |    sum(s.x - st.m) OVER (PARTITION BY s.series ORDER BY s.t
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+         |  FROM s JOIN st USING (series)),
+         |r AS (SELECT series, t, sd, n, cs, row_number()
+         |    OVER (PARTITION BY series ORDER BY round(abs(cs), 4) DESC, t) AS rn
+         |  FROM c)
+         |SELECT series, n::BIGINT AS n, t AS cp_t,
+         |  round(abs(cs) / (sd * sqrt(n)), 4) AS cusum_stat
+         |FROM r WHERE rn = 1 ORDER BY series""".stripMargin,
     "stationarity_kpss" ->
       s"""WITH s0 AS ($dailySql),
          |s AS (SELECT series, x, (row_number() OVER (PARTITION BY series ORDER BY day) - 1)::BIGINT AS t FROM s0),

@@ -101,6 +101,80 @@ class StatQueriesSpec extends AnyFunSuite {
     assert(!noise.exists { case (id, _) => lab.contains(id) }, "noise clustered")
   }
 
+  test("cusum_changepoint finds a planted mean shift") {
+    import spark.implicits._
+    // series: 30 days at level 10, then 30 days at level 20 (tiny noise)
+    val rnd = new scala.util.Random(31)
+    val rows = (0 until 60).flatMap { day =>
+      val level = if (day < 30) 10.0 else 20.0
+      (0 until 3).map(j => (1000L * day + j,
+        java.sql.Timestamp.valueOf(f"2024-01-01 00:00:00").toInstant
+          .plusSeconds(day * 86400L + j).toEpochMilli * 1000L,
+        level / 3 + rnd.nextGaussian() * 0.01))
+    }
+    val ev = rows.toDF("event_id", "us", "value")
+      .withColumn("ts", timestamp_micros(col("us")))
+      .withColumn("event_type", lit("planted"))
+      .withColumn("user_id", lit(1L))
+    val ds = graft.tsa.TimeSeries.dailySeries(ev)
+    val stats = ds.groupBy("series").agg(avg(col("x")).as("_m"),
+      stddev_samp(col("x")).as("_sd"), count(lit(1)).cast("double").as("_n"))
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy(col("series"))
+      .orderBy(col("t")).rowsBetween(Long.MinValue, 0)
+    val cum = ds.join(stats, "series").withColumn("_s", sum(col("x") - col("_m")).over(wc))
+    val wr = org.apache.spark.sql.expressions.Window.partitionBy(col("series"))
+      .orderBy(round(abs(col("_s")), 4).desc, col("t"))
+    val cp = cum.withColumn("_rn", row_number().over(wr)).filter(col("_rn") === 1)
+      .select(col("t")).head().getLong(0)
+    // |CUSUM| peaks exactly at the last pre-shift day (t = 29)
+    assert(cp == 29L, s"changepoint at t=$cp, expected 29")
+  }
+
+  test("bootstrap_ci brackets the sample mean with a sane width") {
+    val got = SparkEntry.queries("bootstrap_ci")(spark, sf).head()
+    val mean = graft.core.Tables.orders(spark, sf)
+      .agg(avg(col("o_totalprice"))).head().getDouble(0)
+    val (lo, hi) = (got.getDouble(got.fieldIndex("ci_lo")), got.getDouble(got.fieldIndex("ci_hi")))
+    assert(got.getLong(got.fieldIndex("n_replicates")) == 100L)
+    assert(lo < mean && mean < hi, s"CI [$lo, $hi] misses mean $mean")
+    assert(hi - lo < mean * 0.2, s"CI implausibly wide: [$lo, $hi]")
+  }
+
+  test("rolling_features matches a driver-side sliding-window replay") {
+    val ev = graft.core.Tables.events(spark, sf)
+      .select(col("user_id").cast("long"), unix_micros(col("ts")), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byUser = ev.groupBy(_._1)
+    val got = SparkEntry.queries("rolling_features")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    byUser.foreach { case (u, es) =>
+      val sorted = es.sortBy(_._2)
+      val windows = sorted.map { case (_, us, _) =>
+        val in = sorted.filter(e => e._2 >= us - 259200000000L && e._2 <= us)
+        (in.length, in.map(_._3).sum)
+      }
+      val (n, maxC, maxS) = got(u)
+      assert(n == es.length.toLong)
+      assert(maxC == windows.map(_._1).max.toLong, s"user $u max count")
+      assert(math.abs(maxS - windows.map(_._2).max) < 1e-3, s"user $u max sum")
+    }
+  }
+
+  test("event_paths top-10 matches a driver-side trigram count") {
+    val ev = graft.core.Tables.events(spark, sf)
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("event_type"), unix_micros(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val counts = ev.groupBy(_._1).values.flatMap { es =>
+      val t = es.sortBy(e => (e._4, e._2)).map(_._3)
+      t.sliding(3).filter(_.length == 3).map(_.mkString(">"))
+    }.groupBy(identity).map { case (k, v) => k -> v.size }
+    val top = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(10)
+    val got = SparkEntry.queries("event_paths")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1).toInt))
+    assert(got.toSeq == top, s"got ${got.toSeq}\nexp $top")
+  }
+
   test("word_entropy matches driver-side per-doc Shannon entropy") {
     val docs = Tables.documents(spark, sf).select(col("doc_id"), col("lang"), col("text"))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
