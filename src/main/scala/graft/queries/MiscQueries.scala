@@ -276,6 +276,28 @@ object MiscQueries {
           gapUs = 4L * 3600 * 1000000)
         .orderBy("user_id")
     },
+    "corr_matrix" -> { (s, d) =>
+      // pairwise Pearson correlation + sample covariance of the lineitem
+      // numerics: ALL sufficient stats from ONE codegen aggregate; the 6
+      // pair rows explode from structs over that single row (the
+      // aggregate never re-executes per pair)
+      val cs = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val aggs = (count(lit(1)).cast("double").as("_n") +:
+        cs.map(c => sum(col(c)).as(s"_s_$c"))) ++
+        (for { i <- cs.indices; j <- i until cs.length }
+          yield sum(col(cs(i)) * col(cs(j))).as(s"_q_${i}_$j"))
+      val g = Tables.lineitem(s, d).agg(aggs.head, aggs.tail: _*)
+      def covOf(i: Int, j: Int) = {
+        val (a, b) = (math.min(i, j), math.max(i, j))
+        (col(s"_q_${a}_$b") - col(s"_s_${cs(i)}") * col(s"_s_${cs(j)}") / col("_n")) /
+          (col("_n") - 1)
+      }
+      val pairs = for { i <- cs.indices; j <- (i + 1) until cs.length } yield
+        struct(lit(cs(i)).as("c1"), lit(cs(j)).as("c2"),
+          r6(covOf(i, j)).as("cov"),
+          r6(covOf(i, j) / sqrt(covOf(i, i) * covOf(j, j))).as("corr"))
+      g.select(explode(array(pairs: _*)).as("p")).select(col("p.*")).orderBy("c1", "c2")
+    },
     "rolling_features" -> { (s, d) =>
       // per-event 3-day rolling count/sum (the feature-engineering shape
       // behind fraud/engagement models): RANGE frame on integer
@@ -647,6 +669,23 @@ object MiscQueries {
         |  sum(CASE WHEN NOT is_core AND has_nbr THEN 1 ELSE 0 END)::BIGINT AS n_border,
         |  sum(CASE WHEN NOT is_core AND NOT has_nbr THEN 1 ELSE 0 END)::BIGINT AS n_noise
         |FROM cls""".stripMargin,
+    "corr_matrix" -> {
+      val cs = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val sums = cs.map(c => s"sum($c) AS s_$c").mkString(", ")
+      val qs = (for { i <- cs.indices; j <- i until cs.length }
+        yield s"sum(${cs(i)} * ${cs(j)}) AS q_${i}_$j").mkString(", ")
+      def cov(i: Int, j: Int) = {
+        val (a, b) = (math.min(i, j), math.max(i, j))
+        s"((q_${a}_$b - s_${cs(i)} * s_${cs(j)} / n) / (n - 1))"
+      }
+      val rows = (for { i <- cs.indices; j <- (i + 1) until cs.length } yield
+        s"SELECT '${cs(i)}' AS c1, '${cs(j)}' AS c2, round(${cov(i, j)}, 6) AS cov, " +
+          s"round(${cov(i, j)} / sqrt(${cov(i, i)} * ${cov(j, j)}), 6) AS corr FROM g")
+        .mkString("\n|UNION ALL ")
+      s"""WITH g AS (SELECT count(*)::DOUBLE AS n, $sums, $qs FROM lineitem)
+         |$rows
+         |ORDER BY c1, c2""".stripMargin
+    },
     "rolling_features" ->
       """WITH e AS (SELECT user_id::BIGINT AS user_id, epoch_us(ts) AS us, value FROM events),
         |r AS (SELECT user_id,

@@ -394,4 +394,38 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), p.take(2000))
     assert(p.contains("*(1)"), p.take(2000))
   }
+
+  test("funnel chains all step windows on ONE user_id shuffle") {
+    val p = planOf(graft.events.Funnel.funnel3(
+      Tables.events(spark, sf), "signup", "view", "purchase"))
+    // the three running-min windows and the per-user groupBy all key on
+    // user_id; only the trailing singleton agg adds a SinglePartition
+    // exchange (not a data shuffle)
+    assert(p.split("Exchange hashpartitioning").length - 1 == 1, p.take(3000))
+  }
+
+  test("NB scoring broadcasts the class frame and joins counts on the token key (corpus never broadcast)") {
+    val p = planOf(graft.text.NaiveBayes.fitPredictConfusion(
+      Tables.documents(spark, sf), "text", "lang"))
+    assert(p.contains("BroadcastExchange"), p.take(3000))
+    // the only nested-loop joins are broadcast crosses against the
+    // one-row vocab/doc-count scalar frames; a plain CartesianProduct
+    // (shuffled both sides) must never appear
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("bootstrap replicate means come from ONE map-side-combined aggregate (no raw-row shuffle)") {
+    val p = planOf(SparkEntry.queries("bootstrap_ci")(spark, sf))
+    // the orders×replicates expansion is a broadcast cross join; the only
+    // hash exchanges are on the 100-row b key (partial→final agg), never
+    // on the expanded fact rows
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p.take(3000))
+    assert(p.contains("partial_sum") || p.contains("partial"), p.take(3000))
+  }
+
+  test("rolling features share ONE user_id shuffle between the RANGE windows and the summary") {
+    val p = planOf(SparkEntry.queries("rolling_features")(spark, sf))
+    assert(p.split("Exchange hashpartitioning").length - 1 == 1, p.take(3000))
+  }
 }

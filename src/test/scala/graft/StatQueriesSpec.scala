@@ -175,6 +175,20 @@ class StatQueriesSpec extends AnyFunSuite {
     assert(got.toSeq == top, s"got ${got.toSeq}\nexp $top")
   }
 
+  test("corr_matrix entries match Spark's corr()/covar_samp builtins") {
+    val li = graft.core.Tables.lineitem(spark, sf)
+    val got = SparkEntry.queries("corr_matrix")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+    got.foreach { case ((c1, c2), (cv, cr)) =>
+      val exp = li.agg(covar_samp(col(c1), col(c2)), corr(col(c1), col(c2))).head()
+      assert(math.abs(cv - exp.getDouble(0)) < math.abs(exp.getDouble(0)) * 1e-6 + 1e-6,
+        s"cov($c1,$c2)")
+      assert(math.abs(cr - exp.getDouble(1)) < 1e-5, s"corr($c1,$c2): $cr vs ${exp.getDouble(1)}")
+      assert(cr >= -1.0 && cr <= 1.0)
+    }
+    assert(got.size == 6, s"expected 6 pairs, got ${got.size}")
+  }
+
   test("word_entropy matches driver-side per-doc Shannon entropy") {
     val docs = Tables.documents(spark, sf).select(col("doc_id"), col("lang"), col("text"))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
