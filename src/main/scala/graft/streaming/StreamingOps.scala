@@ -125,6 +125,53 @@ object StreamingOps {
       }.toDF("key", "event_id", "t", "state_t", "state_v")
   }
 
+  final case class FunnelState(t1: Long, t2: Long, done: Boolean)
+  final case class FunnelOut(user_id: Long, t1: Long, t2: Long, t3: Long)
+
+  /** Streaming ordered funnel — the live twin of
+    * [[graft.events.Funnel.funnel3]]: per-user state is THREE registers
+    * (earliest step-1 time, earliest qualifying step-2 time, done flag) —
+    * constant-size streaming state per user regardless of history length.
+    * Each micro-batch folds its events in the batch op's (us, event_id)
+    * order; a conversion row (user, t1, t2, t3) is emitted exactly once,
+    * when the first qualifying step-3 event arrives — possibly batches
+    * after t1/t2 were seen (the cross-batch carry the spec checks).
+    * Batch-rule parity: step k qualifies only STRICTLY after the earliest
+    * step-(k−1) time, identical to the batch windows' running-min chain.
+    * Events are sorted within each micro-batch; ACROSS batches the fold
+    * assumes per-user time-ordered arrival (the usual log-ingest
+    * contract) — full out-of-order tolerance would need event-time
+    * buffering behind a watermark. */
+  def streamingFunnel(events: DataFrame, step1: String, step2: String,
+                      step3: String): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events.select(col("user_id").cast("long"),
+        col("event_id").cast("long"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .as[(Long, Long, String, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (user, it, state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(Long.MinValue, Long.MinValue, done = false))
+          val out = scala.collection.mutable.ArrayBuffer.empty[FunnelOut]
+          it.toSeq.sortBy(r => (r._4, r._2)).foreach { case (_, _, t, us) =>
+            if (!st.done) {
+              if (t == step1 && st.t1 == Long.MinValue) st = st.copy(t1 = us)
+              else if (t == step2 && st.t2 == Long.MinValue &&
+                st.t1 != Long.MinValue && us > st.t1) st = st.copy(t2 = us)
+              else if (t == step3 && st.t2 != Long.MinValue && us > st.t2) {
+                st = st.copy(done = true)
+                out += FunnelOut(user, st.t1, st.t2, us)
+              }
+            }
+          }
+          state.update(st)
+          out.iterator
+      }.toDF("user_id", "t1", "t2", "t3")
+  }
+
   /** Streaming exact-dedup: drop rows whose content hash was already seen,
     * using flatMapGroupsWithState keyed by the hash (state = seen marker).
     * The unbounded-state caveat is real; a production deployment bounds it

@@ -325,4 +325,38 @@ class StreamingSpec extends AnyFunSuite {
       assert(got(1L) == ((2L, 3L)) && got(2L) == ((1L, 1L)), got.toString)
     } finally q.stop()
   }
+
+  test("streaming funnel carries state across micro-batches and matches batch conversions") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, Long, String, java.sql.Timestamp)]
+    val events = in.toDF().toDF("user_id", "event_id", "event_type", "ts")
+    val q = StreamingOps.streamingFunnel(events, "a", "b", "c")
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("append").start()
+    try {
+      def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+      // u1 converts ACROSS batches (a,b in batch 1; c in batch 2);
+      // u2 does b before a (never converts); u3 converts inside batch 2;
+      // u4 emits c with no prior b (no conversion)
+      val batch1 = Seq((1L, 1L, "a", ts(0)), (1L, 2L, "b", ts(1)),
+        (2L, 3L, "b", ts(0)), (2L, 4L, "a", ts(1)), (4L, 5L, "c", ts(2)))
+      val batch2 = Seq((1L, 6L, "c", ts(10)), (2L, 7L, "c", ts(11)),
+        (3L, 8L, "a", ts(10)), (3L, 9L, "b", ts(11)), (3L, 10L, "c", ts(12)),
+        (4L, 11L, "a", ts(10)))
+      in.addData(batch1: _*); q.processAllAvailable()
+      assert(spark.table("funnel_out").count() == 0L)
+      in.addData(batch2: _*); q.processAllAvailable()
+      val got = spark.table("funnel_out").collect()
+        .map(r => r.getLong(0)).toSet
+      assert(got == Set(1L, 3L), s"converted $got")
+      // batch op on the union agrees on who reaches step 3
+      val all = (batch1 ++ batch2).toDF("user_id", "event_id", "event_type", "ts")
+      val b = graft.events.Funnel.funnel3(all, "a", "b", "c").head()
+      assert(b.getLong(b.fieldIndex("n_step3")) == 2L)
+      // a second c for user 1 must NOT re-emit (done flag)
+      in.addData((1L, 12L, "c", ts(20))); q.processAllAvailable()
+      assert(spark.table("funnel_out").count() == 2L)
+    } finally q.stop()
+  }
 }
