@@ -175,6 +175,22 @@ class StatQueriesSpec extends AnyFunSuite {
     assert(got.toSeq == top, s"got ${got.toSeq}\nexp $top")
   }
 
+  test("GMM EM recovers a planted two-component mixture") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val ys = (0 until 2000).map { i =>
+      if (i % 3 == 0) 10.0 + rnd.nextGaussian() * 1.0   // 1/3 mass at 10
+      else 20.0 + rnd.nextGaussian() * 1.5              // 2/3 mass at 20
+    }
+    val f = graft.cluster.GMM.fit1d(ys.toDF("y"), col("y"), rounds = 10)
+    val (lo, hi) = if (f.mu1 < f.mu2) (f.mu1, f.mu2) else (f.mu2, f.mu1)
+    assert(math.abs(lo - 10.0) < 0.5, s"lo mean $lo")
+    assert(math.abs(hi - 20.0) < 0.5, s"hi mean $hi")
+    val piLo = if (f.mu1 < f.mu2) f.pi1 else 1.0 - f.pi1
+    assert(math.abs(piLo - 1.0 / 3) < 0.05, s"weight $piLo")
+    assert(f.s1 > 0 && f.s2 > 0 && f.ll < 0)
+  }
+
   test("corr_matrix entries match Spark's corr()/covar_samp builtins") {
     val li = graft.core.Tables.lineitem(spark, sf)
     val got = SparkEntry.queries("corr_matrix")(spark, sf).collect()
