@@ -54,6 +54,24 @@ object GMM {
     Fit(n, pi1, mu1, s1, mu2, s2, ll)
   }
 
+  /** Hard assignment under a fitted mixture: component = argmax
+    * responsibility, decided on the ROUNDED posterior (oracle-replayable);
+    * per-component occupancy summary. Scoring is a pure codegen scan
+    * against the 5 literal parameters — zero shuffle before the 2-key
+    * aggregate. */
+  def assign1d(df: DataFrame, y: Column, f: Fit): DataFrame = {
+    val base = df.select(y.cast("double").as("y"))
+    val f1 = lit(f.pi1) * exp(-(col("y") - f.mu1) * (col("y") - f.mu1) /
+      lit(2.0 * f.s1 * f.s1)) / lit(f.s1)
+    val f2 = lit(1.0 - f.pi1) * exp(-(col("y") - f.mu2) * (col("y") - f.mu2) /
+      lit(2.0 * f.s2 * f.s2)) / lit(f.s2)
+    val comp = when(round(f1 / (f1 + f2), 6) >= 0.5, 0L).otherwise(1L)
+    base.select(comp.as("component"), col("y"))
+      .groupBy("component")
+      .agg(count(lit(1)).cast("long").as("n"), round(avg(col("y")), 4).as("mean_y"))
+      .orderBy("component")
+  }
+
   /** One-row result frame with the oracle's rounding. */
   def fit1dFrame(df: DataFrame, y: Column, rounds: Int = 10): DataFrame = {
     val f = fit1d(df, y, rounds)

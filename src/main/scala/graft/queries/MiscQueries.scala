@@ -284,6 +284,14 @@ object MiscQueries {
       graft.cluster.GMM.fit1dFrame(Tables.orders(s, d),
         col("o_totalprice") / 100000.0, rounds = 10)
     },
+    "gmm_assign" -> { (s, d) =>
+      // fit/predict separation for the mixture: refit (same fixed-round
+      // EM), then hard-assign on the ROUNDED posterior — a pure codegen
+      // scan against the 5 literal parameters
+      val o = Tables.orders(s, d)
+      val y = col("o_totalprice") / 100000.0
+      graft.cluster.GMM.assign1d(o, y, graft.cluster.GMM.fit1d(o, y, rounds = 10))
+    },
     "corr_matrix" -> { (s, d) =>
       // pairwise Pearson correlation + sample covariance of the lineitem
       // numerics: ALL sufficient stats from ONE codegen aggregate; the 6
@@ -452,6 +460,33 @@ object MiscQueries {
        |SELECT n::BIGINT AS n, 5::BIGINT AS k,
        |  round(1.0 - 2.0 / (n * 5 * (2.0 * n - 3.0 * 5 - 1.0)) * p, 4) AS trustworthiness
        |FROM pen, nn""".stripMargin
+  }
+
+  /** The gmm_em chained-CTE replay (p0 = moment init; each pK = one
+    * aggregate over yv × p{K-1} — round-for-round GMM.fit1d's loop),
+    * shared by the fit and assign oracles. */
+  private lazy val gmmCtes: String = {
+    val rounds = (1 to 10).map { k =>
+      s"""p$k AS MATERIALIZED (SELECT n, sy, syy,
+         |    sw / n AS pi1, swy / sw AS mu1,
+         |    sqrt(swyy / sw - (swy / sw) * (swy / sw)) AS s1,
+         |    (sy - swy) / (n - sw) AS mu2,
+         |    sqrt((syy - swyy) / (n - sw) - ((sy - swy) / (n - sw)) * ((sy - swy) / (n - sw))) AS s2,
+         |    sll / n - ln(sqrt(2 * pi())) AS ll
+         |  FROM (SELECT max(n) AS n, max(sy) AS sy, max(syy) AS syy,
+         |      sum(f1 / (f1 + f2)) AS sw, sum(f1 / (f1 + f2) * y) AS swy,
+         |      sum(f1 / (f1 + f2) * y * y) AS swyy, sum(ln(f1 + f2)) AS sll
+         |    FROM (SELECT yv.y, p.n, p.sy, p.syy,
+         |        p.pi1 * exp(-(yv.y - p.mu1) * (yv.y - p.mu1) / (2 * p.s1 * p.s1)) / p.s1 AS f1,
+         |        (1 - p.pi1) * exp(-(yv.y - p.mu2) * (yv.y - p.mu2) / (2 * p.s2 * p.s2)) / p.s2 AS f2
+         |      FROM yv, p${k - 1} p)))""".stripMargin
+    }.mkString(",\n")
+    s"""yv AS MATERIALIZED (SELECT o_totalprice / 100000.0 AS y FROM orders),
+       |p0 AS (SELECT count(*)::DOUBLE AS n, sum(y) AS sy, sum(y * y) AS syy,
+       |    0.5 AS pi1, avg(y) - stddev_samp(y) AS mu1, stddev_samp(y) AS s1,
+       |    avg(y) + stddev_samp(y) AS mu2, stddev_samp(y) AS s2, 0.0 AS ll
+       |  FROM yv),
+       |$rounds""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
@@ -677,36 +712,22 @@ object MiscQueries {
         |  sum(CASE WHEN NOT is_core AND has_nbr THEN 1 ELSE 0 END)::BIGINT AS n_border,
         |  sum(CASE WHEN NOT is_core AND NOT has_nbr THEN 1 ELSE 0 END)::BIGINT AS n_noise
         |FROM cls""".stripMargin,
-    "gmm_em" -> {
-      // p0 = moment init; each pK = one aggregate over yv × p{K-1} —
-      // round-for-round the GMM.fit1d driver loop
-      val rounds = (1 to 10).map { k =>
-        s"""p$k AS MATERIALIZED (SELECT n, sy, syy,
-           |    sw / n AS pi1, swy / sw AS mu1,
-           |    sqrt(swyy / sw - (swy / sw) * (swy / sw)) AS s1,
-           |    (sy - swy) / (n - sw) AS mu2,
-           |    sqrt((syy - swyy) / (n - sw) - ((sy - swy) / (n - sw)) * ((sy - swy) / (n - sw))) AS s2,
-           |    sll / n - ln(sqrt(2 * pi())) AS ll
-           |  FROM (SELECT max(n) AS n, max(sy) AS sy, max(syy) AS syy,
-           |      sum(f1 / (f1 + f2)) AS sw, sum(f1 / (f1 + f2) * y) AS swy,
-           |      sum(f1 / (f1 + f2) * y * y) AS swyy, sum(ln(f1 + f2)) AS sll
-           |    FROM (SELECT yv.y, p.n, p.sy, p.syy,
-           |        p.pi1 * exp(-(yv.y - p.mu1) * (yv.y - p.mu1) / (2 * p.s1 * p.s1)) / p.s1 AS f1,
-           |        (1 - p.pi1) * exp(-(yv.y - p.mu2) * (yv.y - p.mu2) / (2 * p.s2 * p.s2)) / p.s2 AS f2
-           |      FROM yv, p${k - 1} p)))""".stripMargin
-      }.mkString(",\n")
-      s"""WITH yv AS MATERIALIZED (SELECT o_totalprice / 100000.0 AS y FROM orders),
-         |p0 AS (SELECT count(*)::DOUBLE AS n, sum(y) AS sy, sum(y * y) AS syy,
-         |    0.5 AS pi1, avg(y) - stddev_samp(y) AS mu1, stddev_samp(y) AS s1,
-         |    avg(y) + stddev_samp(y) AS mu2, stddev_samp(y) AS s2, 0.0 AS ll
-         |  FROM yv),
-         |$rounds
+    "gmm_em" ->
+      s"""WITH $gmmCtes
          |SELECT n::BIGINT AS n, round(pi1, 6) AS pi1,
          |  round(mu1, 4) AS mu1, round(s1, 4) AS sigma1,
          |  round(mu2, 4) AS mu2, round(s2, 4) AS sigma2,
          |  round(ll, 4) AS avg_loglik
-         |FROM p10""".stripMargin
-    },
+         |FROM p10""".stripMargin,
+    "gmm_assign" ->
+      s"""WITH $gmmCtes
+         |SELECT CASE WHEN round(f1 / (f1 + f2), 6) >= 0.5 THEN 0 ELSE 1 END::BIGINT AS component,
+         |  count(*)::BIGINT AS n, round(avg(y), 4) AS mean_y
+         |FROM (SELECT yv.y,
+         |    p.pi1 * exp(-(yv.y - p.mu1) * (yv.y - p.mu1) / (2 * p.s1 * p.s1)) / p.s1 AS f1,
+         |    (1 - p.pi1) * exp(-(yv.y - p.mu2) * (yv.y - p.mu2) / (2 * p.s2 * p.s2)) / p.s2 AS f2
+         |  FROM yv, p10 p)
+         |GROUP BY 1 ORDER BY component""".stripMargin,
     "corr_matrix" -> {
       val cs = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
       val sums = cs.map(c => s"sum($c) AS s_$c").mkString(", ")
