@@ -276,6 +276,31 @@ object MiscQueries {
           gapUs = 4L * 3600 * 1000000)
         .orderBy("user_id")
     },
+    "basket_lift" -> { (s, d) =>
+      // market-basket lift: top co-purchased part pairs by
+      // lift = P(a,b)·N / (P(a)·P(b)) with min support — pair fan-out is
+      // bounded by lines-per-order (a self-join on the order key, ~7×,
+      // never corpus²); part marginals join on the part key; lift
+      // ROUNDED before the top-15 selection
+      val a = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val nOrders = a.select(col("o")).distinct()
+        .agg(count(lit(1)).cast("double").as("_no"))
+      val perPart = a.groupBy(col("p")).agg(count(lit(1)).cast("double").as("_np"))
+      val pairs = a.as("x").join(a.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .groupBy(col("x.p").as("p1"), col("y.p").as("p2"))
+        .agg(count(lit(1)).cast("double").as("_npair"))
+        .filter(col("_npair") >= 2.0)
+      pairs
+        .join(perPart.select(col("p").as("p1"), col("_np").as("_n1")), "p1")
+        .join(perPart.select(col("p").as("p2"), col("_np").as("_n2")), "p2")
+        .crossJoin(broadcast(nOrders))
+        .select(col("p1").cast("long").as("p1"), col("p2").cast("long").as("p2"),
+          col("_npair").cast("long").as("n_pair"),
+          r4(col("_npair") * col("_no") / (col("_n1") * col("_n2"))).as("lift"))
+        .orderBy(col("lift").desc, col("p1"), col("p2")).limit(15)
+    },
     "gmm_em" -> { (s, d) =>
       // 2-component 1-D Gaussian mixture on scaled totalprice: fixed
       // 10-round EM (one map-side-combined aggregate per round, driver
@@ -712,6 +737,18 @@ object MiscQueries {
         |  sum(CASE WHEN NOT is_core AND has_nbr THEN 1 ELSE 0 END)::BIGINT AS n_border,
         |  sum(CASE WHEN NOT is_core AND NOT has_nbr THEN 1 ELSE 0 END)::BIGINT AS n_noise
         |FROM cls""".stripMargin,
+    "basket_lift" ->
+      """WITH a AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |no AS (SELECT count(DISTINCT o)::DOUBLE AS nord FROM a),
+        |pp AS (SELECT p, count(*)::DOUBLE AS np FROM a GROUP BY p),
+        |pr AS (SELECT x.p AS p1, y.p AS p2, count(*)::DOUBLE AS npair
+        |  FROM a x JOIN a y ON x.o = y.o AND x.p < y.p GROUP BY 1, 2),
+        |f AS (SELECT p1, p2, npair,
+        |    round(npair * no.nord / (n1.np * n2.np), 4) AS lift
+        |  FROM pr JOIN pp n1 ON pr.p1 = n1.p JOIN pp n2 ON pr.p2 = n2.p, no
+        |  WHERE npair >= 2.0)
+        |SELECT p1::BIGINT AS p1, p2::BIGINT AS p2, npair::BIGINT AS n_pair, lift
+        |FROM f ORDER BY lift DESC, p1, p2 LIMIT 15""".stripMargin,
     "gmm_em" ->
       s"""WITH $gmmCtes
          |SELECT n::BIGINT AS n, round(pi1, 6) AS pi1,

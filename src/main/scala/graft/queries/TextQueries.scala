@@ -215,6 +215,28 @@ object TextQueries {
     "mix_weights" -> { (s, d) =>
       TextOps.mixWeights(Tables.documents(s, d), "lang", MixTargets).orderBy("lang")
     },
+    "oov_rate" -> { (s, d) =>
+      // tokenizer vocab coverage: OOV share per doc against the corpus
+      // top-500 vocabulary (count desc, token tie-break — a deterministic
+      // cut), per-lang summary. Vocab = one token-key groupBy +
+      // TakeOrdered; membership = broadcast left join
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("doc_id"), col("lang"),
+          explode(split(lower(trim(regexp_replace(col("text"), "\\s+", " "))), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("_c"))
+        .orderBy(col("_c").desc, col("tok")).limit(500)
+        .select(col("tok"), lit(1).as("_in"))
+      val perDoc = toks.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy("doc_id", "lang")
+        .agg(count(lit(1)).cast("double").as("_n"),
+          sum(when(col("_in").isNull, 1.0).otherwise(0.0)).as("_oov"))
+      perDoc.groupBy("lang")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          r6(avg(col("_oov") / col("_n"))).as("avg_oov_rate"),
+          r6(max(col("_oov") / col("_n"))).as("max_oov_rate"))
+        .orderBy("lang")
+    },
     "nb_fit" -> { (s, d) =>
       // multinomial NB fit summary on the md5 train split: per-class doc /
       // token / vocab counts + rounded log-prior (three map-side-combined
@@ -286,6 +308,19 @@ object TextQueries {
        |ntr AS (SELECT count(*)::DOUBLE AS ntr FROM b WHERE sp = 'train')""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "oov_rate" ->
+      s"""WITH n AS (SELECT doc_id, lang, $normToks AS toks FROM documents),
+         |t0 AS (SELECT doc_id, lang, unnest(toks) AS tok FROM n),
+         |t AS (SELECT * FROM t0 WHERE length(tok) > 0),
+         |v AS (SELECT tok FROM (SELECT tok, count(*) AS c FROM t GROUP BY tok
+         |    ORDER BY c DESC, tok LIMIT 500)),
+         |pd AS (SELECT t.doc_id, t.lang, count(*)::DOUBLE AS nt,
+         |    sum(CASE WHEN v.tok IS NULL THEN 1.0 ELSE 0.0 END) AS oov
+         |  FROM t LEFT JOIN v ON t.tok = v.tok GROUP BY 1, 2)
+         |SELECT lang, count(*)::BIGINT AS n_docs,
+         |  round(avg(oov / nt), 6) AS avg_oov_rate,
+         |  round(max(oov / nt), 6) AS max_oov_rate
+         |FROM pd GROUP BY lang ORDER BY lang""".stripMargin,
     "nb_fit" ->
       s"""WITH $nbTrainCtes,
          |cv AS (SELECT class, count(DISTINCT tok)::BIGINT AS class_vocab,

@@ -205,6 +205,37 @@ class StatQueriesSpec extends AnyFunSuite {
     assert(got.size == 6, s"expected 6 pairs, got ${got.size}")
   }
 
+  test("basket_lift matches a driver-side co-occurrence replay") {
+    val li = graft.core.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").cast("long"), col("l_partkey").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val nOrd = li.map(_._1).distinct.length.toDouble
+    val perPart = li.groupBy(_._2).view.mapValues(_.length.toDouble).toMap
+    val pairCnt = li.groupBy(_._1).values.flatMap { os =>
+      val ps = os.map(_._2).sorted
+      for { i <- ps.indices; j <- (i + 1) until ps.length } yield (ps(i), ps(j))
+    }.groupBy(identity).view.mapValues(_.size.toDouble).filter(_._2 >= 2.0)
+    def q4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exp = pairCnt.map { case ((a, b), c) =>
+      (a, b, c.toLong, q4(c * nOrd / (perPart(a) * perPart(b))))
+    }.toSeq.sortBy { case (a, b, _, l) => (-l, a, b) }.take(15)
+    val got = SparkEntry.queries("basket_lift")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == exp, s"got $got\nexp $exp")
+  }
+
+  test("oov_rate: rates in [0,1] and a tiny vocab raises OOV vs a full vocab") {
+    val got = SparkEntry.queries("oov_rate")(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (avg, mx) = (r.getDouble(2), r.getDouble(3))
+      assert(avg >= 0.0 && avg <= 1.0 && mx >= avg && mx <= 1.0, r.toString)
+    }
+    // the synthetic corpus vocabulary is small, so the top-500 cut covers
+    // nearly everything
+    assert(got.map(_.getDouble(2)).max < 0.5)
+  }
+
   test("word_entropy matches driver-side per-doc Shannon entropy") {
     val docs = Tables.documents(spark, sf).select(col("doc_id"), col("lang"), col("text"))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
