@@ -276,6 +276,49 @@ object MiscQueries {
           gapUs = 4L * 3600 * 1000000)
         .orderBy("user_id")
     },
+    "anova_f" -> { (s, d) =>
+      // one-way ANOVA across order priorities: between/within sums of
+      // squares from ONE group aggregate + one bounded reduce; F on
+      // ROUNDED values
+      val g = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).cast("double").as("_n"), sum(col("o_totalprice")).as("_s"),
+          sum(col("o_totalprice") * col("o_totalprice")).as("_q"))
+      g.agg(sum(col("_n")).as("_nt"), sum(col("_s")).as("_st"),
+          sum(col("_q")).as("_qt"), count(lit(1)).cast("double").as("_k"),
+          sum(col("_s") * col("_s") / col("_n")).as("_ssb_raw"))
+        .select(col("_nt").cast("long").as("n"), col("_k").cast("long").as("k"),
+          r4((col("_ssb_raw") - col("_st") * col("_st") / col("_nt")) / (col("_k") - 1) /
+            ((col("_qt") - col("_ssb_raw")) / (col("_nt") - col("_k")))).as("f_stat"))
+    },
+    "mann_whitney" -> { (s, d) =>
+      // Mann-Whitney U over the md5 A/B split (the rank-based companion
+      // of welch_ttest): midranks from the distinct-value frame (the
+      // spearman discipline), U and the tie-corrected normal
+      // approximation z from one sufficient-stats pass
+      val o = Tables.orders(s, d).select(col("o_totalprice").as("_v"),
+        (Preprocessing.splitColumn(col("o_orderkey"), 250, 42L) === "train").as("_a"))
+      val g = o.groupBy(col("_v")).agg(count(lit(1)).cast("double").as("_c"))
+      val wr = Window.orderBy(col("_v")).rowsBetween(Window.unboundedPreceding, -1)
+      val ranks = g.select(col("_v"),
+        (coalesce(sum(col("_c")).over(wr), lit(0.0)) + (col("_c") + 1.0) / 2.0).as("_r"),
+        col("_c"))
+      val joined = o.join(ranks, "_v")
+      val st = joined.agg(
+        sum(when(col("_a"), 1.0).otherwise(0.0)).as("_na"),
+        sum(when(!col("_a"), 1.0).otherwise(0.0)).as("_nb"),
+        sum(when(col("_a"), col("_r")).otherwise(0.0)).as("_ra"))
+      val ties = g.agg(sum(col("_c") * col("_c") * col("_c") - col("_c")).as("_t3"))
+      val n = col("_na") + col("_nb")
+      val u = col("_ra") - col("_na") * (col("_na") + 1.0) / 2.0
+      val mu = col("_na") * col("_nb") / 2.0
+      val sig = sqrt(col("_na") * col("_nb") / 12.0 *
+        ((n + 1.0) - col("_t3") / (n * (n - 1.0))))
+      st.crossJoin(broadcast(ties))
+        .select(col("_na").cast("long").as("n_a"), col("_nb").cast("long").as("n_b"),
+          r4(u).as("u_stat"), r4((u - mu) / sig).as("z"),
+          (abs(r4((u - mu) / sig)) > 1.96).as("reject"))
+    },
     "basket_lift" -> { (s, d) =>
       // market-basket lift: top co-purchased part pairs by
       // lift = P(a,b)·N / (P(a)·P(b)) with min support — pair fan-out is
@@ -737,6 +780,34 @@ object MiscQueries {
         |  sum(CASE WHEN NOT is_core AND has_nbr THEN 1 ELSE 0 END)::BIGINT AS n_border,
         |  sum(CASE WHEN NOT is_core AND NOT has_nbr THEN 1 ELSE 0 END)::BIGINT AS n_noise
         |FROM cls""".stripMargin,
+    "anova_f" ->
+      """WITH g AS (SELECT o_orderpriority, count(*)::DOUBLE AS n, sum(o_totalprice) AS s,
+        |    sum(o_totalprice * o_totalprice) AS q FROM orders GROUP BY 1),
+        |t AS (SELECT sum(n) AS nt, sum(s) AS st, sum(q) AS qt, count(*)::DOUBLE AS k,
+        |    sum(s * s / n) AS ssb_raw FROM g)
+        |SELECT nt::BIGINT AS n, k::BIGINT AS k,
+        |  round((ssb_raw - st * st / nt) / (k - 1) / ((qt - ssb_raw) / (nt - k)), 4) AS f_stat
+        |FROM t""".stripMargin,
+    "mann_whitney" ->
+      """WITH o AS (SELECT o_totalprice AS v,
+        |    CASE WHEN ('0x' || substr(md5(o_orderkey::VARCHAR || '_42'), 1, 15))::BIGINT % 1000 < 250
+        |      THEN 0 ELSE 1 END AS a FROM orders),
+        |g AS (SELECT v, count(*)::DOUBLE AS c FROM o GROUP BY v),
+        |r AS (SELECT v, c, coalesce(sum(c) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + (c + 1.0) / 2.0 AS rk
+        |  FROM g),
+        |j AS (SELECT o.a, r.rk FROM o JOIN r ON o.v = r.v),
+        |st AS (SELECT sum(CASE WHEN a = 1 THEN 1.0 ELSE 0.0 END) AS na,
+        |    sum(CASE WHEN a = 0 THEN 1.0 ELSE 0.0 END) AS nb,
+        |    sum(CASE WHEN a = 1 THEN rk ELSE 0.0 END) AS ra FROM j),
+        |tt AS (SELECT sum(c * c * c - c) AS t3 FROM g),
+        |f AS (SELECT na, nb, ra - na * (na + 1.0) / 2.0 AS u,
+        |    na * nb / 2.0 AS mu,
+        |    sqrt(na * nb / 12.0 * ((na + nb + 1.0) - t3 / ((na + nb) * (na + nb - 1.0)))) AS sig
+        |  FROM st, tt)
+        |SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b, round(u, 4) AS u_stat,
+        |  round((u - mu) / sig, 4) AS z, abs(round((u - mu) / sig, 4)) > 1.96 AS reject
+        |FROM f""".stripMargin,
     "basket_lift" ->
       """WITH a AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |no AS (SELECT count(DISTINCT o)::DOUBLE AS nord FROM a),

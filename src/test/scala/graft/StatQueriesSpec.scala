@@ -205,6 +205,43 @@ class StatQueriesSpec extends AnyFunSuite {
     assert(got.size == 6, s"expected 6 pairs, got ${got.size}")
   }
 
+  test("anova_f matches a driver-side between/within decomposition") {
+    val rows = graft.core.Tables.orders(spark, sf)
+      .select(col("o_orderpriority"), col("o_totalprice"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val groups = rows.groupBy(_._1).values.map(_.map(_._2)).toSeq
+    val grand = rows.map(_._2).sum / rows.length
+    val ssb = groups.map(g => g.length * math.pow(g.sum / g.length - grand, 2)).sum
+    val ssw = groups.map(g => { val m = g.sum / g.length; g.map(x => (x - m) * (x - m)).sum }).sum
+    val f = (ssb / (groups.size - 1)) / (ssw / (rows.length - groups.size))
+    val got = SparkEntry.queries("anova_f")(spark, sf).head()
+    assert(got.getLong(0) == rows.length.toLong && got.getLong(1) == groups.size.toLong)
+    assert(math.abs(got.getDouble(2) - f) < 1e-2, s"F ${got.getDouble(2)} vs $f")
+  }
+
+  test("mann_whitney matches a driver-side midrank U computation") {
+    val rows = graft.core.Tables.orders(spark, sf)
+      .select(col("o_totalprice"),
+        (graft.preprocessing.Preprocessing.splitColumn(col("o_orderkey"), 250, 42L) === "train"))
+      .collect().map(r => (r.getDouble(0), r.getBoolean(1)))
+    val sorted = rows.map(_._1).sorted
+    val rank = rows.map(_._1).distinct.map { v =>
+      v -> (sorted.count(_ < v) + (sorted.count(_ == v) + 1.0) / 2.0)
+    }.toMap
+    val na = rows.count(_._2).toDouble; val nb = rows.length - na
+    val ra = rows.filter(_._2).map(r => rank(r._1)).sum
+    val u = ra - na * (na + 1) / 2
+    val tieSum = rows.map(_._1).groupBy(identity).values
+      .map(g => math.pow(g.length, 3) - g.length).sum
+    val n = na + nb
+    val sig = math.sqrt(na * nb / 12.0 * ((n + 1) - tieSum / (n * (n - 1))))
+    val z = (u - na * nb / 2) / sig
+    val got = SparkEntry.queries("mann_whitney")(spark, sf).head()
+    assert(got.getLong(0) == na.toLong && got.getLong(1) == nb.toLong)
+    assert(math.abs(got.getDouble(2) - u) < 1e-2, s"U ${got.getDouble(2)} vs $u")
+    assert(math.abs(got.getDouble(3) - z) < 1e-3, s"z ${got.getDouble(3)} vs $z")
+  }
+
   test("basket_lift matches a driver-side co-occurrence replay") {
     val li = graft.core.Tables.lineitem(spark, sf)
       .select(col("l_orderkey").cast("long"), col("l_partkey").cast("long"))
