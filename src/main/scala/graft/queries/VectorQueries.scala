@@ -93,18 +93,9 @@ object VectorQueries {
       // same 8 fixed min-label rounds as dedup_clusters. Edge membership
       // decides on the ROUNDED similarity; summary = cluster count/sizes
       // + singletons (vectors with no ≥τ neighbor in-bucket)
-      import graft.core.VectorOps
       val e = Tables.embeddings(s, d)
-      val b = KNN.lshBuckets(e, "vec_id", "embedding", bits = 8, dim = 64)
-        .withColumn("n2", VectorOps.sqNormFixed(col("v"), 64))
-      val sim = VectorOps.dotFixed(col("a.v"), col("b.v"), 64) /
-        sqrt(col("a.n2") * col("b.n2"))
-      val edges = b.as("a").join(b.as("b"),
-          col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-        .select(col("a.id").as("id1"), col("b.id").as("id2"), sim.as("_s"))
-        .filter(round(col("_s"), 4) >= 0.3)
-        .select(col("id1"), col("id2")).distinct()
-      val lab = graft.graph.ConnectedComponents.propagate(edges, "id1", "id2", 8)
+      val lab = graft.graph.ConnectedComponents.propagate(
+        lshThresholdEdges(e), "id1", "id2", 8)
       val tot = e.agg(count(lit(1)).as("_t"))
       lab.groupBy(col("label")).agg(count(lit(1)).as("_sz"))
         .agg(count(lit(1)).cast("long").as("n_clusters"),
@@ -113,6 +104,21 @@ object VectorQueries {
         .crossJoin(broadcast(tot))
         .select(col("n_clusters"), col("n_clustered"), col("max_cluster"),
           (col("_t") - col("n_clustered")).cast("long").as("n_singletons"))
+    },
+    "label_prop" -> { (s, d) =>
+      // semi-supervised label propagation on the same LSH threshold
+      // graph: 10% of vectors seed their true label, 5 fixed
+      // majority-vote rounds spread them (ties → smallest label); output
+      // = final label occupancy (−1 = never reached)
+      val e = Tables.embeddings(s, d)
+      val nodes = e.select(col("vec_id").cast("long").as("node"),
+        when(col("vec_id") % 10 === 0, col("label").cast("long")).as("seed"))
+      val lab = graft.graph.LabelPropagation.propagate(nodes,
+        lshThresholdEdges(e).toDF("src", "dst"), rounds = 5)
+      lab.groupBy(coalesce(col("lab"), lit(-1L)).as("label"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(when(col("seed").isNotNull, 1L).otherwise(0L)).as("n_seeds"))
+        .orderBy("label")
     },
     "ann_lsh" -> { (s, d) =>
       KNN.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding",
@@ -383,6 +389,22 @@ object VectorQueries {
        |GROUP BY c.cell ORDER BY cell""".stripMargin
   }
 
+  /** The cosine ≥ 0.3 LSH-bucket threshold edges shared by
+    * agglomerative_cc and label_prop: pairs form only inside buckets
+    * (Σ bucket²), membership decides on the ROUNDED similarity. */
+  private def lshThresholdEdges(e: DataFrame): DataFrame = {
+    import graft.core.VectorOps
+    val b = KNN.lshBuckets(e, "vec_id", "embedding", bits = 8, dim = 64)
+      .withColumn("n2", VectorOps.sqNormFixed(col("v"), 64))
+    val sim = VectorOps.dotFixed(col("a.v"), col("b.v"), 64) /
+      sqrt(col("a.n2") * col("b.n2"))
+    b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"), sim.as("_s"))
+      .filter(round(col("_s"), 4) >= 0.3)
+      .select(col("id1"), col("id2")).distinct()
+  }
+
   /** The md5-seeded 8-bit random-hyperplane signature (KNN.lshBuckets),
     * replayed entry-for-entry in SQL. */
   private val lshSigSql: String = (0 until 8).map { b =>
@@ -553,6 +575,36 @@ object VectorQueries {
          |  FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.id < b.id)
          |SELECT id1::BIGINT AS id1, id2::BIGINT AS id2, round(s, 4) AS cosine
          |FROM p ORDER BY s DESC, id1, id2 LIMIT 20""".stripMargin,
+    "label_prop" -> {
+      // 5 majority-vote rounds over the shared threshold-edge CTEs,
+      // mirroring LabelPropagation.propagate round-for-round
+      val rounds = (1 to 5).map { k =>
+        s"""c$k AS MATERIALIZED (SELECT ed.src AS node, x.lab AS nl, count(*) AS c
+           |  FROM ed JOIN a${k - 1} x ON ed.dst = x.node
+           |  WHERE x.lab IS NOT NULL GROUP BY 1, 2),
+           |b$k AS MATERIALIZED (SELECT node, nl AS best FROM (
+           |  SELECT node, nl, row_number() OVER (PARTITION BY node ORDER BY c DESC, nl) AS rn
+           |  FROM c$k) WHERE rn = 1),
+           |a$k AS MATERIALIZED (SELECT a.node, a.seed,
+           |    coalesce(a.seed, coalesce(b.best, a.lab)) AS lab
+           |  FROM a${k - 1} a LEFT JOIN b$k b ON a.node = b.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+         |bkt AS (SELECT id, v, $lshSigSql AS bucket FROM e),
+         |pr AS MATERIALIZED (SELECT DISTINCT a.id AS id1, b.id AS id2
+         |  FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.id < b.id
+         |  WHERE round($cosSql, 4) >= 0.3),
+         |ed AS MATERIALIZED (SELECT id1 AS src, id2 AS dst FROM pr
+         |  UNION ALL SELECT id2, id1 FROM pr),
+         |a0 AS MATERIALIZED (SELECT vec_id::BIGINT AS node,
+         |    CASE WHEN vec_id % 10 = 0 THEN label::BIGINT END AS seed,
+         |    CASE WHEN vec_id % 10 = 0 THEN label::BIGINT END AS lab
+         |  FROM embeddings),
+         |$rounds
+         |SELECT coalesce(lab, -1)::BIGINT AS label, count(*)::BIGINT AS n,
+         |  sum(CASE WHEN seed IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_seeds
+         |FROM a5 GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "agglomerative_cc" -> {
       // same 8-round min-label CC replay as TextQueries' dedup_clusters;
       // MATERIALIZED keeps DuckDB from re-inlining each round twice

@@ -242,6 +242,27 @@ class StatQueriesSpec extends AnyFunSuite {
     assert(math.abs(got.getDouble(3) - z) < 1e-3, s"z ${got.getDouble(3)} vs $z")
   }
 
+  test("label propagation fills components from seeds; ties go to the smaller label") {
+    import spark.implicits._
+    // component A: chain 1-2-3-4 seeded at node 1 (label 7)
+    // component B: triangle 10-11-12 seeded at node 10 (label 3)
+    // node 20: isolated, unseeded → stays unlabeled
+    // node 30: bridges two seeds 31 (label 1) and 32 (label 2) equally → tie → 1
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (30L, 31L), (30L, 32L)).toDF("src", "dst")
+    val nodes = Seq((1L, Some(7L)), (2L, None), (3L, None), (4L, None),
+      (10L, Some(3L)), (11L, None), (12L, None), (20L, None),
+      (30L, None), (31L, Some(1L)), (32L, Some(2L)))
+      .toDF("node", "seed")
+    val got = graft.graph.LabelPropagation.propagate(nodes, edges, rounds = 5)
+      .collect().map(r => r.getLong(0) -> Option(r.get(2)).map(_.asInstanceOf[Long])).toMap
+    Seq(1L, 2L, 3L, 4L).foreach(n => assert(got(n).contains(7L), s"node $n: ${got(n)}"))
+    Seq(10L, 11L, 12L).foreach(n => assert(got(n).contains(3L), s"node $n"))
+    assert(got(20L).isEmpty, "isolated node got a label")
+    assert(got(30L).contains(1L), s"tie broke to ${got(30L)}, expected 1")
+    assert(got(31L).contains(1L) && got(32L).contains(2L), "seeds must not move")
+  }
+
   test("basket_lift matches a driver-side co-occurrence replay") {
     val li = graft.core.Tables.lineitem(spark, sf)
       .select(col("l_orderkey").cast("long"), col("l_partkey").cast("long"))
