@@ -276,6 +276,33 @@ object MiscQueries {
           gapUs = 4L * 3600 * 1000000)
         .orderBy("user_id")
     },
+    "rfm_segments" -> { (s, d) =>
+      // RFM customer segmentation: recency (days before the corpus max
+      // order day, integer epoch-day math), frequency, monetary per
+      // customer from ONE groupBy; quintile codes via ntile over
+      // (metric, custkey) — the declared global-sort audit twin (the
+      // lift_table/quantile_buckets pattern); output = the bounded
+      // (r, f) segment grid
+      val o = Tables.orders(s, d)
+      // o_orderdate is TIMESTAMP_NTZ; the UTC session zone makes the
+      // cast interpret it as UTC — matching DuckDB's epoch_us on the
+      // naive timestamp
+      val day = floor(unix_micros(col("o_orderdate").cast("timestamp")) / lit(86400000000L))
+      val per = o.groupBy(col("o_custkey").as("cust"))
+        .agg(max(day).as("_last"), count(lit(1)).cast("long").as("_f"),
+          sum(col("o_totalprice")).as("_m"))
+      val maxDay = per.agg(max(col("_last")).as("_maxd"))
+      val base = per.crossJoin(broadcast(maxDay))
+        .select(col("cust"), (col("_maxd") - col("_last")).cast("long").as("_r"),
+          col("_f"), col("_m"))
+      val rCode = ntile(5).over(Window.orderBy(col("_r"), col("cust")))
+      val fCode = ntile(5).over(Window.orderBy(col("_f").desc, col("cust")))
+      base.select(col("cust"), rCode.as("r_code"), fCode.as("f_code"), col("_m"))
+        .groupBy("r_code", "f_code")
+        .agg(count(lit(1)).cast("long").as("n_customers"),
+          r4(avg(col("_m"))).as("avg_monetary"))
+        .orderBy("r_code", "f_code")
+    },
     "anova_f" -> { (s, d) =>
       // one-way ANOVA across order priorities: between/within sums of
       // squares from ONE group aggregate + one bounded reduce; F on
@@ -430,7 +457,11 @@ object MiscQueries {
         .when(u < 0.919698603, 2.0).when(u < 0.980983510, 3.0)
         .when(u < 0.996304736, 4.0).when(u < 0.999368981, 5.0)
         .when(u < 0.999879690, 6.0).otherwise(7.0)
-      val means = Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+      // the ×100 expansion multiplies work per input split — re-spread the
+      // (typically single-file) orders scan so the md5 weight map runs on
+      // every core instead of one task
+      val means = Tables.ensureParallelism(
+          Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice")))
         .crossJoin(b)
         .select(col("b"), pw.as("_w"), col("o_totalprice").as("_x"))
         .groupBy("b")
@@ -780,6 +811,20 @@ object MiscQueries {
         |  sum(CASE WHEN NOT is_core AND has_nbr THEN 1 ELSE 0 END)::BIGINT AS n_border,
         |  sum(CASE WHEN NOT is_core AND NOT has_nbr THEN 1 ELSE 0 END)::BIGINT AS n_noise
         |FROM cls""".stripMargin,
+    "rfm_segments" ->
+      """WITH per AS (SELECT o_custkey AS cust,
+        |    max(epoch_us(o_orderdate) // 86400000000) AS last_d,
+        |    count(*)::BIGINT AS f, sum(o_totalprice) AS m
+        |  FROM orders GROUP BY 1),
+        |mx AS (SELECT max(last_d) AS maxd FROM per),
+        |b AS (SELECT cust, (mx.maxd - per.last_d)::BIGINT AS r, f, m FROM per, mx),
+        |c AS (SELECT cust, m,
+        |    ntile(5) OVER (ORDER BY r, cust) AS r_code,
+        |    ntile(5) OVER (ORDER BY f DESC, cust) AS f_code
+        |  FROM b)
+        |SELECT r_code::INT AS r_code, f_code::INT AS f_code,
+        |  count(*)::BIGINT AS n_customers, round(avg(m), 4) AS avg_monetary
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "anova_f" ->
       """WITH g AS (SELECT o_orderpriority, count(*)::DOUBLE AS n, sum(o_totalprice) AS s,
         |    sum(o_totalprice * o_totalprice) AS q FROM orders GROUP BY 1),

@@ -77,6 +77,11 @@ object TSAQueries {
       // classical additive decomposition at the weekly period
       TimeSeries.seasonalDecompose(TimeSeries.dailySeries(Tables.events(s, d)), 7)
     },
+    "seasonal_strength" -> { (s, d) =>
+      // Hyndman F_s/F_t from the weekly decomposition (the
+      // forecastability screen next to stationarity)
+      TimeSeries.seasonalStrength(TimeSeries.dailySeries(Tables.events(s, d)), 7)
+    },
     "ccf" -> { (s, d) =>
       // lead/lag structure between the click and purchase daily series:
       // cross-correlation at lags −3..3 over the joined day support
@@ -545,6 +550,21 @@ object TSAQueries {
          |SELECT series, n, q_stat, q_stat > 12.5916 AS reject
          |FROM q ORDER BY series""".stripMargin
     },
+    "seasonal_strength" ->
+      s"""WITH s0 AS ($dailySql),
+         |s AS (SELECT series, x, (row_number() OVER (PARTITION BY series ORDER BY day) - 1)::BIGINT AS t FROM s0),
+         |ma AS (SELECT series, t, x,
+         |    avg(x) OVER (PARTITION BY series ORDER BY t ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend,
+         |    count(*) OVER (PARTITION BY series ORDER BY t ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS nw
+         |  FROM s),
+         |det AS (SELECT series, t % 7 AS phase, x, x - trend AS det FROM ma WHERE nw = 7),
+         |pm AS (SELECT series, phase, avg(det) AS raw FROM det GROUP BY 1, 2),
+         |cg AS (SELECT series, phase, raw - avg(raw) OVER (PARTITION BY series) AS seasonal FROM pm)
+         |SELECT d.series AS series, count(*)::BIGINT AS n,
+         |  round(greatest(0.0, 1.0 - var_samp(d.det - f.seasonal) / var_samp(d.det)), 4) AS seasonal_strength,
+         |  round(greatest(0.0, 1.0 - var_samp(d.det - f.seasonal) / var_samp(d.x - f.seasonal)), 4) AS trend_strength
+         |FROM det d JOIN cg f ON d.series = f.series AND d.phase = f.phase
+         |GROUP BY d.series ORDER BY series""".stripMargin,
     "seasonal_decompose" ->
       s"""WITH s0 AS ($dailySql),
          |s AS (SELECT series, x, (row_number() OVER (PARTITION BY series ORDER BY day) - 1)::BIGINT AS t FROM s0),

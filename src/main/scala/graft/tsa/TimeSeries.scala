@@ -610,6 +610,39 @@ object TimeSeries {
     * sum to zero, residual = detrended − seasonal. Per (series, phase)
     * summary row. The ordered window and both groupBys key on the series —
     * one shuffle family, no global sort. */
+  /** Hyndman's seasonal/trend strength from the classical decomposition:
+    * F_s = max(0, 1 − Var(resid)/Var(detrended)),
+    * F_t = max(0, 1 − Var(resid)/Var(deseasonalized)) — one more grouped
+    * aggregate over the same centered-MA construction as
+    * [[seasonalDecompose]] (same single series-key shuffle). */
+  def seasonalStrength(series: DataFrame, period: Int): DataFrame = {
+    require(period % 2 == 1, "centered MA needs an odd period")
+    val half = period / 2
+    val wMa = Window.partitionBy(col("series")).orderBy(col("t"))
+      .rowsBetween(-half, half)
+    val det = series
+      .withColumn("_nw", count(lit(1)).over(wMa))
+      .withColumn("_trend", avg(col("x")).over(wMa))
+      .filter(col("_nw") === period)
+      .select(col("series"), (col("t") % period).as("phase"),
+        col("x"), col("_trend"), (col("x") - col("_trend")).as("_det"))
+    val phaseMeans = det.groupBy(col("series"), col("phase"))
+      .agg(avg(col("_det")).as("_raw"))
+    val centered = phaseMeans
+      .withColumn("_gmean", avg(col("_raw")).over(Window.partitionBy(col("series"))))
+      .select(col("series"), col("phase"), (col("_raw") - col("_gmean")).as("_seasonal"))
+    det.join(centered, Seq("series", "phase"))
+      .groupBy(col("series"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        r4(greatest(lit(0.0), lit(1.0) -
+          var_samp(col("_det") - col("_seasonal")) / var_samp(col("_det"))))
+          .as("seasonal_strength"),
+        r4(greatest(lit(0.0), lit(1.0) -
+          var_samp(col("_det") - col("_seasonal")) /
+            var_samp(col("x") - col("_seasonal")))).as("trend_strength"))
+      .orderBy("series")
+  }
+
   def seasonalDecompose(series: DataFrame, period: Int): DataFrame = {
     require(period % 2 == 1, "centered MA needs an odd period")
     val half = period / 2

@@ -294,6 +294,32 @@ class StatQueriesSpec extends AnyFunSuite {
     assert(got.map(_.getDouble(2)).max < 0.5)
   }
 
+  test("rfm_segments: quintile grid covers all customers; codes in 1..5") {
+    val rows = SparkEntry.queries("rfm_segments")(spark, sf).collect()
+    val nCust = graft.core.Tables.orders(spark, sf)
+      .select(countDistinct(col("o_custkey"))).head().getLong(0)
+    assert(rows.map(_.getLong(2)).sum == nCust)
+    rows.foreach { r =>
+      assert(r.getInt(0) >= 1 && r.getInt(0) <= 5 && r.getInt(1) >= 1 && r.getInt(1) <= 5)
+      assert(r.getDouble(3) > 0)
+    }
+  }
+
+  test("seasonal strength is high for a planted weekly pattern, low for noise") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(47)
+    val mk = (name: String, f: Int => Double) => (0 until 56).map { t =>
+      (name, java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(t)), f(t), t.toLong)
+    }
+    val rows = mk("weekly", t => 100.0 + 30.0 * math.sin(2 * math.Pi * (t % 7) / 7.0) +
+      rnd.nextGaussian() * 0.5) ++ mk("noise", _ => 100.0 + rnd.nextGaussian() * 10)
+    val series = rows.toDF("series", "day", "x", "t")
+    val got = graft.tsa.TimeSeries.seasonalStrength(series.select(col("series"), col("day"), col("x"), col("t")), 7)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got("weekly") > 0.9, s"weekly ${got("weekly")}")
+    assert(got("noise") < 0.5, s"noise ${got("noise")}")
+  }
+
   test("word_entropy matches driver-side per-doc Shannon entropy") {
     val docs = Tables.documents(spark, sf).select(col("doc_id"), col("lang"), col("text"))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
