@@ -276,6 +276,42 @@ object MiscQueries {
           gapUs = 4L * 3600 * 1000000)
         .orderBy("user_id")
     },
+    "wasserstein_1d" -> { (s, d) =>
+      // 1-D earth-mover distance between the A/B-split totalprice
+      // distributions: W₁ = Σ |F_A − F_B|·Δv over the merged support —
+      // the ks_test/roc discipline (quantize, ONE groupBy to the
+      // distinct-value frame, one bounded window), never a raw-row sort
+      val o = Tables.orders(s, d)
+      val isRef = Preprocessing.splitColumn(col("o_orderkey"), 250, 42L) === "train"
+      val g = o.select(round(col("o_totalprice"), 2).as("_v"), isRef.as("_a"))
+        .groupBy("_v")
+        .agg(sum(when(col("_a"), 1.0).otherwise(0.0)).as("_ca"),
+          sum(when(!col("_a"), 1.0).otherwise(0.0)).as("_cb"))
+      val wc = Window.orderBy(col("_v")).rowsBetween(Window.unboundedPreceding, 0)
+      val wAll = Window.orderBy(col("_v"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val stepped = g
+        .withColumn("_fa", sum(col("_ca")).over(wc) / sum(col("_ca")).over(wAll))
+        .withColumn("_fb", sum(col("_cb")).over(wc) / sum(col("_cb")).over(wAll))
+        .withColumn("_nextv", lead(col("_v"), 1).over(Window.orderBy(col("_v"))))
+      stepped.filter(col("_nextv").isNotNull)
+        .agg(sum(col("_ca") + col("_cb")).cast("long").as("n_support"),
+          r4(sum(abs(col("_fa") - col("_fb")) * (col("_nextv") - col("_v"))))
+            .as("wasserstein"))
+    },
+    "hhi_concentration" -> { (s, d) =>
+      // Herfindahl–Hirschman concentration of the document mix per
+      // dimension (source and lang): Σ share² from one bounded groupBy
+      // each — the crawl-balance monitoring twin of domain_cap
+      val docs = Tables.documents(s, d)
+      def hhi(c: String) = {
+        val g = docs.groupBy(col(c)).agg(count(lit(1)).cast("double").as("_n"))
+        g.agg((lit(c)).as("dim"), count(lit(1)).cast("long").as("n_groups"),
+          r6(sum(col("_n") * col("_n")) /
+            (sum(col("_n")) * sum(col("_n")))).as("hhi"))
+      }
+      hhi("source").unionAll(hhi("lang")).orderBy("dim")
+    },
     "rfm_segments" -> { (s, d) =>
       // RFM customer segmentation: recency (days before the corpus max
       // order day, integer epoch-day math), frequency, monetary per
@@ -811,6 +847,27 @@ object MiscQueries {
         |  sum(CASE WHEN NOT is_core AND has_nbr THEN 1 ELSE 0 END)::BIGINT AS n_border,
         |  sum(CASE WHEN NOT is_core AND NOT has_nbr THEN 1 ELSE 0 END)::BIGINT AS n_noise
         |FROM cls""".stripMargin,
+    "wasserstein_1d" ->
+      """WITH o AS (SELECT round(o_totalprice, 2) AS v,
+        |    CASE WHEN ('0x' || substr(md5(o_orderkey::VARCHAR || '_42'), 1, 15))::BIGINT % 1000 < 250
+        |      THEN 0 ELSE 1 END AS a FROM orders),
+        |g AS (SELECT v, sum(CASE WHEN a = 1 THEN 1.0 ELSE 0.0 END) AS ca,
+        |    sum(CASE WHEN a = 0 THEN 1.0 ELSE 0.0 END) AS cb FROM o GROUP BY v),
+        |c AS (SELECT v, ca, cb,
+        |    sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / sum(ca) OVER () AS fa,
+        |    sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / sum(cb) OVER () AS fb,
+        |    lead(v, 1) OVER (ORDER BY v) AS nextv
+        |  FROM g)
+        |SELECT sum(ca + cb)::BIGINT AS n_support,
+        |  round(sum(abs(fa - fb) * (nextv - v)), 4) AS wasserstein
+        |FROM c WHERE nextv IS NOT NULL""".stripMargin,
+    "hhi_concentration" ->
+      """WITH s AS (SELECT 'source' AS dim, count(*)::DOUBLE AS n FROM documents GROUP BY source),
+        |l AS (SELECT 'lang' AS dim, count(*)::DOUBLE AS n FROM documents GROUP BY lang),
+        |u AS (SELECT * FROM s UNION ALL SELECT * FROM l)
+        |SELECT dim, count(*)::BIGINT AS n_groups,
+        |  round(sum(n * n) / (sum(n) * sum(n)), 6) AS hhi
+        |FROM u GROUP BY dim ORDER BY dim""".stripMargin,
     "rfm_segments" ->
       """WITH per AS (SELECT o_custkey AS cust,
         |    max(epoch_us(o_orderdate) // 86400000000) AS last_d,

@@ -215,6 +215,12 @@ object TextQueries {
     "mix_weights" -> { (s, d) =>
       TextOps.mixWeights(Tables.documents(s, d), "lang", MixTargets).orderBy("lang")
     },
+    "tfidf_pairs" -> { (s, d) =>
+      // sparse-cosine document similarity over the df-pruned inverted
+      // index (terms in > half the corpus drop before the posting join)
+      graft.text.Relevance.tfidfCosinePairs(Tables.documents(s, d),
+        "text", "doc_id", topN = 20)
+    },
     "oov_rate" -> { (s, d) =>
       // tokenizer vocab coverage: OOV share per doc against the corpus
       // top-500 vocabulary (count desc, token tie-break — a deterministic
@@ -308,6 +314,23 @@ object TextQueries {
        |ntr AS (SELECT count(*)::DOUBLE AS ntr FROM b WHERE sp = 'train')""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "tfidf_pairs" ->
+      s"""WITH n AS (SELECT doc_id, $normToks AS toks FROM documents),
+         |t0 AS (SELECT doc_id AS doc, unnest(toks) AS term FROM n),
+         |t AS (SELECT doc, term, count(*)::DOUBLE AS tf FROM t0
+         |  WHERE length(term) > 0 GROUP BY 1, 2),
+         |nd AS (SELECT count(*)::DOUBLE AS nd FROM documents),
+         |dfq AS (SELECT term, count(*)::DOUBLE AS df FROM t GROUP BY term),
+         |dfk AS (SELECT term, df FROM dfq, nd WHERE df <= nd * 0.5),
+         |w AS (SELECT t.doc, t.term, t.tf * ln(nd.nd / dfk.df) AS w
+         |  FROM t JOIN dfk USING (term), nd),
+         |nrm AS (SELECT doc, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc),
+         |dots AS (SELECT a.doc AS d1, b.doc AS d2, sum(a.w * b.w) AS dot
+         |  FROM w a JOIN w b ON a.term = b.term AND a.doc < b.doc GROUP BY 1, 2)
+         |SELECT d1::BIGINT AS d1, d2::BIGINT AS d2,
+         |  round(dot / (n1.nrm * n2.nrm), 6) AS cosine
+         |FROM dots JOIN nrm n1 ON dots.d1 = n1.doc JOIN nrm n2 ON dots.d2 = n2.doc
+         |ORDER BY cosine DESC, d1, d2 LIMIT 20""".stripMargin,
     "oov_rate" ->
       s"""WITH n AS (SELECT doc_id, lang, $normToks AS toks FROM documents),
          |t0 AS (SELECT doc_id, lang, unnest(toks) AS tok FROM n),

@@ -84,6 +84,40 @@ object Relevance {
         col("col.term").as("term"), r6(col("col.score")).as("score"))
   }
 
+  /** Top-N most-similar document pairs by TF-IDF cosine over a PRUNED
+    * inverted index — the sparse-vector similarity search every IR /
+    * near-dup pipeline ships: terms with df > maxDfFrac·N are dropped
+    * BEFORE the posting self-join (the standard stopword-pruning trick
+    * that bounds the pair fan-out at Σ df² over rare terms, never
+    * corpus²); weights, norms, and the cosine are all computed over the
+    * pruned vocabulary consistently, so the DuckDB oracle replays the
+    * ranking exactly (rounded-cosine ordering, (d1, d2) tie-break). */
+  def tfidfCosinePairs(df: DataFrame, textCol: String, idCol: String,
+                       topN: Int, maxDfFrac: Double = 0.5): DataFrame = {
+    val tf = df.select(col(idCol).cast("long").as("doc"),
+        explode(normToks(textCol)).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("doc", "term").agg(count(lit(1)).cast("double").as("tf"))
+    val nDocs = df.agg(count(lit(1)).cast("double").as("nd"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") <= col("nd") * maxDfFrac)
+    val w = tf.join(dfreq, "term")
+      .select(col("doc"), col("term"), (col("tf") * log(col("nd") / col("df"))).as("w"))
+    val norms = w.groupBy("doc").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    val dots = w.as("a").join(w.as("b"),
+        col("a.term") === col("b.term") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("d1"), col("b.doc").as("d2"))
+      .agg(sum(col("a.w") * col("b.w")).as("dot"))
+    dots
+      .join(norms.select(col("doc").as("d1"), col("nrm").as("_n1")), "d1")
+      .join(norms.select(col("doc").as("d2"), col("nrm").as("_n2")), "d2")
+      .select(col("d1"), col("d2"),
+        round(col("dot") / (col("_n1") * col("_n2")), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("d1"), col("d2"))
+      .limit(topN)
+  }
+
   /** BM25 scores for a literal query-term set; top-N documents.
     * idf is the Lucene/ATIRE positive form ln(1 + (N − df + ½)/(df + ½));
     * the per-term contribution is idf · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)).

@@ -320,6 +320,61 @@ class StatQueriesSpec extends AnyFunSuite {
     assert(got("noise") < 0.5, s"noise ${got("noise")}")
   }
 
+  test("tfidf cosine pairs rank a planted near-duplicate first") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon unique1"),
+      (2L, "alpha beta gamma delta epsilon unique2"),   // near-dup of 1
+      (3L, "zeta eta theta iota kappa lambda"),
+      (4L, "mu nu xi omicron pi rho"),
+      (5L, "sigma tau upsilon phi chi psi")).toDF("doc_id", "text")
+    val got = graft.text.Relevance.tfidfCosinePairs(docs, "text", "doc_id", topN = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.head._1 == 1L && got.head._2 == 2L, got.mkString(","))
+    // the unique high-idf term in each doc caps the cosine well below 1
+    assert(got.head._3 > 0.5, s"near-dup cosine ${got.head._3}")
+    got.foreach { case (_, _, c) => assert(c >= -1e-9 && c <= 1.0 + 1e-9) }
+  }
+
+  test("wasserstein_1d is ~0 between identical distributions, positive under shift") {
+    // the A/B md5 split draws from the same distribution → small W₁
+    // relative to the data scale (~250k mean)
+    val got = SparkEntry.queries("wasserstein_1d")(spark, sf).head()
+    val w = got.getDouble(got.fieldIndex("wasserstein"))
+    assert(w >= 0.0 && w < 25000.0, s"same-distribution W1 $w")
+    // driver cross-check on a planted shift: two staircase CDFs 5 apart
+    import spark.implicits._
+    val a = (0 until 100).map(i => (i.toLong, i.toDouble))
+    // reuse the metric shape directly: shifted uniform has W1 = shift
+    val shift = 5.0
+    val allRows = a.map { case (id, v) => (id * 2, v, true) } ++
+      a.map { case (id, v) => (id * 2 + 1, v + shift, false) }
+    val df = allRows.toDF("id", "v", "isA")
+    val g = df.groupBy(col("v")).agg(
+      sum(when(col("isA"), 1.0).otherwise(0.0)).as("ca"),
+      sum(when(!col("isA"), 1.0).otherwise(0.0)).as("cb"))
+    import org.apache.spark.sql.expressions.Window
+    val wc = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, 0)
+    val wA = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val res = g.withColumn("fa", sum(col("ca")).over(wc) / sum(col("ca")).over(wA))
+      .withColumn("fb", sum(col("cb")).over(wc) / sum(col("cb")).over(wA))
+      .withColumn("nv", lead(col("v"), 1).over(Window.orderBy(col("v"))))
+      .filter(col("nv").isNotNull)
+      .agg(sum(abs(col("fa") - col("fb")) * (col("nv") - col("v")))).head().getDouble(0)
+    assert(math.abs(res - shift) < 1e-9, s"planted-shift W1 $res != $shift")
+  }
+
+  test("hhi_concentration: uniform mix gives 1/k") {
+    val got = SparkEntry.queries("hhi_concentration")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    got.foreach { case (_, (k, h)) =>
+      assert(h >= 1.0 / k - 1e-9 && h <= 1.0, s"HHI $h outside [1/k, 1]")
+    }
+    // the synthetic mix is roughly balanced → HHI near 1/k
+    val (kl, hl) = got("lang")
+    assert(hl < 2.0 / kl, s"lang HHI $hl suspiciously concentrated")
+  }
+
   test("word_entropy matches driver-side per-doc Shannon entropy") {
     val docs = Tables.documents(spark, sf).select(col("doc_id"), col("lang"), col("text"))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
