@@ -276,6 +276,39 @@ object MiscQueries {
           gapUs = 4L * 3600 * 1000000)
         .orderBy("user_id")
     },
+    "kaplan_meier" -> { (s, d) =>
+      // Kaplan-Meier survival of user activity spans (days between first
+      // and last event, all spans observed — the uncensored special
+      // case): product-limit via exp(cumsum ln(1 − d/n)) over the
+      // bounded distinct-duration frame; at-risk counts from one
+      // cumulative window
+      val ev = Tables.events(s, d).select(col("user_id"),
+        floor(unix_micros(col("ts")) / lit(86400000000L)).as("_day"))
+      val dur = ev.groupBy("user_id")
+        .agg((max(col("_day")) - min(col("_day")) + 1).cast("long").as("d"))
+      val g = dur.groupBy("d").agg(count(lit(1)).cast("double").as("_dd"))
+      val wPrior = Window.orderBy(col("d")).rowsBetween(Window.unboundedPreceding, -1)
+      val wCum = Window.orderBy(col("d")).rowsBetween(Window.unboundedPreceding, 0)
+      val wAll = Window.orderBy(col("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      g.withColumn("_risk",
+          sum(col("_dd")).over(wAll) - coalesce(sum(col("_dd")).over(wPrior), lit(0.0)))
+        // the last duration has deaths = at-risk → ln(0); a −1e300 term
+        // underflows exp to exactly 0 in both engines (Spark's log would
+        // return null, DuckDB's would error)
+        .withColumn("_lnS", sum(when(col("_dd") < col("_risk"),
+          log(lit(1.0) - col("_dd") / col("_risk"))).otherwise(lit(-1e300))).over(wCum))
+        .select(col("d").as("duration"), col("_risk").cast("long").as("n_risk"),
+          col("_dd").cast("long").as("n_events"), r6(exp(col("_lnS"))).as("survival"))
+        .orderBy("duration")
+    },
+    "poisson_reg" -> { (s, d) =>
+      // Poisson GLM of quantity on discount: fixed 8-round IRLS (one
+      // weighted-sums aggregate per round, 2×2 Cramer on the driver) —
+      // replays as chained CTEs
+      graft.linear.GLM.poissonFrame(Tables.lineitem(s, d),
+        col("l_quantity"), col("l_discount"), rounds = 8)
+    },
     "wasserstein_1d" -> { (s, d) =>
       // 1-D earth-mover distance between the A/B-split totalprice
       // distributions: W₁ = Σ |F_A − F_B|·Δv over the merged support —
@@ -847,6 +880,43 @@ object MiscQueries {
         |  sum(CASE WHEN NOT is_core AND has_nbr THEN 1 ELSE 0 END)::BIGINT AS n_border,
         |  sum(CASE WHEN NOT is_core AND NOT has_nbr THEN 1 ELSE 0 END)::BIGINT AS n_noise
         |FROM cls""".stripMargin,
+    "kaplan_meier" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |dur AS (SELECT user_id, (max(day) - min(day) + 1)::BIGINT AS d FROM e GROUP BY user_id),
+        |g AS (SELECT d, count(*)::DOUBLE AS dd FROM dur GROUP BY d),
+        |c AS (SELECT d, dd,
+        |    sum(dd) OVER () - coalesce(sum(dd) OVER (ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS risk
+        |  FROM g),
+        |s AS (SELECT d, dd, risk,
+        |    sum(CASE WHEN dd < risk THEN ln(1.0 - dd / risk) ELSE -1e300 END)
+        |      OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lns
+        |  FROM c)
+        |SELECT d AS duration, risk::BIGINT AS n_risk, dd::BIGINT AS n_events,
+        |  round(exp(lns), 6) AS survival
+        |FROM s ORDER BY duration""".stripMargin,
+    "poisson_reg" -> {
+      // p0 = ln(mean) init; each round = weighted sums + Cramer 2×2,
+      // round-for-round GLM.poissonIrls
+      val rounds = (1 to 8).map { k =>
+        s"""p$k AS MATERIALIZED (SELECT
+           |    (swz * swxx - swx * swxz) / (sw * swxx - swx * swx) AS b0,
+           |    (sw * swxz - swx * swz) / (sw * swxx - swx * swx) AS b1
+           |  FROM (SELECT sum(mu) AS sw, sum(mu * x) AS swx, sum(mu * x * x) AS swxx,
+           |      sum(mu * z) AS swz, sum(mu * x * z) AS swxz
+           |    FROM (SELECT x, y, mu, (b0 + b1 * x) + (y - mu) / mu AS z
+           |      FROM (SELECT v.x, v.y, p.b0, p.b1, exp(p.b0 + p.b1 * v.x) AS mu
+           |        FROM xv v, p${k - 1} p))))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH xv AS MATERIALIZED (SELECT l_quantity::DOUBLE AS y, l_discount::DOUBLE AS x FROM lineitem),
+         |p0 AS (SELECT ln(avg(y)) AS b0, 0.0 AS b1 FROM xv),
+         |$rounds,
+         |dev AS (SELECT sum(2.0 * (CASE WHEN y > 0 THEN y * ln(y / mu) ELSE 0.0 END - (y - mu))) AS dv,
+         |    count(*)::BIGINT AS n
+         |  FROM (SELECT v.y, exp(p.b0 + p.b1 * v.x) AS mu FROM xv v, p8 p))
+         |SELECT n, round(p8.b0, 6) AS b0, round(p8.b1, 6) AS b1, round(dv, 4) AS deviance
+         |FROM p8, dev""".stripMargin
+    },
     "wasserstein_1d" ->
       """WITH o AS (SELECT round(o_totalprice, 2) AS v,
         |    CASE WHEN ('0x' || substr(md5(o_orderkey::VARCHAR || '_42'), 1, 15))::BIGINT % 1000 < 250

@@ -375,6 +375,46 @@ class StatQueriesSpec extends AnyFunSuite {
     assert(hl < 2.0 / kl, s"lang HHI $hl suspiciously concentrated")
   }
 
+  test("Poisson IRLS recovers planted log-link coefficients") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(53)
+    def poisson(lambda: Double): Int = {
+      val l = math.exp(-lambda); var k = 0; var p = 1.0
+      while ({ p *= rnd.nextDouble(); p > l }) k += 1
+      k
+    }
+    val rows = (0 until 4000).map { _ =>
+      val x = rnd.nextDouble()                    // x in [0,1)
+      (poisson(math.exp(1.0 + 2.0 * x)).toDouble, x)
+    }
+    val f = graft.linear.GLM.poissonIrls(rows.toDF("y", "x"), col("y"), col("x"))
+    assert(math.abs(f.b0 - 1.0) < 0.1, s"b0 ${f.b0}")
+    assert(math.abs(f.b1 - 2.0) < 0.15, s"b1 ${f.b1}")
+    assert(f.deviance > 0)
+  }
+
+  test("kaplan_meier matches a driver-side product-limit replay") {
+    val ev = graft.core.Tables.events(spark, sf)
+      .select(col("user_id").cast("long"),
+        floor(unix_micros(col("ts")) / lit(86400000000L)).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val durs = ev.groupBy(_._1).values
+      .map(g => g.map(_._2).max - g.map(_._2).min + 1).toSeq
+    val total = durs.size.toDouble
+    var surv = 1.0; var prior = 0.0
+    val exp = durs.groupBy(identity).toSeq.sortBy(_._1).map { case (dv, g) =>
+      val dd = g.size.toDouble
+      val risk = total - prior
+      prior += dd
+      surv *= (1.0 - dd / risk)
+      (dv, risk.toLong, dd.toLong, BigDecimal(surv).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = SparkEntry.queries("kaplan_meier")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == exp, s"got $got\nexp $exp")
+  }
+
   test("word_entropy matches driver-side per-doc Shannon entropy") {
     val docs = Tables.documents(spark, sf).select(col("doc_id"), col("lang"), col("text"))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
