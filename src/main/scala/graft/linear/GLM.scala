@@ -41,6 +41,59 @@ object GLM {
     PoissonFit(n, b0, b1, dev)
   }
 
+  final case class LogitFit(n: Double, b0: Double, b1: Double, b2: Double,
+                            logLoss: Double)
+
+  /** Binomial GLM (logit link, intercept + two features) by the same
+    * fixed-round IRLS: w = p(1−p), z = η + (y−p)/w, one aggregate of the
+    * 9 weighted sums per round, 3×3 Cramer on the driver. Unlike the
+    * MLlib L-BFGS path (logreg, rows-only by necessity), the fixed-round
+    * Newton iterate is bit-replayable by a SQL oracle. β starts at 0 —
+    * the first round is then exactly weighted least squares on z = 4y−2. */
+  def logisticIrls(df: DataFrame, y: Column, x1: Column, x2: Column,
+                   rounds: Int = 8): LogitFit = {
+    val base = df.select(y.cast("double").as("y"), x1.cast("double").as("x1"),
+      x2.cast("double").as("x2"))
+    val n = base.count().toDouble
+    var (b0, b1, b2) = (0.0, 0.0, 0.0)
+    (0 until rounds).foreach { _ =>
+      val eta = lit(b0) + lit(b1) * col("x1") + lit(b2) * col("x2")
+      val p = lit(1.0) / (lit(1.0) + exp(-eta))
+      val w = p * (lit(1.0) - p)
+      val z = eta + (col("y") - p) / w
+      val r = base.agg(
+        sum(w).as("s00"), sum(w * col("x1")).as("s01"), sum(w * col("x2")).as("s02"),
+        sum(w * col("x1") * col("x1")).as("s11"),
+        sum(w * col("x1") * col("x2")).as("s12"),
+        sum(w * col("x2") * col("x2")).as("s22"),
+        sum(w * z).as("r0"), sum(w * col("x1") * z).as("r1"),
+        sum(w * col("x2") * z).as("r2")).head()
+      val (s00, s01, s02) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+      val (s11, s12, s22) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      val (r0, r1, r2) = (r.getDouble(6), r.getDouble(7), r.getDouble(8))
+      def det3(a: Double, b: Double, c: Double, d: Double, e: Double, f: Double,
+               g: Double, h: Double, i: Double) =
+        a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+      val det = det3(s00, s01, s02, s01, s11, s12, s02, s12, s22)
+      b0 = det3(r0, s01, s02, r1, s11, s12, r2, s12, s22) / det
+      b1 = det3(s00, r0, s02, s01, r1, s12, s02, r2, s22) / det
+      b2 = det3(s00, s01, r0, s01, s11, r1, s02, s12, r2) / det
+    }
+    val eta = lit(b0) + lit(b1) * col("x1") + lit(b2) * col("x2")
+    val p = lit(1.0) / (lit(1.0) + exp(-eta))
+    val llRow = base.agg(avg(-(col("y") * log(p) +
+      (lit(1.0) - col("y")) * log(lit(1.0) - p)))).head()
+    LogitFit(n, b0, b1, b2, llRow.getDouble(0))
+  }
+
+  def logisticFrame(df: DataFrame, y: Column, x1: Column, x2: Column,
+                    rounds: Int = 8): DataFrame = {
+    val f = logisticIrls(df, y, x1, x2, rounds)
+    df.sparkSession.range(1).select(lit(f.n).cast("long").as("n"),
+      round(lit(f.b0), 6).as("b0"), round(lit(f.b1), 6).as("b1"),
+      round(lit(f.b2), 6).as("b2"), round(lit(f.logLoss), 6).as("log_loss"))
+  }
+
   /** One-row result frame with the oracle's rounding. */
   def poissonFrame(df: DataFrame, y: Column, x: Column, rounds: Int = 8): DataFrame = {
     val f = poissonIrls(df, y, x, rounds)

@@ -57,6 +57,14 @@ object MLQueries {
           alpha = 10.0, l1Ratio = 0.5)
         .toDF(s).select(col("term"), (round(col("coef"), 2) + 0.0).as("coef")).orderBy("term")
     },
+    "logreg_irls" -> { (s, d) =>
+      // the hash-gated sibling of logreg: fixed 8-round Newton/IRLS with
+      // a 3×3 Cramer solve per round — unlike the MLlib L-BFGS path
+      // (engine-internal, rows-only), every iterate replays in SQL
+      graft.linear.GLM.logisticFrame(Tables.lineitem(s, d),
+        (col("l_returnflag") === "R").cast("double"),
+        col("l_quantity") / 10.0, col("l_discount"), rounds = 8)
+    },
     "logreg" -> { (s, d) =>
       val df = liWithLabel(s, d)
       val input = new VectorAssembler().setInputCols(LiFeatures.toArray).setOutputCol("_fv")
@@ -225,7 +233,47 @@ object MLQueries {
       |  UNION ALL SELECT 'l_quantity', round(w/sd, 1) FROM fin
       |) ORDER BY term""".stripMargin
 
+  /** det of the 3×3 whose rows are the given column triples. */
+  private def det3(m: Seq[Seq[String]]): String = {
+    val Seq(Seq(a, b, c), Seq(d, e, f), Seq(g, h, i)) = m
+    s"($a*($e*$i - $f*$h) - $b*($d*$i - $f*$g) + $c*($d*$h - $e*$g))"
+  }
+
+  private lazy val logregIrlsOracle: String = {
+    val rounds = (1 to 8).map { k =>
+      val full = Seq(Seq("s00", "s01", "s02"), Seq("s01", "s11", "s12"), Seq("s02", "s12", "s22"))
+      val c0 = Seq(Seq("r0", "s01", "s02"), Seq("r1", "s11", "s12"), Seq("r2", "s12", "s22"))
+      val c1 = Seq(Seq("s00", "r0", "s02"), Seq("s01", "r1", "s12"), Seq("s02", "r2", "s22"))
+      val c2 = Seq(Seq("s00", "s01", "r0"), Seq("s01", "s11", "r1"), Seq("s02", "s12", "r2"))
+      s"""p$k AS MATERIALIZED (SELECT
+         |    ${det3(c0)} / ${det3(full)} AS b0,
+         |    ${det3(c1)} / ${det3(full)} AS b1,
+         |    ${det3(c2)} / ${det3(full)} AS b2
+         |  FROM (SELECT sum(w) AS s00, sum(w * x1) AS s01, sum(w * x2) AS s02,
+         |      sum(w * x1 * x1) AS s11, sum(w * x1 * x2) AS s12, sum(w * x2 * x2) AS s22,
+         |      sum(w * z) AS r0, sum(w * x1 * z) AS r1, sum(w * x2 * z) AS r2
+         |    FROM (SELECT x1, x2, p * (1.0 - p) AS w,
+         |        eta + (y - p) / (p * (1.0 - p)) AS z
+         |      FROM (SELECT v.y, v.x1, v.x2, p.b0 + p.b1 * v.x1 + p.b2 * v.x2 AS eta,
+         |          1.0 / (1.0 + exp(-(p.b0 + p.b1 * v.x1 + p.b2 * v.x2))) AS p
+         |        FROM xv v, p${k - 1} p))))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH xv AS MATERIALIZED (SELECT
+       |    CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y,
+       |    l_quantity / 10.0 AS x1, l_discount::DOUBLE AS x2 FROM lineitem),
+       |p0 AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2),
+       |$rounds,
+       |fin AS (SELECT count(*)::BIGINT AS n,
+       |    avg(-(y * ln(p) + (1.0 - y) * ln(1.0 - p))) AS ll
+       |  FROM (SELECT v.y, 1.0 / (1.0 + exp(-(p.b0 + p.b1 * v.x1 + p.b2 * v.x2))) AS p
+       |    FROM xv v, p8 p))
+       |SELECT fin.n, round(p8.b0, 6) AS b0, round(p8.b1, 6) AS b1,
+       |  round(p8.b2, 6) AS b2, round(fin.ll, 6) AS log_loss
+       |FROM p8, fin""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "logreg_irls" -> logregIrlsOracle,
     "sgd_linreg" -> sgdOracle,
     "lasso_cd" -> cdOracle(10.0, 1.0),
     "elastic_net" -> cdOracle(10.0, 0.5),

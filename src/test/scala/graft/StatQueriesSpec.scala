@@ -393,6 +393,31 @@ class StatQueriesSpec extends AnyFunSuite {
     assert(f.deviance > 0)
   }
 
+  test("logistic IRLS recovers planted coefficients and agrees with MLlib") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(59)
+    val rows = (0 until 4000).map { _ =>
+      val x1 = rnd.nextGaussian(); val x2 = rnd.nextGaussian()
+      val p = 1.0 / (1.0 + math.exp(-(0.5 + 1.5 * x1 - 2.0 * x2)))
+      (if (rnd.nextDouble() < p) 1.0 else 0.0, x1, x2)
+    }
+    val df = rows.toDF("y", "x1", "x2")
+    val f = graft.linear.GLM.logisticIrls(df, col("y"), col("x1"), col("x2"))
+    assert(math.abs(f.b0 - 0.5) < 0.15, s"b0 ${f.b0}")
+    assert(math.abs(f.b1 - 1.5) < 0.15, s"b1 ${f.b1}")
+    assert(math.abs(f.b2 + 2.0) < 0.15, s"b2 ${f.b2}")
+    // MLlib (unregularized L-BFGS) lands on the same optimum
+    import org.apache.spark.ml.classification.LogisticRegression
+    import org.apache.spark.ml.feature.VectorAssembler
+    val input = new VectorAssembler().setInputCols(Array("x1", "x2"))
+      .setOutputCol("_fv").transform(df)
+    val m = new LogisticRegression().setFeaturesCol("_fv").setLabelCol("y")
+      .setMaxIter(100).setRegParam(0.0).setTol(1e-10).fit(input)
+    assert(math.abs(m.interceptVector(0) - f.b0) < 0.01)
+    assert(math.abs(m.coefficientMatrix(0, 0) - f.b1) < 0.01)
+    assert(math.abs(m.coefficientMatrix(0, 1) - f.b2) < 0.01)
+  }
+
   test("kaplan_meier matches a driver-side product-limit replay") {
     val ev = graft.core.Tables.events(spark, sf)
       .select(col("user_id").cast("long"),
