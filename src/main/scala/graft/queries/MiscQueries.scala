@@ -276,6 +276,44 @@ object MiscQueries {
           gapUs = 4L * 3600 * 1000000)
         .orderBy("user_id")
     },
+    "topk_per_group" -> { (s, d) =>
+      // top-3 parts by revenue within each return flag: the canonical
+      // grouped top-k — rank window PARTITIONED by the bounded group key
+      // (never a global sort), revenue ROUNDED before ranking
+      val li = Tables.lineitem(s, d)
+      val rev = li.groupBy(col("l_returnflag").as("flag"), col("l_partkey").as("part"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("_rev"))
+      val w = Window.partitionBy(col("flag")).orderBy(col("_rev").desc, col("part"))
+      rev.withColumn("_rk", row_number().over(w)).filter(col("_rk") <= 3)
+        .select(col("flag"), col("_rk").cast("long").as("rank"),
+          col("part").cast("long").as("part"), r4(col("_rev")).as("revenue"))
+        .orderBy("flag", "rank")
+    },
+    "sales_rollup" -> { (s, d) =>
+      // ROLLUP over (priority, status): subtotals + grand total in one
+      // pass (Spark's rollup ≡ grouping-sets partial aggregation —
+      // map-side combined at every level); null grouping keys mark the
+      // subtotal rows in both engines
+      Tables.orders(s, d)
+        .rollup(col("o_orderpriority").as("priority"), col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).cast("long").as("n"), r4(sum(col("o_totalprice"))).as("revenue"))
+        .orderBy(col("priority").asc_nulls_first, col("status").asc_nulls_first)
+    },
+    "weekly_growth" -> { (s, d) =>
+      // week-over-week revenue growth: integer epoch-week buckets, ONE
+      // bounded-frame lag window over the per-week aggregate
+      val o = Tables.orders(s, d)
+      val wk = floor(unix_micros(col("o_orderdate").cast("timestamp")) /
+        lit(86400000000L * 7)).cast("long")
+      val per = o.groupBy(wk.as("week"))
+        .agg(round(sum(col("o_totalprice")), 2).as("_rev"))
+      val w = Window.orderBy(col("week"))
+      per.withColumn("_prev", lag(col("_rev"), 1).over(w))
+        .select(col("week"), r4(col("_rev")).as("revenue"),
+          r4(when(col("_prev").isNotNull,
+            (col("_rev") - col("_prev")) / col("_prev"))).as("wow_growth"))
+        .orderBy("week")
+    },
     "kaplan_meier" -> { (s, d) =>
       // Kaplan-Meier survival of user activity spans (days between first
       // and last event, all spans observed — the uncensored special
@@ -880,6 +918,27 @@ object MiscQueries {
         |  sum(CASE WHEN NOT is_core AND has_nbr THEN 1 ELSE 0 END)::BIGINT AS n_border,
         |  sum(CASE WHEN NOT is_core AND NOT has_nbr THEN 1 ELSE 0 END)::BIGINT AS n_noise
         |FROM cls""".stripMargin,
+    "topk_per_group" ->
+      """WITH rev AS (SELECT l_returnflag AS flag, l_partkey AS part,
+        |    round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS rev
+        |  FROM lineitem GROUP BY 1, 2),
+        |r AS (SELECT flag, part, rev,
+        |    row_number() OVER (PARTITION BY flag ORDER BY rev DESC, part) AS rk
+        |  FROM rev)
+        |SELECT flag, rk::BIGINT AS rank, part::BIGINT AS part, round(rev, 4) AS revenue
+        |FROM r WHERE rk <= 3 ORDER BY flag, rank""".stripMargin,
+    "sales_rollup" ->
+      """SELECT o_orderpriority AS priority, o_orderstatus AS status,
+        |  count(*)::BIGINT AS n, round(sum(o_totalprice), 4) AS revenue
+        |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        |ORDER BY priority NULLS FIRST, status NULLS FIRST""".stripMargin,
+    "weekly_growth" ->
+      """WITH per AS (SELECT (epoch_us(o_orderdate) // 604800000000)::BIGINT AS week,
+        |    round(sum(o_totalprice), 2) AS rev
+        |  FROM orders GROUP BY 1)
+        |SELECT week, round(rev, 4) AS revenue,
+        |  round((rev - lag(rev, 1) OVER (ORDER BY week)) / lag(rev, 1) OVER (ORDER BY week), 4) AS wow_growth
+        |FROM per ORDER BY week""".stripMargin,
     "kaplan_meier" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
         |dur AS (SELECT user_id, (max(day) - min(day) + 1)::BIGINT AS d FROM e GROUP BY user_id),

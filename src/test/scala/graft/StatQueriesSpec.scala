@@ -440,6 +440,30 @@ class StatQueriesSpec extends AnyFunSuite {
     assert(got == exp, s"got $got\nexp $exp")
   }
 
+  test("OLAP trio invariants: grouped top-k ordering, rollup consistency, growth identity") {
+    val topk = SparkEntry.queries("topk_per_group")(spark, sf).collect()
+    topk.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to sorted.length))
+      val revs = sorted.map(_.getDouble(3))
+      assert(revs.zip(revs.tail).forall { case (a, b) => a >= b }, revs.mkString(","))
+    }
+    val roll = SparkEntry.queries("sales_rollup")(spark, sf).collect()
+    val grand = roll.filter(r => r.isNullAt(0) && r.isNullAt(1)).head
+    val leaves = roll.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+    assert(grand.getLong(2) == leaves.map(_.getLong(2)).sum)
+    assert(math.abs(grand.getDouble(3) - leaves.map(_.getDouble(3)).sum) < 1.0)
+    val growth = SparkEntry.queries("weekly_growth")(spark, sf)
+      .orderBy("week").collect()
+    assert(growth.head.isNullAt(2), "first week must have null growth")
+    growth.sliding(2).foreach { case Array(a, b) =>
+      if (!b.isNullAt(2) && b.getLong(0) == a.getLong(0) + 1) {
+        val expected = (b.getDouble(1) - a.getDouble(1)) / a.getDouble(1)
+        assert(math.abs(b.getDouble(2) - expected) < 1e-3, s"week ${b.getLong(0)}")
+      }
+    }
+  }
+
   test("word_entropy matches driver-side per-doc Shannon entropy") {
     val docs = Tables.documents(spark, sf).select(col("doc_id"), col("lang"), col("text"))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
