@@ -215,6 +215,57 @@ object TextQueries {
     "mix_weights" -> { (s, d) =>
       TextOps.mixWeights(Tables.documents(s, d), "lang", MixTargets).orderBy("lang")
     },
+    "context_windows" -> { (s, d) =>
+      // skip-gram training-pair extraction (center, context) within ±2:
+      // positions explode once, the four offsets explode to probe rows,
+      // ONE (doc, pos) equi-join — 4× tokens, never tokens² — then a
+      // pair-key count and TakeOrdered top-20
+      val docs = Tables.documents(s, d)
+      val tk = docs.select(col("doc_id").as("doc"),
+          posexplode(split(lower(trim(regexp_replace(col("text"), "\\s+", " "))), " "))
+            .as(Seq("pos", "tok")))
+        .filter(length(col("tok")) > 0)
+      val probes = tk.select(col("doc"), col("tok").as("center"),
+          explode(array(lit(-2), lit(-1), lit(1), lit(2))).as("_off"), col("pos"))
+        .select(col("doc"), col("center"), (col("pos") + col("_off")).as("pos"))
+      probes.join(tk.select(col("doc"), col("pos"), col("tok").as("context")),
+          Seq("doc", "pos"))
+        .groupBy("center", "context")
+        .agg(count(lit(1)).cast("long").as("n"))
+        .orderBy(col("n").desc, col("center"), col("context")).limit(20)
+    },
+    "negative_sampling" -> { (s, d) =>
+      // word2vec-style negative sampling, md5-deterministic: vocab =
+      // top-100 tokens, weight ∝ count^0.75 QUANTIZED to the 1e-6 grid
+      // before the cumulative boundaries (so both engines cut identical
+      // CDF ranges); each (doc, pos) center draws 2 negatives by u·W
+      // range lookup against the broadcast 100-row CDF
+      val docs = Tables.documents(s, d)
+      val tk = docs.select(col("doc_id").as("doc"),
+          posexplode(split(lower(trim(regexp_replace(col("text"), "\\s+", " "))), " "))
+            .as(Seq("pos", "tok")))
+        .filter(length(col("tok")) > 0)
+      val vocab = tk.groupBy("tok").agg(count(lit(1)).cast("double").as("_c"))
+        .orderBy(col("_c").desc, col("tok")).limit(100)
+        .select(col("tok"), round(pow(col("_c"), 0.75), 6).as("_w"))
+      import org.apache.spark.sql.expressions.Window
+      val wv = Window.orderBy(col("_c0").desc, col("tok"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      // rebuild the (count desc, tok) order for the CDF from the weights
+      val cdf = vocab.withColumn("_c0", col("_w"))
+        .withColumn("_lo", coalesce(sum(col("_w")).over(wv), lit(0.0)))
+        .select(col("tok"), col("_lo"), (col("_lo") + col("_w")).as("_hi"))
+      val tot = vocab.agg(sum(col("_w")).as("_tot"))
+      val draws = tk.select(col("doc"), col("pos"),
+          explode(array(lit(1), lit(2))).as("_j"))
+        .crossJoin(broadcast(tot))
+        .select((graft.core.Num.md5Long(concat(col("doc"), lit("_"), col("pos"),
+          lit("_ns_"), col("_j"))) % 1000000L / lit(1000000.0) * col("_tot")).as("_u"))
+      draws.join(broadcast(cdf), col("_u") >= col("_lo") && col("_u") < col("_hi"))
+        .groupBy("tok")
+        .agg(count(lit(1)).cast("long").as("n_sampled"))
+        .orderBy(col("n_sampled").desc, col("tok")).limit(15)
+    },
     "tfidf_pairs" -> { (s, d) =>
       // sparse-cosine document similarity over the df-pruned inverted
       // index (terms in > half the corpus drop before the posting join)
@@ -313,7 +364,36 @@ object TextQueries {
        |vv AS (SELECT count(DISTINCT tok)::DOUBLE AS v FROM trt),
        |ntr AS (SELECT count(*)::DOUBLE AS ntr FROM b WHERE sp = 'train')""".stripMargin
 
+  /** Positioned-token CTE shared by the skip-gram oracles (toks carried
+    * per row so the unnest index can subscript it). */
+  private lazy val posTokCtes =
+    s"""n AS (SELECT doc_id, $normToks AS toks FROM documents),
+       |tk0 AS (SELECT doc_id AS doc, toks, unnest(range(0, len(toks))) AS pos FROM n),
+       |tk AS (SELECT doc, pos, toks[pos + 1] AS tok FROM tk0 WHERE length(toks[pos + 1]) > 0)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "context_windows" ->
+      s"""WITH $posTokCtes,
+         |pr AS (SELECT a.tok AS center, b.tok AS context
+         |  FROM tk a JOIN tk b ON a.doc = b.doc
+         |    AND b.pos IN (a.pos - 2, a.pos - 1, a.pos + 1, a.pos + 2))
+         |SELECT center, context, count(*)::BIGINT AS n
+         |FROM pr GROUP BY 1, 2 ORDER BY n DESC, center, context LIMIT 20""".stripMargin,
+    "negative_sampling" ->
+      s"""WITH $posTokCtes,
+         |gv AS (SELECT tok, count(*)::DOUBLE AS c FROM tk GROUP BY tok
+         |  ORDER BY c DESC, tok LIMIT 100),
+         |v AS (SELECT tok, round(power(c, 0.75), 6) AS w FROM gv),
+         |cdf AS (SELECT tok, w, coalesce(sum(w) OVER (ORDER BY w DESC, tok
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lo FROM v),
+         |c2 AS (SELECT tok, lo, lo + w AS hi FROM cdf),
+         |t AS (SELECT sum(w) AS tot FROM v),
+         |dr AS (SELECT ('0x' || substr(md5(doc::VARCHAR || '_' || pos::VARCHAR || '_ns_' || j::VARCHAR), 1, 15))::BIGINT
+         |      % 1000000 / 1000000.0 * t.tot AS u
+         |  FROM tk, (SELECT unnest([1, 2]) AS j) jj, t)
+         |SELECT c2.tok AS tok, count(*)::BIGINT AS n_sampled
+         |FROM dr JOIN c2 ON dr.u >= c2.lo AND dr.u < c2.hi
+         |GROUP BY 1 ORDER BY n_sampled DESC, tok LIMIT 15""".stripMargin,
     "tfidf_pairs" ->
       s"""WITH n AS (SELECT doc_id, $normToks AS toks FROM documents),
          |t0 AS (SELECT doc_id AS doc, unnest(toks) AS term FROM n),

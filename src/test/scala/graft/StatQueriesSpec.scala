@@ -464,6 +464,50 @@ class StatQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("context_windows matches a driver-side skip-gram pair count") {
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getString(1).toLowerCase.trim.replaceAll("\\s+", " ")
+        .split(" ").filter(_.nonEmpty))
+    val counts = scala.collection.mutable.Map.empty[(String, String), Int]
+    docs.foreach { toks =>
+      toks.indices.foreach { i =>
+        Seq(-2, -1, 1, 2).foreach { off =>
+          val j = i + off
+          if (j >= 0 && j < toks.length)
+            counts((toks(i), toks(j))) = counts.getOrElse((toks(i), toks(j)), 0) + 1
+        }
+      }
+    }
+    val exp = counts.toSeq.sortBy { case ((c, x), n) => (-n, c, x) }.take(20)
+      .map { case ((c, x), n) => (c, x, n.toLong) }
+    val got = SparkEntry.queries("context_windows")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == exp, s"got ${got.take(5)}\nexp ${exp.take(5)}")
+  }
+
+  test("negative sampling draws roughly proportional to count^0.75") {
+    val sampled = SparkEntry.queries("negative_sampling")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the most-drawn token must be among the highest-count^0.75 vocab mass
+    val toks = graft.core.Tables.documents(spark, sf)
+      .select(explode(split(lower(trim(regexp_replace(col("text"), "\\s+", " "))), " ")).as("t"))
+      .filter(length(col("t")) > 0)
+      .groupBy("t").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totalDraws = sampled.values.sum.toDouble
+    val w = toks.view.mapValues(c => math.pow(c.toDouble, 0.75)).toMap
+    val top100 = toks.toSeq.sortBy { case (t, c) => (-c, t) }.take(100).map(_._1)
+    val totW = top100.map(w).sum
+    sampled.foreach { case (t, n) =>
+      val expShare = w(t) / totW
+      val gotShare = n / totalDraws
+      // loose multiplicative band; the top-15 cut over-represents positive
+      // fluctuations, so the upper bound gets extra headroom
+      assert(gotShare > expShare * 0.4 && gotShare < expShare * 3.0,
+        s"$t share $gotShare vs expected $expShare")
+    }
+  }
+
   test("word_entropy matches driver-side per-doc Shannon entropy") {
     val docs = Tables.documents(spark, sf).select(col("doc_id"), col("lang"), col("text"))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
