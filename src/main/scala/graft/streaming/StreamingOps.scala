@@ -125,6 +125,31 @@ object StreamingOps {
       }.toDF("key", "event_id", "t", "state_t", "state_v")
   }
 
+  /** Streaming windowed top-event: which event type dominates each
+    * 1-hour window. Streaming forbids an aggregate-over-aggregate rank,
+    * so each KNOWN type becomes a conditional count inside ONE
+    * watermarked window aggregate and the winner is a post-aggregate
+    * greatest/CASE chain (ties → lexicographically smallest type) — the
+    * same single-agg discipline as streamingDriftGate. */
+  def streamingTopEvent(events: DataFrame, types: Seq[String]): DataFrame = {
+    require(types.nonEmpty && types == types.sorted, "pass types sorted")
+    val counts = types.zipWithIndex.map { case (t, i) =>
+      sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"_c$i")
+    }
+    val agg = events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(counts.head, counts.tail: _*)
+    val top = greatest(types.indices.map(i => col(s"_c$i")): _*)
+    val winner = types.zipWithIndex.foldRight(lit(types.last)) {
+      case ((t, i), acc) => when(col(s"_c$i") === top, lit(t)).otherwise(acc)
+    }
+    // foldRight means the FIRST (sorted-smallest) type matching the max wins
+    agg.select(col("window.start").as("win_start"),
+      types.indices.map(i => col(s"_c$i")).reduce(_ + _).as("n_events"),
+      winner.as("top_type"), top.as("top_n"))
+  }
+
   final case class FunnelState(t1: Long, t2: Long, done: Boolean)
   final case class FunnelOut(user_id: Long, t1: Long, t2: Long, t3: Long)
 

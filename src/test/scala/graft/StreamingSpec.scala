@@ -326,6 +326,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming top-event picks the windowed majority with sorted-tie rule") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String)]
+    val q = StreamingOps.streamingTopEvent(
+        in.toDF().toDF("ts", "event_type"), Seq("click", "purchase", "view"))
+      .writeStream.format("memory").queryName("top_ev")
+      .outputMode("update").start()
+    try {
+      def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+      // window 10:00: view×3, click×1 → view; window 11:00: click×2,
+      // purchase×2 tie → click (sorted-smallest)
+      in.addData((ts(10, 1), "view"), (ts(10, 2), "view"), (ts(10, 3), "view"),
+        (ts(10, 4), "click"), (ts(11, 1), "click"), (ts(11, 2), "click"),
+        (ts(11, 3), "purchase"), (ts(11, 4), "purchase"))
+      q.processAllAvailable()
+      val got = spark.table("top_ev").collect()
+        .map(r => r.getTimestamp(0).toString -> ((r.getLong(1), r.getString(2), r.getLong(3)))).toMap
+      assert(got("2026-01-01 10:00:00.0") == ((4L, "view", 3L)), got.toString)
+      assert(got("2026-01-01 11:00:00.0") == ((4L, "click", 2L)), got.toString)
+    } finally q.stop()
+  }
+
   test("streaming funnel carries state across micro-batches and matches batch conversions") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
