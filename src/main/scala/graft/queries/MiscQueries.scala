@@ -276,6 +276,56 @@ object MiscQueries {
           gapUs = 4L * 3600 * 1000000)
         .orderBy("user_id")
     },
+    "diff_in_diff" -> { (s, d) =>
+      // difference-in-differences over the md5 user split × first/second
+      // half of the event window: all four cell means from ONE
+      // conditional aggregate; integer epoch-day period cut
+      val ev = Tables.events(s, d)
+      val day = floor(unix_micros(col("ts")) / lit(86400000000L))
+      val mid = lit(19737L) // 2024-01-15 as epoch day — a fixed literal cut
+      val isB = graft.core.Num.md5Long(
+        concat(col("user_id").cast("string"), lit("_did_7"))) % 1000L < 500L
+      def cell(b: Boolean, post: Boolean) = {
+        val cond = (if (b) isB else !isB) &&
+          (if (post) day >= mid else day < mid)
+        (sum(when(cond, col("value")).otherwise(0.0)), sum(when(cond, 1.0).otherwise(0.0)))
+      }
+      val ((sbPre, nbPre), (sbPost, nbPost)) = (cell(b = true, post = false), cell(b = true, post = true))
+      val ((saPre, naPre), (saPost, naPost)) = (cell(b = false, post = false), cell(b = false, post = true))
+      ev.agg(sbPre.as("_sbpre"), nbPre.as("_nbpre"), sbPost.as("_sbpost"), nbPost.as("_nbpost"),
+          saPre.as("_sapre"), naPre.as("_napre"), saPost.as("_sapost"), naPost.as("_napost"))
+        .select(
+          r4(col("_sapre") / col("_napre")).as("mean_a_pre"),
+          r4(col("_sapost") / col("_napost")).as("mean_a_post"),
+          r4(col("_sbpre") / col("_nbpre")).as("mean_b_pre"),
+          r4(col("_sbpost") / col("_nbpost")).as("mean_b_post"),
+          r4((col("_sbpost") / col("_nbpost") - col("_sbpre") / col("_nbpre")) -
+            (col("_sapost") / col("_napost") - col("_sapre") / col("_napre"))).as("did"))
+    },
+    "cuped" -> { (s, d) =>
+      // CUPED variance reduction: per-user pre/post value totals (one
+      // user-key aggregate), θ = cov(x,y)/var(x) from one stats pass,
+      // adjusted variance + reduction from a final pass over the same
+      // per-user frame
+      val ev = Tables.events(s, d)
+      val day = floor(unix_micros(col("ts")) / lit(86400000000L))
+      val mid = lit(19737L)
+      val per = ev.groupBy(col("user_id"))
+        .agg(sum(when(day < mid, col("value")).otherwise(0.0)).as("x"),
+          sum(when(day >= mid, col("value")).otherwise(0.0)).as("y"))
+      val st = per.agg(count(lit(1)).cast("double").as("_n"),
+        avg(col("x")).as("_mx"), avg(col("y")).as("_my"),
+        covar_samp(col("x"), col("y")).as("_cxy"), var_samp(col("x")).as("_vx"),
+        var_samp(col("y")).as("_vy"))
+      val joined = per.crossJoin(broadcast(st))
+      val adj = col("y") - (col("_cxy") / col("_vx")) * (col("x") - col("_mx"))
+      joined.agg(max(col("_n")).cast("long").as("n_users"),
+          r6(max(col("_cxy") / col("_vx"))).as("theta"),
+          r4(max(col("_vy"))).as("var_y"),
+          r4(var_samp(adj)).as("var_adj"))
+        .select(col("n_users"), col("theta"), col("var_y"), col("var_adj"),
+          r4(lit(1.0) - col("var_adj") / col("var_y")).as("reduction"))
+    },
     "topk_per_group" -> { (s, d) =>
       // top-3 parts by revenue within each return flag: the canonical
       // grouped top-k — rank window PARTITIONED by the bounded group key
@@ -918,6 +968,40 @@ object MiscQueries {
         |  sum(CASE WHEN NOT is_core AND has_nbr THEN 1 ELSE 0 END)::BIGINT AS n_border,
         |  sum(CASE WHEN NOT is_core AND NOT has_nbr THEN 1 ELSE 0 END)::BIGINT AS n_noise
         |FROM cls""".stripMargin,
+    "diff_in_diff" ->
+      """WITH e AS (SELECT value, epoch_us(ts) // 86400000000 AS day,
+        |    ('0x' || substr(md5(user_id::VARCHAR || '_did_7'), 1, 15))::BIGINT % 1000 < 500 AS b
+        |  FROM events),
+        |c AS (SELECT
+        |    sum(CASE WHEN NOT b AND day < 19737 THEN value ELSE 0.0 END) AS sapre,
+        |    sum(CASE WHEN NOT b AND day < 19737 THEN 1.0 ELSE 0.0 END) AS napre,
+        |    sum(CASE WHEN NOT b AND day >= 19737 THEN value ELSE 0.0 END) AS sapost,
+        |    sum(CASE WHEN NOT b AND day >= 19737 THEN 1.0 ELSE 0.0 END) AS napost,
+        |    sum(CASE WHEN b AND day < 19737 THEN value ELSE 0.0 END) AS sbpre,
+        |    sum(CASE WHEN b AND day < 19737 THEN 1.0 ELSE 0.0 END) AS nbpre,
+        |    sum(CASE WHEN b AND day >= 19737 THEN value ELSE 0.0 END) AS sbpost,
+        |    sum(CASE WHEN b AND day >= 19737 THEN 1.0 ELSE 0.0 END) AS nbpost
+        |  FROM e)
+        |SELECT round(sapre / napre, 4) AS mean_a_pre,
+        |  round(sapost / napost, 4) AS mean_a_post,
+        |  round(sbpre / nbpre, 4) AS mean_b_pre,
+        |  round(sbpost / nbpost, 4) AS mean_b_post,
+        |  round((sbpost / nbpost - sbpre / nbpre) - (sapost / napost - sapre / napre), 4) AS did
+        |FROM c""".stripMargin,
+    "cuped" ->
+      """WITH e AS (SELECT user_id, value, epoch_us(ts) // 86400000000 AS day FROM events),
+        |per AS (SELECT user_id,
+        |    sum(CASE WHEN day < 19737 THEN value ELSE 0.0 END) AS x,
+        |    sum(CASE WHEN day >= 19737 THEN value ELSE 0.0 END) AS y
+        |  FROM e GROUP BY user_id),
+        |st AS (SELECT count(*)::DOUBLE AS n, avg(x) AS mx, avg(y) AS my,
+        |    covar_samp(x, y) AS cxy, var_samp(x) AS vx, var_samp(y) AS vy FROM per),
+        |adj AS (SELECT st.n, st.cxy / st.vx AS theta, st.vy,
+        |    var_samp(per.y - (st.cxy / st.vx) * (per.x - st.mx)) AS vadj
+        |  FROM per, st GROUP BY st.n, st.cxy, st.vx, st.vy)
+        |SELECT n::BIGINT AS n_users, round(theta, 6) AS theta, round(vy, 4) AS var_y,
+        |  round(vadj, 4) AS var_adj, round(1.0 - vadj / vy, 4) AS reduction
+        |FROM adj""".stripMargin,
     "topk_per_group" ->
       """WITH rev AS (SELECT l_returnflag AS flag, l_partkey AS part,
         |    round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS rev

@@ -508,6 +508,48 @@ class StatQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("diff_in_diff and cuped match driver-side replays") {
+    def md5Long(s: String): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.substring(0, 15), 16)
+    }
+    val ev = graft.core.Tables.events(spark, sf)
+      .select(col("user_id").cast("long"), col("value"),
+        floor(unix_micros(col("ts")) / lit(86400000000L)).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    // DiD replay
+    def cellMean(b: Boolean, post: Boolean) = {
+      val xs = ev.filter { case (u, _, day) =>
+        (md5Long(s"${u}_did_7") % 1000 < 500) == b && (day >= 19737L) == post }
+      xs.map(_._2).sum / xs.length
+    }
+    val did = (cellMean(b = true, post = true) - cellMean(b = true, post = false)) -
+      (cellMean(b = false, post = true) - cellMean(b = false, post = false))
+    val gotD = SparkEntry.queries("diff_in_diff")(spark, sf).head()
+    assert(math.abs(gotD.getDouble(gotD.fieldIndex("did")) - did) < 1e-3,
+      s"did ${gotD.getDouble(gotD.fieldIndex("did"))} vs $did")
+    // CUPED replay
+    val per = ev.groupBy(_._1).values.map { g =>
+      (g.filter(_._3 < 19737L).map(_._2).sum, g.filter(_._3 >= 19737L).map(_._2).sum)
+    }.toSeq
+    val n = per.size.toDouble
+    val (mx, my) = (per.map(_._1).sum / n, per.map(_._2).sum / n)
+    val cxy = per.map { case (x, y) => (x - mx) * (y - my) }.sum / (n - 1)
+    val vx = per.map { case (x, _) => (x - mx) * (x - mx) }.sum / (n - 1)
+    val theta = cxy / vx
+    val adj = per.map { case (x, y) => y - theta * (x - mx) }
+    val ma = adj.sum / n
+    val vadj = adj.map(a => (a - ma) * (a - ma)).sum / (n - 1)
+    val gotC = SparkEntry.queries("cuped")(spark, sf).head()
+    assert(gotC.getLong(0) == n.toLong)
+    assert(math.abs(gotC.getDouble(gotC.fieldIndex("theta")) - theta) < 1e-4)
+    assert(math.abs(gotC.getDouble(gotC.fieldIndex("var_adj")) - vadj) < math.abs(vadj) * 1e-4 + 1e-3)
+    // CUPED can never increase variance (theta is the OLS-optimal coefficient)
+    assert(gotC.getDouble(gotC.fieldIndex("var_adj")) <=
+      gotC.getDouble(gotC.fieldIndex("var_y")) + 1e-9)
+  }
+
   test("word_entropy matches driver-side per-doc Shannon entropy") {
     val docs = Tables.documents(spark, sf).select(col("doc_id"), col("lang"), col("text"))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
