@@ -276,6 +276,59 @@ object MiscQueries {
           gapUs = 4L * 3600 * 1000000)
         .orderBy("user_id")
     },
+    "attribution" -> { (s, d) =>
+      // last-touch attribution: each purchase credits the immediately
+      // preceding event type for the same user (lag over the one
+      // user_id-shuffled window); per-channel conversion credit shares
+      val w = Window.partitionBy(col("user_id")).orderBy(col("_us"), col("event_id"))
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type").as("_t"),
+          unix_micros(col("ts")).as("_us"))
+        .withColumn("_prev", lag(col("_t"), 1).over(w))
+      val credits = ev.filter(col("_t") === "purchase" && col("_prev").isNotNull)
+        .groupBy(col("_prev").as("channel"))
+        .agg(count(lit(1)).cast("double").as("_n"))
+      credits.crossJoin(broadcast(credits.agg(sum(col("_n")).as("_tot"))))
+        .select(col("channel"), col("_n").cast("long").as("n_conversions"),
+          r4(col("_n") / col("_tot")).as("share"))
+        .orderBy("channel")
+    },
+    "markov_transitions" -> { (s, d) =>
+      // first-order event-type transition matrix: one lead() hop on the
+      // user window, (from, to) counts, row-normalized probabilities —
+      // the sequence-model summary of the event log (bounded types² rows)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("_us"), col("event_id"))
+      val pairs = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type").as("_f"),
+          unix_micros(col("ts")).as("_us"))
+        .withColumn("_to", lead(col("_f"), 1).over(w))
+        .filter(col("_to").isNotNull)
+        .groupBy(col("_f").as("from_type"), col("_to").as("to_type"))
+        .agg(count(lit(1)).cast("double").as("_n"))
+      val rowTot = pairs.groupBy("from_type").agg(sum(col("_n")).as("_rt"))
+      pairs.join(rowTot, "from_type")
+        .select(col("from_type"), col("to_type"), col("_n").cast("long").as("n"),
+          r4(col("_n") / col("_rt")).as("p"))
+        .orderBy("from_type", "to_type")
+    },
+    "gini" -> { (s, d) =>
+      // Gini coefficient of revenue concentration across customers, in
+      // the midrank/distinct-value discipline (mann_whitney's): with
+      // midranks r̄(v), G = (2·Σ r̄ᵢyᵢ)/(n·Σy) − (n+1)/n is exact under
+      // ties — never a raw-row sort
+      val per = Tables.orders(s, d).groupBy(col("o_custkey"))
+        .agg(round(sum(col("o_totalprice")), 2).as("_y"))
+      val g = per.groupBy(col("_y")).agg(count(lit(1)).cast("double").as("_c"))
+      val wr = Window.orderBy(col("_y")).rowsBetween(Window.unboundedPreceding, -1)
+      val ranks = g.select(col("_y"),
+        (coalesce(sum(col("_c")).over(wr), lit(0.0)) + (col("_c") + 1.0) / 2.0).as("_r"))
+      per.join(ranks, "_y")
+        .agg(count(lit(1)).cast("double").as("_n"),
+          sum(col("_y")).as("_sy"), sum(col("_r") * col("_y")).as("_sry"))
+        .select(col("_n").cast("long").as("n_customers"),
+          r4(lit(2.0) * col("_sry") / (col("_n") * col("_sy")) -
+            (col("_n") + 1.0) / col("_n")).as("gini"))
+    },
     "diff_in_diff" -> { (s, d) =>
       // difference-in-differences over the md5 user split × first/second
       // half of the event window: all four cell means from ONE
@@ -968,6 +1021,33 @@ object MiscQueries {
         |  sum(CASE WHEN NOT is_core AND has_nbr THEN 1 ELSE 0 END)::BIGINT AS n_border,
         |  sum(CASE WHEN NOT is_core AND NOT has_nbr THEN 1 ELSE 0 END)::BIGINT AS n_noise
         |FROM cls""".stripMargin,
+    "attribution" ->
+      """WITH e AS (SELECT user_id, event_id, event_type AS t, epoch_us(ts) AS us FROM events),
+        |l AS (SELECT t, lag(t, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM e),
+        |c AS (SELECT prev AS channel, count(*)::DOUBLE AS n FROM l
+        |  WHERE t = 'purchase' AND prev IS NOT NULL GROUP BY prev),
+        |t AS (SELECT sum(n) AS tot FROM c)
+        |SELECT channel, n::BIGINT AS n_conversions, round(n / t.tot, 4) AS share
+        |FROM c, t ORDER BY channel""".stripMargin,
+    "markov_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, event_type AS f, epoch_us(ts) AS us FROM events),
+        |l AS (SELECT f, lead(f, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) AS t FROM e),
+        |p AS (SELECT f AS from_type, t AS to_type, count(*)::DOUBLE AS n FROM l
+        |  WHERE t IS NOT NULL GROUP BY 1, 2),
+        |rt AS (SELECT from_type, sum(n) AS rt FROM p GROUP BY from_type)
+        |SELECT p.from_type, p.to_type, p.n::BIGINT AS n, round(p.n / rt.rt, 4) AS p
+        |FROM p JOIN rt USING (from_type) ORDER BY from_type, to_type""".stripMargin,
+    "gini" ->
+      """WITH per AS (SELECT o_custkey, round(sum(o_totalprice), 2) AS y FROM orders GROUP BY 1),
+        |g AS (SELECT y, count(*)::DOUBLE AS c FROM per GROUP BY y),
+        |r AS (SELECT y, coalesce(sum(c) OVER (ORDER BY y
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + (c + 1.0) / 2.0 AS rk
+        |  FROM g),
+        |j AS (SELECT per.y, r.rk FROM per JOIN r USING (y)),
+        |st AS (SELECT count(*)::DOUBLE AS n, sum(y) AS sy, sum(rk * y) AS sry FROM j)
+        |SELECT n::BIGINT AS n_customers,
+        |  round(2.0 * sry / (n * sy) - (n + 1.0) / n, 4) AS gini
+        |FROM st""".stripMargin,
     "diff_in_diff" ->
       """WITH e AS (SELECT value, epoch_us(ts) // 86400000000 AS day,
         |    ('0x' || substr(md5(user_id::VARCHAR || '_did_7'), 1, 15))::BIGINT % 1000 < 500 AS b

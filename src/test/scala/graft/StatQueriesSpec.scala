@@ -550,6 +550,40 @@ class StatQueriesSpec extends AnyFunSuite {
       gotC.getDouble(gotC.fieldIndex("var_y")) + 1e-9)
   }
 
+  test("gini midrank formula: equal revenues → 0, extreme concentration → (n−1)/n") {
+    import spark.implicits._
+    // replicate the query's midrank computation on planted frames
+    def giniOf(ys: Seq[Double]): Double = {
+      val per = ys.zipWithIndex.map { case (y, i) => (i.toLong, y) }.toDF("k", "_y")
+      val g = per.groupBy(col("_y")).agg(count(lit(1)).cast("double").as("_c"))
+      import org.apache.spark.sql.expressions.Window
+      val wr = Window.orderBy(col("_y")).rowsBetween(Window.unboundedPreceding, -1)
+      val ranks = g.select(col("_y"),
+        (coalesce(sum(col("_c")).over(wr), lit(0.0)) + (col("_c") + 1.0) / 2.0).as("_r"))
+      per.join(ranks, "_y")
+        .agg(count(lit(1)).cast("double").as("_n"), sum(col("_y")).as("_sy"),
+          sum(col("_r") * col("_y")).as("_sry"))
+        .select(lit(2.0) * col("_sry") / (col("_n") * col("_sy")) -
+          (col("_n") + 1.0) / col("_n")).head().getDouble(0)
+    }
+    assert(math.abs(giniOf(Seq.fill(50)(10.0))) < 1e-9)
+    val extreme = giniOf(Seq.fill(49)(1e-9) :+ 1000.0)
+    assert(math.abs(extreme - 49.0 / 50.0) < 1e-3, s"extreme $extreme")
+    val got = SparkEntry.queries("gini")(spark, sf).head().getDouble(1)
+    assert(got >= 0.0 && got < 1.0)
+  }
+
+  test("markov transition rows are probability distributions; attribution shares sum to 1") {
+    val mk = SparkEntry.queries("markov_transitions")(spark, sf).collect()
+    mk.groupBy(_.getString(0)).foreach { case (f, rows) =>
+      val tot = rows.map(_.getDouble(3)).sum
+      assert(math.abs(tot - 1.0) < 5e-3, s"$f row sums to $tot")
+    }
+    val at = SparkEntry.queries("attribution")(spark, sf).collect()
+    assert(math.abs(at.map(_.getDouble(2)).sum - 1.0) < 5e-3)
+    assert(at.map(_.getLong(1)).sum > 0)
+  }
+
   test("word_entropy matches driver-side per-doc Shannon entropy") {
     val docs = Tables.documents(spark, sf).select(col("doc_id"), col("lang"), col("text"))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
