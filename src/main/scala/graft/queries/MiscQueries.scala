@@ -311,6 +311,26 @@ object MiscQueries {
           r4(col("_n") / col("_rt")).as("p"))
         .orderBy("from_type", "to_type")
     },
+    "lorenz_curve" -> { (s, d) =>
+      // decile Lorenz curve of customer revenue (gini's graphical twin):
+      // ntile(10) by (revenue, custkey) — the declared global-sort audit
+      // twin — then cumulative share over the 10-row decile frame
+      val per = Tables.orders(s, d).groupBy(col("o_custkey").as("cust"))
+        .agg(round(sum(col("o_totalprice")), 2).as("_y"))
+      val w = Window.orderBy(col("_y"), col("cust"))
+      val dec = per.withColumn("decile", ntile(10).over(w))
+        .groupBy("decile")
+        .agg(count(lit(1)).cast("long").as("n"), sum(col("_y")).as("_rev"))
+      val wc = Window.orderBy(col("decile")).rowsBetween(Window.unboundedPreceding, 0)
+      val wAll = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      dec.withColumn("_cum", sum(col("_rev")).over(wc))
+        .withColumn("_tot", sum(col("_rev")).over(wAll))
+        .select(col("decile").cast("long").as("decile"), col("n"),
+          r4(col("_rev") / col("_tot")).as("rev_share"),
+          r4(col("_cum") / col("_tot")).as("cum_share"))
+        .orderBy("decile")
+    },
     "gini" -> { (s, d) =>
       // Gini coefficient of revenue concentration across customers, in
       // the midrank/distinct-value discipline (mann_whitney's): with
@@ -1037,6 +1057,18 @@ object MiscQueries {
         |rt AS (SELECT from_type, sum(n) AS rt FROM p GROUP BY from_type)
         |SELECT p.from_type, p.to_type, p.n::BIGINT AS n, round(p.n / rt.rt, 4) AS p
         |FROM p JOIN rt USING (from_type) ORDER BY from_type, to_type""".stripMargin,
+    "lorenz_curve" ->
+      """WITH per AS (SELECT o_custkey AS cust, round(sum(o_totalprice), 2) AS y
+        |  FROM orders GROUP BY 1),
+        |d AS (SELECT ntile(10) OVER (ORDER BY y, cust) AS decile, y FROM per),
+        |g AS (SELECT decile, count(*)::BIGINT AS n, sum(y) AS rev FROM d GROUP BY decile),
+        |c AS (SELECT decile, n, rev,
+        |    sum(rev) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(rev) OVER () AS tot
+        |  FROM g)
+        |SELECT decile::BIGINT AS decile, n, round(rev / tot, 4) AS rev_share,
+        |  round(cum / tot, 4) AS cum_share
+        |FROM c ORDER BY decile""".stripMargin,
     "gini" ->
       """WITH per AS (SELECT o_custkey, round(sum(o_totalprice), 2) AS y FROM orders GROUP BY 1),
         |g AS (SELECT y, count(*)::DOUBLE AS c FROM per GROUP BY y),

@@ -573,6 +573,20 @@ class StatQueriesSpec extends AnyFunSuite {
     assert(got >= 0.0 && got < 1.0)
   }
 
+  test("lorenz curve is convex-increasing to 1 and dominated by the diagonal") {
+    val rows = SparkEntry.queries("lorenz_curve")(spark, sf).orderBy("decile").collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 10L))
+    val shares = rows.map(_.getDouble(2))
+    // deciles sorted ascending by revenue → shares non-decreasing
+    assert(shares.zip(shares.tail).forall { case (a, b) => a <= b + 1e-9 })
+    val cum = rows.map(_.getDouble(3))
+    assert(math.abs(cum.last - 1.0) < 1e-9)
+    // Lorenz curve lies on or below the equality diagonal
+    cum.zipWithIndex.foreach { case (c, i) =>
+      assert(c <= (i + 1) / 10.0 + 0.02, s"decile ${i + 1}: $c")
+    }
+  }
+
   test("markov transition rows are probability distributions; attribution shares sum to 1") {
     val mk = SparkEntry.queries("markov_transitions")(spark, sf).collect()
     mk.groupBy(_.getString(0)).foreach { case (f, rows) =>
