@@ -276,6 +276,29 @@ object MiscQueries {
           gapUs = 4L * 3600 * 1000000)
         .orderBy("user_id")
     },
+    "active_users" -> { (s, d) =>
+      // weekly actives split into new (first-ever week) vs returning,
+      // plus DAU/WAU stickiness: three aggregates all keyed on
+      // user/week/day (uniform), joined on the bounded week frame
+      val ev = Tables.events(s, d).select(col("user_id"),
+        floor(unix_micros(col("ts")) / lit(86400000000L)).cast("long").as("_day"))
+        .withColumn("_wk", floor(col("_day") / 7).cast("long"))
+      val firstWk = ev.groupBy("user_id").agg(min(col("_wk")).as("_fw"))
+      val weekly = ev.select("user_id", "_wk").distinct()
+        .join(firstWk, "user_id")
+        .groupBy(col("_wk").as("week"))
+        .agg(countDistinct(col("user_id")).cast("long").as("wau"),
+          sum(when(col("_fw") === col("_wk"), 1L).otherwise(0L)).as("n_new"))
+      val daily = ev.select("user_id", "_wk", "_day").distinct()
+        .groupBy(col("_wk").as("week"), col("_day"))
+        .agg(count(lit(1)).cast("double").as("_dau"))
+        .groupBy("week").agg(avg(col("_dau")).as("_avg_dau"))
+      weekly.join(daily, "week")
+        .select(col("week"), col("wau"), col("n_new"),
+          (col("wau") - col("n_new")).as("n_returning"),
+          r4(col("_avg_dau") / col("wau")).as("stickiness"))
+        .orderBy("week")
+    },
     "attribution" -> { (s, d) =>
       // last-touch attribution: each purchase credits the immediately
       // preceding event type for the same user (lag over the one
@@ -1041,6 +1064,21 @@ object MiscQueries {
         |  sum(CASE WHEN NOT is_core AND has_nbr THEN 1 ELSE 0 END)::BIGINT AS n_border,
         |  sum(CASE WHEN NOT is_core AND NOT has_nbr THEN 1 ELSE 0 END)::BIGINT AS n_noise
         |FROM cls""".stripMargin,
+    "active_users" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |    (epoch_us(ts) // 86400000000) // 7 AS wk FROM events),
+        |fw AS (SELECT user_id, min(wk) AS fwk FROM e GROUP BY user_id),
+        |wu AS (SELECT DISTINCT user_id, wk FROM e),
+        |weekly AS (SELECT wu.wk AS week, count(DISTINCT wu.user_id)::BIGINT AS wau,
+        |    sum(CASE WHEN fw.fwk = wu.wk THEN 1 ELSE 0 END)::BIGINT AS n_new
+        |  FROM wu JOIN fw USING (user_id) GROUP BY wu.wk),
+        |du AS (SELECT DISTINCT user_id, wk, day FROM e),
+        |daily AS (SELECT wk AS week, avg(dau) AS avg_dau FROM (
+        |    SELECT wk, day, count(*)::DOUBLE AS dau FROM du GROUP BY wk, day)
+        |  GROUP BY wk)
+        |SELECT w.week::BIGINT AS week, w.wau, w.n_new, (w.wau - w.n_new)::BIGINT AS n_returning,
+        |  round(d.avg_dau / w.wau, 4) AS stickiness
+        |FROM weekly w JOIN daily d USING (week) ORDER BY week""".stripMargin,
     "attribution" ->
       """WITH e AS (SELECT user_id, event_id, event_type AS t, epoch_us(ts) AS us FROM events),
         |l AS (SELECT t, lag(t, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM e),

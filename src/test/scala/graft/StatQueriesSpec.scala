@@ -587,6 +587,22 @@ class StatQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("active_users: first week is all-new, invariants hold") {
+    val rows = SparkEntry.queries("active_users")(spark, sf).orderBy("week").collect()
+    assert(rows.nonEmpty)
+    val first = rows.head
+    assert(first.getLong(1) == first.getLong(2), "first week must be all new users")
+    rows.foreach { r =>
+      assert(r.getLong(2) + r.getLong(3) == r.getLong(1), "new + returning = wau")
+      val st = r.getDouble(4)
+      assert(st > 0.0 && st <= 1.0 + 1e-9, s"stickiness $st")
+    }
+    // total new across weeks = total distinct users
+    val nUsers = graft.core.Tables.events(spark, sf)
+      .select(countDistinct(col("user_id"))).head().getLong(0)
+    assert(rows.map(_.getLong(2)).sum == nUsers)
+  }
+
   test("markov transition rows are probability distributions; attribution shares sum to 1") {
     val mk = SparkEntry.queries("markov_transitions")(spark, sf).collect()
     mk.groupBy(_.getString(0)).foreach { case (f, rows) =>
