@@ -1,0 +1,274 @@
+package graft.queries
+
+import graft.core.{Num, Tables}
+import graft.core.Num.{r4, r6}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-6 session-4 wave: experimentation / data-quality / survival /
+  * multiple-testing / graph operators. Every query here is hash-gated —
+  * the Spark plan is the scalable formulation, the oracle replays the
+  * identical arithmetic on rounded values.
+  */
+object AnalyticsQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "prop_ztest" -> { (s, d) =>
+      // two-proportion z-test of high-value-purchase conversion (every
+      // user has SOME purchase, so the flag is value > 150 — ~45% base
+      // rate) across an md5 A/B user split: per-user flag from ONE user
+      // groupBy, all four cells from ONE aggregate; pooled-variance z on
+      // rounded values
+      val per = Tables.events(s, d).groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase" && col("value") > 150, 1.0)
+          .otherwise(0.0)).as("_conv"))
+      val isA = Num.md5Long(concat(col("user_id").cast("string"), lit("_pz_11"))) % 1000 < 500
+      val g = per.agg(
+        sum(when(isA, 1.0).otherwise(0.0)).as("_na"),
+        sum(when(isA, col("_conv")).otherwise(0.0)).as("_ca"),
+        sum(when(!isA, 1.0).otherwise(0.0)).as("_nb"),
+        sum(when(!isA, col("_conv")).otherwise(0.0)).as("_cb"))
+      val pa = col("_ca") / col("_na")
+      val pb = col("_cb") / col("_nb")
+      val pp = (col("_ca") + col("_cb")) / (col("_na") + col("_nb"))
+      val z = (pa - pb) / sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / col("_na") + lit(1.0) / col("_nb")))
+      g.select(col("_na").cast("long").as("n_a"), col("_nb").cast("long").as("n_b"),
+        col("_ca").cast("long").as("conv_a"), col("_cb").cast("long").as("conv_b"),
+        r4(pa).as("p_a"), r4(pb).as("p_b"), r4(z).as("z"),
+        (abs(r4(z)) > 1.96).as("reject"))
+    },
+    "benford" -> { (s, d) =>
+      // Benford first-digit audit of order totals (fraud / synthetic-data
+      // screen): the digit comes from the INTEGER part's string head —
+      // floor→bigint→string is engine-stable where floor(log10(x)) is one
+      // ULP from flipping at powers of ten; one bounded groupBy
+      val digit = substring(floor(col("o_totalprice")).cast("long").cast("string"), 1, 1)
+        .cast("int")
+      val g = Tables.orders(s, d).select(digit.as("digit"))
+        .groupBy("digit").agg(count(lit(1)).cast("double").as("_n"))
+      val tot = g.agg(sum(col("_n")).as("_tot"))
+      val exp10 = log(10.0, lit(1.0) + lit(1.0) / col("digit"))
+      g.crossJoin(broadcast(tot))
+        .select(col("digit").cast("long").as("digit"), col("_n").cast("long").as("n"),
+          r6(col("_n") / col("_tot")).as("share"),
+          r6(exp10).as("expected"),
+          r4(col("_tot") * pow(col("_n") / col("_tot") - exp10, 2) / exp10).as("chi2_term"))
+        .orderBy("digit")
+    },
+    "nelson_aalen" -> { (s, d) =>
+      // Nelson-Aalen cumulative hazard over the same user-activity-span
+      // frame as kaplan_meier: H(t) = Σ d/n over the bounded
+      // distinct-duration frame — no ln(0) edge (d/n = 1 is finite), and
+      // exp(−H) gives the Fleming-Harrington survival estimate
+      val ev = Tables.events(s, d).select(col("user_id"),
+        floor(unix_micros(col("ts")) / lit(86400000000L)).as("_day"))
+      val dur = ev.groupBy("user_id")
+        .agg((max(col("_day")) - min(col("_day")) + 1).cast("long").as("d"))
+      val g = dur.groupBy("d").agg(count(lit(1)).cast("double").as("_dd"))
+      val wPrior = Window.orderBy(col("d")).rowsBetween(Window.unboundedPreceding, -1)
+      val wCum = Window.orderBy(col("d")).rowsBetween(Window.unboundedPreceding, 0)
+      val wAll = Window.orderBy(col("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      g.withColumn("_risk",
+          sum(col("_dd")).over(wAll) - coalesce(sum(col("_dd")).over(wPrior), lit(0.0)))
+        .withColumn("_h", sum(col("_dd") / col("_risk")).over(wCum))
+        .select(col("d").as("duration"), col("_risk").cast("long").as("n_risk"),
+          col("_dd").cast("long").as("n_events"), r6(col("_h")).as("cum_hazard"),
+          r6(exp(-col("_h"))).as("survival_na"))
+        .orderBy("duration")
+    },
+    "fdr_bh" -> { (s, d) =>
+      // Benjamini-Hochberg FDR control over 25 per-nation mean tests
+      // (acctbal vs the global mean): z from one groupBy + broadcast
+      // globals; the normal tail via the Abramowitz-Stegun 7.1.26 erfc
+      // polynomial — the SAME closed formula in both engines, so the
+      // 6-dp-rounded p-values are engine-identical; the BH step-up runs
+      // entirely on the bounded 25-row frame
+      val c = Tables.customer(s, d)
+      val glob = c.agg(avg(col("c_acctbal")).as("_mu"), stddev_samp(col("c_acctbal")).as("_sd"))
+      val per = c.groupBy(col("c_nationkey").as("nation"))
+        .agg(count(lit(1)).cast("double").as("_n"), avg(col("c_acctbal")).as("_m"))
+      val z = (col("_m") - col("_mu")) / (col("_sd") / sqrt(col("_n")))
+      val base = per.crossJoin(broadcast(glob))
+        .withColumn("_z", z)
+        .withColumn("_x", abs(col("_z")) / sqrt(lit(2.0)))
+        .withColumn("_t", lit(1.0) / (lit(1.0) + lit(0.3275911) * col("_x")))
+      val poly = col("_t") * (lit(0.254829592) + col("_t") * (lit(-0.284496736) +
+        col("_t") * (lit(1.421413741) + col("_t") * (lit(-1.453152027) +
+          col("_t") * lit(1.061405429)))))
+      val withP = base.withColumn("_p", r6(poly * exp(-col("_x") * col("_x"))))
+      val wRank = Window.orderBy(col("_p"), col("nation"))
+      val wAll = Window.orderBy(col("_p"), col("nation"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      withP
+        .withColumn("_rk", row_number().over(wRank))
+        .withColumn("_m25", count(lit(1)).over(wAll).cast("double"))
+        .withColumn("_kmax", max(when(col("_p") <= col("_rk") * 0.05 / col("_m25"),
+          col("_rk")).otherwise(0)).over(wAll))
+        .select(col("nation").cast("long").as("nation"), col("_n").cast("long").as("n"),
+          r4(col("_z")).as("z"), col("_p").as("p_value"),
+          col("_rk").cast("long").as("rank"), (col("_rk") <= col("_kmax")).as("reject"))
+        .orderBy("nation")
+    },
+    "imputer" -> { (s, d) =>
+      // SimpleImputer (mean + median strategies) over md5-planted missing
+      // discounts: observed stats from one pass (the exact lower-weighted
+      // median comes off the bounded distinct-value frame), transform is a
+      // literal-stat coalesce — pure codegen at scoring time
+      val li = Tables.lineitem(s, d)
+      val key = concat_ws("_", col("l_orderkey"), col("l_linenumber"))
+      val miss = Num.md5Long(concat(key, lit("_imp_3"))) % 100 < 7
+      val base = li.select(col("l_returnflag").as("flag"),
+        when(miss, lit(null).cast("double")).otherwise(col("l_discount")).as("_v"))
+      val obs = base.filter(col("_v").isNotNull)
+      val mean = obs.agg(avg(col("_v")).as("_mu"))
+      val g = obs.groupBy(col("_v")).agg(count(lit(1)).cast("double").as("_c"))
+      val wc = Window.orderBy(col("_v")).rowsBetween(Window.unboundedPreceding, 0)
+      val wAll = Window.orderBy(col("_v"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val med = g.withColumn("_cf", sum(col("_c")).over(wc) / sum(col("_c")).over(wAll))
+        .filter(col("_cf") >= 0.5).agg(min(col("_v")).as("_med"))
+      base.crossJoin(broadcast(mean)).crossJoin(broadcast(med))
+        .groupBy("flag")
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(when(col("_v").isNull, 1L).otherwise(0L)).cast("long").as("n_missing"),
+          r6(avg(col("_v"))).as("mean_observed"),
+          r6(avg(coalesce(col("_v"), col("_mu")))).as("mean_imputed"),
+          r6(avg(coalesce(col("_v"), col("_med")))).as("median_imputed"))
+        .orderBy("flag")
+    },
+    "triangle_count" -> { (s, d) =>
+      // triangle count + global transitivity of the thresholded
+      // co-purchase graph: edges only where ≥2 orders share the pair
+      // (support pruning keeps the edge set sparse — the basket_lift
+      // fan-out bound), triangles via the ordered-edge join
+      // e(a<b) ⋈ e(b<c) ⋈ e(a<c) so each triangle counts exactly once;
+      // wedges from the bounded degree frame
+      val a = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val e = a.as("x").join(a.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .groupBy(col("x.p").as("p1"), col("y.p").as("p2"))
+        .agg(count(lit(1)).as("_np"))
+        .filter(col("_np") >= 2).select(col("p1"), col("p2"))
+      val deg = e.select(col("p1").as("p")).unionAll(e.select(col("p2").as("p")))
+        .groupBy("p").agg(count(lit(1)).cast("double").as("_dg"))
+      val tri = e.as("e1")
+        .join(e.as("e2"), col("e1.p2") === col("e2.p1"))
+        .join(e.as("e3"),
+          col("e3.p1") === col("e1.p1") && col("e3.p2") === col("e2.p2"))
+        .agg(count(lit(1)).cast("double").as("_nt"))
+      val st = e.agg(count(lit(1)).cast("double").as("_ne"))
+      val dst = deg.agg(count(lit(1)).cast("double").as("_nn"),
+        sum(col("_dg") * (col("_dg") - 1) / 2).as("_wedges"))
+      st.crossJoin(broadcast(dst)).crossJoin(broadcast(tri))
+        .select(col("_nn").cast("long").as("n_nodes"), col("_ne").cast("long").as("n_edges"),
+          col("_nt").cast("long").as("n_triangles"),
+          r6(when(col("_wedges") > 0, lit(3.0) * col("_nt") / col("_wedges"))
+            .otherwise(0.0)).as("transitivity"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "prop_ztest" ->
+      """WITH per AS (SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' AND value > 150 THEN 1.0 ELSE 0.0 END) AS conv
+        |  FROM events GROUP BY user_id),
+        |s AS (SELECT
+        |    sum(CASE WHEN a THEN 1.0 ELSE 0.0 END) AS na,
+        |    sum(CASE WHEN a THEN conv ELSE 0.0 END) AS ca,
+        |    sum(CASE WHEN NOT a THEN 1.0 ELSE 0.0 END) AS nb,
+        |    sum(CASE WHEN NOT a THEN conv ELSE 0.0 END) AS cb
+        |  FROM (SELECT conv,
+        |      ('0x' || substr(md5(user_id::VARCHAR || '_pz_11'), 1, 15))::BIGINT % 1000 < 500 AS a
+        |    FROM per))
+        |SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
+        |  ca::BIGINT AS conv_a, cb::BIGINT AS conv_b,
+        |  round(ca / na, 4) AS p_a, round(cb / nb, 4) AS p_b,
+        |  round((ca/na - cb/nb) / sqrt(((ca+cb)/(na+nb)) * (1.0 - (ca+cb)/(na+nb))
+        |    * (1.0/na + 1.0/nb)), 4) AS z,
+        |  abs(round((ca/na - cb/nb) / sqrt(((ca+cb)/(na+nb)) * (1.0 - (ca+cb)/(na+nb))
+        |    * (1.0/na + 1.0/nb)), 4)) > 1.96 AS reject
+        |FROM s""".stripMargin,
+    "benford" ->
+      """WITH g AS (SELECT substr(floor(o_totalprice)::BIGINT::VARCHAR, 1, 1)::INT AS digit,
+        |    count(*)::DOUBLE AS n
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT sum(n) AS tot FROM g)
+        |SELECT digit::BIGINT AS digit, n::BIGINT AS n,
+        |  round(n / t.tot, 6) AS share,
+        |  round(ln(1.0 + 1.0 / digit) / ln(10.0), 6) AS expected,
+        |  round(t.tot * pow(n / t.tot - ln(1.0 + 1.0 / digit) / ln(10.0), 2)
+        |    / (ln(1.0 + 1.0 / digit) / ln(10.0)), 4) AS chi2_term
+        |FROM g, t ORDER BY digit""".stripMargin,
+    "nelson_aalen" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |dur AS (SELECT user_id, (max(day) - min(day) + 1)::BIGINT AS d FROM e GROUP BY user_id),
+        |g AS (SELECT d, count(*)::DOUBLE AS dd FROM dur GROUP BY d),
+        |c AS (SELECT d, dd,
+        |    sum(dd) OVER () - coalesce(sum(dd) OVER (ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS risk
+        |  FROM g),
+        |h AS (SELECT d, dd, risk,
+        |    sum(dd / risk) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ch
+        |  FROM c)
+        |SELECT d AS duration, risk::BIGINT AS n_risk, dd::BIGINT AS n_events,
+        |  round(ch, 6) AS cum_hazard, round(exp(-ch), 6) AS survival_na
+        |FROM h ORDER BY duration""".stripMargin,
+    "fdr_bh" ->
+      """WITH g AS (SELECT avg(c_acctbal) AS mu, stddev_samp(c_acctbal) AS sd FROM customer),
+        |per AS (SELECT c_nationkey AS nation, count(*)::DOUBLE AS n, avg(c_acctbal) AS m
+        |  FROM customer GROUP BY 1),
+        |z AS (SELECT nation, n, (m - g.mu) / (g.sd / sqrt(n)) AS z FROM per, g),
+        |a AS (SELECT nation, n, z, abs(z) / sqrt(2.0) AS x FROM z),
+        |b AS (SELECT nation, n, z, x, 1.0 / (1.0 + 0.3275911 * x) AS t FROM a),
+        |p AS (SELECT nation, n, z,
+        |    round(t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
+        |      + t * (-1.453152027 + t * 1.061405429)))) * exp(-x * x), 6) AS p
+        |  FROM b),
+        |r AS (SELECT nation, n, z, p,
+        |    row_number() OVER (ORDER BY p, nation) AS rk,
+        |    count(*) OVER ()::DOUBLE AS m FROM p),
+        |k AS (SELECT *, max(CASE WHEN p <= rk * 0.05 / m THEN rk ELSE 0 END) OVER () AS kmax
+        |  FROM r)
+        |SELECT nation::BIGINT AS nation, n::BIGINT AS n, round(z, 4) AS z, p AS p_value,
+        |  rk::BIGINT AS rank, (rk <= kmax) AS reject
+        |FROM k ORDER BY nation""".stripMargin,
+    "imputer" ->
+      """WITH b AS (SELECT l_returnflag AS flag,
+        |    CASE WHEN ('0x' || substr(md5(l_orderkey::VARCHAR || '_' || l_linenumber::VARCHAR
+        |        || '_imp_3'), 1, 15))::BIGINT % 100 < 7
+        |      THEN NULL ELSE l_discount END AS v
+        |  FROM lineitem),
+        |m AS (SELECT avg(v) AS mu FROM b WHERE v IS NOT NULL),
+        |g AS (SELECT v, count(*)::DOUBLE AS c FROM b WHERE v IS NOT NULL GROUP BY v),
+        |md AS (SELECT min(v) AS med FROM (
+        |    SELECT v, sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |        / sum(c) OVER () AS cf FROM g) WHERE cf >= 0.5)
+        |SELECT flag, count(*)::BIGINT AS n,
+        |  sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_missing,
+        |  round(avg(v), 6) AS mean_observed,
+        |  round(avg(coalesce(v, m.mu)), 6) AS mean_imputed,
+        |  round(avg(coalesce(v, md.med)), 6) AS median_imputed
+        |FROM b, m, md GROUP BY flag, m.mu, md.med ORDER BY flag""".stripMargin,
+    "triangle_count" ->
+      """WITH a AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e0 AS (SELECT x.p AS p1, y.p AS p2, count(*) AS np
+        |  FROM a x JOIN a y ON x.o = y.o AND x.p < y.p GROUP BY 1, 2),
+        |e AS (SELECT p1, p2 FROM e0 WHERE np >= 2),
+        |deg AS (SELECT p, count(*)::DOUBLE AS dg FROM
+        |  (SELECT p1 AS p FROM e UNION ALL SELECT p2 AS p FROM e) GROUP BY p),
+        |tri AS (SELECT count(*)::DOUBLE AS nt FROM e e1
+        |  JOIN e e2 ON e1.p2 = e2.p1
+        |  JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2),
+        |st AS (SELECT count(*)::DOUBLE AS ne FROM e),
+        |dst AS (SELECT count(*)::DOUBLE AS nn, sum(dg * (dg - 1) / 2) AS wedges FROM deg)
+        |SELECT dst.nn::BIGINT AS n_nodes, st.ne::BIGINT AS n_edges,
+        |  tri.nt::BIGINT AS n_triangles,
+        |  round(CASE WHEN dst.wedges > 0 THEN 3.0 * tri.nt / dst.wedges ELSE 0.0 END, 6)
+        |    AS transitivity
+        |FROM st, dst, tri""".stripMargin
+  )
+}

@@ -1,0 +1,127 @@
+package graft
+
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-6 session-4 analytics wave, cross-checked against driver-side
+  * recomputation on sf0.001 (tiny enough to collect). */
+class AnalyticsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("prop_ztest matches a driver-side recomputation of the pooled z") {
+    val rows = Tables.events(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" && col("value") > 150, 1.0)
+        .otherwise(0.0)).as("conv"))
+      .withColumn("a", graft.core.Num.md5Long(
+        concat(col("user_id").cast("string"), lit("_pz_11"))) % 1000 < 500)
+      .collect().map(r => (r.getDouble(1), r.getBoolean(2)))
+    val (a, b) = rows.partition(_._2)
+    val (na, ca) = (a.length.toDouble, a.map(_._1).sum)
+    val (nb, cb) = (b.length.toDouble, b.map(_._1).sum)
+    val pp = (ca + cb) / (na + nb)
+    val z = (ca / na - cb / nb) / math.sqrt(pp * (1 - pp) * (1 / na + 1 / nb))
+    val got = SparkEntry.queries("prop_ztest")(spark, sf).head()
+    assert(got.getLong(got.fieldIndex("n_a")) == na.toLong)
+    assert(got.getLong(got.fieldIndex("conv_b")) == cb.toLong)
+    assert(math.abs(got.getDouble(got.fieldIndex("z")) - z) < 1e-3)
+  }
+
+  test("benford: digits 1-9 partition the corpus, shares sum to 1, expected is Benford") {
+    val rows = SparkEntry.queries("benford")(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSet.subsetOf((1L to 9L).toSet))
+    val nTotal = Tables.orders(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == nTotal)
+    assert(math.abs(rows.map(_.getDouble(2)).sum - 1.0) < 1e-3)
+    rows.foreach { r =>
+      val d = r.getLong(0).toDouble
+      assert(math.abs(r.getDouble(3) - math.log10(1 + 1 / d)) < 1e-5)
+      assert(r.getDouble(4) >= 0.0) // chi2 term
+    }
+  }
+
+  test("nelson_aalen: hazard increments are d/n, cumulative, survival = exp(-H)") {
+    val rows = SparkEntry.queries("nelson_aalen")(spark, sf)
+      .orderBy("duration").collect()
+    var h = 0.0
+    rows.foreach { r =>
+      h += r.getLong(r.fieldIndex("n_events")).toDouble / r.getLong(r.fieldIndex("n_risk"))
+      assert(math.abs(r.getDouble(r.fieldIndex("cum_hazard")) - h) < 1e-4)
+      assert(math.abs(r.getDouble(r.fieldIndex("survival_na")) - math.exp(-h)) < 1e-4)
+    }
+    // at-risk counts telescope: first row's risk = total users
+    assert(rows.head.getLong(rows.head.fieldIndex("n_risk")) ==
+      Tables.events(spark, sf).select(col("user_id")).distinct().count())
+  }
+
+  test("fdr_bh: rejections are exactly the BH step-up prefix of the p-ranking") {
+    val rows = SparkEntry.queries("fdr_bh")(spark, sf).collect()
+    val m = rows.length.toDouble
+    val byRank = rows.sortBy(_.getLong(rows.head.fieldIndex("rank")))
+    val ps = byRank.map(_.getDouble(rows.head.fieldIndex("p_value")))
+    assert(ps.forall(p => p >= 0 && p <= 1))
+    assert(ps.sameElements(ps.sorted)) // rank order == p order
+    val kmax = (1 to ps.length).filter(k => ps(k - 1) <= k * 0.05 / m)
+      .lastOption.getOrElse(0)
+    byRank.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getBoolean(r.fieldIndex("reject")) == (i + 1 <= kmax))
+    }
+  }
+
+  test("imputer matches a driver-side mean/median recomputation on the planted split") {
+    val vals = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_discount"),
+        graft.core.Num.md5Long(concat(
+          concat_ws("_", col("l_orderkey"), col("l_linenumber")), lit("_imp_3"))) % 100 < 7)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getBoolean(2)))
+    val obs = vals.filter(!_._3).map(_._2)
+    val mu = obs.sum / obs.length
+    // lower weighted median via the query's cumulative-fraction rule:
+    // smallest distinct value whose cumulative share reaches 0.5
+    val med = {
+      val grouped = obs.groupBy(identity).view.mapValues(_.length.toDouble).toSeq.sortBy(_._1)
+      val total = obs.length.toDouble
+      grouped.scanLeft((0.0, 0.0)) { case ((cum, _), (v, c)) => (cum + c, v) }
+        .drop(1).find(_._1 / total >= 0.5).get._2
+    }
+    val got = SparkEntry.queries("imputer")(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    vals.groupBy(_._1).foreach { case (flag, rows) =>
+      val r = got(flag)
+      assert(r.getLong(r.fieldIndex("n")) == rows.length)
+      assert(r.getLong(r.fieldIndex("n_missing")) == rows.count(_._3))
+      val meanImp = rows.map(v => if (v._3) mu else v._2).sum / rows.length
+      val medImp = rows.map(v => if (v._3) med else v._2).sum / rows.length
+      assert(math.abs(r.getDouble(r.fieldIndex("mean_imputed")) - meanImp) < 1e-5)
+      assert(math.abs(r.getDouble(r.fieldIndex("median_imputed")) - medImp) < 1e-5)
+    }
+  }
+
+  test("triangle_count matches a brute-force recomputation of the support-2 graph") {
+    val pairs = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = pairs.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val pairCount = scala.collection.mutable.Map[(Long, Long), Int]()
+    byOrder.values.foreach { parts =>
+      for (i <- parts.indices; j <- (i + 1) until parts.length)
+        pairCount((parts(i), parts(j))) = pairCount.getOrElse((parts(i), parts(j)), 0) + 1
+    }
+    val edges = pairCount.filter(_._2 >= 2).keySet
+    val adj = edges.toSeq.flatMap(e => Seq(e, e.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val tris = edges.toSeq.map { case (a, b) =>
+      adj(a).intersect(adj(b)).count(c => c > b)
+    }.sum
+    val deg = adj.view.mapValues(_.size.toDouble)
+    val wedges = deg.values.map(d => d * (d - 1) / 2).sum
+    val got = SparkEntry.queries("triangle_count")(spark, sf).head()
+    assert(got.getLong(got.fieldIndex("n_edges")) == edges.size)
+    assert(got.getLong(got.fieldIndex("n_nodes")) == adj.size)
+    assert(got.getLong(got.fieldIndex("n_triangles")) == tris)
+    if (wedges > 0)
+      assert(math.abs(got.getDouble(got.fieldIndex("transitivity")) - 3.0 * tris / wedges) < 1e-4)
+  }
+}
