@@ -34,6 +34,16 @@ object Boosting {
   private def stumpCol(st: Stump): Column =
     when(col(st.feature) <= lit(st.thr), lit(st.leftVal)).otherwise(lit(st.rightVal))
 
+  /** The fitted GBT model as a pure codegen column. `overrides` substitutes
+    * an expression for a feature's value — the partial-dependence scoring
+    * hook (grid literal in, marginalized prediction out). */
+  def gbtPredict(f0: Double, model: Seq[Stump], lr: Double,
+                 overrides: Map[String, Column] = Map.empty): Column =
+    model.foldLeft(lit(f0): Column) { (acc, st) =>
+      val x = overrides.getOrElse(st.feature, col(st.feature))
+      acc + lit(lr) * when(x <= lit(st.thr), lit(st.leftVal)).otherwise(lit(st.rightVal))
+    }
+
   /** Unpivot the feature columns to (f, v) rows next to named carried
     * columns — one explode, so the candidate aggregation is a single
     * corpus pass. */

@@ -74,6 +74,55 @@ object BoostQueries {
       Boosting.adaBoostFrame(s, Tables.lineitem(s, d), Feats,
         when(col("l_returnflag") === "R", 1.0).otherwise(-1.0), rounds = 5)
     },
+    "isotonic_fit" -> { (s, d) =>
+      // isotonic regression of P(returnflag = R) on quantity via the
+      // closed-form max-min solution ŷ_k = max_{i≤k} min_{j≥k} avg(i..j)
+      // (Robertson-Wright; ≡ PAV, spec-checked): prefix sums off the
+      // bounded distinct-value frame, the pair frame is |support|² — the
+      // calibration use case quantizes scores first (roc_auc discipline),
+      // so the corpus is scanned ONCE and all pooling runs on ≤m² rows;
+      // every A(i,j) is a ratio of exact integer sums → engine-identical
+      val li = Tables.lineitem(s, d)
+      val y = when(col("l_returnflag") === "R", 1.0).otherwise(0.0)
+      val g = li.groupBy(col("l_quantity").as("v"))
+        .agg(count(lit(1)).cast("double").as("_n"), sum(y).as("_s"))
+      val wCum = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, 0)
+      val idx = g.withColumn("i", row_number().over(Window.orderBy(col("v"))))
+        .withColumn("_cn", sum(col("_n")).over(wCum))
+        .withColumn("_cs", sum(col("_s")).over(wCum))
+      val pairs = idx.as("lo").join(idx.as("hi"), col("lo.i") <= col("hi.i"))
+        .select(col("lo.i").as("i"), col("hi.i").as("j"),
+          ((col("hi._cs") - (col("lo._cs") - col("lo._s"))) /
+            (col("hi._cn") - (col("lo._cn") - col("lo._n")))).as("_a"))
+      val wRMin = Window.partitionBy("i").orderBy(col("j").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val iso = pairs.withColumn("_bmin", min(col("_a")).over(wRMin))
+        .groupBy("j").agg(max(col("_bmin")).as("_iso"))
+      idx.join(iso, idx("i") === iso("j"))
+        .select(col("v").as("value"), col("_n").cast("long").as("n"),
+          r6(col("_s") / col("_n")).as("mean_y"), r6(col("_iso")).as("iso_y"))
+        .orderBy("value")
+    },
+    "partial_dependence" -> { (s, d) =>
+      // partial-dependence of the fitted GBT on quantity (sklearn
+      // inspection surface): refit (same fixed-round chain), then for each
+      // grid value substitute the literal into the model column and
+      // average over the corpus — 5 aggregate expressions in ONE scan
+      val li = Tables.lineitem(s, d)
+      val (f0, model) = Boosting.fitGBT(li, Feats,
+        col("l_extendedprice") / 100000.0, rounds = 4, lr = 0.5)
+      val grid = Seq(5.0, 15.0, 25.0, 35.0, 45.0)
+      val aggs = grid.zipWithIndex.map { case (gv, i) =>
+        avg(Boosting.gbtPredict(f0, model, 0.5,
+          Map("l_quantity" -> lit(gv)))).as(s"_p$i")
+      }
+      li.agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(grid.zipWithIndex.map { case (gv, i) =>
+          struct(lit(gv).as("grid_q"), r6(col(s"_p$i")).as("pdp"))
+        }: _*)).as("u"))
+        .select(col("u.grid_q").as("grid_q"), col("u.pdp").as("pdp"))
+        .orderBy("grid_q")
+    },
     "feature_select" -> { (s, d) =>
       // filter-method feature ranking vs the 3-class label: mutual
       // information and χ² per feature from ONE unpivot-contingency pass
@@ -115,9 +164,10 @@ object BoostQueries {
       s"SELECT '$f' AS f, $c AS v, $carryExpr FROM $from"
     }.mkString("\n  UNION ALL ")
 
-  /** h_j(x) for GBT winner CTE wj: the winning feature's stump output. */
-  private def gbtStumpSql(w: String): String =
-    s"""(CASE WHEN $w.f = 'l_quantity' THEN (CASE WHEN q <= $w.thr THEN $w.ll ELSE $w.lr END)
+  /** h_j(x) for GBT winner CTE wj: the winning feature's stump output.
+    * `qExpr` substitutes the quantity operand (partial-dependence grid). */
+  private def gbtStumpSql(w: String, qExpr: String = "q"): String =
+    s"""(CASE WHEN $w.f = 'l_quantity' THEN (CASE WHEN $qExpr <= $w.thr THEN $w.ll ELSE $w.lr END)
        |  WHEN $w.f = 'l_discount' THEN (CASE WHEN disc <= $w.thr THEN $w.ll ELSE $w.lr END)
        |  ELSE (CASE WHEN tax <= $w.thr THEN $w.ll ELSE $w.lr END) END)""".stripMargin
 
@@ -127,9 +177,12 @@ object BoostQueries {
        |  WHEN $w.f = 'l_discount' THEN (CASE WHEN disc <= $w.thr THEN 1.0 ELSE -1.0 END)
        |  ELSE (CASE WHEN tax <= $w.thr THEN 1.0 ELSE -1.0 END) END))""".stripMargin
 
-  private def gbtOracle(rounds: Int, lr: Double): String = {
-    def pred(k: Int): String =
-      (1 to k).foldLeft("f0.f0")((acc, j) => s"$acc + $lr * ${gbtStumpSql(s"w$j")}")
+  private def gbtPredSql(k: Int, lr: Double, qExpr: String = "q"): String =
+    (1 to k).foldLeft("f0.f0")((acc, j) => s"$acc + $lr * ${gbtStumpSql(s"w$j", qExpr)}")
+
+  /** The shared GBT fit CTE chain (base + f0 + per-round winner CTEs). */
+  private def gbtCtes(rounds: Int, lr: Double): String = {
+    def pred(k: Int): String = gbtPredSql(k, lr)
     val roundCtes = (1 to rounds).map { k =>
       val prior = (Seq("f0") ++ (1 until k).map(j => s"w$j")).mkString(", ")
       s"""u$k AS (${unpivotSql(s"y - (${pred(k - 1)}) AS res", s"b, $prior")}),
@@ -145,21 +198,34 @@ object BoostQueries {
          |    FROM c$k WHERE nle < nt)
          |  ORDER BY sc DESC, f, v LIMIT 1)""".stripMargin
     }.mkString(",\n")
+    s"""b AS MATERIALIZED (SELECT l_quantity::DOUBLE AS q, l_discount::DOUBLE AS disc,
+       |    l_tax::DOUBLE AS tax, l_extendedprice / 100000.0 AS y FROM lineitem),
+       |f0 AS (SELECT round(avg(y), 4) AS f0 FROM b),
+       |$roundCtes""".stripMargin
+  }
+
+  private def gbtOracle(rounds: Int, lr: Double): String = {
     val mseSel = (1 to rounds).map(k =>
-      s"avg((y - (${pred(k)})) * (y - (${pred(k)}))) AS m$k").mkString(",\n    ")
+      s"avg((y - (${gbtPredSql(k, lr)})) * (y - (${gbtPredSql(k, lr)}))) AS m$k")
+      .mkString(",\n    ")
     val allW = (Seq("f0") ++ (1 to rounds).map(j => s"w$j")).mkString(", ")
     val out = (1 to rounds).map(k =>
       s"""SELECT $k::BIGINT AS round, w$k.f AS feature, round(w$k.thr, 6) AS threshold,
          |  w$k.ll AS leaf_left, w$k.lr AS leaf_right, round(m.m$k, 6) AS mse
          |FROM w$k, m""".stripMargin).mkString("\nUNION ALL ")
-    s"""WITH b AS MATERIALIZED (SELECT l_quantity::DOUBLE AS q, l_discount::DOUBLE AS disc,
-       |    l_tax::DOUBLE AS tax, l_extendedprice / 100000.0 AS y FROM lineitem),
-       |f0 AS (SELECT round(avg(y), 4) AS f0 FROM b),
-       |$roundCtes,
+    s"""WITH ${gbtCtes(rounds, lr)},
        |m AS (SELECT
        |    $mseSel
        |  FROM b, $allW)
        |$out ORDER BY round""".stripMargin
+  }
+
+  private def pdpOracle(rounds: Int, lr: Double, grid: Seq[Double]): String = {
+    val allW = (Seq("f0") ++ (1 to rounds).map(j => s"w$j")).mkString(", ")
+    s"""WITH ${gbtCtes(rounds, lr)}
+       |SELECT gr.g AS grid_q, round(avg(${gbtPredSql(rounds, lr, "gr.g")}), 6) AS pdp
+       |FROM b, $allW, unnest([${grid.mkString(", ")}]) AS gr(g)
+       |GROUP BY gr.g ORDER BY grid_q""".stripMargin
   }
 
   private def adaOracle(rounds: Int): String = {
@@ -234,6 +300,25 @@ object BoostQueries {
         |  nle::BIGINT AS n_left, ple::BIGINT AS pos_left
         |FROM r WHERE rank <= 5 ORDER BY rank""".stripMargin,
     "gbt_stumps" -> gbtOracle(rounds = 4, lr = 0.5),
+    "partial_dependence" -> pdpOracle(rounds = 4, lr = 0.5,
+      grid = Seq(5.0, 15.0, 25.0, 35.0, 45.0)),
+    "isotonic_fit" ->
+      """WITH g AS (SELECT l_quantity AS v, count(*)::DOUBLE AS n,
+        |    sum(CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END) AS s
+        |  FROM lineitem GROUP BY 1),
+        |i AS (SELECT v, n, s, row_number() OVER (ORDER BY v) AS i,
+        |    sum(n) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+        |    sum(s) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+        |  FROM g),
+        |p AS (SELECT lo.i AS i, hi.i AS j,
+        |    (hi.cs - (lo.cs - lo.s)) / (hi.cn - (lo.cn - lo.n)) AS a
+        |  FROM i lo JOIN i hi ON lo.i <= hi.i),
+        |b AS (SELECT i, j, min(a) OVER (PARTITION BY i ORDER BY j DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bmin FROM p),
+        |iso AS (SELECT j, max(bmin) AS y FROM b GROUP BY j)
+        |SELECT i.v AS value, i.n::BIGINT AS n, round(i.s / i.n, 6) AS mean_y,
+        |  round(iso.y, 6) AS iso_y
+        |FROM i JOIN iso ON i.i = iso.j ORDER BY value""".stripMargin,
     "adaboost_stumps" -> adaOracle(rounds = 5),
     "feature_select" ->
       """WITH un AS (

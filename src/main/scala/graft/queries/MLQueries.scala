@@ -138,6 +138,26 @@ object MLQueries {
         split.filter(col("split") === "test"), LiFeatures, "l_extendedprice",
         numTrees = 10)
     },
+    "als_recommend" -> { (s, d) =>
+      // collaborative filtering via MLlib ALS (seeded, iterative → rows
+      // only): (customer, part) implicit-count ratings from one join +
+      // groupBy; the factorization is the standard distributed
+      // block-coordinate solve, train-set RMSE + rank summary out
+      val ratings = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").cast("int").as("user"),
+          col("l_partkey").cast("int").as("item"))
+        .agg(sum(col("l_quantity")).cast("float").as("rating"))
+      val als = new org.apache.spark.ml.recommendation.ALS()
+        .setRank(8).setMaxIter(5).setRegParam(0.1).setSeed(42L)
+        .setUserCol("user").setItemCol("item").setRatingCol("rating")
+      val pred = als.fit(ratings).transform(ratings)
+      pred.agg(count(lit(1)).cast("long").as("n_ratings"),
+        countDistinct(col("user")).cast("long").as("n_users"),
+        countDistinct(col("item")).cast("long").as("n_items"),
+        r4(sqrt(avg(pow(col("rating") - col("prediction"), 2)))).as("rmse"))
+    },
     "svm_linear" -> { (s, d) =>
       SVMGraft.linearSvcSummary(Tables.lineitem(s, d), LiFeatures,
         when(col("l_returnflag") === "R", 1.0).otherwise(0.0), maxIter = 20)

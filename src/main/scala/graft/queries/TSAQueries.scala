@@ -29,6 +29,22 @@ object TSAQueries {
       TimeSeries.holtTrend(TimeSeries.dailySeries(Tables.events(s, d)), 0.3, 0.1)
         .orderBy("series")
     },
+    "holt_damped" -> { (s, d) =>
+      // damped-trend Holt (Gardner-McKenzie φ=0.9): the recursion runs
+      // per-series in-partition; the k-step damped sum is a closed-form
+      // column expression shared verbatim with the oracle
+      TimeSeries.holtDamped(TimeSeries.dailySeries(Tables.events(s, d)),
+          0.3, 0.1, 0.9, h = 5)
+        .orderBy("series", "step")
+    },
+    "theta_forecast" -> { (s, d) =>
+      // Theta method (M3 winner): ½·trend-line + ½·SES(θ2 line); OLS
+      // coefficients from ONE grouped aggregate, rounded before the θ2
+      // line so the SES recursion input is engine-identical
+      TimeSeries.thetaForecast(TimeSeries.dailySeries(Tables.events(s, d)),
+          0.3, h = 5)
+        .orderBy("series", "step")
+    },
     "holtwinters_seasonal" -> { (s, d) =>
       TimeSeries.holtWintersSeasonal(TimeSeries.dailySeries(Tables.events(s, d)),
           0.3, 0.1, 0.2, 7)
@@ -603,6 +619,47 @@ object TSAQueries {
          |  round(max(dv.dev), 4) AS max_dev
          |FROM dv JOIN mad ON dv.series = mad.series
          |GROUP BY dv.series ORDER BY series""".stripMargin,
+    "holt_damped" ->
+      s"""WITH RECURSIVE s0 AS ($dailySql),
+         |s AS (SELECT series, x, (row_number() OVER (PARTITION BY series ORDER BY day) - 1)::BIGINT AS t FROM s0),
+         |x1 AS (SELECT series, x AS xone FROM s WHERE t = 1),
+         |hd AS (
+         |  SELECT s.series, s.t, s.x AS l, x1.xone - s.x AS b
+         |  FROM s JOIN x1 ON s.series = x1.series WHERE s.t = 0
+         |  UNION ALL
+         |  SELECT n.series, n.t,
+         |    0.3 * n.x + (1.0 - 0.3) * (hd.l + 0.9 * hd.b) AS l,
+         |    0.1 * ((0.3 * n.x + (1.0 - 0.3) * (hd.l + 0.9 * hd.b)) - hd.l)
+         |      + (1.0 - 0.1) * 0.9 * hd.b AS b
+         |  FROM hd JOIN s n ON n.series = hd.series AND n.t = hd.t + 1),
+         |last AS (SELECT series, l, b, row_number() OVER (PARTITION BY series ORDER BY t DESC) AS rn FROM hd)
+         |SELECT series, k::BIGINT AS step, round(l, 4) AS level, round(b, 4) AS trend,
+         |  round(l + 0.9 * (1.0 - pow(0.9, k)) / (1.0 - 0.9) * b, 4) AS forecast
+         |FROM last, unnest([1, 2, 3, 4, 5]) AS u(k)
+         |WHERE rn = 1 ORDER BY series, step""".stripMargin,
+    "theta_forecast" ->
+      s"""WITH RECURSIVE s0 AS ($dailySql),
+         |s AS (SELECT series, x, (row_number() OVER (PARTITION BY series ORDER BY day) - 1)::BIGINT AS t FROM s0),
+         |g AS (SELECT series, count(*)::DOUBLE AS n, sum(t::DOUBLE) AS st, sum(x) AS sx,
+         |    sum(t::DOUBLE * t::DOUBLE) AS stt, sum(t::DOUBLE * x) AS stx
+         |  FROM s GROUP BY series),
+         |cf AS (SELECT series,
+         |    round((n * stx - st * sx) / (n * stt - st * st), 6) AS b,
+         |    round((sx - round((n * stx - st * sx) / (n * stt - st * st), 6) * st) / n, 6) AS a
+         |  FROM g),
+         |th AS (SELECT s.series, s.t, 2.0 * s.x - (cf.a + cf.b * s.t) AS x
+         |  FROM s JOIN cf USING (series)),
+         |sm AS (
+         |  SELECT series, t, x AS sv FROM th WHERE t = 0
+         |  UNION ALL
+         |  SELECT n.series, n.t, 0.3 * n.x + (1.0 - 0.3) * sm.sv AS sv
+         |  FROM sm JOIN th n ON n.series = sm.series AND n.t = sm.t + 1),
+         |last AS (SELECT series, t, sv, row_number() OVER (PARTITION BY series ORDER BY t DESC) AS rn FROM sm),
+         |fin AS (SELECT l.series, l.t AS tl, l.sv, cf.a, cf.b
+         |  FROM last l JOIN cf USING (series) WHERE l.rn = 1)
+         |SELECT series, k::BIGINT AS step,
+         |  round(0.5 * (a + b * (tl + k)) + 0.5 * sv, 4) AS forecast
+         |FROM fin, unnest([1, 2, 3, 4, 5]) AS u(k) ORDER BY series, step""".stripMargin,
     "holt_trend" ->
       s"""WITH RECURSIVE s0 AS ($dailySql),
          |s AS (SELECT series, x, (row_number() OVER (PARTITION BY series ORDER BY day) - 1)::BIGINT AS t FROM s0),

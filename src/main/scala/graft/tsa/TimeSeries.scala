@@ -83,6 +83,81 @@ object TimeSeries {
         round(col("_f"), 4).as("forecast1"))
   }
 
+  /** Damped-trend Holt (Gardner & McKenzie 1985 — the damped variant of
+    * the reference's trend channel, tsa/holtwinters.pyx):
+    *   l_t = α·x_t + (1−α)(l_{t−1} + φ·b_{t−1})
+    *   b_t = β(l_t − l_{t−1}) + (1−β)·φ·b_{t−1}
+    *   ŷ_{T+k} = l + (φ + φ² + … + φᵏ)·b
+    * Same per-series in-partition recursion + scale posture as
+    * [[holtTrend]]; one row per (series, step). */
+  def holtDamped(series: DataFrame, alpha: Double, beta: Double, phi: Double,
+                 h: Int): DataFrame = {
+    import series.sparkSession.implicits._
+    val rows = series.select(col("series").cast("string"), col("t").cast("long"),
+      col("x").cast("double")).as[(String, Long, Double)]
+    val fitted = rows.groupByKey(_._1).flatMapGroups { (key, it) =>
+      val xs = it.toSeq.sortBy(_._2).map(_._3)
+      if (xs.length < 2) Iterator.empty
+      else {
+        var l = xs(0)
+        var b = xs(1) - xs(0)
+        var i = 1
+        while (i < xs.length) {
+          val lPrev = l
+          l = alpha * xs(i) + (1.0 - alpha) * (l + phi * b)
+          b = beta * (l - lPrev) + (1.0 - beta) * phi * b
+          i += 1
+        }
+        Iterator((key, l, b))
+      }
+    }.toDF("series", "_l", "_b")
+    // the damped k-step sum φ+φ²+…+φᵏ in closed form — the same
+    // expression the oracle evaluates, so the doubles match bit-for-bit
+    fitted.select(col("series") +: (1 to h).map { k =>
+        val damp = lit(phi) * (lit(1.0) - pow(lit(phi), k)) / (lit(1.0) - lit(phi))
+        round(col("_l") + damp * col("_b"), 4).as(s"_f$k")
+      } :+ round(col("_l"), 4).as("level") :+ round(col("_b"), 4).as("trend"): _*)
+      .select(col("series"), col("level"), col("trend"),
+        explode(array((1 to h).map(k =>
+          struct(lit(k.toLong).as("step"), col(s"_f$k").as("forecast"))): _*)).as("u"))
+      .select(col("series"), col("u.step").as("step"), col("level"), col("trend"),
+        col("u.forecast").as("forecast"))
+  }
+
+  /** Theta-method forecast (Assimakopoulos & Nikolopoulos 2000; the
+    * Hyndman & Billah 2003 decomposition: average of the linear-trend
+    * line and SES on the theta=2 line). Per-series:
+    *   (a, b) = OLS of x on t (ONE grouped aggregate, coefficients
+    *   ROUNDED 6 dp before they enter the theta line so the recursion
+    *   input is engine-identical);  θ2_t = 2·x_t − (a + b·t);
+    *   ŷ_{T+k} = ½(a + b·(T+k)) + ½·SES_α(θ2)_T.
+    * The SES recursion runs inside the one per-series pass
+    * ([[sesSmoothed]]); forecasts are closed-form off the final state. */
+  def thetaForecast(series: DataFrame, alpha: Double, h: Int): DataFrame = {
+    val g = series.groupBy("series").agg(
+      count(lit(1)).cast("double").as("_n"), sum(col("t").cast("double")).as("_st"),
+      sum(col("x")).as("_sx"), sum(col("t") * col("t")).cast("double").as("_stt"),
+      sum(col("t") * col("x")).as("_stx"))
+    val braw = (col("_n") * col("_stx") - col("_st") * col("_sx")) /
+      (col("_n") * col("_stt") - col("_st") * col("_st"))
+    val cf = g.select(col("series"), round(braw, 6).as("_b"),
+      round((col("_sx") - round(braw, 6) * col("_st")) / col("_n"), 6).as("_a"))
+    val theta2 = series.join(cf, "series")
+      .select(col("series"), col("t"),
+        (lit(2.0) * col("x") - (col("_a") + col("_b") * col("t"))).as("x"))
+    val ses = sesSmoothed(theta2, alpha)
+    val w = Window.partitionBy(col("series")).orderBy(col("t").desc)
+    val last = ses.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .select(col("series"), col("t").as("_tl"), col("smoothed").as("_l"))
+    last.join(cf, "series")
+      .select(col("series") +: (1 to h).map(k =>
+        round(lit(0.5) * (col("_a") + col("_b") * (col("_tl") + k)) +
+          lit(0.5) * col("_l"), 4).as(s"_f$k")): _*)
+      .select(col("series"), explode(array((1 to h).map(k =>
+        struct(lit(k.toLong).as("step"), col(s"_f$k").as("forecast"))): _*)).as("u"))
+      .select(col("series"), col("u.step").as("step"), col("u.forecast").as("forecast"))
+  }
+
   /** Full additive Holt-Winters: level + trend + seasonal channel of period
     * m (reference tsa/holtwinters.pyx, cpp/src/holtwinters/ — the seasonal
     * fit is the headline of the reference implementation).

@@ -99,6 +99,58 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("holt_damped matches a driver-side damped recursion; forecast increments shrink") {
+    val daily = graft.tsa.TimeSeries.dailySeries(Tables.events(spark, sf))
+      .filter(col("series") === "click")
+      .orderBy("t").select(col("x")).collect().map(_.getDouble(0))
+    var l = daily(0); var b = daily(1) - daily(0)
+    val (alpha, beta, phi) = (0.3, 0.1, 0.9)
+    var i = 1
+    while (i < daily.length) {
+      val lPrev = l
+      l = alpha * daily(i) + (1.0 - alpha) * (l + phi * b)
+      b = beta * (l - lPrev) + (1.0 - beta) * phi * b
+      i += 1
+    }
+    val rows = SparkEntry.queries("holt_damped")(spark, sf)
+      .filter(col("series") === "click").orderBy("step").collect()
+    assert(rows.length == 5)
+    assert(math.abs(rows.head.getDouble(rows.head.fieldIndex("level")) - l) < 1e-3)
+    val f = rows.map(_.getDouble(rows.head.fieldIndex("forecast")))
+    (1 to 4).foreach { k =>
+      val exp = l + phi * (1 - math.pow(phi, k + 1)) / (1 - phi) * b
+      assert(math.abs(f(k) - exp) < 1e-3)
+    }
+    // damped: successive increments shrink geometrically
+    val d1 = math.abs(f(1) - f(0)); val d4 = math.abs(f(4) - f(3))
+    assert(d4 <= d1 + 1e-9)
+  }
+
+  test("theta_forecast matches a driver-side theta recomputation for one series") {
+    val daily = graft.tsa.TimeSeries.dailySeries(Tables.events(spark, sf))
+      .filter(col("series") === "click")
+      .orderBy("t").select(col("t"), col("x")).collect()
+      .map(r => (r.getLong(0).toDouble, r.getDouble(1)))
+    val n = daily.length.toDouble
+    val st = daily.map(_._1).sum; val sx = daily.map(_._2).sum
+    val stt = daily.map(p => p._1 * p._1).sum; val stx = daily.map(p => p._1 * p._2).sum
+    def r6d(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val b = r6d((n * stx - st * sx) / (n * stt - st * st))
+    val a = r6d((sx - b * st) / n)
+    var l = 2.0 * daily(0)._2 - (a + b * daily(0)._1)
+    daily.tail.foreach { case (t, x) =>
+      l = 0.3 * (2.0 * x - (a + b * t)) + 0.7 * l
+    }
+    val tl = daily.last._1
+    val rows = SparkEntry.queries("theta_forecast")(spark, sf)
+      .filter(col("series") === "click").orderBy("step").collect()
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val exp = 0.5 * (a + b * (tl + i + 1)) + 0.5 * l
+      assert(math.abs(r.getDouble(r.fieldIndex("forecast")) - exp) < 1e-3,
+        s"step ${i + 1}")
+    }
+  }
+
   test("triangle_count matches a brute-force recomputation of the support-2 graph") {
     val pairs = Tables.lineitem(spark, sf)
       .select(col("l_orderkey"), col("l_partkey")).distinct()

@@ -65,6 +65,65 @@ class BoostSpec extends AnyFunSuite {
     assert(errs.last <= errs.head + 1e-9, s"ens err ${errs.toSeq}")
   }
 
+  test("isotonic_fit matches a driver-side PAV (pool-adjacent-violators) run") {
+    val rows = SparkEntry.queries("isotonic_fit")(spark, sf).orderBy("value").collect()
+    val iso = rows.map(_.getDouble(rows.head.fieldIndex("iso_y")))
+    assert(iso.zip(iso.tail).forall { case (a, b) => b >= a - 1e-9 }, "not monotone")
+    // PAV over the same distinct-value frame
+    case class Block(var n: Double, var s: Double)
+    val blocks = scala.collection.mutable.ArrayBuffer[Block]()
+    val counts = scala.collection.mutable.ArrayBuffer[Int]()
+    rows.foreach { r =>
+      blocks += Block(r.getLong(r.fieldIndex("n")).toDouble,
+        r.getDouble(r.fieldIndex("mean_y")) * r.getLong(r.fieldIndex("n")))
+      counts += 1
+      while (blocks.length > 1 &&
+        blocks(blocks.length - 2).s / blocks(blocks.length - 2).n >=
+          blocks.last.s / blocks.last.n + 1e-12) {
+        val last = blocks.remove(blocks.length - 1)
+        blocks.last.n += last.n; blocks.last.s += last.s
+        counts(counts.length - 2) += counts.remove(counts.length - 1)
+      }
+    }
+    val pav = blocks.zip(counts).flatMap { case (b, c) => Seq.fill(c)(b.s / b.n) }
+    iso.zip(pav).zipWithIndex.foreach { case ((a, b), k) =>
+      // mean_y was rounded to 6 dp before the driver PAV, so allow that grid
+      assert(math.abs(a - b) < 1e-4, s"row $k: max-min $a vs PAV $b")
+    }
+  }
+
+  test("partial_dependence: values bounded by the fitted model's leaf range and non-constant") {
+    val li = graft.core.Tables.lineitem(spark, sf)
+    val (f0, model) = graft.ensemble.Boosting.fitGBT(li,
+      Seq("l_quantity", "l_discount", "l_tax"), col("l_extendedprice") / 100000.0,
+      rounds = 4, lr = 0.5)
+    val lo = f0 + model.map(st => 0.5 * math.min(st.leftVal, st.rightVal)).sum
+    val hi = f0 + model.map(st => 0.5 * math.max(st.leftVal, st.rightVal)).sum
+    val rows = SparkEntry.queries("partial_dependence")(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val p = r.getDouble(r.fieldIndex("pdp"))
+      assert(p >= lo - 1e-6 && p <= hi + 1e-6, s"pdp $p outside [$lo, $hi]")
+    }
+    // the grid only separates quantity stumps whose threshold falls inside it
+    if (model.exists(st => st.feature == "l_quantity" && st.thr >= 5.0 && st.thr < 45.0))
+      assert(rows.map(_.getDouble(rows.head.fieldIndex("pdp"))).distinct.length > 1)
+  }
+
+  test("als_recommend: factorization beats the constant-mean predictor on train RMSE") {
+    val got = SparkEntry.queries("als_recommend")(spark, sf).head()
+    val ratings = graft.core.Tables.lineitem(spark, sf)
+      .join(graft.core.Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"), col("l_partkey"))
+      .agg(sum(col("l_quantity")).as("r"))
+      .select(col("r")).collect().map(_.getDouble(0))
+    val mean = ratings.sum / ratings.length
+    val sd = math.sqrt(ratings.map(r => (r - mean) * (r - mean)).sum / ratings.length)
+    assert(got.getLong(got.fieldIndex("n_ratings")) == ratings.length)
+    assert(got.getDouble(got.fieldIndex("rmse")) < sd,
+      s"ALS RMSE ${got.getDouble(got.fieldIndex("rmse"))} vs baseline sd $sd")
+  }
+
   test("feature_select MI matches a driver-side recomputation per feature") {
     val rows = Tables.lineitem(spark, sf)
       .select(col("l_quantity"), col("l_discount"), col("l_tax"), col("l_returnflag"))
