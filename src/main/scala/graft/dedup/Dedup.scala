@@ -155,6 +155,32 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Broder containment |A∩B| / min(|A|,|B|) alongside Jaccard for the
+    * MinHash-LSH candidate pairs — the ASYMMETRIC near-dup signal: a short
+    * document embedded verbatim in a longer one scores containment ≈ 1
+    * while its Jaccard stays low (Broder 1997's resemblance vs
+    * containment). Same Σ bucket² candidate bound as
+    * [[jaccardForCandidates]]; the exact set join only touches proposed
+    * pairs. */
+  def containmentForCandidates(df: DataFrame, textCol: String, idCol: String,
+                               p: MinHashParams = MinHashParams()): DataFrame = {
+    val cand = minhashCandidates(df, textCol, idCol, p)
+    val sh = TextOps.explodedShingles(df, col(idCol), normText(col(textCol)), p.shingleK)
+      .select(col("doc"), col("sh")).distinct().cache()
+    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).cast("double").as("sz"))
+    val inter = cand
+      .join(sh.select(col("doc").as("doc1"), col("sh")), Seq("doc1"))
+      .join(sh.select(col("doc").as("doc2"), col("sh")), Seq("doc2", "sh"))
+      .groupBy(col("doc1"), col("doc2"))
+      .agg(count(lit(1)).cast("double").as("inter"))
+    inter
+      .join(sizes.select(col("doc").as("doc1"), col("sz").as("sz1")), Seq("doc1"))
+      .join(sizes.select(col("doc").as("doc2"), col("sz").as("sz2")), Seq("doc2"))
+      .select(col("doc1"), col("doc2"),
+        (col("inter") / least(col("sz1"), col("sz2"))).as("containment"),
+        (col("inter") / (col("sz1") + col("sz2") - col("inter"))).as("jaccard"))
+  }
+
   /** n-gram Jaccard similarity for candidate pairs (same `source`, nearby
     * ids — at scale the candidate generator is the LSH bucket join). */
   def ngramJaccard(df: DataFrame, textCol: String, idCol: String, srcCol: String,

@@ -139,6 +139,44 @@ object AnalyticsQueries {
           r6(avg(coalesce(col("_v"), col("_med")))).as("median_imputed"))
         .orderBy("flag")
     },
+    "ndcg" -> { (s, d) =>
+      // NDCG@100 of the literal SVM margin for the R class: rank by
+      // (score desc, id) — a declared global-sort audit twin (the
+      // lift_table pattern); DCG/IDCG off the top-k frame in one
+      // aggregate, the ideal ranking's depth = min(k, n_pos)
+      val li = Tables.lineitem(s, d)
+      val margin = round(lit(-0.1) + lit(0.004) * col("l_quantity") +
+        lit(1.5) * col("l_discount") + lit(-2.0) * col("l_tax"), 6)
+      val id = concat_ws("_", col("l_orderkey"), col("l_linenumber"))
+      val k = 100
+      val ranked = li.select(margin.as("_s"), id.as("_id"),
+          when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("_rel"))
+        .withColumn("_rk", row_number().over(Window.orderBy(col("_s").desc, col("_id"))))
+        .filter(col("_rk") <= k)
+      val npos = li.agg(
+        sum(when(col("l_returnflag") === "R", 1.0).otherwise(0.0)).as("_np"))
+      val disc = lit(1.0) / log(2.0, col("_rk") + 1)
+      ranked.crossJoin(broadcast(npos))
+        .agg(sum(col("_rel") * disc).as("_dcg"),
+          sum(when(col("_rk") <= col("_np"), disc).otherwise(lit(0.0))).as("_idcg"))
+        .select(lit(k.toLong).as("k"), r6(col("_dcg")).as("dcg"),
+          r6(col("_idcg")).as("idcg"), r6(col("_dcg") / col("_idcg")).as("ndcg"))
+    },
+    "power_sample_size" -> { (s, d) =>
+      // A/B power analysis (two-sample means, alpha 0.05 / power 0.8,
+      // MDE = 2% of the mean): required n per arm from ONE moments
+      // aggregate and the literal z quantiles; round-before-ceil so the
+      // integer is engine-stable
+      val g = Tables.orders(s, d).agg(count(lit(1)).cast("double").as("_n"),
+        avg(col("o_totalprice")).as("_mu"), stddev_samp(col("o_totalprice")).as("_sd"))
+      val mde = col("_mu") * 0.02
+      val nArm = ceil(round(lit(2.0) * pow(lit(1.959964) + lit(0.841621), 2) *
+        pow(col("_sd"), 2) / pow(mde, 2), 4))
+      g.select(col("_n").cast("long").as("n_current"), r4(col("_mu")).as("mean"),
+        r4(col("_sd")).as("sd"), r4(mde).as("mde"),
+        nArm.cast("long").as("n_per_arm"),
+        (nArm * 2 <= col("_n")).as("feasible"))
+    },
     "triangle_count" -> { (s, d) =>
       // triangle count + global transitivity of the thresholded
       // co-purchase graph: edges only where ≥2 orders share the pair
@@ -253,6 +291,32 @@ object AnalyticsQueries {
         |  round(avg(coalesce(v, m.mu)), 6) AS mean_imputed,
         |  round(avg(coalesce(v, md.med)), 6) AS median_imputed
         |FROM b, m, md GROUP BY flag, m.mu, md.med ORDER BY flag""".stripMargin,
+    "ndcg" ->
+      """WITH r AS (SELECT
+        |    round(-0.1 + 0.004 * l_quantity + 1.5 * l_discount + -2.0 * l_tax, 6) AS s,
+        |    l_orderkey::VARCHAR || '_' || l_linenumber::VARCHAR AS id,
+        |    CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS rel
+        |  FROM lineitem),
+        |rk AS (SELECT rel, row_number() OVER (ORDER BY s DESC, id) AS rk FROM r),
+        |np AS (SELECT sum(rel) AS np FROM r),
+        |t AS (SELECT rel, rk, 1.0 / (ln(rk + 1) / ln(2.0)) AS disc
+        |  FROM rk WHERE rk <= 100),
+        |agg AS (SELECT sum(rel * disc) AS dcg,
+        |    sum(CASE WHEN rk <= np.np THEN disc ELSE 0.0 END) AS idcg
+        |  FROM t, np)
+        |SELECT 100::BIGINT AS k, round(dcg, 6) AS dcg, round(idcg, 6) AS idcg,
+        |  round(dcg / idcg, 6) AS ndcg
+        |FROM agg""".stripMargin,
+    "power_sample_size" ->
+      """WITH g AS (SELECT count(*)::DOUBLE AS n, avg(o_totalprice) AS mu,
+        |    stddev_samp(o_totalprice) AS sd FROM orders)
+        |SELECT n::BIGINT AS n_current, round(mu, 4) AS mean, round(sd, 4) AS sd,
+        |  round(mu * 0.02, 4) AS mde,
+        |  ceil(round(2.0 * pow(1.959964 + 0.841621, 2) * pow(sd, 2)
+        |    / pow(mu * 0.02, 2), 4))::BIGINT AS n_per_arm,
+        |  ceil(round(2.0 * pow(1.959964 + 0.841621, 2) * pow(sd, 2)
+        |    / pow(mu * 0.02, 2), 4)) * 2 <= n AS feasible
+        |FROM g""".stripMargin,
     "triangle_count" ->
       """WITH a AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |e0 AS (SELECT x.p AS p1, y.p AS p2, count(*) AS np

@@ -99,6 +99,54 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("minhash_containment: containment >= jaccard, same candidate pairs as jaccard_lsh") {
+    val cont = SparkEntry.queries("minhash_containment")(spark, sf).collect()
+    val jacc = SparkEntry.queries("jaccard_lsh")(spark, sf).collect()
+    assert(cont.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      jacc.map(r => (r.getLong(0), r.getLong(1))).toSet)
+    cont.foreach { r =>
+      val c = r.getDouble(r.fieldIndex("containment"))
+      val j = r.getDouble(r.fieldIndex("jaccard"))
+      assert(c >= j - 1e-9, s"containment $c < jaccard $j")
+      assert(c > 0 && c <= 1.0 + 1e-9)
+      assert(r.getBoolean(r.fieldIndex("contained")) == (c >= 0.9))
+    }
+  }
+
+  test("ndcg matches a driver-side recomputation; dcg <= idcg") {
+    val rows = Tables.lineitem(spark, sf)
+      .select(round(lit(-0.1) + lit(0.004) * col("l_quantity") +
+        lit(1.5) * col("l_discount") + lit(-2.0) * col("l_tax"), 6).as("s"),
+        concat_ws("_", col("l_orderkey"), col("l_linenumber")).as("id"),
+        when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("rel"))
+      .collect().map(r => (r.getDouble(0), r.getString(1), r.getDouble(2)))
+    val ranked = rows.sortBy(r => (-r._1, r._2)).take(100)
+    val np = rows.map(_._3).sum
+    def disc(i: Int) = 1.0 / (math.log(i + 1.0) / math.log(2.0))
+    val dcg = ranked.zipWithIndex.map { case (r, i) => r._3 * disc(i + 1) }.sum
+    val idcg = (1 to math.min(100, np.toInt)).map(disc).sum
+    val got = SparkEntry.queries("ndcg")(spark, sf).head()
+    assert(math.abs(got.getDouble(got.fieldIndex("dcg")) - dcg) < 1e-4)
+    assert(math.abs(got.getDouble(got.fieldIndex("idcg")) - idcg) < 1e-4)
+    assert(got.getDouble(got.fieldIndex("dcg")) <= got.getDouble(got.fieldIndex("idcg")) + 1e-9)
+    val n = got.getDouble(got.fieldIndex("ndcg"))
+    assert(n > 0 && n <= 1.0 + 1e-9)
+  }
+
+  test("power_sample_size matches the closed-form driver recomputation") {
+    val vals = Tables.orders(spark, sf).select(col("o_totalprice"))
+      .collect().map(_.getDouble(0))
+    val n = vals.length.toDouble
+    val mu = vals.sum / n
+    val sd = math.sqrt(vals.map(v => (v - mu) * (v - mu)).sum / (n - 1))
+    val mde = mu * 0.02
+    val want = math.ceil(BigDecimal(2.0 * math.pow(1.959964 + 0.841621, 2) *
+      sd * sd / (mde * mde)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble).toLong
+    val got = SparkEntry.queries("power_sample_size")(spark, sf).head()
+    assert(got.getLong(got.fieldIndex("n_per_arm")) == want)
+    assert(got.getBoolean(got.fieldIndex("feasible")) == (want * 2 <= n))
+  }
+
   test("holt_damped matches a driver-side damped recursion; forecast increments shrink") {
     val daily = graft.tsa.TimeSeries.dailySeries(Tables.events(spark, sf))
       .filter(col("series") === "click")

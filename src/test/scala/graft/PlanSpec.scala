@@ -428,4 +428,31 @@ class PlanSpec extends AnyFunSuite {
     val p = planOf(SparkEntry.queries("rolling_features")(spark, sf))
     assert(p.split("Exchange hashpartitioning").length - 1 == 1, p.take(3000))
   }
+
+  test("stump split search scans the corpus ONCE (explode unpivot, not one scan per feature)") {
+    val p = planOf(SparkEntry.queries("stump_fit")(spark, sf))
+    assert(p.split("Scan parquet").length - 1 == 1, p.take(3000))
+    // candidate evaluation shuffles only the bounded (feature, value) frame
+    assert(p.contains("partial"), p.take(3000))
+  }
+
+  test("triangle counting stays on equi-joins (ordered-edge join, no nested loop)") {
+    val p = planOf(SparkEntry.queries("triangle_count")(spark, sf))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // the pair/wedge joins must be hash equi-joins on node keys; the only
+    // nested-loop joins allowed are the final 1-row summary cross joins
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(3000))
+    val bnlj = p.split("BroadcastNestedLoopJoin").length - 1
+    assert(bnlj <= 2, s"unexpected nested-loop joins ($bnlj): " + p.take(3000))
+  }
+
+  test("imputer transform joins literal stats via broadcast (corpus never reshuffled for the stats)") {
+    val p = planOf(SparkEntry.queries("imputer")(spark, sf))
+    assert(p.contains("BroadcastExchange"), p.take(3000))
+    // hash exchanges only for the median's distinct-value frame and the
+    // bounded flag aggregate — never on the full corpus for the join
+    val exch = p.split("Exchange hashpartitioning").length - 1
+    assert(exch <= 3, s"unexpected corpus shuffle ($exch exchanges): " + p.take(3000))
+  }
 }
