@@ -139,6 +139,36 @@ object AnalyticsQueries {
           r6(avg(coalesce(col("_v"), col("_med")))).as("median_imputed"))
         .orderBy("flag")
     },
+    "boxcox_fit" -> { (s, d) =>
+      // Box-Cox λ selection over the literal lattice {−1,−0.5,0,0.5,1}
+      // (the hw_fit lattice discipline applied to the transform family):
+      // every candidate's profile log-likelihood
+      //   ll(λ) = −n/2·ln(σ²_λ) + (λ−1)·Σ ln x
+      // from ONE aggregate (per-λ moment sums are extra expressions, not
+      // extra scans); winner on the ROUNDED ll with smaller-λ tie-break
+      val lambdas = Seq(-1.0, -0.5, 0.0, 0.5, 1.0)
+      val x = col("o_totalprice") / 10000.0
+      def tf(l: Double) =
+        if (l == 0.0) log(x) else (pow(x, l) - 1.0) / l
+      val aggs = count(lit(1)).cast("double").as("_n") +:
+        sum(log(x)).as("_slnx") +:
+        lambdas.zipWithIndex.flatMap { case (l, i) =>
+          Seq(sum(tf(l)).as(s"_s$i"), sum(tf(l) * tf(l)).as(s"_q$i"))
+        }
+      val g = Tables.orders(s, d).agg(aggs.head, aggs.tail: _*)
+      val rows = g.select(explode(array(lambdas.zipWithIndex.map { case (l, i) =>
+          val v = col(s"_q$i") / col("_n") -
+            (col(s"_s$i") / col("_n")) * (col(s"_s$i") / col("_n"))
+          struct(lit(l).as("lambda"),
+            r4(lit(-0.5) * col("_n") * log(v) + (lit(l) - 1.0) * col("_slnx"))
+              .as("loglik"))
+        }: _*)).as("u"))
+        .select(col("u.lambda").as("lambda"), col("u.loglik").as("loglik"))
+      val wBest = Window.orderBy(col("loglik").desc, col("lambda"))
+      rows.withColumn("rank", row_number().over(wBest).cast("long"))
+        .withColumn("is_winner", col("rank") === 1)
+        .orderBy("lambda")
+    },
     "ndcg" -> { (s, d) =>
       // NDCG@100 of the literal SVM margin for the R class: rank by
       // (score desc, id) — a declared global-sort audit twin (the
@@ -291,6 +321,24 @@ object AnalyticsQueries {
         |  round(avg(coalesce(v, m.mu)), 6) AS mean_imputed,
         |  round(avg(coalesce(v, md.med)), 6) AS median_imputed
         |FROM b, m, md GROUP BY flag, m.mu, md.med ORDER BY flag""".stripMargin,
+    "boxcox_fit" ->
+      """WITH b AS (SELECT o_totalprice / 10000.0 AS x FROM orders),
+        |g AS (SELECT count(*)::DOUBLE AS n, sum(ln(x)) AS slnx,
+        |    sum((pow(x, -1.0) - 1.0) / -1.0) AS s0, sum(((pow(x, -1.0) - 1.0) / -1.0) * ((pow(x, -1.0) - 1.0) / -1.0)) AS q0,
+        |    sum((pow(x, -0.5) - 1.0) / -0.5) AS s1, sum(((pow(x, -0.5) - 1.0) / -0.5) * ((pow(x, -0.5) - 1.0) / -0.5)) AS q1,
+        |    sum(ln(x)) AS s2, sum(ln(x) * ln(x)) AS q2,
+        |    sum((pow(x, 0.5) - 1.0) / 0.5) AS s3, sum(((pow(x, 0.5) - 1.0) / 0.5) * ((pow(x, 0.5) - 1.0) / 0.5)) AS q3,
+        |    sum((pow(x, 1.0) - 1.0) / 1.0) AS s4, sum(((pow(x, 1.0) - 1.0) / 1.0) * ((pow(x, 1.0) - 1.0) / 1.0)) AS q4
+        |  FROM b),
+        |ll AS (
+        |  SELECT -1.0 AS lambda, round(-0.5 * n * ln(q0 / n - (s0 / n) * (s0 / n)) + (-1.0 - 1.0) * slnx, 4) AS loglik FROM g
+        |  UNION ALL SELECT -0.5, round(-0.5 * n * ln(q1 / n - (s1 / n) * (s1 / n)) + (-0.5 - 1.0) * slnx, 4) FROM g
+        |  UNION ALL SELECT 0.0, round(-0.5 * n * ln(q2 / n - (s2 / n) * (s2 / n)) + (0.0 - 1.0) * slnx, 4) FROM g
+        |  UNION ALL SELECT 0.5, round(-0.5 * n * ln(q3 / n - (s3 / n) * (s3 / n)) + (0.5 - 1.0) * slnx, 4) FROM g
+        |  UNION ALL SELECT 1.0, round(-0.5 * n * ln(q4 / n - (s4 / n) * (s4 / n)) + (1.0 - 1.0) * slnx, 4) FROM g),
+        |r AS (SELECT *, row_number() OVER (ORDER BY loglik DESC, lambda) AS rank FROM ll)
+        |SELECT lambda, loglik, rank::BIGINT AS rank, rank = 1 AS is_winner
+        |FROM r ORDER BY lambda""".stripMargin,
     "ndcg" ->
       """WITH r AS (SELECT
         |    round(-0.1 + 0.004 * l_quantity + 1.5 * l_discount + -2.0 * l_tax, 6) AS s,

@@ -99,6 +99,30 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("boxcox_fit matches a driver-side profile-loglik lattice; one winner") {
+    val xs = Tables.orders(spark, sf).select(col("o_totalprice") / 10000.0)
+      .collect().map(_.getDouble(0))
+    val n = xs.length.toDouble
+    val slnx = xs.map(math.log).sum
+    def ll(lam: Double): Double = {
+      val y = if (lam == 0.0) xs.map(math.log)
+              else xs.map(x => (math.pow(x, lam) - 1.0) / lam)
+      val m = y.sum / n
+      val v = y.map(a => a * a).sum / n - m * m
+      -0.5 * n * math.log(v) + (lam - 1.0) * slnx
+    }
+    val rows = SparkEntry.queries("boxcox_fit")(spark, sf).orderBy("lambda").collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val lam = r.getDouble(r.fieldIndex("lambda"))
+      assert(math.abs(r.getDouble(r.fieldIndex("loglik")) - ll(lam)) < 1e-2, s"lambda $lam")
+    }
+    assert(rows.count(_.getBoolean(rows.head.fieldIndex("is_winner"))) == 1)
+    val winner = rows.find(_.getBoolean(rows.head.fieldIndex("is_winner"))).get
+    val best = Seq(-1.0, -0.5, 0.0, 0.5, 1.0).maxBy(ll)
+    assert(winner.getDouble(winner.fieldIndex("lambda")) == best)
+  }
+
   test("minhash_containment: containment >= jaccard, same candidate pairs as jaccard_lsh") {
     val cont = SparkEntry.queries("minhash_containment")(spark, sf).collect()
     val jacc = SparkEntry.queries("jaccard_lsh")(spark, sf).collect()
