@@ -139,6 +139,37 @@ object AnalyticsQueries {
           r6(avg(coalesce(col("_v"), col("_med")))).as("median_imputed"))
         .orderBy("flag")
     },
+    "hits" -> { (s, d) =>
+      // Kleinberg hubs & authorities over the customer→part purchase
+      // graph: 3 fixed mutual-reinforcement rounds, each half-round one
+      // node-key join + one grouped sum (the pagerank discipline); ranks
+      // rounded before the top-10 cut
+      val edges = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      graft.graph.HITS.run(edges, "c", "p", rounds = 3, topK = 10)
+        .orderBy("kind", "rank")
+    },
+    "item_item_cf" -> { (s, d) =>
+      // item-item neighborhood CF (the memory-based recommender beside
+      // ALS): cosine on co-purchase counts — pair fan-out bounded by
+      // lines-per-order (the basket_lift bound), marginals join on the
+      // part key, cosine ROUNDED before the top-15 selection
+      val a = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val perPart = a.groupBy(col("p")).agg(count(lit(1)).cast("double").as("_np"))
+      val pairs = a.as("x").join(a.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .groupBy(col("x.p").as("p1"), col("y.p").as("p2"))
+        .agg(count(lit(1)).cast("double").as("_npair"))
+        .filter(col("_npair") >= 2)
+      pairs.join(perPart.select(col("p").as("p1"), col("_np").as("_n1")), "p1")
+        .join(perPart.select(col("p").as("p2"), col("_np").as("_n2")), "p2")
+        .select(col("p1").cast("long").as("p1"), col("p2").cast("long").as("p2"),
+          col("_npair").cast("long").as("n_co"),
+          r6(col("_npair") / sqrt(col("_n1") * col("_n2"))).as("cosine"))
+        .orderBy(col("cosine").desc, col("p1"), col("p2")).limit(15)
+    },
     "boxcox_fit" -> { (s, d) =>
       // Box-Cox λ selection over the literal lattice {−1,−0.5,0,0.5,1}
       // (the hw_fit lattice discipline applied to the transform family):
@@ -239,7 +270,43 @@ object AnalyticsQueries {
     }
   )
 
+  /** The HITS chained-CTE replay: each half-round = grouped sum + 1-row
+    * max CTE, round-for-round graft.graph.HITS.run. */
+  private def hitsOracle(rounds: Int, topK: Int): String = {
+    val roundCtes = (1 to rounds).map { k =>
+      s"""a${k}r AS (SELECT e.dst AS node, sum(h${k - 1}.h) AS a
+         |  FROM e JOIN h${k - 1} ON e.src = h${k - 1}.node GROUP BY e.dst),
+         |a${k}m AS (SELECT max(a) AS m FROM a${k}r),
+         |a$k AS (SELECT node, a / a${k}m.m AS a FROM a${k}r, a${k}m),
+         |h${k}r AS (SELECT e.src AS node, sum(a$k.a) AS h
+         |  FROM e JOIN a$k ON e.dst = a$k.node GROUP BY e.src),
+         |h${k}m AS (SELECT max(h) AS m FROM h${k}r),
+         |h$k AS (SELECT node, h / h${k}m.m AS h FROM h${k}r, h${k}m)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT DISTINCT o.o_custkey::VARCHAR AS src, l.l_partkey::VARCHAR AS dst
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+       |h0 AS (SELECT DISTINCT src AS node, 1.0 AS h FROM e),
+       |$roundCtes,
+       |u AS (SELECT 'hub' AS kind, node, round(h, 6) AS score FROM h$rounds
+       |  UNION ALL SELECT 'authority', node, round(a, 6) FROM a$rounds),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY kind ORDER BY score DESC, node) AS rank
+       |  FROM u)
+       |SELECT kind, node, score, rank::BIGINT AS rank
+       |FROM r WHERE rank <= $topK ORDER BY kind, rank""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "hits" -> hitsOracle(rounds = 3, topK = 10),
+    "item_item_cf" ->
+      """WITH a AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |pp AS (SELECT p, count(*)::DOUBLE AS np FROM a GROUP BY p),
+        |pr AS (SELECT x.p AS p1, y.p AS p2, count(*)::DOUBLE AS npair
+        |  FROM a x JOIN a y ON x.o = y.o AND x.p < y.p GROUP BY 1, 2),
+        |f AS (SELECT p1, p2, npair FROM pr WHERE npair >= 2)
+        |SELECT f.p1::BIGINT AS p1, f.p2::BIGINT AS p2, f.npair::BIGINT AS n_co,
+        |  round(f.npair / sqrt(n1.np * n2.np), 6) AS cosine
+        |FROM f JOIN pp n1 ON f.p1 = n1.p JOIN pp n2 ON f.p2 = n2.p
+        |ORDER BY cosine DESC, p1, p2 LIMIT 15""".stripMargin,
     "prop_ztest" ->
       """WITH per AS (SELECT user_id,
         |    max(CASE WHEN event_type = 'purchase' AND value > 150 THEN 1.0 ELSE 0.0 END) AS conv

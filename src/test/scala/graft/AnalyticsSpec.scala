@@ -99,6 +99,57 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("hits matches a driver-side power iteration (3 rounds, max-normalized)") {
+    val edges = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").cast("string"), col("l_partkey").cast("string"))
+      .distinct().collect().map(r => (r.getString(0), r.getString(1)))
+    var hub = edges.map(_._1).distinct.map(_ -> 1.0).toMap
+    var auth = Map.empty[String, Double]
+    for (_ <- 1 to 3) {
+      val a0 = edges.groupBy(_._2).map { case (p, es) =>
+        p -> es.map(e => hub(e._1)).sum }
+      val am = a0.values.max
+      auth = a0.map { case (k, v) => k -> v / am }
+      val h0 = edges.groupBy(_._1).map { case (c, es) =>
+        c -> es.map(e => auth(e._2)).sum }
+      val hm = h0.values.max
+      hub = h0.map { case (k, v) => k -> v / hm }
+    }
+    def r6d(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val wantAuth = auth.toSeq.map { case (n, s) => (r6d(s), n) }
+      .sortBy { case (s, n) => (-s, n) }.take(10)
+    val got = SparkEntry.queries("hits")(spark, sf)
+      .filter(col("kind") === "authority").orderBy("rank").collect()
+      .map(r => (r.getDouble(r.fieldIndex("score")), r.getString(r.fieldIndex("node"))))
+    got.zip(wantAuth).foreach { case ((gs, gn), (ws, wn)) =>
+      assert(gn == wn && math.abs(gs - ws) < 1e-5, s"got ($gn,$gs) want ($wn,$ws)")
+    }
+    assert(got.head._1 == 1.0) // max-normalized: the top authority scores exactly 1
+  }
+
+  test("item_item_cf matches a driver-side cosine recomputation") {
+    val pairs = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val np = pairs.groupBy(_._2).view.mapValues(_.length.toDouble).toMap
+    val co = scala.collection.mutable.Map[(Long, Long), Double]()
+    pairs.groupBy(_._1).values.foreach { es =>
+      val ps = es.map(_._2).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        co((ps(i), ps(j))) = co.getOrElse((ps(i), ps(j)), 0.0) + 1
+    }
+    def r6d(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = co.filter(_._2 >= 2).toSeq.map { case ((a, b), n) =>
+      (r6d(n / math.sqrt(np(a) * np(b))), a, b, n)
+    }.sortBy { case (c, a, b, _) => (-c, a, b) }.take(15)
+    val got = SparkEntry.queries("item_item_cf")(spark, sf).collect()
+      .map(r => (r.getDouble(r.fieldIndex("cosine")), r.getLong(0), r.getLong(1),
+        r.getLong(r.fieldIndex("n_co")).toDouble))
+    assert(got.toSeq == want.toSeq)
+    got.foreach { case (c, _, _, _) => assert(c > 0 && c <= 1.0 + 1e-9) }
+  }
+
   test("boxcox_fit matches a driver-side profile-loglik lattice; one winner") {
     val xs = Tables.orders(spark, sf).select(col("o_totalprice") / 10000.0)
       .collect().map(_.getDouble(0))
