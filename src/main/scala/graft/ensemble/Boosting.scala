@@ -31,6 +31,8 @@ object Boosting {
 
   /** The stump's prediction as a pure codegen column (raw threshold,
     * rounded leaf values — matching the oracle's CASE replay). */
+  def stumpColumn(st: Stump): Column = stumpCol(st)
+
   private def stumpCol(st: Stump): Column =
     when(col(st.feature) <= lit(st.thr), lit(st.leftVal)).otherwise(lit(st.rightVal))
 

@@ -122,15 +122,19 @@ object AnalyticsQueries {
       val miss = Num.md5Long(concat(key, lit("_imp_3"))) % 100 < 7
       val base = li.select(col("l_returnflag").as("flag"),
         when(miss, lit(null).cast("double")).otherwise(col("l_discount")).as("_v"))
-      val obs = base.filter(col("_v").isNotNull)
-      val mean = obs.agg(avg(col("_v")).as("_mu"))
-      val g = obs.groupBy(col("_v")).agg(count(lit(1)).cast("double").as("_c"))
+      // BOTH strategies' statistics from ONE profiling scan: the bounded
+      // distinct-value frame carries the weighted mean (Σvc/Σc) and the
+      // lower-weighted median (min v with cumshare ≥ ½) together
+      val g = base.filter(col("_v").isNotNull)
+        .groupBy(col("_v")).agg(count(lit(1)).cast("double").as("_c"))
       val wc = Window.orderBy(col("_v")).rowsBetween(Window.unboundedPreceding, 0)
       val wAll = Window.orderBy(col("_v"))
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      val med = g.withColumn("_cf", sum(col("_c")).over(wc) / sum(col("_c")).over(wAll))
-        .filter(col("_cf") >= 0.5).agg(min(col("_v")).as("_med"))
-      base.crossJoin(broadcast(mean)).crossJoin(broadcast(med))
+      val stats = g
+        .withColumn("_cf", sum(col("_c")).over(wc) / sum(col("_c")).over(wAll))
+        .agg(min(when(col("_cf") >= 0.5, col("_v"))).as("_med"),
+          (sum(col("_v") * col("_c")) / sum(col("_c"))).as("_mu"))
+      base.crossJoin(broadcast(stats))
         .groupBy("flag")
         .agg(count(lit(1)).cast("long").as("n"),
           sum(when(col("_v").isNull, 1L).otherwise(0L)).cast("long").as("n_missing"),
@@ -138,6 +142,41 @@ object AnalyticsQueries {
           r6(avg(coalesce(col("_v"), col("_mu")))).as("mean_imputed"),
           r6(avg(coalesce(col("_v"), col("_med")))).as("median_imputed"))
         .orderBy("flag")
+    },
+    "mcnemar_test" -> { (s, d) =>
+      // McNemar's paired test of two literal classifiers (the svm margin
+      // vs a tax stump) on the SAME rows: both discordant cells from ONE
+      // codegen aggregate; continuity-corrected chi-sq vs the literal
+      // critical value on rounded values
+      val li = Tables.lineitem(s, d)
+      val y = col("l_returnflag") === "R"
+      val predA = (lit(-0.1) + lit(0.004) * col("l_quantity") +
+        lit(1.5) * col("l_discount") + lit(-2.0) * col("l_tax")) > 0
+      val predB = col("l_tax") >= 0.04
+      val g = li.agg(count(lit(1)).cast("double").as("_n"),
+        sum(when((predA === y) && (predB =!= y), 1.0).otherwise(0.0)).as("_b"),
+        sum(when((predA =!= y) && (predB === y), 1.0).otherwise(0.0)).as("_c"))
+      val chi2 = pow(abs(col("_b") - col("_c")) - 1.0, 2) / (col("_b") + col("_c"))
+      g.select(col("_n").cast("long").as("n"), col("_b").cast("long").as("n_a_only"),
+        col("_c").cast("long").as("n_b_only"), r4(chi2).as("chi2"),
+        (r4(chi2) > 3.8415).as("reject"))
+    },
+    "frequent_itemsets" -> { (s, d) =>
+      // Apriori-style frequent 3-itemsets: the triple fan-out is bounded
+      // by C(lines-per-order, 3) — order-key self-joins, never corpus³;
+      // top-10 by (support desc, itemset) with min support 2
+      val a = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      a.as("x")
+        .join(a.as("y"), col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .join(a.as("z"), col("x.o") === col("z.o") && col("y.p") < col("z.p"))
+        .groupBy(col("x.p").as("p1"), col("y.p").as("p2"), col("z.p").as("p3"))
+        .agg(count(lit(1)).cast("long").as("support"))
+        .filter(col("support") >= 2)
+        .orderBy(col("support").desc, col("p1"), col("p2"), col("p3"))
+        .limit(10)
+        .select(col("p1").cast("long").as("p1"), col("p2").cast("long").as("p2"),
+          col("p3").cast("long").as("p3"), col("support"))
     },
     "hits" -> { (s, d) =>
       // Kleinberg hubs & authorities over the customer→part purchase
@@ -297,6 +336,28 @@ object AnalyticsQueries {
 
   val oracles: Map[String, String] = Map(
     "hits" -> hitsOracle(rounds = 3, topK = 10),
+    "mcnemar_test" ->
+      """WITH g AS (SELECT count(*)::DOUBLE AS n,
+        |    sum(CASE WHEN ((-0.1 + 0.004 * l_quantity + 1.5 * l_discount + -2.0 * l_tax) > 0)
+        |          = (l_returnflag = 'R')
+        |        AND (l_tax >= 0.04) <> (l_returnflag = 'R') THEN 1.0 ELSE 0.0 END) AS b,
+        |    sum(CASE WHEN ((-0.1 + 0.004 * l_quantity + 1.5 * l_discount + -2.0 * l_tax) > 0)
+        |          <> (l_returnflag = 'R')
+        |        AND (l_tax >= 0.04) = (l_returnflag = 'R') THEN 1.0 ELSE 0.0 END) AS c
+        |  FROM lineitem)
+        |SELECT n::BIGINT AS n, b::BIGINT AS n_a_only, c::BIGINT AS n_b_only,
+        |  round(pow(abs(b - c) - 1.0, 2) / (b + c), 4) AS chi2,
+        |  round(pow(abs(b - c) - 1.0, 2) / (b + c), 4) > 3.8415 AS reject
+        |FROM g""".stripMargin,
+    "frequent_itemsets" ->
+      """WITH a AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |t AS (SELECT x.p AS p1, y.p AS p2, z.p AS p3, count(*)::BIGINT AS support
+        |  FROM a x JOIN a y ON x.o = y.o AND x.p < y.p
+        |    JOIN a z ON x.o = z.o AND y.p < z.p
+        |  GROUP BY 1, 2, 3)
+        |SELECT p1::BIGINT AS p1, p2::BIGINT AS p2, p3::BIGINT AS p3, support
+        |FROM t WHERE support >= 2
+        |ORDER BY support DESC, p1, p2, p3 LIMIT 10""".stripMargin,
     "item_item_cf" ->
       """WITH a AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |pp AS (SELECT p, count(*)::DOUBLE AS np FROM a GROUP BY p),
@@ -377,17 +438,17 @@ object AnalyticsQueries {
         |        || '_imp_3'), 1, 15))::BIGINT % 100 < 7
         |      THEN NULL ELSE l_discount END AS v
         |  FROM lineitem),
-        |m AS (SELECT avg(v) AS mu FROM b WHERE v IS NOT NULL),
         |g AS (SELECT v, count(*)::DOUBLE AS c FROM b WHERE v IS NOT NULL GROUP BY v),
-        |md AS (SELECT min(v) AS med FROM (
-        |    SELECT v, sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |        / sum(c) OVER () AS cf FROM g) WHERE cf >= 0.5)
+        |cf AS (SELECT v, c, sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    / sum(c) OVER () AS cf FROM g),
+        |st AS (SELECT min(CASE WHEN cf >= 0.5 THEN v END) AS med,
+        |    sum(v * c) / sum(c) AS mu FROM cf)
         |SELECT flag, count(*)::BIGINT AS n,
         |  sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_missing,
         |  round(avg(v), 6) AS mean_observed,
-        |  round(avg(coalesce(v, m.mu)), 6) AS mean_imputed,
-        |  round(avg(coalesce(v, md.med)), 6) AS median_imputed
-        |FROM b, m, md GROUP BY flag, m.mu, md.med ORDER BY flag""".stripMargin,
+        |  round(avg(coalesce(v, st.mu)), 6) AS mean_imputed,
+        |  round(avg(coalesce(v, st.med)), 6) AS median_imputed
+        |FROM b, st GROUP BY flag, st.mu, st.med ORDER BY flag""".stripMargin,
     "boxcox_fit" ->
       """WITH b AS (SELECT o_totalprice / 10000.0 AS x FROM orders),
         |g AS (SELECT count(*)::DOUBLE AS n, sum(ln(x)) AS slnx,

@@ -123,6 +123,33 @@ object BoostQueries {
         .select(col("u.grid_q").as("grid_q"), col("u.pdp").as("pdp"))
         .orderBy("grid_q")
     },
+    "gbt_attribution" -> { (s, d) =>
+      // global feature attribution of the fitted GBT (mean |SHAP| for
+      // stumps: a single stump's SHAP value is h_j(x) − E[h_j]): per-stump
+      // means from ONE scan (rounded before the attribution pass), mean
+      // absolute contributions from ONE more; shares the memoized fit
+      val li = Tables.lineitem(s, d)
+      val lr = 0.5
+      val (_, model) = Boosting.fitGBT(li, Feats,
+        col("l_extendedprice") / 100000.0, rounds = 4, lr = lr)
+      val meanAggs = model.zipWithIndex.map { case (st, j) =>
+        avg(Boosting.stumpColumn(st)).as(s"_m$j")
+      }
+      val meansRow = li.agg(meanAggs.head, meanAggs.tail: _*).head()
+      val means = model.indices.map(j => BigDecimal(meansRow.getDouble(j))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      val attAggs = model.zipWithIndex.map { case (st, j) =>
+        avg(abs(lit(lr) * (Boosting.stumpColumn(st) - lit(means(j))))).as(s"_a$j")
+      }
+      val attRow = li.agg(attAggs.head, attAggs.tail: _*).head()
+      import s.implicits._
+      Feats.map { f =>
+        val js = model.zipWithIndex.filter(_._1.feature == f).map(_._2)
+        val att = js.foldLeft(0.0)((acc, j) => acc + attRow.getDouble(j))
+        (f, js.length.toLong,
+          BigDecimal(att).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toDF("feature", "n_stumps", "attribution").orderBy("feature")
+    },
     "feature_select" -> { (s, d) =>
       // filter-method feature ranking vs the 3-class label: mutual
       // information and χ² per feature from ONE unpivot-contingency pass
@@ -275,7 +302,33 @@ object BoostQueries {
        |$out ORDER BY round""".stripMargin
   }
 
+  private def gbtAttributionOracle(rounds: Int, lr: Double): String = {
+    val allW = (1 to rounds).map(j => s"w$j").mkString(", ")
+    val meanSel = (1 to rounds).map(j =>
+      s"round(avg(${gbtStumpSql(s"w$j")}), 6) AS m$j").mkString(",\n    ")
+    val attSel = (1 to rounds).map(j =>
+      s"avg(abs($lr * (${gbtStumpSql(s"w$j")} - m0.m$j))) AS a$j").mkString(",\n    ")
+    val rows = Feats.map { f =>
+      val ns = (1 to rounds).map(j => s"(CASE WHEN w$j.f = '$f' THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      val at = (1 to rounds).map(j => s"(CASE WHEN w$j.f = '$f' THEN att.a$j ELSE 0.0 END)")
+        .mkString(" + ")
+      s"""SELECT '$f' AS feature, ($ns)::BIGINT AS n_stumps,
+         |  round($at, 6) AS attribution
+         |FROM $allW, att""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH ${gbtCtes(rounds, lr)},
+       |m0 AS (SELECT
+       |    $meanSel
+       |  FROM b, $allW),
+       |att AS (SELECT
+       |    $attSel
+       |  FROM b, $allW, m0)
+       |$rows ORDER BY feature""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "gbt_attribution" -> gbtAttributionOracle(rounds = 4, lr = 0.5),
     "stump_fit" ->
       """WITH un AS (
         |  SELECT 'l_quantity' AS f, l_quantity::DOUBLE AS v,

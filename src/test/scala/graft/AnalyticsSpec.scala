@@ -99,6 +99,55 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("mcnemar_test matches a driver-side paired-discordance recomputation") {
+    val rows = Tables.lineitem(spark, sf)
+      .select(col("l_quantity"), col("l_discount"), col("l_tax"), col("l_returnflag"))
+      .collect()
+    var (b, c) = (0.0, 0.0)
+    rows.foreach { r =>
+      val y = r.getString(3) == "R"
+      val pa = -0.1 + 0.004 * r.getDouble(0) + 1.5 * r.getDouble(1) + -2.0 * r.getDouble(2) > 0
+      val pb = r.getDouble(2) >= 0.04
+      if (pa == y && pb != y) b += 1
+      if (pa != y && pb == y) c += 1
+    }
+    val chi2 = math.pow(math.abs(b - c) - 1.0, 2) / (b + c)
+    val got = SparkEntry.queries("mcnemar_test")(spark, sf).head()
+    assert(got.getLong(got.fieldIndex("n_a_only")) == b.toLong)
+    assert(got.getLong(got.fieldIndex("n_b_only")) == c.toLong)
+    assert(math.abs(got.getDouble(got.fieldIndex("chi2")) - chi2) < 1e-3)
+  }
+
+  test("frequent_itemsets matches a brute-force triple enumeration") {
+    val pairs = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val triples = scala.collection.mutable.Map[(Long, Long, Long), Long]()
+    pairs.groupBy(_._1).values.foreach { es =>
+      val ps = es.map(_._2).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length; k <- (j + 1) until ps.length)
+        triples((ps(i), ps(j), ps(k))) = triples.getOrElse((ps(i), ps(j), ps(k)), 0L) + 1
+    }
+    val want = triples.filter(_._2 >= 2).toSeq
+      .sortBy { case ((a, b, c), n) => (-n, a, b, c) }.take(10)
+      .map { case ((a, b, c), n) => (a, b, c, n) }
+    val got = SparkEntry.queries("frequent_itemsets")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == want)
+  }
+
+  test("gbt_attribution: stump counts sum to rounds, unused features attribute zero") {
+    val rows = SparkEntry.queries("gbt_attribution")(spark, sf).collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getLong(rows.head.fieldIndex("n_stumps"))).sum == 4L)
+    rows.foreach { r =>
+      val att = r.getDouble(r.fieldIndex("attribution"))
+      assert(att >= 0.0)
+      if (r.getLong(r.fieldIndex("n_stumps")) == 0) assert(att == 0.0)
+      else assert(att > 0.0)
+    }
+  }
+
   test("hits matches a driver-side power iteration (3 rounds, max-normalized)") {
     val edges = Tables.lineitem(spark, sf)
       .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
