@@ -143,6 +143,73 @@ object AnalyticsQueries {
           r6(avg(coalesce(col("_v"), col("_med")))).as("median_imputed"))
         .orderBy("flag")
     },
+    "kcore" -> { (s, d) =>
+      // 3-core of the support-2 co-purchase graph: 4 fixed peeling rounds
+      // (degree groupBy + survivor semi-joins per round); the per-round
+      // (n_nodes, n_edges) trace shows convergence
+      val a = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val e = a.as("x").join(a.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .groupBy(col("x.p").as("p1"), col("y.p").as("p2"))
+        .agg(count(lit(1)).as("_np"))
+        .filter(col("_np") >= 2).select(col("p1"), col("p2"))
+      graft.graph.KCore.run(e, k = 3, rounds = 4)
+    },
+    "learning_curve" -> { (s, d) =>
+      // OLS learning curve over nested md5 train fractions (25/50/75%)
+      // with a fixed 25% holdout: ALL three trains' sufficient statistics
+      // are conditional sums in ONE aggregate (nested splits share rows —
+      // the kfold_cv stat-algebra discipline), coefficients by centered
+      // 2x2 Cramer ROUNDED before scoring, all three holdout MSEs from
+      // ONE more scan against the broadcast coefficient row
+      val li = Tables.lineitem(s, d)
+      val u = Num.md5Long(concat(
+        concat_ws("_", col("l_orderkey"), col("l_linenumber")), lit("_lc_5"))) % 1000
+      val (x1, x2, y) = (col("l_quantity"), col("l_discount"), col("l_extendedprice"))
+      val fracs = Seq(250, 500, 750)
+      val aggs = fracs.flatMap { f =>
+        val in = u < f
+        Seq(sum(when(in, 1.0).otherwise(0.0)).as(s"_n$f"),
+          sum(when(in, x1).otherwise(0.0)).as(s"_s1_$f"),
+          sum(when(in, x2).otherwise(0.0)).as(s"_s2_$f"),
+          sum(when(in, y).otherwise(0.0)).as(s"_sy_$f"),
+          sum(when(in, x1 * x1).otherwise(0.0)).as(s"_s11_$f"),
+          sum(when(in, x1 * x2).otherwise(0.0)).as(s"_s12_$f"),
+          sum(when(in, x2 * x2).otherwise(0.0)).as(s"_s22_$f"),
+          sum(when(in, x1 * y).otherwise(0.0)).as(s"_s1y_$f"),
+          sum(when(in, x2 * y).otherwise(0.0)).as(s"_s2y_$f"))
+      }
+      val st = li.agg(aggs.head, aggs.tail: _*)
+      val coefs = st.select(fracs.flatMap { f =>
+        val (n, s1, s2, sy) = (col(s"_n$f"), col(s"_s1_$f"), col(s"_s2_$f"), col(s"_sy_$f"))
+        val a = col(s"_s11_$f") - s1 * s1 / n
+        val b = col(s"_s12_$f") - s1 * s2 / n
+        val c = col(s"_s22_$f") - s2 * s2 / n
+        val r1 = col(s"_s1y_$f") - s1 * sy / n
+        val r2 = col(s"_s2y_$f") - s2 * sy / n
+        val w1 = (r1 * c - b * r2) / (a * c - b * b)
+        val w2 = (a * r2 - b * r1) / (a * c - b * b)
+        Seq(n.cast("long").as(s"_nt$f"), r6(w1).as(s"_w1_$f"), r6(w2).as(s"_w2_$f"),
+          r4(sy / n - w1 * s1 / n - w2 * s2 / n).as(s"_b0_$f"))
+      }: _*)
+      val hold = li.filter(u >= 750).crossJoin(broadcast(coefs))
+      val mseAggs = fracs.map { f =>
+        val pred = col(s"_b0_$f") + col(s"_w1_$f") * x1 + col(s"_w2_$f") * x2
+        avg((y - pred) * (y - pred)).as(s"_mse$f")
+      }
+      val scored = hold.groupBy(fracs.map(f => col(s"_nt$f")) ++
+          fracs.map(f => col(s"_w1_$f")) ++ fracs.map(f => col(s"_w2_$f")) ++
+          fracs.map(f => col(s"_b0_$f")): _*)
+        .agg(mseAggs.head, mseAggs.tail: _*)
+      scored.select(explode(array(fracs.map { f =>
+          struct(lit(f.toLong).as("train_permille"), col(s"_nt$f").as("n_train"),
+            col(s"_w1_$f").as("w_quantity"), col(s"_w2_$f").as("w_discount"),
+            col(s"_b0_$f").as("intercept"), round(col(s"_mse$f"), 2).as("holdout_mse"))
+        }: _*)).as("u"))
+        .select(col("u.*"))
+        .orderBy("train_permille")
+    },
     "mcnemar_test" -> { (s, d) =>
       // McNemar's paired test of two literal classifiers (the svm margin
       // vs a tax stump) on the SAME rows: both discordant cells from ONE
@@ -309,6 +376,89 @@ object AnalyticsQueries {
     }
   )
 
+  /** The k-core peeling replay: per round a degree CTE, a survivor CTE,
+    * and a restricted edge CTE — round-for-round graft.graph.KCore.run. */
+  private def kcoreOracle(k: Int, rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""d$r AS (SELECT p, count(*) AS dg FROM
+         |  (SELECT p1 AS p FROM e${r - 1} UNION ALL SELECT p2 FROM e${r - 1}) GROUP BY p),
+         |k$r AS (SELECT p FROM d$r WHERE dg >= $k),
+         |e$r AS (SELECT e.p1, e.p2 FROM e${r - 1} e
+         |  JOIN k$r a ON e.p1 = a.p JOIN k$r b ON e.p2 = b.p)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to rounds).map(r =>
+      s"""SELECT $r::BIGINT AS round, (SELECT count(*) FROM k$r)::BIGINT AS n_nodes,
+         |  (SELECT count(*) FROM e$r)::BIGINT AS n_edges""".stripMargin)
+      .mkString("\nUNION ALL ")
+    s"""WITH a AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |e0 AS (SELECT x.p AS p1, y.p AS p2 FROM a x JOIN a y ON x.o = y.o AND x.p < y.p
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |$roundCtes
+       |$out ORDER BY round""".stripMargin
+  }
+
+  /** The learning-curve replay: conditional sufficient statistics per
+    * nested fraction, centered 2×2 Cramer (coefficients rounded before
+    * scoring), holdout MSEs — mirror of the two-scan Spark plan. */
+  private def learningCurveOracle: String = {
+    val fracs = Seq(250, 500, 750)
+    val sums = fracs.flatMap { f => Seq(
+      s"sum(CASE WHEN u < $f THEN 1.0 ELSE 0.0 END) AS n$f",
+      s"sum(CASE WHEN u < $f THEN x1 ELSE 0.0 END) AS s1_$f",
+      s"sum(CASE WHEN u < $f THEN x2 ELSE 0.0 END) AS s2_$f",
+      s"sum(CASE WHEN u < $f THEN y ELSE 0.0 END) AS sy_$f",
+      s"sum(CASE WHEN u < $f THEN x1 * x1 ELSE 0.0 END) AS s11_$f",
+      s"sum(CASE WHEN u < $f THEN x1 * x2 ELSE 0.0 END) AS s12_$f",
+      s"sum(CASE WHEN u < $f THEN x2 * x2 ELSE 0.0 END) AS s22_$f",
+      s"sum(CASE WHEN u < $f THEN x1 * y ELSE 0.0 END) AS s1y_$f",
+      s"sum(CASE WHEN u < $f THEN x2 * y ELSE 0.0 END) AS s2y_$f")
+    }.mkString(",\n    ")
+    val cent = fracs.map { f =>
+      s"""n$f, s1_$f, s2_$f, sy_$f,
+         |    s11_$f - s1_$f * s1_$f / n$f AS a$f, s12_$f - s1_$f * s2_$f / n$f AS b$f,
+         |    s22_$f - s2_$f * s2_$f / n$f AS c$f,
+         |    s1y_$f - s1_$f * sy_$f / n$f AS r1_$f, s2y_$f - s2_$f * sy_$f / n$f AS r2_$f"""
+        .stripMargin
+    }.mkString(",\n    ")
+    val raw = fracs.map { f =>
+      s"""n$f, s1_$f, s2_$f, sy_$f,
+         |    (r1_$f * c$f - b$f * r2_$f) / (a$f * c$f - b$f * b$f) AS w1r_$f,
+         |    (a$f * r2_$f - b$f * r1_$f) / (a$f * c$f - b$f * b$f) AS w2r_$f""".stripMargin
+    }.mkString(",\n    ")
+    val coef = fracs.map { f =>
+      s"""n$f::BIGINT AS nt$f, round(w1r_$f, 6) AS w1_$f, round(w2r_$f, 6) AS w2_$f,
+         |    round(sy_$f / n$f - w1r_$f * s1_$f / n$f - w2r_$f * s2_$f / n$f, 4) AS b0_$f"""
+        .stripMargin
+    }.mkString(",\n    ")
+    val mses = fracs.map(f =>
+      s"avg((y - (c.b0_$f + c.w1_$f * x1 + c.w2_$f * x2)) * " +
+        s"(y - (c.b0_$f + c.w1_$f * x1 + c.w2_$f * x2))) AS mse$f").mkString(",\n    ")
+    val out = fracs.map(f =>
+      s"""SELECT $f::BIGINT AS train_permille, c.nt$f AS n_train, c.w1_$f AS w_quantity,
+         |  c.w2_$f AS w_discount, c.b0_$f AS intercept, round(m.mse$f, 2) AS holdout_mse
+         |FROM c, m""".stripMargin).mkString("\nUNION ALL ")
+    s"""WITH b AS (SELECT l_quantity AS x1, l_discount AS x2, l_extendedprice AS y,
+       |    ('0x' || substr(md5(l_orderkey::VARCHAR || '_' || l_linenumber::VARCHAR
+       |      || '_lc_5'), 1, 15))::BIGINT % 1000 AS u
+       |  FROM lineitem),
+       |s AS (SELECT
+       |    $sums
+       |  FROM b),
+       |c0 AS (SELECT
+       |    $cent
+       |  FROM s),
+       |c1 AS (SELECT
+       |    $raw
+       |  FROM c0),
+       |c AS (SELECT
+       |    $coef
+       |  FROM c1),
+       |m AS (SELECT
+       |    $mses
+       |  FROM b, c WHERE b.u >= 750)
+       |$out ORDER BY train_permille""".stripMargin
+  }
+
   /** The HITS chained-CTE replay: each half-round = grouped sum + 1-row
     * max CTE, round-for-round graft.graph.HITS.run. */
   private def hitsOracle(rounds: Int, topK: Int): String = {
@@ -336,6 +486,8 @@ object AnalyticsQueries {
 
   val oracles: Map[String, String] = Map(
     "hits" -> hitsOracle(rounds = 3, topK = 10),
+    "kcore" -> kcoreOracle(k = 3, rounds = 4),
+    "learning_curve" -> learningCurveOracle,
     "mcnemar_test" ->
       """WITH g AS (SELECT count(*)::DOUBLE AS n,
         |    sum(CASE WHEN ((-0.1 + 0.004 * l_quantity + 1.5 * l_discount + -2.0 * l_tax) > 0)

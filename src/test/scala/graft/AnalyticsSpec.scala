@@ -99,6 +99,57 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("kcore matches a driver-side peel; node/edge counts non-increasing") {
+    val pairs = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val co = scala.collection.mutable.Map[(Long, Long), Int]()
+    pairs.groupBy(_._1).values.foreach { es =>
+      val ps = es.map(_._2).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        co((ps(i), ps(j))) = co.getOrElse((ps(i), ps(j)), 0) + 1
+    }
+    var edges = co.filter(_._2 >= 2).keys.toSet
+    val trace = (1 to 4).map { _ =>
+      val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+        .view.mapValues(_.size).toMap
+      val keep = deg.filter(_._2 >= 3).keySet
+      edges = edges.filter(e => keep(e._1) && keep(e._2))
+      (keep.size.toLong, edges.size.toLong)
+    }
+    val got = SparkEntry.queries("kcore")(spark, sf).orderBy("round").collect()
+      .map(r => (r.getLong(r.fieldIndex("n_nodes")), r.getLong(r.fieldIndex("n_edges"))))
+    assert(got.toSeq == trace)
+    assert(got.map(_._1).zip(got.map(_._1).tail).forall { case (a, b) => b <= a })
+  }
+
+  test("learning_curve: coefficients match a driver OLS on the 75% train split") {
+    val rows = Tables.lineitem(spark, sf)
+      .select(col("l_quantity"), col("l_discount"), col("l_extendedprice"),
+        graft.core.Num.md5Long(concat(
+          concat_ws("_", col("l_orderkey"), col("l_linenumber")), lit("_lc_5"))) % 1000)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    val tr = rows.filter(_._4 < 750)
+    val n = tr.length.toDouble
+    val (s1, s2, sy) = (tr.map(_._1).sum, tr.map(_._2).sum, tr.map(_._3).sum)
+    val a = tr.map(t => t._1 * t._1).sum - s1 * s1 / n
+    val b = tr.map(t => t._1 * t._2).sum - s1 * s2 / n
+    val c = tr.map(t => t._2 * t._2).sum - s2 * s2 / n
+    val r1 = tr.map(t => t._1 * t._3).sum - s1 * sy / n
+    val r2 = tr.map(t => t._2 * t._3).sum - s2 * sy / n
+    val w1 = (r1 * c - b * r2) / (a * c - b * b)
+    val w2 = (a * r2 - b * r1) / (a * c - b * b)
+    val got = SparkEntry.queries("learning_curve")(spark, sf)
+      .filter(col("train_permille") === 750).head()
+    assert(got.getLong(got.fieldIndex("n_train")) == tr.length)
+    assert(math.abs(got.getDouble(got.fieldIndex("w_quantity")) - w1) < 1e-3)
+    assert(math.abs(got.getDouble(got.fieldIndex("w_discount")) - w2) < 1e-3)
+    val mses = SparkEntry.queries("learning_curve")(spark, sf)
+      .orderBy("train_permille").collect()
+      .map(_.getDouble(got.fieldIndex("holdout_mse")))
+    assert(mses.forall(_ > 0))
+  }
+
   test("mcnemar_test matches a driver-side paired-discordance recomputation") {
     val rows = Tables.lineitem(spark, sf)
       .select(col("l_quantity"), col("l_discount"), col("l_tax"), col("l_returnflag"))
