@@ -143,6 +143,40 @@ object AnalyticsQueries {
           r6(avg(coalesce(col("_v"), col("_med")))).as("median_imputed"))
         .orderBy("flag")
     },
+    "describe_table" -> { (s, d) =>
+      // data-profiling describe() over the lineitem numerics: count /
+      // exact distinct / min / max / mean / stddev for every column from
+      // ONE aggregate pass (Catalyst expands the multi-distinct), one
+      // output row per column
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val aggs = cols.flatMap { c =>
+        Seq(count(col(c)).cast("double").as(s"_n_$c"),
+          countDistinct(col(c)).cast("double").as(s"_d_$c"),
+          min(col(c)).as(s"_mn_$c"), max(col(c)).as(s"_mx_$c"),
+          avg(col(c)).as(s"_av_$c"), stddev_samp(col(c)).as(s"_sd_$c"))
+      }
+      Tables.lineitem(s, d).agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(cols.map { c =>
+          struct(lit(c).as("column"), col(s"_n_$c").cast("long").as("n"),
+            col(s"_d_$c").cast("long").as("n_distinct"),
+            r4(col(s"_mn_$c")).as("min"), r4(col(s"_mx_$c")).as("max"),
+            r4(col(s"_av_$c")).as("mean"), r4(col(s"_sd_$c")).as("stddev"))
+        }: _*)).as("u"))
+        .select(col("u.*")).orderBy("column")
+    },
+    "pivot_table" -> { (s, d) =>
+      // crosstab: revenue by priority × status via Spark's pivot with an
+      // EXPLICIT value list (no distinct-scan at plan time — the one_hot
+      // fixed-vocabulary discipline); ≡ conditional sums, map-side
+      // combined
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority").as("priority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(round(sum(col("o_totalprice")), 2))
+        .select(col("priority"), r4(col("F")).as("rev_f"),
+          r4(col("O")).as("rev_o"), r4(col("P")).as("rev_p"))
+        .orderBy("priority")
+    },
     "kcore" -> { (s, d) =>
       // 3-core of the support-2 co-purchase graph: 4 fixed peeling rounds
       // (degree groupBy + survivor semi-joins per round); the per-round
@@ -487,6 +521,29 @@ object AnalyticsQueries {
   val oracles: Map[String, String] = Map(
     "hits" -> hitsOracle(rounds = 3, topK = 10),
     "kcore" -> kcoreOracle(k = 3, rounds = 4),
+    "describe_table" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val aggs = cols.flatMap { c => Seq(
+        s"count($c)::DOUBLE AS n_$c", s"count(DISTINCT $c)::DOUBLE AS d_$c",
+        s"min($c) AS mn_$c", s"max($c) AS mx_$c",
+        s"avg($c) AS av_$c", s"stddev_samp($c) AS sd_$c")
+      }.mkString(",\n    ")
+      val rows = cols.map(c =>
+        s"""SELECT '$c' AS "column", n_$c::BIGINT AS n, d_$c::BIGINT AS n_distinct,
+           |  round(mn_$c, 4) AS "min", round(mx_$c, 4) AS "max",
+           |  round(av_$c, 4) AS mean, round(sd_$c, 4) AS stddev FROM g""".stripMargin)
+        .mkString("\nUNION ALL ")
+      s"""WITH g AS (SELECT
+         |    $aggs
+         |  FROM lineitem)
+         |$rows ORDER BY "column"""".stripMargin
+    },
+    "pivot_table" ->
+      """SELECT o_orderpriority AS priority,
+        |  round(round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2), 4) AS rev_f,
+        |  round(round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2), 4) AS rev_o,
+        |  round(round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2), 4) AS rev_p
+        |FROM orders GROUP BY 1 ORDER BY priority""".stripMargin,
     "learning_curve" -> learningCurveOracle,
     "mcnemar_test" ->
       """WITH g AS (SELECT count(*)::DOUBLE AS n,

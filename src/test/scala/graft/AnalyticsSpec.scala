@@ -99,6 +99,38 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("describe_table matches driver-side column profiles") {
+    val rows = Tables.lineitem(spark, sf)
+      .select(col("l_quantity"), col("l_discount")).collect()
+    val q = rows.map(_.getDouble(0))
+    val got = SparkEntry.queries("describe_table")(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val rq = got("l_quantity")
+    assert(rq.getLong(rq.fieldIndex("n")) == q.length)
+    assert(rq.getLong(rq.fieldIndex("n_distinct")) == q.distinct.length)
+    assert(rq.getDouble(rq.fieldIndex("min")) == q.min)
+    assert(rq.getDouble(rq.fieldIndex("max")) == q.max)
+    assert(math.abs(rq.getDouble(rq.fieldIndex("mean")) - q.sum / q.length) < 1e-3)
+    assert(got.size == 4)
+  }
+
+  test("pivot_table cells equal the groupBy sums they pivot") {
+    val want = Tables.orders(spark, sf)
+      .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(round(sum(col("o_totalprice")), 2).as("rev"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val got = SparkEntry.queries("pivot_table")(spark, sf).collect()
+    got.foreach { r =>
+      val p = r.getString(0)
+      Seq(("F", "rev_f"), ("O", "rev_o"), ("P", "rev_p")).foreach { case (st, c) =>
+        val cell = if (r.isNullAt(r.fieldIndex(c))) None else Some(r.getDouble(r.fieldIndex(c)))
+        assert(cell == want.get((p, st)).map(v =>
+          BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble),
+          s"cell ($p, $st)")
+      }
+    }
+  }
+
   test("kcore matches a driver-side peel; node/edge counts non-increasing") {
     val pairs = Tables.lineitem(spark, sf)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
