@@ -94,6 +94,59 @@ object GLM {
       round(lit(f.b2), 6).as("b2"), round(lit(f.logLoss), 6).as("log_loss"))
   }
 
+  final case class QuantileFit(tau: Double, b0: Double, b1: Double, pinball: Double)
+
+  /** Quantile regression (intercept + one feature) by Schlossmacher-style
+    * IRLS on the pinball loss: w = τ/max(ε,r) above the line,
+    * (1−τ)/max(ε,−r) below — each round ONE aggregate, and BOTH quantiles'
+    * weighted sums ride the same scan (candidate count multiplies
+    * expressions, not passes — the hw_fit lattice discipline). Fixed
+    * rounds + deterministic init (b0 = ȳ, b1 = 0) make the whole fit
+    * replayable as chained CTEs, like [[poissonIrls]]. */
+  def quantileIrls(df: DataFrame, y: Column, x: Column, taus: Seq[Double],
+                   rounds: Int = 8, eps: Double = 0.1): Seq[QuantileFit] = {
+    val base = df.select(y.cast("double").as("y"), x.cast("double").as("x"))
+    val m = base.agg(avg(col("y"))).head().getDouble(0)
+    var fits = taus.map(t => (t, m, 0.0))
+    (0 until rounds).foreach { _ =>
+      val aggs = fits.zipWithIndex.flatMap { case ((t, b0, b1), i) =>
+        val r = col("y") - (lit(b0) + lit(b1) * col("x"))
+        val w = when(r > 0, lit(t) / greatest(lit(eps), r))
+          .otherwise(lit(1.0 - t) / greatest(lit(eps), -r))
+        Seq(sum(w).as(s"sw$i"), sum(w * col("x")).as(s"swx$i"),
+          sum(w * col("x") * col("x")).as(s"swxx$i"),
+          sum(w * col("y")).as(s"swy$i"), sum(w * col("x") * col("y")).as(s"swxy$i"))
+      }
+      val row = base.agg(aggs.head, aggs.tail: _*).head()
+      fits = fits.zipWithIndex.map { case ((t, _, _), i) =>
+        val (sw, swx, swxx) = (row.getDouble(5 * i), row.getDouble(5 * i + 1),
+          row.getDouble(5 * i + 2))
+        val (swy, swxy) = (row.getDouble(5 * i + 3), row.getDouble(5 * i + 4))
+        val det = sw * swxx - swx * swx
+        (t, (swy * swxx - swx * swxy) / det, (sw * swxy - swx * swy) / det)
+      }
+    }
+    val lossAggs = fits.zipWithIndex.map { case ((t, b0, b1), i) =>
+      val r = col("y") - (lit(b0) + lit(b1) * col("x"))
+      avg(when(r >= 0, lit(t) * r).otherwise(lit(t - 1.0) * r)).as(s"pb$i")
+    }
+    val lossRow = base.agg(lossAggs.head, lossAggs.tail: _*).head()
+    fits.zipWithIndex.map { case ((t, b0, b1), i) =>
+      QuantileFit(t, b0, b1, lossRow.getDouble(i))
+    }
+  }
+
+  def quantileFrame(df: DataFrame, y: Column, x: Column, taus: Seq[Double],
+                    rounds: Int = 8): DataFrame = {
+    val fits = quantileIrls(df, y, x, taus, rounds)
+    import df.sparkSession.implicits._
+    fits.map(f => (f.tau,
+      BigDecimal(f.b0).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      BigDecimal(f.b1).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      BigDecimal(f.pinball).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toDF("tau", "b0", "b1", "pinball").orderBy("tau")
+  }
+
   /** One-row result frame with the oracle's rounding. */
   def poissonFrame(df: DataFrame, y: Column, x: Column, rounds: Int = 8): DataFrame = {
     val f = poissonIrls(df, y, x, rounds)

@@ -493,6 +493,16 @@ object MiscQueries {
       graft.linear.GLM.poissonFrame(Tables.lineitem(s, d),
         col("l_quantity"), col("l_discount"), rounds = 8)
     },
+    "quantile_reg" -> { (s, d) =>
+      // quantile regression (median + p90 lines of price vs quantity) by
+      // Schlossmacher IRLS on the pinball loss: BOTH quantiles' weighted
+      // sums ride the same scan each round; 30 fixed rounds (the p90 line
+      // converges slowly from the mean start — 0.90 coverage needs ~30)
+      // replay as chained CTEs
+      graft.linear.GLM.quantileFrame(Tables.lineitem(s, d),
+        col("l_extendedprice") / 1000.0, col("l_quantity"),
+        taus = Seq(0.5, 0.9), rounds = 30)
+    },
     "wasserstein_1d" -> { (s, d) =>
       // 1-D earth-mover distance between the A/B-split totalprice
       // distributions: W₁ = Σ |F_A − F_B|·Δv over the merged support —
@@ -1188,6 +1198,51 @@ object MiscQueries {
         |SELECT d AS duration, risk::BIGINT AS n_risk, dd::BIGINT AS n_events,
         |  round(exp(lns), 6) AS survival
         |FROM s ORDER BY duration""".stripMargin,
+    "quantile_reg" -> {
+      // p0 = (ȳ, 0) init per tau; each round = the joint 10-sum aggregate
+      // + two Cramer 2×2 solves, round-for-round GLM.quantileIrls
+      val taus = Seq(0.5, 0.9)
+      def res(b0: String, b1: String) = s"y - ($b0 + $b1 * x)"
+      def w(t: Double, b0: String, b1: String) =
+        s"CASE WHEN ${res(b0, b1)} > 0 THEN $t / greatest(0.1, ${res(b0, b1)}) " +
+          s"ELSE ${1.0 - t} / greatest(0.1, -(${res(b0, b1)})) END"
+      val rounds = (1 to 30).map { k =>
+        val ws = taus.zipWithIndex.map { case (t, i) =>
+          s"${w(t, s"b0_$i", s"b1_$i")} AS w$i"
+        }.mkString(",\n      ")
+        val sums = taus.indices.map(i =>
+          s"sum(w$i) AS sw$i, sum(w$i * x) AS swx$i, sum(w$i * x * x) AS swxx$i, " +
+            s"sum(w$i * y) AS swy$i, sum(w$i * x * y) AS swxy$i").mkString(",\n    ")
+        val coefs = taus.indices.map(i =>
+          s"(swy$i * swxx$i - swx$i * swxy$i) / (sw$i * swxx$i - swx$i * swx$i) AS b0_$i,\n" +
+            s"    (sw$i * swxy$i - swx$i * swy$i) / (sw$i * swxx$i - swx$i * swx$i) AS b1_$i")
+          .mkString(",\n    ")
+        s"""r$k AS MATERIALIZED (SELECT
+           |    $sums
+           |  FROM (SELECT y, x,
+           |      $ws
+           |    FROM b, p${k - 1})),
+           |p$k AS MATERIALIZED (SELECT
+           |    $coefs
+           |  FROM r$k)""".stripMargin
+      }.mkString(",\n")
+      val pinballs = taus.zipWithIndex.map { case (t, i) =>
+        val r = res(s"p30.b0_$i", s"p30.b1_$i")
+        s"avg(CASE WHEN $r >= 0 THEN $t * ($r) ELSE ${t - 1.0} * ($r) END) AS pb$i"
+      }.mkString(",\n    ")
+      val out = taus.zipWithIndex.map { case (t, i) =>
+        s"""SELECT $t AS tau, round(p30.b0_$i, 4) AS b0, round(p30.b1_$i, 6) AS b1,
+           |  round(pb.pb$i, 4) AS pinball FROM p30, pb""".stripMargin
+      }.mkString("\nUNION ALL ")
+      s"""WITH b AS MATERIALIZED (SELECT l_extendedprice / 1000.0 AS y,
+         |    l_quantity::DOUBLE AS x FROM lineitem),
+         |p0 AS (SELECT avg(y) AS b0_0, 0.0 AS b1_0, avg(y) AS b0_1, 0.0 AS b1_1 FROM b),
+         |$rounds,
+         |pb AS (SELECT
+         |    $pinballs
+         |  FROM b, p30)
+         |$out ORDER BY tau""".stripMargin
+    },
     "poisson_reg" -> {
       // p0 = ln(mean) init; each round = weighted sums + Cramer 2×2,
       // round-for-round GLM.poissonIrls

@@ -99,6 +99,27 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("quantile_reg: p90 line sits above the median line; pinball coverage sane") {
+    val rows = SparkEntry.queries("quantile_reg")(spark, sf).orderBy("tau").collect()
+    assert(rows.length == 2)
+    val med = rows(0); val p90 = rows(1)
+    assert(med.getDouble(med.fieldIndex("tau")) == 0.5)
+    // compare fitted values at the mean quantity: the 0.9 line must be above
+    val data = Tables.lineitem(spark, sf)
+      .select(col("l_quantity"), col("l_extendedprice") / 1000.0).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    val xbar = data.map(_._1).sum / data.length
+    def fitted(r: org.apache.spark.sql.Row, x: Double) =
+      r.getDouble(r.fieldIndex("b0")) + r.getDouble(r.fieldIndex("b1")) * x
+    assert(fitted(p90, xbar) > fitted(med, xbar))
+    // coverage: ~50% of points under the median line, ~90% under the p90 line
+    val underMed = data.count { case (x, y) => y <= fitted(med, x) }.toDouble / data.length
+    val underP90 = data.count { case (x, y) => y <= fitted(p90, x) }.toDouble / data.length
+    assert(underMed > 0.35 && underMed < 0.65, s"median coverage $underMed")
+    assert(underP90 > 0.85 && underP90 <= 1.0, s"p90 coverage $underP90")
+    rows.foreach(r => assert(r.getDouble(r.fieldIndex("pinball")) > 0))
+  }
+
   test("describe_table matches driver-side column profiles") {
     val rows = Tables.lineitem(spark, sf)
       .select(col("l_quantity"), col("l_discount")).collect()
