@@ -105,7 +105,16 @@ object GLM {
     * replayable as chained CTEs, like [[poissonIrls]]. */
   def quantileIrls(df: DataFrame, y: Column, x: Column, taus: Seq[Double],
                    rounds: Int = 8, eps: Double = 0.1): Seq[QuantileFit] = {
-    val base = df.select(y.cast("double").as("y"), x.cast("double").as("x"))
+    // the 2-column projection is re-scanned `rounds` times — cache it for
+    // the fit's lifetime (released below; the arima_grid_search pattern)
+    val base = df.select(y.cast("double").as("y"), x.cast("double").as("x")).cache()
+    try {
+      quantileIrlsOn(base, taus, rounds, eps)
+    } finally base.unpersist()
+  }
+
+  private def quantileIrlsOn(base: DataFrame, taus: Seq[Double],
+                             rounds: Int, eps: Double): Seq[QuantileFit] = {
     val m = base.agg(avg(col("y"))).head().getDouble(0)
     var fits = taus.map(t => (t, m, 0.0))
     (0 until rounds).foreach { _ =>
