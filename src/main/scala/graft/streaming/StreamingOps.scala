@@ -150,6 +150,26 @@ object StreamingOps {
       winner.as("top_type"), top.as("top_n"))
   }
 
+  /** Live ingest profile — the streaming twin of `describe_table`'s
+    * per-column profile shape: count / min / max / mean / stddev per
+    * watermarked window from ONE aggregate, with the distinct count on
+    * the HyperLogLog++ sketch (`approx_count_distinct` — the
+    * cardinality_stats_approx production path: exact distinct is not
+    * incrementally maintainable, the sketch is). */
+  def streamingProfile(events: DataFrame, valueCol: String,
+                       windowLen: String = "1 hour",
+                       watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen))
+      .agg(count(col(valueCol)).as("n"),
+        min(col(valueCol)).as("min"), max(col(valueCol)).as("max"),
+        round(avg(col(valueCol)), 4).as("mean"),
+        round(stddev_samp(col(valueCol)), 4).as("stddev"),
+        approx_count_distinct(col(valueCol)).as("approx_distinct"))
+      .select(col("window.start").as("win_start"), col("n"), col("min"),
+        col("max"), col("mean"), col("stddev"), col("approx_distinct"))
+
   final case class FunnelState(t1: Long, t2: Long, done: Boolean)
   final case class FunnelOut(user_id: Long, t1: Long, t2: Long, t3: Long)
 

@@ -382,4 +382,38 @@ class StreamingSpec extends AnyFunSuite {
       assert(spark.table("funnel_out").count() == 2L)
     } finally q.stop()
   }
+
+  test("streaming profile matches a batch recomputation of the same window (update across batches)") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, Double)]
+    val q = StreamingOps.streamingProfile(in.toDF().toDF("ts", "value"), "value")
+      .writeStream.format("memory").queryName("profile_out")
+      .outputMode("update").start()
+    try {
+      def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+      val vals1 = Seq(10.0, 20.0, 20.0)
+      val vals2 = Seq(40.0, 10.0)
+      in.addData(vals1.zipWithIndex.map { case (v, i) => (ts(i), v) }: _*)
+      q.processAllAvailable()
+      in.addData(vals2.zipWithIndex.map { case (v, i) => (ts(10 + i), v) }: _*)
+      q.processAllAvailable()
+      // the 10:00 window's LATEST update row restates the full profile
+      val rows = spark.table("profile_out").collect()
+        .filter(_.getTimestamp(0).toString.startsWith("2026-01-01 10:00"))
+      val all = vals1 ++ vals2
+      val n = all.length.toDouble
+      val mean = all.sum / n
+      val sd = math.sqrt(all.map(v => (v - mean) * (v - mean)).sum / (n - 1))
+      val last = rows.maxBy(_.getLong(rows.head.fieldIndex("n")))
+      assert(last.getLong(last.fieldIndex("n")) == all.length)
+      assert(last.getDouble(last.fieldIndex("min")) == all.min)
+      assert(last.getDouble(last.fieldIndex("max")) == all.max)
+      assert(math.abs(last.getDouble(last.fieldIndex("mean")) - mean) < 1e-3)
+      assert(math.abs(last.getDouble(last.fieldIndex("stddev")) - sd) < 1e-3)
+      // HLL++ on 4 distinct small values is exact in practice; allow slack
+      val ad = last.getLong(last.fieldIndex("approx_distinct"))
+      assert(ad >= 3 && ad <= 5, s"approx distinct $ad")
+    } finally q.stop()
+  }
 }
