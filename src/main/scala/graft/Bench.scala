@@ -53,7 +53,10 @@ object Bench {
     // 3-5x inflated by sandbox co-tenants — record the evidence in-band
     val load = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"runs":$runs,"loadavg":$load,"sf":"$sfDir"}""")
+    // headline fields LAST: the driver records only the tail of stdout, and
+    // with 246 per-query entries a metric-first line loses its totals to
+    // truncation (every BENCH_r*.json through r7 shows the front cut off)
+    println(s"""{"queries":$qs,"failed":$failedJson,"runs":$runs,"loadavg":$load,"sf":"$sfDir","metric":"total","value":$total,"unit":"sec","n_queries":${selected.size}}""")
     spark.stop()
   }
 }
