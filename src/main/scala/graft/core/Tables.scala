@@ -2,7 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Parquet loaders for the graft corpus.
   *
@@ -47,15 +47,22 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
-    * rejects; sessions set spark.sql.legacy.parquet.nanosAsLong=true and we
-    * restore a microsecond timestamp column here (floor division — matches
-    * DuckDB's native nanos read for all date/second-level truncations). */
+  /** `events.ts` normalization to a session-zoned microsecond timestamp.
+    * Historically the generator wrote parquet TIMESTAMP(NANOS), which the
+    * vectorized reader only accepts as Long (nanosAsLong=true) — restored
+    * via floor division (matches DuckDB's native nanos read for all
+    * date/second-level truncations). Newer data writes TIMESTAMP(MICROS)
+    * without timezone, which Spark loads as TIMESTAMP_NTZ; the session
+    * timezone is pinned UTC everywhere (Bench/Verify/RunQuery/specs), so
+    * casting to TimestampType is value-identical and keeps `unix_micros`
+    * and friends analyzable. */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = load(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
