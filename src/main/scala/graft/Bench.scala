@@ -57,6 +57,10 @@ object Bench {
     // with 246 per-query entries a metric-first line loses its totals to
     // truncation (every BENCH_r*.json through r7 shows the front cut off)
     println(s"""{"queries":$qs,"failed":$failedJson,"runs":$runs,"loadavg":$load,"sf":"$sfDir","metric":"total","value":$total,"unit":"sec","n_queries":${selected.size}}""")
+    // second, summary-only line (no per-query map): short enough that the
+    // stdout tail always retains one complete parseable JSON object even
+    // when the full line above is truncated by the capture window
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","runs":$runs,"loadavg":$load,"n_queries":${selected.size},"n_failed":${failed.size},"failed":$failedJson}""")
     spark.stop()
   }
 }
