@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{AnalyticsQueries, BoostQueries, MLQueries, MetricsQueries, MiscQueries, TSAQueries, TabularQueries, TextQueries, VectorQueries}
+import graft.queries.{AnalyticsQueries, BoostQueries, MLQueries, MetricsQueries, MiscQueries, ModelQueries, TSAQueries, TabularQueries, TextQueries, VectorQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -30,7 +30,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     TabularQueries.queries ++ TextQueries.queries ++ VectorQueries.queries ++
       TSAQueries.queries ++ MLQueries.queries ++ MiscQueries.queries ++
-      MetricsQueries.queries ++ AnalyticsQueries.queries ++ BoostQueries.queries
+      MetricsQueries.queries ++ AnalyticsQueries.queries ++ BoostQueries.queries ++
+      ModelQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for iterative/seeded ops (rows-only
@@ -38,5 +39,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     TabularQueries.oracles ++ TextQueries.oracles ++ VectorQueries.oracles ++
       TSAQueries.oracles ++ MiscQueries.oracles ++ MLQueries.oracles ++
-      MetricsQueries.oracles ++ AnalyticsQueries.oracles ++ BoostQueries.oracles
+      MetricsQueries.oracles ++ AnalyticsQueries.oracles ++ BoostQueries.oracles ++
+      ModelQueries.oracles
 }
