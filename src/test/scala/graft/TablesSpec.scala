@@ -1,0 +1,64 @@
+package graft
+
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Loader-contract fixtures for `Tables.events`: the driver's data
+  * generator has shipped `events.ts` as parquet TIMESTAMP(NANOS) (read as
+  * Long under nanosAsLong), as TIMESTAMP(MICROS) without timezone (read
+  * as TIMESTAMP_NTZ), and the session-zoned form is the natural third.
+  * The r8 regression (13 events queries failing at analysis when the
+  * format flipped to NTZ) is exactly what this spec pins: every physical
+  * format must normalize to the SAME session-zoned microsecond timestamps.
+  */
+class TablesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  /** Write one events.parquet fixture under a fresh dir, return the dir. */
+  private def fixture(tag: String)(write: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): String = {
+    import spark.implicits._
+    val micros = Seq(
+      (1L, "signup", 1700000000000000L),
+      (1L, "purchase", 1700000123456789L),
+      (2L, "view", 1700086400000000L))
+      .toDF("user_id", "event_type", "us")
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_events_$tag").toString
+    write(micros).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("events loader normalizes all three ts physical formats identically") {
+    val expected = Seq(1700000000000000L, 1700000123456789L, 1700086400000000L)
+
+    val dirs = Map(
+      // legacy TIMESTAMP(NANOS) path: arrives as a Long nanos column
+      "nanosLong" -> fixture("nanos")(df =>
+        df.select(col("user_id"), col("event_type"), (col("us") * 1000L).as("ts"))),
+      // current generator: micros without timezone → TIMESTAMP_NTZ
+      "ntz" -> fixture("ntz")(df =>
+        df.select(col("user_id"), col("event_type"),
+          timestamp_micros(col("us")).cast("timestamp_ntz").as("ts"))),
+      // session-zoned micros: passes through untouched
+      "tz" -> fixture("tz")(df =>
+        df.select(col("user_id"), col("event_type"),
+          timestamp_micros(col("us")).as("ts"))))
+
+    dirs.foreach { case (tag, dir) =>
+      val ev = Tables.events(spark, dir)
+      assert(ev.schema("ts").dataType == TimestampType,
+        s"$tag: ts must normalize to TimestampType, got ${ev.schema("ts").dataType}")
+      val got = ev.orderBy("ts").select(unix_micros(col("ts"))).collect().map(_.getLong(0)).toSeq
+      assert(got == expected, s"$tag: normalized micros differ")
+    }
+  }
+
+  test("real events.parquet loads with a session-zoned ts and analyzable unix_micros") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    assert(ev.schema("ts").dataType == TimestampType)
+    // the r8 failure mode was an analysis-time DATATYPE_MISMATCH here
+    val n = ev.select(unix_micros(col("ts"))).limit(5).count()
+    assert(n > 0)
+  }
+}
