@@ -31,16 +31,20 @@ object HITS {
       .select(col("node"), lit(1.0).as("h"))
     var auth: DataFrame = null
     for (_ <- 0 until rounds) {
+      // checkpoint the join+sum FIRST: the max aggregate and the
+      // normalized view then both read the materialized rows — computing
+      // the max off the raw lineage would run the expensive half-round
+      // twice (once for the action, once for the checkpoint)
       val a0 = e.join(hub.select(col("node").as("src"), col("h")), "src")
         .groupBy(col("dst").as("node")).agg(sum(col("h")).as("_a"))
+        .localCheckpoint(true)
       val amax = a0.agg(max(col("_a"))).head().getDouble(0)
       auth = a0.select(col("node"), (col("_a") / lit(amax)).as("a"))
-        .localCheckpoint(true)
       val h0 = e.join(auth.select(col("node").as("dst"), col("a")), "dst")
         .groupBy(col("src").as("node")).agg(sum(col("a")).as("_h"))
+        .localCheckpoint(true)
       val hmax = h0.agg(max(col("_h"))).head().getDouble(0)
       hub = h0.select(col("node"), (col("_h") / lit(hmax)).as("h"))
-        .localCheckpoint(true)
     }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("kind")).orderBy(col("score").desc, col("node"))
