@@ -36,7 +36,7 @@ object PageRank {
     val danglingNodes = nodes.join(deg, Seq("node"), "left_anti").localCheckpoint(true)
     val hasDangling = danglingNodes.limit(1).count() > 0
     var rank = nodes.select(col("node"), lit(1.0 / n).as("rank"))
-    for (_ <- 0 until rounds) {
+    for (r <- 0 until rounds) {
       val dangling = if (hasDangling)
         rank.join(danglingNodes, "node")
           .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
@@ -49,7 +49,13 @@ object PageRank {
         .select(col("node"),
           (lit((1.0 - damping) / n) +
             lit(damping) * (coalesce(col("_in"), lit(0.0)) + lit(dangling / n))).as("rank"))
-        .localCheckpoint(true)
+      // checkpoint every OTHER round (the ConnectedComponents cadence):
+      // two fused rounds run in one job with the same shuffle volume and
+      // half the materialization/scheduling overhead. With dangling mass
+      // the per-round aggregate is an action on `rank`, so fusing would
+      // re-execute the unchecked round — keep per-round cadence there.
+      if (hasDangling || r % 2 == 1 || r == rounds - 1)
+        rank = rank.localCheckpoint(true)
     }
     rank.select(col("node"), r6(col("rank")).as("rank"))
   }
