@@ -263,6 +263,26 @@ object ModelIO {
     PQ.Codebook(m, k, centers)
   }
 
+  // -------------------------------------------------------------- IVF index
+
+  /** An IVF coarse quantizer (neighbors.IVF.Index): k centers × dim.
+    * Pairs with IVF.writeBucketed — the bucketed corpus persists as
+    * partitioned parquet, the index itself persists here, so probes on a
+    * fresh session need zero refit. */
+  def saveIVF(spark: SparkSession, idx: graft.neighbors.IVF.Index, path: String): Unit =
+    save(spark, (for {
+      (c, i) <- idx.centers.zipWithIndex
+      (v, j) <- c.zipWithIndex
+    } yield ParamRow("ivf", "center", i.toLong, j.toLong, "", Some(v), None)).toSeq, path)
+
+  def loadIVF(spark: SparkSession, path: String): graft.neighbors.IVF.Index = {
+    val rows = load(spark, path)
+    expectType(rows, "ivf")
+    val centers = section(rows, "center").groupBy(_.i).toSeq.sortBy(_._1)
+      .map { case (_, cell) => cell.sortBy(_.j).map(_.value.get).toArray }.toArray
+    graft.neighbors.IVF.Index(centers)
+  }
+
   // --------------------------------------------------------- scalar params
 
   /** Any scalar-parameter model (GLM fits, Holt-Winters state, scaler

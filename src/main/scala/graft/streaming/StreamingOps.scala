@@ -383,4 +383,23 @@ object StreamingOps {
         round((unix_micros(col("session_window.end")) -
           unix_micros(col("session_window.start"))) / 1e6, 4).as("window_s"),
         col("n_events"))
+
+  /** Score an unbounded stream with a PERSISTED linear model: the model
+    * loads once at stream definition (a driver-side read of the tiny
+    * ModelIO parquet table) and scoring is a pure stateless codegen'd
+    * projection per micro-batch — no state store, no shuffle, watermark-
+    * free. The streaming face of the ModelIO round-trip: fit offline,
+    * save, and the serving stream picks the model up without a refit.
+    * Identical semantics when `rows` is a batch frame. */
+  def streamingModelScore(rows: DataFrame, modelPath: String,
+                          features: Seq[String]): DataFrame = {
+    val m = graft.io.ModelIO.loadLinear(rows.sparkSession, modelPath)
+    require(m.terms.headOption.contains("intercept") &&
+      m.terms.drop(1) == features,
+      s"model terms ${m.terms} do not match features intercept+:$features")
+    val pred = features.zip(m.coefs.drop(1)).foldLeft(lit(m.coefs.head): Column) {
+      case (acc, (f, w)) => acc + lit(w) * col(f).cast("double")
+    }
+    rows.withColumn("prediction", pred)
+  }
 }

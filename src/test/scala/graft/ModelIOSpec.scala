@@ -115,6 +115,17 @@ class ModelIOSpec extends AnyFunSuite {
       assert(java.util.Arrays.equals(loaded.centers(s)(c), cb.centers(s)(c)))
   }
 
+  test("IVF coarse quantizer round-trips bit-exact and probes identically") {
+    val emb = Tables.embeddings(spark, sf)
+    val idx = graft.neighbors.IVF.train(emb, "embedding", nCells = 8)
+    val path = tmp("ivf")
+    ModelIO.saveIVF(spark, idx, path)
+    val loaded = ModelIO.loadIVF(spark, path)
+    assert(loaded.centers.length == idx.centers.length)
+    for (i <- idx.centers.indices)
+      assert(java.util.Arrays.equals(loaded.centers(i), idx.centers(i)))
+  }
+
   test("scalar param bag round-trips in order") {
     val params = Seq("b0" -> 1.25, "b1" -> -0.035, "deviance" -> 812.5)
     val path = tmp("par")

@@ -416,4 +416,31 @@ class StreamingSpec extends AnyFunSuite {
       assert(ad >= 3 && ad <= 5, s"approx distinct $ad")
     } finally q.stop()
   }
+
+  test("streaming model score serves a persisted linear model per micro-batch") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // fit offline on the real table, persist, then serve a stream from the
+    // saved copy — the fit→save→serve handoff with no refit
+    val li = graft.core.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val m = graft.linear.OLS.fit(li, Seq("l_quantity"), "l_extendedprice")
+    val path = java.nio.file.Files.createTempDirectory("graft_stream_model").toString
+    graft.io.ModelIO.saveLinear(spark, m, path)
+    val in = MemoryStream[Double]
+    val q = StreamingOps.streamingModelScore(in.toDF().toDF("l_quantity"),
+        path, Seq("l_quantity"))
+      .writeStream.format("memory").queryName("model_score")
+      .outputMode("append").start()
+    try {
+      in.addData(10.0, 20.0)
+      q.processAllAvailable()
+      val rows = spark.table("model_score").orderBy("l_quantity").collect()
+      assert(rows.length == 2)
+      // identical to driver-side evaluation of the fitted coefficients
+      rows.zip(Seq(10.0, 20.0)).foreach { case (r, x) =>
+        val want = m.coefs(0) + m.coefs(1) * x
+        assert(math.abs(r.getDouble(r.fieldIndex("prediction")) - want) < 1e-12)
+      }
+    } finally q.stop()
+  }
 }
