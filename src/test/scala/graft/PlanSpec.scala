@@ -58,6 +58,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("*(1)"), p.take(2000)) // the WholeStageCodegen marker
   }
 
+  test("scoring with a ModelIO-loaded model plans identically to literals") {
+    // the loaded parameters are plain Scala literals by scoring time, so
+    // the physical plan must be the same zero-shuffle codegen map as the
+    // literal-model path — persistence adds no runtime cost to serving
+    val path = java.nio.file.Files.createTempDirectory("graft_plan_model").toString
+    val feats = Seq("l_quantity", "l_discount", "l_tax")
+    graft.io.ModelIO.saveCentroids(spark, feats,
+      graft.queries.TabularQueries.Centroids, path)
+    val (lf, lc) = graft.io.ModelIO.loadCentroids(spark, path)
+    val li = Tables.lineitem(spark, sf)
+    val assigned = li.select(graft.cluster.KMeansGraft.assign(lf.map(col), lc).as("cluster"))
+    val p = planOf(assigned)
+    assert(!p.contains("Exchange"), p.take(2000))
+    assert(p.contains("*(1)"), p.take(2000))
+  }
+
   test("bucketed tables join without an exchange (co-located join)") {
     // writes to the default spark-warehouse dir (gitignored)
     val li = Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_quantity"))
