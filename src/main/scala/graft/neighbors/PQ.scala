@@ -46,20 +46,32 @@ object PQ {
     val dim = sample.head.length
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val sub = dim / m
+    // the M×8 Lloyd runs are independent and fully seeded, so they fan out
+    // across driver cores as one flat task list (the driver is otherwise
+    // idle here — no Spark job in flight); per-(s,r) seeds make results
+    // ordering-independent and bit-identical to the sequential loop
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val subPts = (0 until m).map { s =>
+      sample.map(row => java.util.Arrays.copyOfRange(row, s * sub, (s + 1) * sub))
+    }
+    // best-of-8 restarts by SSE — recovers the quality of a k-means||
+    // style init on the bounded sample
+    val runs = for (s <- 0 until m; r <- 0 until 8) yield (s, r)
+    val fitted = Await.result(Future.traverse(runs.toList) { case (s, r) =>
+      Future((s, lloyd(subPts(s), k, iters = 40, seed = seed + s + r * 1000L)))
+    }, Duration.Inf)
+    def sse(pts: Array[Array[Double]], cs: Array[Array[Double]]): Double =
+      pts.map { p =>
+        cs.map { c =>
+          var d = 0.0; var i = 0
+          while (i < p.length) { val t = p(i) - c(i); d += t * t; i += 1 }
+          d
+        }.min
+      }.sum
     val centers = (0 until m).map { s =>
-      val pts = sample.map(row => java.util.Arrays.copyOfRange(row, s * sub, (s + 1) * sub))
-      // best-of-8 restarts by SSE — still trivial CPU on the bounded
-      // sample, and recovers the quality of a k-means|| style init
-      (0 until 8).map(r => lloyd(pts, k, iters = 40, seed = seed + s + r * 1000L))
-        .minBy { cs =>
-          pts.map { p =>
-            cs.map { c =>
-              var d = 0.0; var i = 0
-              while (i < p.length) { val t = p(i) - c(i); d += t * t; i += 1 }
-              d
-            }.min
-          }.sum
-        }
+      fitted.collect { case (`s`, cs) => cs }.minBy(sse(subPts(s), _))
     }.toArray
     Codebook(m, k, centers)
   }
