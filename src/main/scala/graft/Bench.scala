@@ -59,8 +59,11 @@ object Bench {
     println(s"""{"queries":$qs,"failed":$failedJson,"runs":$runs,"loadavg":$load,"sf":"$sfDir","metric":"total","value":$total,"unit":"sec","n_queries":${selected.size}}""")
     // second, summary-only line (no per-query map): short enough that the
     // stdout tail always retains one complete parseable JSON object even
-    // when the full line above is truncated by the capture window
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","runs":$runs,"loadavg":$load,"n_queries":${selected.size},"n_failed":${failed.size},"failed":$failedJson}""")
+    // when the full line above is truncated by the capture window. The
+    // only unbounded field (failed names) goes FIRST and the headline
+    // fields LAST, so a tail boundary landing inside a heavy-failure line
+    // still keeps the totals (same ordering rationale as the full line).
+    println(s"""{"failed":$failedJson,"n_failed":${failed.size},"sf":"$sfDir","runs":$runs,"loadavg":$load,"n_queries":${selected.size},"metric":"total","value":$total,"unit":"sec"}""")
     spark.stop()
   }
 }

@@ -90,7 +90,7 @@ object ModelIO {
   def saveCentroids(spark: SparkSession, features: Seq[String],
                     centroids: Seq[Seq[Double]], path: String): Unit = {
     val featRows = features.zipWithIndex.map { case (f, j) =>
-      ParamRow("kmeans", "feature", -1L, j.toLong, f, None, Some(f))
+      ParamRow("kmeans", "feature", -1L, j.toLong, f, None, None)
     }
     val cRows = for {
       (c, i) <- centroids.zipWithIndex
@@ -102,7 +102,9 @@ object ModelIO {
   def loadCentroids(spark: SparkSession, path: String): (Seq[String], Seq[Seq[Double]]) = {
     val rows = load(spark, path)
     expectType(rows, "kmeans")
-    val feats = section(rows, "feature").sortBy(_.j).map(_.svalue.get)
+    // names live in `key` across all codecs; svalue is reserved for
+    // string-typed VALUES (stump features, tree child pointers)
+    val feats = section(rows, "feature").sortBy(_.j).map(_.key)
     val cents = section(rows, "centroid").groupBy(_.i).toSeq.sortBy(_._1)
       .map { case (_, cell) => cell.sortBy(_.j).map(_.value.get) }
     (feats, cents)
@@ -117,7 +119,7 @@ object ModelIO {
                   path: String): Unit = {
     require(classes.size == intercepts.size && classes.size == weights.size)
     val rows = classes.zipWithIndex.flatMap { case (cls, c) =>
-      ParamRow("softmax", "class", c.toLong, -1L, cls, None, Some(cls)) +:
+      ParamRow("softmax", "class", c.toLong, -1L, cls, None, None) +:
         ParamRow("softmax", "intercept", c.toLong, -1L, cls, Some(intercepts(c)), None) +:
         weights(c).zipWithIndex.map { case (w, j) =>
           ParamRow("softmax", "weight", c.toLong, j.toLong, cls, Some(w), None)
@@ -130,7 +132,7 @@ object ModelIO {
       : (Seq[String], Seq[Double], Seq[Seq[Double]]) = {
     val rows = load(spark, path)
     expectType(rows, "softmax")
-    val classes = section(rows, "class").sortBy(_.i).map(_.svalue.get)
+    val classes = section(rows, "class").sortBy(_.i).map(_.key)
     val icepts = section(rows, "intercept").sortBy(_.i).map(_.value.get)
     val weights = section(rows, "weight").groupBy(_.i).toSeq.sortBy(_._1)
       .map { case (_, ws) => ws.sortBy(_.j).map(_.value.get) }
@@ -286,14 +288,20 @@ object ModelIO {
   // --------------------------------------------------------- scalar params
 
   /** Any scalar-parameter model (GLM fits, Holt-Winters state, scaler
-    * stats): a named bag of doubles. */
+    * stats): a named bag of doubles. `modelType` is verified on load like
+    * every other codec, so a swapped path fails loudly instead of scoring
+    * with another model's parameters. */
   def saveParams(spark: SparkSession, modelType: String,
                  params: Seq[(String, Double)], path: String): Unit =
     save(spark, params.zipWithIndex.map { case ((k, v), idx) =>
       ParamRow(modelType, "param", idx.toLong, -1L, k, Some(v), None)
     }, path)
 
-  def loadParams(spark: SparkSession, path: String): Seq[(String, Double)] =
-    load(spark, path).filter(_.section == "param").sortBy(_.i)
+  def loadParams(spark: SparkSession, path: String,
+                 modelType: String): Seq[(String, Double)] = {
+    val rows = load(spark, path)
+    expectType(rows, modelType)
+    rows.filter(_.section == "param").sortBy(_.i)
       .map(r => r.key -> r.value.get)
+  }
 }

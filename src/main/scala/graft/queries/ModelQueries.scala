@@ -20,18 +20,29 @@ import org.apache.spark.sql.functions._
 object ModelQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Fresh local model dir per call (tests / Verify); at scale the same
-    * API takes an object-store URI. */
-  private def tmpPath(tag: String): String =
-    java.nio.file.Files.createTempDirectory(s"graft_model_$tag").toString
+  /** Fresh local model dir per call, deleted once the load has collected
+    * the parameters into driver memory (Bench re-invokes these queries
+    * every round — nothing may accumulate in /tmp). At scale the same
+    * save/load API takes an object-store URI and persistence is the
+    * point, not a round-trip proof. */
+  private def withTmpModel[T](tag: String)(f: String => T): T = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_model_$tag")
+    try f(dir.toString)
+    finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
 
   val queries: Map[String, Q] = Map(
     "model_io_linreg" -> { (s, d) =>
       // fit → save → load → present: twin of linreg_ols through parquet
       val m = OLS.fit(Tables.lineitem(s, d), Seq("l_quantity"), "l_extendedprice")
-      val path = tmpPath("linreg")
-      ModelIO.saveLinear(s, m, path)
-      val loaded = ModelIO.loadLinear(s, path)
+      val loaded = withTmpModel("linreg") { path =>
+        ModelIO.saveLinear(s, m, path)
+        ModelIO.loadLinear(s, path)
+      }
       loaded.toDF(s).select(col("term"),
         when(col("term") === "intercept", round(col("coef"), 2))
           .otherwise(round(col("coef"), 4)).as("coef"))
@@ -41,9 +52,10 @@ object ModelQueries {
       // save the literal centroid model → load → score: twin of
       // kmeans_assign with the broadcast literals coming off parquet
       val feats = Seq("l_quantity", "l_discount", "l_tax")
-      val path = tmpPath("kmeans")
-      ModelIO.saveCentroids(s, feats, TabularQueries.Centroids, path)
-      val (lf, lc) = ModelIO.loadCentroids(s, path)
+      val (lf, lc) = withTmpModel("kmeans") { path =>
+        ModelIO.saveCentroids(s, feats, TabularQueries.Centroids, path)
+        ModelIO.loadCentroids(s, path)
+      }
       val cl = KMeansGraft.assign(lf.map(col), lc)
       Tables.lineitem(s, d)
         .select(cl.as("cluster"), col("l_quantity"), col("l_extendedprice"))
@@ -56,10 +68,11 @@ object ModelQueries {
     "model_io_softmax" -> { (s, d) =>
       // save the literal multinomial model → load → predict: twin of
       // softmax_predict through the parquet round-trip
-      val path = tmpPath("softmax")
-      ModelIO.saveSoftmax(s, MLQueries.SoftmaxClasses, MLQueries.SoftmaxIntercepts,
-        MLQueries.SoftmaxWeights, path)
-      val (classes, icepts, weights) = ModelIO.loadSoftmax(s, path)
+      val (classes, icepts, weights) = withTmpModel("softmax") { path =>
+        ModelIO.saveSoftmax(s, MLQueries.SoftmaxClasses, MLQueries.SoftmaxIntercepts,
+          MLQueries.SoftmaxWeights, path)
+        ModelIO.loadSoftmax(s, path)
+      }
       val (pred, pMax) = Softmax.predict(
         Seq(col("l_quantity"), col("l_discount"), col("l_tax")),
         classes, icepts, weights)

@@ -130,8 +130,10 @@ class ModelIOSpec extends AnyFunSuite {
     val params = Seq("b0" -> 1.25, "b1" -> -0.035, "deviance" -> 812.5)
     val path = tmp("par")
     ModelIO.saveParams(spark, "poisson", params, path)
-    assert(ModelIO.loadParams(spark, path) == params)
+    assert(ModelIO.loadParams(spark, path, "poisson") == params)
     assert(ModelIO.loadDF(spark, path).count() == 3)
+    // wrong model type fails loudly instead of returning wrong parameters
+    assertThrows[IllegalArgumentException](ModelIO.loadParams(spark, path, "gbt"))
   }
 
   test("model_io_* queries match their direct-scoring twins row-for-row") {
