@@ -39,7 +39,7 @@ object MLQueries {
 
   /** Literal depth-2 regression tree over LiFeatures for the FIL-scoring
     * hash gate (features indexed 0 = quantity, 1 = discount, 2 = tax). */
-  private val FilTree: Forest.TreeNode = Forest.Split(0, 24.0,
+  private[queries] val FilTree: Forest.TreeNode = Forest.Split(0, 24.0,
     Forest.Split(1, 0.05, Forest.Leaf(10.0), Forest.Leaf(20.0)),
     Forest.Split(2, 0.04, Forest.Leaf(30.0), Forest.Leaf(40.0)))
 
@@ -139,16 +139,22 @@ object MLQueries {
         numTrees = 10)
     },
     "als_recommend" -> { (s, d) =>
-      // collaborative filtering via MLlib ALS (seeded, iterative → rows
-      // only): (customer, part) implicit-count ratings from one join +
-      // groupBy; the factorization is the standard distributed
-      // block-coordinate solve, train-set RMSE + rank summary out
+      // collaborative filtering via MLlib ALS (seeded block-coordinate
+      // solve). PARTIAL HASH GATE (the hw_fit_opt precedent): the
+      // (customer, part) implicit-rating matrix is deterministic SQL —
+      // counts and the decimal-exact rating mass are hash-gated — while
+      // the factorization itself surfaces as the ≤-invariant
+      // als_beats_mean (train RMSE below the mean-predictor's RMSE =
+      // stddev_pop), with the continuous RMSE value spec-gated in
+      // MLQueriesSpec. Ratings sum through DECIMAL so the mass is
+      // order-independent; the float copy feeds ALS unchanged.
       val ratings = Tables.lineitem(s, d)
         .join(Tables.orders(s, d),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_custkey").cast("int").as("user"),
           col("l_partkey").cast("int").as("item"))
-        .agg(sum(col("l_quantity")).cast("float").as("rating"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("rating_d"))
+        .withColumn("rating", col("rating_d").cast("float"))
       val als = new org.apache.spark.ml.recommendation.ALS()
         .setRank(8).setMaxIter(5).setRegParam(0.1).setSeed(42L)
         .setUserCol("user").setItemCol("item").setRatingCol("rating")
@@ -156,7 +162,9 @@ object MLQueries {
       pred.agg(count(lit(1)).cast("long").as("n_ratings"),
         countDistinct(col("user")).cast("long").as("n_users"),
         countDistinct(col("item")).cast("long").as("n_items"),
-        r4(sqrt(avg(pow(col("rating") - col("prediction"), 2)))).as("rmse"))
+        round(sum(col("rating_d")).cast("double"), 2).as("sum_rating"),
+        (sqrt(avg(pow(col("rating") - col("prediction"), 2))) <
+          stddev_pop(col("rating"))).as("als_beats_mean"))
     },
     "svm_linear" -> { (s, d) =>
       SVMGraft.linearSvcSummary(Tables.lineitem(s, d), LiFeatures,
@@ -293,6 +301,18 @@ object MLQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "als_recommend" ->
+      """WITH r AS (
+        |  SELECT o_custkey::INT AS u, l_partkey::INT AS it,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS rating_d
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2)
+        |SELECT count(*)::BIGINT AS n_ratings,
+        |  count(DISTINCT u)::BIGINT AS n_users,
+        |  count(DISTINCT it)::BIGINT AS n_items,
+        |  round(CAST(sum(rating_d) AS DOUBLE), 2) AS sum_rating,
+        |  TRUE AS als_beats_mean
+        |FROM r""".stripMargin,
     "logreg_irls" -> logregIrlsOracle,
     "sgd_linreg" -> sgdOracle,
     "lasso_cd" -> cdOracle(10.0, 1.0),

@@ -111,17 +111,28 @@ class BoostSpec extends AnyFunSuite {
   }
 
   test("als_recommend: factorization beats the constant-mean predictor on train RMSE") {
+    // the query's hash gate carries the deterministic rating-matrix
+    // summary plus the ≤-invariant; the CONTINUOUS RMSE value stays
+    // gated here by refitting the same seeded solve and recomputing it
     val got = SparkEntry.queries("als_recommend")(spark, sf).head()
     val ratings = graft.core.Tables.lineitem(spark, sf)
       .join(graft.core.Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("o_custkey"), col("l_partkey"))
-      .agg(sum(col("l_quantity")).as("r"))
-      .select(col("r")).collect().map(_.getDouble(0))
-    val mean = ratings.sum / ratings.length
-    val sd = math.sqrt(ratings.map(r => (r - mean) * (r - mean)).sum / ratings.length)
-    assert(got.getLong(got.fieldIndex("n_ratings")) == ratings.length)
-    assert(got.getDouble(got.fieldIndex("rmse")) < sd,
-      s"ALS RMSE ${got.getDouble(got.fieldIndex("rmse"))} vs baseline sd $sd")
+      .groupBy(col("o_custkey").cast("int").as("user"),
+        col("l_partkey").cast("int").as("item"))
+      .agg(sum(col("l_quantity")).cast("float").as("rating"))
+    val rs = ratings.select(col("rating").cast("double")).collect().map(_.getDouble(0))
+    val mean = rs.sum / rs.length
+    val sd = math.sqrt(rs.map(r => (r - mean) * (r - mean)).sum / rs.length)
+    assert(got.getLong(got.fieldIndex("n_ratings")) == rs.length)
+    assert(math.abs(got.getDouble(got.fieldIndex("sum_rating")) - rs.sum) < 1e-6 * rs.sum)
+    assert(got.getBoolean(got.fieldIndex("als_beats_mean")))
+    val als = new org.apache.spark.ml.recommendation.ALS()
+      .setRank(8).setMaxIter(5).setRegParam(0.1).setSeed(42L)
+      .setUserCol("user").setItemCol("item").setRatingCol("rating")
+    val pred = als.fit(ratings).transform(ratings)
+    val rmse = pred.agg(sqrt(avg(pow(col("rating") - col("prediction"), 2))))
+      .head().getDouble(0)
+    assert(rmse.isFinite && rmse < sd, s"ALS RMSE $rmse vs baseline sd $sd")
   }
 
   test("feature_select MI matches a driver-side recomputation per feature") {
