@@ -4,6 +4,7 @@ import graft.ensemble.{Boosting, Forest}
 import graft.linear.LinearModel
 import graft.neighbors.PQ
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
 
 /** Parquet persistence for graft's fitted models — the Spark-native
   * counterpart of the reference's pickle round-trip surface
@@ -71,10 +72,13 @@ object ModelIO {
 
   /** OLS / Ridge / Lasso / ElasticNet / SGD / QN fits — anything that is a
     * [[LinearModel]] (ordered terms + coefficients). */
-  def saveLinear(spark: SparkSession, m: LinearModel, path: String): Unit =
-    save(spark, m.terms.zip(m.coefs).zipWithIndex.map { case ((t, c), idx) =>
+  def linearRows(m: LinearModel): Seq[ParamRow] =
+    m.terms.zip(m.coefs).zipWithIndex.map { case ((t, c), idx) =>
       ParamRow("linear", "coef", idx.toLong, -1L, t, Some(c), None)
-    }, path)
+    }
+
+  def saveLinear(spark: SparkSession, m: LinearModel, path: String): Unit =
+    save(spark, linearRows(m), path)
 
   def loadLinear(spark: SparkSession, path: String): LinearModel = {
     val rows = load(spark, path)
@@ -87,8 +91,7 @@ object ModelIO {
 
   /** A fitted k-means model: ordered feature names + k×d centroid matrix
     * (the literal side of KMeansGraft.assign/distances/minSqDist). */
-  def saveCentroids(spark: SparkSession, features: Seq[String],
-                    centroids: Seq[Seq[Double]], path: String): Unit = {
+  def centroidRows(features: Seq[String], centroids: Seq[Seq[Double]]): Seq[ParamRow] = {
     val featRows = features.zipWithIndex.map { case (f, j) =>
       ParamRow("kmeans", "feature", -1L, j.toLong, f, None, None)
     }
@@ -96,8 +99,12 @@ object ModelIO {
       (c, i) <- centroids.zipWithIndex
       (v, j) <- c.zipWithIndex
     } yield ParamRow("kmeans", "centroid", i.toLong, j.toLong, "", Some(v), None)
-    save(spark, featRows ++ cRows, path)
+    featRows ++ cRows
   }
+
+  def saveCentroids(spark: SparkSession, features: Seq[String],
+                    centroids: Seq[Seq[Double]], path: String): Unit =
+    save(spark, centroidRows(features, centroids), path)
 
   def loadCentroids(spark: SparkSession, path: String): (Seq[String], Seq[Seq[Double]]) = {
     val rows = load(spark, path)
@@ -114,19 +121,22 @@ object ModelIO {
 
   /** Multinomial logistic coefficients: class names, per-class intercepts,
     * per-class weight rows (the literal side of Softmax.predict). */
-  def saveSoftmax(spark: SparkSession, classes: Seq[String],
-                  intercepts: Seq[Double], weights: Seq[Seq[Double]],
-                  path: String): Unit = {
+  def softmaxRows(classes: Seq[String], intercepts: Seq[Double],
+                  weights: Seq[Seq[Double]]): Seq[ParamRow] = {
     require(classes.size == intercepts.size && classes.size == weights.size)
-    val rows = classes.zipWithIndex.flatMap { case (cls, c) =>
+    classes.zipWithIndex.flatMap { case (cls, c) =>
       ParamRow("softmax", "class", c.toLong, -1L, cls, None, None) +:
         ParamRow("softmax", "intercept", c.toLong, -1L, cls, Some(intercepts(c)), None) +:
         weights(c).zipWithIndex.map { case (w, j) =>
           ParamRow("softmax", "weight", c.toLong, j.toLong, cls, Some(w), None)
         }
     }
-    save(spark, rows, path)
   }
+
+  def saveSoftmax(spark: SparkSession, classes: Seq[String],
+                  intercepts: Seq[Double], weights: Seq[Seq[Double]],
+                  path: String): Unit =
+    save(spark, softmaxRows(classes, intercepts, weights), path)
 
   def loadSoftmax(spark: SparkSession, path: String)
       : (Seq[String], Seq[Double], Seq[Seq[Double]]) = {
@@ -200,8 +210,15 @@ object ModelIO {
   /** A literal Forest.TreeNode (the FIL-style codegen scoring tree),
     * flattened preorder: each split row stores its feature index in `j`,
     * threshold in `value`, and child node ids as "left:right" in `svalue`;
-    * each leaf row stores its value. */
-  def saveTree(spark: SparkSession, tree: Forest.TreeNode, path: String): Unit = {
+    * each leaf row stores its value.
+    *
+    * Depth bound: walk/build recurse once per tree LEVEL, so the codec
+    * supports depth ≲ a few thousand before the JVM stack overflows. That
+    * is orders of magnitude past any scorable tree — Forest/FIL trees are
+    * depth ≤ ~20 by construction, and a CASE-chain scoring expression for
+    * a deeper tree would blow codegen limits long before this codec does —
+    * so the bound is documented rather than engineered around. */
+  def treeRows(tree: Forest.TreeNode): Seq[ParamRow] = {
     val rows = Seq.newBuilder[ParamRow]
     var next = 0L
     def walk(t: Forest.TreeNode): Long = {
@@ -218,8 +235,11 @@ object ModelIO {
       id
     }
     walk(tree)
-    save(spark, rows.result(), path)
+    rows.result()
   }
+
+  def saveTree(spark: SparkSession, tree: Forest.TreeNode, path: String): Unit =
+    save(spark, treeRows(tree), path)
 
   def loadTree(spark: SparkSession, path: String): Forest.TreeNode = {
     val rows = load(spark, path)
@@ -285,17 +305,51 @@ object ModelIO {
     graft.neighbors.IVF.Index(centers)
   }
 
+  // ------------------------------------------------------ per-series models
+
+  /** DataFrame-valued (per-series) models — Holt-Winters winners, grouped
+    * AR coefficients, anything shaped (series, key, value) with one row
+    * per parameter. Unlike the driver-local codecs above, a per-series
+    * model is DATA-SCALE (10⁶ series is normal), so save is a parquet
+    * write and load is ONE scan: parameters never pass through the
+    * driver. Values persist at full precision — doubles survive parquet
+    * bit-exactly, so serving through a loaded frame matches serving at
+    * fit time (the model_io_hw_forecast hash gate). */
+  def saveSeriesModel(df: DataFrame, modelType: String, path: String): Unit =
+    df.select(col("series").cast("string").as("series"),
+        col("key").cast("string").as("key"),
+        col("value").cast("double").as("value"),
+        lit(modelType).as("model_type"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Load a per-series model as a lazy scan. The type check is a
+    * min/max-stat row-group probe (the file stores one constant
+    * model_type), so a swapped path fails loudly at negligible cost
+    * without collecting the model. */
+  def loadSeriesModel(spark: SparkSession, path: String,
+                      modelType: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    val bad = df.filter(col("model_type") =!= modelType)
+      .select("model_type").limit(1).collect()
+    require(bad.isEmpty,
+      s"ModelIO: expected model_type=$modelType, found ${bad.headOption.map(_.getString(0)).getOrElse("?")}")
+    df.select("series", "key", "value")
+  }
+
   // --------------------------------------------------------- scalar params
 
   /** Any scalar-parameter model (GLM fits, Holt-Winters state, scaler
     * stats): a named bag of doubles. `modelType` is verified on load like
     * every other codec, so a swapped path fails loudly instead of scoring
     * with another model's parameters. */
+  def paramRows(modelType: String, params: Seq[(String, Double)]): Seq[ParamRow] =
+    params.zipWithIndex.map { case ((k, v), idx) =>
+      ParamRow(modelType, "param", idx.toLong, -1L, k, Some(v), None)
+    }
+
   def saveParams(spark: SparkSession, modelType: String,
                  params: Seq[(String, Double)], path: String): Unit =
-    save(spark, params.zipWithIndex.map { case ((k, v), idx) =>
-      ParamRow(modelType, "param", idx.toLong, -1L, k, Some(v), None)
-    }, path)
+    save(spark, paramRows(modelType, params), path)
 
   def loadParams(spark: SparkSession, path: String,
                  modelType: String): Seq[(String, Double)] = {

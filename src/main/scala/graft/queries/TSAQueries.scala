@@ -13,9 +13,9 @@ object TSAQueries {
 
   /** The hw_fit smoothing-parameter lattice (ascending — argmin tie-break
     * order must match the oracle's ORDER BY alpha, beta, gamma). */
-  private val HwAlphas = Seq(0.2, 0.4, 0.6, 0.8)
-  private val HwBetas = Seq(0.1, 0.3)
-  private val HwGammas = Seq(0.1, 0.3, 0.5)
+  private[queries] val HwAlphas = Seq(0.2, 0.4, 0.6, 0.8)
+  private[queries] val HwBetas = Seq(0.1, 0.3)
+  private[queries] val HwGammas = Seq(0.1, 0.3, 0.5)
 
   val queries: Map[String, Q] = Map(
     "holtwinters" -> { (s, d) =>

@@ -496,6 +496,50 @@ object TimeSeries {
       .select(col("series"), col("component"), round(col("_v"), 4).as("value"))
   }
 
+  /** The hw_fit grid winner's state at FULL precision, shaped for
+    * persistence (ModelIO.saveSeriesModel: one (series, key, value) row
+    * per parameter — level, trend, season_0..season_{m-1}). Unrounded on
+    * purpose: a forecast computed through the persisted state must be
+    * bit-identical to [[hwFitForecast]]'s (doubles survive parquet
+    * exactly; rounding the state first would not survive the h-step
+    * linear extrapolation at the 4-dp gate). */
+  def hwFitStateRaw(series: DataFrame, period: Int, alphas: Seq[Double],
+                    betas: Seq[Double], gammas: Seq[Double]): DataFrame = {
+    import series.sparkSession.implicits._
+    val m = period
+    val rows = series.select(col("series").cast("string"), col("t").cast("long"),
+      col("x").cast("double")).as[(String, Long, Double)]
+    rows.groupByKey(_._1).flatMapGroups { (key, it) =>
+      val xs = it.toSeq.sortBy(_._2).map(_._3).toIndexedSeq
+      if (xs.length < 2 * m) Iterator.empty
+      else {
+        val (_, _, _, _, l, b, seas) =
+          hwGridWinner(xs, m, alphas, betas, gammas, multiplicative = false)
+        (("level", l) +: ("trend", b) +:
+          seas.zipWithIndex.map { case (s, i) => (s"season_$i", s) })
+          .iterator.map { case (c, v) => (key, c, v) }
+      }
+    }.toDF("series", "key", "value")
+  }
+
+  /** h-step additive Holt-Winters forecast from a PERSISTED state frame
+    * (series, key, value) — the serve side of the fit/save/load/forecast
+    * separation: no refit, no per-series driver state, pure column
+    * expressions over one scan of the model table. The arithmetic
+    * (l + k·b + season[(k−1) mod m], left-associated) matches
+    * [[hwFitForecast]] exactly, so forecasts through a loaded state are
+    * bit-identical to forecasts at fit time. */
+  def hwForecastFromState(state: DataFrame, period: Int, h: Int): DataFrame = {
+    val p = state.groupBy("series").agg(
+      map_from_entries(collect_list(struct(col("key"), col("value")))).as("_p"))
+    p.select(col("series"), explode(sequence(lit(1L), lit(h.toLong))).as("step"), col("_p"))
+      .select(col("series"), col("step"),
+        round(element_at(col("_p"), lit("level")) +
+          col("step").cast("double") * element_at(col("_p"), lit("trend")) +
+          element_at(col("_p"), concat(lit("season_"),
+            ((col("step") - 1) % period).cast("string"))), 4).as("forecast"))
+  }
+
   /** KPSS level-stationarity statistic + interpolated p-value per series —
     * the exact test the reference runs (Kwiatkowski et al. 1992;
     * cpp/src_prims/timeSeries/stationarity.h:96-185):
@@ -909,14 +953,45 @@ object TimeSeries {
     * the (differenced) series, unroll the recursion as h nested column
     * expressions, and for d=1 integrate back with a running sum. Same
     * one-job shape as [[arForecast]] for any p. */
-  def arForecastP(series: DataFrame, p: Int, h: Int, d: Int = 0): DataFrame = {
-    require(p >= 1 && h >= 1 && (d == 0 || d == 1), "p>=1, h>=1, d in {0,1}")
+  def arForecastP(series: DataFrame, p: Int, h: Int, d: Int = 0): DataFrame =
+    arForecastPImpl(series, None, p, h, d)
+
+  /** [[arForecastP]] served through a PERSISTED coefficient frame
+    * (ModelIO.saveSeriesModel long format: keys c0..cp) instead of an
+    * in-query fit — the per-series fit/save/load/forecast separation.
+    * The long frame pivots back to the exact cf array the recursion
+    * reads, so forecasts through a loaded model are bit-identical to
+    * forecasts at fit time. */
+  def arForecastPServe(series: DataFrame, coefsLong: DataFrame,
+                       p: Int, h: Int, d: Int = 0): DataFrame = {
+    val m = coefsLong.groupBy("series").agg(
+      map_from_entries(collect_list(struct(col("key"), col("value")))).as("_m"))
+    val cf = m.select(col("series"),
+      array((0 to p).map(i => element_at(col("_m"), lit(s"c$i"))): _*).as("cf"))
+    arForecastPImpl(series, Some(cf), p, h, d)
+  }
+
+  /** The wide (series, cf) frame of [[arFitWide]] reshaped for
+    * ModelIO.saveSeriesModel: one (series, key=c_i, value) row per
+    * coefficient. */
+  def arCoefsLong(series: DataFrame, p: Int, d: Int = 0): DataFrame = {
+    val cf = arFitWide(differenced(series, d), p)
+    cf.select(col("series"), posexplode(col("cf")).as(Seq("_i", "value")))
+      .select(col("series"), concat(lit("c"), col("_i")).as("key"), col("value"))
+  }
+
+  private def differenced(series: DataFrame, d: Int): DataFrame = {
     val w = Window.partitionBy(col("series")).orderBy(col("t"))
-    val work =
-      if (d == 0) series.select(col("series"), col("t"), col("x"))
-      else series.withColumn("dx", col("x") - lag(col("x"), 1).over(w))
-        .filter(col("dx").isNotNull).select(col("series"), col("t"), col("dx").as("x"))
-    val cf = arFitWide(work, p)
+    if (d == 0) series.select(col("series"), col("t"), col("x"))
+    else series.withColumn("dx", col("x") - lag(col("x"), 1).over(w))
+      .filter(col("dx").isNotNull).select(col("series"), col("t"), col("dx").as("x"))
+  }
+
+  private def arForecastPImpl(series: DataFrame, coefsOpt: Option[DataFrame],
+                              p: Int, h: Int, d: Int): DataFrame = {
+    require(p >= 1 && h >= 1 && (d == 0 || d == 1), "p>=1, h>=1, d in {0,1}")
+    val work = differenced(series, d)
+    val cf = coefsOpt.getOrElse(arFitWide(work, p))
     val lastP = work.groupBy(col("series")).agg(
         sort_array(collect_list(struct(col("t"), col("x"))), asc = false).as("_a"))
       .select((col("series") +: (0 until p).map(i =>

@@ -139,10 +139,41 @@ class ModelIOSpec extends AnyFunSuite {
   test("model_io_* queries match their direct-scoring twins row-for-row") {
     for ((a, b) <- Seq("model_io_linreg" -> "linreg_ols",
                        "model_io_kmeans" -> "kmeans_assign",
-                       "model_io_softmax" -> "softmax_predict")) {
+                       "model_io_softmax" -> "softmax_predict",
+                       "model_io_hw_forecast" -> "hw_fit_forecast",
+                       "model_io_ar_forecast" -> "ar_p_forecast",
+                       "model_io_svm" -> "svm_predict")) {
       val viaIo = SparkEntry.queries(a)(spark, sf)
       val direct = SparkEntry.queries(b)(spark, sf)
       assert(viaIo.collect().toSeq == direct.collect().toSeq, s"$a vs $b")
     }
+  }
+
+  test("per-series model round-trips bit-exact and rejects a swapped type") {
+    import graft.tsa.TimeSeries
+    val series = TimeSeries.dailySeries(Tables.events(spark, sf))
+    // grouped AR coefficients — the other DataFrame-valued model family
+    val ar = TimeSeries.arFit2(series)
+      .select(col("series"), col("term").as("key"), col("coef").as("value"))
+    val path = tmp("ar")
+    ModelIO.saveSeriesModel(ar, "ar2", path)
+    val loaded = ModelIO.loadSeriesModel(spark, path, "ar2")
+    // bit-exact: symmetric difference empty at FULL double precision
+    assert(loaded.except(ar).isEmpty && ar.except(loaded).isEmpty)
+    assertThrows[IllegalArgumentException](
+      ModelIO.loadSeriesModel(spark, path, "hw_additive"))
+  }
+
+  test("forecast through persisted HW state equals forecast at fit time") {
+    import graft.tsa.TimeSeries
+    val series = TimeSeries.dailySeries(Tables.events(spark, sf))
+    val (as, bs, gs) = (Seq(0.2, 0.4, 0.6, 0.8), Seq(0.1, 0.3), Seq(0.1, 0.3, 0.5))
+    val state = TimeSeries.hwFitStateRaw(series, 7, as, bs, gs)
+    val path = tmp("hws")
+    ModelIO.saveSeriesModel(state, "hw_additive", path)
+    val served = TimeSeries.hwForecastFromState(
+      ModelIO.loadSeriesModel(spark, path, "hw_additive"), 7, h = 5)
+    val atFit = TimeSeries.hwFitForecast(series, 7, as, bs, gs, h = 5)
+    assert(served.except(atFit).isEmpty && atFit.except(served).isEmpty)
   }
 }
