@@ -5,10 +5,14 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing: opaque binary payloads + typed metadata,
-  * batched feature extraction. The decode step is a clearly-marked
-  * deterministic STUB (no image/audio codecs in this environment); the
-  * Spark-side contract — schema, batching, partition-parallel extraction —
-  * is real and is what matters at 100 TB.
+  * batched feature extraction. The decode step is REAL for two
+  * self-describing uncompressed formats (P6 PPM, 24-bpp BMP — parsed
+  * header + raw pixel statistics, MultimodalSpec-gated) and falls back to
+  * deterministic byte statistics for formats whose codecs aren't present
+  * in this environment (jpeg/png/audio plug in at the same seam). The
+  * Spark-side contract — schema, batching, partition-parallel
+  * extraction — is what matters at 100 TB and is identical on every
+  * path.
   */
 object Multimodal {
   val mediaSchema: StructType = StructType(Seq(
@@ -35,11 +39,15 @@ object Multimodal {
         (col("doc_id") % 640 + 16).cast("int").as("width"),
         (col("doc_id") % 480 + 16).cast("int").as("height")).as("meta"))
 
-  /** STUB decoder: a real deployment plugs an image/audio codec in here
-    * (mapInPandas/mapPartitions, batch-at-a-time). The fake "features" are
-    * deterministic byte statistics so the pipeline shape (binary in,
-    * fixed-size float vector out, batched per partition) is fully
-    * exercised. */
+  /** Decoder dispatch: REAL parsers for two self-describing uncompressed
+    * image formats (P6 PPM and 24-bpp BMP — header + raw pixels, no codec
+    * library needed), byte-statistics fallback for anything else (the
+    * honest path for formats whose codecs aren't present in this
+    * environment — jpeg/png/audio would plug in here the same way). The
+    * feature contract is uniform: 4 doubles (mean, std, max, min) over
+    * decoded pixel channel values when a parser matches, over raw payload
+    * bytes otherwise, so the pipeline shape (binary in, fixed-size vector
+    * out, batched per partition) is identical on every path. */
   def extractFeatures(media: DataFrame, batchSize: Int = 64): DataFrame = {
     val spark = media.sparkSession
     val outSchema = StructType(Seq(
@@ -55,7 +63,7 @@ object Multimodal {
             val id = r.getLong(0)
             val mt = r.getString(1)
             val bytes = r.getAs[Array[Byte]](2)
-            val feats = decodeStub(bytes)
+            val feats = decode(bytes)
             Row(id, mt, bytes.length.toLong, feats)
           }
         }
@@ -63,18 +71,92 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
-  /** ??? in a real system — deterministic fake: moments of the byte
-    * stream, standing in for decoded-pixel statistics. Unrounded so the
-    * aggregate summary stays engine-reproducible (sum-of-ints means are
-    * exact). */
-  private def decodeStub(bytes: Array[Byte]): Seq[Double] = {
-    if (bytes.isEmpty) Seq(0.0, 0.0, 0.0, 0.0)
+  /** (mean, std, max, min) over decoded pixel channels for P6 PPM /
+    * 24-bpp BMP payloads; same moments over raw bytes for everything
+    * else. Deterministic and codec-free. */
+  private[graft] def decode(bytes: Array[Byte]): Seq[Double] =
+    decodePpm(bytes).orElse(decodeBmp(bytes)).map { case (_, _, px) => stats(px) }
+      .getOrElse(stats(bytes.map(b => (b & 0xff).toDouble)))
+
+  /** Decoded (width, height) when a real parser matches — the metadata
+    * side of the decode contract. */
+  private[graft] def decodedDims(bytes: Array[Byte]): Option[(Int, Int)] =
+    decodePpm(bytes).orElse(decodeBmp(bytes)).map { case (w, h, _) => (w, h) }
+
+  private def stats(d: Array[Double]): Seq[Double] =
+    if (d.isEmpty) Seq(0.0, 0.0, 0.0, 0.0)
     else {
-      val d = bytes.map(b => (b & 0xff).toDouble)
       val mean = d.sum / d.length
       val v = d.map(x => (x - mean) * (x - mean)).sum / d.length
       Seq(mean, math.sqrt(v), d.max, d.min)
     }
+
+  /** P6 binary PixMap: "P6" <ws> width <ws> height <ws> maxval <single
+    * ws> then width·height·3 raw RGB bytes; '#' comments allowed in the
+    * header (netpbm spec). Returns (w, h, channel values) or None when
+    * the payload is not a well-formed 8-bit P6. */
+  private def decodePpm(bytes: Array[Byte]): Option[(Int, Int, Array[Double])] = {
+    if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') return None
+    var pos = 2
+    def skipWs(): Unit = {
+      var in = true
+      while (in && pos < bytes.length) {
+        val c = bytes(pos).toChar
+        if (c == '#') while (pos < bytes.length && bytes(pos) != '\n') pos += 1
+        else if (c.isWhitespace) pos += 1
+        else in = false
+      }
+    }
+    def int(): Option[Int] = {
+      skipWs()
+      val start = pos
+      while (pos < bytes.length && bytes(pos).toChar.isDigit) pos += 1
+      if (pos == start) None else Some(new String(bytes, start, pos - start).toInt)
+    }
+    for {
+      w <- int(); h <- int(); maxv <- int()
+      if w > 0 && h > 0 && maxv == 255 && pos < bytes.length &&
+        bytes(pos).toChar.isWhitespace && bytes.length - (pos + 1) >= w * h * 3
+    } yield {
+      val px = new Array[Double](w * h * 3)
+      var i = 0
+      while (i < px.length) { px(i) = (bytes(pos + 1 + i) & 0xff).toDouble; i += 1 }
+      (w, h, px)
+    }
+  }
+
+  /** Windows BMP, BITMAPINFOHEADER, 24 bpp uncompressed: pixel rows are
+    * bottom-up and padded to 4-byte boundaries — stats read only the
+    * w·h·3 channel bytes, skipping padding. Returns None for any other
+    * BMP flavor (compressed, paletted, other depths). */
+  private def decodeBmp(bytes: Array[Byte]): Option[(Int, Int, Array[Double])] = {
+    if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') return None
+    def i32(off: Int): Int =
+      (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8) |
+        ((bytes(off + 2) & 0xff) << 16) | ((bytes(off + 3) & 0xff) << 24)
+    def i16(off: Int): Int = (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+    val dataOff = i32(10)
+    val hdrSize = i32(14)
+    val w = i32(18)
+    val h = i32(22) // negative = top-down; stats are row-order-invariant
+    val bpp = i16(28)
+    val compression = i32(30)
+    val hAbs = math.abs(h)
+    if (hdrSize < 40 || w <= 0 || hAbs == 0 || bpp != 24 || compression != 0)
+      return None
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    if (dataOff < 54 || bytes.length.toLong < dataOff.toLong + rowSize.toLong * hAbs)
+      return None
+    val px = new Array[Double](w * hAbs * 3)
+    var r = 0
+    var i = 0
+    while (r < hAbs) {
+      val base = dataOff + r * rowSize
+      var c = 0
+      while (c < w * 3) { px(i) = (bytes(base + c) & 0xff).toDouble; i += 1; c += 1 }
+      r += 1
+    }
+    Some((w, hAbs, px))
   }
 
   /** Aggregate summary per media type (the query-surface entry point). */

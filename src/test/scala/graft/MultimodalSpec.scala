@@ -1,0 +1,101 @@
+package graft
+
+import graft.core.Tables
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Decoder + pipeline gates for the multimodal column surface: the P6
+  * PPM and 24-bpp BMP parsers are REAL (header + raw pixels, no codec
+  * library), verified here against hand-built payloads with known pixel
+  * statistics; unknown formats fall back to byte statistics. */
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  /** 2×2 P6 PPM with channel values 0..11 (header comment included to
+    * exercise the netpbm '#' rule). */
+  private def ppm2x2: Array[Byte] = {
+    val header = "P6\n# test image\n2 2\n255\n".getBytes("US-ASCII")
+    header ++ (0 until 12).map(_.toByte).toArray
+  }
+
+  /** 2×2 24-bpp BMP, bottom-up rows padded to 4 bytes, same channel
+    * multiset 0..11 (padding bytes 0xEE must NOT leak into the stats). */
+  private def bmp2x2: Array[Byte] = {
+    val w = 2; val h = 2
+    val rowSize = ((w * 3 + 3) / 4) * 4 // 8: 6 pixel bytes + 2 padding
+    val dataOff = 54
+    val buf = new Array[Byte](dataOff + rowSize * h)
+    buf(0) = 'B'; buf(1) = 'M'
+    def put32(off: Int, v: Int): Unit = {
+      buf(off) = (v & 0xff).toByte; buf(off + 1) = ((v >> 8) & 0xff).toByte
+      buf(off + 2) = ((v >> 16) & 0xff).toByte; buf(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    def put16(off: Int, v: Int): Unit = {
+      buf(off) = (v & 0xff).toByte; buf(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    put32(2, buf.length); put32(10, dataOff); put32(14, 40)
+    put32(18, w); put32(22, h); put16(26, 1); put16(28, 24); put32(30, 0)
+    // bottom row first (values 0..5), then top row (6..11); padding 0xEE
+    for (r <- 0 until h) {
+      val base = dataOff + r * rowSize
+      for (c <- 0 until w * 3) buf(base + c) = (r * 6 + c).toByte
+      for (p <- w * 3 until rowSize) buf(base + p) = 0xEE.toByte
+    }
+    buf
+  }
+
+  private def expectStats(vals: Seq[Double]): Seq[Double] = {
+    val mean = vals.sum / vals.size
+    val v = vals.map(x => (x - mean) * (x - mean)).sum / vals.size
+    Seq(mean, math.sqrt(v), vals.max, vals.min)
+  }
+
+  test("P6 PPM decodes: dims from the header, stats over real pixels") {
+    assert(Multimodal.decodedDims(ppm2x2).contains((2, 2)))
+    assert(Multimodal.decode(ppm2x2) == expectStats((0 until 12).map(_.toDouble)))
+  }
+
+  test("24-bpp BMP decodes: padding excluded, bottom-up rows handled") {
+    assert(Multimodal.decodedDims(bmp2x2).contains((2, 2)))
+    // 0xEE padding would shift max to 238 if it leaked into the stats
+    assert(Multimodal.decode(bmp2x2) == expectStats((0 until 12).map(_.toDouble)))
+  }
+
+  test("unknown formats fall back to byte statistics") {
+    val raw = "not an image".getBytes("UTF-8")
+    assert(Multimodal.decodedDims(raw).isEmpty)
+    assert(Multimodal.decode(raw) ==
+      expectStats(raw.map(b => (b & 0xff).toDouble).toSeq))
+    // truncated headers must not throw
+    assert(Multimodal.decode("P6".getBytes).nonEmpty)
+    assert(Multimodal.decode("BM".getBytes).nonEmpty)
+    assert(Multimodal.decode(Array.empty[Byte]) == Seq(0.0, 0.0, 0.0, 0.0))
+  }
+
+  test("extractFeatures runs the decoder distributed over a media frame") {
+    val rows = Seq(
+      Row(1L, ppm2x2, Row(ppm2x2.length.toLong, "image", 2, 2)),
+      Row(2L, bmp2x2, Row(bmp2x2.length.toLong, "image", 2, 2)),
+      Row(3L, "plain text".getBytes("UTF-8"),
+        Row(10L, "text", 0, 0)))
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), Multimodal.mediaSchema)
+    val out = Multimodal.extractFeatures(media).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](3)).toMap
+    assert(out(1L) == expectStats((0 until 12).map(_.toDouble)))
+    assert(out(2L) == expectStats((0 until 12).map(_.toDouble)))
+    assert(out(3L) == expectStats("plain text".getBytes("UTF-8")
+      .map(b => (b & 0xff).toDouble).toSeq))
+  }
+
+  test("multimodal_meta hash gate is intact (byte-stats oracle unchanged)") {
+    // document payloads are text, so the summary still flows through the
+    // fallback — the decode upgrade must not move the oracle-gated values
+    val got = SparkEntry.queries("multimodal_meta")(spark, sf).collect()
+    assert(got.nonEmpty && got.map(_.getString(0)).toSeq ==
+      got.map(_.getString(0)).toSeq.sorted)
+  }
+}
