@@ -31,21 +31,22 @@ object Bench {
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
     // each query runs `runs` times; the per-query time is the MIN (sandbox
     // load noise inflates single runs by 2-4x — see the round-2 bench)
-    val results = selected.map { case (name, fn) =>
+    val perRun = selected.map { case (name, fn) =>
       val timed = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
         catch { case t: Throwable => System.err.println(s"BENCH FAIL $name: $t"); false }
         (ok, (System.nanoTime() - t0) / 1e9)
       }
+      name -> timed
+    }
+    val results = perRun.map { case (name, timed) =>
       val okTimes = timed.collect { case (true, s) => s }
       // a query that failed every run reports NEGATED min elapsed so the
       // json can never mistake a crash-at-start for a fast query
       name -> (if (okTimes.nonEmpty) okTimes.min else -timed.map(_._2).min)
     }
     val failed = results.collect { case (n, v) if v < 0 => n }.toSeq.sorted
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     // failed queries are excluded from total (listed separately)
     val total = results.values.filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -53,17 +54,47 @@ object Bench {
     // 3-5x inflated by sandbox co-tenants — record the evidence in-band
     val load = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
-    // headline fields LAST: the driver records only the tail of stdout, and
-    // with 246 per-query entries a metric-first line loses its totals to
-    // truncation (every BENCH_r*.json through r7 shows the front cut off)
-    println(s"""{"queries":$qs,"failed":$failedJson,"runs":$runs,"loadavg":$load,"sf":"$sfDir","metric":"total","value":$total,"unit":"sec","n_queries":${selected.size}}""")
-    // second, summary-only line (no per-query map): short enough that the
-    // stdout tail always retains one complete parseable JSON object even
-    // when the full line above is truncated by the capture window. The
-    // only unbounded field (failed names) goes FIRST and the headline
-    // fields LAST, so a tail boundary landing inside a heavy-failure line
-    // still keeps the totals (same ordering rationale as the full line).
-    println(s"""{"failed":$failedJson,"n_failed":${failed.size},"sf":"$sfDir","runs":$runs,"loadavg":$load,"n_queries":${selected.size},"metric":"total","value":$total,"unit":"sec"}""")
+    // Per-query telemetry, three redundant forms (the driver records only
+    // the TAIL of stdout — one 249-entry line loses its head to the
+    // capture window, which through r9 blinded cross-round per-query
+    // regression tracking for ~190 queries):
+    //  1. FULL-precision single JSON object written to a file inside the
+    //     repo (driver commits uncommitted work at round end, so the full
+    //     map survives even when stdout doesn't);
+    //  2. stdout CHUNKS of 50 sorted keys, each line a complete JSON
+    //     object tagged "line":"chunk" — whatever the tail keeps parses,
+    //     and sorted keys make the surviving suffix deterministic;
+    //  3. the short "line":"summary" totals line LAST (closest to the
+    //     tail boundary, so it always survives whole).
+    // Every line carries a "line" discriminator so a consumer grepping
+    // "metric":"total" can select exactly one record (r9 advice).
+    val sorted = results.toSeq.sortBy(_._1)
+    val fullJson = {
+      val qs = sorted.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      // ALL run times (not just the min): separates co-tenant noise
+      // (inflated single runs) from real first-run JIT/codegen effects —
+      // the dbscan-canary instrumentation the r9 verdict asked for
+      val rd = perRun.toSeq.sortBy(_._1).map { case (k, timed) =>
+        "\"" + k + "\":[" + timed.map { case (ok, s) =>
+          (if (ok) s else -s).toString }.mkString(",") + "]"
+      }.mkString("{", ",", "}")
+      s"""{"line":"file","queries":$qs,"runs_detail":$rd,"failed":$failedJson,"runs":$runs,"loadavg":$load,"sf":"$sfDir","metric":"total","value":$total,"unit":"sec","n_queries":${selected.size}}"""
+    }
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_QUERIES.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (fullJson + "\n").getBytes("UTF-8"))
+    catch { case t: Throwable => System.err.println(s"BENCH WARN: cannot write $outPath: $t") }
+    val chunks = sorted.grouped(50).toSeq
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      // 3-decimal (ms) resolution keeps a chunk line ~1.5 KB so more of
+      // them fit in the capture window; the file above keeps full bits
+      val qs = c.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+      println(s"""{"line":"chunk","part":${i + 1},"of":${chunks.size},"queries":$qs}""")
+    }
+    // summary line: the only unbounded field (failed names) goes FIRST and
+    // the headline fields LAST, so a tail boundary landing inside a
+    // heavy-failure line still keeps the totals
+    println(s"""{"line":"summary","failed":$failedJson,"n_failed":${failed.size},"sf":"$sfDir","runs":$runs,"loadavg":$load,"n_queries":${selected.size},"metric":"total","value":$total,"unit":"sec"}""")
     spark.stop()
   }
 }

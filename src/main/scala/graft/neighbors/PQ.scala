@@ -49,19 +49,28 @@ object PQ {
     // the M×8 Lloyd runs are independent and fully seeded, so they fan out
     // across driver cores as one flat task list (the driver is otherwise
     // idle here — no Spark job in flight); per-(s,r) seeds make results
-    // ordering-independent and bit-identical to the sequential loop
+    // ordering-independent and bit-identical to the sequential loop.
+    // A DEDICATED pool (not ExecutionContext.global: blocking the caller
+    // on the shared global pool risks starvation if train is ever invoked
+    // from code already running on it) and a generous FINITE timeout, so
+    // a wedged run fails loudly instead of hanging the driver forever.
     import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.global
+    import scala.concurrent.duration._
     val subPts = (0 until m).map { s =>
       sample.map(row => java.util.Arrays.copyOfRange(row, s * sub, (s + 1) * sub))
     }
     // best-of-8 restarts by SSE — recovers the quality of a k-means||
     // style init on the bounded sample
     val runs = for (s <- 0 until m; r <- 0 until 8) yield (s, r)
-    val fitted = Await.result(Future.traverse(runs.toList) { case (s, r) =>
-      Future((s, lloyd(subPts(s), k, iters = 40, seed = seed + s + r * 1000L)))
-    }, Duration.Inf)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(runs.size, Runtime.getRuntime.availableProcessors())))
+    val fitted =
+      try {
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        Await.result(Future.traverse(runs.toList) { case (s, r) =>
+          Future((s, lloyd(subPts(s), k, iters = 40, seed = seed + s + r * 1000L)))
+        }, 10.minutes)
+      } finally pool.shutdown()
     def sse(pts: Array[Array[Double]], cs: Array[Array[Double]]): Double =
       pts.map { p =>
         cs.map { c =>
