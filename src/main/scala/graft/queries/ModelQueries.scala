@@ -142,6 +142,19 @@ object ModelQueries {
           ModelIO.loadSeriesModel(s, path, "ar3_d1"), p = 3, h = 5, d = 1)
         .orderBy("series", "step")
     },
+    "model_io_arima_forecast" -> { (s, d) =>
+      // third per-series family: the ARIMA(1,1,1) ML-lattice winner's
+      // forecast state (phi, pred, mu) persists; the serve path joins the
+      // loaded state with the data's last observation and unrolls the
+      // same recursion. Twin of arima_ml_forecast.
+      val daily = TimeSeries.dailySeries(Tables.events(s, d))
+      val state = TimeSeries.arimaMLStateLong(daily)
+      val path = fixedModelDir("arima_ml")
+      ModelIO.saveSeriesModel(state, "arima_ml_111", path)
+      TimeSeries.arimaMLForecastServe(daily,
+          ModelIO.loadSeriesModel(s, path, "arima_ml_111"), h = 5)
+        .orderBy("series", "step")
+    },
     "model_io_svm" -> { (s, d) =>
       // the saveParams codec exercised end-to-end: persist the literal
       // linear-SVC (b, w) as a named scalar bag → load → margin-score the
@@ -206,6 +219,7 @@ object ModelQueries {
     "model_io_softmax" -> MLQueries.oracles("softmax_predict"),
     "model_io_hw_forecast" -> TSAQueries.oracles("hw_fit_forecast"),
     "model_io_ar_forecast" -> TSAQueries.oracles("ar_p_forecast"),
+    "model_io_arima_forecast" -> TSAQueries.oracles("arima_ml_forecast"),
     "model_io_svm" -> MLQueries.oracles("svm_predict"),
     "model_registry" -> registryOracleSql)
 }

@@ -402,4 +402,30 @@ object StreamingOps {
     }
     rows.withColumn("prediction", pred)
   }
+
+  /** Score an unbounded per-series event stream against a PERSISTED
+    * per-series model (ModelIO.saveSeriesModel long format — the
+    * DataFrame-valued counterpart of [[streamingModelScore]]): a
+    * STREAM-STATIC join on the series key, stateless and watermark-free.
+    * The static model side is re-read per micro-batch by Structured
+    * Streaming's stream-static join semantics, so overwriting the model
+    * table between micro-batches refreshes serving in place — the
+    * online model-rollover story with no stream restart. Emits the
+    * additive one-step-ahead Holt-Winters forecast (level + trend +
+    * next season) and the residual per event; rows whose series has no
+    * persisted state are dropped by the inner join (a left join would
+    * keep them with null forecasts). */
+  def streamingSeriesScore(rows: DataFrame, modelPath: String,
+                           modelType: String): DataFrame = {
+    val state = graft.io.ModelIO.loadSeriesModel(rows.sparkSession, modelPath, modelType)
+    val wide = state.groupBy("series").agg(
+      map_from_entries(collect_list(struct(col("key"), col("value")))).as("_p"))
+    val f1 = element_at(col("_p"), lit("level")) +
+      element_at(col("_p"), lit("trend")) +
+      element_at(col("_p"), lit("season_0"))
+    rows.join(wide, Seq("series"))
+      .withColumn("forecast1", round(f1, 4))
+      .withColumn("residual", round(col("x").cast("double") - f1, 4))
+      .drop("_p")
+  }
 }

@@ -1288,8 +1288,13 @@ object TimeSeries {
     * forecast seeding happen inside the one per-series pass; the only
     * joins are last-x and the final unroll. */
   def arimaForecastML(series: DataFrame, h: Int,
-                      deltas: Seq[Double] = Seq(-0.1, -0.05, 0.0, 0.05, 0.1)): DataFrame = {
-    require(h >= 1, "h >= 1")
+                      deltas: Seq[Double] = Seq(-0.1, -0.05, 0.0, 0.05, 0.1)): DataFrame =
+    arimaMLForecastFrom(arimaMLWinners(series, deltas), series, h)
+
+  /** The ML-lattice winner STATE per series — everything the h-step
+    * forecast recursion needs besides the data's last observation:
+    * (series, phi, pred, mu), unrounded. */
+  private[tsa] def arimaMLWinners(series: DataFrame, deltas: Seq[Double]): DataFrame = {
     val (rows, cf) = arimaHRStage(series)
     val pars = cf.filter(abs(col("c1")) < 1.0)
       .select(col("series"), col("c1").as("phi0"), col("c2").as("theta0"))
@@ -1299,7 +1304,7 @@ object TimeSeries {
       .join(pars, Seq("series"))
       .select(col("series"), col("t"), col("dx"), col("phi0"), col("theta0"))
       .as[(String, Long, Double, Double, Double)]
-    val winners = joined.groupByKey(_._1).flatMapGroups { (key, it) =>
+    joined.groupByKey(_._1).flatMapGroups { (key, it) =>
       val rs = it.toSeq.sortBy(_._2)
       if (rs.isEmpty) Iterator.empty
       else {
@@ -1309,6 +1314,35 @@ object TimeSeries {
           .map { case (phi, _, _, _, pred) => (key, phi, pred, mu) }.iterator
       }
     }.toDF("series", "phi", "pred", "mu")
+  }
+
+  /** [[arimaMLWinners]] shaped for ModelIO.saveSeriesModel: one
+    * (series, key, value) row per state component (phi, pred, mu). */
+  def arimaMLStateLong(series: DataFrame,
+                       deltas: Seq[Double] = Seq(-0.1, -0.05, 0.0, 0.05, 0.1)): DataFrame =
+    arimaMLWinners(series, deltas)
+      .select(col("series"), explode(map_from_arrays(
+        array(lit("phi"), lit("pred"), lit("mu")),
+        array(col("phi"), col("pred"), col("mu")))).as(Seq("key", "value")))
+
+  /** [[arimaForecastML]] served through a PERSISTED state frame
+    * (ModelIO.saveSeriesModel long format, keys phi/pred/mu): the state
+    * pivots back to the exact winners frame, the last observation comes
+    * from the data at serve time, and the recursion arithmetic is
+    * unchanged — forecasts through a loaded model are bit-identical. */
+  def arimaMLForecastServe(series: DataFrame, stateLong: DataFrame, h: Int): DataFrame = {
+    val winners = stateLong.groupBy("series")
+      .agg(map_from_entries(collect_list(struct(col("key"), col("value")))).as("_m"))
+      .select(col("series"),
+        element_at(col("_m"), lit("phi")).as("phi"),
+        element_at(col("_m"), lit("pred")).as("pred"),
+        element_at(col("_m"), lit("mu")).as("mu"))
+    arimaMLForecastFrom(winners, series, h)
+  }
+
+  private def arimaMLForecastFrom(winners: DataFrame, series: DataFrame,
+                                  h: Int): DataFrame = {
+    require(h >= 1, "h >= 1")
     val wDesc = Window.partitionBy(col("series")).orderBy(col("t").desc)
     val lastX = series.withColumn("_rn", row_number().over(wDesc))
       .filter(col("_rn") === 1).select(col("series"), col("x").as("xT"))

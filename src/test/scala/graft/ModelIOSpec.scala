@@ -142,6 +142,7 @@ class ModelIOSpec extends AnyFunSuite {
                        "model_io_softmax" -> "softmax_predict",
                        "model_io_hw_forecast" -> "hw_fit_forecast",
                        "model_io_ar_forecast" -> "ar_p_forecast",
+                       "model_io_arima_forecast" -> "arima_ml_forecast",
                        "model_io_svm" -> "svm_predict")) {
       val viaIo = SparkEntry.queries(a)(spark, sf)
       val direct = SparkEntry.queries(b)(spark, sf)

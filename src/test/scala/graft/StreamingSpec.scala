@@ -443,4 +443,40 @@ class StreamingSpec extends AnyFunSuite {
       }
     } finally q.stop()
   }
+
+  test("streaming series score serves a persisted per-series model") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // fit the per-series HW state offline, persist, serve a stream of
+    // (series, x) events through the loaded frame — stream-static join
+    val daily = graft.tsa.TimeSeries.dailySeries(
+      graft.core.Tables.events(spark, "/root/testdata/sf0.001"))
+    val state = graft.tsa.TimeSeries.hwFitStateRaw(
+      daily, 7, Seq(0.2, 0.4, 0.6, 0.8), Seq(0.1, 0.3), Seq(0.1, 0.3, 0.5))
+    val path = java.nio.file.Files.createTempDirectory("graft_stream_series").toString
+    graft.io.ModelIO.saveSeriesModel(state, "hw_additive", path)
+    val expect = state.collect()
+      .groupBy(_.getString(0))
+      .map { case (s, rs) =>
+        val kv = rs.map(r => r.getString(1) -> r.getDouble(2)).toMap
+        s -> (kv("level") + kv("trend") + kv("season_0"))
+      }
+    val someSeries = expect.keys.head
+    val in = MemoryStream[(String, Double)]
+    val q = StreamingOps.streamingSeriesScore(
+        in.toDF().toDF("series", "x"), path, "hw_additive")
+      .writeStream.format("memory").queryName("series_score")
+      .outputMode("append").start()
+    try {
+      in.addData((someSeries, 5.0), ("no_such_series", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("series_score").collect()
+      // unknown series dropped by the inner join; known series scored
+      assert(rows.length == 1 && rows.head.getString(0) == someSeries)
+      val want = math.rint(expect(someSeries) * 10000) / 10000
+      assert(rows.head.getDouble(rows.head.fieldIndex("forecast1")) == want)
+      assert(rows.head.getDouble(rows.head.fieldIndex("residual")) ==
+        math.rint((5.0 - expect(someSeries)) * 10000) / 10000)
+    } finally q.stop()
+  }
 }
