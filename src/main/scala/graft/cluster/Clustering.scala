@@ -19,9 +19,14 @@ object KMeansGraft {
                  maxIter: Int = 20): DataFrame = {
     val va = new VectorAssembler().setInputCols(features.toArray).setOutputCol("_fv")
     val input = va.transform(df.select(features.map(c => col(c).cast("double").as(c)): _*))
-    val model = new MLKMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
-      .setFeaturesCol("_fv").setPredictionCol("_cl").setTol(1e-8)
-      .fit(input)
+    // seeded k-means|| + Lloyd → deterministic → fit-once (keyed on the
+    // RAW frame: the assembler wraps a per-instance UDF closure)
+    val model = graft.core.FitCache.getOrFit(graft.core.FitCache.key(df,
+      "kmeans", features.mkString(","), k, seed, maxIter)) {
+      new MLKMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
+        .setFeaturesCol("_fv").setPredictionCol("_cl").setTol(1e-8)
+        .fit(input)
+    }
     val pred = model.transform(input)
     val aggCols = count(lit(1)).cast("long").as("size") +:
       features.map(c => r4(avg(col(c))).as(s"mean_$c"))

@@ -149,7 +149,15 @@ object Boosting {
     * over the bounded (feature, value) frame, ε is a ratio of weighted
     * sums (so weight normalization is implicit). */
   def fitAdaBoost(df: DataFrame, features: Seq[String], labelPm1: Column,
-                  rounds: Int): Seq[AdaStump] = {
+                  rounds: Int): Seq[AdaStump] =
+    // deterministic (rounded-argmin winners) → fit-once, like fitGBT
+    graft.core.FitCache.getOrFit(graft.core.FitCache.key(df, "adaboost",
+      features.mkString(","), labelPm1, rounds)) {
+      fitAdaBoostUncached(df, features, labelPm1, rounds)
+    }
+
+  private def fitAdaBoostUncached(df: DataFrame, features: Seq[String], labelPm1: Column,
+                                  rounds: Int): Seq[AdaStump] = {
     val base = df.select(features.map(c => col(c).cast("double").as(c)) :+ labelPm1.as("_y"): _*)
       .cache()
     try {

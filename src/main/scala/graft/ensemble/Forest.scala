@@ -94,9 +94,14 @@ object Forest {
   def regressorSummary(df: DataFrame, features: Seq[String], labelCol: String,
                        numTrees: Int = 20, maxDepth: Int = 5, seed: Long = 42L): DataFrame = {
     val input = withFeatures(df, features, Seq("_y" -> col(labelCol).cast("double")))
-    val rf = new RandomForestRegressor().setFeaturesCol("_fv").setLabelCol("_y")
-      .setNumTrees(numTrees).setMaxDepth(maxDepth).setMaxBins(MaxBins).setSeed(seed)
-    val scored = rf.fit(input).transform(input)
+    // seeded → deterministic → fit-once (keyed on the raw caller frame)
+    val model = graft.core.FitCache.getOrFit(graft.core.FitCache.key(df,
+      "rf_reg", features.mkString(","), labelCol, numTrees, maxDepth, seed, MaxBins)) {
+      new RandomForestRegressor().setFeaturesCol("_fv").setLabelCol("_y")
+        .setNumTrees(numTrees).setMaxDepth(maxDepth).setMaxBins(MaxBins).setSeed(seed)
+        .fit(input)
+    }
+    val scored = model.transform(input)
     scored.agg(
       r4(sqrt(avg((col("prediction") - col("_y")) * (col("prediction") - col("_y"))))).as("train_rmse"),
       r4(avg(abs(col("prediction") - col("_y")))).as("train_mae"),
@@ -142,13 +147,16 @@ object Forest {
                        labelCol: String, numTrees: Int = 20, seed: Long = 42L): DataFrame = {
     // cache the assembled train split: MLlib's tree growth iterates over it,
     // and the upstream split filter (md5 per row) must not re-run per pass
-    val input = withFeatures(train, features, Seq("_y" -> col(labelCol).cast("double")))
-      .select(col("_fv"), col("_y")).cache()
-    input.count() // materialize before the iterative fit
-    val model = try {
-      new RandomForestRegressor().setFeaturesCol("_fv").setLabelCol("_y")
-        .setNumTrees(numTrees).setMaxDepth(5).setMaxBins(MaxBins).setSeed(seed).fit(input)
-    } finally input.unpersist(blocking = false)
+    val model = graft.core.FitCache.getOrFit(graft.core.FitCache.key(train,
+      "rf_infer", features.mkString(","), labelCol, numTrees, seed, MaxBins)) {
+      val input = withFeatures(train, features, Seq("_y" -> col(labelCol).cast("double")))
+        .select(col("_fv"), col("_y")).cache()
+      input.count() // materialize before the iterative fit
+      try {
+        new RandomForestRegressor().setFeaturesCol("_fv").setLabelCol("_y")
+          .setNumTrees(numTrees).setMaxDepth(5).setMaxBins(MaxBins).setSeed(seed).fit(input)
+      } finally input.unpersist(blocking = false)
+    }
     val scored = model.transform(withFeatures(score, features, Seq.empty))
     scored.agg(
       count(lit(1)).cast("long").as("n_scored"),

@@ -15,7 +15,14 @@ object GLM {
 
   final case class PoissonFit(n: Double, b0: Double, b1: Double, deviance: Double)
 
-  def poissonIrls(df: DataFrame, y: Column, x: Column, rounds: Int = 8): PoissonFit = {
+  def poissonIrls(df: DataFrame, y: Column, x: Column, rounds: Int = 8): PoissonFit =
+    // fixed rounds + deterministic init → fit-once
+    graft.core.FitCache.getOrFit(graft.core.FitCache.key(df, "poisson", y, x, rounds)) {
+      poissonIrlsUncached(df, y, x, rounds)
+    }
+
+  private def poissonIrlsUncached(df: DataFrame, y: Column, x: Column,
+                                  rounds: Int): PoissonFit = {
     val base = df.select(y.cast("double").as("y"), x.cast("double").as("x"))
     val st = base.agg(count(lit(1)).cast("double").as("n"), avg(col("y")).as("m")).head()
     val n = st.getDouble(0)
@@ -51,7 +58,14 @@ object GLM {
     * Newton iterate is bit-replayable by a SQL oracle. β starts at 0 —
     * the first round is then exactly weighted least squares on z = 4y−2. */
   def logisticIrls(df: DataFrame, y: Column, x1: Column, x2: Column,
-                   rounds: Int = 8): LogitFit = {
+                   rounds: Int = 8): LogitFit =
+    // fixed rounds + zero init → fit-once
+    graft.core.FitCache.getOrFit(graft.core.FitCache.key(df, "logit_irls", y, x1, x2, rounds)) {
+      logisticIrlsUncached(df, y, x1, x2, rounds)
+    }
+
+  private def logisticIrlsUncached(df: DataFrame, y: Column, x1: Column, x2: Column,
+                                   rounds: Int): LogitFit = {
     val base = df.select(y.cast("double").as("y"), x1.cast("double").as("x1"),
       x2.cast("double").as("x2"))
     val n = base.count().toDouble
@@ -104,7 +118,15 @@ object GLM {
     * rounds + deterministic init (b0 = ȳ, b1 = 0) make the whole fit
     * replayable as chained CTEs, like [[poissonIrls]]. */
   def quantileIrls(df: DataFrame, y: Column, x: Column, taus: Seq[Double],
-                   rounds: Int = 8, eps: Double = 0.1): Seq[QuantileFit] = {
+                   rounds: Int = 8, eps: Double = 0.1): Seq[QuantileFit] =
+    // fixed rounds + deterministic init → fit-once
+    graft.core.FitCache.getOrFit(graft.core.FitCache.key(df, "quantile",
+      y, x, taus.mkString(","), rounds, eps)) {
+      quantileIrlsUncached(df, y, x, taus, rounds, eps)
+    }
+
+  private def quantileIrlsUncached(df: DataFrame, y: Column, x: Column, taus: Seq[Double],
+                                   rounds: Int, eps: Double): Seq[QuantileFit] = {
     // the 2-column projection is re-scanned `rounds` times — cache it for
     // the fit's lifetime (released below; the arima_grid_search pattern)
     val base = df.select(y.cast("double").as("y"), x.cast("double").as("x")).cache()

@@ -16,7 +16,16 @@ object Softmax {
     * coefRows: one row per (class, term) — pivoted coefficient matrix
     * plus per-class intercepts, deterministically ordered. */
   def fit(df: DataFrame, features: Seq[String], labelCol: String,
-          maxIter: Int = 50): (DataFrame, Double) = {
+          maxIter: Int = 50): (DataFrame, Double) =
+    // deterministic L-BFGS (fixed start/tol, alphabet-sorted labels) →
+    // fit-once; the memoized frame is a tiny driver-local coef table
+    graft.core.FitCache.getOrFit(graft.core.FitCache.key(df, "softmax_fit",
+      features.mkString(","), labelCol, maxIter)) {
+      fitUncached(df, features, labelCol, maxIter)
+    }
+
+  private def fitUncached(df: DataFrame, features: Seq[String], labelCol: String,
+                          maxIter: Int): (DataFrame, Double) = {
     val spark = df.sparkSession
     import spark.implicits._
     val labels = df.select(col(labelCol).cast("string")).distinct()

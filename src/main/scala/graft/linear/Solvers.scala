@@ -101,7 +101,16 @@ object GradientSolver extends Serializable {
 
   def fit(df: DataFrame, features: Seq[String], label: String, loss: Loss,
           lr: Double = 0.05, iters: Int = 40, batchFraction: Double = 1.0,
-          l2: Double = 0.0, seed: Long = 42L, standardize: Boolean = true): LinearModel = {
+          l2: Double = 0.0, seed: Long = 42L, standardize: Boolean = true): LinearModel =
+    // deterministic (seeded batches, fixed iteration count) → fit-once
+    graft.core.FitCache.getOrFit(graft.core.FitCache.key(df, "gs_fit",
+      features.mkString(","), label, loss, lr, iters, batchFraction, l2, seed, standardize)) {
+      fitUncached(df, features, label, loss, lr, iters, batchFraction, l2, seed, standardize)
+    }
+
+  private def fitUncached(df: DataFrame, features: Seq[String], label: String, loss: Loss,
+                          lr: Double, iters: Int, batchFraction: Double,
+                          l2: Double, seed: Long, standardize: Boolean): LinearModel = {
     val fx0 = features.map(c => col(c).cast("double"))
     val y = col(label).cast("double")
     // standardize features once (stats from one pass) for a sane fixed lr
@@ -169,7 +178,16 @@ object GradientSolver extends Serializable {
   def fitQN(df: DataFrame, features: Seq[String], label: String,
             l2: Double = 0.0, maxIter: Int = 50,
             loss: Loss = LogisticLoss, tol: Double = 1e-9,
-            l1: Double = 0.0): LinearModel = {
+            l1: Double = 0.0): LinearModel =
+    // deterministic (fixed start, deterministic line search) → fit-once
+    graft.core.FitCache.getOrFit(graft.core.FitCache.key(df, "qn_fit",
+      features.mkString(","), label, l2, maxIter, loss, tol, l1)) {
+      fitQNUncached(df, features, label, l2, maxIter, loss, tol, l1)
+    }
+
+  private def fitQNUncached(df: DataFrame, features: Seq[String], label: String,
+                            l2: Double, maxIter: Int, loss: Loss, tol: Double,
+                            l1: Double): LinearModel = {
     val p = features.size
     val fx0 = features.map(c => col(c).cast("double"))
     // standardize: mixed feature scales stall the line search otherwise

@@ -19,12 +19,15 @@ import org.apache.spark.sql.functions._
 object IVF {
   final case class Index(centers: Array[Array[Double]])
 
-  def train(corpus: DataFrame, vecCol: String, nCells: Int, seed: Long = 42L): Index = {
-    val input = corpus.select(array_to_vector(col(vecCol).cast("array<double>")).as("_fv"))
-    val km = new MLKMeans().setK(nCells).setSeed(seed).setMaxIter(15)
-      .setFeaturesCol("_fv").fit(input)
-    Index(km.clusterCenters.map(_.toArray))
-  }
+  def train(corpus: DataFrame, vecCol: String, nCells: Int, seed: Long = 42L): Index =
+    // seeded k-means quantizer → deterministic → fit-once
+    graft.core.FitCache.getOrFit(graft.core.FitCache.key(corpus,
+      "ivf", vecCol, nCells, seed)) {
+      val input = corpus.select(array_to_vector(col(vecCol).cast("array<double>")).as("_fv"))
+      val km = new MLKMeans().setK(nCells).setSeed(seed).setMaxIter(15)
+        .setFeaturesCol("_fv").fit(input)
+      Index(km.clusterCenters.map(_.toArray))
+    }
 
   /** Nearest-cell id. A fully-unrolled expression tree over k·dim literals
     * exceeds the codegen method limit, so the quantizer assignment runs as

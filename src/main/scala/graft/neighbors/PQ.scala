@@ -36,7 +36,15 @@ object PQ {
     * only encode/score touch the corpus again (broadcast-codebook
     * maps). */
   def train(corpus: DataFrame, vecCol: String, m: Int, k: Int,
-            seed: Long = 42L, sampleN: Int = 10000): Codebook = {
+            seed: Long = 42L, sampleN: Int = 10000): Codebook =
+    // md5-ordered sample + seeded Lloyd → deterministic → fit-once
+    graft.core.FitCache.getOrFit(graft.core.FitCache.key(corpus,
+      "pq", vecCol, m, k, seed, sampleN)) {
+      trainUncached(corpus, vecCol, m, k, seed, sampleN)
+    }
+
+  private def trainUncached(corpus: DataFrame, vecCol: String, m: Int, k: Int,
+                            seed: Long, sampleN: Int): Codebook = {
     val v = col(vecCol).cast("array<double>")
     // deterministic sample: md5-hash order (id-free, engine-stable)
     val sample = corpus.select(v.as("v"))

@@ -69,8 +69,11 @@ object MLQueries {
       val df = liWithLabel(s, d)
       val input = new VectorAssembler().setInputCols(LiFeatures.toArray).setOutputCol("_fv")
         .transform(df.select((LiFeatures.map(c => col(c).cast("double").as(c)) :+ col("_bin")): _*))
-      val m = new LogisticRegression().setFeaturesCol("_fv").setLabelCol("_bin")
-        .setMaxIter(50).setRegParam(0.0).setTol(1e-9).fit(input)
+      val m = graft.core.FitCache.getOrFit(graft.core.FitCache.key(df,
+        "logreg_bin", LiFeatures.mkString(","), 50)) {
+        new LogisticRegression().setFeaturesCol("_fv").setLabelCol("_bin")
+          .setMaxIter(50).setRegParam(0.0).setTol(1e-9).fit(input)
+      }
       import s.implicits._
       (("intercept", math.rint(m.intercept * 10000) / 10000) +:
         LiFeatures.zipWithIndex.map { case (f, i) =>
@@ -155,10 +158,14 @@ object MLQueries {
           col("l_partkey").cast("int").as("item"))
         .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("rating_d"))
         .withColumn("rating", col("rating_d").cast("float"))
-      val als = new org.apache.spark.ml.recommendation.ALS()
-        .setRank(8).setMaxIter(5).setRegParam(0.1).setSeed(42L)
-        .setUserCol("user").setItemCol("item").setRatingCol("rating")
-      val pred = als.fit(ratings).transform(ratings)
+      val model = graft.core.FitCache.getOrFit(graft.core.FitCache.key(ratings,
+        "als", 8, 5, 0.1, 42L)) {
+        new org.apache.spark.ml.recommendation.ALS()
+          .setRank(8).setMaxIter(5).setRegParam(0.1).setSeed(42L)
+          .setUserCol("user").setItemCol("item").setRatingCol("rating")
+          .fit(ratings)
+      }
+      val pred = model.transform(ratings)
       pred.agg(count(lit(1)).cast("long").as("n_ratings"),
         countDistinct(col("user")).cast("long").as("n_users"),
         countDistinct(col("item")).cast("long").as("n_items"),
