@@ -1,0 +1,48 @@
+package graft
+
+import graft.core.{FitCache, Tables}
+import graft.linear.GradientSolver
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Gates for the fit-once memoization discipline: identical
+  * (input plan, hyperparameters) must HIT (same model instance, no
+  * refit), while different data or different hyperparameters must MISS
+  * (a distinct fit). The key must also be stable across separate reads
+  * of the same table — that is what lets benchmark repeat runs and
+  * sibling queries share one fit. */
+class FitCacheSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("same plan + params returns the memoized instance across fresh reads") {
+    // two INDEPENDENT reads of the same table: the canonicalized plan
+    // hash must agree or cross-query sharing silently degrades to refits
+    val a = GradientSolver.fit(Tables.lineitem(spark, sf), Seq("l_quantity"),
+      "l_extendedprice", GradientSolver.SquaredLoss, lr = 0.1, iters = 5)
+    val b = GradientSolver.fit(Tables.lineitem(spark, sf), Seq("l_quantity"),
+      "l_extendedprice", GradientSolver.SquaredLoss, lr = 0.1, iters = 5)
+    assert(a eq b, "expected a memo hit (same instance) for identical plan+params")
+  }
+
+  test("different hyperparameters and different data both refit") {
+    val li = Tables.lineitem(spark, sf)
+    val base = GradientSolver.fit(li, Seq("l_quantity"), "l_extendedprice",
+      GradientSolver.SquaredLoss, lr = 0.1, iters = 5)
+    val moreIters = GradientSolver.fit(li, Seq("l_quantity"), "l_extendedprice",
+      GradientSolver.SquaredLoss, lr = 0.1, iters = 6)
+    assert(!(base eq moreIters), "different iters must not share a fit")
+    val filtered = GradientSolver.fit(li.filter(col("l_orderkey") % 2 === 0),
+      Seq("l_quantity"), "l_extendedprice", GradientSolver.SquaredLoss,
+      lr = 0.1, iters = 5)
+    assert(!(base eq filtered), "different input data must not share a fit")
+  }
+
+  test("key distinguishes sessions, plans, and stringified params") {
+    val li = Tables.lineitem(spark, sf)
+    val k1 = FitCache.key(li, "tag", 1, 2.0, "x")
+    assert(k1 == FitCache.key(li, "tag", 1, 2.0, "x"))
+    assert(k1 != FitCache.key(li, "tag", 1, 2.0, "y"))
+    assert(k1 != FitCache.key(li.filter(col("l_orderkey") > 0), "tag", 1, 2.0, "x"))
+  }
+}

@@ -471,4 +471,29 @@ class PlanSpec extends AnyFunSuite {
     val exch = p.split("Exchange hashpartitioning").length - 1
     assert(exch <= 3, s"unexpected corpus shuffle ($exch exchanges): " + p.take(3000))
   }
+
+  test("per-series model serving shuffles once on the series key, no join") {
+    // the serve side of saveSeriesModel: one scan of the model table, one
+    // series-key exchange for the state pivot, then pure map — forecasts
+    // never join back to the corpus and never touch the driver
+    val path = java.nio.file.Files.createTempDirectory("graft_plan_series").toString
+    val daily = graft.tsa.TimeSeries.dailySeries(Tables.events(spark, sf))
+    val state = graft.tsa.TimeSeries.hwFitStateRaw(
+      daily, 7, Seq(0.2, 0.4), Seq(0.1), Seq(0.1))
+    graft.io.ModelIO.saveSeriesModel(state, "hw_additive", path)
+    val served = graft.tsa.TimeSeries.hwForecastFromState(
+      graft.io.ModelIO.loadSeriesModel(spark, path, "hw_additive"), 7, h = 5)
+    val p = planOf(served)
+    assert(!p.contains("Join"), p.take(3000))
+    val exch = p.split("Exchange hashpartitioning").length - 1
+    assert(exch == 1, s"expected exactly the series-key exchange, got $exch: " + p.take(3000))
+  }
+
+  test("model registry summary is one multi-file scan plus the group aggregate") {
+    val p = planOf(SparkEntry.queries("model_registry")(spark, sf))
+    assert(!p.contains("Join"), p.take(3000))
+    // partial agg before the model_type exchange: the scan side combines
+    // map-side, so registry size, not model count, bounds the shuffle
+    assert(p.contains("partial"), p.take(3000))
+  }
 }
