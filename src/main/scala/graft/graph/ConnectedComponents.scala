@@ -35,7 +35,14 @@ object ConnectedComponents {
   /** Exactly `rounds` propagation rounds — deterministic and (for graphs
     * whose diameter < rounds) converged. The fixed count exists so a SQL
     * oracle can replay the identical computation as chained CTEs. */
-  def propagate(edges: DataFrame, a: String, b: String, rounds: Int): DataFrame = {
+  def propagate(edges: DataFrame, a: String, b: String, rounds: Int): DataFrame =
+    graft.core.FitCache.getOrFit(graft.core.FitCache.key(edges,
+      "cc_propagate", a, b, rounds)) {
+      propagateUncached(edges, a, b, rounds)
+    }
+
+  private def propagateUncached(edges: DataFrame, a: String, b: String,
+                                rounds: Int): DataFrame = {
     val dir = directed(edges, a, b).localCheckpoint(true)
     var lab = initLabels(dir)
     // checkpoint every other round: enough to keep the plan shallow while
@@ -61,7 +68,16 @@ object ConnectedComponents {
     * any real graph. One extra count() per round for the fixpoint test.
     * (The fixed-rounds `propagate` deliberately omits the jump: its SQL
     * oracle replays plain neighbor-min rounds.) */
-  def converge(edges: DataFrame, a: String, b: String, maxRounds: Int = 64): DataFrame = {
+  def converge(edges: DataFrame, a: String, b: String, maxRounds: Int = 64): DataFrame =
+    // labeling is deterministic (min-label fixpoint) over eager
+    // checkpoints — memoized like PageRank/HITS
+    graft.core.FitCache.getOrFit(graft.core.FitCache.key(edges,
+      "cc_converge", a, b, maxRounds)) {
+      convergeUncached(edges, a, b, maxRounds)
+    }
+
+  private def convergeUncached(edges: DataFrame, a: String, b: String,
+                               maxRounds: Int): DataFrame = {
     val dir = directed(edges, a, b).localCheckpoint(true)
     var lab = initLabels(dir).localCheckpoint(true)
     var round = 0

@@ -66,7 +66,15 @@ object Manifold {
     * repulsion (t-SNE: exact KL gradient with global normalizer Z and
     * early exaggeration ×12 for the first half, as in t_sne.pyx). */
   def forceLayout(emb: DataFrame, idCol: String, vecCol: String, k: Int,
-                  iters: Int, lr: Double, mode: LayoutMode): DataFrame = {
+                  iters: Int, lr: Double, mode: LayoutMode): DataFrame =
+    // md5-seeded init + deterministic force pass → fit-once
+    graft.core.FitCache.getOrFit(graft.core.FitCache.key(emb,
+      "force_layout", idCol, vecCol, k, iters, lr, mode)) {
+      forceLayoutUncached(emb, idCol, vecCol, k, iters, lr, mode)
+    }
+
+  private def forceLayoutUncached(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+                                  iters: Int, lr: Double, mode: LayoutMode): DataFrame = {
     val knn = KNN.bruteForce(emb, emb, idCol, idCol, vecCol, vecCol, k,
       KNN.Euclidean, excludeSelf = true)
     val half = knn.select(col("qid").as("i"), col("id").as("j"),
