@@ -159,6 +159,29 @@ object Multimodal {
     Some((w, hAbs, px))
   }
 
+  /** Hash-gated REAL-decode pipeline: wrap each document's leading bytes
+    * as a tiny P6 image (our header + the text's first w·h·3 bytes as
+    * "pixels"), run them through [[extractFeatures]]' real parser, and
+    * aggregate the pixel statistics. The oracle replays the same stats
+    * over the raw text bytes, so a silent fallback to byte stats (which
+    * would include the header) or any header-parsing bug breaks the
+    * hash — the decoder itself is inside the correctness gate. */
+  def ppmDecodeSummary(documents: DataFrame, w: Int = 4, h: Int = 4): DataFrame = {
+    val need = w * h * 3
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val media = documents
+      .filter(octet_length(col("text")) >= need)
+      .select(col("doc_id").cast("long"),
+        concat(lit(header), substring(col("text").cast("binary"), 1, need)).as("payload"),
+        struct(lit(need.toLong).as("n_bytes"), lit("image").as("media_type"),
+          lit(w).as("width"), lit(h).as("height")).as("meta"))
+    extractFeatures(media)
+      .agg(count(lit(1)).cast("long").as("n_images"),
+        round(avg(element_at(col("features"), 1)), 4).as("avg_pixel_mean"),
+        round(avg(element_at(col("features"), 3)), 4).as("avg_pixel_max"),
+        round(avg(element_at(col("features"), 4)), 4).as("avg_pixel_min"))
+  }
+
   /** Aggregate summary per media type (the query-surface entry point). */
   def featureSummary(documents: DataFrame): DataFrame =
     extractFeatures(asMedia(documents))

@@ -91,6 +91,21 @@ class MultimodalSpec extends AnyFunSuite {
       .map(b => (b & 0xff).toDouble).toSeq))
   }
 
+  test("ppmDecodeSummary routes documents through the REAL parser") {
+    // every doc long enough becomes a valid P6; the aggregate must match
+    // a driver-side recomputation over the same leading text bytes —
+    // a fallback to byte stats would include the header bytes and differ
+    val docs = Tables.documents(spark, sf)
+    val got = SparkEntry.queries("multimodal_decode")(spark, sf).head()
+    val texts = docs.select(col("text")).collect()
+      .map(_.getString(0).getBytes("UTF-8")).filter(_.length >= 48)
+    val means = texts.map(b => b.take(48).map(x => (x & 0xff).toDouble))
+      .map(p => p.sum / p.length)
+    assert(got.getLong(0) == texts.length)
+    assert(got.getDouble(got.fieldIndex("avg_pixel_mean")) ==
+      math.rint(means.sum / means.length * 10000) / 10000)
+  }
+
   test("multimodal_meta hash gate is intact (byte-stats oracle unchanged)") {
     // document payloads are text, so the summary still flows through the
     // fallback — the decode upgrade must not move the oracle-gated values
