@@ -746,19 +746,28 @@ object MiscQueries {
       graft.events.Funnel.retentionWeekly(Tables.events(s, d))
     },
     "ann_ivf" -> { (s, d) =>
+      // PARTIAL HASH GATE (hw_fit_opt/als precedent): the query count is
+      // deterministic SQL and the recall floor is a ≥-invariant of the
+      // seeded index build; the continuous recall stays on the library
+      // recallSummary surface, spec-gated in OperatorSpec
       val e = Tables.embeddings(s, d)
       IVF.recallSummary(e, e.filter(col("vec_id") < 20), "vec_id", "embedding",
-        nCells = 16, k = 5, nprobe = 4)
+          nCells = 16, k = 5, nprobe = 4)
+        .select(col("n_queries"), (col("avg_recall") >= 0.5).as("recall_ge_half"))
     },
     "ann_pq" -> { (s, d) =>
       val e = Tables.embeddings(s, d)
       graft.neighbors.PQ.recallSummary(e, e.filter(col("vec_id") < 20),
-        "vec_id", "embedding", m = 8, kCodes = 16, k = 5)
+          "vec_id", "embedding", m = 8, kCodes = 16, k = 5)
+        .select(col("n_queries"), col("compression_x"),
+          (col("avg_recall") >= 0.2).as("recall_ge_fifth"))
     },
     "ann_ivfpq" -> { (s, d) =>
       val e = Tables.embeddings(s, d)
       graft.neighbors.IVFPQ.recallSummary(e, e.filter(col("vec_id") < 20),
-        "vec_id", "embedding", nCells = 16, m = 8, kCodes = 16, k = 5, nprobe = 4)
+          "vec_id", "embedding", nCells = 16, m = 8, kCodes = 16, k = 5, nprobe = 4)
+        .select(col("n_queries"), col("compression_x"), col("probed_frac"),
+          (col("avg_recall") >= 0.2).as("recall_ge_fifth"))
     },
     "trustworthiness" -> { (s, d) =>
       val e = Tables.embeddings(s, d).filter(col("vec_id") < 200)
@@ -853,6 +862,22 @@ object MiscQueries {
 
   val oracles: Map[String, String] = Map(
     "trustworthiness" -> trustOracle,
+    // ANN partial gates: deterministic query-set count (+ literal
+    // compression/probe parameters) hashed, recall floors as invariants
+    "ann_ivf" ->
+      """SELECT count(*)::BIGINT AS n_queries, TRUE AS recall_ge_half
+        |FROM embeddings WHERE vec_id < 20""".stripMargin,
+    "ann_pq" ->
+      """SELECT count(*)::BIGINT AS n_queries,
+        |  (max(len(embedding)) * 4 / 8)::BIGINT AS compression_x,
+        |  TRUE AS recall_ge_fifth
+        |FROM embeddings WHERE vec_id < 20""".stripMargin,
+    "ann_ivfpq" ->
+      """SELECT count(*)::BIGINT AS n_queries,
+        |  (max(len(embedding)) * 4 / 8)::BIGINT AS compression_x,
+        |  0.25::DOUBLE AS probed_frac,
+        |  TRUE AS recall_ge_fifth
+        |FROM embeddings WHERE vec_id < 20""".stripMargin,
     // the oracle states the SEMANTICS as the raw theta join (DuckDB's
     // IEJoin handles it at oracle scale); the Spark side must produce the
     // identical pair set through the bucketized equi-join

@@ -206,6 +206,22 @@ class OperatorSpec extends AnyFunSuite {
     assert(abs(r.getDouble(1) - 1.0) < 1e-9)
   }
 
+  test("real-embedding ANN recalls sit in (floor, 1] — the continuous gate behind the query invariants") {
+    // the ann_* queries hash-gate deterministic columns + recall-floor
+    // booleans; the CONTINUOUS recall stays gated here on real data
+    val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.filter(col("vec_id") < 20)
+    val ivf = IVF.recallSummary(e, q, "vec_id", "embedding",
+      nCells = 16, k = 5, nprobe = 4).head().getDouble(1)
+    assert(ivf > 0.5 && ivf <= 1.0, s"ivf recall $ivf")
+    val pq = graft.neighbors.PQ.recallSummary(e, q, "vec_id", "embedding",
+      m = 8, kCodes = 16, k = 5).head().getDouble(1)
+    assert(pq > 0.2 && pq <= 1.0, s"pq recall $pq")
+    val ivfpq = graft.neighbors.IVFPQ.recallSummary(e, q, "vec_id", "embedding",
+      nCells = 16, m = 8, kCodes = 16, k = 5, nprobe = 4).head().getDouble(1)
+    assert(ivfpq > 0.2 && ivfpq <= 1.0, s"ivfpq recall $ivfpq")
+  }
+
   test("PQ on a lattice corpus is lossless (recall 1.0) and reports compression") {
     import spark.implicits._
     // every 2-dim subvector takes one of 4 well-separated lattice values,
