@@ -64,6 +64,25 @@ object Tables {
       case _ => raw
     }
   }
-  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+  /** `documents`/`embeddings` id and vector normalization — the same
+    * regen-drift guard as [[events]]: a generator switch to int32 ids or
+    * float32 embeddings must not flip output schemas (oracle outputs pin
+    * BIGINT/DOUBLE). The casts are no-ops Catalyst erases when the
+    * physical types already match, so the guarded path costs nothing. */
+  def documents(s: SparkSession, d: String): DataFrame = {
+    val raw = load(s, d, "documents")
+    if (raw.schema("doc_id").dataType == LongType) raw
+    else raw.withColumn("doc_id", col("doc_id").cast(LongType))
+  }
+  def embeddings(s: SparkSession, d: String): DataFrame = {
+    val raw = load(s, d, "embeddings")
+    val idOk = raw.schema("vec_id").dataType == LongType
+    val vecOk = raw.schema("embedding").dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType, _) => true
+      case _ => false
+    }
+    val r1 = if (idOk) raw else raw.withColumn("vec_id", col("vec_id").cast(LongType))
+    if (vecOk) r1 else r1.withColumn("embedding", col("embedding").cast("array<double>"))
+  }
 }

@@ -61,4 +61,31 @@ class TablesSpec extends AnyFunSuite {
     val n = ev.select(unix_micros(col("ts"))).limit(5).count()
     assert(n > 0)
   }
+
+  test("documents/embeddings loaders normalize int32 ids and float32 vectors") {
+    // the events-regen lesson applied ahead of time: a generator switch
+    // to int32 ids or float32 embeddings must not flip output schemas
+    // (oracle outputs pin BIGINT/DOUBLE)
+    import spark.implicits._
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
+    val dir = java.nio.file.Files.createTempDirectory("graft_narrow").toString
+    Seq((1, "hello world", "en"), (2, "bonjour", "fr"))
+      .toDF("doc_id", "text", "lang")
+      .select(col("doc_id").cast("int"), col("text"), col("lang"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Seq((1, Array(1.0f, 2.0f)), (2, Array(3.0f, 4.0f)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id").cast("int"), col("embedding"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val docs = Tables.documents(spark, dir)
+    assert(docs.schema("doc_id").dataType == LongType)
+    assert(docs.orderBy("doc_id").select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    val emb = Tables.embeddings(spark, dir)
+    assert(emb.schema("vec_id").dataType == LongType)
+    assert(emb.schema("embedding").dataType.asInstanceOf[ArrayType].elementType == DoubleType)
+    assert(emb.orderBy("vec_id").select("embedding").head().getSeq[Double](0) == Seq(1.0, 2.0))
+    // the wide (already-long/double) real tables pass through untouched
+    val real = Tables.documents(spark, "/root/testdata/sf0.001")
+    assert(real.schema("doc_id").dataType == LongType)
+  }
 }
