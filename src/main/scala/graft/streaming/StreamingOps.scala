@@ -407,17 +407,38 @@ object StreamingOps {
     * per-series model (ModelIO.saveSeriesModel long format — the
     * DataFrame-valued counterpart of [[streamingModelScore]]): a
     * STREAM-STATIC join on the series key, stateless and watermark-free.
-    * The static model side is re-read per micro-batch by Structured
-    * Streaming's stream-static join semantics, so overwriting the model
-    * table between micro-batches refreshes serving in place — the
-    * online model-rollover story with no stream restart. Emits the
-    * additive one-step-ahead Holt-Winters forecast (level + trend +
-    * next season) and the residual per event; rows whose series has no
-    * persisted state are dropped by the inner join (a left join would
-    * keep them with null forecasts). */
+    * The model version is PINNED at stream definition — the static
+    * side's file listing snapshots when the query starts, so
+    * overwriting the table under a running stream is NOT a rollover, it
+    * is a FileNotFound crash (probed empirically; Spark file sources
+    * offer no atomic in-place swap). To roll a model over without
+    * restarting, drive [[seriesScoreBatch]] from foreachBatch — it
+    * re-resolves the model table every micro-batch. Emits the additive
+    * one-step-ahead Holt-Winters forecast (level + trend + next season)
+    * and the residual per event; rows whose series has no persisted
+    * state are dropped by the inner join (a left join would keep them
+    * with null forecasts). */
   def streamingSeriesScore(rows: DataFrame, modelPath: String,
-                           modelType: String): DataFrame = {
-    val state = graft.io.ModelIO.loadSeriesModel(rows.sparkSession, modelPath, modelType)
+                           modelType: String): DataFrame =
+    scoreAgainstSeriesModel(rows,
+      graft.io.ModelIO.loadSeriesModel(rows.sparkSession, modelPath, modelType))
+
+  /** The model-ROLLOVER serving path: call from `foreachBatch`, where
+    * `batch` is an ordinary batch frame — the model table is re-read
+    * (fresh file listing) on every invocation, so overwriting it
+    * between micro-batches serves the new parameters from the next
+    * batch on, no stream restart:
+    * {{{
+    * stream.writeStream.foreachBatch { (b: DataFrame, _: Long) =>
+    *   StreamingOps.seriesScoreBatch(b, path, "hw_additive").write....
+    * }.start()
+    * }}} */
+  def seriesScoreBatch(batch: DataFrame, modelPath: String,
+                       modelType: String): DataFrame =
+    scoreAgainstSeriesModel(batch,
+      graft.io.ModelIO.loadSeriesModel(batch.sparkSession, modelPath, modelType))
+
+  private def scoreAgainstSeriesModel(rows: DataFrame, state: DataFrame): DataFrame = {
     val wide = state.groupBy("series").agg(
       map_from_entries(collect_list(struct(col("key"), col("value")))).as("_p"))
     val f1 = element_at(col("_p"), lit("level")) +
