@@ -271,6 +271,64 @@ object Dedup {
         coalesce(col("clean_hash"), md5(lit(""))).as("clean_hash"))
   }
 
+  /** Duplicated-substring spans (Lee et al. 2021, "Deduplicating Training
+    * Data Makes Language Models Better", arXiv:2107.06499 — suffix-array
+    * duplicate detection re-expressed for a shuffle engine; reference
+    * anchor: the corpus-dedup surface behind
+    * `python/cuml/test/test_text.py`-style preprocessing): slide a k-word
+    * window with stride 1 over each normalized document, count identical
+    * windows corpus-wide on their 128-bit md5, call a window duplicated
+    * when it occurs ≥ minCount times anywhere (cross-doc or
+    * self-repetition), and merge overlapping/adjacent duplicated windows
+    * (start gap ≤ k) into maximal spans — the token ranges a pipeline
+    * would cut out. One summary row per document: (doc, n_tokens,
+    * n_windows, n_dup_windows, n_spans, dup_tokens, dup_frac).
+    *
+    * Scale shape: windowing is a pure map (explode), the duplicate test
+    * is ONE map-side-combined groupBy on the uniform window hash, the
+    * duplicated-window join is keyed on that same hash, and span merging
+    * is a per-doc window over that doc's duplicated starts only (≤
+    * n_windows rows per doc). The suffix array's O(n log n) global sort
+    * becomes the shuffle Spark already does for the groupBy — no
+    * all-pairs stage anywhere. */
+  def spanDedup(df: DataFrame, textCol: String, idCol: String,
+                k: Int = 5, minCount: Long = 2L): DataFrame = {
+    val base = df
+      .select(col(idCol).cast("long").as("doc"),
+        split(normText(col(textCol)), " ").as("toks"))
+      .select(col("doc"), col("toks"),
+        size(col("toks")).cast("long").as("n_tokens"))
+    val wins = base.filter(col("n_tokens") >= k)
+      .select(col("doc"), col("n_tokens"),
+        posexplode(transform(sequence(lit(0), (col("n_tokens") - k).cast("int")),
+          i => md5(array_join(slice(col("toks"), i + 1, lit(k)), " ")))))
+      .toDF("doc", "n_tokens", "i", "key")
+    val dupKeys = wins.groupBy(col("key"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .select(col("key"))
+    val byDoc = Window.partitionBy(col("doc")).orderBy(col("i"))
+    val starts = wins.join(dupKeys, Seq("key"))
+      .withColumn("ns",
+        when(lag(col("i"), 1).over(byDoc).isNull ||
+          col("i") - lag(col("i"), 1).over(byDoc) > k, 1).otherwise(0))
+      .withColumn("sid", sum(col("ns")).over(byDoc))
+    val spans = starts.groupBy(col("doc"), col("sid"))
+      .agg(min(col("i")).as("s"), (max(col("i")) + (k - 1)).as("e"),
+        count(lit(1)).as("nw"))
+    val agg = spans.groupBy(col("doc")).agg(
+      count(lit(1)).cast("long").as("n_spans"),
+      sum(col("e") - col("s") + 1).cast("long").as("dup_tokens"),
+      sum(col("nw")).cast("long").as("n_dup_windows"))
+    base.join(agg, Seq("doc"), "left")
+      .select(col("doc"), col("n_tokens"),
+        greatest(col("n_tokens") - (k - 1), lit(0L)).cast("long").as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        round(coalesce(col("dup_tokens"), lit(0L)) / col("n_tokens"), 6).as("dup_frac"))
+  }
+
   /** Transitive duplicate groups: connected components over the minhash
     * candidate pairs, each doc mapped to its group keeper (min doc id) —
     * what a pipeline actually drops on. Exactly 8 min-label-propagation

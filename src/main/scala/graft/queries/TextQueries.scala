@@ -37,6 +37,11 @@ object TextQueries {
           k = 3, minCount = 2L)
         .orderBy("doc")
     },
+    "dedup_span" -> { (s, d) =>
+      Dedup.spanDedup(Tables.documents(s, d), "text", "doc_id",
+          k = 5, minCount = 2L)
+        .orderBy("doc")
+    },
     "jaccard_lsh" -> { (s, d) =>
       Dedup.jaccardForCandidates(Tables.documents(s, d), "text", "doc_id")
         .select(col("doc1"), col("doc2"), r6(col("jaccard")).as("jaccard"))
@@ -481,6 +486,36 @@ object TextQueries {
          |SELECT t.doc, t.n_segs, coalesce(a.n_kept, 0::BIGINT) AS n_kept,
          |  coalesce(a.clean_hash, md5('')) AS clean_hash
          |FROM tot t LEFT JOIN agg a USING (doc) ORDER BY doc""".stripMargin,
+    "dedup_span" ->
+      s"""WITH n AS (SELECT doc_id::BIGINT AS doc, $normToks AS w FROM documents),
+         |b AS (SELECT doc, w, len(w)::BIGINT AS n_tokens FROM n),
+         |-- 200 = constant lateral bound (max doc length is ~100 tokens;
+         |-- generate_series cannot take len(w) as its bound); the WHERE
+         |-- keeps the real window count
+         |wins AS (SELECT doc, n_tokens, g.i AS i,
+         |    md5(array_to_string(list_slice(w, g.i + 1, g.i + 5), ' ')) AS key
+         |  FROM b, generate_series(0, 200) AS g(i) WHERE g.i <= n_tokens - 5),
+         |dup AS (SELECT key FROM wins GROUP BY key HAVING count(*) >= 2),
+         |dw AS (SELECT doc, i FROM wins JOIN dup USING (key)),
+         |sp AS (SELECT doc, i,
+         |    CASE WHEN lag(i) OVER (PARTITION BY doc ORDER BY i) IS NULL
+         |         OR i - lag(i) OVER (PARTITION BY doc ORDER BY i) > 5
+         |    THEN 1 ELSE 0 END AS ns
+         |  FROM dw),
+         |sp2 AS (SELECT doc, i, sum(ns) OVER (PARTITION BY doc ORDER BY i
+         |    ROWS UNBOUNDED PRECEDING) AS sid FROM sp),
+         |spans AS (SELECT doc, sid, min(i) AS s, max(i) + 4 AS e,
+         |    count(*) AS nw FROM sp2 GROUP BY 1, 2),
+         |agg AS (SELECT doc, count(*)::BIGINT AS n_spans,
+         |    sum(e - s + 1)::BIGINT AS dup_tokens,
+         |    sum(nw)::BIGINT AS n_dup_windows FROM spans GROUP BY doc)
+         |SELECT b.doc, b.n_tokens,
+         |  greatest(b.n_tokens - 4, 0)::BIGINT AS n_windows,
+         |  coalesce(a.n_dup_windows, 0::BIGINT) AS n_dup_windows,
+         |  coalesce(a.n_spans, 0::BIGINT) AS n_spans,
+         |  coalesce(a.dup_tokens, 0::BIGINT) AS dup_tokens,
+         |  round(coalesce(a.dup_tokens, 0)::DOUBLE / b.n_tokens, 6) AS dup_frac
+         |FROM b LEFT JOIN agg a USING (doc) ORDER BY doc""".stripMargin,
     "hashed_ngram_score" ->
       s"""WITH n AS (SELECT doc_id::BIGINT AS doc, $normToks AS toks FROM documents),
          |g AS (SELECT doc,

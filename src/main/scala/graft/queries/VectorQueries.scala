@@ -186,6 +186,12 @@ object VectorQueries {
           k = 8, dim = 64, seed = 7L, tau = 0.4)
         .orderBy("cell")
     },
+    "embedding_quantize" -> { (s, d) =>
+      graft.neighbors.SQ.quantizeAudit(Tables.embeddings(s, d), "vec_id", "embedding")
+        .select(col("pos"), col("dmin"), col("dmax"), col("scale"),
+          col("avg_sq_err"), col("max_abs_err"))
+        .orderBy("pos")
+    },
     "random_projection" -> { (s, d) =>
       val m = RandomProjection.gaussianMatrix(64, 8, 42L)
       RandomProjection.project(Tables.embeddings(s, d), "vec_id", "embedding", m)
@@ -497,6 +503,22 @@ object VectorQueries {
          |SELECT * FROM ns, iso""".stripMargin,
     "random_projection" -> rpOracle(rpGaussEntry),
     "random_projection_sparse" -> rpOracle(rpSparseEntry),
+    "embedding_quantize" ->
+      """WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        |ix AS (SELECT unnest(range(0, 64)) AS pos),
+        |x AS (SELECT id, ix.pos AS pos, e.v[ix.pos + 1] AS val FROM e, ix),
+        |st AS (SELECT pos, min(val) AS dmin, max(val) AS dmax,
+        |    (max(val) - min(val)) / 255.0 AS sc FROM x GROUP BY pos),
+        |q AS (SELECT x.pos, val, dmin, dmax, sc,
+        |    CASE WHEN sc = 0 THEN 0.0
+        |         ELSE least(255.0, greatest(0.0, round((val - dmin) / sc, 0))) END AS code
+        |  FROM x JOIN st USING (pos)),
+        |d AS (SELECT pos, dmin, dmax, sc, val - (dmin + code * sc) AS err FROM q)
+        |SELECT pos::BIGINT AS pos, round(min(dmin), 6) AS dmin,
+        |  round(min(dmax), 6) AS dmax, round(min(sc), 9) AS scale,
+        |  round(avg(err * err), 9) AS avg_sq_err,
+        |  round(max(abs(err)), 6) AS max_abs_err
+        |FROM d GROUP BY pos ORDER BY pos""".stripMargin,
     "ann_cosine_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |p AS (SELECT a.vec_id AS qid, b.vec_id AS id, $cosSql AS s

@@ -226,6 +226,47 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(r(3L) == ((1L, 0L, h(""))), r(3L).toString)          // emptied out
   }
 
+  test("span dedup: shared/self-repeated windows merge into maximal spans; short docs zero out") {
+    import spark.implicits._
+    // k=3 windows. doc1/doc2 share the trigrams "a b c","b c d","c d e":
+    // doc1 dup starts {0,1,2} -> one span [0,4]; doc2 dup starts {2,3,4}
+    // -> one span [2,6]. doc3 is too short for any window. doc4 is pure
+    // self-repetition (every window identical) -> whole doc one span.
+    // doc5 repeats "a b c" at both ends (start gap 8 > k) -> TWO spans.
+    val df = Seq(
+      (1L, "a b c d e f"),
+      (2L, "z z a b c d e z q"),
+      (3L, "q w"),
+      (4L, "m m m m m m"),
+      (5L, "a b c 1 2 3 4 5 a b c"))
+      .toDF("doc_id", "text")
+    val r = graft.dedup.Dedup.spanDedup(df, "text", "doc_id", k = 3, minCount = 2L)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5),
+          x.getDouble(6)))).toMap
+    assert(r(1L) == ((6L, 4L, 3L, 1L, 5L, 0.833333)), r(1L).toString)
+    assert(r(2L) == ((9L, 7L, 3L, 1L, 5L, 0.555556)), r(2L).toString)
+    assert(r(3L) == ((2L, 0L, 0L, 0L, 0L, 0.0)), r(3L).toString)
+    assert(r(4L) == ((6L, 4L, 4L, 1L, 6L, 1.0)), r(4L).toString)
+    assert(r(5L) == ((11L, 9L, 2L, 2L, 6L, 0.545455)), r(5L).toString)
+  }
+
+  test("int8 scalar quantization: per-dim range/scale exact, round-trip error bounded, constant dim exact") {
+    import spark.implicits._
+    // dim0 spans [0,2], dim1 spans [10,30] (10x the scale, 10x the error),
+    // dim2 is constant (scale 0 -> code 0 -> exact round trip). Midpoints
+    // land on the 127.5 rounding boundary -> HALF_UP -> code 128.
+    val df = Seq((1L, Seq(0f, 10f, 5f)), (2L, Seq(1f, 20f, 5f)), (3L, Seq(2f, 30f, 5f)))
+      .toDF("vec_id", "embedding")
+    val r = graft.neighbors.SQ.quantizeAudit(df, "vec_id", "embedding")
+      .collect().map(x => x.getLong(0) ->
+        ((x.getDouble(1), x.getDouble(2), x.getDouble(3), x.getDouble(4),
+          x.getDouble(5)))).toMap
+    assert(r(0L) == ((0.0, 2.0, 0.007843137, 5.126e-6, 0.003922)), r(0L).toString)
+    assert(r(1L) == ((10.0, 30.0, 0.078431373, 5.12623e-4, 0.039216)), r(1L).toString)
+    assert(r(2L) == ((5.0, 5.0, 0.0, 0.0, 0.0)), r(2L).toString)
+  }
+
   test("pii mask: planted email/ip/number each masked and counted; clean text untouched") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{lit, md5}
