@@ -49,6 +49,14 @@ object Bench {
     val failed = results.collect { case (n, v) if v < 0 => n }.toSeq.sorted
     // failed queries are excluded from total (listed separately)
     val total = results.values.filter(_ >= 0).sum
+    // COLD total = run-1 sum. With FitCache, min-of-N is the WARM serve
+    // path (every memoized fit costs ~0 from run 2 on), so the min total
+    // alone would silently drop all fit cost from cross-round comparisons
+    // (r10 verdict finding). Both totals are reported side by side.
+    val totalCold = perRun.values.collect {
+      case timed if timed.head._1 => timed.head._2 }.sum
+    val (fcHits, fcMisses, fcLive) = graft.core.FitCache.stats
+    val fcJson = s""""fitcache":{"hits":$fcHits,"misses":$fcMisses,"live":$fcLive}"""
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // 1-minute system load average: past rounds' reported numbers were
     // 3-5x inflated by sandbox co-tenants — record the evidence in-band
@@ -78,7 +86,7 @@ object Bench {
         "\"" + k + "\":[" + timed.map { case (ok, s) =>
           (if (ok) s else -s).toString }.mkString(",") + "]"
       }.mkString("{", ",", "}")
-      s"""{"line":"file","queries":$qs,"runs_detail":$rd,"failed":$failedJson,"runs":$runs,"loadavg":$load,"sf":"$sfDir","metric":"total","value":$total,"unit":"sec","n_queries":${selected.size}}"""
+      s"""{"line":"file","queries":$qs,"runs_detail":$rd,"failed":$failedJson,"runs":$runs,"loadavg":$load,"sf":"$sfDir",$fcJson,"total_cold":$totalCold,"metric":"total","value":$total,"unit":"sec","n_queries":${selected.size}}"""
     }
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_QUERIES.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
@@ -94,7 +102,7 @@ object Bench {
     // summary line: the only unbounded field (failed names) goes FIRST and
     // the headline fields LAST, so a tail boundary landing inside a
     // heavy-failure line still keeps the totals
-    println(s"""{"line":"summary","failed":$failedJson,"n_failed":${failed.size},"sf":"$sfDir","runs":$runs,"loadavg":$load,"n_queries":${selected.size},"metric":"total","value":$total,"unit":"sec"}""")
+    println(s"""{"line":"summary","failed":$failedJson,"n_failed":${failed.size},"sf":"$sfDir","runs":$runs,"loadavg":$load,$fcJson,"n_queries":${selected.size},"total_cold":$totalCold,"metric":"total","value":$total,"unit":"sec"}""")
     spark.stop()
   }
 }

@@ -265,9 +265,12 @@ object AnalyticsQueries {
     "frequent_itemsets" -> { (s, d) =>
       // Apriori-style frequent 3-itemsets: the triple fan-out is bounded
       // by C(lines-per-order, 3) — order-key self-joins, never corpus³;
-      // top-10 by (support desc, itemset) with min support 2
+      // top-10 by (support desc, itemset) with min support 2. The distinct
+      // (order, part) frame feeds all three join legs: checkpointed so the
+      // scan+distinct runs once
       val a = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+        .localCheckpoint()
       a.as("x")
         .join(a.as("y"), col("x.o") === col("y.o") && col("x.p") < col("y.p"))
         .join(a.as("z"), col("x.o") === col("z.o") && col("y.p") < col("z.p"))
@@ -294,9 +297,11 @@ object AnalyticsQueries {
       // item-item neighborhood CF (the memory-based recommender beside
       // ALS): cosine on co-purchase counts — pair fan-out bounded by
       // lines-per-order (the basket_lift bound), marginals join on the
-      // part key, cosine ROUNDED before the top-15 selection
+      // part key, cosine ROUNDED before the top-15 selection. The distinct
+      // frame feeds the marginals AND both pair-join legs: checkpointed
       val a = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+        .localCheckpoint()
       val perPart = a.groupBy(col("p")).agg(count(lit(1)).cast("double").as("_np"))
       val pairs = a.as("x").join(a.as("y"),
           col("x.o") === col("y.o") && col("x.p") < col("y.p"))
@@ -387,11 +392,16 @@ object AnalyticsQueries {
       // wedges from the bounded degree frame
       val a = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      // the support-pruned edge frame feeds FIVE consumers (deg, e1/e2/e3,
+      // st): localCheckpoint materializes the expensive scan+pair shuffle
+      // exactly once instead of leaning on AQE's ReuseExchange — scan-count
+      // certainty at 100 TB (r10 verdict #8), hashes unchanged
       val e = a.as("x").join(a.as("y"),
           col("x.o") === col("y.o") && col("x.p") < col("y.p"))
         .groupBy(col("x.p").as("p1"), col("y.p").as("p2"))
         .agg(count(lit(1)).as("_np"))
         .filter(col("_np") >= 2).select(col("p1"), col("p2"))
+        .localCheckpoint()
       val deg = e.select(col("p1").as("p")).unionAll(e.select(col("p2").as("p")))
         .groupBy("p").agg(count(lit(1)).cast("double").as("_dg"))
       val tri = e.as("e1")

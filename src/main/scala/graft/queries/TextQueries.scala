@@ -253,7 +253,11 @@ object TextQueries {
       // top-100 tokens, weight ∝ count^0.75 QUANTIZED to the 1e-6 grid
       // before the cumulative boundaries (so both engines cut identical
       // CDF ranges); each (doc, pos) center draws 2 negatives by u·W
-      // range lookup against the broadcast 100-row CDF
+      // interval lookup. The CDF is driver-sized BY CONSTRUCTION (100
+      // rows), so it collects into a codegen'd interval CASE — the
+      // kmeans_assign fixed-model pattern — instead of the former
+      // range-predicate BroadcastNestedLoopJoin, which evaluated ~100
+      // interpreted predicates per corpus row (r10 verdict finding).
       val docs = Tables.documents(s, d)
       val tk = docs.select(col("doc_id").as("doc"),
           posexplode(split(lower(trim(regexp_replace(col("text"), "\\s+", " "))), " "))
@@ -262,20 +266,26 @@ object TextQueries {
       val vocab = tk.groupBy("tok").agg(count(lit(1)).cast("double").as("_c"))
         .orderBy(col("_c").desc, col("tok")).limit(100)
         .select(col("tok"), round(pow(col("_c"), 0.75), 6).as("_w"))
-      import org.apache.spark.sql.expressions.Window
-      val wv = Window.orderBy(col("_c0").desc, col("tok"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      // rebuild the (count desc, tok) order for the CDF from the weights
-      val cdf = vocab.withColumn("_c0", col("_w"))
-        .withColumn("_lo", coalesce(sum(col("_w")).over(wv), lit(0.0)))
-        .select(col("tok"), col("_lo"), (col("_lo") + col("_w")).as("_hi"))
-      val tot = vocab.agg(sum(col("_w")).as("_tot"))
-      val draws = tk.select(col("doc"), col("pos"),
+      // cumulative boundaries in (w desc, tok) order — sequential adds in
+      // the same order the oracle's window sum runs, so the double-precision
+      // cuts are bit-identical to the SQL replay
+      val entries = graft.core.FitCache.getOrFit[Array[(String, Double)]](
+        graft.core.FitCache.key(vocab, "ns_cdf")) {
+        vocab.collect().map(r => (r.getString(0), r.getDouble(1)))
+          .sortBy { case (t, w) => (-w, t) }
+      }
+      val his = entries.scanLeft(0.0) { case (acc, (_, w)) => acc + w }.tail
+      val tot = his.last
+      val u = (graft.core.Num.md5Long(concat(col("doc"), lit("_"), col("pos"),
+        lit("_ns_"), col("_j"))) % 1000000L / lit(1000000.0) * tot)
+      // first interval whose upper bound exceeds u — the last branch's
+      // bound is the total mass, and u < tot always (md5 % 1e6 ≤ 999999)
+      val pick = entries.zip(his).foldRight(lit(null).cast("string")) {
+        case (((t, _), hi), acc) => when(u < hi, lit(t)).otherwise(acc)
+      }
+      tk.select(col("doc"), col("pos"),
           explode(array(lit(1), lit(2))).as("_j"))
-        .crossJoin(broadcast(tot))
-        .select((graft.core.Num.md5Long(concat(col("doc"), lit("_"), col("pos"),
-          lit("_ns_"), col("_j"))) % 1000000L / lit(1000000.0) * col("_tot")).as("_u"))
-      draws.join(broadcast(cdf), col("_u") >= col("_lo") && col("_u") < col("_hi"))
+        .select(pick.as("tok"))
         .groupBy("tok")
         .agg(count(lit(1)).cast("long").as("n_sampled"))
         .orderBy(col("n_sampled").desc, col("tok")).limit(15)
@@ -489,12 +499,15 @@ object TextQueries {
     "dedup_span" ->
       s"""WITH n AS (SELECT doc_id::BIGINT AS doc, $normToks AS w FROM documents),
          |b AS (SELECT doc, w, len(w)::BIGINT AS n_tokens FROM n),
-         |-- 200 = constant lateral bound (max doc length is ~100 tokens;
-         |-- generate_series cannot take len(w) as its bound); the WHERE
-         |-- keeps the real window count
-         |wins AS (SELECT doc, n_tokens, g.i AS i,
-         |    md5(array_to_string(list_slice(w, g.i + 1, g.i + 5), ' ')) AS key
-         |  FROM b, generate_series(0, 200) AS g(i) WHERE g.i <= n_tokens - 5),
+         |-- per-row window starts via unnest(range(...)) — derived from the
+         |-- ACTUAL doc length, so a longer-than-expected generator document
+         |-- can never silently drop windows (r10 advice; the former constant
+         |-- generate_series(0, 200) bound assumed ~100-token docs)
+         |w0 AS (SELECT doc, n_tokens, w,
+         |    unnest(range(0, greatest(n_tokens - 4, 0))) AS i FROM b),
+         |wins AS (SELECT doc, n_tokens, i,
+         |    md5(array_to_string(list_slice(w, i + 1, i + 5), ' ')) AS key
+         |  FROM w0),
          |dup AS (SELECT key FROM wins GROUP BY key HAVING count(*) >= 2),
          |dw AS (SELECT doc, i FROM wins JOIN dup USING (key)),
          |sp AS (SELECT doc, i,

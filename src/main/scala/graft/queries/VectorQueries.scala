@@ -505,8 +505,10 @@ object VectorQueries {
     "random_projection_sparse" -> rpOracle(rpSparseEntry),
     "embedding_quantize" ->
       """WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
-        |ix AS (SELECT unnest(range(0, 64)) AS pos),
-        |x AS (SELECT id, ix.pos AS pos, e.v[ix.pos + 1] AS val FROM e, ix),
+        |-- per-row position list (not a fixed range(0, 64)): stays aligned
+        |-- with the Spark side's posexplode if the generator's embedding
+        |-- dimension ever drifts (r10 advice)
+        |x AS (SELECT id, unnest(range(0, len(v))) AS pos, unnest(v) AS val FROM e),
         |st AS (SELECT pos, min(val) AS dmin, max(val) AS dmax,
         |    (max(val) - min(val)) / 255.0 AS sc FROM x GROUP BY pos),
         |q AS (SELECT x.pos, val, dmin, dmax, sc,

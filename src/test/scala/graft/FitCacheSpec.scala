@@ -45,4 +45,34 @@ class FitCacheSpec extends AnyFunSuite {
     assert(k1 != FitCache.key(li, "tag", 1, 2.0, "y"))
     assert(k1 != FitCache.key(li.filter(col("l_orderkey") > 0), "tag", 1, 2.0, "x"))
   }
+
+  test("LRU bound evicts the least-recently-served entry, not the hot one") {
+    // direct string keys: eviction is a store property, independent of
+    // plan hashing. Fill to the cap, keep touching entry "hot", then
+    // overflow — "hot" must survive and the stale head must refit.
+    val tag = s"evict_${System.nanoTime()}"
+    (0 until FitCache.MaxEntries).foreach { i =>
+      FitCache.getOrFit(s"$tag:$i")(java.lang.Integer.valueOf(i))
+    }
+    val hot = FitCache.getOrFit(s"$tag:0")(java.lang.Integer.valueOf(-1))
+    assert(hot.intValue() == 0, "touching inside the cap must be a hit")
+    // one past the cap evicts exactly one victim: the least-recently-used
+    // entry (key 1 — key 0 was just served)
+    FitCache.getOrFit(s"$tag:overflow")(java.lang.Integer.valueOf(999))
+    val survivor = FitCache.getOrFit(s"$tag:0")(java.lang.Integer.valueOf(-2))
+    assert(survivor.intValue() == 0, "recently-served entry must survive eviction")
+    val evicted = FitCache.getOrFit(s"$tag:1")(java.lang.Integer.valueOf(-3))
+    assert(evicted.intValue() == -3, "LRU victim must have been evicted (refit)")
+  }
+
+  test("stats counts hits and misses and live stays within the cap") {
+    val (h0, m0, _) = FitCache.stats
+    val tag = s"stats_${System.nanoTime()}"
+    FitCache.getOrFit(s"$tag:a")(java.lang.Integer.valueOf(1))
+    FitCache.getOrFit(s"$tag:a")(java.lang.Integer.valueOf(2))
+    val (h1, m1, live) = FitCache.stats
+    assert(m1 - m0 >= 1, "first request must count as a miss")
+    assert(h1 - h0 >= 1, "second request must count as a hit")
+    assert(live <= FitCache.MaxEntries, s"live entries $live exceed the cap")
+  }
 }

@@ -496,4 +496,26 @@ class PlanSpec extends AnyFunSuite {
     // map-side, so registry size, not model count, bounds the shuffle
     assert(p.contains("partial"), p.take(3000))
   }
+
+  test("negative_sampling scores draws with a codegen CASE, not a BNLJ") {
+    // the 100-row CDF collects into a literal interval CASE; the former
+    // range-predicate BroadcastNestedLoopJoin evaluated ~100 interpreted
+    // predicates per corpus row (r10 verdict finding)
+    val p = planOf(SparkEntry.queries("negative_sampling")(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+  }
+
+  test("triangle family reuse is explicit: consumers read the checkpoint, not parquet") {
+    // the support-pruned edge frame / distinct (order, part) frame feed
+    // 3-5 consumers each; localCheckpoint makes the single materialization
+    // a plan property instead of an AQE ReuseExchange outcome
+    Seq("triangle_count", "frequent_itemsets", "item_item_cf").foreach { q =>
+      val p = planOf(SparkEntry.queries(q)(spark, sf))
+      assert(!p.contains("Scan parquet"),
+        s"$q re-reads parquet past the checkpoint: " + p.take(3000))
+      assert(p.contains("ExistingRDD"),
+        s"$q lost its checkpointed input: " + p.take(3000))
+    }
+  }
 }
