@@ -244,10 +244,19 @@ object TSAQueries {
     "kalman_vec" -> { (s, d) =>
       // vector observations (dim_z = 2): the raw daily sum and its 3-day
       // trailing mean both observe the latent level — the reference's
-      // multi-observation KalmanFilter surface (kalman_filter.pyx:77)
+      // multi-observation KalmanFilter surface (kalman_filter.pyx:77).
+      // The trailing mean is an EXPLICIT lag CASE, not a window avg: both
+      // engines then evaluate the identical (x + lag1 + lag2)/3 expression
+      // tree, which is what lets the recursive-CTE oracle replay the
+      // filter bit-exactly (window-avg summation order is engine-internal)
       val daily = TimeSeries.dailySeries(Tables.events(s, d))
-      val w = Window.partitionBy(col("series")).orderBy(col("t")).rowsBetween(-2, 0)
-      val withZ = daily.withColumn("z", array(col("x"), avg(col("x")).over(w)))
+      val w = Window.partitionBy(col("series")).orderBy(col("t"))
+      val l1 = lag(col("x"), 1).over(w)
+      val l2 = lag(col("x"), 2).over(w)
+      val trail = when(l2.isNotNull, (col("x") + l1 + l2) / 3.0)
+        .when(l1.isNotNull, (col("x") + l1) / 2.0)
+        .otherwise(col("x"))
+      val withZ = daily.withColumn("z", array(col("x"), trail))
       // state flattened to scalar columns (state_0 = level, state_1 =
       // trend): the driver comparator sorts column values and cannot
       // order an array<double> — r5's red-gate lesson
@@ -470,7 +479,150 @@ object TSAQueries {
        |         ELSE 0.10 END AS pval
        |  FROM st$sfx)""".stripMargin
 
+  /** Exact-decimal literal: Scala's shortest round-trip Double repr, which
+    * DuckDB parses back to the identical IEEE double. */
+  private def dl(v: Double): String = v.toString
+
+  /** Left-associated sum mirroring Scala's `.map(...).sum` (reduceLeft). */
+  private def sumSql(ts: Seq[String]): String = ts.mkString("(", " + ", ")")
+
+  /** Recursive-CTE replay of TimeSeries.kalmanMat (scalar observation,
+    * arbitrary dim_x). Every multiply-add is emitted in the EXACT loop
+    * order of the Scala implementation — including zero-coefficient terms
+    * and all dim² P entries (the floating-point Joseph-free update is NOT
+    * symmetric) — so the replay is bit-identical, not merely algebraically
+    * equal. Expects a prior CTE `s(series, t, x)` with consecutive t. */
+  private def kalmanMatCte(f: Seq[Seq[Double]], hRow: Seq[Double],
+                           qDiag: Seq[Double], r: Double): String = {
+    val d = f.size
+    val initX = (0 until d).map(i => if (i == 0) "x AS x0" else s"0.0::DOUBLE AS x$i")
+    val initP = for { i <- 0 until d; j <- 0 until d }
+      yield s"${if (i == j) "1.0" else "0.0"}::DOUBLE AS p$i$j"
+    // q1: xp_i = Σ_j f_ij·x_j and fp_ik = Σ_j f_ij·p_jk
+    val xp = (0 until d).map(i =>
+      sumSql((0 until d).map(j => s"${dl(f(i)(j))}*kf.x$j")) + s" AS xp$i")
+    val fp = for { i <- 0 until d; k <- 0 until d }
+      yield sumSql((0 until d).map(j => s"${dl(f(i)(j))}*kf.p$j$k")) + s" AS fp$i$k"
+    // q2: pp_ij = Σ_k fp_ik·f_jk (+ q_i on the diagonal)
+    val pp = for { i <- 0 until d; j <- 0 until d } yield {
+      val base = sumSql((0 until d).map(k => s"fp$i$k*${dl(f(j)(k))}"))
+      (if (i == j) s"($base + ${dl(qDiag(i))})" else base) + s" AS pp$i$j"
+    }
+    // q3: hp_j = Σ_k h_k·pp_kj, sden = Σ_k hp_k·h_k + r, iv = z − Σ_k h_k·xp_k
+    val hp = (0 until d).map(j =>
+      sumSql((0 until d).map(k => s"${dl(hRow(k))}*pp$k$j")) + s" AS hp$j")
+    val sden = s"(${sumSql((0 until d).map(k => s"hp$k*${dl(hRow(k))}"))} + ${dl(r)}) AS sden"
+    val iv = s"(z - ${sumSql((0 until d).map(k => s"${dl(hRow(k))}*xp$k"))}) AS iv"
+    // q4: gains k_i = (Σ_k pp_ik·h_k)/sden
+    val ks = (0 until d).map(i =>
+      s"${sumSql((0 until d).map(k => s"pp$i$k*${dl(hRow(k))}"))} / sden AS k$i")
+    // outer: x_i = xp_i + k_i·iv, p_ij = pp_ij − k_i·hp_j, si += iv²
+    val newX = (0 until d).map(i => s"xp$i + k$i*iv AS x$i")
+    val newP = for { i <- 0 until d; j <- 0 until d } yield s"pp$i$j - k$i*hp$j AS p$i$j"
+    s"""kf AS (
+       |  SELECT series, t, ${(initX ++ initP).mkString(", ")}, 0.0::DOUBLE AS si
+       |  FROM s WHERE t = 0
+       |  UNION ALL
+       |  SELECT series, t, ${(newX ++ newP).mkString(", ")}, si + iv*iv AS si
+       |  FROM (SELECT q3.*, ${ks.mkString(", ")}
+       |    FROM (SELECT q2.*, ${(hp :+ sden :+ iv).mkString(", ")}
+       |      FROM (SELECT q1.*, ${pp.mkString(", ")}
+       |        FROM (SELECT n.series, n.t, n.x AS z, kf.si, ${(xp ++ fp).mkString(", ")}
+       |          FROM kf JOIN s n ON n.series = kf.series AND n.t = kf.t + 1) q1) q2) q3) q4)""".stripMargin
+  }
+
+  /** Recursive-CTE replay of TimeSeries.kalmanMatVec for dim_z = 2 — the
+    * 2×2 innovation-covariance solve unrolled in the Scala elimination's
+    * exact order. No pivot swap is emitted because none ever happens here:
+    * |S₁₀| = (H·Pp·Hᵀ)₁₀ < |S₀₀| = (H·Pp·Hᵀ)₀₀ + r₀ whenever r₀ > 0 and
+    * Pp is positive-definite, which the q-inflated predict guarantees.
+    * Expects a prior CTE `s(series, t, z0, z1)` with consecutive t. */
+  private def kalmanVecCte(f: Seq[Seq[Double]], h: Seq[Seq[Double]],
+                           qDiag: Seq[Double], rDiag: Seq[Double]): String = {
+    val d = f.size
+    require(h.size == 2 && rDiag.size == 2, "oracle replay implemented for dim_z = 2")
+    val initX = (0 until d).map(i => if (i == 0) "z0 AS x0" else s"0.0::DOUBLE AS x$i")
+    val initP = for { i <- 0 until d; j <- 0 until d }
+      yield s"${if (i == j) "1.0" else "0.0"}::DOUBLE AS p$i$j"
+    val xp = (0 until d).map(i =>
+      sumSql((0 until d).map(j => s"${dl(f(i)(j))}*kf.x$j")) + s" AS xp$i")
+    val fp = for { i <- 0 until d; k <- 0 until d }
+      yield sumSql((0 until d).map(j => s"${dl(f(i)(j))}*kf.p$j$k")) + s" AS fp$i$k"
+    val pp = for { i <- 0 until d; j <- 0 until d } yield {
+      val base = sumSql((0 until d).map(k => s"fp$i$k*${dl(f(j)(k))}"))
+      (if (i == j) s"($base + ${dl(qDiag(i))})" else base) + s" AS pp$i$j"
+    }
+    // q3: hp_aj = Σ_k h_ak·pp_kj, nu_a = z_a − Σ_k h_ak·xp_k
+    val hp = for { a <- 0 until 2; j <- 0 until d }
+      yield sumSql((0 until d).map(k => s"${dl(h(a)(k))}*pp$k$j")) + s" AS hp$a$j"
+    val nus = (0 until 2).map(a =>
+      s"(z$a - ${sumSql((0 until d).map(k => s"${dl(h(a)(k))}*xp$k"))}) AS nu$a")
+    // q4: S_ab = Σ_k hp_ak·h_bk (+ r_a diag) and pht_ia = Σ_k pp_ik·h_ak
+    val sEnt = for { a <- 0 until 2; b <- 0 until 2 } yield {
+      val base = sumSql((0 until d).map(k => s"hp$a$k*${dl(h(b)(k))}"))
+      (if (a == b) s"($base + ${dl(rDiag(a))})" else base) + s" AS s$a$b"
+    }
+    val pht = for { i <- 0 until d; a <- 0 until 2 }
+      yield sumSql((0 until d).map(k => s"pp$i$k*${dl(h(a)(k))}")) + s" AS pht$i$a"
+    // q5: forward elimination; q6: m11 + updated rhs row 1; q7: back-subst
+    // row 1; q8: back-subst row 0 — each stage in the Scala loop's order
+    val rhs1 = (0 until d).map(i => s"pht${i}1 - fct*pht${i}0 AS rhs1_$i")
+    val kt1 = (0 until d).map(i => s"rhs1_$i/m11 AS kt1_$i")
+    val kt0 = (0 until d).map(i => s"(pht${i}0 - s01*kt1_$i)/s00 AS kt0_$i")
+    val newX = (0 until d).map(i => s"xp$i + (kt0_$i*nu0 + kt1_$i*nu1) AS x$i")
+    val newP = for { i <- 0 until d; j <- 0 until d }
+      yield s"pp$i$j - (kt0_$i*hp0$j + kt1_$i*hp1$j) AS p$i$j"
+    s"""kf AS (
+       |  SELECT series, t, ${(initX ++ initP).mkString(", ")}, 0.0::DOUBLE AS si
+       |  FROM s WHERE t = 0
+       |  UNION ALL
+       |  SELECT series, t, ${(newX ++ newP).mkString(", ")},
+       |    si + (nu0*nu0 + nu1*nu1) AS si
+       |  FROM (SELECT q7.*, ${kt0.mkString(", ")}
+       |    FROM (SELECT q6.*, ${kt1.mkString(", ")}
+       |      FROM (SELECT q5.*, s11 - fct*s01 AS m11, ${rhs1.mkString(", ")}
+       |        FROM (SELECT q4.*, s10/s00 AS fct
+       |          FROM (SELECT q3.*, ${(sEnt ++ pht).mkString(", ")}
+       |            FROM (SELECT q2.*, ${(hp ++ nus).mkString(", ")}
+       |              FROM (SELECT q1.*, ${pp.mkString(", ")}
+       |                FROM (SELECT n.series, n.t, n.z0, n.z1, kf.si, ${(xp ++ fp).mkString(", ")}
+       |                  FROM kf JOIN s n ON n.series = kf.series AND n.t = kf.t + 1) q1) q2) q3) q4) q5) q6) q7) q8)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "kalman_mat" ->
+      s"""WITH RECURSIVE s0 AS ($dailySql),
+         |s AS (SELECT series, x, (row_number() OVER (PARTITION BY series ORDER BY day) - 1)::BIGINT AS t FROM s0),
+         |${kalmanMatCte(
+        f = Seq(Seq(1.0, 1.0, 0.5), Seq(0.0, 1.0, 1.0), Seq(0.0, 0.0, 1.0)),
+        hRow = Seq(1.0, 0.0, 0.0),
+        qDiag = Seq(0.02, 0.01, 0.005), r = 2.0)},
+         |last AS (SELECT series, t, x0, x1, x2, p00, si,
+         |    row_number() OVER (PARTITION BY series ORDER BY t DESC) AS rn FROM kf)
+         |SELECT series, t AS t_last, round(x0, 4) AS level, round(x0, 4) AS state_0,
+         |  round(x1, 4) AS state_1, round(x2, 4) AS state_2,
+         |  round(p00, 6) AS p00, round(si, 4) AS sum_innov2
+         |FROM last WHERE rn = 1 ORDER BY series""".stripMargin,
+    "kalman_vec" ->
+      s"""WITH RECURSIVE s0 AS ($dailySql),
+         |s1 AS (SELECT series, x, (row_number() OVER (PARTITION BY series ORDER BY day) - 1)::BIGINT AS t FROM s0),
+         |s AS (SELECT series, t, x AS z0,
+         |    CASE WHEN lag(x, 2) OVER (PARTITION BY series ORDER BY t) IS NOT NULL
+         |         THEN (x + lag(x, 1) OVER (PARTITION BY series ORDER BY t)
+         |               + lag(x, 2) OVER (PARTITION BY series ORDER BY t)) / 3.0
+         |         WHEN lag(x, 1) OVER (PARTITION BY series ORDER BY t) IS NOT NULL
+         |         THEN (x + lag(x, 1) OVER (PARTITION BY series ORDER BY t)) / 2.0
+         |         ELSE x END AS z1
+         |  FROM s1),
+         |${kalmanVecCte(
+        f = Seq(Seq(1.0, 1.0), Seq(0.0, 1.0)),
+        h = Seq(Seq(1.0, 0.0), Seq(1.0, 0.0)),
+        qDiag = Seq(0.05, 0.01), rDiag = Seq(2.0, 4.0))},
+         |last AS (SELECT series, t, x0, x1, p00, si,
+         |    row_number() OVER (PARTITION BY series ORDER BY t DESC) AS rn FROM kf)
+         |SELECT series, t AS t_last, round(x0, 4) AS state_0, round(x1, 4) AS state_1,
+         |  round(p00, 6) AS p00, round(si, 4) AS sum_innov2
+         |FROM last WHERE rn = 1 ORDER BY series""".stripMargin,
     "acf" -> {
       val lagCols = (1 to 6).map(k =>
         s"    lag(cc, $k) OVER (PARTITION BY series ORDER BY t) AS l$k").mkString(",\n")
