@@ -211,43 +211,45 @@ object VectorQueries {
         }.toSeq.toDF("component", "eigenvalue", "explained_ratio")
     },
     "pca_transform" -> { (s, d) =>
-      // project 64-dim embeddings onto the top-4 PCs; summary = per-PC
-      // mean (≈0 by centering) and variance (= eigenvalue, the invariant
-      // the ScalaTest checks). Eigensolver output → rows-only check.
+      // PARTIAL HASH GATE (ann_ivf precedent): row count + engine-stable
+      // invariant booleans hashed — mean(score) ≈ 0 by centering,
+      // var_samp(score) = eigenvalue to 1e-6 relative (the OperatorSpec
+      // bound); the continuous spectrum itself stays spec-gated
       val e = Tables.embeddings(s, d)
       val r = PCAGraft.fitWide(e, "embedding")
       val mu = PCAGraft.columnMeans(e, "embedding", 64)
       val k = 4
       val scores = PCAGraft.transformWide(e, "vec_id", "embedding", r, k, mu)
-      val aggs = (0 until k).flatMap(c =>
+      val aggs = count(lit(1)).cast("long").as("_n") +: (0 until k).flatMap(c =>
         Seq(avg(col(s"pc$c")).as(s"_m$c"), var_samp(col(s"pc$c")).as(s"_v$c")))
       scores.agg(aggs.head, aggs.tail: _*)
         .select(explode(array((0 until k).map(c =>
-          struct(lit(c).as("component"),
-            round(col(s"_m$c"), 4).as("mean_score"),
-            round(col(s"_v$c"), 4).as("var_score"))): _*)).as("s"))
-        .select(col("s.component").as("component"), col("s.mean_score").as("mean_score"),
-          col("s.var_score").as("var_score"))
+          struct(lit(c).as("component"), col("_n").as("n_rows"),
+            (abs(col(s"_m$c")) < 1e-6).as("mean_zero"),
+            (abs(col(s"_v$c") - r.explainedVar(c)) / r.explainedVar(c) < 1e-6)
+              .as("var_matches_ev"))): _*)).as("s"))
+        .select(col("s.component").as("component"), col("s.n_rows").as("n_rows"),
+          col("s.mean_zero").as("mean_zero"), col("s.var_matches_ev").as("var_matches_ev"))
         .orderBy("component")
     },
     "pca_whiten" -> { (s, d) =>
       // whiten=True transform (pca.pyx:235): scores divided by per-component
-      // stddev — every output dimension lands at unit variance (the spec
-      // invariant); eigensolver output → rows-only check
+      // stddev — every output dimension lands at unit variance. PARTIAL
+      // HASH GATE: count + mean-zero + unit-variance booleans hashed
       val e = Tables.embeddings(s, d)
       val r = PCAGraft.fitWide(e, "embedding")
       val mu = PCAGraft.columnMeans(e, "embedding", 64)
       val k = 4
       val scores = PCAGraft.transformWhitened(e, "vec_id", "embedding", r, k, mu)
-      val aggs = (0 until k).flatMap(c =>
+      val aggs = count(lit(1)).cast("long").as("_n") +: (0 until k).flatMap(c =>
         Seq(avg(col(s"pc$c")).as(s"_m$c"), var_samp(col(s"pc$c")).as(s"_v$c")))
       scores.agg(aggs.head, aggs.tail: _*)
         .select(explode(array((0 until k).map(c =>
-          struct(lit(c).as("component"),
-            round(col(s"_m$c"), 4).as("mean_score"),
-            round(col(s"_v$c"), 4).as("var_score"))): _*)).as("s"))
-        .select(col("s.component").as("component"), col("s.mean_score").as("mean_score"),
-          col("s.var_score").as("var_score"))
+          struct(lit(c).as("component"), col("_n").as("n_rows"),
+            (abs(col(s"_m$c")) < 1e-6).as("mean_zero"),
+            (abs(col(s"_v$c") - 1.0) < 1e-6).as("unit_variance"))): _*)).as("s"))
+        .select(col("s.component").as("component"), col("s.n_rows").as("n_rows"),
+          col("s.mean_zero").as("mean_zero"), col("s.unit_variance").as("unit_variance"))
         .orderBy("component")
     },
     "pca_inverse" -> { (s, d) =>
@@ -267,17 +269,23 @@ object VectorQueries {
         .toSeq.toDF("component", "singular_value")
     },
     "tsvd_transform" -> { (s, d) =>
-      // TruncatedSVD scores: per-component energy (Σ score² = σ²)
+      // TruncatedSVD scores: per-component energy (Σ score² = σ²). PARTIAL
+      // HASH GATE: count + energy-matches-σ² boolean hashed against the
+      // eigensolver's own singular values (1e-6 relative); the spectrum
+      // stays spec-gated
       val e = Tables.embeddings(s, d)
       val k = 4
+      val sv = TSVDGraft.singularValues(e, "embedding", k)
       val scores = TSVDGraft.transform(e, "vec_id", "embedding", k)
-      val aggs = (0 until k).map(c => sum(col(s"pc$c") * col(s"pc$c")).as(s"_e$c"))
+      val aggs = count(lit(1)).cast("long").as("_n") +:
+        (0 until k).map(c => sum(col(s"pc$c") * col(s"pc$c")).as(s"_e$c"))
       scores.agg(aggs.head, aggs.tail: _*)
         .select(explode(array((0 until k).map(c =>
-          struct(lit(c).as("component"),
-            round(sqrt(col(s"_e$c")), 4).as("singular_value"))): _*)).as("s"))
-        .select(col("s.component").as("component"),
-          col("s.singular_value").as("singular_value"))
+          struct(lit(c).as("component"), col("_n").as("n_rows"),
+            (abs(sqrt(col(s"_e$c")) - sv(c)) / sv(c) < 1e-6)
+              .as("energy_matches_sv"))): _*)).as("s"))
+        .select(col("s.component").as("component"), col("s.n_rows").as("n_rows"),
+          col("s.energy_matches_sv").as("energy_matches_sv"))
         .orderBy("component")
     },
     "umap_knn_graph" -> { (s, d) =>
@@ -503,6 +511,21 @@ object VectorQueries {
          |SELECT * FROM ns, iso""".stripMargin,
     "random_projection" -> rpOracle(rpGaussEntry),
     "random_projection_sparse" -> rpOracle(rpSparseEntry),
+    // eigensolver-transform partial gates: component index, scored-row
+    // count, and the spec's invariants as hashed booleans (continuous
+    // spectra stay spec-gated — the eigensolver itself is engine-internal)
+    "pca_transform" ->
+      """SELECT g.i::INT AS component, (SELECT count(*) FROM embeddings)::BIGINT AS n_rows,
+        |  TRUE AS mean_zero, TRUE AS var_matches_ev
+        |FROM generate_series(0, 3) g(i) ORDER BY component""".stripMargin,
+    "pca_whiten" ->
+      """SELECT g.i::INT AS component, (SELECT count(*) FROM embeddings)::BIGINT AS n_rows,
+        |  TRUE AS mean_zero, TRUE AS unit_variance
+        |FROM generate_series(0, 3) g(i) ORDER BY component""".stripMargin,
+    "tsvd_transform" ->
+      """SELECT g.i::INT AS component, (SELECT count(*) FROM embeddings)::BIGINT AS n_rows,
+        |  TRUE AS energy_matches_sv
+        |FROM generate_series(0, 3) g(i) ORDER BY component""".stripMargin,
     "embedding_quantize" ->
       """WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
         |-- per-row position list (not a fixed range(0, 64)): stays aligned
