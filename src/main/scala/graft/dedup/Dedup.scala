@@ -54,22 +54,33 @@ object Dedup {
       .groupBy(col("doc")).agg(sig.head, sig.tail: _*)
   }
 
-  /** LSH candidate pairs: docs sharing any band of the signature.
-    * Shuffle key = (band, band-hash): uniform, bounded buckets. */
-  def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
-                        p: MinHashParams = MinHashParams()): DataFrame = {
+  /** Per-doc LSH band rows (band, bkey, doc) — the join key of every
+    * MinHash dedup shape AND the persistable index payload
+    * (ModelIO.saveDedupIndex): a corpus's distinct (band, bkey) set is the
+    * whole near-dup fingerprint of the already-ingested data, so saving it
+    * lets a later shard serve incremental dedup without re-reading the
+    * corpus. */
+  def bandRows(df: DataFrame, textCol: String, idCol: String,
+               p: MinHashParams = MinHashParams()): DataFrame = {
     require(p.numHashes % p.rowsPerBand == 0,
       s"numHashes (${p.numHashes}) must be a multiple of rowsPerBand " +
         s"(${p.rowsPerBand}) — trailing hashes would be silently dropped")
-    // cache: the signature table (n × numHashes longs) is read 2·nBands
-    // times by the band union + self-join below
+    // cache: the signature table (n × numHashes longs) is read nBands
+    // times by the band union
     val sigs = minhashSignatures(df, textCol, idCol, p).cache()
     val nBands = p.numHashes / p.rowsPerBand
-    val bands = (0 until nBands).map { b =>
+    (0 until nBands).map { b =>
       val key = concat_ws("_",
         (0 until p.rowsPerBand).map(r => col(s"mh${b * p.rowsPerBand + r}")): _*)
       sigs.select(lit(b).as("band"), key.as("bkey"), col("doc"))
     }.reduce(_ unionAll _)
+  }
+
+  /** LSH candidate pairs: docs sharing any band of the signature.
+    * Shuffle key = (band, band-hash): uniform, bounded buckets. */
+  def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
+                        p: MinHashParams = MinHashParams()): DataFrame = {
+    val bands = bandRows(df, textCol, idCol, p)
     bands.as("l").join(bands.as("r"),
         col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
           col("l.doc") < col("r.doc"))

@@ -336,6 +336,33 @@ object ModelIO {
     df.select("series", "key", "value")
   }
 
+  // --------------------------------------------------------- dedup index
+
+  /** Persist a MinHash LSH band-bucket index: the distinct (band, bkey)
+    * rows of an ingested corpus (Dedup.bandRows). Like the per-series
+    * models, the index is DATA-SCALE (one row per occupied bucket), so
+    * save is a parquet write REPARTITIONED ON THE PROBE KEY — a later
+    * shard's serve join shuffles only the shard side against the loaded
+    * files (the IVF.writeBucketed discipline, neighbors/IVF.scala). */
+  def saveDedupIndex(bands: DataFrame, path: String): Unit =
+    bands.select(col("band").cast("int").as("band"),
+        col("bkey").cast("string").as("bkey"),
+        lit("minhash_lsh").as("model_type"))
+      .repartition(col("band"), col("bkey"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Load the band-bucket index as a lazy scan; the model_type probe is a
+    * constant-column row-group check (loadSeriesModel pattern) — a swapped
+    * path fails loudly without collecting the index. */
+  def loadDedupIndex(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    val bad = df.filter(col("model_type") =!= "minhash_lsh")
+      .select("model_type").limit(1).collect()
+    require(bad.isEmpty,
+      s"ModelIO: expected model_type=minhash_lsh, found ${bad.headOption.map(_.getString(0)).getOrElse("?")}")
+    df.select("band", "bkey")
+  }
+
   // --------------------------------------------------------- scalar params
 
   /** Any scalar-parameter model (GLM fits, Holt-Winters state, scaler

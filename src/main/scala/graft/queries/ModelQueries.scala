@@ -186,6 +186,33 @@ object ModelQueries {
         .agg(count(lit(1)).cast("long").as("n_params"),
           round(sum(col("value")), 4).as("value_sum"))
         .orderBy("model_type")
+    },
+    "model_io_dedup" -> { (s, d) =>
+      // persisted MinHash LSH index serve: build the band-bucket index of
+      // the already-ingested front half, save it repartitioned on the
+      // probe key (the IVF.writeBucketed discipline), then run the back
+      // half's incremental near-dup check entirely THROUGH THE LOADED
+      // index — the dedup family's serving surface, twinned with
+      // dedup_incremental's shard split. The loaded index stays a lazy
+      // scan: the serve join shuffles only the shard side.
+      val docs = Tables.documents(s, d)
+      val prior = docs.filter(col("doc_id") < 250)
+      val shard = docs.filter(col("doc_id") >= 250)
+      val path = fixedModelDir("dedup_lsh")
+      ModelIO.saveDedupIndex(
+        graft.dedup.Dedup.bandRows(prior, "text", "doc_id")
+          .select("band", "bkey").distinct(), path)
+      val idx = ModelIO.loadDedupIndex(s, path)
+      val hits = graft.dedup.Dedup.bandRows(shard, "text", "doc_id")
+        .join(idx, Seq("band", "bkey"), "left_semi")
+        .select(col("doc")).distinct()
+      shard.select(col("doc_id").cast("long").as("doc"), col("lang"))
+        .join(hits.withColumn("_hit", lit(1)), Seq("doc"), "left")
+        .groupBy("lang")
+        .agg(count(lit(1)).cast("long").as("n_new"),
+          sum(when(col("_hit").isNotNull, 1L).otherwise(0L)).cast("long")
+            .as("n_dup_vs_index"))
+        .orderBy("lang")
     })
 
   /** The registry summary, recomputed from the same literal models the
@@ -221,5 +248,17 @@ object ModelQueries {
     "model_io_ar_forecast" -> TSAQueries.oracles("ar_p_forecast"),
     "model_io_arima_forecast" -> TSAQueries.oracles("arima_ml_forecast"),
     "model_io_svm" -> MLQueries.oracles("svm_predict"),
-    "model_registry" -> registryOracleSql)
+    "model_registry" -> registryOracleSql,
+    // the persisted-index serve replayed from scratch: same band CTEs as
+    // the minhash pair oracles, index = the front half's distinct buckets
+    "model_io_dedup" ->
+      s"""WITH ${TextQueries.minhashBandCtes},
+         |idx AS (SELECT DISTINCT band, bkey FROM bands WHERE doc_id < 250),
+         |hits AS (SELECT DISTINCT b.doc_id FROM bands b JOIN idx USING (band, bkey)
+         |  WHERE b.doc_id >= 250),
+         |shard AS (SELECT doc_id, lang FROM documents WHERE doc_id >= 250)
+         |SELECT d2.lang AS lang, count(*)::BIGINT AS n_new,
+         |  sum(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_dup_vs_index
+         |FROM shard d2 LEFT JOIN hits h ON d2.doc_id = h.doc_id
+         |GROUP BY 1 ORDER BY lang""".stripMargin)
 }

@@ -121,6 +121,52 @@ object TextQueries {
       graft.text.TextOps.domainCap(Tables.documents(s, d), "source", "doc_id", 15)
         .orderBy("source")
     },
+    "tokenizer_fertility" -> { (s, d) =>
+      // tokens-per-word fertility per language — the tokenizer-budget
+      // metric corpus pipelines track before training. Words in the
+      // literal merge vocabulary cost one token; OOV words fall back to
+      // ⌈len/4⌉ byte-pair pieces (the standard ~4-chars-per-token prior).
+      // ONE scan, map-side-combined lang groupBy.
+      val toks = Tables.documents(s, d).select(col("lang"),
+          explode(split(lower(trim(regexp_replace(col("text"), "\\s+", " "))), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+      val cost = when(col("w").isInCollection(FertilityVocab), lit(1L))
+        .otherwise(ceil(length(col("w")) / lit(4.0)).cast("long"))
+      toks.select(col("lang"), cost.as("_t"))
+        .groupBy("lang")
+        .agg(count(lit(1)).cast("long").as("n_words"),
+          sum(col("_t")).cast("long").as("n_tokens"),
+          round(sum(col("_t")) / count(lit(1)), 4).as("fertility"))
+        .orderBy("lang")
+    },
+    "dedup_url" -> { (s, d) =>
+      // crawl-side URL dedup (the host-level twin of domain_cap):
+      // synthesize a deterministic messy URL per doc — scheme case, www,
+      // default port, tracking params, trailing slash, fragment — then
+      // canonicalize and count per-host URLs that collide after
+      // canonicalization. ONE scan, host groupBy.
+      val docs = Tables.documents(s, d)
+      val url = concat(
+        when(col("doc_id") % 4 === 0, lit("HTTPS://WWW.")).otherwise(lit("https://")),
+        col("source"), lit(".example.com"),
+        when(col("doc_id") % 3 === 0, lit(":443")).otherwise(lit("")),
+        lit("/articles/"), (col("doc_id") % 40).cast("string"),
+        when(col("doc_id") % 5 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("?utm_source=feed&utm_campaign="), (col("doc_id") % 9).cast("string")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit("#frag")).otherwise(lit("")))
+      val u1 = lower(url)
+      val host = regexp_extract(u1, "^https?://(?:www\\.)?([^/:?#]+)", 1)
+      val path = regexp_replace(regexp_replace(
+        regexp_replace(u1, "^https?://[^/?#]*", ""), "[?#].*$", ""), "/$", "")
+      docs.select(host.as("host"), concat(host, path).as("canon"))
+        .groupBy("host")
+        .agg(count(lit(1)).cast("long").as("n_urls"),
+          countDistinct(col("canon")).cast("long").as("n_canonical"),
+          (count(lit(1)) - countDistinct(col("canon"))).cast("long").as("n_dup"))
+        .orderBy("host")
+    },
     "chunk_documents" -> { (s, d) =>
       graft.text.TextOps.chunkDocuments(Tables.documents(s, d), "text", "doc_id",
           chunk = 64, overlap = 16)
@@ -332,6 +378,13 @@ object TextQueries {
     }
   )
 
+  /** Literal single-token merge vocabulary for tokenizer_fertility — the
+    * high-frequency words a trained BPE merges to one token. */
+  private[queries] val FertilityVocab = Seq(
+    "the", "of", "and", "to", "a", "in", "is", "for", "on", "with",
+    "as", "by", "at", "from", "that", "this", "it", "are", "was", "be",
+    "key", "row", "scan", "table", "value", "hash", "part", "fast", "merge", "batch")
+
   /** Literal language mix for the mix_weights query (shares sum to 1). */
   private val MixTargets = Seq(
     "de" -> 0.2, "en" -> 0.4, "es" -> 0.15, "fr" -> 0.15, "zh" -> 0.1)
@@ -339,9 +392,10 @@ object TextQueries {
   private val normToks =
     """string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')"""
 
-  /** Shared CTE chain ending in `pr` (the distinct minhash candidate
-    * pairs) — used by both the pairs oracle and the CC-clusters oracle. */
-  private lazy val minhashPairsCtes =
+  /** Shared CTE chain ending in `bands` (band, bkey, doc_id) — the LSH
+    * band rows every minhash oracle keys on, including ModelQueries'
+    * persisted-index serve oracle. */
+  private[queries] lazy val minhashBandCtes =
     s"""n AS (SELECT doc_id, $normToks AS toks FROM documents),
        |sh AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
        |    THEN list_transform(range(0, len(toks)-2), i -> toks[i+1] || '_' || toks[i+2] || '_' || toks[i+3])
@@ -357,7 +411,12 @@ object TextQueries {
        | SELECT 0 AS band, mh0::VARCHAR || '_' || mh1::VARCHAR AS bkey, doc_id FROM sig UNION ALL
        | SELECT 1, mh2::VARCHAR || '_' || mh3::VARCHAR, doc_id FROM sig UNION ALL
        | SELECT 2, mh4::VARCHAR || '_' || mh5::VARCHAR, doc_id FROM sig UNION ALL
-       | SELECT 3, mh6::VARCHAR || '_' || mh7::VARCHAR, doc_id FROM sig),
+       | SELECT 3, mh6::VARCHAR || '_' || mh7::VARCHAR, doc_id FROM sig)""".stripMargin
+
+  /** Shared CTE chain ending in `pr` (the distinct minhash candidate
+    * pairs) — used by both the pairs oracle and the CC-clusters oracle. */
+  private lazy val minhashPairsCtes =
+    s"""$minhashBandCtes,
        |pr AS (SELECT DISTINCT l.doc_id AS doc1, r.doc_id AS doc2
        | FROM bands l JOIN bands r ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id)""".stripMargin
 
@@ -668,6 +727,36 @@ object TextQueries {
         |  (n_new - n_dup_within - coalesce(n_ing, 0))::BIGINT AS n_dup_vs_prior,
         |  coalesce(n_ing, 0)::BIGINT AS n_ingested
         |FROM agg LEFT JOIN ing ON agg.lang = ing.lang ORDER BY lang""".stripMargin,
+    "tokenizer_fertility" -> {
+      val vocabIn = FertilityVocab.map(w => s"'$w'").mkString(", ")
+      s"""WITH t AS (SELECT lang, unnest($normToks) AS w FROM documents),
+         |f AS (SELECT lang, CASE WHEN w IN ($vocabIn) THEN 1::BIGINT
+         |    ELSE ceil(len(w) / 4.0)::BIGINT END AS t
+         |  FROM t WHERE len(w) > 0)
+         |SELECT lang, count(*)::BIGINT AS n_words, sum(t)::BIGINT AS n_tokens,
+         |  round(sum(t)::DOUBLE / count(*), 4) AS fertility
+         |FROM f GROUP BY lang ORDER BY lang""".stripMargin
+    },
+    "dedup_url" ->
+      s"""WITH u AS (SELECT doc_id, lower(
+         |    CASE WHEN doc_id % 4 = 0 THEN 'HTTPS://WWW.' ELSE 'https://' END
+         |    || source || '.example.com'
+         |    || CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END
+         |    || '/articles/' || (doc_id % 40)::VARCHAR
+         |    || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END
+         |    || CASE WHEN doc_id % 2 = 0
+         |         THEN '?utm_source=feed&utm_campaign=' || (doc_id % 9)::VARCHAR ELSE '' END
+         |    || CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END) AS u1
+         |  FROM documents),
+         |c AS (SELECT
+         |    regexp_extract(u1, '^https?://(?:www\\.)?([^/:?#]+)', 1) AS host,
+         |    regexp_replace(regexp_replace(
+         |      regexp_replace(u1, '^https?://[^/?#]*', ''), '[?#].*$$', ''), '/$$', '') AS path
+         |  FROM u)
+         |SELECT host, count(*)::BIGINT AS n_urls,
+         |  count(DISTINCT host || path)::BIGINT AS n_canonical,
+         |  (count(*) - count(DISTINCT host || path))::BIGINT AS n_dup
+         |FROM c GROUP BY host ORDER BY host""".stripMargin,
     "dedup_minhash" ->
       s"""WITH n AS (SELECT doc_id, $normToks AS toks FROM documents),
          |sh AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
