@@ -251,9 +251,17 @@ object MiscQueries {
         .orderBy("event_type")
     },
     "cardinality_stats_approx" -> { (s, d) =>
-      // the HLL++ production path (one sketch-sized aggregate); estimate
-      // is engine-internal → rows-only, error-bound spec vs the exact twin
-      graft.stats.Cardinality.approx(Tables.events(s, d), "event_type", "user_id")
+      // the HLL++ production path (one sketch-sized aggregate). PARTIAL
+      // HASH GATE (r11): key set + exact row/audit counts + the
+      // within-10% boolean (5σ of the 2% rsd) hashed; the sketch estimate
+      // itself stays engine-internal
+      val ex = graft.stats.Cardinality.exact(Tables.events(s, d), "event_type", "user_id")
+      val ap = graft.stats.Cardinality.approx(Tables.events(s, d), "event_type", "user_id")
+        .select(col("event_type"), col("n_distinct_approx"))
+      ex.join(ap, Seq("event_type"))
+        .select(col("event_type"), col("n_rows"), col("n_distinct"),
+          (abs(col("n_distinct_approx") - col("n_distinct")) <=
+            col("n_distinct") * 0.10).as("within_10pct"))
         .orderBy("event_type")
     },
     "asof_join" -> { (s, d) =>
@@ -1044,6 +1052,11 @@ object MiscQueries {
     "cardinality_stats" ->
       """SELECT event_type, count(*)::BIGINT AS n_rows,
         |  count(DISTINCT user_id)::BIGINT AS n_distinct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // HLL++ partial gate: exact audit counts + within-10% boolean hashed
+    "cardinality_stats_approx" ->
+      """SELECT event_type, count(*)::BIGINT AS n_rows,
+        |  count(DISTINCT user_id)::BIGINT AS n_distinct, TRUE AS within_10pct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the union-trick as-of join replayed verbatim: right rows sort before
     // left at equal time (side 0 < 1), same-time right rows resolve to the

@@ -235,8 +235,17 @@ object TabularQueries {
       Preprocessing.quantileBuckets(Tables.orders(s, d), "o_totalprice", "o_orderkey", 10)
     },
     "quantile_buckets_approx" -> { (s, d) =>
-      // sketch-boundary production path: one aggregate + codegen CASE
-      Preprocessing.quantileBucketsApprox(Tables.orders(s, d), "o_totalprice", 10)
+      // sketch-boundary production path: one aggregate + codegen CASE.
+      // PARTIAL HASH GATE (r11): bucket ids + total row count + the
+      // spec's per-bucket share bound (|n − N/k| ≤ 10%·N/k + 2) hashed;
+      // the sketch boundaries stay engine-internal
+      val b = Preprocessing.quantileBucketsApprox(Tables.orders(s, d), "o_totalprice", 10)
+      val tot = b.agg(sum(col("n")).cast("double").as("_nt"))
+      b.crossJoin(broadcast(tot))
+        .select(col("bucket"), col("_nt").cast("long").as("n_total"),
+          (abs(col("n") - col("_nt") / 10) <= col("_nt") / 10 * 0.10 + 2)
+            .as("share_close"))
+        .orderBy("bucket")
     },
     "train_test_split" -> { (s, d) =>
       Preprocessing.trainTestSplit(Tables.orders(s, d), "o_orderkey", 0.25)
@@ -544,6 +553,12 @@ object TabularQueries {
         |SELECT bucket::BIGINT AS bucket, count(*)::BIGINT AS n,
         |  round(min(v), 4) AS lo, round(max(v), 4) AS hi, round(avg(v), 4) AS mean
         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // sketch-bucket partial gate: bucket ids + total + per-bucket share
+    // bound booleans (boundaries stay engine-internal)
+    "quantile_buckets_approx" ->
+      """SELECT g.i::BIGINT AS bucket, (SELECT count(*) FROM orders)::BIGINT AS n_total,
+        |  TRUE AS share_close
+        |FROM generate_series(1, 10) g(i) ORDER BY bucket""".stripMargin,
     "train_test_split" ->
       """SELECT CASE WHEN ('0x' || substr(md5(o_orderkey::VARCHAR || '_42'), 1, 15))::BIGINT % 1000 < 250
         |  THEN 'test' ELSE 'train' END AS split,

@@ -176,9 +176,14 @@ object TextQueries {
       graft.text.Relevance.heavyHitterTokens(Tables.documents(s, d), "text", topN = 20)
     },
     "heavy_hitters_approx" -> { (s, d) =>
-      // Misra-Gries production path: no-false-negatives contract, exact
-      // counts on the surviving candidate set — rows-only + guarantee spec
-      graft.text.Relevance.frequentTokens(Tables.documents(s, d), "text", support = 0.01)
+      // sketch-prune → exact-verify, UPGRADED to a full hash gate (r11):
+      // freqItems' no-false-negative contract (every term with frequency
+      // > support survives the one-pass sketch) + exact counts on the
+      // bounded candidate set + the support cut applied to the EXACT
+      // counts — the emitted answer is the true heavy-hitter set,
+      // independent of the sketch's partition-order-dependent extras
+      graft.text.Relevance.verifiedHeavyHitters(Tables.documents(s, d), "text",
+        support = 0.01)
     },
     "bigram_perplexity" -> { (s, d) =>
       // LM trained on the already-ingested front half, scoring the new
@@ -228,15 +233,23 @@ object TextQueries {
     },
     "doc_length_stats_approx" -> { (s, d) =>
       // the PRODUCTION path doc_length_stats declares: approx_percentile
-      // (one map-side-combined sketch aggregate, no window, no sort) —
-      // sketch internals are engine-specific → rows-only gate; the spec
-      // bounds its error against the exact rank-select twin
+      // (one map-side-combined sketch aggregate, no window, no sort).
+      // PARTIAL HASH GATE (r11): lang + exact doc count + the spec's
+      // within-max(2, p/10) error-bound booleans hashed; the sketch
+      // estimates themselves stay engine-internal
       Tables.documents(s, d)
         .select(col("lang"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
         .groupBy("lang")
         .agg(count(lit(1)).cast("long").as("n_docs"),
-          percentile_approx(col("n_tokens"), lit(0.5), lit(1000)).as("p50_approx"),
-          percentile_approx(col("n_tokens"), lit(0.9), lit(1000)).as("p90_approx"))
+          percentile_approx(col("n_tokens"), lit(0.5), lit(1000)).as("_p50a"),
+          percentile_approx(col("n_tokens"), lit(0.9), lit(1000)).as("_p90a"),
+          expr("percentile(n_tokens, 0.5)").as("_p50e"),
+          expr("percentile(n_tokens, 0.9)").as("_p90e"))
+        .select(col("lang"), col("n_docs"),
+          (abs(col("_p50a") - col("_p50e")) <=
+            greatest(lit(2.0), col("_p50e") / 10)).as("p50_close"),
+          (abs(col("_p90a") - col("_p90e")) <=
+            greatest(lit(2.0), col("_p90e") / 10)).as("p90_close"))
         .orderBy("lang")
     },
     "doc_length_stats" -> { (s, d) =>
@@ -643,6 +656,21 @@ object TextQueries {
          |SELECT rank::BIGINT AS rank, term, n::BIGINT AS n,
          |  round(n / tot.tt, 6) AS share
          |FROM r, tot WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    // the sketch-pruned exact-verified answer IS the true heavy-hitter
+    // set — full replay, no sketch internals in the output
+    "heavy_hitters_approx" ->
+      s"""WITH n AS (SELECT $normToks AS toks FROM documents),
+         |t AS (SELECT unnest(toks) AS term FROM n),
+         |c AS (SELECT term, count(*) AS n FROM t GROUP BY term),
+         |tot AS (SELECT sum(n)::DOUBLE AS tt FROM c)
+         |SELECT term, n::BIGINT AS n FROM c, tot WHERE n > 0.01 * tt
+         |ORDER BY n DESC, term""".stripMargin,
+    // approx-percentile partial gate: lang + exact doc count + spec's
+    // error-bound booleans
+    "doc_length_stats_approx" ->
+      """SELECT lang, count(*)::BIGINT AS n_docs,
+        |  TRUE AS p50_close, TRUE AS p90_close
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "pmi_collocations" ->
       s"""WITH n AS (SELECT doc_id::BIGINT AS doc, $normToks AS toks FROM documents),
          |t AS (SELECT unnest(toks) AS tok FROM n),

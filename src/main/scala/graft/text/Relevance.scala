@@ -57,6 +57,24 @@ object Relevance {
       .orderBy(col("n").desc, col("term"))
   }
 
+  /** Sketch-pruned, exactly-verified heavy hitters: candidates from the
+    * one-pass freqItems sketch (every term with frequency > support
+    * survives — the Karp/Misra-Gries guarantee), exact counts on the
+    * bounded candidate set, then the support cut applied to the EXACT
+    * counts. The output is the true heavy-hitter set, deterministic even
+    * though the sketch's extra candidates depend on partition order —
+    * which is what makes the production sketch path hash-gateable. */
+  def verifiedHeavyHitters(df: DataFrame, textCol: String,
+                           support: Double): DataFrame = {
+    val counts = frequentTokens(df, textCol, support)
+    val tot = df.select(explode(normToks(textCol)).as("term"))
+      .agg(count(lit(1)).cast("double").as("_tt"))
+    counts.crossJoin(broadcast(tot))
+      .filter(col("n") > lit(support) * col("_tt"))
+      .select(col("term"), col("n"))
+      .orderBy(col("n").desc, col("term"))
+  }
+
   /** (doc, term) rows with per-doc term counts — ONE explode + groupBy. */
   private def termCounts(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.select(col(idCol).cast("long").as("doc"), explode(normToks(textCol)).as("term"))
