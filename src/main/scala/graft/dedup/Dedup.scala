@@ -427,6 +427,65 @@ object Dedup {
         coalesce(col("n_ingested"), lit(0L)).as("n_ingested"))
   }
 
+  /** Bloom-filter incremental dedup — the constant-size ingest index every
+    * petabyte pipeline reaches for when even the one-row-per-hash table of
+    * [[incremental]] is too big to join: the already-ingested corpus is
+    * summarized as a bit set of size m, independent of corpus size, and a
+    * new shard probes k bit positions per document. No false negatives by
+    * construction (a true duplicate's positions are all set); false
+    * positives are the bounded price, reported against the exact check so
+    * the operator audits its own error.
+    *
+    * Deterministic md5 k-hash (position_i = md5(contentHash ‖ "_bloom_i")
+    * mod m) instead of an engine-internal sketch, so the whole filter —
+    * build, probe, and verdict — replays in SQL. The bit set is realized
+    * as a DISTINCT position table (≤ m rows, saturating): joinable,
+    * persistable through the same parquet discipline as
+    * ModelIO.saveDedupIndex, and exactly the shape a packed bitmap
+    * broadcast would check at serving time.
+    *
+    * Returns per-`byCol`: (n_new, n_definitely_new, n_maybe_dup,
+    * n_true_dup, n_false_pos). */
+  def bloomIncremental(newDocs: DataFrame, prior: DataFrame, textCol: String,
+                       idCol: String, byCol: String,
+                       m: Int = 1 << 18, k: Int = 3): DataFrame = {
+    val h = md5(normText(col(textCol)))
+    def posCols(hc: Column): Seq[Column] = (0 until k).map(i =>
+      Num.md5Long(concat(hc, lit(s"_bloom_$i"))) % m)
+    val bits = prior.select(h.as("_h"))
+      .select(explode(array(posCols(col("_h")): _*)).as("pos"))
+      .distinct()
+    val newRows = newDocs.select(col(byCol).as("_by"),
+      col(idCol).cast("long").as("_id"), h.as("_h"))
+    // one probe row per (doc, hash-slot); a row survives the semi-join iff
+    // its bit is set, so surviving-row count = k ⇔ every position set
+    // (duplicate positions within a doc count once per slot on both sides)
+    val probes = newRows.select(col("_by"), col("_id"),
+      posexplode(array(posCols(col("_h")): _*)).as(Seq("_i", "pos")))
+    val maybe = probes.join(bits, Seq("pos"), "left_semi")
+      .groupBy(col("_by"), col("_id")).agg(count(lit(1)).as("_nhit"))
+      .filter(col("_nhit") === k).select(col("_by"), col("_id"))
+    val priorH = prior.select(h.as("_h")).distinct()
+    val trueDup = newRows.join(priorH, Seq("_h"), "left_semi")
+      .select(col("_by"), col("_id"))
+    newRows.select(col("_by"), col("_id"))
+      .join(maybe.withColumn("_maybe", lit(1)), Seq("_by", "_id"), "left")
+      .join(trueDup.withColumn("_dup", lit(1)), Seq("_by", "_id"), "left")
+      .groupBy(col("_by"))
+      .agg(count(lit(1)).cast("long").as("n_new"),
+        sum(when(col("_maybe").isNull, 1L).otherwise(0L)).cast("long")
+          .as("n_definitely_new"),
+        sum(when(col("_maybe").isNotNull, 1L).otherwise(0L)).cast("long")
+          .as("n_maybe_dup"),
+        sum(when(col("_dup").isNotNull, 1L).otherwise(0L)).cast("long")
+          .as("n_true_dup"),
+        (sum(when(col("_maybe").isNotNull, 1L).otherwise(0L)) -
+          sum(when(col("_dup").isNotNull, 1L).otherwise(0L))).cast("long")
+          .as("n_false_pos"))
+      .select(col("_by").as(byCol), col("n_new"), col("n_definitely_new"),
+        col("n_maybe_dup"), col("n_true_dup"), col("n_false_pos"))
+  }
+
   /** SemDeDup-shaped semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
     * partition the embedding space into cells, compare cosine similarity
     * only WITHIN a cell, and drop every member of a high-similarity pair

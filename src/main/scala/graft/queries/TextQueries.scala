@@ -88,6 +88,16 @@ object TextQueries {
           docs.filter(col("doc_id") < 250), "text", "doc_id", "lang")
         .orderBy("lang")
     },
+    "dedup_bloom" -> { (s, d) =>
+      // constant-size ingest index: the already-ingested front half
+      // summarized as a 2^18-bit deterministic bloom set, the new shard
+      // probed with 3 md5 hash slots per doc; the exact hash check runs in
+      // the same pass so the operator audits its own false-positive count
+      val docs = Tables.documents(s, d)
+      Dedup.bloomIncremental(docs.filter(col("doc_id") >= 250),
+          docs.filter(col("doc_id") < 250), "text", "doc_id", "lang")
+        .orderBy("lang")
+    },
     "hashed_ngram_score" -> { (s, d) =>
       // closed-form pseudo-weights (Knuth multiplicative hash of the
       // bucket id) so the oracle replays the lookup without a 256-literal
@@ -739,6 +749,33 @@ object TextQueries {
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
         |    '\d{7,}', '<NUM>', 'g')) AS masked_hash
         |FROM p ORDER BY doc""".stripMargin,
+    "dedup_bloom" ->
+      """WITH nrm AS (SELECT doc_id, lang,
+        |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h
+        |  FROM documents),
+        |ii AS (SELECT unnest([0, 1, 2]) AS i),
+        |bits AS (SELECT DISTINCT
+        |    ('0x' || substr(md5(h || '_bloom_' || i), 1, 15))::BIGINT % 262144 AS pos
+        |  FROM nrm, ii WHERE doc_id < 250),
+        |probes AS (SELECT doc_id,
+        |    ('0x' || substr(md5(h || '_bloom_' || i), 1, 15))::BIGINT % 262144 AS pos
+        |  FROM nrm, ii WHERE doc_id >= 250),
+        |maybe AS (SELECT doc_id FROM (
+        |    SELECT p.doc_id, count(*) AS nhit
+        |    FROM probes p JOIN bits USING (pos) GROUP BY p.doc_id)
+        |  WHERE nhit = 3),
+        |dup AS (SELECT doc_id FROM nrm WHERE doc_id >= 250
+        |  AND h IN (SELECT h FROM nrm WHERE doc_id < 250))
+        |SELECT n.lang AS lang, count(*)::BIGINT AS n_new,
+        |  sum(CASE WHEN mb.doc_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_definitely_new,
+        |  sum(CASE WHEN mb.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_maybe_dup,
+        |  sum(CASE WHEN dp.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_true_dup,
+        |  (sum(CASE WHEN mb.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        |   - sum(CASE WHEN dp.doc_id IS NOT NULL THEN 1 ELSE 0 END))::BIGINT AS n_false_pos
+        |FROM nrm n LEFT JOIN maybe mb ON n.doc_id = mb.doc_id
+        |  LEFT JOIN dup dp ON n.doc_id = dp.doc_id
+        |WHERE n.doc_id >= 250
+        |GROUP BY 1 ORDER BY lang""".stripMargin,
     "dedup_incremental" ->
       """WITH nrm AS (SELECT doc_id, lang,
         |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h

@@ -210,6 +210,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(r.getLong(4) == 2, s"n_ingested ${r.getLong(4)}")
   }
 
+  test("bloom incremental dedup: no false negatives, exact audit consistent") {
+    import spark.implicits._
+    val prior = Seq((1L, "alpha text"), (2L, "beta text")).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, "alpha text"),   // true dup vs prior — MUST be flagged maybe-dup
+      (11L, "gamma text"),   // new
+      (12L, "delta text"))   // new
+      .toDF("doc_id", "text").withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+    val r = graft.dedup.Dedup.bloomIncremental(fresh, prior, "text", "doc_id", "lang").head()
+    val (nNew, nDefNew, nMaybe, nTrue, nFp) =
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    assert(nNew == 3)
+    assert(nTrue == 1, s"exact audit found $nTrue true dups")
+    // the bloom contract: every true duplicate is flagged (no false
+    // negatives), so maybe >= true and false positives are exactly the gap
+    assert(nMaybe >= nTrue, s"false negative: maybe $nMaybe < true $nTrue")
+    assert(nFp == nMaybe - nTrue)
+    assert(nDefNew + nMaybe == nNew)
+    // a definitely-new verdict is always correct: with 2^18 bits and 2
+    // prior docs the tiny filter cannot saturate, so the two fresh texts
+    // must probe at least one clear bit each
+    assert(nDefNew == 2, s"n_definitely_new $nDefNew")
+  }
+
   test("segment dedup: repeated segment keeps first copy only, order preserved") {
     import spark.implicits._
     import org.apache.spark.sql.functions.md5
