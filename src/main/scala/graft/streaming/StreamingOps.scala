@@ -245,6 +245,22 @@ object StreamingOps {
       }.toDF("content_hash", "doc_id")
   }
 
+  /** Streaming dedup against a PERSISTED corpus index — the ingest-time
+    * twin of Dedup.incremental's vs-prior check and the dedup face of the
+    * streamingModelScore family: each micro-batch hashes its documents and
+    * left-anti-joins the static loaded index (one row per already-ingested
+    * content hash, e.g. ModelIO-persisted parquet). Stream-static joins
+    * are STATELESS — no watermark, no state store; the index version pins
+    * at stream definition (the probed streamingSeriesScore semantics), so
+    * rollover goes through a foreachBatch re-resolution, exactly like
+    * seriesScoreBatch. Emits only documents unseen by the prior corpus;
+    * within-stream repeats are [[streamingDedup]]'s job — composing the
+    * two gives the full ingest-dedup picture. */
+  def streamingDedupVsIndex(docs: DataFrame, index: DataFrame): DataFrame =
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+        md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("content_hash"))
+      .join(index.select(col("content_hash")), Seq("content_hash"), "left_anti")
+
   /** Streaming quality gate — the ingest-time twin of
     * text.TextOps.gopherFilters, sharing its rule expressions
     * (TextOps.gopherRules — one definition, so batch and stream cannot

@@ -153,6 +153,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup vs a persisted index drops exactly the prior-corpus collisions") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // prior corpus index: one row per ingested content hash (the shape
+    // ModelIO persists); note "hello  world" normalizes to "hello world"
+    val index = Seq("hello world", "seen before").toDF("text")
+      .select(org.apache.spark.sql.functions.md5(
+        org.apache.spark.sql.functions.lower(org.apache.spark.sql.functions.trim(
+          org.apache.spark.sql.functions.regexp_replace(
+            org.apache.spark.sql.functions.col("text"), "\\s+", " ")))).as("content_hash"))
+    val in = MemoryStream[(Long, String)]
+    val docs = in.toDF().toDF("doc_id", "text")
+    val q = StreamingOps.streamingDedupVsIndex(docs, index)
+      .writeStream.format("memory").queryName("dedup_idx_out")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, "hello  world"), (2L, "fresh text"), (3L, "seen before"))
+      q.processAllAvailable()
+      in.addData((4L, "another new one"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_idx_out").collect().map(_.getLong(1)).toSet
+      assert(ids == Set(2L, 4L), s"emitted $ids")
+    } finally q.stop()
+  }
+
   test("streaming pii scrub masks in-flight and matches the batch hash") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
