@@ -34,6 +34,37 @@ object KMeansGraft {
     sizes.orderBy(col("size").desc, col("_cl")).drop("_cl")
   }
 
+  /** PARTIAL HASH GATE row for the seeded k-means|| fit: point count
+    * (SQL-exact), the number of non-empty clusters, and the invariant
+    * SSE < total sum of squares (the k=1 solution — any useful k=4 fit
+    * sits strictly below it). Centroid coordinates stay spec-gated. */
+  def fitGate(df: DataFrame, features: Seq[String], k: Int, seed: Long = 42L,
+              maxIter: Int = 20): DataFrame = {
+    val va = new VectorAssembler().setInputCols(features.toArray).setOutputCol("_fv")
+    val input = va.transform(df.select(features.map(c => col(c).cast("double").as(c)): _*))
+    val model = graft.core.FitCache.getOrFit(graft.core.FitCache.key(df,
+      "kmeans", features.mkString(","), k, seed, maxIter)) {
+      new MLKMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
+        .setFeaturesCol("_fv").setPredictionCol("_cl").setTol(1e-8)
+        .fit(input)
+    }
+    // SSE against the model's own centers (summary.trainingCost is only
+    // carried by a fresh fit; recompute so the memoized path agrees)
+    val centers = model.clusterCenters.map(_.toArray)
+    val assigned = assign(features.map(col), centers.map(_.toSeq))
+    val dists = centers.map { c =>
+      features.zip(c).map { case (f, ci) => (col(f) - ci) * (col(f) - ci) }.reduce(_ + _)
+    }
+    val aggs = Seq(count(lit(1)).cast("long").as("_n"),
+      countDistinct(assigned).cast("long").as("_k"),
+      sum(least(dists: _*)).as("_sse")) ++
+      features.map(f => var_pop(col(f)).as(s"_v$f"))
+    input.agg(aggs.head, aggs.tail: _*)
+      .select(col("_n").as("n_points"), col("_k").as("n_clusters"),
+        (col("_sse") < col("_n") * features.map(f => col(s"_v$f")).reduce(_ + _))
+          .as("sse_lt_totss"))
+  }
+
   /** The assignment step (KMeans.predict) as a pure codegen'd expression:
     * argmin of squared distance to fixed centroids. Zero shuffle — this is
     * the piece that scores 100 TB of rows against a broadcast model. */

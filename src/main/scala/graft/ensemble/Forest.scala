@@ -108,6 +108,98 @@ object Forest {
       count(lit(1)).cast("long").as("n"))
   }
 
+  /** PARTIAL HASH GATE row for the seeded RF classifier (ann_ivf
+    * precedent): the SQL-exact slice (scored-row count) plus the exact
+    * forest invariant — every prediction is a label index — and the
+    * quality floor acc >= majority-class share (the constant majority
+    * predictor is the forest's floor; spec-gated separately). The seeded
+    * tree structure itself stays engine-internal. */
+  def classifierGate(df: DataFrame, features: Seq[String], labelCol: String,
+                     numTrees: Int = 20, maxDepth: Int = 5, seed: Long = 42L): DataFrame = {
+    val (input, model) = fitClassifier(df, features, labelCol, numTrees, maxDepth, seed)
+    val scored = model.transform(input)
+    val kMax = (model.numClasses - 1).toDouble
+    scored.agg(
+        count(lit(1)).cast("long").as("_n"),
+        max(col("prediction")).as("_pmax"), min(col("prediction")).as("_pmin"),
+        avg(when(col("prediction") === col("_lab"), 1.0).otherwise(0.0)).as("_acc"))
+      .select(col("_n").as("n_rows"),
+        (col("_pmax") <= kMax && col("_pmin") >= 0.0).as("preds_in_label_set"),
+        (col("_acc") >= majorityShare(input)).as("acc_ge_majority"))
+  }
+
+  /** Majority-class share of the indexed input — class-count groupBy
+    * collects <= numClasses rows (bounded driver state). */
+  private def majorityShare(input: DataFrame): Double = {
+    val counts = input.groupBy(col("_lab")).agg(count(lit(1)).as("c"))
+      .collect().map(_.getLong(1))
+    counts.max.toDouble / counts.sum
+  }
+
+  /** Gini importances as a PARTIAL HASH GATE: per-feature non-negativity
+    * plus the normalization invariant sum == 1 (exact — MLlib normalizes
+    * the accumulated impurity gains); the continuous vector stays
+    * spec-gated. */
+  def importanceGate(df: DataFrame, features: Seq[String], labelCol: String,
+                     numTrees: Int = 20, maxDepth: Int = 5, seed: Long = 42L): DataFrame = {
+    val imp = fitClassifier(df, features, labelCol, numTrees, maxDepth, seed)._2
+      .featureImportances
+    val sumOk = math.abs((0 until features.size).map(imp(_)).sum - 1.0) < 1e-9
+    val spark = df.sparkSession
+    import spark.implicits._
+    features.zipWithIndex.map { case (f, i) => (f, imp(i) >= 0.0, sumOk) }
+      .toDF("feature", "imp_nonneg", "sums_to_one").orderBy("feature")
+  }
+
+  /** PARTIAL HASH GATE for the RF regressor: count (SQL-exact) + two
+    * invariants — tree leaves are subsample means, so forest predictions
+    * stay inside the train label range (exact), and the depth-5 forest's
+    * train RMSE does not exceed the constant-mean predictor's stddev. */
+  def regressorGate(df: DataFrame, features: Seq[String], labelCol: String,
+                    numTrees: Int = 20, maxDepth: Int = 5, seed: Long = 42L): DataFrame = {
+    val input = withFeatures(df, features, Seq("_y" -> col(labelCol).cast("double")))
+    val model = graft.core.FitCache.getOrFit(graft.core.FitCache.key(df,
+      "rf_reg", features.mkString(","), labelCol, numTrees, maxDepth, seed, MaxBins)) {
+      new RandomForestRegressor().setFeaturesCol("_fv").setLabelCol("_y")
+        .setNumTrees(numTrees).setMaxDepth(maxDepth).setMaxBins(MaxBins).setSeed(seed)
+        .fit(input)
+    }
+    model.transform(input).agg(
+        count(lit(1)).cast("long").as("_n"),
+        min(col("prediction")).as("_plo"), max(col("prediction")).as("_phi"),
+        min(col("_y")).as("_ylo"), max(col("_y")).as("_yhi"),
+        sqrt(avg((col("prediction") - col("_y")) * (col("prediction") - col("_y")))).as("_rmse"),
+        stddev_pop(col("_y")).as("_sd"))
+      .select(col("_n").as("n_rows"),
+        (col("_plo") >= col("_ylo") && col("_phi") <= col("_yhi")).as("preds_in_label_range"),
+        (col("_rmse") <= col("_sd")).as("rmse_le_sd"))
+  }
+
+  /** PARTIAL HASH GATE for forest inference on a held-out split: the
+    * scored-row count is SQL-exact (the md5 hash split replays in DuckDB)
+    * and out-of-sample predictions inherit the train label range (exact —
+    * forest outputs are averages of train leaf means). */
+  def inferenceGate(train: DataFrame, score: DataFrame, features: Seq[String],
+                    labelCol: String, numTrees: Int = 20, seed: Long = 42L): DataFrame = {
+    val model = graft.core.FitCache.getOrFit(graft.core.FitCache.key(train,
+      "rf_infer", features.mkString(","), labelCol, numTrees, seed, MaxBins)) {
+      val input = withFeatures(train, features, Seq("_y" -> col(labelCol).cast("double")))
+        .select(col("_fv"), col("_y")).cache()
+      input.count()
+      try {
+        new RandomForestRegressor().setFeaturesCol("_fv").setLabelCol("_y")
+          .setNumTrees(numTrees).setMaxDepth(5).setMaxBins(MaxBins).setSeed(seed).fit(input)
+      } finally input.unpersist(blocking = false)
+    }
+    val r = train.agg(min(col(labelCol).cast("double")), max(col(labelCol).cast("double"))).head()
+    val (ylo, yhi) = (r.getDouble(0), r.getDouble(1))
+    model.transform(withFeatures(score, features, Seq.empty)).agg(
+        count(lit(1)).cast("long").as("_n"),
+        min(col("prediction")).as("_plo"), max(col("prediction")).as("_phi"))
+      .select(col("_n").as("n_scored"),
+        (col("_plo") >= ylo && col("_phi") <= yhi).as("preds_in_train_range"))
+  }
+
   /** A literal decision tree scored as a pure codegen CASE chain — the
     * kmeans_assign/softmax_predict fixed-model pattern applied to forest
     * inference: this is EXACTLY what FIL compiles a tree to (a branch-free

@@ -9,7 +9,7 @@ import graft.preprocessing.Preprocessing
 import graft.svm.SVMGraft
 import org.apache.spark.ml.classification.LogisticRegression
 import org.apache.spark.ml.feature.VectorAssembler
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Iterative / seeded estimators (rows-only checks): MLlib-backed models and
@@ -47,6 +47,31 @@ object MLQueries {
     Tables.lineitem(s, d).withColumn("_bin",
       when(col("l_returnflag") === "R", 1.0).otherwise(0.0))
 
+  /** Numerically stable log(1 + exp(t)) as a codegen column. */
+  private def softplus(t: Column): Column =
+    greatest(t, lit(0.0)) + log1p(exp(-abs(t)))
+
+  /** PARTIAL HASH GATE row shared by the logistic fits: the SQL-exact
+    * slice (row count, positive count, term count) plus the optimality
+    * floor — the fitted model's training log-loss sits below the
+    * intercept-only MLE's entropy −(p̄·ln p̄ + (1−p̄)·ln(1−p̄)), which is a
+    * feasible point for every solver here. One codegen'd aggregate. */
+  private def logisticGateRow(df: DataFrame, features: Seq[String], bin: Column,
+                              coefs: Seq[Double]): DataFrame = {
+    val margin = features.zipWithIndex.foldLeft(lit(coefs.head)) {
+      case (acc, (f, i)) => acc + col(f).cast("double") * coefs(i + 1)
+    }
+    val y = bin.cast("double")
+    df.agg(count(lit(1)).cast("long").as("_n"),
+        sum(y).cast("long").as("_npos"),
+        avg(softplus(-(y * 2.0 - 1.0) * margin)).as("_loss"),
+        avg(y).as("_p"))
+      .select(col("_n").as("n_rows"), col("_npos").as("n_pos"),
+        lit(features.size + 1).cast("long").as("n_terms"),
+        (col("_loss") < -(col("_p") * log(col("_p")) +
+          (lit(1.0) - col("_p")) * log(lit(1.0) - col("_p")))).as("loss_lt_null"))
+  }
+
   val queries: Map[String, Q] = Map(
     "lasso_cd" -> { (s, d) =>
       Lasso.fit(Tables.lineitem(s, d), LiFeatures, "l_extendedprice", alpha = 10.0)
@@ -66,6 +91,10 @@ object MLQueries {
         col("l_quantity") / 10.0, col("l_discount"), rounds = 8)
     },
     "logreg" -> { (s, d) =>
+      // PARTIAL HASH GATE (r11): MLlib's L-BFGS iterates are engine-
+      // internal, but the fitted coefficients must beat the intercept-only
+      // entropy — scored here with literal coefficients in one aggregate.
+      // Coefficient values stay spec-gated (pinned to the IRLS twin).
       val df = liWithLabel(s, d)
       val input = new VectorAssembler().setInputCols(LiFeatures.toArray).setOutputCol("_fv")
         .transform(df.select((LiFeatures.map(c => col(c).cast("double").as(c)) :+ col("_bin")): _*))
@@ -74,16 +103,35 @@ object MLQueries {
         new LogisticRegression().setFeaturesCol("_fv").setLabelCol("_bin")
           .setMaxIter(50).setRegParam(0.0).setTol(1e-9).fit(input)
       }
-      import s.implicits._
-      (("intercept", math.rint(m.intercept * 10000) / 10000) +:
-        LiFeatures.zipWithIndex.map { case (f, i) =>
-          (f, math.rint(m.coefficients(i) * 10000) / 10000)
-        }).toDF("term", "coef").orderBy("term")
+      logisticGateRow(df, LiFeatures, col("_bin"),
+        m.intercept +: LiFeatures.indices.map(m.coefficients(_)))
     },
     "logreg_multi" -> { (s, d) =>
       // softmax multiclass on the 3-class returnflag — the reference's
-      // LogisticRegression is multiclass (logistic_regression.pyx:41-42)
-      Softmax.fit(Tables.lineitem(s, d), LiFeatures, "l_returnflag")._1
+      // LogisticRegression is multiclass (logistic_regression.pyx:41-42).
+      // PARTIAL HASH GATE (r11): counts are SQL-exact; the fitted
+      // multinomial log-loss must beat the uniform model's ln(k) (w=0 is
+      // feasible for the MLE). Literal-coefficient scoring, one aggregate.
+      val li = Tables.lineitem(s, d)
+      val rows = Softmax.fit(li, LiFeatures, "l_returnflag")._1.collect()
+      val classes = rows.map(_.getString(0)).distinct.sorted
+      val cmap = rows.map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+      val scoreCols = classes.toSeq.map { c =>
+        LiFeatures.foldLeft(lit(cmap((c, "intercept")))) { (acc, f) =>
+          acc + col(f).cast("double") * cmap((c, f))
+        }
+      }
+      val smax = greatest(scoreCols: _*)
+      val lse = log(scoreCols.map(sc => exp(sc - smax)).reduce(_ + _)) + smax
+      val sTrue = classes.toSeq.zip(scoreCols).foldLeft(lit(0.0)) {
+        case (acc, (c, sc)) => when(col("l_returnflag") === c, sc).otherwise(acc)
+      }
+      li.agg(count(lit(1)).cast("long").as("_n"),
+          countDistinct(col("l_returnflag")).cast("long").as("_k"),
+          avg(lse - sTrue).as("_loss"))
+        .select(col("_n").as("n_rows"), col("_k").as("n_classes"),
+          (col("_k") * (LiFeatures.size + 1)).cast("long").as("n_coef_rows"),
+          (col("_loss") < log(col("_k").cast("double"))).as("loss_lt_uniform"))
     },
     "softmax_predict" -> { (s, d) =>
       val (pred, pMax) = Softmax.predict(
@@ -94,14 +142,35 @@ object MLQueries {
         .orderBy("class")
     },
     "qn_logreg" -> { (s, d) =>
-      GradientSolver.fitQN(liWithLabel(s, d), LiFeatures, "_bin")
-        .toDF(s).select(col("term"), round(col("coef"), 4).as("coef")).orderBy("term")
+      // PARTIAL HASH GATE (r11): breeze L-BFGS is engine-internal; the
+      // optimum must beat the intercept-only entropy (same gate as logreg)
+      val base = liWithLabel(s, d)
+      val model = GradientSolver.fitQN(base, LiFeatures, "_bin")
+      logisticGateRow(base, LiFeatures, col("_bin"), model.coefs)
     },
     "qn_logreg_l1" -> { (s, d) =>
       // the reference's OWL-QN dispatch (qn.pyx: l1 > 0 → OWL-QN) — L1
-      // drives weak coefficients to EXACTLY zero
-      GradientSolver.fitQN(liWithLabel(s, d), LiFeatures, "_bin", l1 = 0.0015)
-        .toDF(s).select(col("term"), round(col("coef"), 4).as("coef")).orderBy("term")
+      // drives weak coefficients to EXACTLY zero. PARTIAL HASH GATE (r11):
+      // the regularized objective (loss + l1·‖w_std‖₁, penalty on the
+      // standardized scale the solver optimizes) must beat the w=0 point's
+      // exact ln 2 — OWL-QN's optimum can only improve on a feasible point.
+      val base = liWithLabel(s, d)
+      val l1 = 0.0015
+      val model = GradientSolver.fitQN(base, LiFeatures, "_bin", l1 = l1)
+      val sdAggs = LiFeatures.map(f => stddev_samp(col(f).cast("double")))
+      val sdRow = base.agg(sdAggs.head, sdAggs.tail: _*).head()
+      val penalty = LiFeatures.indices.map { i =>
+        val sd = if (sdRow.isNullAt(i) || sdRow.getDouble(i) < 1e-12) 1.0 else sdRow.getDouble(i)
+        l1 * math.abs(model.coefs(i + 1) * sd)
+      }.sum
+      val margin = LiFeatures.zipWithIndex.foldLeft(lit(model.coefs.head)) {
+        case (acc, (f, i)) => acc + col(f).cast("double") * model.coefs(i + 1)
+      }
+      base.agg(count(lit(1)).cast("long").as("_n"),
+          avg(softplus(-(col("_bin") * 2.0 - 1.0) * margin)).as("_loss"))
+        .select(col("_n").as("n_rows"),
+          lit(LiFeatures.size + 1).cast("long").as("n_terms"),
+          (col("_loss") + penalty < math.log(2.0)).as("obj_lt_null"))
     },
     "sgd_linreg" -> { (s, d) =>
       GradientSolver.fit(Tables.lineitem(s, d), Seq("l_quantity"), "l_extendedprice",
@@ -109,35 +178,54 @@ object MLQueries {
         .toDF(s).select(col("term"), round(col("coef"), 1).as("coef")).orderBy("term")
     },
     "mbsgd_classifier" -> { (s, d) =>
-      GradientSolver.fit(liWithLabel(s, d), LiFeatures, "_bin",
-          GradientSolver.HingeLoss, lr = 0.05, iters = 40, batchFraction = 0.5)
-        .toDF(s).select(col("term"), round(col("coef"), 3).as("coef")).orderBy("term")
+      // PARTIAL HASH GATE (r11): seeded minibatch SGD is engine-internal;
+      // the fitted hinge loss must sit below the zero model's exact 1.0
+      val base = liWithLabel(s, d)
+      val model = GradientSolver.fit(base, LiFeatures, "_bin",
+        GradientSolver.HingeLoss, lr = 0.05, iters = 40, batchFraction = 0.5)
+      val margin = LiFeatures.zipWithIndex.foldLeft(lit(model.coefs.head)) {
+        case (acc, (f, i)) => acc + col(f).cast("double") * model.coefs(i + 1)
+      }
+      val hz = greatest(lit(0.0), lit(1.0) - (col("_bin") * 2.0 - 1.0) * margin)
+      base.agg(count(lit(1)).cast("long").as("_n"), avg(hz).as("_loss"))
+        .select(col("_n").as("n_rows"),
+          lit(LiFeatures.size + 1).cast("long").as("n_terms"),
+          (col("_loss") < 1.0).as("loss_lt_zero_model"))
     },
     "mbsgd_regressor" -> { (s, d) =>
-      GradientSolver.fit(Tables.lineitem(s, d), Seq("l_quantity"), "l_extendedprice",
-          GradientSolver.SquaredLoss, lr = 0.1, iters = 30, batchFraction = 0.5)
-        .toDF(s).select(col("term"), round(col("coef"), 1).as("coef")).orderBy("term")
+      // PARTIAL HASH GATE (r11): fitted MSE below the zero model's avg(y²)
+      val li = Tables.lineitem(s, d)
+      val model = GradientSolver.fit(li, Seq("l_quantity"), "l_extendedprice",
+        GradientSolver.SquaredLoss, lr = 0.1, iters = 30, batchFraction = 0.5)
+      val pred = lit(model.coefs.head) + col("l_quantity").cast("double") * model.coefs(1)
+      val y = col("l_extendedprice").cast("double")
+      li.agg(count(lit(1)).cast("long").as("_n"),
+          avg((pred - y) * (pred - y)).as("_mse"), avg(y * y).as("_z"))
+        .select(col("_n").as("n_rows"), lit(2L).as("n_terms"),
+          (col("_mse") < col("_z")).as("mse_lt_zero_model"))
     },
     "kmeans" -> { (s, d) =>
-      KMeansGraft.fitSummary(Tables.lineitem(s, d),
+      // PARTIAL HASH GATE (r11): count + non-empty-cluster count + the
+      // SSE < total-SS floor; centroids stay spec-gated
+      KMeansGraft.fitGate(Tables.lineitem(s, d),
         Seq("l_quantity", "l_discount", "l_tax"), k = 4, maxIter = 10)
     },
     "rf_classifier" -> { (s, d) =>
-      Forest.classifierSummary(Tables.lineitem(s, d), LiFeatures, "l_returnflag",
+      Forest.classifierGate(Tables.lineitem(s, d), LiFeatures, "l_returnflag",
         numTrees = 10)
     },
     "rf_importance" -> { (s, d) =>
-      Forest.classifierImportances(Tables.lineitem(s, d), LiFeatures, "l_returnflag",
+      Forest.importanceGate(Tables.lineitem(s, d), LiFeatures, "l_returnflag",
         numTrees = 10)
     },
     "rf_regressor" -> { (s, d) =>
-      Forest.regressorSummary(Tables.lineitem(s, d), LiFeatures, "l_extendedprice",
+      Forest.regressorGate(Tables.lineitem(s, d), LiFeatures, "l_extendedprice",
         numTrees = 10)
     },
     "fil_inference" -> { (s, d) =>
       val li = Tables.lineitem(s, d)
       val split = Preprocessing.trainTestSplit(li, "l_orderkey", 0.25)
-      Forest.inferenceSummary(split.filter(col("split") === "train"),
+      Forest.inferenceGate(split.filter(col("split") === "train"),
         split.filter(col("split") === "test"), LiFeatures, "l_extendedprice",
         numTrees = 10)
     },
@@ -174,11 +262,11 @@ object MLQueries {
           stddev_pop(col("rating"))).as("als_beats_mean"))
     },
     "svm_linear" -> { (s, d) =>
-      SVMGraft.linearSvcSummary(Tables.lineitem(s, d), LiFeatures,
+      SVMGraft.linearSvcGate(Tables.lineitem(s, d), LiFeatures,
         when(col("l_returnflag") === "R", 1.0).otherwise(0.0), maxIter = 20)
     },
     "svm_rbf" -> { (s, d) =>
-      SVMGraft.rbfSvcSummary(Tables.lineitem(s, d), LiFeatures,
+      SVMGraft.rbfSvcGate(Tables.lineitem(s, d), LiFeatures,
         when(col("l_returnflag") === "R", 1.0).otherwise(0.0),
         gamma = 0.5, dRff = 16, maxIter = 25)
     },
@@ -307,7 +395,59 @@ object MLQueries {
        |FROM p8, fin""".stripMargin
   }
 
+  /** Shared SQL fragment: the driver-replayable md5 hash split used by
+    * trainTestSplit (test side = bucket < 250 of 1000). */
+  private val TestSplitPredicate =
+    "('0x' || substr(md5(l_orderkey::VARCHAR || '_42'), 1, 15))::BIGINT % 1000 < 250"
+
   val oracles: Map[String, String] = Map(
+    // ---- r11 partial hash gates for the seeded/iterative estimators:
+    // counts are SQL-exact; invariant booleans assert the optimality /
+    // structural floors the Spark side computes from the real fit ----
+    "logreg" ->
+      """SELECT count(*)::BIGINT AS n_rows,
+        |  sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+        |  4::BIGINT AS n_terms, TRUE AS loss_lt_null FROM lineitem""".stripMargin,
+    "qn_logreg" ->
+      """SELECT count(*)::BIGINT AS n_rows,
+        |  sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+        |  4::BIGINT AS n_terms, TRUE AS loss_lt_null FROM lineitem""".stripMargin,
+    "qn_logreg_l1" ->
+      """SELECT count(*)::BIGINT AS n_rows, 4::BIGINT AS n_terms,
+        |  TRUE AS obj_lt_null FROM lineitem""".stripMargin,
+    "logreg_multi" ->
+      """SELECT count(*)::BIGINT AS n_rows,
+        |  count(DISTINCT l_returnflag)::BIGINT AS n_classes,
+        |  (count(DISTINCT l_returnflag) * 4)::BIGINT AS n_coef_rows,
+        |  TRUE AS loss_lt_uniform FROM lineitem""".stripMargin,
+    "mbsgd_classifier" ->
+      """SELECT count(*)::BIGINT AS n_rows, 4::BIGINT AS n_terms,
+        |  TRUE AS loss_lt_zero_model FROM lineitem""".stripMargin,
+    "mbsgd_regressor" ->
+      """SELECT count(*)::BIGINT AS n_rows, 2::BIGINT AS n_terms,
+        |  TRUE AS mse_lt_zero_model FROM lineitem""".stripMargin,
+    "kmeans" ->
+      """SELECT count(*)::BIGINT AS n_points, 4::BIGINT AS n_clusters,
+        |  TRUE AS sse_lt_totss FROM lineitem""".stripMargin,
+    "rf_classifier" ->
+      """SELECT count(*)::BIGINT AS n_rows, TRUE AS preds_in_label_set,
+        |  TRUE AS acc_ge_majority FROM lineitem""".stripMargin,
+    "rf_importance" ->
+      """SELECT * FROM (VALUES ('l_discount', TRUE, TRUE),
+        |  ('l_quantity', TRUE, TRUE), ('l_tax', TRUE, TRUE))
+        |  t(feature, imp_nonneg, sums_to_one) ORDER BY feature""".stripMargin,
+    "rf_regressor" ->
+      """SELECT count(*)::BIGINT AS n_rows, TRUE AS preds_in_label_range,
+        |  TRUE AS rmse_le_sd FROM lineitem""".stripMargin,
+    "fil_inference" ->
+      s"""SELECT count(*)::BIGINT AS n_scored, TRUE AS preds_in_train_range
+         |FROM lineitem WHERE $TestSplitPredicate""".stripMargin,
+    "svm_linear" ->
+      """SELECT count(*)::BIGINT AS n_rows, TRUE AS loss_lt_zero_model,
+        |  TRUE AS acc_ge_majority FROM lineitem""".stripMargin,
+    "svm_rbf" ->
+      """SELECT count(*)::BIGINT AS n_rows, TRUE AS loss_lt_zero_model,
+        |  TRUE AS acc_ge_majority FROM lineitem""".stripMargin,
     "als_recommend" ->
       """WITH r AS (
         |  SELECT o_custkey::INT AS u, l_partkey::INT AS it,

@@ -203,12 +203,25 @@ object VectorQueries {
         .orderBy("id").limit(50)
     },
     "pca" -> { (s, d) =>
+      // PARTIAL HASH GATE (r11): the eigensolve is driver-state, but the
+      // spectrum obeys SQL-checkable physics — positive, descending, and
+      // Σλ == trace(cov) == Σ var_samp(dim) recomputed from the raw table
+      // (1e-9 relative). The continuous spectrum stays spec-gated.
       import s.implicits._
-      val r = PCAGraft.fitWide(Tables.embeddings(s, d), "embedding")
-      r.explainedVar.take(8).zip(r.ratio.take(8)).zipWithIndex
-        .map { case ((ev, ra), i) =>
-          (i, math.rint(ev * 10000) / 10000, math.rint(ra * 1000000) / 1000000)
-        }.toSeq.toDF("component", "eigenvalue", "explained_ratio")
+      val e = Tables.embeddings(s, d)
+      val r = PCAGraft.fitWide(e, "embedding")
+      val evs = r.explainedVar
+      val desc = evs.indices.dropRight(1).forall(i => evs(i) >= evs(i + 1) - 1e-12)
+      val v = col("embedding").cast("array<double>")
+      val aggs = count(lit(1)).cast("long").as("_n") +:
+        (0 until 64).map(i => var_samp(element_at(v, i + 1)).as(s"_v$i"))
+      val row = e.agg(aggs.head, aggs.tail: _*).head()
+      val trace = (1 to 64).map(row.getDouble).sum
+      val traceOk = math.abs(evs.sum - trace) / trace < 1e-9
+      val n = row.getLong(0)
+      (0 until 8).map(i => (i, n, evs(i) > 0.0, desc, traceOk))
+        .toDF("component", "n_rows", "eig_positive", "descending_ok", "trace_matches")
+        .orderBy("component")
     },
     "pca_transform" -> { (s, d) =>
       // PARTIAL HASH GATE (ann_ivf precedent): row count + engine-stable
@@ -253,20 +266,43 @@ object VectorQueries {
         .orderBy("component")
     },
     "pca_inverse" -> { (s, d) =>
-      // inverse_transform quality: reconstruction MSE as k grows
+      // inverse_transform quality: reconstruction MSE as k grows. PARTIAL
+      // HASH GATE (r11): the MSE sequence obeys exact projection algebra —
+      // nonnegative and monotone nonincreasing from the k=0 total variance
+      // (nested orthogonal subspaces subtract ever more score mass)
       import s.implicits._
       val e = Tables.embeddings(s, d)
       val r = PCAGraft.fitWide(e, "embedding")
       val mu = PCAGraft.columnMeans(e, "embedding", 64)
-      Seq(1, 4, 16).map { k =>
-        (k.toLong, math.rint(PCAGraft.reconstructionMse(e, "embedding", r, k, mu) * 1e6) / 1e6)
-      }.toDF("k", "recon_mse").orderBy("k")
+      val v = col("embedding").cast("array<double>")
+      val centered2 = (0 until 64).map { i =>
+        val c = element_at(v, i + 1) - mu(i); c * c
+      }.reduce(_ + _)
+      val row = e.agg(count(lit(1)).cast("long").as("_n"),
+        avg(centered2 / 64).as("_m0")).head()
+      val (n, mse0) = (row.getLong(0), row.getDouble(1))
+      val ks = Seq(1, 4, 16)
+      val mses = ks.map(k => PCAGraft.reconstructionMse(e, "embedding", r, k, mu))
+      ks.zip(mses).zip(mse0 +: mses.dropRight(1)).map { case ((k, m), prev) =>
+        (k.toLong, n, m >= -1e-9, m <= prev + 1e-12)
+      }.toDF("k", "n_rows", "mse_nonneg", "mse_le_prev").orderBy("k")
     },
     "tsvd" -> { (s, d) =>
+      // PARTIAL HASH GATE (r11): full-spectrum energy conservation —
+      // Σσ² == ‖X‖²_F recomputed from the raw table (trace of the Gram),
+      // plus nonneg/descending; the spectrum itself stays spec-gated
       import s.implicits._
-      TSVDGraft.singularValues(Tables.embeddings(s, d), "embedding", 8)
-        .zipWithIndex.map { case (sv, i) => (i, math.rint(sv * 10000) / 10000) }
-        .toSeq.toDF("component", "singular_value")
+      val e = Tables.embeddings(s, d)
+      val svAll = TSVDGraft.singularValues(e, "embedding", 64)
+      val desc = svAll.indices.dropRight(1).forall(i => svAll(i) >= svAll(i + 1) - 1e-12)
+      val v = col("embedding").cast("array<double>")
+      val row = e.agg(count(lit(1)).cast("long").as("_n"),
+        sum(aggregate(v, lit(0.0), (acc, x) => acc + x * x)).as("_f2")).head()
+      val (n, f2) = (row.getLong(0), row.getDouble(1))
+      val energyOk = math.abs(svAll.map(x => x * x).sum - f2) / f2 < 1e-9
+      (0 until 8).map(i => (i, n, svAll(i) >= 0.0, desc, energyOk))
+        .toDF("component", "n_rows", "sv_nonneg", "descending_ok", "energy_matches_f2")
+        .orderBy("component")
     },
     "tsvd_transform" -> { (s, d) =>
       // TruncatedSVD scores: per-component energy (Σ score² = σ²). PARTIAL
@@ -301,31 +337,54 @@ object VectorQueries {
     },
     "umap_layout" -> { (s, d) =>
       // layout 100 nodes, then score the 2-D embedding against the 64-dim
-      // original with trustworthiness (deterministic init + forces)
+      // original with trustworthiness (deterministic init + forces).
+      // PARTIAL HASH GATE (r11): n/k SQL-exact; trustworthiness must clear
+      // 0.3 — well under the deterministic layout's observed ~0.47 on
+      // these near-random synthetic embeddings, and failing loudly if a
+      // data regen ever degrades the layout below it (planted-cluster
+      // separation stays spec-gated)
       val e = Tables.embeddings(s, d).filter(col("vec_id") < 100)
       val layout = Manifold.forceLayout(e, "vec_id", "embedding",
           k = 10, iters = 25, lr = 1.0, mode = Manifold.UmapForces)
         .select(col("id").as("vec_id"), array(col("x"), col("y")).as("emb2"))
       graft.metrics.Trustworthiness.compute(e, layout, "vec_id", "embedding", "emb2", 5)
+        .select(col("n").cast("long").as("n_points"), col("k").cast("long").as("k"),
+          (col("trustworthiness") >= 0.3 && col("trustworthiness") <= 1.0)
+            .as("trust_floor"))
     },
     "umap_transform" -> { (s, d) =>
       // fit the layout on vec_id < 100, then place the held-out
       // 100..149 points by kNN-weighted neighbor-coordinate averaging
-      // (the reference's out-of-sample transform, umap.pyx:495)
+      // (the reference's out-of-sample transform, umap.pyx:495).
+      // PARTIAL HASH GATE (r11): held-out count SQL-exact + the exact
+      // convexity invariant — each placement is a positive-weighted mean
+      // of fitted layout coordinates, so it lands inside the layout bbox
       val all = Tables.embeddings(s, d)
       val fit = all.filter(col("vec_id") < 100)
       val held = all.filter(col("vec_id") >= 100 && col("vec_id") < 150)
       val layout = Manifold.forceLayout(fit, "vec_id", "embedding",
           k = 10, iters = 25, lr = 1.0, mode = Manifold.UmapForces)
+      val bb = layout.agg(min(col("x")), max(col("x")), min(col("y")), max(col("y"))).head()
       Manifold.umapTransform(held, fit, layout, "vec_id", "embedding", 5)
-        .orderBy("id")
+        .agg(count(lit(1)).cast("long").as("_n"),
+          min(col("x")).as("_xlo"), max(col("x")).as("_xhi"),
+          min(col("y")).as("_ylo"), max(col("y")).as("_yhi"))
+        .select(col("_n").as("n_placed"),
+          (col("_xlo") >= bb.getDouble(0) - 1e-9 && col("_xhi") <= bb.getDouble(1) + 1e-9 &&
+            col("_ylo") >= bb.getDouble(2) - 1e-9 && col("_yhi") <= bb.getDouble(3) + 1e-9)
+            .as("within_layout_bbox"))
     },
     "tsne_layout" -> { (s, d) =>
+      // PARTIAL HASH GATE (r11): same n/k + trust-floor gate as
+      // umap_layout (observed ~0.56 here)
       val e = Tables.embeddings(s, d).filter(col("vec_id") < 100)
       val layout = Manifold.forceLayout(e, "vec_id", "embedding",
           k = 20, iters = 25, lr = 20.0, mode = Manifold.TsneForces)
         .select(col("id").as("vec_id"), array(col("x"), col("y")).as("emb2"))
       graft.metrics.Trustworthiness.compute(e, layout, "vec_id", "embedding", "emb2", 5)
+        .select(col("n").cast("long").as("n_points"), col("k").cast("long").as("k"),
+          (col("trustworthiness") >= 0.3 && col("trustworthiness") <= 1.0)
+            .as("trust_floor"))
     },
     "multimodal_meta" -> { (s, d) =>
       graft.multimodal.Multimodal.featureSummary(Tables.documents(s, d))
@@ -511,9 +570,31 @@ object VectorQueries {
          |SELECT * FROM ns, iso""".stripMargin,
     "random_projection" -> rpOracle(rpGaussEntry),
     "random_projection_sparse" -> rpOracle(rpSparseEntry),
-    // eigensolver-transform partial gates: component index, scored-row
-    // count, and the spec's invariants as hashed booleans (continuous
-    // spectra stay spec-gated — the eigensolver itself is engine-internal)
+    // r11 eigensolver/manifold partial gates: SQL-exact counts + invariant
+    // booleans (spectrum physics, projection algebra, convexity, trust
+    // floors); continuous values stay spec-gated
+    "pca" ->
+      """SELECT g.i::INT AS component, (SELECT count(*) FROM embeddings)::BIGINT AS n_rows,
+        |  TRUE AS eig_positive, TRUE AS descending_ok, TRUE AS trace_matches
+        |FROM generate_series(0, 7) g(i) ORDER BY component""".stripMargin,
+    "tsvd" ->
+      """SELECT g.i::INT AS component, (SELECT count(*) FROM embeddings)::BIGINT AS n_rows,
+        |  TRUE AS sv_nonneg, TRUE AS descending_ok, TRUE AS energy_matches_f2
+        |FROM generate_series(0, 7) g(i) ORDER BY component""".stripMargin,
+    "pca_inverse" ->
+      """SELECT t.k::BIGINT AS k, (SELECT count(*) FROM embeddings)::BIGINT AS n_rows,
+        |  TRUE AS mse_nonneg, TRUE AS mse_le_prev
+        |FROM (VALUES (1), (4), (16)) t(k) ORDER BY k""".stripMargin,
+    "umap_layout" ->
+      """SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 100)::BIGINT AS n_points,
+        |  5::BIGINT AS k, TRUE AS trust_floor""".stripMargin,
+    "tsne_layout" ->
+      """SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 100)::BIGINT AS n_points,
+        |  5::BIGINT AS k, TRUE AS trust_floor""".stripMargin,
+    "umap_transform" ->
+      """SELECT (SELECT count(*) FROM embeddings
+        |    WHERE vec_id >= 100 AND vec_id < 150)::BIGINT AS n_placed,
+        |  TRUE AS within_layout_bbox""".stripMargin,
     "pca_transform" ->
       """SELECT g.i::INT AS component, (SELECT count(*) FROM embeddings)::BIGINT AS n_rows,
         |  TRUE AS mean_zero, TRUE AS var_matches_ev

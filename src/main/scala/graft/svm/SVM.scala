@@ -68,10 +68,59 @@ object SVMGraft {
     * md5-seeded, the D feature columns are codegen'd cos expressions (pure
     * map), and the fit is the same one-aggregate-per-evaluation QN harness
     * as the linear path. Features are standardized first so γ acts on
-    * comparable scales. */
-  def rbfSvcSummary(df: DataFrame, features: Seq[String], binaryLabel: Column,
-                    gamma: Double = 0.5, dRff: Int = 32,
-                    regParam: Double = 1e-4, maxIter: Int = 60): DataFrame = {
+    * comparable scales. The projection is built by [[rffFrame]]; the fit
+    * surfaces through [[rbfSvcSummary]] and [[rbfSvcGate]]. */
+  /** PARTIAL HASH GATE row for the linear SVC fit: row count (SQL-exact)
+    * plus two floors — the fitted squared-hinge loss sits below the
+    * zero-model's loss of exactly 1.0 (w=0 is feasible for the QN
+    * optimizer, so its optimum can only improve on it), and sign(margin)
+    * accuracy is at least the majority-class share. Coefficients stay
+    * spec-gated (planted-margin tests). */
+  def linearSvcGate(df: DataFrame, features: Seq[String], binaryLabel: Column,
+                    regParam: Double = 0.01, maxIter: Int = 50): DataFrame = {
+    val base = df.select((features.map(c => col(c).cast("double").as(c)) :+
+      binaryLabel.cast("double").as("_lab")): _*)
+    val model = GradientSolver.fitQN(base, features, "_lab",
+      l2 = regParam, maxIter = maxIter, loss = GradientSolver.HingeLoss)
+    hingeGateRow(base, features, model.coefs)
+  }
+
+  /** Same gate over the RFF feature map — the kernel-SVC twin. */
+  def rbfSvcGate(df: DataFrame, features: Seq[String], binaryLabel: Column,
+                 gamma: Double = 0.5, dRff: Int = 32,
+                 regParam: Double = 1e-4, maxIter: Int = 25): DataFrame = {
+    val (zdf, zNames) = rffFrame(df, features, binaryLabel, gamma, dRff)
+    try {
+      val model = GradientSolver.fitQN(zdf, zNames, "_lab",
+        l2 = regParam, maxIter = maxIter, loss = GradientSolver.HingeLoss,
+        tol = 1e-5)
+      hingeGateRow(zdf, zNames, model.coefs)
+    } finally zdf.unpersist(blocking = false)
+  }
+
+  /** One codegen'd aggregate: n, squared-hinge loss of the literal
+    * coefficients vs the zero model's exact 1.0, accuracy vs majority. */
+  private def hingeGateRow(base: DataFrame, features: Seq[String],
+                           coefs: Seq[Double]): DataFrame = {
+    val margin = features.zipWithIndex.foldLeft(lit(coefs.head)) {
+      case (acc, (f, i)) => acc + col(f) * coefs(i + 1)
+    }
+    val ypm = col("_lab") * 2.0 - 1.0
+    val hz = greatest(lit(0.0), lit(1.0) - ypm * margin)
+    base.agg(count(lit(1)).cast("long").as("_n"),
+        avg(hz * hz).as("_loss"),
+        avg(when((margin > 0) === (col("_lab") === 1.0), 1.0).otherwise(0.0)).as("_acc"),
+        avg(col("_lab")).as("_pbar"))
+      .select(col("_n").as("n_rows"),
+        (col("_loss") < 1.0).as("loss_lt_zero_model"),
+        (col("_acc") >= greatest(col("_pbar"), lit(1.0) - col("_pbar")))
+          .as("acc_ge_majority"))
+  }
+
+  /** The standardized RFF projection (cached) + its feature names —
+    * shared by [[rbfSvcSummary]] and [[rbfSvcGate]]. */
+  private def rffFrame(df: DataFrame, features: Seq[String], binaryLabel: Column,
+                       gamma: Double, dRff: Int): (DataFrame, Seq[String]) = {
     val p = features.size
     val fx0 = features.map(c => col(c).cast("double"))
     val aggs = fx0.flatMap(c => Seq(avg(c), stddev_samp(c)))
@@ -100,6 +149,13 @@ object SVMGraft {
     }
     val zNames = (0 until dRff).map(j => s"_z$j")
     val zdf = df.select((zCols :+ binaryLabel.cast("double").as("_lab")): _*).cache()
+    (zdf, zNames)
+  }
+
+  def rbfSvcSummary(df: DataFrame, features: Seq[String], binaryLabel: Column,
+                    gamma: Double = 0.5, dRff: Int = 32,
+                    regParam: Double = 1e-4, maxIter: Int = 60): DataFrame = {
+    val (zdf, zNames) = rffFrame(df, features, binaryLabel, gamma, dRff)
     try {
       val model = GradientSolver.fitQN(zdf, zNames, "_lab",
         l2 = regParam, maxIter = maxIter, loss = GradientSolver.HingeLoss,
