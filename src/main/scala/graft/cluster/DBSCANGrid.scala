@@ -314,4 +314,22 @@ object DBSCANGrid {
         countDistinct(when(col("cluster") >= 0, col("cluster"))).as("n_clusters"),
         sum(when(col("is_core"), 1L).otherwise(0L)).as("n_core"))
       .orderBy("clustered")
+
+  /** PARTIAL HASH GATE summary (r11): the closed-form structure slice —
+    * clustered/noise counts and core counts, the exact quantities
+    * [[coreSummary]]'s DuckDB replay derives — hashed exactly, with the
+    * iterative CC's cluster count reduced to its exact bounds (1..n_core
+    * on the clustered side, 0 on the noise side). Full label parity stays
+    * spec-gated against brute force. */
+  def summaryGate(points: DataFrame, idCol: String, featCols: Seq[String],
+                  eps: Double, minPts: Int): DataFrame =
+    fitND(points, idCol, featCols, eps, minPts)
+      .groupBy((col("cluster") >= 0).as("clustered")).agg(
+        count(lit(1)).cast("long").as("n"),
+        sum(when(col("is_core"), 1L).otherwise(0L)).as("n_core"),
+        countDistinct(when(col("cluster") >= 0, col("cluster"))).as("_k"))
+      .select(col("clustered"), col("n"), col("n_core"),
+        when(col("clustered"), col("_k") >= 1 && col("_k") <= col("n_core"))
+          .otherwise(col("_k") === 0).as("n_clusters_bounded"))
+      .orderBy("clustered")
 }

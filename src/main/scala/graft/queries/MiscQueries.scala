@@ -20,10 +20,13 @@ object MiscQueries {
 
   val queries: Map[String, Q] = Map(
     "dbscan" -> { (s, d) =>
-      // 2-D DBSCAN over (value, scaled user bucket) on events
+      // 2-D DBSCAN over (value, scaled user bucket) on events. PARTIAL
+      // HASH GATE (r11): clustered/noise/core counts replay exactly in
+      // DuckDB (the coreSummary machinery); the CC's cluster count is
+      // gated to its exact bounds, labels stay parity-spec-gated
       val pts = Tables.events(s, d).select(col("event_id"),
         col("value").as("x"), (col("user_id") % 97).cast("double").as("y"))
-      DBSCANGrid.summary(pts, "event_id", "x", "y", eps = 1.0, minPts = 4)
+      DBSCANGrid.summaryGate(pts, "event_id", Seq("x", "y"), eps = 1.0, minPts = 4)
     },
     "dbscan_core" -> { (s, d) =>
       // the family's hash gate: core/border/noise classification and the
@@ -34,11 +37,15 @@ object MiscQueries {
       DBSCANGrid.coreSummary(pts, "event_id", Seq("x", "y"), eps = 1.0, minPts = 4)
     },
     "dbscan_3d" -> { (s, d) =>
-      // 3-D DBSCAN over (value, scaled user bucket, hour-of-day) on events
+      // 3-D DBSCAN over (value, scaled user bucket, hour-of-day) on
+      // events. PARTIAL HASH GATE (r11): same structure-slice gate as
+      // dbscan — the oracle re-derives the exact 3-D eps-pair set with
+      // 1-axis blocking (any exact blocking yields the same verified
+      // pairs), so core/clustered/noise counts hash-match
       val pts = Tables.events(s, d).select(col("event_id"),
         col("value").as("x"), (col("user_id") % 97).cast("double").as("y"),
         (hour(col("ts")) / lit(2.0)).as("z"))
-      DBSCANGrid.summaryND(pts, "event_id", Seq("x", "y", "z"),
+      DBSCANGrid.summaryGate(pts, "event_id", Seq("x", "y", "z"),
         eps = 1.0, minPts = 4)
     },
     "range_join" -> { (s, d) =>
@@ -188,17 +195,20 @@ object MiscQueries {
     },
     "dbscan_predict" -> { (s, d) =>
       // fit/predict separation for the DBSCAN family: fit on 6/7 of the
-      // points, assign the held-out 1/7 to the nearest core within eps
-      // (rows-only: cluster ids derive from the iterative fit; the
-      // assignment rule itself is parity-spec'd in DbscanNdSpec)
+      // points, assign the held-out 1/7 to the nearest core within eps.
+      // PARTIAL HASH GATE (r11): assignment EXISTENCE is closed-form —
+      // a query is assigned iff some train core sits within eps, and
+      // train-core classification replays in SQL — so the
+      // assigned/unassigned counts hash-match; cluster ids derive from
+      // the iterative fit and stay parity-spec'd in DbscanNdSpec
       val pts = Tables.events(s, d).select(col("event_id"),
         col("value").as("x"), (col("user_id") % 97).cast("double").as("y"))
       val train = pts.filter(col("event_id") % 7 =!= 0)
       val qs = pts.filter(col("event_id") % 7 === 0)
       val fitted = DBSCANGrid.fit(train, "event_id", "x", "y", eps = 1.0, minPts = 4)
       DBSCANGrid.predictND(train, fitted, "event_id", Seq("x", "y"), qs, "event_id", 1.0)
-        .groupBy("cluster").agg(count(lit(1)).cast("long").as("n"))
-        .orderBy("cluster")
+        .groupBy((col("cluster") >= 0).as("assigned"))
+        .agg(count(lit(1)).cast("long").as("n")).orderBy("assigned")
     },
     "psi" -> { (s, d) =>
       // feature-drift monitoring: PSI of o_totalprice between the md5
@@ -1084,6 +1094,77 @@ object MiscQueries {
     // 31-bit packed coarse cells, the same 5-offset half-space window
     // (o = ox*2^31 + oy for (0,0),(0,1),(1,-1),(1,0),(1,1)), the same
     // axis-prune + distance verify, degrees off the normalized pair set
+    // r11 structure-slice gates for the full DBSCAN family: the eps-pair
+    // machinery replays with generic 1-axis blocking (every candidate is
+    // distance-verified, so any exact blocking yields the same pair set)
+    "dbscan" ->
+      """WITH p AS (SELECT event_id::BIGINT AS id, value::DOUBLE AS x,
+        |    (user_id % 97)::DOUBLE AS y FROM events),
+        |c AS (SELECT id, x, y, floor(x / 1.0)::BIGINT AS bx FROM p),
+        |off AS (SELECT unnest([-1, 0, 1]) AS o),
+        |pr AS (SELECT a.id AS id, b.id AS bid FROM c a, off, c b
+        |  WHERE b.bx = a.bx + off.o AND a.id < b.id
+        |    AND abs(a.x - b.x) <= 1.0 AND abs(a.y - b.y) <= 1.0
+        |    AND (a.x - b.x)*(a.x - b.x) + (a.y - b.y)*(a.y - b.y) <= 1.0),
+        |bd AS (SELECT id, bid FROM pr UNION ALL SELECT bid, id FROM pr),
+        |deg AS (SELECT id, count(*) AS dg FROM bd GROUP BY id),
+        |fl AS (SELECT p.id, coalesce(deg.dg, 0) >= 3 AS is_core
+        |  FROM p LEFT JOIN deg ON p.id = deg.id),
+        |nbr AS (SELECT DISTINCT bd.id FROM bd
+        |  JOIN fl ON bd.bid = fl.id AND fl.is_core),
+        |cls AS (SELECT fl.id, fl.is_core, nbr.id IS NOT NULL AS has_nbr
+        |  FROM fl LEFT JOIN nbr ON fl.id = nbr.id)
+        |SELECT (is_core OR has_nbr) AS clustered, count(*)::BIGINT AS n,
+        |  sum(CASE WHEN is_core THEN 1 ELSE 0 END)::BIGINT AS n_core,
+        |  TRUE AS n_clusters_bounded
+        |FROM cls GROUP BY 1 ORDER BY clustered""".stripMargin,
+    "dbscan_3d" ->
+      """WITH p AS (SELECT event_id::BIGINT AS id, value::DOUBLE AS x,
+        |    (user_id % 97)::DOUBLE AS y,
+        |    ((epoch_us(ts) // 3600000000) % 24) / 2.0 AS z FROM events),
+        |c AS (SELECT id, x, y, z, floor(x / 1.0)::BIGINT AS bx FROM p),
+        |off AS (SELECT unnest([-1, 0, 1]) AS o),
+        |pr AS (SELECT a.id AS id, b.id AS bid FROM c a, off, c b
+        |  WHERE b.bx = a.bx + off.o AND a.id < b.id
+        |    AND abs(a.x - b.x) <= 1.0 AND abs(a.y - b.y) <= 1.0
+        |    AND abs(a.z - b.z) <= 1.0
+        |    AND (a.x - b.x)*(a.x - b.x) + (a.y - b.y)*(a.y - b.y)
+        |      + (a.z - b.z)*(a.z - b.z) <= 1.0),
+        |bd AS (SELECT id, bid FROM pr UNION ALL SELECT bid, id FROM pr),
+        |deg AS (SELECT id, count(*) AS dg FROM bd GROUP BY id),
+        |fl AS (SELECT p.id, coalesce(deg.dg, 0) >= 3 AS is_core
+        |  FROM p LEFT JOIN deg ON p.id = deg.id),
+        |nbr AS (SELECT DISTINCT bd.id FROM bd
+        |  JOIN fl ON bd.bid = fl.id AND fl.is_core),
+        |cls AS (SELECT fl.id, fl.is_core, nbr.id IS NOT NULL AS has_nbr
+        |  FROM fl LEFT JOIN nbr ON fl.id = nbr.id)
+        |SELECT (is_core OR has_nbr) AS clustered, count(*)::BIGINT AS n,
+        |  sum(CASE WHEN is_core THEN 1 ELSE 0 END)::BIGINT AS n_core,
+        |  TRUE AS n_clusters_bounded
+        |FROM cls GROUP BY 1 ORDER BY clustered""".stripMargin,
+    "dbscan_predict" ->
+      """WITH p AS (SELECT event_id::BIGINT AS id, value::DOUBLE AS x,
+        |    (user_id % 97)::DOUBLE AS y FROM events),
+        |tr AS (SELECT * FROM p WHERE id % 7 <> 0),
+        |q AS (SELECT * FROM p WHERE id % 7 = 0),
+        |c AS (SELECT id, x, y, floor(x / 1.0)::BIGINT AS bx FROM tr),
+        |off AS (SELECT unnest([-1, 0, 1]) AS o),
+        |pr AS (SELECT a.id AS id, b.id AS bid FROM c a, off, c b
+        |  WHERE b.bx = a.bx + off.o AND a.id < b.id
+        |    AND abs(a.x - b.x) <= 1.0 AND abs(a.y - b.y) <= 1.0
+        |    AND (a.x - b.x)*(a.x - b.x) + (a.y - b.y)*(a.y - b.y) <= 1.0),
+        |bd AS (SELECT id, bid FROM pr UNION ALL SELECT bid, id FROM pr),
+        |deg AS (SELECT id, count(*) AS dg FROM bd GROUP BY id),
+        |core AS (SELECT c.id, c.x, c.y, c.bx FROM c
+        |  JOIN deg ON c.id = deg.id WHERE deg.dg >= 3),
+        |qc AS (SELECT id, x, y, floor(x / 1.0)::BIGINT AS bx FROM q),
+        |hit AS (SELECT DISTINCT qc.id FROM qc, off, core
+        |  WHERE core.bx = qc.bx + off.o
+        |    AND (qc.x - core.x)*(qc.x - core.x)
+        |      + (qc.y - core.y)*(qc.y - core.y) <= 1.0)
+        |SELECT (hit.id IS NOT NULL) AS assigned, count(*)::BIGINT AS n
+        |FROM q LEFT JOIN hit ON q.id = hit.id
+        |GROUP BY 1 ORDER BY assigned""".stripMargin,
     "dbscan_core" ->
       """WITH p AS (SELECT event_id::BIGINT AS id, value::DOUBLE AS x,
         |    (user_id % 97)::DOUBLE AS y FROM events),
