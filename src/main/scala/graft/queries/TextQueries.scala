@@ -219,6 +219,29 @@ object TextQueries {
     "text_quality" -> { (s, d) =>
       TextOps.qualityFeatures(Tables.documents(s, d), "text", "doc_id").orderBy("doc_id")
     },
+    "dedup_keep_best" -> { (s, d) =>
+      // keep-best dedup — the production composition of exact dedup with
+      // quality scoring: within each exact-duplicate group (md5(text))
+      // keep the highest-quality doc (tie → smaller id). ONE shuffle on
+      // the content hash (each group is a duplicate cluster, bounded by
+      // its multiplicity), then a map-side-combined per-lang rollup —
+      // the shape that drops straight onto 100 TB.
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val q = TextOps.qualityFeatures(docs, "text", "doc_id")
+        .select(col("doc_id"), col("quality"))
+      val keyed = docs.select(col("doc_id"), col("lang"), md5(col("text")).as("h"))
+        .join(q, "doc_id")
+      val w = Window.partitionBy(col("h"))
+        .orderBy(col("quality").desc, col("doc_id").asc)
+      keyed.withColumn("_rn", row_number().over(w))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(when(col("_rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+          graft.core.Num.r4(avg(when(col("_rn") === 1, col("quality"))))
+            .as("avg_kept_quality"))
+        .orderBy("lang")
+    },
     "token_count" -> { (s, d) =>
       TextOps.tokenCounts(Tables.documents(s, d), "text", "doc_id").orderBy("doc_id")
     },
@@ -969,6 +992,28 @@ object TextQueries {
          |  round(least(1.0, (uniq / n_tokens) * 0.5 + (alpha / n_chars) * 0.3 +
          |    least(stop / n_tokens * 5.0, 1.0) * 0.2), 4) AS quality
          |FROM f ORDER BY doc_id""".stripMargin
+    },
+    "dedup_keep_best" -> {
+      val stop = TextOps.EnStop.map(w => s"'$w'").mkString(", ")
+      s"""WITH n AS (SELECT doc_id, text, lang, string_split(text, ' ') AS toks FROM documents),
+         |f AS (SELECT doc_id, lang, md5(text) AS h,
+         |  len(toks)::DOUBLE AS n_tokens,
+         |  length(text)::DOUBLE AS n_chars,
+         |  length(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE AS alpha,
+         |  len(list_distinct(toks))::DOUBLE AS uniq,
+         |  len(list_filter(toks, t -> t IN ($stop)))::DOUBLE AS stop
+         | FROM n),
+         |q AS (SELECT doc_id, lang, h,
+         |  round(least(1.0, (uniq / n_tokens) * 0.5 + (alpha / n_chars) * 0.3 +
+         |    least(stop / n_tokens * 5.0, 1.0) * 0.2), 4) AS quality
+         |  FROM f),
+         |r AS (SELECT lang, quality,
+         |    row_number() OVER (PARTITION BY h ORDER BY quality DESC, doc_id) AS rn
+         |  FROM q)
+         |SELECT lang, count(*)::BIGINT AS n_docs,
+         |  sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+         |  round(avg(CASE WHEN rn = 1 THEN quality END), 4) AS avg_kept_quality
+         |FROM r GROUP BY lang ORDER BY lang""".stripMargin
     },
     "weighted_sample" ->
       """WITH w AS (SELECT doc_id AS doc, lang,
