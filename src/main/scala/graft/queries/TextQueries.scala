@@ -209,6 +209,31 @@ object TextQueries {
           Seq("hash", "scan", "merge"), topN = 10)
         .orderBy("doc")
     },
+    "rrf_fusion" -> { (s, d) =>
+      // hybrid retrieval: reciprocal-rank fusion (Cormack et al.,
+      // SIGIR'09; k=60) of the BM25 lexical ranking and the embedding
+      // cosine ranking — the standard hybrid-search primitive. Both
+      // component rankers are the already-gated operators; fusion itself
+      // is a full-outer join of two BOUNDED top-20 lists (driver-scale),
+      // so the corpus-scale work stays inside the component rankers.
+      import org.apache.spark.sql.expressions.Window
+      val lex = graft.text.Relevance.bm25(Tables.documents(s, d), "text", "doc_id",
+          Seq("hash", "scan", "merge"), topN = 20)
+        .select(col("doc"), row_number()
+          .over(Window.orderBy(col("score").desc, col("doc"))).as("lrank"))
+      val e = Tables.embeddings(s, d)
+      val sem = graft.neighbors.KNN.bruteForce(e.filter(col("vec_id") === 0), e,
+          "vec_id", "vec_id", "embedding", "embedding", 20, graft.neighbors.KNN.Cosine)
+        .select(col("id").as("doc"), col("rank").as("srank"))
+      lex.join(sem, Seq("doc"), "full_outer")
+        .select(col("doc"),
+          (coalesce(lit(1.0) / (lit(60.0) + col("lrank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60.0) + col("srank")), lit(0.0))).as("_rrf"),
+          col("lrank").isNotNull.as("in_lex"), col("srank").isNotNull.as("in_sem"))
+        .orderBy(col("_rrf").desc, col("doc")).limit(10)
+        .select(col("doc"), r6(col("_rrf")).as("rrf"), col("in_lex"), col("in_sem"))
+        .orderBy("doc")
+    },
     "langid" -> { (s, d) =>
       Tables.documents(s, d)
         .select(col("lang").as("lang_actual"), TextOps.langIdScore(col("text")).as("lang_pred"))
@@ -758,6 +783,36 @@ object TextQueries {
          |SELECT doc, round(score, 6) AS score
          |FROM (SELECT doc, score FROM s ORDER BY score DESC, doc LIMIT 10)
          |ORDER BY doc""".stripMargin,
+    "rrf_fusion" ->
+      s"""WITH n AS (SELECT doc_id::BIGINT AS doc, $normToks AS w FROM documents),
+         |d AS (SELECT doc, len(w)::DOUBLE AS dl, w FROM n),
+         |st AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM d),
+         |t AS (SELECT doc, dl, unnest(w) AS term FROM d),
+         |tf AS (SELECT doc, dl, term, count(*)::DOUBLE AS tf FROM t
+         |  WHERE term IN ('hash', 'scan', 'merge') GROUP BY doc, dl, term),
+         |dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+         |s AS (SELECT tf.doc,
+         |    sum(ln(1.0::DOUBLE + (st.n_docs - dfq.df + 0.5::DOUBLE) / (dfq.df + 0.5::DOUBLE))
+         |      * tf.tf * (1.2::DOUBLE + 1.0::DOUBLE)
+         |      / (tf.tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE
+         |          + 0.75::DOUBLE * tf.dl / st.avgdl))) AS score
+         |  FROM tf JOIN dfq ON tf.term = dfq.term, st GROUP BY tf.doc),
+         |lex AS (SELECT doc, row_number() OVER (ORDER BY score DESC, doc) AS lrank
+         |  FROM (SELECT doc, score FROM s ORDER BY score DESC, doc LIMIT 20)),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |p AS (SELECT b.vec_id AS doc,
+         |    list_dot_product(a.v, b.v)
+         |      / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)) AS cs
+         |  FROM e a JOIN e b ON a.vec_id = 0),
+         |sem AS (SELECT doc, srank FROM (
+         |    SELECT doc, row_number() OVER (ORDER BY cs DESC, doc) AS srank FROM p)
+         |  WHERE srank <= 20),
+         |f AS (SELECT coalesce(lex.doc, sem.doc) AS doc,
+         |    coalesce(1.0 / (60.0 + lrank), 0.0) + coalesce(1.0 / (60.0 + srank), 0.0) AS rrf,
+         |    lrank IS NOT NULL AS in_lex, srank IS NOT NULL AS in_sem
+         |  FROM lex FULL OUTER JOIN sem ON lex.doc = sem.doc)
+         |SELECT doc::BIGINT AS doc, round(rrf, 6) AS rrf, in_lex, in_sem
+         |FROM (SELECT * FROM f ORDER BY rrf DESC, doc LIMIT 10) ORDER BY doc""".stripMargin,
     "pii_mask" ->
       """WITH p AS (SELECT doc_id::BIGINT AS doc,
         |    text || ' contact user' || doc_id || '@example.com from 192.168.' ||
