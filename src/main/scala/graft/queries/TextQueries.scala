@@ -396,12 +396,18 @@ object TextQueries {
       val u = (graft.core.Num.md5Long(concat(col("doc"), lit("_"), col("pos"),
         lit("_ns_"), col("_j"))) % 1000000L / lit(1000000.0) * tot)
       // first interval whose upper bound exceeds u — the last branch's
-      // bound is the total mass, and u < tot always (md5 % 1e6 ≤ 999999)
+      // bound is the total mass, and u < tot always (md5 % 1e6 ≤ 999999).
+      // The draw is PROJECTED ONCE as _u before the CASE chain: embedding
+      // the md5 expression in all 100 branches blew the generated method
+      // past codegen limits and re-evaluated the hash per branch
+      // interpreted (~10 s at sf0.1); against a plain double column the
+      // 100-way CASE is cheap codegen.
       val pick = entries.zip(his).foldRight(lit(null).cast("string")) {
-        case (((t, _), hi), acc) => when(u < hi, lit(t)).otherwise(acc)
+        case (((t, _), hi), acc) => when(col("_u") < hi, lit(t)).otherwise(acc)
       }
       tk.select(col("doc"), col("pos"),
           explode(array(lit(1), lit(2))).as("_j"))
+        .select(u.as("_u"))
         .select(pick.as("tok"))
         .groupBy("tok")
         .agg(count(lit(1)).cast("long").as("n_sampled"))
