@@ -5,11 +5,12 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing: opaque binary payloads + typed metadata,
-  * batched feature extraction. The decode step is REAL for two
+  * batched feature extraction. The decode step is REAL for three
   * self-describing uncompressed formats (P6 PPM, 24-bpp BMP — parsed
-  * header + raw pixel statistics, MultimodalSpec-gated) and falls back to
-  * deterministic byte statistics for formats whose codecs aren't present
-  * in this environment (jpeg/png/audio plug in at the same seam). The
+  * header + raw pixel statistics — and 16-bit PCM RIFF/WAVE audio,
+  * MultimodalSpec-gated) and falls back to deterministic byte statistics
+  * for formats whose codecs aren't present in this environment (jpeg/
+  * png/compressed audio plug in at the same seam). The
   * Spark-side contract — schema, batching, partition-parallel
   * extraction — is what matters at 100 TB and is identical on every
   * path.
@@ -39,11 +40,13 @@ object Multimodal {
         (col("doc_id") % 640 + 16).cast("int").as("width"),
         (col("doc_id") % 480 + 16).cast("int").as("height")).as("meta"))
 
-  /** Decoder dispatch: REAL parsers for two self-describing uncompressed
-    * image formats (P6 PPM and 24-bpp BMP — header + raw pixels, no codec
-    * library needed), byte-statistics fallback for anything else (the
-    * honest path for formats whose codecs aren't present in this
-    * environment — jpeg/png/audio would plug in here the same way). The
+  /** Decoder dispatch: REAL parsers for three self-describing
+    * uncompressed formats (P6 PPM and 24-bpp BMP images — header + raw
+    * pixels — and 16-bit PCM RIFF/WAVE audio — chunk walk + signed
+    * little-endian samples; no codec library needed), byte-statistics
+    * fallback for anything else (the honest path for formats whose
+    * codecs aren't present in this environment — jpeg/png/compressed
+    * audio would plug in here the same way). The
     * feature contract is uniform: 4 doubles (mean, std, max, min) over
     * decoded pixel channel values when a parser matches, over raw payload
     * bytes otherwise, so the pipeline shape (binary in, fixed-size vector
@@ -76,6 +79,7 @@ object Multimodal {
     * else. Deterministic and codec-free. */
   private[graft] def decode(bytes: Array[Byte]): Seq[Double] =
     decodePpm(bytes).orElse(decodeBmp(bytes)).map { case (_, _, px) => stats(px) }
+      .orElse(decodeWav(bytes).map { case (_, _, smp) => stats(smp) })
       .getOrElse(stats(bytes.map(b => (b & 0xff).toDouble)))
 
   /** Decoded (width, height) when a real parser matches — the metadata
@@ -157,6 +161,85 @@ object Multimodal {
       r += 1
     }
     Some((w, hAbs, px))
+  }
+
+  /** Canonical 44-byte RIFF/WAVE header for 16-bit mono PCM — the
+    * synthesis side of the audio decode gate. */
+  private[graft] def wavHeader(dataSize: Int, sampleRate: Int = 8000): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(44)
+    def ascii(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    def u32(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff) }
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    ascii("RIFF"); u32(36 + dataSize); ascii("WAVE")
+    ascii("fmt "); u32(16); u16(1); u16(1); u32(sampleRate)
+    u32(sampleRate * 2); u16(2); u16(16)
+    ascii("data"); u32(dataSize)
+    out.toByteArray
+  }
+
+  /** RIFF/WAVE PCM parser: "RIFF" <u32 size> "WAVE", then chunks; needs a
+    * "fmt " chunk declaring PCM (format 1) at 16 bits and a "data" chunk,
+    * whose payload parses as little-endian signed int16 samples. Returns
+    * (sampleRate, nChannels, sample values) or None when the payload is
+    * not a well-formed 16-bit PCM WAV (the byte-stats fallback then
+    * applies — same seam as the image parsers). */
+  private def decodeWav(bytes: Array[Byte]): Option[(Int, Int, Array[Double])] = {
+    def u32(off: Int): Long =
+      ((bytes(off) & 0xffL)) | ((bytes(off + 1) & 0xffL) << 8) |
+        ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+    def u16(off: Int): Int = (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+    def tag(off: Int, s: String): Boolean =
+      off + 4 <= bytes.length && s.indices.forall(i => bytes(off + i) == s.charAt(i).toByte)
+    if (bytes.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    var pos = 12
+    var fmt: Option[(Int, Int, Int)] = None // (format, channels, bits)
+    var rate = 0
+    var data: Option[(Int, Int)] = None // (offset, size)
+    while (pos + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
+      val size = u32(pos + 4).toInt
+      if (size < 0 || pos + 8 + size > bytes.length) return None
+      if (tag(pos, "fmt ") && size >= 16) {
+        fmt = Some((u16(pos + 8), u16(pos + 10), u16(pos + 22)))
+        rate = u32(pos + 12).toInt
+      } else if (tag(pos, "data")) data = Some((pos + 8, size))
+      pos += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    for {
+      (format, channels, bits) <- fmt
+      if format == 1 && bits == 16 && channels >= 1
+      (off, size) <- data
+      if size % 2 == 0
+    } yield {
+      val n = size / 2
+      val smp = Array.tabulate(n) { i =>
+        ((bytes(off + 2 * i) & 0xff) | (bytes(off + 2 * i + 1) << 8)).toShort.toDouble
+      }
+      (rate, channels, smp)
+    }
+  }
+
+  /** Hash-gated REAL audio decode: wrap each document's leading bytes as
+    * a 16-bit mono PCM WAV (canonical header + the text's first
+    * 2·nSamples bytes as little-endian samples), run them through
+    * [[extractFeatures]]' real RIFF parser, and aggregate the SIGNED
+    * sample statistics. The oracle recomputes int16 values from the raw
+    * byte pairs, so a fallback to byte stats (unsigned, header included)
+    * or any chunk-walk bug breaks the hash. */
+  def wavDecodeSummary(documents: DataFrame, nSamples: Int = 24): DataFrame = {
+    val need = nSamples * 2
+    val header = wavHeader(dataSize = need)
+    val media = documents
+      .filter(octet_length(col("text")) >= need)
+      .select(col("doc_id").cast("long"),
+        concat(lit(header), substring(col("text").cast("binary"), 1, need)).as("payload"),
+        struct(lit(need.toLong).as("n_bytes"), lit("audio").as("media_type"),
+          lit(0).as("width"), lit(0).as("height")).as("meta"))
+    extractFeatures(media)
+      .agg(count(lit(1)).cast("long").as("n_clips"),
+        round(avg(element_at(col("features"), 1)), 4).as("avg_sample_mean"),
+        round(avg(element_at(col("features"), 3)), 4).as("avg_sample_max"),
+        round(avg(element_at(col("features"), 4)), 4).as("avg_sample_min"))
   }
 
   /** Hash-gated REAL-decode pipeline: wrap each document's leading bytes

@@ -391,6 +391,9 @@ object VectorQueries {
     },
     "multimodal_decode" -> { (s, d) =>
       graft.multimodal.Multimodal.ppmDecodeSummary(Tables.documents(s, d))
+    },
+    "multimodal_audio_decode" -> { (s, d) =>
+      graft.multimodal.Multimodal.wavDecodeSummary(Tables.documents(s, d))
     }
   )
 
@@ -701,6 +704,20 @@ object VectorQueries {
         |  FROM v GROUP BY doc_id)
         |SELECT count(*)::BIGINT AS n_images, round(avg(m), 4) AS avg_pixel_mean,
         |  round(avg(mx), 4) AS avg_pixel_max, round(avg(mn), 4) AS avg_pixel_min
+        |FROM pm""".stripMargin,
+    "multimodal_audio_decode" ->
+      """WITH d AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents WHERE strlen(text) >= 48),
+        |s AS (SELECT doc_id, unnest(range(0, 24)) AS i, hx FROM d),
+        |v0 AS (SELECT doc_id,
+        |    ('0x' || substr(hx, 4*i + 1, 2))::INT
+        |      + 256 * ('0x' || substr(hx, 4*i + 3, 2))::INT AS u
+        |  FROM s),
+        |v AS (SELECT doc_id,
+        |    (CASE WHEN u >= 32768 THEN u - 65536 ELSE u END)::DOUBLE AS smp FROM v0),
+        |pm AS (SELECT doc_id, avg(smp) AS m, max(smp) AS mx, min(smp) AS mn
+        |  FROM v GROUP BY doc_id)
+        |SELECT count(*)::BIGINT AS n_clips, round(avg(m), 4) AS avg_sample_mean,
+        |  round(avg(mx), 4) AS avg_sample_max, round(avg(mn), 4) AS avg_sample_min
         |FROM pm""".stripMargin,
     "dedup_embedding" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

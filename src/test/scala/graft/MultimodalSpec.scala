@@ -113,4 +113,43 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.map(_.getString(0)).toSeq ==
       got.map(_.getString(0)).toSeq.sorted)
   }
+
+  /** Mono 16-bit PCM WAV with known signed samples. */
+  private def wav(samples: Seq[Int]): Array[Byte] = {
+    val data = samples.flatMap(s =>
+      Seq((s & 0xff).toByte, ((s >> 8) & 0xff).toByte)).toArray
+    Multimodal.wavHeader(data.length) ++ data
+  }
+
+  test("RIFF/WAVE PCM decodes: signed little-endian samples, not bytes") {
+    val samples = Seq(0, 1000, -1000, 32767, -32768, 42)
+    assert(Multimodal.decode(wav(samples)) ==
+      expectStats(samples.map(_.toDouble)))
+  }
+
+  test("malformed WAVs fall back to byte statistics") {
+    // truncated data chunk: header promises 12 bytes, payload has 4
+    val truncated = Multimodal.wavHeader(12) ++ Array[Byte](1, 2, 3, 4)
+    assert(Multimodal.decode(truncated) ==
+      expectStats(truncated.map(b => (b & 0xff).toDouble)))
+    // 8-bit format code (bits != 16) must not parse as PCM16
+    val w8 = wav(Seq(7, 8, 9))
+    w8(34) = 8 // bitsPerSample
+    assert(Multimodal.decode(w8) == expectStats(w8.map(b => (b & 0xff).toDouble)))
+  }
+
+  test("wavDecodeSummary routes documents through the REAL RIFF parser") {
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 40)
+    val got = Multimodal.wavDecodeSummary(docs).head()
+    val texts = docs.select(col("text")).collect()
+      .map(_.getString(0).getBytes("UTF-8")).filter(_.length >= 48)
+    val means = texts.map { b =>
+      val smp = (0 until 24).map(i =>
+        ((b(2 * i) & 0xff) | (b(2 * i + 1) << 8)).toShort.toDouble)
+      smp.sum / smp.size
+    }
+    assert(got.getLong(0) == texts.length)
+    assert(got.getDouble(got.fieldIndex("avg_sample_mean")) ==
+      math.rint(means.sum / means.length * 10000) / 10000)
+  }
 }
