@@ -253,10 +253,8 @@ object TextQueries {
       // the shape that drops straight onto 100 TB.
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d)
-      val q = TextOps.qualityFeatures(docs, "text", "doc_id")
-        .select(col("doc_id"), col("quality"))
-      val keyed = docs.select(col("doc_id"), col("lang"), md5(col("text")).as("h"))
-        .join(q, "doc_id")
+      val keyed = docs.select(col("doc_id"), col("lang"), md5(col("text")).as("h"),
+        TextOps.qualityScore(col("text")).as("quality"))
       val w = Window.partitionBy(col("h"))
         .orderBy(col("quality").desc, col("doc_id").asc)
       keyed.withColumn("_rn", row_number().over(w))

@@ -72,6 +72,22 @@ object TextOps {
     }
   }
 
+  /** The composite quality score in [0,1] as a single codegen column —
+    * usable inline in any projection (no join back to the feature frame
+    * needed; dedup_keep_best composes it with the content hash in ONE
+    * scan). Rounded to the 4-dp grid like the feature frame. */
+  def qualityScore(t: Column): Column = {
+    val toks = tokens(t)
+    val nTok = size(toks).cast("double")
+    val nChars = length(t).cast("double")
+    val alpha = length(regexp_replace(t, "[^a-z]", "")).cast("double")
+    val uniq = size(array_distinct(toks)).cast("double")
+    val stop = countIn(toks, EnStop).cast("double")
+    r4(least(lit(1.0),
+      (uniq / nTok) * 0.5 + (alpha / nChars) * 0.3 +
+        least(stop / nTok * 5.0, lit(1.0)) * 0.2))
+  }
+
   /** Heuristic quality features + a composite score in [0,1]. */
   def qualityFeatures(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val t = col(textCol)
@@ -88,9 +104,7 @@ object TextOps {
       r4(alpha / nChars).as("alpha_ratio"),
       r4(uniq / nTok).as("uniq_ratio"),
       r4(stop / nTok).as("stopword_ratio"),
-      r4(least(lit(1.0),
-        (uniq / nTok) * 0.5 + (alpha / nChars) * 0.3 +
-          least(stop / nTok * 5.0, lit(1.0)) * 0.2)).as("quality"))
+      qualityScore(t).as("quality"))
   }
 
   /** Token counting: whitespace tokens + BPE-ish piece count (runs of
