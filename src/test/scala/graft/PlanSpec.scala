@@ -518,4 +518,31 @@ class PlanSpec extends AnyFunSuite {
         s"$q lost its checkpointed input: " + p.take(3000))
     }
   }
+
+  test("dedup_keep_best is scan -> hash window -> rollup, no self-join") {
+    // quality is an inline column, so the only exchanges are the window's
+    // content-hash shuffle and the bounded per-lang rollup
+    val p = planOf(SparkEntry.queries("dedup_keep_best")(spark, sf))
+    assert(!p.contains("Join"), p.take(3000))
+    val exchanges = p.split("Exchange").length - 1
+    assert(exchanges <= 3, s"$exchanges exchanges (want <=3): " + p.take(3000))
+  }
+
+  test("rrf_fusion keeps the corpus-scale work inside broadcast rankers") {
+    // the cosine side broadcasts its 1-row query; the fusion join runs
+    // over two bounded top-20 lists — never a corpus-vs-corpus shuffle
+    val p = planOf(SparkEntry.queries("rrf_fusion")(spark, sf))
+    assert(p.contains("BroadcastExchange"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("estimator gate rows are join-free single-scan aggregates") {
+    // the r11 logistic/hinge gates score literal coefficients in ONE
+    // codegen aggregate over the raw table — no join, no window
+    Seq("qn_logreg", "svm_linear", "mbsgd_classifier").foreach { q =>
+      val p = planOf(SparkEntry.queries(q)(spark, sf))
+      assert(!p.contains("Join"), s"$q plans a join: " + p.take(3000))
+      assert(!p.contains("Window"), s"$q plans a window: " + p.take(3000))
+    }
+  }
 }
