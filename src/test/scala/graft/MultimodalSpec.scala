@@ -138,6 +138,59 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decode(w8) == expectStats(w8.map(b => (b & 0xff).toDouble)))
   }
 
+  test("GIF clear-spam roundtrip: encode -> LZW decode -> identity gray pixels") {
+    val payload = (0 until 48).map(i => (i * 5 % 256).toByte).toArray
+    val gif = Multimodal.gifEncode(payload, 8, 6)
+    assert(Multimodal.decodedDims(gif).contains((8, 6)))
+    assert(Multimodal.decode(gif) ==
+      expectStats(payload.flatMap(b => Seq.fill(3)((b & 0xff).toDouble))))
+  }
+
+  test("GIF LZW dictionary growth and width bump decode correctly") {
+    // hand-packed stream, minCode=2: codes [clear,0,1,6,2,eoi] with the
+    // width bumping 3 -> 4 bits when entry 8 fills the 3-bit space;
+    // code 6 is a GROWN dictionary entry ([0,1]). Decoded indices:
+    // 0,1,0,1,2 over a 4-entry gray palette (0,10,20,30). An extension
+    // block sits before the image descriptor to exercise the skip path.
+    val codes = Seq((4, 3), (0, 3), (1, 3), (6, 3), (2, 4), (5, 4))
+    var acc = 0L; var accBits = 0
+    val data = new java.io.ByteArrayOutputStream()
+    codes.foreach { case (c, w) =>
+      acc |= c.toLong << accBits; accBits += w
+      while (accBits >= 8) { data.write((acc & 0xff).toInt); acc >>>= 8; accBits -= 8 }
+    }
+    if (accBits > 0) data.write((acc & 0xff).toInt)
+    val lzw = data.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    out.write(5); out.write(0); out.write(1); out.write(0) // 5x1 screen
+    out.write(0x80 | 0x00); out.write(0); out.write(0) // GCT, 2 entries? no: size bits 0 -> 2 entries
+    // size bits 0 give 2 entries — we need 4, so rewrite packed byte:
+    val head = out.toByteArray
+    head(10) = (0x80 | 0x01).toByte // 2 << 1 = 4 entries
+    val full = new java.io.ByteArrayOutputStream()
+    full.write(head)
+    for (i <- 0 until 4) { full.write(i * 10); full.write(i * 10); full.write(i * 10) }
+    full.write(0x21); full.write(0xfe); full.write(3) // comment extension
+    full.write("hey".getBytes("US-ASCII")); full.write(0)
+    full.write(0x2c); full.write(0); full.write(0); full.write(0); full.write(0)
+    full.write(5); full.write(0); full.write(1); full.write(0); full.write(0)
+    full.write(2) // LZW min code size
+    full.write(lzw.length); full.write(lzw); full.write(0)
+    full.write(0x3b)
+    val gif = full.toByteArray
+    assert(Multimodal.decodedDims(gif).contains((5, 1)))
+    val want = Seq(0, 10, 0, 10, 20).flatMap(v => Seq.fill(3)(v.toDouble))
+    assert(Multimodal.decode(gif) == expectStats(want))
+  }
+
+  test("malformed GIFs fall back to byte statistics") {
+    val gif = Multimodal.gifEncode((0 until 12).map(_.toByte).toArray, 4, 3)
+    val truncated = gif.take(gif.length - 10) // cut into the LZW stream
+    assert(Multimodal.decode(truncated) ==
+      expectStats(truncated.map(b => (b & 0xff).toDouble)))
+  }
+
   test("wavDecodeSummary routes documents through the REAL RIFF parser") {
     val docs = Tables.documents(spark, sf).filter(col("doc_id") < 40)
     val got = Multimodal.wavDecodeSummary(docs).head()
