@@ -462,6 +462,37 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Hash-gated dimension parsing — the METADATA side of the decode
+    * contract (stats gates cover pixel values; this covers the header
+    * geometry). Each doc becomes a GIF or PNG whose (w, h) derive from
+    * doc_id, so the oracle recomputes the expected dims in SQL and the
+    * gate fails if either format's header parse (or the format dispatch)
+    * mis-reads geometry. */
+  def dimsSummary(documents: DataFrame): DataFrame = {
+    val dims = udf((id: Long, text: String) => {
+      val w = 2 + (id % 5).toInt
+      val h = 2 + (id % 3).toInt
+      val b = text.getBytes("UTF-8").take(w * h)
+      val payload = if (b.length < w * h) b.padTo(w * h, 0.toByte) else b
+      val enc = if (id % 2 == 0) gifEncode(payload, w, h) else pngEncode(payload, w, h)
+      decodedDims(enc) match {
+        case Some((dw, dh)) => Seq(dw, dh)
+        case None           => Seq(-1, -1)
+      }
+    })
+    documents
+      .select(col("doc_id").cast("long").as("doc"),
+        when(col("doc_id") % 2 === 0, "gif").otherwise("png").as("fmt"),
+        dims(col("doc_id").cast("long"), col("text")).as("_d"))
+      .select(col("doc"), col("fmt"),
+        element_at(col("_d"), 1).as("w"), element_at(col("_d"), 2).as("h"))
+      .groupBy("fmt")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("w")).cast("long").as("sum_w"), sum(col("h")).cast("long").as("sum_h"),
+        min(col("w")).cast("long").as("min_w"), max(col("h")).cast("long").as("max_h"))
+      .orderBy("fmt")
+  }
+
   /** Hash-gated REAL GIF decode: encode each document's leading bytes as
     * an identity-palette GIF (clear-spam LZW), route through the real
     * LZW decoder, aggregate pixel stats. Decoded gray channels repeat

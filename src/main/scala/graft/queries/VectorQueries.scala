@@ -400,6 +400,9 @@ object VectorQueries {
     },
     "multimodal_png_decode" -> { (s, d) =>
       graft.multimodal.Multimodal.pngDecodeSummary(Tables.documents(s, d))
+    },
+    "multimodal_dims" -> { (s, d) =>
+      graft.multimodal.Multimodal.dimsSummary(Tables.documents(s, d))
     }
   )
 
@@ -711,6 +714,14 @@ object VectorQueries {
         |SELECT count(*)::BIGINT AS n_images, round(avg(m), 4) AS avg_pixel_mean,
         |  round(avg(mx), 4) AS avg_pixel_max, round(avg(mn), 4) AS avg_pixel_min
         |FROM pm""".stripMargin,
+    "multimodal_dims" ->
+      """WITH d AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'gif' ELSE 'png' END AS fmt,
+        |    (2 + doc_id % 5)::BIGINT AS w, (2 + doc_id % 3)::BIGINT AS h
+        |  FROM documents)
+        |SELECT fmt, count(*)::BIGINT AS n, sum(w)::BIGINT AS sum_w,
+        |  sum(h)::BIGINT AS sum_h, min(w)::BIGINT AS min_w, max(h)::BIGINT AS max_h
+        |FROM d GROUP BY fmt ORDER BY fmt""".stripMargin,
     "multimodal_png_decode" ->
       """WITH d AS (SELECT doc_id, encode(text) AS b FROM documents WHERE strlen(text) >= 48),
         |ch AS (SELECT doc_id, unnest(range(0, 48)) AS i, hex(b) AS hx FROM d),
