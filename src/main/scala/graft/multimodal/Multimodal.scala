@@ -462,6 +462,13 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** The decode dispatch as a UDF — the streaming-compatible face of
+    * [[extractFeatures]] (Structured Streaming cannot run the RDD
+    * mapPartitions path). One definition of [[decode]] serves both, so
+    * batch and ingest-time features cannot drift. */
+  def decodeFeaturesUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((bytes: Array[Byte]) => decode(bytes))
+
   /** Hash-gated dimension parsing — the METADATA side of the decode
     * contract (stats gates cover pixel values; this covers the header
     * geometry). Each doc becomes a GIF or PNG whose (w, h) derive from

@@ -275,6 +275,20 @@ object StreamingOps {
       .select(col("doc"))
   }
 
+  /** Streaming multimodal feature extraction — the ingest-time twin of
+    * multimodal.Multimodal.extractFeatures, sharing its decode dispatch
+    * (Multimodal.decode via decodeFeaturesUdf — one definition, so batch
+    * and ingest-time features cannot drift): each arriving media row
+    * (opaque binary payload + typed metadata) is emitted with its decoded
+    * feature vector — real PPM/BMP/GIF/PNG/WAV parse when the payload
+    * matches, byte-stats otherwise. Stateless pure map — the 100 TB/day
+    * shape, nothing shuffles. */
+  def streamingMediaFeatures(media: DataFrame): DataFrame =
+    media.select(col("doc_id").cast("long").as("doc"),
+      col("meta.media_type").as("media_type"),
+      octet_length(col("payload")).cast("long").as("n_bytes"),
+      graft.multimodal.Multimodal.decodeFeaturesUdf(col("payload")).as("features"))
+
   /** Streaming PII scrub — the ingest-time twin of text.TextOps.piiMask,
     * sharing its regex chain (TextOps.piiMaskExprs — one definition, so
     * batch and ingest-time redaction cannot drift): each arriving document

@@ -504,4 +504,35 @@ class StreamingSpec extends AnyFunSuite {
         math.rint((5.0 - expect(someSeries)) * 10000) / 10000)
     } finally q.stop()
   }
+
+  test("streaming media features equal the batch decode on the same payloads") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val gif = graft.multimodal.Multimodal.gifEncode(
+      (0 until 12).map(i => (i * 11 % 256).toByte).toArray, 4, 3)
+    val png = graft.multimodal.Multimodal.pngEncode(
+      (0 until 12).map(i => (i * 13 % 256).toByte).toArray, 3, 4)
+    val opaque = "not a media payload".getBytes("UTF-8")
+    val in = MemoryStream[(Long, Array[Byte], String)]
+    val media = in.toDF().toDF("doc_id", "payload", "mt")
+      .select(col("doc_id"), col("payload"),
+        struct(octet_length(col("payload")).cast("long").as("n_bytes"),
+          col("mt").as("media_type"), lit(0).as("width"), lit(0).as("height")).as("meta"))
+    val q = StreamingOps.streamingMediaFeatures(media)
+      .writeStream.format("memory").queryName("media_feats")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, gif, "image"), (2L, png, "image"), (3L, opaque, "video"))
+      q.processAllAvailable()
+      val rows = spark.table("media_feats").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](r.fieldIndex("features"))).toMap
+      assert(rows.size == 3)
+      // one decode definition serves batch and stream: exact equality
+      assert(rows(1L) == graft.multimodal.Multimodal.decode(gif))
+      assert(rows(2L) == graft.multimodal.Multimodal.decode(png))
+      assert(rows(3L) == graft.multimodal.Multimodal.decode(opaque))
+      // and the real parsers actually fired (stats differ from byte stats)
+      assert(rows(1L) != graft.multimodal.Multimodal.decode(opaque))
+    } finally q.stop()
+  }
 }
