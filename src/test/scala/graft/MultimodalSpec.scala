@@ -268,6 +268,69 @@ class MultimodalSpec extends AnyFunSuite {
       expectStats(truncated.map(b => (b & 0xff).toDouble)))
   }
 
+  test("JPEG roundtrip: constant-block encode -> Huffman + IDCT decode is lossless") {
+    val payload = (0 until 48).map(i => (i * 17 % 256).toByte).toArray
+    val jpg = Multimodal.jpegEncode(payload, 8, 6)
+    assert(Multimodal.decodedDims(jpg).contains((64, 48)))
+    // each byte is one constant 8x8 block: stats equal the byte stats
+    assert(Multimodal.decode(jpg) ==
+      expectStats(payload.map(b => (b & 0xff).toDouble)))
+  }
+
+  test("JPEG AC coefficients decode through run-length + dequant + IDCT") {
+    // hand-built 8x8 single-block JPEG: DC category 0 (diff 0) then AC
+    // symbol (run 0, size 1) with amplitude bit 1 -> coefficient +1 at
+    // zigzag index 1, then EOB. AC Huffman table: EOB '0' (1 bit),
+    // 0x01 '10' (2 bits). Quant table q[1] = 7 scales the coefficient.
+    // Expected pixels from an independently-written IDCT formula.
+    val out = new java.io.ByteArrayOutputStream()
+    def m(mk: Int): Unit = { out.write(0xff); out.write(mk) }
+    def u16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    m(0xd8)
+    m(0xdb); u16(2 + 1 + 64); out.write(0x00)
+    for (i <- 0 until 64) out.write(if (i == 1) 7 else 1)
+    m(0xc0); u16(2 + 6 + 3)
+    out.write(8); u16(8); u16(8); out.write(1)
+    out.write(1); out.write(0x11); out.write(0)
+    m(0xc4); u16(2 + 1 + 16 + 12); out.write(0x00)
+    Array(0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0).foreach(out.write)
+    for (i <- 0 until 12) out.write(i)
+    m(0xc4); u16(2 + 1 + 16 + 2); out.write(0x10)
+    Array(1, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0).foreach(out.write)
+    out.write(0x00); out.write(0x01) // EOB='0', (run0,size1)='10'
+    m(0xda); u16(2 + 1 + 2 + 3)
+    out.write(1); out.write(1); out.write(0x00)
+    out.write(0); out.write(63); out.write(0)
+    // entropy: DC cat 0 = '0000'; AC '10' + amplitude '1'; EOB '0' -> pad 1s
+    // bits: 0000 101 0 + 1 pad = 0000_1010 1111_1111? only 8 bits used:
+    // 0000 101 0 = 0x0A exactly one byte, no pad needed
+    out.write(0x0a)
+    m(0xd9)
+    val jpg = out.toByteArray
+    assert(Multimodal.decodedDims(jpg).contains((8, 8)))
+    // independent IDCT restatement: coefficient 7 at (u,v) = (0,1)
+    val want = (0 until 64).map { i =>
+      val (y, x) = (i / 8, i % 8)
+      val sum = (1.0 / math.sqrt(2.0)) * 1.0 * 7.0 *
+        math.cos(0.0) * math.cos((2 * x + 1) * 1 * math.Pi / 16.0)
+      math.max(0.0, math.min(255.0, math.rint(sum / 4.0 + 128.0)))
+    }
+    assert(Multimodal.decode(jpg) == expectStats(want))
+  }
+
+  test("malformed / unsupported JPEGs fall back to byte statistics") {
+    val jpg = Multimodal.jpegEncode((0 until 12).map(_.toByte).toArray, 4, 3)
+    val truncated = jpg.take(jpg.length - 8) // cut into the entropy stream
+    assert(Multimodal.decode(truncated) ==
+      expectStats(truncated.map(b => (b & 0xff).toDouble)))
+    val progressive = jpg.clone() // flip SOF0 -> SOF2 (progressive: declined)
+    val sofAt = progressive.indices.find(i =>
+      (progressive(i) & 0xff) == 0xff && (progressive(i + 1) & 0xff) == 0xc0).get
+    progressive(sofAt + 1) = 0xc2.toByte
+    assert(Multimodal.decode(progressive) ==
+      expectStats(progressive.map(b => (b & 0xff).toDouble)))
+  }
+
   test("wavDecodeSummary routes documents through the REAL RIFF parser") {
     val docs = Tables.documents(spark, sf).filter(col("doc_id") < 40)
     val got = Multimodal.wavDecodeSummary(docs).head()
