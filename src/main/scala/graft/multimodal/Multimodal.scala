@@ -869,6 +869,33 @@ object Multimodal {
       } else if (tag(pos, "data")) data = Some((pos + 8, size))
       pos += 8 + size + (size & 1) // chunks are word-aligned
     }
+    fmt match {
+      case Some((7, channels, 8)) if channels >= 1 =>
+        // G.711 μ-law (WAVE format 7): one companded byte per sample,
+        // expanded by the closed-form segment/mantissa formula — a REAL
+        // compressed-audio codec, and SQL-replayable since the expansion
+        // is pure integer arithmetic
+        data.map { case (off, size) =>
+          val smp = Array.tabulate(size)(i => mulawExpand(bytes(off + i)).toDouble)
+          (rate, channels, smp)
+        }
+      case _ => decodePcm16(bytes, fmt, rate, data)
+    }
+  }
+
+  /** G.711 μ-law byte → linear PCM16 sample (ITU-T G.711 decoder
+    * formula: complement, 3-bit exponent segment, 4-bit mantissa,
+    * +0x84 bias). */
+  private[graft] def mulawExpand(b: Byte): Int = {
+    val u = (~b) & 0xff
+    val exp = (u >> 4) & 7
+    val mant = u & 0x0f
+    val mag = (((mant << 3) + 0x84) << exp) - 0x84
+    if ((u & 0x80) != 0) -mag else mag
+  }
+
+  private def decodePcm16(bytes: Array[Byte], fmt: Option[(Int, Int, Int)],
+                          rate: Int, data: Option[(Int, Int)]): Option[(Int, Int, Array[Double])] =
     for {
       (format, channels, bits) <- fmt
       if format == 1 && bits == 16 && channels >= 1
@@ -881,6 +908,40 @@ object Multimodal {
       }
       (rate, channels, smp)
     }
+
+  /** 44-byte RIFF/WAVE header for 8-bit mono G.711 μ-law (format 7). */
+  private[graft] def wavHeaderMulaw(dataSize: Int, sampleRate: Int = 8000): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(44)
+    def ascii(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    def u32(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff) }
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    ascii("RIFF"); u32(36 + dataSize); ascii("WAVE")
+    ascii("fmt "); u32(16); u16(7); u16(1); u32(sampleRate)
+    u32(sampleRate); u16(1); u16(8)
+    ascii("data"); u32(dataSize)
+    out.toByteArray
+  }
+
+  /** Hash-gated REAL compressed-audio decode: each document's leading
+    * bytes become G.711 μ-law samples in a format-7 WAV; the decoder
+    * expands them through the closed-form segment/mantissa formula, and
+    * the oracle replays the SAME integer formula in SQL — so the gate
+    * verifies the actual companded-codec expansion, not just byte
+    * plumbing. */
+  def mulawDecodeSummary(documents: DataFrame, nSamples: Int = 48): DataFrame = {
+    val header = wavHeaderMulaw(dataSize = nSamples)
+    val media = documents
+      .filter(octet_length(col("text")) >= nSamples)
+      .select(col("doc_id").cast("long"),
+        concat(lit(header), substring(col("text").cast("binary"), 1, nSamples)).as("payload"),
+        struct(lit(nSamples.toLong).as("n_bytes"), lit("audio").as("media_type"),
+          lit(0).as("width"), lit(0).as("height")).as("meta"))
+    extractFeatures(media)
+      .agg(count(lit(1)).cast("long").as("n_clips"),
+        round(avg(element_at(col("features"), 1)), 4).as("avg_sample_mean"),
+        round(avg(element_at(col("features"), 3)), 4).as("avg_sample_max"),
+        round(avg(element_at(col("features"), 4)), 4).as("avg_sample_min"))
   }
 
   /** Hash-gated REAL audio decode: wrap each document's leading bytes as

@@ -406,6 +406,9 @@ object VectorQueries {
     },
     "multimodal_jpeg_decode" -> { (s, d) =>
       graft.multimodal.Multimodal.jpegDecodeSummary(Tables.documents(s, d))
+    },
+    "multimodal_mulaw_decode" -> { (s, d) =>
+      graft.multimodal.Multimodal.mulawDecodeSummary(Tables.documents(s, d))
     }
   )
 
@@ -716,6 +719,19 @@ object VectorQueries {
         |  FROM v GROUP BY doc_id)
         |SELECT count(*)::BIGINT AS n_images, round(avg(m), 4) AS avg_pixel_mean,
         |  round(avg(mx), 4) AS avg_pixel_max, round(avg(mn), 4) AS avg_pixel_min
+        |FROM pm""".stripMargin,
+    "multimodal_mulaw_decode" ->
+      """WITH d AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents WHERE strlen(text) >= 48),
+        |s AS (SELECT doc_id, unnest(range(0, 48)) AS i, hx FROM d),
+        |b AS (SELECT doc_id, 255 - ('0x' || substr(hx, 2*i + 1, 2))::INT AS u FROM s),
+        |v AS (SELECT doc_id,
+        |    ((CASE WHEN u >= 128 THEN -1 ELSE 1 END) *
+        |     (((u % 16) * 8 + 132) * (1 << ((u % 128) // 16)) - 132))::DOUBLE AS smp
+        |  FROM b),
+        |pm AS (SELECT doc_id, avg(smp) AS m, max(smp) AS mx, min(smp) AS mn
+        |  FROM v GROUP BY doc_id)
+        |SELECT count(*)::BIGINT AS n_clips, round(avg(m), 4) AS avg_sample_mean,
+        |  round(avg(mx), 4) AS avg_sample_max, round(avg(mn), 4) AS avg_sample_min
         |FROM pm""".stripMargin,
     "multimodal_jpeg_decode" ->
       """WITH d AS (SELECT doc_id, encode(text) AS b FROM documents WHERE strlen(text) >= 48),

@@ -331,6 +331,16 @@ class MultimodalSpec extends AnyFunSuite {
       expectStats(progressive.map(b => (b & 0xff).toDouble)))
   }
 
+  test("G.711 mu-law WAV expands through the real companding formula") {
+    // independently known G.711 values: 0x00 -> -32124 (max negative),
+    // 0xFF -> 0 (quiet), 0x80 -> +32124 (max positive), 0xE7 -> +260
+    val data = Array[Byte](0x00, 0xff.toByte, 0x80.toByte, 0xe7.toByte)
+    val wav = Multimodal.wavHeaderMulaw(data.length) ++ data
+    assert(Multimodal.decode(wav) ==
+      expectStats(Seq(-32124.0, 0.0, 32124.0, 260.0)))
+    assert(Multimodal.mulawExpand(0xe7.toByte) == 260)
+  }
+
   test("wavDecodeSummary routes documents through the REAL RIFF parser") {
     val docs = Tables.documents(spark, sf).filter(col("doc_id") < 40)
     val got = Multimodal.wavDecodeSummary(docs).head()
