@@ -387,13 +387,14 @@ object Multimodal {
     out
   }
 
-  /** Baseline GRAYSCALE JPEG decoder (SOF0, one component, 8-bit):
+  /** Baseline JPEG decoder (SOF0, 8-bit, grayscale or 4:4:4 YCbCr):
     * marker walk (DQT/DHT/DRI/SOS, APPn/COM skipped), canonical Huffman
     * decode over the byte-stuffed entropy stream with restart handling,
-    * DC prediction + run-length AC, dezigzag, dequantize, and a direct
-    * double-precision IDCT — implemented from the public JPEG spec
-    * (T.81), no codec library. Color (multi-component) and progressive
-    * (SOF2) decline to the byte-stats fallback. */
+    * per-component DC prediction + run-length AC, dezigzag, dequantize,
+    * a direct double-precision IDCT, and the JFIF YCbCr→RGB conversion —
+    * implemented from the public JPEG spec (T.81), no codec library.
+    * Subsampled color (4:2:0/4:2:2) and progressive (SOF2) decline to
+    * the byte-stats fallback. */
   private def decodeJpeg(bytes: Array[Byte]): Option[(Int, Int, Array[Double])] = {
     if (bytes.length < 4 || (bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8)
       return None
@@ -403,7 +404,11 @@ object Multimodal {
     val huff = Array.fill(2, 4)(null: Map[(Int, Int), Int])
     var w = 0; var h = 0
     var restartInterval = 0
-    var dcTable = -1; var acTable = -1; var compQt = -1
+    var nf = 0
+    var compIds: Array[Int] = null
+    var compQtIds: Array[Int] = null
+    var dcTables: Array[Int] = null
+    var acTables: Array[Int] = null
     var sosPos = -1
     var pos = 2
     var scanning = true
@@ -423,14 +428,18 @@ object Multimodal {
             qt(tq) = Array.tabulate(64)(i => bytes(p + 1 + i) & 0xff)
             p += 65
           }
-        case 0xc0 => // SOF0 baseline
+        case 0xc0 => // SOF0 baseline: 1 (gray) or 3 (YCbCr) components
           val precision = bytes(dp) & 0xff
           h = u16(dp + 1); w = u16(dp + 3)
-          val nf = bytes(dp + 5) & 0xff
-          if (precision != 8 || nf != 1) return None // grayscale only
-          val hv = bytes(dp + 7) & 0xff
-          if (hv != 0x11) return None // no subsampling with one component
-          compQt = bytes(dp + 8) & 0x0f
+          nf = bytes(dp + 5) & 0xff
+          if (precision != 8 || (nf != 1 && nf != 3)) return None
+          compIds = new Array[Int](nf); compQtIds = new Array[Int](nf)
+          for (c <- 0 until nf) {
+            compIds(c) = bytes(dp + 6 + 3 * c) & 0xff
+            val hv = bytes(dp + 7 + 3 * c) & 0xff
+            if (hv != 0x11) return None // 4:4:4 only (no subsampling)
+            compQtIds(c) = bytes(dp + 8 + 3 * c) & 0x0f
+          }
         case 0xc2 => return None // progressive undeclared
         case 0xc4 => // DHT — possibly several tables
           var p = dp
@@ -451,21 +460,29 @@ object Multimodal {
             p = vp
           }
         case 0xdd => restartInterval = u16(dp)
-        case 0xda => // SOS
+        case 0xda => // SOS: component selectors map scan tables by id
           val ns = bytes(dp) & 0xff
-          if (ns != 1) return None
-          dcTable = (bytes(dp + 2) & 0xf0) >> 4
-          acTable = bytes(dp + 2) & 0x0f
+          if (compIds == null || ns != nf) return None
+          dcTables = new Array[Int](nf); acTables = new Array[Int](nf)
+          for (s <- 0 until ns) {
+            val cs = bytes(dp + 1 + 2 * s) & 0xff
+            val c = compIds.indexOf(cs)
+            if (c < 0) return None
+            dcTables(c) = (bytes(dp + 2 + 2 * s) & 0xf0) >> 4
+            acTables(c) = bytes(dp + 2 + 2 * s) & 0x0f
+          }
           sosPos = dp + 1 + 2 * ns + 3 // Ns byte + per-comp pairs + Ss/Se/AhAl
           scanning = false
         case _ => () // APPn / COM / others: skip by length
       }
       if (scanning) pos += 2 + len
     }
-    if (sosPos < 0 || w <= 0 || h <= 0 || compQt < 0 || qt(compQt) == null ||
-      huff(0)(dcTable) == null || huff(1)(acTable) == null) return None
-    val dcMap = huff(0)(dcTable); val acMap = huff(1)(acTable)
-    val q = qt(compQt)
+    if (sosPos < 0 || w <= 0 || h <= 0 ||
+      (0 until nf).exists(c => compQtIds(c) > 3 || qt(compQtIds(c)) == null ||
+        huff(0)(dcTables(c)) == null || huff(1)(acTables(c)) == null)) return None
+    val dcMaps = Array.tabulate(nf)(c => huff(0)(dcTables(c)))
+    val acMaps = Array.tabulate(nf)(c => huff(1)(acTables(c)))
+    val qts = Array.tabulate(nf)(c => qt(compQtIds(c)))
 
     // entropy-coded bit reader with FF00 unstuffing and RSTn handling
     var bp = sosPos; var acc = 0; var accBits = 0
@@ -499,80 +516,109 @@ object Multimodal {
       if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
     }
     val blocksX = (w + 7) / 8; val blocksY = (h + 7) / 8
-    val plane = new Array[Double](blocksX * 8 * blocksY * 8)
-    var prevDc = 0
-    var blockCount = 0
+    val planes = Array.fill(nf)(new Array[Double](blocksX * 8 * blocksY * 8))
+    val prevDc = new Array[Int](nf)
+    var mcuCount = 0
     val coef = new Array[Double](64)
     var by = 0
     while (by < blocksY) {
       var bx = 0
       while (bx < blocksX) {
-        if (restartInterval > 0 && blockCount > 0 && blockCount % restartInterval == 0) {
+        if (restartInterval > 0 && mcuCount > 0 && mcuCount % restartInterval == 0) {
           // skip to the RSTn marker boundary and reset prediction
           accBits = 0
           if (bp + 1 < bytes.length && (bytes(bp) & 0xff) == 0xff &&
             (bytes(bp + 1) & 0xff) >= 0xd0 && (bytes(bp + 1) & 0xff) <= 0xd7) bp += 2
-          prevDc = 0
+          java.util.Arrays.fill(prevDc, 0)
         }
-        java.util.Arrays.fill(coef, 0.0)
-        val t = huffDecode(dcMap); if (t < 0 || t > 11) return None
-        val diff = receiveExtend(t); if (diff == Int.MinValue) return None
-        prevDc += diff
-        coef(0) = prevDc.toDouble * q(0)
-        var k = 1
-        var inBlock = true
-        while (inBlock && k < 64) {
-          val rs = huffDecode(acMap); if (rs < 0) return None
-          if (rs == 0x00) inBlock = false // EOB
-          else if (rs == 0xf0) k += 16 // ZRL
-          else {
-            k += (rs >> 4)
-            if (k > 63) return None
-            val s = rs & 0x0f
-            val v = receiveExtend(s); if (v == Int.MinValue) return None
-            coef(Zigzag(k)._1 * 8 + Zigzag(k)._2) = v.toDouble * q(k)
-            k += 1
-          }
-        }
-        // direct IDCT + level shift into the padded plane
-        var y = 0
-        while (y < 8) {
-          var x = 0
-          while (x < 8) {
-            var sum = 0.0
-            var u = 0
-            while (u < 8) {
-              var v = 0
-              while (v < 8) {
-                val cu = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
-                val cv = if (v == 0) 1.0 / math.sqrt(2.0) else 1.0
-                sum += cu * cv * coef(u * 8 + v) *
-                  math.cos((2 * y + 1) * u * math.Pi / 16.0) *
-                  math.cos((2 * x + 1) * v * math.Pi / 16.0)
-                v += 1
-              }
-              u += 1
+        // one 8×8 block per component per MCU (4:4:4 interleave)
+        var c = 0
+        while (c < nf) {
+          val q = qts(c)
+          java.util.Arrays.fill(coef, 0.0)
+          val t = huffDecode(dcMaps(c)); if (t < 0 || t > 11) return None
+          val diff = receiveExtend(t); if (diff == Int.MinValue) return None
+          prevDc(c) += diff
+          coef(0) = prevDc(c).toDouble * q(0)
+          var k = 1
+          var inBlock = true
+          while (inBlock && k < 64) {
+            val rs = huffDecode(acMaps(c)); if (rs < 0) return None
+            if (rs == 0x00) inBlock = false // EOB
+            else if (rs == 0xf0) k += 16 // ZRL
+            else {
+              k += (rs >> 4)
+              if (k > 63) return None
+              val s = rs & 0x0f
+              val v = receiveExtend(s); if (v == Int.MinValue) return None
+              coef(Zigzag(k)._1 * 8 + Zigzag(k)._2) = v.toDouble * q(k)
+              k += 1
             }
-            val px = math.max(0.0, math.min(255.0, math.rint(sum / 4.0 + 128.0)))
-            plane((by * 8 + y) * blocksX * 8 + bx * 8 + x) = px
-            x += 1
           }
-          y += 1
+          // direct IDCT + level shift into the padded component plane
+          val plane = planes(c)
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              var sum = 0.0
+              var u = 0
+              while (u < 8) {
+                var v = 0
+                while (v < 8) {
+                  val cu = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+                  val cv = if (v == 0) 1.0 / math.sqrt(2.0) else 1.0
+                  sum += cu * cv * coef(u * 8 + v) *
+                    math.cos((2 * y + 1) * u * math.Pi / 16.0) *
+                    math.cos((2 * x + 1) * v * math.Pi / 16.0)
+                  v += 1
+                }
+                u += 1
+              }
+              val px = math.max(0.0, math.min(255.0, math.rint(sum / 4.0 + 128.0)))
+              plane((by * 8 + y) * blocksX * 8 + bx * 8 + x) = px
+              x += 1
+            }
+            y += 1
+          }
+          c += 1
         }
-        blockCount += 1
+        mcuCount += 1
         bx += 1
       }
       by += 1
     }
-    // crop block padding to the declared (w, h)
-    val out = new Array[Double](w * h)
-    var r = 0
-    while (r < h) {
-      var c2 = 0
-      while (c2 < w) { out(r * w + c2) = plane(r * blocksX * 8 + c2); c2 += 1 }
-      r += 1
+    // crop block padding to (w, h); 3 components convert YCbCr→RGB (JFIF)
+    val stride = blocksX * 8
+    if (nf == 1) {
+      val out = new Array[Double](w * h)
+      var r = 0
+      while (r < h) {
+        var c2 = 0
+        while (c2 < w) { out(r * w + c2) = planes(0)(r * stride + c2); c2 += 1 }
+        r += 1
+      }
+      Some((w, h, out))
+    } else {
+      val out = new Array[Double](w * h * 3)
+      def clamp8(x: Double): Double = math.max(0.0, math.min(255.0, math.rint(x)))
+      var r = 0
+      while (r < h) {
+        var c2 = 0
+        while (c2 < w) {
+          val y = planes(0)(r * stride + c2)
+          val cb = planes(1)(r * stride + c2) - 128.0
+          val cr = planes(2)(r * stride + c2) - 128.0
+          val o = (r * w + c2) * 3
+          out(o) = clamp8(y + 1.402 * cr)
+          out(o + 1) = clamp8(y - 0.344136 * cb - 0.714136 * cr)
+          out(o + 2) = clamp8(y + 1.772 * cb)
+          c2 += 1
+        }
+        r += 1
+      }
+      Some((w, h, out))
     }
-    Some((w, h, out))
   }
 
   /** Baseline grayscale JPEG encoder where each payload byte becomes one
@@ -640,6 +686,91 @@ object Multimodal {
     out.write(data.toByteArray)
     m(0xd9) // EOI
     out.toByteArray
+  }
+
+  /** 4:4:4 color twin of [[jpegEncode]]: per MCU one constant 8×8 block
+    * per component (Y from the payload, constant Cb/Cr), same unit quant
+    * table and minimal Huffman tables shared by all three components —
+    * lossless by construction, exercising the interleaved-MCU and
+    * YCbCr→RGB paths. */
+  private[graft] def jpegEncodeColor(yBytes: Array[Byte], cb: Int, cr: Int,
+                                     wBlocks: Int, hBlocks: Int): Array[Byte] = {
+    require(yBytes.length == wBlocks * hBlocks, "one luma byte per 8x8 block")
+    val out = new java.io.ByteArrayOutputStream()
+    def m(mk: Int): Unit = { out.write(0xff); out.write(mk) }
+    def u16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    m(0xd8)
+    m(0xdb); u16(2 + 1 + 64); out.write(0x00)
+    for (_ <- 0 until 64) out.write(1)
+    m(0xc0); u16(2 + 6 + 9) // SOF0, 3 components, all 1x1 (4:4:4)
+    out.write(8); u16(hBlocks * 8); u16(wBlocks * 8); out.write(3)
+    for (id <- 1 to 3) { out.write(id); out.write(0x11); out.write(0) }
+    m(0xc4); u16(2 + 1 + 16 + 12); out.write(0x00)
+    Array(0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0).foreach(out.write)
+    for (i <- 0 until 12) out.write(i)
+    m(0xc4); u16(2 + 1 + 16 + 1); out.write(0x10)
+    Array(1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0).foreach(out.write)
+    out.write(0x00)
+    m(0xda); u16(2 + 1 + 6 + 3)
+    out.write(3)
+    for (id <- 1 to 3) { out.write(id); out.write(0x00) }
+    out.write(0); out.write(63); out.write(0)
+    var acc = 0L; var accBits = 0
+    val data = new java.io.ByteArrayOutputStream()
+    def putBits(v: Int, n: Int): Unit = {
+      if (n == 0) return
+      acc = (acc << n) | (v & ((1L << n) - 1)); accBits += n
+      while (accBits >= 8) {
+        val b = ((acc >> (accBits - 8)) & 0xff).toInt
+        data.write(b); if (b == 0xff) data.write(0x00)
+        accBits -= 8
+      }
+    }
+    val prevDc = new Array[Int](3)
+    def putBlock(c: Int, value: Int): Unit = {
+      val dc = 8 * (value - 128)
+      var diff = dc - prevDc(c)
+      prevDc(c) = dc
+      var t = 0
+      var ad = math.abs(diff)
+      while (ad > 0) { t += 1; ad >>= 1 }
+      putBits(t, 4)
+      if (t > 0) {
+        if (diff < 0) diff += (1 << t) - 1
+        putBits(diff, t)
+      }
+      putBits(0, 1) // EOB
+    }
+    yBytes.foreach { b =>
+      putBlock(0, b & 0xff); putBlock(1, cb); putBlock(2, cr)
+    }
+    if (accBits > 0) { val pad = 8 - accBits; putBits((1 << pad) - 1, pad) }
+    out.write(data.toByteArray)
+    m(0xd9)
+    out.toByteArray
+  }
+
+  /** Hash-gated 4:4:4 COLOR JPEG decode: luma from the payload bytes,
+    * neutral chroma (Cb=Cr=128), so the full interleaved-MCU decode +
+    * YCbCr→RGB conversion returns exactly (b, b, b) per pixel — the
+    * oracle's raw-byte replay matches ONLY if the three-component path
+    * is correct end to end. */
+  def jpegColorDecodeSummary(documents: DataFrame, wBlocks: Int = 8,
+                             hBlocks: Int = 6): DataFrame = {
+    val need = wBlocks * hBlocks
+    val enc = udf((text: String) =>
+      jpegEncodeColor(text.getBytes("UTF-8").take(need), 128, 128, wBlocks, hBlocks))
+    val media = documents
+      .filter(octet_length(col("text")) >= need)
+      .select(col("doc_id").cast("long"),
+        enc(col("text")).as("payload"),
+        struct(lit(need.toLong).as("n_bytes"), lit("image").as("media_type"),
+          lit(wBlocks * 8).as("width"), lit(hBlocks * 8).as("height")).as("meta"))
+    extractFeatures(media)
+      .agg(count(lit(1)).cast("long").as("n_images"),
+        round(avg(element_at(col("features"), 1)), 4).as("avg_pixel_mean"),
+        round(avg(element_at(col("features"), 3)), 4).as("avg_pixel_max"),
+        round(avg(element_at(col("features"), 4)), 4).as("avg_pixel_min"))
   }
 
   /** Hash-gated REAL JPEG decode: each document's leading bytes become a

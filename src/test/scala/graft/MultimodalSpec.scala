@@ -318,6 +318,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decode(jpg) == expectStats(want))
   }
 
+  test("color 4:4:4 JPEG: neutral chroma round-trips luma exactly as RGB") {
+    val payload = (0 until 12).map(i => (i * 19 % 256).toByte).toArray
+    val jpg = Multimodal.jpegEncodeColor(payload, 128, 128, 4, 3)
+    assert(Multimodal.decodedDims(jpg).contains((32, 24)))
+    // R = G = B = luma byte: stats over 3x repeats equal the byte stats
+    assert(Multimodal.decode(jpg) ==
+      expectStats(payload.flatMap(b => Seq.fill(3)((b & 0xff).toDouble))))
+  }
+
+  test("color 4:4:4 JPEG: non-neutral chroma converts through YCbCr->RGB") {
+    // constant image y=128, cb=228, cr=128: per JFIF,
+    // R = 128, G = rint(128 - 0.344136*100) = 94, B = clamp(128 + 177.2) = 255
+    val jpg = Multimodal.jpegEncodeColor(Array(128.toByte), 228, 128, 1, 1)
+    assert(Multimodal.decode(jpg) ==
+      expectStats((0 until 64).flatMap(_ => Seq(128.0, 94.0, 255.0))))
+  }
+
   test("malformed / unsupported JPEGs fall back to byte statistics") {
     val jpg = Multimodal.jpegEncode((0 until 12).map(_.toByte).toArray, 4, 3)
     val truncated = jpg.take(jpg.length - 8) // cut into the entropy stream
