@@ -393,8 +393,9 @@ object Multimodal {
     * per-component DC prediction + run-length AC, dezigzag, dequantize,
     * a direct double-precision IDCT, and the JFIF YCbCr→RGB conversion —
     * implemented from the public JPEG spec (T.81), no codec library.
-    * Subsampled color (4:2:0/4:2:2) and progressive (SOF2) decline to
-    * the byte-stats fallback. */
+    * Sampling factors 1..2 per axis decode (4:4:4 through 4:2:0, the
+    * real-world default); progressive (SOF2) declines to the byte-stats
+    * fallback. */
   private def decodeJpeg(bytes: Array[Byte]): Option[(Int, Int, Array[Double])] = {
     if (bytes.length < 4 || (bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8)
       return None
@@ -407,6 +408,8 @@ object Multimodal {
     var nf = 0
     var compIds: Array[Int] = null
     var compQtIds: Array[Int] = null
+    var compH: Array[Int] = null
+    var compV: Array[Int] = null
     var dcTables: Array[Int] = null
     var acTables: Array[Int] = null
     var sosPos = -1
@@ -434,10 +437,13 @@ object Multimodal {
           nf = bytes(dp + 5) & 0xff
           if (precision != 8 || (nf != 1 && nf != 3)) return None
           compIds = new Array[Int](nf); compQtIds = new Array[Int](nf)
+          compH = new Array[Int](nf); compV = new Array[Int](nf)
           for (c <- 0 until nf) {
             compIds(c) = bytes(dp + 6 + 3 * c) & 0xff
             val hv = bytes(dp + 7 + 3 * c) & 0xff
-            if (hv != 0x11) return None // 4:4:4 only (no subsampling)
+            compH(c) = (hv >> 4) & 0x0f; compV(c) = hv & 0x0f
+            if (compH(c) < 1 || compH(c) > 2 || compV(c) < 1 || compV(c) > 2)
+              return None // 1x1 / 2x1 / 1x2 / 2x2 sampling (4:4:4 .. 4:2:0)
             compQtIds(c) = bytes(dp + 8 + 3 * c) & 0x0f
           }
         case 0xc2 => return None // progressive undeclared
@@ -515,15 +521,21 @@ object Multimodal {
       for (_ <- 0 until t) { val b = nextBit(); if (b < 0) return Int.MinValue; v = (v << 1) | b }
       if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
     }
-    val blocksX = (w + 7) / 8; val blocksY = (h + 7) / 8
-    val planes = Array.fill(nf)(new Array[Double](blocksX * 8 * blocksY * 8))
+    val hMax = (0 until nf).map(compH(_)).max
+    val vMax = (0 until nf).map(compV(_)).max
+    val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+    // per-component padded planes at the component's own resolution
+    val strides = Array.tabulate(nf)(c => mcusX * compH(c) * 8)
+    val planes = Array.tabulate(nf)(c =>
+      new Array[Double](strides(c) * mcusY * compV(c) * 8))
     val prevDc = new Array[Int](nf)
     var mcuCount = 0
     val coef = new Array[Double](64)
-    var by = 0
-    while (by < blocksY) {
-      var bx = 0
-      while (bx < blocksX) {
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
         if (restartInterval > 0 && mcuCount > 0 && mcuCount % restartInterval == 0) {
           // skip to the RSTn marker boundary and reset prediction
           accBits = 0
@@ -531,71 +543,83 @@ object Multimodal {
             (bytes(bp + 1) & 0xff) >= 0xd0 && (bytes(bp + 1) & 0xff) <= 0xd7) bp += 2
           java.util.Arrays.fill(prevDc, 0)
         }
-        // one 8×8 block per component per MCU (4:4:4 interleave)
+        // hi×vi blocks per component per MCU, raster order (T.81 A.2.3)
         var c = 0
         while (c < nf) {
           val q = qts(c)
-          java.util.Arrays.fill(coef, 0.0)
-          val t = huffDecode(dcMaps(c)); if (t < 0 || t > 11) return None
-          val diff = receiveExtend(t); if (diff == Int.MinValue) return None
-          prevDc(c) += diff
-          coef(0) = prevDc(c).toDouble * q(0)
-          var k = 1
-          var inBlock = true
-          while (inBlock && k < 64) {
-            val rs = huffDecode(acMaps(c)); if (rs < 0) return None
-            if (rs == 0x00) inBlock = false // EOB
-            else if (rs == 0xf0) k += 16 // ZRL
-            else {
-              k += (rs >> 4)
-              if (k > 63) return None
-              val s = rs & 0x0f
-              val v = receiveExtend(s); if (v == Int.MinValue) return None
-              coef(Zigzag(k)._1 * 8 + Zigzag(k)._2) = v.toDouble * q(k)
-              k += 1
-            }
-          }
-          // direct IDCT + level shift into the padded component plane
-          val plane = planes(c)
-          var y = 0
-          while (y < 8) {
-            var x = 0
-            while (x < 8) {
-              var sum = 0.0
-              var u = 0
-              while (u < 8) {
-                var v = 0
-                while (v < 8) {
-                  val cu = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
-                  val cv = if (v == 0) 1.0 / math.sqrt(2.0) else 1.0
-                  sum += cu * cv * coef(u * 8 + v) *
-                    math.cos((2 * y + 1) * u * math.Pi / 16.0) *
-                    math.cos((2 * x + 1) * v * math.Pi / 16.0)
-                  v += 1
+          var v0 = 0
+          while (v0 < compV(c)) {
+            var h0 = 0
+            while (h0 < compH(c)) {
+              java.util.Arrays.fill(coef, 0.0)
+              val t = huffDecode(dcMaps(c)); if (t < 0 || t > 11) return None
+              val diff = receiveExtend(t); if (diff == Int.MinValue) return None
+              prevDc(c) += diff
+              coef(0) = prevDc(c).toDouble * q(0)
+              var k = 1
+              var inBlock = true
+              while (inBlock && k < 64) {
+                val rs = huffDecode(acMaps(c)); if (rs < 0) return None
+                if (rs == 0x00) inBlock = false // EOB
+                else if (rs == 0xf0) k += 16 // ZRL
+                else {
+                  k += (rs >> 4)
+                  if (k > 63) return None
+                  val s = rs & 0x0f
+                  val v = receiveExtend(s); if (v == Int.MinValue) return None
+                  coef(Zigzag(k)._1 * 8 + Zigzag(k)._2) = v.toDouble * q(k)
+                  k += 1
                 }
-                u += 1
               }
-              val px = math.max(0.0, math.min(255.0, math.rint(sum / 4.0 + 128.0)))
-              plane((by * 8 + y) * blocksX * 8 + bx * 8 + x) = px
-              x += 1
+              // direct IDCT + level shift into the component plane
+              val plane = planes(c)
+              val baseY = (my * compV(c) + v0) * 8
+              val baseX = (mx * compH(c) + h0) * 8
+              var y = 0
+              while (y < 8) {
+                var x = 0
+                while (x < 8) {
+                  var sum = 0.0
+                  var u = 0
+                  while (u < 8) {
+                    var v = 0
+                    while (v < 8) {
+                      val cu = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+                      val cv = if (v == 0) 1.0 / math.sqrt(2.0) else 1.0
+                      sum += cu * cv * coef(u * 8 + v) *
+                        math.cos((2 * y + 1) * u * math.Pi / 16.0) *
+                        math.cos((2 * x + 1) * v * math.Pi / 16.0)
+                      v += 1
+                    }
+                    u += 1
+                  }
+                  val px = math.max(0.0, math.min(255.0, math.rint(sum / 4.0 + 128.0)))
+                  plane((baseY + y) * strides(c) + baseX + x) = px
+                  x += 1
+                }
+                y += 1
+              }
+              h0 += 1
             }
-            y += 1
+            v0 += 1
           }
           c += 1
         }
         mcuCount += 1
-        bx += 1
+        mx += 1
       }
-      by += 1
+      my += 1
     }
-    // crop block padding to (w, h); 3 components convert YCbCr→RGB (JFIF)
-    val stride = blocksX * 8
+    // crop block padding to (w, h); subsampled components upsample by
+    // replication (integer index division); 3 components → JFIF RGB
+    def sampleAt(c: Int, x: Int, y: Int): Double =
+      planes(c)((y * compV(c) / vMax) * strides(c) + (x * compH(c) / hMax))
     if (nf == 1) {
       val out = new Array[Double](w * h)
       var r = 0
       while (r < h) {
         var c2 = 0
-        while (c2 < w) { out(r * w + c2) = planes(0)(r * stride + c2); c2 += 1 }
+        while (c2 < w) { out(r * w + c2) = sampleAt(0, c2, r); c2 += 1 }
         r += 1
       }
       Some((w, h, out))
@@ -606,9 +630,9 @@ object Multimodal {
       while (r < h) {
         var c2 = 0
         while (c2 < w) {
-          val y = planes(0)(r * stride + c2)
-          val cb = planes(1)(r * stride + c2) - 128.0
-          val cr = planes(2)(r * stride + c2) - 128.0
+          val y = sampleAt(0, c2, r)
+          val cb = sampleAt(1, c2, r) - 128.0
+          val cr = sampleAt(2, c2, r) - 128.0
           val o = (r * w + c2) * 3
           out(o) = clamp8(y + 1.402 * cr)
           out(o + 1) = clamp8(y - 0.344136 * cb - 0.714136 * cr)
@@ -748,6 +772,97 @@ object Multimodal {
     out.write(data.toByteArray)
     m(0xd9)
     out.toByteArray
+  }
+
+  /** 4:2:0 twin of [[jpegEncodeColor]]: per MCU four constant Y blocks
+    * (2×2, raster order) + one constant Cb + one constant Cr block at
+    * half resolution — the real-world default chroma layout, still
+    * lossless by construction. */
+  private[graft] def jpegEncode420(yBytes: Array[Byte], cbBytes: Array[Byte],
+                                   crBytes: Array[Byte], mcusX: Int,
+                                   mcusY: Int): Array[Byte] = {
+    require(yBytes.length == mcusX * mcusY * 4, "four luma bytes per MCU")
+    require(cbBytes.length == mcusX * mcusY && crBytes.length == mcusX * mcusY,
+      "one chroma byte per MCU")
+    val out = new java.io.ByteArrayOutputStream()
+    def m(mk: Int): Unit = { out.write(0xff); out.write(mk) }
+    def u16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    m(0xd8)
+    m(0xdb); u16(2 + 1 + 64); out.write(0x00)
+    for (_ <- 0 until 64) out.write(1)
+    m(0xc0); u16(2 + 6 + 9) // SOF0: Y 2x2, Cb 1x1, Cr 1x1 (4:2:0)
+    out.write(8); u16(mcusY * 16); u16(mcusX * 16); out.write(3)
+    out.write(1); out.write(0x22); out.write(0)
+    out.write(2); out.write(0x11); out.write(0)
+    out.write(3); out.write(0x11); out.write(0)
+    m(0xc4); u16(2 + 1 + 16 + 12); out.write(0x00)
+    Array(0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0).foreach(out.write)
+    for (i <- 0 until 12) out.write(i)
+    m(0xc4); u16(2 + 1 + 16 + 1); out.write(0x10)
+    Array(1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0).foreach(out.write)
+    out.write(0x00)
+    m(0xda); u16(2 + 1 + 6 + 3)
+    out.write(3)
+    for (id <- 1 to 3) { out.write(id); out.write(0x00) }
+    out.write(0); out.write(63); out.write(0)
+    var acc = 0L; var accBits = 0
+    val data = new java.io.ByteArrayOutputStream()
+    def putBits(v: Int, n: Int): Unit = {
+      if (n == 0) return
+      acc = (acc << n) | (v & ((1L << n) - 1)); accBits += n
+      while (accBits >= 8) {
+        val b = ((acc >> (accBits - 8)) & 0xff).toInt
+        data.write(b); if (b == 0xff) data.write(0x00)
+        accBits -= 8
+      }
+    }
+    val prevDc = new Array[Int](3)
+    def putBlock(c: Int, value: Int): Unit = {
+      val dc = 8 * (value - 128)
+      var diff = dc - prevDc(c)
+      prevDc(c) = dc
+      var t = 0
+      var ad = math.abs(diff)
+      while (ad > 0) { t += 1; ad >>= 1 }
+      putBits(t, 4)
+      if (t > 0) { if (diff < 0) diff += (1 << t) - 1; putBits(diff, t) }
+      putBits(0, 1)
+    }
+    for (mcu <- 0 until mcusX * mcusY) {
+      for (b <- 0 until 4) putBlock(0, yBytes(mcu * 4 + b) & 0xff)
+      putBlock(1, cbBytes(mcu) & 0xff)
+      putBlock(2, crBytes(mcu) & 0xff)
+    }
+    if (accBits > 0) { val pad = 8 - accBits; putBits((1 << pad) - 1, pad) }
+    out.write(data.toByteArray)
+    m(0xd9)
+    out.toByteArray
+  }
+
+  /** Hash-gated 4:2:0 JPEG decode — the real-world default layout:
+    * neutral chroma, luma from document bytes (4 per MCU), so decoded
+    * RGB equals (b, b, b) per pixel only if the 2×2-sampled MCU
+    * interleave AND the chroma upsampling replication are both right. */
+  def jpeg420DecodeSummary(documents: DataFrame, mcusX: Int = 4,
+                           mcusY: Int = 3): DataFrame = {
+    val need = mcusX * mcusY * 4
+    val nChroma = mcusX * mcusY
+    val enc = udf((text: String) => {
+      val b = text.getBytes("UTF-8").take(need)
+      jpegEncode420(b, Array.fill(nChroma)(128.toByte),
+        Array.fill(nChroma)(128.toByte), mcusX, mcusY)
+    })
+    val media = documents
+      .filter(octet_length(col("text")) >= need)
+      .select(col("doc_id").cast("long"),
+        enc(col("text")).as("payload"),
+        struct(lit(need.toLong).as("n_bytes"), lit("image").as("media_type"),
+          lit(mcusX * 16).as("width"), lit(mcusY * 16).as("height")).as("meta"))
+    extractFeatures(media)
+      .agg(count(lit(1)).cast("long").as("n_images"),
+        round(avg(element_at(col("features"), 1)), 4).as("avg_pixel_mean"),
+        round(avg(element_at(col("features"), 3)), 4).as("avg_pixel_max"),
+        round(avg(element_at(col("features"), 4)), 4).as("avg_pixel_min"))
   }
 
   /** Hash-gated 4:4:4 COLOR JPEG decode: luma from the payload bytes,

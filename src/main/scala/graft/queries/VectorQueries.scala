@@ -412,6 +412,9 @@ object VectorQueries {
     },
     "multimodal_jpeg_color" -> { (s, d) =>
       graft.multimodal.Multimodal.jpegColorDecodeSummary(Tables.documents(s, d))
+    },
+    "multimodal_jpeg_420" -> { (s, d) =>
+      graft.multimodal.Multimodal.jpeg420DecodeSummary(Tables.documents(s, d))
     }
   )
 
@@ -715,6 +718,15 @@ object VectorQueries {
         |  round(avg(bmean), 4) AS avg_feat_mean
         |FROM b JOIN bm USING (doc_id) GROUP BY media_type ORDER BY media_type""".stripMargin,
     "multimodal_decode" ->
+      """WITH d AS (SELECT doc_id, encode(text) AS b FROM documents WHERE strlen(text) >= 48),
+        |ch AS (SELECT doc_id, unnest(range(0, 48)) AS i, hex(b) AS hx FROM d),
+        |v AS (SELECT doc_id, (('0x' || substr(hx, 2*i + 1, 2))::INT)::DOUBLE AS byte FROM ch),
+        |pm AS (SELECT doc_id, avg(byte) AS m, max(byte) AS mx, min(byte) AS mn
+        |  FROM v GROUP BY doc_id)
+        |SELECT count(*)::BIGINT AS n_images, round(avg(m), 4) AS avg_pixel_mean,
+        |  round(avg(mx), 4) AS avg_pixel_max, round(avg(mn), 4) AS avg_pixel_min
+        |FROM pm""".stripMargin,
+    "multimodal_jpeg_420" ->
       """WITH d AS (SELECT doc_id, encode(text) AS b FROM documents WHERE strlen(text) >= 48),
         |ch AS (SELECT doc_id, unnest(range(0, 48)) AS i, hex(b) AS hx FROM d),
         |v AS (SELECT doc_id, (('0x' || substr(hx, 2*i + 1, 2))::INT)::DOUBLE AS byte FROM ch),

@@ -335,6 +335,32 @@ class MultimodalSpec extends AnyFunSuite {
       expectStats((0 until 64).flatMap(_ => Seq(128.0, 94.0, 255.0))))
   }
 
+  test("4:2:0 JPEG: 2x2 luma MCUs + half-res chroma round-trip losslessly") {
+    // 2x1 MCUs (32x16 px): 8 luma bytes, neutral chroma -> RGB = luma
+    val yB = (0 until 8).map(i => (i * 23 % 256).toByte).toArray
+    val n = Array.fill(2)(128.toByte)
+    val jpg = Multimodal.jpegEncode420(yB, n, n, 2, 1)
+    assert(Multimodal.decodedDims(jpg).contains((32, 16)))
+    assert(Multimodal.decode(jpg) ==
+      expectStats(yB.flatMap(b => Seq.fill(3)((b & 0xff).toDouble))))
+  }
+
+  test("4:2:0 JPEG: half-res chroma upsamples onto the right MCU's pixels") {
+    // two MCUs, constant luma 128, chroma differing per MCU: MCU0
+    // (cb=228) -> (128, 94, 255); MCU1 (cb=28) -> (128, 162, 0). A wrong
+    // upsample index would blend the two chroma regions and shift stats.
+    val yB = Array.fill(8)(128.toByte)
+    val jpg = Multimodal.jpegEncode420(yB,
+      Array(228.toByte, 28.toByte), Array.fill(2)(128.toByte), 2, 1)
+    val mcu0 = Seq(128.0, 94.0, 255.0); val mcu1 = Seq(128.0, 162.0, 0.0)
+    val want = (0 until 256).flatMap(_ => mcu0) ++ (0 until 256).flatMap(_ => mcu1)
+    // the decoder sums in pixel order, the restatement in MCU order —
+    // same multiset, so stats agree to FP summation-order noise
+    Multimodal.decode(jpg).zip(expectStats(want)).foreach { case (g, w) =>
+      assert(math.abs(g - w) < 1e-9, s"$g vs $w")
+    }
+  }
+
   test("malformed / unsupported JPEGs fall back to byte statistics") {
     val jpg = Multimodal.jpegEncode((0 until 12).map(_.toByte).toArray, 4, 3)
     val truncated = jpg.take(jpg.length - 8) // cut into the entropy stream
