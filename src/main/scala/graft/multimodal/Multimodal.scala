@@ -366,6 +366,37 @@ object Multimodal {
     Some((w, h, px))
   }
 
+  /** Canonical JPEG Huffman table (T.81 F.2.2.3): per code length l,
+    * the smallest/largest assigned code and the offset into the symbol
+    * array — decode is array arithmetic, no per-bit allocation. */
+  private final case class JpegHuff(count: Array[Int], minCode: Array[Int],
+                                    maxCode: Array[Int], valPtr: Array[Int],
+                                    symbols: Array[Int])
+  private object JpegHuff {
+    def apply(bits: Array[Int], vals: Array[Int]): JpegHuff = {
+      val count = new Array[Int](17); val minC = new Array[Int](17)
+      val maxC = new Array[Int](17); val ptr = new Array[Int](17)
+      var code = 0; var vp = 0
+      for (l <- 1 to 16) {
+        count(l) = bits(l - 1)
+        minC(l) = code; ptr(l) = vp
+        code += bits(l - 1); vp += bits(l - 1)
+        maxC(l) = code - 1
+        code <<= 1
+      }
+      new JpegHuff(count, minC, maxC, ptr, vals)
+    }
+  }
+
+  /** Precomputed IDCT basis: IdctCos(i)(u) = C(u)·cos((2i+1)uπ/16), so
+    * the per-block IDCT is pure table lookups over the SPARSE nonzero
+    * coefficient list — a DC-only block (the gate encoders' shape) costs
+    * 64 multiply-adds instead of 8192 cos() calls. */
+  private val IdctCos: Array[Array[Double]] = Array.tabulate(8, 8) { (i, u) =>
+    (if (u == 0) 1.0 / math.sqrt(2.0) else 1.0) *
+      math.cos((2 * i + 1) * u * math.Pi / 16.0)
+  }
+
   /** Zigzag scan order: index k → (row u, col v) of the 8×8 coefficient
     * block (JPEG spec figure A.6). */
   private val Zigzag: Array[(Int, Int)] = {
@@ -401,8 +432,8 @@ object Multimodal {
       return None
     def u16(off: Int): Int = ((bytes(off) & 0xff) << 8) | (bytes(off + 1) & 0xff)
     val qt = Array.fill(4)(null: Array[Int])
-    // huffman maps: (code, length) -> symbol, per (class, id)
-    val huff = Array.fill(2, 4)(null: Map[(Int, Int), Int])
+    // canonical Huffman tables per (class, id) — T.81 F.2.2.3 DECODE
+    val huff = Array.fill(2, 4)(null: JpegHuff)
     var w = 0; var h = 0
     var restartInterval = 0
     var nf = 0
@@ -453,17 +484,11 @@ object Multimodal {
             val tc = (bytes(p) & 0xf0) >> 4; val th = bytes(p) & 0x0f
             if (tc > 1 || th > 3) return None
             val bits = Array.tabulate(16)(i => bytes(p + 1 + i) & 0xff)
-            var vp = p + 17
-            var code = 0
-            var m = Map.empty[(Int, Int), Int]
-            for (l <- 1 to 16) {
-              for (_ <- 0 until bits(l - 1)) {
-                m += ((code, l) -> (bytes(vp) & 0xff)); vp += 1; code += 1
-              }
-              code <<= 1
-            }
-            huff(tc)(th) = m
-            p = vp
+            val nVals = bits.sum
+            if (p + 17 + nVals > pos + 2 + len) return None
+            val vals = Array.tabulate(nVals)(i => bytes(p + 17 + i) & 0xff)
+            huff(tc)(th) = JpegHuff(bits, vals)
+            p = p + 17 + nVals
           }
         case 0xdd => restartInterval = u16(dp)
         case 0xda => // SOS: component selectors map scan tables by id
@@ -506,12 +531,13 @@ object Multimodal {
       accBits -= 1
       (acc >> accBits) & 1
     }
-    def huffDecode(m: Map[(Int, Int), Int]): Int = {
+    def huffDecode(t: JpegHuff): Int = {
       var code = 0; var l = 0
       while (l < 16) {
         val b = nextBit(); if (b < 0) return -1
         code = (code << 1) | b; l += 1
-        m.get((code, l)) match { case Some(s) => return s; case None => () }
+        if (t.count(l) > 0 && code <= t.maxCode(l))
+          return t.symbols(t.valPtr(l) + code - t.minCode(l))
       }
       -1
     }
@@ -531,7 +557,9 @@ object Multimodal {
       new Array[Double](strides(c) * mcusY * compV(c) * 8))
     val prevDc = new Array[Int](nf)
     var mcuCount = 0
-    val coef = new Array[Double](64)
+    // sparse coefficient list for the table-driven IDCT
+    val nzU = new Array[Int](64); val nzV = new Array[Int](64)
+    val nzC = new Array[Double](64)
     var my = 0
     while (my < mcusY) {
       var mx = 0
@@ -551,11 +579,11 @@ object Multimodal {
           while (v0 < compV(c)) {
             var h0 = 0
             while (h0 < compH(c)) {
-              java.util.Arrays.fill(coef, 0.0)
               val t = huffDecode(dcMaps(c)); if (t < 0 || t > 11) return None
               val diff = receiveExtend(t); if (diff == Int.MinValue) return None
               prevDc(c) += diff
-              coef(0) = prevDc(c).toDouble * q(0)
+              nzU(0) = 0; nzV(0) = 0; nzC(0) = prevDc(c).toDouble * q(0)
+              var nz = 1
               var k = 1
               var inBlock = true
               while (inBlock && k < 64) {
@@ -567,31 +595,26 @@ object Multimodal {
                   if (k > 63) return None
                   val s = rs & 0x0f
                   val v = receiveExtend(s); if (v == Int.MinValue) return None
-                  coef(Zigzag(k)._1 * 8 + Zigzag(k)._2) = v.toDouble * q(k)
+                  nzU(nz) = Zigzag(k)._1; nzV(nz) = Zigzag(k)._2
+                  nzC(nz) = v.toDouble * q(k); nz += 1
                   k += 1
                 }
               }
-              // direct IDCT + level shift into the component plane
+              // table-driven sparse IDCT + level shift into the plane
               val plane = planes(c)
               val baseY = (my * compV(c) + v0) * 8
               val baseX = (mx * compH(c) + h0) * 8
               var y = 0
               while (y < 8) {
+                val rowC = IdctCos(y)
                 var x = 0
                 while (x < 8) {
+                  val colC = IdctCos(x)
                   var sum = 0.0
-                  var u = 0
-                  while (u < 8) {
-                    var v = 0
-                    while (v < 8) {
-                      val cu = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
-                      val cv = if (v == 0) 1.0 / math.sqrt(2.0) else 1.0
-                      sum += cu * cv * coef(u * 8 + v) *
-                        math.cos((2 * y + 1) * u * math.Pi / 16.0) *
-                        math.cos((2 * x + 1) * v * math.Pi / 16.0)
-                      v += 1
-                    }
-                    u += 1
+                  var j = 0
+                  while (j < nz) {
+                    sum += nzC(j) * rowC(nzU(j)) * colC(nzV(j))
+                    j += 1
                   }
                   val px = math.max(0.0, math.min(255.0, math.rint(sum / 4.0 + 128.0)))
                   plane((baseY + y) * strides(c) + baseX + x) = px
