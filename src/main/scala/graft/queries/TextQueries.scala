@@ -32,6 +32,31 @@ object TextQueries {
     "dedup_clusters" -> { (s, d) =>
       Dedup.minhashClusters(Tables.documents(s, d), "text", "doc_id").orderBy("doc")
     },
+    "dedup_near_keep_best" -> { (s, d) =>
+      // NEAR-duplicate keep-best — the production composition of MinHash
+      // LSH clustering with quality scoring: within each near-dup cluster
+      // keep the highest-quality doc (tie → smaller id); docs outside any
+      // cluster pass through as their own keeper. Scale shape: the pair
+      // graph forms only inside LSH bands (never n²), the CC is the fixed
+      // 8-round min-label propagation, and the final pick is one window
+      // over the bounded cluster key.
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val scored = docs.select(col("doc_id").cast("long").as("doc"), col("lang"),
+        TextOps.qualityScore(col("text")).as("quality"))
+      val clusters = Dedup.minhashClusters(docs, "text", "doc_id")
+      val joined = scored.join(clusters.select(col("doc"), col("keeper")), Seq("doc"), "left")
+        .withColumn("_cl", coalesce(col("keeper"), col("doc")))
+      val w = Window.partitionBy(col("_cl"))
+        .orderBy(col("quality").desc, col("doc").asc)
+      joined.withColumn("_rn", row_number().over(w))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(when(col("_rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+          graft.core.Num.r4(avg(when(col("_rn") === 1, col("quality"))))
+            .as("avg_kept_quality"))
+        .orderBy("lang")
+    },
     "dedup_segments" -> { (s, d) =>
       Dedup.segmentDedup(Tables.documents(s, d), "text", "doc_id",
           k = 3, minCount = 2L)
@@ -941,6 +966,39 @@ object TextQueries {
          |c0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM e),
          |$rounds
          |SELECT node::BIGINT AS doc, label::BIGINT AS keeper FROM c8 ORDER BY doc""".stripMargin
+    },
+    "dedup_near_keep_best" -> {
+      val rounds = (1 to 8).map { k =>
+        s"""c$k AS MATERIALIZED (SELECT c.node, least(c.label, coalesce(min(n.label), c.label)) AS label
+           |  FROM c${k - 1} c LEFT JOIN e ON c.node = e.src LEFT JOIN c${k - 1} n ON e.dst = n.node
+           |  GROUP BY c.node, c.label)""".stripMargin
+      }.mkString(",\n")
+      val stop = TextOps.EnStop.map(w => s"'$w'").mkString(", ")
+      s"""WITH $minhashPairsCtes,
+         |e AS MATERIALIZED (SELECT doc1 AS src, doc2 AS dst FROM pr
+         |  UNION ALL SELECT doc2, doc1 FROM pr),
+         |c0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM e),
+         |$rounds,
+         |qn AS (SELECT doc_id, text, lang, string_split(text, ' ') AS qtoks FROM documents),
+         |qf AS (SELECT doc_id, lang,
+         |  len(qtoks)::DOUBLE AS n_tokens, length(text)::DOUBLE AS n_chars,
+         |  length(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE AS alpha,
+         |  len(list_distinct(qtoks))::DOUBLE AS uniq,
+         |  len(list_filter(qtoks, t -> t IN ($stop)))::DOUBLE AS stop
+         | FROM qn),
+         |qq AS (SELECT doc_id::BIGINT AS doc, lang,
+         |  round(least(1.0, (uniq / n_tokens) * 0.5 + (alpha / n_chars) * 0.3 +
+         |    least(stop / n_tokens * 5.0, 1.0) * 0.2), 4) AS quality
+         |  FROM qf),
+         |j AS (SELECT qq.doc, qq.lang, qq.quality, coalesce(c8.label, qq.doc) AS cl
+         |  FROM qq LEFT JOIN c8 ON qq.doc = c8.node),
+         |r AS (SELECT lang, quality,
+         |    row_number() OVER (PARTITION BY cl ORDER BY quality DESC, doc) AS rn
+         |  FROM j)
+         |SELECT lang, count(*)::BIGINT AS n_docs,
+         |  sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+         |  round(avg(CASE WHEN rn = 1 THEN quality END), 4) AS avg_kept_quality
+         |FROM r GROUP BY lang ORDER BY lang""".stripMargin
     },
     "dedup_simhash" ->
       s"""WITH $simhashSigCtes
