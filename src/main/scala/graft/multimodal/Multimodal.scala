@@ -1047,11 +1047,18 @@ object Multimodal {
     * mis-reads geometry. */
   def dimsSummary(documents: DataFrame): DataFrame = {
     val dims = udf((id: Long, text: String) => {
-      val w = 2 + (id % 5).toInt
-      val h = 2 + (id % 3).toInt
-      val b = text.getBytes("UTF-8").take(w * h)
-      val payload = if (b.length < w * h) b.padTo(w * h, 0.toByte) else b
-      val enc = if (id % 2 == 0) gifEncode(payload, w, h) else pngEncode(payload, w, h)
+      // jpeg dims are block multiples; gif/png take the small grid
+      val (w, h) =
+        if (id % 3 == 2) (8 * (1 + (id % 5).toInt), 8 * (1 + (id % 2).toInt))
+        else (2 + (id % 5).toInt, 2 + (id % 3).toInt)
+      val need = if (id % 3 == 2) (w / 8) * (h / 8) else w * h
+      val b = text.getBytes("UTF-8").take(need)
+      val payload = if (b.length < need) b.padTo(need, 0.toByte) else b
+      val enc = (id % 3) match {
+        case 0 => gifEncode(payload, w, h)
+        case 1 => pngEncode(payload, w, h)
+        case _ => jpegEncode(payload, w / 8, h / 8)
+      }
       decodedDims(enc) match {
         case Some((dw, dh)) => Seq(dw, dh)
         case None           => Seq(-1, -1)
@@ -1059,7 +1066,8 @@ object Multimodal {
     })
     documents
       .select(col("doc_id").cast("long").as("doc"),
-        when(col("doc_id") % 2 === 0, "gif").otherwise("png").as("fmt"),
+        when(col("doc_id") % 3 === 0, "gif")
+          .when(col("doc_id") % 3 === 1, "png").otherwise("jpeg").as("fmt"),
         dims(col("doc_id").cast("long"), col("text")).as("_d"))
       .select(col("doc"), col("fmt"),
         element_at(col("_d"), 1).as("w"), element_at(col("_d"), 2).as("h"))

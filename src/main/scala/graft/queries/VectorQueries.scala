@@ -768,8 +768,12 @@ object VectorQueries {
         |FROM pm""".stripMargin,
     "multimodal_dims" ->
       """WITH d AS (SELECT doc_id,
-        |    CASE WHEN doc_id % 2 = 0 THEN 'gif' ELSE 'png' END AS fmt,
-        |    (2 + doc_id % 5)::BIGINT AS w, (2 + doc_id % 3)::BIGINT AS h
+        |    CASE WHEN doc_id % 3 = 0 THEN 'gif'
+        |         WHEN doc_id % 3 = 1 THEN 'png' ELSE 'jpeg' END AS fmt,
+        |    (CASE WHEN doc_id % 3 = 2 THEN 8 * (1 + doc_id % 5)
+        |          ELSE 2 + doc_id % 5 END)::BIGINT AS w,
+        |    (CASE WHEN doc_id % 3 = 2 THEN 8 * (1 + doc_id % 2)
+        |          ELSE 2 + doc_id % 3 END)::BIGINT AS h
         |  FROM documents)
         |SELECT fmt, count(*)::BIGINT AS n, sum(w)::BIGINT AS sum_w,
         |  sum(h)::BIGINT AS sum_h, min(w)::BIGINT AS min_w, max(h)::BIGINT AS max_h
