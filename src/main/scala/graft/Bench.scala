@@ -14,6 +14,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // expected L-BFGS line-search resets would otherwise spam the log
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "breeze.optimize", org.apache.logging.log4j.Level.ERROR)
     // warm up the session once (JVM/codegen/parquet-footer costs otherwise
     // land on whichever query happens to run first)
     try spark.read.parquet(s"$sfDir/lineitem.parquet").limit(10).write

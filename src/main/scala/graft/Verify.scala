@@ -19,6 +19,12 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // breeze's L-BFGS logs line-search resets at WARN on every
+    // hw_fit_opt/arima_fit_bfgs evaluation — expected optimizer
+    // behavior, so keep it out of the verify log where it buries real
+    // errors
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "breeze.optimize", org.apache.logging.log4j.Level.ERROR)
     new java.io.File(outDir).mkdirs()
     // dev-only subset filter (driver always runs the full set)
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")

@@ -4,7 +4,7 @@ import graft.ensemble.{Boosting, Forest}
 import graft.linear.LinearModel
 import graft.neighbors.PQ
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, lit, posexplode}
 
 /** Parquet persistence for graft's fitted models — the Spark-native
   * counterpart of the reference's pickle round-trip surface
@@ -334,6 +334,37 @@ object ModelIO {
     require(bad.isEmpty,
       s"ModelIO: expected model_type=$modelType, found ${bad.headOption.map(_.getString(0)).getOrElse("?")}")
     df.select("series", "key", "value")
+  }
+
+  // ----------------------------------------------------------- ALS factors
+
+  /** Persist ALS factor matrices in long form (side, id, f, value) — the
+    * factors are DATA-SCALE (one row per user/item per latent dim; 10⁸
+    * users is normal), so like the per-series models save is a parquet
+    * write and load is a lazy scan: factors never pass through the
+    * driver. Float factors widen to double (exact) so the loaded serve
+    * path computes the same dot products the in-memory model does up to
+    * float-vs-double summation order (the model_io_als gate bounds it). */
+  def saveALS(userFactors: DataFrame, itemFactors: DataFrame, path: String): Unit = {
+    def long(df: DataFrame, side: String): DataFrame =
+      df.select(lit(side).as("side"), col("id").cast("int").as("id"),
+        posexplode(col("features")).as(Seq("f", "value")))
+        .select(col("side"), col("id"), col("f").cast("int").as("f"),
+          col("value").cast("double").as("value"), lit("als").as("model_type"))
+    long(userFactors, "user").unionByName(long(itemFactors, "item"))
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load the ALS factors as two lazy scans (user frame, item frame);
+    * same constant-column model_type probe as loadSeriesModel. */
+  def loadALS(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
+    val df = spark.read.parquet(path)
+    val bad = df.filter(col("model_type") =!= "als")
+      .select("model_type").limit(1).collect()
+    require(bad.isEmpty,
+      s"ModelIO: expected model_type=als, found ${bad.headOption.map(_.getString(0)).getOrElse("?")}")
+    (df.filter(col("side") === "user").select("id", "f", "value"),
+      df.filter(col("side") === "item").select("id", "f", "value"))
   }
 
   // --------------------------------------------------------- dedup index

@@ -78,22 +78,43 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Hard cap on decoded channel values per payload: header-declared
+    * geometry is UNTRUSTED (a ~100-byte payload can declare 40000×40000),
+    * so every decoder checks its would-be buffer size in Long against
+    * this cap before allocating and declines to the byte-stats fallback
+    * on violation. 2^24 doubles (128 MiB) comfortably covers any real
+    * image/clip a 100 TB corpus row would inline. */
+  private[multimodal] val MaxDecodedValues: Long = 1L << 24
+
+  /** True iff a decoded buffer of n channel values is allocatable:
+    * positive (catching Long-multiply results that an Int cast would
+    * have wrapped) and under the cap. */
+  private def saneAlloc(n: Long): Boolean = n > 0 && n <= MaxDecodedValues
+
+  /** Parser dispatch behind a catch-all: any parser defect on hostile or
+    * corrupt bytes (index out of bounds, arithmetic overflow, bad
+    * number format) degrades to None — the byte-stats fallback — rather
+    * than failing the Spark task. */
+  private def dispatch(bytes: Array[Byte]): Option[(Int, Int, Array[Double])] =
+    scala.util.Try(
+      decodePpm(bytes).orElse(decodeBmp(bytes)).orElse(decodeGif(bytes))
+        .orElse(decodePng(bytes)).orElse(decodeJpeg(bytes))
+    ).toOption.flatten
+
   /** (mean, std, max, min) over decoded pixel channels for P6 PPM /
     * 24-bpp BMP payloads; same moments over raw bytes for everything
     * else. Deterministic and codec-free. */
   private[graft] def decode(bytes: Array[Byte]): Seq[Double] =
-    decodePpm(bytes).orElse(decodeBmp(bytes)).orElse(decodeGif(bytes))
-      .orElse(decodePng(bytes)).orElse(decodeJpeg(bytes))
+    dispatch(bytes)
       .map { case (_, _, px) => stats(px) }
-      .orElse(decodeWav(bytes).map { case (_, _, smp) => stats(smp) })
+      .orElse(scala.util.Try(decodeWav(bytes)).toOption.flatten
+        .map { case (_, _, smp) => stats(smp) })
       .getOrElse(stats(bytes.map(b => (b & 0xff).toDouble)))
 
   /** Decoded (width, height) when a real parser matches — the metadata
     * side of the decode contract. */
   private[graft] def decodedDims(bytes: Array[Byte]): Option[(Int, Int)] =
-    decodePpm(bytes).orElse(decodeBmp(bytes)).orElse(decodeGif(bytes))
-      .orElse(decodePng(bytes)).orElse(decodeJpeg(bytes))
-      .map { case (w, h, _) => (w, h) }
+    dispatch(bytes).map { case (w, h, _) => (w, h) }
 
   private def stats(d: Array[Double]): Seq[Double] =
     if (d.isEmpty) Seq(0.0, 0.0, 0.0, 0.0)
@@ -128,7 +149,8 @@ object Multimodal {
     for {
       w <- int(); h <- int(); maxv <- int()
       if w > 0 && h > 0 && maxv == 255 && pos < bytes.length &&
-        bytes(pos).toChar.isWhitespace && bytes.length - (pos + 1) >= w * h * 3
+        bytes(pos).toChar.isWhitespace && saneAlloc(w.toLong * h * 3) &&
+        bytes.length.toLong - (pos + 1) >= w.toLong * h * 3
     } yield {
       val px = new Array[Double](w * h * 3)
       var i = 0
@@ -154,7 +176,8 @@ object Multimodal {
     val bpp = i16(28)
     val compression = i32(30)
     val hAbs = math.abs(h)
-    if (hdrSize < 40 || w <= 0 || hAbs == 0 || bpp != 24 || compression != 0)
+    if (hdrSize < 40 || w <= 0 || hAbs == 0 || bpp != 24 || compression != 0 ||
+      !saneAlloc(w.toLong * hAbs * 3))
       return None
     val rowSize = ((w * 3 + 3) / 4) * 4
     if (dataOff < 54 || bytes.length.toLong < dataOff.toLong + rowSize.toLong * hAbs)
@@ -199,6 +222,7 @@ object Multimodal {
     if (pos >= bytes.length || (bytes(pos) & 0xff) != 0x2c) return None
     if (pos + 10 > bytes.length) return None
     val w = u16(pos + 5); val h = u16(pos + 7)
+    if (!saneAlloc(w.toLong * h * 3)) return None // u16·u16·3 can wrap Int
     val ipacked = bytes(pos + 9) & 0xff
     if ((ipacked & 0x80) != 0 || (ipacked & 0x40) != 0) return None // LCT / interlace
     pos += 10
@@ -317,6 +341,10 @@ object Multimodal {
     if (!seenIhdr || !done || w <= 0 || h <= 0 || depth != 8 || interlace != 0)
       return None
     val bpp = color match { case 0 => 1; case 2 => 3; case 6 => 4; case _ => return None }
+    // size the raw buffer in Long first: a ~100-byte PNG declaring
+    // 40000×40000 RGB would wrap h*(1+w*bpp) in Int (negative-size alloc)
+    // or OOM; decline such geometry to the byte-stats fallback instead
+    if (!saneAlloc(h.toLong * (1L + w.toLong * bpp))) return None
     val stride = w * bpp
     val raw = new Array[Byte](h * (1 + stride))
     val inf = new java.util.zip.Inflater()
@@ -457,16 +485,19 @@ object Multimodal {
         case 0xdb => // DQT — possibly several tables
           var p = dp
           while (p < pos + 2 + len) {
+            if (p + 65 > pos + 2 + len) return None // truncated table
             val pq = (bytes(p) & 0xf0) >> 4; val tq = bytes(p) & 0x0f
             if (pq != 0 || tq > 3) return None // 16-bit tables undeclared
             qt(tq) = Array.tabulate(64)(i => bytes(p + 1 + i) & 0xff)
             p += 65
           }
         case 0xc0 => // SOF0 baseline: 1 (gray) or 3 (YCbCr) components
+          if (len < 8) return None
           val precision = bytes(dp) & 0xff
           h = u16(dp + 1); w = u16(dp + 3)
           nf = bytes(dp + 5) & 0xff
           if (precision != 8 || (nf != 1 && nf != 3)) return None
+          if (dp + 6 + 3 * nf > pos + 2 + len) return None // truncated comps
           compIds = new Array[Int](nf); compQtIds = new Array[Int](nf)
           compH = new Array[Int](nf); compV = new Array[Int](nf)
           for (c <- 0 until nf) {
@@ -481,6 +512,7 @@ object Multimodal {
         case 0xc4 => // DHT — possibly several tables
           var p = dp
           while (p < pos + 2 + len) {
+            if (p + 17 > pos + 2 + len) return None // truncated bits array
             val tc = (bytes(p) & 0xf0) >> 4; val th = bytes(p) & 0x0f
             if (tc > 1 || th > 3) return None
             val bits = Array.tabulate(16)(i => bytes(p + 1 + i) & 0xff)
@@ -490,10 +522,14 @@ object Multimodal {
             huff(tc)(th) = JpegHuff(bits, vals)
             p = p + 17 + nVals
           }
-        case 0xdd => restartInterval = u16(dp)
+        case 0xdd =>
+          if (len < 4) return None
+          restartInterval = u16(dp)
         case 0xda => // SOS: component selectors map scan tables by id
+          if (len < 3) return None
           val ns = bytes(dp) & 0xff
           if (compIds == null || ns != nf) return None
+          if (dp + 1 + 2 * ns + 3 > pos + 2 + len) return None // truncated scan
           dcTables = new Array[Int](nf); acTables = new Array[Int](nf)
           for (s <- 0 until ns) {
             val cs = bytes(dp + 1 + 2 * s) & 0xff
@@ -551,7 +587,13 @@ object Multimodal {
     val vMax = (0 until nf).map(compV(_)).max
     val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
     val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
-    // per-component padded planes at the component's own resolution
+    // per-component padded planes at the component's own resolution;
+    // plane size computed in Long before allocation — SOF-declared dims
+    // are untrusted and u16·u16·(2·8)² can wrap Int
+    if ((0 until nf).exists { c =>
+        val plane = mcusX.toLong * compH(c) * 8 * mcusY * compV(c) * 8
+        !saneAlloc(plane)
+      } || !saneAlloc(w.toLong * h * (if (nf == 1) 1 else 3))) return None
     val strides = Array.tabulate(nf)(c => mcusX * compH(c) * 8)
     val planes = Array.tabulate(nf)(c =>
       new Array[Double](strides(c) * mcusY * compV(c) * 8))

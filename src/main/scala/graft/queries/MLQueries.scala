@@ -43,6 +43,27 @@ object MLQueries {
     Forest.Split(1, 0.05, Forest.Leaf(10.0), Forest.Leaf(20.0)),
     Forest.Split(2, 0.04, Forest.Leaf(30.0), Forest.Leaf(40.0)))
 
+  /** The (customer, part) implicit-rating matrix behind als_recommend and
+    * model_io_als — deterministic SQL (decimal-exact mass). */
+  private[graft] def alsRatings(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").cast("int").as("user"),
+        col("l_partkey").cast("int").as("item"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("rating_d"))
+      .withColumn("rating", col("rating_d").cast("float"))
+
+  /** Seeded MLlib ALS fit over [[alsRatings]], FitCache-shared between
+    * als_recommend and the model_io_als serve path. */
+  private[graft] def alsModel(ratings: DataFrame): org.apache.spark.ml.recommendation.ALSModel =
+    graft.core.FitCache.getOrFit(graft.core.FitCache.key(ratings,
+      "als", 8, 5, 0.1, 42L)) {
+      new org.apache.spark.ml.recommendation.ALS()
+        .setRank(8).setMaxIter(5).setRegParam(0.1).setSeed(42L)
+        .setUserCol("user").setItemCol("item").setRatingCol("rating")
+        .fit(ratings)
+    }
+
   private def liWithLabel(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d).withColumn("_bin",
       when(col("l_returnflag") === "R", 1.0).otherwise(0.0))
@@ -205,8 +226,9 @@ object MLQueries {
           (col("_mse") < col("_z")).as("mse_lt_zero_model"))
     },
     "kmeans" -> { (s, d) =>
-      // PARTIAL HASH GATE (r11): count + non-empty-cluster count + the
-      // SSE < total-SS floor; centroids stay spec-gated
+      // PARTIAL HASH GATE (r11, bounded r12): count + the 1 ≤ k' ≤ k
+      // non-empty-cluster invariant + the SSE < total-SS floor;
+      // centroids stay spec-gated
       KMeansGraft.fitGate(Tables.lineitem(s, d),
         Seq("l_quantity", "l_discount", "l_tax"), k = 4, maxIter = 10)
     },
@@ -239,20 +261,8 @@ object MLQueries {
       // stddev_pop), with the continuous RMSE value spec-gated in
       // MLQueriesSpec. Ratings sum through DECIMAL so the mass is
       // order-independent; the float copy feeds ALS unchanged.
-      val ratings = Tables.lineitem(s, d)
-        .join(Tables.orders(s, d),
-          col("l_orderkey") === col("o_orderkey"))
-        .groupBy(col("o_custkey").cast("int").as("user"),
-          col("l_partkey").cast("int").as("item"))
-        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("rating_d"))
-        .withColumn("rating", col("rating_d").cast("float"))
-      val model = graft.core.FitCache.getOrFit(graft.core.FitCache.key(ratings,
-        "als", 8, 5, 0.1, 42L)) {
-        new org.apache.spark.ml.recommendation.ALS()
-          .setRank(8).setMaxIter(5).setRegParam(0.1).setSeed(42L)
-          .setUserCol("user").setItemCol("item").setRatingCol("rating")
-          .fit(ratings)
-      }
+      val ratings = alsRatings(s, d)
+      val model = alsModel(ratings)
       val pred = model.transform(ratings)
       pred.agg(count(lit(1)).cast("long").as("n_ratings"),
         countDistinct(col("user")).cast("long").as("n_users"),
@@ -427,7 +437,7 @@ object MLQueries {
       """SELECT count(*)::BIGINT AS n_rows, 2::BIGINT AS n_terms,
         |  TRUE AS mse_lt_zero_model FROM lineitem""".stripMargin,
     "kmeans" ->
-      """SELECT count(*)::BIGINT AS n_points, 4::BIGINT AS n_clusters,
+      """SELECT count(*)::BIGINT AS n_points, TRUE AS n_clusters_bounded,
         |  TRUE AS sse_lt_totss FROM lineitem""".stripMargin,
     "rf_classifier" ->
       """SELECT count(*)::BIGINT AS n_rows, TRUE AS preds_in_label_set,

@@ -219,6 +219,31 @@ object MiscQueries {
       val isRef = Preprocessing.splitColumn(col("o_orderkey"), 250, 42L) === "train"
       graft.stats.Drift.psi(o, col("o_totalprice"), isRef, bins = 10)
     },
+    "psi_approx" -> { (s, d) =>
+      // the PRODUCTION drift gate: percentile_approx boundaries (one
+      // aggregate, no global sort at any scale) feeding the same PSI
+      // terms. PARTIAL HASH GATE (quantile_buckets_approx discipline):
+      // bin ids + exact slice totals hashed; sketch-dependent per-bin
+      // values stay engine-internal behind invariant booleans —
+      // reference bins within 10%+2 of N_ref/k (the sketch IS a decile
+      // sketch), each PSI term ≥ 0 (exact algebra), total in [0, 0.1]
+      // (twin-identical split ⇒ near-zero drift; |approx − exact| is
+      // additionally spec-bounded)
+      val o = Tables.orders(s, d)
+      val isRef = Preprocessing.splitColumn(col("o_orderkey"), 250, 42L) === "train"
+      val a = graft.stats.Drift.psiApprox(o, col("o_totalprice"), isRef, bins = 10)
+      val tot = a.agg(sum(col("n_ref")).cast("double").as("_tr"),
+        sum(col("n_cur")).cast("double").as("_tc"))
+      a.crossJoin(broadcast(tot))
+        .select(col("bin"),
+          col("_tr").cast("long").as("n_ref_total"),
+          col("_tc").cast("long").as("n_cur_total"),
+          (abs(col("n_ref") - col("_tr") / 10) <= col("_tr") / 10 * 0.10 + 2)
+            .as("ref_share_close"),
+          (col("psi_term") >= 0.0).as("term_nonneg"),
+          (col("psi_total") >= 0.0 && col("psi_total") <= 0.1).as("psi_bounded"))
+        .orderBy("bin")
+    },
     "ks_test" -> { (s, d) =>
       // two-sample KS drift gate on the same slices — exact over the
       // quantized pooled support (the roc_auc distinct-value discipline)
@@ -982,6 +1007,17 @@ object MiscQueries {
         |  round(avg(exp(-(o_totalprice - g) * (o_totalprice - g) / (2.0 * 25000.0 * 25000.0)))
         |    * 1e6 / (25000.0 * sqrt(2.0 * pi())), 6) AS density_1e6
         |FROM orders, g GROUP BY g ORDER BY g""".stripMargin,
+    // production-sketch partial gate: bin ids + exact slice totals
+    // hashed; sketch-dependent bin counts stay engine-internal behind
+    // the share/nonneg/bounded invariants (see psi for the exact twin)
+    "psi_approx" ->
+      """WITH s AS (SELECT CASE WHEN ('0x' || substr(md5(o_orderkey::VARCHAR || '_42'), 1, 15))::BIGINT % 1000 < 250
+        |    THEN 0 ELSE 1 END AS ref FROM orders)
+        |SELECT g.i::BIGINT AS bin,
+        |  (SELECT sum(ref) FROM s)::BIGINT AS n_ref_total,
+        |  (SELECT sum(1 - ref) FROM s)::BIGINT AS n_cur_total,
+        |  TRUE AS ref_share_close, TRUE AS term_nonneg, TRUE AS psi_bounded
+        |FROM generate_series(1, 10) g(i) ORDER BY bin""".stripMargin,
     "psi" -> {
       val boundCols = (1 to 9).map(k =>
         s"    max(CASE WHEN rn = ceil(n * 0.$k) THEN v END) AS b$k").mkString(",\n")

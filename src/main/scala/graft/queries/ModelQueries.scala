@@ -187,6 +187,42 @@ object ModelQueries {
           round(sum(col("value")), 4).as("value_sum"))
         .orderBy("model_type")
     },
+    "model_io_als" -> { (s, d) =>
+      // ALS serve path: fit (FitCache-shared with als_recommend) →
+      // persist BOTH factor matrices in long form (data-scale: one row
+      // per id per latent dim — saveALS is a parquet write, loadALS a
+      // lazy scan; factors never pass through the driver) → top-k
+      // recommendations THROUGH THE LOADED FRAMES for 5 deterministic
+      // probe users. PARTIAL HASH GATE: probe/rec counts SQL-exact;
+      // recommended items must come from the training item set; and the
+      // loaded-serve dot products must match the in-memory model's
+      // transform on the same pairs to float tolerance — the round-trip
+      // parity proof.
+      val ratings = MLQueries.alsRatings(s, d)
+      val model = MLQueries.alsModel(ratings)
+      val path = fixedModelDir("als_factors")
+      ModelIO.saveALS(model.userFactors, model.itemFactors, path)
+      val (uf, itf) = ModelIO.loadALS(s, path)
+      val probes = ratings.select(col("user")).distinct().orderBy("user").limit(5)
+      // probe-side factors are BOUNDED (5 users × rank rows) → broadcast;
+      // the item side streams, score sums are map-side-combined
+      val pu = uf.join(probes, uf("id") === probes("user"))
+        .select(col("user"), col("f"), col("value").as("_uv"))
+      val scores = broadcast(pu)
+        .join(itf.select(col("id").as("item"), col("f"), col("value").as("_iv")), "f")
+        .groupBy("user", "item").agg(sum(col("_uv") * col("_iv")).as("score"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user"))
+        .orderBy(round(col("score"), 4).desc, col("item"))
+      val topk = scores.withColumn("_rk", row_number().over(w)).filter(col("_rk") <= 3)
+        .select(col("user"), col("item"), col("score"))
+      val served = model.transform(topk)
+      val itemSet = ratings.select(col("item")).distinct().withColumn("_in", lit(1))
+      served.join(broadcast(itemSet), Seq("item"), "left")
+        .agg(countDistinct(col("user")).cast("long").as("n_users"),
+          count(lit(1)).cast("long").as("n_recs"),
+          (sum(when(col("_in").isNull, 1).otherwise(0)) === 0).as("recs_in_item_set"),
+          (max(abs(col("score") - col("prediction"))) < 1e-3).as("serve_matches_model"))
+    },
     "model_io_dedup" -> { (s, d) =>
       // persisted MinHash LSH index serve: build the band-bucket index of
       // the already-ingested front half, save it repartitioned on the
@@ -249,6 +285,15 @@ object ModelQueries {
     "model_io_arima_forecast" -> TSAQueries.oracles("arima_ml_forecast"),
     "model_io_svm" -> MLQueries.oracles("svm_predict"),
     "model_registry" -> registryOracleSql,
+    // partial gate: probe/rec counts SQL-exact, factor round-trip parity
+    // and item-set membership as invariants (factors are seed-dependent)
+    "model_io_als" ->
+      """WITH u AS (SELECT DISTINCT o_custkey::INT AS u
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |u5 AS (SELECT u FROM u ORDER BY u LIMIT 5)
+        |SELECT (SELECT count(*) FROM u5)::BIGINT AS n_users,
+        |  ((SELECT count(*) FROM u5) * 3)::BIGINT AS n_recs,
+        |  TRUE AS recs_in_item_set, TRUE AS serve_matches_model""".stripMargin,
     // the persisted-index serve replayed from scratch: same band CTEs as
     // the minhash pair oracles, index = the front half's distinct buckets
     "model_io_dedup" ->

@@ -338,18 +338,19 @@ object VectorQueries {
     "umap_layout" -> { (s, d) =>
       // layout 100 nodes, then score the 2-D embedding against the 64-dim
       // original with trustworthiness (deterministic init + forces).
-      // PARTIAL HASH GATE (r11): n/k SQL-exact; trustworthiness must clear
-      // 0.3 — well under the deterministic layout's observed ~0.47 on
-      // these near-random synthetic embeddings, and failing loudly if a
-      // data regen ever degrades the layout below it (planted-cluster
-      // separation stays spec-gated)
+      // PARTIAL HASH GATE (r11, floor tightened r12): n/k SQL-exact;
+      // trustworthiness must clear 0.40 — a thin margin under the
+      // deterministic layout's observed ~0.47 on these near-random
+      // synthetic embeddings, failing loudly if a data regen or layout
+      // change ever degrades it (planted-cluster separation stays
+      // spec-gated)
       val e = Tables.embeddings(s, d).filter(col("vec_id") < 100)
       val layout = Manifold.forceLayout(e, "vec_id", "embedding",
           k = 10, iters = 25, lr = 1.0, mode = Manifold.UmapForces)
         .select(col("id").as("vec_id"), array(col("x"), col("y")).as("emb2"))
       graft.metrics.Trustworthiness.compute(e, layout, "vec_id", "embedding", "emb2", 5)
         .select(col("n").cast("long").as("n_points"), col("k").cast("long").as("k"),
-          (col("trustworthiness") >= 0.3 && col("trustworthiness") <= 1.0)
+          (col("trustworthiness") >= 0.40 && col("trustworthiness") <= 1.0)
             .as("trust_floor"))
     },
     "umap_transform" -> { (s, d) =>
@@ -375,15 +376,16 @@ object VectorQueries {
             .as("within_layout_bbox"))
     },
     "tsne_layout" -> { (s, d) =>
-      // PARTIAL HASH GATE (r11): same n/k + trust-floor gate as
-      // umap_layout (observed ~0.56 here)
+      // PARTIAL HASH GATE (r11, floor tightened r12): same n/k +
+      // trust-floor gate as umap_layout; observed ~0.56 here so the
+      // floor sits at 0.45
       val e = Tables.embeddings(s, d).filter(col("vec_id") < 100)
       val layout = Manifold.forceLayout(e, "vec_id", "embedding",
           k = 20, iters = 25, lr = 20.0, mode = Manifold.TsneForces)
         .select(col("id").as("vec_id"), array(col("x"), col("y")).as("emb2"))
       graft.metrics.Trustworthiness.compute(e, layout, "vec_id", "embedding", "emb2", 5)
         .select(col("n").cast("long").as("n_points"), col("k").cast("long").as("k"),
-          (col("trustworthiness") >= 0.3 && col("trustworthiness") <= 1.0)
+          (col("trustworthiness") >= 0.45 && col("trustworthiness") <= 1.0)
             .as("trust_floor"))
     },
     "multimodal_meta" -> { (s, d) =>

@@ -56,6 +56,40 @@ object Drift {
       .orderBy("bin")
   }
 
+  /** PRODUCTION twin of [[psi]]: boundaries from the percentile_approx
+    * sketch over the reference slice — ONE map-side-combined aggregate,
+    * no global sort at any corpus size (the path a 100 TB drift monitor
+    * actually runs; [[psi]] is its exact rank-select audit twin, same
+    * relationship as quantile_buckets_approx / quantile_buckets).
+    * Binning, smoothing, and the PSI terms are identical to [[psi]];
+    * only the boundary source differs, so |psi_approx − psi| is bounded
+    * by the sketch's rank error (spec-gated). Same output schema. */
+  def psiApprox(df: DataFrame, value: Column, isRef: Column, bins: Int,
+                accuracy: Int = 10000): DataFrame = {
+    val rows = df.select(round(value, 4).as("_v"),
+      when(isRef, 1L).otherwise(0L).as("_ref"))
+    val probs = (1 until bins).map(_.toDouble / bins)
+    val bounds = rows.filter(col("_ref") === 1)
+      .agg(percentile_approx(col("_v"), typedLit(probs), lit(accuracy)).as("_b"))
+      .head().getSeq[Double](0)
+    val bin = bounds.foldLeft(lit(1L): Column) { (acc, b) =>
+      acc + when(col("_v") > b, 1L).otherwise(0L)
+    }
+    val counts = rows.groupBy(bin.as("bin"))
+      .agg(sum(col("_ref")).as("_nr"), sum(lit(1L) - col("_ref")).as("_nc"))
+    val tot = counts.agg(sum(col("_nr")).as("_tr"), sum(col("_nc")).as("_tc"))
+    val terms = counts.crossJoin(tot)
+      .select(col("bin"), col("_nr").as("n_ref"), col("_nc").as("n_cur"),
+        ((col("_nr") + 1.0) / (col("_tr") + lit(bins.toDouble))).as("_pr"),
+        ((col("_nc") + 1.0) / (col("_tc") + lit(bins.toDouble))).as("_pc"))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        r6(col("_pr")).as("p_ref"), r6(col("_pc")).as("p_cur"),
+        r6((col("_pc") - col("_pr")) * log(col("_pc") / col("_pr"))).as("psi_term"))
+    terms.withColumn("psi_total",
+        round(sum(col("psi_term")).over(Window.partitionBy()), 6))
+      .orderBy("bin")
+  }
+
   /** Two-sample Kolmogorov–Smirnov statistic D = sup_x |F_ref − F_cur|,
     * exact over the quantized pooled support: one groupBy on the value
     * grid, one cumulative window over DISTINCT values. `reject` compares

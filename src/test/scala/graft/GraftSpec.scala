@@ -106,6 +106,26 @@ class GraftSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r(7) == -1L)                                  // noise
   }
 
+  test("DBSCAN 1-D: bucketed scan matches the single-bucket formulation") {
+    import spark.implicits._
+    // values engineered so chains CROSS bucket boundaries at several
+    // widths: dense run 0..30 (one cluster), a gap, dense run 60..75,
+    // singletons — nBuckets=1 degenerates to the global-window shape,
+    // so equality across bucket counts proves the boundary stitching
+    val vals = (0 to 60 by 2).map(_ / 2.0) ++ (120 to 150 by 2).map(_ / 2.0) ++
+      Seq(400.0, 500.0, 43.0, 44.0)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val expect = DBSCAN.oneD(df, "id", "v", eps = 1.0, minPts = 3, nBuckets = 1)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    for (nb <- Seq(2, 3, 5, 8, 32)) {
+      val got = DBSCAN.oneD(df, "id", "v", eps = 1.0, minPts = 3, nBuckets = nb)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+      assert(got == expect, s"nBuckets=$nb diverged")
+    }
+  }
+
   test("MinHash: identical docs share full signature; candidates found") {
     import spark.implicits._
     val docs = Seq(

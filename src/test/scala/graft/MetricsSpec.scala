@@ -209,6 +209,29 @@ class MetricsSpec extends AnyFunSuite {
     assert(psiShift > 0.1, s"psi on shifted halves: $psiShift")
   }
 
+  test("psiApprox tracks the exact rank-select psi (sketch error bound)") {
+    import spark.implicits._
+    import graft.stats.Drift
+    val rnd = new scala.util.Random(31)
+    // planted moderate shift so both twins sit well off zero
+    val df = (0 until 4000).map { i =>
+      val ref = i % 2 == 0
+      ((if (ref) 100.0 else 104.0) + rnd.nextGaussian() * 10, ref)
+    }.toDF("v", "ref")
+    val exact = Drift.psi(df, col("v"), col("ref"), bins = 10).head().getDouble(6)
+    val approx = Drift.psiApprox(df, col("v"), col("ref"), bins = 10).head().getDouble(6)
+    // at accuracy=10000 on 2000 reference rows the sketch is rank-exact
+    // up to ties; the PSI totals must agree to well under the 0.1/0.25
+    // industry alert thresholds
+    assert(math.abs(approx - exact) < 0.02, s"approx=$approx exact=$exact")
+    // and also on drift-free halves: both near zero
+    val same = (0 until 4000).map { i => (rnd.nextGaussian() * 10 + 100, i % 2 == 0) }
+      .toDF("v", "ref")
+    val approxSame = Drift.psiApprox(same, col("v"), col("ref"), bins = 10)
+      .head().getDouble(6)
+    assert(approxSame < 0.05, s"psi_approx on identical halves: $approxSame")
+  }
+
   test("simplified silhouette ≈ 1 on tight planted blobs, low on overlap") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

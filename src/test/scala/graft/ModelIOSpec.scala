@@ -165,6 +165,37 @@ class ModelIOSpec extends AnyFunSuite {
       ModelIO.loadSeriesModel(spark, path, "hw_additive"))
   }
 
+  test("ALS factors round-trip exactly; loaded serve matches the model and rejects a swap") {
+    import graft.queries.MLQueries
+    val ratings = MLQueries.alsRatings(spark, sf)
+    val model = MLQueries.alsModel(ratings)
+    val path = tmp("als")
+    ModelIO.saveALS(model.userFactors, model.itemFactors, path)
+    val (uf, itf) = ModelIO.loadALS(spark, path)
+    // row counts: every (id, dim) factor persisted on both sides
+    assert(uf.count() == model.userFactors.count() * model.rank)
+    assert(itf.count() == model.itemFactors.count() * model.rank)
+    // float→double widening is exact: spot-check one user's vector
+    val someId = model.userFactors.select(min(col("id"))).head().getInt(0)
+    val direct = model.userFactors.filter(col("id") === someId)
+      .head().getSeq[Float](1).map(_.toDouble)
+    val loaded = uf.filter(col("id") === someId).orderBy("f")
+      .collect().map(_.getDouble(2)).toSeq
+    assert(loaded == direct, s"factor vector changed in round-trip for id=$someId")
+    // the driver query's parity gate holds end to end
+    val gate = SparkEntry.queries("model_io_als")(spark, sf).head()
+    assert(gate.getAs[Boolean]("recs_in_item_set"))
+    assert(gate.getAs[Boolean]("serve_matches_model"))
+    // a swapped model_type fails loudly (fresh dir: writing into `path`
+    // would race the lazy uf/itf scans still reading it)
+    val swapped = tmp("als_swap")
+    ModelIO.saveSeriesModel(
+      spark.range(2).select(lit("x").as("series"), col("id").cast("string").as("key"),
+        col("id").cast("double").as("value")),
+      "ar2", swapped)
+    assertThrows[IllegalArgumentException](ModelIO.loadALS(spark, swapped))
+  }
+
   test("forecast through persisted HW state equals forecast at fit time") {
     import graft.tsa.TimeSeries
     val series = TimeSeries.dailySeries(Tables.events(spark, sf))

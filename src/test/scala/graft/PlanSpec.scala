@@ -48,6 +48,16 @@ class PlanSpec extends AnyFunSuite {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("dbscan_1d windows run bucket-partitioned, not as a global sort") {
+    val df = graft.cluster.DBSCAN.oneD(Tables.customer(spark, sf),
+      "c_custkey", "c_acctbal", 50.0, 3)
+    val p = planOf(df)
+    // the data-scale range/gap windows must sit behind a hash exchange
+    // on the bucket key; only the ≤#buckets summary frame may see a
+    // single-partition window
+    assert(p.contains("hashpartitioning(b"), p.take(3000))
+  }
+
   test("kmeans assignment is pure codegen map (no shuffle before the agg)") {
     val li = Tables.lineitem(spark, sf)
     val assigned = li.select(graft.cluster.KMeansGraft.assign(
