@@ -64,6 +64,25 @@ object Tables {
       case _ => raw
     }
   }
+  /** Streaming twin of [[events]]: the same parquet lands as an UNBOUNDED
+    * readStream file source (one driver-side footer probe supplies the
+    * mandatory stream schema), with the identical physical-type
+    * normalization — so a streaming query over it has exactly the batch
+    * table's ts semantics. */
+  def eventsStream(s: SparkSession, d: String): DataFrame = {
+    val path = s"$d/events.parquet"
+    val schema = s.read.parquet(path).schema
+    // the file-stream source needs a directory basePath; the sf dir is
+    // one, and the glob selects just the events file under it
+    val raw = s.readStream.schema(schema).option("basePath", d)
+      .parquet(s"$d/{events.parquet}")
+    schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
+  }
+
   /** `documents`/`embeddings` id and vector normalization — the same
     * regen-drift guard as [[events]]: a generator switch to int32 ids or
     * float32 embeddings must not flip output schemas (oracle outputs pin

@@ -319,6 +319,30 @@ object MiscQueries {
           gapUs = 4L * 3600 * 1000000)
         .orderBy("user_id")
     },
+    "streaming_sessions" -> { (s, d) =>
+      // the FIRST oracle-visible streaming query: the events parquet
+      // flows through a REAL Structured Streaming session_window
+      // aggregation (state store, watermark, Trigger.AvailableNow), the
+      // closed sessions land in a memory sink, and the final table is
+      // hash-gated against the batch gap-scan replay in DuckDB — so the
+      // streaming semantics themselves (>= gap splits, end = last+gap)
+      // are inside the correctness gate, not just spec-gated parity.
+      // The memory sink is the gate harness; a production run writes
+      // kafka/parquet and never holds sessions on the driver.
+      val sink = "graft_stream_sessions"
+      val q = graft.streaming.StreamingOps
+        .streamingSessions(Tables.eventsStream(s, d), gap = "4 hours")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sink)
+        .select(col("user_id").cast("long").as("user_id"),
+          unix_micros(col("sess_start")).as("sess_start_us"),
+          col("window_us"), col("n_events"))
+        .orderBy("user_id", "sess_start_us")
+    },
     "active_users" -> { (s, d) =>
       // weekly actives split into new (first-ever week) vs returning,
       // plus DAU/WAU stickiness: three aggregates all keyed on
@@ -1600,6 +1624,28 @@ object MiscQueries {
         |  count(DISTINCT e.user_id)::BIGINT AS n_users
         |FROM e JOIN c USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the streamed session_window output replayed as a batch gap scan:
+    // splits at gap >= 4 h (session_window's [start, last+gap) merge
+    // rule; the batch sessionize twin uses > — divergent only on an
+    // exactly-equal gap, measure-zero at µs resolution), window end =
+    // last event + gap
+    "streaming_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |g AS (SELECT user_id, event_id, us,
+        |    us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS gap
+        |  FROM e),
+        |s AS (SELECT user_id, us,
+        |    sum(CASE WHEN gap IS NULL OR gap >= 14400000000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM g),
+        |per AS (SELECT user_id, sess, count(*) AS n,
+        |    min(us) AS start_us, max(us) AS end_us
+        |  FROM s GROUP BY user_id, sess)
+        |SELECT user_id::BIGINT AS user_id, start_us::BIGINT AS sess_start_us,
+        |  (end_us + 14400000000 - start_us)::BIGINT AS window_us,
+        |  n::BIGINT AS n_events
+        |FROM per ORDER BY user_id, sess_start_us""".stripMargin,
     "sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
         |g AS (SELECT user_id, event_id, us,

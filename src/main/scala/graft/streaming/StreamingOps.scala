@@ -410,8 +410,11 @@ object StreamingOps {
       .agg(count(lit(1)).cast("long").as("n_events"))
       .select(col("user_id"),
         col("session_window.start").as("sess_start"),
-        round((unix_micros(col("session_window.end")) -
-          unix_micros(col("session_window.start"))) / 1e6, 4).as("window_s"),
+        // integer micros: exact (a rounded-seconds column would sit on
+        // the .00005 half-way boundary whenever the µs span ends in 50,
+        // where engines' double rounding legitimately disagrees)
+        (unix_micros(col("session_window.end")) -
+          unix_micros(col("session_window.start"))).as("window_us"),
         col("n_events"))
 
   /** Score an unbounded stream with a PERSISTED linear model: the model
