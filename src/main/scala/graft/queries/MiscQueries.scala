@@ -817,24 +817,28 @@ object MiscQueries {
       // deterministic SQL and the recall floor is a ≥-invariant of the
       // seeded index build; the continuous recall stays on the library
       // recallSummary surface, spec-gated in OperatorSpec
+      // floors tightened r12 to observed−margin (measured 0.69/0.83/0.69
+      // across sf0.001/0.01/0.1): a floor nobody can hit by accident
       val e = Tables.embeddings(s, d)
       IVF.recallSummary(e, e.filter(col("vec_id") < 20), "vec_id", "embedding",
           nCells = 16, k = 5, nprobe = 4)
-        .select(col("n_queries"), (col("avg_recall") >= 0.5).as("recall_ge_half"))
+        .select(col("n_queries"), (col("avg_recall") >= 0.6).as("recall_floor"))
     },
     "ann_pq" -> { (s, d) =>
+      // floor 0.28: observed 0.32–0.39 across the three SFs
       val e = Tables.embeddings(s, d)
       graft.neighbors.PQ.recallSummary(e, e.filter(col("vec_id") < 20),
           "vec_id", "embedding", m = 8, kCodes = 16, k = 5)
         .select(col("n_queries"), col("compression_x"),
-          (col("avg_recall") >= 0.2).as("recall_ge_fifth"))
+          (col("avg_recall") >= 0.28).as("recall_floor"))
     },
     "ann_ivfpq" -> { (s, d) =>
+      // floor 0.28: observed 0.33–0.39 across the three SFs
       val e = Tables.embeddings(s, d)
       graft.neighbors.IVFPQ.recallSummary(e, e.filter(col("vec_id") < 20),
           "vec_id", "embedding", nCells = 16, m = 8, kCodes = 16, k = 5, nprobe = 4)
         .select(col("n_queries"), col("compression_x"), col("probed_frac"),
-          (col("avg_recall") >= 0.2).as("recall_ge_fifth"))
+          (col("avg_recall") >= 0.28).as("recall_floor"))
     },
     "trustworthiness" -> { (s, d) =>
       val e = Tables.embeddings(s, d).filter(col("vec_id") < 200)
@@ -932,18 +936,18 @@ object MiscQueries {
     // ANN partial gates: deterministic query-set count (+ literal
     // compression/probe parameters) hashed, recall floors as invariants
     "ann_ivf" ->
-      """SELECT count(*)::BIGINT AS n_queries, TRUE AS recall_ge_half
+      """SELECT count(*)::BIGINT AS n_queries, TRUE AS recall_floor
         |FROM embeddings WHERE vec_id < 20""".stripMargin,
     "ann_pq" ->
       """SELECT count(*)::BIGINT AS n_queries,
         |  (max(len(embedding)) * 4 / 8)::BIGINT AS compression_x,
-        |  TRUE AS recall_ge_fifth
+        |  TRUE AS recall_floor
         |FROM embeddings WHERE vec_id < 20""".stripMargin,
     "ann_ivfpq" ->
       """SELECT count(*)::BIGINT AS n_queries,
         |  (max(len(embedding)) * 4 / 8)::BIGINT AS compression_x,
         |  0.25::DOUBLE AS probed_frac,
-        |  TRUE AS recall_ge_fifth
+        |  TRUE AS recall_floor
         |FROM embeddings WHERE vec_id < 20""".stripMargin,
     // the oracle states the SEMANTICS as the raw theta join (DuckDB's
     // IEJoin handles it at oracle scale); the Spark side must produce the
