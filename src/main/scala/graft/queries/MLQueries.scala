@@ -280,6 +280,16 @@ object MLQueries {
         when(col("l_returnflag") === "R", 1.0).otherwise(0.0),
         gamma = 0.5, dRff = 16, maxIter = 25)
     },
+    "svm_rbf_exact" -> { (s, d) =>
+      // the TRUE kernel-SVM semantics (SMO dual solve, svm.pyx:463) on a
+      // bounded md5-ordered sample — the audit twin pinning the RFF
+      // scale path; gated on exact optimality certificates (box
+      // feasibility, KKT residual, dual objective), not seed-dependent
+      // coefficients
+      SVMGraft.rbfExactGate(Tables.lineitem(s, d), LiFeatures,
+        when(col("l_returnflag") === "R", 1.0).otherwise(0.0),
+        concat_ws("_", col("l_orderkey"), col("l_linenumber"), lit("smo")))
+    },
     "tree_predict" -> { (s, d) =>
       // literal-tree FIL scoring (fixed-model pattern): the forest
       // family's hash gate — a CASE-chain codegen kernel, zero shuffle
@@ -458,6 +468,13 @@ object MLQueries {
     "svm_rbf" ->
       """SELECT count(*)::BIGINT AS n_rows, TRUE AS loss_lt_zero_model,
         |  TRUE AS acc_ge_majority FROM lineitem""".stripMargin,
+    // exact-SMO audit twin: sample size SQL-exact, optimality
+    // certificates (dual feasibility / KKT / objective) as invariants
+    "svm_rbf_exact" ->
+      """SELECT least(200, count(*))::BIGINT AS n_sample,
+        |  TRUE AS alphas_in_box, TRUE AS kkt_satisfied,
+        |  TRUE AS n_sv_bounded, TRUE AS dual_obj_nonneg
+        |FROM lineitem""".stripMargin,
     "als_recommend" ->
       """WITH r AS (
         |  SELECT o_custkey::INT AS u, l_partkey::INT AS it,

@@ -98,6 +98,47 @@ object SVMGraft {
     } finally zdf.unpersist(blocking = false)
   }
 
+  /** PARTIAL HASH GATE row for the EXACT kernel SVC ([[SMO]]) on a
+    * bounded md5-ordered sample — the reference's true SMO semantics
+    * (svm.pyx:463) pinned by exact optimality certificates rather than
+    * by seed-dependent coefficients: the sample size is SQL-exact, and
+    * the solved dual must be box-feasible (0 ≤ α ≤ C), satisfy the KKT
+    * conditions to solver tolerance, keep ≥1 support vector, and sit at
+    * a dual objective ≥ the feasible α=0 point's 0. The RFF scale path's
+    * decision agreement with this solver is spec-gated (SvmSpec). */
+  def rbfExactGate(df: DataFrame, features: Seq[String], binaryLabel: Column,
+                   sampleKey: Column, nSample: Int = 200, c: Double = 1.0,
+                   gamma: Double = 0.5, tol: Double = 1e-3): DataFrame = {
+    val rows = df
+      .select((features.map(f => col(f).cast("double").as(f)) :+
+        binaryLabel.cast("double").as("_lab") :+
+        graft.core.Num.md5Long(sampleKey).as("_ord")): _*)
+      .orderBy(col("_ord")).limit(nSample)
+      .collect()
+    val p = features.size
+    val xRaw = rows.map(r => Array.tabulate(p)(r.getDouble))
+    val y = rows.map(r => if (r.getDouble(p) == 1.0) 1.0 else -1.0)
+    // standardize within the sample (the RFF path's convention)
+    val mu = Array.tabulate(p)(j => xRaw.map(_(j)).sum / xRaw.length)
+    val sd = Array.tabulate(p) { j =>
+      val v = xRaw.map(r => (r(j) - mu(j)) * (r(j) - mu(j))).sum / xRaw.length
+      val s = math.sqrt(v); if (s < 1e-12) 1.0 else s
+    }
+    val x = xRaw.map(r => Array.tabulate(p)(j => (r(j) - mu(j)) / sd(j)))
+    val model = SMO.fit(x, y, c, gamma, tol)
+    val inBox = model.alphas.forall(a => a >= -1e-12 && a <= c + 1e-12)
+    // 2·tol slack: the sweep loop stops when no pair moves at tol, which
+    // bounds the residual at a small multiple of tol, not tol itself
+    val kktOk = model.maxKktViolation <= 2.0 * tol
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((rows.length.toLong, inBox, kktOk,
+      model.nSupport >= 1 && model.nSupport <= rows.length,
+      model.dualObjective >= -1e-9))
+      .toDF("n_sample", "alphas_in_box", "kkt_satisfied", "n_sv_bounded",
+        "dual_obj_nonneg")
+  }
+
   /** One codegen'd aggregate: n, squared-hinge loss of the literal
     * coefficients vs the zero model's exact 1.0, accuracy vs majority. */
   private def hingeGateRow(base: DataFrame, features: Seq[String],
@@ -117,10 +158,31 @@ object SVMGraft {
           .as("acc_ge_majority"))
   }
 
+  /** Per-row RFF decision margins keyed by `idCol` — the comparison
+    * surface the exact-SMO audit twin scores agreement against
+    * (SvmSpec); same fit as [[rbfSvcSummary]]. */
+  def rbfSvcDecide(df: DataFrame, idCol: Column, features: Seq[String],
+                   binaryLabel: Column, gamma: Double = 0.5, dRff: Int = 32,
+                   regParam: Double = 1e-4, maxIter: Int = 60): DataFrame = {
+    val (zdf, zNames) = rffFrame(df, features, binaryLabel, gamma, dRff,
+      extra = Seq(idCol.as("_id")))
+    try {
+      val model = GradientSolver.fitQN(zdf, zNames, "_lab",
+        l2 = regParam, maxIter = maxIter, loss = GradientSolver.HingeLoss,
+        tol = 1e-5)
+      val marginC = zNames.zipWithIndex.foldLeft(lit(model.coefs.head)) {
+        case (acc, (zn, j)) => acc + col(zn) * model.coefs(j + 1)
+      }
+      zdf.select(col("_id").as("id"), marginC.as("margin"),
+        col("_lab").as("label"))
+    } finally zdf.unpersist(blocking = false)
+  }
+
   /** The standardized RFF projection (cached) + its feature names —
     * shared by [[rbfSvcSummary]] and [[rbfSvcGate]]. */
   private def rffFrame(df: DataFrame, features: Seq[String], binaryLabel: Column,
-                       gamma: Double, dRff: Int): (DataFrame, Seq[String]) = {
+                       gamma: Double, dRff: Int,
+                       extra: Seq[Column] = Nil): (DataFrame, Seq[String]) = {
     val p = features.size
     val fx0 = features.map(c => col(c).cast("double"))
     val aggs = fx0.flatMap(c => Seq(avg(c), stddev_samp(c)))
@@ -148,7 +210,7 @@ object SVMGraft {
       (cos(proj) * amp).as(s"_z$j")
     }
     val zNames = (0 until dRff).map(j => s"_z$j")
-    val zdf = df.select((zCols :+ binaryLabel.cast("double").as("_lab")): _*).cache()
+    val zdf = df.select((zCols ++ extra :+ binaryLabel.cast("double").as("_lab")): _*).cache()
     (zdf, zNames)
   }
 

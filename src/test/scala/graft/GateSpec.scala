@@ -23,7 +23,7 @@ class GateSpec extends AnyFunSuite {
     "logreg", "logreg_multi", "qn_logreg", "qn_logreg_l1",
     "mbsgd_classifier", "mbsgd_regressor", "kmeans",
     "rf_classifier", "rf_importance", "rf_regressor", "fil_inference",
-    "svm_linear", "svm_rbf",
+    "svm_linear", "svm_rbf", "svm_rbf_exact",
     "pca", "tsvd", "pca_inverse",
     "umap_layout", "umap_transform", "tsne_layout",
     "dbscan", "dbscan_3d", "dbscan_predict")

@@ -655,6 +655,42 @@ class OperatorSpec extends AnyFunSuite {
     assert(rbf > 0.85, s"RFF should separate XOR: $rbf")
   }
 
+  test("exact SMO solves XOR and the RFF scale path agrees with its decisions") {
+    import spark.implicits._
+    import graft.svm.{SMO, SVMGraft}
+    val rnd = new scala.util.Random(9)
+    val rows = (0 until 300).map { i =>
+      val x0 = rnd.nextDouble() * 2 - 1; val x1 = rnd.nextDouble() * 2 - 1
+      (i.toLong, x0, x1, if (x0 * x1 > 0) 1.0 else 0.0)
+    }
+    // exact SMO, standardized like the distributed paths
+    val xRaw = rows.map(r => Array(r._2, r._3)).toArray
+    val mu = Array.tabulate(2)(j => xRaw.map(_(j)).sum / xRaw.length)
+    val sd = Array.tabulate(2) { j =>
+      math.sqrt(xRaw.map(r => (r(j) - mu(j)) * (r(j) - mu(j))).sum / xRaw.length)
+    }
+    val x = xRaw.map(r => Array.tabulate(2)(j => (r(j) - mu(j)) / sd(j)))
+    val y = rows.map(r => if (r._4 == 1.0) 1.0 else -1.0).toArray
+    val smo = SMO.fit(x, y, c = 1.0, gamma = 2.0)
+    // the exact kernel machine must separate XOR (linear cannot)
+    val smoAcc = x.indices.count(i => smo.decide(x(i)) > 0 == (y(i) > 0)).toDouble / x.length
+    assert(smoAcc > 0.9, s"exact SMO accuracy on XOR: $smoAcc")
+    // optimality certificates — the svm_rbf_exact gate's invariants
+    assert(smo.alphas.forall(a => a >= -1e-12 && a <= 1.0 + 1e-12))
+    assert(smo.maxKktViolation <= 2e-3, s"KKT residual ${smo.maxKktViolation}")
+    assert(smo.dualObjective >= 0.0, s"dual objective ${smo.dualObjective}")
+    assert(smo.nSupport >= 1 && smo.nSupport <= x.length)
+    // the RFF approximation's DECISIONS agree with the exact solver
+    val df = rows.toDF("id", "x0", "x1", "lab")
+    val rff = SVMGraft.rbfSvcDecide(df, col("id"), Seq("x0", "x1"), col("lab"),
+        gamma = 2.0, dRff = 64, maxIter = 80)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val agree = rows.count { r =>
+      (rff(r._1) > 0) == (smo.decide(x(r._1.toInt)) > 0)
+    }.toDouble / rows.length
+    assert(agree >= 0.85, s"RFF vs exact-SMO decision agreement: $agree")
+  }
+
   test("multiplicative Holt-Winters tracks a planted multiplicative season") {
     import spark.implicits._
     val season = Array(1.3, 0.8, 1.1, 1.0, 0.7, 1.2, 0.9)
