@@ -99,6 +99,7 @@ object Multimodal {
     scala.util.Try(
       decodePpm(bytes).orElse(decodeBmp(bytes)).orElse(decodeGif(bytes))
         .orElse(decodePng(bytes)).orElse(decodeJpeg(bytes))
+        .orElse(decodeJpegProgressive(bytes))
     ).toOption.flatten
 
   /** (mean, std, max, min) over decoded pixel channels for P6 PPM /
@@ -710,6 +711,417 @@ object Multimodal {
     }
   }
 
+  /** PROGRESSIVE JPEG decoder (SOF2, 8-bit, grayscale or 4:4:4..4:2:0
+    * YCbCr) — implemented from T.81 Annex G, no codec library: multi-scan
+    * marker walk with inter-scan DQT/DHT redefinitions, spectral
+    * selection (Ss..Se bands), successive approximation for DC (first +
+    * one-bit refinement scans) and AC (first scans with EOB-run decoding,
+    * refinement scans with the correction-bit algorithm of G.2.2.3),
+    * restart handling, interleaved DC scans and the mandatory
+    * single-component AC scans with the component's OWN block grid —
+    * then one dequantize + IDCT reconstruction at EOI. Baseline (SOF0)
+    * routes through [[decodeJpeg]]; this declines it and vice versa. */
+  private def decodeJpegProgressive(bytes: Array[Byte]): Option[(Int, Int, Array[Double])] = {
+    if (bytes.length < 4 || (bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8)
+      return None
+    def u16(off: Int): Int = ((bytes(off) & 0xff) << 8) | (bytes(off + 1) & 0xff)
+    val qt = Array.fill(4)(null: Array[Int])
+    val huff = Array.fill(2, 4)(null: JpegHuff)
+    var w = 0; var h = 0
+    var restartInterval = 0
+    var nf = 0
+    var compIds: Array[Int] = null
+    var compQtIds: Array[Int] = null
+    var compH: Array[Int] = null
+    var compV: Array[Int] = null
+    var hMax = 0; var vMax = 0; var mcusX = 0; var mcusY = 0
+    // per-component coefficient store over the PADDED (MCU) block grid;
+    // non-interleaved scans iterate the component's own ceil grid inside it
+    var coefs: Array[Array[Int]] = null
+    var bwArr: Array[Int] = null; var bhArr: Array[Int] = null // padded grids
+    var cwArr: Array[Int] = null; var chArr: Array[Int] = null // used grids
+    val prevDc = new Array[Int](4)
+    var pos = 2
+    var sawEoi = false
+    while (!sawEoi) {
+      if (pos + 2 > bytes.length || (bytes(pos) & 0xff) != 0xff) return None
+      val marker = bytes(pos + 1) & 0xff
+      if (marker == 0xd9) { sawEoi = true }
+      else {
+        if (pos + 4 > bytes.length) return None
+        val len = u16(pos + 2)
+        if (len < 2 || pos + 2 + len > bytes.length) return None
+        val dp = pos + 4
+        val segEnd = pos + 2 + len
+        var nextPos = segEnd
+        marker match {
+          case 0xdb =>
+            var p = dp
+            while (p < segEnd) {
+              if (p + 65 > segEnd) return None
+              val pq = (bytes(p) & 0xf0) >> 4; val tq = bytes(p) & 0x0f
+              if (pq != 0 || tq > 3) return None
+              qt(tq) = Array.tabulate(64)(i => bytes(p + 1 + i) & 0xff)
+              p += 65
+            }
+          case 0xc4 =>
+            var p = dp
+            while (p < segEnd) {
+              if (p + 17 > segEnd) return None
+              val tc = (bytes(p) & 0xf0) >> 4; val th = bytes(p) & 0x0f
+              if (tc > 1 || th > 3) return None
+              val bits = Array.tabulate(16)(i => bytes(p + 1 + i) & 0xff)
+              val nVals = bits.sum
+              if (p + 17 + nVals > segEnd) return None
+              val vals = Array.tabulate(nVals)(i => bytes(p + 17 + i) & 0xff)
+              huff(tc)(th) = JpegHuff(bits, vals)
+              p = p + 17 + nVals
+            }
+          case 0xdd =>
+            if (len < 4) return None
+            restartInterval = u16(dp)
+          case 0xc2 =>
+            if (len < 8) return None
+            val precision = bytes(dp) & 0xff
+            h = u16(dp + 1); w = u16(dp + 3)
+            nf = bytes(dp + 5) & 0xff
+            if (precision != 8 || (nf != 1 && nf != 3)) return None
+            if (dp + 6 + 3 * nf > segEnd) return None
+            compIds = new Array[Int](nf); compQtIds = new Array[Int](nf)
+            compH = new Array[Int](nf); compV = new Array[Int](nf)
+            for (c <- 0 until nf) {
+              compIds(c) = bytes(dp + 6 + 3 * c) & 0xff
+              val hv = bytes(dp + 7 + 3 * c) & 0xff
+              compH(c) = (hv >> 4) & 0x0f; compV(c) = hv & 0x0f
+              if (compH(c) < 1 || compH(c) > 2 || compV(c) < 1 || compV(c) > 2)
+                return None
+              compQtIds(c) = bytes(dp + 8 + 3 * c) & 0x0f
+              if (compQtIds(c) > 3) return None
+            }
+            hMax = (0 until nf).map(compH(_)).max
+            vMax = (0 until nf).map(compV(_)).max
+            mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+            mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+            if (w <= 0 || h <= 0) return None
+            if ((0 until nf).exists { c =>
+                !saneAlloc(mcusX.toLong * compH(c) * mcusY * compV(c) * 64)
+              } || !saneAlloc(w.toLong * h * (if (nf == 1) 1 else 3))) return None
+            bwArr = Array.tabulate(nf)(c => mcusX * compH(c))
+            bhArr = Array.tabulate(nf)(c => mcusY * compV(c))
+            cwArr = Array.tabulate(nf) { c =>
+              val compW = (w * compH(c) + hMax - 1) / hMax // T.81 A.1.1
+              (compW + 7) / 8
+            }
+            chArr = Array.tabulate(nf) { c =>
+              val compHt = (h * compV(c) + vMax - 1) / vMax
+              (compHt + 7) / 8
+            }
+            coefs = Array.tabulate(nf)(c => new Array[Int](bwArr(c) * bhArr(c) * 64))
+          case 0xc0 | 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+               0xcd | 0xce | 0xcf =>
+            return None // only SOF2 here (SOF0 routes through decodeJpeg)
+          case 0xda =>
+            if (coefs == null || len < 6) return None
+            val ns = bytes(dp) & 0xff
+            if (ns < 1 || ns > nf || dp + 1 + 2 * ns + 3 > segEnd) return None
+            val scanComps = new Array[Int](ns)
+            val dcT = new Array[Int](ns); val acT = new Array[Int](ns)
+            for (s <- 0 until ns) {
+              val cs = bytes(dp + 1 + 2 * s) & 0xff
+              val c = compIds.indexOf(cs)
+              if (c < 0) return None
+              scanComps(s) = c
+              dcT(s) = (bytes(dp + 2 + 2 * s) & 0xf0) >> 4
+              acT(s) = bytes(dp + 2 + 2 * s) & 0x0f
+              if (dcT(s) > 3 || acT(s) > 3) return None
+            }
+            val ss = bytes(dp + 1 + 2 * ns) & 0xff
+            val se = bytes(dp + 2 + 2 * ns) & 0xff
+            val ahal = bytes(dp + 3 + 2 * ns) & 0xff
+            val ah = (ahal >> 4) & 0x0f; val al = ahal & 0x0f
+            if (se > 63 || ss > se) return None
+            if (ss == 0 && se != 0) return None // progressive DC scans are DC-only
+            if (ss > 0 && ns != 1) return None // AC scans are single-component
+            // entropy bit reader over this scan's data
+            var bp = dp + 1 + 2 * ns + 3
+            var acc = 0; var accBits = 0
+            var fail = false
+            def nextBit(): Int = {
+              while (accBits == 0) {
+                if (bp >= bytes.length) return -1
+                val b0 = bytes(bp) & 0xff; bp += 1
+                if (b0 == 0xff) {
+                  if (bp >= bytes.length) return -1
+                  val m = bytes(bp) & 0xff
+                  if (m == 0x00) { bp += 1; acc = 0xff; accBits = 8 }
+                  else return -1 // real marker: out of data
+                } else { acc = b0; accBits = 8 }
+              }
+              accBits -= 1
+              (acc >> accBits) & 1
+            }
+            def huffDec(t: JpegHuff): Int = {
+              if (t == null) { fail = true; return -1 }
+              var code = 0; var l = 0
+              while (l < 16) {
+                val b0 = nextBit(); if (b0 < 0) { fail = true; return -1 }
+                code = (code << 1) | b0; l += 1
+                if (t.count(l) > 0 && code <= t.maxCode(l))
+                  return t.symbols(t.valPtr(l) + code - t.minCode(l))
+              }
+              fail = true; -1
+            }
+            def receive(n: Int): Int = {
+              var v = 0
+              var i = 0
+              while (i < n) {
+                val b0 = nextBit(); if (b0 < 0) { fail = true; return 0 }
+                v = (v << 1) | b0; i += 1
+              }
+              v
+            }
+            def extend(v: Int, t: Int): Int =
+              if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+            var eobrun = 0
+            java.util.Arrays.fill(prevDc, 0)
+            var unit = 0 // MCUs (interleaved) or blocks (single-comp scan)
+            def restartIfDue(): Unit =
+              if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) {
+                accBits = 0
+                if (bp + 1 < bytes.length && (bytes(bp) & 0xff) == 0xff &&
+                  (bytes(bp + 1) & 0xff) >= 0xd0 && (bytes(bp + 1) & 0xff) <= 0xd7)
+                  bp += 2
+                java.util.Arrays.fill(prevDc, 0)
+                eobrun = 0
+              }
+            def dcBlock(c: Int, s: Int, off: Int): Unit = {
+              if (ah == 0) {
+                val t = huffDec(huff(0)(dcT(s))); if (fail || t < 0 || t > 11) { fail = true; return }
+                val diff = extend(receive(t), t); if (fail) return
+                prevDc(c) += diff
+                coefs(c)(off) = prevDc(c) << al
+              } else {
+                val b0 = nextBit(); if (b0 < 0) { fail = true; return }
+                if (b0 == 1) coefs(c)(off) += (1 << al)
+              }
+            }
+            def acFirst(c: Int, off: Int): Unit = {
+              if (eobrun > 0) { eobrun -= 1; return }
+              var k = ss
+              var done = false
+              while (!done && k <= se) {
+                val rs = huffDec(huff(1)(acT(0))); if (fail) return
+                val r = (rs >> 4) & 0x0f; val sNib = rs & 0x0f
+                if (sNib == 0) {
+                  if (r == 15) k += 16 // ZRL
+                  else { eobrun = (1 << r) - 1 + receive(r); done = true }
+                } else {
+                  k += r
+                  if (k > se) { fail = true; return }
+                  val z = Zigzag(k)
+                  coefs(c)(off + z._1 * 8 + z._2) = extend(receive(sNib), sNib) << al
+                  k += 1
+                }
+              }
+            }
+            def acRefine(c: Int, off: Int): Unit = {
+              val p1 = 1 << al
+              var k = ss
+              if (eobrun == 0) {
+                var break = false
+                while (!break && k <= se) {
+                  val rs = huffDec(huff(1)(acT(0))); if (fail) return
+                  var r = (rs >> 4) & 0x0f; val sNib = rs & 0x0f
+                  var newval = 0
+                  if (sNib == 0) {
+                    // EOBn: the run INCLUDES the current block — its
+                    // remaining nonzero-history coefficients still take
+                    // correction bits below, then the run decrements
+                    if (r != 15) { eobrun = (1 << r) + receive(r); break = true }
+                  } else {
+                    if (sNib != 1) { fail = true; return }
+                    val b0 = nextBit(); if (b0 < 0) { fail = true; return }
+                    newval = if (b0 == 1) p1 else -p1
+                  }
+                  if (!break) {
+                    var placed = false
+                    while (!placed && k <= se) {
+                      val z = Zigzag(k); val zi = off + z._1 * 8 + z._2
+                      if (coefs(c)(zi) != 0) {
+                        val b0 = nextBit(); if (b0 < 0) { fail = true; return }
+                        if (b0 == 1 && (math.abs(coefs(c)(zi)) & p1) == 0)
+                          coefs(c)(zi) += (if (coefs(c)(zi) >= 0) p1 else -p1)
+                      } else {
+                        if (r == 0) { if (newval != 0) coefs(c)(zi) = newval; placed = true }
+                        else r -= 1
+                      }
+                      k += 1
+                    }
+                    if (!placed && newval != 0) { fail = true; return } // band ended mid-run
+                  }
+                }
+              }
+              if (eobrun > 0) {
+                while (k <= se) {
+                  val z = Zigzag(k); val zi = off + z._1 * 8 + z._2
+                  if (coefs(c)(zi) != 0) {
+                    val b0 = nextBit(); if (b0 < 0) { fail = true; return }
+                    if (b0 == 1 && (math.abs(coefs(c)(zi)) & p1) == 0)
+                      coefs(c)(zi) += (if (coefs(c)(zi) >= 0) p1 else -p1)
+                  }
+                  k += 1
+                }
+                eobrun -= 1
+              }
+            }
+            if (ss == 0 && ns > 1) {
+              // interleaved DC scan: MCU raster, hi×vi blocks per comp
+              var my = 0
+              while (my < mcusY && !fail) {
+                var mx = 0
+                while (mx < mcusX && !fail) {
+                  restartIfDue()
+                  var s = 0
+                  while (s < ns && !fail) {
+                    val c = scanComps(s)
+                    var v0 = 0
+                    while (v0 < compV(c) && !fail) {
+                      var h0 = 0
+                      while (h0 < compH(c) && !fail) {
+                        val by = my * compV(c) + v0; val bx = mx * compH(c) + h0
+                        dcBlock(c, s, (by * bwArr(c) + bx) * 64)
+                        h0 += 1
+                      }
+                      v0 += 1
+                    }
+                    s += 1
+                  }
+                  unit += 1
+                  mx += 1
+                }
+                my += 1
+              }
+            } else {
+              // single-component scan (any DC/AC band): the component's
+              // OWN ceil block grid, raster order (T.81 A.2.2)
+              val c = scanComps(0)
+              var by = 0
+              while (by < chArr(c) && !fail) {
+                var bx = 0
+                while (bx < cwArr(c) && !fail) {
+                  restartIfDue()
+                  val off = (by * bwArr(c) + bx) * 64
+                  if (ss == 0) dcBlock(c, 0, off)
+                  else if (ah == 0) acFirst(c, off)
+                  else acRefine(c, off)
+                  unit += 1
+                  bx += 1
+                }
+                by += 1
+              }
+            }
+            if (fail) return None
+            // resume the marker walk at the first real marker after the
+            // scan's entropy data (skipping stuffed FF00 and RSTn)
+            var mp = bp
+            var found = false
+            while (!found && mp + 1 < bytes.length) {
+              if ((bytes(mp) & 0xff) == 0xff) {
+                val m = bytes(mp + 1) & 0xff
+                if (m == 0x00) mp += 2
+                else if (m >= 0xd0 && m <= 0xd7) mp += 2
+                else found = true
+              } else mp += 1
+            }
+            if (!found) return None
+            nextPos = mp
+          case _ => () // APPn / COM: skip by length
+        }
+        pos = if (marker == 0xda) nextPos else segEnd
+      }
+    }
+    if (coefs == null ||
+      (0 until nf).exists(c => qt(compQtIds(c)) == null)) return None
+    // reconstruction: dequant + dense IDCT per block into padded planes,
+    // then the baseline decoder's upsample + YCbCr→RGB arithmetic
+    val strides = Array.tabulate(nf)(c => bwArr(c) * 8)
+    val planes = Array.tabulate(nf)(c =>
+      new Array[Double](strides(c) * bhArr(c) * 8))
+    for (c <- 0 until nf) {
+      val q = qt(compQtIds(c))
+      val dq = new Array[Double](64)
+      var by = 0
+      while (by < bhArr(c)) {
+        var bx = 0
+        while (bx < bwArr(c)) {
+          val off = (by * bwArr(c) + bx) * 64
+          var k = 0
+          while (k < 64) {
+            val z = Zigzag(k)
+            dq(z._1 * 8 + z._2) = coefs(c)(off + z._1 * 8 + z._2).toDouble * q(k)
+            k += 1
+          }
+          var y = 0
+          while (y < 8) {
+            val rowC = IdctCos(y)
+            var x = 0
+            while (x < 8) {
+              val colC = IdctCos(x)
+              var sum = 0.0
+              var u = 0
+              while (u < 8) {
+                var v = 0
+                while (v < 8) {
+                  val cv = dq(u * 8 + v)
+                  if (cv != 0.0) sum += cv * rowC(u) * colC(v)
+                  v += 1
+                }
+                u += 1
+              }
+              planes(c)((by * 8 + y) * strides(c) + bx * 8 + x) =
+                math.max(0.0, math.min(255.0, math.rint(sum / 4.0 + 128.0)))
+              x += 1
+            }
+            y += 1
+          }
+          bx += 1
+        }
+        by += 1
+      }
+    }
+    def sampleAt(c: Int, x: Int, y: Int): Double =
+      planes(c)((y * compV(c) / vMax) * strides(c) + (x * compH(c) / hMax))
+    if (nf == 1) {
+      val out = new Array[Double](w * h)
+      var r = 0
+      while (r < h) {
+        var c2 = 0
+        while (c2 < w) { out(r * w + c2) = sampleAt(0, c2, r); c2 += 1 }
+        r += 1
+      }
+      Some((w, h, out))
+    } else {
+      val out = new Array[Double](w * h * 3)
+      def clamp8(x: Double): Double = math.max(0.0, math.min(255.0, math.rint(x)))
+      var r = 0
+      while (r < h) {
+        var c2 = 0
+        while (c2 < w) {
+          val y = sampleAt(0, c2, r)
+          val cb = sampleAt(1, c2, r) - 128.0
+          val cr = sampleAt(2, c2, r) - 128.0
+          val o = (r * w + c2) * 3
+          out(o) = clamp8(y + 1.402 * cr)
+          out(o + 1) = clamp8(y - 0.344136 * cb - 0.714136 * cr)
+          out(o + 2) = clamp8(y + 1.772 * cb)
+          c2 += 1
+        }
+        r += 1
+      }
+      Some((w, h, out))
+    }
+  }
+
   /** Baseline grayscale JPEG encoder where each payload byte becomes one
     * CONSTANT 8×8 block: with a unit quantization table a constant block
     * has only its DC coefficient (exactly 8·(b−128)), so the lossy
@@ -775,6 +1187,123 @@ object Multimodal {
     out.write(data.toByteArray)
     m(0xd9) // EOI
     out.toByteArray
+  }
+
+  /** PROGRESSIVE grayscale JPEG encoder (SOF2) with a real six-scan
+    * script — DC first (Al=1) → DC refinement → two spectral AC bands
+    * (1..5, 6..63) at Al=1 → the same two bands' refinement scans at
+    * Al=0 — where each payload byte is one constant 8×8 block. The DC
+    * quant step is 8, so the quantized DC is exactly b−128: the
+    * successive-approximation split (b−128)>>1 plus the refinement bit
+    * (b−128)&1 is NONTRIVIAL per block, and reconstruction is lossless
+    * by construction. AC coefficients are all zero, so every AC scan is
+    * a single EOBn run over the whole image — exercising the EOB-run
+    * decode path end to end. The synthesis side of the progressive
+    * decode gate. */
+  private[graft] def jpegEncodeProgressive(payload: Array[Byte], wBlocks: Int,
+                                           hBlocks: Int): Array[Byte] = {
+    require(payload.length == wBlocks * hBlocks, "one byte per 8x8 block")
+    val n = payload.length
+    require(n >= 2 && n < (1 << 15), "EOB run must fit EOB14")
+    val out = new java.io.ByteArrayOutputStream()
+    def m(mk: Int): Unit = { out.write(0xff); out.write(mk) }
+    def u16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    m(0xd8)
+    m(0xdb); u16(2 + 1 + 64); out.write(0x00)
+    out.write(8) // DC step 8 → quantized DC = b − 128 exactly
+    for (_ <- 1 until 64) out.write(1)
+    m(0xc2); u16(2 + 6 + 3) // SOF2, 1 component
+    out.write(8); u16(hBlocks * 8); u16(wBlocks * 8); out.write(1)
+    out.write(1); out.write(0x11); out.write(0)
+    m(0xc4); u16(2 + 1 + 16 + 12); out.write(0x00) // DC 0: 12 cats, 4-bit
+    Array(0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0).foreach(out.write)
+    for (i <- 0 until 12) out.write(i)
+    // AC 0: the single EOBn symbol covering all n blocks, 1-bit code
+    val rEob = 31 - Integer.numberOfLeadingZeros(n) // floor log2 n
+    val eobExtra = n - (1 << rEob)
+    m(0xc4); u16(2 + 1 + 16 + 1); out.write(0x10)
+    Array(1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0).foreach(out.write)
+    out.write(rEob << 4)
+    // byte-stuffing entropy writer, one per scan
+    final class BitW {
+      private var acc = 0L; private var accBits = 0
+      private val data = new java.io.ByteArrayOutputStream()
+      def put(v: Int, nb: Int): Unit = {
+        if (nb == 0) return
+        acc = (acc << nb) | (v & ((1L << nb) - 1)); accBits += nb
+        while (accBits >= 8) {
+          val b = ((acc >> (accBits - 8)) & 0xff).toInt
+          data.write(b); if (b == 0xff) data.write(0x00)
+          accBits -= 8
+        }
+      }
+      def finish(): Array[Byte] = {
+        if (accBits > 0) { val pad = 8 - accBits; put((1 << pad) - 1, pad) }
+        data.toByteArray
+      }
+    }
+    def sosHeader(ss: Int, se: Int, ah: Int, al: Int): Unit = {
+      m(0xda); u16(2 + 1 + 2 + 3)
+      out.write(1); out.write(1); out.write(0x00)
+      out.write(ss); out.write(se); out.write((ah << 4) | al)
+    }
+    val dc = payload.map(b => (b & 0xff) - 128)
+    // scan 1: DC first at Al=1 — diffs of the arithmetic-shifted values
+    sosHeader(0, 0, 0, 1)
+    val w1 = new BitW
+    var prev = 0
+    dc.foreach { v =>
+      val hi = v >> 1
+      var diff = hi - prev
+      prev = hi
+      var t = 0
+      var ad = math.abs(diff)
+      while (ad > 0) { t += 1; ad >>= 1 }
+      w1.put(t, 4)
+      if (t > 0) { if (diff < 0) diff += (1 << t) - 1; w1.put(diff, t) }
+    }
+    out.write(w1.finish())
+    // scan 2: DC refinement (Ah=1, Al=0) — the low bit per block
+    sosHeader(0, 0, 1, 0)
+    val w2 = new BitW
+    dc.foreach(v => w2.put(v & 1, 1))
+    out.write(w2.finish())
+    // scans 3..6: two spectral AC bands, first pass at Al=1 then the
+    // refinement at Al=0; all-zero AC → each scan is ONE EOBn run
+    for ((ah, al) <- Seq((0, 1), (1, 0)); (ss, se) <- Seq((1, 5), (6, 63))) {
+      sosHeader(ss, se, ah, al)
+      val wN = new BitW
+      wN.put(0, 1) // the EOBn symbol's 1-bit code
+      wN.put(eobExtra, rEob)
+      out.write(wN.finish())
+    }
+    m(0xd9)
+    out.toByteArray
+  }
+
+  /** Hash-gated REAL progressive decode: each document's leading bytes
+    * become a six-scan SOF2 JPEG (lossless by construction — see
+    * [[jpegEncodeProgressive]]), routed through the full progressive
+    * pipeline: multi-scan walk, DC successive approximation, spectral
+    * AC bands with EOB runs, refinement scans, final IDCT. The oracle
+    * replays raw-byte stats, so any fallback or any defect in the
+    * progressive coefficient accumulation breaks the hash. */
+  def jpegProgressiveDecodeSummary(documents: DataFrame, wBlocks: Int = 8,
+                                   hBlocks: Int = 6): DataFrame = {
+    val need = wBlocks * hBlocks
+    val enc = udf((text: String) =>
+      jpegEncodeProgressive(text.getBytes("UTF-8").take(need), wBlocks, hBlocks))
+    val media = documents
+      .filter(octet_length(col("text")) >= need)
+      .select(col("doc_id").cast("long"),
+        enc(col("text")).as("payload"),
+        struct(lit(need.toLong).as("n_bytes"), lit("image").as("media_type"),
+          lit(wBlocks * 8).as("width"), lit(hBlocks * 8).as("height")).as("meta"))
+    extractFeatures(media)
+      .agg(count(lit(1)).cast("long").as("n_images"),
+        round(avg(element_at(col("features"), 1)), 4).as("avg_pixel_mean"),
+        round(avg(element_at(col("features"), 3)), 4).as("avg_pixel_max"),
+        round(avg(element_at(col("features"), 4)), 4).as("avg_pixel_min"))
   }
 
   /** 4:4:4 color twin of [[jpegEncode]]: per MCU one constant 8×8 block

@@ -417,6 +417,9 @@ object VectorQueries {
     },
     "multimodal_jpeg_420" -> { (s, d) =>
       graft.multimodal.Multimodal.jpeg420DecodeSummary(Tables.documents(s, d))
+    },
+    "multimodal_jpeg_progressive" -> { (s, d) =>
+      graft.multimodal.Multimodal.jpegProgressiveDecodeSummary(Tables.documents(s, d))
     }
   )
 
@@ -758,6 +761,18 @@ object VectorQueries {
         |  FROM v GROUP BY doc_id)
         |SELECT count(*)::BIGINT AS n_clips, round(avg(m), 4) AS avg_sample_mean,
         |  round(avg(mx), 4) AS avg_sample_max, round(avg(mn), 4) AS avg_sample_min
+        |FROM pm""".stripMargin,
+    // progressive SOF2 twin: lossless by construction, so the SAME
+    // raw-byte replay as the baseline gate — a decode defect anywhere in
+    // the multi-scan accumulation breaks the hash
+    "multimodal_jpeg_progressive" ->
+      """WITH d AS (SELECT doc_id, encode(text) AS b FROM documents WHERE strlen(text) >= 48),
+        |ch AS (SELECT doc_id, unnest(range(0, 48)) AS i, hex(b) AS hx FROM d),
+        |v AS (SELECT doc_id, (('0x' || substr(hx, 2*i + 1, 2))::INT)::DOUBLE AS byte FROM ch),
+        |pm AS (SELECT doc_id, avg(byte) AS m, max(byte) AS mx, min(byte) AS mn
+        |  FROM v GROUP BY doc_id)
+        |SELECT count(*)::BIGINT AS n_images, round(avg(m), 4) AS avg_pixel_mean,
+        |  round(avg(mx), 4) AS avg_pixel_max, round(avg(mn), 4) AS avg_pixel_min
         |FROM pm""".stripMargin,
     "multimodal_jpeg_decode" ->
       """WITH d AS (SELECT doc_id, encode(text) AS b FROM documents WHERE strlen(text) >= 48),

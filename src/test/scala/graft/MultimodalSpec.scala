@@ -318,6 +318,76 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decode(jpg) == expectStats(want))
   }
 
+  test("progressive JPEG roundtrip: six-scan SOF2 encode -> decode is lossless") {
+    val payload = (0 until 48).map(i => (i * 37 % 256).toByte).toArray
+    val jpg = Multimodal.jpegEncodeProgressive(payload, 8, 6)
+    assert(Multimodal.decodedDims(jpg).contains((64, 48)))
+    // DC successive approximation ((b-128)>>1 then the low bit) must
+    // reassemble exactly; all-zero AC bands ride the EOBn path
+    assert(Multimodal.decode(jpg) ==
+      expectStats(payload.map(b => (b & 0xff).toDouble)))
+  }
+
+  test("progressive JPEG: AC successive approximation refines a coefficient across scans") {
+    // hand-built single-block SOF2: true AC coefficient 3 at zigzag 1,
+    // split as first-scan value 3>>1 = 1 at Al=1 plus a correction bit
+    // at Al=0. Decoding must reconstruct 2 after scan A and 3 after
+    // scan B; quant q[1] = 5 scales it. Pixels pinned by an independent
+    // IDCT restatement.
+    val out = new java.io.ByteArrayOutputStream()
+    def m(mk: Int): Unit = { out.write(0xff); out.write(mk) }
+    def u16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    m(0xd8)
+    m(0xdb); u16(2 + 1 + 64); out.write(0x00)
+    for (i <- 0 until 64) out.write(if (i == 1) 5 else 1)
+    m(0xc2); u16(2 + 6 + 3)
+    out.write(8); u16(8); u16(8); out.write(1)
+    out.write(1); out.write(0x11); out.write(0)
+    m(0xc4); u16(2 + 1 + 16 + 12); out.write(0x00) // DC: 12 cats at 4 bits
+    Array(0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0).foreach(out.write)
+    for (i <- 0 until 12) out.write(i)
+    // AC table: EOB0 = '0' (1 bit), (run0,size1) = '10' (2 bits)
+    m(0xc4); u16(2 + 1 + 16 + 2); out.write(0x10)
+    Array(1, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0).foreach(out.write)
+    out.write(0x00); out.write(0x01)
+    // scan 1: DC full (Ah=0, Al=0): category 0 diff -> '0000' + pad 1s
+    m(0xda); u16(2 + 1 + 2 + 3)
+    out.write(1); out.write(1); out.write(0x00)
+    out.write(0); out.write(0); out.write(0x00)
+    out.write(0x0f) // 0000 + 1111 pad
+    // scan 2: AC first, Ss=1..63, Ah=0, Al=1: '10' + amplitude '1' (value
+    // +1 -> coef 1<<1 = 2), then EOB0 '0' -> 1010 + 1111 pad
+    m(0xda); u16(2 + 1 + 2 + 3)
+    out.write(1); out.write(1); out.write(0x00)
+    out.write(1); out.write(63); out.write(0x01)
+    out.write(0xaf) // 1010_1111
+    // scan 3: AC refinement, Ah=1, Al=0: EOB0 '0' then the correction
+    // bit '1' for the nonzero-history coefficient -> 01 + 111111 pad
+    m(0xda); u16(2 + 1 + 2 + 3)
+    out.write(1); out.write(1); out.write(0x00)
+    out.write(1); out.write(63); out.write(0x10)
+    out.write(0x7f) // 0111_1111
+    m(0xd9)
+    val jpg = out.toByteArray
+    assert(Multimodal.decodedDims(jpg).contains((8, 8)))
+    // independent IDCT restatement: coefficient 3·q = 15 at (u,v) = (0,1)
+    val want = (0 until 64).map { i =>
+      val x = i % 8
+      val sum = (1.0 / math.sqrt(2.0)) * 1.0 * 15.0 *
+        math.cos(0.0) * math.cos((2 * x + 1) * 1 * math.Pi / 16.0)
+      math.max(0.0, math.min(255.0, math.rint(sum / 4.0 + 128.0)))
+    }
+    assert(Multimodal.decode(jpg) == expectStats(want))
+  }
+
+  test("truncated / hostile progressive JPEGs fall back to byte statistics") {
+    val payload = (0 until 48).map(_.toByte).toArray
+    val jpg = Multimodal.jpegEncodeProgressive(payload, 8, 6)
+    val truncated = jpg.take(jpg.length - 20) // cut into the AC scans
+    assert(Multimodal.decode(truncated) ==
+      expectStats(truncated.map(b => (b & 0xff).toDouble)))
+  }
+
   test("color 4:4:4 JPEG: neutral chroma round-trips luma exactly as RGB") {
     val payload = (0 until 12).map(i => (i * 19 % 256).toByte).toArray
     val jpg = Multimodal.jpegEncodeColor(payload, 128, 128, 4, 3)
