@@ -78,17 +78,25 @@ object ConnectedComponents {
 
   private def convergeUncached(edges: DataFrame, a: String, b: String,
                                maxRounds: Int): DataFrame = {
-    val dir = directed(edges, a, b).localCheckpoint(true)
-    var lab = initLabels(dir).localCheckpoint(true)
+    // UNBOUNDED loop ⇒ graft.core.Iterate.materialize, NOT localCheckpoint:
+    // Spark 4 carries estimated stats through checkpoints, and with three
+    // joins per round the estimated sizeInBytes grows 3^r in bit-width —
+    // past ~20 rounds the driver live-locks in BigInteger multiplication
+    // during planning (observed on the sf1 bench).
+    val dirS = graft.core.Iterate.materialize(directed(edges, a, b))
+    val dir = dirS.df
+    var labS = graft.core.Iterate.materialize(initLabels(dir))
     var round = 0
     var changed = 1L
     while (changed > 0 && round < maxRounds) {
-      val next = jump(step(dir, lab)).localCheckpoint(true)
-      changed = next.as("n").join(lab.as("p"), col("n.node") === col("p.node"))
+      val nextS = graft.core.Iterate.materialize(jump(step(dir, labS.df)))
+      changed = nextS.df.as("n").join(labS.df.as("p"), col("n.node") === col("p.node"))
         .filter(col("n.label") =!= col("p.label")).count()
-      lab = next
+      labS.unpersist()
+      labS = nextS
       round += 1
     }
-    lab
+    dirS.unpersist()
+    labS.df
   }
 }
