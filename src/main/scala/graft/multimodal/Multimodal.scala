@@ -1612,23 +1612,27 @@ object Multimodal {
 
   /** Hash-gated dimension parsing — the METADATA side of the decode
     * contract (stats gates cover pixel values; this covers the header
-    * geometry). Each doc becomes a GIF or PNG whose (w, h) derive from
-    * doc_id, so the oracle recomputes the expected dims in SQL and the
-    * gate fails if either format's header parse (or the format dispatch)
-    * mis-reads geometry. */
+    * geometry). Each doc becomes a GIF, PNG, baseline JPEG, or
+    * progressive JPEG whose (w, h) derive from doc_id, so the oracle
+    * recomputes the expected dims in SQL and the gate fails if any
+    * format's header parse (or the format dispatch) mis-reads
+    * geometry. */
   def dimsSummary(documents: DataFrame): DataFrame = {
     val dims = udf((id: Long, text: String) => {
-      // jpeg dims are block multiples; gif/png take the small grid
+      // jpeg dims are block multiples; gif/png take the small grid.
+      // progressive ids are ≡3 (mod 4) hence odd → hBlocks = 2 always,
+      // satisfying the encoder's n ≥ 2 EOB-run requirement
       val (w, h) =
-        if (id % 3 == 2) (8 * (1 + (id % 5).toInt), 8 * (1 + (id % 2).toInt))
+        if (id % 4 >= 2) (8 * (1 + (id % 5).toInt), 8 * (1 + (id % 2).toInt))
         else (2 + (id % 5).toInt, 2 + (id % 3).toInt)
-      val need = if (id % 3 == 2) (w / 8) * (h / 8) else w * h
+      val need = if (id % 4 >= 2) (w / 8) * (h / 8) else w * h
       val b = text.getBytes("UTF-8").take(need)
       val payload = if (b.length < need) b.padTo(need, 0.toByte) else b
-      val enc = (id % 3) match {
+      val enc = (id % 4) match {
         case 0 => gifEncode(payload, w, h)
         case 1 => pngEncode(payload, w, h)
-        case _ => jpegEncode(payload, w / 8, h / 8)
+        case 2 => jpegEncode(payload, w / 8, h / 8)
+        case _ => jpegEncodeProgressive(payload, w / 8, h / 8)
       }
       decodedDims(enc) match {
         case Some((dw, dh)) => Seq(dw, dh)
@@ -1637,8 +1641,9 @@ object Multimodal {
     })
     documents
       .select(col("doc_id").cast("long").as("doc"),
-        when(col("doc_id") % 3 === 0, "gif")
-          .when(col("doc_id") % 3 === 1, "png").otherwise("jpeg").as("fmt"),
+        when(col("doc_id") % 4 === 0, "gif")
+          .when(col("doc_id") % 4 === 1, "png")
+          .when(col("doc_id") % 4 === 2, "jpeg").otherwise("jpeg_prog").as("fmt"),
         dims(col("doc_id").cast("long"), col("text")).as("_d"))
       .select(col("doc"), col("fmt"),
         element_at(col("_d"), 1).as("w"), element_at(col("_d"), 2).as("h"))

@@ -343,6 +343,26 @@ object MiscQueries {
           col("window_us"), col("n_events"))
         .orderBy("user_id", "sess_start_us")
     },
+    "streaming_window_stats" -> { (s, d) =>
+      // second oracle-visible streaming query (streaming_sessions
+      // pattern): the watermarked 1-hour tumbling-window aggregation
+      // runs as a REAL stream under Trigger.AvailableNow and the final
+      // memory-sink table hash-gates against the batch hour-bucket
+      // replay in DuckDB
+      val sink = "graft_stream_winstats"
+      val q = graft.streaming.StreamingOps
+        .windowedEventStats(Tables.eventsStream(s, d))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sink)
+        .select(col("event_type"),
+          unix_micros(col("win_start")).as("win_start_us"),
+          col("n").cast("long").as("n"), r4(col("mean_value")).as("mean_value"))
+        .orderBy("event_type", "win_start_us")
+    },
     "active_users" -> { (s, d) =>
       // weekly actives split into new (first-ever week) vs returning,
       // plus DAU/WAU stickiness: three aggregates all keyed on
@@ -1650,6 +1670,13 @@ object MiscQueries {
         |  (end_us + 14400000000 - start_us)::BIGINT AS window_us,
         |  n::BIGINT AS n_events
         |FROM per ORDER BY user_id, sess_start_us""".stripMargin,
+    // the streamed tumbling-window aggregate replayed as hour buckets
+    "streaming_window_stats" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS us, value FROM events)
+        |SELECT event_type,
+        |  ((us // 3600000000) * 3600000000)::BIGINT AS win_start_us,
+        |  count(*)::BIGINT AS n, round(avg(value), 4) AS mean_value
+        |FROM e GROUP BY 1, 2 ORDER BY event_type, win_start_us""".stripMargin,
     "sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
         |g AS (SELECT user_id, event_id, us,

@@ -785,11 +785,12 @@ object VectorQueries {
         |FROM pm""".stripMargin,
     "multimodal_dims" ->
       """WITH d AS (SELECT doc_id,
-        |    CASE WHEN doc_id % 3 = 0 THEN 'gif'
-        |         WHEN doc_id % 3 = 1 THEN 'png' ELSE 'jpeg' END AS fmt,
-        |    (CASE WHEN doc_id % 3 = 2 THEN 8 * (1 + doc_id % 5)
+        |    CASE WHEN doc_id % 4 = 0 THEN 'gif'
+        |         WHEN doc_id % 4 = 1 THEN 'png'
+        |         WHEN doc_id % 4 = 2 THEN 'jpeg' ELSE 'jpeg_prog' END AS fmt,
+        |    (CASE WHEN doc_id % 4 >= 2 THEN 8 * (1 + doc_id % 5)
         |          ELSE 2 + doc_id % 5 END)::BIGINT AS w,
-        |    (CASE WHEN doc_id % 3 = 2 THEN 8 * (1 + doc_id % 2)
+        |    (CASE WHEN doc_id % 4 >= 2 THEN 8 * (1 + doc_id % 2)
         |          ELSE 2 + doc_id % 3 END)::BIGINT AS h
         |  FROM documents)
         |SELECT fmt, count(*)::BIGINT AS n, sum(w)::BIGINT AS sum_w,
