@@ -223,6 +223,42 @@ object ModelQueries {
           (sum(when(col("_in").isNull, 1).otherwise(0)) === 0).as("recs_in_item_set"),
           (max(abs(col("score") - col("prediction"))) < 1e-3).as("serve_matches_model"))
     },
+    "model_io_ann" -> { (s, d) =>
+      // the ANN family's persistence serve path: train the IVF coarse
+      // quantizer, persist it (saveIVF — the quantizer is driver-scale;
+      // the corpus side of a production index is the bucketed table
+      // layout, cf IVF.writeBucketed), load it back, and serve top-k
+      // THROUGH THE LOADED index. Gate: query/result counts SQL-exact;
+      // the loaded index must reproduce the in-memory index's result set
+      // EXACTLY (centers round-trip bit-exact ⇒ identical cells ⇒
+      // identical candidates ⇒ identical top-k), and recall vs brute
+      // force clears the tightened ann_ivf floor.
+      import graft.neighbors.{IVF, KNN}
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 20)
+      val idx = IVF.train(e, "embedding", nCells = 16)
+      val path = fixedModelDir("ivf_index")
+      ModelIO.saveIVF(s, idx, path)
+      val loaded = ModelIO.loadIVF(s, path)
+      val served = IVF.topK(e, q, "vec_id", "embedding", loaded, k = 5, nprobe = 4)
+        .select(col("qid"), col("id")).cache()
+      val direct = IVF.topK(e, q, "vec_id", "embedding", idx, k = 5, nprobe = 4)
+        .select(col("qid"), col("id"))
+      val mismatches = served.exceptAll(direct).count() +
+        direct.exceptAll(served).count()
+      val exact = KNN.bruteForce(q, e, "vec_id", "vec_id", "embedding",
+        "embedding", 5, KNN.Cosine).select(col("qid"), col("id")).cache()
+      val hits = exact.join(served, Seq("qid", "id")).count()
+      val recall = hits.toDouble / math.max(1L, exact.count())
+      val out = served.agg(
+        countDistinct(col("qid")).cast("long").as("n_queries"),
+        count(lit(1)).cast("long").as("n_results"),
+        lit(mismatches == 0L).as("loaded_matches_memory"),
+        lit(recall >= 0.6).as("recall_floor"))
+      out.cache().count()
+      served.unpersist(); exact.unpersist()
+      out
+    },
     "model_io_dedup" -> { (s, d) =>
       // persisted MinHash LSH index serve: build the band-bucket index of
       // the already-ingested front half, save it repartitioned on the
@@ -294,6 +330,12 @@ object ModelQueries {
         |SELECT (SELECT count(*) FROM u5)::BIGINT AS n_users,
         |  ((SELECT count(*) FROM u5) * 3)::BIGINT AS n_recs,
         |  TRUE AS recs_in_item_set, TRUE AS serve_matches_model""".stripMargin,
+    // quantizer round-trip gate: counts SQL-exact, loaded-vs-memory
+    // result parity and the recall floor as invariants
+    "model_io_ann" ->
+      """SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 20)::BIGINT AS n_queries,
+        |  ((SELECT count(*) FROM embeddings WHERE vec_id < 20) * 5)::BIGINT AS n_results,
+        |  TRUE AS loaded_matches_memory, TRUE AS recall_floor""".stripMargin,
     // the persisted-index serve replayed from scratch: same band CTEs as
     // the minhash pair oracles, index = the front half's distinct buckets
     "model_io_dedup" ->
