@@ -37,7 +37,7 @@ object ModelQueries {
   /** walk() returns a Stream holding a directory handle — close it before
     * deleting (Bench re-invokes these queries every round; an unclosed
     * stream per invocation would accumulate handles over a run). */
-  private[queries] def deleteRecursively(dir: java.nio.file.Path): Unit = {
+  private[graft] def deleteRecursively(dir: java.nio.file.Path): Unit = {
     val walk = java.nio.file.Files.walk(dir)
     try {
       import scala.jdk.CollectionConverters._

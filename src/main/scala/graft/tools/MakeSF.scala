@@ -17,8 +17,6 @@ object MakeSF {
   def main(args: Array[String]): Unit = {
     require(args.length == 3, "usage: MakeSF <srcSfDir> <outDir> <factor>")
     val Array(src, out, factorS) = args
-    val factor = factorS.toInt
-    require(factor >= 1 && factor <= 100)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -28,6 +26,13 @@ object MakeSF {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    make(spark, src, out, factorS.toInt)
+    println(s"""{"made":"$out","factor":${factorS.toInt}}""")
+    spark.stop()
+  }
+
+  def make(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
+    require(factor >= 1 && factor <= 100)
 
     def load(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
 
@@ -77,7 +82,5 @@ object MakeSF {
       Map("doc_id" -> step(documents, "doc_id"))), "documents", 4)
     write(replicate(embeddings,
       Map("vec_id" -> step(embeddings, "vec_id"))), "embeddings", 4)
-    println(s"""{"made":"$out","factor":$factor}""")
-    spark.stop()
   }
 }

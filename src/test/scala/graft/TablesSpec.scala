@@ -88,4 +88,28 @@ class TablesSpec extends AnyFunSuite {
     val real = Tables.documents(spark, "/root/testdata/sf0.001")
     assert(real.schema("doc_id").dataType == LongType)
   }
+
+  test("MakeSF replication preserves counts and referential integrity") {
+    val out = java.nio.file.Files.createTempDirectory("graft_makesf").toString
+    graft.tools.MakeSF.make(spark, "/root/testdata/sf0.001", out, factor = 2)
+    def n(dir: String, t: String): Long =
+      spark.read.parquet(s"$dir/$t.parquet").count()
+    val src = "/root/testdata/sf0.001"
+    for (t <- Seq("customer", "supplier", "part", "orders", "lineitem",
+                  "events", "documents", "embeddings"))
+      assert(n(out, t) == 2 * n(src, t), s"$t not doubled")
+    for (t <- Seq("region", "nation")) // dimension tables pass through
+      assert(n(out, t) == n(src, t), s"$t changed")
+    // re-keyed replicas keep the join structure intact: no orphans
+    val li = spark.read.parquet(s"$out/lineitem.parquet")
+    val o = spark.read.parquet(s"$out/orders.parquet")
+    val c = spark.read.parquet(s"$out/customer.parquet")
+    assert(li.join(o, li("l_orderkey") === o("o_orderkey"), "left_anti").count() == 0,
+      "lineitem rows orphaned from orders")
+    assert(o.join(c, o("o_custkey") === c("c_custkey"), "left_anti").count() == 0,
+      "orders rows orphaned from customer")
+    // replica keys are disjoint from the originals
+    assert(o.select("o_orderkey").distinct().count() == o.count())
+    graft.queries.ModelQueries.deleteRecursively(java.nio.file.Paths.get(out))
+  }
 }
