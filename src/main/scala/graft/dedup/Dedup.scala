@@ -254,9 +254,12 @@ object Dedup {
     * text) for every input document.
     *
     * Scale shape: segmentation is a pure map; the count+first-occurrence
-    * pass is ONE map-side-combined groupBy on the segment (uniform
-    * content key); survivors join back on that key and reassemble with a
-    * groupBy on doc id. No windows over the corpus, no driver state. */
+    * pass is ONE aggregate window keyed on the segment (uniform content
+    * key; r12 — the groupBy + join-back formulation forced the
+    * segmentation explode to run three times, once per branch), and the
+    * reassembly is one groupBy on the doc id computing segment counts,
+    * kept counts and the cleaned-text hash from the same windowed frame.
+    * No single-partition windows, no driver state. */
   def segmentDedup(df: DataFrame, textCol: String, idCol: String,
                    k: Int = 3, minCount: Long = 2L): DataFrame = {
     val toks = split(normText(col(textCol)), " ")
@@ -265,21 +268,20 @@ object Dedup {
         posexplode(transform(sequence(lit(0), nSeg - 1),
           i => array_join(slice(toks, i * k + 1, lit(k)), " "))))
       .toDF("doc", "i", "seg")
-    val firsts = segs.groupBy(col("seg")).agg(
-      count(lit(1)).as("n"), min(struct(col("doc"), col("i"))).as("keep"))
-    val kept = segs.join(firsts, Seq("seg"))
-      .filter(col("n") < minCount ||
-        (col("keep.doc") === col("doc") && col("keep.i") === col("i")))
-    val agg = kept.groupBy(col("doc")).agg(
-      count(lit(1)).cast("long").as("n_kept"),
-      md5(array_join(
-        transform(array_sort(collect_list(struct(col("i"), col("seg")))),
-          s => s.getField("seg")), " ")).as("clean_hash"))
-    segs.groupBy(col("doc")).agg(count(lit(1)).cast("long").as("n_segs"))
-      .join(agg, Seq("doc"), "left")
-      .select(col("doc"), col("n_segs"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("clean_hash"), md5(lit(""))).as("clean_hash"))
+    val bySeg = Window.partitionBy(col("seg"))
+    val marked = segs
+      .withColumn("_n", count(lit(1)).over(bySeg))
+      .withColumn("_keep", min(struct(col("doc"), col("i"))).over(bySeg))
+      .withColumn("_kept", col("_n") < minCount ||
+        (col("_keep.doc") === col("doc") && col("_keep.i") === col("i")))
+    marked.groupBy(col("doc")).agg(
+        count(lit(1)).cast("long").as("n_segs"),
+        count(when(col("_kept"), 1)).cast("long").as("n_kept"),
+        md5(array_join(
+          transform(array_sort(collect_list(
+            when(col("_kept"), struct(col("i"), col("seg"))))),
+            s => s.getField("seg")), " ")).as("clean_hash"))
+      .select(col("doc"), col("n_segs"), col("n_kept"), col("clean_hash"))
   }
 
   /** Duplicated-substring spans (Lee et al. 2021, "Deduplicating Training
@@ -296,12 +298,12 @@ object Dedup {
     * n_windows, n_dup_windows, n_spans, dup_tokens, dup_frac).
     *
     * Scale shape: windowing is a pure map (explode), the duplicate test
-    * is ONE map-side-combined groupBy on the uniform window hash, the
-    * duplicated-window join is keyed on that same hash, and span merging
-    * is a per-doc window over that doc's duplicated starts only (≤
-    * n_windows rows per doc). The suffix array's O(n log n) global sort
-    * becomes the shuffle Spark already does for the groupBy — no
-    * all-pairs stage anywhere. */
+    * is ONE count window keyed on the uniform window hash (r12: was a
+    * groupBy + semi-join pair whose two exchanges forced the md5
+    * expansion to run twice), and span merging is a per-doc window over
+    * that doc's duplicated starts only (≤ n_windows rows per doc). The
+    * suffix array's O(n log n) global sort becomes the shuffle Spark
+    * already does for the hash window — no all-pairs stage anywhere. */
   def spanDedup(df: DataFrame, textCol: String, idCol: String,
                 k: Int = 5, minCount: Long = 2L): DataFrame = {
     val base = df
@@ -314,12 +316,16 @@ object Dedup {
         posexplode(transform(sequence(lit(0), (col("n_tokens") - k).cast("int")),
           i => md5(array_join(slice(col("toks"), i + 1, lit(k)), " ")))))
       .toDF("doc", "n_tokens", "i", "key")
-    val dupKeys = wins.groupBy(col("key"))
-      .agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= minCount)
-      .select(col("key"))
+    // corpus-wide occurrence count as a window over the hash key (r12):
+    // the groupBy+semi-join formulation evaluated the md5 window
+    // expansion TWICE (the two exchanges differ, so Catalyst cannot
+    // reuse them) — one count-over-key window shuffles the frame once
+    // and keeps the expansion single-pass
+    val byKey = Window.partitionBy(col("key"))
     val byDoc = Window.partitionBy(col("doc")).orderBy(col("i"))
-    val starts = wins.join(dupKeys, Seq("key"))
+    val starts = wins
+      .withColumn("cnt", count(lit(1)).over(byKey))
+      .filter(col("cnt") >= minCount)
       .withColumn("ns",
         when(lag(col("i"), 1).over(byDoc).isNull ||
           col("i") - lag(col("i"), 1).over(byDoc) > k, 1).otherwise(0))

@@ -38,14 +38,16 @@ object Preprocessing {
 
   /** Exact quantile bucketing (MLlib QuantileDiscretizer semantics, exact
     * regime): ntile(k) over a (value, id-tiebreak) ordering, per-bucket
-    * (n, lo, hi, mean). The global-sort window makes this the AUDIT twin —
-    * exact, deterministic, SQL-replayable; [[quantileBucketsApprox]] is
-    * the petabyte production path. Same twin pattern as doc_length_stats. */
+    * (n, lo, hi, mean). Exactness makes this the AUDIT twin — deterministic,
+    * SQL-replayable; [[quantileBucketsApprox]] is the petabyte production
+    * path. The ntile runs DISTRIBUTED (r12, [[graft.core.Ranks]]): range
+    * exchange + per-partition windows + closed-form bucket from the global
+    * rank — bit-identical to the single-partition window formulation. */
   def quantileBuckets(df: DataFrame, valueCol: String, idCol: String,
                       k: Int): DataFrame = {
-    val w = Window.orderBy(col("_v"), col("_id"))
-    df.select(col(valueCol).cast("double").as("_v"), col(idCol).cast("long").as("_id"))
-      .withColumn("bucket", ntile(k).over(w).cast("long"))
+    graft.core.Ranks.withGlobalNtile(
+        df.select(col(valueCol).cast("double").as("_v"), col(idCol).cast("long").as("_id")),
+        Seq(col("_v"), col("_id")), k, "bucket")
       .groupBy(col("bucket"))
       .agg(count(lit(1)).cast("long").as("n"),
         round(min(col("_v")), 4).as("lo"), round(max(col("_v")), 4).as("hi"),

@@ -14,6 +14,29 @@ import org.apache.spark.sql.functions._
 object AnalyticsQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** The market-basket primitive shared by basket_lift / item_item_cf /
+    * frequent_itemsets: one groupBy on the order key folds the distinct
+    * into the basket (collect_set), r12 — the former
+    * distinct-then-self-join shape shuffled the (order, part) pair frame
+    * once per join leg behind a localCheckpoint. All consumers branch off
+    * this ONE order-key exchange (Catalyst reuses it), and pair/triple
+    * fan-out happens IN-ROW over the sorted array — no join anywhere. */
+  private[queries] def baskets(li: DataFrame): DataFrame =
+    li.groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
+
+  /** Ordered co-purchase pairs (p1 < p2), one row per (order, pair),
+    * generated in-row from the basket array. */
+  private[queries] def basketPairs(b: DataFrame): DataFrame = {
+    val n = size(col("ps"))
+    val pairsArr = flatten(transform(sequence(lit(0), n - 2),
+      i => transform(sequence(i + 1, n - 1),
+        j => struct(element_at(col("ps"), i + 1).as("p1"),
+          element_at(col("ps"), j + 1).as("p2")))))
+    b.filter(n >= 2).select(explode(pairsArr).as("t"))
+      .select(col("t.p1").as("p1"), col("t.p2").as("p2"))
+  }
+
   val queries: Map[String, Q] = Map(
     "prop_ztest" -> { (s, d) =>
       // two-proportion z-test of high-value-purchase conversion (every
@@ -180,12 +203,10 @@ object AnalyticsQueries {
     "kcore" -> { (s, d) =>
       // 3-core of the support-2 co-purchase graph: 4 fixed peeling rounds
       // (degree groupBy + survivor semi-joins per round); the per-round
-      // (n_nodes, n_edges) trace shows convergence
-      val a = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      val e = a.as("x").join(a.as("y"),
-          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-        .groupBy(col("x.p").as("p1"), col("y.p").as("p2"))
+      // (n_nodes, n_edges) trace shows convergence. r12: edges via the
+      // shared in-row basket pairs (was an order-key self-join)
+      val e = basketPairs(baskets(Tables.lineitem(s, d)))
+        .groupBy(col("p1"), col("p2"))
         .agg(count(lit(1)).as("_np"))
         .filter(col("_np") >= 2).select(col("p1"), col("p2"))
       graft.graph.KCore.run(e, k = 3, rounds = 4)
@@ -264,17 +285,23 @@ object AnalyticsQueries {
     },
     "frequent_itemsets" -> { (s, d) =>
       // Apriori-style frequent 3-itemsets: the triple fan-out is bounded
-      // by C(lines-per-order, 3) — order-key self-joins, never corpus³;
-      // top-10 by (support desc, itemset) with min support 2. The distinct
-      // (order, part) frame feeds all three join legs: checkpointed so the
-      // scan+distinct runs once
-      val a = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-        .localCheckpoint()
-      a.as("x")
-        .join(a.as("y"), col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-        .join(a.as("z"), col("x.o") === col("z.o") && col("y.p") < col("z.p"))
-        .groupBy(col("x.p").as("p1"), col("y.p").as("p2"), col("z.p").as("p3"))
+      // by C(lines-per-order, 3) — generated IN-ROW from each order's
+      // sorted distinct part set (r12: the former three-way order-key
+      // self-join shuffled the (order, part) frame three times behind a
+      // checkpoint; collect_set folds the distinct into the basket
+      // groupBy, and the nested-transform triples need no join at all);
+      // top-10 by (support desc, itemset) with min support 2
+      val basket = baskets(Tables.lineitem(s, d))
+      val n = size(col("ps"))
+      val triples = flatten(transform(sequence(lit(0), n - 3),
+        i => flatten(transform(sequence(i + 1, n - 2),
+          j => transform(sequence(j + 1, n - 1),
+            kk => struct(element_at(col("ps"), i + 1).as("p1"),
+              element_at(col("ps"), j + 1).as("p2"),
+              element_at(col("ps"), kk + 1).as("p3")))))))
+      basket.filter(n >= 3)
+        .select(explode(triples).as("t"))
+        .groupBy(col("t.p1").as("p1"), col("t.p2").as("p2"), col("t.p3").as("p3"))
         .agg(count(lit(1)).cast("long").as("support"))
         .filter(col("support") >= 2)
         .orderBy(col("support").desc, col("p1"), col("p2"), col("p3"))
@@ -296,16 +323,16 @@ object AnalyticsQueries {
     "item_item_cf" -> { (s, d) =>
       // item-item neighborhood CF (the memory-based recommender beside
       // ALS): cosine on co-purchase counts — pair fan-out bounded by
-      // lines-per-order (the basket_lift bound), marginals join on the
-      // part key, cosine ROUNDED before the top-15 selection. The distinct
-      // frame feeds the marginals AND both pair-join legs: checkpointed
-      val a = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-        .localCheckpoint()
-      val perPart = a.groupBy(col("p")).agg(count(lit(1)).cast("double").as("_np"))
-      val pairs = a.as("x").join(a.as("y"),
-          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-        .groupBy(col("x.p").as("p1"), col("y.p").as("p2"))
+      // lines-per-order, generated IN-ROW from the shared basket frame
+      // (r12: was a checkpointed order-key self-join); marginals from the
+      // exploded basket, cosine ROUNDED before the top-15 selection. The
+      // basket frame feeds TWO consumers → checkpointed (scan-count
+      // certainty, the r10 discipline)
+      val b = baskets(Tables.lineitem(s, d)).localCheckpoint()
+      val perPart = b.select(explode(col("ps")).as("p"))
+        .groupBy(col("p")).agg(count(lit(1)).cast("double").as("_np"))
+      val pairs = basketPairs(b)
+        .groupBy(col("p1"), col("p2"))
         .agg(count(lit(1)).cast("double").as("_npair"))
         .filter(col("_npair") >= 2)
       pairs.join(perPart.select(col("p").as("p1"), col("_np").as("_n1")), "p1")
@@ -346,10 +373,12 @@ object AnalyticsQueries {
         .orderBy("lambda")
     },
     "ndcg" -> { (s, d) =>
-      // NDCG@100 of the literal SVM margin for the R class: rank by
-      // (score desc, id) — a declared global-sort audit twin (the
-      // lift_table pattern); DCG/IDCG off the top-k frame in one
-      // aggregate, the ideal ranking's depth = min(k, n_pos)
+      // NDCG@100 of the literal SVM margin for the R class: the top-k cut
+      // is a distributed TakeOrdered (orderBy+limit — per-partition heaps
+      // + a k-row driver merge; r12: the former corpus-wide row_number
+      // window was a single-partition sort), ranks then assigned on the
+      // 100-row frame; DCG/IDCG off it in one aggregate, the ideal
+      // ranking's depth = min(k, n_pos)
       val li = Tables.lineitem(s, d)
       val margin = round(lit(-0.1) + lit(0.004) * col("l_quantity") +
         lit(1.5) * col("l_discount") + lit(-2.0) * col("l_tax"), 6)
@@ -357,8 +386,8 @@ object AnalyticsQueries {
       val k = 100
       val ranked = li.select(margin.as("_s"), id.as("_id"),
           when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("_rel"))
+        .orderBy(col("_s").desc, col("_id")).limit(k)
         .withColumn("_rk", row_number().over(Window.orderBy(col("_s").desc, col("_id"))))
-        .filter(col("_rk") <= k)
       val npos = li.agg(
         sum(when(col("l_returnflag") === "R", 1.0).otherwise(0.0)).as("_np"))
       val disc = lit(1.0) / log(2.0, col("_rk") + 1)
@@ -390,15 +419,14 @@ object AnalyticsQueries {
       // fan-out bound), triangles via the ordered-edge join
       // e(a<b) ⋈ e(b<c) ⋈ e(a<c) so each triangle counts exactly once;
       // wedges from the bounded degree frame
-      val a = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
       // the support-pruned edge frame feeds FIVE consumers (deg, e1/e2/e3,
-      // st): localCheckpoint materializes the expensive scan+pair shuffle
-      // exactly once instead of leaning on AQE's ReuseExchange — scan-count
-      // certainty at 100 TB (r10 verdict #8), hashes unchanged
-      val e = a.as("x").join(a.as("y"),
-          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-        .groupBy(col("x.p").as("p1"), col("y.p").as("p2"))
+      // st): localCheckpoint materializes the pair shuffle exactly once
+      // instead of leaning on AQE's ReuseExchange — scan-count certainty
+      // at 100 TB (r10 verdict #8), hashes unchanged. r12: the pairs come
+      // IN-ROW from the shared basket frame (basketPairs — was an
+      // order-key self-join shuffling the pair frame per leg)
+      val e = basketPairs(baskets(Tables.lineitem(s, d)))
+        .groupBy(col("p1"), col("p2"))
         .agg(count(lit(1)).as("_np"))
         .filter(col("_np") >= 2).select(col("p1"), col("p2"))
         .localCheckpoint()

@@ -105,17 +105,18 @@ object MiscQueries {
     },
     "lift_table" -> { (s, d) =>
       // decile lift/gain of the literal SVM score for the R class:
-      // ntile(10) by (score desc, id) — exact audit twin (global-sort
-      // window declared, same as quantile_buckets); cumulative gain via
-      // a second window over the 10-row decile frame
+      // ntile(10) by (score desc, id) — exact audit twin, ntile
+      // DISTRIBUTED via Ranks (r12; the raw-row global-sort window was a
+      // single-partition sort of lineitem); cumulative gain via a second
+      // window over the 10-row decile frame
       val li = Tables.lineitem(s, d)
       val margin = round(lit(-0.1) + lit(0.004) * col("l_quantity") +
         lit(1.5) * col("l_discount") + lit(-2.0) * col("l_tax"), 6)
       val rowId = concat_ws("_", col("l_orderkey"), col("l_linenumber"))
-      val w = Window.orderBy(col("_s").desc, col("_id"))
-      val deciles = li.select(margin.as("_s"), rowId.as("_id"),
-          when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("_y"))
-        .withColumn("decile", ntile(10).over(w))
+      val deciles = graft.core.Ranks.withGlobalNtile(
+          li.select(margin.as("_s"), rowId.as("_id"),
+            when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("_y")),
+          Seq(col("_s").desc, col("_id")), 10, "decile")
         .groupBy("decile")
         .agg(count(lit(1)).cast("long").as("n"), sum(col("_y")).as("_pos"))
       val wc = Window.orderBy(col("decile"))
@@ -423,12 +424,13 @@ object MiscQueries {
     },
     "lorenz_curve" -> { (s, d) =>
       // decile Lorenz curve of customer revenue (gini's graphical twin):
-      // ntile(10) by (revenue, custkey) — the declared global-sort audit
-      // twin — then cumulative share over the 10-row decile frame
+      // ntile(10) by (revenue, custkey), DISTRIBUTED via Ranks (r12 — the
+      // per-customer frame is data-scale, not a summary) — then
+      // cumulative share over the 10-row decile frame
       val per = Tables.orders(s, d).groupBy(col("o_custkey").as("cust"))
         .agg(round(sum(col("o_totalprice")), 2).as("_y"))
-      val w = Window.orderBy(col("_y"), col("cust"))
-      val dec = per.withColumn("decile", ntile(10).over(w))
+      val dec = graft.core.Ranks.withGlobalNtile(per,
+          Seq(col("_y"), col("cust")), 10, "decile")
         .groupBy("decile")
         .agg(count(lit(1)).cast("long").as("n"), sum(col("_y")).as("_rev"))
       val wc = Window.orderBy(col("decile")).rowsBetween(Window.unboundedPreceding, 0)
@@ -449,9 +451,14 @@ object MiscQueries {
       val per = Tables.orders(s, d).groupBy(col("o_custkey"))
         .agg(round(sum(col("o_totalprice")), 2).as("_y"))
       val g = per.groupBy(col("_y")).agg(count(lit(1)).cast("double").as("_c"))
-      val wr = Window.orderBy(col("_y")).rowsBetween(Window.unboundedPreceding, -1)
-      val ranks = g.select(col("_y"),
-        (coalesce(sum(col("_c")).over(wr), lit(0.0)) + (col("_c") + 1.0) / 2.0).as("_r"))
+      // midranks from the DISTRIBUTED cumulative count (r12): the revenue
+      // grid is data-scale, so the unpartitioned window was a
+      // single-partition sort; counts are integer-valued doubles, so the
+      // exclusive prefix (cum − c) is bit-identical to the lag window
+      val ranks = graft.core.Ranks.withGlobalCumSums(g, Seq(col("_y")),
+          Seq((col("_c"), "_cs")))
+        .select(col("_y"),
+          ((col("_cs") - col("_c")) + (col("_c") + 1.0) / 2.0).as("_r"))
       per.join(ranks, "_y")
         .agg(count(lit(1)).cast("double").as("_n"),
           sum(col("_y")).as("_sy"), sum(col("_r") * col("_y")).as("_sry"))
@@ -593,21 +600,23 @@ object MiscQueries {
     "wasserstein_1d" -> { (s, d) =>
       // 1-D earth-mover distance between the A/B-split totalprice
       // distributions: W₁ = Σ |F_A − F_B|·Δv over the merged support —
-      // the ks_test/roc discipline (quantize, ONE groupBy to the
-      // distinct-value frame, one bounded window), never a raw-row sort
+      // quantize, ONE groupBy to the distinct-value frame, then the
+      // DISTRIBUTED CDFs and successor values over it (r12,
+      // core.Ranks — the price grid is data-scale, so the unpartitioned
+      // cum/lead windows were single-partition sorts); the CDF ratios
+      // are exact integer-sum quotients, bit-identical to the windows
       val o = Tables.orders(s, d)
       val isRef = Preprocessing.splitColumn(col("o_orderkey"), 250, 42L) === "train"
       val g = o.select(round(col("o_totalprice"), 2).as("_v"), isRef.as("_a"))
         .groupBy("_v")
         .agg(sum(when(col("_a"), 1.0).otherwise(0.0)).as("_ca"),
           sum(when(!col("_a"), 1.0).otherwise(0.0)).as("_cb"))
-      val wc = Window.orderBy(col("_v")).rowsBetween(Window.unboundedPreceding, 0)
-      val wAll = Window.orderBy(col("_v"))
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      val stepped = g
-        .withColumn("_fa", sum(col("_ca")).over(wc) / sum(col("_ca")).over(wAll))
-        .withColumn("_fb", sum(col("_cb")).over(wc) / sum(col("_cb")).over(wAll))
-        .withColumn("_nextv", lead(col("_v"), 1).over(Window.orderBy(col("_v"))))
+      val cum = graft.core.Ranks.withGlobalCumSums(g, Seq(col("_v")),
+          Seq((col("_ca"), "_cca"), (col("_cb"), "_ccb")))
+        .withColumn("_fa", col("_cca") / col("_cca_tot"))
+        .withColumn("_fb", col("_ccb") / col("_ccb_tot"))
+      val stepped = graft.core.Ranks.withGlobalLead(cum, Seq(col("_v")),
+        col("_v"), "_nextv")
       stepped.filter(col("_nextv").isNotNull)
         .agg(sum(col("_ca") + col("_cb")).cast("long").as("n_support"),
           r4(sum(abs(col("_fa") - col("_fb")) * (col("_nextv") - col("_v"))))
@@ -645,9 +654,15 @@ object MiscQueries {
       val base = per.crossJoin(broadcast(maxDay))
         .select(col("cust"), (col("_maxd") - col("_last")).cast("long").as("_r"),
           col("_f"), col("_m"))
-      val rCode = ntile(5).over(Window.orderBy(col("_r"), col("cust")))
-      val fCode = ntile(5).over(Window.orderBy(col("_f").desc, col("cust")))
-      base.select(col("cust"), rCode.as("r_code"), fCode.as("f_code"), col("_m"))
+      // both quintile codes via the distributed ntile (r12): two range
+      // exchanges over the per-customer frame instead of two
+      // single-partition sort windows
+      val withR = graft.core.Ranks.withGlobalNtile(base,
+        Seq(col("_r"), col("cust")), 5, "r_code")
+      val withRF = graft.core.Ranks.withGlobalNtile(withR,
+        Seq(col("_f").desc, col("cust")), 5, "f_code")
+      withRF.select(col("cust"), col("r_code").cast("int").as("r_code"),
+          col("f_code").cast("int").as("f_code"), col("_m"))
         .groupBy("r_code", "f_code")
         .agg(count(lit(1)).cast("long").as("n_customers"),
           r4(avg(col("_m"))).as("avg_monetary"))
@@ -676,10 +691,14 @@ object MiscQueries {
       val o = Tables.orders(s, d).select(col("o_totalprice").as("_v"),
         (Preprocessing.splitColumn(col("o_orderkey"), 250, 42L) === "train").as("_a"))
       val g = o.groupBy(col("_v")).agg(count(lit(1)).cast("double").as("_c"))
-      val wr = Window.orderBy(col("_v")).rowsBetween(Window.unboundedPreceding, -1)
-      val ranks = g.select(col("_v"),
-        (coalesce(sum(col("_c")).over(wr), lit(0.0)) + (col("_c") + 1.0) / 2.0).as("_r"),
-        col("_c"))
+      // distributed midranks — same r12 discipline as gini (the price
+      // grid is data-scale; cum − c reproduces the lag-window prefix
+      // exactly on integer-valued counts)
+      val ranks = graft.core.Ranks.withGlobalCumSums(g, Seq(col("_v")),
+          Seq((col("_c"), "_cs")))
+        .select(col("_v"),
+          ((col("_cs") - col("_c")) + (col("_c") + 1.0) / 2.0).as("_r"),
+          col("_c"))
       val joined = o.join(ranks, "_v")
       val st = joined.agg(
         sum(when(col("_a"), 1.0).otherwise(0.0)).as("_na"),
@@ -699,17 +718,17 @@ object MiscQueries {
     "basket_lift" -> { (s, d) =>
       // market-basket lift: top co-purchased part pairs by
       // lift = P(a,b)·N / (P(a)·P(b)) with min support — pair fan-out is
-      // bounded by lines-per-order (a self-join on the order key, ~7×,
-      // never corpus²); part marginals join on the part key; lift
-      // ROUNDED before the top-15 selection
-      val a = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      val nOrders = a.select(col("o")).distinct()
-        .agg(count(lit(1)).cast("double").as("_no"))
-      val perPart = a.groupBy(col("p")).agg(count(lit(1)).cast("double").as("_np"))
-      val pairs = a.as("x").join(a.as("y"),
-          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-        .groupBy(col("x.p").as("p1"), col("y.p").as("p2"))
+      // bounded by lines-per-order, generated IN-ROW from the shared
+      // basket frame (r12: was an order-key self-join shuffling the pair
+      // frame per leg); marginals from the exploded basket; lift ROUNDED
+      // before the top-15 selection. The basket frame feeds THREE
+      // consumers → checkpointed (scan-count certainty, r10 discipline)
+      val b = AnalyticsQueries.baskets(Tables.lineitem(s, d)).localCheckpoint()
+      val nOrders = b.agg(count(lit(1)).cast("double").as("_no"))
+      val perPart = b.select(explode(col("ps")).as("p"))
+        .groupBy(col("p")).agg(count(lit(1)).cast("double").as("_np"))
+      val pairs = AnalyticsQueries.basketPairs(b)
+        .groupBy(col("p1"), col("p2"))
         .agg(count(lit(1)).cast("double").as("_npair"))
         .filter(col("_npair") >= 2.0)
       pairs

@@ -187,6 +187,37 @@ object ModelQueries {
           round(sum(col("value")), 4).as("value_sum"))
         .orderBy("model_type")
     },
+    "streaming_model_score" -> { (s, d) =>
+      // third oracle-visible streaming query, closing the ModelIO ×
+      // streaming intersection: a PERSISTED linear model (literal,
+      // engine-neutral coefficients — the round-trip itself is under
+      // test, parameter fitting is the linreg family's job) is saved,
+      // loaded at stream definition, and served over the REAL events
+      // stream (stateless per-micro-batch projection, Trigger
+      // .AvailableNow, memory sink); the final per-event-type score
+      // aggregate hash-gates against the SQL replay of the same literal
+      // formula — a save/load drift of any coefficient bit shifts the
+      // maxima and breaks the hash
+      withTmpModel("stream_score") { path =>
+        ModelIO.saveLinear(s,
+          graft.linear.LinearModel(Seq("intercept", "value"), Seq(1.25, 0.5)), path)
+        val sink = "graft_stream_score"
+        val q = graft.streaming.StreamingOps
+          .streamingModelScore(Tables.eventsStream(s, d), path, Seq("value"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(sink)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            r4(avg(col("prediction"))).as("avg_score"),
+            r4(min(col("prediction"))).as("min_score"),
+            r4(max(col("prediction"))).as("max_score"))
+          .orderBy("event_type")
+      }
+    },
     "model_io_als" -> { (s, d) =>
       // ALS serve path: fit (FitCache-shared with als_recommend) →
       // persist BOTH factor matrices in long form (data-scale: one row
@@ -321,6 +352,15 @@ object ModelQueries {
     "model_io_arima_forecast" -> TSAQueries.oracles("arima_ml_forecast"),
     "model_io_svm" -> MLQueries.oracles("svm_predict"),
     "model_registry" -> registryOracleSql,
+    // full hash gate: the streamed serve of the persisted literal model
+    // must reproduce the batch SQL scoring of the same formula exactly
+    "streaming_model_score" ->
+      """SELECT event_type,
+        |  count(*)::BIGINT AS n,
+        |  round(avg(1.25 + 0.5 * value), 4) AS avg_score,
+        |  round(min(1.25 + 0.5 * value), 4) AS min_score,
+        |  round(max(1.25 + 0.5 * value), 4) AS max_score
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // partial gate: probe/rec counts SQL-exact, factor round-trip parity
     // and item-set membership as invariants (factors are seed-dependent)
     "model_io_als" ->

@@ -309,20 +309,12 @@ object TabularQueries {
       // RobustScaler semantics: (x − median)/IQR with exact rank-select
       // quartiles (the audit twin — the production path at scale is the
       // percentile_approx sketch, cf quantile_buckets_approx); transform
-      // is a literal-stat codegen map like standard_scale
+      // is a literal-stat codegen map like standard_scale. Quartiles come
+      // from the bounded distinct-value frame (r12: the raw-row global
+      // sort window collapsed lineitem into one task — 9.7× at 10× data)
       val li = Tables.lineitem(s, d)
-      val ranked = li.select(col("l_quantity").as("v"))
-        .withColumn("rn", row_number().over(
-          org.apache.spark.sql.expressions.Window.orderBy(col("v"))))
-        .withColumn("n", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy()))
-      val qs = ranked.filter(
-          col("rn") === ceil(col("n") * 0.25) ||
-          col("rn") === ceil(col("n") * 0.5) ||
-          col("rn") === ceil(col("n") * 0.75))
-        .select(col("v"), col("rn"), col("n")).collect()
-        .sortBy(_.getInt(1))
-      val (q1, med, q3) = (qs(0).getDouble(0), qs(1).getDouble(0), qs(2).getDouble(0))
+      val Seq(q1, med, q3) = graft.core.Ranks.exactQuantilesByValue(
+        li, col("l_quantity"), Seq(0.25, 0.5, 0.75))
       val z = (col("l_quantity") - med) / (q3 - q1)
       li.groupBy("l_returnflag")
         .agg(count(lit(1)).cast("long").as("n"),

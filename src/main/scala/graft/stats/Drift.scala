@@ -27,16 +27,12 @@ object Drift {
     val rows = df.select(round(value, 4).as("_v"),
       when(isRef, 1L).otherwise(0L).as("_ref"))
     val ref = rows.filter(col("_ref") === 1)
-    val ranked = ref
-      .withColumn("_rn", row_number().over(Window.orderBy(col("_v"))))
-      .withColumn("_n", count(lit(1)).over(Window.partitionBy()))
-    // all bins−1 boundary rank-selects in ONE job (a per-boundary filter
-    // would re-run the global sort bins−1 times)
-    val bounds = ranked
-      .filter((1 until bins).map(k =>
-        col("_rn") === ceil(col("_n") * (k.toDouble / bins))).reduce(_ || _))
-      .select(col("_v"), col("_rn")).collect()
-      .sortBy(_.getInt(1)).map(_.getDouble(0)).toSeq
+    // all bins−1 boundary rank-selects in ONE job over the bounded
+    // distinct-value frame (_v is quantized to 1e-4; r12: the raw-row
+    // global row_number window was a single-partition sort of the whole
+    // reference slice)
+    val bounds = graft.core.Ranks.exactQuantilesByValue(
+      ref, col("_v"), (1 until bins).map(_.toDouble / bins))
     // bin = 1 + #boundaries strictly below x (upper-inclusive deciles)
     val bin = bounds.foldLeft(lit(1L): Column) { (acc, b) =>
       acc + when(col("_v") > b, 1L).otherwise(0L)
@@ -92,21 +88,21 @@ object Drift {
 
   /** Two-sample Kolmogorov–Smirnov statistic D = sup_x |F_ref − F_cur|,
     * exact over the quantized pooled support: one groupBy on the value
-    * grid, one cumulative window over DISTINCT values. `reject` compares
-    * the ROUNDED D to the large-sample 5% threshold
-    * 1.358·√((n+m)/(n·m)) rounded to the same grid. */
+    * grid, then the DISTRIBUTED cumulative counts over the distinct-value
+    * frame (r12, [[graft.core.Ranks.withGlobalCumSums]] — the
+    * single-partition window was data-scale whenever the value grid is,
+    * e.g. prices). `reject` compares the ROUNDED D to the large-sample
+    * 5% threshold 1.358·√((n+m)/(n·m)) rounded to the same grid. */
   def ksTest(df: DataFrame, value: Column, isRef: Column): DataFrame = {
     val g = df.select(round(value, 4).as("_v"),
         when(isRef, 1L).otherwise(0L).as("_ref"))
       .groupBy(col("_v"))
       .agg(sum(col("_ref")).as("_nr"), sum(lit(1L) - col("_ref")).as("_nc"))
-    val tot = g.agg(sum(col("_nr")).cast("double").as("_tr"),
-      sum(col("_nc")).cast("double").as("_tc"))
-    val w = Window.orderBy(col("_v")).rowsBetween(Window.unboundedPreceding, 0)
-    val cum = g
-      .withColumn("_cr", sum(col("_nr")).over(w))
-      .withColumn("_cc", sum(col("_nc")).over(w))
-    cum.crossJoin(tot)
+    val cum = graft.core.Ranks.withGlobalCumSums(g, Seq(col("_v")),
+        Seq((col("_nr"), "_cr"), (col("_nc"), "_cc")))
+      .withColumn("_tr", col("_cr_tot").cast("double"))
+      .withColumn("_tc", col("_cc_tot").cast("double"))
+    cum
       .agg(
         max(col("_tr")).cast("long").as("n_ref"),
         max(col("_tc")).cast("long").as("n_cur"),

@@ -244,15 +244,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p2.contains("Exchange"), p2.take(3000))
   }
 
-  test("segment dedup shuffles on content and doc keys only; count+keeper share one agg") {
+  test("segment dedup is a single-pass seg-key window + doc rollup, no join") {
     val docs = Tables.documents(spark, sf)
     val df = graft.dedup.Dedup.segmentDedup(docs, "text", "doc_id")
     val p = planOf(df)
-    // no window over the corpus, no cartesian — the keeper comes from the
-    // same grouped aggregate as the count, not a rank
-    assert(!p.contains("Window") && !p.contains("CartesianProduct") &&
-      !p.contains("NestedLoopJoin"), p.take(3000))
-    assert(p.contains("partial_min") || p.contains("partial"), p.take(3000))
+    // r12 shape: ONE segmentation explode feeds a count+keeper window
+    // hash-partitioned on the segment key (never SinglePartition), then
+    // one doc-key rollup — the old groupBy+join-back ran the explode
+    // three times
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("hashpartitioning(seg"), p.take(3000))
+    assert(p.split("Scan parquet").length - 1 == 1,
+      s"segment explode must run once: " + p.take(3000))
   }
 
   test("semDedup pair join keys on the cell id (never an all-pairs scan)") {
@@ -516,17 +519,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p.take(3000))
   }
 
-  test("triangle family reuse is explicit: consumers read the checkpoint, not parquet") {
-    // the support-pruned edge frame / distinct (order, part) frame feed
-    // 3-5 consumers each; localCheckpoint makes the single materialization
-    // a plan property instead of an AQE ReuseExchange outcome
-    Seq("triangle_count", "frequent_itemsets", "item_item_cf").foreach { q =>
+  test("basket family reuse is explicit: multi-consumer frames read the checkpoint") {
+    // the support-pruned edge frame / basket frame feed 2-5 consumers
+    // each; localCheckpoint makes the single materialization a plan
+    // property instead of an AQE ReuseExchange outcome (r10 discipline;
+    // r12 — the checkpointed frame is now the in-row basket, not a
+    // self-joined pair frame)
+    Seq("triangle_count", "item_item_cf", "basket_lift").foreach { q =>
       val p = planOf(SparkEntry.queries(q)(spark, sf))
       assert(!p.contains("Scan parquet"),
         s"$q re-reads parquet past the checkpoint: " + p.take(3000))
       assert(p.contains("ExistingRDD"),
         s"$q lost its checkpointed input: " + p.take(3000))
     }
+    // frequent_itemsets' basket has ONE consumer — no checkpoint, and the
+    // whole query must touch parquet exactly once
+    val p = planOf(SparkEntry.queries("frequent_itemsets")(spark, sf))
+    assert(p.split("Scan parquet").length - 1 == 1, p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
   }
 
   test("dedup_keep_best is scan -> hash window -> rollup, no self-join") {
@@ -554,5 +564,25 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("Join"), s"$q plans a join: " + p.take(3000))
       assert(!p.contains("Window"), s"$q plans a window: " + p.take(3000))
     }
+  }
+
+  test("data-scale ntiles run distributed (range exchange, no pid re-shuffle)") {
+    // r12: lift_table/lorenz_curve/rfm_segments/quantile_buckets rank
+    // data-scale frames through core.Ranks — the plan must show the
+    // sampled range exchange, and the data side must not re-exchange on
+    // the partition id (local ranks come from monotonically_increasing_id
+    // above the per-partition sort); the single-partition sort window
+    // over raw rows is gone
+    Seq("lift_table", "lorenz_curve", "rfm_segments", "quantile_buckets")
+      .foreach { q =>
+        val p = planOf(SparkEntry.queries(q)(spark, sf))
+        assert(p.contains("rangepartitioning"), s"$q: " + p.take(3000))
+        assert(p.contains("BroadcastHashJoin [_gr_pid"), s"$q: " + p.take(3000))
+      }
+  }
+
+  test("robust_scale's final frame is windowless (quartiles via the distinct-value job)") {
+    val p = planOf(SparkEntry.queries("robust_scale")(spark, sf))
+    assert(!p.contains("Window"), p.take(3000))
   }
 }
