@@ -83,6 +83,18 @@ object Tables {
     }
   }
 
+  /** Streaming twin of [[documents]] — the eventsStream discipline: the
+    * same parquet as an unbounded file source with the identical id
+    * normalization, so streaming dedup sees exactly the batch table. */
+  def documentsStream(s: SparkSession, d: String): DataFrame = {
+    val path = s"$d/documents.parquet"
+    val schema = s.read.parquet(path).schema
+    val raw = s.readStream.schema(schema).option("basePath", d)
+      .parquet(s"$d/{documents.parquet}")
+    if (schema("doc_id").dataType == LongType) raw
+    else raw.withColumn("doc_id", col("doc_id").cast(LongType))
+  }
+
   /** `documents`/`embeddings` id and vector normalization — the same
     * regen-drift guard as [[events]]: a generator switch to int32 ids or
     * float32 embeddings must not flip output schemas (oracle outputs pin

@@ -5,14 +5,16 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing: opaque binary payloads + typed metadata,
-  * batched feature extraction. The decode step is REAL for six formats
-  * (P6 PPM and 24-bpp BMP images, GIF87a/89a with a full LZW inflater,
-  * PNG via chunk walk + JDK zlib + the five scanline unfilters,
-  * baseline grayscale JPEG with Huffman entropy decode + IDCT, and
-  * 16-bit PCM RIFF/WAVE audio — all parsed from the public specs, no
-  * external codec library; MultimodalSpec-gated) and falls back to
-  * deterministic byte statistics for anything else (color/progressive
-  * jpeg and compressed audio plug in at the same seam). The
+  * batched feature extraction. The decode step is REAL for the following
+  * formats (P6 PPM and 24-bpp BMP images, GIF87a/89a with a full LZW
+  * inflater, PNG via chunk walk + JDK zlib + the five scanline
+  * unfilters, baseline/color/4:2:0/progressive JPEG with Huffman entropy
+  * decode + IDCT, and RIFF/WAVE audio as 16-bit PCM, G.711 μ-law/A-law
+  * companding, or IMA ADPCM step-table nibbles — all parsed from the
+  * public specs, no external codec library; MultimodalSpec-gated) and
+  * falls back to deterministic byte statistics for anything else
+  * (arithmetic-coded jpeg and other compressed audio plug in at the same
+  * seam). The
   * Spark-side contract — schema, batching, partition-parallel
   * extraction — is what matters at 100 TB and is identical on every
   * path.
@@ -1712,6 +1714,7 @@ object Multimodal {
     var pos = 12
     var fmt: Option[(Int, Int, Int)] = None // (format, channels, bits)
     var rate = 0
+    var blockAlign = 0
     var data: Option[(Int, Int)] = None // (offset, size)
     while (pos + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
       val size = u32(pos + 4).toInt
@@ -1719,6 +1722,7 @@ object Multimodal {
       if (tag(pos, "fmt ") && size >= 16) {
         fmt = Some((u16(pos + 8), u16(pos + 10), u16(pos + 22)))
         rate = u32(pos + 12).toInt
+        blockAlign = u16(pos + 20)
       } else if (tag(pos, "data")) data = Some((pos + 8, size))
       pos += 8 + size + (size & 1) // chunks are word-aligned
     }
@@ -1732,6 +1736,20 @@ object Multimodal {
           val smp = Array.tabulate(size)(i => mulawExpand(bytes(off + i)).toDouble)
           (rate, channels, smp)
         }
+      case Some((6, channels, 8)) if channels >= 1 =>
+        // G.711 A-law (WAVE format 6): the even-bit-toggled companding
+        // twin of μ-law — same one-byte-per-sample layout, different
+        // segment/mantissa formula (ITU-T G.711 table 2)
+        data.map { case (off, size) =>
+          val smp = Array.tabulate(size)(i => alawExpand(bytes(off + i)).toDouble)
+          (rate, channels, smp)
+        }
+      case Some((17, 1, 4)) if blockAlign >= 5 =>
+        // IMA/DVI ADPCM (WAVE format 0x11, mono): 4-bit differential
+        // nibbles expanded through the 89-entry step table — a REAL
+        // predictive codec (4:1 vs PCM16), decoded block-by-block per
+        // the declared blockAlign
+        data.flatMap { case (off, size) => decodeImaAdpcm(bytes, off, size, blockAlign, rate) }
       case _ => decodePcm16(bytes, fmt, rate, data)
     }
   }
@@ -1745,6 +1763,81 @@ object Multimodal {
     val mant = u & 0x0f
     val mag = (((mant << 3) + 0x84) << exp) - 0x84
     if ((u & 0x80) != 0) -mag else mag
+  }
+
+  /** G.711 A-law byte → linear PCM16 sample: toggle the even bits
+    * (XOR 0x55), then 3-bit segment + 4-bit mantissa; segment 0 adds the
+    * half-step 8, higher segments add 0x108 then shift. Sign bit SET
+    * means positive in A-law (the opposite of μ-law). */
+  private[graft] def alawExpand(b: Byte): Int = {
+    val a = (b ^ 0x55) & 0xff
+    val seg = (a >> 4) & 7
+    val base = (a & 0x0f) << 4
+    val mag = seg match {
+      case 0 => base + 8
+      case 1 => base + 0x108
+      case _ => (base + 0x108) << (seg - 1)
+    }
+    if ((a & 0x80) != 0) mag else -mag
+  }
+
+  /** IMA ADPCM step-size table (IMA ADPCM reference algorithm, 89
+    * entries) and index-adjust table. */
+  private[multimodal] val ImaStepTable: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+  private[multimodal] val ImaIndexTable: Array[Int] = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** One IMA ADPCM nibble expansion: (predictor, index) → the next pair.
+    * diff = step/8 + conditional step/4, step/2, step terms from the
+    * three magnitude bits; bit 3 is the sign; predictor clamps to int16,
+    * index to [0, 88]. Pure integer arithmetic → SQL-replayable as a
+    * recursive CTE carrying (pred, idx). */
+  private[graft] def imaAdpcmStep(pred: Int, idx: Int, nibble: Int): (Int, Int) = {
+    val step = ImaStepTable(idx)
+    var diff = step >> 3
+    if ((nibble & 1) != 0) diff += step >> 2
+    if ((nibble & 2) != 0) diff += step >> 1
+    if ((nibble & 4) != 0) diff += step
+    val p = if ((nibble & 8) != 0) math.max(-32768, pred - diff)
+            else math.min(32767, pred + diff)
+    (p, math.max(0, math.min(88, idx + ImaIndexTable(nibble & 7))))
+  }
+
+  /** IMA ADPCM data-chunk decode (mono): each blockAlign-sized block is a
+    * 4-byte header (initial predictor int16 LE — emitted as sample 0 —
+    * plus the initial step index) followed by nibble bytes, LOW nibble
+    * first. A trailing partial block decodes through its available
+    * bytes. */
+  private def decodeImaAdpcm(bytes: Array[Byte], off: Int, size: Int,
+                             blockAlign: Int, rate: Int): Option[(Int, Int, Array[Double])] = {
+    if (!saneAlloc(2L * size)) return None
+    val out = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var p = off
+    val end = off + size
+    while (p + 4 <= end) {
+      var pred = ((bytes(p) & 0xff) | (bytes(p + 1) << 8)).toShort.toInt
+      var idx = bytes(p + 2) & 0xff
+      if (idx > 88) return None
+      out += pred.toDouble
+      var q = p + 4
+      val blockEnd = math.min(p + blockAlign, end)
+      while (q < blockEnd) {
+        val b = bytes(q) & 0xff
+        val r1 = imaAdpcmStep(pred, idx, b & 0x0f)
+        pred = r1._1; idx = r1._2; out += pred.toDouble
+        val r2 = imaAdpcmStep(pred, idx, (b >> 4) & 0x0f)
+        pred = r2._1; idx = r2._2; out += pred.toDouble
+        q += 1
+      }
+      p += blockAlign
+    }
+    if (out.isEmpty) None else Some((rate, 1, out.toArray))
   }
 
   private def decodePcm16(bytes: Array[Byte], fmt: Option[(Int, Int, Int)],
@@ -1789,6 +1882,83 @@ object Multimodal {
       .select(col("doc_id").cast("long"),
         concat(lit(header), substring(col("text").cast("binary"), 1, nSamples)).as("payload"),
         struct(lit(nSamples.toLong).as("n_bytes"), lit("audio").as("media_type"),
+          lit(0).as("width"), lit(0).as("height")).as("meta"))
+    extractFeatures(media)
+      .agg(count(lit(1)).cast("long").as("n_clips"),
+        round(avg(element_at(col("features"), 1)), 4).as("avg_sample_mean"),
+        round(avg(element_at(col("features"), 3)), 4).as("avg_sample_max"),
+        round(avg(element_at(col("features"), 4)), 4).as("avg_sample_min"))
+  }
+
+  /** 44-byte RIFF/WAVE header for 8-bit mono G.711 A-law (format 6). */
+  private[graft] def wavHeaderAlaw(dataSize: Int, sampleRate: Int = 8000): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(44)
+    def ascii(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    def u32(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff) }
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    ascii("RIFF"); u32(36 + dataSize); ascii("WAVE")
+    ascii("fmt "); u32(16); u16(6); u16(1); u32(sampleRate)
+    u32(sampleRate); u16(1); u16(8)
+    ascii("data"); u32(dataSize)
+    out.toByteArray
+  }
+
+  /** RIFF/WAVE prefix for mono IMA ADPCM (format 0x11): 20-byte fmt
+    * chunk (cbSize=2 extension carrying samplesPerBlock), a single block
+    * whose align covers the whole data chunk, and the 4-byte block
+    * header (initial predictor 0, step index `initIdx`) — the payload
+    * bytes that follow are the nibble stream. */
+  private[graft] def wavHeaderAdpcm(dataSize: Int, sampleRate: Int = 8000,
+                                    initIdx: Int = 32): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(52)
+    def ascii(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    def u32(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff) }
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    val blockAlign = 4 + dataSize
+    ascii("RIFF"); u32(44 + dataSize); ascii("WAVE")
+    ascii("fmt "); u32(20); u16(0x11); u16(1); u32(sampleRate)
+    u32(sampleRate / 2); u16(blockAlign); u16(4)
+    u16(2); u16(1 + 2 * dataSize) // cbSize, samplesPerBlock
+    ascii("data"); u32(blockAlign)
+    u16(0); out.write(initIdx); out.write(0) // block header: pred=0, idx, reserved
+    out.toByteArray
+  }
+
+  /** Hash-gated REAL A-law decode: the μ-law gate's twin on WAVE
+    * format 6 — each document's leading bytes become companded samples,
+    * expanded by the even-bit-toggle segment formula; the oracle replays
+    * the same integer arithmetic in SQL. */
+  def alawDecodeSummary(documents: DataFrame, nSamples: Int = 48): DataFrame = {
+    val header = wavHeaderAlaw(dataSize = nSamples)
+    val media = documents
+      .filter(octet_length(col("text")) >= nSamples)
+      .select(col("doc_id").cast("long"),
+        concat(lit(header), substring(col("text").cast("binary"), 1, nSamples)).as("payload"),
+        struct(lit(nSamples.toLong).as("n_bytes"), lit("audio").as("media_type"),
+          lit(0).as("width"), lit(0).as("height")).as("meta"))
+    extractFeatures(media)
+      .agg(count(lit(1)).cast("long").as("n_clips"),
+        round(avg(element_at(col("features"), 1)), 4).as("avg_sample_mean"),
+        round(avg(element_at(col("features"), 3)), 4).as("avg_sample_max"),
+        round(avg(element_at(col("features"), 4)), 4).as("avg_sample_min"))
+  }
+
+  /** Hash-gated REAL IMA ADPCM decode: each document's leading bytes are
+    * the nibble stream of a mono format-0x11 WAV (predictor 0, step
+    * index 32); the decoder walks the 89-entry step-table recursion and
+    * the oracle replays the SAME recursion as a recursive CTE carrying
+    * (predictor, index) per nibble — a stateful predictive codec fully
+    * inside the hash gate, beyond the stateless companding of
+    * μ-law/A-law. */
+  def adpcmDecodeSummary(documents: DataFrame, nBytes: Int = 24): DataFrame = {
+    val header = wavHeaderAdpcm(dataSize = nBytes)
+    val media = documents
+      .filter(octet_length(col("text")) >= nBytes)
+      .select(col("doc_id").cast("long"),
+        concat(lit(header), substring(col("text").cast("binary"), 1, nBytes)).as("payload"),
+        struct(lit(nBytes.toLong).as("n_bytes"), lit("audio").as("media_type"),
           lit(0).as("width"), lit(0).as("height")).as("meta"))
     extractFeatures(media)
       .agg(count(lit(1)).cast("long").as("n_clips"),

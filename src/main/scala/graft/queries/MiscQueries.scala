@@ -344,6 +344,121 @@ object MiscQueries {
           col("window_us"), col("n_events"))
         .orderBy("user_id", "sess_start_us")
     },
+    "streaming_funnel" -> { (s, d) =>
+      // third oracle-visible streaming query and the first STATEFUL
+      // custom-state one: the signup→view→purchase funnel runs through
+      // the REAL flatMapGroupsWithState fold (per-user 3-register
+      // state, exactly-once conversion emission) under Trigger
+      // .AvailableNow, and the emitted (user, t1, t2, t3) conversion
+      // rows hash-gate against the closed-form per-user min-chain
+      // replay in DuckDB — the running-min chaining is order-equivalent
+      // to the fold because events process in (us, event_id) order
+      val sink = "graft_stream_funnel"
+      val q = graft.streaming.StreamingOps
+        .streamingFunnel(Tables.eventsStream(s, d), "signup", "view", "purchase")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sink)
+        .select(col("user_id").cast("long").as("user_id"),
+          col("t1"), col("t2"), col("t3"))
+        .orderBy("user_id")
+    },
+    "streaming_asof" -> { (s, d) =>
+      // the stateful as-of carry-forward oracle-visible: clicks update
+      // the per-user (t, value) register, purchases read it —
+      // flatMapGroupsWithState under AvailableNow; the fold's tie order
+      // (state first at equal t, ascending id, last overwrite wins) is
+      // EXACTLY the batch window's (t, side, rid) last_value rule, so
+      // the same SQL replays it
+      val sink = "graft_stream_asof"
+      val ev = Tables.eventsStream(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id").as("key"), col("event_id"),
+          unix_micros(col("ts")).as("t"),
+          (col("event_type") === "click").as("is_state"), col("value"))
+      val q = graft.streaming.StreamingOps.streamingAsOf(ev)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sink)
+        .select(col("key").cast("long").as("key"), col("event_id"),
+          col("t"), col("state_t"), col("state_v"))
+        .orderBy("event_id")
+    },
+    "streaming_profile" -> { (s, d) =>
+      // the windowed ingest profile oracle-visible: n/min/max/mean/
+      // stddev per hour window are EXACT (hash-gated vs the hour-bucket
+      // replay); the HLL++ distinct — the only part exact batch SQL
+      // cannot maintain incrementally — gates as a within-10%+2
+      // invariant against the batch-exact distinct (the
+      // cardinality_stats_approx discipline)
+      val sink = "graft_stream_profile"
+      val q = graft.streaming.StreamingOps
+        .streamingProfile(Tables.eventsStream(s, d), "value")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val exact = Tables.events(s, d)
+        .groupBy(floor(unix_micros(col("ts")) / 3600000000L).cast("long").as("_hr"))
+        .agg(countDistinct(col("value")).cast("long").as("_nd"))
+      s.table(sink)
+        .withColumn("_hr", (unix_micros(col("win_start")) / 3600000000L).cast("long"))
+        .join(exact, "_hr")
+        .select(unix_micros(col("win_start")).as("win_start_us"),
+          col("n").cast("long").as("n"),
+          r4(col("min")).as("min_v"), r4(col("max")).as("max_v"),
+          col("mean"), col("stddev"),
+          (abs(col("approx_distinct") - col("_nd")) <=
+            col("_nd") * 0.10 + lit(2)).as("approx_within"))
+        .orderBy("win_start_us")
+    },
+    "streaming_top_event" -> { (s, d) =>
+      // the windowed top-event monitor oracle-visible: known types are
+      // conditional sums in ONE watermarked window aggregate, winner a
+      // post-aggregate CASE chain (ties → smallest type); complete mode
+      // so end-of-stream windows land in the sink (the
+      // streaming_window_stats discipline)
+      val sink = "graft_stream_topevent"
+      val q = graft.streaming.StreamingOps
+        .streamingTopEvent(Tables.eventsStream(s, d),
+          Seq("click", "purchase", "signup", "view"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sink)
+        .select(unix_micros(col("win_start")).as("win_start_us"),
+          col("n_events").cast("long").as("n_events"), col("top_type"),
+          col("top_n").cast("long").as("top_n"))
+        .orderBy("win_start_us")
+    },
+    "streaming_dedup" -> { (s, d) =>
+      // stateful streaming exact-dedup oracle-visible: the per-hash
+      // flatMapGroupsWithState seen-marker emits each content hash once
+      // with its min doc id; hash-gated against the batch normalize +
+      // groupBy replay
+      val sink = "graft_stream_dedup"
+      val q = graft.streaming.StreamingOps
+        .streamingDedup(Tables.documentsStream(s, d))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sink)
+        .agg(count(lit(1)).cast("long").as("n_distinct"),
+          sum(col("doc_id")).cast("long").as("sum_first_ids"),
+          md5(array_join(array_sort(collect_list(col("content_hash"))), ","))
+            .as("hash_set_md5"))
+    },
     "streaming_window_stats" -> { (s, d) =>
       // second oracle-visible streaming query (streaming_sessions
       // pattern): the watermarked 1-hour tumbling-window aggregation
@@ -1659,6 +1774,84 @@ object MiscQueries {
         |  round(n_step2 / n_step1::DOUBLE, 4) AS conv12,
         |  round(n_step3 / n_step2::DOUBLE, 4) AS conv23
         |FROM f""".stripMargin,
+    // the streamed carry-forward register replayed by the SAME
+    // (t, side, rid) last_value window as the batch asof_join oracle —
+    // output reshaped to the fold's (key, event_id, t, state) columns
+    "streaming_asof" ->
+      """WITH e AS (SELECT event_id::BIGINT AS event_id, user_id::BIGINT AS user_id,
+        |    event_type, epoch_us(ts) AS us, value::DOUBLE AS value FROM events),
+        |u AS (
+        |  SELECT user_id AS key, us AS t, 0 AS side, event_id AS rid,
+        |      value AS rval, us AS rt, NULL::BIGINT AS lid
+        |    FROM e WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id, us, 1, NULL::BIGINT, NULL::DOUBLE, NULL::BIGINT, event_id
+        |    FROM e WHERE event_type = 'purchase'),
+        |w AS (SELECT *,
+        |    last_value(rval IGNORE NULLS) OVER win AS a_rval,
+        |    last_value(rt IGNORE NULLS) OVER win AS a_rt
+        |  FROM u WINDOW win AS (PARTITION BY key ORDER BY t, side, rid
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT key, lid AS event_id, t, a_rt AS state_t, a_rval AS state_v
+        |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin,
+    // the windowed profile's exact columns replayed as hour buckets;
+    // the HLL distinct is engine-internal behind the within-10%+2
+    // invariant (TRUE in the oracle)
+    "streaming_profile" ->
+      """WITH e AS (SELECT (epoch_us(ts) // 3600000000) AS hr, value::DOUBLE AS v FROM events),
+        |c AS (SELECT hr, count(*)::BIGINT AS n, round(min(v), 4) AS min_v,
+        |    round(max(v), 4) AS max_v, round(avg(v), 4) AS mean,
+        |    round(stddev_samp(v), 4) AS stddev
+        |  FROM e GROUP BY hr)
+        |SELECT (hr * 3600000000)::BIGINT AS win_start_us, n, min_v, max_v,
+        |  mean, stddev, TRUE AS approx_within
+        |FROM c ORDER BY win_start_us""".stripMargin,
+    // the windowed top-event monitor replayed as hour-bucket conditional
+    // counts + the SAME first-match CASE chain over the sorted known
+    // types (all-zero windows — e.g. only 'error' events — resolve to
+    // the first type, exactly like the post-aggregate chain)
+    "streaming_top_event" ->
+      """WITH e AS (SELECT (epoch_us(ts) // 3600000000) AS hr, event_type AS t FROM events),
+        |c AS (SELECT hr,
+        |    sum(CASE WHEN t = 'click' THEN 1 ELSE 0 END)::BIGINT AS c0,
+        |    sum(CASE WHEN t = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS c1,
+        |    sum(CASE WHEN t = 'signup' THEN 1 ELSE 0 END)::BIGINT AS c2,
+        |    sum(CASE WHEN t = 'view' THEN 1 ELSE 0 END)::BIGINT AS c3
+        |  FROM e GROUP BY hr)
+        |SELECT (hr * 3600000000)::BIGINT AS win_start_us,
+        |  (c0 + c1 + c2 + c3)::BIGINT AS n_events,
+        |  CASE WHEN c0 = greatest(c0, c1, c2, c3) THEN 'click'
+        |       WHEN c1 = greatest(c0, c1, c2, c3) THEN 'purchase'
+        |       WHEN c2 = greatest(c0, c1, c2, c3) THEN 'signup'
+        |       ELSE 'view' END AS top_type,
+        |  greatest(c0, c1, c2, c3)::BIGINT AS top_n
+        |FROM c ORDER BY win_start_us""".stripMargin,
+    // the streamed per-hash seen-marker replayed as the batch normalize
+    // + groupBy: one row per distinct content hash with its min doc id
+    "streaming_dedup" ->
+      """WITH h AS (SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash,
+        |    min(doc_id)::BIGINT AS doc_id
+        |  FROM documents GROUP BY 1)
+        |SELECT count(*)::BIGINT AS n_distinct, sum(doc_id)::BIGINT AS sum_first_ids,
+        |  md5(string_agg(content_hash, ',' ORDER BY content_hash)) AS hash_set_md5
+        |FROM h""".stripMargin,
+    // the streamed stateful funnel's conversion rows replayed as the
+    // closed-form per-user min chain: t1 = first signup, t2 = first view
+    // strictly after t1, t3 = first purchase strictly after t2 —
+    // equivalent to the fold because per-user processing is time-ordered
+    "streaming_funnel" ->
+      """WITH e AS (SELECT user_id, event_type AS t, epoch_us(ts) AS us FROM events),
+        |u1 AS (SELECT user_id, min(CASE WHEN t = 'signup' THEN us END) AS t1
+        |  FROM e GROUP BY user_id),
+        |u2 AS (SELECT e.user_id, t1,
+        |    min(CASE WHEN t = 'view' AND us > t1 THEN us END) AS t2
+        |  FROM e JOIN u1 USING (user_id) GROUP BY e.user_id, t1),
+        |u3 AS (SELECT e.user_id, t1, t2,
+        |    min(CASE WHEN t = 'purchase' AND us > t2 THEN us END) AS t3
+        |  FROM e JOIN u2 USING (user_id) GROUP BY e.user_id, t1, t2)
+        |SELECT user_id::BIGINT AS user_id, t1::BIGINT AS t1, t2::BIGINT AS t2,
+        |  t3::BIGINT AS t3
+        |FROM u3 WHERE t3 IS NOT NULL ORDER BY user_id""".stripMargin,
     "retention" ->
       """WITH e AS (SELECT user_id::BIGINT AS user_id,
         |    (epoch_us(ts) // 604800000000)::BIGINT AS wk FROM events),

@@ -420,6 +420,12 @@ object VectorQueries {
     },
     "multimodal_jpeg_progressive" -> { (s, d) =>
       graft.multimodal.Multimodal.jpegProgressiveDecodeSummary(Tables.documents(s, d))
+    },
+    "multimodal_alaw_decode" -> { (s, d) =>
+      graft.multimodal.Multimodal.alawDecodeSummary(Tables.documents(s, d))
+    },
+    "multimodal_adpcm_decode" -> { (s, d) =>
+      graft.multimodal.Multimodal.adpcmDecodeSummary(Tables.documents(s, d))
     }
   )
 
@@ -759,6 +765,65 @@ object VectorQueries {
         |  FROM b),
         |pm AS (SELECT doc_id, avg(smp) AS m, max(smp) AS mx, min(smp) AS mn
         |  FROM v GROUP BY doc_id)
+        |SELECT count(*)::BIGINT AS n_clips, round(avg(m), 4) AS avg_sample_mean,
+        |  round(avg(mx), 4) AS avg_sample_max, round(avg(mn), 4) AS avg_sample_min
+        |FROM pm""".stripMargin,
+    // A-law: the same closed-form companding replay discipline as μ-law,
+    // with the even-bit toggle (xor 85) and segment-0/1 special cases
+    "multimodal_alaw_decode" ->
+      """WITH d AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents WHERE strlen(text) >= 48),
+        |s AS (SELECT doc_id, unnest(range(0, 48)) AS i, hx FROM d),
+        |b AS (SELECT doc_id, xor(('0x' || substr(hx, 2*i + 1, 2))::INT, 85) AS a FROM s),
+        |v AS (SELECT doc_id,
+        |    ((CASE WHEN a >= 128 THEN 1 ELSE -1 END) *
+        |     (CASE WHEN ((a % 128) // 16) = 0 THEN (a % 16) * 16 + 8
+        |           WHEN ((a % 128) // 16) = 1 THEN (a % 16) * 16 + 264
+        |           ELSE ((a % 16) * 16 + 264) * (1 << (((a % 128) // 16) - 1))
+        |      END))::DOUBLE AS smp
+        |  FROM b),
+        |pm AS (SELECT doc_id, avg(smp) AS m, max(smp) AS mx, min(smp) AS mn
+        |  FROM v GROUP BY doc_id)
+        |SELECT count(*)::BIGINT AS n_clips, round(avg(m), 4) AS avg_sample_mean,
+        |  round(avg(mx), 4) AS avg_sample_max, round(avg(mn), 4) AS avg_sample_min
+        |FROM pm""".stripMargin,
+    // IMA ADPCM: the step-table recursion replayed as a recursive CTE
+    // carrying (predictor, index) — nibble k (LOW nibble first) is hex
+    // char 2·(k/2)+2 or +1; diff/clamp/index-adjust are the exact
+    // integer formulas of the decoder, so any drift in the stateful
+    // expansion breaks the hash
+    "multimodal_adpcm_decode" ->
+      """WITH RECURSIVE
+        |d AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents WHERE strlen(text) >= 24),
+        |tb AS (SELECT
+        |  [7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,45,50,55,60,66,
+        |   73,80,88,97,107,118,130,143,157,173,190,209,230,253,279,307,337,371,
+        |   408,449,494,544,598,658,724,796,876,963,1060,1166,1282,1411,1552,1707,
+        |   1878,2066,2272,2499,2749,3024,3327,3660,4026,4428,4871,5358,5894,6484,
+        |   7132,7845,8630,9493,10442,11487,12635,13899,15289,16818,18500,20350,
+        |   22385,24623,27086,29794,32767] AS st,
+        |  [-1,-1,-1,-1,2,4,6,8] AS it),
+        |dec AS (
+        |  SELECT doc_id, hx, -1 AS k, 0 AS pred, 32 AS idx FROM d
+        |  UNION ALL
+        |  SELECT doc_id, hx, k,
+        |    CASE WHEN nib >= 8 THEN greatest(-32768, pred - diff)
+        |         ELSE least(32767, pred + diff) END AS pred,
+        |    greatest(0, least(88, idx + it[(nib % 8) + 1])) AS idx
+        |  FROM (
+        |    SELECT doc_id, hx, k, pred, idx, it, nib, step,
+        |      step // 8 + (CASE WHEN nib % 2 = 1 THEN step // 4 ELSE 0 END)
+        |        + (CASE WHEN (nib // 2) % 2 = 1 THEN step // 2 ELSE 0 END)
+        |        + (CASE WHEN (nib // 4) % 2 = 1 THEN step ELSE 0 END) AS diff
+        |    FROM (
+        |      SELECT doc_id, hx, dec.k + 1 AS k, pred, idx, tb.it,
+        |        ('0x' || substr(hx,
+        |          CASE WHEN (dec.k + 1) % 2 = 0 THEN 2 * ((dec.k + 1) // 2) + 2
+        |               ELSE 2 * ((dec.k + 1) // 2) + 1 END, 1))::INT AS nib,
+        |        tb.st[idx + 1] AS step
+        |      FROM dec, tb WHERE dec.k < 47))),
+        |pm AS (SELECT doc_id, avg(pred::DOUBLE) AS m, max(pred::DOUBLE) AS mx,
+        |    min(pred::DOUBLE) AS mn
+        |  FROM dec GROUP BY doc_id)
         |SELECT count(*)::BIGINT AS n_clips, round(avg(m), 4) AS avg_sample_mean,
         |  round(avg(mx), 4) AS avg_sample_max, round(avg(mn), 4) AS avg_sample_min
         |FROM pm""".stripMargin,

@@ -454,6 +454,40 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.mulawExpand(0xe7.toByte) == 260)
   }
 
+  test("G.711 A-law WAV expands through the real companding formula") {
+    // independently known G.711 A-law values: 0x55 -> -8 (quietest
+    // negative), 0xD5 -> +8, 0x2A -> -32256 (xor 0x55 = 0x7F: seg 7
+    // mant 15, the negative peak), 0xAA -> +32256, 0xD4 -> +24 (0x81:
+    // seg 0 mant 1)
+    assert(Multimodal.alawExpand(0x55.toByte) == -8)
+    assert(Multimodal.alawExpand(0xd5.toByte) == 8)
+    assert(Multimodal.alawExpand(0x2a.toByte) == -32256)
+    assert(Multimodal.alawExpand(0xaa.toByte) == 32256)
+    assert(Multimodal.alawExpand(0xd4.toByte) == 24)
+    val data = Array[Byte](0x55, 0xd5.toByte, 0x2a, 0xaa.toByte)
+    val wav = Multimodal.wavHeaderAlaw(data.length) ++ data
+    assert(Multimodal.decode(wav) ==
+      expectStats(Seq(-8.0, 8.0, -32256.0, 32256.0)))
+  }
+
+  test("IMA ADPCM expands through the real step-table recursion") {
+    // hand-walked from (pred=0, idx=0), stepTable(0)=7:
+    //   nib 7: diff = 0+1+3+7 = 11 -> pred 11, idx 0+8 = 8 (step 16)
+    //   nib 8: diff = 16>>3 = 2   -> pred 11-2 = 9, idx 8-1 = 7
+    assert(Multimodal.imaAdpcmStep(0, 0, 7) == (11, 8))
+    assert(Multimodal.imaAdpcmStep(11, 8, 8) == (9, 7))
+    // index clamps at 0 and 88; predictor clamps at the int16 bounds
+    assert(Multimodal.imaAdpcmStep(0, 0, 0)._2 == 0)
+    assert(Multimodal.imaAdpcmStep(32760, 88, 7) == (32767, 88))
+    assert(Multimodal.imaAdpcmStep(-32760, 88, 15) == (-32768, 88))
+    // end-to-end through the RIFF parser: byte 0x87 = nibbles (7, 8)
+    // low-first from (pred=0, idx=32, step=157):
+    //   nib 7: diff = 19+39+78+157 = 293 -> pred 293, idx 40 (step 337)
+    //   nib 8: diff = 337>>3 = 42        -> pred 251, idx 39
+    val wav = Multimodal.wavHeaderAdpcm(1, initIdx = 32) ++ Array[Byte](0x87.toByte)
+    assert(Multimodal.decode(wav) == expectStats(Seq(0.0, 293.0, 251.0)))
+  }
+
   test("wavDecodeSummary routes documents through the REAL RIFF parser") {
     val docs = Tables.documents(spark, sf).filter(col("doc_id") < 40)
     val got = Multimodal.wavDecodeSummary(docs).head()
