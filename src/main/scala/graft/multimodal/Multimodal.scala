@@ -1967,6 +1967,20 @@ object Multimodal {
         round(avg(element_at(col("features"), 4)), 4).as("avg_sample_min"))
   }
 
+  /** Wrap documents as P6 media rows (the ppm gate's construction as a
+    * standalone pure map — shared by the batch summary and the streaming
+    * decode twin, so the payload shape cannot drift between them). */
+  def asPpmMedia(documents: DataFrame, w: Int = 4, h: Int = 4): DataFrame = {
+    val need = w * h * 3
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    documents
+      .filter(octet_length(col("text")) >= need)
+      .select(col("doc_id").cast("long"),
+        concat(lit(header), substring(col("text").cast("binary"), 1, need)).as("payload"),
+        struct(lit(need.toLong).as("n_bytes"), lit("image").as("media_type"),
+          lit(w).as("width"), lit(h).as("height")).as("meta"))
+  }
+
   /** Hash-gated REAL audio decode: wrap each document's leading bytes as
     * a 16-bit mono PCM WAV (canonical header + the text's first
     * 2·nSamples bytes as little-endian samples), run them through
@@ -1997,21 +2011,12 @@ object Multimodal {
     * over the raw text bytes, so a silent fallback to byte stats (which
     * would include the header) or any header-parsing bug breaks the
     * hash — the decoder itself is inside the correctness gate. */
-  def ppmDecodeSummary(documents: DataFrame, w: Int = 4, h: Int = 4): DataFrame = {
-    val need = w * h * 3
-    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
-    val media = documents
-      .filter(octet_length(col("text")) >= need)
-      .select(col("doc_id").cast("long"),
-        concat(lit(header), substring(col("text").cast("binary"), 1, need)).as("payload"),
-        struct(lit(need.toLong).as("n_bytes"), lit("image").as("media_type"),
-          lit(w).as("width"), lit(h).as("height")).as("meta"))
-    extractFeatures(media)
+  def ppmDecodeSummary(documents: DataFrame, w: Int = 4, h: Int = 4): DataFrame =
+    extractFeatures(asPpmMedia(documents, w, h))
       .agg(count(lit(1)).cast("long").as("n_images"),
         round(avg(element_at(col("features"), 1)), 4).as("avg_pixel_mean"),
         round(avg(element_at(col("features"), 3)), 4).as("avg_pixel_max"),
         round(avg(element_at(col("features"), 4)), 4).as("avg_pixel_min"))
-  }
 
   /** Aggregate summary per media type (the query-surface entry point). */
   def featureSummary(documents: DataFrame): DataFrame =

@@ -366,6 +366,65 @@ object MiscQueries {
           col("t1"), col("t2"), col("t3"))
         .orderBy("user_id")
     },
+    "streaming_drift" -> { (s, d) =>
+      // the live drift alarm oracle-visible: the batch profiler computes
+      // exact reference-decile bounds (quantized values, distributed
+      // rank-select via core.Ranks) and smoothed shares from the full
+      // events history; the stream assigns bins against those literals
+      // and ONE watermarked window aggregate emits per-hour PSI. Every
+      // number is an identical IEEE expression in both engines — the
+      // shares stay raw (n+1)/(tot+10) divisions of exact integers,
+      // never rounded, so the SQL replay recomputes them bit-exactly
+      val evB = Tables.events(s, d).select(round(col("value"), 4).as("_v"))
+      val bounds = graft.core.Ranks.exactQuantilesByValue(
+        evB, col("_v"), (1 to 9).map(_ / 10.0))
+      val bin = bounds.foldLeft(lit(1L): org.apache.spark.sql.Column) { (acc, b) =>
+        acc + when(col("_v") > b, 1L).otherwise(0L)
+      }
+      val cnts = evB.groupBy(bin.as("_bin")).agg(count(lit(1)).as("_n"))
+        .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+      val tot = cnts.values.sum
+      val shares = (1 to 10).map(k => (cnts.getOrElse(k, 0L) + 1.0) / (tot + 10.0))
+      val st = Tables.eventsStream(s, d)
+        .select(round(col("value"), 4).as("_v"), col("ts"))
+      val sink = "graft_stream_drift"
+      val q = graft.streaming.StreamingOps
+        .streamingDriftGate(st, "_v", "ts", bounds, shares)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sink)
+        .select(unix_micros(col("win_start")).as("win_start_us"),
+          col("n"), col("psi"))
+        .orderBy("win_start_us")
+    },
+    "streaming_outlier" -> { (s, d) =>
+      // the live Hampel outlier gate oracle-visible: batch-profiled
+      // median/MAD (quantized values, distributed rank-select), the
+      // stream classifies statelessly against the literal threshold
+      // k·1.4826·MAD and every fired event hash-gates against the SQL
+      // replay of the same rank-selects + the identical float product
+      val evB = Tables.events(s, d).select(round(col("value"), 4).as("_v"))
+      val Seq(med) = graft.core.Ranks.exactQuantilesByValue(evB, col("_v"), Seq(0.5))
+      val Seq(mad) = graft.core.Ranks.exactQuantilesByValue(
+        evB.select(abs(col("_v") - med).as("_d")), col("_d"), Seq(0.5))
+      val st = Tables.eventsStream(s, d)
+        .select(col("event_id").cast("long").as("event_id"),
+          round(col("value"), 4).as("_v"))
+      val sink = "graft_stream_outlier"
+      val q = graft.streaming.StreamingOps
+        .streamingOutlierGate(st, "_v", med, mad)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sink)
+        .select(col("event_id"), col("deviation"))
+        .orderBy("event_id")
+    },
     "streaming_asof" -> { (s, d) =>
       // the stateful as-of carry-forward oracle-visible: clicks update
       // the per-user (t, value) register, purchases read it —
@@ -1774,6 +1833,56 @@ object MiscQueries {
         |  round(n_step2 / n_step1::DOUBLE, 4) AS conv12,
         |  round(n_step3 / n_step2::DOUBLE, 4) AS conv23
         |FROM f""".stripMargin,
+    // the live drift alarm replayed end-to-end: reference decile bounds
+    // by rank-select over the quantized value, reference shares as the
+    // SAME raw (n+1)/(tot+10) divisions the Scala profiler hands the
+    // stream (exact integers in, bit-identical doubles out), per-hour
+    // bins + the PSI sum in the gate's exact term order
+    "streaming_drift" -> {
+      val boundCols = (1 to 9).map(k =>
+        s"    max(CASE WHEN rn = ceil(n * 0.$k) THEN v END) AS b$k").mkString(",\n")
+      val binExpr = "1 + " + (1 to 9).map(k =>
+        s"(CASE WHEN v > b$k THEN 1 ELSE 0 END)").mkString(" + ")
+      val refCols = (1 to 10).map(k =>
+        s"    sum(CASE WHEN bin = $k THEN 1 ELSE 0 END)::BIGINT AS m$k").mkString(",\n")
+      val curCols = (1 to 10).map(k =>
+        s"    sum(CASE WHEN bin = $k THEN 1 ELSE 0 END)::BIGINT AS n$k").mkString(",\n")
+      val terms = (1 to 10).map { k =>
+        val pc = s"((n$k + 1.0) / (tot + 10.0))"
+        val pr = s"((m$k + 1.0) / (mt + 10.0))"
+        s"($pc - $pr) * ln($pc / $pr)"
+      }.mkString("\n    + ")
+      s"""WITH e AS (SELECT round(value, 4) AS v, (epoch_us(ts) // 3600000000) AS hr FROM events),
+         |rk AS (SELECT v, row_number() OVER (ORDER BY v) AS rn, count(*) OVER () AS n
+         |  FROM e),
+         |bd AS (SELECT
+         |$boundCols
+         |  FROM rk),
+         |bb AS (SELECT hr, ($binExpr)::BIGINT AS bin FROM e, bd),
+         |rc AS (SELECT count(*)::BIGINT AS mt,
+         |$refCols
+         |  FROM bb),
+         |wc AS (SELECT hr, count(*)::BIGINT AS tot,
+         |$curCols
+         |  FROM bb GROUP BY hr)
+         |SELECT (hr * 3600000000)::BIGINT AS win_start_us, tot AS n,
+         |  round($terms, 6) AS psi
+         |FROM wc, rc ORDER BY win_start_us""".stripMargin
+    },
+    // the live Hampel gate replayed: median and MAD by the same two
+    // rank-selects over quantized values, the identical left-assoc
+    // 3.0·1.4826·MAD float product, fired rows' deviations rounded
+    "streaming_outlier" ->
+      """WITH e AS (SELECT event_id::BIGINT AS event_id, round(value, 4) AS v FROM events),
+        |rk AS (SELECT v, row_number() OVER (ORDER BY v) AS rn, count(*) OVER () AS n FROM e),
+        |md AS (SELECT max(CASE WHEN rn = ceil(n * 0.5) THEN v END) AS med FROM rk),
+        |dv AS (SELECT abs(v - med) AS dev FROM e, md),
+        |rk2 AS (SELECT dev, row_number() OVER (ORDER BY dev) AS rn, count(*) OVER () AS n FROM dv),
+        |ma AS (SELECT max(CASE WHEN rn = ceil(n * 0.5) THEN dev END) AS mad FROM rk2)
+        |SELECT e.event_id, round(abs(e.v - md.med), 4) AS deviation
+        |FROM e, md, ma
+        |WHERE abs(e.v - md.med) > 3.0 * 1.4826 * ma.mad
+        |ORDER BY event_id""".stripMargin,
     // the streamed carry-forward register replayed by the SAME
     // (t, side, rid) last_value window as the batch asof_join oracle —
     // output reshaped to the fold's (key, event_id, t, state) columns

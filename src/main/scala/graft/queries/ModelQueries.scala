@@ -218,6 +218,35 @@ object ModelQueries {
           .orderBy("event_type")
       }
     },
+    "streaming_dedup_index" -> { (s, d) =>
+      // the persisted-index ingest dedup oracle-visible END-TO-END:
+      // the already-ingested front half reduces to one row per content
+      // hash and persists (data-scale index, parquet write — the saveALS
+      // discipline); the back half STREAMS through the stateless
+      // stream-static anti-join (streamingDedupVsIndex, index version
+      // pinned at stream definition) and every surviving unseen doc
+      // hash-gates against the split + anti-join SQL replay
+      withTmpModel("dedup_hash_index") { path =>
+        val docs = Tables.documents(s, d)
+        val norm = md5(lower(trim(regexp_replace(col("text"), "\\s+", " "))))
+        docs.filter(col("doc_id") < 250)
+          .select(norm.as("content_hash")).distinct()
+          .write.mode("overwrite").parquet(path)
+        val idx = s.read.parquet(path)
+        val sink = "graft_stream_dedup_idx"
+        val q = graft.streaming.StreamingOps
+          .streamingDedupVsIndex(
+            Tables.documentsStream(s, d).filter(col("doc_id") >= 250), idx)
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(sink)
+          .select(col("doc_id"), col("content_hash"))
+          .orderBy("doc_id")
+      }
+    },
     "model_io_als" -> { (s, d) =>
       // ALS serve path: fit (FitCache-shared with als_recommend) →
       // persist BOTH factor matrices in long form (data-scale: one row
@@ -361,6 +390,15 @@ object ModelQueries {
         |  round(min(1.25 + 0.5 * value), 4) AS min_score,
         |  round(max(1.25 + 0.5 * value), 4) AS max_score
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the streamed anti-join serve replayed as the split + NOT EXISTS
+    "streaming_dedup_index" ->
+      """WITH h AS (SELECT doc_id::BIGINT AS doc_id,
+        |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash
+        |  FROM documents)
+        |SELECT doc_id, content_hash FROM h b
+        |WHERE doc_id >= 250 AND NOT EXISTS (
+        |  SELECT 1 FROM h a WHERE a.doc_id < 250 AND a.content_hash = b.content_hash)
+        |ORDER BY doc_id""".stripMargin,
     // partial gate: probe/rec counts SQL-exact, factor round-trip parity
     // and item-set membership as invariants (factors are seed-dependent)
     "model_io_als" ->

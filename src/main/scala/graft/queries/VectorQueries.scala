@@ -426,6 +426,28 @@ object VectorQueries {
     },
     "multimodal_adpcm_decode" -> { (s, d) =>
       graft.multimodal.Multimodal.adpcmDecodeSummary(Tables.documents(s, d))
+    },
+    "streaming_media_features" -> { (s, d) =>
+      // the ingest-time decode path oracle-visible: documents stream in,
+      // wrap into P6 payloads via the SHARED asPpmMedia construction (a
+      // stateless stream map), and decode through the same dispatch as
+      // the batch gate (decodeFeaturesUdf); the per-doc feature vectors
+      // summarize and hash-gate against the raw-byte SQL replay — so the
+      // real decoder provably runs inside the stream, not just in batch
+      val sink = "graft_stream_media"
+      val q = graft.streaming.StreamingOps
+        .streamingMediaFeatures(
+          graft.multimodal.Multimodal.asPpmMedia(Tables.documentsStream(s, d)))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sink)
+        .agg(count(lit(1)).cast("long").as("n_images"),
+          round(avg(element_at(col("features"), 1)), 4).as("avg_pixel_mean"),
+          round(avg(element_at(col("features"), 3)), 4).as("avg_pixel_max"),
+          round(avg(element_at(col("features"), 4)), 4).as("avg_pixel_min"))
     }
   )
 
@@ -767,6 +789,18 @@ object VectorQueries {
         |  FROM v GROUP BY doc_id)
         |SELECT count(*)::BIGINT AS n_clips, round(avg(m), 4) AS avg_sample_mean,
         |  round(avg(mx), 4) AS avg_sample_max, round(avg(mn), 4) AS avg_sample_min
+        |FROM pm""".stripMargin,
+    // the streamed decode serve: identical replay to multimodal_decode —
+    // the payload construction and dispatch are SHARED definitions, so
+    // the streamed features must reproduce the batch bytes exactly
+    "streaming_media_features" ->
+      """WITH d AS (SELECT doc_id, encode(text) AS b FROM documents WHERE strlen(text) >= 48),
+        |ch AS (SELECT doc_id, unnest(range(0, 48)) AS i, hex(b) AS hx FROM d),
+        |v AS (SELECT doc_id, (('0x' || substr(hx, 2*i + 1, 2))::INT)::DOUBLE AS byte FROM ch),
+        |pm AS (SELECT doc_id, avg(byte) AS m, max(byte) AS mx, min(byte) AS mn
+        |  FROM v GROUP BY doc_id)
+        |SELECT count(*)::BIGINT AS n_images, round(avg(m), 4) AS avg_pixel_mean,
+        |  round(avg(mx), 4) AS avg_pixel_max, round(avg(mn), 4) AS avg_pixel_min
         |FROM pm""".stripMargin,
     // A-law: the same closed-form companding replay discipline as μ-law,
     // with the even-bit toggle (xor 85) and segment-0/1 special cases
