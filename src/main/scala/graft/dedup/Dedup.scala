@@ -512,15 +512,22 @@ object Dedup {
                seed: Long, tau: Double): DataFrame = {
     val anchors = graft.neighbors.KNN.hyperplanes(k, dim, seed)
     val dots = anchors.map(a => VectorOps.dotFixed(col("v"), lit(a), dim)).toSeq
-    val best = greatest(dots: _*)
+    // project the k anchor dots ONCE as an array column: with the dots
+    // inlined into greatest() + a k-way when-chain, each of the k·dim-term
+    // dot expressions appears three times in the projection — at k=64 that
+    // is 12k terms and codegen falls off a cliff; one array + element_at
+    // keeps the quantizer a single k·dim-multiply pass however large k gets
+    val best = array_max(col("_ds"))
     // first cell achieving the max — mirrors the oracle's CASE chain
-    val cell = dots.zipWithIndex.foldRight(lit(-1)) { case ((dc, i), acc) =>
-      when(dc === best, lit(i)).otherwise(acc)
+    val cell = (0 until k).foldRight(lit(-1)) { case (i, acc) =>
+      when(element_at(col("_ds"), i + 1) === best, lit(i)).otherwise(acc)
     }
     val base = graft.core.Tables.ensureParallelism(
         df.select(col(idCol).cast("long").as("id"),
           col(vecCol).cast("array<double>").as("v")))
+      .withColumn("_ds", array(dots: _*))
       .withColumn("cell", cell)
+      .drop("_ds")
       .withColumn("n2", VectorOps.sqNormFixed(col("v"), dim))
     val sim = VectorOps.dotFixed(col("a.v"), col("b.v"), dim) /
       sqrt(col("a.n2") * col("b.n2"))

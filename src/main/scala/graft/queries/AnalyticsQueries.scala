@@ -200,6 +200,18 @@ object AnalyticsQueries {
           r4(col("O")).as("rev_o"), r4(col("P")).as("rev_p"))
         .orderBy("priority")
     },
+    "modularity" -> { (s, d) =>
+      // Newman modularity of the 8-round min-label CC partition of the
+      // support-2 co-purchase graph — the community-quality score graded
+      // the way silhouette grades k-means. Labels, degrees, and internal
+      // edges are all equi-joins/aggregates on node ids; full hash gate
+      // (the CC rounds replay as chained CTEs, kcore-style)
+      val e = basketPairs(baskets(Tables.lineitem(s, d)))
+        .groupBy(col("p1"), col("p2"))
+        .agg(count(lit(1)).as("_np"))
+        .filter(col("_np") >= 2).select(col("p1"), col("p2"))
+      graft.graph.Modularity.ofComponents(e, "p1", "p2", rounds = 8)
+    },
     "kcore" -> { (s, d) =>
       // 3-core of the support-2 co-purchase graph: 4 fixed peeling rounds
       // (degree groupBy + survivor semi-joins per round); the per-round
@@ -450,6 +462,44 @@ object AnalyticsQueries {
 
   /** The k-core peeling replay: per round a degree CTE, a survivor CTE,
     * and a restricted edge CTE — round-for-round graft.graph.KCore.run. */
+  /** Modularity replay: the support-2 co-purchase edges, `rounds` CC
+    * min-label rounds as chained CTEs (each = min over neighbor labels,
+    * least with own — step-for-step graph.ConnectedComponents.step), then
+    * per-community internal edges / degree sums and the Newman Q terms. */
+  private def modularityOracle(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""l$r AS MATERIALIZED (SELECT l.node, least(l.label, coalesce(min(ln.label), l.label)) AS label
+         |  FROM l${r - 1} l LEFT JOIN dd ON dd.s = l.node
+         |    LEFT JOIN l${r - 1} ln ON ln.node = dd.t
+         |  GROUP BY l.node, l.label)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH a AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |e0 AS MATERIALIZED (SELECT x.p AS p1, y.p AS p2 FROM a x JOIN a y ON x.o = y.o AND x.p < y.p
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |dd AS MATERIALIZED (SELECT p1 AS s, p2 AS t FROM e0 UNION ALL SELECT p2, p1 FROM e0),
+       |l0 AS MATERIALIZED (SELECT DISTINCT s AS node, s AS label FROM dd),
+       |$roundCtes,
+       |lab AS (SELECT node, label FROM l$rounds),
+       |m AS (SELECT count(*)::DOUBLE AS m FROM e0),
+       |ie AS (SELECT la.label AS community, count(*)::BIGINT AS internal_edges
+       |  FROM e0 JOIN lab la ON e0.p1 = la.node JOIN lab lb ON e0.p2 = lb.node
+       |  WHERE la.label = lb.label GROUP BY la.label),
+       |dg AS (SELECT la.label AS community, count(*)::BIGINT AS n_nodes,
+       |    sum(d.dg) AS degree_sum
+       |  FROM (SELECT node, count(*)::DOUBLE AS dg FROM
+       |    (SELECT p1 AS node FROM e0 UNION ALL SELECT p2 FROM e0) GROUP BY node) d
+       |  JOIN lab la ON d.node = la.node GROUP BY la.label),
+       |per AS (SELECT dg.community, dg.n_nodes,
+       |    coalesce(ie.internal_edges, 0)::BIGINT AS internal_edges,
+       |    dg.degree_sum::BIGINT AS degree_sum,
+       |    round(coalesce(ie.internal_edges, 0) / m.m -
+       |      pow(dg.degree_sum / (2.0 * m.m), 2), 6) AS q_term
+       |  FROM dg LEFT JOIN ie ON dg.community = ie.community, m),
+       |tot AS (SELECT count(*)::BIGINT AS n_communities,
+       |  round(sum(q_term), 6) AS modularity FROM per)
+       |SELECT per.*, tot.* FROM per, tot ORDER BY community""".stripMargin
+  }
+
   private def kcoreOracle(k: Int, rounds: Int): String = {
     val roundCtes = (1 to rounds).map { r =>
       s"""d$r AS (SELECT p, count(*) AS dg FROM
@@ -559,6 +609,7 @@ object AnalyticsQueries {
   val oracles: Map[String, String] = Map(
     "hits" -> hitsOracle(rounds = 3, topK = 10),
     "kcore" -> kcoreOracle(k = 3, rounds = 4),
+    "modularity" -> modularityOracle(rounds = 8),
     "describe_table" -> {
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
       val aggs = cols.flatMap { c => Seq(

@@ -19,6 +19,37 @@ object MiscQueries {
   val BlobCenters: Seq[(Double, Double)] = Seq((0.0, 0.0), (10.0, 10.0), (-10.0, 10.0))
 
   val queries: Map[String, Q] = Map(
+    "hbos_outlier" -> { (s, d) =>
+      // Histogram-Based Outlier Score over three lineitem features —
+      // the linear-time density outlier detector: the 10-bin histograms
+      // ARE the model (O(features·bins), corpus-independent), scoring is
+      // one broadcast-join scan. Full hash gate: every occupied bin's
+      // mass/term plus the corpus outlier count replay exactly in SQL
+      graft.stats.Outliers.hbos(Tables.lineitem(s, d),
+        Seq("qty" -> col("l_quantity"), "price" -> col("l_extendedprice"),
+          "disc" -> col("l_discount")),
+        bins = 10, threshold = 9.0)
+    },
+    "conformal_interval" -> { (s, d) =>
+      // split conformal regression (price ~ quantity): md5 train/calib/
+      // test split, closed-form OLS, q̂ = the ⌈(n+1)(1−α)⌉-th smallest
+      // calibration |residual| by DISTRIBUTED rank-select, coverage on
+      // the held-out slice — the distribution-free interval with the
+      // finite-sample ≥ 1−α guarantee. Full hash gate
+      graft.stats.Conformal.splitConformal(Tables.lineitem(s, d),
+        concat_ws("_", col("l_orderkey"), col("l_linenumber")),
+        col("l_quantity"), col("l_extendedprice"), alpha = 0.1)
+    },
+    "bloom_join" -> { (s, d) =>
+      // Bloom-filter runtime join filter: high-value orders' key set as a
+      // constant-size (2^18-slot) broadcast bit table; lineitem probes
+      // pass through k=3 chained broadcast semi-joins (zero pre-join
+      // shuffle), survivors verified exactly. Full hash gate incl. the
+      // realized FP rate
+      val hi = Tables.orders(s, d).filter(col("o_totalprice") > 150000)
+      graft.joins.RuntimeFilter.bloomJoinAudit(
+        hi, col("o_orderkey"), Tables.lineitem(s, d), col("l_orderkey"))
+    },
     "dbscan" -> { (s, d) =>
       // 2-D DBSCAN over (value, scaled user bucket) on events. PARTIAL
       // HASH GATE (r11): clustered/noise/core counts replay exactly in
@@ -1145,6 +1176,85 @@ object MiscQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "hbos_outlier" ->
+      """WITH lg AS (
+        |  SELECT 'qty' AS f, l_quantity::DOUBLE AS v FROM lineitem
+        |  UNION ALL SELECT 'price', l_extendedprice::DOUBLE FROM lineitem
+        |  UNION ALL SELECT 'disc', l_discount::DOUBLE FROM lineitem),
+        |st AS (SELECT f, min(v) AS lo, max(v) AS hi, count(*)::DOUBLE AS nf
+        |  FROM lg GROUP BY f),
+        |bn AS (SELECT f, v, CASE WHEN hi = lo THEN 0
+        |    ELSE least(floor((v - lo) / ((hi - lo) / 10)), 9.0)::BIGINT END AS bin
+        |  FROM lg JOIN st USING (f)),
+        |hist AS (SELECT f, bin, count(*)::BIGINT AS n,
+        |    round(count(*) / max(nf), 6) AS p,
+        |    round(-ln(count(*) / max(nf)), 6) AS score_term
+        |  FROM bn JOIN st USING (f) GROUP BY f, bin),
+        |rows_scored AS (SELECT
+        |    (SELECT score_term FROM hist h JOIN st s ON h.f = s.f WHERE h.f = 'qty'
+        |      AND h.bin = CASE WHEN s.hi = s.lo THEN 0 ELSE least(floor((l.l_quantity - s.lo) / ((s.hi - s.lo) / 10)), 9.0)::BIGINT END) +
+        |    (SELECT score_term FROM hist h JOIN st s ON h.f = s.f WHERE h.f = 'price'
+        |      AND h.bin = CASE WHEN s.hi = s.lo THEN 0 ELSE least(floor((l.l_extendedprice - s.lo) / ((s.hi - s.lo) / 10)), 9.0)::BIGINT END) +
+        |    (SELECT score_term FROM hist h JOIN st s ON h.f = s.f WHERE h.f = 'disc'
+        |      AND h.bin = CASE WHEN s.hi = s.lo THEN 0 ELSE least(floor((l.l_discount - s.lo) / ((s.hi - s.lo) / 10)), 9.0)::BIGINT END)
+        |    AS sc FROM lineitem l),
+        |summary AS (SELECT count(*)::BIGINT AS n_rows,
+        |    sum(CASE WHEN round(sc, 6) >= 9.0 THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+        |    round(max(round(sc, 6)), 4) AS max_score FROM rows_scored)
+        |SELECT f, bin, n, p, score_term, n_rows, n_outliers, max_score
+        |FROM hist CROSS JOIN summary ORDER BY f, bin""".stripMargin,
+    "conformal_interval" ->
+      """WITH t AS (SELECT l_orderkey::VARCHAR || '_' || l_linenumber::VARCHAR AS id,
+        |    l_quantity::DOUBLE AS x, l_extendedprice::DOUBLE AS y FROM lineitem),
+        |s AS (SELECT x, y,
+        |    ('0x' || substr(md5(id || '_conf'), 1, 15))::BIGINT % 10 AS sp FROM t),
+        |fit AS (SELECT count(*)::DOUBLE AS ntr,
+        |    round((count(*) * sum(x*y) - sum(x) * sum(y)) /
+        |      (count(*) * sum(x*x) - sum(x) * sum(x)), 6) AS b1,
+        |    sum(x) AS sx, sum(y) AS sy FROM s WHERE sp < 6),
+        |fit2 AS (SELECT ntr, b1, round(sy / ntr - b1 * (sx / ntr), 6) AS b0 FROM fit),
+        |sc AS (SELECT sp, round(abs(y - (b0 + b1 * x)), 4) AS r FROM s, fit2),
+        |cal AS (SELECT r, count(*) AS c FROM sc WHERE sp IN (6, 7) GROUP BY r),
+        |cum AS (SELECT r, sum(c) OVER (ORDER BY r) AS cum,
+        |    sum(c) OVER () AS tot FROM cal),
+        |q AS (SELECT min(CASE WHEN cum >= least(ceil((tot + 1) * 0.9), tot)
+        |      THEN r END) AS qhat,
+        |    max(tot)::BIGINT AS n_calib FROM cum),
+        |tst AS (SELECT count(*)::BIGINT AS n_test,
+        |    round(avg(CASE WHEN r <= qhat THEN 1.0 ELSE 0.0 END), 4) AS coverage,
+        |    max(qhat) AS qh, max(n_calib) AS nc FROM sc, q WHERE sp >= 8)
+        |SELECT ntr::BIGINT AS n_train, nc AS n_calib, n_test, b1 AS slope,
+        |  b0 AS intercept, round(qh, 4) AS qhat, round(qh * 2, 4) AS interval_width,
+        |  coverage, coverage >= 0.85 AS coverage_floor
+        |FROM fit2, tst""".stripMargin,
+    "bloom_join" ->
+      """WITH bk AS (SELECT DISTINCT o_orderkey::BIGINT AS k FROM orders
+        |  WHERE o_totalprice > 150000),
+        |bits AS (SELECT DISTINCT pos FROM (
+        |  SELECT unnest([
+        |    ('0x' || substr(md5(k::VARCHAR || '_bj_0'), 1, 15))::BIGINT % 262144,
+        |    ('0x' || substr(md5(k::VARCHAR || '_bj_1'), 1, 15))::BIGINT % 262144,
+        |    ('0x' || substr(md5(k::VARCHAR || '_bj_2'), 1, 15))::BIGINT % 262144]) AS pos
+        |  FROM bk)),
+        |pr AS (SELECT l_orderkey::BIGINT AS k,
+        |    ('0x' || substr(md5(l_orderkey::VARCHAR || '_bj_0'), 1, 15))::BIGINT % 262144 AS p0,
+        |    ('0x' || substr(md5(l_orderkey::VARCHAR || '_bj_1'), 1, 15))::BIGINT % 262144 AS p1,
+        |    ('0x' || substr(md5(l_orderkey::VARCHAR || '_bj_2'), 1, 15))::BIGINT % 262144 AS p2
+        |  FROM lineitem),
+        |pass AS (SELECT k FROM pr
+        |  WHERE p0 IN (SELECT pos FROM bits) AND p1 IN (SELECT pos FROM bits)
+        |    AND p2 IN (SELECT pos FROM bits)),
+        |agg AS (SELECT
+        |  (SELECT count(*) FROM bk)::BIGINT AS n_build_keys,
+        |  (SELECT count(*) FROM pr)::BIGINT AS n_probe,
+        |  (SELECT count(*) FROM pass)::BIGINT AS n_pass_bloom,
+        |  (SELECT count(*) FROM pass WHERE k IN (SELECT k FROM bk))::BIGINT AS n_true_match)
+        |SELECT n_build_keys, n_probe, n_pass_bloom, n_true_match,
+        |  n_pass_bloom - n_true_match AS n_false_pos,
+        |  CASE WHEN n_probe > n_true_match THEN
+        |    round((n_pass_bloom - n_true_match) / (n_probe - n_true_match)::DOUBLE, 6)
+        |  ELSE 0.0 END AS fp_rate
+        |FROM agg""".stripMargin,
     "trustworthiness" -> trustOracle,
     // ANN partial gates: deterministic query-set count (+ literal
     // compression/probe parameters) hashed, recall floors as invariants

@@ -12,6 +12,15 @@ object TextQueries {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    "bpe_train" -> { (s, d) =>
+      // REAL BPE tokenizer training (Sennrich ACL'16): 6 most-frequent-
+      // pair merges over the word-TYPE frame (bounded by vocabulary, not
+      // corpus — the corpus is scanned once to build it); each round is
+      // one map-side-combined pair aggregate + an in-row greedy fold.
+      // Full hash gate: every round's argmax pair and count replay in SQL
+      // via list_reduce folds
+      graft.text.BPE.train(Tables.documents(s, d), col("text"), rounds = 6)
+    },
     "dedup_exact" -> { (s, d) =>
       Dedup.exact(Tables.documents(s, d), "text", "doc_id").orderBy("content_hash")
     },
@@ -554,7 +563,40 @@ object TextQueries {
        |tk0 AS (SELECT doc_id AS doc, toks, unnest(range(0, len(toks))) AS pos FROM n),
        |tk AS (SELECT doc, pos, toks[pos + 1] AS tok FROM tk0 WHERE length(toks[pos + 1]) > 0)""".stripMargin
 
+  /** BPE replay: the word-type frame (chars + '_' end marker), then per
+    * round a pair-count CTE, a LIMIT-1 argmax CTE (count desc, pair asc —
+    * the trainer's tie rule), and a rewrite CTE applying the merge as the
+    * identical greedy left-to-right list_reduce fold the Spark side runs
+    * with `aggregate`. */
+  private def bpeOracle(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""p$r AS MATERIALIZED (SELECT u.l AS l, u.r AS r, sum(cnt)::BIGINT AS c FROM (
+         |    SELECT cnt, unnest(list_transform(range(1, len(syms)),
+         |      i -> {'l': syms[i], 'r': syms[i + 1]})) AS u
+         |    FROM w${r - 1} WHERE len(syms) >= 2) GROUP BY 1, 2),
+         |m$r AS MATERIALIZED (SELECT l, r, c FROM p$r ORDER BY c DESC, l, r LIMIT 1),
+         |w$r AS MATERIALIZED (SELECT cnt, list_reduce(list_transform(syms, s -> [s]),
+         |    (acc, x) -> CASE WHEN acc[len(acc)] = m.l AND x[1] = m.r
+         |      THEN list_append(list_slice(acc, 1, len(acc) - 1), m.l || m.r)
+         |      ELSE list_concat(acc, x) END) AS syms
+         |  FROM w${r - 1}, m$r m)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to rounds).map(r =>
+      s"""SELECT $r::BIGINT AS round, l AS "left", r AS "right",
+         |  l || r AS merged, c AS pair_count FROM m$r""".stripMargin)
+      .mkString("\nUNION ALL ")
+    s"""WITH w0 AS MATERIALIZED (
+       |  SELECT count(*)::BIGINT AS cnt,
+       |    list_append(list_transform(range(1, len(word) + 1), i -> word[i:i]), '_') AS syms
+       |  FROM (SELECT unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS word
+       |        FROM documents)
+       |  WHERE regexp_matches(word, '^[a-z]{2,20}$$') GROUP BY word),
+       |$roundCtes
+       |$out ORDER BY round""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "bpe_train" -> bpeOracle(rounds = 6),
     "context_windows" ->
       s"""WITH $posTokCtes,
          |pr AS (SELECT a.tok AS center, b.tok AS context

@@ -182,8 +182,14 @@ object VectorQueries {
       norms.crossJoin(iso)
     },
     "semdedup" -> { (s, d) =>
+      // k=64 anchors: at the bench's sf1 (20k vectors) k=8 left ~2.5k-row
+      // cells and the Σ cell² pair join went quadratic (26.7 s); 64 cells
+      // keep the expected cell at n/64 and the pair work at n²/64. At
+      // production scale the semDedupAuto entry point derives k from the
+      // corpus count instead (cells stay ~constant-size); this fixed k is
+      // the largest the engine-neutral SQL replay stays readable at.
       Dedup.semDedup(Tables.embeddings(s, d), "vec_id", "embedding",
-          k = 8, dim = 64, seed = 7L, tau = 0.4)
+          k = 64, dim = 64, seed = 7L, tau = 0.4)
         .orderBy("cell")
     },
     "embedding_quantize" -> { (s, d) =>
@@ -388,6 +394,17 @@ object VectorQueries {
           (col("trustworthiness") >= 0.45 && col("trustworthiness") <= 1.0)
             .as("trust_floor"))
     },
+    "mmr_diversify" -> { (s, d) =>
+      // Maximal Marginal Relevance re-rank against the md5-derived query
+      // vector (seed 99): corpus-scale relevance scan + distributed
+      // top-20 cut, then the inherently sequential greedy λ-tradeoff on
+      // the BOUNDED 20-row pool (declared driver-side, PQ-codebook
+      // discipline). Full hash gate: the 5 selections + scores replay as
+      // chained argmax CTEs
+      val q = graft.neighbors.KNN.hyperplanes(1, 64, 99L)(0)
+      graft.neighbors.MMR.diversify(Tables.embeddings(s, d), "vec_id",
+        "embedding", q, k = 5, topN = 20, lambda = 0.7)
+    },
     "multimodal_meta" -> { (s, d) =>
       graft.multimodal.Multimodal.featureSummary(Tables.documents(s, d))
     },
@@ -500,13 +517,44 @@ object VectorQueries {
        |FROM r""".stripMargin
   }
 
+  /** MMR replay: the literal seed-99 query vector (inlined — Double
+    * .toString round-trips bit-exactly through DuckDB's parser), the
+    * top-20 relevance cut, then one argmax CTE per greedy selection with
+    * max-sim-to-selected as a correlated subquery over the candidate
+    * pair frame. Tie rule everywhere: score desc, id asc. */
+  private def mmrOracle: String = {
+    val q = KNN.hyperplanes(1, 64, 99L)(0)
+    val qlit = q.map(_.toString).mkString("[", ", ", "]")
+    val qn = math.sqrt(q.map(x => x * x).sum).toString
+    val sels = (2 to 5).map { r =>
+      s"""s$r AS (SELECT c.id, c.rel, round(0.7 * c.rel - (1 - 0.7) *
+         |    (SELECT max(s) FROM p WHERE p.ia = c.id AND p.ib IN (SELECT id FROM sel${r - 1})), 6) AS score
+         |  FROM cand c WHERE c.id NOT IN (SELECT id FROM sel${r - 1})
+         |  ORDER BY score DESC, c.id LIMIT 1),
+         |sel$r AS (SELECT id FROM sel${r - 1} UNION ALL SELECT id FROM s$r)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to 5).map(r =>
+      s"SELECT $r::BIGINT AS rank, id, rel, score AS mmr_score FROM s$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cand AS (SELECT id, v,
+       |    round(list_dot_product(v, $qlit) / (sqrt(list_dot_product(v, v)) * $qn), 6) AS rel
+       |  FROM e ORDER BY rel DESC, id LIMIT 20),
+       |p AS (SELECT a.id AS ia, b.id AS ib, round($cosSql, 6) AS s
+       |  FROM cand a JOIN cand b ON a.id <> b.id),
+       |s1 AS (SELECT id, rel, rel AS score FROM cand ORDER BY rel DESC, id LIMIT 1),
+       |sel1 AS (SELECT id FROM s1),
+       |$sels
+       |$out ORDER BY rank""".stripMargin
+  }
+
   /** SemDeDup oracle: replays the md5-derived anchor quantizer (seed 7,
-    * k=8), the first-argmax cell rule, and the within-cell ≥τ pair drop. */
+    * k=64), the first-argmax cell rule, and the within-cell ≥τ pair drop. */
   private def semDedupOracle: String = {
-    val dots = (0 until 8).map { j =>
+    val dots = (0 until 64).map { j =>
       s"list_sum(list_transform(range(0, 64), i -> v[i+1] * ${planeEntrySeed(7L, j)}))"
     }.mkString("[", ", ", "]")
-    val cellCase = (0 until 8).map(j => s"WHEN ds[${j + 1}] = m THEN $j")
+    val cellCase = (0 until 64).map(j => s"WHEN ds[${j + 1}] = m THEN $j")
       .mkString("CASE ", " ", " END")
     s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
        |dd AS (SELECT id, v, $dots AS ds FROM e),
@@ -615,6 +663,7 @@ object VectorQueries {
     "ann_lsh" -> lshOracle,
     "rp_distortion" -> rpDistortionOracle,
     "semdedup" -> semDedupOracle,
+    "mmr_diversify" -> mmrOracle,
     "embedding_stats" ->
       s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
          |nrm AS (SELECT round(sqrt(list_dot_product(v, v)), 4) AS nr FROM e),
