@@ -55,10 +55,12 @@ object Modularity {
       .select(col("community"), col("n_nodes"),
         coalesce(col("internal_edges"), lit(0L)).as("internal_edges"),
         col("degree_sum").cast("long").as("degree_sum"),
-        r6(coalesce(col("internal_edges"), lit(0L)) / col("_m") -
-          pow(col("degree_sum") / (lit(2.0) * col("_m")), 2)).as("q_term"))
+        // + 0.0 canonicalizes IEEE negative zero (a tiny negative q_term
+        // rounds to -0.0 and the two engines disagree on its sign bit)
+        (r6(coalesce(col("internal_edges"), lit(0L)) / col("_m") -
+          pow(col("degree_sum") / (lit(2.0) * col("_m")), 2)) + lit(0.0)).as("q_term"))
     val tot = per.agg(count(lit(1)).cast("long").as("n_communities"),
-      round(sum(col("q_term")), 6).as("modularity"))
+      (round(sum(col("q_term")), 6) + lit(0.0)).as("modularity"))
     per.crossJoin(broadcast(tot)).orderBy("community")
   }
 }

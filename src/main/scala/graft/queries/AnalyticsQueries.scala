@@ -38,6 +38,18 @@ object AnalyticsQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "eb_shrinkage" -> { (s, d) =>
+      // empirical-Bayes beta-binomial CTR smoothing (Robbins 1956): per-
+      // user conversion flag from ONE user groupBy, md5-bucketed into 40
+      // segments, Beta prior by method of moments over the segment rates,
+      // posterior-mean shrunk rate per segment. Full hash gate
+      val per = Tables.events(s, d).groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase" && col("value") > 150, 1.0)
+          .otherwise(0.0)).as("_conv"))
+        .withColumn("_grp", Num.md5Long(
+          concat(col("user_id").cast("string"), lit("_eb"))) % 40)
+      graft.stats.Shrinkage.betaBinomial(per, col("_grp"), col("_conv"))
+    },
     "prop_ztest" -> { (s, d) =>
       // two-proportion z-test of high-value-purchase conversion (every
       // user has SOME purchase, so the flag is value > 150 — ~45% base
@@ -493,10 +505,10 @@ object AnalyticsQueries {
        |    coalesce(ie.internal_edges, 0)::BIGINT AS internal_edges,
        |    dg.degree_sum::BIGINT AS degree_sum,
        |    round(coalesce(ie.internal_edges, 0) / m.m -
-       |      pow(dg.degree_sum / (2.0 * m.m), 2), 6) AS q_term
+       |      pow(dg.degree_sum / (2.0 * m.m), 2), 6) + 0.0 AS q_term
        |  FROM dg LEFT JOIN ie ON dg.community = ie.community, m),
        |tot AS (SELECT count(*)::BIGINT AS n_communities,
-       |  round(sum(q_term), 6) AS modularity FROM per)
+       |  round(sum(q_term), 6) + 0.0 AS modularity FROM per)
        |SELECT per.*, tot.* FROM per, tot ORDER BY community""".stripMargin
   }
 
@@ -666,6 +678,26 @@ object AnalyticsQueries {
         |  round(f.npair / sqrt(n1.np * n2.np), 6) AS cosine
         |FROM f JOIN pp n1 ON f.p1 = n1.p JOIN pp n2 ON f.p2 = n2.p
         |ORDER BY cosine DESC, p1, p2 LIMIT 15""".stripMargin,
+    "eb_shrinkage" ->
+      """WITH per AS (SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' AND value > 150 THEN 1.0 ELSE 0.0 END) AS conv
+        |  FROM events GROUP BY user_id),
+        |g AS (SELECT ('0x' || substr(md5(user_id::VARCHAR || '_eb'), 1, 15))::BIGINT % 40 AS grp,
+        |    count(*)::BIGINT AS n, sum(conv)::BIGINT AS x
+        |  FROM per GROUP BY 1),
+        |g2 AS (SELECT grp, n, x, round(x / n::DOUBLE, 6) AS raw_rate FROM g),
+        |mom0 AS (SELECT count(*)::BIGINT AS n_groups,
+        |    round(avg(raw_rate), 6) AS m, round(var_samp(raw_rate), 6) AS v FROM g2),
+        |mom AS (SELECT n_groups, m, v,
+        |    CASE WHEN v > 0 AND v < m * (1.0 - m)
+        |      THEN round(m * (m * (1.0 - m) / v - 1.0), 6) ELSE 1.0 END AS alpha,
+        |    CASE WHEN v > 0 AND v < m * (1.0 - m)
+        |      THEN round((1.0 - m) * (m * (1.0 - m) / v - 1.0), 6) ELSE 1.0 END AS beta
+        |  FROM mom0)
+        |SELECT grp, n, x, raw_rate,
+        |  round((x + alpha) / (n + alpha + beta), 6) AS shrunk_rate,
+        |  alpha, beta, n_groups
+        |FROM g2, mom ORDER BY grp""".stripMargin,
     "prop_ztest" ->
       """WITH per AS (SELECT user_id,
         |    max(CASE WHEN event_type = 'purchase' AND value > 150 THEN 1.0 ELSE 0.0 END) AS conv

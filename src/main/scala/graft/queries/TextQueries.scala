@@ -21,6 +21,27 @@ object TextQueries {
       // via list_reduce folds
       graft.text.BPE.train(Tables.documents(s, d), col("text"), rounds = 6)
     },
+    "bpe_encode" -> { (s, d) =>
+      // the tokenizer SERVE path: train the 6 merges, ENCODE the corpus
+      // with them, report per-language fertility (tokens/word — the
+      // multilingual-fairness gauge a vocab choice is judged by) and
+      // realized subword vocabulary. Corpus-scale work = the one word-
+      // type scan; merges fold as literal columns, no joins. Full hash
+      // gate: the lang-word frame replays the identical 6 folds in SQL
+      graft.text.BPE.encodeFertility(Tables.documents(s, d), col("text"),
+        col("lang"), rounds = 6)
+    },
+    "kneser_ney" -> { (s, d) =>
+      // interpolated Kneser-Ney bigram perplexity (D=0.75) — the
+      // production smoothing for LM-based quality filtering; trained on
+      // the ingested front half, scoring the new back half like
+      // bigram_perplexity (its add-one audit sibling). Full hash gate
+      val docs = Tables.documents(s, d)
+      graft.text.Relevance.kneserNeyPerplexity(
+          docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250),
+          "text", "doc_id")
+        .orderBy("doc")
+    },
     "dedup_exact" -> { (s, d) =>
       Dedup.exact(Tables.documents(s, d), "text", "doc_id").orderBy("content_hash")
     },
@@ -568,7 +589,11 @@ object TextQueries {
     * the trainer's tie rule), and a rewrite CTE applying the merge as the
     * identical greedy left-to-right list_reduce fold the Spark side runs
     * with `aggregate`. */
-  private def bpeOracle(rounds: Int): String = {
+  /** The shared BPE-training CTE chain (w0 … w`rounds`, p/m per round) —
+    * used by both the train gate and the encode gate. Every round CTE is
+    * MATERIALIZED: DuckDB inlines plain CTEs recursively and the chained
+    * expansion goes exponential (>10 min vs 0.1 s at sf0.001). */
+  private def bpeTrainCtes(rounds: Int): String = {
     val roundCtes = (1 to rounds).map { r =>
       s"""p$r AS MATERIALIZED (SELECT u.l AS l, u.r AS r, sum(cnt)::BIGINT AS c FROM (
          |    SELECT cnt, unnest(list_transform(range(1, len(syms)),
@@ -581,22 +606,80 @@ object TextQueries {
          |      ELSE list_concat(acc, x) END) AS syms
          |  FROM w${r - 1}, m$r m)""".stripMargin
     }.mkString(",\n")
-    val out = (1 to rounds).map(r =>
-      s"""SELECT $r::BIGINT AS round, l AS "left", r AS "right",
-         |  l || r AS merged, c AS pair_count FROM m$r""".stripMargin)
-      .mkString("\nUNION ALL ")
-    s"""WITH w0 AS MATERIALIZED (
+    s"""w0 AS MATERIALIZED (
        |  SELECT count(*)::BIGINT AS cnt,
        |    list_append(list_transform(range(1, len(word) + 1), i -> word[i:i]), '_') AS syms
        |  FROM (SELECT unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS word
        |        FROM documents)
        |  WHERE regexp_matches(word, '^[a-z]{2,20}$$') GROUP BY word),
-       |$roundCtes
+       |$roundCtes""".stripMargin
+  }
+
+  private def bpeOracle(rounds: Int): String = {
+    val out = (1 to rounds).map(r =>
+      s"""SELECT $r::BIGINT AS round, l AS "left", r AS "right",
+         |  l || r AS merged, c AS pair_count FROM m$r""".stripMargin)
+      .mkString("\nUNION ALL ")
+    s"""WITH ${bpeTrainCtes(rounds)}
        |$out ORDER BY round""".stripMargin
+  }
+
+  /** Encode replay: the per-(lang, word-type) frame folds the SAME merge
+    * sequence (m1 … m`rounds` from the shared train chain), then one
+    * per-lang rollup + distinct-subword count. */
+  private def bpeEncodeOracle(rounds: Int): String = {
+    val langCtes = (1 to rounds).map { r =>
+      s"""lw$r AS MATERIALIZED (SELECT lang, cnt, list_reduce(list_transform(syms, s -> [s]),
+         |    (acc, x) -> CASE WHEN acc[len(acc)] = m.l AND x[1] = m.r
+         |      THEN list_append(list_slice(acc, 1, len(acc) - 1), m.l || m.r)
+         |      ELSE list_concat(acc, x) END) AS syms
+         |  FROM lw${r - 1}, m$r m)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${bpeTrainCtes(rounds)},
+       |lw0 AS MATERIALIZED (
+       |  SELECT lang, count(*)::BIGINT AS cnt,
+       |    list_append(list_transform(range(1, len(word) + 1), i -> word[i:i]), '_') AS syms
+       |  FROM (SELECT lang, unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS word
+       |        FROM documents)
+       |  WHERE regexp_matches(word, '^[a-z]{2,20}$$') GROUP BY lang, word),
+       |$langCtes,
+       |per AS (SELECT lang, sum(cnt)::BIGINT AS n_words,
+       |    sum(cnt * len(syms))::BIGINT AS n_subwords FROM lw$rounds GROUP BY lang),
+       |voc AS (SELECT lang, count(*)::BIGINT AS subword_vocab FROM
+       |  (SELECT DISTINCT lang, unnest(syms) AS s FROM lw$rounds) GROUP BY lang)
+       |SELECT per.lang AS lang, n_words, n_subwords,
+       |  round(n_subwords::DOUBLE / n_words, 6) AS fertility, subword_vocab
+       |FROM per JOIN voc ON per.lang = voc.lang ORDER BY lang""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
     "bpe_train" -> bpeOracle(rounds = 6),
+    "bpe_encode" -> bpeEncodeOracle(rounds = 6),
+    "kneser_ney" ->
+      s"""WITH n AS (SELECT doc_id::BIGINT AS doc, $normToks AS toks FROM documents),
+         |bg AS (SELECT doc, unnest(CASE WHEN len(toks) >= 2
+         |    THEN list_transform(range(0, len(toks)-1), i ->
+         |      struct_pack(w1 := toks[i+1], w2 := toks[i+2]))
+         |    ELSE [] END) AS b FROM n),
+         |big AS (SELECT b.w1 AS w1, b.w2 AS w2, count(*)::DOUBLE AS c2
+         |  FROM bg WHERE doc < 250 GROUP BY 1, 2),
+         |ctx AS (SELECT w1, sum(c2) AS ctot, count(*)::DOUBLE AS fan
+         |  FROM big GROUP BY w1),
+         |cont AS (SELECT w2, count(*)::DOUBLE AS cc FROM big GROUP BY w2),
+         |tot AS (SELECT (SELECT count(*)::DOUBLE FROM big) AS b,
+         |  (SELECT count(*)::DOUBLE FROM cont) AS vc),
+         |sb AS (SELECT doc, b.w1 AS w1, b.w2 AS w2 FROM bg WHERE doc >= 250),
+         |lp AS (SELECT sb.doc, ln(CASE WHEN ctx.ctot IS NULL
+         |    THEN (coalesce(cont.cc, 0) + 1.0) / (tot.b + tot.vc)
+         |    ELSE greatest(coalesce(big.c2, 0) - 0.75, 0) / ctx.ctot
+         |      + 0.75 * ctx.fan / ctx.ctot
+         |        * ((coalesce(cont.cc, 0) + 1.0) / (tot.b + tot.vc)) END) AS l
+         |  FROM sb LEFT JOIN big ON sb.w1 = big.w1 AND sb.w2 = big.w2
+         |    LEFT JOIN ctx ON sb.w1 = ctx.w1
+         |    LEFT JOIN cont ON sb.w2 = cont.w2, tot)
+         |SELECT doc, count(*)::BIGINT AS n_bigrams,
+         |  round(exp(-sum(l) / count(*)), 4) AS ppl_kn
+         |FROM lp GROUP BY doc ORDER BY doc""".stripMargin,
     "context_windows" ->
       s"""WITH $posTokCtes,
          |pr AS (SELECT a.tok AS center, b.tok AS context

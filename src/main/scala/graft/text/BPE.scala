@@ -74,4 +74,52 @@ object BPE {
       .select(col("round").cast("long").as("round"), col("left"), col("right"),
         concat(col("left"), col("right")).as("merged"), col("pair_count"))
   }
+
+  /** Apply one learned merge (the same greedy left-to-right fold the
+    * trainer uses) to a symbol-array column. */
+  def applyMerge(syms: Column, l: String, r: String): Column = {
+    val lc = lit(l); val rc = lit(r); val mc = lit(l + r)
+    when(size(syms) < 2, syms).otherwise(aggregate(
+      slice(syms, lit(2), greatest(size(syms) - 1, lit(0))),
+      slice(syms, lit(1), lit(1)),
+      (acc, s) => when(element_at(acc, size(acc)) === lc && s === rc,
+          concat(slice(acc, lit(1), size(acc) - 1), array(mc)))
+        .otherwise(concat(acc, array(s)))))
+  }
+
+  /** The tokenizer SERVE path: train `rounds` merges on the corpus, then
+    * ENCODE the corpus with them and report per-language fertility — the
+    * number the pipeline actually watches when picking a vocabulary
+    * (tokens/word by language is the classic multilingual-fairness gauge).
+    *
+    * Scale shape: encoding collapses to the per-(lang, word-type) frame —
+    * bounded by vocabulary × languages, not corpus — and the R merges are
+    * literal columns folded in a single stateless projection (no joins:
+    * the merge list is O(R) and rides in the plan). One final map-side-
+    * combined per-lang aggregate. Output per lang: word tokens, subword
+    * tokens, fertility = subwords/words, distinct subword vocabulary. */
+  def encodeFertility(docs: DataFrame, textCol: Column, langCol: Column,
+                      rounds: Int): DataFrame = {
+    val merges = train(docs, textCol, rounds).orderBy("round").collect()
+      .map(r => (r.getString(r.fieldIndex("left")), r.getString(r.fieldIndex("right"))))
+    val toks = split(lower(trim(regexp_replace(textCol, "\\s+", " "))), " ")
+    val lw = docs.select(langCol.as("lang"), explode(toks).as("word"))
+      .filter(col("word").rlike("^[a-z]{2,20}$"))
+      .groupBy(col("lang"), col("word"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+      .select(col("lang"), col("cnt"),
+        merges.foldLeft(charSyms(col("word"))) { case (c, (l, r)) =>
+          applyMerge(c, l, r)
+        }.as("syms"))
+    val perLang = lw.groupBy(col("lang"))
+      .agg(sum(col("cnt")).cast("long").as("n_words"),
+        sum(col("cnt") * size(col("syms"))).cast("long").as("n_subwords"))
+    val vocab = lw.select(col("lang"), explode(col("syms")).as("s")).distinct()
+      .groupBy(col("lang")).agg(count(lit(1)).cast("long").as("subword_vocab"))
+    perLang.join(vocab, Seq("lang"))
+      .select(col("lang"), col("n_words"), col("n_subwords"),
+        round(col("n_subwords").cast("double") / col("n_words"), 6).as("fertility"),
+        col("subword_vocab"))
+      .orderBy("lang")
+  }
 }

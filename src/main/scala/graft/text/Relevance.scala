@@ -237,4 +237,55 @@ object Relevance {
       .agg(count(lit(1)).cast("long").as("n_bigrams"),
         round(exp(-sum(col("_lp")) / count(lit(1))), 4).as("ppl"))
   }
+
+  /** Interpolated Kneser-Ney bigram perplexity (Kneser & Ney 1995; Chen &
+    * Goodman 1998 eq. 4.28) — the smoothing every production n-gram LM
+    * quality filter actually ships (add-one, as in [[bigramPerplexity]],
+    * systematically over-penalizes frequent contexts):
+    *
+    *   P(w2|w1) = max(c(w1w2)−D, 0)/c(w1•) + D·N1+(w1•)/c(w1•) · Pcont(w2)
+    *   Pcont(w2) = (N1+(•w2) + 1) / (B + Vc)   (+1 so unseen w2 keeps mass)
+    *
+    * with D the absolute discount, c(w1•) the token count of bigrams
+    * starting at w1, N1+ the distinct-continuation fan counts, B the
+    * distinct-bigram-type total and Vc the distinct-right-type total.
+    * Unseen w1 backs off to Pcont alone.
+    *
+    * Scale shape: every model statistic is ONE map-side-combined groupBy
+    * off the trained bigram frame (pair counts, per-w1 fan/total, per-w2
+    * continuation); scoring is three equi-joins on uniform token keys +
+    * two broadcast scalars. Identical posture to [[bigramPerplexity]]. */
+  def kneserNeyPerplexity(train: DataFrame, score: DataFrame, textCol: String,
+                          idCol: String, discount: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def bigrams(df: DataFrame) = {
+      val w = Window.partitionBy(col("doc")).orderBy(col("pos"))
+      df.select(col(idCol).cast("long").as("doc"),
+          posexplode(normToks(textCol)).as(Seq("pos", "tok")))
+        .withColumn("w2", lead(col("tok"), 1).over(w))
+        .filter(col("w2").isNotNull)
+        .select(col("doc"), col("tok").as("w1"), col("w2"))
+    }
+    val big = bigrams(train).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).cast("double").as("c2"))
+    val ctx = big.groupBy(col("w1"))
+      .agg(sum(col("c2")).as("ctot"), count(lit(1)).cast("double").as("fan"))
+    val cont = big.groupBy(col("w2"))
+      .agg(count(lit(1)).cast("double").as("cc"))
+    val tot = big.agg(count(lit(1)).cast("double").as("_b"))
+      .crossJoin(broadcast(cont.agg(count(lit(1)).cast("double").as("_vc"))))
+    val d = lit(discount)
+    val pcont = (coalesce(col("cc"), lit(0.0)) + 1.0) / (col("_b") + col("_vc"))
+    bigrams(score)
+      .join(big, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc"), log(when(col("ctot").isNull, pcont)
+        .otherwise(greatest(coalesce(col("c2"), lit(0.0)) - d, lit(0.0)) / col("ctot") +
+          d * col("fan") / col("ctot") * pcont)).as("_lp"))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        round(exp(-sum(col("_lp")) / count(lit(1))), 4).as("ppl_kn"))
+  }
 }
