@@ -38,6 +38,22 @@ object AnalyticsQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "ips_estimator" -> { (s, d) =>
+      // off-policy evaluation (IPS/SNIPS/ESS) of a literal target policy
+      // (promote 'purchase' at 0.6) against the empirical logging
+      // propensities: one bounded action groupBy broadcast back + ONE
+      // corpus aggregate. Full hash gate
+      graft.stats.OffPolicy.ipsSnips(Tables.events(s, d), col("event_type"),
+        when(col("value") > 100, 1.0).otherwise(0.0), "purchase", 0.6)
+    },
+    "dp_count" -> { (s, d) =>
+      // Laplace-mechanism DP counts (eps=0.5) per event type, the noise
+      // drawn DETERMINISTICALLY (md5-uniform through the inverse CDF) so
+      // the release replays bit-for-bit — a mechanism-replay gate, not a
+      // privacy proof (production swaps in a real RNG). Full hash gate
+      graft.stats.Privacy.laplaceCounts(Tables.events(s, d),
+        col("event_type"), epsilon = 0.5)
+    },
     "eb_shrinkage" -> { (s, d) =>
       // empirical-Bayes beta-binomial CTR smoothing (Robbins 1956): per-
       // user conversion flag from ONE user groupBy, md5-bucketed into 40
@@ -678,6 +694,35 @@ object AnalyticsQueries {
         |  round(f.npair / sqrt(n1.np * n2.np), 6) AS cosine
         |FROM f JOIN pp n1 ON f.p1 = n1.p JOIN pp n2 ON f.p2 = n2.p
         |ORDER BY cosine DESC, p1, p2 LIMIT 15""".stripMargin,
+    "ips_estimator" ->
+      """WITH b AS (SELECT event_type AS a,
+        |    CASE WHEN value > 100 THEN 1.0 ELSE 0.0 END AS r FROM events),
+        |sh AS (SELECT a, count(*)::DOUBLE AS ca FROM b GROUP BY a),
+        |t AS (SELECT sum(ca) AS n, count(*)::DOUBLE AS k FROM sh),
+        |w AS (SELECT b.a, b.r, t.k,
+        |    round(round(CASE WHEN b.a = 'purchase' THEN 0.6
+        |        ELSE (1.0 - 0.6) / (t.k - 1.0) END, 6)
+        |      / round(sh.ca / t.n, 6), 6) AS w
+        |  FROM b JOIN sh ON b.a = sh.a, t)
+        |SELECT count(*)::BIGINT AS n, max(k)::BIGINT AS n_actions,
+        |  round(sum(w * r) / count(*), 6) AS ips,
+        |  round(sum(w * r) / sum(w), 6) AS snips,
+        |  round(pow(sum(w), 2) / sum(w * w), 4) AS ess,
+        |  round(max(w), 6) AS max_w,
+        |  round(avg(r), 6) AS avg_reward_logged
+        |FROM w""".stripMargin,
+    "dp_count" ->
+      """WITH g AS (SELECT event_type AS key, count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1),
+        |x AS (SELECT key, n,
+        |    (('0x' || substr(md5(key || '_dp'), 1, 15))::BIGINT % 1000000 + 1.0)
+        |      / 1000001.0 - 0.5 AS s FROM g),
+        |r AS (SELECT key, n,
+        |    round(-sign(s) * (1.0 / 0.5) * ln(1.0 - abs(s) * 2.0), 0)::BIGINT AS noise
+        |  FROM x)
+        |SELECT key, n, noise, n + noise AS n_noisy, 0.5::DOUBLE AS epsilon,
+        |  abs(noise) <= 41 AS within_budget
+        |FROM r ORDER BY key""".stripMargin,
     "eb_shrinkage" ->
       """WITH per AS (SELECT user_id,
         |    max(CASE WHEN event_type = 'purchase' AND value > 150 THEN 1.0 ELSE 0.0 END) AS conv

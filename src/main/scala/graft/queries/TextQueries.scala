@@ -31,6 +31,17 @@ object TextQueries {
       graft.text.BPE.encodeFertility(Tables.documents(s, d), col("text"),
         col("lang"), rounds = 6)
     },
+    "count_min" -> { (s, d) =>
+      // Count-Min sketch (4 x 1024 md5-addressed counters) over the token
+      // stream + in-pass audit of the top-10 exact tokens: the sketch is
+      // ONE map-side-combined (row, slot) groupBy, O(d*w) whatever the
+      // corpus; estimates prove the one-sided error bound (never_under)
+      // the way dedup_bloom audits its FP rate. Full hash gate
+      val toks = Tables.documents(s, d)
+        .select(explode(split(lower(trim(regexp_replace(col("text"), "\\s+", " "))), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      graft.stats.CountMin.topkAudit(toks, col("tok"), d = 4, w = 1024, k = 10)
+    },
     "kneser_ney" -> { (s, d) =>
       // interpolated Kneser-Ney bigram perplexity (D=0.75) — the
       // production smoothing for LM-based quality filtering; trained on
@@ -655,6 +666,27 @@ object TextQueries {
   val oracles: Map[String, String] = Map(
     "bpe_train" -> bpeOracle(rounds = 6),
     "bpe_encode" -> bpeEncodeOracle(rounds = 6),
+    "count_min" ->
+      s"""WITH n AS (SELECT doc_id, $normToks AS toks FROM documents),
+         |t0 AS (SELECT unnest(toks) AS tok FROM n),
+         |t2 AS (SELECT tok FROM t0 WHERE length(tok) > 0),
+         |ii AS (SELECT unnest([0, 1, 2, 3]) AS i),
+         |sk AS (SELECT ii.i AS i,
+         |    ('0x' || substr(md5(tok || '_cm_' || ii.i::VARCHAR), 1, 15))::BIGINT % 1024 AS slot,
+         |    count(*)::BIGINT AS c
+         |  FROM t2, ii GROUP BY 1, 2),
+         |ex AS (SELECT tok, count(*)::BIGINT AS exact FROM t2 GROUP BY tok
+         |  ORDER BY exact DESC, tok LIMIT 10),
+         |exr AS (SELECT row_number() OVER (ORDER BY exact DESC, tok) AS rank,
+         |  tok, exact FROM ex),
+         |q AS (SELECT rank, tok, exact, ii.i AS i,
+         |    ('0x' || substr(md5(tok || '_cm_' || ii.i::VARCHAR), 1, 15))::BIGINT % 1024 AS slot
+         |  FROM exr, ii),
+         |est AS (SELECT rank, q.tok AS term, q.exact AS exact, min(sk.c) AS est
+         |  FROM q JOIN sk ON q.i = sk.i AND q.slot = sk.slot GROUP BY 1, 2, 3)
+         |SELECT rank::BIGINT AS rank, term, exact, est,
+         |  est - exact AS overestimate, est >= exact AS never_under
+         |FROM est ORDER BY rank""".stripMargin,
     "kneser_ney" ->
       s"""WITH n AS (SELECT doc_id::BIGINT AS doc, $normToks AS toks FROM documents),
          |bg AS (SELECT doc, unnest(CASE WHEN len(toks) >= 2

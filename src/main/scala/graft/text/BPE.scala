@@ -103,14 +103,23 @@ object BPE {
     val merges = train(docs, textCol, rounds).orderBy("round").collect()
       .map(r => (r.getString(r.fieldIndex("left")), r.getString(r.fieldIndex("right"))))
     val toks = split(lower(trim(regexp_replace(textCol, "\\s+", " "))), " ")
-    val lw = docs.select(langCol.as("lang"), explode(toks).as("word"))
+    // one materialized projection PER merge on the bounded lang-word
+    // frame (exactly train()'s per-round discipline): ArrayAggregate is
+    // interpreted (no codegen for lambda HOFs) and references its input
+    // ~4x, so folding R merges into ONE nested expression re-evaluates
+    // the inner folds ~4^R times — at sf1 that turned a 3 s encode into
+    // a half-hour stall. R localCheckpoints of a vocab-bounded frame are
+    // noise by comparison.
+    var lw = docs.select(langCol.as("lang"), explode(toks).as("word"))
       .filter(col("word").rlike("^[a-z]{2,20}$"))
       .groupBy(col("lang"), col("word"))
       .agg(count(lit(1)).cast("long").as("cnt"))
-      .select(col("lang"), col("cnt"),
-        merges.foldLeft(charSyms(col("word"))) { case (c, (l, r)) =>
-          applyMerge(c, l, r)
-        }.as("syms"))
+      .select(col("lang"), col("cnt"), charSyms(col("word")).as("syms"))
+      .localCheckpoint()
+    merges.foreach { case (l, r) =>
+      lw = lw.select(col("lang"), col("cnt"), applyMerge(col("syms"), l, r).as("syms"))
+        .localCheckpoint()
+    }
     val perLang = lw.groupBy(col("lang"))
       .agg(sum(col("cnt")).cast("long").as("n_words"),
         sum(col("cnt") * size(col("syms"))).cast("long").as("n_subwords"))
