@@ -38,6 +38,28 @@ object AnalyticsQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "permutation_test" -> { (s, d) =>
+      // Fisher permutation test of the A/B conversion difference: 200
+      // md5-derived label exchanges, each diff one conditional aggregate
+      // over a single J-replicated pass; add-one p (Phipson & Smyth).
+      // Full hash gate
+      val per = Tables.events(s, d).groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase" && col("value") > 150, 1.0)
+          .otherwise(0.0)).as("_conv"))
+      graft.stats.Permutation.meanDiff(per, col("user_id"), col("_conv"),
+        "pt", nPerms = 200)
+    },
+    "louvain_move" -> { (s, d) =>
+      // one synchronous Louvain move round from singletons over the
+      // support-2 co-purchase graph: per-node best-positive-gain choice
+      // (one degree join + a node-key window), choice-graph CC, scored by
+      // the gated modularity frame. Full hash gate
+      val e = basketPairs(baskets(Tables.lineitem(s, d)))
+        .groupBy(col("p1"), col("p2"))
+        .agg(count(lit(1)).as("_np"))
+        .filter(col("_np") >= 2).select(col("p1"), col("p2"))
+      graft.graph.Louvain.moveRoundModularity(e, "p1", "p2", ccRounds = 8)
+    },
     "ips_estimator" -> { (s, d) =>
       // off-policy evaluation (IPS/SNIPS/ESS) of a literal target policy
       // (promote 'purchase' at 0.6) against the empirical logging
@@ -528,6 +550,54 @@ object AnalyticsQueries {
        |SELECT per.*, tot.* FROM per, tot ORDER BY community""".stripMargin
   }
 
+  /** Louvain one-move-round replay: same support-2 edge CTEs as the
+    * modularity oracle, the per-node best-positive-gain choice as a
+    * row_number window (q desc, t — the Spark tie rule), CC min-label
+    * rounds over the bidirectional choice graph, then the modularity
+    * frame over the ORIGINAL edges with the moved labels. */
+  private def louvainOracle(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""l$r AS MATERIALIZED (SELECT l.node, least(l.label, coalesce(min(ln.label), l.label)) AS label
+         |  FROM l${r - 1} l LEFT JOIN ce ON ce.s = l.node
+         |    LEFT JOIN l${r - 1} ln ON ln.node = ce.t
+         |  GROUP BY l.node, l.label)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH a AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |e0 AS MATERIALIZED (SELECT x.p AS p1, y.p AS p2 FROM a x JOIN a y ON x.o = y.o AND x.p < y.p
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |dd AS MATERIALIZED (SELECT p1 AS s, p2 AS t FROM e0 UNION ALL SELECT p2, p1 FROM e0),
+       |degn AS (SELECT s AS node, count(*)::DOUBLE AS deg FROM dd GROUP BY s),
+       |m AS (SELECT count(*)::DOUBLE AS m FROM e0),
+       |gains AS (SELECT dd.s, dd.t,
+       |    round(1.0 / m.m - ds.deg * dt.deg / (2.0 * m.m * m.m), 6) AS q
+       |  FROM dd JOIN degn ds ON ds.node = dd.s JOIN degn dt ON dt.node = dd.t, m),
+       |ch AS (SELECT s AS node, CASE WHEN q > 0 THEN t ELSE s END AS tgt FROM
+       |  (SELECT s, t, q, row_number() OVER (PARTITION BY s ORDER BY q DESC, t) AS rn
+       |   FROM gains) WHERE rn = 1),
+       |ce AS MATERIALIZED (SELECT node AS s, tgt AS t FROM ch
+       |  UNION ALL SELECT tgt, node FROM ch),
+       |l0 AS MATERIALIZED (SELECT DISTINCT s AS node, s AS label FROM ce),
+       |$roundCtes,
+       |lab AS (SELECT node, label FROM l$rounds),
+       |ie AS (SELECT la.label AS community, count(*)::BIGINT AS internal_edges
+       |  FROM e0 JOIN lab la ON e0.p1 = la.node JOIN lab lb ON e0.p2 = lb.node
+       |  WHERE la.label = lb.label GROUP BY la.label),
+       |dg AS (SELECT la.label AS community, count(*)::BIGINT AS n_nodes,
+       |    sum(d.dg) AS degree_sum
+       |  FROM (SELECT node, count(*)::DOUBLE AS dg FROM
+       |    (SELECT p1 AS node FROM e0 UNION ALL SELECT p2 FROM e0) GROUP BY node) d
+       |  JOIN lab la ON d.node = la.node GROUP BY la.label),
+       |per AS (SELECT dg.community, dg.n_nodes,
+       |    coalesce(ie.internal_edges, 0)::BIGINT AS internal_edges,
+       |    dg.degree_sum::BIGINT AS degree_sum,
+       |    round(coalesce(ie.internal_edges, 0) / m.m -
+       |      pow(dg.degree_sum / (2.0 * m.m), 2), 6) + 0.0 AS q_term
+       |  FROM dg LEFT JOIN ie ON dg.community = ie.community, m),
+       |tot AS (SELECT count(*)::BIGINT AS n_communities,
+       |  round(sum(q_term), 6) + 0.0 AS modularity FROM per)
+       |SELECT per.*, tot.* FROM per, tot ORDER BY community""".stripMargin
+  }
+
   private def kcoreOracle(k: Int, rounds: Int): String = {
     val roundCtes = (1 to rounds).map { r =>
       s"""d$r AS (SELECT p, count(*) AS dg FROM
@@ -694,6 +764,32 @@ object AnalyticsQueries {
         |  round(f.npair / sqrt(n1.np * n2.np), 6) AS cosine
         |FROM f JOIN pp n1 ON f.p1 = n1.p JOIN pp n2 ON f.p2 = n2.p
         |ORDER BY cosine DESC, p1, p2 LIMIT 15""".stripMargin,
+    "permutation_test" ->
+      """WITH per AS (SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' AND value > 150 THEN 1.0 ELSE 0.0 END) AS conv
+        |  FROM events GROUP BY user_id),
+        |b AS (SELECT user_id::VARCHAR AS u, conv AS m FROM per),
+        |ob AS (SELECT m,
+        |    ('0x' || substr(md5(u || '_pt'), 1, 15))::BIGINT % 2 = 0 AS a FROM b),
+        |obs AS (SELECT count(*)::BIGINT AS n_units,
+        |    round(sum(CASE WHEN a THEN m END) / sum(CASE WHEN a THEN 1.0 END)
+        |      - sum(CASE WHEN NOT a THEN m END) / sum(CASE WHEN NOT a THEN 1.0 END), 6)
+        |      AS obs_diff
+        |  FROM ob),
+        |pr AS (SELECT j, m,
+        |    ('0x' || substr(md5(u || '_pt_' || j::VARCHAR), 1, 15))::BIGINT % 2 = 0 AS a
+        |  FROM b, (SELECT unnest(range(0, 200)) AS j)),
+        |pj AS (SELECT j,
+        |    round(sum(CASE WHEN a THEN m END) / sum(CASE WHEN a THEN 1.0 END)
+        |      - sum(CASE WHEN NOT a THEN m END) / sum(CASE WHEN NOT a THEN 1.0 END), 6) AS d
+        |  FROM pr GROUP BY j),
+        |ex AS (SELECT sum(CASE WHEN abs(d) >= abs(obs_diff) THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_extreme FROM pj, obs)
+        |SELECT n_units, obs_diff, 200::BIGINT AS n_perms, n_extreme,
+        |  round((n_extreme + 1.0) / 201.0, 6) AS p_value,
+        |  (n_extreme + 1.0) / 201.0 < 0.05 AS reject_05
+        |FROM obs, ex""".stripMargin,
+    "louvain_move" -> louvainOracle(rounds = 8),
     "ips_estimator" ->
       """WITH b AS (SELECT event_type AS a,
         |    CASE WHEN value > 100 THEN 1.0 ELSE 0.0 END AS r FROM events),
