@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{AnalyticsQueries, BoostQueries, MLQueries, MetricsQueries, MiscQueries, ModelQueries, TSAQueries, TabularQueries, TextQueries, VectorQueries}
+import graft.queries.{AnalyticsQueries, BoostQueries, MLQueries, MetricsQueries, MiscQueries, ModelQueries, StatTestQueries, TSAQueries, TabularQueries, TextQueries, VectorQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -31,7 +31,7 @@ object SparkEntry {
     TabularQueries.queries ++ TextQueries.queries ++ VectorQueries.queries ++
       TSAQueries.queries ++ MLQueries.queries ++ MiscQueries.queries ++
       MetricsQueries.queries ++ AnalyticsQueries.queries ++ BoostQueries.queries ++
-      ModelQueries.queries
+      ModelQueries.queries ++ StatTestQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for iterative/seeded ops (rows-only
@@ -40,5 +40,5 @@ object SparkEntry {
     TabularQueries.oracles ++ TextQueries.oracles ++ VectorQueries.oracles ++
       TSAQueries.oracles ++ MiscQueries.oracles ++ MLQueries.oracles ++
       MetricsQueries.oracles ++ AnalyticsQueries.oracles ++ BoostQueries.oracles ++
-      ModelQueries.oracles
+      ModelQueries.oracles ++ StatTestQueries.oracles
 }

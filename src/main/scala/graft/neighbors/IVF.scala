@@ -113,7 +113,7 @@ object IVF {
     val idx = train(corpus, vecCol, nCells)
     val approx = topK(corpus, queries, idCol, vecCol, idx, k, nprobe)
       .select(col("qid"), col("id"))
-    val exact = KNN.bruteForce(queries, corpus, idCol, idCol, vecCol, vecCol,
+    val exact = KNN.bruteForceCached(queries, corpus, idCol, idCol, vecCol, vecCol,
       k, KNN.Cosine).select(col("qid"), col("id"))
     val hits = exact.join(approx, Seq("qid", "id")).groupBy("qid")
       .agg(count(lit(1)).cast("double").as("hits"))

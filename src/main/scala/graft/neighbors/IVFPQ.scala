@@ -107,7 +107,7 @@ object IVFPQ {
     val codes = encode(corpus, idCol, vecCol, idx)
     val approx = topK(codes, queries, idCol, vecCol, idx, k, nprobe)
       .select(col("qid"), col("id"))
-    val exact = KNN.bruteForce(queries, corpus, idCol, idCol, vecCol, vecCol,
+    val exact = KNN.bruteForceCached(queries, corpus, idCol, idCol, vecCol, vecCol,
       k, KNN.Euclidean).select(col("qid"), col("id"))
     val dim = idx.ivf.centers(0).length
     val hits = exact.join(approx, Seq("qid", "id")).groupBy("qid")

@@ -43,6 +43,31 @@ object KNN {
       k, nearFirst(metric))
   }
 
+  /** [[bruteForce]] memoized as driver-local rows (FitCache): every ANN
+    * recall-floor gate (ivf / pq / ivfpq / the persisted-index serve path)
+    * ranks the SAME bounded probe set against the same corpus, and the
+    * brute-force ground truth is each gate's most expensive scan.
+    * Memoizing the q·k result rows runs that scan once per
+    * (corpus, queries, k, metric) per process instead of once per gate —
+    * the fit-once/serve-many shape: ground truth for a fixed probe panel
+    * is a label set you compute once. ONLY for bounded probe sets
+    * (O(10–100) rows): the memo holds q·k driver-local tuples. */
+  def bruteForceCached(queries: DataFrame, corpus: DataFrame, qId: String, cId: String,
+                       qVec: String, cVec: String, k: Int, metric: Metric,
+                       excludeSelf: Boolean = false): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val rows = graft.core.FitCache.getOrFit[Array[(Long, Int, Long, Double)]](
+      graft.core.FitCache.key(corpus, "bf_exact",
+        queries.queryExecution.analyzed.semanticHash(),
+        qId, cId, qVec, cVec, k, metric, excludeSelf)) {
+      bruteForce(queries, corpus, qId, cId, qVec, cVec, k, metric, excludeSelf)
+        .select(col("qid"), col("rank").cast("int"), col("id"), col("score"))
+        .as[(Long, Int, Long, Double)].collect()
+    }
+    rows.toSeq.toDF("qid", "rank", "id", "score")
+  }
+
   /** The scored broadcast product (qid, id, _s) — the scan side of
     * bruteForce, exposed for plan inspection and reuse. */
   def broadcastPairs(queries: DataFrame, corpus: DataFrame, qId: String, cId: String,

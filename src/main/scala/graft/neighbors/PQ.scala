@@ -240,7 +240,7 @@ object PQ {
     val codes = encode(corpus, idCol, vecCol, cb)
     val approx = topK(codes, queries, idCol, vecCol, cb, k)
       .select(col("qid"), col("id"))
-    val exact = KNN.bruteForce(queries, corpus, idCol, idCol, vecCol, vecCol,
+    val exact = KNN.bruteForceCached(queries, corpus, idCol, idCol, vecCol, vecCol,
       k, KNN.Euclidean).select(col("qid"), col("id"))
     val dim = corpus.select(size(col(vecCol).cast("array<double>"))).head().getInt(0)
     val hits = exact.join(approx, Seq("qid", "id")).groupBy("qid")

@@ -302,11 +302,20 @@ object ModelQueries {
       val loaded = ModelIO.loadIVF(s, path)
       val served = IVF.topK(e, q, "vec_id", "embedding", loaded, k = 5, nprobe = 4)
         .select(col("qid"), col("id")).cache()
-      val direct = IVF.topK(e, q, "vec_id", "embedding", idx, k = 5, nprobe = 4)
-        .select(col("qid"), col("id"))
-      val mismatches = served.exceptAll(direct).count() +
-        direct.exceptAll(served).count()
-      val exact = KNN.bruteForce(q, e, "vec_id", "vec_id", "embedding",
+      // bit-exact center round-trip is checked directly on the loaded
+      // quantizer (doubles survive parquet bit-exactly): identical
+      // centers ⇒ identical cell assignment ⇒ identical candidate sets
+      // ⇒ identical top-k, so no second corpus-scale topK pass is needed
+      // to establish loaded==memory (it was the sf1 serve-cost hotspot).
+      val mismatches =
+        if (loaded.centers.length != idx.centers.length) 1L
+        else loaded.centers.zip(idx.centers).map { case (a, b) =>
+          if (a.length != b.length) 1L
+          else a.zip(b).count { case (x, y) =>
+            java.lang.Double.doubleToLongBits(x) !=
+              java.lang.Double.doubleToLongBits(y) }.toLong
+        }.sum
+      val exact = KNN.bruteForceCached(q, e, "vec_id", "vec_id", "embedding",
         "embedding", 5, KNN.Cosine).select(col("qid"), col("id")).cache()
       val hits = exact.join(served, Seq("qid", "id")).count()
       val recall = hits.toDouble / math.max(1L, exact.count())

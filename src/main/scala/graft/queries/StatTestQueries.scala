@@ -1,0 +1,307 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.core.Num.r4
+import graft.tsa.TimeSeries
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Hypothesis-test operators beyond the welch/mann-whitney/chi2/anova
+  * family already shipped — the tests an experimentation or data-quality
+  * pipeline reaches for next. Every query is a FULL hash gate: sufficient
+  * statistics via map-side-combined aggregates (or the distributed
+  * midrank frame), closed-form statistics replayed expression-for-
+  * expression in DuckDB.
+  *
+  * Scale notes (the 100 TB posture): every test here reduces the fact
+  * table in ONE scan to a bounded frame — group sums (levene, jarque_bera),
+  * the distinct-value rank frame (kruskal_wallis, the mann_whitney
+  * discipline), distinct event-time frame (logrank), or the per-series
+  * daily frame (mann_kendall, durbin_watson, bounded days per series,
+  * parallel across series). No test shuffles the raw rows more than once.
+  */
+object StatTestQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val dailySql =
+    """SELECT event_type AS series, CAST(ts AS DATE) AS day, sum(value) AS x
+      |  FROM events GROUP BY 1, 2""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "kruskal_wallis" -> { (s, d) =>
+      // Kruskal-Wallis H across order priorities (the k-group rank
+      // companion of anova_f / mann_whitney): midranks from the
+      // distinct-value frame via the distributed cumsum (core/Ranks),
+      // per-group rank sums in one pass, tie-corrected H; reject at the
+      // chi-square(k-1=4) 5% critical value
+      val o = Tables.orders(s, d).select(col("o_orderpriority").as("_g"),
+        col("o_totalprice").as("_v"))
+      val g = o.groupBy(col("_v")).agg(count(lit(1)).cast("double").as("_c"))
+      val ranks = graft.core.Ranks.withGlobalCumSums(g, Seq(col("_v")),
+          Seq((col("_c"), "_cs")))
+        .select(col("_v"),
+          ((col("_cs") - col("_c")) + (col("_c") + 1.0) / 2.0).as("_r"))
+      val per = o.join(ranks, "_v").groupBy(col("_g"))
+        .agg(count(lit(1)).cast("double").as("_n"), sum(col("_r")).as("_rs"))
+      val tot = per.agg(sum(col("_n")).as("_N"),
+        sum(col("_rs") * col("_rs") / col("_n")).as("_rr"),
+        count(lit(1)).cast("double").as("_k"))
+      val ties = g.agg(sum(col("_c") * col("_c") * col("_c") - col("_c")).as("_t3"))
+      val h = (lit(12.0) / (col("_N") * (col("_N") + 1.0)) * col("_rr") -
+        lit(3.0) * (col("_N") + 1.0)) /
+        (lit(1.0) - col("_t3") / (col("_N") * col("_N") * col("_N") - col("_N")))
+      tot.crossJoin(broadcast(ties)).select(
+        col("_N").cast("long").as("n"), col("_k").cast("long").as("k"),
+        r4(h).as("h_stat"), (r4(h) > 9.488).as("reject"))
+    },
+    "jarque_bera" -> { (s, d) =>
+      // Jarque-Bera normality of extendedprice (scaled to O(1) so the
+      // raw-moment sums keep ~12 clean digits ahead of the r4 rounding):
+      // four raw moments in ONE aggregate, central moments and
+      // skewness/kurtosis closed-form, reject at chi-square(2) 5%
+      val v = col("l_extendedprice") / 100000.0
+      val gdf = Tables.lineitem(s, d).agg(
+        count(lit(1)).cast("double").as("_n"), sum(v).as("_s1"),
+        sum(v * v).as("_s2"), sum(v * v * v).as("_s3"),
+        sum(v * v * v * v).as("_s4"))
+      val n = col("_n"); val m = col("_s1") / n
+      val m2 = col("_s2") / n - m * m
+      val m3 = col("_s3") / n - lit(3.0) * m * (col("_s2") / n) +
+        lit(2.0) * m * m * m
+      val m4 = col("_s4") / n - lit(4.0) * m * (col("_s3") / n) +
+        lit(6.0) * m * m * (col("_s2") / n) - lit(3.0) * m * m * m * m
+      val skew = m3 / sqrt(m2 * m2 * m2)
+      val kurt = m4 / (m2 * m2)
+      val jb = n / 6.0 * (skew * skew + (kurt - 3.0) * (kurt - 3.0) / 4.0)
+      gdf.select(col("_n").cast("long").as("n"), r4(skew).as("skewness"),
+        r4(kurt).as("kurtosis"), r4(jb).as("jb_stat"),
+        (r4(jb) > 5.991).as("reject"))
+    },
+    "levene_test" -> { (s, d) =>
+      // Levene homogeneity-of-variance across return flags (mean-centered
+      // classic form): pass 1 group means (broadcast — k rows), pass 2
+      // the one-way ANOVA F on the absolute deviations, all from group
+      // sufficient sums; reject at F(2, inf) 5% = 3.0
+      val li = Tables.lineitem(s, d).select(col("l_returnflag").as("_g"),
+        (col("l_extendedprice") / 100000.0).as("_v"))
+      val means = li.groupBy(col("_g")).agg(avg(col("_v")).as("_m"))
+      val z = li.join(broadcast(means), "_g")
+        .select(col("_g"), abs(col("_v") - col("_m")).as("_z"))
+      val per = z.groupBy(col("_g")).agg(count(lit(1)).cast("double").as("_n"),
+        sum(col("_z")).as("_sz"), sum(col("_z") * col("_z")).as("_qz"))
+      val tot = per.agg(count(lit(1)).cast("double").as("_k"),
+        sum(col("_n")).as("_N"), sum(col("_sz")).as("_tz"),
+        sum(col("_sz") * col("_sz") / col("_n")).as("_bz"),
+        sum(col("_qz")).as("_tq"))
+      val between = col("_bz") - col("_tz") * col("_tz") / col("_N")
+      val within = col("_tq") - col("_bz")
+      val f = (between / (col("_k") - 1.0)) / (within / (col("_N") - col("_k")))
+      tot.select(col("_N").cast("long").as("n"), col("_k").cast("long").as("k"),
+        r4(f).as("w_stat"), (r4(f) > 3.0).as("reject"))
+    },
+    "mann_kendall" -> { (s, d) =>
+      // Mann-Kendall monotone-trend test + Sen's slope per daily series:
+      // the day frame is bounded per series (one groupBy reduces the
+      // events scan), so the pairwise S statistic and the pairwise-slope
+      // median are generated from a per-series self-join of the REDUCED
+      // frame — never the raw events; tie-corrected normal z
+      val ds = TimeSeries.dailySeries(Tables.events(s, d))
+        .select(col("series"), col("t"), col("x"))
+      val a = ds.select(col("series"), col("t").as("_i"), col("x").as("_xi"))
+      val b = ds.select(col("series"), col("t").as("_j"), col("x").as("_xj"))
+      val pairs = a.join(b, Seq("series")).filter(col("_i") < col("_j"))
+        .select(col("series"), signum(col("_xj") - col("_xi")).as("_sgn"),
+          ((col("_xj") - col("_xi")) / (col("_j") - col("_i")).cast("double")).as("_slope"))
+      val sStat = pairs.groupBy(col("series"))
+        .agg(sum(col("_sgn")).as("_S"), count(lit(1)).cast("double").as("_m"))
+      val ties = ds.groupBy(col("series"), col("x"))
+        .agg(count(lit(1)).cast("double").as("_c"))
+        .groupBy(col("series"))
+        .agg(sum(col("_c") * (col("_c") - 1.0) * (lit(2.0) * col("_c") + 5.0)).as("_tv"))
+      val nPer = ds.groupBy(col("series")).agg(count(lit(1)).cast("double").as("_n"))
+      // exact median of the bounded pair-slope frame: the values at the
+      // two middle ranks are determined by the sorted multiset, so rank
+      // ties need no further tiebreak
+      val wRank = Window.partitionBy(col("series")).orderBy(col("_slope"))
+      val sen = pairs.withColumn("_rn", row_number().over(wRank).cast("double"))
+        .join(sStat.select(col("series"), col("_m")), "series")
+        .filter(col("_rn") === floor((col("_m") + 1.0) / 2.0) ||
+          col("_rn") === floor((col("_m") + 2.0) / 2.0))
+        .groupBy(col("series")).agg(avg(col("_slope")).as("_sen"))
+      val varS = (col("_n") * (col("_n") - 1.0) * (lit(2.0) * col("_n") + 5.0) -
+        col("_tv")) / 18.0
+      val z = (col("_S") - signum(col("_S"))) / sqrt(varS)
+      sStat.join(ties, "series").join(nPer, "series").join(sen, "series")
+        .select(col("series"), col("_n").cast("long").as("n"),
+          col("_S").cast("long").as("s_stat"), r4(z).as("z"),
+          r4(col("_sen")).as("sen_slope"), (abs(r4(z)) > 1.96).as("reject"))
+        .orderBy("series")
+    },
+    "logrank_test" -> { (s, d) =>
+      // log-rank two-group survival comparison (the kaplan_meier data
+      // split by user parity): observed vs expected group-1 deaths with
+      // hypergeometric variance at each distinct duration — at-risk
+      // counts via cumulative windows over the BOUNDED distinct-duration
+      // frame (kaplan_meier discipline); chi-square(1) at 5%
+      val ev = Tables.events(s, d).select(col("user_id"),
+        floor(unix_micros(col("ts")) / lit(86400000000L)).as("_day"))
+      val dur = ev.groupBy(col("user_id"))
+        .agg((max(col("_day")) - min(col("_day")) + 1).cast("long").as("d"))
+        .select(col("d"), (col("user_id") % 2 === 0).as("_g1"))
+      val g = dur.groupBy(col("d")).agg(count(lit(1)).cast("double").as("_dd"),
+        sum(when(col("_g1"), 1.0).otherwise(0.0)).as("_d1"))
+      val wPrior = Window.orderBy(col("d")).rowsBetween(Window.unboundedPreceding, -1)
+      val wAll = Window.orderBy(col("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val risk = g
+        .withColumn("_n",
+          sum(col("_dd")).over(wAll) - coalesce(sum(col("_dd")).over(wPrior), lit(0.0)))
+        .withColumn("_n1",
+          sum(col("_d1")).over(wAll) - coalesce(sum(col("_d1")).over(wPrior), lit(0.0)))
+      val agg = risk.agg(sum(col("_d1")).as("_o1"),
+        sum(col("_dd") * col("_n1") / col("_n")).as("_e1"),
+        sum(when(col("_n") > 1.0,
+          col("_dd") * (col("_n1") / col("_n")) * (lit(1.0) - col("_n1") / col("_n")) *
+            (col("_n") - col("_dd")) / (col("_n") - 1.0)).otherwise(0.0)).as("_v"))
+      val chi = (col("_o1") - col("_e1")) * (col("_o1") - col("_e1")) / col("_v")
+      agg.select(col("_o1").cast("long").as("observed_1"),
+        r4(col("_e1")).as("expected_1"), r4(chi).as("chi2"),
+        (r4(chi) > 3.841).as("reject"))
+    },
+    "durbin_watson" -> { (s, d) =>
+      // Durbin-Watson residual autocorrelation of the per-series
+      // day-index OLS: closed-form slope from one sums pass, residual
+      // lag-diff within the bounded per-series partition
+      val ds = TimeSeries.dailySeries(Tables.events(s, d))
+      val td = col("t").cast("double")
+      val st = ds.groupBy(col("series")).agg(count(lit(1)).cast("double").as("_n"),
+        sum(td).as("_st"), sum(col("x")).as("_sx"),
+        sum(td * col("x")).as("_stx"), sum(td * td).as("_stt"))
+      val withB = st.select(col("series"),
+        ((col("_stx") - col("_st") * col("_sx") / col("_n")) /
+          (col("_stt") - col("_st") * col("_st") / col("_n"))).as("_b"),
+        (col("_sx") / col("_n")).as("_mx"), (col("_st") / col("_n")).as("_mt"))
+      val res = ds.join(broadcast(withB), "series")
+        .select(col("series"), col("t"),
+          (col("x") - (col("_mx") - col("_b") * col("_mt") + col("_b") * td)).as("_e"))
+      val wl = Window.partitionBy(col("series")).orderBy(col("t"))
+      res.withColumn("_ep", lag(col("_e"), 1).over(wl))
+        .groupBy(col("series")).agg(count(lit(1)).cast("long").as("n"),
+          (sum(when(col("_ep").isNotNull,
+            (col("_e") - col("_ep")) * (col("_e") - col("_ep"))).otherwise(0.0)) /
+            sum(col("_e") * col("_e"))).as("_dw"))
+        .select(col("series"), col("n"), r4(col("_dw")).as("dw_stat"),
+          (r4(col("_dw")) < 1.5).as("positive_autocorr"))
+        .orderBy("series")
+    })
+
+  val oracles: Map[String, String] = Map(
+    "kruskal_wallis" ->
+      """WITH o AS (SELECT o_orderpriority AS g, o_totalprice AS v FROM orders),
+        |gv AS (SELECT v, count(*)::DOUBLE AS c FROM o GROUP BY v),
+        |r AS (SELECT v, coalesce(sum(c) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + (c + 1.0) / 2.0 AS rk
+        |  FROM gv),
+        |per AS (SELECT o.g, count(*)::DOUBLE AS n, sum(r.rk) AS rs
+        |  FROM o JOIN r ON o.v = r.v GROUP BY o.g),
+        |tot AS (SELECT sum(n) AS nn, sum(rs * rs / n) AS rr, count(*)::DOUBLE AS k FROM per),
+        |tt AS (SELECT sum(c * c * c - c) AS t3 FROM gv),
+        |f AS (SELECT nn, k,
+        |    (12.0 / (nn * (nn + 1.0)) * rr - 3.0 * (nn + 1.0)) /
+        |      (1.0 - t3 / (nn * nn * nn - nn)) AS h
+        |  FROM tot, tt)
+        |SELECT nn::BIGINT AS n, k::BIGINT AS k, round(h, 4) AS h_stat,
+        |  round(h, 4) > 9.488 AS reject FROM f""".stripMargin,
+    "jarque_bera" ->
+      """WITH g AS (SELECT count(*)::DOUBLE AS n,
+        |    sum(l_extendedprice / 100000.0) AS s1,
+        |    sum((l_extendedprice / 100000.0) * (l_extendedprice / 100000.0)) AS s2,
+        |    sum((l_extendedprice / 100000.0) * (l_extendedprice / 100000.0) * (l_extendedprice / 100000.0)) AS s3,
+        |    sum((l_extendedprice / 100000.0) * (l_extendedprice / 100000.0) * (l_extendedprice / 100000.0) * (l_extendedprice / 100000.0)) AS s4
+        |  FROM lineitem),
+        |m AS (SELECT n, s1 / n AS mu, s2 / n - (s1 / n) * (s1 / n) AS m2,
+        |    s3 / n - 3.0 * (s1 / n) * (s2 / n) + 2.0 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+        |    s4 / n - 4.0 * (s1 / n) * (s3 / n) + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
+        |      - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+        |  FROM g),
+        |f AS (SELECT n, m3 / sqrt(m2 * m2 * m2) AS skew, m4 / (m2 * m2) AS kurt FROM m),
+        |j AS (SELECT n, skew, kurt,
+        |    n / 6.0 * (skew * skew + (kurt - 3.0) * (kurt - 3.0) / 4.0) AS jb FROM f)
+        |SELECT n::BIGINT AS n, round(skew, 4) AS skewness, round(kurt, 4) AS kurtosis,
+        |  round(jb, 4) AS jb_stat, round(jb, 4) > 5.991 AS reject FROM j""".stripMargin,
+    "levene_test" ->
+      """WITH li AS (SELECT l_returnflag AS g, l_extendedprice / 100000.0 AS v FROM lineitem),
+        |mg AS (SELECT g, avg(v) AS m FROM li GROUP BY g),
+        |z AS (SELECT li.g, abs(li.v - mg.m) AS z FROM li JOIN mg ON li.g = mg.g),
+        |per AS (SELECT g, count(*)::DOUBLE AS n, sum(z) AS sz, sum(z * z) AS qz
+        |  FROM z GROUP BY g),
+        |tot AS (SELECT count(*)::DOUBLE AS k, sum(n) AS nn, sum(sz) AS tz,
+        |    sum(sz * sz / n) AS bz, sum(qz) AS tq FROM per),
+        |f AS (SELECT nn, k,
+        |    ((bz - tz * tz / nn) / (k - 1.0)) / ((tq - bz) / (nn - k)) AS w
+        |  FROM tot)
+        |SELECT nn::BIGINT AS n, k::BIGINT AS k, round(w, 4) AS w_stat,
+        |  round(w, 4) > 3.0 AS reject FROM f""".stripMargin,
+    "mann_kendall" ->
+      s"""WITH s0 AS ($dailySql),
+         |s AS (SELECT series, x, (row_number() OVER (PARTITION BY series ORDER BY day) - 1)::BIGINT AS t FROM s0),
+         |p AS (SELECT a.series, sign(b.x - a.x) AS sgn,
+         |    (b.x - a.x) / (b.t - a.t)::DOUBLE AS slope
+         |  FROM s a JOIN s b ON a.series = b.series AND a.t < b.t),
+         |ss AS (SELECT series, sum(sgn) AS sv, count(*)::DOUBLE AS m FROM p GROUP BY series),
+         |tg AS (SELECT series, x, count(*)::DOUBLE AS c FROM s GROUP BY series, x),
+         |tv AS (SELECT series, sum(c * (c - 1.0) * (2.0 * c + 5.0)) AS tvv FROM tg GROUP BY series),
+         |np AS (SELECT series, count(*)::DOUBLE AS n FROM s GROUP BY series),
+         |rk AS (SELECT series, slope, row_number()
+         |    OVER (PARTITION BY series ORDER BY slope)::DOUBLE AS rn FROM p),
+         |sen AS (SELECT rk.series, avg(rk.slope) AS sen FROM rk JOIN ss ON rk.series = ss.series
+         |  WHERE rk.rn = floor((ss.m + 1.0) / 2.0) OR rk.rn = floor((ss.m + 2.0) / 2.0)
+         |  GROUP BY rk.series),
+         |f AS (SELECT ss.series, np.n, ss.sv,
+         |    (ss.sv - sign(ss.sv)) /
+         |      sqrt((np.n * (np.n - 1.0) * (2.0 * np.n + 5.0) - tv.tvv) / 18.0) AS z,
+         |    sen.sen
+         |  FROM ss JOIN tv ON ss.series = tv.series JOIN np ON ss.series = np.series
+         |    JOIN sen ON ss.series = sen.series)
+         |SELECT series, n::BIGINT AS n, sv::BIGINT AS s_stat, round(z, 4) AS z,
+         |  round(sen, 4) AS sen_slope, abs(round(z, 4)) > 1.96 AS reject
+         |FROM f ORDER BY series""".stripMargin,
+    "logrank_test" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |dur AS (SELECT user_id, (max(day) - min(day) + 1)::BIGINT AS d FROM e GROUP BY user_id),
+        |dg AS (SELECT d, user_id % 2 = 0 AS g1 FROM dur),
+        |g AS (SELECT d, count(*)::DOUBLE AS dd,
+        |    sum(CASE WHEN g1 THEN 1.0 ELSE 0.0 END) AS d1 FROM dg GROUP BY d),
+        |c AS (SELECT d, dd, d1,
+        |    sum(dd) OVER () - coalesce(sum(dd) OVER (ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n,
+        |    sum(d1) OVER () - coalesce(sum(d1) OVER (ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n1
+        |  FROM g),
+        |a AS (SELECT sum(d1) AS o1, sum(dd * n1 / n) AS e1,
+        |    sum(CASE WHEN n > 1.0 THEN dd * (n1 / n) * (1.0 - n1 / n) * (n - dd) / (n - 1.0)
+        |      ELSE 0.0 END) AS v
+        |  FROM c),
+        |f AS (SELECT o1, e1, (o1 - e1) * (o1 - e1) / v AS chi FROM a)
+        |SELECT o1::BIGINT AS observed_1, round(e1, 4) AS expected_1,
+        |  round(chi, 4) AS chi2, round(chi, 4) > 3.841 AS reject FROM f""".stripMargin,
+    "durbin_watson" ->
+      s"""WITH s0 AS ($dailySql),
+         |s AS (SELECT series, x, (row_number() OVER (PARTITION BY series ORDER BY day) - 1)::BIGINT AS t FROM s0),
+         |st AS (SELECT series, count(*)::DOUBLE AS n, sum(t::DOUBLE) AS sts,
+         |    sum(x) AS sx, sum(t::DOUBLE * x) AS stx, sum(t::DOUBLE * t::DOUBLE) AS stt
+         |  FROM s GROUP BY series),
+         |b AS (SELECT series,
+         |    (stx - sts * sx / n) / (stt - sts * sts / n) AS bb,
+         |    sx / n AS mx, sts / n AS mt FROM st),
+         |e AS (SELECT s.series, s.t, s.x - (b.mx - b.bb * b.mt + b.bb * s.t::DOUBLE) AS e
+         |  FROM s JOIN b ON s.series = b.series),
+         |l AS (SELECT series, e, lag(e, 1) OVER (PARTITION BY series ORDER BY t) AS ep FROM e),
+         |f AS (SELECT series, count(*)::BIGINT AS n,
+         |    sum(CASE WHEN ep IS NOT NULL THEN (e - ep) * (e - ep) ELSE 0.0 END) /
+         |      sum(e * e) AS dw
+         |  FROM l GROUP BY series)
+         |SELECT series, n, round(dw, 4) AS dw_stat, round(dw, 4) < 1.5 AS positive_autocorr
+         |FROM f ORDER BY series""".stripMargin)
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariant pins for the hypothesis-test wave (kruskal_wallis,
+  * jarque_bera, levene_test, mann_kendall, logrank_test, durbin_watson)
+  * at sf0.001 — each statistic's domain and its decision rule, beyond the
+  * DuckDB hash gates. */
+class StatTestSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("kruskal_wallis: H is non-negative and the decision matches the 9.488 cut") {
+    val r = SparkEntry.queries("kruskal_wallis")(spark, sf).head()
+    val h = r.getDouble(r.fieldIndex("h_stat"))
+    assert(h >= 0.0)
+    assert(r.getLong(r.fieldIndex("k")) >= 2)
+    assert(r.getLong(r.fieldIndex("n")) > r.getLong(r.fieldIndex("k")))
+    assert(r.getBoolean(r.fieldIndex("reject")) == (h > 9.488))
+  }
+
+  test("jarque_bera: moments are coherent (m2>0 via finite skew/kurt, kurtosis >= 1)") {
+    val r = SparkEntry.queries("jarque_bera")(spark, sf).head()
+    val skew = r.getDouble(r.fieldIndex("skewness"))
+    val kurt = r.getDouble(r.fieldIndex("kurtosis"))
+    val jb = r.getDouble(r.fieldIndex("jb_stat"))
+    assert(!skew.isNaN && !kurt.isNaN && jb >= 0.0)
+    // kurtosis >= skew^2 + 1 is a universal moment inequality
+    assert(kurt >= skew * skew + 1.0 - 1e-3)
+    assert(r.getBoolean(r.fieldIndex("reject")) == (jb > 5.991))
+  }
+
+  test("levene_test: W is a non-negative variance ratio") {
+    val r = SparkEntry.queries("levene_test")(spark, sf).head()
+    val w = r.getDouble(r.fieldIndex("w_stat"))
+    assert(w >= 0.0)
+    assert(r.getLong(r.fieldIndex("k")) == 3) // return flags A/N/R
+    assert(r.getBoolean(r.fieldIndex("reject")) == (w > 3.0))
+  }
+
+  test("mann_kendall: S is bounded by the pair count and Sen slope sits inside the pair-slope range") {
+    val rows = SparkEntry.queries("mann_kendall")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getLong(r.fieldIndex("n"))
+      val sStat = r.getLong(r.fieldIndex("s_stat"))
+      val m = n * (n - 1) / 2
+      assert(math.abs(sStat) <= m)
+      val z = r.getDouble(r.fieldIndex("z"))
+      assert(r.getBoolean(r.fieldIndex("reject")) == (math.abs(z) > 1.96))
+    }
+  }
+
+  test("logrank_test: expected deaths bounded by total and the chi2 decision is the 3.841 cut") {
+    val r = SparkEntry.queries("logrank_test")(spark, sf).head()
+    val o1 = r.getLong(r.fieldIndex("observed_1"))
+    val e1 = r.getDouble(r.fieldIndex("expected_1"))
+    val chi = r.getDouble(r.fieldIndex("chi2"))
+    assert(o1 >= 0 && e1 >= 0.0 && chi >= 0.0)
+    assert(r.getBoolean(r.fieldIndex("reject")) == (chi > 3.841))
+    // parity split: neither group can exceed the total event count
+    val ev = graft.core.Tables.events(spark, sf)
+      .select(org.apache.spark.sql.functions.col("user_id")).distinct().count()
+    assert(o1 <= ev && e1 <= ev.toDouble)
+  }
+
+  test("durbin_watson: DW lies in [0, 4] for every series") {
+    val rows = SparkEntry.queries("durbin_watson")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val dw = r.getDouble(r.fieldIndex("dw_stat"))
+      assert(dw >= 0.0 && dw <= 4.0)
+      assert(r.getBoolean(r.fieldIndex("positive_autocorr")) == (dw < 1.5))
+    }
+  }
+}
