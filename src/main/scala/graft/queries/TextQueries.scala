@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.Tables
-import graft.core.Num.r6
+import graft.core.Num.{r4, r6}
 import graft.dedup.Dedup
 import graft.text.TextOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -62,6 +62,115 @@ object TextQueries {
     "dedup_minhash_pairs" -> { (s, d) =>
       Dedup.minhashCandidates(Tables.documents(s, d), "text", "doc_id")
         .orderBy("doc1", "doc2")
+    },
+    "dedup_edit" -> { (s, d) =>
+      // edit-distance-verified near-dup: LSH bands PROPOSE (the minhash
+      // candidate machinery — Σ bucket², never n²), codegen levenshtein
+      // on the normalized text VERIFIES — only candidate pairs ever pay
+      // the O(l²) distance; dup = length-normalized ratio ≤ 0.2 on the
+      // ROUNDED value
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashCandidates(docs, "text", "doc_id")
+      val nt = docs.select(col("doc_id").cast("long").as("_id"),
+        Dedup.normText(col("text")).as("_nt"))
+      val ratio = r4(levenshtein(col("_t1"), col("_t2")).cast("double") /
+        greatest(length(col("_t1")), length(col("_t2"))).cast("double"))
+      pairs.join(nt.select(col("_id").as("doc1"), col("_nt").as("_t1")), "doc1")
+        .join(nt.select(col("_id").as("doc2"), col("_nt").as("_t2")), "doc2")
+        .select(col("doc1"), col("doc2"),
+          levenshtein(col("_t1"), col("_t2")).cast("long").as("edit_dist"),
+          ratio.as("edit_ratio"), (ratio <= 0.2).as("is_dup"))
+        .orderBy("doc1", "doc2")
+    },
+    "bleu_score" -> { (s, d) =>
+      // corpus BLEU-2 over the LSH candidate pairs (ref = lower id,
+      // cand = higher id): modified n-gram precision with per-pair
+      // clipping via a counts JOIN (never a token cross product), brevity
+      // penalty from total lengths — the pairwise text-overlap score an
+      // eval pipeline computes between model output and reference
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashCandidates(docs, "text", "doc_id")
+      def gramCounts(k: Int): DataFrame =
+        TextOps.explodedShingles(docs, col("doc_id"), Dedup.normText(col("text")), k)
+          .groupBy(col("doc"), col("sh")).agg(count(lit(1)).cast("double").as("_c"))
+      def clipped(k: Int): DataFrame = {
+        val gc = gramCounts(k)
+        pairs
+          .join(gc.select(col("doc").as("doc2"), col("sh"), col("_c").as("_cc")), "doc2")
+          .join(gc.select(col("doc").as("doc1"), col("sh"), col("_c").as("_cr")),
+            Seq("doc1", "sh"), "left")
+          .agg(sum(least(col("_cc"), coalesce(col("_cr"), lit(0.0)))).as(s"_clip$k"),
+            sum(col("_cc")).as(s"_tot$k"))
+      }
+      val lens = gramCounts(1).groupBy(col("doc")).agg(sum(col("_c")).as("_len"))
+      val lenAgg = pairs
+        .join(lens.select(col("doc").as("doc2"), col("_len").as("_lc")), "doc2")
+        .join(lens.select(col("doc").as("doc1"), col("_len").as("_lr")), "doc1")
+        .agg(sum(col("_lc")).as("_c"), sum(col("_lr")).as("_r"),
+          count(lit(1)).cast("long").as("_np"))
+      val p1 = col("_clip1") / col("_tot1"); val p2 = col("_clip2") / col("_tot2")
+      val bp = when(col("_c") > col("_r"), lit(1.0))
+        .otherwise(exp(lit(1.0) - col("_r") / col("_c")))
+      val bleu = when(col("_clip1") > 0.0 && col("_clip2") > 0.0,
+        bp * exp(lit(0.5) * log(p1) + lit(0.5) * log(p2))).otherwise(lit(0.0))
+      lenAgg.crossJoin(clipped(1)).crossJoin(clipped(2))
+        .select(col("_np").as("n_pairs"), r4(p1).as("p1"), r4(p2).as("p2"),
+          r4(bp).as("brevity"), r4(bleu).as("bleu2"))
+    },
+    "zipf_fit" -> { (s, d) =>
+      // Zipf exponent of the term-frequency distribution: ONE token
+      // groupBy (map-side combined), deterministic top-200 cut via
+      // TakeOrdered, log-log OLS over the bounded ranked frame — the
+      // vocabulary-shape diagnostic an LM corpus audit runs first
+      val tf = Tables.documents(s, d)
+        .select(explode(split(Dedup.normText(col("text")), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .groupBy(col("tok")).agg(count(lit(1)).cast("double").as("_c"))
+      val vocab = tf.agg(count(lit(1)).cast("long").as("_v"))
+      val top = tf.orderBy(col("_c").desc, col("tok")).limit(200)
+      val ranked = top.withColumn("_r", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("_c").desc, col("tok")))
+        .cast("double"))
+      val g = ranked.select(log(col("_r")).as("_x"), log(col("_c")).as("_y"))
+        .agg(count(lit(1)).cast("double").as("_n"), sum(col("_x")).as("_sx"),
+          sum(col("_y")).as("_sy"), sum(col("_x") * col("_y")).as("_sxy"),
+          sum(col("_x") * col("_x")).as("_sxx"))
+      val slope = (col("_sxy") - col("_sx") * col("_sy") / col("_n")) /
+        (col("_sxx") - col("_sx") * col("_sx") / col("_n"))
+      g.crossJoin(broadcast(vocab)).select(col("_n").cast("long").as("n_terms"),
+        col("_v").as("vocab_size"), r4(slope).as("zipf_slope"),
+        r4(col("_sy") / col("_n") - slope * (col("_sx") / col("_n"))).as("intercept"))
+    },
+    "heaps_law" -> { (s, d) =>
+      // Heaps' law vocab-growth fit V(N) = K·N^β over word TRIGRAMS (the
+      // synthetic corpus's unigram/bigram vocabularies saturate within the
+      // first checkpoint — trigrams keep minting types, the regime the law
+      // describes): per-type first-occurrence doc + per-doc type counts,
+      // both evaluated at 10 doc-id checkpoints via a bounded-broadcast
+      // conditional aggregation (no data-scale ordered window anywhere);
+      // log-log OLS gives β
+      val docs = Tables.documents(s, d)
+      val tok = TextOps.explodedShingles(docs, col("doc_id"),
+          Dedup.normText(col("text")), 3)
+        .select(col("doc").as("_doc"), col("sh").as("tok"))
+      val perDoc = tok.groupBy(col("_doc")).agg(count(lit(1)).cast("double").as("_nt"))
+      val firstDoc = tok.groupBy(col("tok")).agg(min(col("_doc")).as("_fd"))
+      val mx = docs.agg(max(col("doc_id").cast("long")).as("_mx"))
+      val cps = s.range(1, 11).select(col("id").as("k")).crossJoin(broadcast(mx))
+        .select(col("k"), floor(col("_mx") * col("k") / 10.0).cast("long").as("ck"))
+      val nK = perDoc.crossJoin(broadcast(cps)).filter(col("_doc") <= col("ck"))
+        .groupBy(col("k")).agg(sum(col("_nt")).as("_N"))
+      val vK = firstDoc.crossJoin(broadcast(cps)).filter(col("_fd") <= col("ck"))
+        .groupBy(col("k")).agg(count(lit(1)).cast("double").as("_V"))
+      val g = nK.join(vK, "k")
+        .select(log(col("_N")).as("_x"), log(col("_V")).as("_y"))
+        .agg(count(lit(1)).cast("double").as("_n"), sum(col("_x")).as("_sx"),
+          sum(col("_y")).as("_sy"), sum(col("_x") * col("_y")).as("_sxy"),
+          sum(col("_x") * col("_x")).as("_sxx"))
+      val slope = (col("_sxy") - col("_sx") * col("_sy") / col("_n")) /
+        (col("_sxx") - col("_sx") * col("_sx") / col("_n"))
+      g.select(col("_n").cast("long").as("n_points"), r4(slope).as("heaps_beta"),
+        r4(exp(col("_sy") / col("_n") - slope * (col("_sx") / col("_n")))).as("heaps_k"))
     },
     "dedup_simhash" -> { (s, d) =>
       Dedup.simhash(Tables.documents(s, d), "text", "doc_id").orderBy("doc")
@@ -1106,6 +1215,71 @@ object TextQueries {
       s"""WITH $minhashPairsCtes
          |SELECT doc1::BIGINT AS doc1, doc2::BIGINT AS doc2
          |FROM pr ORDER BY doc1, doc2""".stripMargin,
+    "dedup_edit" ->
+      s"""WITH $minhashPairsCtes,
+         |nt AS (SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+         |  FROM documents)
+         |SELECT pr.doc1::BIGINT AS doc1, pr.doc2::BIGINT AS doc2,
+         |  levenshtein(a.t, b.t)::BIGINT AS edit_dist,
+         |  round(levenshtein(a.t, b.t)::DOUBLE / greatest(length(a.t), length(b.t))::DOUBLE, 4) AS edit_ratio,
+         |  round(levenshtein(a.t, b.t)::DOUBLE / greatest(length(a.t), length(b.t))::DOUBLE, 4) <= 0.2 AS is_dup
+         |FROM pr JOIN nt a ON pr.doc1 = a.doc_id JOIN nt b ON pr.doc2 = b.doc_id
+         |ORDER BY doc1, doc2""".stripMargin,
+    "bleu_score" ->
+      s"""WITH $minhashPairsCtes,
+         |n2 AS (SELECT doc_id, $normToks AS toks FROM documents),
+         |g1 AS (SELECT doc_id AS doc, unnest(toks) AS g FROM n2),
+         |g2 AS (SELECT doc_id AS doc, unnest(CASE WHEN len(toks) >= 2
+         |    THEN list_transform(range(0, len(toks)-1), i -> toks[i+1] || '_' || toks[i+2])
+         |    ELSE [] END) AS g FROM n2),
+         |cu AS MATERIALIZED (SELECT doc, g, count(*)::DOUBLE AS c FROM g1 GROUP BY doc, g),
+         |cb AS MATERIALIZED (SELECT doc, g, count(*)::DOUBLE AS c FROM g2 GROUP BY doc, g),
+         |s1 AS (SELECT sum(least(c2.c, coalesce(c1.c, 0.0))) AS clip1, sum(c2.c) AS tot1
+         |  FROM pr JOIN cu c2 ON pr.doc2 = c2.doc
+         |  LEFT JOIN cu c1 ON pr.doc1 = c1.doc AND c2.g = c1.g),
+         |s2 AS (SELECT sum(least(c2.c, coalesce(c1.c, 0.0))) AS clip2, sum(c2.c) AS tot2
+         |  FROM pr JOIN cb c2 ON pr.doc2 = c2.doc
+         |  LEFT JOIN cb c1 ON pr.doc1 = c1.doc AND c2.g = c1.g),
+         |lns AS (SELECT doc, sum(c) AS l FROM cu GROUP BY doc),
+         |la AS (SELECT sum(l2.l) AS c, sum(l1.l) AS r, count(*)::BIGINT AS np
+         |  FROM pr JOIN lns l2 ON pr.doc2 = l2.doc JOIN lns l1 ON pr.doc1 = l1.doc),
+         |f AS (SELECT np, clip1, clip2, clip1 / tot1 AS p1, clip2 / tot2 AS p2,
+         |    CASE WHEN c > r THEN 1.0 ELSE exp(1.0 - r / c) END AS bp
+         |  FROM la, s1, s2)
+         |SELECT np AS n_pairs, round(p1, 4) AS p1, round(p2, 4) AS p2,
+         |  round(bp, 4) AS brevity,
+         |  round(CASE WHEN clip1 > 0.0 AND clip2 > 0.0
+         |    THEN bp * exp(0.5 * ln(p1) + 0.5 * ln(p2)) ELSE 0.0 END, 4) AS bleu2
+         |FROM f""".stripMargin,
+    "zipf_fit" ->
+      s"""WITH tk AS (SELECT unnest($normToks) AS tok FROM documents),
+         |tf AS (SELECT tok, count(*)::DOUBLE AS c FROM tk WHERE length(tok) > 0 GROUP BY tok),
+         |vv AS (SELECT count(*)::BIGINT AS v FROM tf),
+         |tp AS (SELECT tok, c FROM tf ORDER BY c DESC, tok LIMIT 200),
+         |rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, tok)::DOUBLE AS r FROM tp),
+         |p AS (SELECT ln(r) AS x, ln(c) AS y FROM rk),
+         |g AS (SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+         |  sum(x * y) AS sxy, sum(x * x) AS sxx FROM p),
+         |f AS (SELECT n, sx, sy, (sxy - sx * sy / n) / (sxx - sx * sx / n) AS b FROM g)
+         |SELECT n::BIGINT AS n_terms, vv.v AS vocab_size, round(b, 4) AS zipf_slope,
+         |  round(sy / n - b * (sx / n), 4) AS intercept FROM f, vv""".stripMargin,
+    "heaps_law" ->
+      s"""WITH n3 AS (SELECT doc_id::BIGINT AS doc, $normToks AS toks FROM documents),
+         |tk2 AS (SELECT doc, unnest(CASE WHEN len(toks) >= 3
+         |    THEN list_transform(range(0, len(toks)-2), i -> toks[i+1] || '_' || toks[i+2] || '_' || toks[i+3])
+         |    ELSE [] END) AS tok FROM n3),
+         |pd AS (SELECT doc, count(*)::DOUBLE AS nt FROM tk2 GROUP BY doc),
+         |fd AS (SELECT tok, min(doc) AS f FROM tk2 GROUP BY tok),
+         |mx AS (SELECT max(doc_id)::BIGINT AS m FROM documents),
+         |cp AS (SELECT k, floor(mx.m * k / 10.0)::BIGINT AS ck FROM range(1, 11) t(k), mx),
+         |nk AS (SELECT cp.k, sum(pd.nt) AS n FROM pd JOIN cp ON pd.doc <= cp.ck GROUP BY cp.k),
+         |vk AS (SELECT cp.k, count(*)::DOUBLE AS v FROM fd JOIN cp ON fd.f <= cp.ck GROUP BY cp.k),
+         |p AS (SELECT ln(nk.n) AS x, ln(vk.v) AS y FROM nk JOIN vk ON nk.k = vk.k),
+         |g AS (SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+         |  sum(x * y) AS sxy, sum(x * x) AS sxx FROM p),
+         |f AS (SELECT n, sx, sy, (sxy - sx * sy / n) / (sxx - sx * sx / n) AS b FROM g)
+         |SELECT n::BIGINT AS n_points, round(b, 4) AS heaps_beta,
+         |  round(exp(sy / n - b * (sx / n)), 4) AS heaps_k FROM f""".stripMargin,
     "dedup_clusters" -> {
       // 8 min-label propagation rounds over the candidate-pair graph,
       // mirroring graft.graph.ConnectedComponents.propagate round-for-round.

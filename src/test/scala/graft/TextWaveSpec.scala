@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariant pins for the text-analysis wave (dedup_edit, bleu_score,
+  * zipf_fit, heaps_law) at sf0.001 — semantic properties beyond the
+  * DuckDB hash gates. */
+class TextWaveSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("dedup_edit: ratios in [0,1], dups consistent with the 0.2 cut, candidates = minhash pairs") {
+    val rows = SparkEntry.queries("dedup_edit")(spark, sf).collect()
+    assert(rows.nonEmpty) // the corpus plants near-dups; LSH must propose them
+    rows.foreach { r =>
+      val ratio = r.getDouble(r.fieldIndex("edit_ratio"))
+      assert(ratio >= 0.0 && ratio <= 1.0)
+      assert(r.getBoolean(r.fieldIndex("is_dup")) == (ratio <= 0.2))
+      assert(r.getLong(r.fieldIndex("edit_dist")) >= 0)
+    }
+    val nPairs = SparkEntry.queries("dedup_minhash_pairs")(spark, sf).count()
+    assert(rows.length.toLong == nPairs)
+  }
+
+  test("bleu_score: precisions and BLEU in [0,1], BLEU bounded by BP·max(p)") {
+    val r = SparkEntry.queries("bleu_score")(spark, sf).head()
+    val p1 = r.getDouble(r.fieldIndex("p1")); val p2 = r.getDouble(r.fieldIndex("p2"))
+    val bp = r.getDouble(r.fieldIndex("brevity")); val bleu = r.getDouble(r.fieldIndex("bleu2"))
+    assert(r.getLong(r.fieldIndex("n_pairs")) > 0)
+    assert(p1 >= 0.0 && p1 <= 1.0 && p2 >= 0.0 && p2 <= 1.0)
+    assert(bp > 0.0 && bp <= 1.0)
+    // geometric mean of p1,p2 times BP can't exceed BP·max(p1,p2)
+    assert(bleu >= 0.0 && bleu <= bp * math.max(p1, p2) + 1e-4)
+    // LSH candidates are near-dups: unigram overlap must dominate bigram
+    assert(p1 >= p2 - 1e-4)
+  }
+
+  test("zipf_fit: slope is negative (frequency decays with rank) and vocab >= fitted terms") {
+    val r = SparkEntry.queries("zipf_fit")(spark, sf).head()
+    assert(r.getDouble(r.fieldIndex("zipf_slope")) < 0.0)
+    assert(r.getLong(r.fieldIndex("vocab_size")) >= r.getLong(r.fieldIndex("n_terms")))
+    assert(r.getLong(r.fieldIndex("n_terms")) > 0)
+  }
+
+  test("heaps_law: beta in (0,1) (vocab grows sublinearly) and K positive") {
+    val r = SparkEntry.queries("heaps_law")(spark, sf).head()
+    val beta = r.getDouble(r.fieldIndex("heaps_beta"))
+    assert(r.getLong(r.fieldIndex("n_points")) == 10)
+    assert(beta > 0.0 && beta < 1.0)
+    assert(r.getDouble(r.fieldIndex("heaps_k")) > 0.0)
+  }
+}
