@@ -164,6 +164,77 @@ object TSAQueries {
       TimeSeries.stationarityKpss(TimeSeries.dailySeries(Tables.events(s, d)))
         .orderBy("series")
     },
+    "ewma_chart" -> { (s, d) =>
+      // EWMA control chart (λ=0.2, L=3) per daily series: the smoothed
+      // line is the SES recursion (sesSmoothed — per-series in-partition
+      // fold, replayed by the recursive CTE), limits are the textbook
+      // time-varying 3σ√(λ/(2−λ)(1−(1−λ)^{2t})) band around the series
+      // mean; alarms decided on the ROUNDED excess from t≥1
+      val daily = TimeSeries.dailySeries(Tables.events(s, d))
+      val ses = TimeSeries.sesSmoothed(daily, 0.2)
+      val st = daily.groupBy(col("series")).agg(avg(col("x")).as("_mu"),
+        stddev_samp(col("x")).as("_sd"), count(lit(1)).cast("long").as("_n"))
+      val lim = lit(3.0) * col("_sd") *
+        sqrt(lit(0.2) / 1.8 * (lit(1.0) - pow(lit(0.8), col("t") * 2)))
+      val exc = round(abs(col("smoothed") - col("_mu")) - lim, 4)
+      val flagged = ses.join(broadcast(st), "series")
+        .withColumn("_alarm", col("t") >= 1 && exc > 0.0)
+        .withColumn("_exc", exc)
+      flagged.groupBy(col("series")).agg(max(col("_n")).as("n"),
+          sum(when(col("_alarm"), 1L).otherwise(0L)).as("n_alarms"),
+          coalesce(min(when(col("_alarm"), col("t"))), lit(-1L)).as("first_alarm"),
+          r4(max(when(col("t") >= 1, col("_exc")))).as("max_excess"))
+        .orderBy("series")
+    },
+    "page_hinkley" -> { (s, d) =>
+      // Page-Hinkley drift detector per series (the online mean-shift
+      // alarm a streaming quality gate runs): per-row term x_t − mean_t − δ
+      // with mean_t the RUNNING mean (cumavg window), m_t its cumsum,
+      // PH_t = m_t − min_{i≤t} m_i; δ = 0.1σ, alarm at PH > 2σ on the
+      // ROUNDED excess — three chained windows inside one series partition
+      val ds = TimeSeries.dailySeries(Tables.events(s, d))
+      val st = ds.groupBy(col("series")).agg(stddev_samp(col("x")).as("_sd"),
+        count(lit(1)).cast("long").as("_n"))
+      val w = Window.partitionBy(col("series")).orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val base = ds.join(broadcast(st), "series")
+        .withColumn("_cm", avg(col("x")).over(w))
+        .withColumn("_m", sum(col("x") - col("_cm") - lit(0.1) * col("_sd")).over(w))
+        .withColumn("_ph", col("_m") - min(col("_m")).over(w))
+        .withColumn("_exc", round(col("_ph") - lit(2.0) * col("_sd"), 4))
+      base.groupBy(col("series")).agg(max(col("_n")).as("n"),
+          sum(when(col("_exc") > 0.0, 1L).otherwise(0L)).as("n_alarms"),
+          coalesce(min(when(col("_exc") > 0.0, col("t"))), lit(-1L)).as("first_alarm"),
+          r4(max(col("_ph"))).as("max_ph"))
+        .orderBy("series")
+    },
+    "binseg_changepoint" -> { (s, d) =>
+      // single-split binary segmentation per series: best τ maximizes the
+      // SSE reduction total − (left + right), all three from ONE prefix
+      // cumsum pass (S_t, Q_t) + the series totals; argmax on the ROUNDED
+      // gain, earliest-τ tie-break — the variance-based sibling of the
+      // mean-shift cusum screen
+      val ds = TimeSeries.dailySeries(Tables.events(s, d))
+      val w = Window.partitionBy(col("series")).orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = ds.withColumn("_cs", sum(col("x")).over(w))
+        .withColumn("_cq", sum(col("x") * col("x")).over(w))
+        .withColumn("_i", (col("t") + 1).cast("double"))
+      val tot = ds.groupBy(col("series")).agg(count(lit(1)).cast("double").as("_n"),
+        sum(col("x")).as("_S"), sum(col("x") * col("x")).as("_Q"))
+      val cand = cum.join(broadcast(tot), "series").filter(col("_i") < col("_n"))
+      val leftSse = col("_cq") - col("_cs") * col("_cs") / col("_i")
+      val rightSse = (col("_Q") - col("_cq")) -
+        (col("_S") - col("_cs")) * (col("_S") - col("_cs")) / (col("_n") - col("_i"))
+      val gain = (col("_Q") - col("_S") * col("_S") / col("_n")) - (leftSse + rightSse)
+      val wr = Window.partitionBy(col("series"))
+        .orderBy(round(gain, 4).desc, col("t"))
+      cand.withColumn("_rn", row_number().over(wr)).filter(col("_rn") === 1)
+        .select(col("series"), col("_n").cast("long").as("n"), col("t").as("cp_t"),
+          r4(gain).as("gain"), r4(col("_cs") / col("_i")).as("mean_left"),
+          r4((col("_S") - col("_cs")) / (col("_n") - col("_i"))).as("mean_right"))
+        .orderBy("series")
+    },
     "cusum_changepoint" -> { (s, d) =>
       // CUSUM mean-shift screen per series: S_t = Σ(x−x̄), changepoint =
       // argmax |S_t| (on ROUNDED values, earliest-t tie-break), statistic
@@ -993,6 +1064,71 @@ object TSAQueries {
          |  UNION ALL SELECT series, 4::BIGINT, round(xc4, 4) FROM fin
          |  UNION ALL SELECT series, 5::BIGINT, round(xc5, 4) FROM fin
          |) ORDER BY series, step""".stripMargin,
+    "ewma_chart" ->
+      s"""WITH RECURSIVE s0 AS ($dailySql),
+         |s AS (SELECT series, x, (row_number() OVER (PARTITION BY series ORDER BY day) - 1)::BIGINT AS t FROM s0),
+         |sm AS (
+         |  SELECT series, t, x, x AS sv FROM s WHERE t = 0
+         |  UNION ALL
+         |  SELECT n.series, n.t, n.x, 0.2 * n.x + (1.0 - 0.2) * sm.sv AS sv
+         |  FROM sm JOIN s n ON n.series = sm.series AND n.t = sm.t + 1),
+         |st AS (SELECT series, avg(x) AS mu, stddev_samp(x) AS sd, count(*)::BIGINT AS n
+         |  FROM s GROUP BY series),
+         |e AS (SELECT sm.series, sm.t, st.n,
+         |    round(abs(sm.sv - st.mu) -
+         |      3.0 * st.sd * sqrt(0.2 / 1.8 * (1.0 - power(0.8, sm.t * 2))), 4) AS exc
+         |  FROM sm JOIN st ON sm.series = st.series),
+         |f AS (SELECT series, max(n) AS n,
+         |    sum(CASE WHEN t >= 1 AND exc > 0.0 THEN 1 ELSE 0 END)::BIGINT AS n_alarms,
+         |    coalesce(min(CASE WHEN t >= 1 AND exc > 0.0 THEN t END), -1)::BIGINT AS first_alarm,
+         |    round(max(CASE WHEN t >= 1 THEN exc END), 4) AS max_excess
+         |  FROM e GROUP BY series)
+         |SELECT series, n, n_alarms, first_alarm, max_excess FROM f ORDER BY series""".stripMargin,
+    "page_hinkley" ->
+      s"""WITH s0 AS ($dailySql),
+         |s AS (SELECT series, x, (row_number() OVER (PARTITION BY series ORDER BY day) - 1)::BIGINT AS t FROM s0),
+         |st AS (SELECT series, stddev_samp(x) AS sd, count(*)::BIGINT AS n FROM s GROUP BY series),
+         |c AS (SELECT s.series, s.t, st.n, st.sd, s.x,
+         |    avg(s.x) OVER (PARTITION BY s.series ORDER BY s.t
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+         |  FROM s JOIN st ON s.series = st.series),
+         |m AS (SELECT series, t, n, sd,
+         |    sum(x - cm - 0.1 * sd) OVER (PARTITION BY series ORDER BY t
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mv
+         |  FROM c),
+         |p AS (SELECT series, t, n, sd, mv,
+         |    mv - min(mv) OVER (PARTITION BY series ORDER BY t
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph
+         |  FROM m),
+         |e AS (SELECT series, t, n, ph, round(ph - 2.0 * sd, 4) AS exc FROM p),
+         |f AS (SELECT series, max(n) AS n,
+         |    sum(CASE WHEN exc > 0.0 THEN 1 ELSE 0 END)::BIGINT AS n_alarms,
+         |    coalesce(min(CASE WHEN exc > 0.0 THEN t END), -1)::BIGINT AS first_alarm,
+         |    round(max(ph), 4) AS max_ph
+         |  FROM e GROUP BY series)
+         |SELECT series, n, n_alarms, first_alarm, max_ph FROM f ORDER BY series""".stripMargin,
+    "binseg_changepoint" ->
+      s"""WITH s0 AS ($dailySql),
+         |s AS (SELECT series, x, (row_number() OVER (PARTITION BY series ORDER BY day) - 1)::BIGINT AS t FROM s0),
+         |c AS (SELECT series, t,
+         |    sum(x) OVER (PARTITION BY series ORDER BY t
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs,
+         |    sum(x * x) OVER (PARTITION BY series ORDER BY t
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cq,
+         |    (t + 1)::DOUBLE AS i
+         |  FROM s),
+         |tt AS (SELECT series, count(*)::DOUBLE AS n, sum(x) AS sx, sum(x * x) AS qx
+         |  FROM s GROUP BY series),
+         |g AS (SELECT c.series, c.t, tt.n, c.cs, c.i, tt.sx,
+         |    (qx - sx * sx / n) - ((cq - cs * cs / i) +
+         |      ((qx - cq) - (sx - cs) * (sx - cs) / (n - i))) AS gain
+         |  FROM c JOIN tt ON c.series = tt.series WHERE c.i < tt.n),
+         |r AS (SELECT series, t, n, gain, cs, i, sx,
+         |    row_number() OVER (PARTITION BY series ORDER BY round(gain, 4) DESC, t) AS rn
+         |  FROM g)
+         |SELECT series, n::BIGINT AS n, t AS cp_t, round(gain, 4) AS gain,
+         |  round(cs / i, 4) AS mean_left, round((sx - cs) / (n - i), 4) AS mean_right
+         |FROM r WHERE rn = 1 ORDER BY series""".stripMargin,
     "cusum_changepoint" ->
       s"""WITH s0 AS ($dailySql),
          |s AS (SELECT series, x, (row_number() OVER (PARTITION BY series ORDER BY day) - 1)::BIGINT AS t FROM s0),
