@@ -1,9 +1,9 @@
 package graft.queries
 
 import graft.core.Tables
-import graft.core.Num.r4
+import graft.core.Num.{r4, r6}
 import graft.tsa.TimeSeries
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -169,6 +169,127 @@ object StatTestQueries {
         r4(col("_e1")).as("expected_1"), r4(chi).as("chi2"),
         (r4(chi) > 3.841).as("reject"))
     },
+    "vif" -> { (s, d) =>
+      // variance inflation factors for the (quantity, extendedprice,
+      // discount) design: closed-form from the 3×3 correlation matrix
+      // inverse (cofactors — no iterative solve), every pairwise moment
+      // from ONE map-side-combined aggregate; the multicollinearity
+      // screen run before any linear fit
+      val q = col("l_quantity") / 10.0
+      val e = col("l_extendedprice") / 100000.0
+      val dd = col("l_discount")
+      val g = Tables.lineitem(s, d).agg(count(lit(1)).cast("double").as("_n"),
+        sum(q).as("_sq"), sum(e).as("_se"), sum(dd).as("_sd"),
+        sum(q * q).as("_sqq"), sum(e * e).as("_see"), sum(dd * dd).as("_sdd"),
+        sum(q * e).as("_sqe"), sum(q * dd).as("_sqd"), sum(e * dd).as("_sed"))
+      def cv(sab: Column, sa: Column, sb: Column) = sab - sa * sb / col("_n")
+      val r12 = cv(col("_sqe"), col("_sq"), col("_se")) /
+        sqrt(cv(col("_sqq"), col("_sq"), col("_sq")) * cv(col("_see"), col("_se"), col("_se")))
+      val r13 = cv(col("_sqd"), col("_sq"), col("_sd")) /
+        sqrt(cv(col("_sqq"), col("_sq"), col("_sq")) * cv(col("_sdd"), col("_sd"), col("_sd")))
+      val r23 = cv(col("_sed"), col("_se"), col("_sd")) /
+        sqrt(cv(col("_see"), col("_se"), col("_se")) * cv(col("_sdd"), col("_sd"), col("_sd")))
+      val det = lit(1.0) + lit(2.0) * r12 * r13 * r23 - r12 * r12 - r13 * r13 - r23 * r23
+      def out(name: String, v: Column) =
+        g.select(lit(name).as("feature"), r4(v).as("vif"),
+          r4(lit(1.0) - lit(1.0) / v).as("r2_others"))
+      out("l_quantity", (lit(1.0) - r23 * r23) / det)
+        .unionAll(out("l_extendedprice", (lit(1.0) - r13 * r13) / det))
+        .unionAll(out("l_discount", (lit(1.0) - r12 * r12) / det))
+        .orderBy("feature")
+    },
+    "partial_corr" -> { (s, d) =>
+      // first-order partial correlations of the same triple (each pair
+      // controlling for the third): r_xy.z = (r_xy − r_xz·r_yz) /
+      // √((1−r_xz²)(1−r_yz²)) — the conditional-dependence screen beside
+      // vif, same ONE-aggregate moment pass
+      val q = col("l_quantity") / 10.0
+      val e = col("l_extendedprice") / 100000.0
+      val dd = col("l_discount")
+      val g = Tables.lineitem(s, d).agg(count(lit(1)).cast("double").as("_n"),
+        sum(q).as("_sq"), sum(e).as("_se"), sum(dd).as("_sd"),
+        sum(q * q).as("_sqq"), sum(e * e).as("_see"), sum(dd * dd).as("_sdd"),
+        sum(q * e).as("_sqe"), sum(q * dd).as("_sqd"), sum(e * dd).as("_sed"))
+      def cv(sab: Column, sa: Column, sb: Column) = sab - sa * sb / col("_n")
+      val r12 = cv(col("_sqe"), col("_sq"), col("_se")) /
+        sqrt(cv(col("_sqq"), col("_sq"), col("_sq")) * cv(col("_see"), col("_se"), col("_se")))
+      val r13 = cv(col("_sqd"), col("_sq"), col("_sd")) /
+        sqrt(cv(col("_sqq"), col("_sq"), col("_sq")) * cv(col("_sdd"), col("_sd"), col("_sd")))
+      val r23 = cv(col("_sed"), col("_se"), col("_sd")) /
+        sqrt(cv(col("_see"), col("_se"), col("_se")) * cv(col("_sdd"), col("_sd"), col("_sd")))
+      def pc(rxy: Column, rxz: Column, ryz: Column) =
+        (rxy - rxz * ryz) / sqrt((lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz))
+      def out(name: String, r: Column, p: Column) =
+        g.select(lit(name).as("pair"), r4(r).as("corr"), r4(p).as("partial_corr"))
+      out("quantity_extendedprice", r12, pc(r12, r13, r23))
+        .unionAll(out("quantity_discount", r13, pc(r13, r12, r23)))
+        .unionAll(out("extendedprice_discount", r23, pc(r23, r12, r13)))
+        .orderBy("pair")
+    },
+    "cooks_distance" -> { (s, d) =>
+      // Cook's distance for the extendedprice~quantity OLS: closed-form
+      // hat diagonal + residual from ONE sums pass (broadcast single
+      // row), top-10 influential rows via TakeOrdered on the ROUNDED
+      // statistic — the influence audit that flags label-corrupting rows
+      val li = Tables.lineitem(s, d)
+      val x = col("l_quantity") / 10.0
+      val y = col("l_extendedprice") / 100000.0
+      val g = li.agg(count(lit(1)).cast("double").as("_n"), sum(x).as("_sx"),
+        sum(y).as("_sy"), sum(x * x).as("_sxx"), sum(x * y).as("_sxy"),
+        sum(y * y).as("_syy"))
+      val sxx = col("_sxx") - col("_sx") * col("_sx") / col("_n")
+      val sxy = col("_sxy") - col("_sx") * col("_sy") / col("_n")
+      val syy = col("_syy") - col("_sy") * col("_sy") / col("_n")
+      val st = g.select(col("_n"), col("_sx"), col("_sy"),
+        sxx.as("_Sxx"), (sxy / sxx).as("_b"),
+        ((syy - (sxy / sxx) * sxy) / (col("_n") - 2.0)).as("_s2"))
+      val joined = li.crossJoin(broadcast(st))
+      val bHat = col("_b"); val aHat = col("_sy") / col("_n") - bHat * (col("_sx") / col("_n"))
+      val eRes = y - (aHat + bHat * x)
+      val h = lit(1.0) / col("_n") +
+        (x - col("_sx") / col("_n")) * (x - col("_sx") / col("_n")) / col("_Sxx")
+      val dCook = eRes * eRes * h / (lit(2.0) * col("_s2") * (lit(1.0) - h) * (lit(1.0) - h))
+      joined.select(col("l_orderkey"), col("l_linenumber"),
+          r4(dCook).as("cooks_d"), r6(h).as("leverage"), r4(eRes).as("resid"))
+        .orderBy(col("cooks_d").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(10)
+    },
+    "cronbach_alpha" -> { (s, d) =>
+      // Cronbach's alpha over the four scaled lineitem measures (internal
+      // consistency of an item battery): per-item variances and the
+      // row-total variance from ONE aggregate — the feature-battery
+      // reliability screen
+      val items = Seq(col("l_quantity") / 10.0, col("l_extendedprice") / 100000.0,
+        col("l_discount"), col("l_tax"))
+      val tot = items.reduce(_ + _)
+      val aggs = Seq(count(lit(1)).cast("double").as("_n")) ++
+        items.zipWithIndex.flatMap { case (c, i) =>
+          Seq(sum(c).as(s"_s$i"), sum(c * c).as(s"_q$i")) } ++
+        Seq(sum(tot).as("_st"), sum(tot * tot).as("_qt"))
+      val g = Tables.lineitem(s, d).agg(aggs.head, aggs.tail: _*)
+      def svar(sc: Column, qc: Column) =
+        (qc - sc * sc / col("_n")) / (col("_n") - 1.0)
+      val sumVars = items.indices.map(i => svar(col(s"_s$i"), col(s"_q$i"))).reduce(_ + _)
+      val vTot = svar(col("_st"), col("_qt"))
+      val alpha = lit(4.0) / 3.0 * (lit(1.0) - sumVars / vTot)
+      g.select(col("_n").cast("long").as("n"), lit(4L).as("k"),
+        r4(alpha).as("alpha"), (r4(alpha) >= 0.5).as("acceptable"))
+    },
+    "grubbs_test" -> { (s, d) =>
+      // Grubbs max-outlier test on totalprice: G = max|x−x̄|/s with the
+      // arg-max key; stats pass broadcast, extremum via TakeOrdered on the
+      // ROUNDED deviation (conservative fixed 4.0 critical value for
+      // n ≥ 10³ declared in the reject rule)
+      val o = Tables.orders(s, d)
+      val st = o.agg(count(lit(1)).cast("double").as("_n"),
+        avg(col("o_totalprice")).as("_m"), stddev_samp(col("o_totalprice")).as("_sd"))
+      val dev = r4(abs(col("o_totalprice") - col("_m")) / col("_sd"))
+      o.crossJoin(broadcast(st))
+        .select(col("_n").cast("long").as("n"), col("o_orderkey").as("outlier_key"),
+          dev.as("g_stat"), (dev > 4.0).as("reject"))
+        .orderBy(col("g_stat").desc, col("outlier_key"))
+        .limit(1)
+    },
     "durbin_watson" -> { (s, d) =>
       // Durbin-Watson residual autocorrelation of the per-series
       // day-index OLS: closed-form slope from one sums pass, residual
@@ -196,7 +317,94 @@ object StatTestQueries {
         .orderBy("series")
     })
 
+  /** Shared moment CTEs for the (quantity, extendedprice, discount)
+    * correlation triple — vif and partial_corr key off the same `r`. */
+  private val corrTripleCtes =
+    """g AS (SELECT count(*)::DOUBLE AS n,
+      |    sum(l_quantity / 10.0) AS sq, sum(l_extendedprice / 100000.0) AS se,
+      |    sum(l_discount) AS sd,
+      |    sum((l_quantity / 10.0) * (l_quantity / 10.0)) AS sqq,
+      |    sum((l_extendedprice / 100000.0) * (l_extendedprice / 100000.0)) AS see,
+      |    sum(l_discount * l_discount) AS sdd,
+      |    sum((l_quantity / 10.0) * (l_extendedprice / 100000.0)) AS sqe,
+      |    sum((l_quantity / 10.0) * l_discount) AS sqd,
+      |    sum((l_extendedprice / 100000.0) * l_discount) AS sed
+      |  FROM lineitem),
+      |r AS (SELECT
+      |    (sqe - sq * se / n) / sqrt((sqq - sq * sq / n) * (see - se * se / n)) AS r12,
+      |    (sqd - sq * sd / n) / sqrt((sqq - sq * sq / n) * (sdd - sd * sd / n)) AS r13,
+      |    (sed - se * sd / n) / sqrt((see - se * se / n) * (sdd - sd * sd / n)) AS r23
+      |  FROM g)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "vif" ->
+      s"""WITH $corrTripleCtes,
+         |dt AS (SELECT r12, r13, r23,
+         |    1.0 + 2.0 * r12 * r13 * r23 - r12 * r12 - r13 * r13 - r23 * r23 AS det
+         |  FROM r)
+         |SELECT 'l_quantity' AS feature, round((1.0 - r23 * r23) / det, 4) AS vif,
+         |  round(1.0 - 1.0 / ((1.0 - r23 * r23) / det), 4) AS r2_others FROM dt
+         |UNION ALL SELECT 'l_extendedprice', round((1.0 - r13 * r13) / det, 4),
+         |  round(1.0 - 1.0 / ((1.0 - r13 * r13) / det), 4) FROM dt
+         |UNION ALL SELECT 'l_discount', round((1.0 - r12 * r12) / det, 4),
+         |  round(1.0 - 1.0 / ((1.0 - r12 * r12) / det), 4) FROM dt
+         |ORDER BY feature""".stripMargin,
+    "partial_corr" ->
+      s"""WITH $corrTripleCtes
+         |SELECT 'quantity_extendedprice' AS pair, round(r12, 4) AS corr,
+         |  round((r12 - r13 * r23) / sqrt((1.0 - r13 * r13) * (1.0 - r23 * r23)), 4) AS partial_corr FROM r
+         |UNION ALL SELECT 'quantity_discount', round(r13, 4),
+         |  round((r13 - r12 * r23) / sqrt((1.0 - r12 * r12) * (1.0 - r23 * r23)), 4) FROM r
+         |UNION ALL SELECT 'extendedprice_discount', round(r23, 4),
+         |  round((r23 - r12 * r13) / sqrt((1.0 - r12 * r12) * (1.0 - r13 * r13)), 4) FROM r
+         |ORDER BY pair""".stripMargin,
+    "cooks_distance" ->
+      """WITH g AS (SELECT count(*)::DOUBLE AS n, sum(l_quantity / 10.0) AS sx,
+        |    sum(l_extendedprice / 100000.0) AS sy,
+        |    sum((l_quantity / 10.0) * (l_quantity / 10.0)) AS sxx,
+        |    sum((l_quantity / 10.0) * (l_extendedprice / 100000.0)) AS sxy,
+        |    sum((l_extendedprice / 100000.0) * (l_extendedprice / 100000.0)) AS syy
+        |  FROM lineitem),
+        |st AS (SELECT n, sx, sy, sxx - sx * sx / n AS sxxc,
+        |    (sxy - sx * sy / n) / (sxx - sx * sx / n) AS b,
+        |    ((syy - sy * sy / n) - ((sxy - sx * sy / n) / (sxx - sx * sx / n)) *
+        |      (sxy - sx * sy / n)) / (n - 2.0) AS s2
+        |  FROM g),
+        |j AS (SELECT l_orderkey, l_linenumber, l_extendedprice / 100000.0 AS y,
+        |    l_quantity / 10.0 AS x, st.* FROM lineitem, st),
+        |c AS (SELECT l_orderkey, l_linenumber,
+        |    y - ((sy / n - b * (sx / n)) + b * x) AS e,
+        |    1.0 / n + (x - sx / n) * (x - sx / n) / sxxc AS h, s2 FROM j)
+        |SELECT l_orderkey, l_linenumber,
+        |  round(e * e * h / (2.0 * s2 * (1.0 - h) * (1.0 - h)), 4) AS cooks_d,
+        |  round(h, 6) AS leverage, round(e, 4) AS resid
+        |FROM c ORDER BY cooks_d DESC, l_orderkey, l_linenumber LIMIT 10""".stripMargin,
+    "cronbach_alpha" ->
+      """WITH g AS (SELECT count(*)::DOUBLE AS n,
+        |    sum(l_quantity / 10.0) AS s0,
+        |    sum((l_quantity / 10.0) * (l_quantity / 10.0)) AS q0,
+        |    sum(l_extendedprice / 100000.0) AS s1,
+        |    sum((l_extendedprice / 100000.0) * (l_extendedprice / 100000.0)) AS q1,
+        |    sum(l_discount) AS s2, sum(l_discount * l_discount) AS q2,
+        |    sum(l_tax) AS s3, sum(l_tax * l_tax) AS q3,
+        |    sum(l_quantity / 10.0 + l_extendedprice / 100000.0 + l_discount + l_tax) AS st,
+        |    sum((l_quantity / 10.0 + l_extendedprice / 100000.0 + l_discount + l_tax) *
+        |      (l_quantity / 10.0 + l_extendedprice / 100000.0 + l_discount + l_tax)) AS qt
+        |  FROM lineitem),
+        |a AS (SELECT n,
+        |    4.0 / 3.0 * (1.0 - ((q0 - s0 * s0 / n) / (n - 1.0) + (q1 - s1 * s1 / n) / (n - 1.0)
+        |      + (q2 - s2 * s2 / n) / (n - 1.0) + (q3 - s3 * s3 / n) / (n - 1.0)) /
+        |      ((qt - st * st / n) / (n - 1.0))) AS alpha
+        |  FROM g)
+        |SELECT n::BIGINT AS n, 4::BIGINT AS k, round(alpha, 4) AS alpha,
+        |  round(alpha, 4) >= 0.5 AS acceptable FROM a""".stripMargin,
+    "grubbs_test" ->
+      """WITH st AS (SELECT count(*)::DOUBLE AS n, avg(o_totalprice) AS m,
+        |    stddev_samp(o_totalprice) AS sd FROM orders),
+        |c AS (SELECT st.n, o_orderkey,
+        |    round(abs(o_totalprice - st.m) / st.sd, 4) AS g FROM orders, st)
+        |SELECT n::BIGINT AS n, o_orderkey AS outlier_key, g AS g_stat, g > 4.0 AS reject
+        |FROM c ORDER BY g DESC, o_orderkey LIMIT 1""".stripMargin,
     "kruskal_wallis" ->
       """WITH o AS (SELECT o_orderpriority AS g, o_totalprice AS v FROM orders),
         |gv AS (SELECT v, count(*)::DOUBLE AS c FROM o GROUP BY v),

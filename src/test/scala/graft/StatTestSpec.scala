@@ -64,6 +64,56 @@ class StatTestSpec extends AnyFunSuite {
     assert(o1 <= ev && e1 <= ev.toDouble)
   }
 
+  test("vif: every VIF >= 1 and r2_others in [0,1)") {
+    val rows = SparkEntry.queries("vif")(spark, sf).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val v = r.getDouble(r.fieldIndex("vif"))
+      val r2 = r.getDouble(r.fieldIndex("r2_others"))
+      assert(v >= 1.0 - 1e-4)
+      assert(r2 >= -1e-4 && r2 < 1.0)
+      // VIF = 1/(1-R^2) must be internally consistent
+      assert(math.abs(v - 1.0 / (1.0 - r2)) < 0.02 * v + 1e-3)
+    }
+  }
+
+  test("partial_corr: correlations and partials in [-1,1]") {
+    val rows = SparkEntry.queries("partial_corr")(spark, sf).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(r.fieldIndex("corr"))) <= 1.0)
+      assert(math.abs(r.getDouble(r.fieldIndex("partial_corr"))) <= 1.0)
+    }
+  }
+
+  test("cooks_distance: top-10 non-negative and sorted descending; leverage in (0,1)") {
+    val rows = SparkEntry.queries("cooks_distance")(spark, sf).collect()
+    assert(rows.length == 10)
+    val ds = rows.map(r => r.getDouble(r.fieldIndex("cooks_d")))
+    assert(ds.forall(_ >= 0.0))
+    assert(ds.zip(ds.tail).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      val h = r.getDouble(r.fieldIndex("leverage"))
+      assert(h > 0.0 && h < 1.0)
+    }
+  }
+
+  test("cronbach_alpha: alpha <= 1 and the acceptable flag matches the 0.5 cut") {
+    val r = SparkEntry.queries("cronbach_alpha")(spark, sf).head()
+    val a = r.getDouble(r.fieldIndex("alpha"))
+    assert(a <= 1.0)
+    assert(r.getLong(r.fieldIndex("k")) == 4)
+    assert(r.getBoolean(r.fieldIndex("acceptable")) == (a >= 0.5))
+  }
+
+  test("grubbs_test: G positive, bounded by (n-1)/sqrt(n), decision at 4.0") {
+    val r = SparkEntry.queries("grubbs_test")(spark, sf).head()
+    val g = r.getDouble(r.fieldIndex("g_stat"))
+    val n = r.getLong(r.fieldIndex("n")).toDouble
+    assert(g > 0.0 && g <= (n - 1) / math.sqrt(n) + 1e-4)
+    assert(r.getBoolean(r.fieldIndex("reject")) == (g > 4.0))
+  }
+
   test("durbin_watson: DW lies in [0, 4] for every series") {
     val rows = SparkEntry.queries("durbin_watson")(spark, sf).collect()
     assert(rows.nonEmpty)
