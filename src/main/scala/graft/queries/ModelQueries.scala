@@ -218,6 +218,45 @@ object ModelQueries {
           .orderBy("event_type")
       }
     },
+    "streaming_series_score" -> { (s, d) =>
+      // the LAST spec-only streaming twin made oracle-visible: a
+      // PER-SERIES model (saveSeriesModel long format — engine-neutral
+      // doubles, level from the r4'd batch mean, literal trend/season:
+      // the persistence round-trip and stream-static serve are under
+      // test, parameter fitting is the hw family's job) persists, loads
+      // at stream definition, and serves the REAL events stream through
+      // streamingSeriesScore's stateless stream-static join
+      // (Trigger.AvailableNow, memory sink); the per-series residual
+      // summary hash-gates against the SQL replay of the same literals
+      withTmpModel("stream_series") { path =>
+        val lv = Tables.events(s, d).groupBy(col("event_type").as("series"))
+          .agg(r4(avg(col("value"))).as("_lv"))
+        val modelRows = lv.select(col("series"), lit("level").as("key"),
+            col("_lv").as("value"))
+          .unionAll(lv.select(col("series"), lit("trend").as("key"),
+            lit(0.01).as("value")))
+          .unionAll(lv.select(col("series"), lit("season_0").as("key"),
+            lit(0.02).as("value")))
+        ModelIO.saveSeriesModel(modelRows, "hw_additive", path)
+        val sink = "graft_stream_series_score"
+        val q = graft.streaming.StreamingOps.streamingSeriesScore(
+            Tables.eventsStream(s, d).select(col("event_type").as("series"),
+              col("value").as("x")),
+            path, "hw_additive")
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(sink).groupBy(col("series"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            r4(avg(col("residual"))).as("avg_resid"),
+            r4(min(col("residual"))).as("min_resid"),
+            r4(max(col("residual"))).as("max_resid"),
+            r4(max(col("forecast1"))).as("forecast1"))
+          .orderBy("series")
+      }
+    },
     "streaming_dedup_index" -> { (s, d) =>
       // the persisted-index ingest dedup oracle-visible END-TO-END:
       // the already-ingested front half reduces to one row per content
@@ -399,6 +438,17 @@ object ModelQueries {
         |  round(min(1.25 + 0.5 * value), 4) AS min_score,
         |  round(max(1.25 + 0.5 * value), 4) AS max_score
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "streaming_series_score" ->
+      """WITH lv AS (SELECT event_type AS series, round(avg(value), 4) AS level
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT e.event_type AS series,
+        |    round(l.level + 0.01 + 0.02, 4) AS forecast1,
+        |    round(e.value - (l.level + 0.01 + 0.02), 4) AS residual
+        |  FROM events e JOIN lv l ON e.event_type = l.series)
+        |SELECT series, count(*)::BIGINT AS n, round(avg(residual), 4) AS avg_resid,
+        |  round(min(residual), 4) AS min_resid, round(max(residual), 4) AS max_resid,
+        |  round(max(forecast1), 4) AS forecast1
+        |FROM r GROUP BY series ORDER BY series""".stripMargin,
     // the streamed anti-join serve replayed as the split + NOT EXISTS
     "streaming_dedup_index" ->
       """WITH h AS (SELECT doc_id::BIGINT AS doc_id,
