@@ -382,6 +382,33 @@ object AnalyticsQueries {
       graft.graph.HITS.run(edges, "c", "p", rounds = 3, topK = 10)
         .orderBy("kind", "rank")
     },
+    "link_prediction" -> { (s, d) =>
+      // link prediction over the co-purchase bipartite graph: Jaccard +
+      // Adamic-Adar scores per part pair (common neighbors = shared
+      // orders, AA weights each shared order by 1/ln(basket size)) — pair
+      // fan-out generated IN-ROW from the shared basket frame with the
+      // order's weight projected once; marginals from the exploded basket
+      val b = baskets(Tables.lineitem(s, d)).localCheckpoint()
+      val n = size(col("ps"))
+      val pairsArr = flatten(transform(sequence(lit(0), n - 2),
+        i => transform(sequence(i + 1, n - 1),
+          j => struct(element_at(col("ps"), i + 1).as("p1"),
+            element_at(col("ps"), j + 1).as("p2")))))
+      val pw = b.filter(n >= 2)
+        .select(explode(pairsArr).as("t"), (lit(1.0) / log(n.cast("double"))).as("_w"))
+        .groupBy(col("t.p1").as("p1"), col("t.p2").as("p2"))
+        .agg(count(lit(1)).cast("double").as("_common"), sum(col("_w")).as("_aa"))
+        .filter(col("_common") >= 2)
+      val perPart = b.select(explode(col("ps")).as("p"))
+        .groupBy(col("p")).agg(count(lit(1)).cast("double").as("_np"))
+      pw.join(perPart.select(col("p").as("p1"), col("_np").as("_n1")), "p1")
+        .join(perPart.select(col("p").as("p2"), col("_np").as("_n2")), "p2")
+        .select(col("p1").cast("long").as("p1"), col("p2").cast("long").as("p2"),
+          col("_common").cast("long").as("common"),
+          r4(col("_common") / (col("_n1") + col("_n2") - col("_common"))).as("jaccard"),
+          r4(col("_aa")).as("adamic_adar"))
+        .orderBy(col("jaccard").desc, col("p1"), col("p2")).limit(15)
+    },
     "item_item_cf" -> { (s, d) =>
       // item-item neighborhood CF (the memory-based recommender beside
       // ALS): cosine on co-purchase counts — pair fan-out bounded by
@@ -754,6 +781,19 @@ object AnalyticsQueries {
         |SELECT p1::BIGINT AS p1, p2::BIGINT AS p2, p3::BIGINT AS p3, support
         |FROM t WHERE support >= 2
         |ORDER BY support DESC, p1, p2, p3 LIMIT 10""".stripMargin,
+    "link_prediction" ->
+      """WITH a AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |sz AS (SELECT o, count(*)::DOUBLE AS s FROM a GROUP BY o),
+        |pr AS (SELECT x.o, x.p AS p1, y.p AS p2 FROM a x JOIN a y ON x.o = y.o AND x.p < y.p),
+        |pw AS (SELECT pr.p1, pr.p2, count(*)::DOUBLE AS common, sum(1.0 / ln(sz.s)) AS aa
+        |  FROM pr JOIN sz ON pr.o = sz.o GROUP BY pr.p1, pr.p2),
+        |pp AS (SELECT p, count(*)::DOUBLE AS np FROM a GROUP BY p),
+        |f AS (SELECT pw.p1, pw.p2, pw.common, pw.aa, n1.np AS np1, n2.np AS np2
+        |  FROM pw JOIN pp n1 ON pw.p1 = n1.p JOIN pp n2 ON pw.p2 = n2.p
+        |  WHERE pw.common >= 2)
+        |SELECT p1::BIGINT AS p1, p2::BIGINT AS p2, common::BIGINT AS common,
+        |  round(common / (np1 + np2 - common), 4) AS jaccard, round(aa, 4) AS adamic_adar
+        |FROM f ORDER BY jaccard DESC, p1, p2 LIMIT 15""".stripMargin,
     "item_item_cf" ->
       """WITH a AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |pp AS (SELECT p, count(*)::DOUBLE AS np FROM a GROUP BY p),

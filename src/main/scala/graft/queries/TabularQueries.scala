@@ -234,6 +234,22 @@ object TabularQueries {
       // is quantile_buckets_approx)
       Preprocessing.quantileBuckets(Tables.orders(s, d), "o_totalprice", "o_orderkey", 10)
     },
+    "winsorize" -> { (s, d) =>
+      // winsorized mean (the outlier-robust preprocessing step before any
+      // moment-based stat): exact p05/p95 fences from the DISTRIBUTED
+      // distinct-value cumsum (core.Ranks — no global-sort window), clip
+      // as a pure codegen least/greatest scan
+      val o = Tables.orders(s, d)
+      val qs = graft.core.Ranks.exactQuantilesByValue(o, col("o_totalprice"),
+        Seq(0.05, 0.95))
+      val lo = lit(qs(0)); val hi = lit(qs(1))
+      val w = least(greatest(col("o_totalprice"), lo), hi)
+      o.agg(count(lit(1)).cast("long").as("n"),
+        sum(when(col("o_totalprice") < lo, 1L).otherwise(0L)).as("n_clip_lo"),
+        sum(when(col("o_totalprice") > hi, 1L).otherwise(0L)).as("n_clip_hi"),
+        r4(avg(w)).as("win_mean"), r4(avg(col("o_totalprice"))).as("raw_mean"),
+        r4(lo).as("lo"), r4(hi).as("hi"))
+    },
     "quantile_buckets_approx" -> { (s, d) =>
       // sketch-boundary production path: one aggregate + codegen CASE.
       // PARTIAL HASH GATE (r11): bucket ids + total row count + the
@@ -539,6 +555,20 @@ object TabularQueries {
         |  round(sum(o.o_totalprice), 2) AS total
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "winsorize" ->
+      """WITH g AS (SELECT o_totalprice AS v, count(*) AS c FROM orders GROUP BY v),
+        |cum AS (SELECT v, sum(c) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs,
+        |  sum(c) OVER () AS tot FROM g),
+        |q AS (SELECT min(CASE WHEN cs >= ceil(tot * 0.05) THEN v END) AS lo,
+        |    min(CASE WHEN cs >= ceil(tot * 0.95) THEN v END) AS hi FROM cum)
+        |SELECT count(*)::BIGINT AS n,
+        |  sum(CASE WHEN o_totalprice < q.lo THEN 1 ELSE 0 END)::BIGINT AS n_clip_lo,
+        |  sum(CASE WHEN o_totalprice > q.hi THEN 1 ELSE 0 END)::BIGINT AS n_clip_hi,
+        |  round(avg(least(greatest(o_totalprice, q.lo), q.hi)), 4) AS win_mean,
+        |  round(avg(o_totalprice), 4) AS raw_mean,
+        |  round(max(q.lo), 4) AS lo, round(max(q.hi), 4) AS hi
+        |FROM orders, q""".stripMargin,
     "quantile_buckets" ->
       """WITH b AS (SELECT o_totalprice AS v,
         |    ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket FROM orders)

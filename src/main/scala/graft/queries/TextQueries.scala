@@ -117,6 +117,26 @@ object TextQueries {
         .select(col("_np").as("n_pairs"), r4(p1).as("p1"), r4(p2).as("p2"),
           r4(bp).as("brevity"), r4(bleu).as("bleu2"))
     },
+    "ngram_novelty" -> { (s, d) =>
+      // per-doc trigram novelty (memorization screen: how much of this
+      // doc first appears HERE vs repeats earlier corpus content): share
+      // of the doc's trigram types whose global first-occurrence doc is
+      // this doc — two map-side-combined groupBys over the shared shingle
+      // frame, no pairwise stage
+      val docs = Tables.documents(s, d)
+      val sh = TextOps.explodedShingles(docs, col("doc_id"),
+        Dedup.normText(col("text")), 3)
+      val types = sh.select(col("doc"), col("sh")).distinct()
+      val firstDoc = sh.groupBy(col("sh")).agg(min(col("doc")).as("_fd"))
+      val perDoc = types.groupBy(col("doc")).agg(count(lit(1)).cast("double").as("_nt"))
+      val novel = types.join(firstDoc, "sh").filter(col("_fd") === col("doc"))
+        .groupBy(col("doc")).agg(count(lit(1)).cast("double").as("_nn"))
+      perDoc.join(novel, Seq("doc"), "left")
+        .select(col("doc"), col("_nt").cast("long").as("n_types"),
+          coalesce(col("_nn"), lit(0.0)).cast("long").as("n_novel"),
+          r4(coalesce(col("_nn"), lit(0.0)) / col("_nt")).as("novelty"))
+        .orderBy("doc")
+    },
     "zipf_fit" -> { (s, d) =>
       // Zipf exponent of the term-frequency distribution: ONE token
       // groupBy (map-side combined), deterministic top-200 cut via
@@ -1251,6 +1271,19 @@ object TextQueries {
          |  round(CASE WHEN clip1 > 0.0 AND clip2 > 0.0
          |    THEN bp * exp(0.5 * ln(p1) + 0.5 * ln(p2)) ELSE 0.0 END, 4) AS bleu2
          |FROM f""".stripMargin,
+    "ngram_novelty" ->
+      s"""WITH n3 AS (SELECT doc_id::BIGINT AS doc, $normToks AS toks FROM documents),
+         |sh AS (SELECT doc, unnest(CASE WHEN len(toks) >= 3
+         |    THEN list_transform(range(0, len(toks)-2), i -> toks[i+1] || '_' || toks[i+2] || '_' || toks[i+3])
+         |    ELSE [] END) AS s FROM n3),
+         |ty AS (SELECT DISTINCT doc, s FROM sh),
+         |fd AS (SELECT s, min(doc) AS f FROM sh GROUP BY s),
+         |pd AS (SELECT doc, count(*)::DOUBLE AS nt FROM ty GROUP BY doc),
+         |nv AS (SELECT ty.doc, count(*)::DOUBLE AS nn FROM ty
+         |  JOIN fd ON ty.s = fd.s AND ty.doc = fd.f GROUP BY ty.doc)
+         |SELECT pd.doc, pd.nt::BIGINT AS n_types, coalesce(nv.nn, 0.0)::BIGINT AS n_novel,
+         |  round(coalesce(nv.nn, 0.0) / pd.nt, 4) AS novelty
+         |FROM pd LEFT JOIN nv ON pd.doc = nv.doc ORDER BY pd.doc""".stripMargin,
     "zipf_fit" ->
       s"""WITH tk AS (SELECT unnest($normToks) AS tok FROM documents),
          |tf AS (SELECT tok, count(*)::DOUBLE AS c FROM tk WHERE length(tok) > 0 GROUP BY tok),

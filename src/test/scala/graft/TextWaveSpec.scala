@@ -35,6 +35,45 @@ class TextWaveSpec extends AnyFunSuite {
     assert(p1 >= p2 - 1e-4)
   }
 
+  test("ngram_novelty: shares in [0,1], novel counts bounded by types, corpus-first doc fully novel") {
+    val rows = SparkEntry.queries("ngram_novelty")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nt = r.getLong(r.fieldIndex("n_types"))
+      val nn = r.getLong(r.fieldIndex("n_novel"))
+      val nov = r.getDouble(r.fieldIndex("novelty"))
+      assert(nn >= 0 && nn <= nt)
+      assert(nov >= 0.0 && nov <= 1.0)
+    }
+    // the lowest doc id present owns all its trigrams by construction
+    val first = rows.minBy(_.getLong(0))
+    assert(first.getDouble(first.fieldIndex("novelty")) == 1.0)
+  }
+
+  test("link_prediction: jaccard in (0,1], AA positive, common bounded by min marginal") {
+    val rows = SparkEntry.queries("link_prediction")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 15)
+    rows.foreach { r =>
+      val j = r.getDouble(r.fieldIndex("jaccard"))
+      assert(j > 0.0 && j <= 1.0)
+      assert(r.getDouble(r.fieldIndex("adamic_adar")) > 0.0)
+      assert(r.getLong(r.fieldIndex("common")) >= 2)
+    }
+    val js = rows.map(_.getDouble(rows.head.fieldIndex("jaccard")))
+    assert(js.zip(js.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("winsorize: fences ordered, clip counts ~5% each side, winsorized mean between fences") {
+    val r = SparkEntry.queries("winsorize")(spark, sf).head()
+    val n = r.getLong(r.fieldIndex("n")).toDouble
+    val lo = r.getDouble(r.fieldIndex("lo")); val hi = r.getDouble(r.fieldIndex("hi"))
+    assert(lo < hi)
+    assert(r.getLong(r.fieldIndex("n_clip_lo")) <= (0.05 * n + 1).toLong)
+    assert(r.getLong(r.fieldIndex("n_clip_hi")) <= (0.05 * n + 1).toLong)
+    val wm = r.getDouble(r.fieldIndex("win_mean"))
+    assert(wm >= lo && wm <= hi)
+  }
+
   test("zipf_fit: slope is negative (frequency decays with rank) and vocab >= fitted terms") {
     val r = SparkEntry.queries("zipf_fit")(spark, sf).head()
     assert(r.getDouble(r.fieldIndex("zipf_slope")) < 0.0)
