@@ -461,6 +461,45 @@ object AnalyticsQueries {
         .withColumn("is_winner", col("rank") === 1)
         .orderBy("lambda")
     },
+    "map_at_k" -> { (s, d) =>
+      // MAP@100 of the same literal ranking as ndcg: precision@i via one
+      // cumulative window over the 100-row TakeOrdered frame, averaged at
+      // relevant positions over min(k, n_pos)
+      val li = Tables.lineitem(s, d)
+      val margin = round(lit(-0.1) + lit(0.004) * col("l_quantity") +
+        lit(1.5) * col("l_discount") + lit(-2.0) * col("l_tax"), 6)
+      val id = concat_ws("_", col("l_orderkey"), col("l_linenumber"))
+      val ranked = li.select(margin.as("_s"), id.as("_id"),
+          when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("_rel"))
+        .orderBy(col("_s").desc, col("_id")).limit(100)
+        .withColumn("_rk", row_number().over(Window.orderBy(col("_s").desc, col("_id"))))
+      val wcum = Window.orderBy(col("_rk"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val npos = li.agg(
+        sum(when(col("l_returnflag") === "R", 1.0).otherwise(0.0)).as("_np"))
+      ranked.withColumn("_prec", sum(col("_rel")).over(wcum) / col("_rk").cast("double"))
+        .crossJoin(broadcast(npos))
+        .agg(sum(when(col("_rel") === 1.0, col("_prec")).otherwise(0.0)).as("_ap"),
+          max(least(lit(100.0), col("_np"))).as("_den"))
+        .select(lit(100L).as("k"), r6(col("_ap") / col("_den")).as("map_k"))
+    },
+    "mrr" -> { (s, d) =>
+      // mean reciprocal rank of the first relevant hit in the same top-100
+      // (the navigational-retrieval metric beside MAP/NDCG); 0 when no
+      // relevant item makes the cut
+      val li = Tables.lineitem(s, d)
+      val margin = round(lit(-0.1) + lit(0.004) * col("l_quantity") +
+        lit(1.5) * col("l_discount") + lit(-2.0) * col("l_tax"), 6)
+      val id = concat_ws("_", col("l_orderkey"), col("l_linenumber"))
+      val ranked = li.select(margin.as("_s"), id.as("_id"),
+          when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("_rel"))
+        .orderBy(col("_s").desc, col("_id")).limit(100)
+        .withColumn("_rk", row_number().over(Window.orderBy(col("_s").desc, col("_id"))))
+      ranked.agg(min(when(col("_rel") === 1.0, col("_rk"))).as("_fr"))
+        .select(lit(100L).as("k"),
+          coalesce(col("_fr"), lit(0)).cast("long").as("first_rel_rank"),
+          r6(coalesce(lit(1.0) / col("_fr"), lit(0.0))).as("mrr"))
+    },
     "ndcg" -> { (s, d) =>
       // NDCG@100 of the literal SVM margin for the R class: the top-k cut
       // is a distributed TakeOrdered (orderBy+limit — per-partition heaps
@@ -978,6 +1017,33 @@ object AnalyticsQueries {
         |r AS (SELECT *, row_number() OVER (ORDER BY loglik DESC, lambda) AS rank FROM ll)
         |SELECT lambda, loglik, rank::BIGINT AS rank, rank = 1 AS is_winner
         |FROM r ORDER BY lambda""".stripMargin,
+    "map_at_k" ->
+      """WITH r AS (SELECT
+        |    round(-0.1 + 0.004 * l_quantity + 1.5 * l_discount + -2.0 * l_tax, 6) AS s,
+        |    l_orderkey::VARCHAR || '_' || l_linenumber::VARCHAR AS id,
+        |    CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS rel
+        |  FROM lineitem),
+        |rk AS (SELECT rel, row_number() OVER (ORDER BY s DESC, id) AS rk FROM r),
+        |np AS (SELECT sum(rel) AS np FROM r),
+        |t AS (SELECT rel, rk,
+        |    sum(rel) OVER (ORDER BY rk ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      / rk::DOUBLE AS prec
+        |  FROM rk WHERE rk <= 100),
+        |agg AS (SELECT sum(CASE WHEN rel = 1.0 THEN prec ELSE 0.0 END) AS ap,
+        |    max(least(100.0, np.np)) AS den
+        |  FROM t, np)
+        |SELECT 100::BIGINT AS k, round(ap / den, 6) AS map_k FROM agg""".stripMargin,
+    "mrr" ->
+      """WITH r AS (SELECT
+        |    round(-0.1 + 0.004 * l_quantity + 1.5 * l_discount + -2.0 * l_tax, 6) AS s,
+        |    l_orderkey::VARCHAR || '_' || l_linenumber::VARCHAR AS id,
+        |    CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS rel
+        |  FROM lineitem),
+        |rk AS (SELECT rel, row_number() OVER (ORDER BY s DESC, id) AS rk FROM r),
+        |f AS (SELECT min(CASE WHEN rel = 1.0 THEN rk END) AS fr
+        |  FROM rk WHERE rk <= 100)
+        |SELECT 100::BIGINT AS k, coalesce(fr, 0)::BIGINT AS first_rel_rank,
+        |  round(coalesce(1.0 / fr, 0.0), 6) AS mrr FROM f""".stripMargin,
     "ndcg" ->
       """WITH r AS (SELECT
         |    round(-0.1 + 0.004 * l_quantity + 1.5 * l_discount + -2.0 * l_tax, 6) AS s,

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.core.Tables
 import graft.core.Num.{r4, r6}
+import graft.preprocessing.Preprocessing
 import graft.tsa.TimeSeries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -168,6 +169,56 @@ object StatTestQueries {
       agg.select(col("_o1").cast("long").as("observed_1"),
         r4(col("_e1")).as("expected_1"), r4(chi).as("chi2"),
         (r4(chi) > 3.841).as("reject"))
+    },
+    "srm_check" -> { (s, d) =>
+      // sample-ratio-mismatch guardrail: chi-square(1) of the observed
+      // arm counts against the designed 50/50 md5 split — the first
+      // validity gate any experiment readout runs; ONE aggregate
+      val o = Tables.orders(s, d)
+      val isA = Preprocessing.splitColumn(col("o_orderkey"), 500, 42L) === "train"
+      val g = o.agg(sum(when(isA, 1.0).otherwise(0.0)).as("_na"),
+        sum(when(!isA, 1.0).otherwise(0.0)).as("_nb"))
+      val n = col("_na") + col("_nb")
+      val e = n / 2.0
+      val chi = (col("_na") - e) * (col("_na") - e) / e +
+        (col("_nb") - e) * (col("_nb") - e) / e
+      g.select(col("_na").cast("long").as("n_a"), col("_nb").cast("long").as("n_b"),
+        r4(chi).as("chi2"), (r4(chi) > 3.841).as("srm_detected"))
+    },
+    "msprt" -> { (s, d) =>
+      // mixture SPRT (always-valid inference — the sequential A/B monitor
+      // that can be peeked at daily without alpha inflation; Johari et al.
+      // mSPRT with a normal mixture, τ² = σ̂²): per-day per-arm sums from
+      // ONE aggregate, cumulative windows over the BOUNDED day frame,
+      // logΛ_t closed-form, always-valid p = exp(−max logΛ)
+      val o = Tables.orders(s, d)
+      val isA = Preprocessing.splitColumn(col("o_orderkey"), 500, 42L) === "train"
+      val y = col("o_totalprice") / 100000.0
+      val daily = o.groupBy(to_date(col("o_orderdate")).as("_day"))
+        .agg(sum(when(isA, 1.0).otherwise(0.0)).as("_na"),
+          sum(when(isA, y).otherwise(0.0)).as("_sa"),
+          sum(when(!isA, 1.0).otherwise(0.0)).as("_nb"),
+          sum(when(!isA, y).otherwise(0.0)).as("_sb"))
+      val sig = o.agg(((sum(y * y) - sum(y) * sum(y) / count(lit(1))) /
+        (count(lit(1)) - 1.0)).as("_s2"))
+      val wc = Window.orderBy(col("_day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = daily
+        .withColumn("_NA", sum(col("_na")).over(wc))
+        .withColumn("_SA", sum(col("_sa")).over(wc))
+        .withColumn("_NB", sum(col("_nb")).over(wc))
+        .withColumn("_SB", sum(col("_sb")).over(wc))
+        .filter(col("_NA") > 0.0 && col("_NB") > 0.0)
+        .crossJoin(broadcast(sig))
+      val nEff = col("_NA") * col("_NB") / (col("_NA") + col("_NB"))
+      val delta = col("_SA") / col("_NA") - col("_SB") / col("_NB")
+      // τ² = σ² ⇒ logΛ = −½ln(1+n_eff) + n_eff²δ²/(2σ²(1+n_eff))
+      val logL = lit(-0.5) * log(lit(1.0) + nEff) +
+        nEff * nEff * delta * delta / (lit(2.0) * col("_s2") * (lit(1.0) + nEff))
+      cum.agg(count(lit(1)).cast("long").as("n_days"), max(r4(logL)).as("_ml"))
+        .select(col("n_days"), col("_ml").as("max_log_lambda"),
+          r4(least(lit(1.0), exp(-col("_ml")))).as("always_valid_p"),
+          (r4(least(lit(1.0), exp(-col("_ml")))) < 0.05).as("reject"))
     },
     "vif" -> { (s, d) =>
       // variance inflation factors for the (quantity, extendedprice,
@@ -337,6 +388,45 @@ object StatTestQueries {
       |  FROM g)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "srm_check" ->
+      """WITH b AS (SELECT CASE WHEN ('0x' || substr(md5(o_orderkey::VARCHAR || '_42'), 1, 15))::BIGINT % 1000 >= 500
+        |      THEN 1 ELSE 0 END AS a FROM orders),
+        |g AS (SELECT sum(CASE WHEN a = 1 THEN 1.0 ELSE 0.0 END) AS na,
+        |    sum(CASE WHEN a = 0 THEN 1.0 ELSE 0.0 END) AS nb FROM b),
+        |f AS (SELECT na, nb,
+        |    (na - (na + nb) / 2.0) * (na - (na + nb) / 2.0) / ((na + nb) / 2.0)
+        |    + (nb - (na + nb) / 2.0) * (nb - (na + nb) / 2.0) / ((na + nb) / 2.0) AS chi
+        |  FROM g)
+        |SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b, round(chi, 4) AS chi2,
+        |  round(chi, 4) > 3.841 AS srm_detected FROM f""".stripMargin,
+    "msprt" ->
+      """WITH b AS (SELECT CAST(o_orderdate AS DATE) AS day, o_totalprice / 100000.0 AS y,
+        |    CASE WHEN ('0x' || substr(md5(o_orderkey::VARCHAR || '_42'), 1, 15))::BIGINT % 1000 >= 500
+        |      THEN 1 ELSE 0 END AS a FROM orders),
+        |dd AS (SELECT day,
+        |    sum(CASE WHEN a = 1 THEN 1.0 ELSE 0.0 END) AS na,
+        |    sum(CASE WHEN a = 1 THEN y ELSE 0.0 END) AS sa,
+        |    sum(CASE WHEN a = 0 THEN 1.0 ELSE 0.0 END) AS nb,
+        |    sum(CASE WHEN a = 0 THEN y ELSE 0.0 END) AS sb
+        |  FROM b GROUP BY day),
+        |sg AS (SELECT (sum(y * y) - sum(y) * sum(y) / count(*)) / (count(*) - 1.0) AS s2 FROM b),
+        |c AS (SELECT day,
+        |    sum(na) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cna,
+        |    sum(sa) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS csa,
+        |    sum(nb) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cnb,
+        |    sum(sb) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS csb
+        |  FROM dd),
+        |e AS (SELECT c.*, sg.s2 FROM c, sg WHERE cna > 0.0 AND cnb > 0.0),
+        |l AS (SELECT
+        |    -0.5 * ln(1.0 + cna * cnb / (cna + cnb)) +
+        |    (cna * cnb / (cna + cnb)) * (cna * cnb / (cna + cnb)) *
+        |    (csa / cna - csb / cnb) * (csa / cna - csb / cnb) /
+        |    (2.0 * s2 * (1.0 + cna * cnb / (cna + cnb))) AS ll
+        |  FROM e),
+        |f AS (SELECT count(*)::BIGINT AS n_days, max(round(ll, 4)) AS ml FROM l)
+        |SELECT n_days, ml AS max_log_lambda,
+        |  round(least(1.0, exp(-ml)), 4) AS always_valid_p,
+        |  round(least(1.0, exp(-ml)), 4) < 0.05 AS reject FROM f""".stripMargin,
     "vif" ->
       s"""WITH $corrTripleCtes,
          |dt AS (SELECT r12, r13, r23,

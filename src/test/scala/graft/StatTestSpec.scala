@@ -64,6 +64,42 @@ class StatTestSpec extends AnyFunSuite {
     assert(o1 <= ev && e1 <= ev.toDouble)
   }
 
+  test("srm_check: arm counts sum to the table and the decision matches the cut") {
+    val r = SparkEntry.queries("srm_check")(spark, sf).head()
+    val na = r.getLong(r.fieldIndex("n_a")); val nb = r.getLong(r.fieldIndex("n_b"))
+    assert(na + nb == graft.core.Tables.orders(spark, sf).count())
+    val chi = r.getDouble(r.fieldIndex("chi2"))
+    assert(chi >= 0.0)
+    assert(r.getBoolean(r.fieldIndex("srm_detected")) == (chi > 3.841))
+    // a correct md5 split must NOT trip the guardrail
+    assert(!r.getBoolean(r.fieldIndex("srm_detected")))
+  }
+
+  test("msprt: always-valid p in (0,1], calibrated under the null (A/A split must not reject)") {
+    val r = SparkEntry.queries("msprt")(spark, sf).head()
+    val p = r.getDouble(r.fieldIndex("always_valid_p"))
+    assert(p > 0.0 && p <= 1.0)
+    assert(r.getLong(r.fieldIndex("n_days")) > 0)
+    assert(r.getBoolean(r.fieldIndex("reject")) == (p < 0.05))
+    // the md5 split is an A/A test: the always-valid guarantee says the
+    // monitor rejects with prob < 5% — on this fixed seed it must hold
+    assert(!r.getBoolean(r.fieldIndex("reject")))
+  }
+
+  test("ranking metrics: MAP and MRR in [0,1], MRR >= MAP on the same ranking") {
+    val m = SparkEntry.queries("map_at_k")(spark, sf).head()
+    val mapK = m.getDouble(m.fieldIndex("map_k"))
+    val rr = SparkEntry.queries("mrr")(spark, sf).head()
+    val mrr = rr.getDouble(rr.fieldIndex("mrr"))
+    assert(mapK >= 0.0 && mapK <= 1.0)
+    assert(mrr >= 0.0 && mrr <= 1.0)
+    // AP averages precisions at relevant ranks, each <= 1/first-hit-rank
+    // bound fails only if ranking is empty of relevant items in both
+    assert(mrr >= mapK - 1e-6)
+    val fr = rr.getLong(rr.fieldIndex("first_rel_rank"))
+    assert(if (fr == 0) mrr == 0.0 else math.abs(mrr - 1.0 / fr) < 1e-4)
+  }
+
   test("vif: every VIF >= 1 and r2_others in [0,1)") {
     val rows = SparkEntry.queries("vif")(spark, sf).collect()
     assert(rows.length == 3)
