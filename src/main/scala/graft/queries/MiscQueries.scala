@@ -91,6 +91,23 @@ object MiscQueries {
           countDistinct(col("rid")).cast("long").as("n_intervals"),
           r4(avg(col("point"))).as("avg_point"))
     },
+    "scd2_history" -> { (s, d) =>
+      // slowly-changing-dimension type-2 history build (the warehouse
+      // merge every dimension pipeline runs): per-user attribute change
+      // rows with validity intervals — two lag/lead windows INSIDE the
+      // user partition (the shuffle key; no global ordering anywhere);
+      // open intervals carry valid_to = -1
+      val ev = Tables.events(s, d).select(col("user_id"), col("event_id"),
+        col("event_type"), unix_micros(col("ts")).as("_tsu"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("_tsu"), col("event_id"))
+      val changes = ev.withColumn("_prev", lag(col("event_type"), 1).over(w))
+        .filter(col("_prev").isNull || col("_prev") =!= col("event_type"))
+      val w2 = Window.partitionBy(col("user_id")).orderBy(col("_tsu"), col("event_id"))
+      changes.withColumn("_vt", lead(col("_tsu"), 1).over(w2))
+        .select(col("user_id"), col("event_type"), col("_tsu").as("valid_from"),
+          coalesce(col("_vt"), lit(-1L)).as("valid_to"))
+        .orderBy("user_id", "valid_from", "event_type")
+    },
     "welch_ttest" -> { (s, d) =>
       // A/B mean comparison (Welch's unequal-variance t): both sides'
       // moments from ONE aggregate over the md5 split; t, Satterthwaite
@@ -1282,6 +1299,18 @@ object MiscQueries {
         |SELECT count(*)::BIGINT AS n_pairs, count(DISTINCT id)::BIGINT AS n_points,
         |  count(DISTINCT rid)::BIGINT AS n_intervals, round(avg(p), 4) AS avg_point
         |FROM j""".stripMargin,
+    "scd2_history" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu FROM events),
+        |p AS (SELECT user_id, event_id, event_type, tsu,
+        |    lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS prev
+        |  FROM e),
+        |c AS (SELECT user_id, event_id, event_type, tsu
+        |  FROM p WHERE prev IS NULL OR prev <> event_type),
+        |f AS (SELECT user_id, event_type, tsu AS valid_from,
+        |    coalesce(lead(tsu, 1) OVER (PARTITION BY user_id ORDER BY tsu, event_id), -1) AS valid_to
+        |  FROM c)
+        |SELECT user_id, event_type, valid_from, valid_to
+        |FROM f ORDER BY user_id, valid_from, event_type""".stripMargin,
     "welch_ttest" ->
       """WITH b AS (SELECT o_totalprice AS y,
         |    CASE WHEN ('0x' || substr(md5(o_orderkey::VARCHAR || '_42'), 1, 15))::BIGINT % 1000 < 250

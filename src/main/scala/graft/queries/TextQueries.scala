@@ -117,6 +117,21 @@ object TextQueries {
         .select(col("_np").as("n_pairs"), r4(p1).as("p1"), r4(p2).as("p2"),
           r4(bp).as("brevity"), r4(bleu).as("bleu2"))
     },
+    "yule_k" -> { (s, d) =>
+      // Yule's K lexical-richness characteristic (+ type-token ratio):
+      // K = 10⁴(Σc² − N)/N² over the term-frequency frame — ONE
+      // map-side-combined token groupBy then one bounded reduce; the
+      // repetitiveness constant corpus-quality audits track
+      val tf = Tables.documents(s, d)
+        .select(explode(split(Dedup.normText(col("text")), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .groupBy(col("tok")).agg(count(lit(1)).cast("double").as("_c"))
+      val g = tf.agg(count(lit(1)).cast("double").as("_v"), sum(col("_c")).as("_n"),
+        sum(col("_c") * col("_c")).as("_s2"))
+      g.select(col("_n").cast("long").as("n_tokens"), col("_v").cast("long").as("vocab"),
+        r4(col("_v") / col("_n")).as("ttr"),
+        r4(lit(10000.0) * (col("_s2") - col("_n")) / (col("_n") * col("_n"))).as("yule_k"))
+    },
     "ngram_novelty" -> { (s, d) =>
       // per-doc trigram novelty (memorization screen: how much of this
       // doc first appears HERE vs repeats earlier corpus content): share
@@ -1271,6 +1286,12 @@ object TextQueries {
          |  round(CASE WHEN clip1 > 0.0 AND clip2 > 0.0
          |    THEN bp * exp(0.5 * ln(p1) + 0.5 * ln(p2)) ELSE 0.0 END, 4) AS bleu2
          |FROM f""".stripMargin,
+    "yule_k" ->
+      s"""WITH tk AS (SELECT unnest($normToks) AS tok FROM documents),
+         |tf AS (SELECT tok, count(*)::DOUBLE AS c FROM tk WHERE length(tok) > 0 GROUP BY tok),
+         |g AS (SELECT count(*)::DOUBLE AS v, sum(c) AS n, sum(c * c) AS s2 FROM tf)
+         |SELECT n::BIGINT AS n_tokens, v::BIGINT AS vocab, round(v / n, 4) AS ttr,
+         |  round(10000.0 * (s2 - n) / (n * n), 4) AS yule_k FROM g""".stripMargin,
     "ngram_novelty" ->
       s"""WITH n3 AS (SELECT doc_id::BIGINT AS doc, $normToks AS toks FROM documents),
          |sh AS (SELECT doc, unnest(CASE WHEN len(toks) >= 3

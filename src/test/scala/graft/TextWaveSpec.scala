@@ -35,6 +35,35 @@ class TextWaveSpec extends AnyFunSuite {
     assert(p1 >= p2 - 1e-4)
   }
 
+  test("yule_k: K non-negative, TTR in (0,1], vocab <= tokens") {
+    val r = SparkEntry.queries("yule_k")(spark, sf).head()
+    assert(r.getDouble(r.fieldIndex("yule_k")) >= 0.0)
+    val ttr = r.getDouble(r.fieldIndex("ttr"))
+    assert(ttr > 0.0 && ttr <= 1.0)
+    assert(r.getLong(r.fieldIndex("vocab")) <= r.getLong(r.fieldIndex("n_tokens")))
+  }
+
+  test("scd2_history: per-user intervals chain without overlap and close with one open row") {
+    val rows = SparkEntry.queries("scd2_history")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, hist) =>
+      val sorted = hist.sortBy(_.getLong(hist.head.fieldIndex("valid_from")))
+      // exactly one open interval (the current attribute) and it is last
+      assert(sorted.count(_.getLong(sorted.head.fieldIndex("valid_to")) == -1L) == 1)
+      assert(sorted.last.getLong(sorted.head.fieldIndex("valid_to")) == -1L)
+      // each closed interval ends exactly where the next begins
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getLong(a.fieldIndex("valid_to")) ==
+            b.getLong(b.fieldIndex("valid_from")))
+          // consecutive rows must actually change the attribute
+          assert(a.getString(a.fieldIndex("event_type")) !=
+            b.getString(b.fieldIndex("event_type")))
+        case _ =>
+      }
+    }
+  }
+
   test("ngram_novelty: shares in [0,1], novel counts bounded by types, corpus-first doc fully novel") {
     val rows = SparkEntry.queries("ngram_novelty")(spark, sf).collect()
     assert(rows.nonEmpty)
