@@ -113,6 +113,53 @@ object MetricsQueries {
             sqrt((col("_tp") + col("_fp")) * (col("_tp") + col("_fn")) *
               (col("_tn") + col("_fp")) * (col("_tn") + col("_fn")))).as("mcc"))
     },
+    "ece" -> { (s, d) =>
+      // expected + maximum calibration error over the calibration_curve
+      // bins (the single-number summary of the reliability diagram):
+      // ECE = Σ (n_b/N)|mean_pred − frac_pos| from ONE bounded-key
+      // aggregate
+      val margin = MLQueries.SvmWeights.zip(liFeatureCols)
+        .foldLeft(lit(MLQueries.SvmIntercept): Column) { case (acc, (w, f)) => acc + lit(w) * f }
+      val p = lit(1.0) / (lit(1.0) + exp(-(lit(8.0) * margin)))
+      val bin = least(floor(p * 10).cast("long"), lit(9L))
+      val binned = Tables.lineitem(s, d)
+        .select(bin.as("bin"), p.as("_p"),
+          when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("_y"))
+        .groupBy("bin")
+        .agg(count(lit(1)).cast("double").as("_n"),
+          avg(col("_p")).as("_mp"), avg(col("_y")).as("_fp"))
+      val tot = binned.agg(sum(col("_n")).as("_tot"))
+      binned.crossJoin(broadcast(tot))
+        .agg(count(lit(1)).cast("long").as("n_bins"),
+          r4(sum(col("_n") / col("_tot") * abs(col("_mp") - col("_fp")))).as("ece"),
+          r4(max(abs(col("_mp") - col("_fp")))).as("mce"))
+    },
+    "youden_j" -> { (s, d) =>
+      // optimal decision threshold by Youden's J = TPR − FPR: descending
+      // cumulative window over the DISTINCT quantized-score frame (the
+      // rocAuc discipline — never a global row sort), argmax on the
+      // ROUNDED J with the smallest qualifying threshold as tie-break
+      val margin = MLQueries.SvmWeights.zip(liFeatureCols)
+        .foldLeft(lit(MLQueries.SvmIntercept): Column) { case (acc, (w, f)) => acc + lit(w) * f }
+      val g = Tables.lineitem(s, d)
+        .select(round(margin, 4).as("_s"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("_y"))
+        .groupBy(col("_s"))
+        .agg(sum(col("_y")).cast("double").as("_np"),
+          sum(lit(1L) - col("_y")).cast("double").as("_nn"))
+      val wd = org.apache.spark.sql.expressions.Window.orderBy(col("_s").desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val tot = g.agg(sum(col("_np")).as("_P"), sum(col("_nn")).as("_N"))
+      val cum = g.withColumn("_ctp", sum(col("_np")).over(wd))
+        .withColumn("_cfp", sum(col("_nn")).over(wd))
+        .crossJoin(broadcast(tot))
+      val j = col("_ctp") / col("_P") - col("_cfp") / col("_N")
+      cum.select(col("_s"), r4(col("_ctp") / col("_P")).as("tpr"),
+          r4(col("_cfp") / col("_N")).as("fpr"), r4(j).as("j"))
+        .orderBy(col("j").desc, col("_s"))
+        .limit(1)
+        .select(col("_s").as("threshold"), col("tpr"), col("fpr"), col("j"))
+    },
     "brier_score" -> { (s, d) =>
       // mean squared error of the calibrated probability (the proper
       // scoring rule behind calibration_curve) — one codegen aggregate
@@ -237,6 +284,33 @@ object MetricsQueries {
          |SELECT tp::BIGINT AS tp, tn::BIGINT AS tn, fp::BIGINT AS fp, fn::BIGINT AS fn,
          |  round((tp * tn - fp * fn) / sqrt((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)), 4) AS mcc
          |FROM c""".stripMargin,
+    "ece" ->
+      s"""WITH t AS (SELECT
+         |    1.0 / (1.0 + exp(-(8.0 * ($svmMarginSql)))) AS p,
+         |    CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+         |  FROM lineitem),
+         |b AS (SELECT least(floor(p * 10), 9)::BIGINT AS bin, p, y FROM t),
+         |g AS (SELECT bin, count(*)::DOUBLE AS n, avg(p) AS mp, avg(y) AS fp
+         |  FROM b GROUP BY bin),
+         |tt AS (SELECT sum(n) AS nn FROM g)
+         |SELECT count(*)::BIGINT AS n_bins,
+         |  round(sum(n / tt.nn * abs(mp - fp)), 4) AS ece,
+         |  round(max(abs(mp - fp)), 4) AS mce
+         |FROM g, tt""".stripMargin,
+    "youden_j" ->
+      s"""WITH t AS (SELECT round($svmMarginSql, 4) AS s,
+         |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y FROM lineitem),
+         |g AS (SELECT s, sum(y)::DOUBLE AS np, sum(1 - y)::DOUBLE AS nn FROM t GROUP BY s),
+         |tt AS (SELECT sum(np) AS p, sum(nn) AS n FROM g),
+         |c AS (SELECT s,
+         |    sum(np) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ctp,
+         |    sum(nn) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cfp
+         |  FROM g),
+         |f AS (SELECT s, round(ctp / tt.p, 4) AS tpr, round(cfp / tt.n, 4) AS fpr,
+         |    round(ctp / tt.p - cfp / tt.n, 4) AS j
+         |  FROM c, tt)
+         |SELECT s AS threshold, tpr, fpr, j
+         |FROM f ORDER BY j DESC, s LIMIT 1""".stripMargin,
     "brier_score" ->
       s"""WITH t AS (SELECT
          |    1.0 / (1.0 + exp(-(8.0 * ($svmMarginSql)))) AS p,

@@ -86,6 +86,25 @@ class StatTestSpec extends AnyFunSuite {
     assert(!r.getBoolean(r.fieldIndex("reject")))
   }
 
+  test("ece: ECE <= MCE, both in [0,1]") {
+    val r = SparkEntry.queries("ece")(spark, sf).head()
+    val ece = r.getDouble(r.fieldIndex("ece"))
+    val mce = r.getDouble(r.fieldIndex("mce"))
+    assert(ece >= 0.0 && mce <= 1.0)
+    assert(ece <= mce + 1e-6) // the mean gap can't exceed the max gap
+    assert(r.getLong(r.fieldIndex("n_bins")) >= 1 && r.getLong(r.fieldIndex("n_bins")) <= 10)
+  }
+
+  test("youden_j: J = TPR - FPR in [-1,1] and beats the trivial thresholds") {
+    val r = SparkEntry.queries("youden_j")(spark, sf).head()
+    val tpr = r.getDouble(r.fieldIndex("tpr"))
+    val fpr = r.getDouble(r.fieldIndex("fpr"))
+    val j = r.getDouble(r.fieldIndex("j"))
+    assert(math.abs(j - (tpr - fpr)) < 1e-3)
+    assert(j >= 0.0 && j <= 1.0) // optimum can't be worse than all-negative (J=0)
+    assert(tpr >= 0.0 && tpr <= 1.0 && fpr >= 0.0 && fpr <= 1.0)
+  }
+
   test("ranking metrics: MAP and MRR in [0,1], MRR >= MAP on the same ranking") {
     val m = SparkEntry.queries("map_at_k")(spark, sf).head()
     val mapK = m.getDouble(m.fieldIndex("map_k"))
