@@ -217,12 +217,19 @@ object TSAQueries {
       val ds = TimeSeries.dailySeries(Tables.events(s, d))
       val w = Window.partitionBy(col("series")).orderBy(col("t"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // series totals = the LAST prefix cumsum (bit-exact in both engines
+      // — a separate groupBy sum combines in partition order and can land
+      // the r4'd means on the other side of a rounding boundary; the
+      // sequential prefix order is the one the oracle replays)
+      val wAll = Window.partitionBy(col("series")).orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       val cum = ds.withColumn("_cs", sum(col("x")).over(w))
         .withColumn("_cq", sum(col("x") * col("x")).over(w))
         .withColumn("_i", (col("t") + 1).cast("double"))
-      val tot = ds.groupBy(col("series")).agg(count(lit(1)).cast("double").as("_n"),
-        sum(col("x")).as("_S"), sum(col("x") * col("x")).as("_Q"))
-      val cand = cum.join(broadcast(tot), "series").filter(col("_i") < col("_n"))
+      val cand = cum.withColumn("_S", last(col("_cs")).over(wAll))
+        .withColumn("_Q", last(col("_cq")).over(wAll))
+        .withColumn("_n", last(col("_i")).over(wAll))
+        .filter(col("_i") < col("_n"))
       val leftSse = col("_cq") - col("_cs") * col("_cs") / col("_i")
       val rightSse = (col("_Q") - col("_cq")) -
         (col("_S") - col("_cs")) * (col("_S") - col("_cs")) / (col("_n") - col("_i"))
@@ -1117,12 +1124,18 @@ object TSAQueries {
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cq,
          |    (t + 1)::DOUBLE AS i
          |  FROM s),
-         |tt AS (SELECT series, count(*)::DOUBLE AS n, sum(x) AS sx, sum(x * x) AS qx
-         |  FROM s GROUP BY series),
-         |g AS (SELECT c.series, c.t, tt.n, c.cs, c.i, tt.sx,
+         |ct AS (SELECT series, t, cs, cq, i,
+         |    last_value(cs) OVER (PARTITION BY series ORDER BY t
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS sx,
+         |    last_value(cq) OVER (PARTITION BY series ORDER BY t
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS qx,
+         |    last_value(i) OVER (PARTITION BY series ORDER BY t
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS n
+         |  FROM c),
+         |g AS (SELECT series, t, n, cs, i, sx,
          |    (qx - sx * sx / n) - ((cq - cs * cs / i) +
          |      ((qx - cq) - (sx - cs) * (sx - cs) / (n - i))) AS gain
-         |  FROM c JOIN tt ON c.series = tt.series WHERE c.i < tt.n),
+         |  FROM ct WHERE i < n),
          |r AS (SELECT series, t, n, gain, cs, i, sx,
          |    row_number() OVER (PARTITION BY series ORDER BY round(gain, 4) DESC, t) AS rn
          |  FROM g)
