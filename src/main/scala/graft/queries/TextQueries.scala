@@ -66,19 +66,32 @@ object TextQueries {
     "dedup_edit" -> { (s, d) =>
       // edit-distance-verified near-dup: LSH bands PROPOSE (the minhash
       // candidate machinery — Σ bucket², never n²), codegen levenshtein
-      // on the normalized text VERIFIES — only candidate pairs ever pay
-      // the O(l²) distance; dup = length-normalized ratio ≤ 0.2 on the
-      // ROUNDED value
+      // on the normalized text VERIFIES. The O(l²) distance is computed
+      // ONCE per distinct (content-hash, content-hash) pair and joined
+      // back — real corpora are full of exact replicas, and the replica
+      // cross-product must not re-pay the quadratic scan (measured: the
+      // 10×-replicated sf1 corpus proposes 383× the pairs but only ~1×
+      // the distinct text pairs); dup = length-normalized ratio ≤ 0.2 on
+      // the ROUNDED value
       val docs = Tables.documents(s, d)
       val pairs = Dedup.minhashCandidates(docs, "text", "doc_id")
+      val norm = Dedup.normText(col("text"))
       val nt = docs.select(col("doc_id").cast("long").as("_id"),
-        Dedup.normText(col("text")).as("_nt"))
-      val ratio = r4(levenshtein(col("_t1"), col("_t2")).cast("double") /
-        greatest(length(col("_t1")), length(col("_t2"))).cast("double"))
-      pairs.join(nt.select(col("_id").as("doc1"), col("_nt").as("_t1")), "doc1")
-        .join(nt.select(col("_id").as("doc2"), col("_nt").as("_t2")), "doc2")
-        .select(col("doc1"), col("doc2"),
-          levenshtein(col("_t1"), col("_t2")).cast("long").as("edit_dist"),
+        norm.as("_nt"), md5(norm).as("_h"))
+      val withT = pairs
+        .join(nt.select(col("_id").as("doc1"), col("_nt").as("_t1"),
+          col("_h").as("_h1")), "doc1")
+        .join(nt.select(col("_id").as("doc2"), col("_nt").as("_t2"),
+          col("_h").as("_h2")), "doc2")
+      val uniq = withT.select(col("_h1"), col("_h2"), col("_t1"), col("_t2"))
+        .dropDuplicates("_h1", "_h2")
+        .select(col("_h1"), col("_h2"),
+          levenshtein(col("_t1"), col("_t2")).cast("long").as("_lev"),
+          greatest(length(col("_t1")), length(col("_t2"))).cast("double").as("_mx"))
+      val ratio = r4(col("_lev").cast("double") / col("_mx"))
+      withT.select(col("doc1"), col("doc2"), col("_h1"), col("_h2"))
+        .join(uniq, Seq("_h1", "_h2"))
+        .select(col("doc1"), col("doc2"), col("_lev").as("edit_dist"),
           ratio.as("edit_ratio"), (ratio <= 0.2).as("is_dup"))
         .orderBy("doc1", "doc2")
     },

@@ -585,4 +585,34 @@ class PlanSpec extends AnyFunSuite {
     val p = planOf(SparkEntry.queries("robust_scale")(spark, sf))
     assert(!p.contains("Window"), p.take(3000))
   }
+
+  test("link_prediction generates pairs in-row: no cartesian or nested-loop join") {
+    val p = planOf(SparkEntry.queries("link_prediction")(spark, sf))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
+  test("dedup_edit verifies only LSH candidates: band equi-join, no cartesian") {
+    val p = planOf(SparkEntry.queries("dedup_edit")(spark, sf))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(p.contains("levenshtein"), p.take(3000)) // the verify is codegen, in-plan
+  }
+
+  test("scd2_history windows run user-partitioned, never a global sort") {
+    val p = planOf(SparkEntry.queries("scd2_history")(spark, sf))
+    assert(p.contains("hashpartitioning(user_id"), p.take(3000))
+  }
+
+  test("mann_kendall's pair stage is a series equi-join of the reduced day frame") {
+    val p = planOf(SparkEntry.queries("mann_kendall")(spark, sf))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("winsorize fences come from the distributed rank job; the scan stays windowless") {
+    val p = planOf(SparkEntry.queries("winsorize")(spark, sf))
+    // the emitted plan is one aggregate over the orders scan with literal
+    // fences — the quantile job ran separately through core.Ranks
+    assert(!p.contains("Window"), p.take(3000))
+  }
 }
