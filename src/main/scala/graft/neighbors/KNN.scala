@@ -136,6 +136,20 @@ object KNN {
       .select(col("qid"), col("_nl").as("pred"))
   }
 
+  /** kNN regressor (KNeighborsRegressor semantics, reference
+    * python/cuml/neighbors/kneighbors_regressor.pyx): prediction = mean
+    * target of the k nearest train rows. Same bounded-heap scan as
+    * [[bruteForce]]; the averaging join runs on the k×|queries| frame,
+    * never the corpus. Returns (qid, pred). */
+  def regress(queries: DataFrame, train: DataFrame, qId: String, cId: String,
+              qVec: String, cVec: String, targetCol: String, k: Int,
+              metric: Metric): DataFrame = {
+    val nbrs = bruteForce(queries, train, qId, cId, qVec, cVec, k, metric)
+    val ys = train.select(col(cId).cast("long").as("id"),
+      col(targetCol).cast("double").as("_y"))
+    nbrs.join(ys, "id").groupBy(col("qid")).agg(avg(col("_y")).as("pred"))
+  }
+
   /** Random-hyperplane LSH buckets: `bits` sign-bits from deterministic
     * md5-seeded hyperplanes. Collisions → candidates; rerank within bucket.
     * Shuffle key = bucket id (uniform by construction). */

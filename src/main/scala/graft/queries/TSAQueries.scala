@@ -3,7 +3,7 @@ package graft.queries
 import graft.core.Tables
 import graft.core.Num.{r4, r6}
 import graft.tsa.TimeSeries
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -163,6 +163,54 @@ object TSAQueries {
     "stationarity_kpss" -> { (s, d) =>
       TimeSeries.stationarityKpss(TimeSeries.dailySeries(Tables.events(s, d)))
         .orderBy("series")
+    },
+    "granger_causality" -> { (s, d) =>
+      // Granger causality between the click and view daily series (lag-1,
+      // both directions): full model y_t ~ [1, y_{t-1}, x_{t-1}] solved by
+      // one 3×3 Cramer over the aligned-lag sums, restricted model closed
+      // form, F = (SSE_r − SSE_f)/(SSE_f/(n−3)); reject at F(1,∞) 5%.
+      // The aligned frame is bounded (days); ONE sums aggregate per
+      // direction
+      val ds = TimeSeries.dailySeries(Tables.events(s, d))
+      def det3c(a: Column, b: Column, c: Column, dd: Column, e: Column,
+                f: Column, g: Column, h: Column, i: Column): Column =
+        a * (e * i - f * h) - b * (dd * i - f * g) + c * (dd * h - e * g)
+      def direction(cause: String, effect: String): DataFrame = {
+        val ef = ds.filter(col("series") === effect)
+          .select(col("day"), col("x").as("_ye"))
+        val ca = ds.filter(col("series") === cause)
+          .select(col("day"), col("x").as("_xc"))
+        val w = Window.orderBy(col("day")) // bounded day frame
+        val lagged = ef.join(ca, "day")
+          .withColumn("_la", lag(col("_ye"), 1).over(w))
+          .withColumn("_lb", lag(col("_xc"), 1).over(w))
+          .filter(col("_la").isNotNull)
+        val g = lagged.agg(count(lit(1)).cast("double").as("_n"),
+          sum(col("_la")).as("_sa"), sum(col("_lb")).as("_sb"),
+          sum(col("_ye")).as("_sy"), sum(col("_la") * col("_la")).as("_saa"),
+          sum(col("_la") * col("_lb")).as("_sab"),
+          sum(col("_lb") * col("_lb")).as("_sbb"),
+          sum(col("_la") * col("_ye")).as("_say"),
+          sum(col("_lb") * col("_ye")).as("_sby"),
+          sum(col("_ye") * col("_ye")).as("_syy"))
+        val (n, sa, sb, sy) = (col("_n"), col("_sa"), col("_sb"), col("_sy"))
+        val (saa, sab, sbb) = (col("_saa"), col("_sab"), col("_sbb"))
+        val (say, sby, syy) = (col("_say"), col("_sby"), col("_syy"))
+        val det = det3c(n, sa, sb, sa, saa, sab, sb, sab, sbb)
+        val c0 = det3c(sy, sa, sb, say, saa, sab, sby, sab, sbb) / det
+        val c1 = det3c(n, sy, sb, sa, say, sab, sb, sby, sbb) / det
+        val c2 = det3c(n, sa, sy, sa, saa, say, sb, sab, sby) / det
+        val sseF = syy - (c0 * sy + c1 * say + c2 * sby)
+        val slope = (say - sa * sy / n) / (saa - sa * sa / n)
+        val icept = sy / n - slope * (sa / n)
+        val sseR = syy - (icept * sy + slope * say)
+        val fStat = (sseR - sseF) / (sseF / (n - 3.0))
+        g.select(lit(cause).as("cause"), lit(effect).as("effect"),
+          n.cast("long").as("n"), r4(fStat).as("f_stat"),
+          (r4(fStat) > 3.841).as("reject"))
+      }
+      direction("view", "click").unionAll(direction("click", "view"))
+        .orderBy("cause")
     },
     "ewma_chart" -> { (s, d) =>
       // EWMA control chart (λ=0.2, L=3) per daily series: the smoothed
@@ -1071,6 +1119,41 @@ object TSAQueries {
          |  UNION ALL SELECT series, 4::BIGINT, round(xc4, 4) FROM fin
          |  UNION ALL SELECT series, 5::BIGINT, round(xc5, 4) FROM fin
          |) ORDER BY series, step""".stripMargin,
+    "granger_causality" -> {
+      val det = det3Sql(Seq(Seq("n", "sa", "sb"), Seq("sa", "saa", "sab"),
+        Seq("sb", "sab", "sbb")))
+      val d0 = det3Sql(Seq(Seq("sy", "sa", "sb"), Seq("say", "saa", "sab"),
+        Seq("sby", "sab", "sbb")))
+      val d1 = det3Sql(Seq(Seq("n", "sy", "sb"), Seq("sa", "say", "sab"),
+        Seq("sb", "sby", "sbb")))
+      val d2 = det3Sql(Seq(Seq("n", "sa", "sy"), Seq("sa", "saa", "say"),
+        Seq("sb", "sab", "sby")))
+      def dir(tag: String, cause: String, effect: String): String =
+        s"""e$tag AS (SELECT day, x AS ye FROM s0 WHERE series = '$effect'),
+           |c$tag AS (SELECT day, x AS xc FROM s0 WHERE series = '$cause'),
+           |j$tag AS (SELECT e$tag.day, ye, xc FROM e$tag JOIN c$tag ON e$tag.day = c$tag.day),
+           |l$tag AS (SELECT day, ye,
+           |    lag(ye, 1) OVER (ORDER BY day) AS la,
+           |    lag(xc, 1) OVER (ORDER BY day) AS lb FROM j$tag),
+           |f$tag AS (SELECT * FROM l$tag WHERE la IS NOT NULL),
+           |g$tag AS (SELECT count(*)::DOUBLE AS n, sum(la) AS sa, sum(lb) AS sb,
+           |    sum(ye) AS sy, sum(la * la) AS saa, sum(la * lb) AS sab,
+           |    sum(lb * lb) AS sbb, sum(la * ye) AS say, sum(lb * ye) AS sby,
+           |    sum(ye * ye) AS syy FROM f$tag),
+           |r$tag AS (SELECT n,
+           |    syy - (($d0) / ($det) * sy + ($d1) / ($det) * say + ($d2) / ($det) * sby) AS ssef,
+           |    syy - ((sy / n - (say - sa * sy / n) / (saa - sa * sa / n) * (sa / n)) * sy
+           |      + (say - sa * sy / n) / (saa - sa * sa / n) * say) AS sser
+           |  FROM g$tag),
+           |o$tag AS (SELECT '$cause' AS cause, '$effect' AS effect, n::BIGINT AS n,
+           |    round((sser - ssef) / (ssef / (n - 3.0)), 4) AS f_stat,
+           |    round((sser - ssef) / (ssef / (n - 3.0)), 4) > 3.841 AS reject
+           |  FROM r$tag)""".stripMargin
+      s"""WITH s0 AS ($dailySql),
+         |${dir("1", "view", "click")},
+         |${dir("2", "click", "view")}
+         |SELECT * FROM o1 UNION ALL SELECT * FROM o2 ORDER BY cause""".stripMargin
+    },
     "ewma_chart" ->
       s"""WITH RECURSIVE s0 AS ($dailySql),
          |s AS (SELECT series, x, (row_number() OVER (PARTITION BY series ORDER BY day) - 1)::BIGINT AS t FROM s0),

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.Tables
-import graft.core.Num.r6
+import graft.core.Num.{r4, r6}
 import graft.decomposition.{PCAGraft, RandomProjection, TSVDGraft}
 import graft.dedup.Dedup
 import graft.manifold.Manifold
@@ -69,6 +69,23 @@ object VectorQueries {
         .groupBy("truth", "pred")
         .agg(count(lit(1)).cast("long").as("n"))
         .orderBy("truth", "pred")
+    },
+    "knn_regress" -> { (s, d) =>
+      // KNeighborsRegressor shape (reference kneighbors_regressor.pyx):
+      // the held-out split predicts the component-sum target as the mean
+      // of its 5 nearest train targets — every distance rank and the
+      // 5-row average replay in SQL; emits (qid, pred, truth)
+      val e = Tables.embeddings(s, d)
+      val y = aggregate(col("embedding").cast("array<double>"), lit(0.0),
+        (acc, x) => acc + x)
+      val withY = e.select(col("vec_id"), col("embedding"), y.as("_t"))
+      val qs = withY.filter(col("vec_id") % 20 === 10)
+      val train = withY.filter(col("vec_id") % 20 =!= 10)
+      graft.neighbors.KNN.regress(qs, train, "vec_id", "vec_id",
+          "embedding", "embedding", "_t", k = 5, graft.neighbors.KNN.Euclidean)
+        .join(qs.select(col("vec_id").as("qid"), col("_t")), "qid")
+        .select(col("qid"), r4(col("pred")).as("pred"), r4(col("_t")).as("truth"))
+        .orderBy("qid")
     },
     "knn_join" -> { (s, d) =>
       // self kNN of the first 100 vectors — the batch kneighbors() shape
@@ -780,6 +797,17 @@ object VectorQueries {
         |  FROM p)
         |SELECT qid::BIGINT AS qid, rank::BIGINT AS rank, id::BIGINT AS id, round(s, 4) AS score
         |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "knn_regress" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    list_sum(embedding::DOUBLE[]) AS t FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id % 20 = 10),
+        |tr AS (SELECT * FROM e WHERE vec_id % 20 <> 10),
+        |p AS (SELECT q.vec_id AS qid, tr.vec_id AS id, tr.t AS ny,
+        |    list_distance(q.v, tr.v) AS s FROM q JOIN tr ON true),
+        |r AS (SELECT qid, ny, row_number() OVER (PARTITION BY qid ORDER BY s ASC, id) AS rank FROM p),
+        |pr AS (SELECT qid, avg(ny) AS pred FROM r WHERE rank <= 5 GROUP BY qid)
+        |SELECT pr.qid::BIGINT AS qid, round(pr.pred, 4) AS pred, round(q.t, 4) AS truth
+        |FROM pr JOIN q ON pr.qid = q.vec_id ORDER BY qid""".stripMargin,
     "knn_join" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 100),
         |p AS (SELECT a.vec_id AS qid, b.vec_id AS id, list_distance(a.v, b.v) AS s

@@ -86,6 +86,33 @@ class StatTestSpec extends AnyFunSuite {
     assert(!r.getBoolean(r.fieldIndex("reject")))
   }
 
+  test("knn_regress: predictions stay inside the train-target hull") {
+    import org.apache.spark.sql.functions._
+    val e = graft.core.Tables.embeddings(spark, sf)
+    val t = aggregate(col("embedding").cast("array<double>"), lit(0.0), (a, x) => a + x)
+    val mm = e.filter(col("vec_id") % 20 =!= 10)
+      .agg(min(t).as("lo"), max(t).as("hi")).head()
+    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+    val rows = SparkEntry.queries("knn_regress")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val p = r.getDouble(r.fieldIndex("pred"))
+      assert(p >= lo - 1e-4 && p <= hi + 1e-4) // a mean of train targets can't escape
+    }
+  }
+
+  test("granger_causality: F non-negative in both directions, n = aligned days - 1") {
+    val rows = SparkEntry.queries("granger_causality")(spark, sf).collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      val f = r.getDouble(r.fieldIndex("f_stat"))
+      assert(f >= -1e-6) // adding a regressor can't raise SSE
+      assert(r.getBoolean(r.fieldIndex("reject")) == (f > 3.841))
+      assert(r.getLong(r.fieldIndex("n")) >= 10)
+    }
+    assert(rows.map(_.getString(0)).toSet == Set("click", "view"))
+  }
+
   test("ece: ECE <= MCE, both in [0,1]") {
     val r = SparkEntry.queries("ece")(spark, sf).head()
     val ece = r.getDouble(r.fieldIndex("ece"))
