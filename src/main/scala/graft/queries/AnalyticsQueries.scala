@@ -2,7 +2,8 @@ package graft.queries
 
 import graft.core.{Num, Tables}
 import graft.core.Num.{r4, r6}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.preprocessing.Preprocessing
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -482,6 +483,52 @@ object AnalyticsQueries {
         .agg(sum(when(col("_rel") === 1.0, col("_prec")).otherwise(0.0)).as("_ap"),
           max(least(lit(100.0), col("_np"))).as("_den"))
         .select(lit(100L).as("k"), r6(col("_ap") / col("_den")).as("map_k"))
+    },
+    "recall_at_k" -> { (s, d) =>
+      // recall@100 of the same literal ranking (the retrieval-coverage
+      // counterpart of MAP/NDCG): relevant in top-k over total relevant
+      val li = Tables.lineitem(s, d)
+      val margin = round(lit(-0.1) + lit(0.004) * col("l_quantity") +
+        lit(1.5) * col("l_discount") + lit(-2.0) * col("l_tax"), 6)
+      val id = concat_ws("_", col("l_orderkey"), col("l_linenumber"))
+      val ranked = li.select(margin.as("_s"), id.as("_id"),
+          when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("_rel"))
+        .orderBy(col("_s").desc, col("_id")).limit(100)
+      val npos = li.agg(
+        sum(when(col("l_returnflag") === "R", 1.0).otherwise(0.0)).as("_np"))
+      ranked.crossJoin(broadcast(npos))
+        .agg(max(col("_np")).cast("long").as("n_relevant"),
+          sum(col("_rel")).cast("long").as("hits_at_k"),
+          r6(sum(col("_rel")) / max(col("_np"))).as("recall_k"))
+        .select(lit(100L).as("k"), col("n_relevant"), col("hits_at_k"),
+          col("recall_k"))
+    },
+    "bayes_ab" -> { (s, d) =>
+      // Bayesian A/B readout: conversion posteriors Beta(1+c, 1+n−c) per
+      // arm, P(B>A) via the normal approximation of the posterior
+      // difference with the DECLARED logistic CDF surrogate
+      // Φ(x) ≈ 1/(1+e^(−1.702x)) (both engines compute the identical
+      // closed form — no erf in either); ONE aggregate over the md5 split
+      val o = Tables.orders(s, d)
+      val isA = Preprocessing.splitColumn(col("o_orderkey"), 500, 42L) === "train"
+      val conv = (col("o_orderpriority") === "1-URGENT").cast("double")
+      val g = o.agg(sum(when(isA, 1.0).otherwise(0.0)).as("_na"),
+        sum(when(isA, conv).otherwise(0.0)).as("_ca"),
+        sum(when(!isA, 1.0).otherwise(0.0)).as("_nb"),
+        sum(when(!isA, conv).otherwise(0.0)).as("_cb"))
+      def postMean(c: Column, n: Column) = (c + 1.0) / (n + 2.0)
+      def postVar(c: Column, n: Column) = {
+        val m = postMean(c, n)
+        m * (lit(1.0) - m) / (n + 3.0)
+      }
+      val dMean = postMean(col("_cb"), col("_nb")) - postMean(col("_ca"), col("_na"))
+      val dSd = sqrt(postVar(col("_ca"), col("_na")) + postVar(col("_cb"), col("_nb")))
+      val pBgtA = lit(1.0) / (lit(1.0) + exp(lit(-1.702) * (dMean / dSd)))
+      g.select(col("_na").cast("long").as("n_a"), col("_nb").cast("long").as("n_b"),
+        r4(postMean(col("_ca"), col("_na"))).as("rate_a"),
+        r4(postMean(col("_cb"), col("_nb"))).as("rate_b"),
+        r4(pBgtA).as("p_b_beats_a"),
+        (r4(pBgtA) > 0.95 || r4(pBgtA) < 0.05).as("decisive"))
     },
     "mrr" -> { (s, d) =>
       // mean reciprocal rank of the first relevant hit in the same top-100
@@ -1033,6 +1080,38 @@ object AnalyticsQueries {
         |    max(least(100.0, np.np)) AS den
         |  FROM t, np)
         |SELECT 100::BIGINT AS k, round(ap / den, 6) AS map_k FROM agg""".stripMargin,
+    "recall_at_k" ->
+      """WITH r AS (SELECT
+        |    round(-0.1 + 0.004 * l_quantity + 1.5 * l_discount + -2.0 * l_tax, 6) AS s,
+        |    l_orderkey::VARCHAR || '_' || l_linenumber::VARCHAR AS id,
+        |    CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS rel
+        |  FROM lineitem),
+        |rk AS (SELECT rel, row_number() OVER (ORDER BY s DESC, id) AS rk FROM r),
+        |np AS (SELECT sum(rel) AS np FROM r),
+        |t AS (SELECT rel FROM rk WHERE rk <= 100)
+        |SELECT 100::BIGINT AS k, max(np.np)::BIGINT AS n_relevant,
+        |  sum(rel)::BIGINT AS hits_at_k, round(sum(rel) / max(np.np), 6) AS recall_k
+        |FROM t, np""".stripMargin,
+    "bayes_ab" ->
+      """WITH b AS (SELECT
+        |    CASE WHEN ('0x' || substr(md5(o_orderkey::VARCHAR || '_42'), 1, 15))::BIGINT % 1000 >= 500
+        |      THEN 1 ELSE 0 END AS a,
+        |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1.0 ELSE 0.0 END AS conv
+        |  FROM orders),
+        |g AS (SELECT sum(CASE WHEN a = 1 THEN 1.0 ELSE 0.0 END) AS na,
+        |    sum(CASE WHEN a = 1 THEN conv ELSE 0.0 END) AS ca,
+        |    sum(CASE WHEN a = 0 THEN 1.0 ELSE 0.0 END) AS nb,
+        |    sum(CASE WHEN a = 0 THEN conv ELSE 0.0 END) AS cb FROM b),
+        |p AS (SELECT na, nb, (ca + 1.0) / (na + 2.0) AS ma, (cb + 1.0) / (nb + 2.0) AS mb,
+        |    (ca + 1.0) / (na + 2.0) * (1.0 - (ca + 1.0) / (na + 2.0)) / (na + 3.0) AS va,
+        |    (cb + 1.0) / (nb + 2.0) * (1.0 - (cb + 1.0) / (nb + 2.0)) / (nb + 3.0) AS vb
+        |  FROM g),
+        |f AS (SELECT na, nb, ma, mb,
+        |    1.0 / (1.0 + exp(-1.702 * ((mb - ma) / sqrt(va + vb)))) AS pb
+        |  FROM p)
+        |SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b, round(ma, 4) AS rate_a,
+        |  round(mb, 4) AS rate_b, round(pb, 4) AS p_b_beats_a,
+        |  round(pb, 4) > 0.95 OR round(pb, 4) < 0.05 AS decisive FROM f""".stripMargin,
     "mrr" ->
       """WITH r AS (SELECT
         |    round(-0.1 + 0.004 * l_quantity + 1.5 * l_discount + -2.0 * l_tax, 6) AS s,

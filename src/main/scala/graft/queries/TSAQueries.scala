@@ -164,6 +164,28 @@ object TSAQueries {
       TimeSeries.stationarityKpss(TimeSeries.dailySeries(Tables.events(s, d)))
         .orderBy("series")
     },
+    "forecast_accuracy" -> { (s, d) =>
+      // forecast-accuracy scorecard of the SES one-step in-sample
+      // forecast (ŷ_t = s_{t−1}): MAE/RMSE plus MASE against the lag-1
+      // naive — the scale-free metric forecasting pipelines actually
+      // compare models with; recursion replayed by the holtwinters CTE,
+      // errors from one lag window inside the series partition
+      val ses = TimeSeries.sesSmoothed(
+        TimeSeries.dailySeries(Tables.events(s, d)), 0.3)
+      val w = Window.partitionBy(col("series")).orderBy(col("t"))
+      val p = ses.withColumn("_sp", lag(col("smoothed"), 1).over(w))
+        .withColumn("_xp", lag(col("x"), 1).over(w))
+        .filter(col("_sp").isNotNull)
+      val mase = col("_mae") / col("_maen")
+      p.groupBy(col("series")).agg(count(lit(1)).cast("long").as("n"),
+          avg(abs(col("x") - col("_sp"))).as("_mae"),
+          sqrt(avg((col("x") - col("_sp")) * (col("x") - col("_sp")))).as("_rmse"),
+          avg(abs(col("x") - col("_xp"))).as("_maen"))
+        .select(col("series"), col("n"), r4(col("_mae")).as("mae"),
+          r4(col("_rmse")).as("rmse"), r4(mase).as("mase"),
+          (r4(mase) < 1.0).as("beats_naive"))
+        .orderBy("series")
+    },
     "granger_causality" -> { (s, d) =>
       // Granger causality between the click and view daily series (lag-1,
       // both directions): full model y_t ~ [1, y_{t-1}, x_{t-1}] solved by
@@ -1119,6 +1141,25 @@ object TSAQueries {
          |  UNION ALL SELECT series, 4::BIGINT, round(xc4, 4) FROM fin
          |  UNION ALL SELECT series, 5::BIGINT, round(xc5, 4) FROM fin
          |) ORDER BY series, step""".stripMargin,
+    "forecast_accuracy" ->
+      s"""WITH RECURSIVE s0 AS ($dailySql),
+         |s AS (SELECT series, x, (row_number() OVER (PARTITION BY series ORDER BY day) - 1)::BIGINT AS t FROM s0),
+         |sm AS (
+         |  SELECT series, t, x, x AS sv FROM s WHERE t = 0
+         |  UNION ALL
+         |  SELECT n.series, n.t, n.x, 0.3 * n.x + (1.0 - 0.3) * sm.sv AS sv
+         |  FROM sm JOIN s n ON n.series = sm.series AND n.t = sm.t + 1),
+         |l AS (SELECT series, t, x,
+         |    lag(sv, 1) OVER (PARTITION BY series ORDER BY t) AS sp,
+         |    lag(x, 1) OVER (PARTITION BY series ORDER BY t) AS xp
+         |  FROM sm),
+         |f AS (SELECT series, count(*)::BIGINT AS n,
+         |    avg(abs(x - sp)) AS mae, sqrt(avg((x - sp) * (x - sp))) AS rmse,
+         |    avg(abs(x - xp)) AS maen
+         |  FROM l WHERE sp IS NOT NULL GROUP BY series)
+         |SELECT series, n, round(mae, 4) AS mae, round(rmse, 4) AS rmse,
+         |  round(mae / maen, 4) AS mase, round(mae / maen, 4) < 1.0 AS beats_naive
+         |FROM f ORDER BY series""".stripMargin,
     "granger_causality" -> {
       val det = det3Sql(Seq(Seq("n", "sa", "sb"), Seq("sa", "saa", "sab"),
         Seq("sb", "sab", "sbb")))

@@ -86,6 +86,38 @@ class StatTestSpec extends AnyFunSuite {
     assert(!r.getBoolean(r.fieldIndex("reject")))
   }
 
+  test("recall_at_k: hits bounded by both k and the relevant total") {
+    val r = SparkEntry.queries("recall_at_k")(spark, sf).head()
+    val hits = r.getLong(r.fieldIndex("hits_at_k"))
+    val nr = r.getLong(r.fieldIndex("n_relevant"))
+    assert(hits <= 100 && hits <= nr)
+    val rec = r.getDouble(r.fieldIndex("recall_k"))
+    assert(rec >= 0.0 && rec <= 1.0)
+    assert(math.abs(rec - hits.toDouble / nr) < 1e-4)
+  }
+
+  test("bayes_ab: posterior rates in (0,1), A/A split is indecisive") {
+    val r = SparkEntry.queries("bayes_ab")(spark, sf).head()
+    val ra = r.getDouble(r.fieldIndex("rate_a")); val rb = r.getDouble(r.fieldIndex("rate_b"))
+    assert(ra > 0.0 && ra < 1.0 && rb > 0.0 && rb < 1.0)
+    val p = r.getDouble(r.fieldIndex("p_b_beats_a"))
+    assert(p > 0.0 && p < 1.0)
+    // the md5 split is an A/A comparison: posterior must not be decisive
+    assert(!r.getBoolean(r.fieldIndex("decisive")))
+  }
+
+  test("forecast_accuracy: RMSE >= MAE and the smoother beats the naive on smooth series") {
+    val rows = SparkEntry.queries("forecast_accuracy")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val mae = r.getDouble(r.fieldIndex("mae"))
+      val rmse = r.getDouble(r.fieldIndex("rmse"))
+      assert(mae >= 0.0 && rmse >= mae - 1e-4) // Jensen
+      assert(r.getBoolean(r.fieldIndex("beats_naive")) ==
+        (r.getDouble(r.fieldIndex("mase")) < 1.0))
+    }
+  }
+
   test("knn_regress: predictions stay inside the train-target hull") {
     import org.apache.spark.sql.functions._
     val e = graft.core.Tables.embeddings(spark, sf)
