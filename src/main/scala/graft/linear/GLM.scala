@@ -185,4 +185,85 @@ object GLM {
       round(lit(f.b0), 6).as("b0"), round(lit(f.b1), 6).as("b1"),
       round(lit(f.deviance), 4).as("deviance"))
   }
+
+  final case class RobustFit(n: Double, b0: Double, b1: Double, meanAbsResid: Double)
+
+  /** Huber robust regression (intercept + one feature) by fixed-round
+    * IRLS: w = 1 for |e| ≤ δ else δ/|e| — the M-estimator that keeps
+    * outlier rows from owning the fit. OLS init (one closed-form pass),
+    * each round ONE aggregate of five weighted sums + 2×2 Cramer, same
+    * replayable discipline as [[poissonIrls]]. */
+  def huberIrls(df: DataFrame, y: Column, x: Column, delta: Double,
+                rounds: Int = 8): RobustFit =
+    graft.core.FitCache.getOrFit(graft.core.FitCache.key(df, "huber", y, x,
+      delta, rounds)) {
+      val base = df.select(y.cast("double").as("y"), x.cast("double").as("x"))
+      val st = base.agg(count(lit(1)).cast("double").as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy")).head()
+      val (n, sx, sy, sxx, sxy) = (st.getDouble(0), st.getDouble(1),
+        st.getDouble(2), st.getDouble(3), st.getDouble(4))
+      var b1 = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+      var b0 = sy / n - b1 * (sx / n)
+      (0 until rounds).foreach { _ =>
+        val e = col("y") - (lit(b0) + lit(b1) * col("x"))
+        val w = when(abs(e) <= delta, 1.0).otherwise(lit(delta) / abs(e))
+        val r = base.agg(sum(w).as("sw"), sum(w * col("x")).as("swx"),
+          sum(w * col("x") * col("x")).as("swxx"),
+          sum(w * col("y")).as("swy"), sum(w * col("x") * col("y")).as("swxy")).head()
+        val (sw, swx, swxx, swy, swxy) = (r.getDouble(0), r.getDouble(1),
+          r.getDouble(2), r.getDouble(3), r.getDouble(4))
+        val det = sw * swxx - swx * swx
+        b0 = (swy * swxx - swx * swxy) / det
+        b1 = (sw * swxy - swx * swy) / det
+      }
+      val mar = base.agg(avg(abs(col("y") - (lit(b0) + lit(b1) * col("x")))))
+        .head().getDouble(0)
+      RobustFit(n, b0, b1, mar)
+    }
+
+  def huberFrame(df: DataFrame, y: Column, x: Column, delta: Double,
+                 rounds: Int = 8): DataFrame = {
+    val f = huberIrls(df, y, x, delta, rounds)
+    df.sparkSession.range(1).select(lit(f.n).cast("long").as("n"),
+      round(lit(f.b0), 6).as("b0"), round(lit(f.b1), 6).as("b1"),
+      round(lit(f.meanAbsResid), 4).as("mean_abs_resid"))
+  }
+
+  final case class TweedieFit(n: Double, b0: Double, b1: Double, meanMu: Double)
+
+  /** Tweedie GLM (log link, variance power p = 1.5 — the compound
+    * Poisson-gamma regime for zero-inflated positive targets) by the same
+    * fixed-round IRLS: w = μ^(2−p) = √μ, z = η + (y−μ)/μ. */
+  def tweedieIrls(df: DataFrame, y: Column, x: Column, rounds: Int = 8): TweedieFit =
+    graft.core.FitCache.getOrFit(graft.core.FitCache.key(df, "tweedie", y, x, rounds)) {
+      val base = df.select(y.cast("double").as("y"), x.cast("double").as("x"))
+      val st = base.agg(count(lit(1)).cast("double").as("n"), avg(col("y")).as("m")).head()
+      val n = st.getDouble(0)
+      var b0 = math.log(st.getDouble(1))
+      var b1 = 0.0
+      (0 until rounds).foreach { _ =>
+        val eta = lit(b0) + lit(b1) * col("x")
+        val mu = exp(eta)
+        val w = sqrt(mu)
+        val z = eta + (col("y") - mu) / mu
+        val r = base.agg(sum(w).as("sw"), sum(w * col("x")).as("swx"),
+          sum(w * col("x") * col("x")).as("swxx"),
+          sum(w * z).as("swz"), sum(w * col("x") * z).as("swxz")).head()
+        val (sw, swx, swxx, swz, swxz) = (r.getDouble(0), r.getDouble(1),
+          r.getDouble(2), r.getDouble(3), r.getDouble(4))
+        val det = sw * swxx - swx * swx
+        b0 = (swz * swxx - swx * swxz) / det
+        b1 = (sw * swxz - swx * swz) / det
+      }
+      val mm = base.agg(avg(exp(lit(b0) + lit(b1) * col("x")))).head().getDouble(0)
+      TweedieFit(n, b0, b1, mm)
+    }
+
+  def tweedieFrame(df: DataFrame, y: Column, x: Column, rounds: Int = 8): DataFrame = {
+    val f = tweedieIrls(df, y, x, rounds)
+    df.sparkSession.range(1).select(lit(f.n).cast("long").as("n"),
+      round(lit(f.b0), 6).as("b0"), round(lit(f.b1), 6).as("b1"),
+      round(lit(f.meanMu), 4).as("mean_mu"))
+  }
 }

@@ -91,6 +91,84 @@ object MiscQueries {
           countDistinct(col("rid")).cast("long").as("n_intervals"),
           r4(avg(col("point"))).as("avg_point"))
     },
+    "huber_reg" -> { (s, d) =>
+      // Huber robust regression (the M-estimator production fits use when
+      // label noise would own an OLS): fixed 8-round IRLS, OLS init, one
+      // weighted-sums aggregate + 2×2 Cramer per round — chained-CTE
+      // replayable like poisson_reg
+      graft.linear.GLM.huberFrame(Tables.lineitem(s, d),
+        col("l_extendedprice") / 100000.0, col("l_quantity") / 10.0, delta = 0.5)
+    },
+    "tweedie_reg" -> { (s, d) =>
+      // Tweedie GLM (log link, variance power 1.5 — the compound
+      // Poisson-gamma family for zero-inflated positive targets):
+      // fixed-round IRLS with w = √μ, same replay discipline
+      graft.linear.GLM.tweedieFrame(Tables.lineitem(s, d),
+        col("l_quantity"), col("l_discount"))
+    },
+    "tost_equivalence" -> { (s, d) =>
+      // TOST equivalence test (the A/B gate that PROVES "no meaningful
+      // difference" instead of failing to find one): two one-sided Welch
+      // t's against a ±1% margin; both must clear 1.645
+      val o = Tables.orders(s, d)
+      val isRef = Preprocessing.splitColumn(col("o_orderkey"), 500, 42L) === "train"
+      val y = col("o_totalprice")
+      val g = o.agg(
+        sum(when(isRef, 1.0).otherwise(0.0)).as("_na"),
+        sum(when(isRef, y).otherwise(0.0)).as("_sa"),
+        sum(when(isRef, y * y).otherwise(0.0)).as("_qa"),
+        sum(when(!isRef, 1.0).otherwise(0.0)).as("_nb"),
+        sum(when(!isRef, y).otherwise(0.0)).as("_sb"),
+        sum(when(!isRef, y * y).otherwise(0.0)).as("_qb"))
+      val va = (col("_qa") - col("_sa") * col("_sa") / col("_na")) / (col("_na") - 1)
+      val vb = (col("_qb") - col("_sb") * col("_sb") / col("_nb")) / (col("_nb") - 1)
+      val se = sqrt(va / col("_na") + vb / col("_nb"))
+      val diff = col("_sa") / col("_na") - col("_sb") / col("_nb")
+      val margin = lit(0.01) * ((col("_sa") + col("_sb")) / (col("_na") + col("_nb")))
+      val tL = (diff + margin) / se
+      val tU = (margin - diff) / se
+      g.select(col("_na").cast("long").as("n_a"), col("_nb").cast("long").as("n_b"),
+        r4(diff).as("diff"), r4(margin).as("margin"),
+        r4(tL).as("t_lower"), r4(tU).as("t_upper"),
+        (r4(tL) > 1.645 && r4(tU) > 1.645).as("equivalent"))
+    },
+    "fleiss_kappa" -> { (s, d) =>
+      // Fleiss' kappa multi-rater agreement of three literal binary
+      // raters (the SVM sign rule, the tax rule, the discount rule) —
+      // the labeling-quality audit for model-ensemble or annotator
+      // pipelines; one codegen aggregate
+      val margin = lit(-0.1) + lit(0.004) * col("l_quantity") +
+        lit(1.5) * col("l_discount") + lit(-2.0) * col("l_tax")
+      val k = (margin > 0).cast("double") + (col("l_tax") >= 0.04).cast("double") +
+        (col("l_discount") >= 0.05).cast("double")
+      val pI = (k * k + (lit(3.0) - k) * (lit(3.0) - k) - 3.0) / 6.0
+      val g = Tables.lineitem(s, d).agg(count(lit(1)).cast("double").as("_n"),
+        sum(k).as("_sk"), avg(pI).as("_pb"))
+      val p1 = col("_sk") / (col("_n") * 3.0)
+      val pe = p1 * p1 + (lit(1.0) - p1) * (lit(1.0) - p1)
+      g.select(col("_n").cast("long").as("n"), r4(p1).as("p_positive"),
+        r4(col("_pb")).as("p_agree"),
+        r4((col("_pb") - pe) / (lit(1.0) - pe)).as("kappa"))
+    },
+    "uplift_by_segment" -> { (s, d) =>
+      // two-model uplift readout per segment: treatment-vs-control
+      // conversion difference by order priority (the heterogeneous
+      // treatment-effect slice an experimentation readout reports)
+      val o = Tables.orders(s, d)
+      val isA = Preprocessing.splitColumn(col("o_orderkey"), 500, 42L) === "train"
+      val conv = (col("o_orderstatus") === "F").cast("double")
+      o.groupBy(col("o_orderpriority").as("segment")).agg(
+          sum(when(isA, 1.0).otherwise(0.0)).as("_na"),
+          sum(when(isA, conv).otherwise(0.0)).as("_ca"),
+          sum(when(!isA, 1.0).otherwise(0.0)).as("_nb"),
+          sum(when(!isA, conv).otherwise(0.0)).as("_cb"))
+        .select(col("segment"), col("_na").cast("long").as("n_a"),
+          col("_nb").cast("long").as("n_b"),
+          r4(col("_ca") / col("_na")).as("rate_a"),
+          r4(col("_cb") / col("_nb")).as("rate_b"),
+          r4(col("_cb") / col("_nb") - col("_ca") / col("_na")).as("uplift"))
+        .orderBy("segment")
+    },
     "scd2_history" -> { (s, d) =>
       // slowly-changing-dimension type-2 history build (the warehouse
       // merge every dimension pipeline runs): per-user attribute change
@@ -1299,6 +1377,102 @@ object MiscQueries {
         |SELECT count(*)::BIGINT AS n_pairs, count(DISTINCT id)::BIGINT AS n_points,
         |  count(DISTINCT rid)::BIGINT AS n_intervals, round(avg(p), 4) AS avg_point
         |FROM j""".stripMargin,
+    "huber_reg" -> {
+      val rounds = (1 to 8).map { k =>
+        s"""p$k AS MATERIALIZED (SELECT
+           |    (swy * swxx - swx * swxy) / (sw * swxx - swx * swx) AS b0,
+           |    (sw * swxy - swx * swy) / (sw * swxx - swx * swx) AS b1
+           |  FROM (SELECT sum(w) AS sw, sum(w * x) AS swx, sum(w * x * x) AS swxx,
+           |      sum(w * y) AS swy, sum(w * x * y) AS swxy
+           |    FROM (SELECT x, y, CASE WHEN abs(e) <= 0.5 THEN 1.0 ELSE 0.5 / abs(e) END AS w
+           |      FROM (SELECT v.x, v.y, v.y - (p.b0 + p.b1 * v.x) AS e
+           |        FROM xv v, p${k - 1} p))))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH xv AS MATERIALIZED (SELECT l_extendedprice / 100000.0 AS y,
+         |    l_quantity / 10.0 AS x FROM lineitem),
+         |g0 AS (SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+         |    sum(x * x) AS sxx, sum(x * y) AS sxy FROM xv),
+         |p0 AS (SELECT sy / n - (sxy - sx * sy / n) / (sxx - sx * sx / n) * (sx / n) AS b0,
+         |    (sxy - sx * sy / n) / (sxx - sx * sx / n) AS b1 FROM g0),
+         |$rounds,
+         |mar AS (SELECT avg(abs(v.y - (p.b0 + p.b1 * v.x))) AS m, count(*)::BIGINT AS n
+         |  FROM xv v, p8 p)
+         |SELECT mar.n, round(p8.b0, 6) AS b0, round(p8.b1, 6) AS b1,
+         |  round(mar.m, 4) AS mean_abs_resid
+         |FROM p8, mar""".stripMargin
+    },
+    "tweedie_reg" -> {
+      val rounds = (1 to 8).map { k =>
+        s"""p$k AS MATERIALIZED (SELECT
+           |    (swz * swxx - swx * swxz) / (sw * swxx - swx * swx) AS b0,
+           |    (sw * swxz - swx * swz) / (sw * swxx - swx * swx) AS b1
+           |  FROM (SELECT sum(w) AS sw, sum(w * x) AS swx, sum(w * x * x) AS swxx,
+           |      sum(w * z) AS swz, sum(w * x * z) AS swxz
+           |    FROM (SELECT x, y, mu, sqrt(mu) AS w, (b0 + b1 * x) + (y - mu) / mu AS z
+           |      FROM (SELECT v.x, v.y, p.b0, p.b1, exp(p.b0 + p.b1 * v.x) AS mu
+           |        FROM xv v, p${k - 1} p))))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH xv AS MATERIALIZED (SELECT l_quantity::DOUBLE AS y, l_discount::DOUBLE AS x FROM lineitem),
+         |p0 AS (SELECT ln(avg(y)) AS b0, 0.0 AS b1 FROM xv),
+         |$rounds,
+         |mm AS (SELECT avg(exp(p.b0 + p.b1 * v.x)) AS m, count(*)::BIGINT AS n
+         |  FROM xv v, p8 p)
+         |SELECT mm.n, round(p8.b0, 6) AS b0, round(p8.b1, 6) AS b1,
+         |  round(mm.m, 4) AS mean_mu
+         |FROM p8, mm""".stripMargin
+    },
+    "tost_equivalence" ->
+      """WITH b AS (SELECT o_totalprice AS y,
+        |    CASE WHEN ('0x' || substr(md5(o_orderkey::VARCHAR || '_42'), 1, 15))::BIGINT % 1000 >= 500
+        |      THEN 1 ELSE 0 END AS ref FROM orders),
+        |g AS (SELECT sum(CASE WHEN ref = 1 THEN 1.0 ELSE 0.0 END) AS na,
+        |    sum(CASE WHEN ref = 1 THEN y ELSE 0.0 END) AS sa,
+        |    sum(CASE WHEN ref = 1 THEN y * y ELSE 0.0 END) AS qa,
+        |    sum(CASE WHEN ref = 0 THEN 1.0 ELSE 0.0 END) AS nb,
+        |    sum(CASE WHEN ref = 0 THEN y ELSE 0.0 END) AS sb,
+        |    sum(CASE WHEN ref = 0 THEN y * y ELSE 0.0 END) AS qb FROM b),
+        |v AS (SELECT na, nb, sa, sb,
+        |    (qa - sa * sa / na) / (na - 1) AS va,
+        |    (qb - sb * sb / nb) / (nb - 1) AS vb FROM g),
+        |f AS (SELECT na, nb,
+        |    sa / na - sb / nb AS diff,
+        |    0.01 * ((sa + sb) / (na + nb)) AS margin,
+        |    sqrt(va / na + vb / nb) AS se FROM v)
+        |SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b, round(diff, 4) AS diff,
+        |  round(margin, 4) AS margin,
+        |  round((diff + margin) / se, 4) AS t_lower,
+        |  round((margin - diff) / se, 4) AS t_upper,
+        |  round((diff + margin) / se, 4) > 1.645 AND round((margin - diff) / se, 4) > 1.645 AS equivalent
+        |FROM f""".stripMargin,
+    "fleiss_kappa" ->
+      """WITH t AS (SELECT
+        |    (CASE WHEN (-0.1 + 0.004 * l_quantity + 1.5 * l_discount + -2.0 * l_tax) > 0
+        |      THEN 1.0 ELSE 0.0 END)
+        |    + (CASE WHEN l_tax >= 0.04 THEN 1.0 ELSE 0.0 END)
+        |    + (CASE WHEN l_discount >= 0.05 THEN 1.0 ELSE 0.0 END) AS k
+        |  FROM lineitem),
+        |g AS (SELECT count(*)::DOUBLE AS n, sum(k) AS sk,
+        |    avg((k * k + (3.0 - k) * (3.0 - k) - 3.0) / 6.0) AS pb FROM t),
+        |f AS (SELECT n, sk / (n * 3.0) AS p1, pb FROM g)
+        |SELECT n::BIGINT AS n, round(p1, 4) AS p_positive, round(pb, 4) AS p_agree,
+        |  round((pb - (p1 * p1 + (1.0 - p1) * (1.0 - p1))) /
+        |    (1.0 - (p1 * p1 + (1.0 - p1) * (1.0 - p1))), 4) AS kappa
+        |FROM f""".stripMargin,
+    "uplift_by_segment" ->
+      """WITH b AS (SELECT o_orderpriority AS segment,
+        |    CASE WHEN ('0x' || substr(md5(o_orderkey::VARCHAR || '_42'), 1, 15))::BIGINT % 1000 >= 500
+        |      THEN 1 ELSE 0 END AS a,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS conv FROM orders),
+        |g AS (SELECT segment,
+        |    sum(CASE WHEN a = 1 THEN 1.0 ELSE 0.0 END) AS na,
+        |    sum(CASE WHEN a = 1 THEN conv ELSE 0.0 END) AS ca,
+        |    sum(CASE WHEN a = 0 THEN 1.0 ELSE 0.0 END) AS nb,
+        |    sum(CASE WHEN a = 0 THEN conv ELSE 0.0 END) AS cb
+        |  FROM b GROUP BY segment)
+        |SELECT segment, na::BIGINT AS n_a, nb::BIGINT AS n_b,
+        |  round(ca / na, 4) AS rate_a, round(cb / nb, 4) AS rate_b,
+        |  round(cb / nb - ca / na, 4) AS uplift
+        |FROM g ORDER BY segment""".stripMargin,
     "scd2_history" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu FROM events),
         |p AS (SELECT user_id, event_id, event_type, tsu,

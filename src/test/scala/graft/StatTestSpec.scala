@@ -86,6 +86,54 @@ class StatTestSpec extends AnyFunSuite {
     assert(!r.getBoolean(r.fieldIndex("reject")))
   }
 
+  test("huber_reg: coefficients finite and residual scale bounded by the target scale") {
+    val r = SparkEntry.queries("huber_reg")(spark, sf).head()
+    val b0 = r.getDouble(r.fieldIndex("b0")); val b1 = r.getDouble(r.fieldIndex("b1"))
+    assert(!b0.isNaN && !b1.isNaN)
+    val mar = r.getDouble(r.fieldIndex("mean_abs_resid"))
+    import org.apache.spark.sql.functions._
+    val ym = graft.core.Tables.lineitem(spark, sf)
+      .agg(avg(abs(col("l_extendedprice") / 100000.0))).head().getDouble(0)
+    // a fit with an intercept can't do worse than predicting zero
+    assert(mar >= 0.0 && mar <= ym + 1e-6)
+  }
+
+  test("tweedie_reg: mean mu close to the target mean (log-link GLM calibration)") {
+    val r = SparkEntry.queries("tweedie_reg")(spark, sf).head()
+    val mm = r.getDouble(r.fieldIndex("mean_mu"))
+    import org.apache.spark.sql.functions._
+    val ym = graft.core.Tables.lineitem(spark, sf)
+      .agg(avg(col("l_quantity"))).head().getDouble(0)
+    assert(mm > 0.0 && math.abs(mm - ym) / ym < 0.2)
+  }
+
+  test("tost_equivalence: decision matches the two one-sided cuts; A/A diff inside the margin") {
+    val r = SparkEntry.queries("tost_equivalence")(spark, sf).head()
+    val margin = r.getDouble(r.fieldIndex("margin"))
+    assert(margin > 0.0)
+    val tL = r.getDouble(r.fieldIndex("t_lower")); val tU = r.getDouble(r.fieldIndex("t_upper"))
+    assert(r.getBoolean(r.fieldIndex("equivalent")) == (tL > 1.645 && tU > 1.645))
+    // TOST symmetry: t_lower + t_upper = 2·margin/se > 0
+    assert(tL + tU > 0.0)
+  }
+
+  test("fleiss_kappa: kappa <= 1 and agreement share in [1/3, 1] for 3 binary raters") {
+    val r = SparkEntry.queries("fleiss_kappa")(spark, sf).head()
+    val pb = r.getDouble(r.fieldIndex("p_agree"))
+    assert(pb >= 1.0 / 3.0 - 1e-4 && pb <= 1.0)
+    assert(r.getDouble(r.fieldIndex("kappa")) <= 1.0)
+  }
+
+  test("uplift_by_segment: rates in [0,1] and uplift = rate_b - rate_a per segment") {
+    val rows = SparkEntry.queries("uplift_by_segment")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ra = r.getDouble(r.fieldIndex("rate_a")); val rb = r.getDouble(r.fieldIndex("rate_b"))
+      assert(ra >= 0.0 && ra <= 1.0 && rb >= 0.0 && rb <= 1.0)
+      assert(math.abs(r.getDouble(r.fieldIndex("uplift")) - (rb - ra)) < 1e-3)
+    }
+  }
+
   test("recall_at_k: hits bounded by both k and the relevant total") {
     val r = SparkEntry.queries("recall_at_k")(spark, sf).head()
     val hits = r.getLong(r.fieldIndex("hits_at_k"))
