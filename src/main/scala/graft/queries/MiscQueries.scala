@@ -7,7 +7,7 @@ import graft.decomposition.RandomProjection
 import graft.metrics.Trustworthiness
 import graft.neighbors.IVF
 import graft.preprocessing.{Datasets, Preprocessing}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -90,6 +90,58 @@ object MiscQueries {
           countDistinct(col("id")).cast("long").as("n_points"),
           countDistinct(col("rid")).cast("long").as("n_intervals"),
           r4(avg(col("point"))).as("avg_point"))
+    },
+    "cem_att" -> { (s, d) =>
+      // coarsened exact matching ATT (the causal estimate after binning
+      // confounders and matching treated to control INSIDE each bin —
+      // Iacus/King/Porro): strata = (priority, price decile-by-width),
+      // treatment = the md5 arm; ATT = treated-count-weighted mean of
+      // within-stratum outcome differences over strata with BOTH groups;
+      // two grouped aggregates, no row-level matching join
+      val o = Tables.orders(s, d)
+      val treat = Preprocessing.splitColumn(col("o_orderkey"), 500, 42L) === "train"
+      val y = (col("o_orderstatus") === "F").cast("double")
+      val bin = least(floor(col("o_totalprice") / 50000.0), lit(9.0)).cast("long")
+      val strata = o.groupBy(col("o_orderpriority").as("_p"), bin.as("_b"))
+        .agg(sum(when(treat, 1.0).otherwise(0.0)).as("_nt"),
+          sum(when(treat, y).otherwise(0.0)).as("_st"),
+          sum(when(!treat, 1.0).otherwise(0.0)).as("_nc"),
+          sum(when(!treat, y).otherwise(0.0)).as("_sc"))
+        .filter(col("_nt") > 0.0 && col("_nc") > 0.0)
+      strata.agg(count(lit(1)).cast("long").as("n_strata"),
+          sum(col("_nt")).cast("long").as("n_treated_matched"),
+          r4(sum(col("_nt") * (col("_st") / col("_nt") - col("_sc") / col("_nc"))) /
+            sum(col("_nt"))).as("att"))
+    },
+    "reg_discontinuity" -> { (s, d) =>
+      // sharp regression discontinuity at a totalprice cutoff: local
+      // linear fits on each side within the bandwidth (closed-form OLS
+      // from ONE conditional-sums aggregate), effect = right-limit −
+      // left-limit at the cutoff — the quasi-experimental readout when
+      // assignment is a threshold rule
+      val o = Tables.orders(s, d)
+      val cut = 200000.0; val bw = 100000.0
+      val x = col("o_totalprice") - cut
+      val y = (col("o_orderstatus") === "F").cast("double")
+      val inL = x >= -bw && x < 0.0
+      val inR = x >= 0.0 && x <= bw
+      def side(f: Column, tag: String) = Seq(
+        sum(when(f, 1.0).otherwise(0.0)).as(s"_n$tag"),
+        sum(when(f, x).otherwise(0.0)).as(s"_sx$tag"),
+        sum(when(f, y).otherwise(0.0)).as(s"_sy$tag"),
+        sum(when(f, x * x).otherwise(0.0)).as(s"_sxx$tag"),
+        sum(when(f, x * y).otherwise(0.0)).as(s"_sxy$tag"))
+      val g = o.agg((side(inL, "l") ++ side(inR, "r")).head,
+        (side(inL, "l") ++ side(inR, "r")).tail: _*)
+      def icept(tag: String): Column = {
+        val (n, sx, sy, sxx, sxy) = (col(s"_n$tag"), col(s"_sx$tag"),
+          col(s"_sy$tag"), col(s"_sxx$tag"), col(s"_sxy$tag"))
+        val b1 = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+        sy / n - b1 * (sx / n)
+      }
+      g.select(col("_nl").cast("long").as("n_left"), col("_nr").cast("long").as("n_right"),
+        r4(icept("l")).as("left_limit"), r4(icept("r")).as("right_limit"),
+        r4(icept("r") - icept("l")).as("rd_effect"))
     },
     "huber_reg" -> { (s, d) =>
       // Huber robust regression (the M-estimator production fits use when
@@ -1377,6 +1429,45 @@ object MiscQueries {
         |SELECT count(*)::BIGINT AS n_pairs, count(DISTINCT id)::BIGINT AS n_points,
         |  count(DISTINCT rid)::BIGINT AS n_intervals, round(avg(p), 4) AS avg_point
         |FROM j""".stripMargin,
+    "cem_att" ->
+      """WITH b AS (SELECT o_orderpriority AS p,
+        |    least(floor(o_totalprice / 50000.0), 9.0)::BIGINT AS bn,
+        |    CASE WHEN ('0x' || substr(md5(o_orderkey::VARCHAR || '_42'), 1, 15))::BIGINT % 1000 >= 500
+        |      THEN 1 ELSE 0 END AS t,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y FROM orders),
+        |s AS (SELECT p, bn,
+        |    sum(CASE WHEN t = 1 THEN 1.0 ELSE 0.0 END) AS nt,
+        |    sum(CASE WHEN t = 1 THEN y ELSE 0.0 END) AS st,
+        |    sum(CASE WHEN t = 0 THEN 1.0 ELSE 0.0 END) AS nc,
+        |    sum(CASE WHEN t = 0 THEN y ELSE 0.0 END) AS sc
+        |  FROM b GROUP BY p, bn),
+        |f AS (SELECT * FROM s WHERE nt > 0.0 AND nc > 0.0)
+        |SELECT count(*)::BIGINT AS n_strata, sum(nt)::BIGINT AS n_treated_matched,
+        |  round(sum(nt * (st / nt - sc / nc)) / sum(nt), 4) AS att
+        |FROM f""".stripMargin,
+    "reg_discontinuity" ->
+      """WITH b AS (SELECT o_totalprice - 200000.0 AS x,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y FROM orders),
+        |g AS (SELECT
+        |    sum(CASE WHEN x >= -100000.0 AND x < 0.0 THEN 1.0 ELSE 0.0 END) AS nl,
+        |    sum(CASE WHEN x >= -100000.0 AND x < 0.0 THEN x ELSE 0.0 END) AS sxl,
+        |    sum(CASE WHEN x >= -100000.0 AND x < 0.0 THEN y ELSE 0.0 END) AS syl,
+        |    sum(CASE WHEN x >= -100000.0 AND x < 0.0 THEN x * x ELSE 0.0 END) AS sxxl,
+        |    sum(CASE WHEN x >= -100000.0 AND x < 0.0 THEN x * y ELSE 0.0 END) AS sxyl,
+        |    sum(CASE WHEN x >= 0.0 AND x <= 100000.0 THEN 1.0 ELSE 0.0 END) AS nr,
+        |    sum(CASE WHEN x >= 0.0 AND x <= 100000.0 THEN x ELSE 0.0 END) AS sxr,
+        |    sum(CASE WHEN x >= 0.0 AND x <= 100000.0 THEN y ELSE 0.0 END) AS syr,
+        |    sum(CASE WHEN x >= 0.0 AND x <= 100000.0 THEN x * x ELSE 0.0 END) AS sxxr,
+        |    sum(CASE WHEN x >= 0.0 AND x <= 100000.0 THEN x * y ELSE 0.0 END) AS sxyr
+        |  FROM b),
+        |f AS (SELECT nl, nr,
+        |    syl / nl - (sxyl - sxl * syl / nl) / (sxxl - sxl * sxl / nl) * (sxl / nl) AS il,
+        |    syr / nr - (sxyr - sxr * syr / nr) / (sxxr - sxr * sxr / nr) * (sxr / nr) AS ir
+        |  FROM g)
+        |SELECT nl::BIGINT AS n_left, nr::BIGINT AS n_right,
+        |  round(il, 4) AS left_limit, round(ir, 4) AS right_limit,
+        |  round(ir - il, 4) AS rd_effect
+        |FROM f""".stripMargin,
     "huber_reg" -> {
       val rounds = (1 to 8).map { k =>
         s"""p$k AS MATERIALIZED (SELECT

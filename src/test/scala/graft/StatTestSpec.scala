@@ -86,6 +86,26 @@ class StatTestSpec extends AnyFunSuite {
     assert(!r.getBoolean(r.fieldIndex("reject")))
   }
 
+  test("cem_att: A/A matching yields a near-zero ATT and full treated coverage is bounded") {
+    val r = SparkEntry.queries("cem_att")(spark, sf).head()
+    assert(r.getLong(r.fieldIndex("n_strata")) >= 1)
+    val att = r.getDouble(r.fieldIndex("att"))
+    // the arms are an A/A md5 split: the matched effect must be noise-sized
+    assert(math.abs(att) < 0.15)
+    val nt = r.getLong(r.fieldIndex("n_treated_matched"))
+    assert(nt > 0 && nt <= graft.core.Tables.orders(spark, sf).count())
+  }
+
+  test("reg_discontinuity: limits are probabilities and the effect is their difference") {
+    val r = SparkEntry.queries("reg_discontinuity")(spark, sf).head()
+    val l = r.getDouble(r.fieldIndex("left_limit"))
+    val rr = r.getDouble(r.fieldIndex("right_limit"))
+    // local-linear extrapolation can wiggle slightly outside [0,1]
+    assert(l > -0.5 && l < 1.5 && rr > -0.5 && rr < 1.5)
+    assert(math.abs(r.getDouble(r.fieldIndex("rd_effect")) - (rr - l)) < 1e-3)
+    assert(r.getLong(r.fieldIndex("n_left")) > 10 && r.getLong(r.fieldIndex("n_right")) > 10)
+  }
+
   test("huber_reg: coefficients finite and residual scale bounded by the target scale") {
     val r = SparkEntry.queries("huber_reg")(spark, sf).head()
     val b0 = r.getDouble(r.fieldIndex("b0")); val b1 = r.getDouble(r.fieldIndex("b1"))
