@@ -170,6 +170,50 @@ object StatTestQueries {
         r4(col("_e1")).as("expected_1"), r4(chi).as("chi2"),
         (r4(chi) > 3.841).as("reject"))
     },
+    "cohens_d" -> { (s, d) =>
+      // Cohen's d standardized effect size of the A/B mean difference
+      // (the magnitude number a readout reports beside welch_ttest's
+      // significance): pooled-SD denominator from the same ONE moments
+      // aggregate; smallness judged at the conventional 0.2 cut
+      val o = Tables.orders(s, d)
+      val isA = Preprocessing.splitColumn(col("o_orderkey"), 500, 42L) === "train"
+      val y = col("o_totalprice")
+      val g = o.agg(sum(when(isA, 1.0).otherwise(0.0)).as("_na"),
+        sum(when(isA, y).otherwise(0.0)).as("_sa"),
+        sum(when(isA, y * y).otherwise(0.0)).as("_qa"),
+        sum(when(!isA, 1.0).otherwise(0.0)).as("_nb"),
+        sum(when(!isA, y).otherwise(0.0)).as("_sb"),
+        sum(when(!isA, y * y).otherwise(0.0)).as("_qb"))
+      val va = (col("_qa") - col("_sa") * col("_sa") / col("_na")) / (col("_na") - 1)
+      val vb = (col("_qb") - col("_sb") * col("_sb") / col("_nb")) / (col("_nb") - 1)
+      val sp = sqrt(((col("_na") - 1) * va + (col("_nb") - 1) * vb) /
+        (col("_na") + col("_nb") - 2))
+      val dEff = (col("_sa") / col("_na") - col("_sb") / col("_nb")) / sp
+      g.select(col("_na").cast("long").as("n_a"), col("_nb").cast("long").as("n_b"),
+        r4(dEff).as("cohens_d"), r4(sp).as("pooled_sd"),
+        (abs(r4(dEff)) < 0.2).as("negligible"))
+    },
+    "odds_ratio" -> { (s, d) =>
+      // odds ratio of urgency given the md5 arm with the
+      // Haldane-Anscombe +0.5 correction and the 95% log-normal CI (the
+      // 2×2 readout epidemiology and churn analyses share): all four
+      // cells from ONE aggregate
+      val o = Tables.orders(s, d)
+      val isA = Preprocessing.splitColumn(col("o_orderkey"), 500, 42L) === "train"
+      val pos = col("o_orderpriority") === "1-URGENT"
+      val g = o.agg(
+        (sum(when(isA && pos, 1.0).otherwise(0.0)) + 0.5).as("_a"),
+        (sum(when(isA && !pos, 1.0).otherwise(0.0)) + 0.5).as("_b"),
+        (sum(when(!isA && pos, 1.0).otherwise(0.0)) + 0.5).as("_c"),
+        (sum(when(!isA && !pos, 1.0).otherwise(0.0)) + 0.5).as("_dd"))
+      val or = col("_a") * col("_dd") / (col("_b") * col("_c"))
+      val seLog = sqrt(lit(1.0) / col("_a") + lit(1.0) / col("_b") +
+        lit(1.0) / col("_c") + lit(1.0) / col("_dd"))
+      val lo = exp(log(or) - lit(1.959964) * seLog)
+      val hi = exp(log(or) + lit(1.959964) * seLog)
+      g.select(r4(or).as("odds_ratio"), r4(lo).as("ci_lo"), r4(hi).as("ci_hi"),
+        (r4(lo) > 1.0 || r4(hi) < 1.0).as("significant"))
+    },
     "srm_check" -> { (s, d) =>
       // sample-ratio-mismatch guardrail: chi-square(1) of the observed
       // arm counts against the designed 50/50 md5 split — the first
@@ -388,6 +432,41 @@ object StatTestQueries {
       |  FROM g)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "cohens_d" ->
+      """WITH b AS (SELECT o_totalprice AS y,
+        |    CASE WHEN ('0x' || substr(md5(o_orderkey::VARCHAR || '_42'), 1, 15))::BIGINT % 1000 >= 500
+        |      THEN 1 ELSE 0 END AS a FROM orders),
+        |g AS (SELECT sum(CASE WHEN a = 1 THEN 1.0 ELSE 0.0 END) AS na,
+        |    sum(CASE WHEN a = 1 THEN y ELSE 0.0 END) AS sa,
+        |    sum(CASE WHEN a = 1 THEN y * y ELSE 0.0 END) AS qa,
+        |    sum(CASE WHEN a = 0 THEN 1.0 ELSE 0.0 END) AS nb,
+        |    sum(CASE WHEN a = 0 THEN y ELSE 0.0 END) AS sb,
+        |    sum(CASE WHEN a = 0 THEN y * y ELSE 0.0 END) AS qb FROM b),
+        |f AS (SELECT na, nb,
+        |    sqrt(((na - 1) * ((qa - sa * sa / na) / (na - 1))
+        |      + (nb - 1) * ((qb - sb * sb / nb) / (nb - 1))) / (na + nb - 2)) AS sp,
+        |    sa / na - sb / nb AS diff FROM g)
+        |SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b, round(diff / sp, 4) AS cohens_d,
+        |  round(sp, 4) AS pooled_sd, abs(round(diff / sp, 4)) < 0.2 AS negligible
+        |FROM f""".stripMargin,
+    "odds_ratio" ->
+      """WITH b AS (SELECT
+        |    CASE WHEN ('0x' || substr(md5(o_orderkey::VARCHAR || '_42'), 1, 15))::BIGINT % 1000 >= 500
+        |      THEN 1 ELSE 0 END AS a,
+        |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS pos FROM orders),
+        |g AS (SELECT
+        |    sum(CASE WHEN a = 1 AND pos = 1 THEN 1.0 ELSE 0.0 END) + 0.5 AS ca,
+        |    sum(CASE WHEN a = 1 AND pos = 0 THEN 1.0 ELSE 0.0 END) + 0.5 AS cb,
+        |    sum(CASE WHEN a = 0 AND pos = 1 THEN 1.0 ELSE 0.0 END) + 0.5 AS cc,
+        |    sum(CASE WHEN a = 0 AND pos = 0 THEN 1.0 ELSE 0.0 END) + 0.5 AS cd FROM b),
+        |f AS (SELECT ca * cd / (cb * cc) AS orr,
+        |    sqrt(1.0 / ca + 1.0 / cb + 1.0 / cc + 1.0 / cd) AS se FROM g)
+        |SELECT round(orr, 4) AS odds_ratio,
+        |  round(exp(ln(orr) - 1.959964 * se), 4) AS ci_lo,
+        |  round(exp(ln(orr) + 1.959964 * se), 4) AS ci_hi,
+        |  round(exp(ln(orr) - 1.959964 * se), 4) > 1.0
+        |    OR round(exp(ln(orr) + 1.959964 * se), 4) < 1.0 AS significant
+        |FROM f""".stripMargin,
     "srm_check" ->
       """WITH b AS (SELECT CASE WHEN ('0x' || substr(md5(o_orderkey::VARCHAR || '_42'), 1, 15))::BIGINT % 1000 >= 500
         |      THEN 1 ELSE 0 END AS a FROM orders),

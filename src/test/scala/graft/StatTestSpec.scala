@@ -64,6 +64,21 @@ class StatTestSpec extends AnyFunSuite {
     assert(o1 <= ev && e1 <= ev.toDouble)
   }
 
+  test("cohens_d: the A/A effect size is negligible by the 0.2 convention") {
+    val r = SparkEntry.queries("cohens_d")(spark, sf).head()
+    assert(r.getDouble(r.fieldIndex("pooled_sd")) > 0.0)
+    assert(r.getBoolean(r.fieldIndex("negligible")))
+    assert(math.abs(r.getDouble(r.fieldIndex("cohens_d"))) < 0.2)
+  }
+
+  test("odds_ratio: CI brackets the point estimate and the A/A arms are not significant") {
+    val r = SparkEntry.queries("odds_ratio")(spark, sf).head()
+    val or = r.getDouble(r.fieldIndex("odds_ratio"))
+    val lo = r.getDouble(r.fieldIndex("ci_lo")); val hi = r.getDouble(r.fieldIndex("ci_hi"))
+    assert(or > 0.0 && lo <= or && or <= hi)
+    assert(!r.getBoolean(r.fieldIndex("significant")))
+  }
+
   test("srm_check: arm counts sum to the table and the decision matches the cut") {
     val r = SparkEntry.queries("srm_check")(spark, sf).head()
     val na = r.getLong(r.fieldIndex("n_a")); val nb = r.getLong(r.fieldIndex("n_b"))
