@@ -214,6 +214,26 @@ object StatTestQueries {
       g.select(r4(or).as("odds_ratio"), r4(lo).as("ci_lo"), r4(hi).as("ci_hi"),
         (r4(lo) > 1.0 || r4(hi) < 1.0).as("significant"))
     },
+    "risk_ratio" -> { (s, d) =>
+      // relative risk of urgency between the md5 arms with the Katz
+      // log-normal 95% CI (+0.5 continuity like odds_ratio) — the other
+      // half of the 2×2 readout pair; same ONE-aggregate cells
+      val o = Tables.orders(s, d)
+      val isA = Preprocessing.splitColumn(col("o_orderkey"), 500, 42L) === "train"
+      val pos = col("o_orderpriority") === "1-URGENT"
+      val g = o.agg(
+        (sum(when(isA && pos, 1.0).otherwise(0.0)) + 0.5).as("_a"),
+        (sum(when(isA, 1.0).otherwise(0.0)) + 0.5).as("_na"),
+        (sum(when(!isA && pos, 1.0).otherwise(0.0)) + 0.5).as("_c"),
+        (sum(when(!isA, 1.0).otherwise(0.0)) + 0.5).as("_nc"))
+      val rr = (col("_a") / col("_na")) / (col("_c") / col("_nc"))
+      val seLog = sqrt(lit(1.0) / col("_a") - lit(1.0) / col("_na") +
+        lit(1.0) / col("_c") - lit(1.0) / col("_nc"))
+      val lo = exp(log(rr) - lit(1.959964) * seLog)
+      val hi = exp(log(rr) + lit(1.959964) * seLog)
+      g.select(r4(rr).as("risk_ratio"), r4(lo).as("ci_lo"), r4(hi).as("ci_hi"),
+        (r4(lo) > 1.0 || r4(hi) < 1.0).as("significant"))
+    },
     "srm_check" -> { (s, d) =>
       // sample-ratio-mismatch guardrail: chi-square(1) of the observed
       // arm counts against the designed 50/50 md5 split — the first
@@ -466,6 +486,24 @@ object StatTestQueries {
         |  round(exp(ln(orr) + 1.959964 * se), 4) AS ci_hi,
         |  round(exp(ln(orr) - 1.959964 * se), 4) > 1.0
         |    OR round(exp(ln(orr) + 1.959964 * se), 4) < 1.0 AS significant
+        |FROM f""".stripMargin,
+    "risk_ratio" ->
+      """WITH b AS (SELECT
+        |    CASE WHEN ('0x' || substr(md5(o_orderkey::VARCHAR || '_42'), 1, 15))::BIGINT % 1000 >= 500
+        |      THEN 1 ELSE 0 END AS a,
+        |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS pos FROM orders),
+        |g AS (SELECT
+        |    sum(CASE WHEN a = 1 AND pos = 1 THEN 1.0 ELSE 0.0 END) + 0.5 AS ca,
+        |    sum(CASE WHEN a = 1 THEN 1.0 ELSE 0.0 END) + 0.5 AS na,
+        |    sum(CASE WHEN a = 0 AND pos = 1 THEN 1.0 ELSE 0.0 END) + 0.5 AS cc,
+        |    sum(CASE WHEN a = 0 THEN 1.0 ELSE 0.0 END) + 0.5 AS nc FROM b),
+        |f AS (SELECT (ca / na) / (cc / nc) AS rr,
+        |    sqrt(1.0 / ca - 1.0 / na + 1.0 / cc - 1.0 / nc) AS se FROM g)
+        |SELECT round(rr, 4) AS risk_ratio,
+        |  round(exp(ln(rr) - 1.959964 * se), 4) AS ci_lo,
+        |  round(exp(ln(rr) + 1.959964 * se), 4) AS ci_hi,
+        |  round(exp(ln(rr) - 1.959964 * se), 4) > 1.0
+        |    OR round(exp(ln(rr) + 1.959964 * se), 4) < 1.0 AS significant
         |FROM f""".stripMargin,
     "srm_check" ->
       """WITH b AS (SELECT CASE WHEN ('0x' || substr(md5(o_orderkey::VARCHAR || '_42'), 1, 15))::BIGINT % 1000 >= 500

@@ -79,6 +79,14 @@ class StatTestSpec extends AnyFunSuite {
     assert(!r.getBoolean(r.fieldIndex("significant")))
   }
 
+  test("risk_ratio: CI brackets the estimate and the A/A arms are not significant") {
+    val r = SparkEntry.queries("risk_ratio")(spark, sf).head()
+    val rr = r.getDouble(r.fieldIndex("risk_ratio"))
+    val lo = r.getDouble(r.fieldIndex("ci_lo")); val hi = r.getDouble(r.fieldIndex("ci_hi"))
+    assert(rr > 0.0 && lo <= rr && rr <= hi)
+    assert(!r.getBoolean(r.fieldIndex("significant")))
+  }
+
   test("srm_check: arm counts sum to the table and the decision matches the cut") {
     val r = SparkEntry.queries("srm_check")(spark, sf).head()
     val na = r.getLong(r.fieldIndex("n_a")); val nb = r.getLong(r.fieldIndex("n_b"))
