@@ -17,6 +17,11 @@ object Bench {
     // expected L-BFGS line-search resets would otherwise spam the log
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "breeze.optimize", org.apache.logging.log4j.Level.ERROR)
+    // bounded ≤P-row summary windows (Ranks offsets, decile frames) are
+    // deliberately unpartitioned; see Verify for why lit(0) can't be used
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     // warm up the session once (JVM/codegen/parquet-footer costs otherwise
     // land on whichever query happens to run first)
     try spark.read.parquet(s"$sfDir/lineitem.parquet").limit(10).write
@@ -41,6 +46,13 @@ object Bench {
         catch { case t: Throwable => System.err.println(s"BENCH FAIL $name: $t"); false }
         (ok, (System.nanoTime() - t0) / 1e9)
       }
+      // drop this query's SQL-cached frames before the next query runs:
+      // per-query times must not depend on how much storage memory the
+      // queries that happened to run earlier left behind (r12's final
+      // bench flagged two 10x "regressions" that were environmental —
+      // isolation keeps the attribution clean; FitCache models and
+      // persisted RDDs are driver-local / RDD-level and unaffected)
+      spark.catalog.clearCache()
       name -> timed
     }
     val results = perRun.map { case (name, timed) =>

@@ -39,12 +39,29 @@ object FitCache {
   private val hitCount = new java.util.concurrent.atomic.AtomicLong(0)
   private val missCount = new java.util.concurrent.atomic.AtomicLong(0)
 
-  /** Stable key: session identity + canonicalized input-plan hash +
-    * hyperparameters (Column parts stringify to their expression text —
-    * deterministic for identically-constructed columns). */
+  /** 128-bit md5 of the canonicalized analyzed plan STRING plus its
+    * `semanticHash()`. The former 32-bit semanticHash-only key risked
+    * silent collisions — two distinct inputs colliding would serve one's
+    * memoized model (e.g. exact kNN ground truth) to the other with no
+    * failure signal. Neither half suffices alone: the plan string omits
+    * a LocalRelation's data rows (two different in-memory frames print
+    * identically), while the semanticHash is the case-class hashCode and
+    * DOES cover them — so the combination needs a simultaneous 32-bit
+    * collision AND an identical structure/path string to go wrong. Keys
+    * are built once per fit, so the cost is irrelevant. */
+  def planDigest(df: DataFrame): String = {
+    val plan = df.queryExecution.analyzed
+    val s = plan.canonicalized.toString + ":" + plan.semanticHash()
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  /** Stable key: session identity + 128-bit canonicalized input-plan
+    * digest + hyperparameters (Column parts stringify to their expression
+    * text — deterministic for identically-constructed columns). */
   def key(df: DataFrame, parts: Any*): String =
     s"${System.identityHashCode(df.sparkSession)}:" +
-      s"${df.queryExecution.analyzed.semanticHash()}:" +
+      s"${planDigest(df)}:" +
       parts.mkString(":")
 
   /** Lookup-then-putIfAbsent with the fit computed OUTSIDE the lock: a fit

@@ -517,11 +517,11 @@ object Dedup {
     // dot expressions appears three times in the projection — at k=64 that
     // is 12k terms and codegen falls off a cliff; one array + element_at
     // keeps the quantizer a single k·dim-multiply pass however large k gets
-    val best = array_max(col("_ds"))
-    // first cell achieving the max — mirrors the oracle's CASE chain
-    val cell = (0 until k).foldRight(lit(-1)) { case (i, acc) =>
-      when(element_at(col("_ds"), i + 1) === best, lit(i)).otherwise(acc)
-    }
+    // first cell achieving the max — array_position's first-match
+    // semantics replay as min(b) FILTER (dt = max) in the oracle; O(1)
+    // expression depth however large k gets (the former k-way when-chain
+    // stopped codegen'ing near k≈200)
+    val cell = (array_position(col("_ds"), array_max(col("_ds"))) - 1).cast("int")
     val base = graft.core.Tables.ensureParallelism(
         df.select(col(idCol).cast("long").as("id"),
           col(vecCol).cast("array<double>").as("v")))

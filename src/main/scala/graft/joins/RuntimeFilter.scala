@@ -24,10 +24,19 @@ object RuntimeFilter {
     (0 until k).map(i => Num.md5Long(concat(key.cast("string"), lit(s"_bj_$i"))) % m)
 
   /** Probe `probe`.`probeKey` through a Bloom filter of
-    * `build`.`buildKey`, then verify survivors exactly (left-semi on the
-    * true key set). Returns one audit row: build/probe sizes, Bloom
+    * `build`.`buildKey`, then verify survivors exactly (against the true
+    * key set). Returns one audit row: build/probe sizes, Bloom
     * pass-through, true matches, false positives, and the realized FP
-    * rate among true non-matches. */
+    * rate among true non-matches.
+    *
+    * ONE probe-side scan: the r12 audit ran the 3-semi-join probe
+    * pipeline once per aggregate (4 jobs over the probe side — 15 s cold
+    * at sf0.1). The pass/match counts are now row FLAGS folded into a
+    * single aggregate: each bit lookup is a broadcast left join whose
+    * presence marks the slot, and only Bloom survivors carry a non-null
+    * key into the exact verify join (null keys never match, so the
+    * key-set join still sees just the pass-through rows — the at-scale
+    * point of the filter is preserved). */
   def bloomJoinAudit(build: DataFrame, buildKey: Column,
                      probe: DataFrame, probeKey: Column,
                      m: Int = 1 << 18, k: Int = 3): DataFrame = {
@@ -35,26 +44,30 @@ object RuntimeFilter {
     val bits = keys.select(explode(array(positions(col("_k"), m, k): _*)).as("pos"))
       .distinct()
     // a probe row passes iff ALL k slots are set: k chained BROADCAST
-    // left-semi joins against the ≤m-row (constant, corpus-independent)
-    // bit table — the probe side is filtered entirely map-side, zero
-    // shuffles before the exchange this filter exists to shrink
+    // left joins against the ≤m-row (constant, corpus-independent) bit
+    // table mark the slots entirely map-side — zero shuffles before the
+    // exchange this filter exists to shrink
     val pos = positions(probeKey.cast("long"), m, k)
     val probeCols = probeKey.cast("long").as("_k") +:
       pos.zipWithIndex.map { case (p, i) => p.as(s"_p$i") }
-    val hit = (0 until k).foldLeft(probe.select(probeCols: _*)) {
+    val flagged = (0 until k).foldLeft(probe.select(probeCols: _*)) {
       case (acc, i) =>
         acc.join(broadcast(bits.select(col("pos").as(s"_bit$i"))),
-          col(s"_p$i") === col(s"_bit$i"), "left_semi")
+          col(s"_p$i") === col(s"_bit$i"), "left").drop(s"_p$i")
     }
-    // exact verify of the Bloom survivors only — at scale this is the
-    // point: the expensive key-set join sees just the pass-through rows
-    val trueHit = hit.join(keys, Seq("_k"), "left_semi")
+    val pass = (0 until k).map(i => col(s"_bit$i").isNotNull).reduce(_ && _)
+    // exact verify of the Bloom survivors only — non-survivors probe the
+    // key-set join with a NULL key, which can never match
+    val probed = flagged
+      .select(col("_k"), pass.as("_pass"))
+      .withColumn("_jk", when(col("_pass"), col("_k")))
+      .join(keys.select(col("_k").as("_jk"), lit(1).as("_in")), Seq("_jk"), "left")
+    val agg = probed.agg(
+      count(lit(1)).cast("long").as("n_probe"),
+      sum(when(col("_pass"), 1L).otherwise(0L)).cast("long").as("n_pass_bloom"),
+      sum(when(col("_in").isNotNull, 1L).otherwise(0L)).cast("long").as("n_true_match"))
     val nb = keys.agg(count(lit(1)).cast("long").as("n_build_keys"))
-    val np = probe.agg(count(lit(1)).cast("long").as("n_probe"))
-    val npass = hit.agg(count(lit(1)).cast("long").as("n_pass_bloom"))
-    val ntrue = trueHit.agg(count(lit(1)).cast("long").as("n_true_match"))
-    nb.crossJoin(broadcast(np)).crossJoin(broadcast(npass))
-      .crossJoin(broadcast(ntrue))
+    nb.crossJoin(broadcast(agg))
       .select(col("n_build_keys"), col("n_probe"), col("n_pass_bloom"),
         col("n_true_match"),
         (col("n_pass_bloom") - col("n_true_match")).as("n_false_pos"),

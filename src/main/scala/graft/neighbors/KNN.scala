@@ -59,7 +59,7 @@ object KNN {
     import spark.implicits._
     val rows = graft.core.FitCache.getOrFit[Array[(Long, Int, Long, Double)]](
       graft.core.FitCache.key(corpus, "bf_exact",
-        queries.queryExecution.analyzed.semanticHash(),
+        graft.core.FitCache.planDigest(queries),
         qId, cId, qVec, cVec, k, metric, excludeSelf)) {
       bruteForce(queries, corpus, qId, cId, qVec, cVec, k, metric, excludeSelf)
         .select(col("qid"), col("rank").cast("int"), col("id"), col("score"))

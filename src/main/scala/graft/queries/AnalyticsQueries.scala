@@ -482,7 +482,9 @@ object AnalyticsQueries {
         .crossJoin(broadcast(npos))
         .agg(sum(when(col("_rel") === 1.0, col("_prec")).otherwise(0.0)).as("_ap"),
           max(least(lit(100.0), col("_np"))).as("_den"))
-        .select(lit(100L).as("k"), r6(col("_ap") / col("_den")).as("map_k"))
+        .select(lit(100L).as("k"),
+          // no relevant rows ⇒ den 0: NULL on both engines (NULLIF in SQL)
+          r6(when(col("_den") > 0, col("_ap") / col("_den"))).as("map_k"))
     },
     "recall_at_k" -> { (s, d) =>
       // recall@100 of the same literal ranking (the retrieval-coverage
@@ -499,7 +501,8 @@ object AnalyticsQueries {
       ranked.crossJoin(broadcast(npos))
         .agg(max(col("_np")).cast("long").as("n_relevant"),
           sum(col("_rel")).cast("long").as("hits_at_k"),
-          r6(sum(col("_rel")) / max(col("_np"))).as("recall_k"))
+          r6(when(max(col("_np")) > 0,
+            sum(col("_rel")) / max(col("_np")))).as("recall_k"))
         .select(lit(100L).as("k"), col("n_relevant"), col("hits_at_k"),
           col("recall_k"))
     },
@@ -1079,7 +1082,7 @@ object AnalyticsQueries {
         |agg AS (SELECT sum(CASE WHEN rel = 1.0 THEN prec ELSE 0.0 END) AS ap,
         |    max(least(100.0, np.np)) AS den
         |  FROM t, np)
-        |SELECT 100::BIGINT AS k, round(ap / den, 6) AS map_k FROM agg""".stripMargin,
+        |SELECT 100::BIGINT AS k, round(ap / NULLIF(den, 0), 6) AS map_k FROM agg""".stripMargin,
     "recall_at_k" ->
       """WITH r AS (SELECT
         |    round(-0.1 + 0.004 * l_quantity + 1.5 * l_discount + -2.0 * l_tax, 6) AS s,
@@ -1090,7 +1093,7 @@ object AnalyticsQueries {
         |np AS (SELECT sum(rel) AS np FROM r),
         |t AS (SELECT rel FROM rk WHERE rk <= 100)
         |SELECT 100::BIGINT AS k, max(np.np)::BIGINT AS n_relevant,
-        |  sum(rel)::BIGINT AS hits_at_k, round(sum(rel) / max(np.np), 6) AS recall_k
+        |  sum(rel)::BIGINT AS hits_at_k, round(sum(rel) / NULLIF(max(np.np), 0), 6) AS recall_k
         |FROM t, np""".stripMargin,
     "bayes_ab" ->
       """WITH b AS (SELECT

@@ -49,9 +49,13 @@ object StatTestQueries {
         sum(col("_rs") * col("_rs") / col("_n")).as("_rr"),
         count(lit(1)).cast("double").as("_k"))
       val ties = g.agg(sum(col("_c") * col("_c") * col("_c") - col("_c")).as("_t3"))
-      val h = (lit(12.0) / (col("_N") * (col("_N") + 1.0)) * col("_rr") -
-        lit(3.0) * (col("_N") + 1.0)) /
-        (lit(1.0) - col("_t3") / (col("_N") * col("_N") * col("_N") - col("_N")))
+      // single-distinct-value degenerate: t3 = N³−N makes the correction 0
+      // — fall back to the uncorrected H instead of dividing by zero
+      // (mirrored CASE in the oracle)
+      val hRaw = lit(12.0) / (col("_N") * (col("_N") + 1.0)) * col("_rr") -
+        lit(3.0) * (col("_N") + 1.0)
+      val corr = lit(1.0) - col("_t3") / (col("_N") * col("_N") * col("_N") - col("_N"))
+      val h = when(corr > 0, hRaw / corr).otherwise(hRaw)
       tot.crossJoin(broadcast(ties)).select(
         col("_N").cast("long").as("n"), col("_k").cast("long").as("k"),
         r4(h).as("h_stat"), (r4(h) > 9.488).as("reject"))
@@ -132,7 +136,9 @@ object StatTestQueries {
         .groupBy(col("series")).agg(avg(col("_slope")).as("_sen"))
       val varS = (col("_n") * (col("_n") - 1.0) * (lit(2.0) * col("_n") + 5.0) -
         col("_tv")) / 18.0
-      val z = (col("_S") - signum(col("_S"))) / sqrt(varS)
+      // all-tied series ⇒ varS = 0: guard so Spark's NULL matches the
+      // oracle's NULLIF'd denominator (DuckDB would give ±inf)
+      val z = when(varS > 0, (col("_S") - signum(col("_S"))) / sqrt(varS))
       sStat.join(ties, "series").join(nPer, "series").join(sen, "series")
         .select(col("series"), col("_n").cast("long").as("n"),
           col("_S").cast("long").as("s_stat"), r4(z).as("z"),
@@ -623,8 +629,10 @@ object StatTestQueries {
         |tot AS (SELECT sum(n) AS nn, sum(rs * rs / n) AS rr, count(*)::DOUBLE AS k FROM per),
         |tt AS (SELECT sum(c * c * c - c) AS t3 FROM gv),
         |f AS (SELECT nn, k,
-        |    (12.0 / (nn * (nn + 1.0)) * rr - 3.0 * (nn + 1.0)) /
-        |      (1.0 - t3 / (nn * nn * nn - nn)) AS h
+        |    CASE WHEN 1.0 - t3 / (nn * nn * nn - nn) > 0
+        |      THEN (12.0 / (nn * (nn + 1.0)) * rr - 3.0 * (nn + 1.0)) /
+        |        (1.0 - t3 / (nn * nn * nn - nn))
+        |      ELSE 12.0 / (nn * (nn + 1.0)) * rr - 3.0 * (nn + 1.0) END AS h
         |  FROM tot, tt)
         |SELECT nn::BIGINT AS n, k::BIGINT AS k, round(h, 4) AS h_stat,
         |  round(h, 4) > 9.488 AS reject FROM f""".stripMargin,
@@ -675,7 +683,7 @@ object StatTestQueries {
          |  GROUP BY rk.series),
          |f AS (SELECT ss.series, np.n, ss.sv,
          |    (ss.sv - sign(ss.sv)) /
-         |      sqrt((np.n * (np.n - 1.0) * (2.0 * np.n + 5.0) - tv.tvv) / 18.0) AS z,
+         |      NULLIF(sqrt((np.n * (np.n - 1.0) * (2.0 * np.n + 5.0) - tv.tvv) / 18.0), 0) AS z,
          |    sen.sen
          |  FROM ss JOIN tv ON ss.series = tv.series JOIN np ON ss.series = np.series
          |    JOIN sen ON ss.series = sen.series)

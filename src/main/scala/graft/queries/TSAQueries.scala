@@ -176,7 +176,10 @@ object TSAQueries {
       val p = ses.withColumn("_sp", lag(col("smoothed"), 1).over(w))
         .withColumn("_xp", lag(col("x"), 1).over(w))
         .filter(col("_sp").isNotNull)
-      val mase = col("_mae") / col("_maen")
+      // a constant series has naive MAE 0: Spark (non-ANSI) x/0 is NULL
+      // while DuckDB gives inf — guard the denominator so both engines
+      // emit NULL (oracle mirrors with NULLIF)
+      val mase = when(col("_maen") > 0, col("_mae") / col("_maen"))
       p.groupBy(col("series")).agg(count(lit(1)).cast("long").as("n"),
           avg(abs(col("x") - col("_sp"))).as("_mae"),
           sqrt(avg((col("x") - col("_sp")) * (col("x") - col("_sp")))).as("_rmse"),
@@ -1158,7 +1161,8 @@ object TSAQueries {
          |    avg(abs(x - xp)) AS maen
          |  FROM l WHERE sp IS NOT NULL GROUP BY series)
          |SELECT series, n, round(mae, 4) AS mae, round(rmse, 4) AS rmse,
-         |  round(mae / maen, 4) AS mase, round(mae / maen, 4) < 1.0 AS beats_naive
+         |  round(mae / NULLIF(maen, 0), 4) AS mase,
+         |  round(mae / NULLIF(maen, 0), 4) < 1.0 AS beats_naive
          |FROM f ORDER BY series""".stripMargin,
     "granger_causality" -> {
       val det = det3Sql(Seq(Seq("n", "sa", "sb"), Seq("sa", "saa", "sab"),

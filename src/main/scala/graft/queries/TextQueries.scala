@@ -88,7 +88,9 @@ object TextQueries {
         .select(col("_h1"), col("_h2"),
           levenshtein(col("_t1"), col("_t2")).cast("long").as("_lev"),
           greatest(length(col("_t1")), length(col("_t2"))).cast("double").as("_mx"))
-      val ratio = r4(col("_lev").cast("double") / col("_mx"))
+      // both texts normalizing to "" ⇒ max length 0: NULL ratio on both
+      // engines (oracle uses NULLIF) instead of Spark-NULL vs DuckDB-inf
+      val ratio = r4(when(col("_mx") > 0, col("_lev").cast("double") / col("_mx")))
       withT.select(col("doc1"), col("doc2"), col("_h1"), col("_h2"))
         .join(uniq, Seq("_h1", "_h2"))
         .select(col("doc1"), col("doc2"), col("_lev").as("edit_dist"),
@@ -1269,8 +1271,8 @@ object TextQueries {
          |  FROM documents)
          |SELECT pr.doc1::BIGINT AS doc1, pr.doc2::BIGINT AS doc2,
          |  levenshtein(a.t, b.t)::BIGINT AS edit_dist,
-         |  round(levenshtein(a.t, b.t)::DOUBLE / greatest(length(a.t), length(b.t))::DOUBLE, 4) AS edit_ratio,
-         |  round(levenshtein(a.t, b.t)::DOUBLE / greatest(length(a.t), length(b.t))::DOUBLE, 4) <= 0.2 AS is_dup
+         |  round(levenshtein(a.t, b.t)::DOUBLE / NULLIF(greatest(length(a.t), length(b.t)), 0)::DOUBLE, 4) AS edit_ratio,
+         |  round(levenshtein(a.t, b.t)::DOUBLE / NULLIF(greatest(length(a.t), length(b.t)), 0)::DOUBLE, 4) <= 0.2 AS is_dup
          |FROM pr JOIN nt a ON pr.doc1 = a.doc_id JOIN nt b ON pr.doc2 = b.doc_id
          |ORDER BY doc1, doc2""".stripMargin,
     "bleu_score" ->

@@ -199,14 +199,18 @@ object VectorQueries {
       norms.crossJoin(iso)
     },
     "semdedup" -> { (s, d) =>
-      // k=64 anchors: at the bench's sf1 (20k vectors) k=8 left ~2.5k-row
-      // cells and the Σ cell² pair join went quadratic (26.7 s); 64 cells
-      // keep the expected cell at n/64 and the pair work at n²/64. At
-      // production scale the semDedupAuto entry point derives k from the
-      // corpus count instead (cells stay ~constant-size); this fixed k is
-      // the largest the engine-neutral SQL replay stays readable at.
-      Dedup.semDedup(Tables.embeddings(s, d), "vec_id", "embedding",
-          k = 64, dim = 64, seed = 7L, tau = 0.4)
+      // n-SCALED cell count (r12 verdict #3): k = ⌈n/100⌉ via semDedupAuto,
+      // so the gate exercises the production quantizer shape — expected
+      // cell size stays ~100 at every SF (k = 5 at sf0.01, 20 at sf0.1,
+      // ~200 at sf1) and the pair stage stays Σ cell² ≈ 100·n, linear in
+      // n. The oracle derives the SAME k from its own count and replays
+      // the md5 anchors dynamically; n_pairs is the per-cell candidate-
+      // join mass — if cell assignment diverged anywhere, these counts
+      // hash-mismatch.
+      Dedup.semDedupAuto(Tables.embeddings(s, d), "vec_id", "embedding",
+          dim = 64, seed = 7L, tau = 0.4, targetCellSize = 100L)
+        .withColumn("n_pairs",
+          ((col("n") * (col("n") - lit(1L))) / lit(2L)).cast("long"))
         .orderBy("cell")
     },
     "embedding_quantize" -> { (s, d) =>
@@ -565,24 +569,37 @@ object VectorQueries {
        |$out ORDER BY rank""".stripMargin
   }
 
-  /** SemDeDup oracle: replays the md5-derived anchor quantizer (seed 7,
-    * k=64), the first-argmax cell rule, and the within-cell ≥τ pair drop. */
+  /** SemDeDup oracle with the n-SCALED quantizer: derives k = ⌈n/100⌉
+    * from its own corpus count (mirroring semDedupAnchors), generates the
+    * k md5-derived Gaussian anchors dynamically over range(k)×range(64),
+    * assigns each vector to the FIRST argmax cell (min b with dot = max —
+    * array_position semantics), and replays the within-cell ≥τ pair drop.
+    * n_pairs = n(n−1)/2 per cell is the candidate-join mass invariant. */
   private def semDedupOracle: String = {
-    val dots = (0 until 64).map { j =>
-      s"list_sum(list_transform(range(0, 64), i -> v[i+1] * ${planeEntrySeed(7L, j)}))"
-    }.mkString("[", ", ", "]")
-    val cellCase = (0 until 64).map(j => s"WHEN ds[${j + 1}] = m THEN $j")
-      .mkString("CASE ", " ", " END")
+    // same md5 → Box-Muller entry as planeEntrySeed, with the anchor
+    // index b a COLUMN instead of an inlined literal
+    def hp(sfx: String) =
+      s"('0x' || substr(md5('p_7_' || b || '_' || i || '_$sfx'), 1, 15))::BIGINT"
+    val u1 = s"(((${hp("a")} % 1000000 + 1000000) % 1000000) / 1000000.0 + 5e-7)"
+    val u2 = s"(((${hp("b")} % 1000000 + 1000000) % 1000000) / 1000000.0)"
+    val entry = s"(sqrt(-2.0 * ln($u1)) * cos(2.0 * pi() * $u2))"
     s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
-       |dd AS (SELECT id, v, $dots AS ds FROM e),
-       |c AS (SELECT id, v, $cellCase AS cell
-       |  FROM (SELECT id, v, ds, list_max(ds) AS m FROM dd)),
+       |kk AS (SELECT greatest(1, least(65536, (count(*) + 99) // 100))::BIGINT AS k FROM e),
+       |anchors AS (SELECT b, list_transform(range(0, 64), i -> $entry) AS av
+       |  FROM (SELECT unnest(range(0, (SELECT k FROM kk))) AS b)),
+       |dots AS (SELECT e.id, a.b,
+       |    list_sum(list_transform(range(0, 64), i -> e.v[i+1] * a.av[i+1])) AS dt
+       |  FROM e CROSS JOIN anchors a),
+       |dm AS (SELECT id, b, dt, max(dt) OVER (PARTITION BY id) AS m FROM dots),
+       |cl AS (SELECT id, min(b) FILTER (WHERE dt = m) AS cell FROM dm GROUP BY id),
+       |c AS (SELECT e.id, e.v, cl.cell FROM e JOIN cl ON e.id = cl.id),
        |dropped AS (SELECT DISTINCT b.cell AS cell, b.id AS id
        |  FROM c a JOIN c b ON a.cell = b.cell AND a.id < b.id
        |  WHERE round($cosSql, 4) >= 0.4),
        |dc AS (SELECT cell, count(*) AS n_dropped FROM dropped GROUP BY cell)
        |SELECT c.cell::BIGINT AS cell, count(*)::BIGINT AS n,
-       |  coalesce(max(dc.n_dropped), 0)::BIGINT AS n_dropped
+       |  coalesce(max(dc.n_dropped), 0)::BIGINT AS n_dropped,
+       |  (count(*) * (count(*) - 1) // 2)::BIGINT AS n_pairs
        |FROM c LEFT JOIN dc ON c.cell = dc.cell
        |GROUP BY c.cell ORDER BY cell""".stripMargin
   }

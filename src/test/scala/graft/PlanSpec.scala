@@ -604,6 +604,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("hashpartitioning(user_id"), p.take(3000))
   }
 
+  test("bloom_join audit scans the probe side exactly once") {
+    // r12 ran the 3-semi-join probe pipeline once per audit aggregate
+    // (4 probe-side jobs); the fused audit folds pass/match flags into a
+    // single aggregate, so the lineitem scan must appear exactly once
+    val p = planOf(SparkEntry.queries("bloom_join")(spark, sf))
+    val probeScans = p.split("Scan parquet").drop(1).count(_.contains("lineitem"))
+    assert(probeScans == 1, s"probe side scanned $probeScans times: " + p.take(3000))
+    // the bit-table lookups stay broadcast (map-side filtering)
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
   test("mann_kendall's pair stage is a series equi-join of the reduced day frame") {
     val p = planOf(SparkEntry.queries("mann_kendall")(spark, sf))
     assert(!p.contains("CartesianProduct"), p.take(3000))
