@@ -98,14 +98,37 @@ object IVFPQ {
     KNN.topKPerKey(pairs, k, KNN.nearFirst(KNN.Euclidean))
   }
 
+  /** ADC shortlist + EXACT rerank over the probed cells (IVFADC+R /
+    * FAISS refine — see [[PQ.topKRefined]] for the scale argument: the
+    * raw-vector fetch joins only the bounded q·shortlist candidate
+    * set). */
+  def topKRefined(codes: DataFrame, corpus: DataFrame, queries: DataFrame,
+                  idCol: String, vecCol: String, idx: Index, k: Int,
+                  nprobe: Int, shortlist: Int): DataFrame = {
+    val cand = topK(codes, queries, idCol, vecCol, idx, shortlist, nprobe)
+      .select(col("qid"), col("id"))
+    val cv = corpus.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("_cv"))
+    val qv = queries.select(col(idCol).cast("long").as("qid"),
+      col(vecCol).cast("array<double>").as("_qv"))
+    val dim = idx.ivf.centers(0).length
+    val exactD = graft.core.VectorOps.sqDistFixed(col("_qv"), col("_cv"), dim)
+    val pairs = cand.join(cv, "id").join(broadcast(qv), "qid")
+      .select(col("qid"), col("id"), exactD.as("_s"))
+    KNN.topKPerKey(pairs, k, KNN.nearFirst(KNN.Euclidean))
+  }
+
   /** Recall@k vs exact L2 brute force + compression + probed fraction —
-    * the figure-of-merit surface, as for [[IVF]] and [[PQ]]. */
+    * the figure-of-merit surface, as for [[IVF]] and [[PQ]].
+    * `shortlist` > k enables the refine stage ([[topKRefined]]). */
   def recallSummary(corpus: DataFrame, queries: DataFrame, idCol: String,
                     vecCol: String, nCells: Int, m: Int, kCodes: Int,
-                    k: Int, nprobe: Int): DataFrame = {
+                    k: Int, nprobe: Int, shortlist: Int = 0): DataFrame = {
     val idx = train(corpus, vecCol, nCells, m, kCodes)
     val codes = encode(corpus, idCol, vecCol, idx)
-    val approx = topK(codes, queries, idCol, vecCol, idx, k, nprobe)
+    val approx = (if (shortlist > k)
+        topKRefined(codes, corpus, queries, idCol, vecCol, idx, k, nprobe, shortlist)
+      else topK(codes, queries, idCol, vecCol, idx, k, nprobe))
       .select(col("qid"), col("id"))
     val exact = KNN.bruteForceCached(queries, corpus, idCol, idCol, vecCol, vecCol,
       k, KNN.Euclidean).select(col("qid"), col("id"))

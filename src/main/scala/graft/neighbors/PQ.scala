@@ -231,14 +231,44 @@ object PQ {
     KNN.topKPerKey(pairs, k, KNN.nearFirst(KNN.Euclidean))
   }
 
+  /** ADC shortlist + EXACT rerank (the PQ paper's IVFADC+R / FAISS
+    * IndexRefine shape — the configuration production deployments run):
+    * the corpus-scale pass stays the codegen'd M-lookup ADC scan over the
+    * compressed codes, its top-`shortlist` per query (bounded-heap, no
+    * window) joins back to the raw vectors — a hash equi-join on id whose
+    * left side is the BOUNDED q·shortlist candidate set, so at 100 TB the
+    * fetch touches shortlist rows per query, never the corpus — and the
+    * final top-k is exact L2 over the shortlist. Recall becomes the
+    * shortlist's recall@C, which climbs fast with C while the scan cost
+    * stays the compressed one. */
+  def topKRefined(codes: DataFrame, corpus: DataFrame, queries: DataFrame,
+                  idCol: String, vecCol: String, cb: Codebook, k: Int,
+                  shortlist: Int): DataFrame = {
+    val cand = topK(codes, queries, idCol, vecCol, cb, shortlist)
+      .select(col("qid"), col("id"))
+    val cv = corpus.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("_cv"))
+    val qv = queries.select(col(idCol).cast("long").as("qid"),
+      col(vecCol).cast("array<double>").as("_qv"))
+    val dim = graft.core.VectorOps.dimOf(cv, col("_cv"))
+    val exactD = graft.core.VectorOps.sqDistFixed(col("_qv"), col("_cv"), dim)
+    val pairs = cand.join(cv, "id").join(broadcast(qv), "qid")
+      .select(col("qid"), col("id"), exactD.as("_s"))
+    KNN.topKPerKey(pairs, k, KNN.nearFirst(KNN.Euclidean))
+  }
+
   /** Recall@k vs exact L2 brute force + the compression ratio — the query
     * surface (PQ is approximate by construction; recall against the exact
-    * scan is its figure of merit, as in the PQ paper's Table 2). */
+    * scan is its figure of merit, as in the PQ paper's Table 2).
+    * `shortlist` > k enables the refine stage ([[topKRefined]]). */
   def recallSummary(corpus: DataFrame, queries: DataFrame, idCol: String,
-                    vecCol: String, m: Int, kCodes: Int, k: Int): DataFrame = {
+                    vecCol: String, m: Int, kCodes: Int, k: Int,
+                    shortlist: Int = 0): DataFrame = {
     val cb = train(corpus, vecCol, m, kCodes)
     val codes = encode(corpus, idCol, vecCol, cb)
-    val approx = topK(codes, queries, idCol, vecCol, cb, k)
+    val approx = (if (shortlist > k)
+        topKRefined(codes, corpus, queries, idCol, vecCol, cb, k, shortlist)
+      else topK(codes, queries, idCol, vecCol, cb, k))
       .select(col("qid"), col("id"))
     val exact = KNN.bruteForceCached(queries, corpus, idCol, idCol, vecCol, vecCol,
       k, KNN.Euclidean).select(col("qid"), col("id"))

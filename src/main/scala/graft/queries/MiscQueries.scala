@@ -1216,20 +1216,27 @@ object MiscQueries {
         .select(col("n_queries"), (col("avg_recall") >= 0.6).as("recall_floor"))
     },
     "ann_pq" -> { (s, d) =>
-      // floor 0.28: observed 0.32–0.39 across the three SFs
+      // r13: production configuration — 64-code ADC shortlist (50) +
+      // exact rerank over the bounded shortlist (PQ.topKRefined, the
+      // FAISS IndexRefine shape). Floor raised 0.28 → 0.6: observed
+      // 0.82/0.94/0.91 across sf0.1/0.01/0.001 (r12 floors were the
+      // unrefined ADC's 0.32–0.39)
       val e = Tables.embeddings(s, d)
       graft.neighbors.PQ.recallSummary(e, e.filter(col("vec_id") < 20),
-          "vec_id", "embedding", m = 8, kCodes = 16, k = 5)
+          "vec_id", "embedding", m = 8, kCodes = 64, k = 5, shortlist = 50)
         .select(col("n_queries"), col("compression_x"),
-          (col("avg_recall") >= 0.28).as("recall_floor"))
+          (col("avg_recall") >= 0.6).as("recall_floor"))
     },
     "ann_ivfpq" -> { (s, d) =>
-      // floor 0.28: observed 0.33–0.39 across the three SFs
+      // r13: IVFADC+R — residual-ADC shortlist + exact rerank. Floor
+      // raised 0.28 → 0.5: observed 0.63/0.81/0.73 across the SFs
+      // (ceiling is the nprobe=4/16 cell recall, cf ann_ivf's 0.69)
       val e = Tables.embeddings(s, d)
       graft.neighbors.IVFPQ.recallSummary(e, e.filter(col("vec_id") < 20),
-          "vec_id", "embedding", nCells = 16, m = 8, kCodes = 16, k = 5, nprobe = 4)
+          "vec_id", "embedding", nCells = 16, m = 8, kCodes = 64, k = 5,
+          nprobe = 4, shortlist = 50)
         .select(col("n_queries"), col("compression_x"), col("probed_frac"),
-          (col("avg_recall") >= 0.28).as("recall_floor"))
+          (col("avg_recall") >= 0.5).as("recall_floor"))
     },
     "trustworthiness" -> { (s, d) =>
       val e = Tables.embeddings(s, d).filter(col("vec_id") < 200)

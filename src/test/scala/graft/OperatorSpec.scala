@@ -222,6 +222,24 @@ class OperatorSpec extends AnyFunSuite {
     assert(ivfpq > 0.2 && ivfpq <= 1.0, s"ivfpq recall $ivfpq")
   }
 
+  test("ADC shortlist + exact rerank lifts PQ/IVFPQ recall above the unrefined scan") {
+    // the r13 production configuration (FAISS IndexRefine / IVFADC+R):
+    // refined recall must dominate unrefined at the same codebooks, and
+    // clear the raised query floors with margin on real embeddings
+    val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.filter(col("vec_id") < 20)
+    val pqPlain = graft.neighbors.PQ.recallSummary(e, q, "vec_id", "embedding",
+      m = 8, kCodes = 64, k = 5).head().getDouble(1)
+    val pqRef = graft.neighbors.PQ.recallSummary(e, q, "vec_id", "embedding",
+      m = 8, kCodes = 64, k = 5, shortlist = 50).head().getDouble(1)
+    assert(pqRef >= pqPlain, s"refined $pqRef < unrefined $pqPlain")
+    assert(pqRef >= 0.6 && pqRef <= 1.0, s"refined pq recall $pqRef")
+    val ivfpqRef = graft.neighbors.IVFPQ.recallSummary(e, q, "vec_id", "embedding",
+      nCells = 16, m = 8, kCodes = 64, k = 5, nprobe = 4, shortlist = 50)
+      .head().getDouble(1)
+    assert(ivfpqRef >= 0.5 && ivfpqRef <= 1.0, s"refined ivfpq recall $ivfpqRef")
+  }
+
   test("PQ on a lattice corpus is lossless (recall 1.0) and reports compression") {
     import spark.implicits._
     // every 2-dim subvector takes one of 4 well-separated lattice values,
