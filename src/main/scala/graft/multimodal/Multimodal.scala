@@ -49,10 +49,13 @@ object Multimodal {
     * inflate + palette lookup), PNG (chunk walk + JDK-zlib inflate +
     * None/Sub/Up/Average/Paeth unfilters), baseline grayscale JPEG
     * (marker walk + canonical Huffman + dequant + IDCT), and 16-bit
-    * PCM RIFF/WAVE audio (chunk walk + signed little-endian samples);
-    * no external codec library needed. Byte-statistics fallback for
-    * anything else (the honest path — color/progressive jpeg and
-    * compressed audio would plug in here the same way). The
+    * PCM RIFF/WAVE audio (chunk walk + signed little-endian samples),
+    * plus FLAC (RFC 9639 — [[Flac]]: metadata walk, CRC-verified frame
+    * headers/footers, fixed + LPC subframes, rice-partitioned
+    * residuals); no external codec library needed. Byte-statistics
+    * fallback for anything else (the honest path — arithmetic-coded
+    * jpeg and patent-era lossy audio, MP3/AAC, would plug in here the
+    * same way; stereo-decorrelated FLAC likewise declines). The
     * feature contract is uniform: 4 doubles (mean, std, max, min) over
     * decoded pixel channel values when a parser matches, over raw payload
     * bytes otherwise, so the pipeline shape (binary in, fixed-size vector
@@ -111,6 +114,8 @@ object Multimodal {
     dispatch(bytes)
       .map { case (_, _, px) => stats(px) }
       .orElse(scala.util.Try(decodeWav(bytes)).toOption.flatten
+        .map { case (_, _, smp) => stats(smp) })
+      .orElse(scala.util.Try(Flac.decode(bytes)).toOption.flatten
         .map { case (_, _, smp) => stats(smp) })
       .getOrElse(stats(bytes.map(b => (b & 0xff).toDouble)))
 
@@ -1959,6 +1964,38 @@ object Multimodal {
       .select(col("doc_id").cast("long"),
         concat(lit(header), substring(col("text").cast("binary"), 1, nBytes)).as("payload"),
         struct(lit(nBytes.toLong).as("n_bytes"), lit("audio").as("media_type"),
+          lit(0).as("width"), lit(0).as("height")).as("meta"))
+    extractFeatures(media)
+      .agg(count(lit(1)).cast("long").as("n_clips"),
+        round(avg(element_at(col("features"), 1)), 4).as("avg_sample_mean"),
+        round(avg(element_at(col("features"), 3)), 4).as("avg_sample_max"),
+        round(avg(element_at(col("features"), 4)), 4).as("avg_sample_min"))
+  }
+
+  /** Hash-gated REAL FLAC decode (RFC 9639, [[Flac]]): each document's
+    * leading byte pairs become little-endian int16 samples (the PCM16
+    * gate's derivation), rice-ENCODED per row into a real FLAC stream
+    * (STREAMINFO + frame header with verified CRC-8 + order-2 FIXED
+    * subframe + partition-order-1 rice residuals + verified CRC-16), then
+    * decoded back by [[Flac.decode]] inside [[extractFeatures]]. The
+    * codec is lossless by construction, so the oracle replays the SAME
+    * int16-from-byte-pairs stats the PCM16 gate uses — any parsing,
+    * prediction, rice, or CRC defect anywhere in the round trip breaks
+    * the hash. */
+  def flacDecodeSummary(documents: DataFrame, nSamples: Int = 32): DataFrame = {
+    val need = nSamples * 2
+    val enc = udf { (raw: Array[Byte]) =>
+      val smp = Array.tabulate(nSamples) { i =>
+        val u = (raw(2 * i) & 0xff) | ((raw(2 * i + 1) & 0xff) << 8)
+        if (u >= 32768) u - 65536 else u
+      }
+      Flac.encode(smp)
+    }
+    val media = documents
+      .filter(octet_length(col("text")) >= need)
+      .select(col("doc_id").cast("long"),
+        enc(substring(col("text").cast("binary"), 1, need)).as("payload"),
+        struct(lit(need.toLong).as("n_bytes"), lit("audio").as("media_type"),
           lit(0).as("width"), lit(0).as("height")).as("meta"))
     extractFeatures(media)
       .agg(count(lit(1)).cast("long").as("n_clips"),

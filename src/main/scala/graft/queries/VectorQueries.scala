@@ -450,6 +450,13 @@ object VectorQueries {
     "multimodal_mulaw_decode" -> { (s, d) =>
       graft.multimodal.Multimodal.mulawDecodeSummary(Tables.documents(s, d))
     },
+    "multimodal_flac_decode" -> { (s, d) =>
+      // REAL rice-coded FLAC round trip (RFC 9639): per-row encode of the
+      // text-derived int16 signal, CRC-verified decode inside the real
+      // parser; lossless by construction ⇒ the oracle replays the PCM16
+      // byte-pair stats — any codec defect breaks the hash
+      graft.multimodal.Multimodal.flacDecodeSummary(Tables.documents(s, d))
+    },
     "multimodal_jpeg_color" -> { (s, d) =>
       graft.multimodal.Multimodal.jpegColorDecodeSummary(Tables.documents(s, d))
     },
@@ -1010,6 +1017,22 @@ object VectorQueries {
     "multimodal_audio_decode" ->
       """WITH d AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents WHERE strlen(text) >= 48),
         |s AS (SELECT doc_id, unnest(range(0, 24)) AS i, hx FROM d),
+        |v0 AS (SELECT doc_id,
+        |    ('0x' || substr(hx, 4*i + 1, 2))::INT
+        |      + 256 * ('0x' || substr(hx, 4*i + 3, 2))::INT AS u
+        |  FROM s),
+        |v AS (SELECT doc_id,
+        |    (CASE WHEN u >= 32768 THEN u - 65536 ELSE u END)::DOUBLE AS smp FROM v0),
+        |pm AS (SELECT doc_id, avg(smp) AS m, max(smp) AS mx, min(smp) AS mn
+        |  FROM v GROUP BY doc_id)
+        |SELECT count(*)::BIGINT AS n_clips, round(avg(m), 4) AS avg_sample_mean,
+        |  round(avg(mx), 4) AS avg_sample_max, round(avg(mn), 4) AS avg_sample_min
+        |FROM pm""".stripMargin,
+    // FLAC: lossless by construction, so the decoded-sample stats equal
+    // the PCM16 derivation from the raw text bytes — 32 samples (64 B)
+    "multimodal_flac_decode" ->
+      """WITH d AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents WHERE strlen(text) >= 64),
+        |s AS (SELECT doc_id, unnest(range(0, 32)) AS i, hx FROM d),
         |v0 AS (SELECT doc_id,
         |    ('0x' || substr(hx, 4*i + 1, 2))::INT
         |      + 256 * ('0x' || substr(hx, 4*i + 3, 2))::INT AS u

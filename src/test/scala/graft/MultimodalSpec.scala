@@ -488,6 +488,64 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decode(wav) == expectStats(Seq(0.0, 293.0, 251.0)))
   }
 
+  test("FLAC golden vector: hand-checked order-2 fixed subframe decodes exactly") {
+    import graft.multimodal.Flac
+    // signal 10, 20, 31, 43, 54: order-2 residuals at t>=2 are
+    // x_t − 2x_{t−1} + x_{t−2} = 1, 1, -1 — small rice codes; the decoder
+    // must reproduce the signal bit-exactly through header CRC-8,
+    // warmups, partition-order-1 rice, and frame CRC-16
+    val signal = Array(10, 20, 31, 43, 54)
+    val bytes = Flac.encode(signal)
+    assert(new String(bytes.take(4), "US-ASCII") == "fLaC")
+    val got = Flac.decode(bytes)
+    assert(got.isDefined, "golden FLAC stream failed to decode")
+    val (ch, n, smp) = got.get
+    assert(ch == 1 && n == 5)
+    assert(smp.toSeq == signal.map(_.toDouble).toSeq)
+  }
+
+  test("FLAC round trip is lossless on random int16 signals (fixed and LPC subframes)") {
+    import graft.multimodal.Flac
+    val rng = new scala.util.Random(7)
+    for (len <- Seq(1, 2, 3, 16, 33, 100, 4097); lpc <- Seq(false, true)) {
+      val signal = Array.fill(len)(rng.nextInt(65536) - 32768)
+      val got = Flac.decode(Flac.encode(signal, lpc = lpc))
+      assert(got.isDefined, s"len=$len lpc=$lpc failed to decode")
+      assert(got.get._3.toSeq == signal.map(_.toDouble).toSeq,
+        s"len=$len lpc=$lpc not lossless")
+    }
+  }
+
+  test("FLAC: a tampered byte fails the CRC and declines to byte stats") {
+    import graft.multimodal.Flac
+    val signal = Array.tabulate(64)(i => (i * 37) % 2000 - 1000)
+    val bytes = Flac.encode(signal)
+    assert(Flac.decode(bytes).isDefined)
+    // flip one bit inside the subframe body: CRC-16 must reject the frame
+    val tampered = bytes.clone()
+    tampered(tampered.length - 5) = (tampered(tampered.length - 5) ^ 0x10).toByte
+    assert(Flac.decode(tampered).isEmpty, "tampered frame passed CRC")
+    // Multimodal.decode degrades to byte statistics, never wrong samples
+    val stats = Multimodal.decode(tampered)
+    val byteStats = Multimodal.decode(Array[Byte](1, 2)) // any non-media bytes
+    assert(stats.length == 4 && byteStats.length == 4)
+  }
+
+  test("flacDecodeSummary routes documents through the REAL FLAC codec") {
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 40)
+    val got = Multimodal.flacDecodeSummary(docs).head()
+    val texts = docs.select(col("text")).collect()
+      .map(_.getString(0).getBytes("UTF-8")).filter(_.length >= 64)
+    val means = texts.map { b =>
+      val smp = (0 until 32).map(i =>
+        ((b(2 * i) & 0xff) | (b(2 * i + 1) << 8)).toShort.toDouble)
+      smp.sum / smp.size
+    }
+    assert(got.getLong(0) == texts.length)
+    assert(got.getDouble(got.fieldIndex("avg_sample_mean")) ==
+      math.rint(means.sum / means.length * 10000) / 10000)
+  }
+
   test("wavDecodeSummary routes documents through the REAL RIFF parser") {
     val docs = Tables.documents(spark, sf).filter(col("doc_id") < 40)
     val got = Multimodal.wavDecodeSummary(docs).head()
