@@ -578,6 +578,46 @@ object MiscQueries {
           col("n"), col("psi"))
         .orderBy("win_start_us")
     },
+    "streaming_quantile" -> { (s, d) =>
+      // the windowed percentile monitor oracle-visible (pairs with the
+      // psi_approx/streaming_drift production gates): per-hour approx
+      // p10/p50/p90 from the mergeable percentile_approx sketch inside
+      // watermarked state; n/min/max per window are EXACT (hash-gated vs
+      // the hour-bucket replay); each approx quantile gates as an
+      // EXACT-RANK invariant — the batch side recomputes the value's
+      // true rank in its window and checks |rank − p·n| ≤ n/100 + 2
+      // (the sketch's contract is n/accuracy = n/1000)
+      val sink = "graft_stream_quantile"
+      val q = graft.streaming.StreamingOps
+        .streamingQuantiles(Tables.eventsStream(s, d), "value", "ts")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val res = s.table(sink)
+        .withColumn("_hr", (unix_micros(col("win_start")) / 3600000000L).cast("long"))
+      val ev = Tables.events(s, d)
+        .select(floor(unix_micros(col("ts")) / 3600000000L).cast("long").as("_hr"),
+          col("value").cast("double").as("_v"))
+      val ranks = ev.join(broadcast(res.select(col("_hr"), col("q10"), col("q50"), col("q90"))), "_hr")
+        .groupBy(col("_hr"))
+        .agg(sum(when(col("_v") <= col("q10"), 1L).otherwise(0L)).as("_r10"),
+          sum(when(col("_v") <= col("q50"), 1L).otherwise(0L)).as("_r50"),
+          sum(when(col("_v") <= col("q90"), 1L).otherwise(0L)).as("_r90"))
+      val tol = col("n") / 100.0 + 2.0
+      def ok(r: org.apache.spark.sql.Column, p: Double) =
+        abs(r - col("n") * p) <= tol
+      res.join(ranks, "_hr")
+        .select(unix_micros(col("win_start")).as("win_start_us"),
+          col("n"), r4(col("vmin")).as("min_v"), r4(col("vmax")).as("max_v"),
+          (col("q10") <= col("q50") && col("q50") <= col("q90") &&
+            col("q10") >= col("vmin") && col("q90") <= col("vmax")).as("q_ordered"),
+          ok(col("_r10"), 0.1).as("q10_rank_ok"),
+          ok(col("_r50"), 0.5).as("q50_rank_ok"),
+          ok(col("_r90"), 0.9).as("q90_rank_ok"))
+        .orderBy("win_start_us")
+    },
     "streaming_outlier" -> { (s, d) =>
       // the live Hampel outlier gate oracle-visible: batch-profiled
       // median/MAD (quantized values, distributed rank-select), the
@@ -2317,6 +2357,17 @@ object MiscQueries {
     // the windowed profile's exact columns replayed as hour buckets;
     // the HLL distinct is engine-internal behind the within-10%+2
     // invariant (TRUE in the oracle)
+    // windowed percentile monitor: n/min/max exact per hour bucket; the
+    // sketch quantiles gate as exact-rank invariant booleans (TRUE here)
+    "streaming_quantile" ->
+      """WITH e AS (SELECT (epoch_us(ts) // 3600000000) AS hr, value::DOUBLE AS v FROM events),
+        |c AS (SELECT hr, count(*)::BIGINT AS n, round(min(v), 4) AS min_v,
+        |    round(max(v), 4) AS max_v
+        |  FROM e GROUP BY hr)
+        |SELECT (hr * 3600000000)::BIGINT AS win_start_us, n, min_v, max_v,
+        |  TRUE AS q_ordered, TRUE AS q10_rank_ok, TRUE AS q50_rank_ok,
+        |  TRUE AS q90_rank_ok
+        |FROM c ORDER BY win_start_us""".stripMargin,
     "streaming_profile" ->
       """WITH e AS (SELECT (epoch_us(ts) // 3600000000) AS hr, value::DOUBLE AS v FROM events),
         |c AS (SELECT hr, count(*)::BIGINT AS n, round(min(v), 4) AS min_v,

@@ -426,6 +426,16 @@ object VectorQueries {
       graft.neighbors.MMR.diversify(Tables.embeddings(s, d), "vec_id",
         "embedding", q, k = 5, topN = 20, lambda = 0.7)
     },
+    "rerank_cross" -> { (s, d) =>
+      // cross-encoder-style rerank of the bi-encoder top-20 (the
+      // retrieve-then-rerank pipeline): first stage = corpus-scale
+      // cosine scan + distributed top-N cut; second stage = the JOINT
+      // (q, c) literal scorer over the bounded pool. Full hash gate —
+      // both stages replay in SQL
+      val q = graft.neighbors.KNN.hyperplanes(1, 64, 99L)(0)
+      graft.neighbors.Rerank.crossEncode(Tables.embeddings(s, d), "vec_id",
+        "embedding", q, k = 5, topN = 20, seed = 131L)
+    },
     "multimodal_meta" -> { (s, d) =>
       graft.multimodal.Multimodal.featureSummary(Tables.documents(s, d))
     },
@@ -576,6 +586,30 @@ object VectorQueries {
        |$out ORDER BY rank""".stripMargin
   }
 
+  /** Cross-encoder rerank oracle: first-stage cosine top-20, then the
+    * joint literal scorer (folded product dot + |q−c| featurization)
+    * replayed term-for-term; rank = row_number over the bounded pool. */
+  private def rerankOracle: String = {
+    val q = KNN.hyperplanes(1, 64, 99L)(0)
+    val w = KNN.hyperplanes(2, 64, 131L)
+    val qlit = q.map(_.toString).mkString("[", ", ", "]")
+    val qn = math.sqrt(q.map(x => x * x).sum).toString
+    val wpq = (0 until 64).map(j => (w(0)(j) * q(j)).toString).mkString("[", ", ", "]")
+    val wd = w(1).map(_.toString).mkString("[", ", ", "]")
+    s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cand AS (SELECT id, v,
+       |    round(list_dot_product(v, $qlit) / (sqrt(list_dot_product(v, v)) * $qn), 6) AS rel
+       |  FROM e ORDER BY rel DESC, id LIMIT 20),
+       |sc AS (SELECT id, rel,
+       |    round(list_dot_product(v, $wpq) +
+       |      list_sum(list_transform(range(0, 64),
+       |        j -> ($wd)[j+1] * abs(($qlit)[j+1] - v[j+1]))), 6) AS ce_score
+       |  FROM cand),
+       |rk AS (SELECT row_number() OVER (ORDER BY ce_score DESC, id)::BIGINT AS rank,
+       |    id, rel, ce_score FROM sc)
+       |SELECT rank, id, rel, ce_score FROM rk WHERE rank <= 5 ORDER BY rank""".stripMargin
+  }
+
   /** SemDeDup oracle with the n-SCALED quantizer: derives k = ⌈n/100⌉
     * from its own corpus count (mirroring semDedupAnchors), generates the
     * k md5-derived Gaussian anchors dynamically over range(k)×range(64),
@@ -705,6 +739,7 @@ object VectorQueries {
     "rp_distortion" -> rpDistortionOracle,
     "semdedup" -> semDedupOracle,
     "mmr_diversify" -> mmrOracle,
+    "rerank_cross" -> rerankOracle,
     "embedding_stats" ->
       s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
          |nrm AS (SELECT round(sqrt(list_dot_product(v, v)), 4) AS nr FROM e),

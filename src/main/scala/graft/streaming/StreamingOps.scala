@@ -393,6 +393,30 @@ object StreamingOps {
       col("_tot").cast("long").as("n"), round(psi, 6).as("psi"))
   }
 
+  /** Streaming windowed quantile monitor — the percentile face of the
+    * drift gate (pairs with [[streamingDriftGate]]'s PSI): per
+    * event-time window, approximate p10/p50/p90 of the value via
+    * `percentile_approx` (a mergeable sketch aggregate, so it runs
+    * inside watermarked streaming state; memory is O(accuracy), never
+    * O(window rows)) plus exact n/min/max. The rank-error contract
+    * (≤ n/accuracy) is what the batch audit in the driver query gates. */
+  def streamingQuantiles(events: DataFrame, valueCol: String, tsCol: String,
+                         accuracy: Int = 1000, windowLen: String = "1 hour",
+                         watermark: String = "2 hours"): DataFrame = {
+    val v = col(valueCol).cast("double")
+    events.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(count(lit(1)).cast("long").as("n"),
+        min(v).as("vmin"), max(v).as("vmax"),
+        percentile_approx(v, array(lit(0.1), lit(0.5), lit(0.9)),
+          lit(accuracy)).as("_qs"))
+      .select(col("window.start").as("win_start"), col("n"),
+        col("vmin"), col("vmax"),
+        element_at(col("_qs"), 1).as("q10"),
+        element_at(col("_qs"), 2).as("q50"),
+        element_at(col("_qs"), 3).as("q90"))
+  }
+
   /** Streaming sessionization: Spark's native `session_window` (state
     * merges adjacent windows until the idle gap exceeds `gap`; the
     * watermark bounds state age) — the live twin of

@@ -28,6 +28,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming quantile monitor: sketch quantiles respect the exact-rank contract per window") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, Double)]
+    val events = in.toDF().toDF("ts", "value")
+    val q = StreamingOps.streamingQuantiles(events, "value", "ts")
+      .writeStream.format("memory").queryName("win_quant")
+      .outputMode("complete").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:05:00")
+      // one window, values 1..200: exact p10/p50/p90 = 20/100/180 ranks
+      in.addData((1 to 200).map(i => (t0, i.toDouble)): _*)
+      q.processAllAvailable()
+      val r = spark.table("win_quant").head()
+      assert(r.getLong(r.fieldIndex("n")) == 200L)
+      val (q10, q50, q90) = (r.getDouble(r.fieldIndex("q10")),
+        r.getDouble(r.fieldIndex("q50")), r.getDouble(r.fieldIndex("q90")))
+      assert(q10 <= q50 && q50 <= q90)
+      // percentile_approx contract: rank error ≤ n/accuracy (=0.2 here),
+      // so at n=200 the quantiles are exact order statistics
+      assert(math.abs(q10 - 20.0) <= 2.0 && math.abs(q50 - 100.0) <= 2.0 &&
+        math.abs(q90 - 180.0) <= 2.0, s"($q10, $q50, $q90)")
+      assert(r.getDouble(r.fieldIndex("vmin")) == 1.0)
+      assert(r.getDouble(r.fieldIndex("vmax")) == 200.0)
+    } finally q.stop()
+  }
+
   test("streaming drift gate: windowed PSI matches the independent restatement; drifted window alarms") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
