@@ -2,7 +2,14 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // SPARK_GRAFT_SF_DIR may be a comma-separated list (r12 verdict #9 —
+    // one bench artifact per round with BOTH scale points): each dir runs
+    // the full protocol in the SAME session, per-dir summary lines go to
+    // stdout, and the out FILE carries one object per scale point. A
+    // single dir keeps the exact legacy single-object shape (the driver's
+    // invocation).
+    val sfDirs = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val runs = math.max(sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt, 1)
     val spark = SparkSession.builder()
@@ -24,7 +31,7 @@ object Bench {
       org.apache.logging.log4j.Level.ERROR)
     // warm up the session once (JVM/codegen/parquet-footer costs otherwise
     // land on whichever query happens to run first)
-    try spark.read.parquet(s"$sfDir/lineitem.parquet").limit(10).write
+    try spark.read.parquet(s"${sfDirs.head}/lineitem.parquet").limit(10).write
       .format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
     // noop sink: forces full materialization of every output column — a
@@ -37,62 +44,75 @@ object Bench {
         s"BENCH WARN: SPARK_GRAFT_ONLY names match no query: ${unknown.mkString(", ")}")
     }
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
-    // each query runs `runs` times; the per-query time is the MIN (sandbox
-    // load noise inflates single runs by 2-4x — see the round-2 bench)
-    val perRun = selected.map { case (name, fn) =>
-      val timed = (1 to runs).map { _ =>
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case t: Throwable => System.err.println(s"BENCH FAIL $name: $t"); false }
-        (ok, (System.nanoTime() - t0) / 1e9)
+
+    /** Full protocol for one sf dir → the per-scale-point JSON object. */
+    def runDir(sfDir: String): String = {
+      // each query runs `runs` times; the per-query time is the MIN (sandbox
+      // load noise inflates single runs by 2-4x — see the round-2 bench)
+      val perRun = selected.map { case (name, fn) =>
+        val timed = (1 to runs).map { _ =>
+          val t0 = System.nanoTime()
+          val ok = try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case t: Throwable => System.err.println(s"BENCH FAIL $name: $t"); false }
+          (ok, (System.nanoTime() - t0) / 1e9)
+        }
+        // drop this query's SQL-cached frames before the next query runs:
+        // per-query times must not depend on how much storage memory the
+        // queries that happened to run earlier left behind (r12's final
+        // bench flagged two 10x "regressions" that were environmental —
+        // isolation keeps the attribution clean; FitCache models and
+        // persisted RDDs are driver-local / RDD-level and unaffected)
+        spark.catalog.clearCache()
+        name -> timed
       }
-      // drop this query's SQL-cached frames before the next query runs:
-      // per-query times must not depend on how much storage memory the
-      // queries that happened to run earlier left behind (r12's final
-      // bench flagged two 10x "regressions" that were environmental —
-      // isolation keeps the attribution clean; FitCache models and
-      // persisted RDDs are driver-local / RDD-level and unaffected)
-      spark.catalog.clearCache()
-      name -> timed
-    }
-    val results = perRun.map { case (name, timed) =>
-      val okTimes = timed.collect { case (true, s) => s }
-      // a query that failed every run reports NEGATED min elapsed so the
-      // json can never mistake a crash-at-start for a fast query
-      name -> (if (okTimes.nonEmpty) okTimes.min else -timed.map(_._2).min)
-    }
-    val failed = results.collect { case (n, v) if v < 0 => n }.toSeq.sorted
-    // failed queries are excluded from total (listed separately)
-    val total = results.values.filter(_ >= 0).sum
-    // COLD total = run-1 sum. With FitCache, min-of-N is the WARM serve
-    // path (every memoized fit costs ~0 from run 2 on), so the min total
-    // alone would silently drop all fit cost from cross-round comparisons
-    // (r10 verdict finding). Both totals are reported side by side.
-    val totalCold = perRun.values.collect {
-      case timed if timed.head._1 => timed.head._2 }.sum
-    val (fcHits, fcMisses, fcLive) = graft.core.FitCache.stats
-    val fcJson = s""""fitcache":{"hits":$fcHits,"misses":$fcMisses,"live":$fcLive}"""
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // 1-minute system load average: past rounds' reported numbers were
-    // 3-5x inflated by sandbox co-tenants — record the evidence in-band
-    val load = java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean.getSystemLoadAverage
-    // Per-query telemetry, three redundant forms (the driver records only
-    // the TAIL of stdout — one 249-entry line loses its head to the
-    // capture window, which through r9 blinded cross-round per-query
-    // regression tracking for ~190 queries):
-    //  1. FULL-precision single JSON object written to a file inside the
-    //     repo (driver commits uncommitted work at round end, so the full
-    //     map survives even when stdout doesn't);
-    //  2. stdout CHUNKS of 50 sorted keys, each line a complete JSON
-    //     object tagged "line":"chunk" — whatever the tail keeps parses,
-    //     and sorted keys make the surviving suffix deterministic;
-    //  3. the short "line":"summary" totals line LAST (closest to the
-    //     tail boundary, so it always survives whole).
-    // Every line carries a "line" discriminator so a consumer grepping
-    // "metric":"total" can select exactly one record (r9 advice).
-    val sorted = results.toSeq.sortBy(_._1)
-    val fullJson = {
+      val results = perRun.map { case (name, timed) =>
+        val okTimes = timed.collect { case (true, s) => s }
+        // a query that failed every run reports NEGATED min elapsed so the
+        // json can never mistake a crash-at-start for a fast query
+        name -> (if (okTimes.nonEmpty) okTimes.min else -timed.map(_._2).min)
+      }
+      val failed = results.collect { case (n, v) if v < 0 => n }.toSeq.sorted
+      // failed queries are excluded from total (listed separately)
+      val total = results.values.filter(_ >= 0).sum
+      // COLD total = run-1 sum. With FitCache, min-of-N is the WARM serve
+      // path (every memoized fit costs ~0 from run 2 on), so the min total
+      // alone would silently drop all fit cost from cross-round comparisons
+      // (r10 verdict finding). Both totals are reported side by side.
+      val totalCold = perRun.values.collect {
+        case timed if timed.head._1 => timed.head._2 }.sum
+      val (fcHits, fcMisses, fcLive) = graft.core.FitCache.stats
+      val fcJson = s""""fitcache":{"hits":$fcHits,"misses":$fcMisses,"live":$fcLive}"""
+      val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+      // 1-minute system load average: past rounds' reported numbers were
+      // 3-5x inflated by sandbox co-tenants — record the evidence in-band
+      val load = java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+      // Per-query telemetry, three redundant forms (the driver records only
+      // the TAIL of stdout — one 249-entry line loses its head to the
+      // capture window, which through r9 blinded cross-round per-query
+      // regression tracking for ~190 queries):
+      //  1. FULL-precision single JSON object written to a file inside the
+      //     repo (driver commits uncommitted work at round end, so the full
+      //     map survives even when stdout doesn't);
+      //  2. stdout CHUNKS of 50 sorted keys, each line a complete JSON
+      //     object tagged "line":"chunk" — whatever the tail keeps parses,
+      //     and sorted keys make the surviving suffix deterministic;
+      //  3. the short "line":"summary" totals line LAST (closest to the
+      //     tail boundary, so it always survives whole).
+      // Every line carries a "line" discriminator so a consumer grepping
+      // "metric":"total" can select exactly one record (r9 advice).
+      val sorted = results.toSeq.sortBy(_._1)
+      val chunks = sorted.grouped(50).toSeq
+      chunks.zipWithIndex.foreach { case (c, i) =>
+        // 3-decimal (ms) resolution keeps a chunk line ~1.5 KB so more of
+        // them fit in the capture window; the file above keeps full bits
+        val qs = c.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+        println(s"""{"line":"chunk","sf":"$sfDir","part":${i + 1},"of":${chunks.size},"queries":$qs}""")
+      }
+      // summary line: the only unbounded field (failed names) goes FIRST and
+      // the headline fields LAST, so a tail boundary landing inside a
+      // heavy-failure line still keeps the totals
+      println(s"""{"line":"summary","failed":$failedJson,"n_failed":${failed.size},"sf":"$sfDir","runs":$runs,"loadavg":$load,$fcJson,"n_queries":${selected.size},"total_cold":$totalCold,"metric":"total","value":$total,"unit":"sec"}""")
       val qs = sorted.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       // ALL run times (not just the min): separates co-tenant noise
       // (inflated single runs) from real first-run JIT/codegen effects —
@@ -103,21 +123,16 @@ object Bench {
       }.mkString("{", ",", "}")
       s"""{"line":"file","queries":$qs,"runs_detail":$rd,"failed":$failedJson,"runs":$runs,"loadavg":$load,"sf":"$sfDir",$fcJson,"total_cold":$totalCold,"metric":"total","value":$total,"unit":"sec","n_queries":${selected.size}}"""
     }
+
+    val perDir = sfDirs.map(d => d -> runDir(d))
+    val fullJson =
+      if (perDir.size == 1) perDir.head._2
+      else perDir.map { case (d, j) => "\"" + d + "\":" + j }
+        .mkString("""{"line":"file","scale_points":{""", ",", "}}")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_QUERIES.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (fullJson + "\n").getBytes("UTF-8"))
     catch { case t: Throwable => System.err.println(s"BENCH WARN: cannot write $outPath: $t") }
-    val chunks = sorted.grouped(50).toSeq
-    chunks.zipWithIndex.foreach { case (c, i) =>
-      // 3-decimal (ms) resolution keeps a chunk line ~1.5 KB so more of
-      // them fit in the capture window; the file above keeps full bits
-      val qs = c.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-      println(s"""{"line":"chunk","part":${i + 1},"of":${chunks.size},"queries":$qs}""")
-    }
-    // summary line: the only unbounded field (failed names) goes FIRST and
-    // the headline fields LAST, so a tail boundary landing inside a
-    // heavy-failure line still keeps the totals
-    println(s"""{"line":"summary","failed":$failedJson,"n_failed":${failed.size},"sf":"$sfDir","runs":$runs,"loadavg":$load,$fcJson,"n_queries":${selected.size},"total_cold":$totalCold,"metric":"total","value":$total,"unit":"sec"}""")
     spark.stop()
   }
 }

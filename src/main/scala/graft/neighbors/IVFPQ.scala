@@ -27,15 +27,23 @@ object IVFPQ {
     * residual encoding — residuals are centered and much lower-variance
     * than raw vectors, which is where IVFPQ's accuracy comes from). */
   def train(corpus: DataFrame, vecCol: String, nCells: Int, m: Int,
-            kCodes: Int, seed: Long = 42L): Index = {
-    val ivf = IVF.train(corpus, vecCol, nCells, seed)
-    val res = corpus.select(
-      residualUdf(ivf)(col(vecCol).cast("array<double>")).getField("_2").as("rv"))
-    Index(ivf, PQ.train(res, "rv", m, kCodes, seed))
-  }
+            kCodes: Int, seed: Long = 42L): Index =
+    // memoized on the CORPUS plan: the residual frame's plan embeds a
+    // fresh UDF closure per call, so keying the inner PQ.train on it
+    // would never hit across invocations
+    graft.core.FitCache.getOrFit(graft.core.FitCache.key(corpus,
+      "ivfpq", vecCol, nCells, m, kCodes, seed)) {
+      val ivf = IVF.train(corpus, vecCol, nCells, seed)
+      val res = corpus.select(
+        residualUdf(ivf)(col(vecCol).cast("array<double>")).getField("_2").as("rv"))
+      Index(ivf, PQ.train(res, "rv", m, kCodes, seed))
+    }
 
   /** (cell, residual) for one vector — broadcast-centers JVM closure,
-    * same codegen-limit justification as IVF.cellUdf. */
+    * same codegen-limit justification as IVF.cellUdf. asNondeterministic
+    * on every UDF here = evaluation barrier (see PQ.encodeUdf): a struct
+    * result read through two getFields would otherwise run the UDF twice
+    * per row, and the per-probe ADC table M times per candidate. */
   private def residualUdf(ivf: IVF.Index) = udf { (v: Seq[Double]) =>
     var best = 0; var bestD = Double.MaxValue
     var c = 0
@@ -48,7 +56,7 @@ object IVFPQ {
     }
     val ctr = ivf.centers(best)
     (best, Array.tabulate(ctr.length)(i => v(i) - ctr(i)))
-  }
+  }.asNondeterministic()
 
   /** Corpus → (id, cell, code): the compressed, cell-bucketable index. */
   def encode(corpus: DataFrame, idCol: String, vecCol: String, idx: Index): DataFrame = {
@@ -64,7 +72,7 @@ object IVFPQ {
       }
       val ctr = idx.ivf.centers(best)
       (best, PQ.encodeVec(idx.cb, Array.tabulate(ctr.length)(i => v(i) - ctr(i))))
-    }
+    }.asNondeterministic()
     corpus.select(col(idCol).cast("long").as("id"),
         enc(col(vecCol).cast("array<double>")).as("_e"))
       .select(col("id"), col("_e._1").as("cell"), col("_e._2").as("code"))
@@ -81,7 +89,7 @@ object IVFPQ {
       val ctr = idx.ivf.centers(c)
       (c, PQ.adcVec(idx.cb, Array.tabulate(ctr.length)(i => v(i) - ctr(i))))
     }
-  }
+  }.asNondeterministic()
 
   /** Top-k by asymmetric distance over the probed cells: cell-key join,
     * M element_at adds per candidate, bounded-heap rerank. */

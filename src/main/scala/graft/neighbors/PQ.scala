@@ -203,11 +203,18 @@ object PQ {
 
   /** Nearest-centroid code per subspace (broadcast-codebook JVM closure —
     * same justification as IVF.cellUdf: an m·k·subdim unrolled expression
-    * tree exceeds the codegen method limit). */
-  private def encodeUdf(cb: Codebook) = udf { (v: Seq[Double]) => encodeVec(cb, v) }
+    * tree exceeds the codegen method limit). Marked NONDETERMINISTIC as
+    * an evaluation barrier (the functions are pure): CollapseProject
+    * substitutes a deterministic UDF column into every downstream use,
+    * so the M element_at reads of the ADC table were re-running the
+    * whole m·k·subdim table build M times per candidate row — 8× the
+    * scan cost at kCodes=64 (measured 23.6 s → 1.2 s at sf0.1). */
+  private def encodeUdf(cb: Codebook) =
+    udf { (v: Seq[Double]) => encodeVec(cb, v) }.asNondeterministic()
 
   /** The flattened M×K ADC table for a query. */
-  private def lutUdf(cb: Codebook) = udf { (v: Seq[Double]) => adcVec(cb, v) }
+  private def lutUdf(cb: Codebook) =
+    udf { (v: Seq[Double]) => adcVec(cb, v) }.asNondeterministic()
 
   /** Corpus → (id, code) — the compressed index; persist this instead of
     * the raw vectors (32× smaller at m=8 over 64-dim float). */
