@@ -1645,7 +1645,7 @@ object Multimodal {
         case Some((dw, dh)) => Seq(dw, dh)
         case None           => Seq(-1, -1)
       }
-    })
+    }).asNondeterministic() // barrier: two element_at reads must not re-run encode+decode
     documents
       .select(col("doc_id").cast("long").as("doc"),
         when(col("doc_id") % 4 === 0, "gif")

@@ -897,7 +897,7 @@ object TimeSeries {
         }
         x.toSeq
       }
-    }
+    }.asNondeterministic() // barrier: k coefficient reads must not re-run the solve
     mm.select(col("series"), solve(gArr, bArr).as("cf"))
   }
 
