@@ -15,9 +15,10 @@ package graft.multimodal
   *    LPC (quantized coefficients + shift, §9.2.3), each with wasted-bits
   *    support and rice-partitioned residuals (4-bit parameters, zigzag
   *    fold, unary quotient = n zeros then a one, 0b1111 escape to
-  *    verbatim residuals, 5-bit-parameter method 0b01 likewise).
-  *    Stereo decorrelation modes are declared out of scope (→ None);
-  *    independent multi-channel decodes and interleaves.
+  *    verbatim residuals, 5-bit-parameter method 0b01 likewise). All
+  *    four stereo channel assignments reconstruct (independent,
+  *    left-side, right-side, mid-side — the side channel at bps+1,
+  *    §9.1.3); independent multi-channel decodes and interleaves.
   *  - [[encode]]: mono 16-bit, one frame per ≤4096-sample block, FIXED
   *    order-2 subframes (order 0 below 3 samples) or — for decoder
   *    coverage — an LPC subframe mathematically equal to the order-2
@@ -109,63 +110,127 @@ object Flac {
   }
 
   // ------------------------------------------------------------ encode
-  /** Mono 16-bit FLAC stream of `samples` (each in [−32768, 32767]).
-    * `lpc = true` emits the order-2-equivalent LPC subframe instead of
-    * the FIXED one (same residuals — exercises the decoder's LPC path). */
-  def encode(samples: Array[Int], sampleRate: Int = 8000,
-             lpc: Boolean = false): Array[Byte] = {
+  /** Stereo channel-assignment modes (RFC 9639 §9.1.3): independent L/R,
+    * and the three decorrelations — left-side (L, L−R), right-side
+    * (L−R, R), mid-side ((L+R)>>1, L−R). The side channel carries
+    * bps+1 bits. */
+  sealed trait StereoMode { def code: Int }
+  case object IndependentStereo extends StereoMode { val code = 1 }
+  case object LeftSide extends StereoMode { val code = 8 }
+  case object RightSide extends StereoMode { val code = 9 }
+  case object MidSide extends StereoMode { val code = 10 }
+
+  /** Stereo 16-bit FLAC stream; left/right must be equal-length. */
+  def encodeStereo(left: Array[Int], right: Array[Int],
+                   mode: StereoMode = MidSide,
+                   sampleRate: Int = 8000): Array[Byte] = {
+    require(left.length == right.length && left.nonEmpty, "equal nonempty channels")
     val out = new java.io.ByteArrayOutputStream()
     out.write("fLaC".getBytes("US-ASCII"))
-    // STREAMINFO, last-metadata flag set: 1 bit last + 7 bits type 0
+    out.write(streamInfo(left.length, sampleRate, channels = 2))
     val blockMax = 4096
-    val si = new BitWriter
-    si.writeBits(0x80, 8); si.writeBits(34, 24)
-    val minBs = math.min(samples.length, blockMax).max(16) // spec floor 16
-    si.writeBits(minBs, 16); si.writeBits(math.max(minBs, math.min(samples.length, blockMax)), 16)
-    si.writeBits(0, 24); si.writeBits(0, 24) // frame sizes unknown
-    si.writeBits(sampleRate, 20); si.writeBits(0, 3) // channels-1 = 0
-    si.writeBits(15, 5) // bps-1 = 15
-    si.writeBits(samples.length.toLong, 36)
-    (0 until 16).foreach(_ => si.writeBits(0, 8)) // md5 unset
-    out.write(si.toBytes)
-    require(samples.nonEmpty, "Flac.encode: empty signal")
     var off = 0
     var frameNo = 0
-    while (off < samples.length) {
-      val n = math.min(blockMax, samples.length - off)
-      out.write(encodeFrame(java.util.Arrays.copyOfRange(samples, off, off + n),
-        frameNo, lpc))
+    while (off < left.length) {
+      val n = math.min(blockMax, left.length - off)
+      val l = java.util.Arrays.copyOfRange(left, off, off + n)
+      val r = java.util.Arrays.copyOfRange(right, off, off + n)
+      val (ch0, ch1, bps0, bps1) = mode match {
+        case IndependentStereo => (l, r, 16, 16)
+        case LeftSide => (l, Array.tabulate(n)(i => l(i) - r(i)), 16, 17)
+        case RightSide => (Array.tabulate(n)(i => l(i) - r(i)), r, 17, 16)
+        case MidSide => (Array.tabulate(n)(i => (l(i) + r(i)) >> 1),
+          Array.tabulate(n)(i => l(i) - r(i)), 16, 17)
+      }
+      out.write(encodeFrameChannels(Seq((ch0, bps0), (ch1, bps1)), mode.code,
+        frameNo, lpc = false))
       off += n
       frameNo += 1
     }
     out.toByteArray
   }
 
-  private def encodeFrame(block: Array[Int], frameNo: Int, lpc: Boolean): Array[Byte] = {
+  private def streamInfo(totalSamples: Long, sampleRate: Int,
+                         channels: Int): Array[Byte] = {
+    val si = new BitWriter
+    si.writeBits(0x80, 8); si.writeBits(34, 24)
+    val minBs = math.min(totalSamples, 4096L).max(16L)
+    si.writeBits(minBs, 16)
+    si.writeBits(math.max(minBs, math.min(totalSamples, 4096L)), 16)
+    si.writeBits(0, 24); si.writeBits(0, 24)
+    si.writeBits(sampleRate, 20); si.writeBits(channels - 1, 3)
+    si.writeBits(15, 5) // bps-1 = 15 (decorrelated side bps is per-frame)
+    si.writeBits(totalSamples, 36)
+    (0 until 16).foreach(_ => si.writeBits(0, 8))
+    si.toBytes
+  }
+
+  /** Mono 16-bit FLAC stream of `samples` (each in [−32768, 32767]).
+    * `lpc = true` emits the order-2-equivalent LPC subframe instead of
+    * the FIXED one (same residuals — exercises the decoder's LPC path). */
+  def encode(samples: Array[Int], sampleRate: Int = 8000,
+             lpc: Boolean = false): Array[Byte] = {
+    require(samples.nonEmpty, "Flac.encode: empty signal")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("fLaC".getBytes("US-ASCII"))
+    out.write(streamInfo(samples.length.toLong, sampleRate, channels = 1))
+    val blockMax = 4096
+    var off = 0
+    var frameNo = 0
+    while (off < samples.length) {
+      val n = math.min(blockMax, samples.length - off)
+      out.write(encodeFrameChannels(
+        Seq((java.util.Arrays.copyOfRange(samples, off, off + n), 16)),
+        chCode = 0, frameNo, lpc))
+      off += n
+      frameNo += 1
+    }
+    out.toByteArray
+  }
+
+  /** One frame of `channels` (samples, bps) subframes under channel
+    * assignment `chCode`. The header's bps field stays the 16-bit code —
+    * a decorrelated side channel's +1 bit is implied by the assignment,
+    * exactly as the spec defines it. */
+  private def encodeFrameChannels(channels: Seq[(Array[Int], Int)], chCode: Int,
+                                  frameNo: Int, lpc: Boolean): Array[Byte] = {
+    val blockLen = channels.head._1.length
     val w = new BitWriter
     w.writeBits(0x3ffe, 14) // sync
     w.writeBits(0, 1) // reserved
     w.writeBits(0, 1) // fixed blocksize stream
     w.writeBits(0x7, 4) // blocksize: 16-bit value at end of header
     w.writeBits(0, 4) // sample rate: from STREAMINFO
-    w.writeBits(0, 4) // channels: mono
+    w.writeBits(chCode, 4)
     w.writeBits(0x4, 3) // bps: 16
     w.writeBits(0, 1) // reserved
     // coded (UTF-8-style) frame number — our streams stay < 128 frames
     require(frameNo < 128, "encoder emits single-byte coded frame numbers")
     w.writeBits(frameNo, 8)
-    w.writeBits(block.length - 1L, 16)
+    w.writeBits(blockLen - 1L, 16)
     val headBytes = w.toBytes
     val frame = new java.io.ByteArrayOutputStream()
     frame.write(headBytes)
     frame.write(crc8(headBytes, headBytes.length))
-    // subframe + rice residuals
     val body = new BitWriter
+    channels.foreach { case (block, bps) => writeSubframe(body, block, bps, lpc) }
+    body.alignByte()
+    frame.write(body.toBytes)
+    val fb = frame.toByteArray
+    val c16 = crc16(fb, 0, fb.length)
+    frame.write((c16 >> 8) & 0xff); frame.write(c16 & 0xff)
+    frame.toByteArray
+  }
+
+  /** One FIXED (or LPC-equivalent) subframe + rice residuals. */
+  private def writeSubframe(body: BitWriter, block: Array[Int], bps: Int,
+                            lpc: Boolean): Unit = {
     val order = if (block.length < 3) 0 else 2
+    val mask = (1L << bps) - 1
     if (lpc && order == 2) {
       body.writeBits(0, 1); body.writeBits(32 | (order - 1), 6); body.writeBits(0, 1)
       var i = 0
-      while (i < order) { body.writeBits(block(i).toLong & 0xffff, 16); i += 1 }
+      while (i < order) { body.writeBits(block(i).toLong & mask, bps); i += 1 }
       body.writeBits(15 - 1, 4) // qlp precision 15
       body.writeBits(0, 5) // shift 0
       // coefs [2, -1] at precision 15: the order-2 fixed predictor
@@ -173,7 +238,7 @@ object Flac {
     } else {
       body.writeBits(0, 1); body.writeBits(8 + order, 6); body.writeBits(0, 1)
       var i = 0
-      while (i < order) { body.writeBits(block(i).toLong & 0xffff, 16); i += 1 }
+      while (i < order) { body.writeBits(block(i).toLong & mask, bps); i += 1 }
     }
     val res = new Array[Long](block.length - order)
     var i = order
@@ -204,11 +269,6 @@ object Flac {
         if (k > 0) body.writeBits(u & ((1L << k) - 1), k)
       }
     }
-    frame.write(body.toBytes)
-    val fb = frame.toByteArray
-    val c16 = crc16(fb, 0, fb.length)
-    frame.write((c16 >> 8) & 0xff); frame.write(c16 & 0xff)
-    frame.toByteArray
   }
 
   /** Mean-based rice parameter: smallest k with mean(u) < 2^k (the
@@ -306,8 +366,8 @@ object Flac {
       case 15 => return None
       case _ => ()
     }
-    if (chCode >= 8) return None // stereo decorrelation: declared out of scope
-    val nCh = chCode + 1
+    if (chCode > 10) return None // reserved assignments
+    val nCh = if (chCode < 8) chCode + 1 else 2
     if (nCh != channels) return None
     val bps = bpsCode match {
       case 0 => siBps
@@ -324,14 +384,40 @@ object Flac {
     val crcGot = r.readBits(8).toInt
     if (crc8(java.util.Arrays.copyOfRange(bytes, pos, pos + headLen), headLen) != crcGot)
       return None
-    val chans = Array.ofDim[Array[Long]](nCh)
+    // decorrelated stereo: the SIDE channel carries bps+1 bits (left-side
+    // and mid-side put it second, right-side first)
+    def chBps(c: Int): Int = chCode match {
+      case 8 if c == 1 => bps + 1
+      case 9 if c == 0 => bps + 1
+      case 10 if c == 1 => bps + 1
+      case _ => bps
+    }
+    val raw = Array.ofDim[Array[Long]](nCh)
     var c = 0
     while (c < nCh) {
-      chans(c) = decodeSubframe(r, blockSize, bps) match {
+      raw(c) = decodeSubframe(r, blockSize, chBps(c)) match {
         case Some(v) => v
         case None => return None
       }
       c += 1
+    }
+    // undo the stereo decorrelation (RFC 9639 §9.1.3)
+    val chans: Array[Array[Long]] = chCode match {
+      case 8 => // left-side: (L, L−R)
+        Array(raw(0), Array.tabulate(blockSize)(i => raw(0)(i) - raw(1)(i)))
+      case 9 => // right-side: (L−R, R)
+        Array(Array.tabulate(blockSize)(i => raw(1)(i) + raw(0)(i)), raw(1))
+      case 10 => // mid-side: ((L+R)>>1, L−R)
+        val l = new Array[Long](blockSize); val rr = new Array[Long](blockSize)
+        var i = 0
+        while (i < blockSize) {
+          val side = raw(1)(i)
+          val mid2 = (raw(0)(i) << 1) | (side & 1L)
+          l(i) = (mid2 + side) >> 1; rr(i) = (mid2 - side) >> 1
+          i += 1
+        }
+        Array(l, rr)
+      case _ => raw
     }
     r.alignByte()
     val frameLen = r.bytePos - pos

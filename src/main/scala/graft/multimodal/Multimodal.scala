@@ -52,10 +52,10 @@ object Multimodal {
     * PCM RIFF/WAVE audio (chunk walk + signed little-endian samples),
     * plus FLAC (RFC 9639 — [[Flac]]: metadata walk, CRC-verified frame
     * headers/footers, fixed + LPC subframes, rice-partitioned
-    * residuals); no external codec library needed. Byte-statistics
-    * fallback for anything else (the honest path — arithmetic-coded
-    * jpeg and patent-era lossy audio, MP3/AAC, would plug in here the
-    * same way; stereo-decorrelated FLAC likewise declines). The
+    * residuals, all four stereo channel assignments); no external codec
+    * library needed. Byte-statistics fallback for anything else (the
+    * honest path — arithmetic-coded jpeg and patent-era lossy audio,
+    * MP3/AAC, would plug in here the same way). The
     * feature contract is uniform: 4 doubles (mean, std, max, min) over
     * decoded pixel channel values when a parser matches, over raw payload
     * bytes otherwise, so the pipeline shape (binary in, fixed-size vector
@@ -1990,6 +1990,37 @@ object Multimodal {
         if (u >= 32768) u - 65536 else u
       }
       Flac.encode(smp)
+    }
+    val media = documents
+      .filter(octet_length(col("text")) >= need)
+      .select(col("doc_id").cast("long"),
+        enc(substring(col("text").cast("binary"), 1, need)).as("payload"),
+        struct(lit(need.toLong).as("n_bytes"), lit("audio").as("media_type"),
+          lit(0).as("width"), lit(0).as("height")).as("meta"))
+    extractFeatures(media)
+      .agg(count(lit(1)).cast("long").as("n_clips"),
+        round(avg(element_at(col("features"), 1)), 4).as("avg_sample_mean"),
+        round(avg(element_at(col("features"), 3)), 4).as("avg_sample_max"),
+        round(avg(element_at(col("features"), 4)), 4).as("avg_sample_min"))
+  }
+
+  /** Hash-gated MID-SIDE stereo FLAC decode: even-index byte-pair int16
+    * samples become the left channel, odd the right, encoded per row as
+    * a mid-side decorrelated stereo stream ((L+R)>>1 mid, L−R side at 17
+    * bits) and decoded back by [[Flac.decode]]'s §9.1.3 reconstruction.
+    * The decoder interleaves L/R back into the ORIGINAL sample order, so
+    * the oracle is the same int16 byte-pair replay as the mono gate —
+    * any decorrelation defect breaks the hash. */
+  def flacStereoDecodeSummary(documents: DataFrame, nSamples: Int = 32): DataFrame = {
+    val need = nSamples * 2
+    val enc = udf { (raw: Array[Byte]) =>
+      val smp = Array.tabulate(nSamples) { i =>
+        val u = (raw(2 * i) & 0xff) | ((raw(2 * i + 1) & 0xff) << 8)
+        if (u >= 32768) u - 65536 else u
+      }
+      val l = Array.tabulate(nSamples / 2)(i => smp(2 * i))
+      val r = Array.tabulate(nSamples / 2)(i => smp(2 * i + 1))
+      Flac.encodeStereo(l, r, Flac.MidSide)
     }
     val media = documents
       .filter(octet_length(col("text")) >= need)

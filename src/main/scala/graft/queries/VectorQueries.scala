@@ -467,6 +467,13 @@ object VectorQueries {
       // byte-pair stats — any codec defect breaks the hash
       graft.multimodal.Multimodal.flacDecodeSummary(Tables.documents(s, d))
     },
+    "multimodal_flac_stereo" -> { (s, d) =>
+      // mid-side decorrelated STEREO FLAC: L = even samples, R = odd,
+      // (L+R)>>1 / L−R channels at 16/17 bits; the decoder's §9.1.3
+      // reconstruction re-interleaves the original order, so the SAME
+      // byte-pair oracle gates the whole decorrelation path
+      graft.multimodal.Multimodal.flacStereoDecodeSummary(Tables.documents(s, d))
+    },
     "multimodal_jpeg_color" -> { (s, d) =>
       graft.multimodal.Multimodal.jpegColorDecodeSummary(Tables.documents(s, d))
     },
@@ -1052,6 +1059,23 @@ object VectorQueries {
     "multimodal_audio_decode" ->
       """WITH d AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents WHERE strlen(text) >= 48),
         |s AS (SELECT doc_id, unnest(range(0, 24)) AS i, hx FROM d),
+        |v0 AS (SELECT doc_id,
+        |    ('0x' || substr(hx, 4*i + 1, 2))::INT
+        |      + 256 * ('0x' || substr(hx, 4*i + 3, 2))::INT AS u
+        |  FROM s),
+        |v AS (SELECT doc_id,
+        |    (CASE WHEN u >= 32768 THEN u - 65536 ELSE u END)::DOUBLE AS smp FROM v0),
+        |pm AS (SELECT doc_id, avg(smp) AS m, max(smp) AS mx, min(smp) AS mn
+        |  FROM v GROUP BY doc_id)
+        |SELECT count(*)::BIGINT AS n_clips, round(avg(m), 4) AS avg_sample_mean,
+        |  round(avg(mx), 4) AS avg_sample_max, round(avg(mn), 4) AS avg_sample_min
+        |FROM pm""".stripMargin,
+    // stereo FLAC: mid-side decorrelation is lossless and the decoder
+    // re-interleaves L/R into the original sample order, so the gate is
+    // the same byte-pair replay as the mono one
+    "multimodal_flac_stereo" ->
+      """WITH d AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents WHERE strlen(text) >= 64),
+        |s AS (SELECT doc_id, unnest(range(0, 32)) AS i, hx FROM d),
         |v0 AS (SELECT doc_id,
         |    ('0x' || substr(hx, 4*i + 1, 2))::INT
         |      + 256 * ('0x' || substr(hx, 4*i + 3, 2))::INT AS u

@@ -516,6 +516,31 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("FLAC stereo round trip is lossless under all four channel assignments") {
+    import graft.multimodal.Flac
+    val rng = new scala.util.Random(13)
+    for (len <- Seq(1, 7, 64, 4100);
+         mode <- Seq(Flac.IndependentStereo, Flac.LeftSide, Flac.RightSide, Flac.MidSide)) {
+      val l = Array.fill(len)(rng.nextInt(65536) - 32768)
+      val r = Array.fill(len)(rng.nextInt(65536) - 32768)
+      val got = Flac.decode(Flac.encodeStereo(l, r, mode))
+      assert(got.isDefined, s"len=$len mode=$mode failed to decode")
+      val (ch, n, smp) = got.get
+      assert(ch == 2 && n == len, s"len=$len mode=$mode shape ($ch, $n)")
+      val want = (0 until len).flatMap(i => Seq(l(i).toDouble, r(i).toDouble))
+      assert(smp.toSeq == want, s"len=$len mode=$mode not lossless")
+    }
+  }
+
+  test("FLAC mid-side golden vector: (L+R)>>1 / L−R channels reconstruct exactly") {
+    import graft.multimodal.Flac
+    // hand-walked: L=(5,-3), R=(2,4) → mid=(3,0), side=(3,-7);
+    // reconstruction mid2=(mid<<1)|(side&1) then (mid2±side)>>1
+    val got = Flac.decode(Flac.encodeStereo(Array(5, -3), Array(2, 4), Flac.MidSide))
+    assert(got.isDefined)
+    assert(got.get._3.toSeq == Seq(5.0, 2.0, -3.0, 4.0))
+  }
+
   test("FLAC: a tampered byte fails the CRC and declines to byte stats") {
     import graft.multimodal.Flac
     val signal = Array.tabulate(64)(i => (i * 37) % 2000 - 1000)
