@@ -367,6 +367,45 @@ object ModelQueries {
       served.unpersist(); exact.unpersist()
       out
     },
+    "model_io_pq" -> { (s, d) =>
+      // the COMPRESSED index's persistence serve path (model_io_ann's PQ
+      // twin): train the m=8/k=64 codebooks, persist them (savePQ — the
+      // codebook is driver-scale; the corpus side of a production index
+      // is the (id, code) table), load back, and serve the refined top-k
+      // THROUGH THE LOADED codebook. Centers round-trip parquet
+      // bit-exact ⇒ identical codes, ADC tables, and top-k, so one
+      // driver-side bit comparison replaces a second corpus serve;
+      // recall gates at the ann_pq refined floor.
+      import graft.neighbors.{KNN, PQ}
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 20)
+      val cb = PQ.train(e, "embedding", m = 8, k = 64)
+      val path = fixedModelDir("pq_codebook")
+      ModelIO.savePQ(s, cb, path)
+      val loaded = ModelIO.loadPQ(s, path)
+      val mismatches =
+        if (loaded.m != cb.m || loaded.k != cb.k) 1L
+        else (for {
+          sp <- 0 until cb.m; cw <- 0 until cb.k
+        } yield loaded.centers(sp)(cw).zip(cb.centers(sp)(cw)).count {
+          case (x, y) => java.lang.Double.doubleToLongBits(x) !=
+            java.lang.Double.doubleToLongBits(y) }.toLong).sum
+      val codes = PQ.encode(e, "vec_id", "embedding", loaded)
+      val served = PQ.topKRefined(codes, e, q, "vec_id", "embedding", loaded,
+        k = 5, shortlist = 50).select(col("qid"), col("id")).cache()
+      val exact = KNN.bruteForceCached(q, e, "vec_id", "vec_id", "embedding",
+        "embedding", 5, KNN.Euclidean).select(col("qid"), col("id")).cache()
+      val hits = exact.join(served, Seq("qid", "id")).count()
+      val recall = hits.toDouble / math.max(1L, exact.count())
+      val out = served.agg(
+        countDistinct(col("qid")).cast("long").as("n_queries"),
+        count(lit(1)).cast("long").as("n_results"),
+        lit(mismatches == 0L).as("loaded_matches_memory"),
+        lit(recall >= 0.6).as("recall_floor"))
+      out.cache().count()
+      served.unpersist(); exact.unpersist()
+      out
+    },
     "model_io_dedup" -> { (s, d) =>
       // persisted MinHash LSH index serve: build the band-bucket index of
       // the already-ingested front half, save it repartitioned on the
@@ -470,6 +509,10 @@ object ModelQueries {
     // quantizer round-trip gate: counts SQL-exact, loaded-vs-memory
     // result parity and the recall floor as invariants
     "model_io_ann" ->
+      """SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 20)::BIGINT AS n_queries,
+        |  ((SELECT count(*) FROM embeddings WHERE vec_id < 20) * 5)::BIGINT AS n_results,
+        |  TRUE AS loaded_matches_memory, TRUE AS recall_floor""".stripMargin,
+    "model_io_pq" ->
       """SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 20)::BIGINT AS n_queries,
         |  ((SELECT count(*) FROM embeddings WHERE vec_id < 20) * 5)::BIGINT AS n_results,
         |  TRUE AS loaded_matches_memory, TRUE AS recall_floor""".stripMargin,
