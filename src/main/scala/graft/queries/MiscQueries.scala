@@ -578,6 +578,30 @@ object MiscQueries {
           col("n"), col("psi"))
         .orderBy("win_start_us")
     },
+    "streaming_sample" -> { (s, d) =>
+      // the streaming uniform sample oracle-visible: reservoir-equivalent
+      // bottom-32 by md5 priority, folded as per-bucket bounded state
+      // under AvailableNow; the final exact bottom-k runs over the
+      // bounded candidate superset. FULL hash gate — md5 priorities are
+      // engine-neutral, so DuckDB replays the identical sample (the
+      // thing no RNG reservoir could gate)
+      val sink = "graft_stream_sample"
+      val q = graft.streaming.StreamingOps
+        .streamingSampleCandidates(
+          Tables.eventsStream(s, d).select(col("event_id")), "event_id", k = 32)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("prio"), col("id")) // bounded candidate frame
+      s.table(sink)
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 32)
+        .select(col("rank"), col("id").as("event_id"), col("prio").as("priority"))
+        .orderBy("rank")
+    },
     "streaming_quantile" -> { (s, d) =>
       // the windowed percentile monitor oracle-visible (pairs with the
       // psi_approx/streaming_drift production gates): per-hour approx
@@ -2357,6 +2381,13 @@ object MiscQueries {
     // the windowed profile's exact columns replayed as hour buckets;
     // the HLL distinct is engine-internal behind the within-10%+2
     // invariant (TRUE in the oracle)
+    // uniform sample = exact bottom-32 by md5 priority — full replay
+    "streaming_sample" ->
+      """WITH p AS (SELECT event_id, md5(event_id::VARCHAR) AS prio FROM events),
+        |r AS (SELECT row_number() OVER (ORDER BY prio, event_id)::BIGINT AS rank,
+        |    event_id, prio AS priority
+        |  FROM p)
+        |SELECT rank, event_id, priority FROM r WHERE rank <= 32 ORDER BY rank""".stripMargin,
     // windowed percentile monitor: n/min/max exact per hour bucket; the
     // sketch quantiles gate as exact-rank invariant booleans (TRUE here)
     "streaming_quantile" ->

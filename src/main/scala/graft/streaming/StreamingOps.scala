@@ -225,6 +225,50 @@ object StreamingOps {
     * synchronous test harness (processAllAvailable) cannot drain. */
   final case class SeenOut(content_hash: String, doc_id: Long)
 
+  final case class SampleOut(bucket: Long, prio: String, id: Long)
+
+  /** Streaming uniform sample — the reservoir-sampling equivalent done
+    * the distributed-deterministic way: a uniform k-sample of an
+    * unbounded stream is EXACTLY the bottom-k by a uniform hash priority
+    * (md5 of the id — engine-neutral, so the final sample replays in
+    * SQL, which no RNG reservoir can). State is per-BUCKET bottom-k
+    * (buckets shard the hash space, so no single task sees the stream):
+    * each row that enters its bucket's current bottom-k is emitted
+    * (append mode — a bounded candidate superset, O(k·log(n/k)) expected
+    * entrants per bucket regardless of arrival order); the exact global
+    * bottom-k is then one ORDER BY over the ≤ buckets·entrants frame.
+    * Emits (bucket, prio, id) candidates. */
+  def streamingSampleCandidates(events: DataFrame, idCol: String, k: Int,
+                                buckets: Int = 64): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val keyed = events.select(
+        pmod(col(idCol).cast("long"), lit(buckets.toLong)).as("bucket"),
+        md5(col(idCol).cast("string").cast("binary")).as("prio"),
+        col(idCol).cast("long").as("id"))
+      .as[(Long, String, Long)]
+    keyed.groupByKey(_._1)
+      .flatMapGroupsWithState[List[(String, Long)], SampleOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (bucket, rows, state: GroupState[List[(String, Long)]]) =>
+          var cur = state.getOption.getOrElse(Nil) // ascending, size ≤ k
+          val out = scala.collection.mutable.ArrayBuffer.empty[SampleOut]
+          rows.foreach { case (_, p, id) =>
+            val cand = (p, id)
+            val enters = cur.size < k || {
+              val worst = cur.last
+              p < worst._1 || (p == worst._1 && id < worst._2)
+            }
+            if (enters) {
+              cur = (cand :: cur).sortBy(identity).take(k)
+              out += SampleOut(bucket, p, id)
+            }
+          }
+          state.update(cur)
+          out.iterator
+      }.toDF("bucket", "prio", "id")
+  }
+
   def streamingDedup(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._

@@ -28,6 +28,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sample: candidate superset always contains the exact global bottom-k") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Long]
+    val events = in.toDF().toDF("event_id")
+    val q = StreamingOps.streamingSampleCandidates(events, "event_id", k = 8, buckets = 4)
+      .writeStream.format("memory").queryName("smp_cand")
+      .outputMode("append").start()
+    try {
+      // two micro-batches: arrival order must not change the final sample
+      in.addData(1L to 250L: _*); q.processAllAvailable()
+      in.addData(251L to 500L: _*); q.processAllAvailable()
+      val cand = spark.table("smp_cand")
+        .select(col("prio"), col("id")).collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      val exact = (1L to 500L)
+        .map(i => (java.security.MessageDigest.getInstance("MD5")
+          .digest(i.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString, i))
+        .sorted.take(8)
+      // the true bottom-8 must be a subset of the emitted candidates,
+      // and selecting bottom-8 from the candidates reproduces it exactly
+      assert(exact.forall(cand.contains), s"missing: ${exact.filterNot(cand.contains)}")
+      assert(cand.toSeq.sorted.take(8) == exact)
+      // bounded superset: expected O(k·ln(n/k)) entrants per bucket
+      assert(cand.length < 200, s"candidate set too large: ${cand.length}")
+    } finally q.stop()
+  }
+
   test("streaming quantile monitor: sketch quantiles respect the exact-rank contract per window") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
