@@ -160,6 +160,16 @@ object MetricsQueries {
         .limit(1)
         .select(col("_s").as("threshold"), col("tpr"), col("fpr"), col("j"))
     },
+    "platt_scaling" -> { (s, d) =>
+      // the calibration FIT face (pairs with calibration_curve/ece/
+      // brier): 6 Newton iterations on the Platt smoothed-NLL sigmoid,
+      // one rounded-moment aggregate per iteration. FULL hash gate —
+      // the fit replays as chained MATERIALIZED CTEs
+      val li = Tables.lineitem(s, d)
+      val margin = lit(-0.1) + lit(0.004) * col("l_quantity") +
+        lit(1.5) * col("l_discount") + lit(-2.0) * col("l_tax")
+      graft.stats.Platt.fit(li, margin, col("l_returnflag") === "R")
+    },
     "brier_score" -> { (s, d) =>
       // mean squared error of the calibrated probability (the proper
       // scoring rule behind calibration_curve) — one codegen aggregate
@@ -223,7 +233,45 @@ object MetricsQueries {
     }
   )
 
+  /** Platt-scaling oracle: the rounded-moment Newton recursion replayed
+    * as chained MATERIALIZED CTEs (the lasso_cd/gbt chained-fit
+    * discipline) — identical smoothed targets, identical 1e-6 moment
+    * grid, identical 2×2 Cramer update per iteration. */
+  private def plattOracle(iters: Int): String = {
+    val f = "(-0.1 + 0.004 * l_quantity + 1.5 * l_discount + -2.0 * l_tax)"
+    val chain = (1 to iters).map { k =>
+      val (aP, bP) = (s"(SELECT a FROM t${k - 1})", s"(SELECT b FROM t${k - 1})")
+      s"""m$k AS MATERIALIZED (SELECT
+         |    round(avg((t - p) * f), 6) AS g1, round(avg(t - p), 6) AS g0,
+         |    round(avg(p * (1.0 - p) * f * f), 6) AS h11,
+         |    round(avg(p * (1.0 - p) * f), 6) AS h10,
+         |    round(avg(p * (1.0 - p)), 6) AS h00,
+         |    round(avg(-(t * ln(greatest(p, 1e-300))
+         |      + (1.0 - t) * ln(greatest(1.0 - p, 1e-300)))), 6) AS nll
+         |  FROM (SELECT f, t, 1.0 / (1.0 + exp($aP * f + $bP)) AS p FROM bt)),
+         |t$k AS (SELECT
+         |    round($aP - (g1 * h00 - g0 * h10) / (h11 * h00 - h10 * h10), 6) AS a,
+         |    round($bP - (h11 * g0 - h10 * g1) / (h11 * h00 - h10 * h10), 6) AS b
+         |  FROM m$k)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to iters).map(k =>
+      s"SELECT $k::BIGINT AS iter, (SELECT a FROM t$k) AS a, " +
+        s"(SELECT b FROM t$k) AS b, (SELECT nll FROM m$k) AS avg_nll")
+      .mkString("\nUNION ALL ")
+    s"""WITH base AS (SELECT $f AS f,
+       |    CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y FROM lineitem),
+       |cnt AS (SELECT sum(y) AS np, sum(1.0 - y) AS nn FROM base),
+       |bt AS MATERIALIZED (SELECT f,
+       |    CASE WHEN y = 1.0 THEN (SELECT (np + 1.0) / (np + 2.0) FROM cnt)
+       |         ELSE (SELECT 1.0 / (nn + 2.0) FROM cnt) END AS t FROM base),
+       |t0 AS (SELECT 0.0 AS a,
+       |    round(ln((SELECT nn + 1.0 FROM cnt) / (SELECT np + 1.0 FROM cnt)), 6) AS b),
+       |$chain
+       |$out ORDER BY iter""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "platt_scaling" -> plattOracle(6),
     "confusion_matrix" ->
       s"""WITH $softmaxScoresCte
          |SELECT l_returnflag AS truth, ($softmaxPredSql) AS pred, count(*)::BIGINT AS n

@@ -326,4 +326,28 @@ class MetricsSpec extends AnyFunSuite {
     val r2 = Metrics.nmi(indep, col("a"), col("b")).head()
     assert(math.abs(r2.getDouble(1)) < 1e-6, r2.toString)
   }
+
+  test("Platt scaling recovers a planted sigmoid and descends the NLL") {
+    import spark.implicits._
+    // y drawn by md5-uniform threshold at P(y=1|f) = 1/(1+exp(2f+1)):
+    // Newton must recover (a, b) ≈ (2, 1) (smoothed targets shrink the
+    // fit slightly toward the prior; 0.15 absolute covers n=4000)
+    val rows = (0 until 4000).map { i =>
+      val f = (i % 81 - 40) / 10.0 // f ∈ [−4, 4]
+      val h = java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s"platt_$i".getBytes("UTF-8"))
+          .take(8).map(b => f"$b%02x").mkString.take(15), 16)
+      val u = (h % 1000000L + 1000000L) % 1000000L / 1000000.0
+      (f, u < 1.0 / (1.0 + math.exp(2.0 * f + 1.0)))
+    }.toDF("f", "y")
+    val steps = graft.stats.Platt.fit(rows, col("f"), col("y"), iters = 8)
+      .orderBy("iter").collect()
+    val last = steps.last
+    assert(math.abs(last.getDouble(last.fieldIndex("a")) - 2.0) < 0.15, last.toString)
+    assert(math.abs(last.getDouble(last.fieldIndex("b")) - 1.0) < 0.15, last.toString)
+    // the recorded NLL (pre-update per step) must descend overall
+    val nlls = steps.map(r => r.getDouble(r.fieldIndex("avg_nll")))
+    assert(nlls.last < nlls.head, nlls.mkString(", "))
+  }
 }
