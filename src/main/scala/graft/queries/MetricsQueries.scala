@@ -160,6 +160,38 @@ object MetricsQueries {
         .limit(1)
         .select(col("_s").as("threshold"), col("tpr"), col("fpr"), col("j"))
     },
+    "temperature_scaling" -> { (s, d) =>
+      // multiclass calibration (Guo et al. 2017): rescale the literal
+      // softmax model's logits by 1/T and pick the T minimizing the NLL.
+      // The hw_fit_opt lattice discipline: EVERY candidate T evaluates in
+      // ONE aggregate pass (8 rounded avg-NLL columns), the argmin runs
+      // on the bounded 8-row unpivot. FULL hash gate
+      val li = Tables.lineitem(s, d)
+      val grid = Seq(0.25, 0.5, 0.75, 1.0, 1.25, 1.5, 2.0, 3.0)
+      val z = MLQueries.SoftmaxClasses.zip(MLQueries.SoftmaxIntercepts)
+        .zip(MLQueries.SoftmaxWeights).map { case ((c, b0), w) =>
+          c -> MLQueries.LiFeatures.zip(w).foldLeft(lit(b0)) {
+            case (acc, (f, wj)) => acc + col(f).cast("double") * wj
+          }
+        }
+      val zmax = greatest(z.map(_._2): _*)
+      val zTrue = z.foldLeft(lit(0.0)) { case (acc, (c, zc)) =>
+        when(col("l_returnflag") === c, zc).otherwise(acc)
+      }
+      val aggs = grid.zipWithIndex.map { case (t, i) =>
+        val lse = log(z.map { case (_, zc) => exp((zc - zmax) / t) }.reduce(_ + _)) +
+          zmax / t
+        round(avg(lse - zTrue / t), 6).as(s"_n$i")
+      }
+      val one = li.agg(aggs.head, aggs.tail: _*)
+      val rows = one.select(explode(array(grid.zipWithIndex.map { case (t, i) =>
+        struct(lit(t).as("temperature"), col(s"_n$i").as("avg_nll"))
+      }: _*)).as("r")).select(col("r.temperature"), col("r.avg_nll"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("avg_nll"), col("temperature")) // bounded 8-row frame
+      rows.withColumn("is_best", row_number().over(w) === 1)
+        .orderBy("temperature")
+    },
     "platt_scaling" -> { (s, d) =>
       // the calibration FIT face (pairs with calibration_curve/ece/
       // brier): 6 Newton iterations on the Platt smoothed-NLL sigmoid,
@@ -270,8 +302,43 @@ object MetricsQueries {
        |$out ORDER BY iter""".stripMargin
   }
 
+  /** Temperature-scaling oracle: identical logit expressions, identical
+    * per-T shifted log-sum-exp, the same 1e-6 rounding, argmin over the
+    * unnested 8-row grid with the lowest-T tiebreak. */
+  private def temperatureOracle: String = {
+    val grid = Seq(0.25, 0.5, 0.75, 1.0, 1.25, 1.5, 2.0, 3.0)
+    val feats = MLQueries.LiFeatures
+    val zs = MLQueries.SoftmaxClasses.zip(MLQueries.SoftmaxIntercepts)
+      .zip(MLQueries.SoftmaxWeights).map { case ((c, b0), w) =>
+        c -> (s"($b0" + feats.zip(w).map { case (f, wj) => s" + $f * $wj" }
+          .mkString + ")")
+      }
+    val zmax = zs.map(_._2).mkString("greatest(", ", ", ")")
+    val zTrue = zs.foldLeft("0.0") { case (acc, (c, e)) =>
+      s"CASE WHEN l_returnflag = '$c' THEN $e ELSE $acc END"
+    }
+    val cols = grid.zipWithIndex.map { case (t, i) =>
+      val lse = zs.map { case (_, e) => s"exp(($e - zm) / $t)" }
+        .mkString("ln(", " + ", s") + zm / $t")
+      s"round(avg($lse - zt / $t), 6) AS n$i"
+    }.mkString(",\n  ")
+    val unnest = grid.zipWithIndex.map { case (t, i) =>
+      s"SELECT $t::DOUBLE AS temperature, n$i AS avg_nll FROM one"
+    }.mkString("\nUNION ALL ")
+    s"""WITH base AS (SELECT l_returnflag, $zmax AS zm, $zTrue AS zt,
+       |    ${feats.mkString(", ")} FROM lineitem),
+       |one AS (SELECT
+       |  $cols
+       |  FROM base),
+       |g AS ($unnest),
+       |r AS (SELECT temperature, avg_nll,
+       |    row_number() OVER (ORDER BY avg_nll, temperature) AS rk FROM g)
+       |SELECT temperature, avg_nll, rk = 1 AS is_best FROM r ORDER BY temperature""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "platt_scaling" -> plattOracle(6),
+    "temperature_scaling" -> temperatureOracle,
     "confusion_matrix" ->
       s"""WITH $softmaxScoresCte
          |SELECT l_returnflag AS truth, ($softmaxPredSql) AS pred, count(*)::BIGINT AS n
