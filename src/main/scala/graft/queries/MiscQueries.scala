@@ -238,6 +238,17 @@ object MiscQueries {
           coalesce(col("_vt"), lit(-1L)).as("valid_to"))
         .orderBy("user_id", "valid_from", "event_type")
     },
+    "yuen_ttest" -> { (s, d) =>
+      // Yuen's 20%-trimmed robust two-sample t over the SAME md5 split
+      // as welch_ttest: exact order-statistics trimming from the
+      // per-group distinct-value cumsum (no sort, no per-group
+      // single-partition window), winsorized variances, Satterthwaite
+      // df. FULL hash gate — the whole order-statistics arithmetic
+      // replays on the same distinct frame in SQL
+      val o = Tables.orders(s, d)
+      val isRef = Preprocessing.splitColumn(col("o_orderkey"), 250, 42L) === "train"
+      graft.stats.Yuen.trimmedTest(o, col("o_totalprice"), isRef)
+    },
     "welch_ttest" -> { (s, d) =>
       // A/B mean comparison (Welch's unequal-variance t): both sides'
       // moments from ONE aggregate over the md5 split; t, Satterthwaite
@@ -1647,6 +1658,48 @@ object MiscQueries {
         |  FROM c)
         |SELECT user_id, event_type, valid_from, valid_to
         |FROM f ORDER BY user_id, valid_from, event_type""".stripMargin,
+    // Yuen: the order-statistics trimming replayed on the per-group
+    // distinct-value cumsum — kept copies of value v are
+    // max(0, min(cs, n−g) − max(cs−c, g)); winsorized moments add the
+    // boundary order statistics v_(g+1)/v_(n−g) back g times each
+    "yuen_ttest" ->
+      """WITH b AS (SELECT o_totalprice::DOUBLE AS v,
+        |    CASE WHEN ('0x' || substr(md5(o_orderkey::VARCHAR || '_42'), 1, 15))::BIGINT % 1000 < 250
+        |      THEN 1 ELSE 0 END AS g FROM orders),
+        |dv AS (SELECT g, v, count(*)::BIGINT AS c FROM b GROUP BY g, v),
+        |cum AS (SELECT g, v, c, sum(c) OVER (PARTITION BY g ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gcs,
+        |  sum(c) OVER (PARTITION BY g) AS n FROM dv),
+        |k AS (SELECT g, v, c, gcs, n, ceil(n * 0.2)::BIGINT AS gq,
+        |    greatest(0, least(gcs, n - ceil(n * 0.2)::BIGINT)
+        |      - greatest(gcs - c, ceil(n * 0.2)::BIGINT)) AS kept
+        |  FROM cum),
+        |per AS (SELECT g, max(n) AS n, max(gq) AS gq,
+        |    sum(v * kept) AS ts, sum(v * v * kept) AS tss,
+        |    min(CASE WHEN gcs >= gq + 1 THEN v END) AS vlo,
+        |    min(CASE WHEN gcs >= n - gq THEN v END) AS vhi
+        |  FROM k GROUP BY g),
+        |one AS (SELECT
+        |    max(CASE WHEN g = 0 THEN n END) AS na, max(CASE WHEN g = 1 THEN n END) AS nb,
+        |    max(CASE WHEN g = 0 THEN gq END) AS ga, max(CASE WHEN g = 1 THEN gq END) AS gb,
+        |    max(CASE WHEN g = 0 THEN ts END) AS tsa, max(CASE WHEN g = 1 THEN ts END) AS tsb,
+        |    max(CASE WHEN g = 0 THEN tss END) AS tssa, max(CASE WHEN g = 1 THEN tss END) AS tssb,
+        |    max(CASE WHEN g = 0 THEN vlo END) AS loa, max(CASE WHEN g = 1 THEN vlo END) AS lob,
+        |    max(CASE WHEN g = 0 THEN vhi END) AS hia, max(CASE WHEN g = 1 THEN vhi END) AS hib
+        |  FROM per),
+        |f AS (SELECT na, nb, ga, gb,
+        |    tsa / (na - 2 * ga)::DOUBLE AS tma, tsb / (nb - 2 * gb)::DOUBLE AS tmb,
+        |    ((tssa + ga * (loa * loa + hia * hia)) - na * ((tsa + ga * (loa + hia)) / na) * ((tsa + ga * (loa + hia)) / na)) / (na - 1)::DOUBLE
+        |      * (na - 1)::DOUBLE / ((na - 2 * ga)::DOUBLE * ((na - 2 * ga) - 1)) AS da,
+        |    ((tssb + gb * (lob * lob + hib * hib)) - nb * ((tsb + gb * (lob + hib)) / nb) * ((tsb + gb * (lob + hib)) / nb)) / (nb - 1)::DOUBLE
+        |      * (nb - 1)::DOUBLE / ((nb - 2 * gb)::DOUBLE * ((nb - 2 * gb) - 1)) AS db
+        |  FROM one)
+        |SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b, ga::BIGINT AS g_a, gb::BIGINT AS g_b,
+        |  round(tma, 4) AS trim_mean_a, round(tmb, 4) AS trim_mean_b,
+        |  round((tma - tmb) / sqrt(da + db), 4) AS t_yuen,
+        |  round((da + db) * (da + db) / (da * da / ((na - 2 * ga) - 1) + db * db / ((nb - 2 * gb) - 1)), 2) AS df,
+        |  abs(round((tma - tmb) / sqrt(da + db), 4)) > 1.96 AS reject
+        |FROM f""".stripMargin,
     "welch_ttest" ->
       """WITH b AS (SELECT o_totalprice AS y,
         |    CASE WHEN ('0x' || substr(md5(o_orderkey::VARCHAR || '_42'), 1, 15))::BIGINT % 1000 < 250

@@ -327,6 +327,27 @@ class MetricsSpec extends AnyFunSuite {
     assert(math.abs(r2.getDouble(1)) < 1e-6, r2.toString)
   }
 
+  test("Yuen trimmed t matches textbook order-statistics trimming and shrugs off outliers") {
+    import spark.implicits._
+    // group A: 1..100; group B: 1..100 with ten 1e6 outliers appended —
+    // identical 20%-trimmed cores, so Yuen must NOT reject while the
+    // raw means differ wildly
+    val a = (1 to 100).map(v => (v.toDouble, true))
+    val bNorm = (1 to 100).map(v => (v.toDouble, false))
+    val bOut = (1 to 10).map(_ => (1e6, false))
+    val df = (a ++ bNorm ++ bOut).toDF("v", "isA")
+    val r = graft.stats.Yuen.trimmedTest(df, col("v"), col("isA")).head()
+    assert(r.getLong(r.fieldIndex("n_a")) == 100 && r.getLong(r.fieldIndex("n_b")) == 110)
+    // textbook check, group A: n=100, g=20, trimmed mean of ranks 21..80
+    val tmA = (21 to 80).map(_.toDouble).sum / 60.0
+    assert(r.getDouble(r.fieldIndex("trim_mean_a")) == tmA, r.toString)
+    // group B: g=22, kept ranks 23..88 of (1..100 + ten 1e6) = values 23..88
+    val tmB = (23 to 88).map(_.toDouble).sum / 66.0
+    assert(r.getDouble(r.fieldIndex("trim_mean_b")) == tmB, r.toString)
+    assert(!r.getBoolean(r.fieldIndex("reject")), r.toString)
+    assert(math.abs(r.getDouble(r.fieldIndex("t_yuen"))) < 1.96)
+  }
+
   test("Platt scaling recovers a planted sigmoid and descends the NLL") {
     import spark.implicits._
     // y drawn by md5-uniform threshold at P(y=1|f) = 1/(1+exp(2f+1)):
