@@ -635,22 +635,31 @@ object MiscQueries {
       val ev = Tables.events(s, d)
         .select(floor(unix_micros(col("ts")) / 3600000000L).cast("long").as("_hr"),
           col("value").cast("double").as("_v"))
+      // the returned value occupies the RANK INTERVAL
+      // [count(v < q), count(v ≤ q)] — with heavy ties at a quantile
+      // boundary the upper rank alone can exceed the tolerance even when
+      // the sketch meets its n/1000 contract (advice r13), so the gate
+      // checks the interval INTERSECTS [p·n − tol, p·n + tol]
       val ranks = ev.join(broadcast(res.select(col("_hr"), col("q10"), col("q50"), col("q90"))), "_hr")
         .groupBy(col("_hr"))
         .agg(sum(when(col("_v") <= col("q10"), 1L).otherwise(0L)).as("_r10"),
           sum(when(col("_v") <= col("q50"), 1L).otherwise(0L)).as("_r50"),
-          sum(when(col("_v") <= col("q90"), 1L).otherwise(0L)).as("_r90"))
+          sum(when(col("_v") <= col("q90"), 1L).otherwise(0L)).as("_r90"),
+          sum(when(col("_v") < col("q10"), 1L).otherwise(0L)).as("_l10"),
+          sum(when(col("_v") < col("q50"), 1L).otherwise(0L)).as("_l50"),
+          sum(when(col("_v") < col("q90"), 1L).otherwise(0L)).as("_l90"))
       val tol = col("n") / 100.0 + 2.0
-      def ok(r: org.apache.spark.sql.Column, p: Double) =
-        abs(r - col("n") * p) <= tol
+      def ok(rLo: org.apache.spark.sql.Column, rHi: org.apache.spark.sql.Column,
+             p: Double) =
+        rLo <= col("n") * p + tol && rHi >= col("n") * p - tol
       res.join(ranks, "_hr")
         .select(unix_micros(col("win_start")).as("win_start_us"),
           col("n"), r4(col("vmin")).as("min_v"), r4(col("vmax")).as("max_v"),
           (col("q10") <= col("q50") && col("q50") <= col("q90") &&
             col("q10") >= col("vmin") && col("q90") <= col("vmax")).as("q_ordered"),
-          ok(col("_r10"), 0.1).as("q10_rank_ok"),
-          ok(col("_r50"), 0.5).as("q50_rank_ok"),
-          ok(col("_r90"), 0.9).as("q90_rank_ok"))
+          ok(col("_l10"), col("_r10"), 0.1).as("q10_rank_ok"),
+          ok(col("_l50"), col("_r50"), 0.5).as("q50_rank_ok"),
+          ok(col("_l90"), col("_r90"), 0.9).as("q90_rank_ok"))
         .orderBy("win_start_us")
     },
     "streaming_outlier" -> { (s, d) =>

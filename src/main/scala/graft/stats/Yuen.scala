@@ -66,8 +66,12 @@ object Yuen {
       val wss = tss + gg * (lo * lo + hi * hi)
       val wmean = wsum / n
       val s2w = (wss - n * wmean * wmean) / (n - 1).cast("double")
-      val tmean = ts / h
-      val dTerm = s2w * (n - 1).cast("double") / (h * (h - 1))
+      // tiny-group guard (advice r13): with n ≤ 3 at gamma = 0.2 the
+      // trimmed count h = n − 2g hits 0/negative and h·(h−1) divides by
+      // zero — make the degenerate sides EXPLICIT nulls (the NULLIF
+      // discipline) instead of relying on Divide's null-on-zero
+      val tmean = when(h > 0, ts / h)
+      val dTerm = when(h > 1, s2w * (n - 1).cast("double") / (h * (h - 1)))
       (tmean, dTerm, h)
     }
     val (tma, da, ha) = stats(col("na"), col("ga"), col("tsa"), col("tssa"),

@@ -68,10 +68,21 @@ object MakeOrganicSF {
     val ids = spark.range(0, n, 1, 32).select(col("id").as("doc_id"))
     val cls = h(concat(lit(s"og_${seed}_cls_"), col("doc_id"))) % 1000
     // ~2% near-dup (one-token edit of base), ~0.2% exact dup of base;
-    // base = an earlier ORGANIC doc (ids with cls >= 22 are all organic),
-    // spread across the id range so LSH buckets see dups everywhere
+    // base = an earlier ORGANIC doc, spread across the id range so LSH
+    // buckets see dups everywhere. A dup row regenerates its base's
+    // PRE-edit tokens, so the base must be guaranteed organic (stored
+    // text = generated text): ids < 100 are never edited, and cls >= 22
+    // ids are organic — redraw up to 3× on collision (advice r13; the
+    // residual 0.0022³ ≈ 1e-8 falls back to self = organic)
+    def clsOf(id: org.apache.spark.sql.Column) =
+      h(concat(lit(s"og_${seed}_cls_"), id)) % 1000
+    def draw(salt: String) =
+      pmod(h(concat(lit(s"og_${seed}_b${salt}_"), col("doc_id"))), col("doc_id") - 50) + 22
+    def organicId(b: org.apache.spark.sql.Column) = b < 100 || clsOf(b) >= 22
+    val (b0, b1, b2) = (draw(""), draw("r2"), draw("r3"))
     val base = when(col("doc_id") < 100, col("doc_id"))
-      .otherwise(pmod(h(concat(lit(s"og_${seed}_b_"), col("doc_id"))), col("doc_id") - 50) + 22)
+      .otherwise(when(organicId(b0), b0).when(organicId(b1), b1)
+        .when(organicId(b2), b2).otherwise(col("doc_id")))
     val isNear = cls < 20 && col("doc_id") >= 100
     val isExact = cls >= 20 && cls < 22 && col("doc_id") >= 100
     val srcId = when(isNear || isExact, base).otherwise(col("doc_id"))
@@ -94,8 +105,18 @@ object MakeOrganicSF {
     val ids = spark.range(0, n, 1, 32).select(col("id").as("vec_id"))
     val cls = h(concat(lit(s"og_${seed}_vcls_"), col("vec_id"))) % 1000
     val isNear = cls < 10 && col("vec_id") >= 100 // ~1% near-dup vectors
+    // same organic-base guarantee as documents(): a near-dup vector adds
+    // ±0.001 to its base's STORED point, so the base itself must not be a
+    // near-dup (ids < 100 or vcls >= 10) — redraw up to 3× on collision
+    def vclsOf(id: org.apache.spark.sql.Column) =
+      h(concat(lit(s"og_${seed}_vcls_"), id)) % 1000
+    def vdraw(salt: String) =
+      pmod(h(concat(lit(s"og_${seed}_vb${salt}_"), col("vec_id"))), col("vec_id") - 50) + 10
+    def organicVec(b: org.apache.spark.sql.Column) = b < 100 || vclsOf(b) >= 10
+    val (b0, b1, b2) = (vdraw(""), vdraw("r2"), vdraw("r3"))
     val base = when(col("vec_id") < 100, col("vec_id"))
-      .otherwise(pmod(h(concat(lit(s"og_${seed}_vb_"), col("vec_id"))), col("vec_id") - 50) + 10)
+      .otherwise(when(organicVec(b0), b0).when(organicVec(b1), b1)
+        .when(organicVec(b2), b2).otherwise(col("vec_id")))
     val srcId = when(isNear, base).otherwise(col("vec_id"))
     val label = (h(concat(lit(s"og_${seed}_lb_"), srcId)) % 10).cast("int")
     // label-centered cloud: center ~U(-1,1) per (label, dim), point =
