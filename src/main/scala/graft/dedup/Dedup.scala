@@ -567,4 +567,98 @@ object Dedup {
                    targetCellSize: Long = 1000L): DataFrame =
     semDedup(df, idCol, vecCol,
       semDedupAnchors(df.count(), targetCellSize), dim, seed, tau)
+
+  /** Two-level (IVF-style) SemDeDup quantizer. The flat [[semDedup]] costs
+    * n·k dots at assign time (k = n/cellSize anchors, capped 65536) — fine
+    * to ~10⁷ vectors, quadratic-ish constant past that. This splits the
+    * quantizer into kc = ⌈√k⌉ coarse anchors and kf = ⌈k/kc⌉ fine anchors
+    * PER coarse cell (total kc·kf ≥ k fine cells): each vector dots against
+    * kc + kf ≈ 2√k anchors instead of k, so the assign stage is
+    * O(n·√k·dim) — linear with a small constant at any corpus size, and
+    * the 65536 cap can be lifted (default 2²⁴ cells → n ≈ 1.7 B vectors
+    * at cellSize 100 before the cap binds).
+    *
+    * Plan shape at 100 TB: the coarse anchors are √k literals inlined into
+    * one codegen'd projection (3163 anchors × dim at n = 10⁹ — a few MB of
+    * constants); the fine anchors are a DISTRIBUTED md5-derived table of
+    * kc·kf rows joined on the coarse cell (broadcast when small, else a
+    * shuffle join whose base-side partitioning by coarse cell is exactly
+    * the pair stage's cell partitioning coarsened), and the per-id argmax
+    * is a map-side-combined max(struct) — the shuffle after the join is
+    * ~n slim rows, not n·kf. Both anchor levels are md5-derived
+    * (Box-Muller over md5 uniforms, like [[graft.neighbors.KNN.hyperplanes]])
+    * so an external SQL engine replays the full assignment bit-for-bit —
+    * the same oracle discipline as the flat quantizer.
+    *
+    * Fine anchor g (global index, cell id = g, coarse cell = g / kf) uses
+    * seed strings "p_{seed}_f{g}_{i}_{a|b}" — the "f" infix keeps the fine
+    * family disjoint from the coarse "p_{seed}_{b}_{i}_{a|b}" family.
+    * Returns per-cell (cell, n, n_dropped) like [[semDedup]]. */
+  def semDedupTwoLevel(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                       seed: Long, tau: Double, targetCellSize: Long = 100L,
+                       maxCells: Int = 1 << 24): DataFrame = {
+    val spark = df.sparkSession
+    val n = df.count()
+    val kTotal = math.max(1L, math.min(maxCells.toLong,
+      n / targetCellSize + (if (n % targetCellSize == 0) 0 else 1)))
+    val kc = math.ceil(math.sqrt(kTotal.toDouble)).toInt
+    val kf = ((kTotal + kc - 1) / kc).toInt
+
+    // coarse assign: √k anchor dots as one array projection, argmax =
+    // first index achieving the max (ties → min b, replayed as
+    // min(b) FILTER (dt = max) oracle-side)
+    val coarse = graft.neighbors.KNN.hyperplanes(kc, dim, seed)
+    val cDots = coarse.map(a => VectorOps.dotFixed(col("v"), lit(a), dim)).toSeq
+    val base = graft.core.Tables.ensureParallelism(
+        df.select(col(idCol).cast("long").as("id"),
+          col(vecCol).cast("array<double>").as("v")))
+      .withColumn("_ds", array(cDots: _*))
+      .withColumn("cc", (array_position(col("_ds"), array_max(col("_ds"))) - 1).cast("int"))
+      .drop("_ds")
+
+    // fine anchors: distributed table (g, coarse cell, anchor vector) —
+    // same Box-Muller-over-md5 entries as hyperplanes, generated as
+    // columns so no driver materialization at large k
+    def unif(g: Column, i: Int, sfx: String): Column =
+      (Num.md5Long(concat(lit(s"p_${seed}_f"), g.cast("string"),
+        lit(s"_${i}_$sfx"))) % 1000000L).cast("double") / 1000000.0
+    def entry(g: Column, i: Int): Column =
+      sqrt(lit(-2.0) * log(unif(g, i, "a") + lit(5e-7))) *
+        cos(lit(2.0 * math.Pi) * unif(g, i, "b"))
+    val fine = spark.range(kc.toLong * kf).toDF("g")
+      .withColumn("fcc", (col("g") / kf).cast("int"))
+      .withColumn("av", array((0 until dim).map(i => entry(col("g"), i)): _*))
+
+    // fine assign: join on the coarse cell (kf candidates per vector),
+    // per-id argmax via max(struct(dt, -g)) — max dt then min g, partially
+    // aggregated map-side so the post-join shuffle is ~n slim rows; v rides
+    // along through first() (constant per id) to avoid a join-back
+    val assigned = base.join(fine, base("cc") === fine("fcc"))
+      .select(col("id"), col("v"), col("g"),
+        VectorOps.dotFixed(col("v"), col("av"), dim).as("dt"))
+      .groupBy(col("id"))
+      .agg(max(struct(col("dt"), (-col("g")).as("ng"))).as("m"),
+        first(col("v")).as("v"))
+      .select(col("id"), col("v"), (-col("m.ng")).cast("long").as("cell"))
+      .withColumn("n2", VectorOps.sqNormFixed(col("v"), dim))
+      // referenced 3× below (both pair-join sides + per-cell counts):
+      // materialize the assign pass once instead of re-running the
+      // join+argmax shuffle per reference (MEMORY_AND_DISK — same
+      // working-set discipline as the MinHash signature cache above)
+      .cache()
+
+    val sim = VectorOps.dotFixed(col("a.v"), col("b.v"), dim) /
+      sqrt(col("a.n2") * col("b.n2"))
+    val dropped = assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .filter(round(sim, 4) >= tau)
+      .select(col("b.cell").as("cell"), col("b.id").as("id"))
+      .distinct()
+    assigned.groupBy(col("cell")).agg(count(lit(1)).cast("long").as("n"))
+      .join(dropped.groupBy(col("cell"))
+          .agg(count(lit(1)).cast("long").as("n_dropped")),
+        Seq("cell"), "left")
+      .select(col("cell"), col("n"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+  }
 }

@@ -61,6 +61,18 @@ object AnalyticsQueries {
         .filter(col("_np") >= 2).select(col("p1"), col("p2"))
       graft.graph.Louvain.moveRoundModularity(e, "p1", "p2", ccRounds = 8)
     },
+    "louvain_rounds" -> { (s, d) =>
+      // MULTI-round Louvain (r13 verdict #5): 4 synchronous rounds of the
+      // community-level gain move over the same support-2 co-purchase
+      // graph; the oracle replays every round as chained CTEs and
+      // hash-gates the per-round modularity sequence AND an md5 checksum
+      // of each round's full (node, label) partition. Full hash gate
+      val e = basketPairs(baskets(Tables.lineitem(s, d)))
+        .groupBy(col("p1"), col("p2"))
+        .agg(count(lit(1)).as("_np"))
+        .filter(col("_np") >= 2).select(col("p1"), col("p2"))
+      graft.graph.Louvain.moveRounds(e, "p1", "p2", nRounds = 6)
+    },
     "ips_estimator" -> { (s, d) =>
       // off-policy evaluation (IPS/SNIPS/ESS) of a literal target policy
       // (promote 'purchase' at 0.6) against the empirical logging
@@ -714,6 +726,67 @@ object AnalyticsQueries {
        |SELECT per.*, tot.* FROM per, tot ORDER BY community""".stripMargin
   }
 
+  /** Chained-CTE replay of [[graft.graph.Louvain.moveRounds]]: every round
+    * materializes community degree totals (st), node→community edge counts
+    * (ki), the rounded community-level gain (ca), the synchronous argmax
+    * choice (ch), and the new labels (l$r); the output row per round
+    * hash-gates n_moved, the modularity, and an md5 partition checksum. */
+  private def louvainRoundsOracle(rounds: Int): String = {
+    val blocks = (1 to rounds).map { r =>
+      val p = r - 1
+      s"""st$r AS MATERIALIZED (SELECT l.label AS lab, sum(d.deg) AS stot
+         |  FROM l$p l JOIN degn d ON d.node = l.node GROUP BY l.label),
+         |ki$r AS MATERIALIZED (SELECT dd.s, lt.label AS d, count(*)::DOUBLE AS ksd
+         |  FROM dd JOIN l$p lt ON lt.node = dd.t GROUP BY dd.s, lt.label),
+         |cu$r AS MATERIALIZED (SELECT l.node AS s, l.label AS c, dn.deg AS degs,
+         |    st.stot AS stotc
+         |  FROM l$p l JOIN degn dn ON dn.node = l.node JOIN st$r st ON st.lab = l.label),
+         |ks$r AS (SELECT cu.s, coalesce(ki.ksd, 0.0) AS ksc
+         |  FROM cu$r cu LEFT JOIN ki$r ki ON ki.s = cu.s AND ki.d = cu.c),
+         |ca$r AS (SELECT ki.s, ki.d,
+         |    round((ki.ksd - ks.ksc) / m.m
+         |      - cu.degs * (st.stot - (cu.stotc - cu.degs)) / (2.0 * m.m * m.m), 6) AS g
+         |  FROM ki$r ki JOIN cu$r cu ON cu.s = ki.s JOIN ks$r ks ON ks.s = ki.s
+         |    JOIN st$r st ON st.lab = ki.d, m
+         |  WHERE ki.d <> cu.c),
+         |ch$r AS (SELECT s, d, g FROM (SELECT s, d, g,
+         |    row_number() OVER (PARTITION BY s ORDER BY g DESC, d) AS rn FROM ca$r)
+         |  WHERE rn = 1),
+         |l$r AS MATERIALIZED (SELECT cu.s AS node,
+         |    CASE WHEN ch.g > 0 AND ('0x' || substr(md5(cu.s || '_lvp_$r'), 1, 15))::BIGINT
+         |        % 2 = 0 THEN ch.d ELSE cu.c END AS label
+         |  FROM cu$r cu LEFT JOIN ch$r ch ON ch.s = cu.s),
+         |mv$r AS (SELECT count(*)::BIGINT AS n FROM l$r a JOIN l$p b ON a.node = b.node
+         |  WHERE a.label <> b.label),
+         |dz$r AS (SELECT l.label AS lab, sum(d.deg) AS ds
+         |  FROM l$r l JOIN degn d ON d.node = l.node GROUP BY l.label),
+         |ie$r AS (SELECT la.label AS lab, count(*)::DOUBLE AS iec
+         |  FROM e0 JOIN l$r la ON e0.p1 = la.node JOIN l$r lb ON e0.p2 = lb.node
+         |  WHERE la.label = lb.label GROUP BY la.label),
+         |qt$r AS (SELECT count(*)::BIGINT AS ncom,
+         |    round(sum(round(coalesce(ie.iec, 0.0) / m.m
+         |      - pow(dz.ds / (2.0 * m.m), 2), 6) + 0.0), 6) + 0.0 AS q
+         |  FROM dz$r dz LEFT JOIN ie$r ie ON ie.lab = dz.lab, m),
+         |ck$r AS (SELECT count(*)::BIGINT AS nn,
+         |    sum(('0x' || substr(md5(node || '_' || label), 1, 15))::BIGINT
+         |      % 2147483647)::BIGINT AS chk
+         |  FROM l$r)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to rounds).map(r =>
+      s"""SELECT $r::BIGINT AS round, mv$r.n AS n_moved, qt$r.ncom AS n_communities,
+         |  qt$r.q AS modularity, ck$r.nn AS n_nodes, ck$r.chk AS partition_checksum
+         |FROM mv$r, qt$r, ck$r""".stripMargin).mkString("\nUNION ALL\n")
+    s"""WITH a AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |e0 AS MATERIALIZED (SELECT x.p AS p1, y.p AS p2 FROM a x JOIN a y
+       |  ON x.o = y.o AND x.p < y.p GROUP BY 1, 2 HAVING count(*) >= 2),
+       |dd AS MATERIALIZED (SELECT p1 AS s, p2 AS t FROM e0 UNION ALL SELECT p2, p1 FROM e0),
+       |degn AS MATERIALIZED (SELECT s AS node, count(*)::DOUBLE AS deg FROM dd GROUP BY s),
+       |m AS (SELECT count(*)::DOUBLE AS m FROM e0),
+       |l0 AS MATERIALIZED (SELECT node, node AS label FROM degn),
+       |$blocks
+       |SELECT * FROM ($out) ORDER BY round""".stripMargin
+  }
+
   private def kcoreOracle(k: Int, rounds: Int): String = {
     val roundCtes = (1 to rounds).map { r =>
       s"""d$r AS (SELECT p, count(*) AS dg FROM
@@ -919,6 +992,7 @@ object AnalyticsQueries {
         |  (n_extreme + 1.0) / 201.0 < 0.05 AS reject_05
         |FROM obs, ex""".stripMargin,
     "louvain_move" -> louvainOracle(rounds = 8),
+    "louvain_rounds" -> louvainRoundsOracle(rounds = 6),
     "ips_estimator" ->
       """WITH b AS (SELECT event_type AS a,
         |    CASE WHEN value > 100 THEN 1.0 ELSE 0.0 END AS r FROM events),

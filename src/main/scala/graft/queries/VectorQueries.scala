@@ -213,6 +213,18 @@ object VectorQueries {
           ((col("n") * (col("n") - lit(1L))) / lit(2L)).cast("long"))
         .orderBy("cell")
     },
+    "semdedup_ivf" -> { (s, d) =>
+      // two-level (IVF-style) quantizer — assign is O(n·√k·dim) instead of
+      // the flat O(n·k·dim), the 100 TB path the r13 verdict asked for.
+      // Same gate design as `semdedup`: the oracle derives kc/kf from its
+      // own count, replays BOTH md5-anchor levels and the per-cell
+      // pair-candidate mass — any assignment divergence hash-mismatches.
+      Dedup.semDedupTwoLevel(Tables.embeddings(s, d), "vec_id", "embedding",
+          dim = 64, seed = 7L, tau = 0.4, targetCellSize = 100L)
+        .withColumn("n_pairs",
+          ((col("n") * (col("n") - lit(1L))) / lit(2L)).cast("long"))
+        .orderBy("cell")
+    },
     "embedding_quantize" -> { (s, d) =>
       graft.neighbors.SQ.quantizeAudit(Tables.embeddings(s, d), "vec_id", "embedding")
         .select(col("pos"), col("dmin"), col("dmax"), col("scale"),
@@ -623,6 +635,51 @@ object VectorQueries {
     * assigns each vector to the FIRST argmax cell (min b with dot = max —
     * array_position semantics), and replays the within-cell ≥τ pair drop.
     * n_pairs = n(n−1)/2 per cell is the candidate-join mass invariant. */
+  /** Replays BOTH quantizer levels of [[graft.dedup.Dedup.semDedupTwoLevel]]:
+    * kc/kf derived from the oracle's own count, coarse anchors from the
+    * "p_7_b_i" md5 family, fine anchors from the disjoint "p_7_fg_i"
+    * family, argmax ties broken min-index at both levels. */
+  private def semDedupIvfOracle: String = {
+    def hp(pfx: String, idx: String, sfx: String) =
+      s"('0x' || substr(md5('$pfx' || $idx || '_' || i || '_$sfx'), 1, 15))::BIGINT"
+    def u1(pfx: String, idx: String) =
+      s"(((${hp(pfx, idx, "a")} % 1000000 + 1000000) % 1000000) / 1000000.0 + 5e-7)"
+    def u2(pfx: String, idx: String) =
+      s"(((${hp(pfx, idx, "b")} % 1000000 + 1000000) % 1000000) / 1000000.0)"
+    def entry(pfx: String, idx: String) =
+      s"(sqrt(-2.0 * ln(${u1(pfx, idx)})) * cos(2.0 * pi() * ${u2(pfx, idx)}))"
+    s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |kp AS (SELECT kc, ((kt + kc - 1) // kc)::BIGINT AS kf FROM (
+       |    SELECT CAST(ceil(sqrt(kt::DOUBLE)) AS BIGINT) AS kc, kt FROM (
+       |      SELECT greatest(1, least(16777216, (count(*) + 99) // 100))::BIGINT AS kt
+       |      FROM e))),
+       |ca AS (SELECT b, list_transform(range(0, 64), i -> ${entry("p_7_", "b")}) AS av
+       |  FROM (SELECT unnest(range(0, (SELECT kc FROM kp))) AS b)),
+       |cd AS (SELECT e.id, ca.b,
+       |    list_sum(list_transform(range(0, 64), i -> e.v[i+1] * ca.av[i+1])) AS dt
+       |  FROM e CROSS JOIN ca),
+       |cm AS (SELECT id, b, dt, max(dt) OVER (PARTITION BY id) AS m FROM cd),
+       |casg AS (SELECT id, min(b) FILTER (WHERE dt = m) AS ccl FROM cm GROUP BY id),
+       |fa AS (SELECT g, (g // (SELECT kf FROM kp))::BIGINT AS fcc,
+       |    list_transform(range(0, 64), i -> ${entry("p_7_f", "g")}) AS av
+       |  FROM (SELECT unnest(range(0, (SELECT kc * kf FROM kp))) AS g)),
+       |fd AS (SELECT e.id, fa.g,
+       |    list_sum(list_transform(range(0, 64), i -> e.v[i+1] * fa.av[i+1])) AS dt
+       |  FROM e JOIN casg ON e.id = casg.id JOIN fa ON fa.fcc = casg.ccl),
+       |fm AS (SELECT id, g, dt, max(dt) OVER (PARTITION BY id) AS m FROM fd),
+       |cl AS (SELECT id, min(g) FILTER (WHERE dt = m) AS cell FROM fm GROUP BY id),
+       |c AS (SELECT e.id, e.v, cl.cell FROM e JOIN cl ON e.id = cl.id),
+       |dropped AS (SELECT DISTINCT b.cell AS cell, b.id AS id
+       |  FROM c a JOIN c b ON a.cell = b.cell AND a.id < b.id
+       |  WHERE round($cosSql, 4) >= 0.4),
+       |dc AS (SELECT cell, count(*) AS n_dropped FROM dropped GROUP BY cell)
+       |SELECT c.cell::BIGINT AS cell, count(*)::BIGINT AS n,
+       |  coalesce(max(dc.n_dropped), 0)::BIGINT AS n_dropped,
+       |  (count(*) * (count(*) - 1) // 2)::BIGINT AS n_pairs
+       |FROM c LEFT JOIN dc ON c.cell = dc.cell
+       |GROUP BY c.cell ORDER BY cell""".stripMargin
+  }
+
   private def semDedupOracle: String = {
     // same md5 → Box-Muller entry as planeEntrySeed, with the anchor
     // index b a COLUMN instead of an inlined literal
@@ -745,6 +802,7 @@ object VectorQueries {
     "ann_lsh" -> lshOracle,
     "rp_distortion" -> rpDistortionOracle,
     "semdedup" -> semDedupOracle,
+    "semdedup_ivf" -> semDedupIvfOracle,
     "mmr_diversify" -> mmrOracle,
     "rerank_cross" -> rerankOracle,
     "embedding_stats" ->

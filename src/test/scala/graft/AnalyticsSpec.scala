@@ -29,6 +29,27 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(math.abs(got.getDouble(got.fieldIndex("z")) - z) < 1e-3)
   }
 
+  test("louvain moveRounds finds the two planted communities of a barbell graph") {
+    import spark.implicits._
+    // two triangles {0,1,2} and {10,11,12} joined by one bridge edge:
+    // ground-truth partition has Q = 2·(3/7 − (7/14)²) = 0.357143
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (2L, 10L)).toDF("p1", "p2")
+    val rows = graft.graph.Louvain.moveRounds(edges, "p1", "p2", nRounds = 6)
+      .collect().sortBy(_.getLong(0))
+    assert(rows.length == 6)
+    assert(rows.forall(_.getLong(4) == 6L), "every round keeps all 6 nodes")
+    val finalRow = rows.last
+    assert(finalRow.getLong(2) == 2L,
+      s"final n_communities ${finalRow.getLong(2)} — expected the 2 triangles")
+    assert(math.abs(finalRow.getDouble(3) - 0.357143) < 1e-4,
+      s"final modularity ${finalRow.getDouble(3)}")
+    // converged: the last round moves nothing and repeats the checksum
+    assert(finalRow.getLong(1) == 0L, s"round-6 n_moved ${finalRow.getLong(1)}")
+    assert(finalRow.getLong(5) == rows(4).getLong(5),
+      "converged partition checksum must repeat")
+  }
+
   test("benford: digits 1-9 partition the corpus, shares sum to 1, expected is Benford") {
     val rows = SparkEntry.queries("benford")(spark, sf).collect()
     assert(rows.map(_.getLong(0)).toSet.subsetOf((1L to 9L).toSet))

@@ -822,6 +822,65 @@ class OperatorSpec extends AnyFunSuite {
     assert(biggest < n / 2, s"one cell holds $biggest of $n rows — not bounded")
   }
 
+  test("semDedupTwoLevel partitions the corpus and drops planted duplicates") {
+    import spark.implicits._
+    val dim = 32
+    val rnd = new scala.util.Random(5)
+    val distinct = (0 until 400).map(i => (i.toLong, Array.fill(dim)(rnd.nextGaussian())))
+    // 3 exact copies: identical vectors get identical dots at BOTH
+    // quantizer levels → same fine cell → pair at cosine 1.0 → 2 dropped
+    val dupBase = Array.fill(dim)(rnd.nextGaussian())
+    val dups = Seq(1000L, 1001L, 1002L).map(id => (id, dupBase.clone()))
+    // n=403, targetCellSize=50 → kTotal=9, kc=3, kf=3 → 9 fine cells
+    val r = graft.dedup.Dedup.semDedupTwoLevel(
+      (distinct ++ dups).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dim = dim, seed = 7L, tau = 0.95,
+      targetCellSize = 50L)
+    val rows = r.collect()
+    assert(rows.map(_.getLong(1)).sum == 403L, "cells must partition the corpus")
+    assert(rows.forall(c => c.getLong(0) >= 0 && c.getLong(0) < 9),
+      s"cell ids must lie in [0, kc*kf): ${rows.map(_.getLong(0)).mkString(",")}")
+    assert(rows.length > 3, s"only ${rows.length} non-empty cells of 9")
+    assert(rows.map(_.getLong(2)).sum == 2L,
+      s"dropped ${rows.map(_.getLong(2)).sum} — expected exactly the 2 planted copies")
+  }
+
+  test("semDedupTwoLevel fine assignment matches a driver-side replay") {
+    import spark.implicits._
+    val dim = 8
+    val rnd = new scala.util.Random(9)
+    val vecs = (0 until 60).map(i => (i.toLong, Array.fill(dim)(rnd.nextGaussian())))
+    // n=60, targetCellSize=10 → kTotal=6, kc=3, kf=2 → 6 fine cells
+    val cells = graft.dedup.Dedup.semDedupTwoLevel(vecs.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", dim = dim, seed = 7L, tau = 0.999,
+        targetCellSize = 10L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // driver-side replay of both md5-anchor levels
+    def h(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    def entry(key: String): Double = {
+      val u1 = (h(s"${key}_a") % 1000000L) / 1000000.0 + 5e-7
+      val u2 = (h(s"${key}_b") % 1000000L) / 1000000.0
+      math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2)
+    }
+    val coarse = Array.tabulate(3, dim)((b, i) => entry(s"p_7_${b}_$i"))
+    val fine = Array.tabulate(6, dim)((g, i) => entry(s"p_7_f${g}_$i"))
+    def argmaxDot(v: Array[Double], anchors: Seq[Int], m: Array[Array[Double]]): Int = {
+      val dots = anchors.map(a => a -> v.indices.map(i => v(i) * m(a)(i)).sum)
+      val mx = dots.map(_._2).max
+      dots.filter(_._2 == mx).map(_._1).min
+    }
+    val expected = vecs.map { case (_, v) =>
+      val cc = argmaxDot(v, 0 until 3, coarse)
+      argmaxDot(v, (cc * 2) until (cc * 2 + 2), fine).toLong
+    }.groupBy(identity).map { case (c, xs) => c -> xs.size.toLong }
+    assert(cells == expected, s"spark $cells vs driver $expected")
+  }
+
   test("kmeans transform distances match hand-computed centroid distances") {
     import spark.implicits._
     val df = Seq((0.0, 0.0, 0.0), (3.0, 4.0, 0.0)).toDF("f1", "f2", "f3")

@@ -269,6 +269,17 @@ class PlanSpec extends AnyFunSuite {
       p.take(3000))
   }
 
+  test("semDedupTwoLevel pair join keys on the fine cell; assign joins on the coarse cell") {
+    val e = Tables.embeddings(spark, sf)
+    val p = planOf(graft.dedup.Dedup.semDedupTwoLevel(e, "vec_id", "embedding",
+      dim = 64, seed = 7L, tau = 0.4, targetCellSize = 100L))
+    // both the fine-anchor assign join (on coarse cell) and the candidate
+    // pair join (on fine cell) must be equi-joins — a nested-loop here
+    // would be the n·k (or n²) plan the two-level quantizer exists to avoid
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+      p.take(3000))
+  }
+
   test("sessionization shares ONE user_id shuffle across windows and aggregates") {
     val p = planOf(graft.events.Sessionize.userSessions(
       Tables.events(spark, sf), gapUs = 14400000000L))
