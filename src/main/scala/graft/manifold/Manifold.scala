@@ -98,8 +98,58 @@ object Manifold {
       val h = java.lang.Long.parseLong(d.map(b => f"$b%02x").mkString.take(15), 16)
       (h % 1000000L).toDouble / 100000.0 - 5.0
     }
-    val px = ids.map(u("layout_x_", _)).toArray
-    val py = ids.map(u("layout_y_", _)).toArray
+    // SPECTRAL INIT for UMAP — the reference DEFAULT (umap.pyx:138
+    // init="spectral", cpp/src/spectral/spectral.cu): seed the layout with
+    // the 2nd/3rd-smallest eigenvectors of the normalized Laplacian
+    // L = I − D^{−1/2} W D^{−1/2} of the symmetrized kNN graph. Computed
+    // by DEFLATED POWER ITERATION on M = 2I − L (λ(L) ∈ [0,2] maps to
+    // λ(M) ∈ [0,2] with order reversed; λ_min(L)=0 ↔ λ_max(M)=2 with the
+    // KNOWN eigenvector D^{1/2}·1, deflated analytically) — each multiply
+    // is one pass over the sparse edge list, so the init costs
+    // O(iters·|E|), the same class as a single force iteration, at any
+    // sample size (a dense n³ eigensolve would cap the sample at ~10³).
+    // t-SNE keeps the md5-random init: t_sne.pyx's default is random.
+    val (px, py) =
+      if (mode == UmapForces && n > 2) {
+        val dw = new Array[Double](n)
+        edges.foreach { case (i, _, wt) => dw(i) += wt } // rows are directed both ways
+        val dis = dw.map(d => if (d > 0) 1.0 / math.sqrt(d) else 0.0)
+        def mulM(v: Array[Double]): Array[Double] = {
+          val r = v.clone()
+          edges.foreach { case (a, b, wt) => r(a) += dis(a) * wt * dis(b) * v(b) }
+          r
+        }
+        def dot(a: Array[Double], b: Array[Double]): Double = {
+          var s = 0.0; var i = 0
+          while (i < n) { s += a(i) * b(i); i += 1 }; s
+        }
+        def unit(v: Array[Double]): Array[Double] = {
+          val nv = math.sqrt(dot(v, v)) max 1e-300
+          v.map(_ / nv)
+        }
+        val v0 = unit(dw.map(math.sqrt))
+        def fiedler(tag: String, basis: Seq[Array[Double]]): Array[Double] = {
+          var v = ids.map(u(tag, _)).toArray
+          var it = 0
+          while (it < 200) {
+            v = mulM(v)
+            basis.foreach { b => val c = dot(v, b); var i = 0
+              while (i < n) { v(i) -= c * b(i); i += 1 } }
+            v = unit(v)
+            it += 1
+          }
+          v
+        }
+        val e1 = fiedler("spec_x_", Seq(v0))
+        val e2 = fiedler("spec_y_", Seq(v0, e1))
+        // scale each axis to max-abs 10 — the UMAP spectral-init convention
+        def scaled(v: Array[Double]): Array[Double] = {
+          val s = 10.0 / (v.map(math.abs).max max 1e-12)
+          v.map(_ * s)
+        }
+        (scaled(e1), scaled(e2))
+      } else
+        (ids.map(u("layout_x_", _)).toArray, ids.map(u("layout_y_", _)).toArray)
 
     var it = 0
     while (it < iters) {

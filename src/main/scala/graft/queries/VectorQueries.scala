@@ -377,19 +377,21 @@ object VectorQueries {
     "umap_layout" -> { (s, d) =>
       // layout 100 nodes, then score the 2-D embedding against the 64-dim
       // original with trustworthiness (deterministic init + forces).
-      // PARTIAL HASH GATE (r11, floor tightened r12): n/k SQL-exact;
-      // trustworthiness must clear 0.40 — a thin margin under the
-      // deterministic layout's observed ~0.47 on these near-random
-      // synthetic embeddings, failing loudly if a data regen or layout
-      // change ever degrades it (planted-cluster separation stays
-      // spec-gated)
+      // PARTIAL HASH GATE (r11; floor 0.40 r12; 0.45 r14): n/k SQL-exact.
+      // r14 switched the init to the reference default — SPECTRAL
+      // (umap.pyx init="spectral"; normalized-Laplacian Fiedler vectors of
+      // the kNN graph via sparse deflated power iteration) — observed
+      // trustworthiness 0.482/0.515 at sf0.001/0.01 vs ~0.47 random-init,
+      // so the floor rises to 0.45; it fails loudly if a data regen or
+      // layout change ever degrades the embedding (planted-cluster
+      // separation stays spec-gated)
       val e = Tables.embeddings(s, d).filter(col("vec_id") < 100)
       val layout = Manifold.forceLayout(e, "vec_id", "embedding",
           k = 10, iters = 25, lr = 1.0, mode = Manifold.UmapForces)
         .select(col("id").as("vec_id"), array(col("x"), col("y")).as("emb2"))
       graft.metrics.Trustworthiness.compute(e, layout, "vec_id", "embedding", "emb2", 5)
         .select(col("n").cast("long").as("n_points"), col("k").cast("long").as("k"),
-          (col("trustworthiness") >= 0.40 && col("trustworthiness") <= 1.0)
+          (col("trustworthiness") >= 0.45 && col("trustworthiness") <= 1.0)
             .as("trust_floor"))
     },
     "umap_transform" -> { (s, d) =>
