@@ -52,10 +52,14 @@ object Multimodal {
     * PCM RIFF/WAVE audio (chunk walk + signed little-endian samples),
     * plus FLAC (RFC 9639 — [[Flac]]: metadata walk, CRC-verified frame
     * headers/footers, fixed + LPC subframes, rice-partitioned
-    * residuals, all four stereo channel assignments); no external codec
-    * library needed. Byte-statistics fallback for anything else (the
-    * honest path — arithmetic-coded jpeg and patent-era lossy audio,
-    * MP3/AAC, would plug in here the same way). The
+    * residuals, all four stereo channel assignments) and MP3 (MPEG-1
+    * Layer III, [[Mp3]]: sync/header/side-info walk, codebook-0/1
+    * Huffman + count1 table B, spec requantization, alias reduction,
+    * IMDCT and polyphase synthesis — big-value codebooks 2-31 and the
+    * Annex B.3 prototype window are printed table data, declared at
+    * Mp3.scala's header); no external codec library needed.
+    * Byte-statistics fallback for anything else (the honest path —
+    * arithmetic-coded jpeg and AAC would plug in here the same way). The
     * feature contract is uniform: 4 doubles (mean, std, max, min) over
     * decoded pixel channel values when a parser matches, over raw payload
     * bytes otherwise, so the pipeline shape (binary in, fixed-size vector
@@ -117,6 +121,11 @@ object Multimodal {
         .map { case (_, _, smp) => stats(smp) })
       .orElse(scala.util.Try(Flac.decode(bytes)).toOption.flatten
         .map { case (_, _, smp) => stats(smp) })
+      // MP3: stats over granule-0's requantized spectral lines — the
+      // spec-exact layer (the PCM tail's prototype window is declared
+      // approximate, so it stays out of the oracle-facing contract)
+      .orElse(scala.util.Try(Mp3.decode(bytes)).toOption.flatten
+        .map(d => stats(d.spectral)))
       .getOrElse(stats(bytes.map(b => (b & 0xff).toDouble)))
 
   /** Decoded (width, height) when a real parser matches — the metadata
@@ -2033,6 +2042,47 @@ object Multimodal {
         round(avg(element_at(col("features"), 1)), 4).as("avg_sample_mean"),
         round(avg(element_at(col("features"), 3)), 4).as("avg_sample_max"),
         round(avg(element_at(col("features"), 4)), 4).as("avg_sample_min"))
+  }
+
+  /** Hash-gated REAL MP3 decode (MPEG-1 Layer III, [[Mp3]]): each
+    * document's leading 72 bytes become 576 quantized spectral lines
+    * (bit l of the text, sign − on odd lines), encoded as a real
+    * 320 kbps / 44.1 kHz mono frame and decoded back through sync/header
+    * parse, mono side-info, codebook-1 Huffman + sign bits, and the
+    * §2.4.3.4 requantization. global_gain = 210 and |lines| ≤ 1 make the
+    * entropy+requantization layers LOSSLESS BY CONSTRUCTION (the JPEG
+    * unit-quant discipline), so the oracle replays the decoded spectral
+    * mean/energy bit-for-bit from the text bits; header fields and the
+    * 1152-sample count gate SQL-exact, and the declared-approximate PCM
+    * tail gates on sanity bounds (finite, amplitude-bounded) only. */
+  def mp3DecodeSummary(documents: DataFrame): DataFrame = {
+    val need = 72 // 576 bits = 576 spectral lines
+    val enc = udf { (raw: Array[Byte]) =>
+      val lines = Array.tabulate(576) { l =>
+        val bit = (raw(l >> 3) >> (7 - (l & 7))) & 1
+        if (bit == 0) 0 else if (l % 2 == 1) -1 else 1
+      }
+      Mp3.encode(lines)
+    }
+    val dec = udf { (payload: Array[Byte]) =>
+      Mp3.decode(payload).map { d =>
+        val n = d.spectral.length.toDouble
+        val mean = d.spectral.sum / n
+        val energy = d.spectral.map(x => x * x).sum / n
+        val pcmOk = d.pcm.forall(x => !x.isNaN && !x.isInfinite && math.abs(x) <= 100.0)
+        (d.sampleRate, d.bitrateKbps, d.nSamples, mean, energy, pcmOk)
+      }.getOrElse((0, 0, 0, 0.0, 0.0, false))
+    }
+    documents
+      .filter(octet_length(col("text")) >= need)
+      .select(col("doc_id").cast("long"),
+        dec(enc(substring(col("text").cast("binary"), 1, need))).as("_d"))
+      .agg(count(lit(1)).cast("long").as("n_clips"),
+        sum(col("_d._3")).cast("long").as("n_samples"),
+        min(col("_d._1") === 44100 && col("_d._2") === 320).as("header_ok"),
+        round(avg(col("_d._4")), 4).as("avg_line_mean"),
+        round(avg(col("_d._5")), 4).as("avg_line_energy"),
+        min(col("_d._6")).as("pcm_ok"))
   }
 
   /** Wrap documents as P6 media rows (the ppm gate's construction as a

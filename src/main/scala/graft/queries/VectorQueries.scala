@@ -488,6 +488,15 @@ object VectorQueries {
       // byte-pair oracle gates the whole decorrelation path
       graft.multimodal.Multimodal.flacStereoDecodeSummary(Tables.documents(s, d))
     },
+    "multimodal_mp3_decode" -> { (s, d) =>
+      // REAL MPEG-1 Layer III frame round trip: text bits → quantized
+      // spectral lines in a real 320kbps mono frame → sync/header/side-info
+      // /Huffman/requantization decode. global_gain=210 + |lines|≤1 makes
+      // the entropy layers lossless by construction, so spectral mean and
+      // energy hash-gate exactly; header fields + 1152-sample count exact;
+      // the declared-approximate PCM tail gates on sanity bounds
+      graft.multimodal.Multimodal.mp3DecodeSummary(Tables.documents(s, d))
+    },
     "multimodal_jpeg_color" -> { (s, d) =>
       graft.multimodal.Multimodal.jpegColorDecodeSummary(Tables.documents(s, d))
     },
@@ -1149,6 +1158,19 @@ object VectorQueries {
         |FROM pm""".stripMargin,
     // FLAC: lossless by construction, so the decoded-sample stats equal
     // the PCM16 derivation from the raw text bytes — 32 samples (64 B)
+    "multimodal_mp3_decode" ->
+      """WITH d AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents WHERE strlen(text) >= 72),
+        |s AS (SELECT doc_id, unnest(range(0, 576)) AS l, hx FROM d),
+        |v AS (SELECT doc_id, l,
+        |    (('0x' || substr(hx, 2 * (l // 8) + 1, 2))::INT >> (7 - (l % 8))) & 1 AS bit
+        |  FROM s),
+        |x AS (SELECT doc_id,
+        |    (CASE WHEN l % 2 = 1 THEN -bit ELSE bit END)::DOUBLE AS xr FROM v),
+        |pm AS (SELECT doc_id, avg(xr) AS m, avg(xr * xr) AS e FROM x GROUP BY doc_id)
+        |SELECT count(*)::BIGINT AS n_clips, (count(*) * 1152)::BIGINT AS n_samples,
+        |  TRUE AS header_ok, round(avg(m), 4) AS avg_line_mean,
+        |  round(avg(e), 4) AS avg_line_energy, TRUE AS pcm_ok
+        |FROM pm""".stripMargin,
     "multimodal_flac_decode" ->
       """WITH d AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents WHERE strlen(text) >= 64),
         |s AS (SELECT doc_id, unnest(range(0, 32)) AS i, hx FROM d),
