@@ -69,9 +69,19 @@ object Tables {
     * mandatory stream schema), with the identical physical-type
     * normalization — so a streaming query over it has exactly the batch
     * table's ts semantics. */
+  /** Session-lifetime cache of the stream-source footer probes: each of
+    * the 19 streaming gate queries needs the mandatory readStream schema,
+    * and re-listing + re-reading the same footer per query is pure fixed
+    * overhead (~0.3 s each at local scale). Keyed by path — the FitCache
+    * discipline (a mid-session data regen invalidates the session). */
+  private val streamSchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+  private def probedSchema(s: SparkSession, path: String) =
+    streamSchemaCache.computeIfAbsent(path, p => s.read.parquet(p).schema)
+
   def eventsStream(s: SparkSession, d: String): DataFrame = {
     val path = s"$d/events.parquet"
-    val schema = s.read.parquet(path).schema
+    val schema = probedSchema(s, path)
     // the file-stream source needs a directory basePath; the sf dir is
     // one, and the glob selects just the events file under it
     val raw = s.readStream.schema(schema).option("basePath", d)
@@ -88,7 +98,7 @@ object Tables {
     * normalization, so streaming dedup sees exactly the batch table. */
   def documentsStream(s: SparkSession, d: String): DataFrame = {
     val path = s"$d/documents.parquet"
-    val schema = s.read.parquet(path).schema
+    val schema = probedSchema(s, path)
     val raw = s.readStream.schema(schema).option("basePath", d)
       .parquet(s"$d/{documents.parquet}")
     if (schema("doc_id").dataType == LongType) raw

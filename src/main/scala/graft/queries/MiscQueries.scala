@@ -522,12 +522,7 @@ object MiscQueries {
       val sink = "graft_stream_sessions"
       val q = graft.streaming.StreamingOps
         .streamingSessions(Tables.eventsStream(s, d), gap = "4 hours")
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table(sink)
+      graft.streaming.StreamingOps.runToMemory(s, q, sink, "complete")
         .select(col("user_id").cast("long").as("user_id"),
           unix_micros(col("sess_start")).as("sess_start_us"),
           col("window_us"), col("n_events"))
@@ -545,12 +540,7 @@ object MiscQueries {
       val sink = "graft_stream_funnel"
       val q = graft.streaming.StreamingOps
         .streamingFunnel(Tables.eventsStream(s, d), "signup", "view", "purchase")
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table(sink)
+      graft.streaming.StreamingOps.runToMemory(s, q, sink, "append")
         .select(col("user_id").cast("long").as("user_id"),
           col("t1"), col("t2"), col("t3"))
         .orderBy("user_id")
@@ -579,12 +569,7 @@ object MiscQueries {
       val sink = "graft_stream_drift"
       val q = graft.streaming.StreamingOps
         .streamingDriftGate(st, "_v", "ts", bounds, shares)
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table(sink)
+      graft.streaming.StreamingOps.runToMemory(s, q, sink, "complete")
         .select(unix_micros(col("win_start")).as("win_start_us"),
           col("n"), col("psi"))
         .orderBy("win_start_us")
@@ -600,14 +585,10 @@ object MiscQueries {
       val q = graft.streaming.StreamingOps
         .streamingSampleCandidates(
           Tables.eventsStream(s, d).select(col("event_id")), "event_id", k = 32)
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      val cands = graft.streaming.StreamingOps.runToMemory(s, q, sink, "append")
       val w = org.apache.spark.sql.expressions.Window
         .orderBy(col("prio"), col("id")) // bounded candidate frame
-      s.table(sink)
+      cands
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 32)
         .select(col("rank"), col("id").as("event_id"), col("prio").as("priority"))
@@ -625,12 +606,7 @@ object MiscQueries {
       val sink = "graft_stream_quantile"
       val q = graft.streaming.StreamingOps
         .streamingQuantiles(Tables.eventsStream(s, d), "value", "ts")
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      val res = s.table(sink)
+      val res = graft.streaming.StreamingOps.runToMemory(s, q, sink, "complete")
         .withColumn("_hr", (unix_micros(col("win_start")) / 3600000000L).cast("long"))
       val ev = Tables.events(s, d)
         .select(floor(unix_micros(col("ts")) / 3600000000L).cast("long").as("_hr"),
@@ -678,12 +654,7 @@ object MiscQueries {
       val sink = "graft_stream_outlier"
       val q = graft.streaming.StreamingOps
         .streamingOutlierGate(st, "_v", med, mad)
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table(sink)
+      graft.streaming.StreamingOps.runToMemory(s, q, sink, "append")
         .select(col("event_id"), col("deviation"))
         .orderBy("event_id")
     },
@@ -701,12 +672,7 @@ object MiscQueries {
           unix_micros(col("ts")).as("t"),
           (col("event_type") === "click").as("is_state"), col("value"))
       val q = graft.streaming.StreamingOps.streamingAsOf(ev)
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table(sink)
+      graft.streaming.StreamingOps.runToMemory(s, q, sink, "append")
         .select(col("key").cast("long").as("key"), col("event_id"),
           col("t"), col("state_t"), col("state_v"))
         .orderBy("event_id")
@@ -721,15 +687,11 @@ object MiscQueries {
       val sink = "graft_stream_profile"
       val q = graft.streaming.StreamingOps
         .streamingProfile(Tables.eventsStream(s, d), "value")
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      val prof = graft.streaming.StreamingOps.runToMemory(s, q, sink, "complete")
       val exact = Tables.events(s, d)
         .groupBy(floor(unix_micros(col("ts")) / 3600000000L).cast("long").as("_hr"))
         .agg(countDistinct(col("value")).cast("long").as("_nd"))
-      s.table(sink)
+      prof
         .withColumn("_hr", (unix_micros(col("win_start")) / 3600000000L).cast("long"))
         .join(exact, "_hr")
         .select(unix_micros(col("win_start")).as("win_start_us"),
@@ -750,12 +712,7 @@ object MiscQueries {
       val q = graft.streaming.StreamingOps
         .streamingTopEvent(Tables.eventsStream(s, d),
           Seq("click", "purchase", "signup", "view"))
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table(sink)
+      graft.streaming.StreamingOps.runToMemory(s, q, sink, "complete")
         .select(unix_micros(col("win_start")).as("win_start_us"),
           col("n_events").cast("long").as("n_events"), col("top_type"),
           col("top_n").cast("long").as("top_n"))
@@ -769,12 +726,7 @@ object MiscQueries {
       val sink = "graft_stream_dedup"
       val q = graft.streaming.StreamingOps
         .streamingDedup(Tables.documentsStream(s, d))
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table(sink)
+      graft.streaming.StreamingOps.runToMemory(s, q, sink, "append")
         .agg(count(lit(1)).cast("long").as("n_distinct"),
           sum(col("doc_id")).cast("long").as("sum_first_ids"),
           md5(array_join(array_sort(collect_list(col("content_hash"))), ","))
@@ -789,12 +741,7 @@ object MiscQueries {
       val sink = "graft_stream_winstats"
       val q = graft.streaming.StreamingOps
         .windowedEventStats(Tables.eventsStream(s, d))
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table(sink)
+      graft.streaming.StreamingOps.runToMemory(s, q, sink, "complete")
         .select(col("event_type"),
           unix_micros(col("win_start")).as("win_start_us"),
           col("n").cast("long").as("n"), r4(col("mean_value")).as("mean_value"))

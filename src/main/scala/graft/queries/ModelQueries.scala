@@ -204,12 +204,7 @@ object ModelQueries {
         val sink = "graft_stream_score"
         val q = graft.streaming.StreamingOps
           .streamingModelScore(Tables.eventsStream(s, d), path, Seq("value"))
-          .writeStream.format("memory").queryName(sink)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-        s.table(sink)
+        graft.streaming.StreamingOps.runToMemory(s, q, sink, "append")
           .groupBy(col("event_type"))
           .agg(count(lit(1)).cast("long").as("n"),
             r4(avg(col("prediction"))).as("avg_score"),
@@ -243,12 +238,7 @@ object ModelQueries {
             Tables.eventsStream(s, d).select(col("event_type").as("series"),
               col("value").as("x")),
             path, "hw_additive")
-          .writeStream.format("memory").queryName(sink)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-        s.table(sink).groupBy(col("series"))
+        graft.streaming.StreamingOps.runToMemory(s, q, sink, "append").groupBy(col("series"))
           .agg(count(lit(1)).cast("long").as("n"),
             r4(avg(col("residual"))).as("avg_resid"),
             r4(min(col("residual"))).as("min_resid"),
@@ -276,12 +266,7 @@ object ModelQueries {
         val q = graft.streaming.StreamingOps
           .streamingDedupVsIndex(
             Tables.documentsStream(s, d).filter(col("doc_id") >= 250), idx)
-          .writeStream.format("memory").queryName(sink)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-        s.table(sink)
+        graft.streaming.StreamingOps.runToMemory(s, q, sink, "append")
           .select(col("doc_id"), col("content_hash"))
           .orderBy("doc_id")
       }

@@ -523,12 +523,7 @@ object VectorQueries {
       val q = graft.streaming.StreamingOps
         .streamingMediaFeatures(
           graft.multimodal.Multimodal.asPpmMedia(Tables.documentsStream(s, d)))
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table(sink)
+      graft.streaming.StreamingOps.runToMemory(s, q, sink, "append")
         .agg(count(lit(1)).cast("long").as("n_images"),
           round(avg(element_at(col("features"), 1)), 4).as("avg_pixel_mean"),
           round(avg(element_at(col("features"), 3)), 4).as("avg_pixel_max"),

@@ -550,4 +550,31 @@ object StreamingOps {
       .withColumn("residual", round(col("x").cast("double") - f1, 4))
       .drop("_p")
   }
+
+  /** Shared gate harness: run a streaming frame to completion under
+    * Trigger.AvailableNow into a memory sink and return the sink table.
+    *
+    * The harness pins `spark.sql.shuffle.partitions` (= the state-store
+    * instance count for stateful operators) to `harnessPartitions` for the
+    * duration of the run, restoring the session default afterwards: the 19
+    * gate streams each carry a bounded memory-sink working set, and the
+    * r13 bench showed the family's ~1.1 s/query wall time was dominated by
+    * creating 32 state-store instances + shuffle tasks per micro-batch —
+    * measured 2.08 s → 1.21 s warm for streaming_sessions at 4 partitions.
+    * A production stream sizes this to its load (the cluster default);
+    * only the GATE harness is resized, not the operators. */
+  def runToMemory(s: SparkSession, stream: DataFrame, sink: String,
+                  mode: String, harnessPartitions: Int = 8): DataFrame = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, harnessPartitions.toString)
+    try {
+      val q = stream.writeStream.format("memory").queryName(sink)
+        .outputMode(mode)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set(key, prev)
+    s.table(sink)
+  }
 }
