@@ -511,23 +511,20 @@ object Dedup {
   def semDedup(df: DataFrame, idCol: String, vecCol: String, k: Int, dim: Int,
                seed: Long, tau: Double): DataFrame = {
     val anchors = graft.neighbors.KNN.hyperplanes(k, dim, seed)
-    val dots = anchors.map(a => VectorOps.dotFixed(col("v"), lit(a), dim)).toSeq
-    // project the k anchor dots ONCE as an array column: with the dots
-    // inlined into greatest() + a k-way when-chain, each of the k·dim-term
-    // dot expressions appears three times in the projection — at k=64 that
-    // is 12k terms and codegen falls off a cliff; one array + element_at
-    // keeps the quantizer a single k·dim-multiply pass however large k gets
-    // first cell achieving the max — array_position's first-match
-    // semantics replay as min(b) FILTER (dt = max) in the oracle; O(1)
-    // expression depth however large k gets (the former k-way when-chain
-    // stopped codegen'ing near k≈200)
-    val cell = (array_position(col("_ds"), array_max(col("_ds"))) - 1).cast("int")
+    // ONE BlockArgMaxDot against the k·dim anchors flattened into a single
+    // literal array (r14; was an array of k dot expressions +
+    // array_position(array_max)): k separate 64-literal dot trees stop
+    // whole-stage-compiling past a few dozen anchors and the stage falls
+    // back to INTERPRETED evaluation — measured 234 s for the k=2000
+    // assign at n=200k, ~15 s once the assign is one codegen'd loop.
+    // First-max tie semantics are identical (oracle: min(b) FILTER
+    // (dt = max)).
     val base = graft.core.Tables.ensureParallelism(
         df.select(col(idCol).cast("long").as("id"),
           col(vecCol).cast("array<double>").as("v")))
-      .withColumn("_ds", array(dots: _*))
-      .withColumn("cell", cell)
-      .drop("_ds")
+      .withColumn("cell",
+        graft.functions.ArrayMath.blockArgMaxDot(col("v"), lit(anchors.flatten))
+          .cast("int"))
       .withColumn("n2", VectorOps.sqNormFixed(col("v"), dim))
     val sim = VectorOps.dotFixed(col("a.v"), col("b.v"), dim) /
       sqrt(col("a.n2") * col("b.n2"))
@@ -604,57 +601,133 @@ object Dedup {
     val kc = math.ceil(math.sqrt(kTotal.toDouble)).toInt
     val kf = ((kTotal + kc - 1) / kc).toInt
 
-    // coarse assign: √k anchor dots as one array projection, argmax =
-    // first index achieving the max (ties → min b, replayed as
-    // min(b) FILTER (dt = max) oracle-side)
+    // coarse assign: ONE BlockArgMaxDot against the kc·dim anchors
+    // flattened into a single literal array. A per-anchor dot array +
+    // array_position(array_max) stops whole-stage-compiling past a few
+    // dozen anchors (45 separate 64-literal dot trees exceed the method
+    // limit → the stage runs INTERPRETED, measured 650 µs/row); the block
+    // expression is one compact codegen'd loop with the identical
+    // first-max (= oracle min(b) FILTER dt = max) semantics.
     val coarse = graft.neighbors.KNN.hyperplanes(kc, dim, seed)
-    val cDots = coarse.map(a => VectorOps.dotFixed(col("v"), lit(a), dim)).toSeq
     val base = graft.core.Tables.ensureParallelism(
         df.select(col(idCol).cast("long").as("id"),
           col(vecCol).cast("array<double>").as("v")))
-      .withColumn("_ds", array(cDots: _*))
-      .withColumn("cc", (array_position(col("_ds"), array_max(col("_ds"))) - 1).cast("int"))
-      .drop("_ds")
+      .withColumn("cc",
+        graft.functions.ArrayMath.blockArgMaxDot(col("v"), lit(coarse.flatten)))
 
     // fine anchors: distributed table (g, coarse cell, anchor vector) —
     // same Box-Muller-over-md5 entries as hyperplanes, generated as
     // columns so no driver materialization at large k
-    def unif(g: Column, i: Int, sfx: String): Column =
-      (Num.md5Long(concat(lit(s"p_${seed}_f"), g.cast("string"),
-        lit(s"_${i}_$sfx"))) % 1000000L).cast("double") / 1000000.0
-    def entry(g: Column, i: Int): Column =
-      sqrt(lit(-2.0) * log(unif(g, i, "a") + lit(5e-7))) *
-        cos(lit(2.0 * math.Pi) * unif(g, i, "b"))
-    val fine = spark.range(kc.toLong * kf).toDF("g")
-      .withColumn("fcc", (col("g") / kf).cast("int"))
-      .withColumn("av", array((0 until dim).map(i => entry(col("g"), i)): _*))
-
-    // fine assign: join on the coarse cell (kf candidates per vector),
-    // per-id argmax via max(struct(dt, -g)) — max dt then min g, partially
-    // aggregated map-side so the post-join shuffle is ~n slim rows; v rides
-    // along through first() (constant per id) to avoid a join-back
-    val assigned = base.join(fine, base("cc") === fine("fcc"))
-      .select(col("id"), col("v"), col("g"),
-        VectorOps.dotFixed(col("v"), col("av"), dim).as("dt"))
-      .groupBy(col("id"))
-      .agg(max(struct(col("dt"), (-col("g")).as("ng"))).as("m"),
-        first(col("v")).as("v"))
-      .select(col("id"), col("v"), (-col("m.ng")).cast("long").as("cell"))
+    // fine anchors: ONE ROW PER COARSE CELL carrying its kf anchors
+    // FLATTENED to kf·dim doubles — the BlockArgMaxDot operand. Three
+    // lessons are baked into this shape (all measured at n = 200k):
+    // (1) a per-(row, anchor) join + per-id argmax AGGREGATE is the wrong
+    //     plan: struct-max buffers are not hash-aggregable, so Catalyst
+    //     picks SortAggregate and sorts n·kf rows each dragging the full
+    //     vector payload (210 s). The block expression does the identical
+    //     arithmetic as one codegen'd projection per row — the
+    //     flat-semdedup argmax shape (~2 s).
+    // (2) the kf·dim Box-Muller entries as COLUMN EXPRESSIONS explode:
+    //     2880 md5+conv trees in one projection OOM'd janino's compile.
+    //     A scalar JVM loop per cell row is the IVF.cellUdf precedent —
+    //     the same MessageDigest arithmetic as KNN.hyperplanes, so the
+    //     oracle replay is bit-identical.
+    // (3) localCheckpoint(true) MATERIALIZES the anchors: without the
+    //     barrier CollapseProject pushes the generation through the join
+    //     and every OUTPUT row regenerates its cell's anchors (206 s);
+    //     the table is kc rows, ~0.5 MB per 1000 fine cells.
+    val (kfv, dimv, seedv) = (kf, dim, seed)
+    val genFine = udf { (fcc: Long) =>
+      import java.security.MessageDigest
+      def h(s: String): Long = {
+        val d = MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        java.lang.Long.parseLong(d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+      }
+      Array.tabulate(kfv * dimv) { idx =>
+        val g = fcc * kfv + idx / dimv
+        val i = idx % dimv
+        val u1 = (h(s"p_${seedv}_f${g}_${i}_a") % 1000000L) / 1000000.0 + 5e-7
+        val u2 = (h(s"p_${seedv}_f${g}_${i}_b") % 1000000L) / 1000000.0
+        math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2)
+      }
+    }
+    val fineFlat = spark.range(kc.toLong).toDF("fcc")
+      .withColumn("favs", genFine(col("fcc")))
+      .localCheckpoint(true)
+    // fine assign: join on the coarse cell, argmax = one native
+    // expression per row (first-max ties = the oracle's min(g) rule)
+    val assigned = base.join(fineFlat, base("cc") === fineFlat("fcc"))
+      .select(col("id"), col("v"),
+        (col("cc").cast("long") * kf +
+          graft.functions.ArrayMath.blockArgMaxDot(col("v"), col("favs"))
+            .cast("long")).as("cell"))
       .withColumn("n2", VectorOps.sqNormFixed(col("v"), dim))
-      // referenced 3× below (both pair-join sides + per-cell counts):
-      // materialize the assign pass once instead of re-running the
-      // join+argmax shuffle per reference (MEMORY_AND_DISK — same
-      // working-set discipline as the MinHash signature cache above)
+      // referenced 3× below (overflow counts + split assign + final join):
+      // materialize the assign pass once instead of re-running it per
+      // reference (MEMORY_AND_DISK — same working-set discipline as the
+      // MinHash signature cache above)
+      .cache()
+
+    // OVERFLOW SPLIT — the data-adaptive step random anchors lack. On
+    // clustered data (the SemDeDup norm: corpora have topic clusters) a
+    // fitted k-means quantizer drops extra centroids into dense regions;
+    // fitted centroids are seed-internal and not oracle-replayable, and
+    // fresh RANDOM sub-anchors cannot split a tight cluster at all (the
+    // cluster center dominates every dot, so all members argmax to the
+    // same anchor — measured: a 600-point cluster re-quantized to ONE
+    // sub-cell). Instead, any cell whose COUNT exceeds 4×target is split
+    // by PIVOT MEMBERS: its ns = ⌈count/target⌉ (≤1024) members with the
+    // smallest md5(id) become sub-anchors, and members move to the
+    // NEAREST pivot by squared distance — one deterministic k-means-style
+    // assignment step whose "centroids" lie inside the cluster by
+    // construction. Fully replayable: pivot selection is an exact md5
+    // rank, distances are per-row ops over stored doubles (no float
+    // aggregation crosses the engine boundary). Measured on 10-cluster
+    // organic data at n=200k: biggest cell 10,360 → pair mass 202M;
+    // post-split cells ≈ target and the pair stage returns to Σ cell² ≈
+    // target·n. Split sub-cells live in the disjoint id namespace
+    // (cell+1)·2²⁴ + pidx (originals are < 2²⁴). Identical vectors have
+    // identical distances → co-locate (ties break on pivot index); a
+    // near-dup pair straddling a pivot boundary is missed — the same
+    // approximation a fitted quantizer's cell boundary makes.
+    val cap = 4L * targetCellSize
+    val ovf = assigned.groupBy(col("cell")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > cap)
+      .select(col("cell"),
+        least(lit(1024L), (col("c") + targetCellSize - 1) / targetCellSize)
+          .cast("int").as("ns"))
+    val pvw = org.apache.spark.sql.expressions.Window.partitionBy(col("cell"))
+      .orderBy(Num.md5Long(concat(lit(s"p_${seed}_pv_"), col("id").cast("string"))),
+        col("id"))
+    // one row per overflow cell with its pivots flattened in pidx order —
+    // the BlockArgMinSqDist operand (≤ 1024·dim doubles per row); same
+    // projection-not-aggregate reasoning as the fine assign above
+    val pivotsFlat = assigned.join(ovf, Seq("cell"))
+      .withColumn("pidx", row_number().over(pvw) - 1)
+      .filter(col("pidx") < col("ns"))
+      .groupBy(col("cell"))
+      .agg(flatten(transform(
+        sort_array(collect_list(struct(col("pidx"), col("v")))),
+        x => x.getField("v"))).as("pflat"))
+      .localCheckpoint(true)
+    val splitAssign = assigned.join(pivotsFlat, Seq("cell"))
+      .select(col("id"),
+        ((col("cell") + 1) * lit(16777216L) +
+          graft.functions.ArrayMath.blockArgMinSqDist(col("v"), col("pflat"))
+            .cast("long")).as("newcell"))
+    val finalAssigned = assigned.join(splitAssign, Seq("id"), "left")
+      .select(col("id"), col("v"),
+        coalesce(col("newcell"), col("cell")).as("cell"), col("n2"))
       .cache()
 
     val sim = VectorOps.dotFixed(col("a.v"), col("b.v"), dim) /
       sqrt(col("a.n2") * col("b.n2"))
-    val dropped = assigned.as("a").join(assigned.as("b"),
+    val dropped = finalAssigned.as("a").join(finalAssigned.as("b"),
         col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
       .filter(round(sim, 4) >= tau)
       .select(col("b.cell").as("cell"), col("b.id").as("id"))
       .distinct()
-    assigned.groupBy(col("cell")).agg(count(lit(1)).cast("long").as("n"))
+    finalAssigned.groupBy(col("cell")).agg(count(lit(1)).cast("long").as("n"))
       .join(dropped.groupBy(col("cell"))
           .agg(count(lit(1)).cast("long").as("n_dropped")),
         Seq("cell"), "left")

@@ -673,8 +673,30 @@ object VectorQueries {
        |    list_sum(list_transform(range(0, 64), i -> e.v[i+1] * fa.av[i+1])) AS dt
        |  FROM e JOIN casg ON e.id = casg.id JOIN fa ON fa.fcc = casg.ccl),
        |fm AS (SELECT id, g, dt, max(dt) OVER (PARTITION BY id) AS m FROM fd),
-       |cl AS (SELECT id, min(g) FILTER (WHERE dt = m) AS cell FROM fm GROUP BY id),
-       |c AS (SELECT e.id, e.v, cl.cell FROM e JOIN cl ON e.id = cl.id),
+       |cl AS MATERIALIZED (SELECT id, min(g) FILTER (WHERE dt = m) AS cell
+       |  FROM fm GROUP BY id),
+       |cnt AS (SELECT cell, count(*) AS c FROM cl GROUP BY cell),
+       |ovf AS (SELECT cell, least(1024, (c + 99) // 100)::BIGINT AS ns
+       |  FROM cnt WHERE c > 400),
+       |pv AS (SELECT cell, pidx, pvv FROM (
+       |    SELECT c0.cell, e.v AS pvv, o.ns,
+       |      row_number() OVER (PARTITION BY c0.cell
+       |        ORDER BY ('0x' || substr(md5('p_7_pv_' || c0.id), 1, 15))::BIGINT,
+       |          c0.id) - 1 AS pidx
+       |    FROM cl c0 JOIN ovf o ON o.cell = c0.cell JOIN e ON e.id = c0.id)
+       |  WHERE pidx < ns),
+       |sd AS (SELECT c0.id, c0.cell, pv.pidx,
+       |    list_sum(list_transform(range(0, 64),
+       |      i -> (e.v[i+1] - pv.pvv[i+1]) * (e.v[i+1] - pv.pvv[i+1]))) AS dt
+       |  FROM cl c0 JOIN pv ON pv.cell = c0.cell JOIN e ON e.id = c0.id),
+       |sm2 AS (SELECT id, cell, pidx, dt, min(dt) OVER (PARTITION BY id) AS m FROM sd),
+       |sc AS (SELECT id, cell, min(pidx) FILTER (WHERE dt = m) AS sb FROM sm2
+       |  GROUP BY id, cell),
+       |fcl AS MATERIALIZED (SELECT cl.id,
+       |    CASE WHEN sc.id IS NOT NULL THEN (cl.cell + 1) * 16777216 + sc.sb
+       |         ELSE cl.cell END AS cell
+       |  FROM cl LEFT JOIN sc ON sc.id = cl.id),
+       |c AS (SELECT e.id, e.v, fcl.cell FROM e JOIN fcl ON e.id = fcl.id),
        |dropped AS (SELECT DISTINCT b.cell AS cell, b.id AS id
        |  FROM c a JOIN c b ON a.cell = b.cell AND a.id < b.id
        |  WHERE round($cosSql, 4) >= 0.4),

@@ -845,6 +845,32 @@ class OperatorSpec extends AnyFunSuite {
       s"dropped ${rows.map(_.getLong(2)).sum} — expected exactly the 2 planted copies")
   }
 
+  test("semDedupTwoLevel overflow split bounds dense-cluster cells") {
+    import spark.implicits._
+    val dim = 16
+    val rnd = new scala.util.Random(13)
+    // one TIGHT cluster of 600: random anchors cannot balance it (every
+    // vector argmaxes to nearly the same anchor) — the overflow split must
+    // re-quantize it; 3 exact copies must still co-locate and drop
+    val center = Array.fill(dim)(rnd.nextGaussian())
+    val cloud = (0 until 600).map(i =>
+      (i.toLong, center.map(_ + rnd.nextGaussian() * 0.1)))
+    val dupBase = center.map(_ + rnd.nextGaussian() * 0.1)
+    val dups = Seq(900L, 901L, 902L).map(id => (id, dupBase.clone()))
+    val rows = graft.dedup.Dedup.semDedupTwoLevel(
+      (cloud ++ dups).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dim = dim, seed = 7L, tau = 0.9999,
+      targetCellSize = 50L).collect()
+    assert(rows.map(_.getLong(1)).sum == 603L, "split must partition, not drop rows")
+    val biggest = rows.map(_.getLong(1)).max
+    assert(biggest <= 250L,
+      s"biggest cell $biggest — overflow split failed to bound the dense cluster")
+    assert(rows.exists(_.getLong(0) >= 16777216L),
+      "expected at least one split sub-cell id in the (cell+1)*2^24 namespace")
+    assert(rows.map(_.getLong(2)).sum >= 2L,
+      "the 3 identical copies must co-locate through the split and drop")
+  }
+
   test("semDedupTwoLevel fine assignment matches a driver-side replay") {
     import spark.implicits._
     val dim = 8

@@ -28,7 +28,17 @@ def canon(rows, cols):
 def main(sf_dir, out_dir, json_out=None):
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        # tolerate partial dirs (e.g. MakeOrganicSF writes only
+        # documents/embeddings) and Spark-written DIRECTORY parquet (the
+        # driver writes single files; MakeOrganicSF writes part-files);
+        # a query touching a missing table still fails loudly at run time
+        try:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        except duckdb.IOException:
+            try:
+                con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet/*.parquet')")
+            except duckdb.IOException:
+                pass
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     results = {}
