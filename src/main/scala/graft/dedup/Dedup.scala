@@ -118,10 +118,47 @@ object Dedup {
     * value (uniform by construction); the verify step touches only
     * Σ bucket² candidate pairs, never n². */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3): DataFrame =
+    simhashBandPairs(simhash(df, textCol, idCol), maxHamming)
+
+  /** IDF-FILTERED SimHash — the Manku et al. (WWW 2007) weighting
+    * discipline reduced to its replayable core: per-doc DISTINCT tokens
+    * (tf → 1) and tokens appearing in more than half the corpus dropped
+    * entirely. Unweighted occurrence-sum simhash DEGENERATES on natural
+    * (Zipf) text: the common-word mass pushes every document's bit sums
+    * in the same direction, so signatures collapse toward the corpus
+    * majority pattern — measured on the organic corpus at 50k docs, ONE
+    * 15-bit band value held 29,036 documents (1.45 G candidate pairs).
+    * The df > n/2 drop is exact in both engines (integer counts), so the
+    * oracle replays the filter bit-for-bit where fractional tf-idf
+    * weights would hit float-aggregation parity. */
+  def simhashIdf(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val n = df.count()
+    val toks = TextOps.tokens(normText(col(textCol)))
+    val tok = df.select(col(idCol).cast("long").as("doc"), explode(toks).as("tok"))
+      .distinct()
+    val dfc = tok.groupBy(col("tok")).agg(count(lit(1)).as("_df"))
+    val kept = tok.join(dfc.filter(col("_df") * 2 <= n), Seq("tok"))
+      .withColumn("h", Num.md5Long(col("tok")))
+    val sums = (0 until SimhashBits).map(b =>
+      sum(when(shiftright(col("h"), b) % 2 === 1, 1L).otherwise(-1L)).as(s"v$b"))
+    kept.groupBy(col("doc")).agg(sums.head, sums.tail: _*)
+      .select(col("doc"),
+        (0 until SimhashBits).map(b =>
+          when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _).as("simhash"))
+  }
+
+  /** [[simhashPairs]] over the IDF-filtered signatures — the scale path
+    * for natural-text corpora. */
+  def simhashIdfPairs(df: DataFrame, textCol: String, idCol: String,
+                      maxHamming: Int = 3): DataFrame =
+    simhashBandPairs(simhashIdf(df, textCol, idCol), maxHamming)
+
+  /** 4×15-bit pigeonhole band blocking + hamming verify over a
+    * (doc, simhash) frame. */
+  private def simhashBandPairs(sigs: DataFrame, maxHamming: Int): DataFrame = {
     val nBands = 4
     val bandBits = SimhashBits / nBands // 15
-    val sigs = simhash(df, textCol, idCol)
     val bands = sigs.select(col("doc"), col("simhash"),
       explode(array((0 until nBands).map { b =>
         struct(lit(b).as("band"),

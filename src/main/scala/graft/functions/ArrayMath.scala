@@ -176,6 +176,64 @@ case class BlockArgMinSqDist(left: Expression, right: Expression) extends BlockA
     copy(left = newLeft, right = newRight)
 }
 
+/** Hyperplane sign signature: bit j of the result is set iff
+  * Σᵢ vᵢ·blocks[j·dim+i] ≥ 0 — the random-hyperplane LSH bucket id over k
+  * planes flattened into one array (k ≤ 63). One codegen'd loop; the
+  * per-plane `when(dot ≥ 0, 2^b)` chain it replaces stops whole-stage
+  * compiling past a few dozen planes (the BlockArgBest lesson). Oracle
+  * replay: SUM(CASE WHEN dot ≥ 0 THEN 1<<b ELSE 0 END) over a generated
+  * plane table. */
+case class BlockSignBits(left: Expression, right: Expression)
+  extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_block_sign_bits"
+
+  protected override def nullSafeEval(a: Any, b: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val blocks = b.asInstanceOf[ArrayData]
+    val dim = v.numElements()
+    val k = if (dim == 0) 0 else math.min(blocks.numElements() / dim, 63)
+    var sig = 0L
+    var j = 0
+    while (j < k) {
+      var s = 0.0
+      var i = 0
+      while (i < dim) { s += v.getDouble(i) * blocks.getDouble(j * dim + i); i += 1 }
+      if (s >= 0) sig |= 1L << j
+      j += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val dim = ctx.freshName("dim")
+      val k = ctx.freshName("k")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val s = ctx.freshName("s")
+      val sig = ctx.freshName("sig")
+      s"""
+         |int $dim = $a.numElements();
+         |int $k = $dim == 0 ? 0 : java.lang.Math.min($b.numElements() / $dim, 63);
+         |long $sig = 0L;
+         |for (int $j = 0; $j < $k; $j++) {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $dim; $i++) {
+         |    $s += $a.getDouble($i) * $b.getDouble($j * $dim + $i);
+         |  }
+         |  if ($s >= 0) $sig |= 1L << $j;
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): BlockSignBits =
+    copy(left = newLeft, right = newRight)
+}
+
 object ArrayMath {
   def dot(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
@@ -188,4 +246,7 @@ object ArrayMath {
 
   def blockArgMinSqDist(v: Column, blocks: Column): Column =
     Bridge.column(BlockArgMinSqDist(Bridge.expression(v), Bridge.expression(blocks)))
+
+  def blockSignBits(v: Column, blocks: Column): Column =
+    Bridge.column(BlockSignBits(Bridge.expression(v), Bridge.expression(blocks)))
 }

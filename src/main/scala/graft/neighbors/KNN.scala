@@ -192,4 +192,41 @@ object KNN {
       .select(col("a.id").as("qid"), col("b.id").as("id"), s.as("_s"))
     topKPerKey(pairs, k, nearFirst(metric))
   }
+
+  /** Hyperplane count that keeps the EXPECTED bucket size at
+    * `targetBucket` as the corpus grows: the smallest bits in
+    * [minBits, maxBits] with 2^bits · targetBucket ≥ n. Fixed-depth LSH
+    * buckets hold n/2^bits rows, so the candidate pair mass Σ bucket²
+    * grows QUADRATICALLY with n (measured: bits=8 at n=200k → ~780-row
+    * buckets → 156M pairs); depth that tracks log₂(n) keeps it linear.
+    * Integer derivation (no log2 float parity risk for the oracle). */
+  def lshBitsFor(n: Long, targetBucket: Long = 64L,
+                 minBits: Int = 4, maxBits: Int = 24): Int =
+    (minBits to maxBits).find(b => (1L << b) * targetBucket >= n).getOrElse(maxBits)
+
+  /** [[lshBuckets]] with n-scaled depth and the signature computed by ONE
+    * codegen'd [[graft.functions.ArrayMath.blockSignBits]] loop over the
+    * flattened planes — the per-plane when-chain stops whole-stage
+    * compiling past a few dozen planes (the quantizer-assign lesson). */
+  def lshBucketsAuto(df: DataFrame, idCol: String, vecCol: String, bits: Int,
+                     dim: Int, seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(bits, dim, seed)
+    val v = asDouble(col(vecCol))
+    df.select(col(idCol).cast("long").as("id"), v.as("v"),
+      graft.functions.ArrayMath.blockSignBits(v, lit(planes.flatten)).as("bucket"))
+  }
+
+  /** [[lshTopK]] with depth derived from the corpus count — the scale
+    * entry point (one metadata-cheap count, then the fixed plan). */
+  def lshTopKAuto(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                  dim: Int, metric: Metric = Cosine,
+                  targetBucket: Long = 64L): DataFrame = {
+    val bits = lshBitsFor(df.count(), targetBucket)
+    val b = lshBucketsAuto(df, idCol, vecCol, bits, dim)
+    val s = score(metric, col("a.v"), col("b.v"), dim)
+    val pairs = b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("qid"), col("b.id").as("id"), s.as("_s"))
+    topKPerKey(pairs, k, nearFirst(metric))
+  }
 }

@@ -229,6 +229,15 @@ object TextQueries {
       Dedup.simhashPairs(Tables.documents(s, d), "text", "doc_id")
         .orderBy("doc1", "doc2")
     },
+    "dedup_simhash_idf" -> { (s, d) =>
+      // IDF-filtered SimHash (r14): distinct tokens per doc, df > n/2
+      // tokens dropped — the Manku-style weighting that prevents the
+      // common-word signature collapse measured on Zipf text (one band
+      // value held 58% of a 50k corpus unweighted). Full hash gate: the
+      // oracle replays the df filter and both band/hamming stages
+      Dedup.simhashIdfPairs(Tables.documents(s, d), "text", "doc_id")
+        .orderBy("doc1", "doc2")
+    },
     "dedup_clusters" -> { (s, d) =>
       Dedup.minhashClusters(Tables.documents(s, d), "text", "doc_id").orderBy("doc")
     },
@@ -719,6 +728,26 @@ object TextQueries {
     s"""$minhashBandCtes,
        |pr AS (SELECT DISTINCT l.doc_id AS doc1, r.doc_id AS doc2
        | FROM bands l JOIN bands r ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id)""".stripMargin
+
+  /** CTE chain ending in `sg` (doc, 60-bit IDF-FILTERED simhash) —
+    * distinct (doc, token) rows, df > n/2 tokens dropped, then the same
+    * 60 per-bit sign-sums; mirrors Dedup.simhashIdf. */
+  private lazy val simhashIdfSigCtes = {
+    val bitTerms = (0 until 60).map { b =>
+      s"(CASE WHEN sum(CASE WHEN (h >> $b) % 2 = 1 THEN 1 ELSE -1 END) > 0" +
+        s" THEN (1::BIGINT << $b) ELSE 0::BIGINT END)"
+    }.mkString(" + ")
+    s"""n0 AS (SELECT count(*) AS nn FROM documents),
+       |n AS (SELECT doc_id, $normToks AS toks FROM documents),
+       |tk0 AS (SELECT doc_id, unnest(toks) AS tok FROM n),
+       |tk AS (SELECT DISTINCT doc_id, tok FROM tk0),
+       |dfc AS (SELECT tok, count(*) AS dfx FROM tk GROUP BY tok),
+       |kp AS (SELECT tk.doc_id, tk.tok FROM tk JOIN dfc ON dfc.tok = tk.tok, n0
+       |  WHERE dfc.dfx * 2 <= n0.nn),
+       |th AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM kp),
+       |sg AS (SELECT doc_id::BIGINT AS doc, ($bitTerms)::BIGINT AS simhash
+       |  FROM th GROUP BY doc_id)""".stripMargin
+  }
 
   /** CTE chain ending in `sg` (doc, 60-bit simhash) — 60 per-bit sign-sums
     * in one grouped select, mirroring Dedup.simhash. */
@@ -1403,6 +1432,18 @@ object TextQueries {
     "dedup_simhash" ->
       s"""WITH $simhashSigCtes
          |SELECT doc, simhash FROM sg ORDER BY doc""".stripMargin,
+    "dedup_simhash_idf" ->
+      // IDF-filtered signatures (distinct tokens, df > n/2 dropped) through
+      // the same band blocking + hamming verify — mirrors Dedup.simhashIdfPairs
+      s"""WITH $simhashIdfSigCtes,
+         |bd AS (SELECT b AS band, (simhash >> (b * 15)) & 32767 AS bkey, doc, simhash
+         |  FROM sg, generate_series(0, 3) AS g(b)),
+         |pr2 AS (SELECT DISTINCT a.doc AS doc1, b.doc AS doc2,
+         |    a.simhash AS s1, b.simhash AS s2
+         |  FROM bd a JOIN bd b ON a.band = b.band AND a.bkey = b.bkey AND a.doc < b.doc)
+         |SELECT doc1, doc2, bit_count(xor(s1, s2))::BIGINT AS hamming
+         |FROM pr2 WHERE bit_count(xor(s1, s2)) <= 3
+         |ORDER BY doc1, doc2""".stripMargin,
     "dedup_simhash_pairs" ->
       // 4×15-bit band blocking + hamming verify, mirroring Dedup.simhashPairs
       s"""WITH $simhashSigCtes,

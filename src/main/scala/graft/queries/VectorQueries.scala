@@ -144,6 +144,19 @@ object VectorQueries {
         .agg(count(lit(1)).cast("long").as("n_queries_with_candidates"),
           r6(avg("_found")).as("avg_found"))
     },
+    "ann_lsh_auto" -> { (s, d) =>
+      // n-SCALED depth (r14): bits = smallest b with 2^b·64 ≥ n, so the
+      // expected bucket size stays ~64 at any corpus size — fixed-depth
+      // buckets hold n/2^bits rows and the candidate pair mass goes
+      // quadratic (measured: bits=8 at n=200k → 156M pairs). The oracle
+      // derives the same bits from its own count and replays the
+      // signature per plane. Signature = ONE codegen'd BlockSignBits loop
+      Tables.embeddings(s, d).transform(e =>
+        KNN.lshTopKAuto(e, "vec_id", "embedding", k = 3, dim = 64))
+        .groupBy("qid").agg(max("rank").as("_found"))
+        .agg(count(lit(1)).cast("long").as("n_queries_with_candidates"),
+          r6(avg("_found")).as("avg_found"))
+    },
     "rp_distortion" -> { (s, d) =>
       // test_random_projection.py's quality gate: a JL projection preserves
       // pairwise distances within (1±eps). Ratio = projected/original
@@ -760,6 +773,36 @@ object VectorQueries {
       s"THEN ${1L << b} ELSE 0 END)"
   }.mkString(" + ")
 
+  /** Replays [[graft.neighbors.KNN.lshTopKAuto]]: bits derived from the
+    * oracle's own count by the same integer rule (smallest b in [4,24]
+    * with 2^b·64 ≥ n), planes generated from the "p_42_b_i" md5 family,
+    * signature = Σ (dot ≥ 0) · 2^b per id. */
+  private def lshAutoOracle: String = {
+    def hp(sfx: String) =
+      s"('0x' || substr(md5('p_42_' || b || '_' || i || '_$sfx'), 1, 15))::BIGINT"
+    val u1 = s"(((${hp("a")} % 1000000 + 1000000) % 1000000) / 1000000.0 + 5e-7)"
+    val u2 = s"(((${hp("b")} % 1000000 + 1000000) % 1000000) / 1000000.0)"
+    val entry = s"(sqrt(-2.0 * ln($u1)) * cos(2.0 * pi() * $u2))"
+    s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |bb AS (SELECT coalesce(min(b), 24) AS bits FROM
+       |  (SELECT unnest(range(4, 25)) AS b), (SELECT count(*) AS n FROM e)
+       |  WHERE (1::BIGINT << b) * 64 >= n),
+       |pl AS (SELECT b, list_transform(range(0, 64), i -> $entry) AS av
+       |  FROM (SELECT unnest(range(0, (SELECT bits FROM bb))) AS b)),
+       |dt AS (SELECT e.id, pl.b,
+       |    list_sum(list_transform(range(0, 64), i -> e.v[i+1] * pl.av[i+1])) AS d
+       |  FROM e CROSS JOIN pl),
+       |sg AS (SELECT id, sum(CASE WHEN d >= 0 THEN (1::BIGINT << b) ELSE 0 END) AS bucket
+       |  FROM dt GROUP BY id),
+       |bkt AS (SELECT e.id, e.v, sg.bucket FROM e JOIN sg ON e.id = sg.id),
+       |p AS (SELECT a.id AS qid, b.id AS id, $cosSql AS s
+       |  FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.id <> b.id),
+       |r AS (SELECT qid, s, row_number() OVER (PARTITION BY qid ORDER BY s DESC, id) AS rank FROM p),
+       |f AS (SELECT qid, max(rank) AS found FROM r WHERE rank <= 3 GROUP BY qid)
+       |SELECT count(*)::BIGINT AS n_queries_with_candidates,
+       |  round(avg(found), 6) AS avg_found FROM f""".stripMargin
+  }
+
   private def lshOracle: String =
     s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
        |bkt AS (SELECT id, v, $lshSigSql AS bucket FROM e),
@@ -828,6 +871,7 @@ object VectorQueries {
     "tsne_perplexity" -> tsneOracle,
     "umap_knn_graph" -> umapOracle,
     "ann_lsh" -> lshOracle,
+    "ann_lsh_auto" -> lshAutoOracle,
     "rp_distortion" -> rpDistortionOracle,
     "semdedup" -> semDedupOracle,
     "semdedup_ivf" -> semDedupIvfOracle,

@@ -54,14 +54,23 @@ object MakeOrganicSF {
   private def h(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     abs(conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long"))
 
+  /** One token from a Zipf-flavored vocabulary: 40% from the 32-word
+    * common head, 60% from an 8192-token synthetic tail. r14 fix: with
+    * the 32-word-ONLY vocabulary, random docs shared most of their
+    * shingles and organic LSH band collisions grew ~quadratically — a
+    * generator artifact real corpora (vocab ≥ 10⁴) don't exhibit, which
+    * masked the operators' true scale curves. */
+  private def word(hc: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(hc % 5 < 2, element_at(array(Vocab.map(lit): _*),
+        ((hc / 5) % Vocab.size).cast("int") + 1))
+      .otherwise(concat(lit("w"), (hc / 5) % 8192))
+
   /** The word array of doc `id` — pure column function, so a near-dup row
     * can regenerate its BASE doc's tokens without a join. */
   private def tokens(id: org.apache.spark.sql.Column, seed: Long) = {
     val len = (h(concat(lit(s"og_${seed}_len_"), id)) % 110 + 12).cast("int")
-    val vocabArr = array(Vocab.map(lit): _*)
     transform(sequence(lit(0), len - 1), i =>
-      element_at(vocabArr,
-        (h(concat(lit(s"og_${seed}_w_"), id, lit("_"), i)) % Vocab.size).cast("int") + 1))
+      word(h(concat(lit(s"og_${seed}_w_"), id, lit("_"), i))))
   }
 
   def documents(spark: SparkSession, n: Long, seed: Long): DataFrame = {
@@ -88,10 +97,9 @@ object MakeOrganicSF {
     val srcId = when(isNear || isExact, base).otherwise(col("doc_id"))
     val toks = tokens(srcId, seed)
     // the near-dup edit: replace one md5-chosen position with one
-    // md5-chosen vocab word (may no-op at ~1/32 rate — still organic)
+    // md5-chosen vocab word (may no-op at the word-collision rate)
     val editPos = (h(concat(lit(s"og_${seed}_ep_"), col("doc_id"))) % size(toks)).cast("int")
-    val editWord = element_at(array(Vocab.map(lit): _*),
-      (h(concat(lit(s"og_${seed}_ew_"), col("doc_id"))) % Vocab.size).cast("int") + 1)
+    val editWord = word(h(concat(lit(s"og_${seed}_ew_"), col("doc_id"))))
     val edited = transform(toks, (w, i) => when(isNear && i === editPos, editWord).otherwise(w))
     val text = array_join(edited, " ")
     ids.select(col("doc_id"), text.as("text"),

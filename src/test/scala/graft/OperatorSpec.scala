@@ -845,6 +845,22 @@ class OperatorSpec extends AnyFunSuite {
       s"dropped ${rows.map(_.getLong(2)).sum} — expected exactly the 2 planted copies")
   }
 
+  test("lsh auto-depth: BlockSignBits matches the per-plane signature; bits track n") {
+    import spark.implicits._
+    assert(graft.neighbors.KNN.lshBitsFor(500) == 4)
+    assert(graft.neighbors.KNN.lshBitsFor(2000) == 5)
+    assert(graft.neighbors.KNN.lshBitsFor(200000) == 12)
+    assert(graft.neighbors.KNN.lshBitsFor(Long.MaxValue) == 24)
+    val rnd = new scala.util.Random(3)
+    val df = (0 until 200).map(i => (i.toLong, Array.fill(16)(rnd.nextGaussian())))
+      .toDF("id", "v")
+    def buckets(f: => org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      f.select("id", "bucket").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val chain = buckets(graft.neighbors.KNN.lshBuckets(df, "id", "v", bits = 8, dim = 16))
+    val block = buckets(graft.neighbors.KNN.lshBucketsAuto(df, "id", "v", bits = 8, dim = 16))
+    assert(chain == block, "block-loop signature must equal the per-plane when-chain")
+  }
+
   test("semDedupTwoLevel overflow split bounds dense-cluster cells") {
     import spark.implicits._
     val dim = 16
