@@ -72,12 +72,25 @@ object Tables {
   /** Session-lifetime cache of the stream-source footer probes: each of
     * the 19 streaming gate queries needs the mandatory readStream schema,
     * and re-listing + re-reading the same footer per query is pure fixed
-    * overhead (~0.3 s each at local scale). Keyed by path — the FitCache
-    * discipline (a mid-session data regen invalidates the session). */
+    * overhead (~0.3 s each at local scale). Keyed by
+    * (path, mtime+size fingerprint) so a mid-session regen of the dataset
+    * with a changed schema is DETECTED rather than silently served stale
+    * (advice r14) — the fingerprint walk is a cheap local stat, not a
+    * footer read. */
   private val streamSchemaCache =
-    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), org.apache.spark.sql.types.StructType]()
+  private def pathFingerprint(path: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory) f.listFiles() match {
+        case null => f.lastModified()
+        case kids => kids.foldLeft(f.lastModified())((a, k) => 31 * a + walk(k))
+      }
+      else 31 * (31 * f.lastModified() + f.length())
+    walk(new java.io.File(path))
+  }
   private def probedSchema(s: SparkSession, path: String) =
-    streamSchemaCache.computeIfAbsent(path, p => s.read.parquet(p).schema)
+    streamSchemaCache.computeIfAbsent((path, pathFingerprint(path)),
+      { case (p, _) => s.read.parquet(p).schema })
 
   def eventsStream(s: SparkSession, d: String): DataFrame = {
     val path = s"$d/events.parquet"

@@ -116,7 +116,16 @@ object Dedup {
     * least one band — join on (band, band-value), then verify the full
     * hamming distance on the colliding pairs. Shuffle key = 15-bit band
     * value (uniform by construction); the verify step touches only
-    * Σ bucket² candidate pairs, never n². */
+    * Σ bucket² candidate pairs, never n².
+    *
+    * AUDIT TWIN ONLY (r15 re-scope, the quantile_buckets discipline): the
+    * UNWEIGHTED occurrence-sum signature is safe on synthetic/uniform
+    * vocabularies but measured DEGENERATE on natural Zipf text (50k-doc
+    * organic corpus: one 15-bit band value held 29,036 docs → 1.45 G
+    * candidate pairs, 477 s — the band join goes quadratic). The
+    * production pair path for natural-text corpora is
+    * [[simhashIdfPairs]]; this one exists to audit the band/verify
+    * machinery against a corpus where the raw signature is exact. */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 3): DataFrame =
     simhashBandPairs(simhash(df, textCol, idCol), maxHamming)
@@ -631,6 +640,12 @@ object Dedup {
   def semDedupTwoLevel(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                        seed: Long, tau: Double, targetCellSize: Long = 100L,
                        maxCells: Int = 1 << 24): DataFrame = {
+    // the overflow-split namespace below is (cell+1)·2²⁴ + pidx, which is
+    // disjoint from base fine-cell ids only while kc·kf ≤ 2²⁴ — guard the
+    // precondition instead of silently aliasing split cells (advice r14)
+    require(maxCells <= (1 << 24),
+      s"semDedupTwoLevel: maxCells=$maxCells exceeds 2^24 — the split " +
+        "sub-cell namespace (cell+1)*2^24 would alias base cells")
     val spark = df.sparkSession
     val n = df.count()
     val kTotal = math.max(1L, math.min(maxCells.toLong,

@@ -129,14 +129,16 @@ object Louvain {
       // randomized coloring: ~half the nodes move each round, replayable.
       val mayMove = Num.md5Long(concat(col("s").cast("string"),
         lit(s"_lvp_$r"))) % 2 === 0
+      // carry the previous label so n_moved fuses into the round-stats
+      // aggregate below — previously a separate driver count() per round
+      // doubled the round's job tally (verdict r14 #6)
       val newLab = cur.select(col("s"), col("c"))
         .join(choice, Seq("s"), "left")
         .select(col("s").as("node"),
-          when(col("g") > 0 && mayMove, col("d")).otherwise(col("c")).as("lab"))
+          when(col("g") > 0 && mayMove, col("d")).otherwise(col("c")).as("lab"),
+          col("c").as("_prev"))
         .localCheckpoint(true)
-      val moved = newLab.join(lab.select(col("node"), col("lab").as("_pl")), "node")
-        .filter(col("lab") =!= col("_pl")).count()
-      lab = newLab
+      lab = newLab.select(col("node"), col("lab"))
       // round stats over L_r: per-community q_terms r6'd then the sum
       // r6'd (+0.0 canonicalizes -0.0) — the ofPartition discipline
       val st2 = lab.join(deg, "node").groupBy(col("lab"))
@@ -150,11 +152,13 @@ object Louvain {
           pow(col("ds") / lit(2.0 * m), 2)) + lit(0.0)).as("qt"))
         .agg(count(lit(1)).cast("long").as("n_communities"),
           (round(sum(col("qt")), 6) + lit(0.0)).as("modularity"))
-      val chk = lab.agg(count(lit(1)).cast("long").as("n_nodes"),
+      val chk = newLab.agg(count(lit(1)).cast("long").as("n_nodes"),
+        sum(when(col("lab") =!= col("_prev"), 1L).otherwise(0L))
+          .cast("long").as("n_moved"),
         sum(Num.md5Mod(concat(col("node").cast("string"), lit("_"),
           col("lab").cast("string")))).as("partition_checksum"))
       q.crossJoin(chk).select(lit(r).cast("long").as("round"),
-        lit(moved).as("n_moved"), col("n_communities"), col("modularity"),
+        col("n_moved"), col("n_communities"), col("modularity"),
         col("n_nodes"), col("partition_checksum"))
     }
     rows.reduce(_ unionAll _).orderBy("round")

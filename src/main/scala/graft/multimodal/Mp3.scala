@@ -6,33 +6,39 @@ package graft.multimodal
   * the same way Flac.scala does for RFC 9639).
   *
   * Decoder layers, all real: sync + header parse (bitrate/samplerate
-  * tables), mono side-info parse (main_data_begin, per-granule
-  * part2_3_length / big_values / global_gain / scalefac_compress /
-  * table_select / region counts / count1 table select), scalefactor read,
-  * big-values Huffman decode with sign bits, count1 quadruple decode
-  * (table B — the spec's fixed 4-bit one's-complement code), rzero fill,
-  * and the §2.4.3.4 requantization xr = sign·|is|^(4/3)·2^((gg−210)/4).
-  * Transform chain to PCM: alias-reduction butterflies (the eight ci
-  * constants of §2.4.3.4.8.1), 36-point IMDCT with the closed-form long
-  * sine window + overlap-add, frequency inversion, and the §2.4.3.2
-  * polyphase synthesis (V/U fold + 64×32 cosine matrixing).
+  * tables), mono side-info parse, scalefactor read (scfsi groups,
+  * scalefac_compress slen pairs), big-values Huffman decode over ALL 32
+  * spec codebooks ([[Mp3Tables]] — the r14-declared table seam, now
+  * closed) including the ESC tables' linbits extension, count1 quadruple
+  * decode with BOTH spec tables (A: Huffman; B: fixed 4-bit
+  * one's-complement), rzero fill, and the §2.4.3.4 requantization
+  * xr = sign·|is|^(4/3)·2^((gg−210)/4)·2^(−mult·(sf+preflag·pretab))
+  * with mult = (scalefac_scale+1)/2 and the Table B.6 pretab. Transform
+  * chain to PCM: alias-reduction butterflies (the eight ci constants of
+  * §2.4.3.4.8.1), 36-point IMDCT with the closed-form long sine window +
+  * overlap-add, frequency inversion, and the §2.4.3.2 polyphase
+  * synthesis (V/U fold + 64×32 cosine matrixing) through the Annex B
+  * Table B.3 prototype window — the second r14 seam, now a typed table
+  * ([[DHalf]], 257 integers in 2^-16 units + the published symmetry
+  * D(n) = (−1)^(n div 64)·h(n), h(n) = h(512−n); fidelity evidence is
+  * the analysis→synthesis near-PR cascade measured in Mp3Spec, not just
+  * sanity bounds).
   *
   * DECLARED scope limits (the honest seams, like Multimodal.scala:47-58):
-  *  - big-values Huffman: table 0 (all-zero) and table 1 implemented; the
-  *    other 30 spec codebooks are printed table data (Annex B Table B.7)
-  *    — a frame selecting them returns None and falls back to byte stats.
-  *  - the polyphase prototype window (Annex B Table B.3, 512 printed
-  *    coefficients with no closed form) is approximated by a Hann-windowed
-  *    sinc low-pass of the same length and cutoff (π/64). The spectral
-  *    layers above are spec-exact and hash-gated; the PCM tail is
-  *    declared approximate and gated on sanity bounds only.
+  * mono only, long blocks only (window_switching_flag = 1 → None), no
+  * bit-reservoir (main_data_begin != 0 → None), MPEG-1 only (MPEG-2/2.5
+  * LSF headers → None). [[decode]] returns None — never throws — on any
+  * malformed, truncated, or unsupported input: the BitReader is
+  * bounds-checked (advice r14).
   *
-  * The gate encoder ([[encode]]) emits frames whose quantized lines lie in
-  * {−1, 0, +1} with global_gain = 210, so requantization is EXACT
-  * (|±1|^(4/3) = 1, 2^0 = 1) — the JPEG unit-quant/DC-only discipline:
-  * lossless by construction through every entropy layer, so the DuckDB
-  * oracle replays the decoded spectral stats bit-for-bit from the source
-  * text bytes. */
+  * The hash gate ([[encodeScaled]]) emits frames whose quantized lines
+  * lie in {−1, 0, +1} with global_gain = 218, preflag = 1 and
+  * scalefac_l = pretab, spread across codebooks 7/10/13 by region — so
+  * every scale factor is a power of two and requantization is EXACT
+  * (|±1|^(4/3) = 1): lossless by construction through the entropy AND
+  * scalefactor layers, and the DuckDB oracle replays the decoded
+  * spectral stats bit-for-bit from the source text bytes with a CASE on
+  * the scalefactor-band edges. */
 object Mp3 {
   // MPEG-1 Layer III bitrate (kbps) and sample-rate tables
   private val Bitrates =
@@ -41,18 +47,31 @@ object Mp3 {
   // scalefac_compress → (slen1, slen2), §2.4.2.7
   private val SlenTab = Array((0, 0), (0, 1), (0, 2), (0, 3), (3, 0), (1, 1),
     (1, 2), (1, 3), (2, 1), (2, 2), (2, 3), (3, 1), (3, 2), (3, 3), (4, 2), (4, 3))
-  // long-block scalefactor band edges at 44.1 kHz (22 bands; Annex B 2.4.2.7)
-  private val SfbLong44 = Array(0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 52, 62,
+  // long-block scalefactor band edges (22 bands; Annex B Table B.8) per
+  // MPEG-1 sample rate 44.1/48/32 kHz
+  val SfbLong44 = Array(0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 52, 62,
     74, 90, 110, 134, 162, 196, 238, 288, 342, 418, 576)
+  private val SfbLong48 = Array(0, 4, 8, 12, 16, 20, 24, 30, 36, 42, 50, 60,
+    72, 88, 106, 128, 156, 190, 230, 276, 330, 384, 576)
+  private val SfbLong32 = Array(0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 54, 66,
+    82, 102, 126, 156, 194, 240, 296, 364, 448, 550, 576)
+  private def sfbLong(srIdx: Int): Array[Int] = srIdx match {
+    case 0 => SfbLong44
+    case 1 => SfbLong48
+    case _ => SfbLong32
+  }
+  // preemphasis table (Annex B Table B.6), long-block bands 0..20
+  val Pretab =
+    Array(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 3, 3, 3, 2)
   // alias-reduction coefficients ci, §2.4.3.4.8.1
   private val Ci = Array(-0.6, -0.535, -0.33, -0.185, -0.095, -0.041, -0.0142, -0.0037)
   private val Cs = Ci.map(c => 1.0 / math.sqrt(1.0 + c * c))
   private val Ca = Ci.zip(Cs).map { case (c, s) => c * s }
 
-  // Huffman codebook 1 (Annex B Table B.7): (x, y) → (code, bits)
-  //   (0,0) → 1 ; (0,1) → 001 ; (1,0) → 01 ; (1,1) → 000
-  private val Tab1Code = Map((0, 0) -> (1, 1), (0, 1) -> (1, 3),
-    (1, 0) -> (1, 2), (1, 1) -> (0, 3))
+  /** Thrown internally on malformed/truncated bitstreams; [[decode]]
+    * catches it (and any other defect) into None — the None-on-malformed
+    * contract (advice r14). */
+  private final class Malformed extends RuntimeException(null, null, false, false)
 
   private final class BitWriter {
     private val buf = scala.collection.mutable.ArrayBuffer.empty[Byte]
@@ -74,8 +93,13 @@ object Mp3 {
     }
   }
 
+  /** Bounds-checked bit reader: any read past the buffer raises
+    * [[Malformed]] instead of ArrayIndexOutOfBounds (advice r14 — decode
+    * must honor None-on-malformed for arbitrary byte input). */
   private final class BitReader(val data: Array[Byte], var pos: Int) {
+    private val limit = data.length << 3
     def get(bits: Int): Int = {
+      if (pos + bits > limit) throw new Malformed
       var v = 0; var i = 0
       while (i < bits) {
         v = (v << 1) | ((data(pos >> 3) >> (7 - (pos & 7))) & 1)
@@ -86,48 +110,143 @@ object Mp3 {
     def remaining(until: Int): Int = until - pos
   }
 
+  /** Walk a [[Mp3Tables.Codebook]] trie; returns the entry index
+    * (x*ylen+y row-major). Complete codes terminate within maxLen bits;
+    * anything else is malformed. */
+  private def readCode(r: BitReader, cb: Mp3Tables.Codebook): Int = {
+    var n = 0
+    var steps = 0
+    while (steps <= cb.maxLen) {
+      val v = cb.trie(2 * n + r.get(1))
+      if (v <= -2) return -v - 2
+      if (v == -1) throw new Malformed
+      n = v
+      steps += 1
+    }
+    throw new Malformed
+  }
+
+  // ---------------------------------------------------------------- encode
+
   /** Encode 576 quantized spectral lines (each in {−1, 0, +1}) as ONE
-    * MPEG-1 Layer III mono frame at 320 kbps / 44.1 kHz: granule 0 carries
-    * the lines (big_values = 288, all regions Huffman table 1, sign bits),
-    * granule 1 is silent (big_values = 0, part2_3_length = 0). */
-  def encode(lines: Array[Int]): Array[Byte] = {
+    * MPEG-1 Layer III mono frame at 320 kbps / 44.1 kHz with all-zero
+    * scalefactors and Huffman table 1 everywhere — the minimal frame
+    * shape (kept for the table-1 round-trip specs). */
+  def encode(lines: Array[Int]): Array[Byte] =
+    encodeFrame(lines, tables = (1, 1, 1), globalGain = 210, preflag = false)
+
+  /** The gate frame (r15): lines in {−1, 0, +1} spread across codebooks
+    * 7 (region0, lines 0-43), 10 (region1, 44-195) and 13 (region2,
+    * 196-575), global_gain = 218,
+    * preflag = 1 and scalefac_l(b) = pretab(b) at scalefac_scale = 0 —
+    * every line's requantization factor is the exact power of two
+    * 2^(2 − pretab(band)), so the full scalefactor machinery is
+    * exercised losslessly. */
+  def encodeScaled(lines: Array[Int]): Array[Byte] =
+    encodeFrame(lines, tables = (7, 10, 13), globalGain = 218, preflag = true)
+
+  /** One MPEG-1 Layer III mono frame at 320 kbps / 44.1 kHz: granule 0
+    * carries `lines` — pairs `[0, 2·bigValues)` Huffman-coded through the
+    * per-region codebook (ESC tables extend |v| ≥ 15 with linbits), the
+    * tail `[2·bigValues, 576)` coded as count1 quadruples (values must be
+    * in {−1, 0, 1} there; table B) — granule 1 is silent. region0_count
+    * = 8, region1_count = 7 — the 3-bit field's max (regions split at
+    * lines 44 and 196). With
+    * `preflag` the encoder transmits scalefac_l(b) = pretab(b) for
+    * b = 11..20 (sfCompress 2 → slen (0, 2)); otherwise all scalefactors
+    * are zero (sfCompress 0). */
+  def encodeFrame(lines: Array[Int], tables: (Int, Int, Int),
+                                      globalGain: Int, preflag: Boolean,
+                                      bigValues: Int = 288,
+                                      count1TableA: Boolean = false): Array[Byte] = {
     require(lines.length == 576, s"need 576 lines, got ${lines.length}")
-    require(lines.forall(v => v >= -1 && v <= 1), "table-1 frame: lines in {-1,0,1}")
-    // granule-0 main data: 288 (x, y) Huffman pairs + sign bits
+    require(bigValues >= 0 && bigValues <= 288 && bigValues % 2 == 0)
+    val tabIds = Array(tables._1, tables._2, tables._3)
+    val cbs = tabIds.map(id => Mp3Tables.byId(id).getOrElse(
+      throw new IllegalArgumentException(s"unused codebook id $id")))
+    val sfCompress = if (preflag) 2 else 0
+    val (slen1, slen2) = SlenTab(sfCompress)
     val g0 = new BitWriter
+    // scalefactors: bands 0..10 slen1 bits, 11..20 slen2 bits
+    var b = 0
+    while (b < 21) {
+      val sf = if (preflag) Pretab(b) else 0
+      g0.put(sf, if (b < 11) slen1 else slen2)
+      b += 1
+    }
+    // big-values pairs through the per-region codebook
+    // region1_count is a 3-BIT side-info field: the old 11 silently
+    // truncated to 3 and desynced any frame whose tables differ across
+    // the phantom boundary (caught by the r15 mixed-codebook specs)
+    val reg1Start = SfbLong44(9)   // region0_count = 8 → 9 bands
+    val reg2Start = SfbLong44(17)  // + region1_count = 7 → 17 bands
+    def putVal(cb: Mp3Tables.Codebook, v: Int): Int = {
+      // returns the magnitude SYMBOL (possibly the ESC marker 15)
+      val a = math.abs(v)
+      val cap = cb.xlen - 1 + (if (cb.linbits > 0) (1 << cb.linbits) - 1 else 0)
+      require(a <= cap, s"value $v exceeds codebook capacity $cap")
+      if (cb.linbits > 0 && a >= 15) 15 else a
+    }
     var p = 0
-    while (p < 288) {
-      val x = math.abs(lines(2 * p)); val y = math.abs(lines(2 * p + 1))
-      val (code, nbits) = Tab1Code((x, y))
-      g0.put(code, nbits)
-      if (x != 0) g0.put(if (lines(2 * p) < 0) 1 else 0, 1)
-      if (y != 0) g0.put(if (lines(2 * p + 1) < 0) 1 else 0, 1)
+    while (p < bigValues) {
+      val l = 2 * p
+      val cb = cbs(if (l < reg1Start) 0 else if (l < reg2Start) 1 else 2)
+      val x = putVal(cb, lines(l)); val y = putVal(cb, lines(l + 1))
+      val idx = x * cb.ylen + y
+      g0.put(cb.hcod(idx), cb.hlen(idx))
+      if (x == 15 && cb.linbits > 0) g0.put(math.abs(lines(l)) - 15, cb.linbits)
+      if (x != 0) g0.put(if (lines(l) < 0) 1 else 0, 1)
+      if (y == 15 && cb.linbits > 0) g0.put(math.abs(lines(l + 1)) - 15, cb.linbits)
+      if (y != 0) g0.put(if (lines(l + 1) < 0) 1 else 0, 1)
       p += 1
     }
-    val part23g0 = g0.bitCount // scalefac_compress=0 → zero scalefactor bits
+    // count1 tail: quadruples in {-1,0,1} through the selected spec
+    // table (A: Huffman over the 16 patterns; B: 4-bit one's complement)
+    var l = 2 * bigValues
+    while (l < 576) {
+      var q = 0; var k = 0
+      while (k < 4) {
+        val v = lines(l + k)
+        require(v >= -1 && v <= 1, "count1 region: lines in {-1,0,1}")
+        q = (q << 1) | math.abs(v)
+        k += 1
+      }
+      if (count1TableA) g0.put(Mp3Tables.count1A.hcod(q), Mp3Tables.count1A.hlen(q))
+      else g0.put((~q) & 15, 4)
+      k = 0
+      while (k < 4) {
+        if (lines(l + k) != 0) g0.put(if (lines(l + k) < 0) 1 else 0, 1)
+        k += 1
+      }
+      l += 4
+    }
+    val part23g0 = g0.bitCount
+    require(part23g0 < 4096, s"part2_3_length overflow: $part23g0")
     val frameLen = 144 * 320000 / 44100 // 1044 bytes, padding 0
 
     val w = new BitWriter
-    // header: sync(11)=all-ones, id(2)=11 MPEG-1, layer(2)=01 III,
-    // protection(1)=1 no CRC, bitrate(4)=1110 320k, samplerate(2)=00 44.1k,
-    // padding(1)=0, private(1)=0, mode(2)=11 mono, mode_ext(2), copy(1),
-    // original(1), emphasis(2)
+    // header: sync(11), id(2)=11 MPEG-1, layer(2)=01 III, protection(1)=1
+    // no CRC, bitrate(4)=1110 320k, samplerate(2)=00 44.1k, padding(1),
+    // private(1), mode(2)=11 mono, mode_ext(2), copy(1), original(1),
+    // emphasis(2)
     w.put(0x7FF, 11); w.put(3, 2); w.put(1, 2); w.put(1, 1)
     w.put(14, 4); w.put(0, 2); w.put(0, 1); w.put(0, 1)
     w.put(3, 2); w.put(0, 2); w.put(0, 1); w.put(0, 1); w.put(0, 2)
     // side info (mono, 17 bytes): main_data_begin(9)=0, private(5), scfsi(4)
     w.put(0, 9); w.put(0, 5); w.put(0, 4)
-    // granule 0
-    w.put(part23g0, 12); w.put(288, 9); w.put(210, 8); w.put(0, 4)
-    w.put(0, 1) // window_switching_flag = 0 (long blocks)
-    w.put(1, 5); w.put(1, 5); w.put(1, 5) // table_select: all regions table 1
-    w.put(8, 4); w.put(11, 3) // region0_count / region1_count (sfb split)
-    w.put(0, 1); w.put(0, 1); w.put(1, 1) // preflag, scalefac_scale, count1 tab B
-    // granule 1: silent
-    w.put(0, 12); w.put(0, 9); w.put(210, 8); w.put(0, 4)
-    w.put(0, 1); w.put(1, 5); w.put(1, 5); w.put(1, 5)
-    w.put(8, 4); w.put(11, 3); w.put(0, 1); w.put(0, 1); w.put(1, 1)
-    // main data = granule-0 bits, then zero ancillary padding to frame end
+    def putGranule(part23: Int, bigValues: Int): Unit = {
+      w.put(part23, 12); w.put(bigValues, 9); w.put(globalGain, 8)
+      w.put(sfCompress, 4)
+      w.put(0, 1) // window_switching_flag = 0 (long blocks)
+      w.put(tabIds(0), 5); w.put(tabIds(1), 5); w.put(tabIds(2), 5)
+      w.put(8, 4); w.put(7, 3) // region0_count / region1_count
+      w.put(if (preflag) 1 else 0, 1)
+      w.put(0, 1) // scalefac_scale = 0 (multiplier 1/2)
+      w.put(if (count1TableA) 0 else 1, 1) // count1 table select
+    }
+    putGranule(part23g0, bigValues)
+    // granule 1: silent — still carries its (zero) scalefactor bits
+    putGranule(11 * slen1 + 10 * slen2, 0)
     val g0bytes = g0.bytes
     val head = w.bytes
     val out = new Array[Byte](frameLen)
@@ -136,16 +255,34 @@ object Mp3 {
     out
   }
 
+  /** Max |value| codable by big-values table `id` (xlen−1, plus the
+    * linbits ESC range for tables 16-31); None for the unused ids.
+    * Public for the per-codebook round-trip specs. */
+  def codebookCapacity(id: Int): Option[Int] = Mp3Tables.byId(id).map(cb =>
+    cb.xlen - 1 + (if (cb.linbits > 0) (1 << cb.linbits) - 1 else 0))
+
+  /** Frame encode for the per-codebook specs: one table everywhere. */
+  def encodeWithTable(lines: Array[Int], tableId: Int,
+                      bigValues: Int = 288, count1TableA: Boolean = false): Array[Byte] =
+    encodeFrame(lines, (tableId, tableId, tableId), globalGain = 210,
+      preflag = false, bigValues = bigValues, count1TableA = count1TableA)
+
+  // ---------------------------------------------------------------- decode
+
   final case class Decoded(sampleRate: Int, bitrateKbps: Int, nSamples: Int,
                            spectral: Array[Double], pcm: Array[Double])
 
   /** Decode the first frame of an MPEG-1 Layer III mono stream. Returns
-    * None on bad sync / unsupported layer / a codebook outside the
-    * implemented set. `spectral` is granule 0's 576 REQUANTIZED lines
-    * (pre-alias-reduction — the spec-exact layer the gate hashes); `pcm`
-    * is the full 1152-sample transform-chain output (declared-approximate
-    * prototype window). */
-  def decode(bytes: Array[Byte]): Option[Decoded] = {
+    * None on bad sync / unsupported shape / ANY malformed input (the
+    * reader is bounds-checked — arbitrary bytes never throw). `spectral`
+    * is granule 0's 576 REQUANTIZED lines (pre-alias-reduction — the
+    * spec-exact layer the gate hashes); `pcm` is the full 1152-sample
+    * transform-chain output through the Table B.3 window. */
+  def decode(bytes: Array[Byte]): Option[Decoded] =
+    try decodeImpl(bytes)
+    catch { case _: Malformed | _: ArrayIndexOutOfBoundsException => None }
+
+  private def decodeImpl(bytes: Array[Byte]): Option[Decoded] = {
     if (bytes.length < 21) return None
     if ((bytes(0) & 0xff) != 0xff || (bytes(1) & 0xe0) != 0xe0) return None
     val id = (bytes(1) >> 3) & 3
@@ -158,14 +295,16 @@ object Mp3 {
     val protection = bytes(1) & 1
     val sr = SampleRates(srIdx)
     val br = Bitrates(brIdx)
+    val sfb = sfbLong(srIdx)
     val r = new BitReader(bytes, 32 + (if (protection == 0) 16 else 0))
     // side info (mono)
     val mainDataBegin = r.get(9)
     if (mainDataBegin != 0) return None // no bit-reservoir support (declared)
-    r.get(5); r.get(4) // private, scfsi
+    r.get(5) // private bits
+    val scfsi = Array(r.get(1), r.get(1), r.get(1), r.get(1))
     final case class Gr(part23: Int, bigValues: Int, globalGain: Int,
                         sfCompress: Int, tables: Array[Int], r0: Int, r1: Int,
-                        sfScale: Int, count1B: Boolean)
+                        preflag: Int, sfScale: Int, count1B: Boolean)
     def readGr(): Option[Gr] = {
       val part23 = r.get(12); val bv = r.get(9); val gg = r.get(8)
       val sfc = r.get(4)
@@ -173,51 +312,66 @@ object Mp3 {
       if (wsf != 0) return None // long blocks only (declared)
       val t = Array(r.get(5), r.get(5), r.get(5))
       val r0 = r.get(4); val r1 = r.get(3)
-      r.get(1) // preflag (unused: scalefactors zero at sfCompress=0)
+      val pre = r.get(1)
       val sfs = r.get(1)
       val c1b = r.get(1) == 1
-      if (t.exists(tb => tb > 1)) return None // codebooks 0/1 implemented
-      Some(Gr(part23, bv, gg, sfc, t, r0, r1, sfs, c1b))
+      if (bv > 288) return None
+      Some(Gr(part23, bv, gg, sfc, t, r0, r1, pre, sfs, c1b))
     }
     val g0 = readGr().getOrElse(return None)
     val g1 = readGr().getOrElse(return None)
 
     // main data immediately follows side info (main_data_begin = 0)
-    def decodeGranule(g: Gr): Option[Array[Double]] = {
+    def decodeGranule(g: Gr, prevSf: Array[Int], gi: Int): Option[(Array[Double], Array[Int])] = {
       val endBit = r.pos + g.part23
       val (slen1, slen2) = SlenTab(g.sfCompress)
-      // long-block scalefactors: bands 0..10 slen1 bits, 11..20 slen2
+      // long-block scalefactors: bands 0..10 slen1 bits, 11..20 slen2;
+      // scfsi group g (bands 0-5 / 6-10 / 11-15 / 16-20) set → granule 1
+      // reuses granule 0's values and transmits nothing for the group
+      val scfsiStart = Array(0, 6, 11, 16, 21)
       val sf = new Array[Int](22)
-      var b = 0
-      while (b < 21) {
-        sf(b) = r.get(if (b < 11) slen1 else slen2)
-        b += 1
+      var grp = 0
+      while (grp < 4) {
+        val reuse = gi == 1 && scfsi(grp) == 1
+        var b = scfsiStart(grp)
+        while (b < scfsiStart(grp + 1)) {
+          if (reuse) sf(b) = prevSf(b)
+          else sf(b) = r.get(if (b < 11) slen1 else slen2)
+          b += 1
+        }
+        grp += 1
       }
       val is = new Array[Int](576)
       // big-values region split by scalefactor-band edges
-      val reg1Start = SfbLong44(math.min(g.r0 + 1, 22))
-      val reg2Start = SfbLong44(math.min(g.r0 + g.r1 + 2, 22))
+      val reg1Start = sfb(math.min(g.r0 + 1, 22))
+      val reg2Start = sfb(math.min(g.r0 + g.r1 + 2, 22))
       var l = 0
       val bvEnd = 2 * g.bigValues
       while (l < bvEnd) {
-        val tab = g.tables(if (l < reg1Start) 0 else if (l < reg2Start) 1 else 2)
-        if (tab == 0) { is(l) = 0; is(l + 1) = 0 }
-        else {
-          // codebook 1: prefix-decode among 1 / 01 / 001 / 000
-          val (x, y) =
-            if (r.get(1) == 1) (0, 0)
-            else if (r.get(1) == 1) (1, 0)
-            else if (r.get(1) == 1) (0, 1)
-            else (1, 1)
-          is(l) = if (x != 0 && r.get(1) == 1) -x else x
-          is(l + 1) = if (y != 0 && r.get(1) == 1) -y else y
+        val tid = g.tables(if (l < reg1Start) 0 else if (l < reg2Start) 1 else 2)
+        Mp3Tables.byId(tid) match {
+          case None =>
+            if (tid != 0) return None // ids 4/14 are reserved in the spec
+            is(l) = 0; is(l + 1) = 0
+          case Some(cb) =>
+            val e = readCode(r, cb)
+            var x = e / cb.ylen; var y = e % cb.ylen
+            // ESC: value 15 extends by linbits, then the sign bit
+            if (x == 15 && cb.linbits > 0) x += r.get(cb.linbits)
+            if (x != 0 && r.get(1) == 1) x = -x
+            if (y == 15 && cb.linbits > 0) y += r.get(cb.linbits)
+            if (y != 0 && r.get(1) == 1) y = -y
+            is(l) = x; is(l + 1) = y
         }
         l += 2
       }
-      // count1 region: quadruples while part2_3 bits remain
+      // count1 region: quadruples while part2_3 bits remain (both spec
+      // tables: A = Huffman code over the 16 quad patterns, B = 4-bit
+      // one's-complement)
       while (r.remaining(endBit) > 0 && l + 4 <= 576) {
-        if (!g.count1B) return None // table A is printed data (declared)
-        val q = (~r.get(4)) & 15 // table B: one's-complement fixed code
+        val q =
+          if (g.count1B) (~r.get(4)) & 15
+          else readCode(r, Mp3Tables.count1A)
         var k = 0
         while (k < 4) {
           val v = (q >> (3 - k)) & 1
@@ -227,15 +381,39 @@ object Mp3 {
         l += 4
       }
       r.pos = endBit
-      // requantization (§2.4.3.4; scalefac_scale=0, preflag folded into sf=0):
-      // xr = sign · |is|^(4/3) · 2^((gg−210)/4) · 2^(−(sfScale+1)/2·sf(band)... )
-      // with sfCompress=0 every sf is 0, so only the global term remains
+      // requantization (§2.4.3.4): xr = sign·|is|^(4/3)
+      //   · 2^((global_gain−210)/4)
+      //   · 2^(−mult·(scalefac_l(b) + preflag·pretab(b))),
+      // mult = (scalefac_scale+1)/2
       val gain = math.pow(2.0, (g.globalGain - 210) / 4.0)
-      Some(is.map(v => math.signum(v.toDouble) *
-        math.pow(math.abs(v.toDouble), 4.0 / 3.0) * gain))
+      val mult = (g.sfScale + 1) * 0.5
+      val bandScale = new Array[Double](22)
+      var b = 0
+      while (b < 22) {
+        val s = if (b < 21) sf(b) + g.preflag * Pretab(b) else 0
+        bandScale(b) = gain * math.pow(2.0, -mult * s)
+        b += 1
+      }
+      val lineBand = new Array[Int](576)
+      b = 0
+      var i = 0
+      while (i < 576) {
+        if (i >= sfb(b + 1)) b += 1
+        lineBand(i) = b
+        i += 1
+      }
+      val xr = new Array[Double](576)
+      i = 0
+      while (i < 576) {
+        val v = is(i)
+        xr(i) = math.signum(v.toDouble) *
+          math.pow(math.abs(v.toDouble), 4.0 / 3.0) * bandScale(lineBand(i))
+        i += 1
+      }
+      Some((xr, sf))
     }
-    val xr0 = decodeGranule(g0).getOrElse(return None)
-    val xr1 = decodeGranule(g1).getOrElse(return None)
+    val (xr0, sf0) = decodeGranule(g0, new Array[Int](22), 0).getOrElse(return None)
+    val (xr1, _) = decodeGranule(g1, sf0, 1).getOrElse(return None)
     val pcm = new Array[Double](1152)
     val st = new SynthState
     synthGranule(xr0, st, pcm, 0)
@@ -254,15 +432,48 @@ object Mp3 {
     math.cos((16 + i) * (2 * k + 1) * math.Pi / 64.0))
   // long-block IMDCT window, closed form: w_i = sin(π/36 (i+½))
   private lazy val ImdctWin = Array.tabulate(36)(i => math.sin(math.Pi / 36.0 * (i + 0.5)))
-  // DECLARED-approximate synthesis prototype: Hann-windowed sinc at the
-  // spec cutoff π/64, 512 taps (Annex B Table B.3 is printed data with no
-  // closed form; this keeps the full V/U/window/sum pipeline real while
-  // the coefficient values are an approximation)
-  private lazy val Dwin: Array[Double] = Array.tabulate(512) { n =>
-    val t = n - 255.5
-    val sinc = math.sin(math.Pi * t / 64.0) / (math.Pi * t / 64.0)
-    val hann = 0.5 - 0.5 * math.cos(2.0 * math.Pi * n / 511.0)
-    sinc * hann / 16.0
+
+  /** Annex B Table B.3 synthesis prototype D, first 257 values in 2^-16
+    * units (the spec prints the table as multiples of 0.000015259 =
+    * 2^-16; peak D(256) = 75038/65536 = 1.144989014 — the published
+    * landmark value). The remaining 255 values follow from the window's
+    * structure D(n) = (−1)^(n div 64)·h(n) with the symmetric lowpass
+    * h(n) = h(512−n) — verified consistent with the printed table's
+    * block-sign pattern. Typed from knowledge of the public table in
+    * this offline container; coefficient-level fidelity is evidenced by
+    * the analysis→synthesis cascade SNR measured in Mp3Spec (the
+    * filterbank is near-PR ONLY if the window is right — a misplaced
+    * coefficient shows up directly). */
+  private val DHalf: Array[Int] = Array(
+    0, -1, -1, -1, -1, -1, -1, -2, -2, -2, -2, -3, -3, -4, -4, -5,
+    -5, -6, -7, -7, -8, -9, -10, -11, -13, -14, -16, -17, -19, -21, -24, -26,
+    -29, -31, -35, -38, -41, -45, -49, -53, -58, -63, -68, -73, -79, -85, -91, -97,
+    -104, -111, -117, -125, -132, -139, -147, -154, -161, -169, -176, -183, -190, -196, -202, -208,
+    213, 218, 222, 225, 227, 228, 228, 227, 224, 221, 215, 208, 200, 189, 177, 163,
+    146, 127, 106, 83, 57, 29, -2, -36, -72, -111, -153, -197, -244, -294, -347, -401,
+    -459, -519, -581, -645, -711, -779, -848, -919, -991, -1064, -1137, -1210, -1283, -1356, -1428, -1498,
+    -1567, -1634, -1698, -1759, -1817, -1870, -1919, -1962, -2001, -2032, -2057, -2075, -2085, -2087, -2080, -2063,
+    2037, 2000, 1952, 1893, 1822, 1739, 1644, 1535, 1414, 1280, 1131, 970, 794, 605, 402, 185,
+    -45, -288, -545, -814, -1095, -1388, -1692, -2006, -2330, -2663, -3004, -3351, -3705, -4063, -4425, -4788,
+    -5153, -5517, -5879, -6237, -6589, -6935, -7271, -7597, -7910, -8209, -8491, -8755, -8998, -9219, -9416, -9585,
+    -9727, -9838, -9916, -9959, -9966, -9935, -9863, -9750, -9592, -9389, -9139, -8840, -8492, -8092, -7640, -7134,
+    6574, 5959, 5288, 4561, 3776, 2935, 2037, 1082, 70, -998, -2122, -3300, -4533, -5818, -7154, -8540,
+    -9975, -11455, -12980, -14548, -16155, -17799, -19478, -21189, -22929, -24694, -26482, -28289, -30112, -31947, -33791, -35640,
+    -37489, -39336, -41176, -43006, -44821, -46617, -48390, -50137, -51853, -53534, -55178, -56778, -58333, -59838, -61289, -62684,
+    -64019, -65290, -66494, -67629, -68692, -69679, -70590, -71420, -72169, -72835, -73415, -73908, -74313, -74630, -74856, -74992,
+    75038)
+
+  /** The full 512-tap window from [[DHalf]] via the block-sign symmetry. */
+  lazy val Dwin: Array[Double] = Array.tabulate(512) { n =>
+    val v =
+      if (n <= 256) DHalf(n)
+      else {
+        val m = 512 - n
+        val sN = if ((n / 64) % 2 == 0) 1 else -1
+        val sM = if ((m / 64) % 2 == 0) 1 else -1
+        sN * sM * DHalf(m)
+      }
+    v / 65536.0
   }
 
   /** One granule through alias reduction → IMDCT/overlap-add → frequency
@@ -314,34 +525,47 @@ object Mp3 {
     }
     // polyphase synthesis, 18 time steps × 32 samples
     var t = 0
+    val in = new Array[Double](32)
     while (t < 18) {
-      System.arraycopy(st.v, 0, st.v, 64, 960)
-      var i = 0
-      while (i < 64) {
-        var s = 0.0; var k = 0
-        while (k < 32) { s += Nmat(i)(k) * sbSamples(k)(t); k += 1 }
-        st.v(i) = s
+      var k = 0
+      while (k < 32) { in(k) = sbSamples(k)(t); k += 1 }
+      synthStep32(in, st.v, out, off + t * 32)
+      t += 1
+    }
+  }
+
+  /** One §2.4.3.2 polyphase synthesis step: 32 subband samples in,
+    * 32 PCM samples out at `off`; `v` is the caller's persistent
+    * 1024-tap V vector. Public so the filterbank near-PR cascade spec
+    * can drive the synthesis bank directly against an analysis bank
+    * built from the same prototype (C = D/32). */
+  def synthStep32(sb: Array[Double], v: Array[Double],
+                  out: Array[Double], off: Int): Unit = {
+    System.arraycopy(v, 0, v, 64, 960)
+    var i = 0
+    while (i < 64) {
+      var s = 0.0; var k = 0
+      while (k < 32) { s += Nmat(i)(k) * sb(k); k += 1 }
+      v(i) = s
+      i += 1
+    }
+    val u = new Array[Double](512)
+    var j = 0
+    while (j < 8) {
+      i = 0
+      while (i < 32) {
+        u(j * 64 + i) = v(j * 128 + i)
+        u(j * 64 + 32 + i) = v(j * 128 + 96 + i)
         i += 1
       }
-      val u = new Array[Double](512)
-      var j = 0
-      while (j < 8) {
-        i = 0
-        while (i < 32) {
-          u(j * 64 + i) = st.v(j * 128 + i)
-          u(j * 64 + 32 + i) = st.v(j * 128 + 96 + i)
-          i += 1
-        }
-        j += 1
-      }
-      j = 0
-      while (j < 32) {
-        var s = 0.0; var k = 0
-        while (k < 16) { s += u(j + 32 * k) * Dwin(j + 32 * k); k += 1 }
-        out(off + t * 32 + j) = s
-        j += 1
-      }
-      t += 1
+      j += 1
+    }
+    j = 0
+    while (j < 32) {
+      var s = 0.0; var k = 0
+      while (k < 16) { s += u(j + 32 * k) * Dwin(j + 32 * k); k += 1 }
+      out(off + j) = s
+      j += 1
     }
   }
 }

@@ -2048,13 +2048,18 @@ object Multimodal {
     * document's leading 72 bytes become 576 quantized spectral lines
     * (bit l of the text, sign − on odd lines), encoded as a real
     * 320 kbps / 44.1 kHz mono frame and decoded back through sync/header
-    * parse, mono side-info, codebook-1 Huffman + sign bits, and the
-    * §2.4.3.4 requantization. global_gain = 210 and |lines| ≤ 1 make the
-    * entropy+requantization layers LOSSLESS BY CONSTRUCTION (the JPEG
-    * unit-quant discipline), so the oracle replays the decoded spectral
-    * mean/energy bit-for-bit from the text bits; header fields and the
-    * 1152-sample count gate SQL-exact, and the declared-approximate PCM
-    * tail gates on sanity bounds (finite, amplitude-bounded) only. */
+    * parse, mono side-info, THREE spec Huffman codebooks (7 / 10 / 13 by
+    * region — the r14 table seam, closed in r15), the transmitted
+    * scalefactors with preflag/pretab, and the §2.4.3.4 requantization.
+    * global_gain = 218 with scalefac_l = pretab at scalefac_scale = 0
+    * makes every line's factor the exact power of two 2^(2 − pretab(band))
+    * and |lines| ≤ 1 keeps |is|^(4/3) = |is| — LOSSLESS BY CONSTRUCTION
+    * through the entropy AND scalefactor layers (the JPEG unit-quant
+    * discipline), so the oracle replays the decoded spectral mean/energy
+    * bit-for-bit from the text bits with a CASE on the published
+    * scalefactor-band edges; header fields and the 1152-sample count gate
+    * SQL-exact, and the PCM tail (now the typed Table B.3 window, near-PR
+    * measured at 84 dB in the spec suite) gates on sanity bounds only. */
   def mp3DecodeSummary(documents: DataFrame): DataFrame = {
     val need = 72 // 576 bits = 576 spectral lines
     val enc = udf { (raw: Array[Byte]) =>
@@ -2062,14 +2067,17 @@ object Multimodal {
         val bit = (raw(l >> 3) >> (7 - (l & 7))) & 1
         if (bit == 0) 0 else if (l % 2 == 1) -1 else 1
       }
-      Mp3.encode(lines)
+      Mp3.encodeScaled(lines)
     }
     val dec = udf { (payload: Array[Byte]) =>
       Mp3.decode(payload).map { d =>
         val n = d.spectral.length.toDouble
         val mean = d.spectral.sum / n
         val energy = d.spectral.map(x => x * x).sum / n
-        val pcmOk = d.pcm.forall(x => !x.isNaN && !x.isInfinite && math.abs(x) <= 100.0)
+        // sanity bound scaled to the r15 gate frame: |xr| ≤ 4 over 576
+        // lines through IMDCT (18-term sums) + 16-tap windowed synthesis
+        // stays well inside ±400; the bound only guards blowups
+        val pcmOk = d.pcm.forall(x => !x.isNaN && !x.isInfinite && math.abs(x) <= 400.0)
         (d.sampleRate, d.bitrateKbps, d.nSamples, mean, energy, pcmOk)
       }.getOrElse((0, 0, 0, 0.0, 0.0, false))
     }
@@ -2078,11 +2086,14 @@ object Multimodal {
       .select(col("doc_id").cast("long"),
         dec(enc(substring(col("text").cast("binary"), 1, need))).as("_d"))
       .agg(count(lit(1)).cast("long").as("n_clips"),
-        sum(col("_d._3")).cast("long").as("n_samples"),
-        min(col("_d._1") === 44100 && col("_d._2") === 320).as("header_ok"),
+        coalesce(sum(col("_d._3")), lit(0L)).cast("long").as("n_samples"),
+        // degenerate corpus (no doc ≥ 72 bytes): min over empty is NULL
+        // but the oracle emits literal TRUE — vacuous truth (advice r14)
+        coalesce(min(col("_d._1") === 44100 && col("_d._2") === 320), lit(true))
+          .as("header_ok"),
         round(avg(col("_d._4")), 4).as("avg_line_mean"),
         round(avg(col("_d._5")), 4).as("avg_line_energy"),
-        min(col("_d._6")).as("pcm_ok"))
+        coalesce(min(col("_d._6")), lit(true)).as("pcm_ok"))
   }
 
   /** Wrap documents as P6 media rows (the ppm gate's construction as a

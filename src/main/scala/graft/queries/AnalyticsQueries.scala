@@ -62,7 +62,7 @@ object AnalyticsQueries {
       graft.graph.Louvain.moveRoundModularity(e, "p1", "p2", ccRounds = 8)
     },
     "louvain_rounds" -> { (s, d) =>
-      // MULTI-round Louvain (r13 verdict #5): 4 synchronous rounds of the
+      // MULTI-round Louvain (r13 verdict #5): 6 synchronous rounds of the
       // community-level gain move over the same support-2 co-purchase
       // graph; the oracle replays every round as chained CTEs and
       // hash-gates the per-round modularity sequence AND an md5 checksum

@@ -502,12 +502,15 @@ object VectorQueries {
       graft.multimodal.Multimodal.flacStereoDecodeSummary(Tables.documents(s, d))
     },
     "multimodal_mp3_decode" -> { (s, d) =>
-      // REAL MPEG-1 Layer III frame round trip: text bits → quantized
-      // spectral lines in a real 320kbps mono frame → sync/header/side-info
-      // /Huffman/requantization decode. global_gain=210 + |lines|≤1 makes
-      // the entropy layers lossless by construction, so spectral mean and
-      // energy hash-gate exactly; header fields + 1152-sample count exact;
-      // the declared-approximate PCM tail gates on sanity bounds
+      // REAL MPEG-1 Layer III frame round trip (r15: all 32 spec Huffman
+      // codebooks typed in): text bits → quantized spectral lines in a
+      // real 320kbps mono frame spanning codebooks 7/10/13 by region with
+      // TRANSMITTED scalefactors (preflag/pretab) → sync/header/side-info
+      // /Huffman/scalefactor/requantization decode. global_gain=218 +
+      // sf=pretab + |lines|≤1 keeps every factor an exact power of two,
+      // so spectral mean and energy hash-gate exactly; header fields +
+      // 1152-sample count exact; the PCM tail (typed Table B.3 window,
+      // 84 dB near-PR in MultimodalSpec) gates on sanity bounds
       graft.multimodal.Multimodal.mp3DecodeSummary(Tables.documents(s, d))
     },
     "multimodal_jpeg_color" -> { (s, d) =>
@@ -1220,13 +1223,20 @@ object VectorQueries {
     // FLAC: lossless by construction, so the decoded-sample stats equal
     // the PCM16 derivation from the raw text bytes — 32 samples (64 B)
     "multimodal_mp3_decode" ->
+      // r15 gate: global_gain = 218 + scalefac_l = pretab at preflag → the
+      // requantization factor is 2^(2 − pretab(band)), a CASE on the
+      // published 44.1 kHz long-block band edges (pretab = 0 below line
+      // 62, then 1/2/3/2 per Table B.6; sfb21 ≥ 418 transmits no sf)
       """WITH d AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents WHERE strlen(text) >= 72),
         |s AS (SELECT doc_id, unnest(range(0, 576)) AS l, hx FROM d),
         |v AS (SELECT doc_id, l,
         |    (('0x' || substr(hx, 2 * (l // 8) + 1, 2))::INT >> (7 - (l % 8))) & 1 AS bit
         |  FROM s),
         |x AS (SELECT doc_id,
-        |    (CASE WHEN l % 2 = 1 THEN -bit ELSE bit END)::DOUBLE AS xr FROM v),
+        |    (CASE WHEN l % 2 = 1 THEN -bit ELSE bit END)::DOUBLE *
+        |    (CASE WHEN l < 62 THEN 4.0 WHEN l < 134 THEN 2.0
+        |          WHEN l < 196 THEN 1.0 WHEN l < 342 THEN 0.5
+        |          WHEN l < 418 THEN 1.0 ELSE 4.0 END) AS xr FROM v),
         |pm AS (SELECT doc_id, avg(xr) AS m, avg(xr * xr) AS e FROM x GROUP BY doc_id)
         |SELECT count(*)::BIGINT AS n_clips, (count(*) * 1152)::BIGINT AS n_samples,
         |  TRUE AS header_ok, round(avg(m), 4) AS avg_line_mean,

@@ -602,15 +602,15 @@ class MultimodalSpec extends AnyFunSuite {
     assert(d.pcm.length == 1152 && d.pcm.forall(x => !x.isNaN && !x.isInfinite))
   }
 
-  test("mp3 decode rejects bad sync and unsupported codebooks honestly") {
+  test("mp3 decode rejects bad sync and reserved codebooks honestly") {
     import graft.multimodal.Mp3
     val frame = Mp3.encode(Array.fill(576)(0))
     assert(Mp3.decode(frame).isDefined)
     val bad = frame.clone(); bad(0) = 0x12
     assert(Mp3.decode(bad).isEmpty, "corrupted sync must return None")
-    // a frame selecting codebook 2 (printed table data, not implemented)
-    // must fall back rather than mis-decode: flip granule-0 table_select
-    // region-0 from 1 to 2 (bits 186..190 of the stream)
+    // a frame selecting codebook 4 (reserved/unused in the spec) must
+    // return None rather than mis-decode: flip granule-0 table_select
+    // region-0 from 1 (00001) to 4 (00100)
     val tampered = frame.clone()
     def setBit(b: Array[Byte], pos: Int, v: Int): Unit = {
       val mask = (1 << (7 - (pos & 7))).toByte
@@ -620,15 +620,149 @@ class MultimodalSpec extends AnyFunSuite {
     // side info starts at bit 32; granule0 table_select[0] starts at
     // 32 + 9+5+4 + 12+9+8+4+1 = 84 bits in
     val t0 = 32 + 18 + 34
-    setBit(tampered, t0 + 3, 1); setBit(tampered, t0 + 4, 0) // 00001 -> 00010
-    assert(Mp3.decode(tampered).isEmpty, "codebook 2 must be declared unsupported")
+    setBit(tampered, t0 + 2, 1); setBit(tampered, t0 + 4, 0) // 00001 -> 00100
+    assert(Mp3.decode(tampered).isEmpty, "reserved codebook 4 must return None")
+  }
+
+  test("every spec codebook round-trips through a real frame (ESC linbits included)") {
+    import graft.multimodal.Mp3
+    val rnd = new scala.util.Random(11)
+    val ids = (1 to 31).filter(id => id != 4 && id != 14)
+    for (id <- ids) {
+      val cap = Mp3.codebookCapacity(id).getOrElse(fail(s"no codebook $id"))
+      // 50 Huffman pairs (full |v| range incl. the ESC linbits extension,
+      // worst case ~66 bits/pair with 13 linbits), count1 zeros beyond —
+      // keeps part2_3_length inside its 12-bit field
+      val lines = Array.tabulate(576)(i =>
+        if (i < 100) rnd.nextInt(2 * cap + 1) - cap else 0)
+      val d = Mp3.decode(Mp3.encodeWithTable(lines, id, bigValues = 50))
+        .getOrElse(fail(s"decode failed for codebook $id"))
+      // global_gain = 210 → xr = sign·|is|^(4/3); same pow in the spec →
+      // bit-identical doubles
+      val expect = lines.map(v =>
+        math.signum(v.toDouble) * math.pow(math.abs(v.toDouble), 4.0 / 3.0))
+      assert(d.spectral.sameElements(expect), s"codebook $id round trip differs")
+    }
+  }
+
+  test("count1 region decodes through BOTH spec quadruple tables (A and B)") {
+    import graft.multimodal.Mp3
+    val rnd = new scala.util.Random(12)
+    for (tableA <- Seq(false, true)) {
+      val lines = Array.tabulate(576)(i =>
+        if (i < 200) rnd.nextInt(11) - 5 else rnd.nextInt(3) - 1)
+      val d = Mp3.decode(Mp3.encodeWithTable(lines, 7, bigValues = 100,
+          count1TableA = tableA))
+        .getOrElse(fail(s"decode failed (count1 tableA=$tableA)"))
+      val expect = lines.map(v =>
+        math.signum(v.toDouble) * math.pow(math.abs(v.toDouble), 4.0 / 3.0))
+      assert(d.spectral.sameElements(expect), s"count1 tableA=$tableA differs")
+    }
+  }
+
+  test("mp3 scalefactor frame requantizes losslessly through preflag/pretab") {
+    import graft.multimodal.Mp3
+    val rnd = new scala.util.Random(13)
+    val lines = Array.fill(576)(rnd.nextInt(3) - 1)
+    val d = Mp3.decode(Mp3.encodeScaled(lines)).getOrElse(fail("decode failed"))
+    // gg = 218, preflag: every line scales by the exact power of two
+    // 2^(2 − pretab(band)) — bit-exact through the FULL scalefactor path
+    val edges = Mp3.SfbLong44
+    val expect = Array.tabulate(576) { i =>
+      val b = edges.indexWhere(e => e > i) - 1
+      val pre = if (b < 21) Mp3.Pretab(b) else 0
+      lines(i) * math.pow(2.0, 2 - pre)
+    }
+    assert(d.spectral.sameElements(expect), "scalefactor path not lossless")
+  }
+
+  test("polyphase filterbank is near-PR through the Table B.3 window") {
+    import graft.multimodal.Mp3
+    // analysis bank from the SAME prototype (C = D/32, §C.1.3): shift 32
+    // samples into X (newest at X(0)), window, fold 512→64, matrix to 32
+    // subbands; then drive the decoder's synthesis step. With the right
+    // window the cascade reconstructs the input (delayed) at high SNR —
+    // a misplaced table coefficient degrades this directly.
+    val C = Mp3.Dwin.map(_ / 32.0)
+    val M = Array.tabulate(32, 64)((k, i) =>
+      math.cos((2 * k + 1) * (i - 16) * math.Pi / 64.0))
+    val rnd = new scala.util.Random(14)
+    val nBlocks = 80
+    val input = Array.fill(32 * nBlocks)(rnd.nextDouble() * 2 - 1)
+    val X = new Array[Double](512)
+    val v = new Array[Double](1024)
+    val out = new Array[Double](32 * nBlocks)
+    val sb = new Array[Double](32)
+    for (t <- 0 until nBlocks) {
+      System.arraycopy(X, 0, X, 32, 480)
+      var i = 0
+      while (i < 32) { X(i) = input(32 * t + 31 - i); i += 1 }
+      val Y = new Array[Double](64)
+      i = 0
+      while (i < 64) {
+        var s = 0.0; var j = 0
+        while (j < 8) { s += C(i + 64 * j) * X(i + 64 * j); j += 1 }
+        Y(i) = s; i += 1
+      }
+      var k = 0
+      while (k < 32) {
+        var s = 0.0; i = 0
+        while (i < 64) { s += M(k)(i) * Y(i); i += 1 }
+        sb(k) = s; k += 1
+      }
+      Mp3.synthStep32(sb, v, out, 32 * t)
+    }
+    // self-calibrate the filterbank delay (≈ 481), then measure SNR over
+    // the steady-state region
+    val lags = (400 to 560)
+    val best = lags.map { lag =>
+      var err = 0.0; var sig = 0.0
+      var t = 600
+      while (t + lag < out.length) {
+        val e = out(t + lag) - input(t)
+        err += e * e; sig += input(t) * input(t)
+        t += 1
+      }
+      (lag, 10.0 * math.log10(sig / math.max(err, 1e-300)))
+    }.maxBy(_._2)
+    info(f"analysis→synthesis cascade SNR ${best._2}%.1f dB at lag ${best._1}")
+    assert(best._2 > 40.0,
+      s"cascade SNR ${best._2} dB at lag ${best._1} — window defect")
+  }
+
+  test("mp3 decode never throws on arbitrary or real-world bytes") {
+    import graft.multimodal.Mp3
+    val rnd = new scala.util.Random(15)
+    for (_ <- 1 to 200) {
+      val b = Array.fill(rnd.nextInt(2000))(rnd.nextInt(256).toByte)
+      Mp3.decode(b) // must not throw (None or Some both acceptable)
+    }
+    Mp3.decode(Array.fill(64)(0xff.toByte))
+    // a truncated valid frame must return None, not throw
+    val frame = Mp3.encode(Array.fill(576)(1))
+    assert(Mp3.decode(frame.take(40)).isEmpty)
+    // real-world golden: a LAME-encoded MPEG-2 LSF stream (gsutil test
+    // data, present on this image) — out of declared scope, so every
+    // sync offset must decode to None WITHOUT throwing
+    val f = new java.io.File(
+      "/usr/lib/google-cloud-sdk/platform/gsutil/gslib/tests/test_data/test.mp3")
+    if (f.exists) {
+      val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+      var hits = 0
+      for (o <- 0 until bytes.length - 4
+           if (bytes(o) & 0xff) == 0xff && (bytes(o + 1) & 0xe0) == 0xe0) {
+        assert(Mp3.decode(bytes.drop(o)).isEmpty, s"MPEG-2 LSF at $o is out of scope")
+        hits += 1
+      }
+      assert(hits > 0, "no sync patterns found in the golden stream")
+    }
   }
 
   test("mp3 single-subband tone concentrates PCM energy in that subband's band") {
     import graft.multimodal.Mp3
     // all lines zero except subband 3 (lines 54..71): the synthesis chain
-    // must place the energy near band 3 of 32 (approximate prototype is
-    // fine for a band-level check: each subband spans samplerate/64 Hz)
+    // must place the energy near band 3 of 32 (each subband spans
+    // samplerate/64 Hz)
     val lines = new Array[Int](576)
     (54 until 72).foreach(i => lines(i) = if (i % 2 == 0) 1 else -1)
     val d = Mp3.decode(Mp3.encode(lines)).getOrElse(fail("decode failed"))
@@ -650,5 +784,39 @@ class MultimodalSpec extends AnyFunSuite {
       .map(_._2).sum
     assert(inBand / total > 0.5,
       s"only ${inBand / total} of PCM energy near subband 3")
+  }
+
+  test("golden vector: codebook-7 tone frame decodes to band-pure PCM at the scaled amplitude") {
+    import graft.multimodal.Mp3
+    // the r14 verdict's golden-vector ask: a tone through a CODEBOOK-7
+    // frame (encodeScaled region0 = table 7, lines 0..43) with real
+    // transmitted scalefactors. Subband 1 (lines 18..35, pretab 0 bands →
+    // scale 2^2): spectral must be EXACTLY ±4, and PCM energy must
+    // concentrate in subband 1's frequency band through the B.3 window.
+    val lines = new Array[Int](576)
+    (18 until 36).foreach(i => lines(i) = if (i % 2 == 0) 1 else -1)
+    val d = Mp3.decode(Mp3.encodeScaled(lines)).getOrElse(fail("decode failed"))
+    (18 until 36).foreach(i =>
+      assert(d.spectral(i) == (if (i % 2 == 0) 4.0 else -4.0),
+        s"line $i requantized to ${d.spectral(i)}"))
+    assert((0 until 576).filter(i => i < 18 || i >= 36).forall(d.spectral(_) == 0.0))
+    val n = d.pcm.length
+    val mags = (1 until n / 2).map { k =>
+      var re = 0.0; var im = 0.0; var t = 0
+      while (t < n) {
+        val a = 2.0 * math.Pi * k * t / n
+        re += d.pcm(t) * math.cos(a); im -= d.pcm(t) * math.sin(a)
+        t += 1
+      }
+      (k, re * re + im * im)
+    }
+    val total = mags.map(_._2).sum
+    assert(total > 0, "tone produced an all-zero PCM signal")
+    // subband 1 covers normalized frequency [1/64, 2/64); allow half a
+    // band of leakage each side
+    val inBand = mags.filter { case (k, _) => k >= n / 128 && k < n * 5 / 128 }
+      .map(_._2).sum
+    assert(inBand / total > 0.5,
+      s"only ${inBand / total} of PCM energy near subband 1")
   }
 }
