@@ -73,7 +73,11 @@ object MakeOrganicSF {
       word(h(concat(lit(s"og_${seed}_w_"), id, lit("_"), i))))
   }
 
-  def documents(spark: SparkSession, n: Long, seed: Long): DataFrame = {
+  /** With debug = true, two extra columns expose the planted structure
+    * for the generator-invariant specs (verdict r14 #3): `_kind` in
+    * (organic | near | exact) and `_base` (the base doc id a dup copies;
+    * = doc_id for organics). */
+  def documents(spark: SparkSession, n: Long, seed: Long, debug: Boolean): DataFrame = {
     val ids = spark.range(0, n, 1, 32).select(col("id").as("doc_id"))
     val cls = h(concat(lit(s"og_${seed}_cls_"), col("doc_id"))) % 1000
     // ~2% near-dup (one-token edit of base), ~0.2% exact dup of base;
@@ -102,12 +106,21 @@ object MakeOrganicSF {
     val editWord = word(h(concat(lit(s"og_${seed}_ew_"), col("doc_id"))))
     val edited = transform(toks, (w, i) => when(isNear && i === editPos, editWord).otherwise(w))
     val text = array_join(edited, " ")
-    ids.select(col("doc_id"), text.as("text"),
+    val outCols = ids.select(col("doc_id"), text.as("text"),
         element_at(array(Langs.map(lit): _*),
           (h(concat(lit(s"og_${seed}_lang_"), srcId)) % Langs.size).cast("int") + 1).as("lang"),
-        concat(lit("src"), h(concat(lit(s"og_${seed}_src_"), srcId)) % NSources).as("source"))
+        concat(lit("src"), h(concat(lit(s"og_${seed}_src_"), srcId)) % NSources).as("source"),
+        when(isNear, lit("near")).when(isExact, lit("exact"))
+          .otherwise(lit("organic")).as("_kind"),
+        base.as("_base"))
       .withColumn("n_chars", length(col("text")).cast("long"))
+    if (debug) outCols
+    else outCols.drop("_kind", "_base")
   }
+
+  /** Production signature (parquet schema = the driver tables'). */
+  def documents(spark: SparkSession, n: Long, seed: Long): DataFrame =
+    documents(spark, n, seed, debug = false)
 
   def embeddings(spark: SparkSession, n: Long, seed: Long): DataFrame = {
     val ids = spark.range(0, n, 1, 32).select(col("id").as("vec_id"))

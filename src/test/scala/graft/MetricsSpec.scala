@@ -348,6 +348,29 @@ class MetricsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(r.fieldIndex("t_yuen"))) < 1.96)
   }
 
+  test("Yuen trimmed t: tiny groups (h <= 1) yield explicit nulls, not divide-by-zero") {
+    import spark.implicits._
+    // n = 2 at gamma 0.2 → g = 1 → trimmed count h = 0: the when(h > 0/1)
+    // guards must surface NULL statistics (advice r13/verdict r14 #4)
+    // rather than an exception or a spurious ±Infinity
+    val df = Seq((1.0, true), (2.0, true), (10.0, false), (20.0, false),
+      (30.0, false), (40.0, false), (50.0, false)).toDF("v", "isA")
+    val r = graft.stats.Yuen.trimmedTest(df, col("v"), col("isA")).head()
+    assert(r.getLong(r.fieldIndex("n_a")) == 2)
+    assert(r.getLong(r.fieldIndex("g_a")) == 1)
+    assert(r.isNullAt(r.fieldIndex("trim_mean_a")), "h=0 trimmed mean must be NULL")
+    assert(r.isNullAt(r.fieldIndex("t_yuen")), "t with a degenerate side must be NULL")
+    assert(r.isNullAt(r.fieldIndex("df")))
+    // n = 3 → g = 1 → h = 1: the mean exists but the variance term must
+    // be NULL (h·(h−1) = 0)
+    val df3 = Seq((1.0, true), (2.0, true), (3.0, true), (10.0, false),
+      (20.0, false), (30.0, false), (40.0, false), (50.0, false)).toDF("v", "isA")
+    val r3 = graft.stats.Yuen.trimmedTest(df3, col("v"), col("isA")).head()
+    assert(r3.getLong(r3.fieldIndex("n_a")) == 3)
+    assert(r3.getDouble(r3.fieldIndex("trim_mean_a")) == 2.0, "h=1 keeps the median")
+    assert(r3.isNullAt(r3.fieldIndex("t_yuen")), "h=1 variance term must be NULL")
+  }
+
   test("Platt scaling recovers a planted sigmoid and descends the NLL") {
     import spark.implicits._
     // y drawn by md5-uniform threshold at P(y=1|f) = 1/(1+exp(2f+1)):
