@@ -29,9 +29,36 @@ object Dedup {
 
   /** MinHash parameters: numHashes signatures in bands of rowsPerBand. */
   final case class MinHashParams(numHashes: Int = 8, rowsPerBand: Int = 2, shingleK: Int = 3)
-  // 31-bit odd constants for the universal-hash family (a*H + b) mod P
-  private val A = Seq(1103515245L, 69069L, 1664525L, 22695477L, 134775813L, 214013L, 75L, 1103515247L)
-  private val B = Seq(12345L, 362437L, 1013904223L, 1L, 1L, 2531011L, 74L, 54321L)
+  // 31-bit constants for the universal-hash family (a*H + b) mod P — the
+  // first 8 pairs are frozen (every fixed-parameter oracle replays them);
+  // 12 more published LCG multipliers extend the family to 20 for the
+  // n-scaled [[autoParams]] depths (MINSTD/Lehmer/L'Ecuyer/RANDU/
+  // SIMSCRIPT/Fishman-Moore lineage — public constants)
+  private val A = Seq(1103515245L, 69069L, 1664525L, 22695477L, 134775813L,
+    214013L, 75L, 1103515247L,
+    16807L, 48271L, 69621L, 40692L, 65539L, 1566083941L, 1812433253L,
+    630360016L, 397204094L, 950706376L, 742938285L, 62089911L)
+  private val B = Seq(12345L, 362437L, 1013904223L, 1L, 1L, 2531011L, 74L, 54321L,
+    7L, 11L, 13L, 17L, 19L, 23L, 29L, 31L, 37L, 41L, 43L, 47L)
+
+  /** The n-SCALED MinHash-LSH parameter rule — the ann_lsh_auto
+    * discipline applied to the near-dup candidate stage. With FIXED
+    * bands (4 × 2 hashes), random band-collision mass grows ~n²·E[J²]:
+    * measured on the organic corpus, candidate pairs went 317k → 32.1 M
+    * for 50k → 500k docs (101× for 10× — the r15 second-decade curve).
+    * The published remedy (Leskovec/Rajaraman/Ullman §3.4 S-curve
+    * tuning) is to grow the band WIDTH r with n: random mass per band
+    * drops ~E[J]ᵣ (geometric) while true near-dups (J ≈ 0.9+) keep
+    * band-match probability high. Rule: r = 2 + ⌊log10(n/5000)⌋ clamped
+    * to [2, 5], bands fixed at 4, numHashes = 4r — so each decade of
+    * corpus growth adds one row per band, holding total candidate mass
+    * ~linear across the measured decades. Integer rule on the exact
+    * count, replayed by the oracle from its own count(*). */
+  def autoParams(n: Long): MinHashParams = {
+    val r = math.min(5, 2 + math.max(0,
+      math.floor(math.log10(math.max(1L, n) / 5000.0)).toInt))
+    MinHashParams(numHashes = 4 * r, rowsPerBand = r)
+  }
 
   /** (doc, shingle-hash) rows via explode + window-lead. Staged this way —
     * not as nested array lambdas — so the tokenizer and regex normalization
@@ -87,6 +114,12 @@ object Dedup {
       .select(col("l.doc").as("doc1"), col("r.doc").as("doc2"))
       .distinct()
   }
+
+  /** [[minhashCandidates]] under the n-scaled [[autoParams]] rule — the
+    * production candidate stage for growing corpora (one count() to
+    * derive the depth, then the identical band machinery). */
+  def minhashCandidatesAuto(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    minhashCandidates(df, textCol, idCol, autoParams(df.count()))
 
   /** SimHash bit width: 60 (all bits of the md5-derived hash — birthday
     * collisions at ~2³⁰ docs, vs ~300 for the earlier 16-bit variant). */

@@ -63,6 +63,18 @@ object TextQueries {
       Dedup.minhashCandidates(Tables.documents(s, d), "text", "doc_id")
         .orderBy("doc1", "doc2")
     },
+    "dedup_minhash_auto" -> { (s, d) =>
+      // n-SCALED LSH candidate stage (r15): band width r grows one row
+      // per corpus decade (4 bands × r hashes, r = 2 + ⌊log10(n/5000)⌋
+      // clamped [2,5]) — the published S-curve tuning that holds random
+      // band-collision mass ~linear where the fixed 4×2 layout measured
+      // 101× candidate growth for 10× docs on the organic corpus. The
+      // oracle derives the same r from its own count(*) and replays the
+      // generic signature via a 20-constant VALUES table. Full hash gate
+      // (r = 2 at sf0.01, r = 3 at sf0.1 — both depths driver-gated).
+      Dedup.minhashCandidatesAuto(Tables.documents(s, d), "text", "doc_id")
+        .orderBy("doc1", "doc2")
+    },
     "dedup_edit" -> { (s, d) =>
       // edit-distance-verified near-dup: LSH bands PROPOSE (the minhash
       // candidate machinery — Σ bucket², never n²), codegen levenshtein
@@ -1299,6 +1311,31 @@ object TextQueries {
          |FROM h GROUP BY doc_id ORDER BY doc""".stripMargin,
     "dedup_minhash_pairs" ->
       s"""WITH $minhashPairsCtes
+         |SELECT doc1::BIGINT AS doc1, doc2::BIGINT AS doc2
+         |FROM pr ORDER BY doc1, doc2""".stripMargin,
+    "dedup_minhash_auto" ->
+      s"""WITH n AS (SELECT doc_id, $normToks AS toks FROM documents),
+         |sh AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
+         |    THEN list_transform(range(0, len(toks)-2), i -> toks[i+1] || '_' || toks[i+2] || '_' || toks[i+3])
+         |    ELSE [] END) AS s FROM n),
+         |h AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647 AS hv FROM sh),
+         |prm AS (SELECT least(5, 2 + greatest(0,
+         |    floor(log10(greatest(1, (SELECT count(*) FROM documents)) / 5000.0))))::INT AS r),
+         |ab(i, a, b) AS (VALUES (0,1103515245,12345),(1,69069,362437),
+         |  (2,1664525,1013904223),(3,22695477,1),(4,134775813,1),(5,214013,2531011),
+         |  (6,75,74),(7,1103515247,54321),(8,16807,7),(9,48271,11),(10,69621,13),
+         |  (11,40692,17),(12,65539,19),(13,1566083941,23),(14,1812433253,29),
+         |  (15,630360016,31),(16,397204094,37),(17,950706376,41),(18,742938285,43),
+         |  (19,62089911,47)),
+         |sig AS (SELECT doc_id, ab.i AS i, min((ab.a*hv + ab.b) % 2147483647) AS mh
+         |  FROM h CROSS JOIN ab CROSS JOIN prm WHERE ab.i < 4*prm.r
+         |  GROUP BY doc_id, ab.i),
+         |bands AS (SELECT doc_id, (sig.i // prm.r) AS band,
+         |    string_agg(mh::VARCHAR, '_' ORDER BY sig.i) AS bkey
+         |  FROM sig CROSS JOIN prm GROUP BY doc_id, (sig.i // prm.r)),
+         |pr AS (SELECT DISTINCT l.doc_id AS doc1, r2.doc_id AS doc2
+         |  FROM bands l JOIN bands r2
+         |  ON l.band = r2.band AND l.bkey = r2.bkey AND l.doc_id < r2.doc_id)
          |SELECT doc1::BIGINT AS doc1, doc2::BIGINT AS doc2
          |FROM pr ORDER BY doc1, doc2""".stripMargin,
     "dedup_edit" ->
