@@ -2074,10 +2074,11 @@ object Multimodal {
         val n = d.spectral.length.toDouble
         val mean = d.spectral.sum / n
         val energy = d.spectral.map(x => x * x).sum / n
-        // sanity bound scaled to the r15 gate frame: |xr| ≤ 4 over 576
-        // lines through IMDCT (18-term sums) + 16-tap windowed synthesis
-        // stays well inside ±400; the bound only guards blowups
-        val pcmOk = d.pcm.forall(x => !x.isNaN && !x.isInfinite && math.abs(x) <= 400.0)
+        // sanity bound scaled to the r15 gate frame: the adversarial
+        // worst case over all byte patterns measures 423 (PcmBoundSpec —
+        // an all-ones document), so ±1000 tolerates every legitimate
+        // frame while still catching NaN/instability blowups
+        val pcmOk = d.pcm.forall(x => !x.isNaN && !x.isInfinite && math.abs(x) <= 1000.0)
         (d.sampleRate, d.bitrateKbps, d.nSamples, mean, energy, pcmOk)
       }.getOrElse((0, 0, 0, 0.0, 0.0, false))
     }

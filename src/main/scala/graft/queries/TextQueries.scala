@@ -84,9 +84,14 @@ object TextQueries {
       // cross-product must not re-pay the quadratic scan (measured: the
       // 10×-replicated sf1 corpus proposes 383× the pairs but only ~1×
       // the distinct text pairs); dup = length-normalized ratio ≤ 0.2 on
-      // the ROUNDED value
+      // the ROUNDED value. r15: the candidate stage runs the n-SCALED
+      // band rule (Dedup.autoParams) — the fixed 4×2 layout's random
+      // collisions measured 32.1 M candidates at 500k organic docs,
+      // enough to spill the verify join to death; the auto depth holds
+      // candidate mass ~linear (11.2k at 500k) with exact dups retained
+      // at every depth and ≥80% one-token near-dup recall
       val docs = Tables.documents(s, d)
-      val pairs = Dedup.minhashCandidates(docs, "text", "doc_id")
+      val pairs = Dedup.minhashCandidatesAuto(docs, "text", "doc_id")
       val norm = Dedup.normText(col("text"))
       val nt = docs.select(col("doc_id").cast("long").as("_id"),
         norm.as("_nt"), md5(norm).as("_h"))
@@ -748,6 +753,35 @@ object TextQueries {
        |pr AS (SELECT DISTINCT l.doc_id AS doc1, r.doc_id AS doc2
        | FROM bands l JOIN bands r ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id)""".stripMargin
 
+  /** The n-SCALED candidate CTEs (Dedup.autoParams replay): r derived
+    * from count(*), generic signature over the 20-constant family, band
+    * key = string_agg within i // r — ends at the same pr(doc1, doc2)
+    * shape as [[minhashPairsCtes]] so verify-stage oracles compose with
+    * either candidate discipline. */
+  private lazy val minhashAutoPairsCtes =
+    s"""n AS (SELECT doc_id, $normToks AS toks FROM documents),
+       |sh AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
+       |    THEN list_transform(range(0, len(toks)-2), i -> toks[i+1] || '_' || toks[i+2] || '_' || toks[i+3])
+       |    ELSE [] END) AS s FROM n),
+       |h AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647 AS hv FROM sh),
+       |prm AS (SELECT least(5, 2 + greatest(0,
+       |    floor(log10(greatest(1, (SELECT count(*) FROM documents)) / 5000.0))))::INT AS r),
+       |ab(i, a, b) AS (VALUES (0,1103515245,12345),(1,69069,362437),
+       |  (2,1664525,1013904223),(3,22695477,1),(4,134775813,1),(5,214013,2531011),
+       |  (6,75,74),(7,1103515247,54321),(8,16807,7),(9,48271,11),(10,69621,13),
+       |  (11,40692,17),(12,65539,19),(13,1566083941,23),(14,1812433253,29),
+       |  (15,630360016,31),(16,397204094,37),(17,950706376,41),(18,742938285,43),
+       |  (19,62089911,47)),
+       |sig AS (SELECT doc_id, ab.i AS i, min((ab.a*hv + ab.b) % 2147483647) AS mh
+       |  FROM h CROSS JOIN ab CROSS JOIN prm WHERE ab.i < 4*prm.r
+       |  GROUP BY doc_id, ab.i),
+       |bands AS (SELECT doc_id, (sig.i // prm.r) AS band,
+       |    string_agg(mh::VARCHAR, '_' ORDER BY sig.i) AS bkey
+       |  FROM sig CROSS JOIN prm GROUP BY doc_id, (sig.i // prm.r)),
+       |pr AS (SELECT DISTINCT l.doc_id AS doc1, r2.doc_id AS doc2
+       |  FROM bands l JOIN bands r2
+       |  ON l.band = r2.band AND l.bkey = r2.bkey AND l.doc_id < r2.doc_id)""".stripMargin
+
   /** CTE chain ending in `sg` (doc, 60-bit IDF-FILTERED simhash) —
     * distinct (doc, token) rows, df > n/2 tokens dropped, then the same
     * 60 per-bit sign-sums; mirrors Dedup.simhashIdf. */
@@ -1314,32 +1348,11 @@ object TextQueries {
          |SELECT doc1::BIGINT AS doc1, doc2::BIGINT AS doc2
          |FROM pr ORDER BY doc1, doc2""".stripMargin,
     "dedup_minhash_auto" ->
-      s"""WITH n AS (SELECT doc_id, $normToks AS toks FROM documents),
-         |sh AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
-         |    THEN list_transform(range(0, len(toks)-2), i -> toks[i+1] || '_' || toks[i+2] || '_' || toks[i+3])
-         |    ELSE [] END) AS s FROM n),
-         |h AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647 AS hv FROM sh),
-         |prm AS (SELECT least(5, 2 + greatest(0,
-         |    floor(log10(greatest(1, (SELECT count(*) FROM documents)) / 5000.0))))::INT AS r),
-         |ab(i, a, b) AS (VALUES (0,1103515245,12345),(1,69069,362437),
-         |  (2,1664525,1013904223),(3,22695477,1),(4,134775813,1),(5,214013,2531011),
-         |  (6,75,74),(7,1103515247,54321),(8,16807,7),(9,48271,11),(10,69621,13),
-         |  (11,40692,17),(12,65539,19),(13,1566083941,23),(14,1812433253,29),
-         |  (15,630360016,31),(16,397204094,37),(17,950706376,41),(18,742938285,43),
-         |  (19,62089911,47)),
-         |sig AS (SELECT doc_id, ab.i AS i, min((ab.a*hv + ab.b) % 2147483647) AS mh
-         |  FROM h CROSS JOIN ab CROSS JOIN prm WHERE ab.i < 4*prm.r
-         |  GROUP BY doc_id, ab.i),
-         |bands AS (SELECT doc_id, (sig.i // prm.r) AS band,
-         |    string_agg(mh::VARCHAR, '_' ORDER BY sig.i) AS bkey
-         |  FROM sig CROSS JOIN prm GROUP BY doc_id, (sig.i // prm.r)),
-         |pr AS (SELECT DISTINCT l.doc_id AS doc1, r2.doc_id AS doc2
-         |  FROM bands l JOIN bands r2
-         |  ON l.band = r2.band AND l.bkey = r2.bkey AND l.doc_id < r2.doc_id)
+      s"""WITH $minhashAutoPairsCtes
          |SELECT doc1::BIGINT AS doc1, doc2::BIGINT AS doc2
          |FROM pr ORDER BY doc1, doc2""".stripMargin,
     "dedup_edit" ->
-      s"""WITH $minhashPairsCtes,
+      s"""WITH $minhashAutoPairsCtes,
          |nt AS (SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
          |  FROM documents)
          |SELECT pr.doc1::BIGINT AS doc1, pr.doc2::BIGINT AS doc2,
