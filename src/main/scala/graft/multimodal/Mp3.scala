@@ -24,12 +24,22 @@ package graft.multimodal
   * the analysis→synthesis near-PR cascade measured in Mp3Spec, not just
   * sanity bounds).
   *
+  * Stream surface (r15): [[decodeStream]] sync-scans a whole stream and
+  * carries the BIT RESERVOIR (main_data_begin back-references across
+  * frames), and the header/side-info layer speaks both MPEG-1 and
+  * MPEG-2 LSF (ISO 13818-3: halved rates, one granule per frame, 9-bit
+  * scalefac_compress with the 4-group slen partition, no scfsi) — the
+  * real-world golden is the LAME 3.98.2 MPEG-2 stream shipped on this
+  * image (gsutil test data), whose 45 reservoir-using frames all decode
+  * to exact silence in MultimodalSpec.
+  *
   * DECLARED scope limits (the honest seams, like Multimodal.scala:47-58):
-  * mono only, long blocks only (window_switching_flag = 1 → None), no
-  * bit-reservoir (main_data_begin != 0 → None), MPEG-1 only (MPEG-2/2.5
-  * LSF headers → None). [[decode]] returns None — never throws — on any
-  * malformed, truncated, or unsupported input: the BitReader is
-  * bounds-checked (advice r14).
+  * mono only, long blocks only (window_switching_flag = 1 → None — no
+  * short/mixed blocks), no MPEG-2.5, no intensity/MS stereo; [[decode]]
+  * (single frame) refuses a nonzero main_data_begin unless the granules
+  * read zero main-data bits. decode/decodeStream return None/skip —
+  * never throw — on any malformed, truncated, or unsupported input:
+  * the BitReader is bounds-checked (advice r14).
   *
   * The hash gate ([[encodeScaled]]) emits frames whose quantized lines
   * lie in {−1, 0, +1} with global_gain = 218, preflag = 1 and
@@ -59,6 +69,45 @@ object Mp3 {
     case 0 => SfbLong44
     case 1 => SfbLong48
     case _ => SfbLong32
+  }
+  // MPEG-2 LSF (ISO/IEC 13818-3): halved sample rates, own bitrate
+  // table, 576 samples per frame (ONE granule), 8-bit main_data_begin,
+  // 9-bit scalefac_compress with the 4-group slen partition, no scfsi,
+  // no preflag bit (preflag implied by the sfc >= 500 partition)
+  private val BitratesLsf =
+    Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+  private val SampleRatesLsf = Array(22050, 24000, 16000)
+  private val SfbLong22 = Array(0, 6, 12, 18, 24, 30, 36, 44, 54, 66, 80, 96,
+    116, 140, 168, 200, 238, 284, 336, 396, 464, 522, 576)
+  private val SfbLong24 = Array(0, 6, 12, 18, 24, 30, 36, 44, 54, 66, 80, 96,
+    114, 136, 162, 194, 232, 278, 332, 394, 464, 540, 576)
+  private def sfbLongLsf(srIdx: Int): Array[Int] = srIdx match {
+    case 1 => SfbLong24
+    case _ => SfbLong22 // 22.05 and 16 kHz share the long-block edges
+  }
+  /** LSF long-block scalefactor layout: per-band slen + implied preflag
+    * from the 9-bit scalefac_compress (13818-3 partition rule). */
+  private def lsfSlen(sfc: Int): (Array[Int], Int) = {
+    val (slens, nrs, pre) =
+      if (sfc < 400)
+        (Array((sfc >> 4) / 5, (sfc >> 4) % 5, (sfc & 15) >> 2, sfc & 3),
+          Array(6, 5, 5, 5), 0)
+      else if (sfc < 500) {
+        val t = sfc - 400
+        (Array((t >> 2) / 5, (t >> 2) % 5, t & 3, 0), Array(6, 5, 7, 3), 0)
+      } else {
+        val t = sfc - 500
+        (Array(t / 3, t % 3, 0, 0), Array(11, 10, 0, 0), 1)
+      }
+    val perBand = new Array[Int](21)
+    var b = 0
+    var g = 0
+    while (g < 4) {
+      var k = 0
+      while (k < nrs(g)) { perBand(b) = slens(g); b += 1; k += 1 }
+      g += 1
+    }
+    (perBand, pre)
   }
   // preemphasis table (Annex B Table B.6), long-block bands 0..20
   val Pretab =
@@ -279,55 +328,135 @@ object Mp3 {
     * spec-exact layer the gate hashes); `pcm` is the full 1152-sample
     * transform-chain output through the Table B.3 window. */
   def decode(bytes: Array[Byte]): Option[Decoded] =
-    try decodeImpl(bytes)
+    try decodeImpl(bytes, None)
     catch { case _: Malformed | _: ArrayIndexOutOfBoundsException => None }
 
-  private def decodeImpl(bytes: Array[Byte]): Option[Decoded] = {
+  /** Decode a whole mono Layer III stream with the BIT RESERVOIR
+    * (main_data_begin back-references into prior frames' main data —
+    * the r14/r15-declared single-frame limitation, now real for
+    * streams): sync-scan frames, carry the rolling main-data reservoir,
+    * decode each frame against it. Frames that cannot decode
+    * (reservoir underrun at stream start, unsupported shape, malformed)
+    * are skipped; their main data still feeds the reservoir so later
+    * frames stay aligned. */
+  def decodeStream(bytes: Array[Byte], maxFrames: Int = 10000): Seq[Decoded] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Decoded]
+    var res = Array.emptyByteArray
+    var o = 0
+    var frames = 0
+    while (o < bytes.length - 4 && frames < maxFrames) {
+      val fl = frameShape(bytes, o)
+      if (fl == null) o += 1
+      else {
+        val (frameLen, sideEnd) = (fl(0), fl(1))
+        frames += 1
+        val frame = bytes.slice(o, math.min(o + frameLen, bytes.length))
+        (try decodeImpl(frame, Some(res))
+         catch { case _: Malformed | _: ArrayIndexOutOfBoundsException => None })
+          .foreach(out += _)
+        if (frame.length > sideEnd)
+          res = (res ++ frame.drop(sideEnd)).takeRight(512)
+        o += math.max(frameLen, 1)
+      }
+    }
+    out.toSeq
+  }
+
+  /** (frameLength, sideInfoEnd) of a syncable mono Layer III frame at
+    * `off`, or null when the four header bytes don't parse. */
+  private def frameShape(bytes: Array[Byte], off: Int): Array[Int] = {
+    if ((bytes(off) & 0xff) != 0xff || (bytes(off + 1) & 0xe0) != 0xe0) return null
+    val id = (bytes(off + 1) >> 3) & 3
+    val layer = (bytes(off + 1) >> 1) & 3
+    if ((id != 3 && id != 2) || layer != 1) return null
+    val lsf = id == 2
+    val brIdx = (bytes(off + 2) >> 4) & 15
+    val srIdx = (bytes(off + 2) >> 2) & 3
+    val pad = (bytes(off + 2) >> 1) & 1
+    if (brIdx == 0 || brIdx == 15 || srIdx == 3) return null
+    val sr = if (lsf) SampleRatesLsf(srIdx) else SampleRates(srIdx)
+    val br = if (lsf) BitratesLsf(brIdx) else Bitrates(brIdx)
+    val crc = if ((bytes(off + 1) & 1) == 0) 2 else 0
+    val frameLen = (if (lsf) 72 else 144) * br * 1000 / sr + pad
+    Array(frameLen, 4 + crc + (if (lsf) 9 else 17))
+  }
+
+  private def decodeImpl(bytes: Array[Byte], reservoir: Option[Array[Byte]]): Option[Decoded] = {
     if (bytes.length < 21) return None
     if ((bytes(0) & 0xff) != 0xff || (bytes(1) & 0xe0) != 0xe0) return None
     val id = (bytes(1) >> 3) & 3
     val layer = (bytes(1) >> 1) & 3
-    if (id != 3 || layer != 1) return None // MPEG-1 Layer III only
+    // MPEG-1 (id 3) and MPEG-2 LSF (id 2) Layer III; MPEG-2.5 (id 0) out
+    if ((id != 3 && id != 2) || layer != 1) return None
+    val lsf = id == 2
     val brIdx = (bytes(2) >> 4) & 15
     val srIdx = (bytes(2) >> 2) & 3
     val mode = (bytes(3) >> 6) & 3
     if (brIdx == 0 || brIdx == 15 || srIdx == 3 || mode != 3) return None
     val protection = bytes(1) & 1
-    val sr = SampleRates(srIdx)
-    val br = Bitrates(brIdx)
-    val sfb = sfbLong(srIdx)
+    val sr = if (lsf) SampleRatesLsf(srIdx) else SampleRates(srIdx)
+    val br = if (lsf) BitratesLsf(brIdx) else Bitrates(brIdx)
+    val sfb = if (lsf) sfbLongLsf(srIdx) else sfbLong(srIdx)
     val r = new BitReader(bytes, 32 + (if (protection == 0) 16 else 0))
-    // side info (mono)
-    val mainDataBegin = r.get(9)
-    if (mainDataBegin != 0) return None // no bit-reservoir support (declared)
-    r.get(5) // private bits
-    val scfsi = Array(r.get(1), r.get(1), r.get(1), r.get(1))
+    // side info (mono): MPEG-1 = 17 bytes, 2 granules; LSF = 9 bytes, 1
+    val mainDataBegin = r.get(if (lsf) 8 else 9)
+    r.get(if (lsf) 1 else 5) // private bits
+    val scfsi =
+      if (lsf) Array(0, 0, 0, 0) // no scfsi in LSF (single granule)
+      else Array(r.get(1), r.get(1), r.get(1), r.get(1))
     final case class Gr(part23: Int, bigValues: Int, globalGain: Int,
-                        sfCompress: Int, tables: Array[Int], r0: Int, r1: Int,
-                        preflag: Int, sfScale: Int, count1B: Boolean)
+                        tables: Array[Int], r0: Int, r1: Int,
+                        slenOf: Int => Int, preflag: Int, sfScale: Int,
+                        count1B: Boolean)
     def readGr(): Option[Gr] = {
       val part23 = r.get(12); val bv = r.get(9); val gg = r.get(8)
-      val sfc = r.get(4)
+      val sfc = r.get(if (lsf) 9 else 4)
       val wsf = r.get(1)
       if (wsf != 0) return None // long blocks only (declared)
       val t = Array(r.get(5), r.get(5), r.get(5))
       val r0 = r.get(4); val r1 = r.get(3)
-      val pre = r.get(1)
+      val (slenOf, pre) =
+        if (lsf) {
+          val (perBand, p) = lsfSlen(sfc)
+          ((b: Int) => perBand(b), p)
+        } else {
+          val (slen1, slen2) = SlenTab(sfc)
+          val p = r.get(1)
+          ((b: Int) => if (b < 11) slen1 else slen2, p)
+        }
       val sfs = r.get(1)
       val c1b = r.get(1) == 1
       if (bv > 288) return None
-      Some(Gr(part23, bv, gg, sfc, t, r0, r1, pre, sfs, c1b))
+      Some(Gr(part23, bv, gg, t, r0, r1, slenOf, pre, sfs, c1b))
     }
     val g0 = readGr().getOrElse(return None)
-    val g1 = readGr().getOrElse(return None)
+    val g1 = if (lsf) g0 else readGr().getOrElse(return None)
+    // bit reservoir: a nonzero main_data_begin needs bytes from PRIOR
+    // frames. In stream mode the caller supplies the rolling reservoir
+    // and the granule reader starts mainDataBegin bytes back; in
+    // single-frame mode it is only decodable when the granules read zero
+    // main-data bits (part2_3_length = 0: digital silence, common in
+    // LAME streams), where the reservoir pointer is irrelevant
+    val part23Sum = g0.part23 + (if (lsf) 0 else g1.part23)
+    val gr: BitReader = reservoir match {
+      case Some(res) =>
+        if (mainDataBegin > res.length) return None // underrun (stream head)
+        val sideEnd = r.pos >> 3
+        val src = res.takeRight(mainDataBegin) ++ bytes.drop(sideEnd)
+        new BitReader(src, 0)
+      case None =>
+        if (mainDataBegin != 0 && part23Sum > 0) return None
+        r
+    }
 
     // main data immediately follows side info (main_data_begin = 0)
     def decodeGranule(g: Gr, prevSf: Array[Int], gi: Int): Option[(Array[Double], Array[Int])] = {
-      val endBit = r.pos + g.part23
-      val (slen1, slen2) = SlenTab(g.sfCompress)
-      // long-block scalefactors: bands 0..10 slen1 bits, 11..20 slen2;
-      // scfsi group g (bands 0-5 / 6-10 / 11-15 / 16-20) set → granule 1
-      // reuses granule 0's values and transmits nothing for the group
+      val endBit = gr.pos + g.part23
+      // long-block scalefactors: per-band widths from the mode's slen
+      // layout (MPEG-1: slen1/slen2 split at band 11; LSF: the 4-group
+      // partition); MPEG-1 scfsi group g (bands 0-5 / 6-10 / 11-15 /
+      // 16-20) set → granule 1 reuses granule 0's values and transmits
+      // nothing for the group
       val scfsiStart = Array(0, 6, 11, 16, 21)
       val sf = new Array[Int](22)
       var grp = 0
@@ -336,7 +465,7 @@ object Mp3 {
         var b = scfsiStart(grp)
         while (b < scfsiStart(grp + 1)) {
           if (reuse) sf(b) = prevSf(b)
-          else sf(b) = r.get(if (b < 11) slen1 else slen2)
+          else sf(b) = gr.get(g.slenOf(b))
           b += 1
         }
         grp += 1
@@ -354,13 +483,13 @@ object Mp3 {
             if (tid != 0) return None // ids 4/14 are reserved in the spec
             is(l) = 0; is(l + 1) = 0
           case Some(cb) =>
-            val e = readCode(r, cb)
+            val e = readCode(gr, cb)
             var x = e / cb.ylen; var y = e % cb.ylen
             // ESC: value 15 extends by linbits, then the sign bit
-            if (x == 15 && cb.linbits > 0) x += r.get(cb.linbits)
-            if (x != 0 && r.get(1) == 1) x = -x
-            if (y == 15 && cb.linbits > 0) y += r.get(cb.linbits)
-            if (y != 0 && r.get(1) == 1) y = -y
+            if (x == 15 && cb.linbits > 0) x += gr.get(cb.linbits)
+            if (x != 0 && gr.get(1) == 1) x = -x
+            if (y == 15 && cb.linbits > 0) y += gr.get(cb.linbits)
+            if (y != 0 && gr.get(1) == 1) y = -y
             is(l) = x; is(l + 1) = y
         }
         l += 2
@@ -368,19 +497,19 @@ object Mp3 {
       // count1 region: quadruples while part2_3 bits remain (both spec
       // tables: A = Huffman code over the 16 quad patterns, B = 4-bit
       // one's-complement)
-      while (r.remaining(endBit) > 0 && l + 4 <= 576) {
+      while (gr.remaining(endBit) > 0 && l + 4 <= 576) {
         val q =
-          if (g.count1B) (~r.get(4)) & 15
-          else readCode(r, Mp3Tables.count1A)
+          if (g.count1B) (~gr.get(4)) & 15
+          else readCode(gr, Mp3Tables.count1A)
         var k = 0
         while (k < 4) {
           val v = (q >> (3 - k)) & 1
-          is(l + k) = if (v != 0 && r.remaining(endBit) > 0 && r.get(1) == 1) -v else v
+          is(l + k) = if (v != 0 && gr.remaining(endBit) > 0 && gr.get(1) == 1) -v else v
           k += 1
         }
         l += 4
       }
-      r.pos = endBit
+      gr.pos = endBit
       // requantization (§2.4.3.4): xr = sign·|is|^(4/3)
       //   · 2^((global_gain−210)/4)
       //   · 2^(−mult·(scalefac_l(b) + preflag·pretab(b))),
@@ -413,12 +542,19 @@ object Mp3 {
       Some((xr, sf))
     }
     val (xr0, sf0) = decodeGranule(g0, new Array[Int](22), 0).getOrElse(return None)
-    val (xr1, _) = decodeGranule(g1, sf0, 1).getOrElse(return None)
-    val pcm = new Array[Double](1152)
     val st = new SynthState
-    synthGranule(xr0, st, pcm, 0)
-    synthGranule(xr1, st, pcm, 576)
-    Some(Decoded(sr, br, 1152, xr0, pcm))
+    if (lsf) {
+      // LSF frames carry ONE granule = 576 samples
+      val pcm = new Array[Double](576)
+      synthGranule(xr0, st, pcm, 0)
+      Some(Decoded(sr, br, 576, xr0, pcm))
+    } else {
+      val (xr1, _) = decodeGranule(g1, sf0, 1).getOrElse(return None)
+      val pcm = new Array[Double](1152)
+      synthGranule(xr0, st, pcm, 0)
+      synthGranule(xr1, st, pcm, 576)
+      Some(Decoded(sr, br, 1152, xr0, pcm))
+    }
   }
 
   /** Per-stream synthesis state: IMDCT overlap tails + polyphase V. */

@@ -741,21 +741,62 @@ class MultimodalSpec extends AnyFunSuite {
     // a truncated valid frame must return None, not throw
     val frame = Mp3.encode(Array.fill(576)(1))
     assert(Mp3.decode(frame.take(40)).isEmpty)
-    // real-world golden: a LAME-encoded MPEG-2 LSF stream (gsutil test
-    // data, present on this image) — out of declared scope, so every
-    // sync offset must decode to None WITHOUT throwing
+    // real-world golden: probing decode() at EVERY byte offset of a real
+    // LAME-encoded MPEG-2 LSF stream must never throw (the dedicated
+    // decode specs assert the frames themselves decode)
     val f = new java.io.File(
       "/usr/lib/google-cloud-sdk/platform/gsutil/gslib/tests/test_data/test.mp3")
     if (f.exists) {
       val bytes = java.nio.file.Files.readAllBytes(f.toPath)
-      var hits = 0
-      for (o <- 0 until bytes.length - 4
-           if (bytes(o) & 0xff) == 0xff && (bytes(o + 1) & 0xe0) == 0xe0) {
-        assert(Mp3.decode(bytes.drop(o)).isEmpty, s"MPEG-2 LSF at $o is out of scope")
-        hits += 1
-      }
-      assert(hits > 0, "no sync patterns found in the golden stream")
+      for (o <- 0 until bytes.length - 4) Mp3.decode(bytes.drop(o))
     }
+  }
+
+  test("REAL-WORLD golden: the LAME-encoded MPEG-2 LSF stream on this image decodes") {
+    import graft.multimodal.Mp3
+    // a stream produced by an actual encoder (LAME 3.98.2 via Lavf,
+    // gsutil test data): 45 frames of digital silence at 22.05 kHz
+    // mono, 64 kbps, using the bit reservoir. Every frame must decode
+    // through the LSF header/side-info/slen-partition path to EXACTLY
+    // silent PCM — external validation no self-encoded vector provides.
+    val f = new java.io.File(
+      "/usr/lib/google-cloud-sdk/platform/gsutil/gslib/tests/test_data/test.mp3")
+    assume(f.exists, "golden stream not present")
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    val frames = Mp3.decodeStream(bytes)
+    assert(frames.length == 45, s"expected 45 frames, decoded ${frames.length}")
+    assert(frames.forall(d => d.sampleRate == 22050 && d.bitrateKbps == 64 &&
+      d.nSamples == 576))
+    assert(frames.forall(_.pcm.forall(_ == 0.0)), "silence must decode to exact zeros")
+  }
+
+  test("bit reservoir: main data split across frames reassembles exactly") {
+    import graft.multimodal.Mp3
+    // craft a 2-frame MPEG-1 stream where frame 2's first 100 main-data
+    // bytes live in frame 1's padding (main_data_begin = 100) — the
+    // decodeStream reservoir must reassemble the granule bit-exactly
+    val rnd = new scala.util.Random(21)
+    val lines1 = Array.fill(576)(rnd.nextInt(3) - 1)
+    val lines2 = Array.fill(576)(rnd.nextInt(3) - 1)
+    val f1 = Mp3.encode(lines1)
+    val f2 = Mp3.encode(lines2)
+    val n = 100
+    val f1mod = f1.clone()
+    System.arraycopy(f2, 21, f1mod, f1.length - n, n) // f2 main-data head → f1 tail
+    val f2mod = new Array[Byte](f2.length)
+    System.arraycopy(f2, 0, f2mod, 0, 21)
+    System.arraycopy(f2, 21 + n, f2mod, 21, f2.length - 21 - n) // shifted main data
+    f2mod(4) = (n >> 1).toByte // main_data_begin: first 9 side-info bits
+    f2mod(5) = ((f2(5) & 0x7f) | ((n & 1) << 7)).toByte
+    // single-frame decode of the relocated frame must REFUSE (honest
+    // None — its data is not in the frame)…
+    assert(Mp3.decode(f2mod).isEmpty, "reservoir frame must not single-frame decode")
+    // …while the stream decode reassembles both frames bit-exactly
+    val frames = Mp3.decodeStream(f1mod ++ f2mod)
+    assert(frames.length == 2, s"decoded ${frames.length} of 2")
+    assert(frames(0).spectral.map(_.toInt).sameElements(lines1))
+    assert(frames(1).spectral.map(_.toInt).sameElements(lines2),
+      "reservoir-reassembled granule differs")
   }
 
   test("mp3 single-subband tone concentrates PCM energy in that subband's band") {
