@@ -33,9 +33,15 @@ package graft.multimodal
   * image (gsutil test data), whose 45 reservoir-using frames all decode
   * to exact silence in MultimodalSpec.
   *
+  * Window switching (r15): block_type 1/2/3 decode for real — the
+  * start/stop hybrid windows (§2.4.3.4.10.3 piecewise shapes) and SHORT
+  * blocks (three 12-point IMDCTs per subband over the reordered
+  * xr(3f+w) triplets at 50% overlap, per-window subblock_gain in the
+  * requantizer, the Table B.8 short band edges, no alias reduction).
+  *
   * DECLARED scope limits (the honest seams, like Multimodal.scala:47-58):
-  * mono only, long blocks only (window_switching_flag = 1 → None — no
-  * short/mixed blocks), no MPEG-2.5, no intensity/MS stereo; [[decode]]
+  * mono only, no mixed blocks (mixed_block_flag = 1 → None), no LSF
+  * short blocks, no MPEG-2.5, no intensity/MS stereo; [[decode]]
   * (single frame) refuses a nonzero main_data_begin unless the granules
   * read zero main-data bits. decode/decodeStream return None/skip —
   * never throw — on any malformed, truncated, or unsupported input:
@@ -81,6 +87,20 @@ object Mp3 {
     116, 140, 168, 200, 238, 284, 336, 396, 464, 522, 576)
   private val SfbLong24 = Array(0, 6, 12, 18, 24, 30, 36, 44, 54, 66, 80, 96,
     114, 136, 162, 194, 232, 278, 332, 394, 464, 540, 576)
+  // short-block scalefactor band edges per MPEG-1 sample rate (Table
+  // B.8, 13 bands per window, last edge 192): 12 coded bands + the
+  // uncoded remainder band
+  val SfbShort44 =
+    Array(0, 4, 8, 12, 16, 22, 30, 40, 52, 66, 84, 106, 136, 192)
+  private val SfbShort48 =
+    Array(0, 4, 8, 12, 16, 22, 28, 38, 50, 64, 80, 100, 126, 192)
+  private val SfbShort32 =
+    Array(0, 4, 8, 12, 16, 22, 30, 42, 58, 78, 104, 138, 180, 192)
+  private def sfbShort(srIdx: Int): Array[Int] = srIdx match {
+    case 0 => SfbShort44
+    case 1 => SfbShort48
+    case _ => SfbShort32
+  }
   private def sfbLongLsf(srIdx: Int): Array[Int] = srIdx match {
     case 1 => SfbLong24
     case _ => SfbLong22 // 22.05 and 16 kHz share the long-block edges
@@ -207,28 +227,38 @@ object Mp3 {
   def encodeFrame(lines: Array[Int], tables: (Int, Int, Int),
                                       globalGain: Int, preflag: Boolean,
                                       bigValues: Int = 288,
-                                      count1TableA: Boolean = false): Array[Byte] = {
+                                      count1TableA: Boolean = false,
+                                      blockType: Int = 0): Array[Byte] = {
     require(lines.length == 576, s"need 576 lines, got ${lines.length}")
     require(bigValues >= 0 && bigValues <= 288 && bigValues % 2 == 0)
+    require(blockType == 0 || !preflag, "preflag frames are long-block only here")
     val tabIds = Array(tables._1, tables._2, tables._3)
-    val cbs = tabIds.map(id => Mp3Tables.byId(id).getOrElse(
-      throw new IllegalArgumentException(s"unused codebook id $id")))
+    // table 0 = the spec's zero region (no bits on the wire); reserved
+    // ids 4/14 are rejected
+    val cbs = tabIds.map { id =>
+      require(id != 4 && id != 14, s"reserved codebook id $id")
+      Mp3Tables.byId(id).orNull
+    }
     val sfCompress = if (preflag) 2 else 0
     val (slen1, slen2) = SlenTab(sfCompress)
     val g0 = new BitWriter
-    // scalefactors: bands 0..10 slen1 bits, 11..20 slen2 bits
-    var b = 0
-    while (b < 21) {
-      val sf = if (preflag) Pretab(b) else 0
-      g0.put(sf, if (b < 11) slen1 else slen2)
-      b += 1
+    // scalefactors: zero bits at sfCompress 0 (short frames always use
+    // it here); long preflag frames transmit pretab at slen (0, 2)
+    if (blockType != 2) {
+      var b = 0
+      while (b < 21) {
+        val sf = if (preflag) Pretab(b) else 0
+        g0.put(sf, if (b < 11) slen1 else slen2)
+        b += 1
+      }
     }
-    // big-values pairs through the per-region codebook
+    // big-values pairs through the per-region codebook; with window
+    // switching the region split is the decoder's implied 36/576.
     // region1_count is a 3-BIT side-info field: the old 11 silently
     // truncated to 3 and desynced any frame whose tables differ across
     // the phantom boundary (caught by the r15 mixed-codebook specs)
-    val reg1Start = SfbLong44(9)   // region0_count = 8 → 9 bands
-    val reg2Start = SfbLong44(17)  // + region1_count = 7 → 17 bands
+    val reg1Start = if (blockType != 0) 36 else SfbLong44(9)
+    val reg2Start = if (blockType != 0) 576 else SfbLong44(17)
     def putVal(cb: Mp3Tables.Codebook, v: Int): Int = {
       // returns the magnitude SYMBOL (possibly the ESC marker 15)
       val a = math.abs(v)
@@ -240,6 +270,11 @@ object Mp3 {
     while (p < bigValues) {
       val l = 2 * p
       val cb = cbs(if (l < reg1Start) 0 else if (l < reg2Start) 1 else 2)
+      if (cb == null) {
+        require(lines(l) == 0 && lines(l + 1) == 0,
+          "table-0 region carries only zeros")
+        p += 1
+      } else {
       val x = putVal(cb, lines(l)); val y = putVal(cb, lines(l + 1))
       val idx = x * cb.ylen + y
       g0.put(cb.hcod(idx), cb.hlen(idx))
@@ -248,6 +283,7 @@ object Mp3 {
       if (y == 15 && cb.linbits > 0) g0.put(math.abs(lines(l + 1)) - 15, cb.linbits)
       if (y != 0) g0.put(if (lines(l + 1) < 0) 1 else 0, 1)
       p += 1
+      }
     }
     // count1 tail: quadruples in {-1,0,1} through the selected spec
     // table (A: Huffman over the 16 patterns; B: 4-bit one's complement)
@@ -286,9 +322,16 @@ object Mp3 {
     def putGranule(part23: Int, bigValues: Int): Unit = {
       w.put(part23, 12); w.put(bigValues, 9); w.put(globalGain, 8)
       w.put(sfCompress, 4)
-      w.put(0, 1) // window_switching_flag = 0 (long blocks)
-      w.put(tabIds(0), 5); w.put(tabIds(1), 5); w.put(tabIds(2), 5)
-      w.put(8, 4); w.put(7, 3) // region0_count / region1_count
+      if (blockType == 0) {
+        w.put(0, 1) // window_switching_flag = 0 (long blocks)
+        w.put(tabIds(0), 5); w.put(tabIds(1), 5); w.put(tabIds(2), 5)
+        w.put(8, 4); w.put(7, 3) // region0_count / region1_count
+      } else {
+        w.put(1, 1) // window_switching_flag
+        w.put(blockType, 2); w.put(0, 1) // block_type, mixed = 0
+        w.put(tabIds(0), 5); w.put(tabIds(1), 5)
+        w.put(0, 3); w.put(0, 3); w.put(0, 3) // subblock_gain = 0
+      }
       w.put(if (preflag) 1 else 0, 1)
       w.put(0, 1) // scalefac_scale = 0 (multiplier 1/2)
       w.put(if (count1TableA) 0 else 1, 1) // count1 table select
@@ -309,6 +352,18 @@ object Mp3 {
     * Public for the per-codebook round-trip specs. */
   def codebookCapacity(id: Int): Option[Int] = Mp3Tables.byId(id).map(cb =>
     cb.xlen - 1 + (if (cb.linbits > 0) (1 << cb.linbits) - 1 else 0))
+
+  /** SHORT-block frame for the specs (window_switching, block_type 2):
+    * `lines` are given in the bitstream's HUFFMAN order (band-major:
+    * band b's window-0 values, then window 1's, window 2's); the
+    * decoder reorders them into the frequency-interleaved xr(3f+w)
+    * layout. All scalefactors/subblock gains zero, gg = 210 →
+    * requantization is the identity on {−1, 0, +1}. blockType 1/3
+    * (start/stop) emit window-switching LONG frames. */
+  def encodeShort(lines: Array[Int], tables: (Int, Int) = (7, 10),
+                  blockType: Int = 2): Array[Byte] =
+    encodeFrame(lines, (tables._1, tables._2, 0), globalGain = 210,
+      preflag = false, blockType = blockType)
 
   /** Frame encode for the per-codebook specs: one table everywhere. */
   def encodeWithTable(lines: Array[Int], tableId: Int,
@@ -404,30 +459,47 @@ object Mp3 {
     val scfsi =
       if (lsf) Array(0, 0, 0, 0) // no scfsi in LSF (single granule)
       else Array(r.get(1), r.get(1), r.get(1), r.get(1))
+    // blockType: 0 = normal long; 1 = start; 2 = SHORT (3 windows);
+    // 3 = stop. sbg = subblock_gain per short window.
     final case class Gr(part23: Int, bigValues: Int, globalGain: Int,
                         tables: Array[Int], r0: Int, r1: Int,
                         slenOf: Int => Int, preflag: Int, sfScale: Int,
-                        count1B: Boolean)
+                        count1B: Boolean, blockType: Int, sbg: Array[Int])
     def readGr(): Option[Gr] = {
       val part23 = r.get(12); val bv = r.get(9); val gg = r.get(8)
       val sfc = r.get(if (lsf) 9 else 4)
       val wsf = r.get(1)
-      if (wsf != 0) return None // long blocks only (declared)
-      val t = Array(r.get(5), r.get(5), r.get(5))
-      val r0 = r.get(4); val r1 = r.get(3)
+      val (t, r0, r1, bt, sbg) =
+        if (wsf == 0) {
+          val t = Array(r.get(5), r.get(5), r.get(5))
+          (t, r.get(4), r.get(3), 0, Array(0, 0, 0))
+        } else {
+          // window-switching side info: block_type, mixed_block_flag,
+          // TWO table selects, three subblock gains; region boundaries
+          // are implied (region0 = 36 lines, region1 = the rest)
+          val bt = r.get(2)
+          val mixed = r.get(1)
+          if (bt == 0) return None        // reserved with wsf = 1
+          if (mixed == 1) return None     // mixed blocks: declared seam
+          if (lsf && bt == 2) return None // LSF short: declared seam
+          val t = Array(r.get(5), r.get(5), 0)
+          val sbg = Array(r.get(3), r.get(3), r.get(3))
+          (t, -1, -1, bt, sbg)
+        }
       val (slenOf, pre) =
         if (lsf) {
           val (perBand, p) = lsfSlen(sfc)
           ((b: Int) => perBand(b), p)
         } else {
           val (slen1, slen2) = SlenTab(sfc)
-          val p = r.get(1)
-          ((b: Int) => if (b < 11) slen1 else slen2, p)
+          val p = r.get(1) // preflag (always present in MPEG-1)
+          val split = if (bt == 2) 6 else 11 // short: 12 bands split at 6
+          ((b: Int) => if (b < split) slen1 else slen2, p)
         }
       val sfs = r.get(1)
       val c1b = r.get(1) == 1
       if (bv > 288) return None
-      Some(Gr(part23, bv, gg, t, r0, r1, slenOf, pre, sfs, c1b))
+      Some(Gr(part23, bv, gg, t, r0, r1, slenOf, pre, sfs, c1b, bt, sbg))
     }
     val g0 = readGr().getOrElse(return None)
     val g1 = if (lsf) g0 else readGr().getOrElse(return None)
@@ -449,6 +521,7 @@ object Mp3 {
         r
     }
 
+    val sfbS = sfbShort(srIdx)
     // main data immediately follows side info (main_data_begin = 0)
     def decodeGranule(g: Gr, prevSf: Array[Int], gi: Int): Option[(Array[Double], Array[Int])] = {
       val endBit = gr.pos + g.part23
@@ -459,21 +532,35 @@ object Mp3 {
       // nothing for the group
       val scfsiStart = Array(0, 6, 11, 16, 21)
       val sf = new Array[Int](22)
-      var grp = 0
-      while (grp < 4) {
-        val reuse = gi == 1 && scfsi(grp) == 1
-        var b = scfsiStart(grp)
-        while (b < scfsiStart(grp + 1)) {
-          if (reuse) sf(b) = prevSf(b)
-          else sf(b) = gr.get(g.slenOf(b))
+      // short blocks: 12 bands x 3 windows, read band-major (spec order
+      // sfb 0..11, window 0..2); scfsi never applies to short granules
+      val sfS = Array.ofDim[Int](12, 3)
+      if (g.blockType == 2) {
+        var b = 0
+        while (b < 12) {
+          var w = 0
+          while (w < 3) { sfS(b)(w) = gr.get(g.slenOf(b)); w += 1 }
           b += 1
         }
-        grp += 1
+      } else {
+        var grp = 0
+        while (grp < 4) {
+          val reuse = gi == 1 && scfsi(grp) == 1
+          var b = scfsiStart(grp)
+          while (b < scfsiStart(grp + 1)) {
+            if (reuse) sf(b) = prevSf(b)
+            else sf(b) = gr.get(g.slenOf(b))
+            b += 1
+          }
+          grp += 1
+        }
       }
       val is = new Array[Int](576)
-      // big-values region split by scalefactor-band edges
-      val reg1Start = sfb(math.min(g.r0 + 1, 22))
-      val reg2Start = sfb(math.min(g.r0 + g.r1 + 2, 22))
+      // big-values region split by scalefactor-band edges; with window
+      // switching the split is IMPLIED: region0 = 36 lines, region1 =
+      // the rest (table_select has only two entries)
+      val reg1Start = if (g.blockType != 0) 36 else sfb(math.min(g.r0 + 1, 22))
+      val reg2Start = if (g.blockType != 0) 576 else sfb(math.min(g.r0 + g.r1 + 2, 22))
       var l = 0
       val bvEnd = 2 * g.bigValues
       while (l < bvEnd) {
@@ -511,33 +598,60 @@ object Mp3 {
       }
       gr.pos = endBit
       // requantization (§2.4.3.4): xr = sign·|is|^(4/3)
-      //   · 2^((global_gain−210)/4)
-      //   · 2^(−mult·(scalefac_l(b) + preflag·pretab(b))),
-      // mult = (scalefac_scale+1)/2
-      val gain = math.pow(2.0, (g.globalGain - 210) / 4.0)
+      //   · 2^((global_gain−210−8·subblock_gain(w))/4)
+      //   · 2^(−mult·scalefac), mult = (scalefac_scale+1)/2;
+      // long scalefac adds preflag·pretab(b)
       val mult = (g.sfScale + 1) * 0.5
-      val bandScale = new Array[Double](22)
-      var b = 0
-      while (b < 22) {
-        val s = if (b < 21) sf(b) + g.preflag * Pretab(b) else 0
-        bandScale(b) = gain * math.pow(2.0, -mult * s)
-        b += 1
-      }
-      val lineBand = new Array[Int](576)
-      b = 0
-      var i = 0
-      while (i < 576) {
-        if (i >= sfb(b + 1)) b += 1
-        lineBand(i) = b
-        i += 1
-      }
       val xr = new Array[Double](576)
-      i = 0
-      while (i < 576) {
-        val v = is(i)
-        xr(i) = math.signum(v.toDouble) *
-          math.pow(math.abs(v.toDouble), 4.0 / 3.0) * bandScale(lineBand(i))
-        i += 1
+      def pow43(v: Int): Double = math.signum(v.toDouble) *
+        math.pow(math.abs(v.toDouble), 4.0 / 3.0)
+      if (g.blockType == 2) {
+        // SHORT: Huffman order is band-major (band b: window 0's W
+        // values, then window 1's, window 2's); REORDER to the
+        // frequency-interleaved layout xr(3f+w) the 12-point IMDCT
+        // triplets consume, applying the per-window scale
+        val sbE = sfbS
+        val wScale = Array.tabulate(3)(w =>
+          math.pow(2.0, (g.globalGain - 210 - 8 * g.sbg(w)) / 4.0))
+        var src = 0
+        var b = 0
+        while (b < 13) {
+          val w0 = sbE(b); val w1 = sbE(b + 1)
+          var w = 0
+          while (w < 3) {
+            val scale = wScale(w) *
+              math.pow(2.0, -mult * (if (b < 12) sfS(b)(w) else 0))
+            var f = w0
+            while (f < w1) {
+              xr(3 * f + w) = pow43(is(src)) * scale
+              src += 1; f += 1
+            }
+            w += 1
+          }
+          b += 1
+        }
+      } else {
+        val gain = math.pow(2.0, (g.globalGain - 210) / 4.0)
+        val bandScale = new Array[Double](22)
+        var b = 0
+        while (b < 22) {
+          val s = if (b < 21) sf(b) + g.preflag * Pretab(b) else 0
+          bandScale(b) = gain * math.pow(2.0, -mult * s)
+          b += 1
+        }
+        val lineBand = new Array[Int](576)
+        b = 0
+        var i = 0
+        while (i < 576) {
+          if (i >= sfb(b + 1)) b += 1
+          lineBand(i) = b
+          i += 1
+        }
+        i = 0
+        while (i < 576) {
+          xr(i) = pow43(is(i)) * bandScale(lineBand(i))
+          i += 1
+        }
       }
       Some((xr, sf))
     }
@@ -546,13 +660,13 @@ object Mp3 {
     if (lsf) {
       // LSF frames carry ONE granule = 576 samples
       val pcm = new Array[Double](576)
-      synthGranule(xr0, st, pcm, 0)
+      synthGranule(xr0, st, pcm, 0, g0.blockType)
       Some(Decoded(sr, br, 576, xr0, pcm))
     } else {
       val (xr1, _) = decodeGranule(g1, sf0, 1).getOrElse(return None)
       val pcm = new Array[Double](1152)
-      synthGranule(xr0, st, pcm, 0)
-      synthGranule(xr1, st, pcm, 576)
+      synthGranule(xr0, st, pcm, 0, g0.blockType)
+      synthGranule(xr1, st, pcm, 576, g1.blockType)
       Some(Decoded(sr, br, 1152, xr0, pcm))
     }
   }
@@ -568,6 +682,23 @@ object Mp3 {
     math.cos((16 + i) * (2 * k + 1) * math.Pi / 64.0))
   // long-block IMDCT window, closed form: w_i = sin(π/36 (i+½))
   private lazy val ImdctWin = Array.tabulate(36)(i => math.sin(math.Pi / 36.0 * (i + 0.5)))
+  // short window: sin(π/12 (i+½)), 12 points
+  private lazy val ImdctWinShort =
+    Array.tabulate(12)(i => math.sin(math.Pi / 12.0 * (i + 0.5)))
+  // block_type 1 (start): long rise, flat, short fall, zeros — §2.4.3.4.10.3
+  private lazy val ImdctWinStart = Array.tabulate(36) { i =>
+    if (i < 18) math.sin(math.Pi / 36.0 * (i + 0.5))
+    else if (i < 24) 1.0
+    else if (i < 30) math.sin(math.Pi / 12.0 * (i - 18 + 0.5))
+    else 0.0
+  }
+  // block_type 3 (stop): zeros, short rise, flat, long fall
+  private lazy val ImdctWinStop = Array.tabulate(36) { i =>
+    if (i < 6) 0.0
+    else if (i < 12) math.sin(math.Pi / 12.0 * (i - 6 + 0.5))
+    else if (i < 18) 1.0
+    else math.sin(math.Pi / 36.0 * (i + 0.5))
+  }
 
   /** Annex B Table B.3 synthesis prototype D, first 257 values in 2^-16
     * units (the spec prints the table as multiples of 0.000015259 =
@@ -613,40 +744,74 @@ object Mp3 {
   }
 
   /** One granule through alias reduction → IMDCT/overlap-add → frequency
-    * inversion → polyphase synthesis; writes 576 samples at `off`. */
+    * inversion → polyphase synthesis; writes 576 samples at `off`.
+    * blockType selects the hybrid window: 0 = long sine, 1 = start,
+    * 3 = stop (36-point IMDCT), 2 = SHORT — three 12-point IMDCTs per
+    * subband on the reordered xr(3f+w) triplets placed at offsets
+    * 6/18/30? no: 6+12w within the 36-sample slot — with NO alias
+    * reduction (short subbands are not aliased, §2.4.3.4.8.1). */
   private def synthGranule(xrIn: Array[Double], st: SynthState,
-                           out: Array[Double], off: Int): Unit = {
+                           out: Array[Double], off: Int,
+                           blockType: Int = 0): Unit = {
     val xr = xrIn.clone()
     // alias-reduction butterflies across the 31 subband boundaries
-    var sb = 1
-    while (sb < 32) {
-      var i = 0
-      while (i < 8) {
-        val a = 18 * sb - 1 - i; val b = 18 * sb + i
-        val lo = xr(a); val hi = xr(b)
-        xr(a) = lo * Cs(i) - hi * Ca(i)
-        xr(b) = hi * Cs(i) + lo * Ca(i)
-        i += 1
+    // (all long-window types; never for pure short blocks)
+    if (blockType != 2) {
+      var sb = 1
+      while (sb < 32) {
+        var i = 0
+        while (i < 8) {
+          val a = 18 * sb - 1 - i; val b = 18 * sb + i
+          val lo = xr(a); val hi = xr(b)
+          xr(a) = lo * Cs(i) - hi * Ca(i)
+          xr(b) = hi * Cs(i) + lo * Ca(i)
+          i += 1
+        }
+        sb += 1
       }
-      sb += 1
     }
-    // per-subband 36-point IMDCT + sine window + overlap-add (long blocks)
+    val win = blockType match {
+      case 1 => ImdctWinStart
+      case 3 => ImdctWinStop
+      case _ => ImdctWin
+    }
+    // per-subband hybrid IMDCT + window + overlap-add
     val sbSamples = Array.ofDim[Double](32, 18)
-    sb = 0
+    var sb = 0
     while (sb < 32) {
       val z = new Array[Double](36)
-      var i = 0
-      while (i < 36) {
-        var s = 0.0; var k = 0
-        while (k < 18) {
-          s += xr(18 * sb + k) *
-            math.cos(math.Pi / 72.0 * (2 * i + 1 + 18) * (2 * k + 1))
-          k += 1
+      if (blockType == 2) {
+        // three 12-point IMDCTs: window w consumes freqs xr(3f+w),
+        // f = 6·sb .. 6·sb+5, windowed short, laid at offset 6 + 12w
+        var w = 0
+        while (w < 3) {
+          var i = 0
+          while (i < 12) {
+            var s = 0.0; var k = 0
+            while (k < 6) {
+              s += xr(3 * (6 * sb + k) + w) *
+                math.cos(math.Pi / 24.0 * (2 * i + 1 + 6) * (2 * k + 1))
+              k += 1
+            }
+            z(6 + 6 * w + i) += s * ImdctWinShort(i)
+            i += 1
+          }
+          w += 1
         }
-        z(i) = s * ImdctWin(i)
-        i += 1
+      } else {
+        var i = 0
+        while (i < 36) {
+          var s = 0.0; var k = 0
+          while (k < 18) {
+            s += xr(18 * sb + k) *
+              math.cos(math.Pi / 72.0 * (2 * i + 1 + 18) * (2 * k + 1))
+            k += 1
+          }
+          z(i) = s * win(i)
+          i += 1
+        }
       }
-      i = 0
+      var i = 0
       while (i < 18) {
         sbSamples(sb)(i) = z(i) + st.overlap(sb)(i)
         st.overlap(sb)(i) = z(18 + i)
