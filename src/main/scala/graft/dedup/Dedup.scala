@@ -457,6 +457,29 @@ object Dedup {
       .select(col("id1"), col("id2"), r4(col("_sim")).as("cosine"))
   }
 
+  /** [[embeddingTopPairsLsh]] with the n-SCALED depth rule
+    * (KNN.lshBitsFor — expected bucket ~64 rows at any corpus size) and
+    * the codegen'd BlockSignBits signature: the production embedding
+    * near-dup candidate stage for growing corpora. Fixed bits hold
+    * n/2^bits rows per bucket, so pair mass goes quadratic one decade
+    * past wherever the constant was tuned (the r15 second-decade lesson,
+    * measured 6.9× for 10× at fixed 8 bits); depth tracking log₂(n)
+    * keeps it linear. */
+  def embeddingTopPairsLshAuto(df: DataFrame, idCol: String, vecCol: String,
+                               topN: Int, dim: Int): DataFrame = {
+    val bits = graft.neighbors.KNN.lshBitsFor(df.count())
+    val b = graft.neighbors.KNN.lshBucketsAuto(df, idCol, vecCol, bits, dim)
+      .withColumn("n2", VectorOps.sqNormFixed(col("v"), dim))
+    val sim = VectorOps.dotFixed(col("a.v"), col("b.v"), dim) /
+      sqrt(col("a.n2") * col("b.n2"))
+    b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"), sim.as("_sim"))
+      .orderBy(col("_sim").desc, col("id1"), col("id2"))
+      .limit(topN)
+      .select(col("id1"), col("id2"), r4(col("_sim")).as("cosine"))
+  }
+
   /** Embedding near-dup: top-N most-similar pairs by cosine. Exact
     * all-pairs here (the oracle-checked reference); use
     * `embeddingTopPairsLsh` at corpus scale. */

@@ -102,6 +102,15 @@ object VectorQueries {
       Dedup.embeddingTopPairsLsh(Tables.embeddings(s, d), "vec_id", "embedding",
         topN = 20, bits = 8, dim = 64)
     },
+    "dedup_embedding_lsh_auto" -> { (s, d) =>
+      // n-SCALED bits (r15): the fixed-8-bit pair stage measured 6.9×
+      // for 10× vectors on the organic second decade (bucket size grows
+      // n/2^bits → quadratic pair mass); KNN.lshBitsFor keeps the
+      // expected bucket ~64 rows at any n. Oracle derives bits from its
+      // own count — the ann_lsh_auto discipline on the dedup pair path
+      Dedup.embeddingTopPairsLshAuto(Tables.embeddings(s, d), "vec_id",
+        "embedding", topN = 20, dim = 64)
+    },
     "agglomerative_cc" -> { (s, d) =>
       // single-linkage agglomerative clustering cut at cosine ≥ 0.3:
       // clusters = connected components of the threshold graph (the
@@ -776,17 +785,17 @@ object VectorQueries {
       s"THEN ${1L << b} ELSE 0 END)"
   }.mkString(" + ")
 
-  /** Replays [[graft.neighbors.KNN.lshTopKAuto]]: bits derived from the
-    * oracle's own count by the same integer rule (smallest b in [4,24]
-    * with 2^b·64 ≥ n), planes generated from the "p_42_b_i" md5 family,
-    * signature = Σ (dot ≥ 0) · 2^b per id. */
-  private def lshAutoOracle: String = {
+  /** The n-scaled bucket CTEs shared by every lshBitsFor replay: bits
+    * derived from the oracle's own count (smallest b in [4,24] with
+    * 2^b·64 ≥ n), planes from the "p_42_b_i" md5 family, signature =
+    * Σ (dot ≥ 0) · 2^b per id — ends at bkt(id, v, bucket). */
+  private def lshAutoBktCtes: String = {
     def hp(sfx: String) =
       s"('0x' || substr(md5('p_42_' || b || '_' || i || '_$sfx'), 1, 15))::BIGINT"
     val u1 = s"(((${hp("a")} % 1000000 + 1000000) % 1000000) / 1000000.0 + 5e-7)"
     val u2 = s"(((${hp("b")} % 1000000 + 1000000) % 1000000) / 1000000.0)"
     val entry = s"(sqrt(-2.0 * ln($u1)) * cos(2.0 * pi() * $u2))"
-    s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
        |bb AS (SELECT coalesce(min(b), 24) AS bits FROM
        |  (SELECT unnest(range(4, 25)) AS b), (SELECT count(*) AS n FROM e)
        |  WHERE (1::BIGINT << b) * 64 >= n),
@@ -797,14 +806,19 @@ object VectorQueries {
        |  FROM e CROSS JOIN pl),
        |sg AS (SELECT id, sum(CASE WHEN d >= 0 THEN (1::BIGINT << b) ELSE 0 END) AS bucket
        |  FROM dt GROUP BY id),
-       |bkt AS (SELECT e.id, e.v, sg.bucket FROM e JOIN sg ON e.id = sg.id),
+       |bkt AS (SELECT e.id, e.v, sg.bucket FROM e JOIN sg ON e.id = sg.id)""".stripMargin
+  }
+
+  /** Replays [[graft.neighbors.KNN.lshTopKAuto]] over the shared
+    * n-scaled bucket CTEs. */
+  private def lshAutoOracle: String =
+    s"""WITH $lshAutoBktCtes,
        |p AS (SELECT a.id AS qid, b.id AS id, $cosSql AS s
        |  FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.id <> b.id),
        |r AS (SELECT qid, s, row_number() OVER (PARTITION BY qid ORDER BY s DESC, id) AS rank FROM p),
        |f AS (SELECT qid, max(rank) AS found FROM r WHERE rank <= 3 GROUP BY qid)
        |SELECT count(*)::BIGINT AS n_queries_with_candidates,
        |  round(avg(found), 6) AS avg_found FROM f""".stripMargin
-  }
 
   private def lshOracle: String =
     s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -1260,6 +1274,12 @@ object VectorQueries {
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |p AS (SELECT a.vec_id AS id1, b.vec_id AS id2, $cosSql AS s
          |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         |SELECT id1::BIGINT AS id1, id2::BIGINT AS id2, round(s, 4) AS cosine
+         |FROM p ORDER BY s DESC, id1, id2 LIMIT 20""".stripMargin,
+    "dedup_embedding_lsh_auto" ->
+      s"""WITH $lshAutoBktCtes,
+         |p AS (SELECT a.id AS id1, b.id AS id2, $cosSql AS s
+         |  FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.id < b.id)
          |SELECT id1::BIGINT AS id1, id2::BIGINT AS id2, round(s, 4) AS cosine
          |FROM p ORDER BY s DESC, id1, id2 LIMIT 20""".stripMargin,
     "dedup_embedding_lsh" ->

@@ -59,4 +59,17 @@ class MinhashAutoSpec extends org.scalatest.funsuite.AnyFunSuite {
       }
     } finally docs.unpersist()
   }
+
+  test("dedup_embedding_lsh_auto keeps the exact top pairs at its n-scaled depth") {
+    import org.apache.spark.sql.functions._
+    val vecs = graft.tools.MakeOrganicSF.embeddings(spark, 4000L, seed = 9L)
+    // exact reference: brute-force top-20 cosine pairs
+    val exact = Dedup.embeddingTopPairs(vecs, "vec_id", "embedding", topN = 20)
+      .select(col("id1"), col("id2")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val auto = Dedup.embeddingTopPairsLshAuto(vecs, "vec_id", "embedding", topN = 20, dim = 64)
+      .select(col("id1"), col("id2")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // planted near-dup vectors (cosine ~ 1) collide whp at the auto depth
+    val recall = exact.intersect(auto).size.toDouble / exact.size
+    assert(recall >= 0.8, s"auto-depth top-20 recall $recall vs exact")
+  }
 }
