@@ -39,9 +39,17 @@ package graft.multimodal
   * xr(3f+w) triplets at 50% overlap, per-window subblock_gain in the
   * requantizer, the Table B.8 short band edges, no alias reduction).
   *
+  * Stereo (r15): modes 0/2 (independent channels) and MS joint stereo
+  * (mode 1, mode_ext bit 1: l = (m+s)/√2, r = (m−s)/√2 on the
+  * requantized spectra, §2.4.3.4.9.2) decode for real — dual-channel
+  * side info (32/17 bytes), per-channel granules/scfsi/synthesis
+  * states; [[Decoded.pcm]] is the (L+R)/2 downmix for stereo (the mono
+  * gates' API is unchanged) with both channels' spectra exposed.
+  *
   * DECLARED scope limits (the honest seams, like Multimodal.scala:47-58):
-  * mono only, no mixed blocks (mixed_block_flag = 1 → None), no LSF
-  * short blocks, no MPEG-2.5, no intensity/MS stereo; [[decode]]
+  * no INTENSITY stereo (mode_ext bit 0 → None), no mixed blocks
+  * (mixed_block_flag = 1 → None), no LSF short blocks, no MPEG-2.5;
+  * [[decode]]
   * (single frame) refuses a nonzero main_data_begin unless the granules
   * read zero main-data bits. decode/decodeStream return None/skip —
   * never throw — on any malformed, truncated, or unsupported input:
@@ -365,6 +373,59 @@ object Mp3 {
     encodeFrame(lines, (tables._1, tables._2, 0), globalGain = 210,
       preflag = false, blockType = blockType)
 
+  /** STEREO frame for the specs: two channels of {−1, 0, +1} lines,
+    * table 7 everywhere, long blocks, zero scalefactors, gg = 210.
+    * msJoint emits mode 1 / mode_ext 2 (MS joint stereo): the decoder
+    * must reconstruct L = (ch0+ch1)/√2, R = (ch0−ch1)/√2. */
+  def encodeStereo(ch0: Array[Int], ch1: Array[Int],
+                   msJoint: Boolean = false): Array[Byte] = {
+    require(ch0.length == 576 && ch1.length == 576)
+    val cb = Mp3Tables.byId(7).get
+    val main = new BitWriter
+    def putGranuleData(lines: Array[Int]): Int = {
+      val before = main.bitCount
+      var p = 0
+      while (p < 288) {
+        val l = 2 * p
+        val x = math.abs(lines(l)); val y = math.abs(lines(l + 1))
+        require(x <= 1 && y <= 1, "stereo spec frames: lines in {-1,0,1}")
+        val idx = x * cb.ylen + y
+        main.put(cb.hcod(idx), cb.hlen(idx))
+        if (x != 0) main.put(if (lines(l) < 0) 1 else 0, 1)
+        if (y != 0) main.put(if (lines(l + 1) < 0) 1 else 0, 1)
+        p += 1
+      }
+      main.bitCount - before
+    }
+    val p00 = putGranuleData(ch0)
+    val p01 = putGranuleData(ch1)
+    val frameLen = 144 * 320000 / 44100
+    val w = new BitWriter
+    w.put(0x7FF, 11); w.put(3, 2); w.put(1, 2); w.put(1, 1)
+    w.put(14, 4); w.put(0, 2); w.put(0, 1); w.put(0, 1)
+    w.put(if (msJoint) 1 else 0, 2)         // mode: joint or plain stereo
+    w.put(if (msJoint) 2 else 0, 2)         // mode_ext: MS on, intensity off
+    w.put(0, 1); w.put(0, 1); w.put(0, 2)
+    // side info (stereo, 32 bytes)
+    w.put(0, 9); w.put(0, 3)                // main_data_begin, private
+    w.put(0, 8)                             // scfsi: 2 channels x 4 groups
+    def putGr(part23: Int, bv: Int): Unit = {
+      w.put(part23, 12); w.put(bv, 9); w.put(210, 8); w.put(0, 4)
+      w.put(0, 1)                           // long blocks
+      w.put(7, 5); w.put(7, 5); w.put(7, 5)
+      w.put(8, 4); w.put(7, 3)
+      w.put(0, 1); w.put(0, 1); w.put(1, 1)
+    }
+    putGr(p00, 288); putGr(p01, 288)        // granule 0: ch0, ch1
+    putGr(0, 0); putGr(0, 0)                // granule 1: silent
+    val head = w.bytes
+    val md = main.bytes
+    val out = new Array[Byte](frameLen)
+    System.arraycopy(head, 0, out, 0, head.length)
+    System.arraycopy(md, 0, out, head.length, md.length)
+    out
+  }
+
   /** Frame encode for the per-codebook specs: one table everywhere. */
   def encodeWithTable(lines: Array[Int], tableId: Int,
                       bigValues: Int = 288, count1TableA: Boolean = false): Array[Byte] =
@@ -373,8 +434,14 @@ object Mp3 {
 
   // ---------------------------------------------------------------- decode
 
+  /** `spectral` = granule 0, channel 0 (LEFT after MS reconstruction);
+    * `spectralRight` = granule 0 channel 1 for stereo frames, else null.
+    * `pcm` is per-channel for mono and the (L+R)/2 downmix for stereo —
+    * API-stable for the mono hash gates. */
   final case class Decoded(sampleRate: Int, bitrateKbps: Int, nSamples: Int,
-                           spectral: Array[Double], pcm: Array[Double])
+                           spectral: Array[Double], pcm: Array[Double],
+                           nChannels: Int = 1,
+                           spectralRight: Array[Double] = null)
 
   /** Decode the first frame of an MPEG-1 Layer III mono stream. Returns
     * None on bad sync / unsupported shape / ANY malformed input (the
@@ -432,8 +499,15 @@ object Mp3 {
     val sr = if (lsf) SampleRatesLsf(srIdx) else SampleRates(srIdx)
     val br = if (lsf) BitratesLsf(brIdx) else Bitrates(brIdx)
     val crc = if ((bytes(off + 1) & 1) == 0) 2 else 0
+    val mono = ((bytes(off + 3) >> 6) & 3) == 3
     val frameLen = (if (lsf) 72 else 144) * br * 1000 / sr + pad
-    Array(frameLen, 4 + crc + (if (lsf) 9 else 17))
+    val side = (lsf, mono) match {
+      case (true, true) => 9
+      case (true, false) => 17
+      case (false, true) => 17
+      case (false, false) => 32
+    }
+    Array(frameLen, 4 + crc + side)
   }
 
   private def decodeImpl(bytes: Array[Byte], reservoir: Option[Array[Byte]]): Option[Decoded] = {
@@ -447,18 +521,24 @@ object Mp3 {
     val brIdx = (bytes(2) >> 4) & 15
     val srIdx = (bytes(2) >> 2) & 3
     val mode = (bytes(3) >> 6) & 3
-    if (brIdx == 0 || brIdx == 15 || srIdx == 3 || mode != 3) return None
+    val modeExt = (bytes(3) >> 4) & 3
+    if (brIdx == 0 || brIdx == 15 || srIdx == 3) return None
+    val nch = if (mode == 3) 1 else 2
+    // joint stereo: MS (mode_ext bit 1) is decoded for real; INTENSITY
+    // stereo (bit 0) is a declared seam — bands above the intensity
+    // bound would need the is_pos ratio machinery
+    val msStereo = mode == 1 && (modeExt & 2) != 0
+    if (mode == 1 && (modeExt & 1) != 0) return None
     val protection = bytes(1) & 1
     val sr = if (lsf) SampleRatesLsf(srIdx) else SampleRates(srIdx)
     val br = if (lsf) BitratesLsf(brIdx) else Bitrates(brIdx)
     val sfb = if (lsf) sfbLongLsf(srIdx) else sfbLong(srIdx)
     val r = new BitReader(bytes, 32 + (if (protection == 0) 16 else 0))
-    // side info (mono): MPEG-1 = 17 bytes, 2 granules; LSF = 9 bytes, 1
+    // side info: MPEG-1 = 17 bytes mono / 32 stereo; LSF = 9 / 17
     val mainDataBegin = r.get(if (lsf) 8 else 9)
-    r.get(if (lsf) 1 else 5) // private bits
-    val scfsi =
-      if (lsf) Array(0, 0, 0, 0) // no scfsi in LSF (single granule)
-      else Array(r.get(1), r.get(1), r.get(1), r.get(1))
+    r.get(if (lsf) nch else (if (nch == 1) 5 else 3)) // private bits
+    // scfsi(ch)(group); none in LSF (single granule)
+    val scfsi = Array.tabulate(nch, 4)((_, _) => if (lsf) 0 else r.get(1))
     // blockType: 0 = normal long; 1 = start; 2 = SHORT (3 windows);
     // 3 = stop. sbg = subblock_gain per short window.
     final case class Gr(part23: Int, bigValues: Int, globalGain: Int,
@@ -501,15 +581,16 @@ object Mp3 {
       if (bv > 288) return None
       Some(Gr(part23, bv, gg, t, r0, r1, slenOf, pre, sfs, c1b, bt, sbg))
     }
-    val g0 = readGr().getOrElse(return None)
-    val g1 = if (lsf) g0 else readGr().getOrElse(return None)
+    // MPEG-1 side-info order: gr0ch0, gr0ch1, gr1ch0, gr1ch1
+    val nGr = if (lsf) 1 else 2
+    val grs = Array.tabulate(nGr, nch)((_, _) => readGr().getOrElse(return None))
     // bit reservoir: a nonzero main_data_begin needs bytes from PRIOR
     // frames. In stream mode the caller supplies the rolling reservoir
     // and the granule reader starts mainDataBegin bytes back; in
     // single-frame mode it is only decodable when the granules read zero
     // main-data bits (part2_3_length = 0: digital silence, common in
     // LAME streams), where the reservoir pointer is irrelevant
-    val part23Sum = g0.part23 + (if (lsf) 0 else g1.part23)
+    val part23Sum = grs.flatten.map(_.part23).sum
     val gr: BitReader = reservoir match {
       case Some(res) =>
         if (mainDataBegin > res.length) return None // underrun (stream head)
@@ -523,7 +604,7 @@ object Mp3 {
 
     val sfbS = sfbShort(srIdx)
     // main data immediately follows side info (main_data_begin = 0)
-    def decodeGranule(g: Gr, prevSf: Array[Int], gi: Int): Option[(Array[Double], Array[Int])] = {
+    def decodeGranule(g: Gr, prevSf: Array[Int], gi: Int, ch: Int): Option[(Array[Double], Array[Int])] = {
       val endBit = gr.pos + g.part23
       // long-block scalefactors: per-band widths from the mode's slen
       // layout (MPEG-1: slen1/slen2 split at band 11; LSF: the 4-group
@@ -545,7 +626,7 @@ object Mp3 {
       } else {
         var grp = 0
         while (grp < 4) {
-          val reuse = gi == 1 && scfsi(grp) == 1
+          val reuse = gi == 1 && scfsi(ch)(grp) == 1
           var b = scfsiStart(grp)
           while (b < scfsiStart(grp + 1)) {
             if (reuse) sf(b) = prevSf(b)
@@ -655,20 +736,55 @@ object Mp3 {
       }
       Some((xr, sf))
     }
-    val (xr0, sf0) = decodeGranule(g0, new Array[Int](22), 0).getOrElse(return None)
-    val st = new SynthState
-    if (lsf) {
-      // LSF frames carry ONE granule = 576 samples
-      val pcm = new Array[Double](576)
-      synthGranule(xr0, st, pcm, 0, g0.blockType)
-      Some(Decoded(sr, br, 576, xr0, pcm))
-    } else {
-      val (xr1, _) = decodeGranule(g1, sf0, 1).getOrElse(return None)
-      val pcm = new Array[Double](1152)
-      synthGranule(xr0, st, pcm, 0, g0.blockType)
-      synthGranule(xr1, st, pcm, 576, g1.blockType)
-      Some(Decoded(sr, br, 1152, xr0, pcm))
+    // granule main data order matches the side info: gr, then ch
+    val xrs = Array.ofDim[Array[Double]](nGr, nch)
+    val prevSf = Array.fill(nch)(new Array[Int](22))
+    var gi = 0
+    while (gi < nGr) {
+      var ch = 0
+      while (ch < nch) {
+        val (xr, sfOut) = decodeGranule(grs(gi)(ch), prevSf(ch), gi, ch)
+          .getOrElse(return None)
+        xrs(gi)(ch) = xr
+        prevSf(ch) = sfOut
+        ch += 1
+      }
+      // MS stereo: mid/side → left/right on the requantized spectra
+      // (§2.4.3.4.9.2: l = (m+s)/√2, r = (m−s)/√2), full-spectrum when
+      // intensity is off
+      if (msStereo) {
+        val m = xrs(gi)(0); val sArr = xrs(gi)(1)
+        val inv = 1.0 / math.sqrt(2.0)
+        var i = 0
+        while (i < 576) {
+          val mm = m(i); val ss = sArr(i)
+          m(i) = (mm + ss) * inv
+          sArr(i) = (mm - ss) * inv
+          i += 1
+        }
+      }
+      gi += 1
     }
+    val nSamples = nGr * 576
+    val sts = Array.fill(nch)(new SynthState)
+    val chPcm = Array.fill(nch)(new Array[Double](nSamples))
+    gi = 0
+    while (gi < nGr) {
+      var ch = 0
+      while (ch < nch) {
+        synthGranule(xrs(gi)(ch), sts(ch), chPcm(ch), gi * 576,
+          grs(gi)(ch).blockType)
+        ch += 1
+      }
+      gi += 1
+    }
+    // `pcm` = the mono downmix (L+R)/2 for stereo (API-stable for the
+    // mono gates); per-channel spectra exposed for the stereo specs
+    val pcm =
+      if (nch == 1) chPcm(0)
+      else Array.tabulate(nSamples)(i => 0.5 * (chPcm(0)(i) + chPcm(1)(i)))
+    Some(Decoded(sr, br, nSamples, xrs(0)(0), pcm, nch,
+      if (nch == 2) xrs(0)(1) else null))
   }
 
   /** Per-stream synthesis state: IMDCT overlap tails + polyphase V. */
