@@ -245,6 +245,17 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** [[jaccardForCandidates]] / [[containmentForCandidates]] under the
+    * n-scaled [[autoParams]] band depth — the scale path for both
+    * verify-stage measures (their fixed-parameter candidate stage is
+    * what disk-killed the 500k-doc organic run: 32.1 M pairs × the
+    * shingle join spilled > 46 GB). */
+  def jaccardForCandidatesAuto(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    jaccardForCandidates(df, textCol, idCol, autoParams(df.count()))
+
+  def containmentForCandidatesAuto(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    containmentForCandidates(df, textCol, idCol, autoParams(df.count()))
+
   /** Broder containment |A∩B| / min(|A|,|B|) alongside Jaccard for the
     * MinHash-LSH candidate pairs — the ASYMMETRIC near-dup signal: a short
     * document embedded verbatim in a longer one scores containment ≈ 1

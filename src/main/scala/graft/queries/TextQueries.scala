@@ -305,6 +305,24 @@ object TextQueries {
         .select(col("doc1"), col("doc2"), r6(col("jaccard")).as("jaccard"))
         .orderBy("doc1", "doc2")
     },
+    "jaccard_lsh_auto" -> { (s, d) =>
+      // the exact-Jaccard verify measure over the n-SCALED candidate
+      // stage (r15): the frozen 4×2 stage's 32.1 M candidates × the
+      // shingle join disk-killed the 500k-doc organic run; the auto
+      // depth keeps the verify join linear in corpus size
+      Dedup.jaccardForCandidatesAuto(Tables.documents(s, d), "text", "doc_id")
+        .select(col("doc1"), col("doc2"), r6(col("jaccard")).as("jaccard"))
+        .orderBy("doc1", "doc2")
+    },
+    "minhash_containment_auto" -> { (s, d) =>
+      // Broder containment over the n-SCALED candidate stage (r15) —
+      // same scale rationale as jaccard_lsh_auto
+      Dedup.containmentForCandidatesAuto(Tables.documents(s, d), "text", "doc_id")
+        .select(col("doc1"), col("doc2"), r6(col("containment")).as("containment"),
+          r6(col("jaccard")).as("jaccard"),
+          (r6(col("containment")) >= 0.9).as("contained"))
+        .orderBy("doc1", "doc2")
+    },
     "minhash_containment" -> { (s, d) =>
       // Broder containment over the same LSH candidates: the asymmetric
       // doc-inside-doc signal; contained flag on the ROUNDED score
@@ -1534,6 +1552,32 @@ object TextQueries {
          |  round(mm / n, 4) AS ratio
          |FROM sizes JOIN m ON sizes.doc = m.doc
          |ORDER BY doc""".stripMargin,
+    "jaccard_lsh_auto" ->
+      s"""WITH $minhashAutoPairsCtes,
+         |shd AS (SELECT DISTINCT doc_id, s FROM sh),
+         |sizes AS (SELECT doc_id, count(*)::DOUBLE AS sz FROM shd GROUP BY 1),
+         |inter AS (SELECT pr.doc1, pr.doc2, count(*)::DOUBLE AS i
+         |  FROM pr JOIN shd a ON a.doc_id = pr.doc1
+         |    JOIN shd b ON b.doc_id = pr.doc2 AND b.s = a.s
+         |  GROUP BY 1, 2)
+         |SELECT doc1::BIGINT AS doc1, doc2::BIGINT AS doc2,
+         |  round(i / (s1.sz + s2.sz - i), 6) AS jaccard
+         |FROM inter JOIN sizes s1 ON doc1 = s1.doc_id JOIN sizes s2 ON doc2 = s2.doc_id
+         |ORDER BY doc1, doc2""".stripMargin,
+    "minhash_containment_auto" ->
+      s"""WITH $minhashAutoPairsCtes,
+         |shd AS (SELECT DISTINCT doc_id, s FROM sh),
+         |sizes AS (SELECT doc_id, count(*)::DOUBLE AS sz FROM shd GROUP BY 1),
+         |inter AS (SELECT pr.doc1, pr.doc2, count(*)::DOUBLE AS i
+         |  FROM pr JOIN shd a ON a.doc_id = pr.doc1
+         |    JOIN shd b ON b.doc_id = pr.doc2 AND b.s = a.s
+         |  GROUP BY 1, 2)
+         |SELECT doc1::BIGINT AS doc1, doc2::BIGINT AS doc2,
+         |  round(i / least(s1.sz, s2.sz), 6) AS containment,
+         |  round(i / (s1.sz + s2.sz - i), 6) AS jaccard,
+         |  round(i / least(s1.sz, s2.sz), 6) >= 0.9 AS contained
+         |FROM inter JOIN sizes s1 ON doc1 = s1.doc_id JOIN sizes s2 ON doc2 = s2.doc_id
+         |ORDER BY doc1, doc2""".stripMargin,
     "jaccard_lsh" ->
       s"""WITH $minhashPairsCtes,
          |shd AS (SELECT DISTINCT doc_id, s FROM sh),
