@@ -46,9 +46,16 @@ package graft.multimodal
   * states; [[Decoded.pcm]] is the (L+R)/2 downmix for stereo (the mono
   * gates' API is unchanged) with both channels' spectra exposed.
   *
+  * Intensity stereo (r15): mode_ext bit 0 reconstructs the bands at and
+  * above the right channel's rzero bound from ch0 and the is_pos ratio
+  * (§2.4.3.4.9.3: ratio = tan(is_pos·π/12), l = m·ratio/(1+ratio),
+  * r = m/(1+ratio); is_pos = 7 illegal → pass-through/MS; sfb21
+  * inherits band 20's position), long blocks; composes with MS below
+  * the bound.
+  *
   * DECLARED scope limits (the honest seams, like Multimodal.scala:47-58):
-  * no INTENSITY stereo (mode_ext bit 0 → None), no mixed blocks
-  * (mixed_block_flag = 1 → None), no LSF short blocks, no MPEG-2.5;
+  * no short-block intensity, no mixed blocks (mixed_block_flag = 1 →
+  * None), no LSF short blocks, no MPEG-2.5;
   * [[decode]]
   * (single frame) refuses a nonzero main_data_begin unless the granules
   * read zero main-data bits. decode/decodeStream return None/skip —
@@ -378,14 +385,23 @@ object Mp3 {
     * msJoint emits mode 1 / mode_ext 2 (MS joint stereo): the decoder
     * must reconstruct L = (ch0+ch1)/√2, R = (ch0−ch1)/√2. */
   def encodeStereo(ch0: Array[Int], ch1: Array[Int],
-                   msJoint: Boolean = false): Array[Byte] = {
+                   msJoint: Boolean = false,
+                   intensity: Boolean = false, bv1: Int = 288,
+                   isPosSf: Array[Int] = null): Array[Byte] = {
     require(ch0.length == 576 && ch1.length == 576)
+    // intensity frames: ch1 carries only its first 2·bv1 lines (the
+    // rzero tail defines the intensity bound) and transmits is_pos in
+    // its scalefactors (sfCompress 13 → slen (3, 3), values 0..6)
     val cb = Mp3Tables.byId(7).get
     val main = new BitWriter
-    def putGranuleData(lines: Array[Int]): Int = {
+    def putGranuleData(lines: Array[Int], bv: Int, sf: Array[Int]): Int = {
       val before = main.bitCount
+      if (sf != null) {
+        var b = 0
+        while (b < 21) { main.put(sf(b), 3); b += 1 }
+      }
       var p = 0
-      while (p < 288) {
+      while (p < bv) {
         val l = 2 * p
         val x = math.abs(lines(l)); val y = math.abs(lines(l + 1))
         require(x <= 1 && y <= 1, "stereo spec frames: lines in {-1,0,1}")
@@ -397,27 +413,34 @@ object Mp3 {
       }
       main.bitCount - before
     }
-    val p00 = putGranuleData(ch0)
-    val p01 = putGranuleData(ch1)
+    val sf1 = if (intensity) {
+      require(isPosSf != null && isPosSf.length == 21 &&
+        isPosSf.forall(v => v >= 0 && v <= 7)) // 7 = the illegal marker
+      isPosSf
+    } else null
+    val p00 = putGranuleData(ch0, 288, null)
+    val p01 = putGranuleData(ch1, if (intensity) bv1 else 288, sf1)
     val frameLen = 144 * 320000 / 44100
     val w = new BitWriter
     w.put(0x7FF, 11); w.put(3, 2); w.put(1, 2); w.put(1, 1)
     w.put(14, 4); w.put(0, 2); w.put(0, 1); w.put(0, 1)
-    w.put(if (msJoint) 1 else 0, 2)         // mode: joint or plain stereo
-    w.put(if (msJoint) 2 else 0, 2)         // mode_ext: MS on, intensity off
+    val joint = msJoint || intensity
+    w.put(if (joint) 1 else 0, 2)           // mode: joint or plain stereo
+    w.put((if (msJoint) 2 else 0) | (if (intensity) 1 else 0), 2)
     w.put(0, 1); w.put(0, 1); w.put(0, 2)
     // side info (stereo, 32 bytes)
     w.put(0, 9); w.put(0, 3)                // main_data_begin, private
     w.put(0, 8)                             // scfsi: 2 channels x 4 groups
-    def putGr(part23: Int, bv: Int): Unit = {
-      w.put(part23, 12); w.put(bv, 9); w.put(210, 8); w.put(0, 4)
+    def putGr(part23: Int, bv: Int, sfc: Int): Unit = {
+      w.put(part23, 12); w.put(bv, 9); w.put(210, 8); w.put(sfc, 4)
       w.put(0, 1)                           // long blocks
       w.put(7, 5); w.put(7, 5); w.put(7, 5)
       w.put(8, 4); w.put(7, 3)
       w.put(0, 1); w.put(0, 1); w.put(1, 1)
     }
-    putGr(p00, 288); putGr(p01, 288)        // granule 0: ch0, ch1
-    putGr(0, 0); putGr(0, 0)                // granule 1: silent
+    putGr(p00, 288, 0)
+    putGr(p01, if (intensity) bv1 else 288, if (intensity) 13 else 0)
+    putGr(0, 0, 0); putGr(0, 0, 0)          // granule 1: silent
     val head = w.bytes
     val md = main.bytes
     val out = new Array[Byte](frameLen)
@@ -524,11 +547,11 @@ object Mp3 {
     val modeExt = (bytes(3) >> 4) & 3
     if (brIdx == 0 || brIdx == 15 || srIdx == 3) return None
     val nch = if (mode == 3) 1 else 2
-    // joint stereo: MS (mode_ext bit 1) is decoded for real; INTENSITY
-    // stereo (bit 0) is a declared seam — bands above the intensity
-    // bound would need the is_pos ratio machinery
+    // joint stereo: MS (mode_ext bit 1) = full-spectrum mid/side below
+    // the intensity bound; INTENSITY (bit 0) reconstructs bands above
+    // the right channel's rzero start from ch0 and the is_pos ratio
     val msStereo = mode == 1 && (modeExt & 2) != 0
-    if (mode == 1 && (modeExt & 1) != 0) return None
+    val isStereo = mode == 1 && (modeExt & 1) != 0
     val protection = bytes(1) & 1
     val sr = if (lsf) SampleRatesLsf(srIdx) else SampleRates(srIdx)
     val br = if (lsf) BitratesLsf(brIdx) else Bitrates(brIdx)
@@ -604,7 +627,10 @@ object Mp3 {
 
     val sfbS = sfbShort(srIdx)
     // main data immediately follows side info (main_data_begin = 0)
-    def decodeGranule(g: Gr, prevSf: Array[Int], gi: Int, ch: Int): Option[(Array[Double], Array[Int])] = {
+    // returns (requantized spectra, long scalefactors, rzero start) —
+    // rzero = the first all-zero line after the count1 region, the
+    // intensity-stereo bound for the right channel
+    def decodeGranule(g: Gr, prevSf: Array[Int], gi: Int, ch: Int): Option[(Array[Double], Array[Int], Int)] = {
       val endBit = gr.pos + g.part23
       // long-block scalefactors: per-band widths from the mode's slen
       // layout (MPEG-1: slen1/slen2 split at band 11; LSF: the 4-group
@@ -677,6 +703,7 @@ object Mp3 {
         }
         l += 4
       }
+      val rzeroStart = l
       gr.pos = endBit
       // requantization (§2.4.3.4): xr = sign·|is|^(4/3)
       //   · 2^((global_gain−210−8·subblock_gain(w))/4)
@@ -734,7 +761,7 @@ object Mp3 {
           i += 1
         }
       }
-      Some((xr, sf))
+      Some((xr, sf, rzeroStart))
     }
     // granule main data order matches the side info: gr, then ch
     val xrs = Array.ofDim[Array[Double]](nGr, nch)
@@ -742,24 +769,56 @@ object Mp3 {
     var gi = 0
     while (gi < nGr) {
       var ch = 0
+      var chSf: Array[Int] = null
+      var rzeroR = 576
       while (ch < nch) {
-        val (xr, sfOut) = decodeGranule(grs(gi)(ch), prevSf(ch), gi, ch)
+        val (xr, sfOut, rz) = decodeGranule(grs(gi)(ch), prevSf(ch), gi, ch)
           .getOrElse(return None)
         xrs(gi)(ch) = xr
         prevSf(ch) = sfOut
+        if (ch == 1) { chSf = sfOut; rzeroR = rz }
         ch += 1
       }
-      // MS stereo: mid/side → left/right on the requantized spectra
-      // (§2.4.3.4.9.2: l = (m+s)/√2, r = (m−s)/√2), full-spectrum when
-      // intensity is off
-      if (msStereo) {
+      if (nch == 2 && (msStereo || isStereo)) {
+        // intensity applies to whole scalefactor bands at or above the
+        // right channel's rzero start (long blocks; §2.4.3.4.9.3):
+        // is_pos = the band's ch1 scalefac, ratio = tan(is_pos·π/12),
+        // l = m·ratio/(1+ratio), r = m/(1+ratio); is_pos = 7 is
+        // illegal → the band falls back to MS (or stays as-is)
+        val isBound =
+          if (!isStereo) 576
+          else if (rzeroR == 0) 0
+          else {
+            if (grs(gi)(1).blockType == 2) return None // short intensity: seam
+            var b = 21
+            while (b > 0 && sfb(b) >= rzeroR) b -= 1
+            sfb(math.min(b + 1, 21))
+          }
         val m = xrs(gi)(0); val sArr = xrs(gi)(1)
         val inv = 1.0 / math.sqrt(2.0)
         var i = 0
+        var band = 0
         while (i < 576) {
-          val mm = m(i); val ss = sArr(i)
-          m(i) = (mm + ss) * inv
-          sArr(i) = (mm - ss) * inv
+          if (band < 21 && i >= sfb(band + 1)) band += 1
+          if (i >= isBound) {
+            // sfb21 transmits no scalefactor: it inherits band 20's
+            // intensity position (the standard remainder-band rule)
+            val isPos = chSf(math.min(band, 20))
+            if (isPos != 7) {
+              val ratio = math.tan(isPos * math.Pi / 12.0)
+              val mm = m(i)
+              m(i) = mm * (ratio / (1.0 + ratio))
+              sArr(i) = mm * (1.0 / (1.0 + ratio))
+            } else if (msStereo) {
+              val mm = m(i); val ss = sArr(i)
+              m(i) = (mm + ss) * inv
+              sArr(i) = (mm - ss) * inv
+            }
+          } else if (msStereo) {
+            val mm = m(i); val ss = sArr(i)
+            m(i) = (mm + ss) * inv
+            sArr(i) = (mm - ss) * inv
+          }
           i += 1
         }
       }

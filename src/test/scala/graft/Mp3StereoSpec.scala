@@ -47,11 +47,46 @@ class Mp3StereoSpec extends AnyFunSuite {
     }
   }
 
-  test("intensity stereo stays a declared seam (None, no throw)") {
-    val frame = Mp3.encodeStereo(Array.fill(576)(0), Array.fill(576)(0), msJoint = true)
-    // set mode_ext bit 0 (intensity): header byte 3, bits 4-5 = mode_ext
-    val tampered = frame.clone()
-    tampered(3) = (tampered(3) | 0x10).toByte
-    assert(Mp3.decode(tampered).isEmpty, "intensity stereo must return None")
+  test("intensity stereo reconstructs bands above the right channel's rzero bound") {
+    // ch1 coded only to line 100 (bv1 = 50) → rzero = 100 → the
+    // intensity region starts at the next band edge, line 110 (44.1 kHz
+    // long band 14). is_pos lives in ch1's scalefactors: band 14 → 3
+    // (ratio = tan(π/4) = 1 → l = r = m/2), bands 15+ → 2.
+    val rnd = new scala.util.Random(44)
+    val ch0 = Array.fill(576)(rnd.nextInt(3) - 1)
+    val ch1 = Array.tabulate(576)(i => if (i < 100) rnd.nextInt(3) - 1 else 0)
+    val isPos = Array.tabulate(21)(b => if (b < 14) 0 else if (b == 14) 3 else 2)
+    val d = Mp3.decode(Mp3.encodeStereo(ch0, ch1, msJoint = false,
+        intensity = true, bv1 = 50, isPosSf = isPos))
+      .getOrElse(fail("decode None"))
+    val edges = Mp3.SfbLong44
+    (0 until 576).foreach { i =>
+      val band = edges.lastIndexWhere(_ <= i)
+      if (i < 110) {
+        assert(d.spectral(i) == ch0(i).toDouble, s"below-bound L at $i")
+        assert(d.spectralRight(i) == ch1(i).toDouble, s"below-bound R at $i")
+      } else {
+        val pos = isPos(math.min(band, 20)) // sfb21 inherits band 20
+        val ratio = math.tan(pos * math.Pi / 12.0)
+        assert(d.spectral(i) == ch0(i) * (ratio / (1.0 + ratio)), s"IS L at $i")
+        assert(d.spectralRight(i) == ch0(i) * (1.0 / (1.0 + ratio)), s"IS R at $i")
+      }
+    }
+  }
+
+  test("is_pos = 7 is illegal: the band passes through unprocessed") {
+    val ch0 = Array.fill(576)(1)
+    val ch1 = Array.tabulate(576)(i => if (i < 100) 1 else 0)
+    val isPos = Array.tabulate(21)(b => if (b >= 14) 7 else 0)
+    val d = Mp3.decode(Mp3.encodeStereo(ch0, ch1, msJoint = false,
+        intensity = true, bv1 = 50, isPosSf = isPos))
+      .getOrElse(fail("decode None"))
+    // with MS off and every intensity band at the illegal position, the
+    // spectra must be exactly the per-channel decodes (L = ch0, R = 0
+    // in the rzero tail)
+    (110 until 576).foreach { i =>
+      assert(d.spectral(i) == 1.0, s"L at $i")
+      assert(d.spectralRight(i) == 0.0, s"R at $i")
+    }
   }
 }
