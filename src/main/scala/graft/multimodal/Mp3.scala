@@ -53,9 +53,13 @@ package graft.multimodal
   * inherits band 20's position), long blocks; composes with MS below
   * the bound.
   *
+  * Mixed blocks (r15): mixed_block_flag keeps lines 0..35 in the LONG
+  * layout (bands 0..7 with pretab, the 17/18 slen split, alias
+  * reduction at the long-long boundary only, normal long window on
+  * subbands 0-1) with the short machinery from band 3 / subband 2 up.
+  *
   * DECLARED scope limits (the honest seams, like Multimodal.scala:47-58):
-  * no short-block intensity, no mixed blocks (mixed_block_flag = 1 →
-  * None), no LSF short blocks, no MPEG-2.5;
+  * no short-block intensity, no LSF short/mixed blocks, no MPEG-2.5;
   * [[decode]]
   * (single frame) refuses a nonzero main_data_begin unless the granules
   * read zero main-data bits. decode/decodeStream return None/skip —
@@ -243,7 +247,8 @@ object Mp3 {
                                       globalGain: Int, preflag: Boolean,
                                       bigValues: Int = 288,
                                       count1TableA: Boolean = false,
-                                      blockType: Int = 0): Array[Byte] = {
+                                      blockType: Int = 0,
+                                      mixedBlocks: Boolean = false): Array[Byte] = {
     require(lines.length == 576, s"need 576 lines, got ${lines.length}")
     require(bigValues >= 0 && bigValues <= 288 && bigValues % 2 == 0)
     require(blockType == 0 || !preflag, "preflag frames are long-block only here")
@@ -343,7 +348,7 @@ object Mp3 {
         w.put(8, 4); w.put(7, 3) // region0_count / region1_count
       } else {
         w.put(1, 1) // window_switching_flag
-        w.put(blockType, 2); w.put(0, 1) // block_type, mixed = 0
+        w.put(blockType, 2); w.put(if (mixedBlocks) 1 else 0, 1)
         w.put(tabIds(0), 5); w.put(tabIds(1), 5)
         w.put(0, 3); w.put(0, 3); w.put(0, 3) // subblock_gain = 0
       }
@@ -376,9 +381,9 @@ object Mp3 {
     * requantization is the identity on {−1, 0, +1}. blockType 1/3
     * (start/stop) emit window-switching LONG frames. */
   def encodeShort(lines: Array[Int], tables: (Int, Int) = (7, 10),
-                  blockType: Int = 2): Array[Byte] =
+                  blockType: Int = 2, mixed: Boolean = false): Array[Byte] =
     encodeFrame(lines, (tables._1, tables._2, 0), globalGain = 210,
-      preflag = false, blockType = blockType)
+      preflag = false, blockType = blockType, mixedBlocks = mixed)
 
   /** STEREO frame for the specs: two channels of {−1, 0, +1} lines,
     * table 7 everywhere, long blocks, zero scalefactors, gg = 210.
@@ -567,15 +572,16 @@ object Mp3 {
     final case class Gr(part23: Int, bigValues: Int, globalGain: Int,
                         tables: Array[Int], r0: Int, r1: Int,
                         slenOf: Int => Int, preflag: Int, sfScale: Int,
-                        count1B: Boolean, blockType: Int, sbg: Array[Int])
+                        count1B: Boolean, blockType: Int, sbg: Array[Int],
+                        mixed: Boolean)
     def readGr(): Option[Gr] = {
       val part23 = r.get(12); val bv = r.get(9); val gg = r.get(8)
       val sfc = r.get(if (lsf) 9 else 4)
       val wsf = r.get(1)
-      val (t, r0, r1, bt, sbg) =
+      val (t, r0, r1, bt, sbg, mixed) =
         if (wsf == 0) {
           val t = Array(r.get(5), r.get(5), r.get(5))
-          (t, r.get(4), r.get(3), 0, Array(0, 0, 0))
+          (t, r.get(4), r.get(3), 0, Array(0, 0, 0), false)
         } else {
           // window-switching side info: block_type, mixed_block_flag,
           // TWO table selects, three subblock gains; region boundaries
@@ -583,11 +589,11 @@ object Mp3 {
           val bt = r.get(2)
           val mixed = r.get(1)
           if (bt == 0) return None        // reserved with wsf = 1
-          if (mixed == 1) return None     // mixed blocks: declared seam
+          if (mixed == 1 && bt != 2) return None // mixed only defined for short
           if (lsf && bt == 2) return None // LSF short: declared seam
           val t = Array(r.get(5), r.get(5), 0)
           val sbg = Array(r.get(3), r.get(3), r.get(3))
-          (t, -1, -1, bt, sbg)
+          (t, -1, -1, bt, sbg, mixed == 1)
         }
       val (slenOf, pre) =
         if (lsf) {
@@ -602,7 +608,7 @@ object Mp3 {
       val sfs = r.get(1)
       val c1b = r.get(1) == 1
       if (bv > 288) return None
-      Some(Gr(part23, bv, gg, t, r0, r1, slenOf, pre, sfs, c1b, bt, sbg))
+      Some(Gr(part23, bv, gg, t, r0, r1, slenOf, pre, sfs, c1b, bt, sbg, mixed))
     }
     // MPEG-1 side-info order: gr0ch0, gr0ch1, gr1ch0, gr1ch1
     val nGr = if (lsf) 1 else 2
@@ -642,7 +648,21 @@ object Mp3 {
       // short blocks: 12 bands x 3 windows, read band-major (spec order
       // sfb 0..11, window 0..2); scfsi never applies to short granules
       val sfS = Array.ofDim[Int](12, 3)
-      if (g.blockType == 2) {
+      if (g.blockType == 2 && g.mixed) {
+        // MIXED: 8 long bands (slen1 group), then short bands 3..11 ×3
+        // windows (3..5 slen1, 6..11 slen2) — the spec's 17/18 split
+        var b = 0
+        while (b < 8) { sf(b) = gr.get(g.slenOf(0)); b += 1 }
+        b = 3
+        while (b < 12) {
+          var w = 0
+          while (w < 3) {
+            sfS(b)(w) = gr.get(g.slenOf(if (b < 6) 0 else 11))
+            w += 1
+          }
+          b += 1
+        }
+      } else if (g.blockType == 2) {
         var b = 0
         while (b < 12) {
           var w = 0
@@ -717,12 +737,27 @@ object Mp3 {
         // SHORT: Huffman order is band-major (band b: window 0's W
         // values, then window 1's, window 2's); REORDER to the
         // frequency-interleaved layout xr(3f+w) the 12-point IMDCT
-        // triplets consume, applying the per-window scale
+        // triplets consume, applying the per-window scale. MIXED blocks
+        // keep lines 0..35 in the LONG layout (bands 0..7, pretab
+        // applies) and start the short region at band 3 (per-window
+        // freq 12).
         val sbE = sfbS
         val wScale = Array.tabulate(3)(w =>
           math.pow(2.0, (g.globalGain - 210 - 8 * g.sbg(w)) / 4.0))
+        val gain0 = math.pow(2.0, (g.globalGain - 210) / 4.0)
         var src = 0
-        var b = 0
+        if (g.mixed) {
+          var i = 0
+          var lb = 0
+          while (i < 36) {
+            if (i >= sfb(lb + 1)) lb += 1
+            val sc = gain0 * math.pow(2.0,
+              -mult * (sf(lb) + g.preflag * Pretab(lb)))
+            xr(i) = pow43(is(src)) * sc
+            src += 1; i += 1
+          }
+        }
+        var b = if (g.mixed) 3 else 0
         while (b < 13) {
           val w0 = sbE(b); val w1 = sbE(b + 1)
           var w = 0
@@ -832,7 +867,7 @@ object Mp3 {
       var ch = 0
       while (ch < nch) {
         synthGranule(xrs(gi)(ch), sts(ch), chPcm(ch), gi * 576,
-          grs(gi)(ch).blockType)
+          grs(gi)(ch).blockType, grs(gi)(ch).mixed)
         ch += 1
       }
       gi += 1
@@ -927,13 +962,15 @@ object Mp3 {
     * reduction (short subbands are not aliased, §2.4.3.4.8.1). */
   private def synthGranule(xrIn: Array[Double], st: SynthState,
                            out: Array[Double], off: Int,
-                           blockType: Int = 0): Unit = {
+                           blockType: Int = 0, mixed: Boolean = false): Unit = {
     val xr = xrIn.clone()
     // alias-reduction butterflies across the 31 subband boundaries
-    // (all long-window types; never for pure short blocks)
-    if (blockType != 2) {
+    // (all long-window types; for MIXED blocks only the long-long
+    // boundary below subband 2; never for pure short blocks)
+    if (blockType != 2 || mixed) {
       var sb = 1
-      while (sb < 32) {
+      val sbEnd = if (blockType == 2) 2 else 32
+      while (sb < sbEnd) {
         var i = 0
         while (i < 8) {
           val a = 18 * sb - 1 - i; val b = 18 * sb + i
@@ -955,7 +992,7 @@ object Mp3 {
     var sb = 0
     while (sb < 32) {
       val z = new Array[Double](36)
-      if (blockType == 2) {
+      if (blockType == 2 && !(mixed && sb < 2)) {
         // three 12-point IMDCTs: window w consumes freqs xr(3f+w),
         // f = 6·sb .. 6·sb+5, windowed short, laid at offset 6 + 12w
         var w = 0

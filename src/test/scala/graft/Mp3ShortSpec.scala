@@ -75,14 +75,54 @@ class Mp3ShortSpec extends AnyFunSuite {
     assert(inBand / total > 0.5, s"only ${inBand / total} of energy near subband 6")
   }
 
-  test("mixed blocks and LSF short blocks stay declared seams (None, no throw)") {
-    val frame = Mp3.encodeShort(Array.fill(576)(0))
-    // flip mixed_block_flag: granule0 side info starts at bit 32+18; the
-    // wsf bit sits after part23(12)+bv(9)+gg(8)+sfc(4) → mixed is at
-    // +34 bits (12+9+8+4+1[wsf]+2[bt] = 36 ... position 36)
+  test("MIXED blocks round-trip: long head (lines 0..35) + short tail from band 3") {
+    // huffman order for mixed: 36 long lines in natural order, then
+    // short bands 3..12 band-major; the decoder must keep the head
+    // unreordered and interleave the tail at 3f+w from freq 12
+    val rnd = new scala.util.Random(33)
+    val lines = Array.fill(576)(rnd.nextInt(3) - 1)
+    val d = Mp3.decode(Mp3.encodeShort(lines, mixed = true))
+      .getOrElse(fail("mixed decode returned None"))
+    val edges = Mp3.SfbShort44
+    val expect = new Array[Int](576)
+    var src = 0
+    (0 until 36).foreach { i => expect(i) = lines(src); src += 1 }
+    for (b <- 3 until 13; w <- 0 until 3; f <- edges(b) until edges(b + 1)) {
+      expect(3 * f + w) = lines(src); src += 1
+    }
+    assert(src == 576)
+    assert(d.spectral.map(_.toInt).sameElements(expect),
+      "mixed-block spectra differ from the reference layout")
+    assert(d.pcm.forall(x => !x.isNaN && !x.isInfinite))
+  }
+
+  test("a tone in the mixed long head lands in the bottom subbands") {
+    val lines = new Array[Int](576)
+    (18 until 36).foreach(i => lines(i) = if (i % 2 == 0) 1 else -1) // subband 1
+    val d = Mp3.decode(Mp3.encodeShort(lines, mixed = true)).getOrElse(fail("None"))
+    val n = d.pcm.length
+    val mags = (1 until n / 2).map { k =>
+      var re = 0.0; var im = 0.0; var t = 0
+      while (t < n) {
+        val a = 2.0 * math.Pi * k * t / n
+        re += d.pcm(t) * math.cos(a); im -= d.pcm(t) * math.sin(a)
+        t += 1
+      }
+      (k, re * re + im * im)
+    }
+    val total = mags.map(_._2).sum
+    assert(total > 0)
+    val inBand = mags.filter { case (k, _) => k >= n / 128 && k < n * 5 / 128 }
+      .map(_._2).sum
+    assert(inBand / total > 0.5, s"only ${inBand / total} near subband 1")
+  }
+
+  test("LSF short blocks stay declared seams (None, no throw)") {
+    // a mixed flag on a NON-short block type (start) is undefined → None
+    val frame = Mp3.encodeShort(Array.fill(576)(0), blockType = 1)
     val t0 = 32 + 18 + 36
     val tampered = frame.clone()
     tampered(t0 >> 3) = (tampered(t0 >> 3) | (1 << (7 - (t0 & 7)))).toByte
-    assert(Mp3.decode(tampered).isEmpty, "mixed blocks must return None")
+    assert(Mp3.decode(tampered).isEmpty, "mixed on a long block type must return None")
   }
 }
