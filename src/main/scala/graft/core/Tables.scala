@@ -78,19 +78,28 @@ object Tables {
     * (advice r14) — the fingerprint walk is a cheap local stat, not a
     * footer read. */
   private val streamSchemaCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long), org.apache.spark.sql.types.StructType]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, org.apache.spark.sql.types.StructType)]()
   private def pathFingerprint(path: String): Long = {
     def walk(f: java.io.File): Long =
       if (f.isDirectory) f.listFiles() match {
         case null => f.lastModified()
-        case kids => kids.foldLeft(f.lastModified())((a, k) => 31 * a + walk(k))
+        // listFiles() order is filesystem-dependent: sort so the same
+        // directory always fingerprints identically (advice r15)
+        case kids => kids.sortBy(_.getName)
+          .foldLeft(f.lastModified())((a, k) => 31 * a + walk(k))
       }
       else 31 * (31 * f.lastModified() + f.length())
     walk(new java.io.File(path))
   }
-  private def probedSchema(s: SparkSession, path: String) =
-    streamSchemaCache.computeIfAbsent((path, pathFingerprint(path)),
-      { case (p, _) => s.read.parquet(p).schema })
+  // path -> (fingerprint, schema): a superseded fingerprint REPLACES its
+  // entry instead of accreting a new key, so repeated mid-session regens
+  // keep the map at one entry per path (advice r15)
+  private def probedSchema(s: SparkSession, path: String) = {
+    val fp = pathFingerprint(path)
+    streamSchemaCache.compute(path, (p, old) =>
+      if (old != null && old._1 == fp) old
+      else (fp, s.read.parquet(p).schema))._2
+  }
 
   def eventsStream(s: SparkSession, d: String): DataFrame = {
     val path = s"$d/events.parquet"

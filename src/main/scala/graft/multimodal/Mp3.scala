@@ -488,7 +488,18 @@ object Mp3 {
     * decode each frame against it. Frames that cannot decode
     * (reservoir underrun at stream start, unsupported shape, malformed)
     * are skipped; their main data still feeds the reservoir so later
-    * frames stay aligned. */
+    * frames stay aligned.
+    *
+    * REAL-WORLD fidelity caveat (advice r15): four codebooks (11, 13,
+    * 16, 24 — and via code-sharing ids 17-23/25-31) carry the spec
+    * LENGTH profile with a canonical (non-spec) code assignment
+    * ([[Mp3Tables]] provenance header). A real frame whose encoder used
+    * those tables' spec codes would entropy-decode to plausible-looking
+    * but WRONG values, not Malformed — the on-image LAME golden (45
+    * silence frames) exercises the header/side-info/scalefactor layers,
+    * not those codebooks. No MP3 encoder exists in this offline
+    * container to manufacture a validating stream; treat non-synthetic
+    * decode output through tables 11/13/16-31 as unvalidated. */
   def decodeStream(bytes: Array[Byte], maxFrames: Int = 10000): Seq[Decoded] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[Decoded]
     var res = Array.emptyByteArray
@@ -557,6 +568,10 @@ object Mp3 {
     // the right channel's rzero start from ch0 and the is_pos ratio
     val msStereo = mode == 1 && (modeExt & 2) != 0
     val isStereo = mode == 1 && (modeExt & 1) != 0
+    // LSF intensity uses the 13818-3 io^((is_pos+1)/2) scheme, not the
+    // MPEG-1 tan rule, and its is_pos values can exceed 7 — refuse
+    // rather than mis-scale (advice r15)
+    if (lsf && isStereo) return None
     val protection = bytes(1) & 1
     val sr = if (lsf) SampleRatesLsf(srIdx) else SampleRates(srIdx)
     val br = if (lsf) BitratesLsf(brIdx) else Bitrates(brIdx)
@@ -684,9 +699,16 @@ object Mp3 {
       }
       val is = new Array[Int](576)
       // big-values region split by scalefactor-band edges; with window
-      // switching the split is IMPLIED: region0 = 36 lines, region1 =
-      // the rest (table_select has only two entries)
-      val reg1Start = if (g.blockType != 0) 36 else sfb(math.min(g.r0 + 1, 22))
+      // switching the split is IMPLIED (table_select has only two
+      // entries): short blocks end region0 at 36 lines (3 windows x the
+      // first 3 short bands); start/stop blocks end it at the first 8
+      // LONG bands — sfb(8) = 36 at every MPEG-1 rate but 54 on the LSF
+      // long tables, where the literal 36 desynced the Huffman stream
+      // (advice r15)
+      val reg1Start =
+        if (g.blockType == 2) 36
+        else if (g.blockType != 0) sfb(8)
+        else sfb(math.min(g.r0 + 1, 22))
       val reg2Start = if (g.blockType != 0) 576 else sfb(math.min(g.r0 + g.r1 + 2, 22))
       var l = 0
       val bvEnd = 2 * g.bigValues
@@ -827,7 +849,11 @@ object Mp3 {
             if (grs(gi)(1).blockType == 2) return None // short intensity: seam
             var b = 21
             while (b > 0 && sfb(b) >= rzeroR) b -= 1
-            sfb(math.min(b + 1, 21))
+            // sfb has 23 entries (sfb(22) = 576): when rzero falls inside
+            // band 21 the bound is 576 — NO intensity — rather than a
+            // clamp to sfb(21) that would overwrite genuinely coded
+            // right-channel lines 418..575 (advice r15)
+            sfb(b + 1)
           }
         val m = xrs(gi)(0); val sArr = xrs(gi)(1)
         val inv = 1.0 / math.sqrt(2.0)

@@ -60,6 +60,12 @@ object TextQueries {
       Dedup.minhashSignatures(Tables.documents(s, d), "text", "doc_id").orderBy("doc")
     },
     "dedup_minhash_pairs" -> { (s, d) =>
+      // FROZEN-PARAMETER (4 bands × 2 hashes) band-machinery AUDIT GATE
+      // (r16 declaration — the jaccard_lsh/ann_lsh discipline): the
+      // fixed layout measured 25.3× wall / 101× candidate pairs on the
+      // organic second decade (SURVEY §6) — not a production path for
+      // growing corpora; production candidates are dedup_minhash_auto's
+      // n-scaled depth.
       Dedup.minhashCandidates(Tables.documents(s, d), "text", "doc_id")
         .orderBy("doc1", "doc2")
     },

@@ -74,6 +74,28 @@ class Mp3StereoSpec extends AnyFunSuite {
     }
   }
 
+  test("rzero inside band 21 means NO intensity: right lines 418..575 survive") {
+    // bv1 = 250 → ch1's rzero = 500, inside the last scalefactor band
+    // (418..576). The intensity bound is then sfb(22) = 576 — no band is
+    // intensity-processed — NOT a clamp to sfb(21) = 418 that would
+    // overwrite genuinely coded right-channel lines (advice r15).
+    val rnd = new scala.util.Random(46)
+    val ch0 = Array.fill(576)(rnd.nextInt(3) - 1)
+    // nonzero right-channel content only below band 20 (ch1 scalefactors
+    // double as REAL scalefactors below the bound, so they stay 0 there);
+    // band 20 carries is_pos = 3 — the value band 21 would inherit if the
+    // old 418 clamp (wrongly) intensity-processed it
+    val ch1 = Array.tabulate(576)(i => if (i < 342) rnd.nextInt(3) - 1 else 0)
+    val isPos = Array.tabulate(21)(b => if (b == 20) 3 else 0)
+    val d = Mp3.decode(Mp3.encodeStereo(ch0, ch1, msJoint = false,
+        intensity = true, bv1 = 250, isPosSf = isPos))
+      .getOrElse(fail("decode None"))
+    (0 until 576).foreach { i =>
+      assert(d.spectral(i) == ch0(i).toDouble, s"L pass-through at $i")
+      assert(d.spectralRight(i) == ch1(i).toDouble, s"R pass-through at $i")
+    }
+  }
+
   test("is_pos = 7 is illegal: the band passes through unprocessed") {
     val ch0 = Array.fill(576)(1)
     val ch1 = Array.tabulate(576)(i => if (i < 100) 1 else 0)
