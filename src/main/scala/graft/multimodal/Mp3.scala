@@ -58,8 +58,21 @@ package graft.multimodal
   * reduction at the long-long boundary only, normal long window on
   * subbands 0-1) with the short machinery from band 3 / subband 2 up.
   *
+  * r16 seam closures: LSF SHORT and MIXED blocks (the 13818-3
+  * nsfb-partition scalefactor layout, kind-aware slot slens), LSF
+  * start/stop region boundary at sfb(8) = 54 (advice r15), MPEG-2.5
+  * (header id 0, 11.025/12/8 kHz — 11.025/12 reuse the 22.05/24 band
+  * tables per the public decoder convention, 8 kHz has its own edges
+  * incl. the five 2-wide top long bands), and SHORT-BLOCK intensity
+  * stereo with PER-WINDOW bounds (the value-scan rule: intensity on the
+  * bands above each window's last nonzero right-channel band).
+  *
   * DECLARED scope limits (the honest seams, like Multimodal.scala:47-58):
-  * no short-block intensity, no LSF short/mixed blocks, no MPEG-2.5;
+  * LSF/2.5 joint-stereo INTENSITY frames refuse (the 13818-3
+  * io^((is_pos+1)/2) scheme, not the MPEG-1 tan rule — advice r15);
+  * mixed-block and asymmetric-blocktype intensity refuse; 8 kHz mixed
+  * blocks refuse (the 12-wide long bands and the 24-wide short start
+  * don't compose at 36 lines);
   * [[decode]]
   * (single frame) refuses a nonzero main_data_begin unless the granules
   * read zero main-data bits. decode/decodeStream return None/skip —
@@ -124,29 +137,74 @@ object Mp3 {
     case 1 => SfbLong24
     case _ => SfbLong22 // 22.05 and 16 kHz share the long-block edges
   }
-  /** LSF long-block scalefactor layout: per-band slen + implied preflag
-    * from the 9-bit scalefac_compress (13818-3 partition rule). */
-  private def lsfSlen(sfc: Int): (Array[Int], Int) = {
-    val (slens, nrs, pre) =
+  // LSF short-block band edges (ISO 13818-3 Table B.8), 12 coded bands +
+  // the uncoded remainder. Recalled public tables, same provenance
+  // discipline as the Huffman codebooks (structurally validated: 13
+  // monotone edges ending at 192; encoder and decoder share the object).
+  private val SfbShort22 =
+    Array(0, 4, 8, 12, 18, 24, 32, 42, 56, 74, 100, 132, 174, 192)
+  private val SfbShort24 =
+    Array(0, 4, 8, 12, 18, 26, 36, 48, 62, 80, 104, 136, 180, 192)
+  private val SfbShort16 =
+    Array(0, 4, 8, 12, 18, 26, 36, 48, 62, 80, 104, 134, 174, 192)
+  private def sfbShortLsf(srIdx: Int): Array[Int] = srIdx match {
+    case 0 => SfbShort22
+    case 1 => SfbShort24
+    case _ => SfbShort16
+  }
+  // MPEG-2.5 (the de-facto 11172-3 extension: header id 0, sample rates
+  // halved again): 11.025/12 kHz reuse the 22.05/24 kHz band tables (the
+  // public decoder convention — libmad/mpg123); 8 kHz has its own edges,
+  // including the published five 2-wide top long bands.
+  private val SampleRates25 = Array(11025, 12000, 8000)
+  private val SfbLong8 = Array(0, 12, 24, 36, 48, 60, 72, 88, 108, 132,
+    160, 192, 232, 280, 336, 400, 476, 566, 568, 570, 572, 574, 576)
+  private val SfbShort8 =
+    Array(0, 8, 16, 24, 36, 52, 72, 96, 124, 160, 162, 164, 166, 192)
+  private def sfbLong25(srIdx: Int): Array[Int] = srIdx match {
+    case 0 => SfbLong22
+    case 1 => SfbLong24
+    case _ => SfbLong8
+  }
+  private def sfbShort25(srIdx: Int): Array[Int] = srIdx match {
+    case 0 => SfbShort22
+    case 1 => SfbShort24
+    case _ => SfbShort8
+  }
+  /** 13818-3 scalefactor group sizes per (partition row, block kind):
+    * kind 0 = long (21 slots), 1 = short (36 slots, band-major
+    * sfb 0..11 × window 0..2), 2 = mixed (33 slots: 6 long bands then
+    * short bands 3..11 × windows). Rows 0/1/2 = the sfc < 400 / < 500 /
+    * >= 500 partitions (the public mpg123/libmad nsfb table). */
+  private val LsfNsfb: Array[Array[Array[Int]]] = Array(
+    Array(Array(6, 5, 5, 5), Array(6, 5, 7, 3), Array(11, 10, 0, 0)), // long
+    Array(Array(9, 9, 9, 9), Array(9, 9, 12, 6), Array(18, 18, 0, 0)), // short
+    Array(Array(6, 9, 9, 9), Array(6, 9, 12, 6), Array(15, 18, 0, 0))) // mixed
+
+  /** LSF scalefactor layout: per-SLOT slen in bitstream read order +
+    * implied preflag, from the 9-bit scalefac_compress (13818-3
+    * partition rule) and the block kind. */
+  private def lsfSlen(sfc: Int, kind: Int): (Array[Int], Int) = {
+    val (slens, row, pre) =
       if (sfc < 400)
-        (Array((sfc >> 4) / 5, (sfc >> 4) % 5, (sfc & 15) >> 2, sfc & 3),
-          Array(6, 5, 5, 5), 0)
+        (Array((sfc >> 4) / 5, (sfc >> 4) % 5, (sfc & 15) >> 2, sfc & 3), 0, 0)
       else if (sfc < 500) {
         val t = sfc - 400
-        (Array((t >> 2) / 5, (t >> 2) % 5, t & 3, 0), Array(6, 5, 7, 3), 0)
+        (Array((t >> 2) / 5, (t >> 2) % 5, t & 3, 0), 1, 0)
       } else {
         val t = sfc - 500
-        (Array(t / 3, t % 3, 0, 0), Array(11, 10, 0, 0), 1)
+        (Array(t / 3, t % 3, 0, 0), 2, 1)
       }
-    val perBand = new Array[Int](21)
+    val nrs = LsfNsfb(kind)(row)
+    val perSlot = new Array[Int](nrs.sum)
     var b = 0
     var g = 0
     while (g < 4) {
       var k = 0
-      while (k < nrs(g)) { perBand(b) = slens(g); b += 1; k += 1 }
+      while (k < nrs(g)) { perSlot(b) = slens(g); b += 1; k += 1 }
       g += 1
     }
-    (perBand, pre)
+    (perSlot, pre)
   }
   // preemphasis table (Annex B Table B.6), long-block bands 0..20
   val Pretab =
@@ -460,6 +518,183 @@ object Mp3 {
     encodeFrame(lines, (tableId, tableId, tableId), globalGain = 210,
       preflag = false, bigValues = bigValues, count1TableA = count1TableA)
 
+  /** One MPEG-2 LSF (or MPEG-2.5) mono Layer III frame at 160 kbps for
+    * the specs: single granule, scalefac_compress = 0 (every slen group
+    * zero — no scalefactor bits in any block kind), gg = 210 so
+    * requantization is the identity on {−1, 0, +1}. blockType 0 emits
+    * transmitted region counts (r0 = 8, r1 = 7 — boundaries sfb(9) /
+    * sfb(17) of the LSF long table); 1/3 emit window-switching long
+    * frames (implied region0 = sfb(8)); 2 emits short frames (`lines`
+    * in band-major Huffman order, implied region0 = 3·sfbShort(3)) and
+    * with `mixed` the long-head layout (6 LSF long bands, short from
+    * band 3). */
+  def encodeLsfFrame(lines: Array[Int], tables: (Int, Int, Int) = (7, 7, 7),
+                     blockType: Int = 0, mixed: Boolean = false,
+                     mpeg25: Boolean = false, srIdx: Int = 0,
+                     bigValues: Int = 288): Array[Byte] = {
+    require(lines.length == 576 && bigValues >= 0 && bigValues <= 288 &&
+      bigValues % 2 == 0)
+    val sfb = if (mpeg25) sfbLong25(srIdx) else sfbLongLsf(srIdx)
+    val sfbS = if (mpeg25) sfbShort25(srIdx) else sfbShortLsf(srIdx)
+    val sr = if (mpeg25) SampleRates25(srIdx) else SampleRatesLsf(srIdx)
+    val tabIds = Array(tables._1, tables._2, tables._3)
+    val cbs = tabIds.map { id =>
+      require(id != 4 && id != 14, s"reserved codebook id $id")
+      Mp3Tables.byId(id).orNull
+    }
+    // decoder-implied / transmitted region boundaries (must match
+    // decodeGranule's rule exactly)
+    val reg1Start =
+      if (blockType == 2 && !mixed) 3 * sfbS(3)
+      else if (blockType == 2) 36
+      else if (blockType != 0) sfb(8)
+      else sfb(9)
+    val reg2Start = if (blockType != 0) 576 else sfb(17)
+    val g0 = new BitWriter
+    // sfc = 0 → all slen groups zero: no scalefactor bits for any kind
+    var p = 0
+    while (p < bigValues) {
+      val l = 2 * p
+      val cb = cbs(if (l < reg1Start) 0 else if (l < reg2Start) 1 else 2)
+      if (cb == null) {
+        require(lines(l) == 0 && lines(l + 1) == 0,
+          "table-0 region carries only zeros")
+      } else {
+        val x = math.abs(lines(l)); val y = math.abs(lines(l + 1))
+        require(x <= 1 && y <= 1, "LSF spec frames: lines in {-1,0,1}")
+        val idx = x * cb.ylen + y
+        g0.put(cb.hcod(idx), cb.hlen(idx))
+        if (x != 0) g0.put(if (lines(l) < 0) 1 else 0, 1)
+        if (y != 0) g0.put(if (lines(l + 1) < 0) 1 else 0, 1)
+      }
+      p += 1
+    }
+    var l = 2 * bigValues
+    while (l < 576) {
+      var q = 0; var k = 0
+      while (k < 4) {
+        val v = lines(l + k)
+        require(v >= -1 && v <= 1, "count1 region: lines in {-1,0,1}")
+        q = (q << 1) | math.abs(v)
+        k += 1
+      }
+      g0.put((~q) & 15, 4) // count1 table B
+      k = 0
+      while (k < 4) {
+        if (lines(l + k) != 0) g0.put(if (lines(l + k) < 0) 1 else 0, 1)
+        k += 1
+      }
+      l += 4
+    }
+    val part23 = g0.bitCount
+    require(part23 < 4096, s"part2_3_length overflow: $part23")
+    val frameLen = 72 * 160000 / sr // bitrate index 14 = 160 kbps LSF
+
+    val w = new BitWriter
+    w.put(0x7FF, 11)
+    w.put(if (mpeg25) 0 else 2, 2) // id: MPEG-2.5 / MPEG-2 LSF
+    w.put(1, 2); w.put(1, 1)       // Layer III, no CRC
+    w.put(14, 4); w.put(srIdx, 2); w.put(0, 1); w.put(0, 1)
+    w.put(3, 2); w.put(0, 2); w.put(0, 1); w.put(0, 1); w.put(0, 2)
+    // LSF mono side info (9 bytes): main_data_begin(8), private(1),
+    // ONE granule, no scfsi, no preflag bit (implied by the partition)
+    w.put(0, 8); w.put(0, 1)
+    w.put(part23, 12); w.put(bigValues, 9); w.put(210, 8)
+    w.put(0, 9) // scalefac_compress (9 bits in LSF)
+    if (blockType == 0) {
+      w.put(0, 1)
+      w.put(tabIds(0), 5); w.put(tabIds(1), 5); w.put(tabIds(2), 5)
+      w.put(8, 4); w.put(7, 3)
+    } else {
+      w.put(1, 1)
+      w.put(blockType, 2); w.put(if (mixed) 1 else 0, 1)
+      w.put(tabIds(0), 5); w.put(tabIds(1), 5)
+      w.put(0, 3); w.put(0, 3); w.put(0, 3)
+    }
+    w.put(0, 1); w.put(1, 1) // scalefac_scale, count1 table B
+    val head = w.bytes
+    val md = g0.bytes
+    val out = new Array[Byte](frameLen)
+    System.arraycopy(head, 0, out, 0, head.length)
+    System.arraycopy(md, 0, out, head.length, md.length)
+    out
+  }
+
+  /** MPEG-1 STEREO SHORT-BLOCK frame for the intensity specs: both
+    * channels block_type 2 (lines in band-major Huffman order, table 7),
+    * gg = 210, subblock gains 0. With `intensity`, ch1 carries only its
+    * first 2·bv1 lines and transmits is_pos in its SHORT scalefactors
+    * (sfCompress 13 → slen (3, 3): 36 three-bit slots, band-major
+    * `isPosSfS(b)(w)`, values 0..7 with 7 = illegal). */
+  def encodeStereoShort(ch0: Array[Int], ch1: Array[Int],
+                        msJoint: Boolean = false, intensity: Boolean = false,
+                        bv1: Int = 288,
+                        isPosSfS: Array[Array[Int]] = null): Array[Byte] = {
+    require(ch0.length == 576 && ch1.length == 576)
+    val cb = Mp3Tables.byId(7).get
+    val main = new BitWriter
+    def putGranuleData(lines: Array[Int], bv: Int,
+                       sfS: Array[Array[Int]]): Int = {
+      val before = main.bitCount
+      if (sfS != null) {
+        var b = 0
+        while (b < 12) {
+          var w = 0
+          while (w < 3) {
+            require(sfS(b)(w) >= 0 && sfS(b)(w) <= 7)
+            main.put(sfS(b)(w), 3); w += 1
+          }
+          b += 1
+        }
+      }
+      var p = 0
+      while (p < bv) {
+        val l = 2 * p
+        val x = math.abs(lines(l)); val y = math.abs(lines(l + 1))
+        require(x <= 1 && y <= 1, "stereo short spec frames: lines in {-1,0,1}")
+        val idx = x * cb.ylen + y
+        main.put(cb.hcod(idx), cb.hlen(idx))
+        if (x != 0) main.put(if (lines(l) < 0) 1 else 0, 1)
+        if (y != 0) main.put(if (lines(l + 1) < 0) 1 else 0, 1)
+        p += 1
+      }
+      main.bitCount - before
+    }
+    val sf1 = if (intensity) {
+      require(isPosSfS != null && isPosSfS.length == 12 &&
+        isPosSfS.forall(_.length == 3))
+      isPosSfS
+    } else null
+    val p00 = putGranuleData(ch0, 288, null)
+    val p01 = putGranuleData(ch1, if (intensity) bv1 else 288, sf1)
+    val frameLen = 144 * 320000 / 44100
+    val w = new BitWriter
+    w.put(0x7FF, 11); w.put(3, 2); w.put(1, 2); w.put(1, 1)
+    w.put(14, 4); w.put(0, 2); w.put(0, 1); w.put(0, 1)
+    val joint = msJoint || intensity
+    w.put(if (joint) 1 else 0, 2)
+    w.put((if (msJoint) 2 else 0) | (if (intensity) 1 else 0), 2)
+    w.put(0, 1); w.put(0, 1); w.put(0, 2)
+    w.put(0, 9); w.put(0, 3); w.put(0, 8) // mdb, private, scfsi
+    def putGr(part23: Int, bv: Int, sfc: Int): Unit = {
+      w.put(part23, 12); w.put(bv, 9); w.put(210, 8); w.put(sfc, 4)
+      w.put(1, 1)                 // window_switching_flag
+      w.put(2, 2); w.put(0, 1)    // block_type 2, not mixed
+      w.put(7, 5); w.put(7, 5)    // two table selects
+      w.put(0, 3); w.put(0, 3); w.put(0, 3)
+      w.put(0, 1); w.put(0, 1); w.put(1, 1) // preflag, sfs, count1 B
+    }
+    putGr(p00, 288, 0)
+    putGr(p01, if (intensity) bv1 else 288, if (intensity) 13 else 0)
+    putGr(0, 0, 0); putGr(0, 0, 0)
+    val head = w.bytes
+    val md = main.bytes
+    val out = new Array[Byte](frameLen)
+    System.arraycopy(head, 0, out, 0, head.length)
+    System.arraycopy(md, 0, out, head.length, md.length)
+    out
+  }
+
   // ---------------------------------------------------------------- decode
 
   /** `spectral` = granule 0, channel 0 (LEFT after MS reconstruction);
@@ -529,13 +764,16 @@ object Mp3 {
     if ((bytes(off) & 0xff) != 0xff || (bytes(off + 1) & 0xe0) != 0xe0) return null
     val id = (bytes(off + 1) >> 3) & 3
     val layer = (bytes(off + 1) >> 1) & 3
-    if ((id != 3 && id != 2) || layer != 1) return null
-    val lsf = id == 2
+    if (id == 1 || layer != 1) return null // id 1 reserved; Layer III only
+    val lsf = id != 3 // MPEG-2 LSF (id 2) and MPEG-2.5 (id 0)
     val brIdx = (bytes(off + 2) >> 4) & 15
     val srIdx = (bytes(off + 2) >> 2) & 3
     val pad = (bytes(off + 2) >> 1) & 1
     if (brIdx == 0 || brIdx == 15 || srIdx == 3) return null
-    val sr = if (lsf) SampleRatesLsf(srIdx) else SampleRates(srIdx)
+    val sr =
+      if (id == 0) SampleRates25(srIdx)
+      else if (lsf) SampleRatesLsf(srIdx)
+      else SampleRates(srIdx)
     val br = if (lsf) BitratesLsf(brIdx) else Bitrates(brIdx)
     val crc = if ((bytes(off + 1) & 1) == 0) 2 else 0
     val mono = ((bytes(off + 3) >> 6) & 3) == 3
@@ -554,9 +792,10 @@ object Mp3 {
     if ((bytes(0) & 0xff) != 0xff || (bytes(1) & 0xe0) != 0xe0) return None
     val id = (bytes(1) >> 3) & 3
     val layer = (bytes(1) >> 1) & 3
-    // MPEG-1 (id 3) and MPEG-2 LSF (id 2) Layer III; MPEG-2.5 (id 0) out
-    if ((id != 3 && id != 2) || layer != 1) return None
-    val lsf = id == 2
+    // MPEG-1 (id 3), MPEG-2 LSF (id 2), MPEG-2.5 (id 0) Layer III
+    if (id == 1 || layer != 1) return None
+    val lsf = id != 3
+    val mpeg25 = id == 0
     val brIdx = (bytes(2) >> 4) & 15
     val srIdx = (bytes(2) >> 2) & 3
     val mode = (bytes(3) >> 6) & 3
@@ -573,9 +812,15 @@ object Mp3 {
     // rather than mis-scale (advice r15)
     if (lsf && isStereo) return None
     val protection = bytes(1) & 1
-    val sr = if (lsf) SampleRatesLsf(srIdx) else SampleRates(srIdx)
+    val sr =
+      if (mpeg25) SampleRates25(srIdx)
+      else if (lsf) SampleRatesLsf(srIdx)
+      else SampleRates(srIdx)
     val br = if (lsf) BitratesLsf(brIdx) else Bitrates(brIdx)
-    val sfb = if (lsf) sfbLongLsf(srIdx) else sfbLong(srIdx)
+    val sfb =
+      if (mpeg25) sfbLong25(srIdx)
+      else if (lsf) sfbLongLsf(srIdx)
+      else sfbLong(srIdx)
     val r = new BitReader(bytes, 32 + (if (protection == 0) 16 else 0))
     // side info: MPEG-1 = 17 bytes mono / 32 stereo; LSF = 9 / 17
     val mainDataBegin = r.get(if (lsf) 8 else 9)
@@ -605,20 +850,30 @@ object Mp3 {
           val mixed = r.get(1)
           if (bt == 0) return None        // reserved with wsf = 1
           if (mixed == 1 && bt != 2) return None // mixed only defined for short
-          if (lsf && bt == 2) return None // LSF short: declared seam
+          // 8 kHz mixed: the 12-wide long bands cover lines 0..35 in 3
+          // bands but the short region starts at 3·24 = 72 — the layouts
+          // don't compose; declared out of scope
+          if (mixed == 1 && mpeg25 && srIdx == 2) return None
           val t = Array(r.get(5), r.get(5), 0)
           val sbg = Array(r.get(3), r.get(3), r.get(3))
           (t, -1, -1, bt, sbg, mixed == 1)
         }
+      // slenOf is SLOT-indexed in bitstream read order: long = 21 band
+      // slots; short = 36 slots band-major (sfb 0..11 × window 0..2);
+      // mixed = the long bands then short bands 3..11 × windows
       val (slenOf, pre) =
         if (lsf) {
-          val (perBand, p) = lsfSlen(sfc)
-          ((b: Int) => perBand(b), p)
+          val kind = if (bt != 2) 0 else if (mixed) 2 else 1
+          val (perSlot, p) = lsfSlen(sfc, kind)
+          ((slot: Int) => perSlot(slot), p)
         } else {
           val (slen1, slen2) = SlenTab(sfc)
           val p = r.get(1) // preflag (always present in MPEG-1)
-          val split = if (bt == 2) 6 else 11 // short: 12 bands split at 6
-          ((b: Int) => if (b < split) slen1 else slen2, p)
+          // split in slots: long at band 11; short band-major at band 6
+          // = slot 18; mixed at 8 long + 3·(6−3) short = slot 17
+          val split =
+            if (bt != 2) 11 else if (mixed) 17 else 18
+          ((slot: Int) => if (slot < split) slen1 else slen2, p)
         }
       val sfs = r.get(1)
       val c1b = r.get(1) == 1
@@ -646,12 +901,15 @@ object Mp3 {
         r
     }
 
-    val sfbS = sfbShort(srIdx)
+    val sfbS =
+      if (mpeg25) sfbShort25(srIdx)
+      else if (lsf) sfbShortLsf(srIdx)
+      else sfbShort(srIdx)
     // main data immediately follows side info (main_data_begin = 0)
     // returns (requantized spectra, long scalefactors, rzero start) —
     // rzero = the first all-zero line after the count1 region, the
     // intensity-stereo bound for the right channel
-    def decodeGranule(g: Gr, prevSf: Array[Int], gi: Int, ch: Int): Option[(Array[Double], Array[Int], Int)] = {
+    def decodeGranule(g: Gr, prevSf: Array[Int], gi: Int, ch: Int): Option[(Array[Double], Array[Int], Array[Array[Int]], Int)] = {
       val endBit = gr.pos + g.part23
       // long-block scalefactors: per-band widths from the mode's slen
       // layout (MPEG-1: slen1/slen2 split at band 11; LSF: the 4-group
@@ -664,15 +922,18 @@ object Mp3 {
       // sfb 0..11, window 0..2); scfsi never applies to short granules
       val sfS = Array.ofDim[Int](12, 3)
       if (g.blockType == 2 && g.mixed) {
-        // MIXED: 8 long bands (slen1 group), then short bands 3..11 ×3
-        // windows (3..5 slen1, 6..11 slen2) — the spec's 17/18 split
+        // MIXED: the long head (8 bands MPEG-1, 6 at LSF — both cover
+        // lines 0..35), then short bands 3..11 × 3 windows; slenOf is
+        // slot-indexed in exactly this read order
+        val nLong = if (lsf) 6 else 8
+        var slot = 0
         var b = 0
-        while (b < 8) { sf(b) = gr.get(g.slenOf(0)); b += 1 }
+        while (b < nLong) { sf(b) = gr.get(g.slenOf(slot)); slot += 1; b += 1 }
         b = 3
         while (b < 12) {
           var w = 0
           while (w < 3) {
-            sfS(b)(w) = gr.get(g.slenOf(if (b < 6) 0 else 11))
+            sfS(b)(w) = gr.get(g.slenOf(slot)); slot += 1
             w += 1
           }
           b += 1
@@ -681,7 +942,7 @@ object Mp3 {
         var b = 0
         while (b < 12) {
           var w = 0
-          while (w < 3) { sfS(b)(w) = gr.get(g.slenOf(b)); w += 1 }
+          while (w < 3) { sfS(b)(w) = gr.get(g.slenOf(3 * b + w)); w += 1 }
           b += 1
         }
       } else {
@@ -706,7 +967,8 @@ object Mp3 {
       // long tables, where the literal 36 desynced the Huffman stream
       // (advice r15)
       val reg1Start =
-        if (g.blockType == 2) 36
+        if (g.blockType == 2 && !g.mixed) 3 * sfbS(3) // 36 except 8 kHz (72)
+        else if (g.blockType == 2) 36 // mixed: region0 = the long head
         else if (g.blockType != 0) sfb(8)
         else sfb(math.min(g.r0 + 1, 22))
       val reg2Start = if (g.blockType != 0) 576 else sfb(math.min(g.r0 + g.r1 + 2, 22))
@@ -818,7 +1080,7 @@ object Mp3 {
           i += 1
         }
       }
-      Some((xr, sf, rzeroStart))
+      Some((xr, sf, sfS, rzeroStart))
     }
     // granule main data order matches the side info: gr, then ch
     val xrs = Array.ofDim[Array[Double]](nGr, nch)
@@ -827,16 +1089,70 @@ object Mp3 {
     while (gi < nGr) {
       var ch = 0
       var chSf: Array[Int] = null
+      var chSfS: Array[Array[Int]] = null
       var rzeroR = 576
       while (ch < nch) {
-        val (xr, sfOut, rz) = decodeGranule(grs(gi)(ch), prevSf(ch), gi, ch)
+        val (xr, sfOut, sfSOut, rz) = decodeGranule(grs(gi)(ch), prevSf(ch), gi, ch)
           .getOrElse(return None)
         xrs(gi)(ch) = xr
         prevSf(ch) = sfOut
-        if (ch == 1) { chSf = sfOut; rzeroR = rz }
+        if (ch == 1) { chSf = sfOut; chSfS = sfSOut; rzeroR = rz }
         ch += 1
       }
-      if (nch == 2 && (msStereo || isStereo)) {
+      if (nch == 2 && isStereo && grs(gi)(1).blockType == 2) {
+        // SHORT-BLOCK intensity (r16): the bound is PER WINDOW — for
+        // each of the three short windows, intensity applies to the
+        // scalefactor bands strictly above the window's last band with
+        // any nonzero right-channel line (the public-decoder value-scan
+        // rule; a per-window rzero is not recoverable from the shared
+        // Huffman count1 boundary). is_pos = ch1's short scalefactor
+        // sfS(b)(w); the uncoded remainder band 12 inherits band 11's.
+        // Mixed-block and asymmetric-blocktype intensity stay declared
+        // seams.
+        if (grs(gi)(1).mixed || grs(gi)(0).blockType != 2 ||
+          grs(gi)(0).mixed) return None
+        val m = xrs(gi)(0); val sArr = xrs(gi)(1)
+        val inv = 1.0 / math.sqrt(2.0)
+        val maxBand = Array(-1, -1, -1)
+        var b = 0
+        while (b < 13) {
+          var w = 0
+          while (w < 3) {
+            var f = sfbS(b)
+            while (f < sfbS(b + 1)) {
+              if (sArr(3 * f + w) != 0.0) { maxBand(w) = b; f = sfbS(b + 1) }
+              else f += 1
+            }
+            w += 1
+          }
+          b += 1
+        }
+        b = 0
+        while (b < 13) {
+          var w = 0
+          while (w < 3) {
+            val intens = b > maxBand(w)
+            val isPos = if (intens) chSfS(math.min(b, 11))(w) else 0
+            var f = sfbS(b)
+            while (f < sfbS(b + 1)) {
+              val i = 3 * f + w
+              if (intens && isPos != 7) {
+                val ratio = math.tan(isPos * math.Pi / 12.0)
+                val mm = m(i)
+                m(i) = mm * (ratio / (1.0 + ratio))
+                sArr(i) = mm * (1.0 / (1.0 + ratio))
+              } else if (msStereo) {
+                val mm = m(i); val ss = sArr(i)
+                m(i) = (mm + ss) * inv
+                sArr(i) = (mm - ss) * inv
+              }
+              f += 1
+            }
+            w += 1
+          }
+          b += 1
+        }
+      } else if (nch == 2 && (msStereo || isStereo)) {
         // intensity applies to whole scalefactor bands at or above the
         // right channel's rzero start (long blocks; §2.4.3.4.9.3):
         // is_pos = the band's ch1 scalefac, ratio = tan(is_pos·π/12),
@@ -846,7 +1162,8 @@ object Mp3 {
           if (!isStereo) 576
           else if (rzeroR == 0) 0
           else {
-            if (grs(gi)(1).blockType == 2) return None // short intensity: seam
+            // asymmetric intensity (long right, short left): seam
+            if (grs(gi)(0).blockType == 2) return None
             var b = 21
             while (b > 0 && sfb(b) >= rzeroR) b -= 1
             // sfb has 23 entries (sfb(22) = 576): when rzero falls inside
