@@ -36,8 +36,8 @@ object Manifold {
       }
       val sigma = (lo + hi) / 2
       (rho, sigma, ds.map(d => math.exp(-math.max(d - rho, 0.0) / sigma)))
-    }.asNondeterministic() // barrier: 3 getField reads must not re-run the bisection (see PQ.encodeUdf)
-    grouped.select(col("qid"), solve(col("nbrs")).as("_r"))
+    } // structural barrier below: 3 getField reads must not re-run the bisection
+    graft.core.Barrier.once(grouped, Seq(col("qid")), solve(col("nbrs")), "_r")
       .select(col("qid"),
         round(col("_r._1"), 4).as("rho"),
         round(col("_r._2"), 4).as("sigma"),
@@ -275,8 +275,8 @@ object Manifold {
         it += 1
       }
       (beta, h)
-    }.asNondeterministic() // barrier: 2 getField reads must not re-run the bisection
-    grouped.select(col("qid"), solve(col("nbrs")).as("_r"))
+    } // structural barrier below: 2 getField reads must not re-run the bisection
+    graft.core.Barrier.once(grouped, Seq(col("qid")), solve(col("nbrs")), "_r")
       .select(col("qid"), round(col("_r._1"), 4).as("beta"),
         round(col("_r._2"), 4).as("entropy"))
   }

@@ -1654,13 +1654,13 @@ object Multimodal {
         case Some((dw, dh)) => Seq(dw, dh)
         case None           => Seq(-1, -1)
       }
-    }).asNondeterministic() // barrier: two element_at reads must not re-run encode+decode
-    documents
-      .select(col("doc_id").cast("long").as("doc"),
-        when(col("doc_id") % 4 === 0, "gif")
-          .when(col("doc_id") % 4 === 1, "png")
-          .when(col("doc_id") % 4 === 2, "jpeg").otherwise("jpeg_prog").as("fmt"),
-        dims(col("doc_id").cast("long"), col("text")).as("_d"))
+    }) // structural barrier below: two element_at reads must not re-run encode+decode
+    graft.core.Barrier.once(documents,
+        Seq(col("doc_id").cast("long").as("doc"),
+          when(col("doc_id") % 4 === 0, "gif")
+            .when(col("doc_id") % 4 === 1, "png")
+            .when(col("doc_id") % 4 === 2, "jpeg").otherwise("jpeg_prog").as("fmt")),
+        dims(col("doc_id").cast("long"), col("text")), "_d")
       .select(col("doc"), col("fmt"),
         element_at(col("_d"), 1).as("w"), element_at(col("_d"), 2).as("h"))
       .groupBy("fmt")

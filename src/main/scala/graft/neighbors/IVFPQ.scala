@@ -34,16 +34,18 @@ object IVFPQ {
     graft.core.FitCache.getOrFit(graft.core.FitCache.key(corpus,
       "ivfpq", vecCol, nCells, m, kCodes, seed)) {
       val ivf = IVF.train(corpus, vecCol, nCells, seed)
-      val res = corpus.select(
-        residualUdf(ivf)(col(vecCol).cast("array<double>")).getField("_2").as("rv"))
+      val res = graft.core.Barrier.once(corpus, Seq.empty,
+          residualUdf(ivf)(col(vecCol).cast("array<double>")), "_rs")
+        .select(col("_rs").getField("_2").as("rv"))
       Index(ivf, PQ.train(res, "rv", m, kCodes, seed))
     }
 
   /** (cell, residual) for one vector — broadcast-centers JVM closure,
-    * same codegen-limit justification as IVF.cellUdf. asNondeterministic
-    * on every UDF here = evaluation barrier (see PQ.encodeUdf): a struct
-    * result read through two getFields would otherwise run the UDF twice
-    * per row, and the per-probe ADC table M times per candidate. */
+    * same codegen-limit justification as IVF.cellUdf. Every UDF here is
+    * emitted through a structural barrier (Barrier.once, or the Generate
+    * that explode() already is): a struct result read through two
+    * getFields must not run the UDF twice per row, nor the per-probe ADC
+    * table M times per candidate (see PQ.encodeUdf). */
   private def residualUdf(ivf: IVF.Index) = udf { (v: Seq[Double]) =>
     var best = 0; var bestD = Double.MaxValue
     var c = 0
@@ -56,7 +58,7 @@ object IVFPQ {
     }
     val ctr = ivf.centers(best)
     (best, Array.tabulate(ctr.length)(i => v(i) - ctr(i)))
-  }.asNondeterministic()
+  }
 
   /** Corpus → (id, cell, code): the compressed, cell-bucketable index. */
   def encode(corpus: DataFrame, idCol: String, vecCol: String, idx: Index): DataFrame = {
@@ -72,9 +74,9 @@ object IVFPQ {
       }
       val ctr = idx.ivf.centers(best)
       (best, PQ.encodeVec(idx.cb, Array.tabulate(ctr.length)(i => v(i) - ctr(i))))
-    }.asNondeterministic()
-    corpus.select(col(idCol).cast("long").as("id"),
-        enc(col(vecCol).cast("array<double>")).as("_e"))
+    }
+    graft.core.Barrier.once(corpus, Seq(col(idCol).cast("long").as("id")),
+        enc(col(vecCol).cast("array<double>")), "_e")
       .select(col("id"), col("_e._1").as("cell"), col("_e._2").as("code"))
   }
 
@@ -89,7 +91,7 @@ object IVFPQ {
       val ctr = idx.ivf.centers(c)
       (c, PQ.adcVec(idx.cb, Array.tabulate(ctr.length)(i => v(i) - ctr(i))))
     }
-  }.asNondeterministic()
+  } // consumed directly under explode(): the Generate node IS the barrier
 
   /** Top-k by asymmetric distance over the probed cells: cell-key join,
     * M element_at adds per candidate, bounded-heap rerank. */

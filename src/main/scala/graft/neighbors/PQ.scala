@@ -203,33 +203,34 @@ object PQ {
 
   /** Nearest-centroid code per subspace (broadcast-codebook JVM closure —
     * same justification as IVF.cellUdf: an m·k·subdim unrolled expression
-    * tree exceeds the codegen method limit). Marked NONDETERMINISTIC as
-    * an evaluation barrier (the functions are pure): CollapseProject
-    * substitutes a deterministic UDF column into every downstream use,
-    * so the M element_at reads of the ADC table were re-running the
-    * whole m·k·subdim table build M times per candidate row — 8× the
-    * scan cost at kCodes=64 (measured 23.6 s → 1.2 s at sf0.1). */
+    * tree exceeds the codegen method limit). Emitted through
+    * [[graft.core.Barrier.once]]: the M element_at reads of the ADC
+    * table must not re-run the whole m·k·subdim table build M times per
+    * candidate row — 8× the scan cost at kCodes=64 (measured
+    * 23.6 s → 1.2 s at sf0.1). r16: the barrier is the STRUCTURAL
+    * one-element Generate, not an asNondeterministic marker. */
   private def encodeUdf(cb: Codebook) =
-    udf { (v: Seq[Double]) => encodeVec(cb, v) }.asNondeterministic()
+    udf { (v: Seq[Double]) => encodeVec(cb, v) }
 
   /** The flattened M×K ADC table for a query. */
   private def lutUdf(cb: Codebook) =
-    udf { (v: Seq[Double]) => adcVec(cb, v) }.asNondeterministic()
+    udf { (v: Seq[Double]) => adcVec(cb, v) }
 
   /** Corpus → (id, code) — the compressed index; persist this instead of
     * the raw vectors (32× smaller at m=8 over 64-dim float). */
   def encode(corpus: DataFrame, idCol: String, vecCol: String,
              cb: Codebook): DataFrame =
-    corpus.select(col(idCol).cast("long").as("id"),
-      encodeUdf(cb)(col(vecCol).cast("array<double>")).as("code"))
+    graft.core.Barrier.once(corpus, Seq(col(idCol).cast("long").as("id")),
+      encodeUdf(cb)(col(vecCol).cast("array<double>")), "code")
 
   /** Top-k by asymmetric PQ distance: broadcast the (query, LUT) side,
     * score each code row with M element_at lookups (codegen), bounded-heap
     * rerank per query — the same no-window shape as the LSH/IVF paths. */
   def topK(codes: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
            cb: Codebook, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).cast("long").as("qid"),
-      lutUdf(cb)(col(vecCol).cast("array<double>")).as("lut"))
+    val q = graft.core.Barrier.once(queries,
+      Seq(col(idCol).cast("long").as("qid")),
+      lutUdf(cb)(col(vecCol).cast("array<double>")), "lut")
     val dist = (0 until cb.m).map(s =>
       element_at(col("lut"), element_at(col("code"), s + 1) + lit(s * cb.k) + 1))
       .reduce(_ + _)

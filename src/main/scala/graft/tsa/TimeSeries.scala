@@ -897,8 +897,8 @@ object TimeSeries {
         }
         x.toSeq
       }
-    }.asNondeterministic() // barrier: k coefficient reads must not re-run the solve
-    mm.select(col("series"), solve(gArr, bArr).as("cf"))
+    } // structural barrier below: k coefficient reads must not re-run the solve
+    graft.core.Barrier.once(mm, Seq(col("series")), solve(gArr, bArr), "cf")
   }
 
   private def unpivotCoefs(c: DataFrame, terms: Seq[String]): DataFrame =
