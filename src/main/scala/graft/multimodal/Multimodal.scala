@@ -2097,6 +2097,44 @@ object Multimodal {
         coalesce(min(col("_d._6")), lit(true)).as("pcm_ok"))
   }
 
+  /** Hash-gated REAL Ogg Vorbis decode (r16): each document's leading
+    * 120 bytes choose the VQ entries of a 2-packet mono 8 kHz stream —
+    * Ogg pages (CRC'd), transmitted codebooks, floor1, residue type 1 —
+    * decoded through [[Vorbis.decode]]'s GENERAL header parser. The
+    * encoder pins the floor flat at the inverse-dB table's exact-1.0
+    * entry, so the first packet's floor×residue spectrum IS the
+    * transmitted VQ integer sequence and its mean/energy hash-gate
+    * exactly; the oracle replays entry ids (byte mod 8) and the
+    * public value-pair table straight from the text bytes. PCM (IMDCT +
+    * Vorbis window + lap, spec-gated against an independent chain in
+    * VorbisSpec) gates on sanity bounds. */
+  def vorbisDecodeSummary(documents: DataFrame): DataFrame = {
+    val need = 120 // 2 packets x 60 VQ entries, one byte each
+    val enc = udf { (raw: Array[Byte]) => Vorbis.encode(raw, nPackets = 2) }
+    val dec = udf { (payload: Array[Byte]) =>
+      Vorbis.decode(payload).map { d =>
+        val n = d.spectral.length.toDouble
+        val mean = d.spectral.sum / n
+        val energy = d.spectral.map(x => x * x).sum / n
+        // |spectral| <= 4 over 128 lines bounds any sane lap well inside
+        // 2000; NaN/Inf is the real failure this guards
+        val pcmOk = d.pcm.forall(x => !x.isNaN && !x.isInfinite && math.abs(x) <= 2000.0)
+        (d.sampleRate, d.channels, d.nPackets, d.nSamples, mean, energy, pcmOk)
+      }.getOrElse((0, 0, 0, 0, 0.0, 0.0, false))
+    }
+    documents
+      .filter(octet_length(col("text")) >= need)
+      .select(col("doc_id").cast("long"),
+        dec(enc(substring(col("text").cast("binary"), 1, need))).as("_d"))
+      .agg(count(lit(1)).cast("long").as("n_clips"),
+        coalesce(sum(col("_d._4")), lit(0L)).cast("long").as("n_samples"),
+        coalesce(min(col("_d._1") === 8000 && col("_d._2") === 1 &&
+          col("_d._3") === 2), lit(true)).as("header_ok"),
+        round(avg(col("_d._5")), 4).as("avg_spec_mean"),
+        round(avg(col("_d._6")), 4).as("avg_spec_energy"),
+        coalesce(min(col("_d._7")), lit(true)).as("pcm_ok"))
+  }
+
   /** Wrap documents as P6 media rows (the ppm gate's construction as a
     * standalone pure map — shared by the batch summary and the streaming
     * decode twin, so the payload shape cannot drift between them). */

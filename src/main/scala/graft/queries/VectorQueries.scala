@@ -522,6 +522,16 @@ object VectorQueries {
       // 84 dB near-PR in MultimodalSpec) gates on sanity bounds
       graft.multimodal.Multimodal.mp3DecodeSummary(Tables.documents(s, d))
     },
+    "multimodal_vorbis_decode" -> { (s, d) =>
+      // REAL Ogg Vorbis round trip (r16): text bytes → VQ entries of a
+      // 2-packet mono stream (Ogg CRC'd pages, TRANSMITTED codebooks
+      // with canonical codeword assignment, floor1, residue type 1) →
+      // the general header-driven decoder. Flat floor at the exact-1.0
+      // inverse-dB entry keeps the first packet's spectrum equal to the
+      // transmitted VQ integers — mean/energy hash-gate exactly; PCM
+      // (IMDCT + Vorbis window, independently spec-gated) bounds-gated
+      graft.multimodal.Multimodal.vorbisDecodeSummary(Tables.documents(s, d))
+    },
     "multimodal_jpeg_color" -> { (s, d) =>
       graft.multimodal.Multimodal.jpegColorDecodeSummary(Tables.documents(s, d))
     },
@@ -1255,6 +1265,27 @@ object VectorQueries {
         |SELECT count(*)::BIGINT AS n_clips, (count(*) * 1152)::BIGINT AS n_samples,
         |  TRUE AS header_ok, round(avg(m), 4) AS avg_line_mean,
         |  round(avg(e), 4) AS avg_line_energy, TRUE AS pcm_ok
+        |FROM pm""".stripMargin,
+    "multimodal_vorbis_decode" ->
+      // r16 gate: byte j of the doc (j = 0..59, packet 1's VQ entries)
+      // selects entry e = byte mod 8 of the public value-pair table
+      // (EntryA/EntryB in Vorbis.scala); the flat floor is exactly 1.0,
+      // so spectral mean = Σ(va+vb)/128 and energy = Σ(va²+vb²)/128 —
+      // 128 = the 8-sample zero partition 0 plus 15 coded partitions
+      """WITH d AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents WHERE strlen(text) >= 120),
+        |s AS (SELECT doc_id, unnest(range(0, 60)) AS j, hx FROM d),
+        |e AS (SELECT doc_id, ('0x' || substr(hx, 2 * j + 1, 2))::INT % 8 AS e FROM s),
+        |v AS (SELECT doc_id,
+        |    (CASE e WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN -1 WHEN 3 THEN 2
+        |            WHEN 4 THEN -2 WHEN 5 THEN 3 WHEN 6 THEN -3 ELSE 4 END)::DOUBLE AS va,
+        |    (CASE e WHEN 0 THEN 0 WHEN 1 THEN 0 WHEN 2 THEN 0 WHEN 3 THEN 1
+        |            WHEN 4 THEN -1 WHEN 5 THEN 2 WHEN 6 THEN -2 ELSE 3 END)::DOUBLE AS vb
+        |  FROM e),
+        |pm AS (SELECT doc_id, sum(va + vb) / 128.0 AS m,
+        |    sum(va * va + vb * vb) / 128.0 AS en FROM v GROUP BY doc_id)
+        |SELECT count(*)::BIGINT AS n_clips, (count(*) * 128)::BIGINT AS n_samples,
+        |  TRUE AS header_ok, round(avg(m), 4) AS avg_spec_mean,
+        |  round(avg(en), 4) AS avg_spec_energy, TRUE AS pcm_ok
         |FROM pm""".stripMargin,
     "multimodal_flac_decode" ->
       """WITH d AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents WHERE strlen(text) >= 64),
