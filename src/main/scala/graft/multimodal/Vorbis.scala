@@ -1024,6 +1024,20 @@ object Vorbis {
   private lazy val FloorBookCodes = assignCodewords(FloorBookLengths)
   private lazy val ClassBookCodes = assignCodewords(ClassBookLengths)
   private lazy val ValueBookCodes = assignCodewords(ValueBookLengths)
+  // lattice-variant books: a SPARSE floor book (128 entries, odd ids
+  // unused — posts map to entry 2v) and an ORDERED-coded lookup-type-1
+  // value book (9 entries, 3x3 lattice over mults [0,1,2] - 1) — these
+  // exist so the ordered/sparse/lattice read paths of the general
+  // parser are gated, not just implemented
+  private val SparseFloorLengths = Array.tabulate(128)(i => if (i % 2 == 0) 7 else 0)
+  private val LatticeValueLengths = Array.fill(9)(4)
+  private lazy val SparseFloorCodes = assignCodewords(SparseFloorLengths)
+  private lazy val LatticeValueCodes = assignCodewords(LatticeValueLengths)
+  /** Lattice entry e → value pair ((e mod 3) − 1, ((e/3) mod 3) − 1):
+    * dim 0 is the LOW lattice digit (spec index order). Public for the
+    * lattice gate's expectation. */
+  def latticeA(e: Int): Int = e % 3 - 1
+  def latticeB(e: Int): Int = (e / 3) % 3 - 1
 
   private val BlockSize = 256 // one blocksize: window switching is a declared seam
   /** VQ entries consumed per audio packet: partition 0 is class 0
@@ -1032,17 +1046,39 @@ object Vorbis {
   def entriesPerPacket(stereo: Boolean): Int =
     ((if (stereo) 2 * BlockSize / 2 else BlockSize / 2) / 8 - 1) * 4
 
+  /** `mode` 0 = unordered dense, 1 = unordered SPARSE (length 0 =
+    * unused), 2 = ORDERED (lengths must be nondecreasing). */
   private def writeCodebook(w: BitWriter, dims: Int, lengths: Array[Int],
                             lookup: Int, mults: Array[Int], valBits: Int,
-                            minMant: Long, minNeg: Boolean): Unit = {
+                            minMant: Long, minNeg: Boolean,
+                            mode: Int = 0): Unit = {
     w.putBits(0x564342, 24)
     w.putBits(dims, 16)
     w.putBits(lengths.length, 24)
-    w.putBits(0, 1) // unordered
-    w.putBits(0, 1) // not sparse
-    lengths.foreach(l => w.putBits(l - 1, 5))
+    if (mode == 2) {
+      w.putBits(1, 1) // ordered
+      var i = 0
+      var cl = lengths(0)
+      w.putBits(cl - 1, 5)
+      while (i < lengths.length) {
+        var k = i
+        while (k < lengths.length && lengths(k) == cl) k += 1
+        w.putBits(k - i, ilog(lengths.length - i))
+        i = k
+        cl += 1
+      }
+    } else {
+      w.putBits(0, 1) // unordered
+      w.putBits(if (mode == 1) 1 else 0, 1) // sparse flag
+      lengths.foreach { l =>
+        if (mode == 1) {
+          if (l == 0) w.putBits(0, 1)
+          else { w.putBits(1, 1); w.putBits(l - 1, 5) }
+        } else w.putBits(l - 1, 5)
+      }
+    }
     w.putBits(lookup, 4)
-    if (lookup == 2) {
+    if (lookup == 1 || lookup == 2) {
       w.putBits(f32Pack(minMant, 0, minNeg), 32) // min value
       w.putBits(f32Pack(1, 0, neg = false), 32)  // delta = 1.0
       w.putBits(valBits - 1, 4)
@@ -1051,7 +1087,8 @@ object Vorbis {
     }
   }
 
-  private def headerPackets(channels: Int, rate: Int): Seq[Array[Byte]] = {
+  private def headerPackets(channels: Int, rate: Int,
+                            lattice: Boolean = false): Seq[Array[Byte]] = {
     def tagged(t: Int): BitWriter = {
       val w = new BitWriter
       w.putBits(t, 8)
@@ -1072,10 +1109,21 @@ object Vorbis {
     val su = tagged(5)
     // 3 codebooks: 0 = floor posts, 1 = residue classwords, 2 = VQ values
     su.putBits(2, 8)
-    writeCodebook(su, 1, FloorBookLengths, 0, Array.emptyIntArray, 0, 0, minNeg = false)
+    if (lattice)
+      writeCodebook(su, 1, SparseFloorLengths, 0, Array.emptyIntArray, 0, 0,
+        minNeg = false, mode = 1) // sparse floor book
+    else
+      writeCodebook(su, 1, FloorBookLengths, 0, Array.emptyIntArray, 0, 0, minNeg = false)
     writeCodebook(su, 2, ClassBookLengths, 0, Array.emptyIntArray, 0, 0, minNeg = false)
-    val mults = (0 until 8).flatMap(e => Seq(EntryA(e) + 3, EntryB(e) + 3)).toArray
-    writeCodebook(su, 2, ValueBookLengths, 2, mults, 3, 3, minNeg = true)
+    if (lattice)
+      // ordered lengths + lookup type 1: 3x3 lattice, mults [0,1,2],
+      // min -1, delta 1
+      writeCodebook(su, 2, LatticeValueLengths, 1, Array(0, 1, 2), 2, 1,
+        minNeg = true, mode = 2)
+    else {
+      val mults = (0 until 8).flatMap(e => Seq(EntryA(e) + 3, EntryB(e) + 3)).toArray
+      writeCodebook(su, 2, ValueBookLengths, 2, mults, 3, 3, minNeg = true)
+    }
     su.putBits(0, 6); su.putBits(0, 16) // one time transform, type 0
     // one floor, type 1: 1 partition / 1 class (dim 1, no subclasses,
     // sub book 0), multiplier 1 (range 256), rangebits 7, interior X 64
@@ -1127,14 +1175,16 @@ object Vorbis {
     * them). The default posts pin the floor flat at the table's exact
     * 1.0 entry. */
   private def audioPacket(entries: Array[Int], channels: Int,
-                          posts: (Int, Int, Int)): Array[Byte] = {
+                          posts: (Int, Int, Int),
+                          lattice: Boolean): Array[Byte] = {
     val w = new BitWriter
     w.putBits(0, 1) // audio packet; mode number = 0 bits (one mode)
     var c = 0
     while (c < channels) { // floor per channel: nonzero, y0/y1, coded post
       w.putBits(1, 1)
       w.putBits(posts._1, 8); w.putBits(posts._2, 8)
-      w.putHuff(FloorBookCodes(posts._3), 6)
+      if (lattice) w.putHuff(SparseFloorCodes(2 * posts._3), 7)
+      else w.putHuff(FloorBookCodes(posts._3), 6)
       c += 1
     }
     // residue: interleaved-vector size (type 2 folds channels into one)
@@ -1154,8 +1204,8 @@ object Vorbis {
         var t = 0
         while (t < 4) {
           val e = entries(src); src += 1
-          require(e >= 0 && e < 8)
-          w.putHuff(ValueBookCodes(e), 3)
+          if (lattice) { require(e >= 0 && e < 9); w.putHuff(LatticeValueCodes(e), 4) }
+          else { require(e >= 0 && e < 8); w.putHuff(ValueBookCodes(e), 3) }
           t += 1
         }
       }
@@ -1170,12 +1220,13 @@ object Vorbis {
     * First packet primes the lap; each later packet yields 128 PCM
     * samples. */
   def encode(data: Array[Byte], nPackets: Int = 2, stereo: Boolean = false,
-             floorPosts: (Int, Int, Int) = (255, 255, 0)): Array[Byte] = {
+             floorPosts: (Int, Int, Int) = (255, 255, 0),
+             lattice: Boolean = false): Array[Byte] = {
     require(data.nonEmpty && nPackets >= 1)
     require(floorPosts._1 < 256 && floorPosts._2 < 256 && floorPosts._3 < 64)
     val channels = if (stereo) 2 else 1
     val per = entriesPerPacket(stereo)
-    val heads = headerPackets(channels, 8000)
+    val heads = headerPackets(channels, 8000, lattice)
     val pages = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     val serial = 0x67726166 // "graf"
     pages += Ogg.page(Seq(heads(0)), serial, 0, 0L, htype = 2)
@@ -1183,12 +1234,13 @@ object Vorbis {
     var src = 0
     var p = 0
     while (p < nPackets) {
+      val nEntryIds = if (lattice) 9 else 8
       val entries = Array.tabulate(per) { _ =>
-        val e = (data(src % data.length) & 0xff) % 8
+        val e = (data(src % data.length) & 0xff) % nEntryIds
         src += 1
         e
       }
-      val pkt = audioPacket(entries, channels, floorPosts)
+      val pkt = audioPacket(entries, channels, floorPosts, lattice)
       val granule = (p.toLong) * (BlockSize / 2)
       pages += Ogg.page(Seq(pkt), serial, 2 + p, granule,
         htype = if (p == nPackets - 1) 4 else 0)

@@ -216,6 +216,36 @@ class VorbisSpec extends AnyFunSuite {
     }
   }
 
+  test("ordered + sparse codebooks and the lookup-1 lattice decode through the general parser") {
+    // the lattice stream transmits: a SPARSE floor book (odd entries
+    // unused), an ORDERED-coded value book, and lookup type 1 (3x3
+    // lattice over mults [0,1,2] with min -1) — the three header paths
+    // the explicit-book stream never touches
+    val rnd = new scala.util.Random(66)
+    val data = Array.fill(200)(rnd.nextInt(256).toByte)
+    val d = Vorbis.decode(Vorbis.encode(data, nPackets = 2, lattice = true))
+      .getOrElse(fail("decode None"))
+    assert(d.nPackets == 2 && d.nSamples == n2)
+    // expected spectral: entry e = byte mod 9 → lattice pair
+    val exp = new Array[Int](n2)
+    var src = 0
+    var part = 1
+    while (part < n2 / 8) {
+      var t = 0
+      while (t < 4) {
+        val e = (data(src % data.length) & 0xff) % 9
+        src += 1
+        exp(part * 8 + 2 * t) = Vorbis.latticeA(e)
+        exp(part * 8 + 2 * t + 1) = Vorbis.latticeB(e)
+        t += 1
+      }
+      part += 1
+    }
+    (0 until n2).foreach { i =>
+      assert(d.spectral(i) == exp(i).toDouble, s"lattice spectral mismatch at $i")
+    }
+  }
+
   test("decode never throws on corrupt, truncated, or arbitrary bytes") {
     val rnd = new scala.util.Random(64)
     val good = Vorbis.encode(Array.fill(100)(rnd.nextInt(256).toByte), 2)
