@@ -32,13 +32,16 @@ package graft.multimodal
   *    partitioned-VQ residue accumulation over 8 cascade passes,
   *    inverse channel coupling, floor x residue dot product, IMDCT
   *    (2pi/n (j + 1/2 + n/4)(k + 1/2) kernel) through the Vorbis window
-  *    sin(pi/2 sin^2(...)), 50% overlap-add.
+  *    sin(pi/2 sin^2(...)), overlap-add;
+  *  - window switching (r17): blocksize_0 != blocksize_1 streams decode
+  *    for real — long blocks read the two window flags, a side whose
+  *    neighbour is short gets the bs0/2-wide slope centred at n/4 /
+  *    3n/4 (spec §4.3.8), and the overlap-add is the general unequal
+  *    lap: a packet emits prevN/4 + n/4 samples from the previous
+  *    block's centre to the current one's.
   *
   * DECLARED scope limits (the honest seams, the Mp3.scala discipline):
-  * window switching refuses — identification headers with
-  * blocksize_0 != blocksize_1 return None (every layer below is
-  * blocksize-general; the missing piece is the unequal-lap overlap
-  * logic); floor type 0 (LSP) refuses. decode/decodeStream return None
+  * floor type 0 (LSP) refuses. decode/decodeStream return None
   * on ANY malformed input — the readers are bounds-checked. No Ogg
   * Vorbis sample exists in this offline container, so the gates are
   * self-encoded round trips (the r14 MP3 discipline before its LAME
@@ -293,10 +296,18 @@ object Vorbis {
     if (r.get(24) != 0x564342) throw new Malformed // "BCV" sync
     val dims = r.get(16)
     val entries = r.get(24)
-    if (dims <= 0 || entries <= 0 || entries > (1 << 22)) throw new Malformed
+    // cap entries BEFORE any allocation sized by them (advice r16: a
+    // 2.6 MB crafted header claiming 2^22 entries would otherwise drive
+    // multi-GB codeword/trie allocations); 2^18 is far above any
+    // realistic codebook (libvorbis ships books of a few thousand)
+    if (dims <= 0 || entries <= 0 || entries > (1 << 18)) throw new Malformed
     val lengths = new Array[Int](entries)
     if (r.get1() == 0) {
       val sparse = r.get1() == 1
+      // unordered lengths cost 5 bits each (1+ sparse) — a header whose
+      // bit budget cannot carry them is malformed, fail before the scan
+      if ((if (sparse) entries.toLong else entries * 5L) > r.remaining)
+        throw new Malformed
       var i = 0
       while (i < entries) {
         lengths(i) =
@@ -673,7 +684,7 @@ object Vorbis {
 
   // ------------------------------------------------------------- setup
 
-  private final case class Setup(channels: Int, rate: Int, blockSize: Int,
+  private final case class Setup(channels: Int, rate: Int, bs0: Int, bs1: Int,
                                  books: Array[Codebook], floors: Array[Floor1],
                                  residues: Array[Residue], mappings: Array[Mapping],
                                  modes: Array[Mode])
@@ -691,8 +702,7 @@ object Vorbis {
     r1.get32(); r1.get32(); r1.get32() // bitrate max/nominal/min
     val bs0 = 1 << r1.get(4)
     val bs1 = 1 << r1.get(4)
-    if (bs0 < 64 || bs0 > 8192 || bs1 < bs0) throw new Malformed
-    if (bs0 != bs1) throw new Malformed // window switching: declared seam
+    if (bs0 < 64 || bs1 > 8192 || bs1 < bs0) throw new Malformed
     if (r1.get1() != 1) throw new Malformed // framing
     // comment header: verify shape only
     val r2 = new BitReader(packets(1))
@@ -731,17 +741,44 @@ object Vorbis {
       Mode(bf, m)
     }
     if (r.get1() != 1) throw new Malformed // framing
-    Setup(channels, rate, bs0, books, floors, residues, mappings, modes)
+    Setup(channels, rate, bs0, bs1, books, floors, residues, mappings, modes)
   }
 
   // --------------------------------------------------- transform chain
 
-  /** Vorbis synthesis window: sin(pi/2 · sin^2(pi/n (i+1/2))). */
-  private def windowArr(n: Int): Array[Double] =
-    Array.tabulate(n) { i =>
-      val s = math.sin(math.Pi / n * (i + 0.5))
-      math.sin(math.Pi / 2 * s * s)
-    }
+  /** Vorbis synthesis window, general lapping (spec §4.3.8): the rising
+    * slope spans `leftN` samples ending at the left lap point, the
+    * falling slope `rightN` samples, slope shape
+    * sin(pi/2 · sin^2(pi/(2·slopeN) (i+1/2))); flat 1 between the
+    * slopes, 0 outside. A long block next to a short one centres the
+    * short slope at n/4 (left) / 3n/4 (right): leftN/rightN = bs0/2
+    * there, n/2 when the neighbour is the same size (which reduces to
+    * the classic full-width window sin(pi/2 sin^2(pi/n (i+1/2)))). */
+  private val windowCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Double]]()
+  private def windowArr(n: Int, leftN: Int, rightN: Int): Array[Double] =
+    windowCache.computeIfAbsent((n, leftN, rightN), { _ =>
+      val w = new Array[Double](n)
+      val ls = if (leftN == n / 2) 0 else n / 4 - leftN / 2
+      val le = ls + leftN
+      val rs = if (rightN == n / 2) n / 2 else 3 * n / 4 - rightN / 2
+      val re = rs + rightN
+      var i = ls
+      while (i < le) {
+        val s = math.sin(math.Pi / (2.0 * leftN) * (i - ls + 0.5))
+        w(i) = math.sin(math.Pi / 2 * s * s)
+        i += 1
+      }
+      i = le
+      while (i < rs) { w(i) = 1.0; i += 1 }
+      i = rs
+      while (i < re) {
+        val s = math.sin(math.Pi / (2.0 * rightN) * (i - rs + 0.5) + math.Pi / 2)
+        w(i) = math.sin(math.Pi / 2 * s * s)
+        i += 1
+      }
+      w
+    })
 
   /** IMDCT, spec kernel: y(j) = Σ_k X(k)·cos(2π/n (j + 1/2 + n/4)(k + 1/2)). */
   private def imdct(x: Array[Double], n: Int): Array[Double] = {
@@ -763,19 +800,25 @@ object Vorbis {
 
   // ------------------------------------------------------ packet decode
 
-  /** One audio packet against the setup; `prevRight` is the per-channel
-    * lapped tail (null = first packet, primes only). Returns
-    * (spectral floor×residue per channel, pcm per channel or null when
-    * priming, new right tails). */
-  private def decodePacket(su: Setup, packet: Array[Byte],
-                           prevRight: Array[Array[Double]]):
-      (Array[Array[Double]], Array[Array[Double]], Array[Array[Double]]) = {
+  /** One audio packet against the setup. Returns (spectral
+    * floor×residue per channel, full windowed IMDCT output per channel
+    * — length n — and the block size n); the caller overlap-adds
+    * consecutive windowed blocks, including unequal laps. A long block
+    * reads the two window flags and laps with the SHORT slope on a side
+    * whose neighbour is short (spec §4.3.1/§4.3.8). */
+  private def decodePacket(su: Setup, packet: Array[Byte]):
+      (Array[Array[Double]], Array[Array[Double]], Int) = {
     val r = new BitReader(packet)
     if (r.get1() != 0) throw new Malformed // not an audio packet
     val mode = su.modes(r.get(ilog(su.modes.length - 1)))
-    if (mode.blockFlag) { r.get1(); r.get1() } // long-window flags (equal sizes)
+    val n = if (mode.blockFlag) su.bs1 else su.bs0
+    var leftN = n / 2
+    var rightN = n / 2
+    if (mode.blockFlag) {
+      if (r.get1() == 0) leftN = su.bs0 / 2  // previous window short
+      if (r.get1() == 0) rightN = su.bs0 / 2 // next window short
+    }
     val mp = su.mappings(mode.mapping)
-    val n = su.blockSize
     val n2 = n / 2
     val ch = su.channels
     // floors
@@ -830,27 +873,25 @@ object Vorbis {
       s -= 1
     }
     // floor x residue, synthesis
-    val win = windowArr(n)
+    val win = windowArr(n, leftN, rightN)
     val spectral = Array.ofDim[Double](ch, n2)
-    val rights = Array.ofDim[Double](ch, n2)
-    val pcm = if (prevRight == null) null else Array.ofDim[Double](ch, n2)
+    val windowed = new Array[Array[Double]](ch)
     c = 0
     while (c < ch) {
-      if (nonzero(c)) {
+      // nonzero(c) can be true with floorOut(c) == null when coupling
+      // propagation revived a channel whose own floor was unused — per
+      // spec §4.3.6 such a channel's spectrum stays all zeros (advice r16)
+      if (nonzero(c) && floorOut(c) != null) {
         var i = 0
         while (i < n2) { spectral(c)(i) = floorOut(c)(i) * residueVec(c)(i); i += 1 }
       }
       val y = imdct(spectral(c), n)
       var i = 0
-      while (i < n2) {
-        val l = y(i) * win(i)
-        rights(c)(i) = y(n2 + i) * win(n2 + i)
-        if (pcm != null) pcm(c)(i) = prevRight(c)(i) + l
-        i += 1
-      }
+      while (i < n) { y(i) *= win(i); i += 1 }
+      windowed(c) = y
       c += 1
     }
-    (spectral, pcm, rights)
+    (spectral, windowed, n)
   }
 
   // ---------------------------------------------------------------- Ogg
@@ -935,6 +976,19 @@ object Vorbis {
           if (!continued && open) { partial = Array.emptyByteArray; open = false }
           var bo = o + headLen
           var i = 0
+          // RFC 3533: a continuation with no open partial (mid-stream
+          // join / dropped page) — DISCARD data up to and including the
+          // first packet terminator instead of emitting a garbage packet
+          // that would shift positional header indexing (advice r16)
+          if (continued && !open) {
+            var drop = true
+            while (i < nSeg && drop) {
+              val l = lacing(i)
+              bo += l
+              if (l < 255) drop = false
+              i += 1
+            }
+          }
           while (i < nSeg) {
             val l = lacing(i)
             partial = partial ++ java.util.Arrays.copyOfRange(bytes, bo, bo + l)
@@ -967,7 +1021,12 @@ object Vorbis {
       if (pkts.length < 4) return None
       val su = parseHeaders(pkts)
       val audio = pkts.drop(3)
-      var prevRight: Array[Array[Double]] = null
+      // overlap-add state: previous block's full windowed output and its
+      // size. Consecutive blocks lap so their window slopes coincide: a
+      // packet emits prevN/4 + n/4 samples (spec §4.8) — the span from
+      // the previous block's centre to the current block's centre.
+      var prevY: Array[Array[Double]] = null
+      var prevN = 0
       var firstSpectral: Array[Double] = null
       val pcmBuf = scala.collection.mutable.ArrayBuffer.empty[Double]
       var nPk = 0
@@ -977,20 +1036,30 @@ object Vorbis {
         // (the spec's end-of-packet condition zero-fills the remainder of
         // the CURRENT packet and continues — declared approximation)
         if (!halted) try {
-          val (spec, pcm, rights) = decodePacket(su, p, prevRight)
+          val (spec, yw, n) = decodePacket(su, p)
           if (firstSpectral == null) firstSpectral = spec(0)
-          if (pcm != null) {
-            var i = 0
-            val n2 = su.blockSize / 2
-            while (i < n2) {
+          if (prevY != null) {
+            val hop = prevN / 4 + n / 4
+            val shift = n / 4 - prevN / 4 // current-block index offset
+            var k = 0
+            while (k < hop) {
               var s = 0.0
               var c = 0
-              while (c < su.channels) { s += pcm(c)(i); c += 1 }
+              while (c < su.channels) {
+                var v = 0.0
+                val pi = prevN / 2 + k
+                if (pi < prevN) v += prevY(c)(pi)
+                val ci = k + shift
+                if (ci >= 0) v += yw(c)(ci)
+                s += v
+                c += 1
+              }
               pcmBuf += s / su.channels
-              i += 1
+              k += 1
             }
           }
-          prevRight = rights
+          prevY = yw
+          prevN = n
           nPk += 1
         } catch { case _: Malformed => halted = true }
       }
@@ -999,7 +1068,8 @@ object Vorbis {
         firstSpectral, pcmBuf.toArray))
     } catch {
       case _: Malformed | _: ArrayIndexOutOfBoundsException |
-           _: NegativeArraySizeException | _: IllegalArgumentException => None
+           _: NegativeArraySizeException | _: IllegalArgumentException |
+           _: NullPointerException => None
     }
 
   // ------------------------------------------------------------ encoder
@@ -1088,7 +1158,8 @@ object Vorbis {
   }
 
   private def headerPackets(channels: Int, rate: Int,
-                            lattice: Boolean = false): Seq[Array[Byte]] = {
+                            lattice: Boolean = false,
+                            ws: Boolean = false): Seq[Array[Byte]] = {
     def tagged(t: Int): BitWriter = {
       val w = new BitWriter
       w.putBits(t, 8)
@@ -1100,7 +1171,8 @@ object Vorbis {
     ident.putBits(channels, 8)
     ident.putBits(rate, 32)
     ident.putBits(0, 32); ident.putBits(0, 32); ident.putBits(0, 32)
-    ident.putBits(8, 4); ident.putBits(8, 4) // blocksize 256 / 256
+    if (ws) { ident.putBits(7, 4); ident.putBits(8, 4) } // blocksizes 128 / 256
+    else { ident.putBits(8, 4); ident.putBits(8, 4) }    // blocksize 256 / 256
     ident.putBits(1, 1)           // framing
     val comment = tagged(3)
     comment.putBits(0, 32)        // vendor length
@@ -1162,9 +1234,17 @@ object Vorbis {
     } else su.putBits(0, 1)
     su.putBits(0, 2) // reserved
     su.putBits(0, 8); su.putBits(0, 8); su.putBits(0, 8) // time/floor/residue ids
-    // one mode: long blocks, mapping 0
-    su.putBits(0, 6)
-    su.putBits(0, 1); su.putBits(0, 16); su.putBits(0, 16); su.putBits(0, 8)
+    if (ws) {
+      // two modes sharing mapping 0: mode 0 short, mode 1 long (the
+      // residue end clamps to the short block's n/2 per spec)
+      su.putBits(1, 6)
+      su.putBits(0, 1); su.putBits(0, 16); su.putBits(0, 16); su.putBits(0, 8)
+      su.putBits(1, 1); su.putBits(0, 16); su.putBits(0, 16); su.putBits(0, 8)
+    } else {
+      // one mode: long blocks, mapping 0
+      su.putBits(0, 6)
+      su.putBits(0, 1); su.putBits(0, 16); su.putBits(0, 16); su.putBits(0, 8)
+    }
     su.putBits(1, 1) // framing
     Seq(ident.bytes, comment.bytes, su.bytes)
   }
@@ -1176,19 +1256,35 @@ object Vorbis {
     * 1.0 entry. */
   private def audioPacket(entries: Array[Int], channels: Int,
                           posts: (Int, Int, Int),
-                          lattice: Boolean): Array[Byte] = {
+                          lattice: Boolean,
+                          unusedFloorCh: Int = -1,
+                          wsBits: Option[(Boolean, Boolean, Boolean)] = None):
+      Array[Byte] = {
     val w = new BitWriter
-    w.putBits(0, 1) // audio packet; mode number = 0 bits (one mode)
+    w.putBits(0, 1) // audio packet; mode number = 0 bits when one mode
+    wsBits.foreach { case (isLong, prevLong, nextLong) =>
+      w.putBits(if (isLong) 1 else 0, 1) // mode number (two modes)
+      if (isLong) {
+        w.putBits(if (prevLong) 1 else 0, 1) // previous window flag
+        w.putBits(if (nextLong) 1 else 0, 1) // next window flag
+      }
+    }
     var c = 0
     while (c < channels) { // floor per channel: nonzero, y0/y1, coded post
-      w.putBits(1, 1)
-      w.putBits(posts._1, 8); w.putBits(posts._2, 8)
-      if (lattice) w.putHuff(SparseFloorCodes(2 * posts._3), 7)
-      else w.putHuff(FloorBookCodes(posts._3), 6)
+      if (c == unusedFloorCh) w.putBits(0, 1) // spec §4.3.2: floor unused
+      else {
+        w.putBits(1, 1)
+        w.putBits(posts._1, 8); w.putBits(posts._2, 8)
+        if (lattice) w.putHuff(SparseFloorCodes(2 * posts._3), 7)
+        else w.putHuff(FloorBookCodes(posts._3), 6)
+      }
       c += 1
     }
-    // residue: interleaved-vector size (type 2 folds channels into one)
-    val n = if (channels == 2) BlockSize else BlockSize / 2
+    // residue: interleaved-vector size (type 2 folds channels into one);
+    // a short block's vector is half the long one's
+    val shortBlock = wsBits.exists(!_._1)
+    val n = if (channels == 2) BlockSize
+      else if (shortBlock) BlockSize / 4 else BlockSize / 2
     val partVals = n / 8
     require(entries.length == (partVals - 1) * 4,
       s"need ${(partVals - 1) * 4} entries, got ${entries.length}")
@@ -1221,29 +1317,42 @@ object Vorbis {
     * samples. */
   def encode(data: Array[Byte], nPackets: Int = 2, stereo: Boolean = false,
              floorPosts: (Int, Int, Int) = (255, 255, 0),
-             lattice: Boolean = false): Array[Byte] = {
+             lattice: Boolean = false,
+             unusedFloorCh: Int = -1,
+             blockPlan: Seq[Boolean] = null): Array[Byte] = {
     require(data.nonEmpty && nPackets >= 1)
     require(floorPosts._1 < 256 && floorPosts._2 < 256 && floorPosts._3 < 64)
+    require(blockPlan == null || (!stereo && !lattice),
+      "window-switching streams are mono/explicit-book")
     val channels = if (stereo) 2 else 1
-    val per = entriesPerPacket(stereo)
-    val heads = headerPackets(channels, 8000, lattice)
+    val heads = headerPackets(channels, 8000, lattice, ws = blockPlan != null)
     val pages = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     val serial = 0x67726166 // "graf"
     pages += Ogg.page(Seq(heads(0)), serial, 0, 0L, htype = 2)
     pages += Ogg.page(Seq(heads(1), heads(2)), serial, 1, 0L, htype = 0)
+    val nPk = if (blockPlan != null) blockPlan.length else nPackets
     var src = 0
     var p = 0
-    while (p < nPackets) {
+    while (p < nPk) {
       val nEntryIds = if (lattice) 9 else 8
+      val per =
+        if (blockPlan == null) entriesPerPacket(stereo)
+        else ((if (blockPlan(p)) BlockSize / 2 else BlockSize / 4) / 8 - 1) * 4
       val entries = Array.tabulate(per) { _ =>
         val e = (data(src % data.length) & 0xff) % nEntryIds
         src += 1
         e
       }
-      val pkt = audioPacket(entries, channels, floorPosts, lattice)
+      val wsBits =
+        if (blockPlan == null) None
+        else Some((blockPlan(p),
+          p == 0 || blockPlan(p - 1),
+          p == nPk - 1 || blockPlan(p + 1)))
+      val pkt = audioPacket(entries, channels, floorPosts, lattice,
+        unusedFloorCh, wsBits)
       val granule = (p.toLong) * (BlockSize / 2)
       pages += Ogg.page(Seq(pkt), serial, 2 + p, granule,
-        htype = if (p == nPackets - 1) 4 else 0)
+        htype = if (p == nPk - 1) 4 else 0)
       p += 1
     }
     pages.flatMap(_.toSeq).toArray

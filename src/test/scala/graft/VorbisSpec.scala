@@ -262,11 +262,103 @@ class VorbisSpec extends AnyFunSuite {
     (0 until good.length by 13).foreach(i => Vorbis.decode(good.take(i)))
   }
 
-  test("window-switching and floor-0 streams refuse (declared seams)") {
+  test("coupled stereo with an UNUSED angle-channel floor decodes to a zero channel (advice r16)") {
+    // spec §4.3.6: a channel whose floor is unused renders all zeros even
+    // when coupling revives its residue vector. Pre-fix this NPE'd past
+    // the decoder's catch list (floorOut(ch) == null at the dot product).
+    val rnd = new scala.util.Random(67)
+    val data = Array.fill(400)(rnd.nextInt(256).toByte)
+    val d = Vorbis.decode(Vorbis.encode(data, nPackets = 2, stereo = true,
+        unusedFloorCh = 1))
+      .getOrElse(fail("decode None — unused coupled floor must not kill the stream"))
+    assert(d.channels == 2 && d.nPackets == 2)
+    // ch0's floor is live: its spectrum is the coupled magnitude exactly
+    // as in the both-floors-live stereo test
+    val combined = expectedVector(data, 0, 2 * n2,
+      Vorbis.entriesPerPacket(stereo = true))
+    val expCh0 = Array.tabulate(n2) { i =>
+      val m = combined(2 * i).toDouble; val a = combined(2 * i + 1).toDouble
+      if (m > 0) { if (a > 0) m else m + a }
+      else { if (a > 0) m else m - a }
+    }
+    (0 until n2).foreach { i =>
+      assert(d.spectral(i) == expCh0(i), s"ch0 spectral mismatch at $i")
+    }
+    // downmix stays finite (ch1 contributes exact zeros)
+    assert(d.pcm.forall(x => !x.isNaN && !x.isInfinite))
+  }
+
+  test("codebook claiming a huge entry count fails fast without allocation (advice r16)") {
+    // patch the setup packet's first codebook entry count (24 bits at
+    // packet bytes 13..15, after \x05vorbis + count byte + BCV + dims)
+    // to 2^24-1: decode must return None quickly instead of attempting
+    // the ~GB codeword/trie allocations the claimed size implies
     val good = Vorbis.encode(Array.fill(64)(1.toByte), 2)
-    // patch the identification packet's blocksize nibble pair: bytes
-    // [0..] of packet 0 live on page 0 at offset 28 (27 header + 1
-    // lacing); blocksizes sit at packet byte 28 (1+6+4+1+4+12+1 = 29th)
+    val pkts = Vorbis.Ogg.packets(good)
+    val setup = pkts(2).clone()
+    setup(13) = 0xff.toByte; setup(14) = 0xff.toByte; setup(15) = 0xff.toByte
+    val serial = 0x67726166
+    val rebuilt = Vorbis.Ogg.page(Seq(pkts(0)), serial, 0, 0L, 2) ++
+      Vorbis.Ogg.page(Seq(pkts(1), setup), serial, 1, 0L, 0) ++
+      Vorbis.Ogg.page(Seq(pkts(3)), serial, 2, 128L, 0)
+    val t0 = System.nanoTime()
+    assert(Vorbis.decode(rebuilt).isEmpty)
+    assert((System.nanoTime() - t0) < 2e9, "oversized codebook must fail fast")
+    // and an entry count whose 5-bit lengths exceed the packet's bit
+    // budget (claims 2^17 entries in a few-hundred-byte packet) also
+    // refuses before scanning
+    val setup2 = pkts(2).clone()
+    setup2(13) = 0.toByte; setup2(14) = 0.toByte; setup2(15) = 2.toByte // 2^17
+    val rebuilt2 = Vorbis.Ogg.page(Seq(pkts(0)), serial, 0, 0L, 2) ++
+      Vorbis.Ogg.page(Seq(pkts(1), setup2), serial, 1, 0L, 0) ++
+      Vorbis.Ogg.page(Seq(pkts(3)), serial, 2, 128L, 0)
+    assert(Vorbis.decode(rebuilt2).isEmpty)
+  }
+
+  test("orphaned continuation page: data discarded to the packet boundary (advice r16)") {
+    import Vorbis.Ogg
+    // a continued page arriving with NO open partial (mid-stream join /
+    // dropped page): RFC 3533 discards until the next packet boundary —
+    // pre-fix the orphan bytes were emitted as a fake packet that shifts
+    // positional header indexing
+    def manual(htype: Int, seq: Int, lacing: Seq[Int], body: Array[Byte]): Array[Byte] = {
+      val head = java.nio.ByteBuffer.allocate(27 + lacing.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      head.put("OggS".getBytes("US-ASCII")); head.put(0.toByte); head.put(htype.toByte)
+      head.putLong(0L); head.putInt(9); head.putInt(seq); head.putInt(0)
+      head.put(lacing.length.toByte); lacing.foreach(l => head.put(l.toByte))
+      val pg = head.array() ++ body
+      val c = Ogg.crc(pg)
+      pg(22) = (c & 0xff).toByte; pg(23) = ((c >> 8) & 0xff).toByte
+      pg(24) = ((c >> 16) & 0xff).toByte; pg(25) = ((c >> 24) & 0xff).toByte
+      pg
+    }
+    val tail = Array.tabulate(45)(i => (i * 3).toByte)
+    val fresh = Array.tabulate(20)(i => (i + 1).toByte)
+    // continued page with the orphan tail AND a complete fresh packet:
+    // only the fresh packet survives
+    val pg = manual(1, 2, Seq(45, 20), tail ++ fresh)
+    val got = Ogg.packets(pg)
+    assert(got.length == 1 && got(0).sameElements(fresh),
+      "orphan continuation data must be discarded, fresh packet kept")
+    // orphan spanning the whole page (all-255 lacing, still no
+    // terminator): nothing emitted, and a FOLLOWING continued page's
+    // data up to ITS terminator is still part of the orphan
+    val seg255 = Array.fill(255)(7.toByte)
+    val pgAll = manual(1, 3, Seq(255), seg255)
+    val pgEnd = manual(1, 4, Seq(10, 20), Array.fill(10)(8.toByte) ++ fresh)
+    val got2 = Ogg.packets(pgAll ++ pgEnd)
+    assert(got2.length == 1 && got2(0).sameElements(fresh))
+  }
+
+  test("unequal blocksizes in the identification header decode (former declared seam, r17)") {
+    // patch the identification packet's blocksize nibble pair to
+    // 256/512 on an all-mode-0 stream: pre-r17 this refused; now the
+    // header parses and mode 0 (blockFlag = 0) keeps decoding at bs0,
+    // so the stream round-trips unchanged
+    val data = Array.fill(64)(1.toByte)
+    val good = Vorbis.encode(data, 2)
+    val base = Vorbis.decode(good).getOrElse(fail("decode None"))
     val pkts = Vorbis.Ogg.packets(good)
     val ident = pkts(0).clone()
     // blocksize byte: low nibble = log2(bs0), high nibble = log2(bs1)
@@ -274,6 +366,97 @@ class VorbisSpec extends AnyFunSuite {
     ident(bsOff) = ((ident(bsOff) & 0x0f) | (9 << 4)).toByte // bs1 = 512
     val rebuilt = Vorbis.Ogg.page(Seq(ident), 0x67726166, 0, 0L, 2) ++
       good.drop(28 + pkts(0).length)
-    assert(Vorbis.decode(rebuilt).isEmpty, "unequal blocksizes must refuse")
+    val d = Vorbis.decode(rebuilt)
+      .getOrElse(fail("unequal blocksizes must now decode"))
+    assert(d.nPackets == base.nPackets && d.nSamples == base.nSamples)
+    (0 until d.nSamples).foreach(i => assert(d.pcm(i) == base.pcm(i)))
+  }
+
+  test("window switching: long/short stream PCM equals absolute-time block placement (r17)") {
+    // blocksizes 128/256, plan long,short,long,long,short,short,long —
+    // every lap shape occurs: long-long, long-short, short-long,
+    // short-short. The expectation places each windowed IMDCT block at
+    // its ABSOLUTE time position (centres hop by nPrev/4 + nCur/4) and
+    // sums — no shared index algebra with the decoder's overlap loop.
+    val rnd = new scala.util.Random(68)
+    val data = Array.fill(600)(rnd.nextInt(256).toByte)
+    val plan = Seq(true, false, true, true, false, false, true)
+    val d = Vorbis.decode(Vorbis.encode(data, blockPlan = plan))
+      .getOrElse(fail("decode None"))
+    assert(d.nPackets == plan.length)
+    val sizes = plan.map(l => if (l) 256 else 128)
+    // spec window: slope sin(pi/2 sin^2(pi/(2 slopeN) (i+1/2))), the
+    // short slope on a long block centred at n/4 (left) / 3n/4 (right)
+    def winAt(n: Int, leftN: Int, rightN: Int, i: Int): Double = {
+      val ls = if (leftN == n / 2) 0 else n / 4 - leftN / 2
+      val rs = if (rightN == n / 2) n / 2 else 3 * n / 4 - rightN / 2
+      if (i < ls) 0.0
+      else if (i < ls + leftN) {
+        val s = math.sin(math.Pi / (2.0 * leftN) * (i - ls + 0.5))
+        math.sin(math.Pi / 2 * s * s)
+      } else if (i < rs) 1.0
+      else if (i < rs + rightN) {
+        val s = math.sin(math.Pi / (2.0 * rightN) * (i - rs + 0.5) + math.Pi / 2)
+        math.sin(math.Pi / 2 * s * s)
+      } else 0.0
+    }
+    // per-packet expected VQ vectors, consumed sequentially like encode
+    var src = 0
+    def vecFor(p: Int): Array[Int] = {
+      val n2p = sizes(p) / 2
+      val out = new Array[Int](n2p)
+      var part = 1
+      while (part < n2p / 8) {
+        var t = 0
+        while (t < 4) {
+          val e = (data(src % data.length) & 0xff) % 8
+          src += 1
+          out(part * 8 + 2 * t) = Vorbis.EntryA(e)
+          out(part * 8 + 2 * t + 1) = Vorbis.EntryB(e)
+          t += 1
+        }
+        part += 1
+      }
+      out
+    }
+    // absolute placement: centre_0 = n_0/2; centre_p = centre_{p-1} +
+    // n_{p-1}/4 + n_p/4; block p spans [centre_p - n_p/2, centre_p + n_p/2)
+    val centre = new Array[Int](plan.length)
+    centre(0) = sizes(0) / 2
+    (1 until plan.length).foreach { p =>
+      centre(p) = centre(p - 1) + sizes(p - 1) / 4 + sizes(p) / 4
+    }
+    val total = centre.last + sizes.last / 2
+    val acc = new Array[Double](total)
+    (0 until plan.length).foreach { p =>
+      val n = sizes(p)
+      val leftN = if (plan(p) && !(p == 0 || plan(p - 1))) 64 else n / 2
+      val rightN = if (plan(p) && !(p == plan.length - 1 || plan(p + 1))) 64 else n / 2
+      val x = vecFor(p)
+      val start = centre(p) - n / 2
+      (0 until n).foreach { j =>
+        var s = 0.0
+        var k = 0
+        while (k < n / 2) {
+          s += x(k) * math.cos(2.0 * math.Pi / n * (j + 0.5 + n / 4.0) * (k + 0.5))
+          k += 1
+        }
+        acc(start + j) += s * winAt(n, leftN, rightN, j)
+      }
+    }
+    // emitted samples = [centre_0, centre_last)
+    val expLen = centre.last - centre(0)
+    assert(d.nSamples == expLen, s"expected $expLen samples, got ${d.nSamples}")
+    (0 until expLen).foreach { i =>
+      assert(math.abs(d.pcm(i) - acc(centre(0) + i)) < 1e-9,
+        s"ws pcm mismatch at $i")
+    }
+    // the asymmetric lap keeps Princen-Bradley: prev right slope² + cur
+    // left slope² = 1 across a long→short junction
+    (0 until 64).foreach { j =>
+      val f = winAt(256, 128, 64, 160 + j) // long block, short right slope [160,224)
+      val r = winAt(128, 64, 64, j)        // short block left slope [0,64)
+      assert(math.abs(f * f + r * r - 1.0) < 1e-12)
+    }
   }
 }
