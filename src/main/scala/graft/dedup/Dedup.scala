@@ -283,32 +283,70 @@ object Dedup {
   }
 
   /** n-gram Jaccard similarity for candidate pairs (same `source`, nearby
-    * ids — at scale the candidate generator is the LSH bucket join). */
+    * ids). Pair scope: 0 < doc2 − doc1 ≤ maxIdGap within a source — so
+    * every pair lives inside a WINDOW of 2·gap consecutive ids, and the
+    * whole computation localizes: one shuffle of per-doc shingle ARRAYS
+    * keyed by (source, block = doc div gap) — each doc lands in its own
+    * block and the previous one — then in-group distinct-set
+    * intersections over ≤ 2·gap docs.
+    *
+    * This replaced the r12 per-shingle self-join in r17: at 5M organic
+    * docs the exploded (doc, shingle) table (~10⁹ rows after the window
+    * + distinct) drove a multi-hundred-GB sort-merge join that never
+    * finished the third-decade bench (the r16 "unidentified ~50-min
+    * single-task stage"). The per-block shape shuffles each document
+    * exactly twice (as an array row, no per-shingle fan-out), gives
+    * n/gap independent groups — parallelism grows WITH the corpus — and
+    * bounds per-task work by 2·gap × the longest document. */
   def ngramJaccard(df: DataFrame, textCol: String, idCol: String, srcCol: String,
                    k: Int = 2, maxIdGap: Long = 25L, minJaccard: Double = 0.15): DataFrame = {
-    val sh = TextOps.explodedShingles(df, col(idCol), normText(col(textCol)), k,
-        extra = Seq("src" -> col(srcCol)))
-      .select(col("doc"), col("src"), col("sh")).distinct()
-      .cache()
-    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).cast("double").as("sz"))
-    // id-range blocking: a pair with 0 < doc2−doc1 ≤ gap has doc2 in
-    // {block, block+1} of doc1's block. Adding the block to the join key
-    // bounds the per-shingle pair fan-out (frequent shingles would
-    // otherwise blow up quadratically at corpus scale).
-    val blk = floor(col("doc") / maxIdGap).cast("long")
-    val a = sh.withColumn("blk", blk)
-    val b = sh.withColumn("blk", explode(array(blk, blk - 1)))
-    val inter = a.as("a").join(b.as("b"),
-        col("a.src") === col("b.src") && col("a.sh") === col("b.sh") &&
-          col("a.blk") === col("b.blk") &&
-          col("a.doc") < col("b.doc") && col("b.doc") - col("a.doc") <= maxIdGap)
-      .groupBy(col("a.doc").as("doc1"), col("b.doc").as("doc2"))
-      .agg(count(lit(1)).cast("double").as("inter"))
-    inter.join(sizes.withColumnRenamed("doc", "d1").withColumnRenamed("sz", "sz1"), col("doc1") === col("d1"))
-      .join(sizes.withColumnRenamed("doc", "d2").withColumnRenamed("sz", "sz2"), col("doc2") === col("d2"))
-      .select(col("doc1"), col("doc2"),
-        (col("inter") / (col("sz1") + col("sz2") - col("inter"))).as("jaccard"))
-      .filter(col("jaccard") >= minJaccard)
+    val spark = df.sparkSession
+    import spark.implicits._
+    // per-doc k-gram array straight off the token array — no window, no
+    // explode, no shuffle before the block exchange
+    val gramExpr = s"transform(sequence(0, size(_toks) - $k), i -> " +
+      s"concat_ws('_', ${(0 until k).map(j => s"_toks[i+$j]").mkString(", ")}))"
+    val base = df
+      .select(col(idCol).cast("long").as("doc"),
+        col(srcCol).cast("string").as("src"),
+        split(normText(col(textCol)), " ").as("_toks"))
+      .select(col("doc"), col("src"),
+        when(size(col("_toks")) >= k, expr(gramExpr))
+          .otherwise(array().cast("array<string>")).as("shs"))
+      .as[(Long, String, Seq[String])]
+    val gap = maxIdGap
+    val minJ = minJaccard
+    val pairs = base
+      .flatMap { case (doc, src, shs) =>
+        val b = Math.floorDiv(doc, gap)
+        Iterator((src, b, doc, shs), (src, b - 1L, doc, shs))
+      }
+      .groupByKey { case (src, g, _, _) => (src, g) }
+      .flatMapGroups { (key: (String, Long), it: Iterator[(String, Long, Long, Seq[String])]) =>
+        val g = key._2
+        val docs = it.map { case (_, _, doc, shs) => (doc, shs.toSet) }
+          .toArray.sortBy(_._1)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        var i = 0
+        while (i < docs.length) {
+          val (d1, s1) = docs(i)
+          if (Math.floorDiv(d1, gap) == g) { // pair owned by doc1's block
+            var j = i + 1
+            while (j < docs.length && docs(j)._1 - d1 <= gap) {
+              val (d2, s2) = docs(j)
+              val inter = s1.count(s2.contains).toDouble
+              if (inter > 0) {
+                val jac = inter / (s1.size + s2.size - inter)
+                if (jac >= minJ) out += ((d1, d2, jac))
+              }
+              j += 1
+            }
+          }
+          i += 1
+        }
+        out.iterator
+      }
+    pairs.toDF("doc1", "doc2", "jaccard")
   }
 
   /** Benchmark decontamination — the n-gram-overlap check every LLM
