@@ -67,9 +67,15 @@ package graft.multimodal
   * stereo with PER-WINDOW bounds (the value-scan rule: intensity on the
   * bands above each window's last nonzero right-channel band).
   *
+  * LSF/2.5 intensity stereo (r17): the 13818-3 scheme — ch1's
+  * scalefactors are is_pos values under the i-stereo partition layout
+  * (scalefac_compress >> 1 over the intensity nsfb rows, bit 0 =
+  * intensity_scale), scaling io^((is_pos+1)/2) on the left channel for
+  * odd positions / the right for even (io = 2^-1/2 or 2^-1/4), is_pos 0
+  * passes m to both, the band's all-ones code is the illegal marker
+  * (fall back to MS / pass-through). Long and short blocks.
+  *
   * DECLARED scope limits (the honest seams, like Multimodal.scala:47-58):
-  * LSF/2.5 joint-stereo INTENSITY frames refuse (the 13818-3
-  * io^((is_pos+1)/2) scheme, not the MPEG-1 tan rule — advice r15);
   * mixed-block and asymmetric-blocktype intensity refuse; 8 kHz mixed
   * blocks refuse (the 12-wide long bands and the 24-wide short start
   * don't compose at 36 lines);
@@ -180,13 +186,34 @@ object Mp3 {
     Array(Array(6, 5, 5, 5), Array(6, 5, 7, 3), Array(11, 10, 0, 0)), // long
     Array(Array(9, 9, 9, 9), Array(9, 9, 12, 6), Array(18, 18, 0, 0)), // short
     Array(Array(6, 9, 9, 9), Array(6, 9, 12, 6), Array(15, 18, 0, 0))) // mixed
+  // 13818-3 INTENSITY-mode scalefactor partitions (the i-stereo rows of
+  // the public mpg123/libmad nsfb table): rows 0/1/2 = the
+  // (sfc >> 1) < 180 / < 244 / <= 255 partitions
+  private val LsfNsfbIs: Array[Array[Array[Int]]] = Array(
+    Array(Array(7, 7, 7, 0), Array(6, 6, 6, 3), Array(8, 8, 5, 0)),    // long
+    Array(Array(12, 12, 12, 0), Array(12, 9, 9, 6), Array(15, 12, 9, 0)), // short
+    Array(Array(6, 15, 12, 0), Array(6, 12, 9, 6), Array(6, 18, 9, 0))) // mixed
 
   /** LSF scalefactor layout: per-SLOT slen in bitstream read order +
     * implied preflag, from the 9-bit scalefac_compress (13818-3
-    * partition rule) and the block kind. */
-  private def lsfSlen(sfc: Int, kind: Int): (Array[Int], Int) = {
+    * partition rule) and the block kind. With `iStereo` (the right
+    * channel of an intensity frame) the partitions come from
+    * scalefac_compress >> 1 (bit 0 is intensity_scale) and the
+    * i-stereo nsfb rows; the transmitted values are is_pos. */
+  private def lsfSlen(sfc: Int, kind: Int,
+                      iStereo: Boolean = false): (Array[Int], Int) = {
     val (slens, row, pre) =
-      if (sfc < 400)
+      if (iStereo) {
+        val s = sfc >> 1
+        if (s < 180) (Array(s / 36, (s % 36) / 6, s % 6, 0), 0, 0)
+        else if (s < 244) {
+          val t = s - 180
+          (Array(t >> 4, (t & 15) >> 2, t & 3, 0), 1, 0)
+        } else {
+          val t = s - 244
+          (Array(t / 3, t % 3, 0, 0), 2, 0)
+        }
+      } else if (sfc < 400)
         (Array((sfc >> 4) / 5, (sfc >> 4) % 5, (sfc & 15) >> 2, sfc & 3), 0, 0)
       else if (sfc < 500) {
         val t = sfc - 400
@@ -195,7 +222,7 @@ object Mp3 {
         val t = sfc - 500
         (Array(t / 3, t % 3, 0, 0), 2, 1)
       }
-    val nrs = LsfNsfb(kind)(row)
+    val nrs = (if (iStereo) LsfNsfbIs else LsfNsfb)(kind)(row)
     val perSlot = new Array[Int](nrs.sum)
     var b = 0
     var g = 0
@@ -620,6 +647,80 @@ object Mp3 {
     out
   }
 
+  /** MPEG-2 LSF / MPEG-2.5 STEREO frame for the intensity specs: one
+    * granule, long blocks, table 7, gg = 210. ch0 transmits
+    * scalefac_compress 0 (no scalefactor bits); with `intensity`, ch1
+    * carries only its first 2·bv1 lines and transmits is_pos in its
+    * scalefactors under the 13818-3 i-stereo layout — scalefac_compress
+    * (129 << 1) | isScale, i.e. slens (3,3,3) over the {7,7,7} long
+    * partition: 21 values 0..6 with 7 the illegal marker. */
+  def encodeLsfStereo(ch0: Array[Int], ch1: Array[Int],
+                      msJoint: Boolean = false,
+                      intensity: Boolean = false, bv1: Int = 288,
+                      isPosSf: Array[Int] = null, isScale: Int = 0,
+                      mpeg25: Boolean = false): Array[Byte] = {
+    require(ch0.length == 576 && ch1.length == 576)
+    require(isScale == 0 || isScale == 1)
+    val cb = Mp3Tables.byId(7).get
+    val main = new BitWriter
+    def putGranuleData(lines: Array[Int], bv: Int, sf: Array[Int]): Int = {
+      val before = main.bitCount
+      if (sf != null) {
+        var b = 0
+        while (b < 21) { main.put(sf(b), 3); b += 1 }
+      }
+      var p = 0
+      while (p < bv) {
+        val l = 2 * p
+        val x = math.abs(lines(l)); val y = math.abs(lines(l + 1))
+        require(x <= 1 && y <= 1, "LSF stereo spec frames: lines in {-1,0,1}")
+        val idx = x * cb.ylen + y
+        main.put(cb.hcod(idx), cb.hlen(idx))
+        if (x != 0) main.put(if (lines(l) < 0) 1 else 0, 1)
+        if (y != 0) main.put(if (lines(l + 1) < 0) 1 else 0, 1)
+        p += 1
+      }
+      main.bitCount - before
+    }
+    val sf1 = if (intensity) {
+      require(isPosSf != null && isPosSf.length == 21 &&
+        isPosSf.forall(v => v >= 0 && v <= 7)) // 7 = the illegal marker
+      isPosSf
+    } else null
+    val p00 = putGranuleData(ch0, 288, null)
+    val p01 = putGranuleData(ch1, if (intensity) bv1 else 288, sf1)
+    val sr = if (mpeg25) SampleRates25(0) else SampleRatesLsf(0)
+    val frameLen = 72 * 160000 / sr // bitrate index 14 = 160 kbps LSF
+    val w = new BitWriter
+    w.put(0x7FF, 11)
+    w.put(if (mpeg25) 0 else 2, 2) // id: MPEG-2.5 / MPEG-2 LSF
+    w.put(1, 2); w.put(1, 1)       // Layer III, no CRC
+    w.put(14, 4); w.put(0, 2); w.put(0, 1); w.put(0, 1)
+    val joint = msJoint || intensity
+    w.put(if (joint) 1 else 0, 2)  // mode: joint or plain stereo
+    w.put((if (msJoint) 2 else 0) | (if (intensity) 1 else 0), 2)
+    w.put(0, 1); w.put(0, 1); w.put(0, 2)
+    // LSF stereo side info (17 bytes): main_data_begin(8), private(2),
+    // ONE granule per channel, no scfsi, no preflag bit
+    w.put(0, 8); w.put(0, 2)
+    def putGr(part23: Int, bv: Int, sfc: Int): Unit = {
+      w.put(part23, 12); w.put(bv, 9); w.put(210, 8); w.put(sfc, 9)
+      w.put(0, 1)                  // long blocks
+      w.put(7, 5); w.put(7, 5); w.put(7, 5)
+      w.put(8, 4); w.put(7, 3)
+      w.put(0, 1); w.put(1, 1)     // scalefac_scale, count1 table B
+    }
+    putGr(p00, 288, 0)
+    putGr(p01, if (intensity) bv1 else 288,
+      if (intensity) (129 << 1) | isScale else 0)
+    val head = w.bytes
+    val md = main.bytes
+    val out = new Array[Byte](frameLen)
+    System.arraycopy(head, 0, out, 0, head.length)
+    System.arraycopy(md, 0, out, head.length, md.length)
+    out
+  }
+
   /** MPEG-1 STEREO SHORT-BLOCK frame for the intensity specs: both
     * channels block_type 2 (lines in band-major Huffman order, table 7),
     * gg = 210, subblock gains 0. With `intensity`, ch1 carries only its
@@ -629,8 +730,10 @@ object Mp3 {
   def encodeStereoShort(ch0: Array[Int], ch1: Array[Int],
                         msJoint: Boolean = false, intensity: Boolean = false,
                         bv1: Int = 288,
-                        isPosSfS: Array[Array[Int]] = null): Array[Byte] = {
+                        isPosSfS: Array[Array[Int]] = null,
+                        lsf: Boolean = false, isScale: Int = 0): Array[Byte] = {
     require(ch0.length == 576 && ch1.length == 576)
+    require(isScale == 0 || isScale == 1)
     val cb = Mp3Tables.byId(7).get
     val main = new BitWriter
     def putGranuleData(lines: Array[Int], bv: Int,
@@ -667,26 +770,33 @@ object Mp3 {
     } else null
     val p00 = putGranuleData(ch0, 288, null)
     val p01 = putGranuleData(ch1, if (intensity) bv1 else 288, sf1)
-    val frameLen = 144 * 320000 / 44100
+    val frameLen =
+      if (lsf) 72 * 160000 / SampleRatesLsf(0) else 144 * 320000 / 44100
     val w = new BitWriter
-    w.put(0x7FF, 11); w.put(3, 2); w.put(1, 2); w.put(1, 1)
+    w.put(0x7FF, 11); w.put(if (lsf) 2 else 3, 2); w.put(1, 2); w.put(1, 1)
     w.put(14, 4); w.put(0, 2); w.put(0, 1); w.put(0, 1)
     val joint = msJoint || intensity
     w.put(if (joint) 1 else 0, 2)
     w.put((if (msJoint) 2 else 0) | (if (intensity) 1 else 0), 2)
     w.put(0, 1); w.put(0, 1); w.put(0, 2)
-    w.put(0, 9); w.put(0, 3); w.put(0, 8) // mdb, private, scfsi
+    if (lsf) { w.put(0, 8); w.put(0, 2) }          // mdb, private
+    else { w.put(0, 9); w.put(0, 3); w.put(0, 8) } // mdb, private, scfsi
     def putGr(part23: Int, bv: Int, sfc: Int): Unit = {
-      w.put(part23, 12); w.put(bv, 9); w.put(210, 8); w.put(sfc, 4)
+      w.put(part23, 12); w.put(bv, 9); w.put(210, 8)
+      w.put(sfc, if (lsf) 9 else 4)
       w.put(1, 1)                 // window_switching_flag
       w.put(2, 2); w.put(0, 1)    // block_type 2, not mixed
       w.put(7, 5); w.put(7, 5)    // two table selects
       w.put(0, 3); w.put(0, 3); w.put(0, 3)
-      w.put(0, 1); w.put(0, 1); w.put(1, 1) // preflag, sfs, count1 B
+      if (!lsf) w.put(0, 1)       // preflag (MPEG-1 only)
+      w.put(0, 1); w.put(1, 1)    // scalefac_scale, count1 B
     }
+    // LSF i-stereo short: scalefac_compress (129 << 1) | isScale = the
+    // {12,12,12} partition at slens (3,3,3) — 36 slots of 0..6, 7 illegal
     putGr(p00, 288, 0)
-    putGr(p01, if (intensity) bv1 else 288, if (intensity) 13 else 0)
-    putGr(0, 0, 0); putGr(0, 0, 0)
+    putGr(p01, if (intensity) bv1 else 288,
+      if (!intensity) 0 else if (lsf) (129 << 1) | isScale else 13)
+    if (!lsf) { putGr(0, 0, 0); putGr(0, 0, 0) }
     val head = w.bytes
     val md = main.bytes
     val out = new Array[Byte](frameLen)
@@ -807,10 +917,6 @@ object Mp3 {
     // the right channel's rzero start from ch0 and the is_pos ratio
     val msStereo = mode == 1 && (modeExt & 2) != 0
     val isStereo = mode == 1 && (modeExt & 1) != 0
-    // LSF intensity uses the 13818-3 io^((is_pos+1)/2) scheme, not the
-    // MPEG-1 tan rule, and its is_pos values can exceed 7 — refuse
-    // rather than mis-scale (advice r15)
-    if (lsf && isStereo) return None
     val protection = bytes(1) & 1
     val sr =
       if (mpeg25) SampleRates25(srIdx)
@@ -833,8 +939,12 @@ object Mp3 {
                         tables: Array[Int], r0: Int, r1: Int,
                         slenOf: Int => Int, preflag: Int, sfScale: Int,
                         count1B: Boolean, blockType: Int, sbg: Array[Int],
-                        mixed: Boolean)
-    def readGr(): Option[Gr] = {
+                        mixed: Boolean, isScale: Int)
+    def readGr(ch: Int): Option[Gr] = {
+      // the right channel of an LSF intensity frame transmits is_pos
+      // values under the 13818-3 i-stereo partition layout; bit 0 of its
+      // scalefac_compress is intensity_scale (io = 2^-1/2 vs 2^-1/4)
+      val iStereo = lsf && isStereo && ch == 1
       val part23 = r.get(12); val bv = r.get(9); val gg = r.get(8)
       val sfc = r.get(if (lsf) 9 else 4)
       val wsf = r.get(1)
@@ -864,7 +974,7 @@ object Mp3 {
       val (slenOf, pre) =
         if (lsf) {
           val kind = if (bt != 2) 0 else if (mixed) 2 else 1
-          val (perSlot, p) = lsfSlen(sfc, kind)
+          val (perSlot, p) = lsfSlen(sfc, kind, iStereo)
           ((slot: Int) => perSlot(slot), p)
         } else {
           val (slen1, slen2) = SlenTab(sfc)
@@ -878,11 +988,12 @@ object Mp3 {
       val sfs = r.get(1)
       val c1b = r.get(1) == 1
       if (bv > 288) return None
-      Some(Gr(part23, bv, gg, t, r0, r1, slenOf, pre, sfs, c1b, bt, sbg, mixed))
+      Some(Gr(part23, bv, gg, t, r0, r1, slenOf, pre, sfs, c1b, bt, sbg,
+        mixed, if (iStereo) sfc & 1 else -1))
     }
     // MPEG-1 side-info order: gr0ch0, gr0ch1, gr1ch0, gr1ch1
     val nGr = if (lsf) 1 else 2
-    val grs = Array.tabulate(nGr, nch)((_, _) => readGr().getOrElse(return None))
+    val grs = Array.tabulate(nGr, nch)((_, c) => readGr(c).getOrElse(return None))
     // bit reservoir: a nonzero main_data_begin needs bytes from PRIOR
     // frames. In stream mode the caller supplies the rolling reservoir
     // and the granule reader starts mainDataBegin bytes back; in
@@ -1087,6 +1198,30 @@ object Mp3 {
     val prevSf = Array.fill(nch)(new Array[Int](22))
     var gi = 0
     while (gi < nGr) {
+      // intensity factors (kl, kr) for a band, or None when is_pos is
+      // the illegal marker (band falls back to MS / pass-through).
+      // MPEG-1: ratio = tan(is_pos·π/12), l = m·ratio/(1+ratio),
+      // r = m/(1+ratio), illegal at 7 (§2.4.3.4.9.3). LSF (13818-3
+      // §2.4.3.2): io^((is_pos+1)/2) scales the LEFT channel for odd
+      // is_pos and the RIGHT for even (io = 2^-1/2 when intensity_scale
+      // else 2^-1/4); is_pos = 0 leaves both at m; illegal at the
+      // all-ones code of the band's slen.
+      def isFactors(isScale: Int, slen: Int, isPos: Int): Option[(Double, Double)] =
+        if (!lsf) {
+          if (isPos == 7) None
+          else {
+            val ratio = math.tan(isPos * math.Pi / 12.0)
+            Some((ratio / (1.0 + ratio), 1.0 / (1.0 + ratio)))
+          }
+        } else {
+          if (slen > 0 && isPos == (1 << slen) - 1) None
+          else if (isPos == 0) Some((1.0, 1.0))
+          else {
+            val io = if (isScale == 1) math.pow(2.0, -0.5) else math.pow(2.0, -0.25)
+            val f = math.pow(io, ((isPos + 1) / 2).toDouble)
+            if ((isPos & 1) == 1) Some((f, 1.0)) else Some((1.0, f))
+          }
+        }
       var ch = 0
       var chSf: Array[Int] = null
       var chSfS: Array[Array[Int]] = null
@@ -1132,15 +1267,19 @@ object Mp3 {
           var w = 0
           while (w < 3) {
             val intens = b > maxBand(w)
+            val slot = math.min(b, 11) * 3 + w // band-major short slots
             val isPos = if (intens) chSfS(math.min(b, 11))(w) else 0
+            val fac = if (intens)
+              isFactors(grs(gi)(1).isScale, grs(gi)(1).slenOf(slot), isPos)
+            else None
             var f = sfbS(b)
             while (f < sfbS(b + 1)) {
               val i = 3 * f + w
-              if (intens && isPos != 7) {
-                val ratio = math.tan(isPos * math.Pi / 12.0)
+              if (intens && fac.isDefined) {
+                val (kl, kr) = fac.get
                 val mm = m(i)
-                m(i) = mm * (ratio / (1.0 + ratio))
-                sArr(i) = mm * (1.0 / (1.0 + ratio))
+                m(i) = mm * kl
+                sArr(i) = mm * kr
               } else if (msStereo) {
                 val mm = m(i); val ss = sArr(i)
                 m(i) = (mm + ss) * inv
@@ -1181,16 +1320,18 @@ object Mp3 {
           if (i >= isBound) {
             // sfb21 transmits no scalefactor: it inherits band 20's
             // intensity position (the standard remainder-band rule)
-            val isPos = chSf(math.min(band, 20))
-            if (isPos != 7) {
-              val ratio = math.tan(isPos * math.Pi / 12.0)
-              val mm = m(i)
-              m(i) = mm * (ratio / (1.0 + ratio))
-              sArr(i) = mm * (1.0 / (1.0 + ratio))
-            } else if (msStereo) {
-              val mm = m(i); val ss = sArr(i)
-              m(i) = (mm + ss) * inv
-              sArr(i) = (mm - ss) * inv
+            val slot = math.min(band, 20)
+            val isPos = chSf(slot)
+            isFactors(grs(gi)(1).isScale, grs(gi)(1).slenOf(slot), isPos) match {
+              case Some((kl, kr)) =>
+                val mm = m(i)
+                m(i) = mm * kl
+                sArr(i) = mm * kr
+              case None if msStereo =>
+                val mm = m(i); val ss = sArr(i)
+                m(i) = (mm + ss) * inv
+                sArr(i) = (mm - ss) * inv
+              case None =>
             }
           } else if (msStereo) {
             val mm = m(i); val ss = sArr(i)

@@ -175,12 +175,115 @@ class Mp3LsfSpec extends AnyFunSuite {
     }
   }
 
-  test("LSF intensity frames refuse (13818-3 scheme not the tan rule)") {
-    // craft an LSF frame and flip its header to joint stereo mode_ext 1:
-    // decode must return None, never mis-scale via the MPEG-1 rule
-    val f = Mp3.encodeLsfFrame(Array.fill(576)(0))
-    val mod = f.clone()
-    mod(3) = ((mod(3) & 0x0f) | (1 << 6) | (1 << 4)).toByte // mode 01, ext 01
-    assert(Mp3.decode(mod).isEmpty)
+  // LSF long-block band edges at 22.05 kHz (Table B.8), duplicated so
+  // the intensity expectations are independent of the decoder's tables
+  private val lfE22 = Array(0, 6, 12, 18, 24, 30, 36, 44, 54, 66, 80, 96,
+    116, 140, 168, 200, 238, 284, 336, 396, 464, 522, 576)
+
+  test("LSF long-block intensity: the 13818-3 io^((is_pos+1)/2) scheme (former seam, r17)") {
+    // ch1 coded to line 100 (bv1 = 50) → rzero = 100 → bound = first LSF
+    // band edge > 100 = 116 (band 12). is_pos per band: odd scales the
+    // LEFT channel by io^((is_pos+1)/2), even scales the RIGHT by
+    // io^(is_pos/2), 0 passes m to both, 7 (all-ones at slen 3) is the
+    // illegal marker → pass-through. Both intensity_scale values.
+    val rnd = new scala.util.Random(71)
+    val ch0 = Array.fill(576)(rnd.nextInt(3) - 1)
+    val ch1 = Array.tabulate(576)(i => if (i < 100) rnd.nextInt(3) - 1 else 0)
+    val isPos = Array.tabulate(21) { b =>
+      if (b < 12) 0
+      else if (b == 12) 1 else if (b == 13) 2 else if (b == 14) 3
+      else if (b == 15) 0 else if (b == 16) 7 else 4
+    }
+    for (isScale <- 0 to 1) {
+      val d = Mp3.decode(Mp3.encodeLsfStereo(ch0, ch1, msJoint = false,
+          intensity = true, bv1 = 50, isPosSf = isPos, isScale = isScale))
+        .getOrElse(fail(s"decode None at isScale=$isScale"))
+      assert(d.sampleRate == 22050 && d.nChannels == 2)
+      val io = if (isScale == 1) math.pow(2.0, -0.5) else math.pow(2.0, -0.25)
+      (0 until 576).foreach { i =>
+        val band = lfE22.lastIndexWhere(_ <= i)
+        if (i < 116) {
+          assert(d.spectral(i) == ch0(i).toDouble, s"below-bound L at $i")
+          assert(d.spectralRight(i) == ch1(i).toDouble, s"below-bound R at $i")
+        } else {
+          val pos = isPos(math.min(band, 20)) // sfb21 inherits band 20
+          val (kl, kr) =
+            if (pos == 7) (-1.0, -1.0) // illegal: pass-through
+            else if (pos == 0) (1.0, 1.0)
+            else {
+              val f = math.pow(io, ((pos + 1) / 2).toDouble)
+              if (pos % 2 == 1) (f, 1.0) else (1.0, f)
+            }
+          if (pos == 7) {
+            assert(d.spectral(i) == ch0(i).toDouble, s"illegal L at $i")
+            assert(d.spectralRight(i) == 0.0, s"illegal R at $i")
+          } else {
+            assert(math.abs(d.spectral(i) - ch0(i) * kl) < 1e-12, s"IS L at $i")
+            assert(math.abs(d.spectralRight(i) - ch0(i) * kr) < 1e-12, s"IS R at $i")
+          }
+        }
+      }
+    }
+  }
+
+  test("LSF intensity illegal is_pos falls back to MS when MS is on") {
+    val ch0 = Array.fill(576)(1)
+    val ch1 = Array.tabulate(576)(i => if (i < 100) 1 else 0)
+    val isPos = Array.tabulate(21)(b => if (b >= 12) 7 else 0)
+    val d = Mp3.decode(Mp3.encodeLsfStereo(ch0, ch1, msJoint = true,
+        intensity = true, bv1 = 50, isPosSf = isPos))
+      .getOrElse(fail("decode None"))
+    val inv = 1.0 / math.sqrt(2.0)
+    (0 until 576).foreach { i =>
+      if (i < 116) { // MS region: l = (m+s)/√2, r = (m−s)/√2
+        assert(math.abs(d.spectral(i) - (ch0(i) + ch1(i)) * inv) < 1e-12, s"MS L at $i")
+        assert(math.abs(d.spectralRight(i) - (ch0(i) - ch1(i)) * inv) < 1e-12, s"MS R at $i")
+      } else { // illegal is_pos + MS on → the band is MS (s = 0)
+        assert(math.abs(d.spectral(i) - inv) < 1e-12, s"fallback L at $i")
+        assert(math.abs(d.spectralRight(i) - inv) < 1e-12, s"fallback R at $i")
+      }
+    }
+  }
+
+  test("LSF SHORT-block intensity: per-window bounds with the 13818-3 scaling") {
+    // ch1's short windows coded to different extents via bv1; window
+    // bounds are per-window (the value-scan rule). ch1 carries data only
+    // in windows 0..2 of bands 0..5 → every window's bound is band 5;
+    // bands 6..12 are intensity with is_pos from ch1's short
+    // scalefactors (band-major slots, slens (3,3,3) from the i-stereo
+    // {12,12,12} partition).
+    val rnd = new scala.util.Random(72)
+    // band-major Huffman order: ch1 nonzero only in bands 0..5
+    val bv1Lines = 3 * sbE22(6) // lines through band 5 in every window
+    val huff0 = Array.fill(576)(rnd.nextInt(3) - 1)
+    val huff1 = Array.tabulate(576)(i => if (i < bv1Lines) rnd.nextInt(3) - 1 else 0)
+    val isPosS = Array.tabulate(12, 3)((b, w) =>
+      if (b < 6) 0 else ((b + w) % 6) + 1) // 1..6, never 7
+    val d = Mp3.decode(Mp3.encodeStereoShort(huff0, huff1,
+        intensity = true, bv1 = bv1Lines / 2, isPosSfS = isPosS,
+        lsf = true, isScale = 1))
+      .getOrElse(fail("decode None"))
+    assert(d.sampleRate == 22050)
+    val io = math.pow(2.0, -0.5)
+    val exp0 = interleave(huff0, sbE22)
+    val exp1 = interleave(huff1, sbE22)
+    // per-window last nonzero ch1 band (the decoder's value-scan bound)
+    val maxBand = Array(-1, -1, -1)
+    for (b <- 0 until 13; w <- 0 until 3; f <- sbE22(b) until sbE22(b + 1))
+      if (exp1(3 * f + w) != 0 && b > maxBand(w)) maxBand(w) = b
+    for (b <- 0 until 13; w <- 0 until 3; f <- sbE22(b) until sbE22(b + 1)) {
+      val i = 3 * f + w
+      if (b <= maxBand(w)) {
+        assert(d.spectral(i) == exp0(i).toDouble, s"below-bound L at $i")
+        assert(d.spectralRight(i) == exp1(i).toDouble, s"below-bound R at $i")
+      } else {
+        val pos = isPosS(math.min(b, 11))(w)
+        val f2 = math.pow(io, ((pos + 1) / 2).toDouble)
+        val (kl, kr) = if (pos == 0) (1.0, 1.0)
+          else if (pos % 2 == 1) (f2, 1.0) else (1.0, f2)
+        assert(math.abs(d.spectral(i) - exp0(i) * kl) < 1e-12, s"IS L at $i win $w band $b")
+        assert(math.abs(d.spectralRight(i) - exp0(i) * kr) < 1e-12, s"IS R at $i win $w band $b")
+      }
+    }
   }
 }
