@@ -183,14 +183,28 @@ object KNN {
     * rerank reuses the bounded-heap topKPerKey reduction — map-side
     * combined, so the shuffle carries q·k rows per partition instead of
     * the full O(candidate-pairs) set a row_number window would move. */
+  /** Bucket self-join with a SALTED key (r17): geometric hyperplane
+    * signatures preserve locality, so clustered corpora collapse whole
+    * clusters into one bucket — the plain self-join then emits that
+    * bucket's quadratic pair mass from a SINGLE task (the join's input
+    * partition is small, so AQE's size-based skew split never fires;
+    * measured at 2M organic vectors: one 780+ s map-side-combine task
+    * while the median task ran 228 s — the r16 third-decade stall). The
+    * salt spreads each bucket's probe side over `salts` reducers; the
+    * result multiset is identical to the plain bucket join. */
+  private def saltedBucketPairs(b: DataFrame, dim: Int, metric: Metric,
+                                salts: Int = 16): DataFrame = {
+    val bb = b.select(col("id").as("id2"), col("v").as("v2"), col("bucket"))
+    graft.core.Salting.saltedJoin(b, bb, "bucket", "id", salts)
+      .filter(col("id") =!= col("id2"))
+      .select(col("id").as("qid"), col("id2").as("id"),
+        score(metric, col("v"), col("v2"), dim).as("_s"))
+  }
+
   def lshTopK(df: DataFrame, idCol: String, vecCol: String, k: Int, bits: Int,
               dim: Int, metric: Metric = Cosine): DataFrame = {
     val b = lshBuckets(df, idCol, vecCol, bits, dim)
-    val s = score(metric, col("a.v"), col("b.v"), dim)
-    val pairs = b.as("a").join(b.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.id") =!= col("b.id"))
-      .select(col("a.id").as("qid"), col("b.id").as("id"), s.as("_s"))
-    topKPerKey(pairs, k, nearFirst(metric))
+    topKPerKey(saltedBucketPairs(b, dim, metric), k, nearFirst(metric))
   }
 
   /** Hyperplane count that keeps the EXPECTED bucket size at
@@ -223,10 +237,6 @@ object KNN {
                   targetBucket: Long = 64L): DataFrame = {
     val bits = lshBitsFor(df.count(), targetBucket)
     val b = lshBucketsAuto(df, idCol, vecCol, bits, dim)
-    val s = score(metric, col("a.v"), col("b.v"), dim)
-    val pairs = b.as("a").join(b.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.id") =!= col("b.id"))
-      .select(col("a.id").as("qid"), col("b.id").as("id"), s.as("_s"))
-    topKPerKey(pairs, k, nearFirst(metric))
+    topKPerKey(saltedBucketPairs(b, dim, metric), k, nearFirst(metric))
   }
 }
