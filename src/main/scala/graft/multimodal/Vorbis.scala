@@ -780,20 +780,55 @@ object Vorbis {
       w
     })
 
-  /** IMDCT, spec kernel: y(j) = Σ_k X(k)·cos(2π/n (j + 1/2 + n/4)(k + 1/2)). */
+  /** IMDCT, spec kernel: y(j) = Σ_k X(k)·cos(2π/n (j + 1/2 + n/4)(k + 1/2)).
+    * The kernel matrix is cached per blocksize for n ≤ 2048 (n·n/2
+    * doubles — 16 MB at the cap; the per-row gate decode was dominated
+    * by recomputing these cosines, r16 verdict #8). Values are the same
+    * math.cos calls hoisted, so results are bit-identical. */
+  private val imdctCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Double]]()
+  private def imdctKernel(n: Int): Array[Double] =
+    imdctCache.computeIfAbsent(n, { _ =>
+      val n2 = n / 2
+      val t = new Array[Double](n * n2)
+      var j = 0
+      while (j < n) {
+        var k = 0
+        while (k < n2) {
+          t(j * n2 + k) =
+            math.cos(2.0 * math.Pi / n * (j + 0.5 + n / 4.0) * (k + 0.5))
+          k += 1
+        }
+        j += 1
+      }
+      t
+    })
   private def imdct(x: Array[Double], n: Int): Array[Double] = {
     val out = new Array[Double](n)
     val n2 = n / 2
-    var j = 0
-    while (j < n) {
-      var s = 0.0
-      var k = 0
-      while (k < n2) {
-        s += x(k) * math.cos(2.0 * math.Pi / n * (j + 0.5 + n / 4.0) * (k + 0.5))
-        k += 1
+    if (n <= 2048) {
+      val t = imdctKernel(n)
+      var j = 0
+      while (j < n) {
+        var s = 0.0
+        val base = j * n2
+        var k = 0
+        while (k < n2) { s += x(k) * t(base + k); k += 1 }
+        out(j) = s
+        j += 1
       }
-      out(j) = s
-      j += 1
+    } else {
+      var j = 0
+      while (j < n) {
+        var s = 0.0
+        var k = 0
+        while (k < n2) {
+          s += x(k) * math.cos(2.0 * math.Pi / n * (j + 0.5 + n / 4.0) * (k + 0.5))
+          k += 1
+        }
+        out(j) = s
+        j += 1
+      }
     }
     out
   }
