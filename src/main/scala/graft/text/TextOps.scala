@@ -30,24 +30,20 @@ object TextOps {
         i => concat_ws("_", (0 until k).map(j => element_at(toks, i + j + 1)): _*)))
       .otherwise(array().cast("array<string>"))
 
-  /** Shingle rows (id, extras..., sh) via posexplode + window-lead: the
-    * tokenizer/normalizer runs once per document and shingle assembly is a
-    * per-token window — the scalable staging for dedup/fingerprint paths
-    * (shuffle key = doc id). */
+  /** Shingle rows (id, extras..., sh): the k-gram ARRAY is assembled per
+    * document straight off the token array ([[shingles]]) and exploded —
+    * a pure codegen map, NO shuffle. (Until r17 this staged through a
+    * per-token lead() window partitioned by doc — one full shuffle of
+    * every token row that each of the 12 shingle consumers paid before
+    * doing any real work; at 5M organic docs that window alone moved
+    * ~4 GB per pass. Output rows are identical: n−k+1 '_'-joined grams
+    * per document, none for docs shorter than k tokens.) */
   def explodedShingles(df: DataFrame, idc: Column, textNorm: Column, k: Int,
                        extra: Seq[(String, Column)] = Nil): DataFrame = {
     val toks = df.select((idc.cast("long").as("doc") +:
       extra.map { case (n, c) => c.as(n) }) :+ split(textNorm, " ").as("toks"): _*)
-    val tok = toks.select((col("doc") +: extra.map(e => col(e._1))) :+
-      posexplode(col("toks")).as(Seq("pos", "tok")): _*)
-    val w = Window.partitionBy(col("doc")).orderBy(col("pos"))
-    val withLeads = (1 until k).foldLeft(tok) { (d, i) =>
-      d.withColumn(s"_t$i", lead(col("tok"), i).over(w))
-    }
-    val parts = col("tok") +: (1 until k).map(i => col(s"_t$i"))
-    withLeads.filter(parts.last.isNotNull)
-      .select((col("doc") +: extra.map(e => col(e._1))) :+
-        concat_ws("_", parts: _*).as("sh"): _*)
+    toks.select((col("doc") +: extra.map(e => col(e._1))) :+
+      explode(shingles(col("toks"), k)).as("sh"): _*)
   }
 
   val EnStop: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "is")
