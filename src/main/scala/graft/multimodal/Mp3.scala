@@ -75,10 +75,18 @@ package graft.multimodal
   * passes m to both, the band's all-ones code is the illegal marker
   * (fall back to MS / pass-through). Long and short blocks.
   *
+  * Mixed-block and asymmetric-blocktype intensity (r17): the stereo
+  * reconstruction is keyed entirely off CH1's layout (the channel that
+  * carries the is_pos side info); ch0 contributes its value at the same
+  * line index whatever its own block type. Mixed blocks compose the
+  * per-window value-scan rule over short bands 3..12 (mixed slot order)
+  * with a LONG-head pass: the head (lines 0..35) is intensity-eligible
+  * only when ch1's entire short part is zero — it sits below every
+  * short band in frequency — bounded by its last nonzero long band.
+  *
   * DECLARED scope limits (the honest seams, like Multimodal.scala:47-58):
-  * mixed-block and asymmetric-blocktype intensity refuse; 8 kHz mixed
-  * blocks refuse (the 12-wide long bands and the 24-wide short start
-  * don't compose at 36 lines);
+  * 8 kHz mixed blocks refuse (the 12-wide long bands and the 24-wide
+  * short start don't compose at 36 lines);
   * [[decode]]
   * (single frame) refuses a nonzero main_data_begin unless the granules
   * read zero main-data bits. decode/decodeStream return None/skip —
@@ -805,6 +813,105 @@ object Mp3 {
     out
   }
 
+  /** MPEG-1 STEREO frame with PER-CHANNEL block shape for the r17
+    * asymmetric/mixed intensity specs: each channel long (blockType 0),
+    * short (2), or mixed; table 7 everywhere, gg = 210, subblock gains
+    * 0, zero scalefactors on ch0. With `intensity`, ch1 carries only
+    * its first 2·bv1 lines (Huffman order) and transmits is_pos in its
+    * OWN layout's scalefactor slots (sfc 13 → every slot 3 bits,
+    * values 0..7 with 7 = illegal): long = isPosL(0..20), short =
+    * isPosS(b)(w) band-major, mixed = isPosL(0..7) then isPosS(3..11).
+    * Slots that double as real scalefactors (below the intended bound)
+    * must be 0 to keep the {−1,0,+1} requantization exact. */
+  def encodeStereoFlex(ch0: Array[Int], ch1: Array[Int],
+                       bt0: Int, mixed0: Boolean,
+                       bt1: Int, mixed1: Boolean,
+                       msJoint: Boolean = false,
+                       intensity: Boolean = false, bv1: Int = 288,
+                       isPosL: Array[Int] = null,
+                       isPosS: Array[Array[Int]] = null): Array[Byte] = {
+    require(ch0.length == 576 && ch1.length == 576)
+    require(Set(0, 2).contains(bt0) && Set(0, 2).contains(bt1))
+    require(!mixed0 || bt0 == 2); require(!mixed1 || bt1 == 2)
+    val cb = Mp3Tables.byId(7).get
+    val main = new BitWriter
+    def putIsPos(bt: Int, mixed: Boolean): Unit = {
+      if (bt != 2) {
+        var b = 0
+        while (b < 21) { main.put(isPosL(b), 3); b += 1 }
+      } else if (mixed) {
+        var b = 0
+        while (b < 8) { main.put(isPosL(b), 3); b += 1 }
+        b = 3
+        while (b < 12) {
+          var w = 0
+          while (w < 3) { main.put(isPosS(b)(w), 3); w += 1 }
+          b += 1
+        }
+      } else {
+        var b = 0
+        while (b < 12) {
+          var w = 0
+          while (w < 3) { main.put(isPosS(b)(w), 3); w += 1 }
+          b += 1
+        }
+      }
+    }
+    def putGranuleData(lines: Array[Int], bv: Int, withSf: Boolean,
+                       bt: Int, mixed: Boolean): Int = {
+      val before = main.bitCount
+      if (withSf) putIsPos(bt, mixed)
+      var p = 0
+      while (p < bv) {
+        val l = 2 * p
+        val x = math.abs(lines(l)); val y = math.abs(lines(l + 1))
+        require(x <= 1 && y <= 1, "flex spec frames: lines in {-1,0,1}")
+        val idx = x * cb.ylen + y
+        main.put(cb.hcod(idx), cb.hlen(idx))
+        if (x != 0) main.put(if (lines(l) < 0) 1 else 0, 1)
+        if (y != 0) main.put(if (lines(l + 1) < 0) 1 else 0, 1)
+        p += 1
+      }
+      main.bitCount - before
+    }
+    val p00 = putGranuleData(ch0, 288, withSf = false, bt0, mixed0)
+    val p01 = putGranuleData(ch1, if (intensity) bv1 else 288,
+      withSf = intensity, bt1, mixed1)
+    val frameLen = 144 * 320000 / 44100
+    val w = new BitWriter
+    w.put(0x7FF, 11); w.put(3, 2); w.put(1, 2); w.put(1, 1)
+    w.put(14, 4); w.put(0, 2); w.put(0, 1); w.put(0, 1)
+    val joint = msJoint || intensity
+    w.put(if (joint) 1 else 0, 2)
+    w.put((if (msJoint) 2 else 0) | (if (intensity) 1 else 0), 2)
+    w.put(0, 1); w.put(0, 1); w.put(0, 2)
+    w.put(0, 9); w.put(0, 3); w.put(0, 8)   // mdb, private, scfsi
+    def putGr(part23: Int, bv: Int, sfc: Int, bt: Int, mixed: Boolean): Unit = {
+      w.put(part23, 12); w.put(bv, 9); w.put(210, 8); w.put(sfc, 4)
+      if (bt == 0) {
+        w.put(0, 1)                          // window_switching_flag
+        w.put(7, 5); w.put(7, 5); w.put(7, 5)
+        w.put(8, 4); w.put(7, 3)             // region counts
+      } else {
+        w.put(1, 1)
+        w.put(bt, 2); w.put(if (mixed) 1 else 0, 1)
+        w.put(7, 5); w.put(7, 5)
+        w.put(0, 3); w.put(0, 3); w.put(0, 3)
+      }
+      w.put(0, 1); w.put(0, 1); w.put(1, 1)  // preflag, sf_scale, count1 B
+    }
+    putGr(p00, 288, 0, bt0, mixed0)
+    putGr(p01, if (intensity) bv1 else 288, if (intensity) 13 else 0,
+      bt1, mixed1)
+    putGr(0, 0, 0, 0, mixed = false); putGr(0, 0, 0, 0, mixed = false)
+    val head = w.bytes
+    val md = main.bytes
+    val out = new Array[Byte](frameLen)
+    System.arraycopy(head, 0, out, 0, head.length)
+    System.arraycopy(md, 0, out, head.length, md.length)
+    out
+  }
+
   // ---------------------------------------------------------------- decode
 
   /** `spectral` = granule 0, channel 0 (LEFT after MS reconstruction);
@@ -1235,21 +1342,35 @@ object Mp3 {
         ch += 1
       }
       if (nch == 2 && isStereo && grs(gi)(1).blockType == 2) {
-        // SHORT-BLOCK intensity (r16): the bound is PER WINDOW — for
-        // each of the three short windows, intensity applies to the
+        // SHORT and MIXED intensity (r16/r17): the bound is PER WINDOW —
+        // for each of the three short windows, intensity applies to the
         // scalefactor bands strictly above the window's last band with
         // any nonzero right-channel line (the public-decoder value-scan
         // rule; a per-window rzero is not recoverable from the shared
         // Huffman count1 boundary). is_pos = ch1's short scalefactor
         // sfS(b)(w); the uncoded remainder band 12 inherits band 11's.
-        // Mixed-block and asymmetric-blocktype intensity stay declared
-        // seams.
-        if (grs(gi)(1).mixed || grs(gi)(0).blockType != 2 ||
-          grs(gi)(0).mixed) return None
+        // r17 closes the two r16-declared composition seams:
+        //  * ASYMMETRIC block types — the layout is keyed ENTIRELY off
+        //    ch1 (the reconstructed channel carries the is_pos side
+        //    info); ch0 contributes its value at the same line index
+        //    whatever its own block type, exactly as the linewise MS
+        //    path always has.
+        //  * MIXED blocks — the short machinery starts at band 3 with
+        //    the mixed slot order (nLong long slots first), and the
+        //    LONG head (lines 0..35) is intensity-eligible only when
+        //    ch1's ENTIRE short part is zero (the head sits below every
+        //    short band in frequency, so any nonzero short line puts
+        //    the head outside the zero part); within an eligible head
+        //    the bound is the last nonzero long band, is_pos = the
+        //    head's long scalefactors (slots 0..nLong-1).
+        val g1 = grs(gi)(1)
         val m = xrs(gi)(0); val sArr = xrs(gi)(1)
         val inv = 1.0 / math.sqrt(2.0)
-        val maxBand = Array(-1, -1, -1)
-        var b = 0
+        val mixed = g1.mixed
+        val nLongHead = if (!mixed) 0 else if (lsf) 6 else 8
+        val bStart = if (mixed) 3 else 0
+        val maxBand = Array(bStart - 1, bStart - 1, bStart - 1)
+        var b = bStart
         while (b < 13) {
           var w = 0
           while (w < 3) {
@@ -1262,15 +1383,56 @@ object Mp3 {
           }
           b += 1
         }
-        b = 0
+        if (mixed) {
+          // long head: eligible only if the short part is zero in all
+          // three windows; then bands above the head's last nonzero band
+          val shortAllZero =
+            maxBand(0) < bStart && maxBand(1) < bStart && maxBand(2) < bStart
+          var maxBandL = -1
+          var hb = 0
+          while (hb < nLongHead) {
+            var f = sfb(hb)
+            while (f < sfb(hb + 1)) {
+              if (sArr(f) != 0.0) { maxBandL = hb; f = sfb(hb + 1) }
+              else f += 1
+            }
+            hb += 1
+          }
+          hb = 0
+          while (hb < nLongHead) {
+            val intens = shortAllZero && hb > maxBandL
+            val fac = if (intens)
+              isFactors(g1.isScale, g1.slenOf(hb), chSf(hb))
+            else None
+            var f = sfb(hb)
+            while (f < sfb(hb + 1)) {
+              if (intens && fac.isDefined) {
+                val (kl, kr) = fac.get
+                val mm = m(f)
+                m(f) = mm * kl
+                sArr(f) = mm * kr
+              } else if (msStereo) {
+                val mm = m(f); val ss = sArr(f)
+                m(f) = (mm + ss) * inv
+                sArr(f) = (mm - ss) * inv
+              }
+              f += 1
+            }
+            hb += 1
+          }
+        }
+        b = bStart
         while (b < 13) {
           var w = 0
           while (w < 3) {
             val intens = b > maxBand(w)
-            val slot = math.min(b, 11) * 3 + w // band-major short slots
-            val isPos = if (intens) chSfS(math.min(b, 11))(w) else 0
+            val sb = math.min(b, 11) // band 12 inherits band 11's is_pos
+            val slot = // slenOf slot in the bitstream read order
+              if (mixed) nLongHead + (sb - 3) * 3 + w
+              else sb * 3 + w
+            val isPos = if (intens) chSfS(sb)(w) else 0
             val fac = if (intens)
-              isFactors(grs(gi)(1).isScale, grs(gi)(1).slenOf(slot), isPos)
+              isFactors(g1.isScale, g1.slenOf(slot), isPos)
             else None
             var f = sfbS(b)
             while (f < sfbS(b + 1)) {
@@ -1301,8 +1463,9 @@ object Mp3 {
           if (!isStereo) 576
           else if (rzeroR == 0) 0
           else {
-            // asymmetric intensity (long right, short left): seam
-            if (grs(gi)(0).blockType == 2) return None
+            // ch0 MAY be short here (asymmetric block types, r17): the
+            // bound and is_pos layout follow ch1 — the long channel
+            // being reconstructed — and ch0 contributes linewise
             var b = 21
             while (b > 0 && sfb(b) >= rzeroR) b -= 1
             // sfb has 23 entries (sfb(22) = 576): when rzero falls inside

@@ -1050,11 +1050,35 @@ object Vorbis {
                            nSamples: Int, spectral: Array[Double],
                            pcm: Array[Double])
 
+  /** Parsed-setup cache: a corpus ingested from one encoder configuration
+    * repeats the identical three header packets across millions of
+    * streams, and parseHeaders (codeword assignment + trie build per
+    * codebook) dominates short-stream decode cost. Keyed by the EXACT
+    * header bytes so any differing stream parses fresh; Setup is
+    * immutable after construction (decodePacket only reads it). Bounded:
+    * cleared wholesale past 64 distinct configurations. */
+  private val setupCache =
+    new java.util.concurrent.ConcurrentHashMap[java.math.BigInteger, Setup]()
+  private def cachedSetup(pkts: Seq[Array[Byte]]): Setup = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < 3) { md.update(pkts(i)); md.update(pkts(i).length.toByte); i += 1 }
+    val key = new java.math.BigInteger(1, md.digest())
+    val hit = setupCache.get(key)
+    if (hit != null) hit
+    else {
+      val su = parseHeaders(pkts)
+      if (setupCache.size >= 64) setupCache.clear()
+      setupCache.put(key, su)
+      su
+    }
+  }
+
   def decode(bytes: Array[Byte]): Option[Decoded] =
     try {
       val pkts = Ogg.packets(bytes)
       if (pkts.length < 4) return None
-      val su = parseHeaders(pkts)
+      val su = cachedSetup(pkts)
       val audio = pkts.drop(3)
       // overlap-add state: previous block's full windowed output and its
       // size. Consecutive blocks lap so their window slopes coincide: a
@@ -1192,9 +1216,21 @@ object Vorbis {
     }
   }
 
+  // The three header packets are a pure function of these four knobs and
+  // the gate encodes one configuration across the whole corpus — memoize
+  // (the per-row BitWriter walk was half the encode cost).
+  private val headerCache = new java.util.concurrent.ConcurrentHashMap[
+    (Int, Int, Boolean, Boolean), Seq[Array[Byte]]]()
   private def headerPackets(channels: Int, rate: Int,
                             lattice: Boolean = false,
-                            ws: Boolean = false): Seq[Array[Byte]] = {
+                            ws: Boolean = false): Seq[Array[Byte]] =
+    headerCache.computeIfAbsent((channels, rate, lattice, ws), { _ =>
+      buildHeaderPackets(channels, rate, lattice, ws)
+    })
+
+  private def buildHeaderPackets(channels: Int, rate: Int,
+                                 lattice: Boolean,
+                                 ws: Boolean): Seq[Array[Byte]] = {
     def tagged(t: Int): BitWriter = {
       val w = new BitWriter
       w.putBits(t, 8)
