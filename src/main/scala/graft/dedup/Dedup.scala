@@ -219,27 +219,54 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Per-doc DISTINCT shingle sets as ARRAYS, restricted to the docs that
+    * appear in some candidate pair — the r17 verify-stage shape shared by
+    * [[jaccardForCandidates]] and [[containmentForCandidates]]. The array
+    * build is a pure codegen map (no explode, no shuffle); the semi join
+    * ships each kept doc ONCE (AQE broadcasts the id set while it is
+    * small, and at corpus scale it degrades to one shuffle of compact
+    * array rows — never the exploded shingle table). Docs shorter than k
+    * tokens are dropped, replaying the old inner-join-on-shingle-rows
+    * semantics exactly (such docs have no signature, so they cannot be
+    * candidates anyway). */
+  private def candidateShingleSets(df: DataFrame, textCol: String,
+                                   idCol: String, k: Int,
+                                   cand: DataFrame): DataFrame = {
+    val arrays = df.select(col(idCol).cast("long").as("doc"),
+        array_distinct(TextOps.shingles(
+          split(normText(col(textCol)), " "), k)).as("shs"))
+      .filter(size(col("shs")) > 0)
+    val docsInPairs = cand
+      .select(explode(array(col("doc1"), col("doc2"))).as("doc")).distinct()
+    arrays.join(docsInPairs, Seq("doc"), "left_semi")
+  }
+
   /** Exact n-gram Jaccard for the MinHash-LSH candidate pairs — the scale
     * shape: LSH proposes (bounded bucket joins), exact Jaccard verifies.
     * Shingles are the same k-grams the signatures hashed, so verification
-    * measures exactly what LSH approximated. Shuffle keys: doc id (pair →
-    * shingle join), then (doc2, shingle) — both bounded by pairs ×
-    * shingles-per-doc, never all-pairs. */
+    * measures exactly what LSH approximated.
+    *
+    * r17 restructure: the old shape exploded the corpus to (doc, shingle)
+    * rows, distinct'd them, and joined that table TWICE (by doc1, then by
+    * (doc2, shingle)) plus a per-pair groupBy — at 5M organic docs those
+    * two ~10⁹-row shuffles were ~80% of the 623 s wall. Now the corpus is
+    * mapped once to per-doc distinct shingle ARRAYS (no shuffle),
+    * semi-filtered to the ~linear candidate-doc set, and each pair
+    * intersects two arrays locally (`array_intersect` hashes the smaller
+    * side). Values are bit-identical: |A∩B| and |A| over the same
+    * distinct '_'-joined k-gram strings. */
   def jaccardForCandidates(df: DataFrame, textCol: String, idCol: String,
                            p: MinHashParams = MinHashParams(),
                            minJaccard: Double = 0.0): DataFrame = {
-    val cand = minhashCandidates(df, textCol, idCol, p)
-    val sh = TextOps.explodedShingles(df, col(idCol), normText(col(textCol)), p.shingleK)
-      .select(col("doc"), col("sh")).distinct().cache()
-    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).cast("double").as("sz"))
-    val inter = cand
-      .join(sh.select(col("doc").as("doc1"), col("sh")), Seq("doc1"))
-      .join(sh.select(col("doc").as("doc2"), col("sh")), Seq("doc2", "sh"))
-      .groupBy(col("doc1"), col("doc2"))
-      .agg(count(lit(1)).cast("double").as("inter"))
-    inter
-      .join(sizes.select(col("doc").as("doc1"), col("sz").as("sz1")), Seq("doc1"))
-      .join(sizes.select(col("doc").as("doc2"), col("sz").as("sz2")), Seq("doc2"))
+    val cand = minhashCandidates(df, textCol, idCol, p).cache()
+    val sub = candidateShingleSets(df, textCol, idCol, p.shingleK, cand).cache()
+    cand
+      .join(sub.select(col("doc").as("doc1"), col("shs").as("shs1")), Seq("doc1"))
+      .join(sub.select(col("doc").as("doc2"), col("shs").as("shs2")), Seq("doc2"))
+      .select(col("doc1"), col("doc2"),
+        size(array_intersect(col("shs1"), col("shs2"))).cast("double").as("inter"),
+        size(col("shs1")).cast("double").as("sz1"),
+        size(col("shs2")).cast("double").as("sz2"))
       .select(col("doc1"), col("doc2"),
         (col("inter") / (col("sz1") + col("sz2") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
@@ -265,18 +292,15 @@ object Dedup {
     * pairs. */
   def containmentForCandidates(df: DataFrame, textCol: String, idCol: String,
                                p: MinHashParams = MinHashParams()): DataFrame = {
-    val cand = minhashCandidates(df, textCol, idCol, p)
-    val sh = TextOps.explodedShingles(df, col(idCol), normText(col(textCol)), p.shingleK)
-      .select(col("doc"), col("sh")).distinct().cache()
-    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).cast("double").as("sz"))
-    val inter = cand
-      .join(sh.select(col("doc").as("doc1"), col("sh")), Seq("doc1"))
-      .join(sh.select(col("doc").as("doc2"), col("sh")), Seq("doc2", "sh"))
-      .groupBy(col("doc1"), col("doc2"))
-      .agg(count(lit(1)).cast("double").as("inter"))
-    inter
-      .join(sizes.select(col("doc").as("doc1"), col("sz").as("sz1")), Seq("doc1"))
-      .join(sizes.select(col("doc").as("doc2"), col("sz").as("sz2")), Seq("doc2"))
+    val cand = minhashCandidates(df, textCol, idCol, p).cache()
+    val sub = candidateShingleSets(df, textCol, idCol, p.shingleK, cand).cache()
+    cand
+      .join(sub.select(col("doc").as("doc1"), col("shs").as("shs1")), Seq("doc1"))
+      .join(sub.select(col("doc").as("doc2"), col("shs").as("shs2")), Seq("doc2"))
+      .select(col("doc1"), col("doc2"),
+        size(array_intersect(col("shs1"), col("shs2"))).cast("double").as("inter"),
+        size(col("shs1")).cast("double").as("sz1"),
+        size(col("shs2")).cast("double").as("sz2"))
       .select(col("doc1"), col("doc2"),
         (col("inter") / least(col("sz1"), col("sz2"))).as("containment"),
         (col("inter") / (col("sz1") + col("sz2") - col("inter"))).as("jaccard"))

@@ -829,10 +829,12 @@ object Mp3 {
                        msJoint: Boolean = false,
                        intensity: Boolean = false, bv1: Int = 288,
                        isPosL: Array[Int] = null,
-                       isPosS: Array[Array[Int]] = null): Array[Byte] = {
+                       isPosS: Array[Array[Int]] = null,
+                       lsf: Boolean = false, isScale: Int = 0): Array[Byte] = {
     require(ch0.length == 576 && ch1.length == 576)
     require(Set(0, 2).contains(bt0) && Set(0, 2).contains(bt1))
     require(!mixed0 || bt0 == 2); require(!mixed1 || bt1 == 2)
+    require(isScale == 0 || isScale == 1)
     val cb = Mp3Tables.byId(7).get
     val main = new BitWriter
     def putIsPos(bt: Int, mixed: Boolean): Unit = {
@@ -840,8 +842,11 @@ object Mp3 {
         var b = 0
         while (b < 21) { main.put(isPosL(b), 3); b += 1 }
       } else if (mixed) {
+        // MPEG-1 mixed: 8 long slots; LSF mixed: 6 (both heads cover
+        // lines 0..35). LSF i-stereo sfc (129 << 1) keeps every slot of
+        // the {6,15,12} row at 3 bits, mirroring the MPEG-1 sfc 13 shape
         var b = 0
-        while (b < 8) { main.put(isPosL(b), 3); b += 1 }
+        while (b < (if (lsf) 6 else 8)) { main.put(isPosL(b), 3); b += 1 }
         b = 3
         while (b < 12) {
           var w = 0
@@ -877,17 +882,20 @@ object Mp3 {
     val p00 = putGranuleData(ch0, 288, withSf = false, bt0, mixed0)
     val p01 = putGranuleData(ch1, if (intensity) bv1 else 288,
       withSf = intensity, bt1, mixed1)
-    val frameLen = 144 * 320000 / 44100
+    val frameLen =
+      if (lsf) 72 * 160000 / SampleRatesLsf(0) else 144 * 320000 / 44100
     val w = new BitWriter
-    w.put(0x7FF, 11); w.put(3, 2); w.put(1, 2); w.put(1, 1)
+    w.put(0x7FF, 11); w.put(if (lsf) 2 else 3, 2); w.put(1, 2); w.put(1, 1)
     w.put(14, 4); w.put(0, 2); w.put(0, 1); w.put(0, 1)
     val joint = msJoint || intensity
     w.put(if (joint) 1 else 0, 2)
     w.put((if (msJoint) 2 else 0) | (if (intensity) 1 else 0), 2)
     w.put(0, 1); w.put(0, 1); w.put(0, 2)
-    w.put(0, 9); w.put(0, 3); w.put(0, 8)   // mdb, private, scfsi
+    if (lsf) { w.put(0, 8); w.put(0, 2) }          // mdb, private
+    else { w.put(0, 9); w.put(0, 3); w.put(0, 8) } // mdb, private, scfsi
     def putGr(part23: Int, bv: Int, sfc: Int, bt: Int, mixed: Boolean): Unit = {
-      w.put(part23, 12); w.put(bv, 9); w.put(210, 8); w.put(sfc, 4)
+      w.put(part23, 12); w.put(bv, 9); w.put(210, 8)
+      w.put(sfc, if (lsf) 9 else 4)
       if (bt == 0) {
         w.put(0, 1)                          // window_switching_flag
         w.put(7, 5); w.put(7, 5); w.put(7, 5)
@@ -898,12 +906,14 @@ object Mp3 {
         w.put(7, 5); w.put(7, 5)
         w.put(0, 3); w.put(0, 3); w.put(0, 3)
       }
-      w.put(0, 1); w.put(0, 1); w.put(1, 1)  // preflag, sf_scale, count1 B
+      if (!lsf) w.put(0, 1)                  // preflag (MPEG-1 only)
+      w.put(0, 1); w.put(1, 1)               // scalefac_scale, count1 B
     }
     putGr(p00, 288, 0, bt0, mixed0)
-    putGr(p01, if (intensity) bv1 else 288, if (intensity) 13 else 0,
+    putGr(p01, if (intensity) bv1 else 288,
+      if (!intensity) 0 else if (lsf) (129 << 1) | isScale else 13,
       bt1, mixed1)
-    putGr(0, 0, 0, 0, mixed = false); putGr(0, 0, 0, 0, mixed = false)
+    if (!lsf) { putGr(0, 0, 0, 0, mixed = false); putGr(0, 0, 0, 0, mixed = false) }
     val head = w.bytes
     val md = main.bytes
     val out = new Array[Byte](frameLen)

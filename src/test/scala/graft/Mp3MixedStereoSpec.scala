@@ -167,6 +167,64 @@ class Mp3MixedStereoSpec extends AnyFunSuite {
     }
   }
 
+  test("LSF mixed intensity: 6-slot long head + 13818-3 short scaling, head ineligible") {
+    val rnd = new scala.util.Random(76)
+    // 22.05 kHz LSF: head = 6 long bands of width 6 (edges 0,6,..,36),
+    // short edges sbE22. ch1: head coded in long bands 0..2 (lines
+    // 0..17), short part through band 5 per window — the head occupies
+    // 36 Huffman positions regardless (zeros included), so the coded
+    // span is 36 + 3·(sbE22(6)−sbE22(3)) = 96 lines, bv1 = 48. Short bands >= 6 go
+    // intensity under the 13818-3 io^((is_pos+1)/2) scheme at
+    // intensity_scale = 1 (io = 2^-1/2); head bands 3..5 carry is_pos
+    // slots but stay pass-through (short content exists)
+    val sbE22 = Array(0, 4, 8, 12, 18, 24, 32, 42, 56, 74, 100, 132, 174, 192)
+    val ch0h = Array.fill(576)(if (rnd.nextBoolean()) 1 else -1)
+    val ch1h = new Array[Int](576)
+    for (i <- 0 until 18) ch1h(i) = if (rnd.nextBoolean()) 1 else -1
+    for (i <- 36 until 96) ch1h(i) = if (rnd.nextBoolean()) 1 else -1
+    val isPosL = Array.tabulate(21)(b => if (b >= 3 && b < 6) 4 else 0)
+    // band 7 window 1 = 7 (the LSF all-ones ILLEGAL marker at slen 3)
+    val isPosS = Array.tabulate(12, 3)((b, w) =>
+      if (b < 6) 0 else if (b == 7 && w == 1) 7 else (b + w) % 7)
+    val d = Mp3.decode(Mp3.encodeStereoFlex(ch0h, ch1h,
+        bt0 = 2, mixed0 = true, bt1 = 2, mixed1 = true,
+        intensity = true, bv1 = 48, isPosL = isPosL, isPosS = isPosS,
+        lsf = true, isScale = 1))
+      .getOrElse(fail("decode None"))
+    assert(d.sampleRate == 22050 && d.nSamples == 576)
+    def interleave22(huff: Array[Int]): Array[Int] = {
+      val out = new Array[Int](576)
+      var src = 0
+      (0 until 36).foreach { i => out(i) = huff(src); src += 1 }
+      for (b <- 3 until 13; w <- 0 until 3; f <- sbE22(b) until sbE22(b + 1)) {
+        out(3 * f + w) = huff(src); src += 1
+      }
+      out
+    }
+    val m = interleave22(ch0h)
+    val r1 = interleave22(ch1h)
+    for (i <- 0 until 36) {
+      assert(d.spectral(i) == m(i).toDouble, s"head L at $i")
+      assert(d.spectralRight(i) == r1(i).toDouble, s"head R at $i")
+    }
+    val io = math.pow(2.0, -0.5)
+    for (b <- 3 until 13; w <- 0 until 3; f <- sbE22(b) until sbE22(b + 1)) {
+      val i = 3 * f + w
+      if (b <= 5 || (b == 7 && w == 1)) {
+        assert(d.spectral(i) == m(i).toDouble, s"pass L at b=$b w=$w f=$f")
+        assert(d.spectralRight(i) == r1(i).toDouble, s"pass R at b=$b w=$w f=$f")
+      } else {
+        val pos = isPosS(math.min(b, 11))(w)
+        val f2 = math.pow(io, ((pos + 1) / 2).toDouble)
+        val (kl, kr) =
+          if (pos == 0) (1.0, 1.0)
+          else if ((pos & 1) == 1) (f2, 1.0) else (1.0, f2)
+        assert(d.spectral(i) == m(i) * kl, s"IS L at b=$b w=$w f=$f")
+        assert(d.spectralRight(i) == m(i) * kr, s"IS R at b=$b w=$w f=$f")
+      }
+    }
+  }
+
   test("flex encoder round-trips symmetric shapes against the existing encoders' decode") {
     val rnd = new scala.util.Random(75)
     // regression guard for the shared paths: a flex-encoded plain-stereo
