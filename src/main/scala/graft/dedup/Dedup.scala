@@ -1,6 +1,6 @@
 package graft.dedup
 
-import graft.core.{Num, VectorOps}
+import graft.core.{Barrier, Num, VectorOps}
 import graft.core.Num.r4
 import graft.text.TextOps
 import org.apache.spark.sql.{Column, DataFrame}
@@ -232,9 +232,16 @@ object Dedup {
   private def candidateShingleSets(df: DataFrame, textCol: String,
                                    idCol: String, k: Int,
                                    cand: DataFrame): DataFrame = {
-    val arrays = df.select(col(idCol).cast("long").as("doc"),
-        array_distinct(TextOps.shingles(
-          split(normText(col(textCol)), " "), k)).as("shs"))
+    // the token array goes through the structural Generate barrier:
+    // shingles() reads it size(toks)+k times per element, and an INLINED
+    // split() would re-tokenize at every read (the O(len²)-per-doc trap
+    // shingleHashes documents — measured 272 s vs 9 s at 500k docs)
+    val toks = Barrier.once(
+      df.select(col(idCol).cast("long").as("doc"),
+        normText(col(textCol)).as("_t")),
+      Seq(col("doc")), split(col("_t"), " "), "toks")
+    val arrays = toks.select(col("doc"),
+        array_distinct(TextOps.shingles(col("toks"), k)).as("shs"))
       .filter(size(col("shs")) > 0)
     val docsInPairs = cand
       .select(explode(array(col("doc1"), col("doc2"))).as("doc")).distinct()
