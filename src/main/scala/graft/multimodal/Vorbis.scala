@@ -40,6 +40,14 @@ package graft.multimodal
   *    lap: a packet emits prevN/4 + n/4 samples from the previous
   *    block's centre to the current one's.
   *
+  * End-of-packet semantics (r17, closing the declared approximation):
+  * bit exhaustion during audio-packet decode is the spec's END-OF-PACKET
+  * CONDITION (§1.1.3), distinct from semantic invalidity — a floor hit
+  * by EOP is unused (§7.2.3), a residue keeps the partial vector decoded
+  * so far (§8.6.2), and the packet still renders; a semantically
+  * malformed packet is dropped and lapping restarts, per public-decoder
+  * convention, instead of halting the stream.
+  *
   * DECLARED scope limits (the honest seams, the Mp3.scala discipline):
   * floor type 0 (LSP) refuses. decode/decodeStream return None
   * on ANY malformed input — the readers are bounds-checked. No Ogg
@@ -50,7 +58,13 @@ package graft.multimodal
   * encoder-private state. */
 object Vorbis {
 
-  private final class Malformed extends RuntimeException(null, null, false, false)
+  private class Malformed extends RuntimeException(null, null, false, false)
+  /** Bit-exhaustion, distinct from semantic invalidity: the spec's
+    * end-of-packet CONDITION (§1.1.3) — during audio-packet decode the
+    * remainder of the packet's vectors are zero-filled and the packet
+    * still renders; anywhere else it subclasses [[Malformed]] so every
+    * conservative catch keeps working. */
+  private final class EndOfPacket extends Malformed
 
   // ------------------------------------------------------------ bit I/O
   // Vorbis packs LSb-first within bytes (spec §2); Huffman codewords are
@@ -84,7 +98,8 @@ object Vorbis {
     private val limit = data.length << 3
     var pos = 0
     def get(bits: Int): Int = {
-      if (bits > 31 || pos + bits > limit) throw new Malformed
+      if (bits > 31) throw new Malformed
+      if (pos + bits > limit) throw new EndOfPacket
       var v = 0; var i = 0
       while (i < bits) {
         v |= ((data(pos >> 3) >> (pos & 7)) & 1) << i
@@ -93,7 +108,7 @@ object Vorbis {
       v
     }
     def get32(): Long = {
-      if (pos + 32 > limit) throw new Malformed
+      if (pos + 32 > limit) throw new EndOfPacket
       var v = 0L; var i = 0
       while (i < 32) {
         v |= ((data(pos >> 3) >> (pos & 7)) & 1).toLong << i
@@ -556,6 +571,12 @@ object Vorbis {
     val cwPer = classbook.dims
     if (cwPer <= 0) throw new Malformed
     val classifs = Array.ofDim[Int](nCh, partVals + cwPer)
+    // end-of-packet mid-residue keeps the partial vector decoded so far,
+    // remainder zeros (spec §8.6.2) — `out` accumulates in place, so the
+    // catch at the bottom simply stops the loops
+    try decodePasses()
+    catch { case _: EndOfPacket => }
+    def decodePasses(): Unit = {
     var pass = 0
     while (pass < 8) {
       var pcount = 0
@@ -618,6 +639,7 @@ object Vorbis {
         }
       }
       pass += 1
+    }
     }
     out
   }
@@ -862,8 +884,14 @@ object Vorbis {
     var c = 0
     while (c < ch) {
       val fl = su.floors(mp.floorOf(mp.mux(c)))
-      decodeFloor1(r, fl, su.books, n2) match {
-        case Some(curve) => floorOut(c) = curve; nonzero(c) = true
+      // end-of-packet during floor decode = this floor unused (spec
+      // §1.1.3 / §7.2.3); the exhausted reader makes every later read
+      // EOP too, so remaining floors come out unused and residues
+      // partial-zero — the packet still renders
+      val curve = try decodeFloor1(r, fl, su.books, n2)
+                  catch { case _: EndOfPacket => None }
+      curve match {
+        case Some(cv) => floorOut(c) = cv; nonzero(c) = true
         case None => nonzero(c) = false
       }
       c += 1
@@ -1089,12 +1117,13 @@ object Vorbis {
       var firstSpectral: Array[Double] = null
       val pcmBuf = scala.collection.mutable.ArrayBuffer.empty[Double]
       var nPk = 0
-      var halted = false
       audio.foreach { p =>
-        // a packet that runs out of bits stops the stream conservatively
-        // (the spec's end-of-packet condition zero-fills the remainder of
-        // the CURRENT packet and continues — declared approximation)
-        if (!halted) try {
+        // end-of-packet conditions are handled INSIDE decodePacket (r17:
+        // unused floors / partial residues, spec §1.1.3/§7.2.3/§8.6.2) —
+        // only a semantically malformed packet lands here, and per
+        // public-decoder convention it is DROPPED and lapping restarts
+        // rather than halting the stream
+        try {
           val (spec, yw, n) = decodePacket(su, p)
           if (firstSpectral == null) firstSpectral = spec(0)
           if (prevY != null) {
@@ -1120,7 +1149,7 @@ object Vorbis {
           prevY = yw
           prevN = n
           nPk += 1
-        } catch { case _: Malformed => halted = true }
+        } catch { case _: Malformed => prevY = null; prevN = 0 }
       }
       if (firstSpectral == null) None
       else Some(Decoded(su.rate, su.channels, nPk, pcmBuf.length,

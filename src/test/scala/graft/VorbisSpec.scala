@@ -459,4 +459,59 @@ class VorbisSpec extends AnyFunSuite {
       assert(math.abs(f * f + r * r - 1.0) < 1e-12)
     }
   }
+
+  test("end-of-packet: a truncated audio packet still renders (unused floors / partial residues)") {
+    // spec §1.1.3/§7.2.3/§8.6.2 — EOP during audio decode zero-fills the
+    // remainder and the packet still produces output; the stream must not
+    // halt. Rebuild the 2-packet stream with the SECOND audio packet cut
+    // at every byte length and check: decode stays Some, both packets
+    // render, and the FIRST packet's spectral layer is bit-identical.
+    val rnd = new scala.util.Random(81)
+    val data = Array.fill(200)(rnd.nextInt(256).toByte)
+    val good = Vorbis.encode(data, nPackets = 2)
+    val full = Vorbis.decode(good).getOrElse(fail("baseline decode None"))
+    val pkts = Vorbis.Ogg.packets(good)
+    assert(pkts.length == 5)
+    val serial = 0x67726166
+    (1 until pkts(4).length).foreach { cut =>
+      val pages = Seq(
+        Vorbis.Ogg.page(Seq(pkts(0)), serial, 0, 0L, htype = 2),
+        Vorbis.Ogg.page(Seq(pkts(1), pkts(2)), serial, 1, 0L, htype = 0),
+        Vorbis.Ogg.page(Seq(pkts(3)), serial, 2, 128L, htype = 0),
+        Vorbis.Ogg.page(Seq(pkts(4).take(cut)), serial, 3, 256L, htype = 4))
+      val d = Vorbis.decode(pages.flatten.toArray)
+        .getOrElse(fail(s"decode None at cut=$cut — EOP must not kill the stream"))
+      assert(d.nPackets == 2, s"packet dropped at cut=$cut")
+      assert(d.nSamples == full.nSamples, s"lap count changed at cut=$cut")
+      (0 until d.spectral.length).foreach { i =>
+        assert(d.spectral(i) == full.spectral(i), s"first-packet spectral drift at cut=$cut i=$i")
+      }
+      assert(d.pcm.forall(x => !x.isNaN && !x.isInfinite), s"non-finite pcm at cut=$cut")
+    }
+  }
+
+  test("a semantically malformed audio packet is dropped, not stream-halting") {
+    val rnd = new scala.util.Random(82)
+    val data = Array.fill(200)(rnd.nextInt(256).toByte)
+    val good = Vorbis.encode(data, nPackets = 2)
+    val pkts = Vorbis.Ogg.packets(good)
+    val serial = 0x67726166
+    // replace the FIRST audio packet with a non-audio-typed byte (LSb = 1
+    // = header-packet flag inside the audio stream: Malformed, dropped);
+    // the second packet must still decode and become the spectral source
+    val pages = Seq(
+      Vorbis.Ogg.page(Seq(pkts(0)), serial, 0, 0L, htype = 2),
+      Vorbis.Ogg.page(Seq(pkts(1), pkts(2)), serial, 1, 0L, htype = 0),
+      Vorbis.Ogg.page(Seq(Array[Byte](1, 0, 0)), serial, 2, 128L, htype = 0),
+      Vorbis.Ogg.page(Seq(pkts(4)), serial, 3, 256L, htype = 4))
+    val d = Vorbis.decode(pages.flatten.toArray)
+      .getOrElse(fail("decode None — a dropped packet must not kill the stream"))
+    assert(d.nPackets == 1)
+    // lapping restarted: one rendered block emits no lapped samples
+    assert(d.nSamples == 0)
+    val exp = expectedVector(data, 1, n2, Vorbis.entriesPerPacket(stereo = false))
+    (0 until n2).foreach { i =>
+      assert(d.spectral(i) == exp(i).toDouble, s"second-packet spectral at $i")
+    }
+  }
 }
