@@ -48,8 +48,14 @@ package graft.multimodal
   * malformed packet is dropped and lapping restarts, per public-decoder
   * convention, instead of halting the stream.
   *
+  * Floor type 0 (r17): the LSP floor decodes for real — coefficients
+  * VQ-read in the spec's accumulate-`last` scheme, curve synthesized
+  * from the p/q line-spectral products on the Bark-warped map
+  * (§6.2.2/§6.2.3), one evaluation per distinct map value. Both floor
+  * types dispatch per mapping submap.
+  *
   * DECLARED scope limits (the honest seams, the Mp3.scala discipline):
-  * floor type 0 (LSP) refuses. decode/decodeStream return None
+  * decode/decodeStream return None
   * on ANY malformed input — the readers are bounds-checked. No Ogg
   * Vorbis sample exists in this offline container, so the gates are
   * self-encoded round trips (the r14 MP3 discipline before its LAME
@@ -373,10 +379,124 @@ object Vorbis {
     Array.tabulate(256)(i => math.exp(-step * (255 - i)).toFloat.toDouble)
   }
 
+  private sealed trait Floor
+
   private final case class Floor1(
       partClass: Array[Int], classDims: Array[Int], classSubBits: Array[Int],
       masterbooks: Array[Int], subBooks: Array[Array[Int]],
-      multiplier: Int, xs: Array[Int])
+      multiplier: Int, xs: Array[Int]) extends Floor
+
+  // ------------------------------------------------------------ floor 0
+  //
+  // LSP floor (spec §6): an all-pole spectral envelope transmitted as
+  // line-spectral-pair coefficients VQ-read from the header's own
+  // codebooks, evaluated on a Bark-warped frequency map. Present in
+  // very early encoder output; floor1 replaced it, but the format
+  // requires decoders to support both.
+
+  private final case class Floor0(order: Int, rate: Int, barkMapSize: Int,
+                                  ampBits: Int, ampOffset: Int,
+                                  bookList: Array[Int]) extends Floor {
+    // Bark map per curve length (spec §6.2.3 step 1) — depends only on
+    // this floor's header fields and n2, so cache per blocksize.
+    private val mapCache = new java.util.concurrent.ConcurrentHashMap[Int, Array[Int]]()
+    private def bark(x: Double): Double =
+      13.1 * math.atan(0.00074 * x) + 2.24 * math.atan(1.85e-8 * x * x) + 0.0001 * x
+    def mapFor(n2: Int): Array[Int] = mapCache.computeIfAbsent(n2, { _ =>
+      val scale = barkMapSize / bark(0.5 * rate)
+      Array.tabulate(n2) { i =>
+        math.min(barkMapSize - 1,
+          math.floor(bark(rate.toDouble * i / (2.0 * n2)) * scale).toInt)
+      }
+    })
+  }
+
+  private def readFloor0(r: BitReader, books: Array[Codebook]): Floor0 = {
+    val order = r.get(8)
+    val rate = r.get(16)
+    val barkMapSize = r.get(16)
+    val ampBits = r.get(6)
+    val ampOffset = r.get(8)
+    val nBooks = r.get(4) + 1
+    val bookList = Array.fill(nBooks) {
+      val b = r.get(8)
+      if (b >= books.length) throw new Malformed
+      // VQ-context reads require a book that maps to values (spec §6.2.1
+      // errata: a book of lookup type 0 here renders the stream
+      // undecodable)
+      if (books(b).lookupType == 0) throw new Malformed
+      b
+    }
+    if (order < 1 || rate < 1 || barkMapSize < 1) throw new Malformed
+    Floor0(order, rate, barkMapSize, ampBits, ampOffset, bookList)
+  }
+
+  /** Floor0 packet decode + curve synthesis (spec §6.2.2/§6.2.3) →
+    * Some(curve over n2 samples) or None for an unused channel
+    * (amplitude 0). */
+  private def decodeFloor0(r: BitReader, f: Floor0, books: Array[Codebook],
+                           n2: Int): Option[Array[Double]] = {
+    val amplitude = r.get(f.ampBits)
+    if (amplitude == 0) return None
+    val booknum = r.get(ilog(f.bookList.length))
+    if (booknum >= f.bookList.length) throw new Malformed // undecodable packet
+    val cb = books(f.bookList(booknum))
+    // read vectors in VQ context, each element plus the running `last`
+    // (= the previous vector's final post-addition scalar); the full
+    // final vector is decoded even when it overshoots `order`, but only
+    // the first `order` scalars feed the curve
+    val coeffs = new Array[Double](f.order)
+    var last = 0.0
+    var filled = 0
+    while (filled < f.order) {
+      val v = cb.vq(readSym(r, cb))
+      var i = 0
+      while (i < v.length) {
+        if (filled < f.order) { coeffs(filled) = v(i) + last; filled += 1 }
+        i += 1
+      }
+      last = v(v.length - 1) + last
+    }
+    // curve: one p/q evaluation per distinct Bark-map value, spread over
+    // the run of bins sharing it
+    val map = f.mapFor(n2)
+    val cosC = new Array[Double](f.order)
+    var j = 0
+    while (j < f.order) { cosC(j) = math.cos(coeffs(j)); j += 1 }
+    val ampNorm = amplitude.toDouble * f.ampOffset / ((1 << f.ampBits) - 1).toDouble
+    val out = new Array[Double](n2)
+    var i = 0
+    while (i < n2) {
+      val m = map(i)
+      val cw = math.cos(math.Pi * m / f.barkMapSize)
+      var p = 0.0
+      var q = 0.0
+      if (f.order % 2 == 1) {
+        p = 1.0 - cw * cw
+        var k = 0
+        while (2 * k + 1 < f.order) { val d = cosC(2 * k + 1) - cw; p *= 4.0 * d * d; k += 1 }
+        q = 0.25
+        k = 0
+        while (2 * k < f.order) { val d = cosC(2 * k) - cw; q *= 4.0 * d * d; k += 1 }
+      } else {
+        p = (1.0 - cw) / 2.0
+        q = (1.0 + cw) / 2.0
+        var k = 0
+        while (2 * k + 1 < f.order) {
+          val dp = cosC(2 * k + 1) - cw; p *= 4.0 * dp * dp
+          val dq = cosC(2 * k) - cw; q *= 4.0 * dq * dq
+          k += 1
+        }
+      }
+      val lin = math.exp(0.11512925 *
+        (ampNorm / math.sqrt(p + q) - f.ampOffset))
+      out(i) = lin
+      var k2 = i + 1
+      while (k2 < n2 && map(k2) == m) { out(k2) = lin; k2 += 1 }
+      i = k2
+    }
+    Some(out)
+  }
 
   private def readFloor1(r: BitReader, nBooks: Int): Floor1 = {
     val nPart = r.get(5)
@@ -707,7 +827,7 @@ object Vorbis {
   // ------------------------------------------------------------- setup
 
   private final case class Setup(channels: Int, rate: Int, bs0: Int, bs1: Int,
-                                 books: Array[Codebook], floors: Array[Floor1],
+                                 books: Array[Codebook], floors: Array[Floor],
                                  residues: Array[Residue], mappings: Array[Mapping],
                                  modes: Array[Mode])
 
@@ -740,10 +860,11 @@ object Vorbis {
     var t = 0
     while (t < nTimes) { if (r.get(16) != 0) throw new Malformed; t += 1 }
     val nFloors = r.get(6) + 1
-    val floors = Array.fill(nFloors) {
+    val floors = Array.fill[Floor](nFloors) {
       r.get(16) match {
+        case 0 => readFloor0(r, books)
         case 1 => readFloor1(r, nBooks)
-        case _ => throw new Malformed // floor 0 (LSP): declared seam
+        case _ => throw new Malformed
       }
     }
     val nRes = r.get(6) + 1
@@ -888,8 +1009,10 @@ object Vorbis {
       // §1.1.3 / §7.2.3); the exhausted reader makes every later read
       // EOP too, so remaining floors come out unused and residues
       // partial-zero — the packet still renders
-      val curve = try decodeFloor1(r, fl, su.books, n2)
-                  catch { case _: EndOfPacket => None }
+      val curve = try fl match {
+        case f1: Floor1 => decodeFloor1(r, f1, su.books, n2)
+        case f0: Floor0 => decodeFloor0(r, f0, su.books, n2)
+      } catch { case _: EndOfPacket => None }
       curve match {
         case Some(cv) => floorOut(c) = cv; nonzero(c) = true
         case None => nonzero(c) = false
@@ -1191,13 +1314,22 @@ object Vorbis {
   private val LatticeValueLengths = Array.fill(9)(4)
   private lazy val SparseFloorCodes = assignCodewords(SparseFloorLengths)
   private lazy val LatticeValueCodes = assignCodewords(LatticeValueLengths)
+  // floor0 LSP coefficient book: 8 entries × 2 dims, explicit lookup-2
+  // values `mult + 1` (min 1, delta 1) — entry e maps to the raw-mult
+  // pair (LspA(e), LspB(e)). Coefficients stay >= 1 so no cos(coeff)
+  // can coincide with cos(0) at Bark-map bin 0. Public for the specs'
+  // independent curve expectation.
+  val LspA: Array[Int] = Array(0, 1, 2, 3, 4, 5, 6, 7)
+  val LspB: Array[Int] = Array(2, 7, 4, 1, 6, 3, 0, 5)
+  private val LspBookLengths = Array.fill(8)(3)
+  private lazy val LspBookCodes = assignCodewords(LspBookLengths)
   /** Lattice entry e → value pair ((e mod 3) − 1, ((e/3) mod 3) − 1):
     * dim 0 is the LOW lattice digit (spec index order). Public for the
     * lattice gate's expectation. */
   def latticeA(e: Int): Int = e % 3 - 1
   def latticeB(e: Int): Int = (e / 3) % 3 - 1
 
-  private val BlockSize = 256 // one blocksize: window switching is a declared seam
+  private val BlockSize = 256 // default blocksize; ws streams use 128/256
   /** VQ entries consumed per audio packet: partition 0 is class 0
     * (books-less, decodes to zeros), the rest class 1 at 4 entries per
     * 8-sample partition. */
@@ -1249,17 +1381,19 @@ object Vorbis {
   // the gate encodes one configuration across the whole corpus — memoize
   // (the per-row BitWriter walk was half the encode cost).
   private val headerCache = new java.util.concurrent.ConcurrentHashMap[
-    (Int, Int, Boolean, Boolean), Seq[Array[Byte]]]()
+    (Int, Int, Boolean, Boolean, Int), Seq[Array[Byte]]]()
   private def headerPackets(channels: Int, rate: Int,
                             lattice: Boolean = false,
-                            ws: Boolean = false): Seq[Array[Byte]] =
-    headerCache.computeIfAbsent((channels, rate, lattice, ws), { _ =>
-      buildHeaderPackets(channels, rate, lattice, ws)
+                            ws: Boolean = false,
+                            floor0Order: Int = 0): Seq[Array[Byte]] =
+    headerCache.computeIfAbsent((channels, rate, lattice, ws, floor0Order), { _ =>
+      buildHeaderPackets(channels, rate, lattice, ws, floor0Order)
     })
 
   private def buildHeaderPackets(channels: Int, rate: Int,
                                  lattice: Boolean,
-                                 ws: Boolean): Seq[Array[Byte]] = {
+                                 ws: Boolean,
+                                 floor0Order: Int = 0): Seq[Array[Byte]] = {
     def tagged(t: Int): BitWriter = {
       val w = new BitWriter
       w.putBits(t, 8)
@@ -1279,9 +1413,13 @@ object Vorbis {
     comment.putBits(0, 32)        // user comment count
     comment.putBits(1, 1)         // framing
     val su = tagged(5)
-    // 3 codebooks: 0 = floor posts, 1 = residue classwords, 2 = VQ values
+    // 3 codebooks: 0 = floor posts (floor1) / LSP coefficients (floor0),
+    // 1 = residue classwords, 2 = VQ values
     su.putBits(2, 8)
-    if (lattice)
+    if (floor0Order > 0) {
+      val mults = (0 until 8).flatMap(e => Seq(LspA(e), LspB(e))).toArray
+      writeCodebook(su, 2, LspBookLengths, 2, mults, 3, 1, minNeg = false)
+    } else if (lattice)
       writeCodebook(su, 1, SparseFloorLengths, 0, Array.emptyIntArray, 0, 0,
         minNeg = false, mode = 1) // sparse floor book
     else
@@ -1297,18 +1435,31 @@ object Vorbis {
       writeCodebook(su, 2, ValueBookLengths, 2, mults, 3, 3, minNeg = true)
     }
     su.putBits(0, 6); su.putBits(0, 16) // one time transform, type 0
-    // one floor, type 1: 1 partition / 1 class (dim 1, no subclasses,
-    // sub book 0), multiplier 1 (range 256), rangebits 7, interior X 64
-    su.putBits(0, 6)
-    su.putBits(1, 16)
-    su.putBits(1, 5)      // partitions
-    su.putBits(0, 4)      // partition class list
-    su.putBits(0, 3)      // class dims - 1
-    su.putBits(0, 2)      // subclass bits
-    su.putBits(0 + 1, 8)  // sub book = codebook 0
-    su.putBits(0, 2)      // multiplier - 1
-    su.putBits(7, 4)      // rangebits
-    su.putBits(64, 7)     // interior X value
+    su.putBits(0, 6) // one floor
+    if (floor0Order > 0) {
+      // type 0: LSP of the requested order over a 64-entry Bark map,
+      // 6 amplitude bits, offset 100, one book (the LSP book, id 0)
+      su.putBits(0, 16)
+      su.putBits(floor0Order, 8)
+      su.putBits(rate, 16)
+      su.putBits(64, 16)   // bark_map_size
+      su.putBits(6, 6)     // amplitude_bits
+      su.putBits(100, 8)   // amplitude_offset
+      su.putBits(0, 4)     // number_of_books - 1
+      su.putBits(0, 8)     // book list: codebook 0
+    } else {
+      // type 1: 1 partition / 1 class (dim 1, no subclasses, sub book
+      // 0), multiplier 1 (range 256), rangebits 7, interior X 64
+      su.putBits(1, 16)
+      su.putBits(1, 5)      // partitions
+      su.putBits(0, 4)      // partition class list
+      su.putBits(0, 3)      // class dims - 1
+      su.putBits(0, 2)      // subclass bits
+      su.putBits(0 + 1, 8)  // sub book = codebook 0
+      su.putBits(0, 2)      // multiplier - 1
+      su.putBits(7, 4)      // rangebits
+      su.putBits(64, 7)     // interior X value
+    }
     // one residue: type 1 (mono) over n/2, type 2 (stereo) interleaved
     val n2 = BlockSize / 2
     val rEnd = if (channels == 2) 2 * n2 else n2
@@ -1358,7 +1509,8 @@ object Vorbis {
                           posts: (Int, Int, Int),
                           lattice: Boolean,
                           unusedFloorCh: Int = -1,
-                          wsBits: Option[(Boolean, Boolean, Boolean)] = None):
+                          wsBits: Option[(Boolean, Boolean, Boolean)] = None,
+                          floor0: Option[(Int, Array[Int], Boolean)] = None):
       Array[Byte] = {
     val w = new BitWriter
     w.putBits(0, 1) // audio packet; mode number = 0 bits when one mode
@@ -1370,13 +1522,26 @@ object Vorbis {
       }
     }
     var c = 0
-    while (c < channels) { // floor per channel: nonzero, y0/y1, coded post
-      if (c == unusedFloorCh) w.putBits(0, 1) // spec §4.3.2: floor unused
-      else {
-        w.putBits(1, 1)
-        w.putBits(posts._1, 8); w.putBits(posts._2, 8)
-        if (lattice) w.putHuff(SparseFloorCodes(2 * posts._3), 7)
-        else w.putHuff(FloorBookCodes(posts._3), 6)
+    while (c < channels) {
+      floor0 match {
+        case Some((amp, lspEntries, badBook)) =>
+          // floor0 per channel: amplitude, booknumber (1 bit at one
+          // book; 1 = out of range for the undecodable-packet gate),
+          // then the LSP vectors
+          if (c == unusedFloorCh) w.putBits(0, 6)
+          else {
+            w.putBits(amp, 6)
+            w.putBits(if (badBook) 1 else 0, 1)
+            if (!badBook) lspEntries.foreach(e => w.putHuff(LspBookCodes(e), 3))
+          }
+        case None => // floor1 per channel: nonzero, y0/y1, coded post
+          if (c == unusedFloorCh) w.putBits(0, 1) // spec §4.3.2: floor unused
+          else {
+            w.putBits(1, 1)
+            w.putBits(posts._1, 8); w.putBits(posts._2, 8)
+            if (lattice) w.putHuff(SparseFloorCodes(2 * posts._3), 7)
+            else w.putHuff(FloorBookCodes(posts._3), 6)
+          }
       }
       c += 1
     }
@@ -1419,13 +1584,20 @@ object Vorbis {
              floorPosts: (Int, Int, Int) = (255, 255, 0),
              lattice: Boolean = false,
              unusedFloorCh: Int = -1,
-             blockPlan: Seq[Boolean] = null): Array[Byte] = {
+             blockPlan: Seq[Boolean] = null,
+             floor0Order: Int = 0,
+             floor0Amp: Int = 40,
+             floor0BadBook: Boolean = false): Array[Byte] = {
     require(data.nonEmpty && nPackets >= 1)
     require(floorPosts._1 < 256 && floorPosts._2 < 256 && floorPosts._3 < 64)
     require(blockPlan == null || (!stereo && !lattice),
       "window-switching streams are mono/explicit-book")
+    require(floor0Order == 0 ||
+      (!stereo && !lattice && blockPlan == null && floor0Amp > 0 && floor0Amp < 64),
+      "floor0 streams are mono, explicit-book, fixed-blocksize")
     val channels = if (stereo) 2 else 1
-    val heads = headerPackets(channels, 8000, lattice, ws = blockPlan != null)
+    val heads = headerPackets(channels, 8000, lattice, ws = blockPlan != null,
+      floor0Order = floor0Order)
     val pages = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     val serial = 0x67726166 // "graf"
     pages += Ogg.page(Seq(heads(0)), serial, 0, 0L, htype = 2)
@@ -1448,8 +1620,17 @@ object Vorbis {
         else Some((blockPlan(p),
           p == 0 || blockPlan(p - 1),
           p == nPk - 1 || blockPlan(p + 1)))
+      val floor0 =
+        if (floor0Order == 0) None
+        else Some((floor0Amp,
+          Array.tabulate((floor0Order + 1) / 2) { _ =>
+            val e = (data(src % data.length) & 0xff) % 8
+            src += 1
+            e
+          },
+          floor0BadBook))
       val pkt = audioPacket(entries, channels, floorPosts, lattice,
-        unusedFloorCh, wsBits)
+        unusedFloorCh, wsBits, floor0)
       val granule = (p.toLong) * (BlockSize / 2)
       pages += Ogg.page(Seq(pkt), serial, 2 + p, granule,
         htype = if (p == nPk - 1) 4 else 0)

@@ -490,6 +490,137 @@ class VorbisSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------------------ floor 0
+
+  /** Independent floor0 synthesis (spec §6.2.3), written from the
+    * published formulas — Bark map over 64 entries at 8 kHz, p/q
+    * line-spectral products, amplitude normalization at 6 bits /
+    * offset 100 — sharing no code with the decoder. */
+  private def floor0Curve(coeffs: Array[Double], amp: Int): Array[Double] = {
+    def bark(x: Double): Double =
+      13.1 * math.atan(0.00074 * x) + 2.24 * math.atan(1.85e-8 * x * x) + 0.0001 * x
+    val map = Array.tabulate(n2)(i =>
+      math.min(63, math.floor(bark(8000.0 * i / (2.0 * n2)) * 64 / bark(4000.0)).toInt))
+    val order = coeffs.length
+    val cosC = coeffs.map(math.cos)
+    Array.tabulate(n2) { i =>
+      val cw = math.cos(math.Pi * map(i) / 64)
+      var p = 0.0
+      var q = 0.0
+      if (order % 2 == 1) {
+        p = 1.0 - cw * cw
+        (0 until order / 2).foreach { k => val d = cosC(2 * k + 1) - cw; p *= 4 * d * d }
+        q = 0.25
+        (0 to order / 2).foreach { k => val d = cosC(2 * k) - cw; q *= 4 * d * d }
+      } else {
+        p = (1.0 - cw) / 2
+        q = (1.0 + cw) / 2
+        (0 until order / 2).foreach { k =>
+          val dp = cosC(2 * k + 1) - cw; p *= 4 * dp * dp
+          val dq = cosC(2 * k) - cw; q *= 4 * dq * dq
+        }
+      }
+      math.exp(0.11512925 * (amp * 100.0 / 63.0 / math.sqrt(p + q) - 100.0))
+    }
+  }
+
+  /** Packet 0's expected (residue integers, LSP coefficients) for a
+    * floor0 stream: encode draws the residue entries first, then the
+    * ceil(order/2) LSP entries, per packet. */
+  private def floor0Packet0(data: Array[Byte], order: Int): (Array[Int], Array[Double]) = {
+    val per = Vorbis.entriesPerPacket(stereo = false)
+    val res = expectedVector(data, 0, n2, per) // packet 0 residue = first `per` draws
+    var src = per
+    val k = (order + 1) / 2
+    val coeffs = new Array[Double](order)
+    var filled = 0
+    var last = 0.0
+    (0 until k).foreach { _ =>
+      val e = (data(src % data.length) & 0xff) % 8
+      src += 1
+      // LSP book: value = mult + 1 (min 1, delta 1), dim pair (A, B)
+      val a = Vorbis.LspA(e) + 1.0 + last
+      val b = Vorbis.LspB(e) + 1.0 + last
+      if (filled < order) { coeffs(filled) = a; filled += 1 }
+      if (filled < order) { coeffs(filled) = b; filled += 1 }
+      last = b
+    }
+    (res, coeffs)
+  }
+
+  test("floor0 (LSP): spectrum = independently synthesized Bark-map curve × residue (even order)") {
+    val rnd = new scala.util.Random(83)
+    val data = Array.fill(300)(rnd.nextInt(256).toByte)
+    val d = Vorbis.decode(Vorbis.encode(data, nPackets = 2, floor0Order = 4))
+      .getOrElse(fail("floor0 decode None"))
+    assert(d.nPackets == 2 && d.nSamples == n2)
+    val (res, coeffs) = floor0Packet0(data, 4)
+    val curve = floor0Curve(coeffs, 40)
+    (0 until n2).foreach { i =>
+      val exp = curve(i) * res(i)
+      assert(math.abs(d.spectral(i) - exp) <= 1e-9 * math.max(1.0, math.abs(exp)),
+        s"floor0 spectral mismatch at $i: ${d.spectral(i)} vs $exp")
+    }
+    assert(d.pcm.forall(x => !x.isNaN && !x.isInfinite))
+  }
+
+  test("floor0 odd order: p/q parity split and the overshooting final vector trim") {
+    val rnd = new scala.util.Random(84)
+    val data = Array.fill(300)(rnd.nextInt(256).toByte)
+    // order 5, dims-2 book: 3 vectors = 6 scalars, the 6th read and
+    // discarded per the spec's concatenate-then-truncate rule
+    val d = Vorbis.decode(Vorbis.encode(data, nPackets = 2, floor0Order = 5,
+        floor0Amp = 25))
+      .getOrElse(fail("floor0 odd decode None"))
+    val (res, coeffs) = floor0Packet0(data, 5)
+    val curve = floor0Curve(coeffs, 25)
+    (0 until n2).foreach { i =>
+      val exp = curve(i) * res(i)
+      assert(math.abs(d.spectral(i) - exp) <= 1e-9 * math.max(1.0, math.abs(exp)),
+        s"floor0 odd spectral mismatch at $i")
+    }
+  }
+
+  test("floor0 amplitude 0 = unused channel (silent), out-of-range booknumber = undecodable") {
+    val data = Array.fill(300)(3.toByte)
+    // amplitude 0: channel unused, spectrum all zeros, stream still renders
+    val silent = Vorbis.decode(Vorbis.encode(data, nPackets = 2, floor0Order = 4,
+        unusedFloorCh = 0))
+      .getOrElse(fail("amplitude-0 floor0 must still decode"))
+    assert(silent.spectral.forall(_ == 0.0))
+    assert(silent.pcm.forall(_ == 0.0))
+    // booknumber past the book list (1 bit at one book, value 1):
+    // undecodable packet per §6.2.2 — every packet dropped, stream None
+    assert(Vorbis.decode(Vorbis.encode(data, nPackets = 2, floor0Order = 4,
+      floor0BadBook = true)).isEmpty)
+  }
+
+  test("floor0 stream: EOP truncation sweep and corruption never throw") {
+    val rnd = new scala.util.Random(85)
+    val data = Array.fill(200)(rnd.nextInt(256).toByte)
+    val good = Vorbis.encode(data, nPackets = 2, floor0Order = 4)
+    val full = Vorbis.decode(good).getOrElse(fail("baseline decode None"))
+    val pkts = Vorbis.Ogg.packets(good)
+    val serial = 0x67726166
+    (1 until pkts(4).length).foreach { cut =>
+      val pages = Seq(
+        Vorbis.Ogg.page(Seq(pkts(0)), serial, 0, 0L, htype = 2),
+        Vorbis.Ogg.page(Seq(pkts(1), pkts(2)), serial, 1, 0L, htype = 0),
+        Vorbis.Ogg.page(Seq(pkts(3)), serial, 2, 128L, htype = 0),
+        Vorbis.Ogg.page(Seq(pkts(4).take(cut)), serial, 3, 256L, htype = 4))
+      val d = Vorbis.decode(pages.flatten.toArray)
+        .getOrElse(fail(s"floor0 decode None at cut=$cut"))
+      assert(d.nPackets == 2 && d.nSamples == full.nSamples, s"at cut=$cut")
+      (0 until d.spectral.length).foreach { i =>
+        assert(d.spectral(i) == full.spectral(i), s"spectral drift at cut=$cut i=$i")
+      }
+    }
+    (0 until good.length by 7).foreach { i =>
+      val bad = good.clone(); bad(i) = (bad(i) ^ 0x55).toByte
+      Vorbis.decode(bad) // must not throw
+    }
+  }
+
   test("a semantically malformed audio packet is dropped, not stream-halting") {
     val rnd = new scala.util.Random(82)
     val data = Array.fill(200)(rnd.nextInt(256).toByte)
