@@ -84,9 +84,15 @@ package graft.multimodal
   * only when ch1's entire short part is zero — it sits below every
   * short band in frequency — bounded by its last nonzero long band.
   *
+  * 8 kHz mixed blocks (r17, former declared seam): the 6-band LSF head
+  * spans 6×12 = 72 lines at 8 kHz — exactly 3·sfbShort(3), so the long
+  * head and the short region tile 576 lines with no gap; the head gets
+  * 4 long subbands (alias reduction inside, long IMDCT), the region0
+  * boundary follows the head, and the requant/reorder walk the same
+  * edges. Spec-gated by an 8 kHz mixed reorder round trip and a
+  * head-tone PCM identity against a pure long frame.
+  *
   * DECLARED scope limits (the honest seams, like Multimodal.scala:47-58):
-  * 8 kHz mixed blocks refuse (the 12-wide long bands and the 24-wide
-  * short start don't compose at 36 lines);
   * [[decode]]
   * (single frame) refuses a nonzero main_data_begin unless the granules
   * read zero main-data bits. decode/decodeStream return None/skip —
@@ -581,7 +587,7 @@ object Mp3 {
     // decodeGranule's rule exactly)
     val reg1Start =
       if (blockType == 2 && !mixed) 3 * sfbS(3)
-      else if (blockType == 2) 36
+      else if (blockType == 2) sfb(6) // mixed: the 6-band LSF long head
       else if (blockType != 0) sfb(8)
       else sfb(9)
     val reg2Start = if (blockType != 0) 576 else sfb(17)
@@ -1077,10 +1083,6 @@ object Mp3 {
           val mixed = r.get(1)
           if (bt == 0) return None        // reserved with wsf = 1
           if (mixed == 1 && bt != 2) return None // mixed only defined for short
-          // 8 kHz mixed: the 12-wide long bands cover lines 0..35 in 3
-          // bands but the short region starts at 3·24 = 72 — the layouts
-          // don't compose; declared out of scope
-          if (mixed == 1 && mpeg25 && srIdx == 2) return None
           val t = Array(r.get(5), r.get(5), 0)
           val sbg = Array(r.get(3), r.get(3), r.get(3))
           (t, -1, -1, bt, sbg, mixed == 1)
@@ -1133,6 +1135,12 @@ object Mp3 {
       if (mpeg25) sfbShort25(srIdx)
       else if (lsf) sfbShortLsf(srIdx)
       else sfbShort(srIdx)
+    // mixed-block long head: 8 long bands (MPEG-1) / 6 (LSF). 36 lines
+    // at every rate EXCEPT 8 kHz, whose 12-wide long bands make the
+    // head 72 lines — exactly where the short region starts
+    // (3·sfbS(3) = 72), so the layouts compose there too (former
+    // declared seam, closed r17)
+    val mixedHeadLines = if (lsf) sfb(6) else sfb(8)
     // main data immediately follows side info (main_data_begin = 0)
     // returns (requantized spectra, long scalefactors, rzero start) —
     // rzero = the first all-zero line after the count1 region, the
@@ -1196,7 +1204,7 @@ object Mp3 {
       // (advice r15)
       val reg1Start =
         if (g.blockType == 2 && !g.mixed) 3 * sfbS(3) // 36 except 8 kHz (72)
-        else if (g.blockType == 2) 36 // mixed: region0 = the long head
+        else if (g.blockType == 2) mixedHeadLines // mixed: region0 = the long head
         else if (g.blockType != 0) sfb(8)
         else sfb(math.min(g.r0 + 1, 22))
       val reg2Start = if (g.blockType != 0) 576 else sfb(math.min(g.r0 + g.r1 + 2, 22))
@@ -1261,7 +1269,7 @@ object Mp3 {
         if (g.mixed) {
           var i = 0
           var lb = 0
-          while (i < 36) {
+          while (i < mixedHeadLines) {
             if (i >= sfb(lb + 1)) lb += 1
             val sc = gain0 * math.pow(2.0,
               -mult * (sf(lb) + g.preflag * Pretab(lb)))
@@ -1524,7 +1532,7 @@ object Mp3 {
       var ch = 0
       while (ch < nch) {
         synthGranule(xrs(gi)(ch), sts(ch), chPcm(ch), gi * 576,
-          grs(gi)(ch).blockType, grs(gi)(ch).mixed)
+          grs(gi)(ch).blockType, grs(gi)(ch).mixed, mixedHeadLines / 18)
         ch += 1
       }
       gi += 1
@@ -1619,14 +1627,16 @@ object Mp3 {
     * reduction (short subbands are not aliased, §2.4.3.4.8.1). */
   private def synthGranule(xrIn: Array[Double], st: SynthState,
                            out: Array[Double], off: Int,
-                           blockType: Int = 0, mixed: Boolean = false): Unit = {
+                           blockType: Int = 0, mixed: Boolean = false,
+                           mixedSb: Int = 2): Unit = {
     val xr = xrIn.clone()
     // alias-reduction butterflies across the 31 subband boundaries
     // (all long-window types; for MIXED blocks only the long-long
-    // boundary below subband 2; never for pure short blocks)
+    // boundaries inside the head — below subband 2, or 4 at 8 kHz
+    // where the head spans 72 lines; never for pure short blocks)
     if (blockType != 2 || mixed) {
       var sb = 1
-      val sbEnd = if (blockType == 2) 2 else 32
+      val sbEnd = if (blockType == 2) mixedSb else 32
       while (sb < sbEnd) {
         var i = 0
         while (i < 8) {
@@ -1649,7 +1659,7 @@ object Mp3 {
     var sb = 0
     while (sb < 32) {
       val z = new Array[Double](36)
-      if (blockType == 2 && !(mixed && sb < 2)) {
+      if (blockType == 2 && !(mixed && sb < mixedSb)) {
         // three 12-point IMDCTs: window w consumes freqs xr(3f+w),
         // f = 6·sb .. 6·sb+5, windowed short, laid at offset 6 + 12w
         var w = 0

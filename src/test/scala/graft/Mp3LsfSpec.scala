@@ -17,12 +17,15 @@ class Mp3LsfSpec extends AnyFunSuite {
   private val sbE8 = Array(0, 8, 16, 24, 36, 52, 72, 96, 124, 160, 162, 164, 166, 192)
 
   /** Band-major Huffman order → frequency-interleaved xr(3f+w); with
-    * `mixed` the first 36 lines stay linear and short starts at band 3. */
+    * `mixed` the first `headLines` lines stay linear (36 = the 6-band
+    * LSF head everywhere but 8 kHz, whose 12-wide bands make it 72)
+    * and short starts at band 3. */
   private def interleave(huff: Array[Int], sbE: Array[Int],
-                         mixed: Boolean = false): Array[Int] = {
+                         mixed: Boolean = false,
+                         headLines: Int = 36): Array[Int] = {
     val out = new Array[Int](576)
     var src = 0
-    if (mixed) { (0 until 36).foreach { i => out(i) = huff(src); src += 1 } }
+    if (mixed) { (0 until headLines).foreach { i => out(i) = huff(src); src += 1 } }
     for (b <- (if (mixed) 3 else 0) until 13; w <- 0 until 3;
          f <- sbE(b) until sbE(b + 1)) {
       out(3 * f + w) = huff(src); src += 1
@@ -93,6 +96,42 @@ class Mp3LsfSpec extends AnyFunSuite {
     val exp = interleave(huff, sbE8)
     (0 until 576).foreach { i =>
       assert(ds.spectral(i) == exp(i).toDouble, s"8k short xr mismatch at $i")
+    }
+  }
+
+  test("8 kHz mixed blocks: the 72-line head composes with short band 3 (former seam, r17)") {
+    // at 8 kHz the 6-band LSF long head spans 6×12 = 72 lines — exactly
+    // 3·sfbShort(3), so the long head and the short region tile 576
+    // lines with no gap. Pre-fix the decoder refused the combination.
+    val rnd = new scala.util.Random(56)
+    val huff = Array.fill(576)(rnd.nextInt(3) - 1)
+    val d = Mp3.decode(Mp3.encodeLsfFrame(huff, blockType = 2, mixed = true,
+        mpeg25 = true, srIdx = 2))
+      .getOrElse(fail("8 kHz mixed decode None"))
+    assert(d.sampleRate == 8000 && d.nSamples == 576)
+    val exp = interleave(huff, sbE8, mixed = true, headLines = 72)
+    (0 until 576).foreach { i =>
+      assert(d.spectral(i) == exp(i).toDouble, s"8k mixed xr mismatch at $i")
+    }
+  }
+
+  test("8 kHz mixed head uses the LONG window: a subband-3 tone matches the pure-long frame") {
+    // a single +1 at line 60 lies in subband 3 — inside the 72-line
+    // head, OUTSIDE a 36-line one — and clear of the subband-4 alias
+    // boundary (butterflies reach lines 64..79), so the mixed frame's
+    // synthesis chain (alias inside the head, long IMDCT on subbands
+    // 0..3) must produce PCM identical to a plain long-block frame;
+    // a 36-line head would route the line through a short-window IMDCT
+    val tone = new Array[Int](576)
+    tone(60) = 1
+    val dMixed = Mp3.decode(Mp3.encodeLsfFrame(tone, blockType = 2,
+        mixed = true, mpeg25 = true, srIdx = 2))
+      .getOrElse(fail("8 kHz mixed tone decode None"))
+    val dLong = Mp3.decode(Mp3.encodeLsfFrame(tone, mpeg25 = true, srIdx = 2))
+      .getOrElse(fail("8 kHz long tone decode None"))
+    assert(dMixed.pcm.exists(_ != 0.0), "tone must reach the PCM")
+    (0 until dMixed.nSamples).foreach { i =>
+      assert(dMixed.pcm(i) == dLong.pcm(i), s"head-window pcm mismatch at $i")
     }
   }
 
