@@ -26,10 +26,15 @@ object ConnectedComponents {
       .select(col("node"), col("node").as("label"))
 
   private def step(dir: DataFrame, lab: DataFrame): DataFrame = {
-    val nbr = dir.join(lab.select(col("node").as("dst"), col("label").as("_nl")), "dst")
-      .groupBy(col("src").as("node")).agg(min(col("_nl")).as("_nbl"))
-    lab.join(nbr, Seq("node"), "left")
-      .select(col("node"), least(col("label"), coalesce(col("_nbl"), col("label"))).as("label"))
+    // min(own label, min over neighbor labels) as ONE grouped min over
+    // the union of neighbor-label rows and the node's own label row —
+    // one join + one aggregate per round (r17 opt; the former shape paid
+    // a second node-key join to stitch the neighbor min back onto the
+    // label frame). min over a union is the same min: bit-exact.
+    dir.join(lab.select(col("node").as("dst"), col("label").as("_nl")), "dst")
+      .select(col("src").as("node"), col("_nl").as("label"))
+      .unionAll(lab)
+      .groupBy(col("node")).agg(min(col("label")).as("label"))
   }
 
   /** Exactly `rounds` propagation rounds — deterministic and (for graphs

@@ -99,21 +99,28 @@ object Louvain {
       .agg(count(lit(1)).cast("double").as("deg"))
       .localCheckpoint(true)
     val m = e.count().toDouble
-    var lab = deg.select(col("node"), col("node").as("lab"))
+    // r17 opt (guide §2.4): the label frame CARRIES the (static) node
+    // degree, so Σtot and the post-move community stats are join-free
+    // grouped sums, and k_iC∖i comes off a node-key window over the
+    // already-node-partitioned candidate frame instead of a separate
+    // join leg (3 joins/round removed, the duplicated kic/cur subtrees
+    // gone). All regrouped sums are of integer-valued doubles (degree
+    // counts) — bit-exact, same gains, same labels.
+    var lab = deg.select(col("node"), col("node").as("lab"), col("deg"))
     val rows = (1 to nRounds).map { r =>
-      val stot = lab.join(deg, "node").groupBy(col("lab"))
-        .agg(sum(col("deg")).as("stot"))
+      val stot = lab.groupBy(col("lab")).agg(sum(col("deg")).as("stot"))
       val kic = dd.join(lab.select(col("node").as("t"), col("lab").as("d")), "t")
         .groupBy(col("s"), col("d")).agg(count(lit(1)).cast("double").as("ksd"))
-      val cur = lab.select(col("node").as("s"), col("lab").as("c"))
-        .join(deg.select(col("node").as("s"), col("deg").as("degs")), "s")
+      val cur = lab.select(col("node").as("s"), col("lab").as("c"), col("deg").as("degs"))
         .join(stot.select(col("lab").as("c"), col("stot").as("stotc")), "c")
-      val ksc = cur.select(col("s"), col("c"))
-        .join(kic.select(col("s"), col("d").as("c"), col("ksd").as("ksc")),
-          Seq("s", "c"), "left")
-        .select(col("s"), coalesce(col("ksc"), lit(0.0)).as("ksc"))
-      val cand = kic.join(cur, "s").filter(col("d") =!= col("c"))
-        .join(ksc, "s")
+      // k_sC (edges into the CURRENT community) = the ksd of the d == c
+      // row, surfaced to every candidate row of node s by a window on
+      // the join key (no re-exchange: kic ⋈ cur is already keyed on s)
+      val wS = Window.partitionBy(col("s"))
+      val cand = kic.join(cur, "s")
+        .withColumn("ksc",
+          coalesce(max(when(col("d") === col("c"), col("ksd"))).over(wS), lit(0.0)))
+        .filter(col("d") =!= col("c"))
         .join(stot.select(col("lab").as("d"), col("stot").as("stotd")), "d")
         .withColumn("g", r6((col("ksd") - col("ksc")) / lit(m) -
           col("degs") * (col("stotd") - (col("stotc") - col("degs"))) /
@@ -127,22 +134,21 @@ object Louvain {
       // (coloring / random subsets — Lu, Halappanavar & Kalyanaraman 2015).
       // An md5 parity on (node, round) is the cheap deterministic
       // randomized coloring: ~half the nodes move each round, replayable.
-      val mayMove = Num.md5Long(concat(col("s").cast("string"),
+      val mayMove = Num.md5Long(concat(col("node").cast("string"),
         lit(s"_lvp_$r"))) % 2 === 0
       // carry the previous label so n_moved fuses into the round-stats
       // aggregate below — previously a separate driver count() per round
       // doubled the round's job tally (verdict r14 #6)
-      val newLab = cur.select(col("s"), col("c"))
-        .join(choice, Seq("s"), "left")
-        .select(col("s").as("node"),
+      val newLab = lab.select(col("node"), col("lab").as("c"), col("deg"))
+        .join(choice.withColumnRenamed("s", "node"), Seq("node"), "left")
+        .select(col("node"),
           when(col("g") > 0 && mayMove, col("d")).otherwise(col("c")).as("lab"),
-          col("c").as("_prev"))
+          col("c").as("_prev"), col("deg"))
         .localCheckpoint(true)
-      lab = newLab.select(col("node"), col("lab"))
+      lab = newLab.select(col("node"), col("lab"), col("deg"))
       // round stats over L_r: per-community q_terms r6'd then the sum
       // r6'd (+0.0 canonicalizes -0.0) — the ofPartition discipline
-      val st2 = lab.join(deg, "node").groupBy(col("lab"))
-        .agg(sum(col("deg")).as("ds"))
+      val st2 = lab.groupBy(col("lab")).agg(sum(col("deg")).as("ds"))
       val ie = e.join(lab.select(col("node").as("p1"), col("lab").as("_l1")), "p1")
         .join(lab.select(col("node").as("p2"), col("lab").as("_l2")), "p2")
         .filter(col("_l1") === col("_l2"))

@@ -34,21 +34,33 @@ object Modularity {
     ofPartition(e, lab)
   }
 
-  /** Modularity of an arbitrary partition: `labels` = (node, label). */
+  /** Modularity of an arbitrary partition: `labels` = (node, label),
+    * covering exactly the nodes of `e` (all callers pass CC/move labels
+    * derived from the same edge list — r17 opt precondition: with full
+    * coverage, per-community degree sums can come straight off the
+    * labeled edge frame instead of a node-degree groupBy + node-key
+    * join + regroup; internal edges and degree sums now share ONE
+    * labeled-edge subtree and n_nodes is a join-free grouped count.
+    * Degree sums regroup integer counts — bit-exact). */
   def ofPartition(e: DataFrame, labels: DataFrame): DataFrame = {
     val lab = labels.select(col("node"), col("label"))
     val withL = e
       .join(lab.select(col("node").as("p1"), col("label").as("_l1")), "p1")
       .join(lab.select(col("node").as("p2"), col("label").as("_l2")), "p2")
-    val internal = withL.filter(col("_l1") === col("_l2"))
+    // ONE pass over the labeled edges to the compact (l1, l2) count
+    // frame (bounded by community-pair mass); internal edges AND degree
+    // sums both derive from it by regrouping integer counts (exact)
+    val cpair = withL.groupBy(col("_l1"), col("_l2"))
+      .agg(count(lit(1)).cast("long").as("_ec"))
+    val internal = cpair.filter(col("_l1") === col("_l2"))
       .groupBy(col("_l1").as("community"))
-      .agg(count(lit(1)).cast("long").as("internal_edges"))
-    val deg = e.select(col("p1").as("node")).unionAll(e.select(col("p2").as("node")))
-      .groupBy("node").agg(count(lit(1)).cast("double").as("_dg"))
-      .join(lab, "node")
-      .groupBy(col("label").as("community"))
-      .agg(count(lit(1)).cast("long").as("n_nodes"),
-        sum(col("_dg")).as("degree_sum"))
+      .agg(sum(col("_ec")).cast("long").as("internal_edges"))
+    val dsum = cpair
+      .select(explode(array(col("_l1"), col("_l2"))).as("community"), col("_ec"))
+      .groupBy("community").agg(sum(col("_ec")).cast("double").as("degree_sum"))
+    val deg = lab.groupBy(col("label").as("community"))
+      .agg(count(lit(1)).cast("long").as("n_nodes"))
+      .join(dsum, "community")
     val m = e.agg(count(lit(1)).cast("double").as("_m"))
     val per = deg.join(internal, Seq("community"), "left")
       .crossJoin(broadcast(m))

@@ -40,9 +40,14 @@ object RuntimeFilter {
   def bloomJoinAudit(build: DataFrame, buildKey: Column,
                      probe: DataFrame, probeKey: Column,
                      m: Int = 1 << 18, k: Int = 3): DataFrame = {
-    val keys = build.select(buildKey.cast("long").as("_k")).distinct()
+    // keys feeds the bit table, the exact-verify join AND the key count;
+    // bits feeds k broadcast legs — cached (keys = the Bloom build side,
+    // small by design; bits ≤ m rows) so the build-side scan+distinct
+    // runs once instead of ~5× (r17 opt, guide §3.2: the build side is
+    // scanned twice by design — not six times)
+    val keys = build.select(buildKey.cast("long").as("_k")).distinct().cache()
     val bits = keys.select(explode(array(positions(col("_k"), m, k): _*)).as("pos"))
-      .distinct()
+      .distinct().cache()
     // a probe row passes iff ALL k slots are set: k chained BROADCAST
     // left joins against the ≤m-row (constant, corpus-independent) bit
     // table mark the slots entirely map-side — zero shuffles before the

@@ -24,11 +24,16 @@ object CrossVal {
     * leave-that-fold-out coefficients and the held-out MSE/R². */
   def kFoldOLS(df: DataFrame, x: String, y: Column, rowKey: Column, k: Int): DataFrame = {
     val rows = df.select(foldId(rowKey, k).as("fold"), col(x).as("_x"), y.as("_y"))
+    // k-row sufficient-stats frame, referenced by BOTH the global reduce
+    // and the train-side algebra — cached so the corpus aggregates once
+    // (r17 opt, guide §1.2: one pass was the design; the second reference
+    // silently re-scanned)
     val perFold = rows.groupBy("fold").agg(
       count(lit(1)).cast("double").as("n"),
       sum(col("_x")).as("sx"), sum(col("_y")).as("sy"),
       sum(col("_x") * col("_x")).as("sxx"),
       sum(col("_x") * col("_y")).as("sxy"))
+      .cache()
     val global = perFold.agg(
       sum(col("n")).as("gn"), sum(col("sx")).as("gsx"), sum(col("sy")).as("gsy"),
       sum(col("sxx")).as("gsxx"), sum(col("sxy")).as("gsxy"))
@@ -67,11 +72,16 @@ object CrossVal {
   def ridgeCV(df: DataFrame, x: String, y: Column, rowKey: Column, k: Int,
               lambdas: Seq[Double]): DataFrame = {
     val rows = df.select(foldId(rowKey, k).as("fold"), col(x).as("_x"), y.as("_y"))
+    // k-row sufficient-stats frame, referenced by BOTH the global reduce
+    // and the train-side algebra — cached so the corpus aggregates once
+    // (r17 opt, guide §1.2: one pass was the design; the second reference
+    // silently re-scanned)
     val perFold = rows.groupBy("fold").agg(
       count(lit(1)).cast("double").as("n"),
       sum(col("_x")).as("sx"), sum(col("_y")).as("sy"),
       sum(col("_x") * col("_x")).as("sxx"),
       sum(col("_x") * col("_y")).as("sxy"))
+      .cache()
     val global = perFold.agg(
       sum(col("n")).as("gn"), sum(col("sx")).as("gsx"), sum(col("sy")).as("gsy"),
       sum(col("sxx")).as("gsxx"), sum(col("sxy")).as("gsxy"))

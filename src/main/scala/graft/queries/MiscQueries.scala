@@ -1033,7 +1033,11 @@ object MiscQueries {
       val per = o.groupBy(col("o_custkey").as("cust"))
         .agg(max(day).as("_last"), count(lit(1)).cast("long").as("_f"),
           sum(col("o_totalprice")).as("_m"))
-      val maxDay = per.agg(max(col("_last")).as("_maxd"))
+      // r17 opt: the corpus max day equals the max over per-customer
+      // maxes — taking it from the base scan (independent aggregate)
+      // instead of from `per` stops the customer groupBy running twice
+      // (exact integer-day max, same value)
+      val maxDay = o.agg(max(day).as("_maxd"))
       val base = per.crossJoin(broadcast(maxDay))
         .select(col("cust"), (col("_maxd") - col("_last")).cast("long").as("_r"),
           col("_f"), col("_m"))

@@ -97,24 +97,33 @@ object TextQueries {
       // candidate mass ~linear (11.2k at 500k) with exact dups retained
       // at every depth and ≥80% one-token near-dup recall
       val docs = Tables.documents(s, d)
-      val pairs = Dedup.minhashCandidatesAuto(docs, "text", "doc_id")
       val norm = Dedup.normText(col("text"))
       val nt = docs.select(col("doc_id").cast("long").as("_id"),
         norm.as("_nt"), md5(norm).as("_h"))
-      val withT = pairs
-        .join(nt.select(col("_id").as("doc1"), col("_nt").as("_t1"),
-          col("_h").as("_h1")), "doc1")
-        .join(nt.select(col("_id").as("doc2"), col("_nt").as("_t2"),
-          col("_h").as("_h2")), "doc2")
-      val uniq = withT.select(col("_h1"), col("_h2"), col("_t1"), col("_t2"))
-        .dropDuplicates("_h1", "_h2")
+      // r17 opt (guide §8 — decide with small rows, move heavy bytes
+      // once): the pair frame used to carry BOTH normalized texts through
+      // two doc-scale joins and was referenced twice (so the whole
+      // LSH candidate stage + text joins ran twice — 12+ document scans
+      // in the r16 plan). Now the candidate pairs annotate with content
+      // HASHES only (compact, cached ⇒ candidate stage runs once) and
+      // the texts join only against the DISTINCT-hash table that feeds
+      // the levenshtein — identical pairs, identical distances.
+      val ids = nt.select(col("_id"), col("_h"))
+      val pairsH = Dedup.minhashCandidatesAuto(docs, "text", "doc_id")
+        .join(ids.select(col("_id").as("doc1"), col("_h").as("_h1")), "doc1")
+        .join(ids.select(col("_id").as("doc2"), col("_h").as("_h2")), "doc2")
+        .cache()
+      val ht = nt.select(col("_h"), col("_nt")).dropDuplicates("_h")
+      val uniq = pairsH.select(col("_h1"), col("_h2")).dropDuplicates("_h1", "_h2")
+        .join(ht.select(col("_h").as("_h1"), col("_nt").as("_t1")), "_h1")
+        .join(ht.select(col("_h").as("_h2"), col("_nt").as("_t2")), "_h2")
         .select(col("_h1"), col("_h2"),
           levenshtein(col("_t1"), col("_t2")).cast("long").as("_lev"),
           greatest(length(col("_t1")), length(col("_t2"))).cast("double").as("_mx"))
       // both texts normalizing to "" ⇒ max length 0: NULL ratio on both
       // engines (oracle uses NULLIF) instead of Spark-NULL vs DuckDB-inf
       val ratio = r4(when(col("_mx") > 0, col("_lev").cast("double") / col("_mx")))
-      withT.select(col("doc1"), col("doc2"), col("_h1"), col("_h2"))
+      pairsH
         .join(uniq, Seq("_h1", "_h2"))
         .select(col("doc1"), col("doc2"), col("_lev").as("edit_dist"),
           ratio.as("edit_ratio"), (ratio <= 0.2).as("is_dup"))
@@ -127,31 +136,61 @@ object TextQueries {
       // penalty from total lengths — the pairwise text-overlap score an
       // eval pipeline computes between model output and reference
       val docs = Tables.documents(s, d)
-      val pairs = Dedup.minhashCandidates(docs, "text", "doc_id")
+      // r17 opt (guide §8 — decide with small rows): every per-pair value
+      // below (clipped counts, lengths) depends only on the two TEXTS, so
+      // pairs collapsing to the same (content-hash, content-hash) all
+      // contribute the identical value. The pair frame therefore reduces
+      // to DISTINCT hash pairs with a multiplicity, gram profiles are
+      // computed only for one representative doc per distinct text, and
+      // every aggregate weights by the multiplicity. On replicated
+      // corpora (sf1 = sf0.1 ×10 ⇒ ~383× candidate pairs, ~1× distinct
+      // text pairs) the pair×gram join mass drops by that same factor.
+      // BIT-EXACT: every summand is an integer-valued double (gram
+      // counts, least of counts, token lengths), so mult×value grouping
+      // changes no sum below 2^53. The candidate stage itself (shingle +
+      // minhash + band self-join + distinct) is cached — it was
+      // recomputed three times (18 document scans in the r16 plan).
+      val norm = Dedup.normText(col("text"))
+      val nt = docs.select(col("doc_id").cast("long").as("_id"), md5(norm).as("_h"))
+      val reps = nt.groupBy(col("_h")).agg(min(col("_id")).as("_rid"))
+      val hp = Dedup.minhashCandidates(docs, "text", "doc_id")
+        .join(nt.select(col("_id").as("doc1"), col("_h").as("_h1")), "doc1")
+        .join(nt.select(col("_id").as("doc2"), col("_h").as("_h2")), "doc2")
+        .groupBy(col("_h1"), col("_h2")).agg(count(lit(1)).cast("double").as("_mult"))
+        .join(reps.select(col("_h").as("_h1"), col("_rid").as("_r1")), "_h1")
+        .join(reps.select(col("_h").as("_h2"), col("_rid").as("_r2")), "_h2")
+        .select(col("_r1"), col("_r2"), col("_mult"))
+        .cache()
+      // gram profiles of DISTINCT texts only (representative docs)
+      val repIds = reps.select(col("_rid").as("doc"))
       def gramCounts(k: Int): DataFrame =
-        TextOps.explodedShingles(docs, col("doc_id"), Dedup.normText(col("text")), k)
+        TextOps.explodedShingles(docs, col("doc_id"), norm, k)
           .groupBy(col("doc"), col("sh")).agg(count(lit(1)).cast("double").as("_c"))
-      def clipped(k: Int): DataFrame = {
-        val gc = gramCounts(k)
-        pairs
-          .join(gc.select(col("doc").as("doc2"), col("sh"), col("_c").as("_cc")), "doc2")
-          .join(gc.select(col("doc").as("doc1"), col("sh"), col("_c").as("_cr")),
-            Seq("doc1", "sh"), "left")
-          .agg(sum(least(col("_cc"), coalesce(col("_cr"), lit(0.0)))).as(s"_clip$k"),
-            sum(col("_cc")).as(s"_tot$k"))
-      }
-      val lens = gramCounts(1).groupBy(col("doc")).agg(sum(col("_c")).as("_len"))
-      val lenAgg = pairs
-        .join(lens.select(col("doc").as("doc2"), col("_len").as("_lc")), "doc2")
-        .join(lens.select(col("doc").as("doc1"), col("_len").as("_lr")), "doc1")
-        .agg(sum(col("_lc")).as("_c"), sum(col("_lr")).as("_r"),
-          count(lit(1)).cast("long").as("_np"))
+          .join(repIds, Seq("doc"), "left_semi")
+      def clipped(k: Int, gc: DataFrame): DataFrame =
+        hp
+          .join(gc.select(col("doc").as("_r2"), col("sh"), col("_c").as("_cc")), "_r2")
+          .join(gc.select(col("doc").as("_r1"), col("sh"), col("_c").as("_cr")),
+            Seq("_r1", "sh"), "left")
+          .agg(sum(col("_mult") * least(col("_cc"), coalesce(col("_cr"), lit(0.0))))
+            .as(s"_clip$k"),
+            sum(col("_mult") * col("_cc")).as(s"_tot$k"))
+      // ONE unigram-count frame feeds both clipped(1) and the length sums
+      // (was two full tokenize+groupBy passes building identical frames)
+      val gc1 = gramCounts(1)
+      val lens = gc1.groupBy(col("doc")).agg(sum(col("_c")).as("_len"))
+      val lenAgg = hp
+        .join(lens.select(col("doc").as("_r2"), col("_len").as("_lc")), "_r2")
+        .join(lens.select(col("doc").as("_r1"), col("_len").as("_lr")), "_r1")
+        .agg(sum(col("_mult") * col("_lc")).as("_c"),
+          sum(col("_mult") * col("_lr")).as("_r"),
+          sum(col("_mult")).cast("long").as("_np"))
       val p1 = col("_clip1") / col("_tot1"); val p2 = col("_clip2") / col("_tot2")
       val bp = when(col("_c") > col("_r"), lit(1.0))
         .otherwise(exp(lit(1.0) - col("_r") / col("_c")))
       val bleu = when(col("_clip1") > 0.0 && col("_clip2") > 0.0,
         bp * exp(lit(0.5) * log(p1) + lit(0.5) * log(p2))).otherwise(lit(0.0))
-      lenAgg.crossJoin(clipped(1)).crossJoin(clipped(2))
+      lenAgg.crossJoin(clipped(1, gc1)).crossJoin(clipped(2, gramCounts(2)))
         .select(col("_np").as("n_pairs"), r4(p1).as("p1"), r4(p2).as("p2"),
           r4(bp).as("brevity"), r4(bleu).as("bleu2"))
     },

@@ -32,6 +32,13 @@ object Conformal {
     // closed-form OLS from ONE moments aggregate; coefficients rounded to
     // the shared 1e-6 grid BEFORE any residual is computed, so both
     // engines score the identical line
+    // r17 opt (guide §1.2/§2.3): the 1-row fit is cached (it was
+    // recomputed by both its consumers — one extra corpus pass), and the
+    // calibration AND test sides reduce in ONE corpus pass to a shared
+    // (split-group, quantized-residual) histogram: coverage over the
+    // 1e-4-quantized residuals is a ratio of integer counts, identical
+    // off the histogram (sums of 1.0s regrouped — exact). 5 corpus
+    // passes (tag+fit, calib scan, test scan, fit again, …) become 2.
     val fit = train.agg(count(lit(1)).cast("double").as("_n"),
         sum(col("_x")).as("_sx"), sum(col("_y")).as("_sy"),
         sum(col("_x") * col("_x")).as("_sxx"), sum(col("_x") * col("_y")).as("_sxy"))
@@ -41,13 +48,20 @@ object Conformal {
         col("_sx"), col("_sy"))
       .select(col("_n").as("_ntr"), col("_b1"),
         r6(col("_sy") / col("_n") - col("_b1") * (col("_sx") / col("_n"))).as("_b0"))
+      .cache()
     val scored = tagged.crossJoin(broadcast(fit))
       .withColumn("_r", r4(abs(col("_y") - (col("_b0") + col("_b1") * col("_x")))))
-    val calib = scored.filter(col("_s").isin(6, 7))
+    // ONE histogram pass over calib+test rows: grp c = calibration (6-7),
+    // grp t = test (8-9); ≤ distinct-residual rows per group survive
+    val hist = scored.filter(col("_s") >= 6)
+      .groupBy(when(col("_s") <= 7, lit("c")).otherwise(lit("t")).as("_grp"),
+        col("_r"))
+      .agg(count(lit(1)).as("_c"))
+      .cache()
     // q̂ = the ⌈(n+1)(1−α)⌉-th smallest |residual|: distinct-value frame +
     // distributed cumulative count, select min value whose cum reaches the
     // conformal rank (clamped to n so tiny calib sets stay defined)
-    val g = calib.groupBy(col("_r")).agg(count(lit(1)).as("_c"))
+    val g = hist.filter(col("_grp") === "c").select(col("_r"), col("_c"))
     val cum = graft.core.Ranks.withGlobalCumSums(g, Seq(col("_r")),
       Seq((col("_c"), "_cum")))
     val qhat = cum.agg(
@@ -55,9 +69,10 @@ object Conformal {
         least(ceil((col("_cum_tot") + 1) * (1 - alpha)), col("_cum_tot")),
         col("_r"))).as("_qhat"),
       max(col("_cum_tot")).cast("long").as("n_calib"))
-    val test = scored.filter(col("_s") >= 8).crossJoin(broadcast(qhat))
-      .agg(count(lit(1)).cast("long").as("n_test"),
-        r4(avg(when(col("_r") <= col("_qhat"), 1.0).otherwise(0.0))).as("coverage"),
+    val test = hist.filter(col("_grp") === "t").crossJoin(broadcast(qhat))
+      .agg(coalesce(sum(col("_c")), lit(0L)).cast("long").as("n_test"),
+        r4(sum(when(col("_r") <= col("_qhat"), col("_c")).otherwise(lit(0L)))
+          .cast("double") / sum(col("_c")).cast("double")).as("coverage"),
         max(col("_qhat")).as("_q"), max(col("n_calib")).as("_nc"))
     fit.crossJoin(broadcast(test))
       .select(col("_ntr").cast("long").as("n_train"), col("_nc").as("n_calib"),

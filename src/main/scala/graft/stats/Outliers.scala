@@ -37,14 +37,22 @@ object Outliers {
     val long = df.select(explode(array(features.map { case (n, c) =>
       struct(lit(n).as("f"), c.cast("double").as("v"))
     }: _*)).as("u")).select(col("u.f").as("f"), col("u.v").as("v"))
+    // stats feeds hist + one filter per feature, hist feeds one filter
+    // per feature + the final frame: without the cache each reference
+    // recomputes its subtree from the corpus (the r16 plan carried 12
+    // lineitem scans for 3 features). Both frames are ≤ features·bins
+    // rows — cache cost is nil, and each corpus pass now runs once
+    // (guide §2.4: recomputed subtrees, not shuffles, were the waste).
     val stats = long.groupBy("f").agg(min("v").as("_lo"), max("v").as("_hi"),
       count(lit(1)).cast("double").as("_n"))
+      .cache()
     val hist = long.join(broadcast(stats), "f")
       .groupBy(col("f"), binOf(col("v"), col("_lo"), col("_hi"), bins).as("bin"))
       .agg(count(lit(1)).cast("long").as("n"), max(col("_n")).as("_nf"))
       .select(col("f"), col("bin"), col("n"),
         r6(col("n") / col("_nf")).as("p"),
         r6(-log(col("n") / col("_nf"))).as("score_term"))
+      .cache()
     // scoring scan: per-row score = Σ_f score_term(bin_f(row)); stats and
     // histogram are broadcast (≤ features·bins rows each) so the second
     // corpus pass is map-side only — each feature contributes one tiny
