@@ -421,9 +421,16 @@ object Dedup {
     * No single-partition windows, no driver state. */
   def segmentDedup(df: DataFrame, textCol: String, idCol: String,
                    k: Int = 3, minCount: Long = 2L): DataFrame = {
-    val toks = split(normText(col(textCol)), " ")
+    // token array staged through the structural barrier (r17 opt): the
+    // segment transform's lambda would otherwise inline the
+    // split(normText(...)) and re-tokenize per SEGMENT — O(len²/k) per
+    // document, the shingleHashes trap
+    val staged = graft.core.Barrier.once(
+      df.select(col(idCol).cast("long").as("doc"), col(textCol).as("_t")),
+      Seq(col("doc")), split(normText(col("_t")), " "), "_toks")
+    val toks = col("_toks")
     val nSeg = ceil(size(toks).cast("double") / k).cast("int")
-    val segs = df.select(col(idCol).cast("long").as("doc"),
+    val segs = staged.select(col("doc"),
         posexplode(transform(sequence(lit(0), nSeg - 1),
           i => array_join(slice(toks, i * k + 1, lit(k)), " "))))
       .toDF("doc", "i", "seg")
@@ -465,9 +472,13 @@ object Dedup {
     * already does for the hash window — no all-pairs stage anywhere. */
   def spanDedup(df: DataFrame, textCol: String, idCol: String,
                 k: Int = 5, minCount: Long = 2L): DataFrame = {
-    val base = df
-      .select(col(idCol).cast("long").as("doc"),
-        split(normText(col(textCol)), " ").as("toks"))
+    // token array staged through the structural barrier (r17 opt):
+    // CollapseProject would otherwise substitute the split(normText(...))
+    // into the window transform's lambda below and re-tokenize per
+    // WINDOW position — O(len²) per document
+    val base = graft.core.Barrier.once(
+        df.select(col(idCol).cast("long").as("doc"), col(textCol).as("_t")),
+        Seq(col("doc")), split(normText(col("_t")), " "), "toks")
       .select(col("doc"), col("toks"),
         size(col("toks")).cast("long").as("n_tokens"))
     val wins = base.filter(col("n_tokens") >= k)

@@ -353,10 +353,11 @@ object StreamingOps {
   def streamingNgramScore(docs: DataFrame, buckets: Int,
                           weightOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
                           bias: Double): DataFrame = {
+    val staged = graft.text.TextOps.stagedNgramTokens(
+      docs.select(col("doc_id").cast("long").as("doc"), col("text").as("_t")))
     val (nGrams, score) = graft.text.TextOps.hashedNgramScoreExprs(
-      col("text"), buckets, weightOf, bias)
-    docs.select(col("doc_id").cast("long").as("doc"),
-      nGrams.as("n_grams"), score.as("score"))
+      col("_toks"), buckets, weightOf, bias)
+    staged.select(col("doc"), nGrams.as("n_grams"), score.as("score"))
   }
 
   /** Streaming decontamination: a document stream checked against a STATIC

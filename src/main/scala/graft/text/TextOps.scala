@@ -58,9 +58,16 @@ object TextOps {
     size(filter(toks, t => words.map(w => t === lit(w)).reduce(_ || _)))
 
   /** N-gram/stopword-profile language ID: score = marker-token count per
-    * language; argmax with a fixed language-order tiebreak. */
-  def langIdScore(text: Column): Column = {
-    val toks = tokens(text)
+    * language; argmax with a fixed language-order tiebreak. The
+    * expression reads the token array 14× (one filter per language +
+    * the argmax) — callers on a hot path should stage the array once
+    * via [[graft.core.Barrier.once]] and pass it to
+    * [[langIdScoreFromTokens]] (r17 opt: the filter() higher-order
+    * functions fall back from codegen, so the inlined split() would
+    * otherwise re-tokenize per language). */
+  def langIdScore(text: Column): Column = langIdScoreFromTokens(tokens(text))
+
+  def langIdScoreFromTokens(toks: Column): Column = {
     val scores = LangMarkers.map { case (l, ws) => (l, countIn(toks, ws)) }
     val best = greatest(scores.map(_._2): _*)
     scores.foldRight(lit("und")) { case ((l, s), acc) =>
@@ -278,17 +285,30 @@ object TextOps {
   def hashedNgramScore(df: DataFrame, textCol: String, idCol: String,
                        buckets: Int, weightOf: Column => Column,
                        bias: Double): DataFrame = {
-    val (nGrams, score) = hashedNgramScoreExprs(col(textCol), buckets, weightOf, bias)
-    df.select(col(idCol).cast("long").as("doc"), nGrams.as("n_grams"),
+    val staged = stagedNgramTokens(
+      df.select(col(idCol).cast("long").as("doc"), col(textCol).as("_t")))
+    val (nGrams, score) = hashedNgramScoreExprs(col("_toks"), buckets, weightOf, bias)
+    staged.select(col("doc"), nGrams.as("n_grams"),
       Num.r6(score).as("score"))
   }
 
+  /** (doc, _t) → (doc, _toks) through the structural single-evaluation
+    * barrier: the scoring expressions reference the token array SIX times
+    * (two aggregate folds, a zip_with, a slice, two size() reads), and the
+    * higher-order functions fall back from whole-stage codegen, so without
+    * the barrier each reference re-runs the regex-normalize + split per
+    * row (r17 opt — measured 6 tokenizer evaluations in the r16 plan
+    * text; same trap shingleHashes documents). */
+  private[graft] def stagedNgramTokens(df: DataFrame): DataFrame =
+    graft.core.Barrier.once(df, Seq(col("doc")),
+      split(lower(trim(regexp_replace(col("_t"), "\\s+", " "))), " "), "_toks")
+
   /** The scoring expressions behind [[hashedNgramScore]] and its streaming
-    * twin — ONE definition. Returns (n_grams, raw score in (0,1)). */
-  private[graft] def hashedNgramScoreExprs(t: Column, buckets: Int,
+    * twin — ONE definition over the STAGED token array (callers stage via
+    * [[stagedNgramTokens]]). Returns (n_grams, raw score in (0,1)). */
+  private[graft] def hashedNgramScoreExprs(toks: Column, buckets: Int,
                                            weightOf: Column => Column,
                                            bias: Double): (Column, Column) = {
-    val toks = split(lower(trim(regexp_replace(t, "\\s+", " "))), " ")
     def w(gram: Column): Column = weightOf(Num.md5Long(gram) % buckets)
     val uniSum = aggregate(toks, lit(0.0), (acc, tk) => acc + w(tk))
     val shifted = slice(toks, lit(2), greatest(size(toks) - 1, lit(0)))
